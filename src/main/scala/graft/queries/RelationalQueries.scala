@@ -1,0 +1,411 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator battery — every SURVEY.md §2 operator class
+  * (scan, projection, filter, join, aggregation, sort/limit) re-expressed
+  * over the driver testdata, each with a DuckDB oracle.
+  *
+  * Determinism rules (driver hash-compares against DuckDB):
+  *  - every floating aggregate is `round(...)`-ed (sum→2dp, avg/ratio→6dp)
+  *    because double addition is order-sensitive under parallel partial
+  *    aggregation;
+  *  - every query ends in a total ORDER BY, mirrored in the oracle;
+  *  - every computed column is aliased identically on both sides.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    // A1/A9 hash aggregation (reference transform_spark.py:127-136 shape):
+    // partial+final agg, one shuffle on the group keys.
+    "q01_agg_returnflag" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          round(max("l_extendedprice"), 2).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A9/O4 top-k: TakeOrderedAndProject — no global sort at scale.
+    "q02_topk_customers" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum("o_totalprice"), 2).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(desc("total_spend"), asc("o_custkey"))
+        .limit(10)
+    }),
+
+    // A10 avg by group (reference notebook Q2 shape).
+    "q03_avg_by_priority" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(avg("o_totalprice"), 6).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // A2 countDistinct (reference agg_store_type_year shape).
+    "q04_countdistinct_status" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          round(sum("o_totalprice"), 2).as("total_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // A3 holidays_vs_normal shape: group by derived year + category.
+    "q05_events_yearly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"), year(col("ts")).cast("bigint").as("yr"),
+          month(col("ts")).cast("bigint").as("mth"))
+        .agg(round(sum("value"), 2).as("sum_value"),
+          round(avg("value"), 6).as("avg_value"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "yr", "mth")
+    }),
+
+    // A5 full-row DISTINCT on a narrow projection.
+    "q06_distinct_flags" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A6/F2 HAVING-style duplicate-group detection
+    // (reference quality_checks.py:90).
+    "q07_dup_groups" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("o_custkey")
+    }),
+
+    // A8 null-fraction profiler — single-pass rewrite of the reference's
+    // N+1-job version (quality_checks.py:73-79): one aggregate job for
+    // all columns. At 100 TB this is 1 scan instead of N+1.
+    "q08_null_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def frac(c: String) =
+        round(avg(when(col(c).isNull || col(c) === "", 1.0d).otherwise(0.0d)), 9)
+      d.agg(
+        frac("text").as("frac_text"),
+        frac("lang").as("frac_lang"),
+        frac("source").as("frac_source"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // J1 composite-key LEFT join (reference transform_spark.py:96-100):
+    // fact left-joined to a keyed derived table on two equi keys.
+    "q09_join_composite" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val g = o.groupBy(col("o_custkey").as("ck"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n_same"),
+          round(sum("o_totalprice"), 2).as("grp_total"))
+      o.join(g, o("o_custkey") === g("ck") && o("o_orderstatus") === g("st"), "left")
+        .select(o("o_orderkey"), o("o_custkey"), o("o_orderstatus"),
+          g("n_same"), g("grp_total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // J2 USING-style join: single shared key column collapses in output
+    // (reference transform_spark.py:102).
+    "q10_join_using" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+      l.join(o, Seq("l_orderkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+          round(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 4).as("net"))
+        .orderBy("l_orderkey", "l_linenumber", "net")
+    }),
+
+    // Broadcast-hash joins: dims are tiny → explicit broadcast() so the
+    // plan never shuffles the fact side (SURVEY §2.4 physical note).
+    "q11_broadcast_dims" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val sup = t(s, dir, "supplier")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+
+    // Star-schema multi-join: fact → orders → customer → nation → region,
+    // dims broadcast, one shuffle for the final agg.
+    "q12_star_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Window functions: row_number + running sum per key (deterministic
+    // frame ordering → the running double sum is order-pinned).
+    "q13_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("bigint").as("rn"),
+          round(sum(col("o_totalprice")).over(wf), 2).as("running_spend"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ROLLUP grouping sets with explicit grouping flags.
+    "q14_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("bigint").as("g"),
+          round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(col("g"), col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("g"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Set operations: INTERSECT / EXCEPT / UNION ALL in one result.
+    "q15_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+      val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+      f.intersect(p).withColumn("tag", lit("both"))
+        .unionAll(f.except(p).withColumn("tag", lit("f_only")))
+        .unionAll(p.except(f).withColumn("tag", lit("o_only")))
+        .select(col("tag"), col("o_custkey"))
+        .orderBy("tag", "o_custkey")
+    }),
+
+    // P1 rename-by-map projection incl. missing-column null fill
+    // (reference transform_spark.py:38-45 semantics).
+    "q16_rename_project" -> ((s, dir) => {
+      val mapping = Seq(
+        "c_custkey" -> "customer_id",
+        "c_name" -> "name",
+        "c_mktsegment" -> "segment",
+        "loyalty_tier" -> "loyalty_tier") // absent in source -> typed null
+      val c = t(s, dir, "customer")
+      c.select(mapping.map { case (o, n) =>
+        if (c.columns.contains(o)) col(o).as(n)
+        else lit(null).cast("string").as(n)
+      }: _*).orderBy("customer_id")
+    }),
+
+    // P2 schema-enforcing projection: cast present, add missing as typed
+    // null, prune+reorder (reference quality_checks.py:49-63).
+    "q17_schema_enforce" -> ((s, dir) => {
+      val expected = Seq( // declared (name, type) like pipeline_config.yaml:28-52
+        "p_partkey" -> "bigint",
+        "p_name" -> "string",
+        "p_size" -> "double",   // declared wider than the source int
+        "p_retailprice" -> "double",
+        "p_category" -> "string") // missing in source -> typed null
+      val p0 = t(s, dir, "part")
+      val withCasts = expected.foldLeft(p0) { case (df, (c, ty)) =>
+        if (df.columns.contains(c)) df.withColumn(c, col(c).cast(ty))
+        else df.withColumn(c, lit(null).cast(ty))
+      }
+      withCasts.select(expected.map(e => col(e._1)): _*).orderBy("p_partkey")
+    }),
+
+    // P5 derived date parts (reference transform_spark.py:54-61).
+    "q18_date_parts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date"),
+          year(col("o_orderdate")).cast("bigint").as("yr"),
+          month(col("o_orderdate")).cast("bigint").as("mth"),
+          quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+          weekofyear(col("o_orderdate")).cast("bigint").as("wk"))
+        .orderBy("o_orderkey")
+    }),
+
+    // F1 predicate filter — pushed into the parquet scan (verified via
+    // .explain PushedFilters in the spec).
+    "q19_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01 00:00:00").cast("timestamp")
+          && col("l_discount") >= 0.05d && col("l_quantity") < 10.0d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 4).as("net"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "net")
+    }),
+
+    // Semi-structured: JSON field extraction + aggregation.
+    "q20_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum("k").as("sum_k"), round(avg("k"), 6).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    "q21_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0d)
+      val withBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey")).withColumn("tag", lit("has_big_order"))
+      val noBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey")).withColumn("tag", lit("no_big_order"))
+      withBig.unionAll(noBig).select(col("tag"), col("c_custkey"))
+        .orderBy("tag", "c_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_returnflag" ->
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(SUM(l_quantity),2) AS sum_qty,
+        | ROUND(SUM(l_extendedprice),2) AS sum_price,
+        | ROUND(AVG(l_discount),6) AS avg_disc,
+        | ROUND(MAX(l_extendedprice),2) AS max_price,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_topk_customers" ->
+      """SELECT o_custkey, ROUND(SUM(o_totalprice),2) AS total_spend,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin,
+    "q03_avg_by_priority" ->
+      """SELECT o_orderpriority, ROUND(AVG(o_totalprice),6) AS avg_price,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_countdistinct_status" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+        | ROUND(SUM(o_totalprice),2) AS total_price, COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_events_yearly" ->
+      """SELECT event_type, YEAR(ts) AS yr, MONTH(ts) AS mth,
+        | ROUND(SUM(value),2) AS sum_value, ROUND(AVG(value),6) AS avg_value,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q06_distinct_flags" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1,2",
+    "q07_dup_groups" ->
+      """SELECT o_custkey, COUNT(*) AS n FROM orders
+        |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+    "q08_null_profile" ->
+      """SELECT
+        | ROUND(AVG(CASE WHEN text IS NULL OR text = '' THEN 1.0 ELSE 0.0 END),9) AS frac_text,
+        | ROUND(AVG(CASE WHEN lang IS NULL OR lang = '' THEN 1.0 ELSE 0.0 END),9) AS frac_lang,
+        | ROUND(AVG(CASE WHEN source IS NULL OR source = '' THEN 1.0 ELSE 0.0 END),9) AS frac_source,
+        | COUNT(*) AS n_rows
+        |FROM documents""".stripMargin,
+    "q09_join_composite" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, g.n_same, g.grp_total
+        |FROM orders o LEFT JOIN (
+        |  SELECT o_custkey AS ck, o_orderstatus AS st, COUNT(*) AS n_same,
+        |         ROUND(SUM(o_totalprice),2) AS grp_total
+        |  FROM orders GROUP BY 1,2) g
+        |ON o.o_custkey = g.ck AND o.o_orderstatus = g.st
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q10_join_using" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+        | ROUND(l.l_extendedprice * (1.0 - l.l_discount),4) AS net
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY 1,2,4""".stripMargin,
+    "q11_broadcast_dims" ->
+      """SELECT p.p_brand,
+        | ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)),4) AS revenue,
+        | COUNT(*) AS n
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_star_revenue" ->
+      """SELECT r.r_name, n.n_name,
+        | ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)),4) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q13_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        | ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "q14_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS g,
+        | l_returnflag, l_linestatus,
+        | ROUND(SUM(l_quantity),2) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q15_setops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        | p AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM p)
+        |UNION ALL
+        |SELECT 'f_only' AS tag, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM p)
+        |UNION ALL
+        |SELECT 'o_only' AS tag, o_custkey FROM (SELECT o_custkey FROM p EXCEPT SELECT o_custkey FROM f)
+        |ORDER BY 1,2""".stripMargin,
+    "q16_rename_project" ->
+      """SELECT c_custkey AS customer_id, c_name AS name, c_mktsegment AS segment,
+        | CAST(NULL AS VARCHAR) AS loyalty_tier
+        |FROM customer ORDER BY 1""".stripMargin,
+    "q17_schema_enforce" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, CAST(p_name AS VARCHAR) AS p_name,
+        | CAST(p_size AS DOUBLE) AS p_size, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+        | CAST(NULL AS VARCHAR) AS p_category
+        |FROM part ORDER BY 1""".stripMargin,
+    "q18_date_parts" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mth,
+        | QUARTER(o_orderdate) AS qtr, WEEKOFYEAR(o_orderdate) AS wk
+        |FROM orders ORDER BY 1""".stripMargin,
+    "q19_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | ROUND(l_extendedprice * (1.0 - l_discount),4) AS net
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_quantity < 10.0
+        |ORDER BY 1,2,3,4""".stripMargin,
+    "q20_json_extract" ->
+      """SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+        | ROUND(AVG(CAST(props->>'$.k' AS INT)),6) AS avg_k, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_semi_anti" ->
+      """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |SELECT 'has_big_order' AS tag, c_custkey FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM big)
+        |UNION ALL
+        |SELECT 'no_big_order' AS tag, c_custkey FROM customer
+        | WHERE c_custkey NOT IN (SELECT o_custkey FROM big)
+        |ORDER BY 1,2""".stripMargin
+  )
+}
