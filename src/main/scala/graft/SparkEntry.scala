@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.RelationalQueries
+import graft.queries.{DedupQueries, EventQueries, RelationalQueries,
+  SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +21,10 @@ object SparkEntry {
     queries("q12_star_revenue")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
+      SimilarityQueries.queries ++ EventQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
+      SimilarityQueries.oracles ++ EventQueries.oracles
 }

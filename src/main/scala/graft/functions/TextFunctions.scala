@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-data-pipeline operators.
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * higher-order functions — no UDFs, so whole-stage codegen stays intact
+  * and the expressions vectorize across a 1000-executor scan.
+  */
+object TextFunctions {
+
+  /** Documents are single-space tokenized; keep the split trivially cheap. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles; short docs collapse to one shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    val grams = transform(sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+    array_distinct(when(size(w) >= n, grams).otherwise(array(text)))
+  }
+
+  /** 64-bit hashes of each shingle (xxhash64 — seedless, stable). */
+  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  /** MinHash signature: per permutation j, min over shingles of
+    * (a_j*h + b_j) with wrapping 64-bit arithmetic (ANSI off). One pass
+    * over the shingle array per permutation, all map-side — the only
+    * shuffle in MinHash-LSH dedup is the band-bucket join.
+    */
+  def minhashSignature(hashes: Column, numPerm: Int = 64): Column = {
+    val rnd = new scala.util.Random(42)
+    val perms = Seq.fill(numPerm)((rnd.nextLong() | 1L, rnd.nextLong()))
+    array(perms.map { case (a, b) =>
+      array_min(transform(hashes, h => h * lit(a) + lit(b)))
+    }: _*)
+  }
+
+  /** LSH band keys: hash each r-row slice of the signature. Docs sharing
+    * any band key are candidate near-duplicates.
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(sig, b * rows + 1, rows))): _*)
+
+  /** Exact Jaccard of two pre-distinct arrays: |∩| / (|a|+|b|-|∩|) —
+    * avoids materializing array_union on the hot path.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Stopword-style marker hits, e.g. markerHits(c, Seq("the","a")). */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
+
+  /** Polynomial rolling-hash fingerprint mod 1e9+7 over codepoints.
+    * Pure SQL expression so the DuckDB oracle can replicate it exactly.
+    */
+  def fingerprint(textCol: String): Column =
+    expr(s"aggregate(transform(sequence(1, length($textCol)), i -> ascii(substr($textCol, i, 1))), " +
+      "0L, (acc, c) -> (acc * 31 + c) % 1000000007)")
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+  * with feature extraction as a batched `mapPartitions` (the Scala
+  * analogue of `mapInPandas` — rows are processed in fixed-size batches
+  * so a real decoder could amortize model/library setup per batch).
+  *
+  * The decode step itself is a DETERMINISTIC STUB (`decodeStub`): real
+  * image/audio codecs are not available in this container, so it computes
+  * cheap byte-level features (size, sha256, mean byte value standing in
+  * for "brightness"). The Spark-side plumbing — schema, encoders, batch
+  * shape, partition-parallel execution — is real and tested.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, sha256_hex: String,
+                           brightness: Double)
+
+  /** Wrap a text corpus as binary media rows (payload = UTF-8 bytes). */
+  def toMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"))
+      .as[MediaRow]
+  }
+
+  /** Deterministic fake decoder — stands in for an image/audio codec. */
+  def decodeStub(row: MediaRow): MediaFeatures = {
+    val bytes = row.payload
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
+    val sum = bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+    MediaFeatures(row.doc_id, bytes.length.toLong, hex,
+      if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length)
+  }
+
+  /** Batched partition-parallel feature extraction. `batchSize` mirrors
+    * the arrow-batch shape a Pandas-UDF decoder would see.
+    */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would init the codec once per batch here
+        batch.map(decodeStub)
+      }
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * streams the corpus — one scan, no shuffle except the final per-query
+  * top-k (TakeOrdered-style via window over query_id). The IVF variant
+  * prunes the corpus to the probed centroid buckets first, trading recall
+  * for a ~nlist× smaller distance computation — the standard path when
+  * the corpus side is 100 TB.
+  */
+object Similarity {
+
+  /** Promote float[] to double[] once; all arithmetic stays in double. */
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self-match excluded). Queries are broadcast.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** All corpus pairs with cosine ≥ threshold (embedding near-dup). */
+  def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF-style approximate top-k: deterministic centroids (the first
+    * `nlist` corpus vectors by id), assign every vector to its nearest
+    * centroid map-side, then search only the `nprobe` closest buckets
+    * per query. Recall is tested against bruteForceTopK in the spec.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cent_rank"), asDouble(col(vecCol)).as("centv"))
+        .withColumn("cent_id", row_number().over(
+          Window.orderBy(col("cent_rank"))).cast("bigint"))
+        .select(col("cent_id"), col("centv")))
+
+    def nearestCentroids(df: DataFrame, vc: String, idc: String, take: Int, out: String) = {
+      val w = Window.partitionBy(col(idc)).orderBy(col("__cs").desc, col("cent_id").asc)
+      df.crossJoin(cents)
+        .withColumn("__cs", cosine(col(vc), col("centv")))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= take)
+        .withColumnRenamed("cent_id", out)
+        .drop("centv", "__cs", "__cr")
+    }
+
+    val c = nearestCentroids(
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")),
+      "cv", "neighbor_id", 1, "bucket")
+    val q = nearestCentroids(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
+      "qv", "query_id", nprobe, "bucket")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication battery over the `documents` table.
+  *
+  * The DuckDB oracles recompute the SAME shingle definition (distinct
+  * 3-word grams) so exact-Jaccard results are bit-comparable; the LSH
+  * variant is exact-verified after candidate generation, so its output
+  * equals the brute-force oracle whenever recall is 100% (planted pairs
+  * sit at j≈0.98 where the 16×4 band scheme misses with P≈4e-8).
+  */
+object DedupQueries {
+  import RelationalQueries.Q
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Shared oracle CTE: distinct 3-word shingles per doc. */
+  private val shingleCte =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text,
+      |    (SELECT CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(len(w)-2),
+      |        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) ELSE [text] END
+      |     FROM (SELECT string_split(text, ' ') AS w)) AS sh
+      |  FROM documents)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: representative + multiplicity per key (A7 at scale).
+    "q22_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDuplicates(docs(s, dir), "doc_id", Seq("lang", "source"))
+        .orderBy("lang", "source")
+    }),
+
+    // Deterministic keep-first dedup (pinned ordering, unlike the
+    // reference's arbitrary-row dropDuplicates).
+    "q23_dedup_keep_first" -> ((s, dir) => {
+      Dedup.dropDuplicatesOrdered(docs(s, dir), Seq("lang"),
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang")
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified at 0.8.
+    "q24_minhash_neardup" -> ((s, dir) => {
+      Dedup.lshNearDupPairs(docs(s, dir), "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Exact blocked n-gram Jaccard (same-language pairs, j ≥ 0.3).
+    "q25_ngram_jaccard" -> ((s, dir) => {
+      Dedup.blockedJaccardPairs(docs(s, dir), "doc_id", "text",
+          Seq("lang"), threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (hash-internal — rows-only check; the
+    // planted-pair recall is pinned in DedupSpec instead).
+    "q26_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q23_dedup_keep_first" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY lang""".stripMargin,
+    "q24_minhash_neardup" -> (shingleCte +
+      """
+        |, p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.8 ORDER BY 1,2""".stripMargin),
+    "q25_ngram_jaccard" -> (shingleCte +
+      """
+        |, p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.lang = b.lang)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
+        |WHERE j >= 0.3 ORDER BY 1,2""".stripMargin)
+    // q26_simhash_neardup: intentionally no oracle (engine-internal hashes).
+  )
+}

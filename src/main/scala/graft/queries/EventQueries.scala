@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Multimodal
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream and multimodal batteries: batch sessionization (window
+  * functions, oracle-verified), Structured Streaming twins (windowed agg
+  * + streaming dedup, oracle-verified against their batch equivalents on
+  * bounded input; stateful sessions rows-only), and the multimodal
+  * binary-column pipeline.
+  */
+object EventQueries {
+  import RelationalQueries.Q
+
+  val queries: Map[String, Q] = Map(
+    // Gaps-and-islands sessionization (lag + running sum + two aggs).
+    "q34_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = Tables.load(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_no", sum("new_sess").over(wSum))
+      flagged.groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_ev").as("n_events"),
+          max("n_ev").as("max_session_events"))
+        .orderBy("user_id")
+    }),
+
+    // Multimodal: binary payload + batched mapPartitions feature extract.
+    "q35_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.toMedia(Tables.load(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("sha256_hex"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy("doc_id")
+    }),
+
+    // Structured Streaming: tumbling event-time window (complete mode).
+    "q36_stream_hourly" -> ((s, dir) => EventStreams.hourlyWindowCounts(s, dir)),
+
+    // Structured Streaming: stateful dedup then count.
+    "q37_stream_dedup" -> ((s, dir) => EventStreams.streamingDedupCounts(s, dir)),
+
+    // Structured Streaming: flatMapGroupsWithState sessionization
+    // (rows-only; batch twin q34 is the oracle-verified equivalent).
+    "q38_stream_sessions" -> ((s, dir) => EventStreams.statefulSessionCounts(s, dir)),
+
+    // Skew-safe two-phase (salted) aggregation — semantics equal a plain
+    // GROUP BY, which is exactly what the oracle checks.
+    "q39_salted_agg" -> ((s, dir) => {
+      val salted = Tables.load(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(8)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum("value").as("ps"))
+      salted.groupBy(col("event_type"))
+        .agg(sum("pn").as("n"), round(sum("ps"), 2).as("sum_value"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q34_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | numbered AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM flagged),
+        | sess AS (
+        |  SELECT user_id, sess_no, COUNT(*) AS n_ev FROM numbered GROUP BY 1,2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_multimodal_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256_hex,
+        |  ROUND(CAST((SELECT SUM(x) FROM UNNEST(list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substr(text, i, 1)))) AS t(x)) AS DOUBLE) / octet_length(encode(text)), 6)
+        |    AS brightness
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_stream_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q37_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q38_stream_sessions: intentionally no oracle (stateful streaming).
+    "q39_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

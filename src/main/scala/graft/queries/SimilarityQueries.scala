@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search battery over the `embeddings` table (array<float>).
+  * Arithmetic is promoted to double on both sides (Spark `transform` cast,
+  * DuckDB CAST(... AS DOUBLE[])) and results rounded to 6dp so the two
+  * engines' accumulation orders can't flip the hash compare.
+  */
+object SimilarityQueries {
+  import RelationalQueries.Q
+
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-k: broadcast query set, one corpus scan.
+    "q31_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Embedding near-dup pairs above a cosine threshold.
+    "q32_cosine_pairs" -> ((s, dir) => {
+      Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // IVF-bucketed approximate top-k (the 100 TB scale path) — recall vs
+    // brute force is pinned in SimilaritySpec; no SQL oracle (approximate).
+    "q33_ivf_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q31_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |       FROM embeddings),
+        | s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+        |       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        | r AS (SELECT query_id, neighbor_id, sim,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |       FROM s)
+        |SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q32_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_cosine_similarity(a.v, b.v) AS sim
+        |       FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(sim, 6) AS sim
+        |FROM p WHERE sim >= 0.4 ORDER BY 1,2""".stripMargin
+    // q33_ivf_ann: intentionally no oracle (approximate operator).
+  )
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis battery: language-ID heuristic, quality scoring, token
+  * statistics, rolling-hash fingerprinting — all pure column expressions
+  * (codegen'd, one scan each) with exact DuckDB mirrors.
+  */
+object TextQueries {
+  import RelationalQueries.Q
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "los", "de", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  val queries: Map[String, Q] = Map(
+    // n-gram/stopword language-ID heuristic with a deterministic argmax.
+    "q27_lang_id" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = markers.foldLeft(d) { case (df, (lg, ws)) =>
+        df.withColumn(s"s_$lg", markerHits(col("text"), ws).cast("bigint"))
+      }
+      scored.select(col("doc_id"), col("lang"),
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+            && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr").as("predicted_lang"),
+          col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: token count, chars/token, stopword ratio, flag.
+    "q28_quality_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(words(col("text"))).cast("bigint"))
+        .withColumn("stop_hits", markerHits(col("text"), markers.head._2).cast("bigint"))
+      d.select(col("doc_id"), col("n_tokens"),
+          round(length(col("text")).cast("double") / col("n_tokens"), 6)
+            .as("chars_per_token"),
+          round(col("stop_hits").cast("double") / col("n_tokens"), 6)
+            .as("stop_ratio"),
+          (col("n_tokens") >= 20 && col("stop_hits") > 0).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus token statistics by language.
+    "q29_token_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("n_tokens", size(words(col("text"))).cast("bigint"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          round(avg("n_tokens"), 6).as("avg_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Rolling-hash document fingerprint (mod 1e9+7 over codepoints).
+    "q30_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), fingerprint("text").as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private def markerSql(lg: String): String =
+    s"CAST(len(regexp_extract_all(lower(text), '\\b(${markers.toMap.apply(lg).mkString("|")})\\b')) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q27_lang_id" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    ${markerSql("en")} AS s_en, ${markerSql("es")} AS s_es,
+         |    ${markerSql("de")} AS s_de, ${markerSql("fr")} AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS predicted_lang,
+         |  s_en, s_es, s_de, s_fr
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q28_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token,
+         |  ROUND(CAST(${markerSql("en")} AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio,
+         |  (len(string_split(text, ' ')) >= 20 AND ${markerSql("en")} > 0) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+        |  CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

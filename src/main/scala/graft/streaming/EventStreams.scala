@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table.
+  *
+  * Local smoke pattern: file-source readStream over the parquet →
+  * transforms → memory sink → `processAllAvailable()`, which drains the
+  * bounded input synchronously and leaves the result queryable as a
+  * batch table. On a real cluster the same plans run against Kafka/file
+  * streams unchanged — watermarks bound state, and stateful operators
+  * use event-time timeouts.
+  */
+object EventStreams {
+
+  /** Streaming read of events with the nanos→micros conversion applied. */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file-stream source requires a directory; glob-filter to the table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${System.nanoTime()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling 1-hour event-time window aggregation (complete mode —
+    * equals the batch answer on bounded input, which the oracle checks).
+    */
+  def hourlyWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    runToMemory(agg, OutputMode.Complete())
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Streaming dedup on (user_id, event_type) then count per type —
+    * equals COUNT(DISTINCT user_id) per type on bounded input.
+    */
+  def streamingDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = readEventsStream(spark, sfDir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+    runToMemory(deduped, OutputMode.Complete())
+      .orderBy("event_type")
+  }
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState (processing-time
+    * flush on drain): counts 30-minute-gap sessions per user. Rows-only
+    * check — the batch window-function equivalent (q34_sessionize) is the
+    * oracle-verified twin.
+    */
+  def statefulSessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gapMicros = 30L * 60 * 1000000
+    val ds = readEventsStream(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .as[Ev]
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, events, state: GroupState[List[Long]]) =>
+          val all = (state.getOption.getOrElse(Nil) ++
+            events.map { e => // full µs precision (getTime is ms-truncated)
+              val i = e.ts.toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }).sorted
+          state.update(all)
+          // bounded input drains in one batch; emit the final summary
+          val sessions = all.foldLeft((0L, Long.MinValue)) {
+            case ((n, prev), t) =>
+              (if (t - prev > gapMicros) n + 1 else n, t)
+          }._1
+          Iterator(SessionSummary(uid, sessions, all.size.toLong))
+      }
+    runToMemory(out.toDF(), OutputMode.Append()).orderBy("user_id")
+  }
+}
