@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.ArrayOps
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -8,13 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB): every variant is shuffle-bounded —
   *  - exact dedup: one hash shuffle on the dedup key;
-  *  - MinHash-LSH: signatures are computed map-side in one pass; the only
-  *    wide stages are the band-bucket self-join (keys are 64-bit hashes,
-  *    heavily partitionable) and the candidate verification join. Bucket
-  *    explosion from degenerate shingles is bounded because candidate
-  *    pairs are verified with exact Jaccard before being emitted;
+  *  - MinHash-LSH: signatures are computed map-side in one pass; the
+  *    band-bucket self-join exchanges only (id, band-key) pairs — never
+  *    the shingle sets — so the wide stages move ~16 bytes/row. Shingle
+  *    sets are re-attached to the (small) candidate-pair set by two
+  *    narrow joins for exact-Jaccard verification;
   *  - SimHash: one explode+agg to build 64-bit fingerprints, then a
-  *    4-chunk pigeonhole join (guarantees recall for hamming ≤ 3).
+  *    4-chunk pigeonhole join (guarantees recall for hamming ≤ 3);
+  *  - exact blocked Jaccard is inherently quadratic per block — kept
+  *    parallel via deterministic salting (each block's pair space is
+  *    spread over `saltBuckets` reducers instead of one), but the scale
+  *    path for 100 TB is LSH, not this.
   */
 object Dedup {
 
@@ -35,48 +40,70 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Shingle + minhash + band columns for a document frame. */
-  def minhashed(docs: DataFrame, idCol: String, textCol: String,
-                n: Int, numPerm: Int, bands: Int): DataFrame = {
-    val rows = numPerm / bands
-    docs
-      .select(col(idCol), shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignature(shingleHashes(col("sh")), numPerm))
-      .withColumn("bands", bandKeys(col("sig"), bands, rows))
-  }
+  /** Sorted distinct 64-bit shingle-hash set for a document — the compact
+    * representation all Jaccard math runs on (sorted so verification can
+    * use the merge-walk `JaccardSortedLongs` codegen expression).
+    */
+  def shingleHashSet(text: Column, n: Int): Column =
+    sort_array(array_distinct(shingleHashes(shingles(text, n))))
 
-  /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+  /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard over
+    * the shingle-hash sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Banding: numPerm/bands rows per band; the S-curve midpoint is
+    * (1/bands)^(bands/numPerm), so the 64/8 default targets thresholds
+    * around 0.77 — right for near-dup detection at 0.8. (16 bands of 4
+    * would target ~0.5 and admit ~10% of ALL pairs as candidates on
+    * corpora whose background similarity is ~0.3 — a quadratic blow-up.)
     */
   def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
-                      numPerm: Int = 64, bands: Int = 16): DataFrame = {
-    val mh = minhashed(docs, idCol, textCol, n, numPerm, bands)
-      .select(col(idCol).as("id"), col("sh"), posexplode(col("bands")).as(Seq("band", "key")))
-    val a = mh.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = mh.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+                      numPerm: Int = 64, bands: Int = 8): DataFrame = {
+    val rows = numPerm / bands
+    // Repartition before shingling: a single parquet file otherwise pins
+    // the (expensive) signature computation to one task.
+    val base = docs
+      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col(idCol).as("id"), shingleHashSet(col(textCol), n).as("hs"))
+    // Narrow (id, band-key) rows only — band index is folded into the key
+    // hash by bandKeys, so one column suffices.
+    val keys = base.select(col("id"),
+      explode(bandKeys(minhashSignature(col("hs"), numPerm), bands, rows)).as("key"))
+    val cand = keys.as("a")
+      .join(keys.as("b"), col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Re-attach shingle sets to the (small) candidate set for exact
+    // verification; false positives from banding die here.
+    cand
+      .join(base.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jaccard", ArrayOps.jaccardSorted(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Exact blocked n-gram Jaccard: all pairs within the same blocking
     * key (e.g. language) — the exact-answer counterpart to LSH.
+    *
+    * A plain join on the block key alone collapses parallelism to the
+    * number of blocks (5 languages → 5 busy reducers). Deterministic
+    * salting fixes that: side A is keyed by salt(id_a), side B is
+    * replicated to every salt, so each pair meets exactly once and the
+    * pair space fans out over blocks×saltBuckets reducers.
     */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], threshold: Double,
-                          n: Int = 3): DataFrame = {
+                          n: Int = 3, saltBuckets: Int = 16): DataFrame = {
     val t = docs.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+ shingles(col(textCol), n).as("sh"): _*)
-    val a = t.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("sh").as("sh_a"): _*)
-    val b = t.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("sh").as("sh_b"): _*)
-    a.join(b, blockCols)
+      (col(idCol).as("id") +: blockCols.map(col)) :+ shingleHashSet(col(textCol), n).as("hs"): _*)
+    val a = t.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("hs").as("hs_a"): _*)
+      .withColumn("salt", pmod(xxhash64(col("id_a")), lit(saltBuckets)).cast("int"))
+    val b = t.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("hs").as("hs_b"): _*)
+      .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    a.join(b, blockCols :+ "salt")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", ArrayOps.jaccardSorted(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expressions.ArrayOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -7,21 +8,28 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: brute-force top-k broadcasts the (small) query set and
   * streams the corpus — one scan, no shuffle except the final per-query
-  * top-k (TakeOrdered-style via window over query_id). The IVF variant
-  * prunes the corpus to the probed centroid buckets first, trading recall
-  * for a ~nlist× smaller distance computation — the standard path when
-  * the corpus side is 100 TB.
+  * top-k. Pair scoring uses the fused codegen `CosineSimilarity`
+  * expression (graft.expressions) — one loop per pair, no per-pair
+  * allocation — because the O(n·q) / O(n²) scoring stage is where
+  * interpreted higher-order functions die. The IVF variant prunes the
+  * corpus to the probed centroid buckets first, trading recall for a
+  * ~nlist× smaller distance computation — the standard path when the
+  * corpus side is 100 TB.
+  *
+  * Corpus sides are repartitioned before scoring: the testdata is one
+  * parquet file per table, which would otherwise pin the whole scoring
+  * stage to a single task (on a real cluster the many input splits make
+  * this a no-op cost-wise).
   */
 object Similarity {
 
-  /** Promote float[] to double[] once; all arithmetic stays in double. */
+  /** Promote float[] to double[] once, on the input side (NOT per pair). */
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column = ArrayOps.cosineSim(a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  private def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self-match excluded). Queries are broadcast.
@@ -31,7 +39,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val c = fanout(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
@@ -47,7 +55,7 @@ object Similarity {
   /** All corpus pairs with cosine ≥ threshold (embedding near-dup). */
   def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+    val a = fanout(corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va")))
     val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
@@ -82,7 +90,7 @@ object Similarity {
     }
 
     val c = nearestCentroids(
-      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")),
+      fanout(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))),
       "cv", "neighbor_id", 1, "bucket")
     val q = nearestCentroids(
       queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Semantics of the dedup family on tiny synthetic corpora where the
+  * expected answers are computable by hand, plus the planted-pair recall
+  * contract on the sf0.001 documents table (rows-only-checked operators
+  * like SimHash get their real guarantee pinned here, not by the oracle).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "en", "the quick brown fox jumps over the lazy dog today"),  // near-dup of 1
+    (3L, "en", "completely different words in this unrelated sentence here now"),
+    (4L, "de", "der schnelle braune fuchs springt ueber den faulen hund heute")
+  ).toDF("doc_id", "lang", "text")
+
+  test("exactDuplicates: representative + multiplicity") {
+    val out = Dedup.exactDuplicates(docsDf, "doc_id", Seq("lang"))
+      .orderBy("lang").as[(String, Long, Long)].collect()
+    assert(out === Array(("de", 4L, 1L), ("en", 1L, 3L)))
+  }
+
+  test("dropDuplicatesOrdered keeps the pinned row, deterministically") {
+    val out = Dedup.dropDuplicatesOrdered(docsDf, Seq("lang"),
+        Seq(col("doc_id").desc))
+      .select("lang", "doc_id").orderBy("lang").as[(String, Long)].collect()
+    assert(out === Array(("de", 4L), ("en", 3L)))
+  }
+
+  test("LSH near-dup pairs find the planted pair and nothing else (tiny corpus)") {
+    // Docs 1/2 are 10 words differing only in the last → 8 shingles each,
+    // 7 shared, union 9 ⇒ j = 7/9 ≈ 0.778. The default 8×8 banding targets
+    // ~0.77 where recall at 0.778 is probabilistic, so pin bands=32
+    // (rows=2): miss probability (1-j²)^32 ≈ 7e-13.
+    val pairs = Dedup.lshNearDupPairs(docsDf, "doc_id", "text",
+        threshold = 0.5, numPerm = 64, bands = 32)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(math.abs(pairs.head._3 - 7.0 / 9.0) < 1e-6)
+  }
+
+  test("blockedJaccardPairs never crosses blocks") {
+    val exact = Dedup.blockedJaccardPairs(docsDf, "doc_id", "text",
+        Seq("lang"), threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(exact.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+  }
+
+  test("LSH output equals unblocked exact Jaccard pairs on sf0.001 planted near-dups") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // Empty blockCols ⇒ pure salted all-pairs (the exact ground truth).
+    val exact = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+        Seq.empty, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.lshNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dup pairs")
+    assert(lsh === exact,
+      s"LSH missed ${(exact -- lsh).size}, hallucinated ${(lsh -- exact).size}")
+  }
+
+  test("simhash ranks a near-dup closer than an unrelated doc") {
+    val fp = Dedup.simhash(docsDf, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)))
+  }
+
+  test("simhashPairs pigeonhole: identical docs always found, unrelated never at <=3") {
+    val withCopy = docsDf.union(Seq(
+      (5L, "en", "the quick brown fox jumps over the lazy dog tonight")).toDF())
+    val atZero = Dedup.simhashPairs(withCopy, "doc_id", "text", maxHamming = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(atZero.exists(p => p._1 == 1L && p._2 == 5L))
+    val strict = Dedup.simhashPairs(docsDf, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(!strict.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("salting does not change blockedJaccardPairs results") {
+    val r1 = Dedup.blockedJaccardPairs(docsDf, "doc_id", "text", Seq("lang"),
+      threshold = 0.1, saltBuckets = 1).as[(Long, Long, Double)].collect().toSet
+    val r16 = Dedup.blockedJaccardPairs(docsDf, "doc_id", "text", Seq("lang"),
+      threshold = 0.1, saltBuckets = 16).as[(Long, Long, Double)].collect().toSet
+    assert(r1 === r16 && r1.nonEmpty)
+  }
+}

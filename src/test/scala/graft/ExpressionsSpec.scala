@@ -1,0 +1,77 @@
+package graft
+
+import graft.expressions.ArrayOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The custom codegen expressions must agree with the interpreted
+  * built-in formulations they replace (which in turn were oracle-checked
+  * against DuckDB), in both codegen and interpreted (eval) modes.
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(2.5f, -1.5f, 0.5f), Array(2.5f, -1.5f, 0.5f))
+  ).toDF("id", "a", "b")
+
+  test("CosineSimilarity matches the zip_with/aggregate formulation") {
+    def refCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    }
+    val ad = transform($"a", x => x.cast("double"))
+    val bd = transform($"b", x => x.cast("double"))
+    val rows = vecs
+      .select($"id", ArrayOps.cosineSim($"a", $"b").as("fast"), refCosine(ad, bd).as("ref"))
+      .collect()
+    rows.foreach { case Row(_, fast: Double, ref: Double) =>
+      assert(math.abs(fast - ref) < 1e-12, s"fast=$fast ref=$ref")
+    }
+  }
+
+  test("CosineSimilarity known values") {
+    val out = vecs.select($"id", round(ArrayOps.cosineSim($"a", $"b"), 6).as("c"))
+      .orderBy($"id").as[(Long, Double)].collect()
+    assert(out(1)._2 === 0.0)   // orthogonal
+    assert(out(2)._2 === 1.0)   // identical
+    assert(math.abs(out(0)._2 - 0.974632) < 1e-6)
+  }
+
+  test("CosineSimilarity interpreted eval agrees with codegen") {
+    val e = graft.expressions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(4.0, 5.0, 6.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    val v = e.eval(null).asInstanceOf[Double]
+    assert(math.abs(v - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+  }
+
+  test("JaccardSortedLongs matches array_intersect formulation and handles disjoint/equal") {
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L, 6L)),   // 2/6
+      (Array(1L, 2L), Array(3L, 4L)),                   // 0
+      (Array(7L, 8L, 9L), Array(7L, 8L, 9L))            // 1
+    ).toDF("a", "b")
+    val ref = {
+      val inter = size(array_intersect($"a", $"b")).cast("double")
+      inter / (size($"a") + size($"b") - inter)
+    }
+    val rows = df.select(ArrayOps.jaccardSorted($"a", $"b").as("fast"), ref.as("ref")).collect()
+    rows.foreach { case Row(fast: Double, ref: Double) => assert(fast === ref) }
+    val vals = rows.map(_.getDouble(0))
+    assert(vals(0) === 2.0 / 6.0 && vals(1) === 0.0 && vals(2) === 1.0)
+  }
+
+  test("expressions survive null inputs") {
+    val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]])).toDF("a", "b")
+    val out = df.select(ArrayOps.cosineSim($"a", $"b")).collect()
+    assert(out.head.isNullAt(0))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Brute-force top-k is the ground truth; the IVF approximate path is
+  * graded by recall against it (the oracle can't check an approximate
+  * operator, so its contract lives here).
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK: hand-checkable 2-d example") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus, corpus.filter($"vec_id" === 0), "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    // Nearest to (1,0): (0.9,0.1) then (0,1); the antipode is excluded by k.
+    assert(out.map(r => (r._2, r._3)).toSeq === Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("ivfTopK recall >= 0.8 vs brute force on sf0.001 embeddings") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 (|exact|=${exact.size})")
+  }
+
+  test("cosinePairs symmetric-free output: id_a < id_b always") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val pairs = Similarity.cosinePairs(e.limit(200), "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: distinct 3-gram word shingles; short docs collapse to whole text") {
+    val df = Seq(
+      ("a b c d"),          // 2 shingles
+      ("a b"),              // shorter than n → [text]
+      ("x y z x y z x y z") // repeated grams collapse via distinct
+    ).toDF("text")
+    val out = df.select(TextFunctions.shingles($"text", 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq("a b"))
+    assert(out(2).sorted === Seq("x y z", "y z x", "z x y").sorted)
+  }
+
+  test("jaccard on shingle sets") {
+    val df = Seq(("a b c d e", "a b c d x")).toDF("t1", "t2")
+    val j = df.select(TextFunctions.jaccard(
+      TextFunctions.shingles($"t1", 3), TextFunctions.shingles($"t2", 3)).as("j"))
+      .as[Double].head()
+    // shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: 2 common of 4 → 0.5
+    assert(j === 0.5)
+  }
+
+  test("minhash signature is deterministic and length numPerm") {
+    val df = Seq("a b c d e f g").toDF("text")
+    val sig = df.select(TextFunctions.minhashSignature(
+        TextFunctions.shingleHashes(TextFunctions.shingles($"text", 3)), 64).as("sig"))
+      .as[Seq[Long]].head()
+    assert(sig.length === 64)
+    val sig2 = df.select(TextFunctions.minhashSignature(
+        TextFunctions.shingleHashes(TextFunctions.shingles($"text", 3)), 64).as("sig"))
+      .as[Seq[Long]].head()
+    assert(sig === sig2)
+  }
+
+  test("fingerprint: polynomial rolling hash mod 1e9+7, verifiable in Scala") {
+    val s = "hello"
+    val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val got = Seq(s).toDF("text").select(TextFunctions.fingerprint("text")).as[Long].head()
+    assert(got === expected)
+  }
+
+  test("markerHits counts word-boundary matches case-insensitively") {
+    val df = Seq("The cat and THE dog, theater").toDF("text")
+    val hits = df.select(TextFunctions.markerHits($"text", Seq("the", "and")).as("h"))
+      .as[Int].head()
+    assert(hits === 3) // 'theater' must not match
+  }
+}
