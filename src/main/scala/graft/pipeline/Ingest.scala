@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.ZipFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** Local-file acquisition: zip extraction, pattern retention with
+  * quarantine, and the raw CSV scan (reference operators S2-S4,
+  * reference src/ingestion_kaggle.py:59-159 and
+  * src/pipeline_orchestrator.py:70-72). The Kaggle egress step (S1) is
+  * out of scope in this zero-egress environment — acquisition starts
+  * from a local directory of zips/CSVs.
+  */
+object Ingest {
+
+  /** Copy raw files into workDir, extract every zip (recursively — the
+    * Kaggle bundle contains nested csv.zips), then quarantine files
+    * matching no configured pattern into `_ignored/`. Returns the
+    * retained files. Idempotent: workDir is rebuilt on each call.
+    */
+  def acquire(cfg: IngestConfig): Seq[Path] = {
+    val raw = Paths.get(cfg.rawDir)
+    val work = Paths.get(cfg.workDir)
+    deleteRecursively(work)
+    Files.createDirectories(work)
+
+    Files.list(raw).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .foreach(p => Files.copy(p, work.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING))
+
+    // Extract until no unextracted zips remain (nested archives).
+    var extracted = true
+    while (extracted) {
+      extracted = false
+      Files.list(work).iterator().asScala
+        .filter(_.toString.endsWith(".zip")).toSeq
+        .foreach { z =>
+          extractZip(z, work)
+          Files.delete(z)
+          extracted = true
+        }
+    }
+
+    val (keep, ignore) = Files.list(work).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq
+      .partition(p => cfg.filePatterns.contains(p.getFileName.toString))
+    if (ignore.nonEmpty) {
+      val quarantine = work.resolve("_ignored")
+      Files.createDirectories(quarantine)
+      ignore.foreach(p => Files.move(p, quarantine.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING))
+    }
+    keep.sortBy(_.getFileName.toString)
+  }
+
+  private def extractZip(archive: Path, outDir: Path): Unit = {
+    val zf = new ZipFile(archive.toFile)
+    try zf.entries().asScala.filterNot(_.isDirectory).foreach { e =>
+      val target = outDir.resolve(Paths.get(e.getName).getFileName.toString)
+      if (!Files.exists(target)) {
+        val in = zf.getInputStream(e)
+        try Files.copy(in, target) finally in.close()
+      }
+    } finally zf.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+
+  /** Raw CSV scan: header-aware, multiline-quoted, `"`-escaped, and
+    * deliberately NOT schema-inferred — every column arrives as string
+    * and typing happens in the schema-enforcement pass (so 'NA' → null
+    * coercion is a cast semantic, not a parse option).
+    */
+  def readCsv(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(paths: _*)
+}
