@@ -1,0 +1,204 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document text kernels. These are map-side, once-per-row ops (not
+  * per-pair), so interpreted eval with tight Java loops is plenty —
+  * what they eliminate is the interpreted higher-order-function chains
+  * (transform → concat_ws → element_at → xxhash64 per shingle, 64
+  * array traversals per MinHash signature, explode + 64-column
+  * aggregate for SimHash) that dominated the dedup queries' input
+  * stages.
+  */
+
+/** Sorted distinct 64-bit shingle-hash set computed straight from the
+  * text bytes: tokenize on single spaces, hash each n-word window's
+  * byte range with xxHash64(seed=42) — bit-identical to
+  * `xxhash64(concat_ws(" ", w_i..w_{i+n-1}))` on single-spaced text, so
+  * it composes with the `functions.xxhash64`-based formulations and
+  * tests. Docs shorter than n words collapse to one whole-text hash.
+  */
+case class ShingleHashSet(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback with Serializable {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // Word start offsets (single-space separated, like split(text, ' ')).
+    var nWords = if (len == 0) 0 else 1
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == ' ') nWords += 1
+      i += 1
+    }
+    if (nWords < n) {
+      new GenericArrayData(Array(XXH64.hashUnsafeBytes(base, off, len, 42L)))
+    } else {
+      val starts = new Array[Int](nWords)
+      var w = 1; i = 0; starts(0) = 0
+      while (i < len) {
+        if (s.getByte(i) == ' ') { starts(w) = i + 1; w += 1 }
+        i += 1
+      }
+      val count = nWords - n + 1
+      val hashes = new Array[Long](count)
+      var g = 0
+      while (g < count) {
+        val from = starts(g)
+        val until = if (g + n < nWords) starts(g + n) - 1 else len
+        hashes(g) = XXH64.hashUnsafeBytes(base, off + from, until - from, 42L)
+        g += 1
+      }
+      java.util.Arrays.sort(hashes)
+      // in-place dedup of the sorted array
+      var out = 0; var k = 0
+      while (k < count) {
+        if (k == 0 || hashes(k) != hashes(k - 1)) { hashes(out) = hashes(k); out += 1 }
+        k += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a shingle-hash array: per permutation j,
+  * min over hashes of (a_j*h + b_j) with wrapping 64-bit arithmetic.
+  * One fused pass (numPerm × |hashes| multiplies, no allocation)
+  * replacing numPerm interpreted `transform`+`array_min` traversals.
+  * The (a, b) sequence is drawn from Random(seed) exactly like
+  * TextFunctions.minhashSignature, so signatures are interchangeable.
+  */
+case class MinHashSignature(child: Expression, numPerm: Int, seed: Long = 42L)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback with Serializable {
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val perms: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPerm)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val sig = new Array[Long](numPerm)
+    var j = 0
+    while (j < numPerm) {
+      val (a, b) = perms(j)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < m) {
+        val v = hs.getLong(i) * a + b
+        if (v < best) best = v
+        i += 1
+      }
+      sig(j) = best
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash from a shingle-hash array in one pass: signed bit
+  * votes per position, folded to a long. Replaces the explode +
+  * 64-column aggregate formulation — the whole fingerprint becomes a
+  * map-side projection with NO shuffle, which is the difference between
+  * one scan and an exchange of |corpus|×|shingles| rows at 100 TB.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback with Serializable {
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = hs.getLong(i)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      if (votes(k) > 0) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Polynomial rolling-hash fingerprint: acc = (acc*31 + codepoint) mod
+  * 1e9+7 over the string's characters — same recurrence as the SQL
+  * `aggregate(transform(...))` formulation and the DuckDB oracle, in one
+  * loop instead of two materialized intermediate arrays per row.
+  */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback with Serializable {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextOps {
+  private def wrap(e: Expression): Column = ColumnBridge.column(e)
+
+  def shingleHashSet(text: Column, n: Int): Column =
+    wrap(ShingleHashSet(ColumnBridge.expression(text), n))
+
+  def minhashSignature(hashes: Column, numPerm: Int): Column =
+    wrap(MinHashSignature(ColumnBridge.expression(hashes), numPerm))
+
+  def simhash64(hashes: Column): Column =
+    wrap(SimHash64(ColumnBridge.expression(hashes)))
+
+  def fingerprint(text: Column): Column =
+    wrap(RollingFingerprint(ColumnBridge.expression(text)))
+}

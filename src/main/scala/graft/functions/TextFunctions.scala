@@ -56,10 +56,11 @@ object TextFunctions {
   def markerHits(text: Column, markers: Seq[String]): Column =
     size(regexp_extract_all(lower(text), lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
 
-  /** Polynomial rolling-hash fingerprint mod 1e9+7 over codepoints.
-    * Pure SQL expression so the DuckDB oracle can replicate it exactly.
+  /** Polynomial rolling-hash fingerprint mod 1e9+7 over codepoints —
+    * same recurrence the DuckDB oracle replicates in SQL, computed by
+    * the one-pass `RollingFingerprint` kernel (the SQL-expression form
+    * materialized two intermediate arrays per row).
     */
   def fingerprint(textCol: String): Column =
-    expr(s"aggregate(transform(sequence(1, length($textCol)), i -> ascii(substr($textCol, i, 1))), " +
-      "0L, (acc, c) -> (acc * 31 + c) % 1000000007)")
+    graft.expressions.TextOps.fingerprint(col(textCol))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.expressions.ArrayOps
+import graft.expressions.{ArrayOps, TextOps}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -43,9 +43,12 @@ object Dedup {
   /** Sorted distinct 64-bit shingle-hash set for a document — the compact
     * representation all Jaccard math runs on (sorted so verification can
     * use the merge-walk `JaccardSortedLongs` codegen expression).
+    * Computed by the fused `ShingleHashSet` kernel straight from the text
+    * bytes (bit-identical to sort_array(array_distinct(
+    * xxhash64-of-shingle-strings)) on single-spaced text).
     */
   def shingleHashSet(text: Column, n: Int): Column =
-    sort_array(array_distinct(shingleHashes(shingles(text, n))))
+    TextOps.shingleHashSet(text, n)
 
   /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard over
     * the shingle-hash sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -68,7 +71,7 @@ object Dedup {
     // Narrow (id, band-key) rows only — band index is folded into the key
     // hash by bandKeys, so one column suffices.
     val keys = base.select(col("id"),
-      explode(bandKeys(minhashSignature(col("hs"), numPerm), bands, rows)).as("key"))
+      explode(bandKeys(TextOps.minhashSignature(col("hs"), numPerm), bands, rows)).as("key"))
     val cand = keys.as("a")
       .join(keys.as("b"), col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -95,8 +98,10 @@ object Dedup {
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], threshold: Double,
                           n: Int = 3, saltBuckets: Int = 16): DataFrame = {
-    val t = docs.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+ shingleHashSet(col(textCol), n).as("hs"): _*)
+    val t = docs
+      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(
+        (col(idCol).as("id") +: blockCols.map(col)) :+ shingleHashSet(col(textCol), n).as("hs"): _*)
     val a = t.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("hs").as("hs_a"): _*)
       .withColumn("salt", pmod(xxhash64(col("id_a")), lit(saltBuckets)).cast("int"))
     val b = t.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("hs").as("hs_b"): _*)
@@ -108,20 +113,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprints: explode shingle hashes once, aggregate
-    * 64 signed bit-sums per doc (one shuffle), fold into a long.
+  /** 64-bit SimHash fingerprints via the fused `SimHash64` kernel: a
+    * pure map-side projection, NO shuffle (the explode + 64-column
+    * aggregate formulation exchanged |corpus|×|shingles| rows).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(shingleHashes(shingles(col(textCol), n))).as("h"))
-    val bitSums = (0 until 64).map(k =>
-      sum(shiftright(col("h"), k).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$k"))
-    val agged = exploded.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(k =>
-      shiftleft(when(col(s"b$k") > 0, lit(1L)).otherwise(lit(0L)), k))
-      .reduce((x, y) => x.bitwiseOR(y))
-    agged.select(col(idCol), fp.as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      TextOps.simhash64(shingleHashSet(col(textCol), n)).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found via
     * 16-bit chunk pigeonhole (4 chunks ⇒ guaranteed recall for ≤ 3).

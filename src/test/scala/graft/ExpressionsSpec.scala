@@ -69,6 +69,44 @@ class ExpressionsSpec extends SparkSpec {
     assert(vals(0) === 2.0 / 6.0 && vals(1) === 0.0 && vals(2) === 1.0)
   }
 
+  test("ShingleHashSet kernel == sort_array(array_distinct(xxhash64(shingle strings)))") {
+    import graft.functions.TextFunctions
+    import graft.expressions.TextOps
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b",                    // shorter than n → whole-text hash
+      "x y z x y z x y z"       // duplicate shingles collapse
+    ).toDF("text")
+    val rows = df.select(
+      TextOps.shingleHashSet($"text", 3).as("fast"),
+      sort_array(array_distinct(TextFunctions.shingleHashes(
+        TextFunctions.shingles($"text", 3)))).as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("MinHashSignature kernel == the transform/array_min formulation") {
+    import graft.functions.TextFunctions
+    import graft.expressions.TextOps
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val hs = TextOps.shingleHashSet($"text", 3)
+    val rows = df.select(
+      TextOps.minhashSignature(hs, 64).as("fast"),
+      TextFunctions.minhashSignature(hs, 64).as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("RollingFingerprint kernel == the SQL aggregate recurrence") {
+    import graft.expressions.TextOps
+    val df = Seq("hello world", "a", "").toDF("text")
+    val sqlForm = expr(
+      "aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))), " +
+        "0L, (acc, c) -> (acc * 31 + c) % 1000000007)")
+    val rows = df.select(TextOps.fingerprint($"text").as("fast"), sqlForm.as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("expressions survive null inputs") {
     val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]])).toDF("a", "b")
     val out = df.select(ArrayOps.cosineSim($"a", $"b")).collect()
