@@ -1,0 +1,87 @@
+package graft
+
+import graft.pipeline._
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Covers the surfaces the end-to-end golden spec doesn't reach: the
+  * Derby JDBC sink (the reference's S6 JDBC surface on the offline
+  * classpath), the two distinct duplicate-counting semantics, and the
+  * batched mapPartitions multimodal path.
+  */
+class SinksAndQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JdbcSink writes and reads back through Derby (S6 parity surface)") {
+    val df = Seq((1, "a", true), (2, "b", false)).toDF("id", "name", "flag")
+    val url = "jdbc:derby:/tmp/graft_derby_test;create=true"
+    new JdbcSink(url, "org.apache.derby.jdbc.EmbeddedDriver", "overwrite")
+      .write("t_sink_spec", df)
+    val back = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "t_sink_spec")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+    assert(back.count() === 2)
+    assert(back.columns.map(_.toLowerCase).sorted === Array("flag", "id", "name"))
+  }
+
+  test("duplicate rows (total-distinct) vs duplicate groups (keys with >1 row) differ") {
+    // 3 copies of one row + 2 of another: 5 rows, 2 distinct → 3 dup rows,
+    // but 2 duplicate GROUPS — the reference exposes both numbers.
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("k", "v")
+    assert(Quality.countDuplicateRows(df) === 3L)
+    assert(Quality.countDuplicateGroups(df, Seq("k")) === 2L)
+  }
+
+  test("profile: empty-string and null both count; numeric columns never match ''") {
+    val df = Seq(
+      (Some("x"), Some(1)), (Some(""), Some(2)), (None: Option[String], None: Option[Int])
+    ).toDF("s", "n")
+    val (rows, fracs) = Quality.profile(df)
+    assert(rows === 3L)
+    val m = fracs.toMap
+    assert(math.abs(m("s") - 2.0 / 3) < 1e-9) // "" and null
+    assert(math.abs(m("n") - 1.0 / 3) < 1e-9) // only null
+  }
+
+  test("multimodal mapPartitions features agree with the SQL-expressible q35 formulation") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    val viaPartitions = Multimodal.extractFeatures(Multimodal.toMedia(docs), batchSize = 16)
+      .select($"doc_id", $"n_bytes", $"sha256_hex", round($"brightness", 6).as("brightness"))
+      .orderBy("doc_id").collect()
+    val viaSql = docs.select(
+        $"doc_id",
+        octet_length($"text").cast("long").as("n_bytes"),
+        sha2($"text".cast("binary"), 256).as("sha256_hex"),
+        round(expr(
+          "aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))), " +
+            "0L, (acc, c) -> acc + c) / cast(octet_length(text) as double)"), 6).as("brightness"))
+      .orderBy("doc_id").collect()
+    assert(viaPartitions.length === viaSql.length)
+    viaPartitions.zip(viaSql).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("schema enforcement adds missing columns as typed nulls and prunes extras") {
+    val df = Seq(("1", "x", "extra")).toDF("A", "B", "Z")
+    val (out, ok, issues) = Quality.enforceSchema(df,
+      Seq("A" -> "integer", "B" -> "string", "C" -> "double"), failOnMismatch = false)
+    assert(out.columns === Array("A", "B", "C"))
+    assert(out.schema("A").dataType.typeName === "integer")
+    assert(out.schema("C").dataType.typeName === "double")
+    assert(out.head.isNullAt(2))
+    assert(ok) // fail_on_mismatch=false ⇒ always ok (reference semantics)
+    assert(issues.exists(_.contains("Added missing column: C")))
+    assert(issues.exists(_.contains("Z")))
+  }
+
+  test("'NA' and 'TRUE' coercions via cast (the reference's load-bearing semantics)") {
+    val df = Seq(("NA", "TRUE"), ("1.5", "FALSE"), ("", "bogus")).toDF("d", "b")
+    val (out, _, _) = Quality.enforceSchema(df,
+      Seq("d" -> "double", "b" -> "boolean"), failOnMismatch = false)
+    val rows = out.collect()
+    assert(rows(0).isNullAt(0) && rows(0).getBoolean(1) === true)
+    assert(rows(1).getDouble(0) === 1.5 && rows(1).getBoolean(1) === false)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+  }
+}
