@@ -56,6 +56,24 @@ object EventQueries {
     // (rows-only; batch twin q34 is the oracle-verified equivalent).
     "q38_stream_sessions" -> ((s, dir) => EventStreams.statefulSessionCounts(s, dir)),
 
+    // Structured Streaming: sliding event-time window (each event in 2
+    // windows) — oracle is the shifted-buckets batch equivalent.
+    "q40_stream_sliding" -> ((s, dir) => EventStreams.slidingWindowCounts(s, dir)),
+
+    // Gap-based session_window aggregation (batch form of the same plan
+    // the streaming engine runs; the streaming stateful twin is q38).
+    "q41_session_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_ev"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n_ev"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // Structured Streaming: dedup with watermark-bounded state.
+    "q42_stream_dedup_watermark" -> ((s, dir) =>
+      EventStreams.dedupWithinWatermarkCounts(s, dir)),
+
     // Skew-safe two-phase (salted) aggregation — semantics equal a plain
     // GROUP BY, which is exactly what the oracle checks.
     "q39_salted_agg" -> ((s, dir) => {
@@ -103,6 +121,34 @@ object EventQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // q38_stream_sessions: intentionally no oracle (stateful streaming).
+    "q40_stream_sliding" ->
+      """WITH x AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS b, event_type, value FROM events),
+        | w AS (
+        |  SELECT b AS ws, event_type, value FROM x
+        |  UNION ALL
+        |  SELECT b - INTERVAL '1 hour' AS ws, event_type, value FROM x)
+        |SELECT ws AS window_start, event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q41_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_ev
+        |FROM numbered GROUP BY user_id, sess_no
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q42_stream_dedup_watermark" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin

@@ -51,13 +51,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // Corpus token statistics by language.
+    // Corpus token statistics by language: whitespace tokens plus a
+    // BPE-ish regex segmentation (letter runs / digit runs / single
+    // punctuation — the pre-tokenization shape BPE vocabularies use).
     "q29_token_stats" -> ((s, dir) => {
       docs(s, dir)
         .withColumn("n_tokens", size(words(col("text"))).cast("bigint"))
+        .withColumn("n_subwords",
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"),
+          sum("n_subwords").as("total_subwords"),
           round(avg("n_tokens"), 6).as("avg_tokens"),
           max("n_tokens").as("max_tokens"))
         .orderBy("lang")
@@ -98,6 +104,8 @@ object TextQueries {
     "q29_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+        |    AS total_subwords,
         |  ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
         |  CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -49,6 +49,37 @@ object EventStreams {
       .orderBy("window_start", "event_type")
   }
 
+  /** Sliding 2-hour/1-hour event-time window aggregation — each event
+    * lands in two windows; complete mode equals the shifted-buckets
+    * batch answer on bounded input.
+    */
+  def slidingWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    runToMemory(agg, OutputMode.Complete())
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Watermark-scoped streaming dedup (`dropDuplicatesWithinWatermark`):
+    * state for a key expires once the watermark passes it — the
+    * bounded-state form of streaming dedup. On bounded input drained in
+    * one batch it equals exact distinct, which the oracle checks.
+    */
+  def dedupWithinWatermarkCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = readEventsStream(spark, sfDir)
+      .select("user_id", "event_type", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+    runToMemory(deduped, OutputMode.Complete())
+      .orderBy("event_type")
+  }
+
   /** Streaming dedup on (user_id, event_type) then count per type —
     * equals COUNT(DISTINCT user_id) per type on bounded input.
     */
