@@ -1,0 +1,69 @@
+package graft
+
+import graft.expressions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's custom Catalyst
+  * expressions as SQL functions so they are usable from `spark.sql`
+  * (and from any BI/SQL surface attached to the session), not only from
+  * the Column API in `ArrayOps`/`TextOps`.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * programmatically via `GraftExtensions.register(spark)` on a live
+  * session (used by GraftSession so every engine session has them).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression)(
+      args: Seq[Expression]): Expression = {
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+    f(args)
+  }
+
+  /** (name, info, builder) for every graft SQL function. */
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity",
+      info("cosine_similarity", "cosine_similarity(a, b) - fused cosine over numeric arrays"),
+      arity("cosine_similarity", 2)(a => CosineSimilarity(a(0), a(1))) _),
+    ("jaccard_sorted",
+      info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of two sorted bigint arrays"),
+      arity("jaccard_sorted", 2)(a => JaccardSortedLongs(a(0), a(1))) _),
+    ("shingle_hash_set",
+      info("shingle_hash_set", "shingle_hash_set(text, n) - sorted distinct n-gram shingle hashes"),
+      arity("shingle_hash_set", 2) { a =>
+        ShingleHashSet(a.head, a(1).eval().asInstanceOf[Number].intValue())
+      } _),
+    ("minhash_signature",
+      info("minhash_signature", "minhash_signature(hashes, numPerm) - MinHash signature"),
+      arity("minhash_signature", 2) { a =>
+        MinHashSignature(a.head, a(1).eval().asInstanceOf[Number].intValue())
+      } _),
+    ("simhash64",
+      info("simhash64", "simhash64(hashes) - 64-bit SimHash of a hash array"),
+      arity("simhash64", 1)(a => SimHash64(a.head)) _),
+    ("rolling_fingerprint",
+      info("rolling_fingerprint", "rolling_fingerprint(text) - polynomial rolling hash mod 1e9+7"),
+      arity("rolling_fingerprint", 1)(a => RollingFingerprint(a.head)) _))
+
+  /** Register on an already-built session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    definitions.foreach { case (name, inf, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+  }
+}

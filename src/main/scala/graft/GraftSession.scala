@@ -45,6 +45,8 @@ object GraftSession {
     // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
     // read as long and convert in Tables.load (values are µs-aligned).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // graft's custom expressions as SQL functions (idempotent).
+    GraftExtensions.register(spark)
     spark
   }
 }

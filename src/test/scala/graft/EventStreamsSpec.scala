@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics the batch oracle cannot check: watermark-driven
+  * late-data drop in append mode. (The bounded-input streaming queries
+  * q36-q42 are oracle-checked against batch equivalents instead.)
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("append-mode windowed agg drops events later than the watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("ws"), $"k", $"n")
+
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_data_test").start()
+    try {
+      // Batch 1: two on-time events in the 10:00 window.
+      input.addData((ts(1), "a"), (ts(4), "a"))
+      q.processAllAvailable()
+      // Batch 2: advance event time far enough that the watermark
+      // (max 41 - 5 = 10:36) passes the 10:00 window end (10:10).
+      input.addData((ts(41), "a"))
+      q.processAllAvailable()
+      // Batch 3: a LATE event for the long-closed 10:00 window → dropped.
+      input.addData((ts(2), "a"))
+      q.processAllAvailable()
+      // Batch 4: advance watermark past the 10:40 window so it emits too.
+      input.addData((Timestamp.valueOf("2026-01-01 11:30:00"), "a"))
+      q.processAllAvailable()
+
+      val out = spark.table("late_data_test")
+        .select($"ws", $"n").as[(Timestamp, Long)].collect().toMap
+      // 10:00 window finalized with 2 — the late event did NOT bump it to 3.
+      assert(out(Timestamp.valueOf("2026-01-01 10:00:00")) === 2L)
+      assert(out(Timestamp.valueOf("2026-01-01 10:40:00")) === 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("k")
+
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ddww_test").start()
+    try {
+      input.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+      q.processAllAvailable()
+      val n1 = spark.table("ddww_test").count()
+      assert(n1 === 2L, "duplicates within one batch must collapse")
+    } finally q.stop()
+  }
+
+  test("SQL surface: graft functions registered by GraftExtensions") {
+    GraftSession.tune(spark)
+    val row = spark.sql(
+      """SELECT round(cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c,
+        |  jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  size(shingle_hash_set('a b c d', 3)) AS s,
+        |  size(minhash_signature(shingle_hash_set('a b c d', 3), 16)) AS m,
+        |  simhash64(shingle_hash_set('a b c d', 3)) AS sh,
+        |  rolling_fingerprint('hello') AS fp""".stripMargin).head()
+    assert(row.getDouble(0) === 1.0)
+    assert(row.getDouble(1) === 0.5)
+    assert(row.getInt(2) === 2)
+    assert(row.getInt(3) === 16)
+    val expectedFp = "hello".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    assert(row.getLong(5) === expectedFp)
+  }
+}
