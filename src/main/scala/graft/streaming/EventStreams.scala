@@ -28,11 +28,20 @@ object EventStreams {
   }
 
   private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
-    val name = s"graft_stream_${System.nanoTime()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    // Stateful streaming ops allocate one state store per shuffle
+    // partition at query start; for this drain-a-bounded-input pattern 8
+    // is plenty and start-up cost scales with the store count. (A real
+    // deployment sizes this to key cardinality / cluster width instead.)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val name = s"graft_stream_${System.nanoTime()}"
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Tumbling 1-hour event-time window aggregation (complete mode —
