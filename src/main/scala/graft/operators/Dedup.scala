@@ -113,6 +113,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list by iterative
+    * min-label propagation (Pregel-lite on DataFrames): every node
+    * adopts the smallest id reachable through its edges until fixpoint.
+    * Returns (doc_id, rep_id) for every node that appears in a pair;
+    * rep_id = the component minimum, i.e. the row a dedup keeps.
+    *
+    * Scale: each iteration is one self-join + min-aggregate shuffle on
+    * narrow (node, label) pairs; iteration count is the component
+    * diameter in hops (near-dup clusters are tiny — a handful of
+    * rounds). The driver-side convergence check is one count per round,
+    * not a data collect.
+    */
+  def nearDupComponents(pairs: DataFrame, aCol: String = "id_a",
+                        bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // Materialize the edge list once — every iteration (and its
+    // convergence count) re-reads it, and recomputing the upstream
+    // pair-detection pipeline per round would dominate.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min("label").as("nb_label"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.node") === col("l.node"))
+        .filter(col("u.label") =!= col("l.label"))
+        .count()
+      labels = updated.localCheckpoint(eager = true) // truncate the iterative lineage
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("rep_id"))
+  }
+
   /** 64-bit SimHash fingerprints via the fused `SimHash64` kernel: a
     * pure map-side projection, NO shuffle (the explode + 64-column
     * aggregate formulation exchanged |corpus|×|shingles| rows).

@@ -61,6 +61,13 @@ object DedupQueries {
     "q26_simhash_neardup" -> ((s, dir) => {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Near-dup clusters: LSH pairs → connected components → the
+    // representative (min id) a dedup pass would keep per cluster.
+    "q43_neardup_components" -> ((s, dir) => {
+      val pairs = Dedup.lshNearDupPairs(docs(s, dir), "doc_id", "text", threshold = 0.8)
+      Dedup.nearDupComponents(pairs).orderBy("doc_id")
     })
   )
 
@@ -90,7 +97,24 @@ object DedupQueries {
         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.lang = b.lang)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
-        |WHERE j >= 0.3 ORDER BY 1,2""".stripMargin)
+        |WHERE j >= 0.3 ORDER BY 1,2""".stripMargin),
     // q26_simhash_neardup: intentionally no oracle (engine-internal hashes).
+    "q43_neardup_components" -> (shingleCte.replace("WITH t", "WITH RECURSIVE t") +
+      """
+        |, p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |       UNION SELECT id_b, id_a FROM p),
+        | reach AS (
+        |  SELECT src AS node, dst AS peer FROM e
+        |  UNION
+        |  SELECT node, e.dst FROM reach JOIN e ON reach.peer = e.src
+        |  WHERE e.dst <> reach.node)
+        |SELECT node AS doc_id,
+        |  LEAST(node, MIN(peer)) AS rep_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)
   )
 }

@@ -81,6 +81,14 @@ class DedupSpec extends SparkSpec {
     assert(!strict.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("nearDupComponents: chains collapse to the min-id representative") {
+    // 1-2, 2-3 chain plus isolated pair 10-11: components {1,2,3}, {10,11}.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.nearDupComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("salting does not change blockedJaccardPairs results") {
     val r1 = Dedup.blockedJaccardPairs(docsDf, "doc_id", "text", Seq("lang"),
       threshold = 0.1, saltBuckets = 1).as[(Long, Long, Double)].collect().toSet
