@@ -34,6 +34,14 @@ object GraftExtensions {
     f(args)
   }
 
+  /** Plan-shaping parameters must be literals; fail with a clear message
+    * instead of eval()-ing an unresolved expression (internal error).
+    */
+  private def intLiteral(fn: String, param: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: argument '$param' must be an integer literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   /** (name, info, builder) for every graft SQL function. */
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity",
@@ -45,12 +53,12 @@ object GraftExtensions {
     ("shingle_hash_set",
       info("shingle_hash_set", "shingle_hash_set(text, n) - sorted distinct n-gram shingle hashes"),
       arity("shingle_hash_set", 2) { a =>
-        ShingleHashSet(a.head, a(1).eval().asInstanceOf[Number].intValue())
+        ShingleHashSet(a.head, intLiteral("shingle_hash_set", "n", a(1)))
       } _),
     ("minhash_signature",
       info("minhash_signature", "minhash_signature(hashes, numPerm) - MinHash signature"),
       arity("minhash_signature", 2) { a =>
-        MinHashSignature(a.head, a(1).eval().asInstanceOf[Number].intValue())
+        MinHashSignature(a.head, intLiteral("minhash_signature", "numPerm", a(1)))
       } _),
     ("simhash64",
       info("simhash64", "simhash64(hashes) - 64-bit SimHash of a hash array"),

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session factory for the graft engine.
   *
@@ -49,4 +49,12 @@ object GraftSession {
     GraftExtensions.register(spark)
     spark
   }
+
+  /** Spread a frame across the session's shuffle-partition count before
+    * expensive per-row work. The local testdata is one parquet file per
+    * table, which would otherwise pin whole stages to a single task; on
+    * a many-split cluster input this is a cheap no-op-ish exchange.
+    */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 }

@@ -47,15 +47,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName everywhere: two instances of this expression can land in
+      // ONE codegen scope (non-nullable inputs are inlined unbraced), and
+      // fixed identifiers would collide -> Janino error -> silent
+      // whole-stage fallback to interpreted execution.
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getDouble(i);
-         |  double yi = $b.getDouble(i);
-         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -92,17 +100,22 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for the same reason as CosineSimilarity above.
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       s"""
-         |int n = $a.numElements(), m = $b.numElements();
-         |int i = 0, j = 0, inter = 0;
-         |while (i < n && j < m) {
-         |  long xi = $a.getLong(i);
-         |  long yj = $b.getLong(j);
-         |  if (xi == yj) { inter++; i++; j++; }
-         |  else if (xi < yj) i++;
-         |  else j++;
+         |int $n = $a.numElements(), $m = $b.numElements();
+         |int $i = 0, $j = 0, $inter = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xi = $a.getLong($i);
+         |  long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $inter++; $i++; $j++; }
+         |  else if ($xi < $yj) $i++;
+         |  else $j++;
          |}
-         |${ev.value} = ((double) inter) / (n + m - inter);
+         |${ev.value} = ((double) $inter) / ($n + $m - $inter);
        """.stripMargin
     })
 

@@ -52,9 +52,16 @@ object TextFunctions {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Stopword-style marker hits, e.g. markerHits(c, Seq("the","a")). */
-  def markerHits(text: Column, markers: Seq[String]): Column =
+  /** Stopword-style marker hits, e.g. markerHits(c, Seq("the","a")).
+    * Markers are interpolated into a regex shared verbatim with the SQL
+    * oracles, so they must be plain words — reject anything that would
+    * change the pattern's meaning instead of silently mis-counting.
+    */
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    require(markers.nonEmpty && markers.forall(_.matches("[A-Za-z0-9_]+")),
+      s"markers must be plain \\w+ words, got: ${markers.mkString(", ")}")
     size(regexp_extract_all(lower(text), lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
+  }
 
   /** Polynomial rolling-hash fingerprint mod 1e9+7 over codepoints —
     * same recurrence the DuckDB oracle replicates in SQL, computed by

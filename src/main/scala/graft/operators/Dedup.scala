@@ -65,8 +65,7 @@ object Dedup {
     val rows = numPerm / bands
     // Repartition before shingling: a single parquet file otherwise pins
     // the (expensive) signature computation to one task.
-    val base = docs
-      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val base = graft.GraftSession.fanout(docs)
       .select(col(idCol).as("id"), shingleHashSet(col(textCol), n).as("hs"))
     // Narrow (id, band-key) rows only — band index is folded into the key
     // hash by bandKeys, so one column suffices.
@@ -98,8 +97,7 @@ object Dedup {
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], threshold: Double,
                           n: Int = 3, saltBuckets: Int = 16): DataFrame = {
-    val t = docs
-      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val t = graft.GraftSession.fanout(docs)
       .select(
         (col(idCol).as("id") +: blockCols.map(col)) :+ shingleHashSet(col(textCol), n).as("hs"): _*)
     val a = t.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("hs").as("hs_a"): _*)
@@ -155,6 +153,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupComponents did not converge in $maxIter rounds — component " +
+          "diameter exceeds maxIter; raise it (labels would be silently wrong)")
     labels.select(col("node").as("doc_id"), col("label").as("rep_id"))
   }
 

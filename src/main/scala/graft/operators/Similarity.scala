@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * top-k. Pair scoring uses the fused codegen `CosineSimilarity`
   * expression (graft.expressions) — one loop per pair, no per-pair
   * allocation — because the O(n·q) / O(n²) scoring stage is where
-  * interpreted higher-order functions die. The IVF variant prunes the
-  * corpus to the probed centroid buckets first, trading recall for a
-  * ~nlist× smaller distance computation — the standard path when the
-  * corpus side is 100 TB.
+  * interpreted higher-order functions die. The IVF variant collects the
+  * (tiny, model-parameter-sized) centroid set to the driver and assigns
+  * every corpus vector to its bucket in a map-side argmax projection —
+  * the corpus is never shuffled for assignment, only for the final
+  * bucket join.
   *
   * Corpus sides are repartitioned before scoring: the testdata is one
   * parquet file per table, which would otherwise pin the whole scoring
@@ -28,20 +29,24 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = ArrayOps.cosineSim(a, b)
 
-  private def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  private def fanout(df: DataFrame): DataFrame = graft.GraftSession.fanout(df)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors (self-match excluded). Queries are broadcast.
+    * corpus vectors. Queries are broadcast. `excludeSelf` removes
+    * id-equal matches and assumes queries and corpus SHARE an id space
+    * (the self-kNN pattern); pass false for external query sets whose
+    * ids are unrelated to the corpus.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
     val c = fanout(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
-    val scored = q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val crossed = q.crossJoin(c)
+    val scored = (if (excludeSelf) crossed.filter(col("query_id") =!= col("neighbor_id"))
+                  else crossed)
       .withColumn("sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -64,42 +69,47 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
-  /** IVF-style approximate top-k: deterministic centroids (the first
-    * `nlist` corpus vectors by id), assign every vector to its nearest
-    * centroid map-side, then search only the `nprobe` closest buckets
-    * per query. Recall is tested against bruteForceTopK in the spec.
+  /** IVF-style approximate top-k. Centroids are the first `nlist` corpus
+    * vectors by id — a deterministic stand-in for trained centroids, and
+    * like any trained model they are collected to the driver (nlist
+    * rows, a model parameter, not data). Corpus vectors are assigned to
+    * their nearest centroid in a map-side argmax (array_sort over an
+    * nlist-element literal struct array — no join, no shuffle); queries
+    * probe their `nprobe` closest buckets. Recall vs bruteForceTopK is
+    * pinned in SimilaritySpec.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).as("cent_rank"), asDouble(col(vecCol)).as("centv"))
-        .withColumn("cent_id", row_number().over(
-          Window.orderBy(col("cent_rank"))).cast("bigint"))
-        .select(col("cent_id"), col("centv")))
 
-    def nearestCentroids(df: DataFrame, vc: String, idc: String, take: Int, out: String) = {
-      val w = Window.partitionBy(col(idc)).orderBy(col("__cs").desc, col("cent_id").asc)
-      df.crossJoin(cents)
-        .withColumn("__cs", cosine(col(vc), col("centv")))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= take)
-        .withColumnRenamed("cent_id", out)
-        .drop("centv", "__cs", "__cr")
+    val centroids: Array[(Long, Array[Double])] =
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+    /** Buckets of the `take` nearest centroids, computed per row from
+      * literal centroid vectors: array of (sim, centroid_id) structs,
+      * sorted ascending by sim (struct ordering is field-by-field),
+      * reversed, sliced. Everything stays inside the projection.
+      */
+    def nearestBuckets(vec: Column, take: Int): Column = {
+      val scored = array(centroids.zipWithIndex.map { case ((_, cv), i) =>
+        struct(cosine(vec, typedlit(cv)).as("s"), lit(i.toLong).as("c"))
+      }: _*)
+      transform(slice(reverse(array_sort(scored)), 1, take), x => x.getField("c"))
     }
 
-    val c = nearestCentroids(
-      fanout(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))),
-      "cv", "neighbor_id", 1, "bucket")
-    val q = nearestCentroids(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")),
-      "qv", "query_id", nprobe, "bucket")
+    val c = fanout(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
+      .withColumn("bucket", element_at(nearestBuckets(col("cv"), 1), 1))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", explode(nearestBuckets(col("qv"), nprobe)))
 
+    val joined = broadcast(q).join(c, Seq("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    q.join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined)
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.zip.ZipFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Local-file acquisition: zip extraction, pattern retention with
   * quarantine, and the raw CSV scan (reference operators S2-S4,
@@ -25,8 +26,7 @@ object Ingest {
     deleteRecursively(work)
     Files.createDirectories(work)
 
-    Files.list(raw).iterator().asScala
-      .filter(Files.isRegularFile(_))
+    listFiles(raw)
       .foreach(p => Files.copy(p, work.resolve(p.getFileName.toString),
         StandardCopyOption.REPLACE_EXISTING))
 
@@ -34,8 +34,8 @@ object Ingest {
     var extracted = true
     while (extracted) {
       extracted = false
-      Files.list(work).iterator().asScala
-        .filter(_.toString.endsWith(".zip")).toSeq
+      listFiles(work)
+        .filter(_.toString.endsWith(".zip"))
         .foreach { z =>
           extractZip(z, work)
           Files.delete(z)
@@ -43,8 +43,7 @@ object Ingest {
         }
     }
 
-    val (keep, ignore) = Files.list(work).iterator().asScala
-      .filter(Files.isRegularFile(_)).toSeq
+    val (keep, ignore) = listFiles(work)
       .partition(p => cfg.filePatterns.contains(p.getFileName.toString))
     if (ignore.nonEmpty) {
       val quarantine = work.resolve("_ignored")
@@ -55,20 +54,36 @@ object Ingest {
     keep.sortBy(_.getFileName.toString)
   }
 
-  private def extractZip(archive: Path, outDir: Path): Unit = {
-    val zf = new ZipFile(archive.toFile)
-    try zf.entries().asScala.filterNot(_.isDirectory).foreach { e =>
-      val target = outDir.resolve(Paths.get(e.getName).getFileName.toString)
-      if (!Files.exists(target)) {
-        val in = zf.getInputStream(e)
-        try Files.copy(in, target) finally in.close()
+  /** First-written-wins for data files (features.csv legitimately exists
+    * both flat and zipped with identical content), EXCEPT nested
+    * archives colliding with an existing name: those are written under a
+    * unique `nested_` prefix so their contents are still extracted
+    * rather than silently lost.
+    */
+  private def extractZip(archive: Path, outDir: Path): Unit =
+    Using.resource(new ZipFile(archive.toFile)) { zf =>
+      zf.entries().asScala.filterNot(_.isDirectory).foreach { e =>
+        val name = Paths.get(e.getName).getFileName.toString
+        val target = outDir.resolve(name)
+        val dest =
+          if (!Files.exists(target)) Some(target)
+          else if (name.endsWith(".zip"))
+            Some(outDir.resolve(s"nested_${System.nanoTime()}_$name"))
+          else None
+        dest.foreach { t =>
+          Using.resource(zf.getInputStream(e))(in => Files.copy(in, t))
+        }
       }
-    } finally zf.close()
-  }
+    }
+
+  private def listFiles(dir: Path): Seq[Path] =
+    Using.resource(Files.list(dir))(s =>
+      s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq)
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      Using.resource(Files.walk(p))(s =>
+        s.iterator().asScala.toSeq.reverse.foreach(Files.delete))
 
   /** Raw CSV scan: header-aware, multiline-quoted, `"`-escaped, and
     * deliberately NOT schema-inferred — every column arrives as string

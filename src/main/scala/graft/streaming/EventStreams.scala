@@ -126,10 +126,12 @@ object EventStreams {
               i.getEpochSecond * 1000000L + i.getNano / 1000L
             }).sorted
           state.update(all)
-          // bounded input drains in one batch; emit the final summary
+          // bounded input drains in one batch; emit the final summary.
+          // Sentinel check, NOT `t - prev` on the seed: subtracting
+          // Long.MinValue overflows and would miss the first session.
           val sessions = all.foldLeft((0L, Long.MinValue)) {
             case ((n, prev), t) =>
-              (if (t - prev > gapMicros) n + 1 else n, t)
+              (if (prev == Long.MinValue || t - prev > gapMicros) n + 1 else n, t)
           }._1
           Iterator(SessionSummary(uid, sessions, all.size.toLong))
       }

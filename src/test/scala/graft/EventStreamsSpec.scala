@@ -66,6 +66,21 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming sessionization equals the batch window-function answer") {
+    // q38 (flatMapGroupsWithState) must agree with q34 (oracle-verified
+    // gaps-and-islands) on (user_id, n_sessions, n_events) — this is the
+    // check that caught a seed-sentinel overflow dropping every user's
+    // first session.
+    val stream = SparkEntry.queries("q38_stream_sessions")(spark, sfDir)
+      .select("user_id", "n_sessions", "n_events")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val batch = SparkEntry.queries("q34_sessionize")(spark, sfDir)
+      .select("user_id", "n_sessions", "n_events")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("SQL surface: graft functions registered by GraftExtensions") {
     GraftSession.tune(spark)
     val row = spark.sql(
