@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, RelationalQueries,
-  SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, PipelineQueries,
+  RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,9 +22,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ EventQueries.queries
+      SimilarityQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
-      SimilarityQueries.oracles ++ EventQueries.oracles
+      SimilarityQueries.oracles ++ EventQueries.oracles ++ PipelineQueries.oracles
 }
