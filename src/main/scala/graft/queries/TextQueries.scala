@@ -74,6 +74,31 @@ object TextQueries {
       docs(s, dir)
         .select(col("doc_id"), fingerprint("text").as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified train/val/test split: multiplicative-hash
+    // bucket per doc (stable across engines/runs — a sampling decision a
+    // 100 TB pipeline must be able to reproduce), stratified counts per
+    // lang prove the proportions.
+    "q45_split_assign" -> ((s, dir) => {
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+      docs(s, dir)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+        .orderBy("lang", "split")
+    }),
+
+    // Exact interpolated quantiles of document length per language.
+    "q46_length_quantiles" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+          round(expr("percentile(n_chars, 0.99)"), 6).as("p99"))
+        .orderBy("lang")
     })
   )
 
@@ -115,6 +140,21 @@ object TextQueries {
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q45_split_assign" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+        |FROM b GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q46_length_quantiles" ->
+      """SELECT lang,
+        |  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
