@@ -19,9 +19,19 @@ trait TableSink {
   def write(physicalName: String, df: DataFrame): Unit
 }
 
-final class ParquetSink(baseDir: String, mode: String) extends TableSink {
-  def write(name: String, df: DataFrame): Unit =
-    df.write.mode(mode).parquet(s"$baseDir/$name")
+/** `partitionBy` lays the table out as hive-style partition directories —
+  * the 100 TB shape: readers prune partitions from predicates on the
+  * partition columns without touching data files.
+  */
+final class ParquetSink(baseDir: String, mode: String,
+                        partitionBy: Seq[String] = Nil) extends TableSink {
+  def write(name: String, df: DataFrame): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty && partitionBy.forall(df.columns.contains))
+       w.partitionBy(partitionBy: _*)
+     else w)
+      .parquet(s"$baseDir/$name")
+  }
 }
 
 final class JdbcSink(url: String, driver: String, mode: String) extends TableSink {

@@ -1,0 +1,67 @@
+package graft
+
+/** Plan-quality regression tests: the properties that make these queries
+  * scale (broadcast joins on dims, filter pushdown into the scan,
+  * whole-stage codegen in pair scoring, narrow LSH band exchange) are
+  * asserted on the optimized plans, so a refactor that silently
+  * reintroduces a shuffle or breaks pushdown fails CI, not the bench.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  /** Plan AFTER execution — AQE stages (and their codegen spans) only
+    * materialize in the final adaptive plan.
+    */
+  private def finalPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q12 star joins stay broadcast (no sort-merge on dims)") {
+    val p = planOf("q12_star_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ:\n" + p.take(2000))
+  }
+
+  test("q19 filters are pushed into the parquet scan") {
+    val p = planOf("q19_filter_pushdown")
+    // toString elides long filter lists — assert the prefix and that the
+    // data filters made it below the scan at all.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("DataFilters: [isnotnull(l_shipdate"), p.take(2000))
+  }
+
+  test("q19 scan reads only the projected columns") {
+    val p = planOf("q19_filter_pushdown")
+    // ReadSchema must not include unprojected wide columns like l_comment.
+    assert(!p.contains("l_comment"), "column pruning broken:\n" + p.take(2000))
+  }
+
+  test("q31 pair scoring runs inside whole-stage codegen") {
+    val p = finalPlanOf("q31_cosine_topk")
+    // codegen spans are marked `*(n)` in the final adaptive plan
+    assert(p.contains("*("), p.take(2000))
+    assert(p.contains("cosine_similarity"), p.take(3000))
+  }
+
+  test("q24 candidate generation stays narrow (ids only, no shingle sets)") {
+    // The post-band-join distinct must aggregate exactly (id_a, id_b):
+    // if the shingle sets were still attached here, they would appear in
+    // the Deduplicate/Aggregate keys and every exchange after it.
+    val p = SparkEntry.queries("q24_minhash_neardup")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val dedupLines = p.linesIterator
+      .filter(l => l.contains("Aggregate [id_a") || l.contains("Deduplicate [id_a")).toSeq
+    assert(dedupLines.nonEmpty, "candidate distinct not found:\n" + p.take(3000))
+    assert(dedupLines.forall(!_.contains("hs")),
+      "candidate distinct carries shingle sets:\n" + dedupLines.mkString("\n"))
+  }
+
+  test("q01 aggregation is partial+final (map-side combine)") {
+    val p = planOf("q01_agg_returnflag")
+    assert(p.contains("partial_"), "no partial aggregation:\n" + p.take(2000))
+  }
+}

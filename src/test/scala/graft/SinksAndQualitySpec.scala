@@ -26,6 +26,21 @@ class SinksAndQualitySpec extends SparkSpec {
     assert(back.columns.map(_.toLowerCase).sorted === Array("flag", "id", "name"))
   }
 
+  test("partitioned ParquetSink lays out hive-style dirs and readers prune them") {
+    val df = Seq((2010, 1, 10.0), (2010, 2, 20.0), (2011, 1, 30.0))
+      .toDF("year", "store", "sales")
+    new ParquetSink("/tmp/graft_part_test", "overwrite", Seq("year"))
+      .write("t_part", df)
+    assert(new java.io.File("/tmp/graft_part_test/t_part/year=2010").isDirectory)
+    val back = spark.read.parquet("/tmp/graft_part_test/t_part")
+      .filter($"year" === 2011)
+    assert(back.count() === 1)
+    // partition pruning: the predicate lands in PartitionFilters, and no
+    // row-group filter is needed on data columns.
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year"), plan.take(1500))
+  }
+
   test("duplicate rows (total-distinct) vs duplicate groups (keys with >1 row) differ") {
     // 3 copies of one row + 2 of another: 5 rows, 2 distinct → 3 dup rows,
     // but 2 duplicate GROUPS — the reference exposes both numbers.
