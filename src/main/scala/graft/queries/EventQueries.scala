@@ -74,6 +74,21 @@ object EventQueries {
     "q42_stream_dedup_watermark" -> ((s, dir) =>
       EventStreams.dedupWithinWatermarkCounts(s, dir)),
 
+    // Sketch-based distinct counting: HLL sketches built per event_type
+    // AND per (event_type, month) then merged — demonstrating the
+    // mergeability that makes sketches the 100 TB path (pre-aggregate
+    // per partition/day, union later; exact countDistinct re-shuffles
+    // raw keys every time). Approximate ⇒ no SQL oracle; the ±5% error
+    // contract vs exact is pinned in SketchSpec.
+    "q47_hll_distinct" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val monthly = ev.groupBy(col("event_type"), month(col("ts")).as("m"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      monthly.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     // Skew-safe two-phase (salted) aggregation — semantics equal a plain
     // GROUP BY, which is exactly what the oracle checks.
     "q39_salted_agg" -> ((s, dir) => {
