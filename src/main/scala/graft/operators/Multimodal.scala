@@ -40,6 +40,25 @@ object Multimodal {
       if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length)
   }
 
+  /** Frame sampling over an opaque binary payload: chunk the bytes into
+    * fixed-size "frames" (stub for video/audio frame boundaries — real
+    * codecs are not in this container) and keep every `stride`-th one.
+    * Pure column expressions: sequence → transform(substring) → explode,
+    * so the UDTF-shaped op stays inside the optimizer and parallelizes
+    * per input row. Frame numbering is the position BEFORE striding.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("int")
+    media
+      .withColumn("frame_no",
+        explode(sequence(lit(0), greatest(nFrames, lit(1)) - 1)))
+      .filter(col("frame_no") % stride === 0)
+      .select(col("doc_id"), col("frame_no").cast("bigint").as("frame_no"),
+        col("payload").substr(col("frame_no") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+  }
+
   /** Batched partition-parallel feature extraction. `batchSize` mirrors
     * the arrow-batch shape a Pandas-UDF decoder would see.
     */

@@ -74,6 +74,18 @@ object EventQueries {
     "q42_stream_dedup_watermark" -> ((s, dir) =>
       EventStreams.dedupWithinWatermarkCounts(s, dir)),
 
+    // Multimodal frame sampling: chunk binary payloads into fixed-size
+    // frames, keep every 2nd (UDTF-shaped explode, fully oracle-checked
+    // on frame content via md5).
+    "q48_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.toMedia(Tables.load(s, dir, "documents")).toDF()
+      Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_no"),
+          octet_length(col("frame")).cast("bigint").as("n_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
     // Sketch-based distinct counting: HLL sketches built per event_type
     // AND per (event_type, month) then merged — demonstrating the
     // mergeability that makes sketches the 100 TB path (pre-aggregate
@@ -164,6 +176,22 @@ object EventQueries {
     "q42_stream_dedup_watermark" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_frame_sample" ->
+      // DuckDB has no BLOB slicing; the corpus is ASCII so VARCHAR
+      // chunks are byte-identical and md5 hashes the same UTF-8 bytes.
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CAST(ceil(octet_length(encode(text)) / 64.0) AS INTEGER) AS nf
+        |  FROM documents),
+        | f AS (
+        |  SELECT doc_id, CAST(x AS BIGINT) AS frame_no,
+        |    substring(text, CAST(x AS INTEGER) * 64 + 1, 64) AS frame
+        |  FROM m, UNNEST(range(GREATEST(nf, 1))) AS t(x)
+        |  WHERE x % 2 = 0)
+        |SELECT doc_id, frame_no,
+        |  CAST(octet_length(encode(frame)) AS BIGINT) AS n_bytes,
+        |  md5(frame) AS frame_md5
+        |FROM f ORDER BY 1,2""".stripMargin,
     "q39_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
