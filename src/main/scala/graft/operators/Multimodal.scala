@@ -59,6 +59,20 @@ object Multimodal {
           .as("frame"))
   }
 
+  /** Resize stub: deterministic nearest-neighbor byte subsampling by
+    * `factor` — stands in for an image resize (no codecs in this
+    * container); the Spark-side shape (map-side binary→binary transform,
+    * metadata carried alongside) is the real part.
+    */
+  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val out = r.payload.indices.collect { case i if i % factor == 0 => r.payload(i) }
+      r.copy(payload = out.toArray)
+    }
+  }
+
   /** Batched partition-parallel feature extraction. `batchSize` mirrors
     * the arrow-batch shape a Pandas-UDF decoder would see.
     */

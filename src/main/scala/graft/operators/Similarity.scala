@@ -69,6 +69,49 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Random-hyperplane LSH near-dup pairs: each vector is sketched into
+    * `bands` keys of `rowsPerBand` sign bits (sign of the dot product
+    * with a seeded Gaussian hyperplane — collision probability
+    * 1 - angle/π per bit); vectors sharing any band key become
+    * candidates, verified with exact cosine. Same narrow-candidate shape
+    * as MinHash-LSH: the band join exchanges (id, key) only. Pruning
+    * power depends on the angular gap between target pairs and the
+    * background: in a true near-dup regime (cos ≥ 0.8 targets vs ~0.2
+    * background) the bands separate sharply; when the gap is narrow
+    * (e.g. threshold 0.4 over background 0.3, as in the testdata) most
+    * pairs collide somewhere and the operator honestly degenerates
+    * toward the exact all-pairs cost. Approximate recall ⇒ rows-only
+    * check; the recall floor vs exact pairs is pinned in SimilaritySpec.
+    */
+  def rhpCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, bands: Int = 24, rowsPerBand: Int = 4,
+                     seed: Long = 7L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * rowsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
+
+    val base = fanout(corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")))
+    def bandKey(b: Int): Column = {
+      val bits = (0 until rowsPerBand).map { r =>
+        val plane = typedlit(planes(b * rowsPerBand + r))
+        shiftleft(when(cosine(col("v"), plane) >= 0, 1L).otherwise(0L), r)
+      }
+      xxhash64(lit(b), bits.reduce(_.bitwiseOR(_)))
+    }
+    val keys = base.select(col("id"),
+      explode(array((0 until bands).map(bandKey): _*)).as("key"))
+    val cand = keys.as("a")
+      .join(keys.as("b"), col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF-style approximate top-k. Centroids are the first `nlist` corpus
     * vectors by id — a deterministic stand-in for trained centroids, and
     * like any trained model they are collected to the driver (nlist

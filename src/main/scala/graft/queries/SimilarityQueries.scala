@@ -39,6 +39,14 @@ object SimilarityQueries {
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
         .withColumnRenamed("rank", "rnk")
         .orderBy("query_id", "rnk")
+    }),
+
+    // Random-hyperplane LSH near-dup pairs (the bucketed scale path for
+    // q32's exact all-pairs) — approximate recall, so rows-only check;
+    // the recall floor vs q32 is pinned in SimilaritySpec.
+    "q49_rhp_pairs" -> ((s, dir) => {
+      Similarity.rhpCosinePairs(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")
     })
   )
 

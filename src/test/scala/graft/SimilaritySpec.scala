@@ -32,6 +32,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8 (|exact|=${exact.size})")
   }
 
+  test("RHP-LSH pairs: recall >= 0.9 vs exact pairs, precision 1.0 (verified)") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.rhpCosinePairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert((lsh -- exact).isEmpty, "verification must kill false positives")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"RHP recall $recall < 0.9 (|exact|=${exact.size})")
+  }
+
+  test("resizeStub subsamples payload bytes deterministically") {
+    val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
+    val resized = graft.operators.Multimodal.resizeStub(
+      graft.operators.Multimodal.toMedia(docs), factor = 2).collect()
+    assert(resized.head.payload.map(_.toChar).mkString === "aceg")
+  }
+
   test("cosinePairs symmetric-free output: id_a < id_b always") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val pairs = Similarity.cosinePairs(e.limit(200), "vec_id", "embedding", 0.3)
