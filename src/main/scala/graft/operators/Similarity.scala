@@ -69,6 +69,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Brute-force top-k via the bounded `TopKAggregator` instead of a
+    * window: partial top-k heaps merge map-side, so the exchange moves
+    * k rows per (query, partition) rather than every scored pair —
+    * at 1000 executors that is the difference between shuffling k·P
+    * rows and shuffling the whole n·q score matrix. Output is identical
+    * to bruteForceTopK (same ordering contract), so it shares the
+    * oracle.
+    */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+    val c = fanout(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("entry._1").as("neighbor_id"),
+        round(col("entry._2"), 6).as("sim"))
+  }
+
   /** Random-hyperplane LSH near-dup pairs: each vector is sketched into
     * `bands` keys of `rowsPerBand` sign bits (sign of the dot product
     * with a seeded Gaussian hyperplane — collision probability

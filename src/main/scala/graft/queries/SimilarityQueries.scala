@@ -41,6 +41,17 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Same top-k semantics as q31 but via the bounded TopKAggregator
+    // (map-side partial heaps, k rows shuffled per group-partition
+    // instead of the full score matrix) — shares q31's oracle shape.
+    "q50_topk_aggregator" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopKAgg(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
     // Random-hyperplane LSH near-dup pairs (the bucketed scale path for
     // q32's exact all-pairs) — approximate recall, so rows-only check;
     // the recall floor vs q32 is pinned in SimilaritySpec.
@@ -70,7 +81,20 @@ object SimilarityQueries {
         |        list_cosine_similarity(a.v, b.v) AS sim
         |       FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(sim, 6) AS sim
-        |FROM p WHERE sim >= 0.4 ORDER BY 1,2""".stripMargin
-    // q33_ivf_ann: intentionally no oracle (approximate operator).
+        |FROM p WHERE sim >= 0.4 ORDER BY 1,2""".stripMargin,
+    // q33_ivf_ann, q49_rhp_pairs: intentionally no oracle (approximate).
+    "q50_topk_aggregator" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |       FROM embeddings),
+        | s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+        |       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        | r AS (SELECT query_id, neighbor_id, sim,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |       FROM s)
+        |SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   )
 }

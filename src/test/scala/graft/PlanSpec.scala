@@ -60,6 +60,12 @@ class PlanSpec extends SparkSpec {
       "candidate distinct carries shingle sets:\n" + dedupLines.mkString("\n"))
   }
 
+  test("q50 top-k aggregator merges partial heaps map-side") {
+    val p = planOf("q50_topk_aggregator").toLowerCase
+    assert(p.contains("partial_topkaggregator"),
+      "no partial top-k aggregation:\n" + p.take(2000))
+  }
+
   test("q01 aggregation is partial+final (map-side combine)") {
     val p = planOf("q01_agg_returnflag")
     assert(p.contains("partial_"), "no partial aggregation:\n" + p.take(2000))
