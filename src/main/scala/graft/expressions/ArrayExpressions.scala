@@ -32,6 +32,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  override def foldable: Boolean = children.forall(_.foldable)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -83,6 +84,7 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
+  override def foldable: Boolean = children.forall(_.foldable)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.TopKAggregator
+import scala.util.Random
+
+/** Property-style contracts for the custom kernels and the top-k
+  * aggregator, over seeded random inputs (deterministic — no flake):
+  * the expressions must agree with straightforward Scala reference
+  * implementations, and the aggregator must satisfy the algebraic laws
+  * partial aggregation relies on (zero identity, split-invariance).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(20260812L)
+  private val trials = 60
+
+  test("JaccardSortedLongs == set-based Jaccard on arbitrary sorted sets") {
+    val cases = Seq.fill(trials) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextLong() % 1000).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextLong() % 1000).distinct.sorted
+      (a, b)
+    }.filter { case (a, b) => a.nonEmpty || b.nonEmpty }
+    val got = cases.toDF("a", "b")
+      .select(graft.expressions.ArrayOps.jaccardSorted($"a", $"b"))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), g) =>
+      val inter = (a.toSet & b.toSet).size
+      assert(g === inter.toDouble / (a.size + b.size - inter), s"a=$a b=$b")
+    }
+  }
+
+  test("CosineSimilarity == reference fold on arbitrary vectors") {
+    val cases = Seq.fill(trials) {
+      val n = 1 + rnd.nextInt(32)
+      (Seq.fill(n)(rnd.nextDouble() * 20 - 10), Seq.fill(n)(rnd.nextDouble() * 20 - 10))
+    }
+    val got = cases.toDF("a", "b")
+      .select(graft.expressions.ArrayOps.cosineSim($"a", $"b"))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), g) =>
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val expected = dot /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(g - expected) < 1e-9)
+    }
+  }
+
+  test("ShingleHashSet: sorted, distinct, count bounded by words-n+1") {
+    val vocab = Array("alpha", "beta", "gamma", "delta", "ep")
+    val cases = Seq.fill(trials) {
+      Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val got = cases.toDF("text")
+      .select(graft.expressions.TextOps.shingleHashSet($"text", 3).as("h"))
+      .as[Seq[Long]].collect()
+    cases.zip(got).foreach { case (text, out) =>
+      val bound = math.max(1, text.split(" ").length - 2)
+      assert(out.nonEmpty && out.length <= bound, s"text=$text")
+      assert(out === out.sorted && out.distinct.length === out.length)
+    }
+  }
+
+  test("TopKAggregator laws: zero identity, split-invariance, true top-k") {
+    val agg = new TopKAggregator(5)
+    (1 to trials).foreach { _ =>
+      val xs = Seq.fill(rnd.nextInt(60))((rnd.nextLong() % 50, rnd.nextDouble() * 10 - 5))
+      val all = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(all, agg.zero) === all && agg.merge(agg.zero, all) === all)
+      val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else rnd.nextInt(xs.length + 1))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged === all)
+      val expected = xs.map { case (id, s) => (s, id) }
+        .sortBy { case (s, id) => (-s, id) }.take(5)
+      assert(all === expected)
+    }
+  }
+
+  test("expression constant-folding: literal inputs fold at plan time") {
+    val df = spark.range(1)
+      .select(graft.expressions.ArrayOps.jaccardSorted(
+        org.apache.spark.sql.functions.typedlit(Seq(1L, 2L)),
+        org.apache.spark.sql.functions.typedlit(Seq(2L, 3L))).as("j"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("0.3333333333333333"), plan)
+  }
+}
