@@ -88,12 +88,20 @@ object Quality {
   def run(df: DataFrame, key: String, spec: DatasetSpec,
           cfg: QualityConfig): (DataFrame, QualityReport) = {
     val (typed0, schemaOk, schemaIssues) = enforceSchema(df, spec.schema, cfg.failOnSchemaMismatch)
+    // Cache BEFORE the QC actions: profile, duplicate check, and the
+    // final count otherwise each re-parse the CSV (the reference cached
+    // after dedup and paid three extra scans per dataset).
+    typed0.cache()
     val (rows0, fracs) = profile(typed0)
     val dupCount = rows0 - typed0.distinct().count()
 
     val typed =
-      if (dupCount > 0 && cfg.dropDuplicates) typed0.dropDuplicates()
-      else typed0
+      if (dupCount > 0 && cfg.dropDuplicates) {
+        val deduped = typed0.dropDuplicates()
+        deduped.cache()
+        typed0.unpersist()
+        deduped
+      } else typed0
 
     val nullIssues = fracs.collect {
       case (c, f) if f > cfg.maxNullFraction =>
