@@ -47,6 +47,9 @@ object GraftExtensions {
     ("cosine_similarity",
       info("cosine_similarity", "cosine_similarity(a, b) - fused cosine over numeric arrays"),
       arity("cosine_similarity", 2)(a => CosineSimilarity(a(0), a(1))) _),
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - dot product of numeric arrays"),
+      arity("dot_product", 2)(a => DotProduct(a(0), a(1))) _),
     ("jaccard_sorted",
       info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of two sorted bigint arrays"),
       arity("jaccard_sorted", 2)(a => JaccardSortedLongs(a(0), a(1))) _),

@@ -73,6 +73,46 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Plain dot product of two double arrays — for uses that only need the
+  * projection (e.g. hyperplane sign tests), where cosine's two norms
+  * and sqrt/divide are wasted work.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Jaccard similarity |∩|/|∪| of two SORTED-ascending distinct long
   * arrays via a merge walk — no hash set, no intermediate array, O(n+m)
   * per pair. Callers must pre-sort with `sort_array` (done once per input
@@ -133,6 +173,9 @@ object ArrayOps {
 
   /** Fused cosine similarity; accepts array<float> or array<double>. */
   def cosineSim(a: Column, b: Column): Column = expr2(CosineSimilarity)(a, b)
+
+  /** Plain dot product (no norms). */
+  def dot(a: Column, b: Column): Column = expr2(DotProduct)(a, b)
 
   /** Jaccard of two sorted-ascending long arrays. */
   def jaccardSorted(a: Column, b: Column): Column = expr2(JaccardSortedLongs)(a, b)

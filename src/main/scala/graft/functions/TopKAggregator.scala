@@ -16,8 +16,13 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double), List[(Double, Long)], Seq[(Long, Double)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java.lang.Double.compare gives a TOTAL order (NaN greatest, -0<0),
+  // matching Spark's sort ordering for `sim DESC` — a plain `>` would
+  // make NaN insertion-order-dependent and break the merge laws.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] = {
     val (pre, post) = buf.span(better(_, v))

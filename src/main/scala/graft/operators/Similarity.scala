@@ -78,13 +78,15 @@ object Similarity {
     * oracle.
     */
   def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
-                        idCol: String, vecCol: String, k: Int): DataFrame = {
+                        idCol: String, vecCol: String, k: Int,
+                        excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
     val c = fanout(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
     val topk = udaf(new graft.functions.TopKAggregator(k))
-    q.crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val crossed = q.crossJoin(c)
+    (if (excludeSelf) crossed.filter(col("query_id") =!= col("neighbor_id"))
+     else crossed)
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("sim")).as("top"))
@@ -119,7 +121,8 @@ object Similarity {
     def bandKey(b: Int): Column = {
       val bits = (0 until rowsPerBand).map { r =>
         val plane = typedlit(planes(b * rowsPerBand + r))
-        shiftleft(when(cosine(col("v"), plane) >= 0, 1L).otherwise(0L), r)
+        // sign(dot) == sign(cosine): skip the norms on the sketch path
+        shiftleft(when(ArrayOps.dot(col("v"), plane) >= 0, 1L).otherwise(0L), r)
       }
       xxhash64(lit(b), bits.reduce(_.bitwiseOR(_)))
     }

@@ -28,7 +28,8 @@ final case class SinkConfig(
     jdbcUrl: String,
     jdbcDriver: String,
     mode: String,
-    tables: Seq[(String, String)])   // logical -> physical table name
+    tables: Seq[(String, String)],   // logical -> physical table name
+    partitionBy: Seq[String] = Nil)  // optional hive-style layout columns
 
 final case class PipelineConfig(
     appName: String,
@@ -81,6 +82,9 @@ object PipelineConfig {
         jdbcUrl = String.valueOf(s.get("jdbc_url")),
         jdbcDriver = String.valueOf(s.get("jdbc_driver")),
         mode = String.valueOf(s.get("mode")),
-        tables = orderedStrings(s.get("tables").asInstanceOf[JMap[String, AnyRef]])))
+        tables = orderedStrings(s.get("tables").asInstanceOf[JMap[String, AnyRef]]),
+        partitionBy = Option(s.get("partition_by"))
+          .map(_.asInstanceOf[JList[AnyRef]].asScala.toSeq.map(String.valueOf))
+          .getOrElse(Nil)))
   }
 }

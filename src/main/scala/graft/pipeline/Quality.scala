@@ -95,22 +95,23 @@ object Quality {
     val (rows0, fracs) = profile(typed0)
     val dupCount = rows0 - typed0.distinct().count()
 
-    val typed =
+    // On dedup: materialize the replacement's cache BEFORE releasing the
+    // parent, or the later count would recompute from the raw source.
+    val (typed, rowCount) =
       if (dupCount > 0 && cfg.dropDuplicates) {
         val deduped = typed0.dropDuplicates()
         deduped.cache()
+        val n = deduped.count()
         typed0.unpersist()
-        deduped
-      } else typed0
+        (deduped, n)
+      } else (typed0, rows0)
 
     val nullIssues = fracs.collect {
       case (c, f) if f > cfg.maxNullFraction =>
         f"High null fraction in $c: ${f * 100}%.2f%%"
     }
 
-    typed.cache()
     typed.createOrReplaceTempView(s"typed_$key")
-    val rowCount = if (dupCount > 0 && cfg.dropDuplicates) typed.count() else rows0
 
     (typed, QualityReport(key, schemaOk, fracs, dupCount, rowCount,
       schemaIssues ++ nullIssues))

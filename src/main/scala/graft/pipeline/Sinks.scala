@@ -27,9 +27,9 @@ final class ParquetSink(baseDir: String, mode: String,
                         partitionBy: Seq[String] = Nil) extends TableSink {
   def write(name: String, df: DataFrame): Unit = {
     val w = df.write.mode(mode)
-    (if (partitionBy.nonEmpty && partitionBy.forall(df.columns.contains))
-       w.partitionBy(partitionBy: _*)
-     else w)
+    // No existence pre-check: a misconfigured partition column must fail
+    // loudly (AnalysisException naming it), not silently write flat.
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$baseDir/$name")
   }
 }
@@ -47,6 +47,6 @@ final class JdbcSink(url: String, driver: String, mode: String) extends TableSin
 object TableSink {
   def from(cfg: SinkConfig): TableSink = cfg.format match {
     case "jdbc" => new JdbcSink(cfg.jdbcUrl, cfg.jdbcDriver, cfg.mode)
-    case _ => new ParquetSink(cfg.path, cfg.mode)
+    case _ => new ParquetSink(cfg.path, cfg.mode, cfg.partitionBy)
   }
 }

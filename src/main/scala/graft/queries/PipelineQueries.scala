@@ -18,7 +18,13 @@ object PipelineQueries {
   import RelationalQueries.Q
 
   /** Deterministic work dir — the oracle SQL reads the extracted CSVs
-    * from here, so it must be stable across Verify and the oracle run.
+    * from here, so it must be stable across Verify and the oracle run,
+    * and the Spark query must run first (Verify does run queries before
+    * the oracles execute). Known blind spot: the oracle aggregates the
+    * raw CSVs without the quality gate's dropDuplicates — equivalent
+    * today because the retail CSVs contain no full-row duplicates; a
+    * dedup-affecting change would surface in RetailPipelineSpec's
+    * goldens instead.
     */
   private val workDir = "/tmp/graft_retail_q44"
 
