@@ -271,6 +271,49 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // PIVOT: one column per pivoted key value (explicit value list keeps
+    // the schema static — the scale-safe form; inferring values needs an
+    // extra pass).
+    "q51_pivot_status" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0.0)).as("f_total"),
+          coalesce(col("O"), lit(0.0)).as("o_total"),
+          coalesce(col("P"), lit(0.0)).as("p_total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // CUBE grouping sets (all 4 combinations) with grouping flags.
+    "q52_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("bigint").as("g"),
+          round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+        .select(col("g"), col("o_orderstatus"), col("o_orderpriority"),
+          col("total"), col("n"))
+        .orderBy(col("g"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // The SQL surface end-to-end: temp view + spark.sql text using the
+    // GraftExtensions-registered kernel functions — proves the SQL path
+    // (parser → our FunctionRegistry entries → codegen) under the same
+    // oracle gate as the Column API.
+    "q53_sql_surface" -> ((s, dir) => {
+      graft.GraftSession.tune(s)
+      Tables.load(s, dir, "documents").createOrReplaceTempView("docs_v")
+      s.sql(
+        """SELECT doc_id,
+          |  rolling_fingerprint(text) AS fp,
+          |  size(shingle_hash_set(text, 3)) AS n_shingles
+          |FROM docs_v ORDER BY doc_id""".stripMargin)
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS).
     "q21_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -399,6 +442,34 @@ object RelationalQueries {
       """SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
         | ROUND(AVG(CAST(props->>'$.k' AS INT)),6) AS avg_k, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q51_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS f_total,
+        |  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS o_total,
+        |  COALESCE(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS p_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_cube" ->
+      """SELECT CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS g,
+        | o_orderstatus, o_orderpriority,
+        | ROUND(SUM(o_totalprice),2) AS total, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q53_sql_surface" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+        |    (SELECT CASE WHEN len(w) >= 3
+        |        THEN len(list_distinct(list_transform(range(len(w)-2),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])))
+        |        ELSE 1 END
+        |     FROM (SELECT string_split(text, ' ') AS w)) AS n_shingles
+        |  FROM documents)
+        |SELECT doc_id, fp, CAST(n_shingles AS INTEGER) AS n_shingles
+        |FROM sh ORDER BY doc_id""".stripMargin,
     "q21_semi_anti" ->
       """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000.0)
         |SELECT 'has_big_order' AS tag, c_custkey FROM customer
