@@ -15,11 +15,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = GraftSession.get("graft-bench")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def run(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     // Untimed warm-up: exercises scan + shuffle + codegen paths once so
@@ -29,15 +31,23 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> run(fn)
+    // Optional positional args = query-name prefixes, for iterating on a
+    // subset locally; the driver passes none and measures everything.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      args.isEmpty || args.exists(name.startsWith)
     }
+    val results = selected.map { case (name, fn) => (name, run(name, fn)) }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Failed queries still report elapsed time but are named in `errors`
+    // so a fast failure can't masquerade as a fast query.
+    val errors = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2._1).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(!_._2._2)) sys.exit(1)
   }
 }

@@ -68,7 +68,15 @@ object GraftExtensions {
       arity("simhash64", 1)(a => SimHash64(a.head)) _),
     ("rolling_fingerprint",
       info("rolling_fingerprint", "rolling_fingerprint(text) - polynomial rolling hash mod 1e9+7"),
-      arity("rolling_fingerprint", 1)(a => RollingFingerprint(a.head)) _))
+      arity("rolling_fingerprint", 1)(a => RollingFingerprint(a.head)) _),
+    ("marker_hits",
+      info("marker_hits",
+        "marker_hits(text, 'w1,w2;w3,w4') - per-set counts of whole-word marker matches, one text scan"),
+      arity("marker_hits", 2) { a =>
+        require(a(1).foldable, "marker_hits: argument 'markers' must be a string literal")
+        val spec = a(1).eval().toString
+        MarkerHits(a.head, spec.split(';').toSeq.map(_.split(',').toSeq.map(_.trim)))
+      } _))
 
   /** Register on an already-built session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

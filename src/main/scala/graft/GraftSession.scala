@@ -51,10 +51,16 @@ object GraftSession {
   }
 
   /** Spread a frame across the session's shuffle-partition count before
-    * expensive per-row work. The local testdata is one parquet file per
-    * table, which would otherwise pin whole stages to a single task; on
-    * a many-split cluster input this is a cheap no-op-ish exchange.
+    * expensive per-row work — but ONLY when the input is actually
+    * under-split. The local testdata is one parquet file per table,
+    * which would otherwise pin whole stages to a single task; a cluster
+    * input that already has >= target partitions keeps its layout and
+    * pays NO exchange (an unconditional repartition() would round-trip
+    * the whole corpus through the shuffle for nothing).
     */
-  def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  def fanout(df: DataFrame): DataFrame = {
+    val target =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

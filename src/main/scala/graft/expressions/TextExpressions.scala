@@ -159,6 +159,93 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Single-pass marker-word counter for N marker sets at once. Returns
+  * `array<bigint>` with one count per set: the number of maximal
+  * \w-runs ([A-Za-z0-9_]+, ASCII — the default \b alphabet of both the
+  * JVM and RE2 regex engines) in `lower(text)` that exactly equal a
+  * marker. For plain lowercase \w+ markers this is exactly
+  * `size(regexp_extract_all(lower(text), '\b(m1|m2|…)\b', 0))`: the
+  * trailing \b forces every alternation match to cover a full word-run,
+  * so counting run-equality and counting non-overlapping regex matches
+  * coincide. Replaces one interpreted alternation-regex scan PER SET
+  * (4 full regex passes per document in language-ID) with a single
+  * tight byte loop — this was 22% of the round-1 bench on its own.
+  */
+case class MarkerHits(child: Expression, markerSets: Seq[Seq[String]])
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback with Serializable {
+
+  require(markerSets.nonEmpty && markerSets.forall(_.nonEmpty) &&
+    markerSets.flatten.forall(_.matches("[a-z0-9_]+")),
+    s"markers must be non-empty plain lowercase \\w+ words, got: " +
+      markerSets.map(_.mkString(",")).mkString("; "))
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "marker_hits"
+
+  @transient private lazy val maxLen: Int = markerSets.flatten.map(_.length).max
+
+  /** Markers bucketed by byte length; each entry is (utf8 bytes, the set
+    * indices to credit on a hit). Duplicated words across sets share one
+    * entry so each run is compared at most once per candidate.
+    */
+  @transient private lazy val byLen: Array[Array[(Array[Byte], Array[Int])]] = {
+    val grouped = markerSets.zipWithIndex
+      .flatMap { case (set, si) => set.distinct.map(w => (w, si)) }
+      .groupBy(_._1)
+      .map { case (w, ps) => (w.getBytes("UTF-8"), ps.map(_._2).distinct.sorted.toArray) }
+      .toSeq
+    val out = Array.fill(maxLen + 1)(Array.empty[(Array[Byte], Array[Int])])
+    grouped.groupBy(_._1.length).foreach { case (l, ms) => out(l) = ms.toArray }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase
+    val len = s.numBytes()
+    val counts = new Array[Long](markerSets.length)
+    var i = 0
+    var runStart = -1
+    while (i <= len) {
+      val isWord = i < len && {
+        val b = s.getByte(i)
+        (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') ||
+          (b >= 'A' && b <= 'Z') || b == '_'
+      }
+      if (isWord) {
+        if (runStart < 0) runStart = i
+      } else if (runStart >= 0) {
+        val runLen = i - runStart
+        if (runLen <= maxLen) {
+          val cands = byLen(runLen)
+          var c = 0
+          while (c < cands.length) {
+            val mb = cands(c)._1
+            var k = 0
+            var ok = true
+            while (ok && k < runLen) {
+              if (s.getByte(runStart + k) != mb(k)) ok = false
+              k += 1
+            }
+            if (ok) {
+              val idxs = cands(c)._2
+              var j = 0
+              while (j < idxs.length) { counts(idxs(j)) += 1; j += 1 }
+              c = cands.length // a run equals at most one marker word
+            } else c += 1
+          }
+        }
+        runStart = -1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling-hash fingerprint: acc = (acc*31 + codepoint) mod
   * 1e9+7 over the string's characters — same recurrence as the SQL
   * `aggregate(transform(...))` formulation and the DuckDB oracle, in one
@@ -198,6 +285,9 @@ object TextOps {
 
   def simhash64(hashes: Column): Column =
     wrap(SimHash64(ColumnBridge.expression(hashes)))
+
+  def markerHits(text: Column, markerSets: Seq[Seq[String]]): Column =
+    wrap(MarkerHits(ColumnBridge.expression(text), markerSets))
 
   def fingerprint(text: Column): Column =
     wrap(RollingFingerprint(ColumnBridge.expression(text)))

@@ -53,15 +53,22 @@ object TextFunctions {
   }
 
   /** Stopword-style marker hits, e.g. markerHits(c, Seq("the","a")).
-    * Markers are interpolated into a regex shared verbatim with the SQL
-    * oracles, so they must be plain words — reject anything that would
-    * change the pattern's meaning instead of silently mis-counting.
+    * Semantics are those of the SQL oracles'
+    * `len(regexp_extract_all(lower(text), '\b(m1|m2|…)\b'))`, but
+    * computed by the one-pass `MarkerHits` byte kernel — the regex
+    * alternation form re-scanned every document once per marker set
+    * with interpreted regex machinery (22% of the round-1 bench).
+    * Markers must be plain lowercase \w+ words (the kernel enforces it)
+    * so run-equality and regex-match counting coincide.
     */
-  def markerHits(text: Column, markers: Seq[String]): Column = {
-    require(markers.nonEmpty && markers.forall(_.matches("[A-Za-z0-9_]+")),
-      s"markers must be plain \\w+ words, got: ${markers.mkString(", ")}")
-    size(regexp_extract_all(lower(text), lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
-  }
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    element_at(graft.expressions.TextOps.markerHits(text, Seq(markers)), 1)
+
+  /** All marker sets counted in ONE scan of the text: array<bigint>
+    * with one count per set, for multi-language scoring.
+    */
+  def markerHitsAll(text: Column, markerSets: Seq[Seq[String]]): Column =
+    graft.expressions.TextOps.markerHits(text, markerSets)
 
   /** Polynomial rolling-hash fingerprint mod 1e9+7 over codepoints —
     * same recurrence the DuckDB oracle replicates in SQL, computed by

@@ -57,12 +57,25 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
-  /** All corpus pairs with cosine ≥ threshold (embedding near-dup). */
+  /** All corpus pairs with cosine ≥ threshold (embedding near-dup),
+    * EXACT — so inherently O(n²) compute. The join is a
+    * shuffle-replicated nested loop (CartesianProduct): both sides stay
+    * partitioned and stream, so no executor or the driver ever holds the
+    * whole corpus (the previous formulation broadcast it). Because the
+    * quadratic cost itself cannot be pruned exactly, the operator
+    * refuses loudly above `maxRows` instead of melting a cluster —
+    * `rhpCosinePairs` is the approximate scale path past that.
+    */
   def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double, maxRows: Long = 2000000L): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"cosinePairs is EXACT all-pairs: O(n²) = ${n}² comparisons exceeds the " +
+        s"maxRows=$maxRows guard. Use Similarity.rhpCosinePairs (LSH candidates " +
+        "+ exact verify) for corpora this large, or raise maxRows deliberately.")
     val a = fanout(corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va")))
     val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
-    a.crossJoin(broadcast(b))
+    a.hint("shuffle_replicate_nl").crossJoin(b.hint("shuffle_replicate_nl"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
@@ -140,25 +153,109 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
-  /** IVF-style approximate top-k. Centroids are the first `nlist` corpus
-    * vectors by id — a deterministic stand-in for trained centroids, and
-    * like any trained model they are collected to the driver (nlist
-    * rows, a model parameter, not data). Corpus vectors are assigned to
-    * their nearest centroid in a map-side argmax (array_sort over an
+  /** Spherical k-means centroids trained driver-side on a bounded,
+    * deterministic sample (order by xxhash64(id), take `sampleSize`) —
+    * the sample and the resulting nlist×dim model are model parameters,
+    * not data, so collecting them is the same move every ANN library
+    * makes; the corpus itself is never collected or shuffled. k-means++
+    * seeding + `iters` Lloyd rounds on unit vectors (cosine ⇔ dot);
+    * an emptied cluster keeps its previous centroid.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, sampleSize: Int = 4096, iters: Int = 5,
+                        seed: Long = 11L): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      val inv = if (ss > 0) 1.0 / math.sqrt(ss) else 0.0
+      v.map(_ * inv)
+    }
+    val sample: Array[Array[Double]] =
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .orderBy(xxhash64(col("id")))
+        .limit(sampleSize)
+        .collect()
+        .map(r => normalize(r.getSeq[Double](1).toArray))
+    require(sample.length >= nlist,
+      s"IVF training needs at least nlist=$nlist vectors, corpus sample has ${sample.length}")
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    // k-means++ on the unit sphere: D(x) = 1 - maxdot (angular distance proxy).
+    val centroids = Array.ofDim[Array[Double]](nlist)
+    centroids(0) = sample(rnd.nextInt(sample.length))
+    val bestSim = Array.fill(sample.length)(-1.0)
+    var c = 1
+    while (c < nlist) {
+      var i = 0
+      while (i < sample.length) {
+        val d = dot(sample(i), centroids(c - 1))
+        if (d > bestSim(i)) bestSim(i) = d
+        i += 1
+      }
+      val weights = bestSim.map(s => math.max(1e-12, 1.0 - s))
+      val total = weights.sum
+      var pick = rnd.nextDouble() * total
+      var j = 0
+      while (j < weights.length - 1 && pick > weights(j)) { pick -= weights(j); j += 1 }
+      centroids(c) = sample(j)
+      c += 1
+    }
+    // Lloyd rounds: assign to argmax dot, mean, renormalize.
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](nlist)
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bs = dot(sample(i), centroids(0))
+        var cc = 1
+        while (cc < nlist) {
+          val s = dot(sample(i), centroids(cc))
+          if (s > bs) { bs = s; best = cc }
+          cc += 1
+        }
+        val acc = sums(best)
+        var d = 0
+        while (d < acc.length) { acc(d) += sample(i)(d); d += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var cc = 0
+      while (cc < nlist) {
+        if (counts(cc) > 0) centroids(cc) = normalize(sums(cc))
+        cc += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF-style approximate top-k. Centroids are spherical-k-means
+    * trained on a bounded deterministic sample (`trainIvfCentroids`) and
+    * collected to the driver (nlist rows — a model parameter, not
+    * data). Corpus vectors are multi-assigned to their `nassign`
+    * nearest centroids in a map-side argmax (array_sort over an
     * nlist-element literal struct array — no join, no shuffle); queries
-    * probe their `nprobe` closest buckets. Recall vs bruteForceTopK is
-    * pinned in SimilaritySpec.
+    * probe their `nprobe` closest buckets. Multi-assignment is the
+    * standard redundant-indexing move for boundary vectors: it costs
+    * nassign× index size but rescues neighbors that fall just across a
+    * Voronoi edge — on clustered data nassign=1 suffices; the isotropic
+    * synthetic testdata is the adversarial case and needs 3. Recall vs
+    * bruteForceTopK is pinned in SimilaritySpec.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              excludeSelf: Boolean = true): DataFrame = {
+              nassign: Int = 3, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     val centroids: Array[(Long, Array[Double])] =
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).cast("long"), asDouble(col(vecCol)))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      trainIvfCentroids(corpus, idCol, vecCol, nlist, iters = 10)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
 
     /** Buckets of the `take` nearest centroids, computed per row from
       * literal centroid vectors: array of (sim, centroid_id) structs,
@@ -173,15 +270,20 @@ object Similarity {
     }
 
     val c = fanout(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
-      .withColumn("bucket", element_at(nearestBuckets(col("cv"), 1), 1))
+      .withColumn("bucket", explode(nearestBuckets(col("cv"), nassign)))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", explode(nearestBuckets(col("qv"), nprobe)))
 
     val joined = broadcast(q).join(c, Seq("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
+    // A neighbor multi-assigned into several probed buckets collides more
+    // than once — dedup the scored candidates before ranking (the
+    // distinct exchanges only the narrow (query, neighbor, sim) triple).
     (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined)
       .withColumn("sim", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .distinct()
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

@@ -22,10 +22,13 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     // n-gram/stopword language-ID heuristic with a deterministic argmax.
+    // All four marker sets are counted by ONE MarkerHits kernel pass per
+    // document (the fused array replaces four alternation-regex scans).
     "q27_lang_id" -> ((s, dir) => {
       val d = docs(s, dir)
-      val scored = markers.foldLeft(d) { case (df, (lg, ws)) =>
-        df.withColumn(s"s_$lg", markerHits(col("text"), ws).cast("bigint"))
+        .withColumn("mh", markerHitsAll(col("text"), markers.map(_._2)))
+      val scored = markers.zipWithIndex.foldLeft(d) { case (df, ((lg, _), i)) =>
+        df.withColumn(s"s_$lg", element_at(col("mh"), i + 1))
       }
       scored.select(col("doc_id"), col("lang"),
           when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")

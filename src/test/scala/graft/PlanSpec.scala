@@ -70,4 +70,21 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q01_agg_returnflag")
     assert(p.contains("partial_"), "no partial aggregation:\n" + p.take(2000))
   }
+
+  test("q32 exact pairs never broadcast the corpus (CartesianProduct path)") {
+    val p = planOf("q32_cosine_pairs")
+    assert(!p.contains("BroadcastExchange"),
+      "exact all-pairs must not hold the corpus in executor/driver memory:\n" + p.take(3000))
+    assert(p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("fanout is a no-op on inputs that are already well split") {
+    import spark.implicits._
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val df = (1 to 1000).toDF("x").repartition(target * 2)
+    // already >= shuffle-partition target → same frame back, no new exchange
+    assert(GraftSession.fanout(df).rdd.getNumPartitions === target * 2)
+    val narrow = (1 to 1000).toDF("x").coalesce(1)
+    assert(GraftSession.fanout(narrow).rdd.getNumPartitions === target)
+  }
 }

@@ -63,17 +63,22 @@ class PropertySpec extends SparkSpec {
 
   test("TopKAggregator laws: zero identity, split-invariance, true top-k") {
     val agg = new TopKAggregator(5)
+    // case-class equality on primitive arrays is referential; compare the
+    // finished (id, score) sequences instead.
+    def out(b: graft.functions.TopKBuf) = agg.finish(b)
     (1 to trials).foreach { _ =>
       val xs = Seq.fill(rnd.nextInt(60))((rnd.nextLong() % 50, rnd.nextDouble() * 10 - 5))
       val all = xs.foldLeft(agg.zero)(agg.reduce)
-      assert(agg.merge(all, agg.zero) === all && agg.merge(agg.zero, all) === all)
+      assert(out(agg.merge(all, agg.zero)) === out(all))
+      assert(out(agg.merge(agg.zero, all)) === out(all))
       val (l, r) = xs.splitAt(if (xs.isEmpty) 0 else rnd.nextInt(xs.length + 1))
       val merged = agg.merge(
         l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
-      assert(merged === all)
+      assert(out(merged) === out(all))
       val expected = xs.map { case (id, s) => (s, id) }
         .sortBy { case (s, id) => (-s, id) }.take(5)
-      assert(all === expected)
+        .map { case (s, id) => (id, s) }
+      assert(out(all) === expected)
     }
   }
 

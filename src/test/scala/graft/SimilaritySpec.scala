@@ -21,7 +21,10 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(r => (r._2, r._3)).toSeq === Seq((1L, 1L), (2L, 2L)))
   }
 
-  test("ivfTopK recall >= 0.8 vs brute force on sf0.001 embeddings") {
+  test("ivfTopK recall >= 0.9 vs brute force on sf0.001 embeddings") {
+    // The synthetic embeddings are ISOTROPIC (no cluster structure), the
+    // adversarial case for IVF: recall here is pure trained-centroid +
+    // multi-assignment quality, with zero help from the data.
     val e = Tables.load(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
@@ -29,7 +32,18 @@ class SimilaritySpec extends SparkSpec {
     val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.8, s"IVF recall $recall below 0.8 (|exact|=${exact.size})")
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9 (|exact|=${exact.size})")
+  }
+
+  test("ivfTopK ranks are dense and unique per query") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val out = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank").as[(Long, Long)].collect()
+    // Multi-assignment must not double-count a neighbor: ranks 1..5 once.
+    out.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to 5L), s"query $qid ranks ${rs.toSeq}")
+    }
   }
 
   test("RHP-LSH pairs: recall >= 0.9 vs exact pairs, precision 1.0 (verified)") {

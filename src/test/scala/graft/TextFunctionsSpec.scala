@@ -50,7 +50,42 @@ class TextFunctionsSpec extends SparkSpec {
   test("markerHits counts word-boundary matches case-insensitively") {
     val df = Seq("The cat and THE dog, theater").toDF("text")
     val hits = df.select(TextFunctions.markerHits($"text", Seq("the", "and")).as("h"))
-      .as[Int].head()
-    assert(hits === 3) // 'theater' must not match
+      .as[Long].head()
+    assert(hits === 3L) // 'theater' must not match
+  }
+
+  test("markerHitsAll counts every marker set in one pass, regex-\\b semantics") {
+    // Punctuation and non-ASCII letters are non-word chars for ASCII \b:
+    // "the-la" yields runs (the, la); "über" yields run (ber); "qué" (qu).
+    val df = Seq("The la THE-la der, über el qué toto to").toDF("text")
+    val sets = Seq(Seq("the", "to"), Seq("el", "la"), Seq("der", "die"))
+    val got = df.select(TextFunctions.markerHitsAll($"text", sets).as("h"))
+      .as[Seq[Long]].head()
+    assert(got === Seq(3L, 3L, 1L)) // the×2+to×1; la×2+el×1; der×1 ('toto' no hit)
+  }
+
+  test("markerHits matches the regexp_extract_all oracle formulation") {
+    val docs = Seq(
+      "the quick brown fox and the lazy dog",
+      "el perro y la casa de que",
+      "a-b_c the_x the x to,to;to",
+      "", "solo")
+    val df = docs.toDF("text")
+    val markers = Seq("the", "a", "of", "and", "to")
+    val kernel = df.select(TextFunctions.markerHits($"text", markers).as("h")).as[Long].collect()
+    val regex = df.select(
+      size(regexp_extract_all(lower($"text"),
+        lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0))).cast("long").as("h"))
+      .as[Long].collect()
+    assert(kernel.toSeq === regex.toSeq)
+  }
+
+  test("markerHits rejects non-word markers at construction") {
+    intercept[IllegalArgumentException] {
+      TextFunctions.markerHits(lit("x"), Seq("a|b"))
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.markerHits(lit("x"), Seq("The")) // must be lowercase
+    }
   }
 }
