@@ -105,35 +105,83 @@ object EventStreams {
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
 
-  /** Stateful sessionization via flatMapGroupsWithState (processing-time
-    * flush on drain): counts 30-minute-gap sessions per user. Rows-only
-    * check — the batch window-function equivalent (q34_sessionize) is the
-    * oracle-verified twin.
+  /** O(1)-per-key sessionization state: three longs, whatever the event
+    * volume — the all-timestamps buffer this replaces OOMed the state
+    * store on hot keys by construction.
+    */
+  case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
+
+  private[graft] val sessionGapMicros = 30L * 60 * 1000000
+
+  /** Advance an O(1) session state by one batch of timestamps.
+    * The batch is sorted (a per-batch working set, NOT carried state);
+    * in-order events follow the exact 30-min-gap rule. A cross-batch
+    * late event (t <= lastTs, i.e. older than something already folded)
+    * can no longer split or bridge history retroactively — it is counted
+    * into n_events and, if it precedes the current session by more than
+    * the gap, as one extra (conservative) session. The watermark bounds
+    * how late that can happen, exactly like the built-in session_window.
+    */
+  private[graft] def foldSession(prev: Option[SessState], batchTs: Array[Long]): SessState = {
+    java.util.Arrays.sort(batchTs)
+    var st = prev.getOrElse(SessState(Long.MinValue, 0L, 0L))
+    var i = 0
+    while (i < batchTs.length) {
+      val t = batchTs(i)
+      // Sentinel check, NOT `t - last` on the seed: subtracting
+      // Long.MinValue overflows and would miss the first session.
+      val newSession = st.lastTs == Long.MinValue ||
+        math.abs(t - st.lastTs) > sessionGapMicros
+      st = SessState(
+        lastTs = math.max(st.lastTs, t),
+        nSessions = st.nSessions + (if (newSession) 1 else 0),
+        nEvents = st.nEvents + 1)
+      i += 1
+    }
+    st
+  }
+
+  /** Stateful sessionization via flatMapGroupsWithState: counts
+    * 30-minute-gap sessions per user with O(1) state per key (three
+    * longs) and an EVENT-TIME timeout — once the watermark passes a
+    * key's lastTs + gap its state is freed, so the store holds only
+    * currently-active users, not the all-time key set. Each batch a key
+    * receives data it emits its running summary (changelog semantics:
+    * the latest row per key is the answer, and it already holds the
+    * final counts when the key later expires, so expiry itself emits
+    * nothing and can't duplicate). On the bounded single-batch drain the
+    * changelog equals the batch answer (q34_sessionize, the
+    * oracle-verified twin). The timeout/expiry path is pinned in
+    * EventStreamsSpec with a multi-batch MemoryStream.
     */
   def statefulSessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val gapMicros = 30L * 60 * 1000000
     val ds = readEventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"))
       .as[Ev]
     val out = ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Long], SessionSummary](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (uid, events, state: GroupState[List[Long]]) =>
-          val all = (state.getOption.getOrElse(Nil) ++
-            events.map { e => // full µs precision (getTime is ms-truncated)
+      .flatMapGroupsWithState[SessState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, events, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // Quiet past watermark+gap. The last changelog row already
+            // carried these counts — just free the state.
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = events.map { e => // full µs precision (getTime is ms-truncated)
               val i = e.ts.toInstant
               i.getEpochSecond * 1000000L + i.getNano / 1000L
-            }).sorted
-          state.update(all)
-          // bounded input drains in one batch; emit the final summary.
-          // Sentinel check, NOT `t - prev` on the seed: subtracting
-          // Long.MinValue overflows and would miss the first session.
-          val sessions = all.foldLeft((0L, Long.MinValue)) {
-            case ((n, prev), t) =>
-              (if (prev == Long.MinValue || t - prev > gapMicros) n + 1 else n, t)
-          }._1
-          Iterator(SessionSummary(uid, sessions, all.size.toLong))
+            }.toArray
+            val st = foldSession(state.getOption, batch)
+            state.update(st)
+            // must stay ahead of the watermark or the set call throws
+            state.setTimeoutTimestamp(math.max(
+              (st.lastTs + sessionGapMicros) / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator(SessionSummary(uid, st.nSessions, st.nEvents))
+          }
       }
     runToMemory(out.toDF(), OutputMode.Append()).orderBy("user_id")
   }

@@ -81,6 +81,87 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("sessionization state is O(1) per key: three longs, no event buffer") {
+    // The state class carries exactly (lastTs, nSessions, nEvents) — if a
+    // collection field reappears here, hot keys OOM the state store again.
+    val st = graft.streaming.EventStreams.SessState(1L, 2L, 3L)
+    assert(st.productArity === 3)
+    assert(st.productIterator.forall(_.isInstanceOf[Long]))
+  }
+
+  test("foldSession: exact in-order sessions, conservative cross-batch late data") {
+    import graft.streaming.EventStreams.{foldSession, sessionGapMicros, SessState}
+    val gap = sessionGapMicros
+    // one batch, two sessions (gap exceeded between 2nd and 3rd event)
+    val a = foldSession(None, Array(0L, gap, 3 * gap))
+    assert(a === SessState(3 * gap, 2L, 3L))
+    // same events split across batches, in order → identical result
+    val b = foldSession(Some(foldSession(None, Array(0L, gap))), Array(3 * gap))
+    assert(b === a)
+    // unsorted within a batch is fine (per-batch sort, not carried state)
+    val c = foldSession(None, Array(3 * gap, 0L, gap))
+    assert(c === a)
+    // cross-batch late event inside the gap window of lastTs: same
+    // session, counted into n_events, lastTs does not move backward
+    val d = foldSession(Some(a), Array(3 * gap - 1000L))
+    assert(d === SessState(3 * gap, 2L, 4L))
+    // cross-batch late event far before the current session: counted as
+    // its own (conservative) session — history is never re-split
+    val e = foldSession(Some(a), Array(-10 * gap))
+    assert(e === SessState(3 * gap, 3L, 4L))
+  }
+
+  test("sessionization frees state via event-time timeout; late key restarts an epoch") {
+    import graft.streaming.EventStreams.{foldSession, sessionGapMicros, SessState, Ev, SessionSummary}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val gapMs = sessionGapMicros / 1000
+    val ds = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "5 minutes")
+      .as[Ev]
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, (Long, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, events, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator((uid, -1L, -1L, true)) }
+          else {
+            val batch = events.map { e =>
+              val i = e.ts.toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }.toArray
+            val st = foldSession(state.getOption, batch)
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              (st.lastTs + sessionGapMicros) / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator((uid, st.nSessions, st.nEvents, false))
+          }
+      }
+    val q = out.toDF("user_id", "n_sessions", "n_events", "expired")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_timeout_test").start()
+    try {
+      input.addData((1L, ts(0)), (1L, ts(5)))
+      q.processAllAvailable()
+      // Advance the watermark (via user 2) far past user 1's lastTs+gap
+      // → user 1's state times out and is removed.
+      input.addData((2L, Timestamp.valueOf("2026-01-01 13:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_timeout_test")
+        .as[(Long, Long, Long, Boolean)].collect()
+      assert(rows.contains((1L, 1L, 2L, false)), s"changelog row missing: ${rows.toSeq}")
+      assert(rows.contains((1L, -1L, -1L, true)), s"timeout expiry missing: ${rows.toSeq}")
+      // User 1 reappears AFTER expiry: a fresh activity epoch (counts
+      // restart) — the documented trade for never holding all-time state.
+      input.addData((1L, Timestamp.valueOf("2026-01-01 13:01:00")))
+      q.processAllAvailable()
+      val rows2 = spark.table("sess_timeout_test")
+        .as[(Long, Long, Long, Boolean)].collect()
+      assert(rows2.contains((1L, 1L, 1L, false)), s"fresh epoch missing: ${rows2.toSeq}")
+    } finally q.stop()
+  }
+
   test("SQL surface: graft functions registered by GraftExtensions") {
     GraftSession.tune(spark)
     val row = spark.sql(
