@@ -25,6 +25,10 @@ import org.apache.spark.sql.types._
   * directly. Accumulation order is ascending-index, matching the
   * left-fold of the `aggregate`-based formulation and the DuckDB oracle's
   * `list_cosine_similarity` bit-for-bit at 6 dp rounding.
+  *
+  * Mismatched lengths return NULL (the SQL-function contract — DuckDB's
+  * list_cosine_similarity errors there; silently truncating to min(n,m)
+  * masked caller bugs). A zero-norm side yields NaN, like the oracle.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with Serializable {
@@ -33,11 +37,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
   override def foldable: Boolean = children.forall(_.foldable)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = x.getDouble(i); val yi = y.getDouble(i)
@@ -57,14 +63,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb"); val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -75,7 +85,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Plain dot product of two double arrays — for uses that only need the
   * projection (e.g. hyperplane sign tests), where cosine's two norms
-  * and sqrt/divide are wasted work.
+  * and sqrt/divide are wasted work. Mismatched lengths return NULL
+  * (same contract as `cosine_similarity`).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with Serializable {
@@ -84,11 +95,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
   override def foldable: Boolean = children.forall(_.foldable)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var i = 0
     while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
     dot
@@ -99,12 +112,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -116,7 +133,9 @@ case class DotProduct(left: Expression, right: Expression)
 /** Jaccard similarity |∩|/|∪| of two SORTED-ascending distinct long
   * arrays via a merge walk — no hash set, no intermediate array, O(n+m)
   * per pair. Callers must pre-sort with `sort_array` (done once per input
-  * row, not per pair).
+  * row, not per pair). Two empty arrays (∅∪∅, a 0/0) return NULL rather
+  * than NaN — NaN compares true under `>=` in Spark's total order, which
+  * would silently pass threshold filters.
   */
 case class JaccardSortedLongs(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with Serializable {
@@ -125,11 +144,13 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
   override def foldable: Boolean = children.forall(_.foldable)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements(); val m = y.numElements()
+    if (n + m == 0) return null
     var i = 0; var j = 0; var inter = 0
     while (i < n && j < m) {
       val xi = x.getLong(i); val yj = y.getLong(j)
@@ -149,15 +170,19 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
       val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       s"""
          |int $n = $a.numElements(), $m = $b.numElements();
-         |int $i = 0, $j = 0, $inter = 0;
-         |while ($i < $n && $j < $m) {
-         |  long $xi = $a.getLong($i);
-         |  long $yj = $b.getLong($j);
-         |  if ($xi == $yj) { $inter++; $i++; $j++; }
-         |  else if ($xi < $yj) $i++;
-         |  else $j++;
+         |if ($n + $m == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = 0, $j = 0, $inter = 0;
+         |  while ($i < $n && $j < $m) {
+         |    long $xi = $a.getLong($i);
+         |    long $yj = $b.getLong($j);
+         |    if ($xi == $yj) { $inter++; $i++; $j++; }
+         |    else if ($xi < $yj) $i++;
+         |    else $j++;
+         |  }
+         |  ${ev.value} = ((double) $inter) / ($n + $m - $inter);
          |}
-         |${ev.value} = ((double) $inter) / ($n + $m - $inter);
        """.stripMargin
     })
 

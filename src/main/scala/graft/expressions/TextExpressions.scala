@@ -27,6 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShingleHashSet(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback with Serializable {
 
+  // analysis-time failure: shingle_hash_set(text, 0) would otherwise index
+  // starts(g+n) out of bounds row-by-row at runtime
+  require(n >= 1, s"shingle_hash_set: n must be >= 1, got $n")
+
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash_set"

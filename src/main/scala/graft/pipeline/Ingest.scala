@@ -20,11 +20,30 @@ object Ingest {
     * matching no configured pattern into `_ignored/`. Returns the
     * retained files. Idempotent: workDir is rebuilt on each call.
     */
+  /** Marker proving a directory was created by acquire() — the rebuild
+    * delete refuses to touch any directory without it, so a config typo
+    * pointing work_dir at real data fails loudly instead of erasing it.
+    */
+  private val WorkDirMarker = ".graft_workdir"
+
   def acquire(cfg: IngestConfig): Seq[Path] = {
     val raw = Paths.get(cfg.rawDir)
     val work = Paths.get(cfg.workDir)
-    deleteRecursively(work)
+    if (Files.exists(work)) {
+      val underTmp = work.toAbsolutePath.normalize.startsWith(
+        Paths.get(System.getProperty("java.io.tmpdir")).toAbsolutePath.normalize)
+      val deletable = underTmp ||
+        Files.exists(work.resolve(WorkDirMarker)) ||
+        !Using.resource(Files.list(work))(_.iterator().hasNext)
+      require(deletable,
+        s"refusing to rebuild work_dir $work: it exists, is non-empty, is not " +
+          s"under the system temp dir, and was not created by a prior run (no " +
+          s"$WorkDirMarker marker). If it really is a scratch dir, delete it " +
+          "manually or point work_dir elsewhere.")
+      deleteRecursively(work)
+    }
     Files.createDirectories(work)
+    Files.createFile(work.resolve(WorkDirMarker))
 
     listFiles(raw)
       .foreach(p => Files.copy(p, work.resolve(p.getFileName.toString),
@@ -44,6 +63,7 @@ object Ingest {
     }
 
     val (keep, ignore) = listFiles(work)
+      .filterNot(_.getFileName.toString == WorkDirMarker) // stays for next rebuild
       .partition(p => cfg.filePatterns.contains(p.getFileName.toString))
     if (ignore.nonEmpty) {
       val quarantine = work.resolve("_ignored")

@@ -29,7 +29,8 @@ final case class SinkConfig(
     jdbcDriver: String,
     mode: String,
     tables: Seq[(String, String)],   // logical -> physical table name
-    partitionBy: Seq[String] = Nil)  // optional hive-style layout columns
+    partitionBy: Seq[String] = Nil,  // optional hive-style layout columns
+    sqliteCompat: Boolean = false)   // reference DB shape: date→epoch-ms, bool→0/1
 
 final case class PipelineConfig(
     appName: String,
@@ -85,6 +86,8 @@ object PipelineConfig {
         tables = orderedStrings(s.get("tables").asInstanceOf[JMap[String, AnyRef]]),
         partitionBy = Option(s.get("partition_by"))
           .map(_.asInstanceOf[JList[AnyRef]].asScala.toSeq.map(String.valueOf))
-          .getOrElse(Nil)))
+          .getOrElse(Nil),
+        sqliteCompat = Option(s.get("sqlite_compat"))
+          .exists(v => String.valueOf(v).toBoolean)))
   }
 }

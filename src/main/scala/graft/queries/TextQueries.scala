@@ -93,17 +93,32 @@ object TextQueries {
         .orderBy("lang", "split")
     }),
 
-    // Exact interpolated quantiles of document length per language.
-    "q46_length_quantiles" -> ((s, dir) => {
-      docs(s, dir)
-        .groupBy(col("lang"))
-        .agg(
-          round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
-          round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
-          round(expr("percentile(n_chars, 0.99)"), 6).as("p99"))
-        .orderBy("lang")
-    })
+    // Exact interpolated quantiles of document length per language —
+    // the oracle default. `lengthQuantiles(_, approx = true)` is the
+    // 100 TB path (see its doc); its error contract is pinned in
+    // TextFunctionsSpec.
+    "q46_length_quantiles" -> ((s, dir) => lengthQuantiles(docs(s, dir), approx = false))
   )
+
+  /** Per-language length quantiles. `approx = false` uses exact
+    * `percentile`, which buffers every group's values — fine per-group
+    * at test scale, memory-prohibitive on a 100 TB group. `approx =
+    * true` switches to `approx_percentile` (Greenwald-Khanna sketch,
+    * accuracy 10000 → rank error ≤ n/10000): constant memory per group,
+    * mergeable partials, and it returns an actual data value rather
+    * than an interpolation — the scale contract, pinned against exact
+    * in TextFunctionsSpec.
+    */
+  private[graft] def lengthQuantiles(d: org.apache.spark.sql.DataFrame,
+                                     approx: Boolean): org.apache.spark.sql.DataFrame = {
+    def pct(p: Double, name: String) =
+      if (approx)
+        round(expr(s"approx_percentile(n_chars, $p, 10000)").cast("double"), 6).as(name)
+      else round(expr(s"percentile(n_chars, $p)"), 6).as(name)
+    d.groupBy(col("lang"))
+      .agg(pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+      .orderBy("lang")
+  }
 
   private def markerSql(lg: String): String =
     s"CAST(len(regexp_extract_all(lower(text), '\\b(${markers.toMap.apply(lg).mkString("|")})\\b')) AS BIGINT)"

@@ -82,6 +82,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SQL-function edge contracts: length mismatch and empty-union return null") {
+    GraftSession.tune(spark)
+    val row = spark.sql(
+      """SELECT cosine_similarity(array(1.0d, 2.0d), array(1.0d)) AS c,
+        |  dot_product(array(1.0d, 2.0d), array(1.0d)) AS d,
+        |  jaccard_sorted(array(), array()) AS j,
+        |  jaccard_sorted(array(1L), array()) AS j2""".stripMargin).head()
+    assert(row.isNullAt(0), "cosine on mismatched lengths must be null")
+    assert(row.isNullAt(1), "dot on mismatched lengths must be null")
+    assert(row.isNullAt(2), "jaccard of two empty sets must be null, not NaN")
+    assert(row.getDouble(3) === 0.0)
+    // bad shingle width fails at analysis time with a clear message
+    val ex = intercept[Exception](spark.sql("SELECT shingle_hash_set('a b', 0)"))
+    assert(ex.getMessage.contains("n must be >= 1"))
+  }
+
   test("expression constant-folding: literal inputs fold at plan time") {
     val df = spark.range(1)
       .select(graft.expressions.ArrayOps.jaccardSorted(

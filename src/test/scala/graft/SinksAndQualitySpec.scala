@@ -26,6 +26,32 @@ class SinksAndQualitySpec extends SparkSpec {
     assert(back.columns.map(_.toLowerCase).sorted === Array("flag", "id", "name"))
   }
 
+  test("SqliteCompatSink reproduces the reference DB shape: date→epoch-ms, bool→0/1") {
+    // Reference testing/sql_queries.ipynb cell 6: SELECT over sales_curated
+    // shows date as epoch-millis INTEGER and is_holiday as 0/1.
+    val df = Seq(
+      (java.sql.Date.valueOf("2010-02-05"), true, 1, 24924.5),
+      (java.sql.Date.valueOf("2010-02-12"), false, 1, 46039.49)
+    ).toDF("date", "is_holiday", "store_id", "weekly_sales")
+    val out = new SqliteCompatSink(new ParquetSink("/tmp/graft_compat_test", "overwrite"))
+      .compat(df)
+    assert(out.schema("date").dataType.typeName === "long")
+    assert(out.schema("is_holiday").dataType.typeName === "long")
+    // untouched columns keep their types
+    assert(out.schema("store_id").dataType.typeName === "integer")
+    assert(out.schema("weekly_sales").dataType.typeName === "double")
+    val rows = out.select("date", "is_holiday").as[(Long, Long)].collect().sortBy(_._1)
+    // 2010-02-05T00:00:00Z epoch ms (UTC session timezone pins this)
+    assert(rows(0) === (1265328000000L, 1L))
+    assert(rows(1) === (1265932800000L, 0L))
+    // null-safety: null date/bool stay null, not 0
+    val withNull = Seq((Option.empty[java.sql.Date], Option.empty[Boolean]))
+      .toDF("date", "is_holiday")
+    val nulled = new SqliteCompatSink(new ParquetSink("/tmp/graft_compat_test", "overwrite"))
+      .compat(withNull).head()
+    assert(nulled.isNullAt(0) && nulled.isNullAt(1))
+  }
+
   test("partitioned ParquetSink lays out hive-style dirs and readers prune them") {
     val df = Seq((2010, 1, 10.0), (2010, 2, 20.0), (2011, 1, 30.0))
       .toDF("year", "store", "sales")
@@ -39,6 +65,26 @@ class SinksAndQualitySpec extends SparkSpec {
     // row-group filter is needed on data columns.
     val plan = back.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(year"), plan.take(1500))
+  }
+
+  test("acquire refuses to rebuild a non-temp work_dir it did not create") {
+    import java.nio.file.{Files, Paths}
+    // outside java.io.tmpdir: temp paths are always considered scratch
+    val base = Files.createDirectories(Paths.get("target/guard_spec"))
+    val dir = Files.createTempDirectory(base, "occupied")
+    Files.writeString(dir.resolve("precious.txt"), "user data")
+    val cfg = IngestConfig(rawDir = "/root/reference/data/raw",
+      workDir = dir.toString, filePatterns = Seq("train.csv"))
+    val ex = intercept[IllegalArgumentException](Ingest.acquire(cfg))
+    assert(ex.getMessage.contains("refusing to rebuild"))
+    // the foreign file survived
+    assert(Files.exists(dir.resolve("precious.txt")))
+    // an EMPTY pre-existing dir is fine, and re-running over our own
+    // marker-stamped dir is fine too (idempotent rebuild)
+    val empty = Files.createTempDirectory(base, "empty")
+    val cfg2 = cfg.copy(workDir = empty.toString)
+    assert(Ingest.acquire(cfg2).nonEmpty)
+    assert(Ingest.acquire(cfg2).nonEmpty)
   }
 
   test("duplicate rows (total-distinct) vs duplicate groups (keys with >1 row) differ") {

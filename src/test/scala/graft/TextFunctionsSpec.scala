@@ -80,6 +80,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(kernel.toSeq === regex.toSeq)
   }
 
+  test("approx length quantiles stay within 5% of exact on sf0.001 documents") {
+    // The approx path (Greenwald-Khanna, accuracy 10000) is the 100 TB
+    // quantile contract: constant memory per group, mergeable partials.
+    // At ~125 docs/lang the sketch's rank error is sub-1-rank, so values
+    // differ from the interpolated exact percentile only by the gap
+    // between adjacent order statistics — empirically ~2.3% at the p99
+    // tail of these groups; bounded here at 5% relative.
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = graft.queries.TextQueries.lengthQuantiles(d, approx = false)
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    val approx = graft.queries.TextQueries.lengthQuantiles(d, approx = true)
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    assert(exact.map(_._1).toSeq === approx.map(_._1).toSeq)
+    exact.zip(approx).foreach { case ((lang, e50, e90, e99), (_, a50, a90, a99)) =>
+      Seq((e50, a50), (e90, a90), (e99, a99)).foreach { case (e, a) =>
+        assert(math.abs(a - e) / e <= 0.05, s"$lang: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("markerHits rejects non-word markers at construction") {
     intercept[IllegalArgumentException] {
       TextFunctions.markerHits(lit("x"), Seq("a|b"))
