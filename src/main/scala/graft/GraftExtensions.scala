@@ -69,6 +69,10 @@ object GraftExtensions {
     ("rolling_fingerprint",
       info("rolling_fingerprint", "rolling_fingerprint(text) - polynomial rolling hash mod 1e9+7"),
       arity("rolling_fingerprint", 1)(a => RollingFingerprint(a.head)) _),
+    ("subword_count",
+      info("subword_count",
+        "subword_count(text) - BPE-style pre-token segment count, one text scan"),
+      arity("subword_count", 1)(a => SubwordCount(a.head)) _),
     ("marker_hits",
       info("marker_hits",
         "marker_hits(text, 'w1,w2;w3,w4') - per-set counts of whole-word marker matches, one text scan"),

@@ -250,6 +250,49 @@ case class MarkerHits(child: Expression, markerSets: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** BPE-style pre-tokenization segment count in one byte pass: the number
+  * of maximal [a-z] runs, maximal [0-9] runs, and single non-[a-z0-9 ]
+  * CHARACTERS in `lower(text)` — exactly
+  * `size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))`
+  * (greedy alternation ⇒ maximal runs; the third alternative consumes
+  * one character per match). Multi-byte UTF-8 characters count once:
+  * continuation bytes (10xxxxxx) are skipped. Replaces the interpreted
+  * regex scan that dominated the token-stats query.
+  */
+case class SubwordCount(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback with Serializable {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase
+    val len = s.numBytes()
+    var count = 0L
+    var i = 0
+    var run = 0 // 0 = none, 1 = letters, 2 = digits
+    while (i < len) {
+      val b = s.getByte(i)
+      if (b >= 'a' && b <= 'z') {
+        if (run != 1) { count += 1; run = 1 }
+      } else if (b >= '0' && b <= '9') {
+        if (run != 2) { count += 1; run = 2 }
+      } else {
+        run = 0
+        // every non-space character is one segment; count UTF-8 lead
+        // bytes only ((b & 0xC0) != 0x80) so é is one, not two
+        if (b != ' ' && (b & 0xC0) != 0x80) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling-hash fingerprint: acc = (acc*31 + codepoint) mod
   * 1e9+7 over the string's characters — same recurrence as the SQL
   * `aggregate(transform(...))` formulation and the DuckDB oracle, in one
@@ -292,6 +335,9 @@ object TextOps {
 
   def markerHits(text: Column, markerSets: Seq[Seq[String]]): Column =
     wrap(MarkerHits(ColumnBridge.expression(text), markerSets))
+
+  def subwordCount(text: Column): Column =
+    wrap(SubwordCount(ColumnBridge.expression(text)))
 
   def fingerprint(text: Column): Column =
     wrap(RollingFingerprint(ColumnBridge.expression(text)))

@@ -55,14 +55,15 @@ object TextQueries {
     }),
 
     // Corpus token statistics by language: whitespace tokens plus a
-    // BPE-ish regex segmentation (letter runs / digit runs / single
-    // punctuation — the pre-tokenization shape BPE vocabularies use).
+    // BPE-ish segmentation (letter runs / digit runs / single
+    // punctuation — the pre-tokenization shape BPE vocabularies use),
+    // counted by the one-pass SubwordCount kernel (the regex form it
+    // replaces re-scanned every document with interpreted machinery).
     "q29_token_stats" -> ((s, dir) => {
       docs(s, dir)
         .withColumn("n_tokens", size(words(col("text"))).cast("bigint"))
         .withColumn("n_subwords",
-          size(regexp_extract_all(lower(col("text")),
-            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint"))
+          graft.expressions.TextOps.subwordCount(col("text")))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"),

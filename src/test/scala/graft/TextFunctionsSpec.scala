@@ -100,6 +100,20 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("subwordCount matches the regexp_extract_all oracle formulation") {
+    val docs = Seq(
+      "the quick brown fox", "abc123def", "hello, world! 42",
+      "a-b_c  d", "", "¡hola señor!", "x")
+    val df = docs.toDF("text")
+    val kernel = df.select(graft.expressions.TextOps.subwordCount($"text").as("n"))
+      .as[Long].collect()
+    val regex = df.select(
+      size(regexp_extract_all(lower($"text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n"))
+      .as[Long].collect()
+    assert(kernel.toSeq === regex.toSeq)
+  }
+
   test("markerHits rejects non-word markers at construction") {
     intercept[IllegalArgumentException] {
       TextFunctions.markerHits(lit("x"), Seq("a|b"))
