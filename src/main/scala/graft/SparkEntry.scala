@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{DedupQueries, EventQueries, PipelineQueries,
-  RelationalQueries, SimilarityQueries, TextQueries}
+  RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,9 +22,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ EventQueries.queries ++ PipelineQueries.queries
+      SimilarityQueries.queries ++ EventQueries.queries ++
+      TemporalQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
-      SimilarityQueries.oracles ++ EventQueries.oracles ++ PipelineQueries.oracles
+      SimilarityQueries.oracles ++ EventQueries.oracles ++
+      TemporalQueries.oracles ++ PipelineQueries.oracles
 }

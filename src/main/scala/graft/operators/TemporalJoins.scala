@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal join operators Spark lacks natively: point-in-time (as-of)
+  * joins and point-in-interval (range) joins.
+  *
+  * Scale design (100 TB):
+  *  - `asofBackward` is the union+window formulation: both inputs are
+  *    tagged and unioned, shuffled ONCE on the join key, sorted within
+  *    partitions by (time, side, tiebreak), and the match is a running
+  *    `last(payload, ignoreNulls)` window. No row multiplication, no
+  *    per-key explode, no inequality join — the exchange carries each
+  *    input exactly once, which is the same data movement a native
+  *    as-of join operator (kdb aj, QuestDB ASOF) performs. A skewed key
+  *    concentrates its rows in one sort partition — the same bound any
+  *    keyed window has.
+  *  - `pointInInterval` is the binned range join: intervals are
+  *    replicated to the fixed-width time bins they cover (≤ 2 bins when
+  *    `binSeconds` ≥ the max interval length), points map to exactly one
+  *    bin, and the match becomes a narrow equi-join on (key, bin) plus
+  *    an exact residual filter. Replication factor is bounded by
+  *    ceil(maxInterval/bin)+1, and because points land in a single bin
+  *    no dedup pass is needed afterwards. This is the standard rewrite
+  *    Spark's optimizer does NOT do (a raw t >= start AND t < end join
+  *    falls back to BroadcastNestedLoopJoin / cartesian).
+  */
+object TemporalJoins {
+
+  /** As-of (backward) join: each left row is matched to the single right
+    * row with the greatest `rightTime` <= `leftTime` (strictly < when
+    * `strict`) within the same key group; unmatched left rows keep null
+    * payload (left-outer semantics, DuckDB `ASOF LEFT JOIN`).
+    *
+    * Requirements: `keyCols` exist on both sides with identical names;
+    * `leftTime`/`rightTime` are mutually comparable (both timestamps or
+    * both numerics). Equal-`rightTime` build rows within a key are broken
+    * deterministically by the greatest `rightTiebreak` — "arbitrary tie"
+    * is non-reproducible at scale, so it is pinned here like
+    * `Dedup.dropDuplicatesOrdered` pins keep-first.
+    *
+    * Output: all left columns, then `rightCols` (null when unmatched).
+    */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   keyCols: Seq[String], leftTime: String, rightTime: String,
+                   rightCols: Seq[String], rightTiebreak: String,
+                   strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // At equal time the probe must sort AFTER builds to see them (>=
+    // semantics) and BEFORE builds to not see them (strict >).
+    val (buildSide, probeSide) = if (strict) (1, 0) else (0, 1)
+    val payType = StructType(rightCols.map(n => right.schema(n)))
+    val lrowType = StructType(left.schema.fields)
+
+    val probe = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(probeSide).as("__side"),
+        lit(null).cast("bigint").as("__tb"),
+        struct(left.columns.map(col): _*).as("__lrow"),
+        lit(null).cast(payType).as("__pay")): _*)
+    val build = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(buildSide).as("__side"),
+        col(rightTiebreak).cast("bigint").as("__tb"),
+        lit(null).cast(lrowType).as("__lrow"),
+        struct(rightCols.map(col): _*).as("__pay")): _*)
+
+    // One exchange on the key; within each key the running last() sees
+    // every build row at or before (strictly before, when `strict`) the
+    // probe row, latest-then-greatest-tiebreak winning.
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = probe.unionByName(build)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === probeSide)
+
+    val out = matched.select(
+      col("__lrow.*") +: rightCols.map(n => col(s"__match.$n").as(n)): _*)
+    out
+  }
+
+  /** Point-in-interval range join: every (point, interval) pair with
+    * matching keys and `start <= pointTime < end`. Returns all point
+    * columns plus all interval columns (caller disambiguates names
+    * beforehand). Empty/inverted intervals (end <= start) match nothing.
+    *
+    * `binSeconds` should be >= the maximum interval length so each
+    * interval is replicated to at most 2 bins; longer intervals still
+    * join correctly, just with proportionally more replication.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      keyCols: Seq[String], pointTime: String,
+                      startCol: String, endCol: String,
+                      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"pointInInterval: binSeconds must be > 0, got $binSeconds")
+    val binMicros = lit(binSeconds * 1000000L)
+    // Exact floor-division on longs (truncating `div` mis-bins pre-1970
+    // timestamps; pmod keeps the remainder non-negative).
+    def binOf(c: org.apache.spark.sql.Column) = {
+      // NTZ columns (parquet isAdjustedToUTC=false) cast via the session
+      // zone, which GraftSession pins to UTC — lossless either way.
+      val us = unix_micros(c.cast("timestamp"))
+      ((us - pmod(us, binMicros)) / binMicros).cast("bigint")
+    }
+
+    val p = points.withColumn("__bin", binOf(col(pointTime)))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(startCol)),
+          // end is exclusive: the last covered instant is end - 1µs.
+          binOf(col(endCol) - expr("INTERVAL 1 MICROSECOND")))))
+
+    p.join(iv, keyCols :+ "__bin")
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .drop("__bin")
+  }
+}

@@ -78,6 +78,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q57 as-of join is one keyed exchange + window — no inequality join") {
+    val p = planOf("q57_asof_join")
+    // The union+window formulation must not degrade into any join
+    // operator at all (a naive t-range join would be BNLJ/cartesian).
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "as-of became a join:\n" + p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1,
+      "as-of should shuffle exactly once on the key:\n" + p.take(3000))
+  }
+
+  test("q58 range join stays an equi-join on (key, bin)") {
+    val p = planOf("q58_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to a nested-loop/cartesian:\n" + p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("fanout is a no-op on inputs that are already well split") {
     import spark.implicits._
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.functions._
+
+/** Hand-computable contracts for the temporal joins: as-of match
+  * selection (latest at-or-before, strict mode, deterministic
+  * tie-break, unmatched-null), and range-join equivalence with the
+  * brute-force inequality join including bin-boundary and empty-interval
+  * edges the binned rewrite could plausibly get wrong.
+  */
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Probe: (id, key, t) — numeric times via timestamps at whole seconds.
+  private def ts(s: Long) = timestamp_seconds(lit(s))
+  private def probeDf = Seq(
+    (1L, "a", 100L), (2L, "a", 205L), (3L, "a", 50L),
+    (4L, "b", 300L), (5L, "c", 10L)
+  ).toDF("id", "k", "sec").select(col("id"), col("k"), timestamp_seconds(col("sec")).as("t"))
+  // Build: (k, t, bid, v) — two equal-time rows for key a at t=200.
+  private def buildDf = Seq(
+    ("a", 90L, 11L, 1.0), ("a", 200L, 12L, 2.0), ("a", 200L, 13L, 3.0),
+    ("b", 300L, 14L, 4.0), ("b", 301L, 15L, 5.0)
+  ).toDF("k", "sec", "bid", "v").select(col("k"), timestamp_seconds(col("sec")).as("t"),
+    col("bid"), col("v"))
+
+  test("asofBackward: latest at-or-before per key, greatest-tiebreak ties, null when unmatched") {
+    val out = TemporalJoins.asofBackward(probeDf, buildDf,
+        keyCols = Seq("k"), leftTime = "t", rightTime = "t",
+        rightCols = Seq("bid", "v"), rightTiebreak = "bid")
+      .select("id", "bid").orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // id1 t=100 → bid 11 (90); id2 t=205 → equal-time pair at 200 broken
+    // by greatest bid = 13; id3 t=50 → none; id4 t=300 → bid 14 (equal
+    // time IS visible, backward join is <=); id5 key c → none.
+    assert(out === Array((1L, 11L), (2L, 13L), (3L, -1L), (4L, 14L), (5L, -1L)))
+  }
+
+  test("asofBackward strict: equal-time build rows are invisible") {
+    val out = TemporalJoins.asofBackward(probeDf, buildDf,
+        keyCols = Seq("k"), leftTime = "t", rightTime = "t",
+        rightCols = Seq("bid"), rightTiebreak = "bid", strict = true)
+      .select("id", "bid").orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // id4 t=300: the t=300 build row no longer matches → null.
+    assert(out === Array((1L, 11L), (2L, 13L), (3L, -1L), (4L, -1L), (5L, -1L)))
+  }
+
+  test("asofBackward keeps every left column and row (left-outer)") {
+    val out = TemporalJoins.asofBackward(probeDf, buildDf,
+      keyCols = Seq("k"), leftTime = "t", rightTime = "t",
+      rightCols = Seq("bid", "v"), rightTiebreak = "bid")
+    assert(out.columns.toSeq === Seq("id", "k", "t", "bid", "v"))
+    assert(out.count() === probeDf.count())
+  }
+
+  test("pointInInterval equals the brute-force inequality join, incl. bin edges") {
+    // Bin width 100s; intervals deliberately straddle bin boundaries,
+    // sit exactly on them, and include an empty (end <= start) interval.
+    val points = Seq(("a", 1L, 0L), ("a", 2L, 99L), ("a", 3L, 100L),
+        ("a", 4L, 199L), ("a", 5L, 250L), ("b", 6L, 100L))
+      .toDF("k", "pid", "sec")
+      .select(col("k"), col("pid"), timestamp_seconds(col("sec")).as("pt"))
+    val intervals = Seq(("a", 10L, 0L, 100L), ("a", 11L, 50L, 150L),
+        ("a", 12L, 100L, 300L), ("a", 13L, 200L, 200L), ("b", 14L, 90L, 110L))
+      .toDF("k", "iid", "s", "e")
+      .select(col("k"), col("iid"), timestamp_seconds(col("s")).as("ws"),
+        timestamp_seconds(col("e")).as("we"))
+
+    val binned = TemporalJoins.pointInInterval(points, intervals,
+        keyCols = Seq("k"), pointTime = "pt", startCol = "ws", endCol = "we",
+        binSeconds = 100L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val brute = points.join(intervals, Seq("k"))
+      .filter(col("pt") >= col("ws") && col("pt") < col("we"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned === brute)
+    // Spot-pin the edges: start is inclusive, end exclusive, empty
+    // interval 13 matches nothing.
+    assert(brute.contains((1L, 10L)) && !brute.contains((3L, 10L)))
+    assert(brute.contains((3L, 12L)) && brute.contains((4L, 12L)))
+    assert(!brute.exists(_._2 == 13L))
+  }
+
+  test("pointInInterval bins pre-1970 timestamps correctly (floor, not truncate)") {
+    val points = Seq(("a", 1L, -50L)).toDF("k", "pid", "sec")
+      .select(col("k"), col("pid"), timestamp_seconds(col("sec")).as("pt"))
+    val intervals = Seq(("a", 10L, -100L, 0L)).toDF("k", "iid", "s", "e")
+      .select(col("k"), col("iid"), timestamp_seconds(col("s")).as("ws"),
+        timestamp_seconds(col("e")).as("we"))
+    val out = TemporalJoins.pointInInterval(points, intervals,
+      Seq("k"), "pt", "ws", "we", binSeconds = 100L)
+    assert(out.count() === 1L)
+  }
+}
