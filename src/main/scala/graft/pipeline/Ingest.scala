@@ -105,15 +105,22 @@ object Ingest {
       Using.resource(Files.walk(p))(s =>
         s.iterator().asScala.toSeq.reverse.foreach(Files.delete))
 
-  /** Raw CSV scan: header-aware, multiline-quoted, `"`-escaped, and
-    * deliberately NOT schema-inferred — every column arrives as string
-    * and typing happens in the schema-enforcement pass (so 'NA' → null
-    * coercion is a cast semantic, not a parse option).
+  /** Raw CSV scan: header-aware, `"`-escaped, and deliberately NOT
+    * schema-inferred — every column arrives as string and typing happens
+    * in the schema-enforcement pass (so 'NA' → null coercion is a cast
+    * semantic, not a parse option).
+    *
+    * `multiLine` trades parse semantics for parallelism: true handles
+    * quoted embedded newlines (the reference's S4 read shape) but pins
+    * each file to ONE task; false splits files across tasks — the only
+    * viable shape once a file outgrows a single core. Both parse
+    * newline-free data identically (RetailPipelineSpec pins this).
     */
-  def readCsv(spark: SparkSession, paths: Seq[String]): DataFrame =
+  def readCsv(spark: SparkSession, paths: Seq[String],
+              multiLine: Boolean = true): DataFrame =
     spark.read
       .option("header", "true")
-      .option("multiLine", "true")
+      .option("multiLine", multiLine.toString)
       .option("escape", "\"")
       .csv(paths: _*)
 }

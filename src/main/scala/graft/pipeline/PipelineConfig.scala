@@ -15,7 +15,13 @@ final case class DatasetSpec(
     schema: Seq[(String, String)],   // column -> SQL type string, ordered
     rename: Seq[(String, String)])   // old -> canonical name, ordered
 
-final case class IngestConfig(rawDir: String, workDir: String, filePatterns: Seq[String])
+final case class IngestConfig(
+    rawDir: String, workDir: String, filePatterns: Seq[String],
+    // multiLine=true (the reference's S4 contract) parses quoted embedded
+    // newlines but makes each CSV file a single unsplittable task — the
+    // retail config turns it off because those files are newline-free and
+    // a splittable parse is the only shape that survives large files.
+    multiLine: Boolean = true)
 
 final case class QualityConfig(
     maxNullFraction: Double,
@@ -65,7 +71,9 @@ object PipelineConfig {
         rawDir = String.valueOf(ing.get("raw_dir")),
         workDir = String.valueOf(ing.get("work_dir")),
         filePatterns = ing.get("file_patterns").asInstanceOf[JList[AnyRef]]
-          .asScala.toSeq.map(String.valueOf)),
+          .asScala.toSeq.map(String.valueOf),
+        multiLine = Option(ing.get("multi_line"))
+          .forall(v => String.valueOf(v).toBoolean)),
       shufflePartitions = String.valueOf(section("spark").get("shuffle_partitions")).toInt,
       datasets = section("datasets").asScala.toSeq.map { case (name, spec) =>
         val m = spec.asInstanceOf[JMap[String, AnyRef]]

@@ -30,7 +30,7 @@ object RetailPipeline {
     val gated: Seq[(String, DataFrame, QualityReport)] = cfg.datasets.flatMap {
       case (key, spec) =>
         fileFor(key).map { path =>
-          val raw = Ingest.readCsv(spark, Seq(path))
+          val raw = Ingest.readCsv(spark, Seq(path), cfg.ingest.multiLine)
           val (typed, report) = Quality.run(raw, key, spec, cfg.quality)
           (key, typed, report)
         }

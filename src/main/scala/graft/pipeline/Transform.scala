@@ -72,6 +72,14 @@ object Transform {
       col("markdown_4"), col("markdown_5"),
       col("cpi"), col("unemployment_rate"),
       col("store_type"), col("store_size"))
+      // Materialize-once: every downstream consumer (three aggregates,
+      // four sink writes, the written-row counts, q54's full-table read)
+      // derives from this frame — without the persist each one re-runs
+      // the joins. MEMORY_AND_DISK (the Dataset default) spills rather
+      // than OOMs when the curated table outgrows executor memory; a
+      // deployment writing to a columnar sink could equivalently
+      // write-then-reread sales_curated.
+      .persist()
 
     val aggStoreDept = curated
       .groupBy("store_id", "department_id", "year", "month")

@@ -75,6 +75,26 @@ class RetailPipelineSpec extends SparkSpec {
     assert(back.count() === 421570L && back.columns.length === 19)
   }
 
+  test("multiLine parse handles quoted embedded newlines (S4) and both modes agree on newline-free data") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createDirectories(Paths.get("/tmp/graft_retail_test/csv"))
+    val quoted = dir.resolve("quoted.csv")
+    Files.writeString(quoted, "id,note\n1,\"line one\nline two\"\n2,plain\n")
+    val ml = Ingest.readCsv(spark, Seq(quoted.toString), multiLine = true)
+    assert(ml.count() === 2L)
+    assert(ml.filter(col("id") === "1").head().getString(1) === "line one\nline two")
+
+    // On the real (newline-free) retail CSV the splittable parse is
+    // row-identical to the multiLine one — the equivalence that makes
+    // multi_line:false safe in the retail config.
+    assert(result.reports.nonEmpty) // forces the extraction below to exist
+    val train = "/tmp/graft_retail_test/raw/train.csv"
+    val a = Ingest.readCsv(spark, Seq(train), multiLine = true)
+    val b = Ingest.readCsv(spark, Seq(train), multiLine = false)
+    assert(b.rdd.getNumPartitions >= 1 && a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("NA markdown strings became real nulls via cast (ANSI off)") {
     val curated = result.curated("sales_curated")
     val nulls = curated.filter(col("markdown_1").isNull).count()
