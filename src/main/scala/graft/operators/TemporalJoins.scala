@@ -96,14 +96,16 @@ object TemporalJoins {
                       startCol: String, endCol: String,
                       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"pointInInterval: binSeconds must be > 0, got $binSeconds")
-    val binMicros = lit(binSeconds * 1000000L)
-    // Exact floor-division on longs (truncating `div` mis-bins pre-1970
-    // timestamps; pmod keeps the remainder non-negative).
+    val binMicros = binSeconds * 1000000L
+    // Bin id = the bin's start micros (us - us mod width): pure long
+    // arithmetic, exact for every timestamp — a float or truncating-div
+    // formulation would mis-bin pre-1970 or far-future values. pmod keeps
+    // the remainder non-negative for negative epochs.
     def binOf(c: org.apache.spark.sql.Column) = {
       // NTZ columns (parquet isAdjustedToUTC=false) cast via the session
       // zone, which GraftSession pins to UTC — lossless either way.
       val us = unix_micros(c.cast("timestamp"))
-      ((us - pmod(us, binMicros)) / binMicros).cast("bigint")
+      us - pmod(us, lit(binMicros))
     }
 
     val p = points.withColumn("__bin", binOf(col(pointTime)))
@@ -112,7 +114,8 @@ object TemporalJoins {
       .withColumn("__bin",
         explode(sequence(binOf(col(startCol)),
           // end is exclusive: the last covered instant is end - 1µs.
-          binOf(col(endCol) - expr("INTERVAL 1 MICROSECOND")))))
+          binOf(col(endCol) - expr("INTERVAL 1 MICROSECOND")),
+          lit(binMicros))))
 
     p.join(iv, keyCols :+ "__bin")
       .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))

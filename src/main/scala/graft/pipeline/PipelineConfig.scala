@@ -44,7 +44,8 @@ final case class PipelineConfig(
     shufflePartitions: Int,
     datasets: Seq[(String, DatasetSpec)],
     quality: QualityConfig,
-    sink: SinkConfig)
+    sink: SinkConfig,
+    logFile: Option[String] = None)  // append-mode run log (file + console)
 
 object PipelineConfig {
 
@@ -96,6 +97,7 @@ object PipelineConfig {
           .map(_.asInstanceOf[JList[AnyRef]].asScala.toSeq.map(String.valueOf))
           .getOrElse(Nil),
         sqliteCompat = Option(s.get("sqlite_compat"))
-          .exists(v => String.valueOf(v).toBoolean)))
+          .exists(v => String.valueOf(v).toBoolean)),
+      logFile = Option(root.get("log_file")).map(String.valueOf))
   }
 }

@@ -20,7 +20,13 @@ object RetailPipeline {
 
   def run(spark: SparkSession, cfg: PipelineConfig): Result = {
     GraftSession.tune(spark)
+    // Reference logs each lifecycle stage to file+console
+    // (src/pipeline_orchestrator.py:116-171); log_file is opt-in config.
+    val log = RunLog("graft.pipeline", cfg.logFile)
+    log.info("Starting retail pipeline")
     val files = Ingest.acquire(cfg.ingest)
+    log.info(s"Acquired ${files.size} raw files: " +
+      files.map(_.getFileName).mkString(", "))
     def fileFor(key: String): Option[String] =
       files.find(_.getFileName.toString == s"$key.csv").map(_.toString)
 
@@ -32,6 +38,9 @@ object RetailPipeline {
         fileFor(key).map { path =>
           val raw = Ingest.readCsv(spark, Seq(path), cfg.ingest.multiLine)
           val (typed, report) = Quality.run(raw, key, spec, cfg.quality)
+          log.info(s"QC $key: rows=${report.rowCount} " +
+            s"dup=${report.duplicateCount} schemaOk=${report.schemaOk}")
+          report.issues.foreach(i => log.warn(s"QC $key: $i"))
           (key, typed, report)
         }
     }
@@ -45,10 +54,13 @@ object RetailPipeline {
     val written = cfg.sink.tables.flatMap { case (logical, physical) =>
       curated.get(logical).map { df =>
         sink.write(physical, df)
-        physical -> df.count()
+        val n = df.count()
+        log.info(s"Sink $physical: $n rows")
+        physical -> n
       }
     }
 
+    log.info("Pipeline complete")
     Result(gated.map(_._3), curated, written)
   }
 
@@ -56,13 +68,7 @@ object RetailPipeline {
     val cfgPath = args.headOption.getOrElse("conf/retail_pipeline.yaml")
     val cfg = PipelineConfig.load(cfgPath)
     val spark = GraftSession.get(cfg.appName)
-    try {
-      val result = run(spark, cfg)
-      result.reports.foreach { r =>
-        println(s"[qc] ${r.datasetKey}: rows=${r.rowCount} dup=${r.duplicateCount} " +
-          s"schemaOk=${r.schemaOk} issues=${r.issues.mkString("; ")}")
-      }
-      result.writtenRows.foreach { case (t, n) => println(s"[sink] $t: $n rows") }
-    } finally spark.stop()
+    try run(spark, cfg)
+    finally spark.stop()
   }
 }

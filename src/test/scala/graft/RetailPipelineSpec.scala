@@ -75,6 +75,19 @@ class RetailPipelineSpec extends SparkSpec {
     assert(back.count() === 421570L && back.columns.length === 19)
   }
 
+  test("run log mirrors the reference's file+console format") {
+    assert(result.reports.nonEmpty) // force the run
+    val log = java.nio.file.Paths.get(cfg.logFile.get)
+    assert(java.nio.file.Files.exists(log), s"no run log at $log")
+    val text = java.nio.file.Files.readString(log)
+    // reference format: `%(asctime)s [%(levelname)s] %(name)s - %(message)s`
+    assert(text.linesIterator.exists(
+      _.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} \[INFO\] graft\.pipeline - QC train: rows=421570 .*""")),
+      text.take(500))
+    assert(text.contains("[INFO] graft.pipeline - Pipeline complete"))
+    assert(text.contains("[WARNING] graft.pipeline - QC features: High null fraction"))
+  }
+
   test("multiLine parse handles quoted embedded newlines (S4) and both modes agree on newline-free data") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createDirectories(Paths.get("/tmp/graft_retail_test/csv"))
