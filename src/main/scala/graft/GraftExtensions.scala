@@ -73,6 +73,10 @@ object GraftExtensions {
       info("subword_count",
         "subword_count(text) - BPE-style pre-token segment count, one text scan"),
       arity("subword_count", 1)(a => SubwordCount(a.head)) _),
+    ("repetition_stats",
+      info("repetition_stats",
+        "repetition_stats(text) - [dup_word_frac, top_bigram_frac] in one text scan"),
+      arity("repetition_stats", 1)(a => RepetitionStats(a.head)) _),
     ("marker_hits",
       info("marker_hits",
         "marker_hits(text, 'w1,w2;w3,w4') - per-set counts of whole-word marker matches, one text scan"),

@@ -293,6 +293,88 @@ case class SubwordCount(child: Expression)
     copy(child = newChild)
 }
 
+/** Gopher-style repetition metrics in one pass over the text bytes:
+  * returns `array<double>` [dup_word_frac, top_bigram_frac] where
+  *  - dup_word_frac = (n_words - n_distinct_words) / n_words,
+  *  - top_bigram_frac = (occurrences of the most frequent word 2-gram)
+  *    / (n_words - 1), 0.0 for docs under two words.
+  * Word splitting follows `string_split(text, ' ')` exactly (empty text
+  * is ONE empty word, a trailing space yields a trailing empty word) so
+  * the DuckDB oracle is bit-comparable. Computing this with built-ins
+  * would be either a corpus-wide explode + two shuffled aggregations
+  * (per-gram rows exchanged for every document — the anti-pattern at
+  * scale) or a quadratic transform/filter chain per row; here it is one
+  * map-side projection, O(n log n) per document, no shuffle.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback with Serializable {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // string_split semantics: k separators → k+1 words, empties included.
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (s.getByte(i) == ' ') nWords += 1
+      i += 1
+    }
+    // starts(k) = first byte of word k; sentinel start makes word k span
+    // [starts(k), starts(k+1) - 1) for every k including the last.
+    val starts = new Array[Int](nWords + 1)
+    var w = 1; i = 0
+    while (i < len) {
+      if (s.getByte(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(nWords) = len + 1
+
+    val wordHashes = new Array[Long](nWords)
+    var k = 0
+    while (k < nWords) {
+      val from = starts(k)
+      wordHashes(k) = XXH64.hashUnsafeBytes(base, off + from, starts(k + 1) - 1 - from, 42L)
+      k += 1
+    }
+    java.util.Arrays.sort(wordHashes)
+    var distinct = 0; k = 0
+    while (k < nWords) {
+      if (k == 0 || wordHashes(k) != wordHashes(k - 1)) distinct += 1
+      k += 1
+    }
+    val dupFrac = (nWords - distinct).toDouble / nWords
+
+    var topFrac = 0.0
+    if (nWords >= 2) {
+      val bigrams = new Array[Long](nWords - 1)
+      k = 0
+      while (k < nWords - 1) {
+        val from = starts(k)
+        bigrams(k) = XXH64.hashUnsafeBytes(base, off + from, starts(k + 2) - 1 - from, 42L)
+        k += 1
+      }
+      java.util.Arrays.sort(bigrams)
+      var maxRun = 1; var run = 1; k = 1
+      while (k < bigrams.length) {
+        if (bigrams(k) == bigrams(k - 1)) { run += 1; if (run > maxRun) maxRun = run }
+        else run = 1
+        k += 1
+      }
+      topFrac = maxRun.toDouble / (nWords - 1)
+    }
+    new GenericArrayData(Array(dupFrac, topFrac))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling-hash fingerprint: acc = (acc*31 + codepoint) mod
   * 1e9+7 over the string's characters — same recurrence as the SQL
   * `aggregate(transform(...))` formulation and the DuckDB oracle, in one
@@ -338,6 +420,9 @@ object TextOps {
 
   def subwordCount(text: Column): Column =
     wrap(SubwordCount(ColumnBridge.expression(text)))
+
+  def repetitionStats(text: Column): Column =
+    wrap(RepetitionStats(ColumnBridge.expression(text)))
 
   def fingerprint(text: Column): Column =
     wrap(RollingFingerprint(ColumnBridge.expression(text)))

@@ -111,6 +111,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
+    * for every corpus document sharing at least one word n-gram with any
+    * benchmark document, return (id, n_hit_grams) — the count of its
+    * distinct contaminated grams. Documents shorter than n words
+    * participate as one whole-text gram (same fallback as
+    * `ShingleHashSet`).
+    *
+    * Scale shape: an eval/benchmark set is small by construction, so its
+    * distinct gram fingerprints (8 bytes each) are BROADCAST; the corpus
+    * side is a map-side kernel + explode + broadcast-hash semi-filter —
+    * the corpus text is never exchanged, and the only shuffle is the
+    * per-id count over the (small) matched subset. The inner join is
+    * exact on 64-bit gram hashes; a cross-gram collision is a ~2^-64
+    * event the oracle's string-equality check would surface.
+    */
+  def contaminationHits(corpus: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(shingleHashSet(col(textCol), n)).as("__g"))
+      .distinct()
+    val corpusGrams = graft.GraftSession.fanout(corpus)
+      .select(col(idCol), explode(shingleHashSet(col(textCol), n)).as("__g"))
+    corpusGrams.join(broadcast(benchGrams), "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
   /** Connected components over a near-dup pair list by iterative
     * min-label propagation (Pregel-lite on DataFrames): every node
     * adopts the smallest id reachable through its edges until fixpoint.

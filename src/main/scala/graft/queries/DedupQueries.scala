@@ -63,6 +63,19 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Benchmark decontamination: docs sharing any 8-gram with the
+    // held-out benchmark slice (doc_id % 10 == 0), with the count of
+    // distinct offending grams. Bench fingerprints broadcast; corpus
+    // text never shuffled.
+    "q59_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationHits(
+          corpus = d.filter(col("doc_id") % 10 =!= 0),
+          bench = d.filter(col("doc_id") % 10 === 0),
+          idCol = "doc_id", textCol = "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // Near-dup clusters: LSH pairs → connected components → the
     // representative (min id) a dedup pass would keep per cluster.
     "q43_neardup_components" -> ((s, dir) => {
@@ -99,6 +112,20 @@ object DedupQueries {
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.3 ORDER BY 1,2""".stripMargin),
     // q26_simhash_neardup: intentionally no oracle (engine-internal hashes).
+    "q59_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | g AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+        |      list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))
+        |    ELSE [array_to_string(w, ' ')] END AS gs
+        |  FROM t),
+        | bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 0),
+        | corpus AS (
+        |  SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g
+        |  WHERE doc_id % 10 <> 0)
+        |SELECT c.doc_id, COUNT(*) AS n_hit_grams
+        |FROM corpus c JOIN bench b ON c.gram = b.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q43_neardup_components" -> (shingleCte.replace("WITH t", "WITH RECURSIVE t") +
       """
         |, p AS (

@@ -98,7 +98,22 @@ object TextQueries {
     // the oracle default. `lengthQuantiles(_, approx = true)` is the
     // 100 TB path (see its doc); its error contract is pinned in
     // TextFunctionsSpec.
-    "q46_length_quantiles" -> ((s, dir) => lengthQuantiles(docs(s, dir), approx = false))
+    "q46_length_quantiles" -> ((s, dir) => lengthQuantiles(docs(s, dir), approx = false)),
+
+    // Gopher-style repetition filters: duplicate-word fraction and
+    // most-frequent-bigram fraction, both from ONE RepetitionStats
+    // kernel pass per document — no per-gram explode, no shuffle of
+    // gram rows (the formulation a naive groupBy(doc, gram) would pay
+    // corpus-wide at 100 TB).
+    "q60_repetition" -> ((s, dir) => {
+      val stats = graft.expressions.TextOps.repetitionStats(col("text"))
+      docs(s, dir)
+        .withColumn("__r", stats)
+        .select(col("doc_id"),
+          round(element_at(col("__r"), 1), 6).as("dup_word_frac"),
+          round(element_at(col("__r"), 2), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Per-language length quantiles. `approx = false` uses exact
@@ -125,6 +140,22 @@ object TextQueries {
     s"CAST(len(regexp_extract_all(lower(text), '\\b(${markers.toMap.apply(lg).mkString("|")})\\b')) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q60_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | base AS (
+        |  SELECT doc_id, len(w) AS nw,
+        |    CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac
+        |  FROM t),
+        | g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM t WHERE len(w) >= 2),
+        | counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1,2),
+        | topg AS (SELECT doc_id, MAX(c) AS mc FROM counts GROUP BY 1)
+        |SELECT b.doc_id, ROUND(b.dup_word_frac, 6) AS dup_word_frac,
+        |  ROUND(COALESCE(CAST(t2.mc AS DOUBLE) / (b.nw - 1), 0.0), 6) AS top_bigram_frac
+        |FROM base b LEFT JOIN topg t2 ON b.doc_id = t2.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q27_lang_id" ->
       s"""WITH sc AS (
          |  SELECT doc_id, lang,

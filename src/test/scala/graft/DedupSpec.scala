@@ -89,6 +89,25 @@ class DedupSpec extends SparkSpec {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("contaminationHits finds exactly the docs sharing an n-gram with the benchmark") {
+    // doc 1 (bench) and doc 2 (corpus) are 10 words differing only in
+    // the last → their first two 8-grams coincide; docs 3/4 share none.
+    val bench = docsDf.filter(col("doc_id") === 1)
+    val corpus = docsDf.filter(col("doc_id") =!= 1)
+    val out = Dedup.contaminationHits(corpus, bench, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(out === Array((2L, 2L)))
+    // A doc shorter than n words participates as one whole-text gram:
+    // an exact copy of it in the corpus is flagged with one hit.
+    val shortDocs = Seq((10L, "tiny doc"), (11L, "tiny doc"), (12L, "other words"))
+      .toDF("doc_id", "text")
+    val shortOut = Dedup.contaminationHits(
+        shortDocs.filter(col("doc_id") =!= 10), shortDocs.filter(col("doc_id") === 10),
+        "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect()
+    assert(shortOut === Array((11L, 1L)))
+  }
+
   test("salting does not change blockedJaccardPairs results") {
     val r1 = Dedup.blockedJaccardPairs(docsDf, "doc_id", "text", Seq("lang"),
       threshold = 0.1, saltBuckets = 1).as[(Long, Long, Double)].collect().toSet

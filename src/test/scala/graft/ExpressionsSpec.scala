@@ -112,4 +112,20 @@ class ExpressionsSpec extends SparkSpec {
     val out = df.select(ArrayOps.cosineSim($"a", $"b")).collect()
     assert(out.head.isNullAt(0))
   }
+
+  test("RepetitionStats: hand-computed fractions and string_split edge semantics") {
+    import graft.expressions.TextOps
+    val rows = Seq(
+      "a b a b a",      // 5 words, 2 distinct → dup 3/5; bigrams ab,ba,ab,ba → top 2/4
+      "x",              // single word: dup 0, no bigrams → 0
+      "",               // string_split('') = [''] → 1 (empty) word
+      "w w w w")        // dup 3/4; bigrams ww ×3 → top 3/3
+      .toDF("text")
+    val out = rows.select(TextOps.repetitionStats($"text").as("r"))
+      .collect().map(r => r.getSeq[Double](0))
+    assert(out(0) === Seq(0.6, 0.5))
+    assert(out(1) === Seq(0.0, 0.0))
+    assert(out(2) === Seq(0.0, 0.0))
+    assert(out(3) === Seq(0.75, 1.0))
+  }
 }
