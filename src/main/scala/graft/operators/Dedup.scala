@@ -144,19 +144,23 @@ object Dedup {
     * Returns (doc_id, rep_id) for every node that appears in a pair;
     * rep_id = the component minimum, i.e. the row a dedup keeps.
     *
-    * Scale: each iteration is one self-join + min-aggregate shuffle on
-    * narrow (node, label) pairs; iteration count is the component
-    * diameter in hops (near-dup clusters are tiny — a handful of
-    * rounds). The driver-side convergence check is one count per round,
-    * not a data collect.
+    * Scale: each iteration is one edge join + min-aggregate plus one
+    * pointer-jumping join, all on narrow (node, label) pairs; the
+    * jumping makes the round count O(log diameter), so even chain-shaped
+    * components converge in a handful of shuffles. The driver-side
+    * convergence check is one count per round, not a data collect.
     */
   def nearDupComponents(pairs: DataFrame, aCol: String = "id_a",
                         bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
-    // Materialize the edge list once — every iteration (and its
-    // convergence count) re-reads it, and recomputing the upstream
-    // pair-detection pipeline per round would dominate.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Materialize the PAIR list before mirroring it: the union's two
+    // branches would otherwise each recompute the whole upstream
+    // pair-detection pipeline (an O(n²) cartesian for exact cosine
+    // pairs) — checkpoint first so it runs exactly once. The mirrored
+    // edge list is checkpointed too: every iteration (and its
+    // convergence count) re-reads it.
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(eager = true)
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("node"))
@@ -169,15 +173,27 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min("label").as("nb_label"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.node") === col("l.node"))
-        .filter(col("u.label") =!= col("l.label"))
-        .count()
-      labels = updated.localCheckpoint(eager = true) // truncate the iterative lineage
-      converged = changed == 0
+      val propagated = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("old"), coalesce(col("nb_label"), col("old"))).as("mid"))
+      // Pointer jumping (path halving): label := label(label). Labels
+      // only ever decrease and stay inside the component, so correctness
+      // is unchanged, but rounds drop from O(diameter) to O(log
+      // diameter) — a 22-hop chain (observed in the sf0.1 embedding
+      // graph) converges in ~6 rounds instead of ~22, which is both the
+      // local wall-clock and the number-of-shuffles story at scale.
+      val jumped = propagated
+        .join(propagated.select(col("node").as("mid"), col("mid").as("ll")),
+          Seq("mid"), "left")
+        .select(col("node"), col("old"),
+          least(col("mid"), coalesce(col("ll"), col("mid"))).as("label"))
+      // ONE materialization per round: the convergence count reads the
+      // checkpointed partitions instead of re-running the round's joins.
+      val mat = jumped.withColumn("__changed", col("label") =!= col("old"))
+        .localCheckpoint(eager = true) // also truncates the iterative lineage
+      converged = mat.filter(col("__changed")).limit(1).count() == 0
+      labels = mat.select("node", "label")
       iter += 1
     }
     if (!converged)

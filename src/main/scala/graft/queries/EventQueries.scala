@@ -74,6 +74,11 @@ object EventQueries {
     "q42_stream_dedup_watermark" -> ((s, dir) =>
       EventStreams.dedupWithinWatermarkCounts(s, dir)),
 
+    // Structured Streaming: watermarked stream-stream interval join
+    // (clicks × same-user purchases within the preceding hour).
+    "q61_stream_interval_join" -> ((s, dir) =>
+      EventStreams.streamIntervalJoinPairs(s, dir)),
+
     // Multimodal frame sampling: chunk binary payloads into fixed-size
     // frames, keep every 2nd (UDTF-shaped explode, fully oracle-checked
     // on frame content via md5).
@@ -214,6 +219,14 @@ object EventQueries {
         |FROM f ORDER BY 1,2""".stripMargin,
     "q39_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q61_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts - INTERVAL '1 hour'
+        | AND p.ts <= c.ts
+        |ORDER BY 1, 2""".stripMargin
   )
 }

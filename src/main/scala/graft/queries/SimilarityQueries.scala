@@ -25,6 +25,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Embedding near-dup END-TO-END: cosine pairs → connected components
+    // → the representative a dedup pass keeps (the full embedding-based
+    // dedup flow, composing the pair machinery with min-label
+    // propagation). At scale the pair stage is rhpCosinePairs; the
+    // component/representative stages are identical.
+    "q62_embed_neardup_reps" -> ((s, dir) => {
+      val pairs = Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4)
+      graft.operators.Dedup.nearDupComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("rep_id"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding near-dup pairs above a cosine threshold.
     "q32_cosine_pairs" -> ((s, dir) => {
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
@@ -83,6 +96,24 @@ object SimilarityQueries {
         |SELECT id_a, id_b, ROUND(sim, 6) AS sim
         |FROM p WHERE sim >= 0.4 ORDER BY 1,2""".stripMargin,
     // q33_ivf_ann, q49_rhp_pairs: intentionally no oracle (approximate).
+    "q62_embed_neardup_reps" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e0 a CROSS JOIN e0 b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.v, b.v) >= 0.4),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |       UNION SELECT id_b, id_a FROM p),
+        | reach AS (
+        |  SELECT src AS node, dst AS peer FROM e
+        |  UNION
+        |  SELECT node, e.dst FROM reach JOIN e ON reach.peer = e.src
+        |  WHERE e.dst <> reach.node)
+        |SELECT node AS vec_id,
+        |  LEAST(node, MIN(peer)) AS rep_id
+        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
     "q50_topk_aggregator" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),

@@ -102,6 +102,35 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Watermarked stream-stream interval join: each click paired with the
+    * same user's purchases in the hour before it. The two-sided
+    * event-time bound in the join condition is what lets the engine
+    * expire buffered rows: a purchase can be dropped from state once the
+    * click watermark passes purchase_ts + 1h, and vice versa — without
+    * it a stream-stream join buffers both streams forever. On the
+    * bounded single-batch drain the inner join equals the batch
+    * inequality join, which is the oracle.
+    */
+  def streamIntervalJoinPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = readEventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = readEventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+    runToMemory(joined.select(col("click_id"), col("purchase_id"), col("user_id")),
+        OutputMode.Append())
+      .orderBy("click_id", "purchase_id")
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
 

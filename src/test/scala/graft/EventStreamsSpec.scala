@@ -15,6 +15,44 @@ class EventStreamsSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  test("stream-stream interval join expires buffered state behind the watermark") {
+    implicit val sq = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val buysIn = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = clicksIn.toDF().toDF("click_id", "user_id", "click_ts")
+      .withWatermark("click_ts", "5 minutes")
+    val buys = buysIn.toDF().toDF("purchase_id", "p_user_id", "purchase_ts")
+      .withWatermark("purchase_ts", "5 minutes")
+    val joined = clicks.join(buys,
+      $"user_id" === $"p_user_id" &&
+        $"purchase_ts" >= $"click_ts" - expr("INTERVAL 10 MINUTES") &&
+        $"purchase_ts" <= $"click_ts")
+      .select($"click_id", $"purchase_id")
+
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssjoin_test").start()
+    try {
+      // Batch 1: purchase at 10:01; click at 10:05 matches (within 10 min).
+      buysIn.addData((100L, 1L, ts(1)))
+      clicksIn.addData((200L, 1L, ts(5)))
+      q.processAllAvailable()
+      // Batch 2: advance both watermarks far past 10:01 + 10 min.
+      clicksIn.addData((201L, 2L, Timestamp.valueOf("2026-01-01 11:30:00")))
+      buysIn.addData((101L, 2L, Timestamp.valueOf("2026-01-01 11:29:00")))
+      q.processAllAvailable()
+      // Batch 3: a click that WOULD match the 10:01 purchase arrives
+      // late — the purchase's buffered row is expired, no pair emitted.
+      clicksIn.addData((202L, 1L, ts(8)))
+      q.processAllAvailable()
+
+      val pairs = spark.table("ssjoin_test")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((200L, 100L)) && pairs.contains((201L, 101L)))
+      assert(!pairs.contains((202L, 100L)),
+        "join state for the 10:01 purchase should have been expired by the watermark")
+    } finally q.stop()
+  }
+
   test("append-mode windowed agg drops events later than the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
