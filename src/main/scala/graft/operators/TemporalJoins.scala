@@ -48,6 +48,18 @@ object TemporalJoins {
                    rightCols: Seq[String], rightTiebreak: String,
                    strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Misuse fails at plan time with a named column, not with a
+    // duplicate-column result or a resolution error deep in the union.
+    val missingL = (keyCols :+ leftTime).filterNot(left.columns.contains)
+    val missingR = (keyCols ++ rightCols :+ rightTime :+ rightTiebreak)
+      .distinct.filterNot(right.columns.contains)
+    require(missingL.isEmpty && missingR.isEmpty,
+      s"asofBackward: missing columns — left: ${missingL.mkString(",")} " +
+        s"right: ${missingR.mkString(",")}")
+    val collisions = rightCols.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"asofBackward: rightCols ${collisions.mkString(",")} already exist on " +
+        "the left side — rename the payload columns before joining")
     // At equal time the probe must sort AFTER builds to see them (>=
     // semantics) and BEFORE builds to not see them (strict >).
     val (buildSide, probeSide) = if (strict) (1, 0) else (0, 1)
@@ -96,6 +108,16 @@ object TemporalJoins {
                       startCol: String, endCol: String,
                       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"pointInInterval: binSeconds must be > 0, got $binSeconds")
+    val missingP = (keyCols :+ pointTime).filterNot(points.columns.contains)
+    val missingI = (keyCols :+ startCol :+ endCol).filterNot(intervals.columns.contains)
+    require(missingP.isEmpty && missingI.isEmpty,
+      s"pointInInterval: missing columns — points: ${missingP.mkString(",")} " +
+        s"intervals: ${missingI.mkString(",")}")
+    val dupCols = intervals.columns.filterNot(keyCols.contains)
+      .filter(points.columns.filterNot(keyCols.contains).contains(_))
+    require(dupCols.isEmpty,
+      s"pointInInterval: non-key columns ${dupCols.mkString(",")} exist on both " +
+        "sides — rename before joining so the output is unambiguous")
     val binMicros = binSeconds * 1000000L
     // Bin id = the bin's start micros (us - us mod width): pure long
     // arithmetic, exact for every timestamp — a float or truncating-div

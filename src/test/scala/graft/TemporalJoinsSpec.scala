@@ -83,6 +83,23 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!brute.exists(_._2 == 13L))
   }
 
+  test("misuse fails at plan time with a named column") {
+    val eL = intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackward(probeDf, buildDf, Seq("k"), "t", "t",
+        rightCols = Seq("t"), rightTiebreak = "bid") // 't' exists on the left
+    }
+    assert(eL.getMessage.contains("already exist on"))
+    val eM = intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackward(probeDf, buildDf, Seq("nope"), "t", "t",
+        Seq("bid"), "bid")
+    }
+    assert(eM.getMessage.contains("nope"))
+    val eP = intercept[IllegalArgumentException] {
+      TemporalJoins.pointInInterval(probeDf, buildDf, Seq("k"), "t", "t", "t", 10L)
+    }
+    assert(eP.getMessage.contains("exist on both"))
+  }
+
   test("pointInInterval bins pre-1970 timestamps correctly (floor, not truncate)") {
     val points = Seq(("a", 1L, -50L)).toDF("k", "pid", "sec")
       .select(col("k"), col("pid"), timestamp_seconds(col("sec")).as("pt"))
