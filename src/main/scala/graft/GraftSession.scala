@@ -61,6 +61,12 @@ object GraftSession {
   def fanout(df: DataFrame): DataFrame = {
     val target =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // Partition count from the INITIAL physical plan, not df.rdd: under
+    // AQE, materializing the adaptive RDD finalizes the plan and RUNS
+    // any upstream shuffle stages just to read a number — work the later
+    // real action would then redo. sparkPlan.execute() only builds the
+    // lazy RDD lineage; no job is submitted.
+    val parts = df.queryExecution.sparkPlan.execute().getNumPartitions
+    if (parts >= target) df else df.repartition(target)
   }
 }

@@ -68,10 +68,15 @@ object Similarity {
     */
   def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, maxRows: Long = 2000000L): DataFrame = {
-    val n = corpus.count()
-    require(n <= maxRows,
-      s"cosinePairs is EXACT all-pairs: O(n²) = ${n}² comparisons exceeds the " +
-        s"maxRows=$maxRows guard. Use Similarity.rhpCosinePairs (LSH candidates " +
+    // Bounded-size guard that stays O(maxRows), not O(corpus): a plain
+    // count() would be a full extra pass over the corpus just to
+    // validate; limit(maxRows+1) short-circuits as soon as the cap is
+    // provably exceeded.
+    val overCap =
+      corpus.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count() > maxRows
+    require(!overCap,
+      s"cosinePairs is EXACT all-pairs: O(n²) comparisons on > $maxRows rows " +
+        "exceeds the guard. Use Similarity.rhpCosinePairs (LSH candidates " +
         "+ exact verify) for corpora this large, or raise maxRows deliberately.")
     val a = fanout(corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va")))
     val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))

@@ -72,7 +72,14 @@ object TemporalJoins {
         lit(null).cast("bigint").as("__tb"),
         struct(left.columns.map(col): _*).as("__lrow"),
         lit(null).cast(payType).as("__pay")): _*)
-    val build = right.select(
+    // SQL join semantics: a NULL key or NULL time on the build side can
+    // never satisfy `l.key = r.key AND l.t >= r.t`, but partitionBy
+    // groups NULL keys and ascending sort puts NULL times first — both
+    // would fabricate matches. Drop such build rows; NULL-key/time PROBE
+    // rows stay and come out unmatched (left-outer), matching DuckDB.
+    val buildClean = (keyCols :+ rightTime)
+      .foldLeft(right)((df, c) => df.filter(col(c).isNotNull))
+    val build = buildClean.select(
       keyCols.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(buildSide).as("__side"),
         col(rightTiebreak).cast("bigint").as("__tb"),

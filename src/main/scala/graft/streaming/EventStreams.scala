@@ -143,28 +143,36 @@ object EventStreams {
   private[graft] val sessionGapMicros = 30L * 60 * 1000000
 
   /** Advance an O(1) session state by one batch of timestamps.
-    * The batch is sorted (a per-batch working set, NOT carried state);
-    * in-order events follow the exact 30-min-gap rule. A cross-batch
-    * late event (t <= lastTs, i.e. older than something already folded)
-    * can no longer split or bridge history retroactively — it is counted
-    * into n_events and, if it precedes the current session by more than
-    * the gap, as one extra (conservative) session. The watermark bounds
-    * how late that can happen, exactly like the built-in session_window.
+    * The batch is sorted (a per-batch working set, NOT carried state).
+    * An event joins an existing session when it is within the gap of ANY
+    * known neighbor: its sorted in-batch predecessor, or the carried
+    * lastTs (in either direction). In-order batches therefore follow the
+    * exact 30-min-gap rule (the predecessor dominates lastTs), and a
+    * late burst sessionizes among itself instead of each late event
+    * counting separately against the newer lastTs. What the O(1) state
+    * cannot reconstruct is an earlier-batch event bridging a late
+    * cluster to history, so such a cluster counts as at most ONE extra
+    * (conservative) session. The watermark bounds how late that can
+    * happen, exactly like the built-in session_window.
     */
   private[graft] def foldSession(prev: Option[SessState], batchTs: Array[Long]): SessState = {
     java.util.Arrays.sort(batchTs)
     var st = prev.getOrElse(SessState(Long.MinValue, 0L, 0L))
+    var prevInBatch = Long.MinValue
     var i = 0
     while (i < batchTs.length) {
       val t = batchTs(i)
-      // Sentinel check, NOT `t - last` on the seed: subtracting
+      // Sentinel checks, NOT `t - x` on the seed: subtracting
       // Long.MinValue overflows and would miss the first session.
-      val newSession = st.lastTs == Long.MinValue ||
-        math.abs(t - st.lastTs) > sessionGapMicros
+      val nearPrev = prevInBatch != Long.MinValue &&
+        t - prevInBatch <= sessionGapMicros
+      val nearLast = st.lastTs != Long.MinValue &&
+        math.abs(t - st.lastTs) <= sessionGapMicros
       st = SessState(
         lastTs = math.max(st.lastTs, t),
-        nSessions = st.nSessions + (if (newSession) 1 else 0),
+        nSessions = st.nSessions + (if (nearPrev || nearLast) 0 else 1),
         nEvents = st.nEvents + 1)
+      prevInBatch = t
       i += 1
     }
     st

@@ -147,6 +147,14 @@ class EventStreamsSpec extends SparkSpec {
     // its own (conservative) session — history is never re-split
     val e = foldSession(Some(a), Array(-10 * gap))
     assert(e === SessState(3 * gap, 3L, 4L))
+    // a LATE BURST (three events 1s apart, far in the past) sessionizes
+    // among itself: ONE extra session, not one per event
+    val f = foldSession(Some(a), Array(-10 * gap, -10 * gap + 1000L, -10 * gap + 2000L))
+    assert(f === SessState(3 * gap, 3L, 6L))
+    // a late event bridged to history only through the newer lastTs
+    // still joins the current session (within the gap of lastTs)
+    val g = foldSession(Some(a), Array(3 * gap - 1000L))
+    assert(g === SessState(3 * gap, 2L, 4L))
   }
 
   test("sessionization frees state via event-time timeout; late key restarts an epoch") {

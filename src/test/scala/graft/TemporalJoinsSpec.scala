@@ -83,6 +83,28 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!brute.exists(_._2 == 13L))
   }
 
+  test("asofBackward: NULL build keys/times never match; NULL probes come out unmatched") {
+    val nullBuild = Seq(
+      (Some("a"), Some(90L), 11L), (Some("a"), None, 66L), (None, Some(95L), 77L))
+      .toDF("k", "sec", "bid")
+      .select(col("k"), when(col("sec").isNotNull, timestamp_seconds(col("sec"))).as("t"),
+        col("bid"))
+    val nullProbe = Seq((1L, Some("a"), Some(100L)), (2L, None, Some(100L)),
+        (3L, Some("a"), None))
+      .toDF("id", "k", "sec")
+      .select(col("id"), col("k"),
+        when(col("sec").isNotNull, timestamp_seconds(col("sec"))).as("t"))
+    val out = TemporalJoins.asofBackward(nullProbe, nullBuild,
+        Seq("k"), "t", "t", Seq("bid"), "bid")
+      .select("id", "bid").orderBy("id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // id1 matches ONLY the non-null build row (bid 11) — the null-time
+    // bid 66 and null-key bid 77 rows can never match; id2 (null key)
+    // and id3 (null time) are kept, unmatched — DuckDB ASOF LEFT JOIN
+    // semantics.
+    assert(out === Array((1L, 11L), (2L, -1L), (3L, -1L)))
+  }
+
   test("misuse fails at plan time with a named column") {
     val eL = intercept[IllegalArgumentException] {
       TemporalJoins.asofBackward(probeDf, buildDf, Seq("k"), "t", "t",
