@@ -314,6 +314,41 @@ object RelationalQueries {
           |FROM docs_v ORDER BY doc_id""".stripMargin)
     }),
 
+    // Bucketed co-located join: both sides persisted bucketed+sorted on
+    // the key, so the join plans with NO exchange and no sort — the
+    // pay-the-shuffle-once-at-write-time strategy for repeatedly-joined
+    // 100 TB fact tables (BucketingSpec asserts the zero-Exchange plan;
+    // here the RESULT is under the hash gate). Broadcast is disabled for
+    // the join so the bucket layout, not a broadcast, replaces the
+    // exchange — the plan shape that matters when neither side fits in
+    // memory. The merge hint (not a session-conf flip, which a lazy
+    // DataFrame would outlive) pins the sort-merge path the buckets
+    // accelerate.
+    "q63_bucketed_join" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS bq_lineitem")
+      s.sql("DROP TABLE IF EXISTS bq_orders")
+      // a previous JVM's managed-table dirs survive the in-memory catalog
+      Seq("bq_lineitem", "bq_orders").foreach { t =>
+        val d = new java.io.File(s"spark-warehouse/$t")
+        if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+      }
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("bq_lineitem")
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("bq_orders")
+      s.table("bq_lineitem").hint("merge")
+        .join(s.table("bq_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS).
     "q21_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -470,6 +505,11 @@ object RelationalQueries {
         |  FROM documents)
         |SELECT doc_id, fp, CAST(n_shingles AS INTEGER) AS n_shingles
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q63_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_semi_anti" ->
       """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000.0)
         |SELECT 'has_big_order' AS tag, c_custkey FROM customer

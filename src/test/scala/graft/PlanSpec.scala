@@ -97,6 +97,16 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q63 bucketed join plans with no Exchange (bucket layout replaces the shuffle)") {
+    val p = planOf("q63_bucketed_join")
+    // The only exchange allowed is the final single-partition sort for
+    // the ORDER BY; the JOIN itself must read the bucket layout.
+    val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      "bucketed join still shuffles on the key:\n" + p.take(3000))
+    assert(p.contains("Bucketed: true"), p.take(3000))
+  }
+
   test("fanout is a no-op on inputs that are already well split") {
     import spark.implicits._
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
