@@ -59,14 +59,32 @@ object GraftSession {
     * the whole corpus through the shuffle for nothing).
     */
   def fanout(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, SubqueryAlias}
     val target =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // Partition count from the INITIAL physical plan, not df.rdd: under
-    // AQE, materializing the adaptive RDD finalizes the plan and RUNS
-    // any upstream shuffle stages just to read a number — work the later
-    // real action would then redo. sparkPlan.execute() only builds the
-    // lazy RDD lineage; no job is submitted.
-    val parts = df.queryExecution.sparkPlan.execute().getNumPartitions
-    if (parts >= target) df else df.repartition(target)
+    // Only narrow scan chains (leaf + project/filter) are probed: their
+    // physical plan has no exchanges, so building the lazy RDD lineage
+    // to read the partition count submits no job — whereas df.rdd under
+    // AQE would RUN upstream shuffles, and the UNPREPARED sparkPlan of a
+    // join crashes outright (missing BroadcastExchange / unequal zip
+    // partitions). Anything else has a shuffle in its lineage and is
+    // already split to the session's shuffle-partition count — adding a
+    // repartition there would be the gratuitous full exchange this
+    // helper exists to avoid.
+    def narrowScan(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      // coalesce()/repartition() chains are still probe-safe (their RDD
+      // builds lazily) and a coalesced input is exactly the under-split
+      // shape fanout exists to fix.
+      case n @ (_: Project | _: Filter | _: SubqueryAlias |
+                _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation) =>
+        narrowScan(n.children.head)
+      case _ => false
+    }
+    if (!narrowScan(df.queryExecution.optimizedPlan)) df
+    else {
+      val parts = df.queryExecution.sparkPlan.execute().getNumPartitions
+      if (parts >= target) df else df.repartition(target)
+    }
   }
 }

@@ -71,9 +71,12 @@ object Similarity {
     // Bounded-size guard that stays O(maxRows), not O(corpus): a plain
     // count() would be a full extra pass over the corpus just to
     // validate; limit(maxRows+1) short-circuits as soon as the cap is
-    // provably exceeded.
+    // provably exceeded. limit() caps at Int.MaxValue, so a larger
+    // maxRows (already an absurd cap for an O(n²) operator) falls back
+    // to the full count rather than silently never firing.
     val overCap =
-      corpus.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count() > maxRows
+      if (maxRows >= Int.MaxValue - 1L) corpus.count() > maxRows
+      else corpus.limit(maxRows.toInt + 1).count() > maxRows
     require(!overCap,
       s"cosinePairs is EXACT all-pairs: O(n²) comparisons on > $maxRows rows " +
         "exceeds the guard. Use Similarity.rhpCosinePairs (LSH candidates " +

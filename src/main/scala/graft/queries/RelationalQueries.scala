@@ -325,21 +325,12 @@ object RelationalQueries {
     // DataFrame would outlive) pins the sort-merge path the buckets
     // accelerate.
     "q63_bucketed_join" -> ((s, dir) => {
-      s.sql("DROP TABLE IF EXISTS bq_lineitem")
-      s.sql("DROP TABLE IF EXISTS bq_orders")
-      // a previous JVM's managed-table dirs survive the in-memory catalog
-      Seq("bq_lineitem", "bq_orders").foreach { t =>
-        val d = new java.io.File(s"spark-warehouse/$t")
-        if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
-      }
-      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
-        .write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("bq_lineitem")
-      t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
-        .write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("bq_orders")
+      graft.Bucketing.recreateBucketedTable(
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "bq_lineitem", buckets = 8, key = "l_orderkey")
+      graft.Bucketing.recreateBucketedTable(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "bq_orders", buckets = 8, key = "o_orderkey")
       s.table("bq_lineitem").hint("merge")
         .join(s.table("bq_orders").hint("merge"),
           col("l_orderkey") === col("o_orderkey"))

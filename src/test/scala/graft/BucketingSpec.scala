@@ -10,26 +10,14 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
 
   test("join of two tables bucketed on the key plans without Exchange") {
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    // a previous JVM's managed-table dirs survive the in-memory catalog
-    Seq("b_lineitem", "b_orders").foreach { t =>
-      val d = new java.io.File(s"spark-warehouse/$t")
-      if (d.exists()) {
-        d.listFiles().foreach(_.delete()); d.delete()
-      }
-    }
-
-    Tables.load(spark, sfDir, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("b_lineitem")
-    Tables.load(spark, sfDir, "orders")
-      .select("o_orderkey", "o_orderstatus")
-      .write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("b_orders")
+    Bucketing.recreateBucketedTable(
+      Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      "b_lineitem", buckets = 8, key = "l_orderkey")
+    Bucketing.recreateBucketedTable(
+      Tables.load(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus"),
+      "b_orders", buckets = 8, key = "o_orderkey")
 
     // At this tiny SF the planner would pick broadcast (which bypasses
     // bucketing entirely); force the shuffle-join path — the one that

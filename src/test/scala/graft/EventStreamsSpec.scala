@@ -151,10 +151,11 @@ class EventStreamsSpec extends SparkSpec {
     // among itself: ONE extra session, not one per event
     val f = foldSession(Some(a), Array(-10 * gap, -10 * gap + 1000L, -10 * gap + 2000L))
     assert(f === SessState(3 * gap, 3L, 6L))
-    // a late event bridged to history only through the newer lastTs
-    // still joins the current session (within the gap of lastTs)
-    val g = foldSession(Some(a), Array(3 * gap - 1000L))
-    assert(g === SessState(3 * gap, 2L, 4L))
+    // an event far from its in-batch predecessor but within the gap of
+    // the carried lastTs joins the current session — the nearLast
+    // disjunct specifically (prevInBatch is set and far away here)
+    val g = foldSession(Some(a), Array(-10 * gap, 3 * gap - 1000L))
+    assert(g === SessState(3 * gap, 3L, 5L))
   }
 
   test("sessionization frees state via event-time timeout; late key restarts an epoch") {

@@ -101,6 +101,7 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q63_bucketed_join")
     // The only exchange allowed is the final single-partition sort for
     // the ORDER BY; the JOIN itself must read the bucket layout.
+    assert(p.contains("SortMergeJoin"), "merge-hinted join missing:\n" + p.take(3000))
     val joinSection = p.substring(p.indexOf("SortMergeJoin"))
     assert(!joinSection.contains("Exchange hashpartitioning"),
       "bucketed join still shuffles on the key:\n" + p.take(3000))
@@ -115,5 +116,12 @@ class PlanSpec extends SparkSpec {
     assert(GraftSession.fanout(df).rdd.getNumPartitions === target * 2)
     val narrow = (1 to 1000).toDF("x").coalesce(1)
     assert(GraftSession.fanout(narrow).rdd.getNumPartitions === target)
+    // A frame with a join/aggregate in its lineage must pass through
+    // untouched (its shuffle already split it) — and must not crash on
+    // the unprepared physical plan (missing BroadcastExchange).
+    val joined = (1 to 100).toDF("x")
+      .join((1 to 100).toDF("x"), "x")
+      .groupBy("x").count()
+    assert(GraftSession.fanout(joined) eq joined)
   }
 }

@@ -33,7 +33,8 @@ class SkewJoinSpec extends SparkSpec {
       // and leave the join's adaptive plan unfinalized).
       val n = joined.collect().length.toLong
       val plan = joined.queryExecution.executedPlan.toString
-      assert(n === 200000L - facts.filter($"k" > 49).count(), s"rows=$n")
+      // every fact key (0..6 and 42) is inside dims' 0..49 → all match
+      assert(n === 200000L, s"rows=$n")
       assert(plan.contains("skew=true"),
         "AQE did not mark the hot partition as skewed:\n" + plan.take(3000))
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
