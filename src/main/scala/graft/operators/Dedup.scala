@@ -144,22 +144,37 @@ object Dedup {
     * Returns (doc_id, rep_id) for every node that appears in a pair;
     * rep_id = the component minimum, i.e. the row a dedup keeps.
     *
-    * Scale: each iteration is one edge join + min-aggregate plus one
-    * pointer-jumping join, all on narrow (node, label) pairs; the
-    * jumping makes the round count O(log diameter), so even chain-shaped
-    * components converge in a handful of shuffles. The driver-side
-    * convergence check is one count per round, not a data collect.
+    * Scale: edge lists at or under `maxDriverEdges` run a sequential
+    * union-find on the driver (broadcast-threshold reasoning — one
+    * bounded collect beats any number of shuffle rounds); larger lists
+    * run the distributed loop, where each iteration is one edge join +
+    * min-aggregate plus one pointer-jumping join, all on narrow
+    * (node, label) pairs, converging in O(log diameter) rounds. The
+    * loop's convergence check is one count per round, not a data
+    * collect.
     */
   def nearDupComponents(pairs: DataFrame, aCol: String = "id_a",
-                        bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+                        bCol: String = "id_b", maxIter: Int = 20,
+                        maxDriverEdges: Long = 1000000L): DataFrame = {
     // Materialize the PAIR list before mirroring it: the union's two
     // branches would otherwise each recompute the whole upstream
     // pair-detection pipeline (an O(n²) cartesian for exact cosine
-    // pairs) — checkpoint first so it runs exactly once. The mirrored
-    // edge list is checkpointed too: every iteration (and its
-    // convergence count) re-reads it.
+    // pairs) — checkpoint first so it runs exactly once.
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint(eager = true)
+
+    // Near-dup pair lists are tiny relative to the corpus they came
+    // from (they ARE the anomaly being hunted). Below `maxDriverEdges`
+    // — the same reasoning as a broadcast-join threshold — a sequential
+    // union-find on the driver is O(E α(E)) in one collect, versus
+    // O(log diameter) full shuffle rounds for the distributed loop.
+    // Above it, the distributed min-label loop below handles edge lists
+    // that cannot sit on the driver. Both paths produce identical
+    // output (DedupSpec pins it).
+    if (p.count() <= maxDriverEdges) return driverUnionFind(p)
+
+    // The mirrored edge list is checkpointed too: every iteration (and
+    // its convergence count) re-reads it.
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(eager = true)
@@ -201,6 +216,36 @@ object Dedup {
         s"nearDupComponents did not converge in $maxIter rounds — component " +
           "diameter exceeds maxIter; raise it (labels would be silently wrong)")
     labels.select(col("node").as("doc_id"), col("label").as("rep_id"))
+  }
+
+  /** Path-compressed, rank-free union-find over a collected edge list,
+    * rooting every node at its component MINIMUM (union always keeps
+    * the smaller id as root, so find() lands on the min directly —
+    * same contract as the distributed loop).
+    */
+  private def driverUnionFind(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val edges = p.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.toSeq.sorted
+      .map(n => (n, find(n)))
+      .toDF("doc_id", "rep_id")
   }
 
   /** 64-bit SimHash fingerprints via the fused `SimHash64` kernel: a

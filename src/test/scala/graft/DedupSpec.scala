@@ -89,6 +89,18 @@ class DedupSpec extends SparkSpec {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupComponents: driver union-find and distributed loop agree") {
+    // chain 1-2-3-4 + isolated pair (10,11): two components, min reps.
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val expected = Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L))
+    val driver = Dedup.nearDupComponents(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val distributed = Dedup.nearDupComponents(pairs, maxDriverEdges = 0L)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(driver === expected)
+    assert(distributed === expected)
+  }
+
   test("contaminationHits finds exactly the docs sharing an n-gram with the benchmark") {
     // doc 1 (bench) and doc 2 (corpus) are 10 words differing only in
     // the last → their first two 8-grams coincide; docs 3/4 share none.
