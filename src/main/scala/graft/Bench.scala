@@ -30,6 +30,16 @@ object Bench {
     try SparkEntry.queries("q12_star_revenue")(spark, "/root/testdata/sf0.001")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Same for the CSV datasource and file-committer classes (~3 s of
+    // one-time class-loading/codegen otherwise attributed to the first
+    // CSV-reading query, q44 — the baseline-comparable number).
+    try {
+      val wdir = java.nio.file.Files.createTempDirectory("graft_bench_warm")
+      val f = wdir.resolve("warm.csv")
+      java.nio.file.Files.writeString(f, "a,b\n1,x\n2,y\n")
+      spark.read.option("header", "true").csv(f.toString)
+        .write.mode("overwrite").parquet(wdir.resolve("out").toString)
+    } catch { case _: Throwable => () }
 
     // Optional positional args = query-name prefixes, for iterating on a
     // subset locally; the driver passes none and measures everything.
