@@ -100,7 +100,11 @@ object Ingest {
     Using.resource(Files.list(dir))(s =>
       s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq)
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Recursive, null-safe delete (shared with `graft.Bucketing`'s
+    * stale-warehouse cleanup; File.delete silently fails on non-empty
+    * dirs).
+    */
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Using.resource(Files.walk(p))(s =>
         s.iterator().asScala.toSeq.reverse.foreach(Files.delete))

@@ -119,25 +119,31 @@ object EventQueries {
     })
   )
 
+  /** Shared oracle CTE: per-user 30-min-gap sessions with per-session
+    * event counts (consumed by both q34 and its streaming twin q38).
+    */
+  private val sessionCte =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | numbered AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      |  FROM flagged),
+      | sess AS (
+      |  SELECT user_id, sess_no, COUNT(*) AS n_ev FROM numbered GROUP BY 1,2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q34_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        | numbered AS (
-        |  SELECT user_id,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
-        |  FROM flagged),
-        | sess AS (
-        |  SELECT user_id, sess_no, COUNT(*) AS n_ev FROM numbered GROUP BY 1,2)
+    "q34_sessionize" -> (sessionCte +
+      """
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
         |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events
-        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin),
     "q35_multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256_hex,
@@ -156,23 +162,11 @@ object EventQueries {
     // changelog holds exactly one row per key with exact in-order session
     // counts — the same sessionization as q34 minus max_session_events
     // (which the O(1) state deliberately does not track).
-    "q38_stream_sessions" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        | numbered AS (
-        |  SELECT user_id,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
-        |  FROM flagged),
-        | sess AS (
-        |  SELECT user_id, sess_no, COUNT(*) AS n_ev FROM numbered GROUP BY 1,2)
+    "q38_stream_sessions" -> (sessionCte +
+      """
         |SELECT user_id, COUNT(*) AS n_sessions,
         |  CAST(SUM(n_ev) AS BIGINT) AS n_events
-        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin),
     "q40_stream_sliding" ->
       """WITH x AS (
         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS b, event_type, value FROM events),
