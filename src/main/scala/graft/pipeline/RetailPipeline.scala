@@ -32,32 +32,55 @@ object RetailPipeline {
 
     // Scan + quality-gate each configured dataset (typed views registered
     // as typed_<key> for downstream consumers, mirroring the reference's
-    // session-catalog handoff).
-    val gated: Seq[(String, DataFrame, QualityReport)] = cfg.datasets.flatMap {
-      case (key, spec) =>
-        fileFor(key).map { path =>
-          val raw = Ingest.readCsv(spark, Seq(path), cfg.ingest.multiLine)
-          val (typed, report) = Quality.run(raw, key, spec, cfg.quality)
-          log.info(s"QC $key: rows=${report.rowCount} " +
-            s"dup=${report.duplicateCount} schemaOk=${report.schemaOk}")
-          report.issues.foreach(i => log.warn(s"QC $key: $i"))
-          (key, typed, report)
-        }
-    }
+    // session-catalog handoff). The per-dataset QC actions are
+    // independent blocking jobs, so they run CONCURRENTLY — the small
+    // datasets' profiling overlaps the big one's instead of queueing
+    // behind it (Spark schedules jobs from multiple driver threads
+    // fine; each dataset touches only its own views/caches).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gated: Seq[(String, DataFrame, QualityReport)] =
+      Await.result(
+        Future.sequence(cfg.datasets.flatMap { case (key, spec) =>
+          fileFor(key).map { path =>
+            Future {
+              val raw = Ingest.readCsv(spark, Seq(path), cfg.ingest.multiLine)
+              val (typed, report) = Quality.run(raw, key, spec, cfg.quality)
+              log.info(s"QC $key: rows=${report.rowCount} " +
+                s"dup=${report.duplicateCount} schemaOk=${report.schemaOk}")
+              report.issues.foreach(i => log.warn(s"QC $key: $i"))
+              (key, typed, report)
+            }
+          }
+        }), Duration.Inf)
     val byKey = gated.map { case (k, df, _) => k -> df }.toMap
 
     val curated = Transform.buildCuratedTables(
       byKey("train"), byKey("features"), byKey("stores"),
       cfg.datasets.toMap)
 
+    // The four table writes land in distinct locations and all read the
+    // persisted curated frame — independent jobs, run concurrently.
+    // The first write materializes the shared persist; do it alone so
+    // the others reuse the cache instead of racing to fill it.
     val sink = TableSink.from(cfg.sink)
-    val written = cfg.sink.tables.flatMap { case (logical, physical) =>
-      curated.get(logical).map { df =>
-        sink.write(physical, df)
-        val n = df.count()
-        log.info(s"Sink $physical: $n rows")
-        physical -> n
-      }
+    val sinkTables = cfg.sink.tables.flatMap { case (logical, physical) =>
+      curated.get(logical).map(df => (physical, df))
+    }
+    val written = sinkTables match {
+      case head +: tail =>
+        def writeOne(physical: String, df: DataFrame): (String, Long) = {
+          sink.write(physical, df)
+          val n = df.count()
+          log.info(s"Sink $physical: $n rows")
+          physical -> n
+        }
+        val first = writeOne(head._1, head._2)
+        first +: Await.result(
+          Future.sequence(tail.map { case (p, df) => Future(writeOne(p, df)) }),
+          Duration.Inf)
+      case _ => Seq.empty
     }
 
     log.info("Pipeline complete")
