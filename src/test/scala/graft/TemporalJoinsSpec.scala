@@ -83,6 +83,38 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!brute.exists(_._2 == 13L))
   }
 
+  test("asofBackward equals the brute-force inequality join on seeded random data with ties") {
+    val rnd = new scala.util.Random(42)
+    // Dense key/time space on purpose: equal-time probe/build pairs and
+    // duplicate build timestamps per key exercise the tie rules.
+    val probes = Seq.tabulate(200)(i =>
+        (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(40).toLong))
+      .toDF("id", "k", "sec")
+      .select(col("id"), col("k"), timestamp_seconds(col("sec")).as("t"))
+    val builds = Seq.tabulate(200)(i =>
+        (s"k${rnd.nextInt(5)}", rnd.nextInt(40).toLong, 1000L + i, rnd.nextDouble()))
+      .toDF("k", "sec", "bid", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("t"), col("bid"), col("v"))
+
+    for (strict <- Seq(false, true)) {
+      val got = TemporalJoins.asofBackward(probes, builds,
+          Seq("k"), "t", "t", Seq("bid", "v"), "bid", strict = strict)
+        .select("id", "bid").as[(Long, Option[Long])].collect().toMap
+      // Brute force: all candidate builds, latest-time then greatest-bid.
+      import org.apache.spark.sql.expressions.Window
+      val cond = if (strict) col("b.t") < col("p.t") else col("b.t") <= col("p.t")
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("b.t").desc, col("b.bid").desc)
+      val best = probes.as("p")
+        .join(builds.as("b"), col("p.k") === col("b.k") && cond, "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("b.bid"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got === best, s"strict=$strict")
+    }
+  }
+
   test("asofBackward: NULL build keys/times never match; NULL probes come out unmatched") {
     val nullBuild = Seq(
       (Some("a"), Some(90L), 11L), (Some("a"), None, 66L), (None, Some(95L), 77L))
