@@ -154,6 +154,30 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(eP.getMessage.contains("exist on both"))
   }
 
+  test("pointInInterval equals brute force on seeded random intervals (incl. empty/long)") {
+    val rnd = new scala.util.Random(7)
+    val points = Seq.tabulate(300)(i =>
+        (s"k${rnd.nextInt(4)}", i.toLong, rnd.nextInt(500).toLong))
+      .toDF("k", "pid", "sec")
+      .select(col("k"), col("pid"), timestamp_seconds(col("sec")).as("pt"))
+    // Random starts with lengths 0..149 — some empty, some spanning
+    // multiple 50s bins (longer than binSeconds, the documented
+    // more-replication case).
+    val intervals = Seq.tabulate(300) { i =>
+        val s = rnd.nextInt(500).toLong
+        (s"k${rnd.nextInt(4)}", 1000L + i, s, s + rnd.nextInt(150) - 1)
+      }.toDF("k", "iid", "s", "e")
+      .select(col("k"), col("iid"), timestamp_seconds(col("s")).as("ws"),
+        timestamp_seconds(col("e")).as("we"))
+    val binned = TemporalJoins.pointInInterval(points, intervals,
+        Seq("k"), "pt", "ws", "we", binSeconds = 50L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val brute = points.join(intervals, Seq("k"))
+      .filter(col("pt") >= col("ws") && col("pt") < col("we"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned === brute && brute.nonEmpty)
+  }
+
   test("pointInInterval bins pre-1970 timestamps correctly (floor, not truncate)") {
     val points = Seq(("a", 1L, -50L)).toDF("k", "pid", "sec")
       .select(col("k"), col("pid"), timestamp_seconds(col("sec")).as("pt"))
