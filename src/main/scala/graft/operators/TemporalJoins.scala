@@ -46,7 +46,28 @@ object TemporalJoins {
   def asofBackward(left: DataFrame, right: DataFrame,
                    keyCols: Seq[String], leftTime: String, rightTime: String,
                    rightCols: Seq[String], rightTiebreak: String,
-                   strict: Boolean = false): DataFrame = {
+                   strict: Boolean = false): DataFrame =
+    asofImpl(left, right, keyCols, leftTime, rightTime, rightCols,
+      rightTiebreak, strict, forward = false)
+
+  /** As-of (forward) join: the mirror of `asofBackward` — each left row
+    * matches the single right row with the SMALLEST `rightTime` >=
+    * `leftTime` (strictly > when `strict`), equal-time build ties broken
+    * by the smallest `rightTiebreak`. No native DuckDB form (ASOF is
+    * backward-only there); the oracle is the window-ranked inequality
+    * join. Same single-shuffle plan.
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  keyCols: Seq[String], leftTime: String, rightTime: String,
+                  rightCols: Seq[String], rightTiebreak: String,
+                  strict: Boolean = false): DataFrame =
+    asofImpl(left, right, keyCols, leftTime, rightTime, rightCols,
+      rightTiebreak, strict, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+                       keyCols: Seq[String], leftTime: String, rightTime: String,
+                       rightCols: Seq[String], rightTiebreak: String,
+                       strict: Boolean, forward: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Misuse fails at plan time with a named column, not with a
     // duplicate-column result or a resolution error deep in the union.
@@ -54,14 +75,14 @@ object TemporalJoins {
     val missingR = (keyCols ++ rightCols :+ rightTime :+ rightTiebreak)
       .distinct.filterNot(right.columns.contains)
     require(missingL.isEmpty && missingR.isEmpty,
-      s"asofBackward: missing columns — left: ${missingL.mkString(",")} " +
+      s"asof join: missing columns — left: ${missingL.mkString(",")} " +
         s"right: ${missingR.mkString(",")}")
     val collisions = rightCols.filter(left.columns.contains)
     require(collisions.isEmpty,
-      s"asofBackward: rightCols ${collisions.mkString(",")} already exist on " +
+      s"asof join: rightCols ${collisions.mkString(",")} already exist on " +
         "the left side — rename the payload columns before joining")
-    // At equal time the probe must sort AFTER builds to see them (>=
-    // semantics) and BEFORE builds to not see them (strict >).
+    // At equal time the probe must sort AFTER builds to see them (>=/<=
+    // semantics) and BEFORE builds to not see them (strict).
     val (buildSide, probeSide) = if (strict) (1, 0) else (0, 1)
     val payType = StructType(rightCols.map(n => right.schema(n)))
     val lrowType = StructType(left.schema.fields)
@@ -86,11 +107,17 @@ object TemporalJoins {
         lit(null).cast(lrowType).as("__lrow"),
         struct(rightCols.map(col): _*).as("__pay")): _*)
 
-    // One exchange on the key; within each key the running last() sees
-    // every build row at or before (strictly before, when `strict`) the
-    // probe row, latest-then-greatest-tiebreak winning.
+    // One exchange on the key; scanning time ascending (backward) or
+    // descending (forward), the running last() over the prefix is the
+    // closest eligible build: latest-then-greatest-tiebreak for
+    // backward, earliest-then-smallest-tiebreak for forward. NULL probe
+    // times must sort FIRST in scan order either way (no build in their
+    // prefix → unmatched), hence desc_nulls_first on the mirror.
+    val (tSort, tbSort) =
+      if (forward) (col("__t").desc_nulls_first, col("__tb").desc)
+      else (col("__t").asc, col("__tb").asc)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .orderBy(tSort, col("__side").asc, tbSort)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = probe.unionByName(build)
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))

@@ -32,6 +32,25 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: each click matched to the user's EARLIEST
+    // at-or-after purchase — same single-shuffle plan, mirrored scan.
+    // DuckDB's ASOF is backward-only, so the oracle is the
+    // window-ranked inequality join.
+    "q64_asof_forward" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("next_purchase_id"),
+          col("value").as("next_purchase_value"))
+      TemporalJoins.asofForward(clicks, purchases,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("next_purchase_id", "next_purchase_value"),
+          rightTiebreak = "next_purchase_id")
+        .orderBy("event_id")
+    }),
+
     // Binned range join: for every order, how many OTHER orders the same
     // customer placed inside its 90-day follow-up window. 90-day bins →
     // each interval lands in ≤ 2 (custkey, bin) buckets; the join is a
@@ -68,6 +87,20 @@ object TemporalQueries {
         |                FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q64_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        | p AS (SELECT user_id, ts, event_id AS next_purchase_id,
+        |         value AS next_purchase_value
+        |       FROM events WHERE event_type = 'purchase'),
+        | r AS (SELECT c.event_id, p.next_purchase_id, p.next_purchase_value,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |           ORDER BY p.ts ASC, p.next_purchase_id ASC) AS rn
+        |       FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  r.next_purchase_id, r.next_purchase_value
+        |FROM c LEFT JOIN r ON r.event_id = c.event_id AND r.rn = 1
+        |ORDER BY c.event_id""".stripMargin,
     "q58_range_join" ->
       """SELECT a.o_orderkey, COUNT(*) AS n_follow
         |FROM orders a JOIN orders b

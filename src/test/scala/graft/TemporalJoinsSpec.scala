@@ -96,22 +96,33 @@ class TemporalJoinsSpec extends SparkSpec {
       .toDF("k", "sec", "bid", "v")
       .select(col("k"), timestamp_seconds(col("sec")).as("t"), col("bid"), col("v"))
 
-    for (strict <- Seq(false, true)) {
-      val got = TemporalJoins.asofBackward(probes, builds,
-          Seq("k"), "t", "t", Seq("bid", "v"), "bid", strict = strict)
+    import org.apache.spark.sql.expressions.Window
+    for (strict <- Seq(false, true); forward <- Seq(false, true)) {
+      val got = (if (forward)
+          TemporalJoins.asofForward(probes, builds,
+            Seq("k"), "t", "t", Seq("bid", "v"), "bid", strict = strict)
+        else
+          TemporalJoins.asofBackward(probes, builds,
+            Seq("k"), "t", "t", Seq("bid", "v"), "bid", strict = strict))
         .select("id", "bid").as[(Long, Option[Long])].collect().toMap
-      // Brute force: all candidate builds, latest-time then greatest-bid.
-      import org.apache.spark.sql.expressions.Window
-      val cond = if (strict) col("b.t") < col("p.t") else col("b.t") <= col("p.t")
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("b.t").desc, col("b.bid").desc)
+      // Brute force: all candidate builds; latest-time/greatest-bid for
+      // backward, earliest-time/smallest-bid for forward.
+      val cond = (strict, forward) match {
+        case (false, false) => col("b.t") <= col("p.t")
+        case (true, false)  => col("b.t") < col("p.t")
+        case (false, true)  => col("b.t") >= col("p.t")
+        case (true, true)   => col("b.t") > col("p.t")
+      }
+      val w = Window.partitionBy(col("id")).orderBy(
+        if (forward) col("b.t").asc else col("b.t").desc,
+        if (forward) col("b.bid").asc else col("b.bid").desc)
       val best = probes.as("p")
         .join(builds.as("b"), col("p.k") === col("b.k") && cond, "left")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("id"), col("b.bid"))
         .as[(Long, Option[Long])].collect().toMap
-      assert(got === best, s"strict=$strict")
+      assert(got === best, s"strict=$strict forward=$forward")
     }
   }
 
