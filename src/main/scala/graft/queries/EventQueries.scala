@@ -160,12 +160,13 @@ object EventQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // q38: the bounded drain is a single batch (one source file), so the
     // changelog holds exactly one row per key with exact in-order session
-    // counts — the same sessionization as q34 minus max_session_events
-    // (which the O(1) state deliberately does not track).
+    // counts — the full q34 sessionization contract, max_session_events
+    // included.
     "q38_stream_sessions" -> (sessionCte +
       """
         |SELECT user_id, COUNT(*) AS n_sessions,
-        |  CAST(SUM(n_ev) AS BIGINT) AS n_events
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin),
     "q40_stream_sliding" ->
       """WITH x AS (

@@ -132,13 +132,15 @@ object EventStreams {
   }
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
-  case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+  case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long,
+                            max_session_events: Long)
 
-  /** O(1)-per-key sessionization state: three longs, whatever the event
+  /** O(1)-per-key sessionization state: five longs, whatever the event
     * volume — the all-timestamps buffer this replaces OOMed the state
     * store on hot keys by construction.
     */
-  case class SessState(lastTs: Long, nSessions: Long, nEvents: Long)
+  case class SessState(lastTs: Long, nSessions: Long, nEvents: Long,
+                       curEvents: Long, maxEvents: Long)
 
   private[graft] val sessionGapMicros = 30L * 60 * 1000000
 
@@ -154,10 +156,17 @@ object EventStreams {
     * cluster to history, so such a cluster counts as at most ONE extra
     * (conservative) session. The watermark bounds how late that can
     * happen, exactly like the built-in session_window.
+    *
+    * Per-session event counts (curEvents/maxEvents) follow the same
+    * rule for in-order events; a LATE event (t < lastTs) increments the
+    * totals but not the current session's count — with O(1) state its
+    * true session is unattributable, so maxEvents stays a lower bound
+    * under lateness and is exact on in-order input (and therefore on
+    * the sorted single-batch drain the oracle checks).
     */
   private[graft] def foldSession(prev: Option[SessState], batchTs: Array[Long]): SessState = {
     java.util.Arrays.sort(batchTs)
-    var st = prev.getOrElse(SessState(Long.MinValue, 0L, 0L))
+    var st = prev.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L, 0L))
     var prevInBatch = Long.MinValue
     var i = 0
     while (i < batchTs.length) {
@@ -168,10 +177,20 @@ object EventStreams {
         t - prevInBatch <= sessionGapMicros
       val nearLast = st.lastTs != Long.MinValue &&
         math.abs(t - st.lastTs) <= sessionGapMicros
+      val newSession = !(nearPrev || nearLast)
+      val cur =
+        if (newSession) 1L
+        // grouped by its in-batch predecessor or genuinely in-order →
+        // attributable to the running session count; an event attached
+        // only backwards through lastTs is not (totals only).
+        else if (nearPrev || st.lastTs <= t) st.curEvents + 1L
+        else st.curEvents
       st = SessState(
         lastTs = math.max(st.lastTs, t),
-        nSessions = st.nSessions + (if (nearPrev || nearLast) 0 else 1),
-        nEvents = st.nEvents + 1)
+        nSessions = st.nSessions + (if (newSession) 1 else 0),
+        nEvents = st.nEvents + 1,
+        curEvents = cur,
+        maxEvents = math.max(st.maxEvents, cur))
       prevInBatch = t
       i += 1
     }
@@ -217,7 +236,7 @@ object EventStreams {
             state.setTimeoutTimestamp(math.max(
               (st.lastTs + sessionGapMicros) / 1000L,
               state.getCurrentWatermarkMs() + 1))
-            Iterator(SessionSummary(uid, st.nSessions, st.nEvents))
+            Iterator(SessionSummary(uid, st.nSessions, st.nEvents, st.maxEvents))
           }
       }
     runToMemory(out.toDF(), OutputMode.Append()).orderBy("user_id")

@@ -106,33 +106,35 @@ class EventStreamsSpec extends SparkSpec {
 
   test("stateful streaming sessionization equals the batch window-function answer") {
     // q38 (flatMapGroupsWithState) must agree with q34 (oracle-verified
-    // gaps-and-islands) on (user_id, n_sessions, n_events) — this is the
-    // check that caught a seed-sentinel overflow dropping every user's
-    // first session.
+    // gaps-and-islands) on the FULL contract incl. max_session_events —
+    // this is the check that caught a seed-sentinel overflow dropping
+    // every user's first session.
     val stream = SparkEntry.queries("q38_stream_sessions")(spark, sfDir)
-      .select("user_id", "n_sessions", "n_events")
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .select("user_id", "n_sessions", "n_events", "max_session_events")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     val batch = SparkEntry.queries("q34_sessionize")(spark, sfDir)
-      .select("user_id", "n_sessions", "n_events")
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .select("user_id", "n_sessions", "n_events", "max_session_events")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(stream.nonEmpty)
     assert(stream === batch)
   }
 
-  test("sessionization state is O(1) per key: three longs, no event buffer") {
-    // The state class carries exactly (lastTs, nSessions, nEvents) — if a
-    // collection field reappears here, hot keys OOM the state store again.
-    val st = graft.streaming.EventStreams.SessState(1L, 2L, 3L)
-    assert(st.productArity === 3)
+  test("sessionization state is O(1) per key: five longs, no event buffer") {
+    // The state class carries exactly (lastTs, nSessions, nEvents,
+    // curEvents, maxEvents) — if a collection field reappears here, hot
+    // keys OOM the state store again.
+    val st = graft.streaming.EventStreams.SessState(1L, 2L, 3L, 4L, 5L)
+    assert(st.productArity === 5)
     assert(st.productIterator.forall(_.isInstanceOf[Long]))
   }
 
   test("foldSession: exact in-order sessions, conservative cross-batch late data") {
     import graft.streaming.EventStreams.{foldSession, sessionGapMicros, SessState}
     val gap = sessionGapMicros
-    // one batch, two sessions (gap exceeded between 2nd and 3rd event)
+    // one batch, two sessions (gap exceeded between 2nd and 3rd event):
+    // first session had 2 events (the max), current has 1
     val a = foldSession(None, Array(0L, gap, 3 * gap))
-    assert(a === SessState(3 * gap, 2L, 3L))
+    assert(a === SessState(3 * gap, 2L, 3L, 1L, 2L))
     // same events split across batches, in order → identical result
     val b = foldSession(Some(foldSession(None, Array(0L, gap))), Array(3 * gap))
     assert(b === a)
@@ -140,22 +142,23 @@ class EventStreamsSpec extends SparkSpec {
     val c = foldSession(None, Array(3 * gap, 0L, gap))
     assert(c === a)
     // cross-batch late event inside the gap window of lastTs: same
-    // session, counted into n_events, lastTs does not move backward
+    // session, counted into n_events only (per-session attribution of a
+    // PAST-side attach is unknowable with O(1) state)
     val d = foldSession(Some(a), Array(3 * gap - 1000L))
-    assert(d === SessState(3 * gap, 2L, 4L))
+    assert(d === SessState(3 * gap, 2L, 4L, 1L, 2L))
     // cross-batch late event far before the current session: counted as
     // its own (conservative) session — history is never re-split
     val e = foldSession(Some(a), Array(-10 * gap))
-    assert(e === SessState(3 * gap, 3L, 4L))
+    assert(e === SessState(3 * gap, 3L, 4L, 1L, 2L))
     // a LATE BURST (three events 1s apart, far in the past) sessionizes
-    // among itself: ONE extra session, not one per event
+    // among itself: ONE extra session of three events, not one per event
     val f = foldSession(Some(a), Array(-10 * gap, -10 * gap + 1000L, -10 * gap + 2000L))
-    assert(f === SessState(3 * gap, 3L, 6L))
+    assert(f === SessState(3 * gap, 3L, 6L, 3L, 3L))
     // an event far from its in-batch predecessor but within the gap of
     // the carried lastTs joins the current session — the nearLast
     // disjunct specifically (prevInBatch is set and far away here)
     val g = foldSession(Some(a), Array(-10 * gap, 3 * gap - 1000L))
-    assert(g === SessState(3 * gap, 3L, 5L))
+    assert(g === SessState(3 * gap, 3L, 5L, 1L, 2L))
   }
 
   test("sessionization frees state via event-time timeout; late key restarts an epoch") {
