@@ -35,10 +35,12 @@ object Bench {
     // CSV-reading query, q44 — the baseline-comparable number).
     try {
       val wdir = java.nio.file.Files.createTempDirectory("graft_bench_warm")
-      val f = wdir.resolve("warm.csv")
-      java.nio.file.Files.writeString(f, "a,b\n1,x\n2,y\n")
-      spark.read.option("header", "true").csv(f.toString)
-        .write.mode("overwrite").parquet(wdir.resolve("out").toString)
+      try {
+        val f = wdir.resolve("warm.csv")
+        java.nio.file.Files.writeString(f, "a,b\n1,x\n2,y\n")
+        spark.read.option("header", "true").csv(f.toString)
+          .write.mode("overwrite").parquet(wdir.resolve("out").toString)
+      } finally graft.pipeline.Ingest.deleteRecursively(wdir)
     } catch { case _: Throwable => () }
 
     // Optional positional args = query-name prefixes, for iterating on a

@@ -168,10 +168,17 @@ object Dedup {
     // — the same reasoning as a broadcast-join threshold — a sequential
     // union-find on the driver is O(E α(E)) in one collect, versus
     // O(log diameter) full shuffle rounds for the distributed loop.
-    // Above it, the distributed min-label loop below handles edge lists
-    // that cannot sit on the driver. Both paths produce identical
-    // output (DedupSpec pins it).
-    if (p.count() <= maxDriverEdges) return driverUnionFind(p)
+    // Above it (or for non-integral id types the long-keyed union-find
+    // can't represent), the distributed min-label loop handles edge
+    // lists that cannot sit on the driver. Both paths produce identical
+    // output, id dtype included (DedupSpec pins it).
+    val integralIds = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Seq(p.schema("src").dataType, p.schema("dst").dataType)
+        .forall(Seq(ByteType, ShortType, IntegerType, LongType).contains)
+    }
+    if (integralIds && p.count() <= maxDriverEdges)
+      return driverUnionFind(p)
 
     // The mirrored edge list is checkpointed too: every iteration (and
     // its convergence count) re-reads it.
@@ -226,7 +233,9 @@ object Dedup {
   private def driverUnionFind(p: DataFrame): DataFrame = {
     val spark = p.sparkSession
     import spark.implicits._
-    val edges = p.as[(Long, Long)].collect()
+    val idType = p.schema("src").dataType
+    val edges = p.collect().map(r =>
+      (r.get(0).asInstanceOf[Number].longValue, r.get(1).asInstanceOf[Number].longValue))
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -246,6 +255,10 @@ object Dedup {
     parent.keySet().asScala.toSeq.sorted
       .map(n => (n, find(n)))
       .toDF("doc_id", "rep_id")
+      // same output dtype as the distributed path (ids pass through
+      // joins/min there, keeping e.g. IntegerType intact)
+      .select(col("doc_id").cast(idType).as("doc_id"),
+        col("rep_id").cast(idType).as("rep_id"))
   }
 
   /** 64-bit SimHash fingerprints via the fused `SimHash64` kernel: a

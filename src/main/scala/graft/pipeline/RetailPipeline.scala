@@ -40,20 +40,30 @@ object RetailPipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.Try
+    // Await EVERY future before surfacing a failure — Future.sequence
+    // fails fast while sibling jobs keep running, and propagating then
+    // would let the caller stop the session under in-flight writes
+    // (partial output + "SparkContext was shut down" noise masking the
+    // real error).
+    def awaitAll[T](fs: Seq[Future[T]]): Seq[T] = {
+      val settled = fs.map(f => Try(Await.result(f, Duration.Inf)))
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+      settled.map(_.get)
+    }
     val gated: Seq[(String, DataFrame, QualityReport)] =
-      Await.result(
-        Future.sequence(cfg.datasets.flatMap { case (key, spec) =>
-          fileFor(key).map { path =>
-            Future {
-              val raw = Ingest.readCsv(spark, Seq(path), cfg.ingest.multiLine)
-              val (typed, report) = Quality.run(raw, key, spec, cfg.quality)
-              log.info(s"QC $key: rows=${report.rowCount} " +
-                s"dup=${report.duplicateCount} schemaOk=${report.schemaOk}")
-              report.issues.foreach(i => log.warn(s"QC $key: $i"))
-              (key, typed, report)
-            }
+      awaitAll(cfg.datasets.flatMap { case (key, spec) =>
+        fileFor(key).map { path =>
+          Future {
+            val raw = Ingest.readCsv(spark, Seq(path), cfg.ingest.multiLine)
+            val (typed, report) = Quality.run(raw, key, spec, cfg.quality)
+            log.info(s"QC $key: rows=${report.rowCount} " +
+              s"dup=${report.duplicateCount} schemaOk=${report.schemaOk}")
+            report.issues.foreach(i => log.warn(s"QC $key: $i"))
+            (key, typed, report)
           }
-        }), Duration.Inf)
+        }
+      })
     val byKey = gated.map { case (k, df, _) => k -> df }.toMap
 
     val curated = Transform.buildCuratedTables(
@@ -77,9 +87,7 @@ object RetailPipeline {
           physical -> n
         }
         val first = writeOne(head._1, head._2)
-        first +: Await.result(
-          Future.sequence(tail.map { case (p, df) => Future(writeOne(p, df)) }),
-          Duration.Inf)
+        first +: awaitAll(tail.map { case (p, df) => Future(writeOne(p, df)) })
       case _ => Seq.empty
     }
 

@@ -137,13 +137,19 @@ object EventQueries {
       | sess AS (
       |  SELECT user_id, sess_no, COUNT(*) AS n_ev FROM numbered GROUP BY 1,2)""".stripMargin
 
+  /** The full per-user sessionization contract — one query, two keys:
+    * q34 (batch) and q38 (streaming twin on the bounded drain) must
+    * satisfy the SAME oracle, so they share the literal SQL.
+    */
+  private val sessionSql = sessionCte +
+    """
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events
+      |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q34_sessionize" -> (sessionCte +
-      """
-        |SELECT user_id, COUNT(*) AS n_sessions,
-        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
-        |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events
-        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q34_sessionize" -> sessionSql,
     "q35_multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256_hex,
@@ -162,12 +168,7 @@ object EventQueries {
     // changelog holds exactly one row per key with exact in-order session
     // counts — the full q34 sessionization contract, max_session_events
     // included.
-    "q38_stream_sessions" -> (sessionCte +
-      """
-        |SELECT user_id, COUNT(*) AS n_sessions,
-        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
-        |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events
-        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q38_stream_sessions" -> sessionSql,
     "q40_stream_sliding" ->
       """WITH x AS (
         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS b, event_type, value FROM events),

@@ -157,17 +157,20 @@ object EventStreams {
     * (conservative) session. The watermark bounds how late that can
     * happen, exactly like the built-in session_window.
     *
-    * Per-session event counts (curEvents/maxEvents) follow the same
-    * rule for in-order events; a LATE event (t < lastTs) increments the
-    * totals but not the current session's count — with O(1) state its
-    * true session is unattributable, so maxEvents stays a lower bound
-    * under lateness and is exact on in-order input (and therefore on
-    * the sorted single-batch drain the oracle checks).
+    * Per-session event counts: the carried curEvents tracks the CURRENT
+    * (in-order) session; late events (t < lastTs, a sorted-batch prefix)
+    * are counted with a batch-local cursor so a late burst's own session
+    * size reaches maxEvents without contaminating the current session's
+    * counter. An event attached to the current session only backwards
+    * through lastTs updates the totals alone. maxEvents is exact on
+    * in-order input (and therefore on the sorted single-batch drain the
+    * oracle checks) and a lower bound under cross-batch lateness.
     */
   private[graft] def foldSession(prev: Option[SessState], batchTs: Array[Long]): SessState = {
     java.util.Arrays.sort(batchTs)
     var st = prev.getOrElse(SessState(Long.MinValue, 0L, 0L, 0L, 0L))
     var prevInBatch = Long.MinValue
+    var burstCur = 0L // local cursor for the late (t < lastTs) prefix
     var i = 0
     while (i < batchTs.length) {
       val t = batchTs(i)
@@ -178,19 +181,24 @@ object EventStreams {
       val nearLast = st.lastTs != Long.MinValue &&
         math.abs(t - st.lastTs) <= sessionGapMicros
       val newSession = !(nearPrev || nearLast)
-      val cur =
-        if (newSession) 1L
-        // grouped by its in-batch predecessor or genuinely in-order →
-        // attributable to the running session count; an event attached
-        // only backwards through lastTs is not (totals only).
-        else if (nearPrev || st.lastTs <= t) st.curEvents + 1L
-        else st.curEvents
+      val late = st.lastTs != Long.MinValue && t < st.lastTs
+      var cur = st.curEvents
+      var counted = 0L
+      if (late) {
+        // late prefix: size its sessions locally; a late event attached
+        // to the current session via lastTs alone is totals-only.
+        if (newSession) { burstCur = 1L; counted = burstCur }
+        else if (nearPrev) { burstCur += 1L; counted = burstCur }
+      } else {
+        if (newSession) cur = 1L else cur += 1L
+        counted = cur
+      }
       st = SessState(
         lastTs = math.max(st.lastTs, t),
         nSessions = st.nSessions + (if (newSession) 1 else 0),
         nEvents = st.nEvents + 1,
         curEvents = cur,
-        maxEvents = math.max(st.maxEvents, cur))
+        maxEvents = math.max(st.maxEvents, counted))
       prevInBatch = t
       i += 1
     }
@@ -198,7 +206,7 @@ object EventStreams {
   }
 
   /** Stateful sessionization via flatMapGroupsWithState: counts
-    * 30-minute-gap sessions per user with O(1) state per key (three
+    * 30-minute-gap sessions per user with O(1) state per key (five
     * longs) and an EVENT-TIME timeout — once the watermark passes a
     * key's lastTs + gap its state is freed, so the store holds only
     * currently-active users, not the all-time key set. Each batch a key

@@ -151,9 +151,15 @@ class EventStreamsSpec extends SparkSpec {
     val e = foldSession(Some(a), Array(-10 * gap))
     assert(e === SessState(3 * gap, 3L, 4L, 1L, 2L))
     // a LATE BURST (three events 1s apart, far in the past) sessionizes
-    // among itself: ONE extra session of three events, not one per event
+    // among itself: ONE extra session of three events (reflected in
+    // maxEvents) — and it must NOT hijack the current session's counter
     val f = foldSession(Some(a), Array(-10 * gap, -10 * gap + 1000L, -10 * gap + 2000L))
-    assert(f === SessState(3 * gap, 3L, 6L, 3L, 3L))
+    assert(f === SessState(3 * gap, 3L, 6L, 1L, 3L))
+    // the review scenario: burst then an in-order continuation — max is
+    // the burst's 3, not a contaminated 4
+    val h = foldSession(Some(a),
+      Array(-10 * gap, -10 * gap + 1000L, -10 * gap + 2000L, 3 * gap + 1000L))
+    assert(h === SessState(3 * gap + 1000L, 3L, 7L, 2L, 3L))
     // an event far from its in-batch predecessor but within the gap of
     // the carried lastTs joins the current session — the nearLast
     // disjunct specifically (prevInBatch is set and far away here)
