@@ -50,6 +50,9 @@ object GraftExtensions {
     ("dot_product",
       info("dot_product", "dot_product(a, b) - dot product of numeric arrays"),
       arity("dot_product", 2)(a => DotProduct(a(0), a(1))) _),
+    ("byte_mean",
+      info("byte_mean", "byte_mean(bin) - mean unsigned byte value of a binary column"),
+      arity("byte_mean", 1)(a => ByteMean(a.head)) _),
     ("jaccard_sorted",
       info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of two sorted bigint arrays"),
       arity("jaccard_sorted", 2)(a => JaccardSortedLongs(a(0), a(1))) _),

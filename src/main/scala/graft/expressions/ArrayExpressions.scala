@@ -1,9 +1,9 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -191,6 +191,158 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Mean unsigned-byte value of a binary payload (the "brightness" stub
+  * feature of the multimodal path) in one fused loop. The column-
+  * expression twin of `Multimodal.decodeStub`'s byte mean: keeps q35's
+  * benched path inside whole-stage codegen instead of deserializing every
+  * row through a typed `mapPartitions`. Empty input yields 0.0 (matching
+  * the stub's contract).
+  */
+case class ByteMean(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "byte_mean"
+  override def foldable: Boolean = child.foldable
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.isEmpty) 0.0
+    else {
+      var sum = 0L; var i = 0
+      while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+      sum.toDouble / bytes.length
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = $a.length;
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ($a[$i] & 0xff);
+         |}
+         |${ev.value} = $n == 0 ? 0.0 : ((double) $sum) / $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Indices of the `k` centroids most cosine-similar to the input vector,
+  * in one fused kernel — the map-side argmax of IVF bucket assignment.
+  *
+  * The interpreted formulation (an nlist-element literal struct array
+  * built per row, `array_sort`ed, reversed, sliced) re-evaluates a
+  * higher-order-function pipeline for every corpus row and was most of
+  * q33's cost; here the centroid matrix rides along as a codegen
+  * reference object, centroid norms are precomputed once at plan time,
+  * and the per-row work is one dot-product loop per centroid plus a
+  * k-pass selection — no allocation beyond the k-element result.
+  *
+  * Ordering contract matches the sort formulation exactly: descending
+  * similarity, ties broken by DESCENDING centroid index (ascending
+  * struct sort then reverse), NaN ordered greatest (Spark's double
+  * total order). A vector whose length differs from the centroid
+  * dimension yields NULL, like `cosine_similarity`.
+  */
+case class ArgTopKCosine(child: Expression, centroids: Array[Array[Double]], k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+
+  require(centroids.nonEmpty, "argtopk_cosine: centroid matrix must be non-empty")
+  require(centroids.forall(_.length == centroids.head.length),
+    "argtopk_cosine: centroid rows must share one dimension")
+  require(k >= 1 && k <= centroids.length,
+    s"argtopk_cosine: k must be in [1, ${centroids.length}], got $k")
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "argtopk_cosine"
+  override def nullable: Boolean = true
+
+  @transient private lazy val centNorms: Array[Double] =
+    centroids.map { c =>
+      var ss = 0.0; var i = 0
+      while (i < c.length) { ss += c(i) * c(i); i += 1 }
+      math.sqrt(ss)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != centroids.head.length) null
+    else ArgTopKCosine.topK(v, centroids, centNorms, k)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val norms = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+    val dim = centroids.head.length
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expressions.ArgTopKCosine.topK($a, $cents, $norms, $k);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArgTopKCosine {
+  /** Shared eval/codegen kernel. Selection is k passes of argmax over the
+    * nlist sims (k, nlist both model-sized constants — no sort, no heap).
+    */
+  def topK(vec: ArrayData, cents: Array[Array[Double]], norms: Array[Double],
+           k: Int): ArrayData = {
+    val dim = vec.numElements()
+    var vs = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getDouble(i); vs += x * x; i += 1 }
+    val vnorm = math.sqrt(vs)
+
+    val m = cents.length
+    val sims = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val cv = cents(c)
+      var dot = 0.0; var j = 0
+      while (j < dim) { dot += vec.getDouble(j) * cv(j); j += 1 }
+      sims(c) = dot / (vnorm * norms(c))
+      c += 1
+    }
+
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](m)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var cc = 0
+      while (cc < m) {
+        if (!taken(cc) && (best < 0 || {
+          // Double.compare = Spark's double total order (NaN greatest);
+          // ties on sim prefer the LARGER index (reverse-of-ascending).
+          val cmp = java.lang.Double.compare(sims(cc), sims(best))
+          cmp > 0 || (cmp == 0 && cc > best)
+        })) best = cc
+        cc += 1
+      }
+      taken(best) = true
+      out(r) = best.toLong
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-level entry points for the expressions above. */
 object ArrayOps {
   private def expr2(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
@@ -204,4 +356,12 @@ object ArrayOps {
 
   /** Jaccard of two sorted-ascending long arrays. */
   def jaccardSorted(a: Column, b: Column): Column = expr2(JaccardSortedLongs)(a, b)
+
+  /** Mean unsigned-byte value of a binary column. */
+  def byteMean(a: Column): Column =
+    ColumnBridge.column(ByteMean(ColumnBridge.expression(a)))
+
+  /** Indices of the k most cosine-similar centroid rows for each vector. */
+  def argTopKCosine(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
+    ColumnBridge.column(ArgTopKCosine(ColumnBridge.expression(vec), centroids, k))
 }

@@ -73,8 +73,13 @@ object Multimodal {
     }
   }
 
-  /** Batched partition-parallel feature extraction. `batchSize` mirrors
-    * the arrow-batch shape a Pandas-UDF decoder would see.
+  /** Batched partition-parallel feature extraction — the documented
+    * boundary for a REAL codec: rows arrive in fixed-size batches so a
+    * decoder can amortize library/model setup per batch, exactly like a
+    * `mapInPandas` UDF would. This path deserializes rows out of
+    * Tungsten, so it is NOT the default — `featureColumns` computes the
+    * same stub features as pure codegen'd column expressions and is what
+    * the benched q35 runs; MultimodalSpec pins the two paths equal.
     */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -86,4 +91,18 @@ object Multimodal {
       }
     }
   }
+
+  /** Column-expression twin of `extractFeatures` for the stub features:
+    * every one has a codegen form (`octet_length`, `sha2`, the fused
+    * `ByteMean` kernel), so the whole projection stays inside
+    * whole-stage codegen with no Tungsten→JVM-object round trip. A real
+    * decoder can't be expressed this way — that's what the
+    * `mapPartitions` boundary above is for — but stub features shouldn't
+    * pay its deserialization tax.
+    */
+  def featureColumns(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      octet_length(col("payload")).cast("bigint").as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256_hex"),
+      graft.expressions.ArrayOps.byteMean(col("payload")).as("brightness"))
 }

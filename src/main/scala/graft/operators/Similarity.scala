@@ -243,39 +243,47 @@ object Similarity {
     centroids
   }
 
+  /** The interpreted argmax formulation `ArgTopKCosine` replaced: an
+    * nlist-element (sim, centroid_id) struct array built per row from
+    * literal centroid vectors, `array_sort`ed ascending (struct ordering
+    * is field-by-field), reversed, sliced. Kept ONLY as the reference
+    * semantics for ExpressionsSpec's equivalence property — every
+    * higher-order function here is an interpreted per-row lambda, which
+    * was most of q33's cost.
+    */
+  private[graft] def sortFormBuckets(centroids: Array[Array[Double]])(
+      vec: Column, take: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct(cosine(vec, typedlit(cv)).as("s"), lit(i.toLong).as("c"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, take), x => x.getField("c"))
+  }
+
   /** IVF-style approximate top-k. Centroids are spherical-k-means
     * trained on a bounded deterministic sample (`trainIvfCentroids`) and
     * collected to the driver (nlist rows — a model parameter, not
     * data). Corpus vectors are multi-assigned to their `nassign`
-    * nearest centroids in a map-side argmax (array_sort over an
-    * nlist-element literal struct array — no join, no shuffle); queries
-    * probe their `nprobe` closest buckets. Multi-assignment is the
-    * standard redundant-indexing move for boundary vectors: it costs
-    * nassign× index size but rescues neighbors that fall just across a
-    * Voronoi edge — on clustered data nassign=1 suffices; the isotropic
-    * synthetic testdata is the adversarial case and needs 3. Recall vs
-    * bruteForceTopK is pinned in SimilaritySpec.
+    * nearest centroids in a map-side argmax — the fused codegen
+    * `ArgTopKCosine` kernel scoring the literal centroid matrix in one
+    * loop per row (no join, no shuffle, no per-row struct-array
+    * allocation); queries probe their `nprobe` closest buckets.
+    * Multi-assignment is the standard redundant-indexing move for
+    * boundary vectors: it costs nassign× index size but rescues
+    * neighbors that fall just across a Voronoi edge — on clustered data
+    * nassign=1 suffices; the isotropic synthetic testdata is the
+    * adversarial case and needs 3. Recall vs bruteForceTopK is pinned in
+    * SimilaritySpec.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               nassign: Int = 3, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val centroids: Array[(Long, Array[Double])] =
+    val centroids: Array[Array[Double]] =
       trainIvfCentroids(corpus, idCol, vecCol, nlist, iters = 10)
-        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
 
-    /** Buckets of the `take` nearest centroids, computed per row from
-      * literal centroid vectors: array of (sim, centroid_id) structs,
-      * sorted ascending by sim (struct ordering is field-by-field),
-      * reversed, sliced. Everything stays inside the projection.
-      */
-    def nearestBuckets(vec: Column, take: Int): Column = {
-      val scored = array(centroids.zipWithIndex.map { case ((_, cv), i) =>
-        struct(cosine(vec, typedlit(cv)).as("s"), lit(i.toLong).as("c"))
-      }: _*)
-      transform(slice(reverse(array_sort(scored)), 1, take), x => x.getField("c"))
-    }
+    def nearestBuckets(vec: Column, take: Int): Column =
+      ArrayOps.argTopKCosine(vec, centroids, take)
 
     val c = fanout(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
       .withColumn("bucket", explode(nearestBuckets(col("cv"), nassign)))

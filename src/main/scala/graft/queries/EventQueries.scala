@@ -37,10 +37,14 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
-    // Multimodal: binary payload + batched mapPartitions feature extract.
+    // Multimodal: binary payload + codegen column-expression features
+    // (octet_length / sha2 / fused ByteMean). The batched mapPartitions
+    // decoder boundary (`extractFeatures`) computes the same features and
+    // is pinned equal in MultimodalSpec — it exists for real codecs, not
+    // for stub features that have expression forms.
     "q35_multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.toMedia(Tables.load(s, dir, "documents"))
-      Multimodal.extractFeatures(media).toDF()
+      val media = Multimodal.toMedia(Tables.load(s, dir, "documents")).toDF()
+      Multimodal.featureColumns(media)
         .select(col("doc_id"), col("n_bytes"), col("sha256_hex"),
           round(col("brightness"), 6).as("brightness"))
         .orderBy("doc_id")

@@ -113,6 +113,56 @@ class ExpressionsSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("ByteMean kernel == the SQL aggregate formulation; empty → 0.0; null → null") {
+    val df = Seq(Some("hello world"), Some("a"), Some(""), None)
+      .toDF("text").select($"text".cast("binary").as("payload"))
+    val sqlForm = expr(
+      "CASE WHEN octet_length(payload) = 0 THEN 0.0 ELSE " +
+        "aggregate(transform(sequence(1, octet_length(payload)), " +
+        "i -> ascii(substr(cast(payload as string), i, 1))), " +
+        "0L, (acc, c) -> acc + c) / cast(octet_length(payload) as double) END")
+    val rows = df.select(ArrayOps.byteMean($"payload").as("fast"), sqlForm.as("ref")).collect()
+    rows.init.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1), r.toString)
+    }
+    assert(rows.last.isNullAt(0))
+  }
+
+  test("ArgTopKCosine == the array_sort struct formulation (random vectors, ties, all k)") {
+    val rnd = new scala.util.Random(42)
+    val nlist = 16; val dim = 8
+    val centroids = Array.fill(nlist)(Array.fill(dim)(rnd.nextGaussian()))
+    val data = (0 until 200).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "v")
+    val vd = transform($"v", x => x.cast("double"))
+    for (k <- Seq(1, 3, nlist)) {
+      val rows = data.select(
+        ArrayOps.argTopKCosine(vd, centroids, k).as("fast"),
+        graft.operators.Similarity.sortFormBuckets(centroids)(vd, k).as("ref")).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"k=$k: $r"))
+    }
+    // exact-tie ordering: a duplicated centroid must surface the LARGER
+    // index first (reverse-of-ascending struct sort semantics)
+    val dup = centroids.take(4) ++ Array(centroids(0).clone())
+    val tied = data.limit(20).select(
+      ArrayOps.argTopKCosine(vd, dup, 2).as("fast"),
+      graft.operators.Similarity.sortFormBuckets(dup)(vd, 2).as("ref")).collect()
+    tied.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1), r.toString))
+  }
+
+  test("ArgTopKCosine: dimension mismatch → null; interpreted eval agrees with codegen") {
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(Array(1.0, 2.0, 3.0)).toDF("v")
+    assert(df.select(ArrayOps.argTopKCosine($"v", centroids, 1)).head.isNullAt(0))
+    val e = graft.expressions.ArgTopKCosine(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(3.0, 1.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      centroids, 2)
+    assert(e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq === Seq(0L, 1L))
+  }
+
   test("RepetitionStats: hand-computed fractions and string_split edge semantics") {
     import graft.expressions.TextOps
     val rows = Seq(

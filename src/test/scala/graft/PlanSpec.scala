@@ -47,6 +47,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cosine_similarity"), p.take(3000))
   }
 
+  test("q35 feature projection runs inside whole-stage codegen (no mapPartitions)") {
+    val p = finalPlanOf("q35_multimodal_features")
+    assert(p.contains("*("), "no codegen span:\n" + p.take(2000))
+    assert(p.contains("byte_mean"), p.take(3000))
+    assert(!p.contains("MapPartitions") && !p.contains("DeserializeToObject"),
+      "q35 benched path fell back to the typed decoder boundary:\n" + p.take(3000))
+  }
+
+  test("q33 IVF bucket assignment uses the fused ArgTopKCosine kernel") {
+    val p = planOf("q33_ivf_ann")
+    assert(p.contains("argtopk_cosine"), p.take(3000))
+    assert(!p.contains("array_sort"),
+      "interpreted array_sort argmax is back in the IVF plan:\n" + p.take(3000))
+  }
+
   test("q24 candidate generation stays narrow (ids only, no shingle sets)") {
     // The post-band-join distinct must aggregate exactly (id_a, id_b):
     // if the shingle sets were still attached here, they would appear in

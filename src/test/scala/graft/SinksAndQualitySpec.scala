@@ -106,9 +106,12 @@ class SinksAndQualitySpec extends SparkSpec {
     assert(math.abs(m("n") - 1.0 / 3) < 1e-9) // only null
   }
 
-  test("multimodal mapPartitions features agree with the SQL-expressible q35 formulation") {
+  test("multimodal decoder-boundary, column-expression, and SQL q35 formulations all agree") {
     val docs = Tables.load(spark, sfDir, "documents").limit(50)
     val viaPartitions = Multimodal.extractFeatures(Multimodal.toMedia(docs), batchSize = 16)
+      .select($"doc_id", $"n_bytes", $"sha256_hex", round($"brightness", 6).as("brightness"))
+      .orderBy("doc_id").collect()
+    val viaColumns = Multimodal.featureColumns(Multimodal.toMedia(docs).toDF())
       .select($"doc_id", $"n_bytes", $"sha256_hex", round($"brightness", 6).as("brightness"))
       .orderBy("doc_id").collect()
     val viaSql = docs.select(
@@ -121,6 +124,7 @@ class SinksAndQualitySpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(viaPartitions.length === viaSql.length)
     viaPartitions.zip(viaSql).foreach { case (a, b) => assert(a === b) }
+    viaColumns.zip(viaPartitions).foreach { case (a, b) => assert(a === b) }
   }
 
   test("schema enforcement adds missing columns as typed nulls and prunes extras") {
