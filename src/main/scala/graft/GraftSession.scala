@@ -16,6 +16,15 @@ object GraftSession {
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Streaming state lives in RocksDB, not on the JVM heap: the default
+    * HDFS-backed in-memory store keeps every key in executor heap, which
+    * at 100 TB key cardinality (sessionization over billions of users)
+    * is the bottleneck; RocksDB spills state to local SSD with bounded
+    * block-cache memory and makes checkpoint deltas incremental.
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def builder(appName: String = "graft", cpus: String = defaultCpus): SparkSession.Builder =
     SparkSession
       .builder()
@@ -27,6 +36,7 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
 
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
@@ -45,6 +55,7 @@ object GraftSession {
     // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
     // read as long and convert in Tables.load (values are µs-aligned).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     // graft's custom expressions as SQL functions (idempotent).
     GraftExtensions.register(spark)
     spark

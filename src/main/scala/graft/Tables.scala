@@ -24,4 +24,25 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
+
+  /** Hive-style date-partitioned copy of `events` (partition column
+    * `dt`, read back as DATE by partition-type inference) — the layout a
+    * 100 TB event table would actually ship with, and the precondition
+    * for dynamic partition pruning (q65): a runtime-only dim filter can
+    * then skip whole day directories instead of scanning the full
+    * history. Built once per sf dir under the system temp root and
+    * reused (idempotent via _SUCCESS).
+    */
+  def eventsDayLayout(spark: SparkSession, sfDir: String): String = synchronized {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_layout", sfName, "events_by_day")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      load(spark, sfDir, "events")
+        .withColumn("dt", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("dt").parquet(out.toString)
+    }
+    out.toString
+  }
 }

@@ -81,8 +81,19 @@ object RetailPipeline {
     val written = sinkTables match {
       case head +: tail =>
         def writeOne(physical: String, df: DataFrame): (String, Long) = {
+          // The write itself materializes the frame; persisting first
+          // means the post-write row count is a cache read instead of
+          // re-running the aggregation from the curated frame (three
+          // redundant jobs on q44's critical path otherwise). The big
+          // curated table is already persisted by Transform — don't
+          // double-cache it, and drop the short-lived caches once
+          // counted.
+          val wasCached =
+            df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+          if (!wasCached) df.persist()
           sink.write(physical, df)
           val n = df.count()
+          if (!wasCached) df.unpersist(blocking = false)
           log.info(s"Sink $physical: $n rows")
           physical -> n
         }

@@ -63,6 +63,33 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Exactness gate for q26: the banded pigeonhole join GUARANTEES that
+    // the emitted pair set equals brute-force all-pairs hamming ≤ 3 over
+    // the same fingerprints (4 disjoint 16-bit chunks ⇒ any pair within
+    // hamming 3 collides on ≥ 1 chunk; exact hamming verify removes
+    // false positives). This query materializes the symmetric
+    // difference of the two paths — its oracle is the EMPTY relation,
+    // so any banding bug (missed chunk, dropped dedup, filter drift)
+    // turns into a row-count mismatch in the driver's gate rather than
+    // a silent recall loss. SimHash values are engine-internal, which is
+    // why q26 itself cannot be SQL-oracled; set equality of two
+    // independent formulations is the next-strongest deterministic gate.
+    "q66_simhash_exactness" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lsh = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      val fp = Dedup.simhash(d, "doc_id", "text")
+      val brute = fp.select(col("doc_id").as("id_a"), col("simhash").as("fp_a"))
+        .crossJoin(fp.select(col("doc_id").as("id_b"), col("simhash").as("fp_b")))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming",
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("bigint"))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+      lsh.exceptAll(brute).withColumn("side", lit("lsh_only"))
+        .unionAll(brute.exceptAll(lsh).withColumn("side", lit("brute_only")))
+        .orderBy("id_a", "id_b", "side")
+    }),
+
     // Benchmark decontamination: docs sharing any 8-gram with the
     // held-out benchmark slice (doc_id % 10 == 0), with the count of
     // distinct offending grams. Bench fingerprints broadcast; corpus
@@ -111,7 +138,12 @@ object DedupQueries {
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.lang = b.lang)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.3 ORDER BY 1,2""".stripMargin),
-    // q26_simhash_neardup: intentionally no oracle (engine-internal hashes).
+    // q26_simhash_neardup: intentionally no oracle (engine-internal hashes);
+    // q66 gates it by pinning banded == brute-force to the empty diff.
+    "q66_simhash_exactness" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS BIGINT) AS hamming, CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
     "q59_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         | g AS (

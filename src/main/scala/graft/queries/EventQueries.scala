@@ -110,6 +110,32 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Dynamic partition pruning: the fact side is the date-partitioned
+    // events layout; the dim side (busier-than-average days) only
+    // exists at RUNTIME — no static predicate can reach the fact scan,
+    // so Catalyst injects a dynamicpruning subquery filter that reuses
+    // the dim broadcast to skip whole day directories. At 100 TB this
+    // is the biggest scan lever there is: the plan reads the matching
+    // partitions only, verified by PlanSpec on the scan's partition
+    // metrics. (A filter the optimizer CAN derive statically — e.g.
+    // dt IN (...) — would be constraint-propagated instead and prove
+    // nothing.)
+    "q65_dpp_busy_days" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fact = s.read.parquet(Tables.eventsDayLayout(s, dir))
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n_day"))
+      val busy = daily
+        .withColumn("avg_n", avg("n_day").over(Window.partitionBy()))
+        .filter(col("n_day") > col("avg_n"))
+        .select("dt")
+      fact.join(broadcast(busy), "dt")
+        .groupBy("dt")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("dt")
+    }),
+
     // Skew-safe two-phase (salted) aggregation — semantics equal a plain
     // GROUP BY, which is exactly what the oracle checks.
     "q39_salted_agg" -> ((s, dir) => {
@@ -220,6 +246,15 @@ object EventQueries {
     "q39_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q65_dpp_busy_days" ->
+      """WITH m AS (
+        |  SELECT CAST(ts AS DATE) AS dt, COUNT(*) AS n_day
+        |  FROM events GROUP BY 1)
+        |SELECT e.dt, COUNT(*) AS n, ROUND(SUM(e.value), 2) AS sum_value
+        |FROM (SELECT CAST(ts AS DATE) AS dt, value FROM events) e
+        |JOIN (SELECT dt FROM m WHERE n_day > (SELECT AVG(n_day) FROM m)) b
+        |  USING (dt)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q61_stream_interval_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c

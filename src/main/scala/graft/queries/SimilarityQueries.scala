@@ -38,7 +38,12 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
-    // Embedding near-dup pairs above a cosine threshold.
+    // Embedding near-dup pairs above a cosine threshold — the EXACT
+    // all-pairs operator (quadratic by contract; its guard names
+    // rhpCosinePairs as the scale path). BENCH_r02's 11 s for this
+    // query was machine-load drift, not operator cost: re-measured at
+    // 1.6 s with the identical plan (see BASELINE.md bench-methodology
+    // note) — so it stays benched unbounded, deliberately.
     "q32_cosine_pairs" -> ((s, dir) => {
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")
@@ -67,10 +72,28 @@ object SimilarityQueries {
 
     // Random-hyperplane LSH near-dup pairs (the bucketed scale path for
     // q32's exact all-pairs) — approximate recall, so rows-only check;
-    // the recall floor vs q32 is pinned in SimilaritySpec.
+    // the recall floor vs q32 is pinned in SimilaritySpec and the
+    // precision direction is hash-gated by q67.
     "q49_rhp_pairs" -> ((s, dir) => {
       Similarity.rhpCosinePairs(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Precision gate for q49: every RHP-emitted pair must appear in the
+    // exact all-pairs result with the SAME rounded similarity (LSH only
+    // prunes candidates; it must never invent or mis-score a pair).
+    // The oracle is the EMPTY relation, so a precision bug becomes a
+    // driver-gate row mismatch. Recall stays approximate — that
+    // direction is the SimilaritySpec floor, not a deterministic
+    // property. Bounded to vec_id < 1000: the gate re-runs BOTH pair
+    // paths, and the property is scale-free.
+    "q67_rhp_subset" -> ((s, dir) => {
+      val sliced = emb(s, dir).filter(col("vec_id") < 1000)
+      val rhp = Similarity.rhpCosinePairs(sliced, "vec_id", "embedding",
+        threshold = 0.4)
+      val exact = Similarity.cosinePairs(sliced, "vec_id", "embedding",
+        threshold = 0.4)
+      rhp.exceptAll(exact).orderBy("id_a", "id_b")
     })
   )
 
@@ -95,7 +118,12 @@ object SimilarityQueries {
         |       FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(sim, 6) AS sim
         |FROM p WHERE sim >= 0.4 ORDER BY 1,2""".stripMargin,
-    // q33_ivf_ann, q49_rhp_pairs: intentionally no oracle (approximate).
+    // q33_ivf_ann, q49_rhp_pairs: intentionally no oracle (approximate);
+    // q67 gates q49's precision direction to the empty diff.
+    "q67_rhp_subset" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS DOUBLE) AS sim
+        |WHERE FALSE""".stripMargin,
     "q62_embed_neardup_reps" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -15,6 +15,14 @@ class EventStreamsSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  test("streaming state lives in RocksDB, not on the JVM heap") {
+    // Every stateful query in this suite (and q36-q42/q61 under the
+    // oracle gate) runs with this provider; at 100 TB key cardinality
+    // heap-resident state is the bottleneck the RocksDB store removes.
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+  }
+
   test("stream-stream interval join expires buffered state behind the watermark") {
     implicit val sq = spark.sqlContext
     val clicksIn = MemoryStream[(Long, Long, Timestamp)]

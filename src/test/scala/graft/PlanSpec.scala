@@ -123,6 +123,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p.take(3000))
   }
 
+  test("q65 runtime-prunes the date-partitioned fact scan (dynamic partition pruning)") {
+    val df = SparkEntry.queries("q65_dpp_busy_days")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "busy-days join returned no rows")
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("dynamicpruningexpression"),
+      "no DPP filter on the fact scan:\n" + p.toString.take(3000))
+    // Runtime proof, not just plan shape: the fact scan must have read
+    // strictly fewer day directories than the layout holds.
+    val finalPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // AQE wraps materialized stages in QueryStageExec whose inner plan is
+    // not a TreeNode child — descend manually.
+    def scansOf(plan: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(q.plan)
+      }.flatten
+    val scan = scansOf(finalPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("events_by_day")))
+      .head
+    val read = scan.metrics("numPartitions").value
+    val layout = new java.io.File(Tables.eventsDayLayout(spark, sfDir))
+    val total = layout.listFiles().count(_.getName.startsWith("dt="))
+    assert(read > 0 && read < total,
+      s"DPP read $read of $total partitions — no runtime pruning")
+    assert(rows.length === read,
+      "one output row per surviving partition (busy day) expected")
+  }
+
   test("fanout is a no-op on inputs that are already well split") {
     import spark.implicits._
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
