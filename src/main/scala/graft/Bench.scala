@@ -68,7 +68,13 @@ object Bench {
     // would hit hot caches/JIT in a way the driver's single pass never
     // does; back-to-back full batteries keep each run representative.
     val passes: Seq[Seq[(String, (Double, Boolean))]] =
-      (1 to runs).map(_ => selected.map { case (name, fn) => (name, run(name, fn)) })
+      (1 to runs).map { _ =>
+        // q44 must re-pay the whole ETL every pass (it is the
+        // baseline-comparable number); q54-q56 still share one pipeline
+        // run WITHIN a pass, the documented materialize-once design.
+        graft.queries.PipelineQueries.reset(spark)
+        selected.map { case (name, fn) => (name, run(name, fn)) }
+      }
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val byQuery = selected.map { case (name, _) =>
       val samples = passes.map(_.find(_._1 == name).get._2)

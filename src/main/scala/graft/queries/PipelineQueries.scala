@@ -51,6 +51,16 @@ object PipelineQueries {
       RetailPipeline.run(sess, cfg)
     })
 
+  /** Forget the session's pipeline memo and drop its caches. Bench calls
+    * this between battery passes: q44 is the baseline-comparable
+    * end-to-end ETL number, and letting pass 2+ serve it from pass 1's
+    * persisted curated frame would quietly turn the headline comparison
+    * into a cache read (0.6 s "ETL") instead of the real 6-7 s run.
+    */
+  def reset(s: SparkSession): Unit =
+    Option(memo.remove(s)).foreach(
+      _.curated.values.foreach(_.unpersist(blocking = false)))
+
   val queries: Map[String, Q] = Map(
     "q44_retail_agg" -> ((s, _) => {
       pipeline(s).curated("agg_store_type_year")
