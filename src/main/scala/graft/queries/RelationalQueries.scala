@@ -340,6 +340,45 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Runtime Bloom-filter join pruning — the shuffle-side complement to
+    // q65's dynamic PARTITION pruning: when the join key is not a
+    // partition column, Catalyst can still build a Bloom filter from the
+    // selective dim side at runtime and apply it to the fact side
+    // BEFORE the shuffle, so non-matching fact rows never enter the
+    // exchange. At 100 TB (urgent orders ≈ 20% of keys) that is the
+    // difference between shuffling the whole fact table and a fifth of
+    // it. Demo-regime pinning, like SkewJoinSpec: at sf0.1 both sides
+    // are broadcast-small and the injection heuristics would correctly
+    // say "don't bother", so broadcast is disabled and the scan-size
+    // floor dropped WHILE THE PLAN IS OPTIMIZED (then restored) to
+    // reproduce the both-sides-huge regime where SMJ + Bloom is the
+    // real plan. Semantics are a plain join — exactly what the oracle
+    // checks; the might_contain filter is plan-asserted in PlanSpec.
+    "q68_bloom_join" -> ((s, dir) => {
+      val scanFloor = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+      val bcast = "spark.sql.autoBroadcastJoinThreshold"
+      val prevFloor = s.conf.get(scanFloor)
+      val prevBcast = s.conf.get(bcast)
+      s.conf.set(scanFloor, "0")
+      s.conf.set(bcast, "-1")
+      try {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        val df = li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy("l_returnflag")
+        // Pin the optimized plan under the demo confs; execution later
+        // (noop write / Verify dump) reuses this cached plan.
+        df.queryExecution.optimizedPlan
+        df
+      } finally {
+        s.conf.set(scanFloor, prevFloor)
+        s.conf.set(bcast, prevBcast)
+      }
+    }),
+
     // Semi/anti joins (EXISTS / NOT EXISTS).
     "q21_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -500,6 +539,12 @@ object RelationalQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  ROUND(SUM(l_extendedprice), 2) AS sum_price
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q68_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_semi_anti" ->
       """WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000.0)

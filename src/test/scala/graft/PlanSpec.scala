@@ -123,6 +123,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p.take(3000))
   }
 
+  test("q68 applies a runtime Bloom filter to the fact side before the shuffle") {
+    val df = SparkEntry.queries("q68_bloom_join")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      "no runtime Bloom filter on the fact side:\n" + p.take(3000))
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "demo regime (both sides too big to broadcast) not in effect:\n" + p.take(3000))
+    // The demo confs must not leak into the session after plan pinning.
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") !== "-1")
+  }
+
   test("q65 runtime-prunes the date-partitioned fact scan (dynamic partition pruning)") {
     val df = SparkEntry.queries("q65_dpp_busy_days")(spark, sfDir)
     val rows = df.collect()
