@@ -22,4 +22,28 @@ object Bucketing {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
   }
+
+  /** Recreate ONLY when the table does not already hold this `token`'s
+    * data (token = the source dir in practice). The whole point of a
+    * bucketed layout is pay-the-shuffle-once / join-many-times — q63
+    * measures the zero-exchange JOIN, so rebuilding the layout on every
+    * invocation would bench the one-time ETL instead of the operator.
+    * The in-memory catalog forgets tables across JVMs, so a fresh JVM
+    * always rebuilds (correctness never rides on a stale warehouse dir).
+    */
+  def ensureBucketedTable(df: DataFrame, table: String, buckets: Int,
+                          key: String, token: String): Unit = {
+    val spark = df.sparkSession
+    val current =
+      try spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .properties.get("graft.layout.token")
+      catch { case _: Exception => None }
+    if (!current.contains(token)) {
+      recreateBucketedTable(df, table, buckets, key)
+      val esc = token.replace("'", "''")
+      spark.sql(
+        s"ALTER TABLE $table SET TBLPROPERTIES ('graft.layout.token'='$esc')")
+    }
+  }
 }

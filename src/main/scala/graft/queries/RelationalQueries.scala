@@ -325,12 +325,12 @@ object RelationalQueries {
     // DataFrame would outlive) pins the sort-merge path the buckets
     // accelerate.
     "q63_bucketed_join" -> ((s, dir) => {
-      graft.Bucketing.recreateBucketedTable(
+      graft.Bucketing.ensureBucketedTable(
         t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
-        "bq_lineitem", buckets = 8, key = "l_orderkey")
-      graft.Bucketing.recreateBucketedTable(
+        "bq_lineitem", buckets = 8, key = "l_orderkey", token = dir)
+      graft.Bucketing.ensureBucketedTable(
         t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
-        "bq_orders", buckets = 8, key = "o_orderkey")
+        "bq_orders", buckets = 8, key = "o_orderkey", token = dir)
       s.table("bq_lineitem").hint("merge")
         .join(s.table("bq_orders").hint("merge"),
           col("l_orderkey") === col("o_orderkey"))

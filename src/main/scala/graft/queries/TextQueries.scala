@@ -100,6 +100,19 @@ object TextQueries {
     // TextFunctionsSpec.
     "q46_length_quantiles" -> ((s, dir) => lengthQuantiles(docs(s, dir), approx = false)),
 
+    // Sequence packing (LLM training-data prep): greedy concatenation of
+    // documents into ≤ 256-token training sequences per language, in
+    // doc_id order. One keyed exchange + a streaming O(1)-state walk per
+    // partition — the oracle mirrors the greedy recurrence with a
+    // recursive CTE.
+    "q69_seq_packing" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      graft.operators.Packing.packGreedy(d, "lang", "doc_id", "n_tokens",
+          budget = 256)
+        .orderBy("lang", "doc_id")
+    }),
+
     // Gopher-style repetition filters: duplicate-word fraction and
     // most-frequent-bigram fraction, both from ONE RepetitionStats
     // kernel pass per document — no per-gram explode, no shuffle of
@@ -205,6 +218,28 @@ object TextQueries {
         |  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
         |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
         |  ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The greedy packing recurrence (reset-on-overflow running sum) has
+    // no window-function form; the oracle walks it with a recursive CTE
+    // over the per-language rank.
+    "q69_seq_packing" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        | p AS (
+        |  SELECT lang, doc_id, n_tokens, rn,
+        |    n_tokens AS fill, CAST(1 AS BIGINT) AS seq_no
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+        |    CASE WHEN p.fill + t.n_tokens > 256 THEN t.n_tokens
+        |         ELSE p.fill + t.n_tokens END,
+        |    CASE WHEN p.fill + t.n_tokens > 256 THEN p.seq_no + 1
+        |         ELSE p.seq_no END
+        |  FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
+        |SELECT lang, doc_id, n_tokens, seq_no
+        |FROM p ORDER BY lang, doc_id""".stripMargin
   )
 }

@@ -40,4 +40,23 @@ class BucketingSpec extends SparkSpec {
         col("l_orderkey") === col("o_orderkey")).count()
     assert(n === expected && n > 0)
   }
+
+  test("ensureBucketedTable reuses a current layout and rebuilds on a token change") {
+    import spark.implicits._
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Bucketing.ensureBucketedTable(df1, "b_ensure", buckets = 2, key = "k",
+      token = "dir1")
+    val created = spark.table("b_ensure").inputFiles.toSet
+    // same token → table untouched (pay-the-shuffle-once contract)
+    Bucketing.ensureBucketedTable(
+      Seq((9L, "z")).toDF("k", "v"), "b_ensure", buckets = 2, key = "k",
+      token = "dir1")
+    assert(spark.table("b_ensure").inputFiles.toSet === created)
+    assert(spark.table("b_ensure").count() === 2)
+    // new token → rebuilt from the new frame
+    Bucketing.ensureBucketedTable(
+      Seq((9L, "z")).toDF("k", "v"), "b_ensure", buckets = 2, key = "k",
+      token = "dir2")
+    assert(spark.table("b_ensure").as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.functions._
+
+/** Greedy sequence-packing semantics: deterministic bin assignment,
+  * budget respected except for single-oversize-document bins, state
+  * reset at group boundaries sharing a partition.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-checked greedy packing with overflow, oversize doc, and group reset") {
+    val d = Seq(
+      ("g", 1L, 4L), ("g", 2L, 5L), ("g", 3L, 2L), ("g", 4L, 10L), ("g", 5L, 11L),
+      ("h", 6L, 3L)
+    ).toDF("grp", "id", "n")
+    val out = Packing.packGreedy(d, "grp", "id", "n", budget = 10L)
+      .orderBy("grp", "id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("g", 1L, 4L, 1L),  // fill 4
+      ("g", 2L, 5L, 1L),  // fill 9
+      ("g", 3L, 2L, 2L),  // 9+2 > 10 → new bin
+      ("g", 4L, 10L, 3L), // 2+10 > 10 → new bin, exactly at budget
+      ("g", 5L, 11L, 4L), // oversize doc gets its own bin
+      ("h", 6L, 3L, 1L))) // group boundary resets the counter
+  }
+
+  test("packing invariants on real documents: budget respected, seq_nos contiguous") {
+    val budget = 256L
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+    val packed = Packing.packGreedy(d, "lang", "doc_id", "n_tokens", budget)
+    val bins = packed.groupBy("lang", "seq_no")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs"))
+      .collect()
+    assert(bins.nonEmpty)
+    bins.foreach { r =>
+      val fill = r.getAs[Long]("fill"); val n = r.getAs[Long]("n_docs")
+      assert(fill <= budget || n == 1L,
+        s"bin over budget with multiple docs: $r")
+    }
+    // seq_no is 1..max with no gaps per language
+    packed.groupBy("lang")
+      .agg(min("seq_no").as("lo"), max("seq_no").as("hi"),
+        countDistinct("seq_no").as("d"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("lo") === 1L)
+        assert(r.getAs[Long]("d") === r.getAs[Long]("hi"))
+      }
+    // every doc appears exactly once
+    assert(packed.count() === d.count())
+  }
+}
