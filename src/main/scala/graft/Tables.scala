@@ -25,23 +25,41 @@ object Tables {
     else df
   }
 
+  /** Fingerprint of a source table file (size + mtime) — the staleness
+    * token for derived layouts: a cached layout must be rebuilt when the
+    * source it was derived from changes, even at the same path.
+    */
+  def sourceToken(sfDir: String, name: String): String = {
+    val p = java.nio.file.Paths.get(sfDir, s"$name.parquet")
+    s"${java.nio.file.Files.size(p)}:" +
+      s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+  }
+
   /** Hive-style date-partitioned copy of `events` (partition column
     * `dt`, read back as DATE by partition-type inference) — the layout a
     * 100 TB event table would actually ship with, and the precondition
     * for dynamic partition pruning (q65): a runtime-only dim filter can
     * then skip whole day directories instead of scanning the full
     * history. Built once per sf dir under the system temp root and
-    * reused (idempotent via _SUCCESS).
+    * reused while the source fingerprint matches (a regenerated
+    * events.parquet at the same path forces a rebuild).
     */
   def eventsDayLayout(spark: SparkSession, sfDir: String): String = synchronized {
     import org.apache.spark.sql.functions.{col, to_date}
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_layout", sfName, "events_by_day")
-    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+    val tokenFile = out.resolve("_graft_source_token")
+    val token = sourceToken(sfDir, "events")
+    val current =
+      if (java.nio.file.Files.exists(tokenFile))
+        java.nio.file.Files.readString(tokenFile)
+      else ""
+    if (current != token || !java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
       load(spark, sfDir, "events")
         .withColumn("dt", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("dt").parquet(out.toString)
+      java.nio.file.Files.writeString(tokenFile, token)
     }
     out.toString
   }

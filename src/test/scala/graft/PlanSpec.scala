@@ -125,6 +125,11 @@ class PlanSpec extends SparkSpec {
 
   test("q68 applies a runtime Bloom filter to the fact side before the shuffle") {
     val df = SparkEntry.queries("q68_bloom_join")(spark, sfDir)
+    // collect() executes the query's OWN pinned QueryExecution (a write
+    // or count would build a fresh one under production confs), so the
+    // Bloom-filtered plan actually RUNS here, and the result it
+    // produces is compared against the plain-join answer.
+    val viaBloom = df.collect().map(_.toString).toSeq
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("might_contain"),
       "no runtime Bloom filter on the fact side:\n" + p.take(3000))
@@ -132,6 +137,15 @@ class PlanSpec extends SparkSpec {
       "demo regime (both sides too big to broadcast) not in effect:\n" + p.take(3000))
     // The demo confs must not leak into the session after plan pinning.
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") !== "-1")
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("l_returnflag").collect().map(_.toString).toSeq
+    assert(viaBloom === expected, "Bloom-filtered plan changed the answer")
   }
 
   test("q65 runtime-prunes the date-partitioned fact scan (dynamic partition pruning)") {
