@@ -113,6 +113,26 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Domain-mixture resampling (LLM training prep): rebalance languages
+    // to the minority language's share by hash-thresholding — doc kept
+    // iff u(doc_id) · n_lang < 2³² · min_n, with u the same Knuth
+    // multiplicative hash q45's split uses. EXACT integer arithmetic on
+    // both engines (no float rate compare to drift), so the kept SET
+    // itself is hash-gated, not just counts. Scale shape: per-group
+    // rates are a broadcast dim; the corpus pays one map-side filter and
+    // never shuffles.
+    "q70_mixture_resample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val minN = counts.agg(min("n_lang").as("mn"))
+      d.join(broadcast(counts), "lang")
+        .crossJoin(broadcast(minN))
+        .withColumn("u", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+        .filter(col("u") * col("n_lang") < lit(4294967296L) * col("mn"))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
+
     // Gopher-style repetition filters: duplicate-word fraction and
     // most-frequent-bigram fraction, both from ONE RepetitionStats
     // kernel pass per document — no per-gram explode, no shuffle of
@@ -219,6 +239,14 @@ object TextQueries {
         |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
         |  ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q70_mixture_resample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+        | m AS (SELECT MIN(n_lang) AS mn FROM c)
+        |SELECT d.lang, d.doc_id
+        |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+        |WHERE ((d.doc_id * 2654435761) % 4294967296) * c.n_lang
+        |      < 4294967296 * m.mn
+        |ORDER BY 1, 2""".stripMargin,
     // The greedy packing recurrence (reset-on-overflow running sum) has
     // no window-function form; the oracle walks it with a recursive CTE
     // over the per-language rank.
