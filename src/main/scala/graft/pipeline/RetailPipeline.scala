@@ -91,11 +91,12 @@ object RetailPipeline {
           val wasCached =
             df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
           if (!wasCached) df.persist()
-          sink.write(physical, df)
-          val n = df.count()
-          if (!wasCached) df.unpersist(blocking = false)
-          log.info(s"Sink $physical: $n rows")
-          physical -> n
+          try {
+            sink.write(physical, df)
+            val n = df.count()
+            log.info(s"Sink $physical: $n rows")
+            physical -> n
+          } finally if (!wasCached) df.unpersist(blocking = false)
         }
         val first = writeOne(head._1, head._2)
         first +: awaitAll(tail.map { case (p, df) => Future(writeOne(p, df)) })
