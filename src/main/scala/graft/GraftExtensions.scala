@@ -53,6 +53,34 @@ object GraftExtensions {
     ("byte_mean",
       info("byte_mean", "byte_mean(bin) - mean unsigned byte value of a binary column"),
       arity("byte_mean", 1)(a => ByteMean(a.head)) _),
+    ("argtopk_cosine",
+      info("argtopk_cosine",
+        "argtopk_cosine(vec, matrix, k) - indices of the k most cosine-similar rows of a literal matrix"),
+      arity("argtopk_cosine", 3) { a =>
+        require(a(1).foldable,
+          "argtopk_cosine: argument 'matrix' must be a literal array of numeric arrays")
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        val md = a(1).eval().asInstanceOf[ArrayData]
+        require(md != null && md.numElements() > 0,
+          "argtopk_cosine: 'matrix' must be a non-empty literal")
+        val rowType = a(1).dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        val centroids = (0 until md.numElements()).map { i =>
+          val row = md.getArray(i)
+          (0 until row.numElements()).map { j =>
+            rowType match {
+              case org.apache.spark.sql.types.DoubleType => row.getDouble(j)
+              case org.apache.spark.sql.types.FloatType => row.getFloat(j).toDouble
+              case org.apache.spark.sql.types.IntegerType => row.getInt(j).toDouble
+              case org.apache.spark.sql.types.LongType => row.getLong(j).toDouble
+              case t => throw new IllegalArgumentException(
+                s"argtopk_cosine: unsupported matrix element type $t")
+            }
+          }.toArray
+        }.toArray
+        ArgTopKCosine(a.head, centroids, intLiteral("argtopk_cosine", "k", a(2)))
+      } _),
     ("jaccard_sorted",
       info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of two sorted bigint arrays"),
       arity("jaccard_sorted", 2)(a => JaccardSortedLongs(a(0), a(1))) _),

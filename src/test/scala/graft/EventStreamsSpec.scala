@@ -234,12 +234,17 @@ class EventStreamsSpec extends SparkSpec {
         |  size(shingle_hash_set('a b c d', 3)) AS s,
         |  size(minhash_signature(shingle_hash_set('a b c d', 3), 16)) AS m,
         |  simhash64(shingle_hash_set('a b c d', 3)) AS sh,
-        |  rolling_fingerprint('hello') AS fp""".stripMargin).head()
+        |  rolling_fingerprint('hello') AS fp,
+        |  byte_mean(cast('ab' as binary)) AS bm,
+        |  argtopk_cosine(array(1.0d, 0.1d),
+        |    array(array(0.0d, 1.0d), array(1.0d, 0.0d)), 1) AS at""".stripMargin).head()
     assert(row.getDouble(0) === 1.0)
     assert(row.getDouble(1) === 0.5)
     assert(row.getInt(2) === 2)
     assert(row.getInt(3) === 16)
     val expectedFp = "hello".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
     assert(row.getLong(5) === expectedFp)
+    assert(row.getDouble(6) === ('a'.toInt + 'b'.toInt) / 2.0)
+    assert(row.getSeq[Long](7) === Seq(1L)) // nearest centroid is (1,0)
   }
 }
