@@ -121,11 +121,18 @@ object EventQueries {
     // dt IN (...) — would be constraint-propagated instead and prove
     // nothing.)
     "q65_dpp_busy_days" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val fact = s.read.parquet(Tables.eventsDayLayout(s, dir))
       val daily = Tables.load(s, dir, "events")
         .groupBy(to_date(col("ts")).as("dt"))
         .agg(count(lit(1)).as("n_day"))
+      // Threshold via a window over an empty partitionBy: the dim funnels
+      // through ONE WindowExec partition, which is fine at |days| rows
+      // and — unlike the scalar-cross-join formulation — keeps the
+      // selective filter inside a join-free dim subtree, the shape
+      // Catalyst's DPP rule requires before it will inject the pruning
+      // subquery (a Filter above a cross join is not recognized as a
+      // partition-pruning filter; verified empirically).
+      import org.apache.spark.sql.expressions.Window
       val busy = daily
         .withColumn("avg_n", avg("n_day").over(Window.partitionBy()))
         .filter(col("n_day") > col("avg_n"))
