@@ -82,6 +82,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+
+  test("Packing.packGreedy == sequential reference fold on random corpora") {
+    // random groups, ids, token counts (some oversize) — the distributed
+    // partition-walk must equal a plain sequential fold per group
+    for (trial <- 1 to 8) {
+      val budget = 1 + rnd.nextInt(40)
+      val rows = Seq.fill(40 + rnd.nextInt(120)) {
+        (s"g${rnd.nextInt(4)}", rnd.nextLong().abs % 100000,
+          1L + rnd.nextInt(2 * budget))
+      }.distinctBy(r => (r._1, r._2))
+      val got = graft.operators.Packing
+        .packGreedy(rows.toDF("grp", "id", "n"), "grp", "id", "n", budget)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._4).toMap
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        var fill = 0L; var seq = 0L
+        rs.sortBy(_._2).map { case (_, id, n) =>
+          if (seq == 0L || fill + n > budget) { seq += 1; fill = n }
+          else fill += n
+          (g, id) -> seq
+        }
+      }
+      assert(got === expected, s"trial=$trial budget=$budget")
+    }
+  }
+
   test("SQL-function edge contracts: length mismatch and empty-union return null") {
     GraftSession.tune(spark)
     val row = spark.sql(
