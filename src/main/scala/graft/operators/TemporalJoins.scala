@@ -64,6 +64,54 @@ object TemporalJoins {
     asofImpl(left, right, keyCols, leftTime, rightTime, rightCols,
       rightTiebreak, strict, forward = true)
 
+  /** Nearest as-of join (pandas `merge_asof direction='nearest'`): each
+    * left row matches the right row whose time is closest in EITHER
+    * direction. Equal-distance ties prefer the backward (at-or-before)
+    * match; equal-time ties within a direction follow that direction's
+    * tiebreak (greatest for backward, smallest for forward). Left-outer:
+    * unmatched probes keep null payloads.
+    *
+    * Implemented as the backward pass followed by the forward pass over
+    * its output, then a per-row distance compare — two keyed exchanges
+    * of each input (vs one for a single direction), still no row
+    * multiplication and no inequality join.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame,
+                  keyCols: Seq[String], leftTime: String, rightTime: String,
+                  rightCols: Seq[String], rightTiebreak: String): DataFrame = {
+    val reserved = Seq("__mt") ++ rightCols.flatMap(c => Seq(s"__b_$c", s"__f_$c"))
+    val clash = reserved.filter(c => left.columns.contains(c) || right.columns.contains(c))
+    require(clash.isEmpty,
+      s"asofNearest: reserved working columns ${clash.mkString(",")} already exist")
+    // carry the matched build time through each pass for the |Δt| compare
+    val rightT = right.withColumn("__mt", col(rightTime))
+    val carried = rightCols :+ "__mt"
+
+    val back = asofImpl(left, rightT, keyCols, leftTime, rightTime,
+      carried, rightTiebreak, strict = false, forward = false)
+    val backTagged = carried.foldLeft(back)((df, c) => df.withColumnRenamed(c, s"__b_$c"))
+    val both = asofImpl(backTagged, rightT, keyCols, leftTime, rightTime,
+      carried, rightTiebreak, strict = false, forward = true)
+    val tagged = carried.foldLeft(both)((df, c) => df.withColumnRenamed(c, s"__f_$c"))
+
+    // Distance in a common numeric domain: micros for timestamps, the
+    // raw (numeric) value otherwise — both exact in long/double range.
+    def tnum(c: org.apache.spark.sql.Column) =
+      if (left.schema(leftTime).dataType.typeName.startsWith("timestamp"))
+        unix_micros(c.cast("timestamp"))
+      else c.cast("double")
+    val lt = tnum(col(leftTime))
+    val db = abs(lt - tnum(col("__b___mt")))
+    val df_ = abs(tnum(col("__f___mt")) - lt)
+    val useBack = col("__f___mt").isNull ||
+      (col("__b___mt").isNotNull && db <= df_)
+
+    val out = tagged.select(
+      left.columns.map(col).toSeq ++ rightCols.map(c =>
+        when(useBack, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c)): _*)
+    out
+  }
+
   private def asofImpl(left: DataFrame, right: DataFrame,
                        keyCols: Seq[String], leftTime: String, rightTime: String,
                        rightCols: Seq[String], rightTiebreak: String,

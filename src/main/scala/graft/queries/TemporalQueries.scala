@@ -51,6 +51,25 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // Nearest as-of: each click matched to the user's closest purchase
+    // in EITHER direction (pandas merge_asof direction='nearest');
+    // equal-distance ties prefer the backward match. Two keyed
+    // exchanges (one per direction), still no row multiplication.
+    "q71_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("near_purchase_id"),
+          col("value").as("near_purchase_value"))
+      TemporalJoins.asofNearest(clicks, purchases,
+          keyCols = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("near_purchase_id", "near_purchase_value"),
+          rightTiebreak = "near_purchase_id")
+        .orderBy("event_id")
+    }),
+
     // Binned range join: for every order, how many OTHER orders the same
     // customer placed inside its 90-day follow-up window. 90-day bins →
     // each interval lands in ≤ 2 (custkey, bin) buckets; the join is a
@@ -99,6 +118,27 @@ object TemporalQueries {
         |       FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts)
         |SELECT c.event_id, c.user_id, c.ts,
         |  r.next_purchase_id, r.next_purchase_value
+        |FROM c LEFT JOIN r ON r.event_id = c.event_id AND r.rn = 1
+        |ORDER BY c.event_id""".stripMargin,
+    // Ordering mirror of asofNearest's contract: distance asc, then
+    // backward before forward, then greatest-id (backward) /
+    // smallest-id (forward) — encoded as a signed-id sort within the
+    // side since ids are positive.
+    "q71_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        | p AS (SELECT user_id, ts, event_id AS near_purchase_id,
+        |         value AS near_purchase_value
+        |       FROM events WHERE event_type = 'purchase'),
+        | r AS (SELECT c.event_id, p.near_purchase_id, p.near_purchase_value,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |           ORDER BY ABS(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+        |             CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END ASC,
+        |             CASE WHEN p.ts <= c.ts THEN -p.near_purchase_id
+        |                  ELSE p.near_purchase_id END ASC) AS rn
+        |       FROM c JOIN p ON p.user_id = c.user_id)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  r.near_purchase_id, r.near_purchase_value
         |FROM c LEFT JOIN r ON r.event_id = c.event_id AND r.rn = 1
         |ORDER BY c.event_id""".stripMargin,
     "q58_range_join" ->

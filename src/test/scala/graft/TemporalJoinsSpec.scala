@@ -126,6 +126,40 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofNearest equals brute force: min |Δt|, backward wins distance ties") {
+    val rnd = new scala.util.Random(43)
+    val probes = Seq.tabulate(200)(i =>
+        (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(40).toLong))
+      .toDF("id", "k", "sec")
+      .select(col("id"), col("k"), timestamp_seconds(col("sec")).as("t"))
+    val builds = Seq.tabulate(200)(i =>
+        (s"k${rnd.nextInt(5)}", rnd.nextInt(40).toLong, 1000L + i, rnd.nextDouble()))
+      .toDF("k", "sec", "bid", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("t"), col("bid"), col("v"))
+
+    val got = TemporalJoins.asofNearest(probes, builds,
+        Seq("k"), "t", "t", Seq("bid", "v"), "bid")
+      .select("id", "bid").as[(Long, Option[Long])].collect().toMap
+
+    import org.apache.spark.sql.expressions.Window
+    // Brute force over ALL same-key builds: distance asc; backward
+    // (b.t <= p.t) before forward at equal distance; greatest bid among
+    // backward ties, smallest among forward ties.
+    val w = Window.partitionBy(col("id")).orderBy(
+      abs(unix_micros(col("b.t")) - unix_micros(col("p.t"))).asc,
+      when(col("b.t") <= col("p.t"), 0).otherwise(1).asc,
+      when(col("b.t") <= col("p.t"), -col("b.bid")).otherwise(col("b.bid")).asc)
+    val best = probes.as("p")
+      .join(builds.as("b"), col("p.k") === col("b.k"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("b.bid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === best)
+    // and it is genuinely left-outer with every probe present
+    assert(got.size === 200)
+  }
+
   test("asofBackward: NULL build keys/times never match; NULL probes come out unmatched") {
     val nullBuild = Seq(
       (Some("a"), Some(90L), 11L), (Some("a"), None, 66L), (None, Some(95L), 77L))
