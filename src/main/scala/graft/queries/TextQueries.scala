@@ -133,6 +133,33 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // TF-IDF top terms per document. tf: one (doc_id, term) groupBy with
+    // map-side combine; df: a vocabulary-sized re-aggregation of tf (AQE
+    // broadcasts it back when small); idf = ln((N+1)/(df+1)) + 1 (smooth).
+    // The per-doc window is safe at 100 TB because its partition is one
+    // document's DISTINCT terms — bounded by doc length, not corpus size
+    // (the unbounded-group top-k case is what q50's TopKAggregator is
+    // for). Ranking uses the ROUNDED score so the tiebreak is decided on
+    // exactly what both engines hash.
+    "q72_tfidf_topterms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = broadcast(d.agg(count(lit(1)).as("n_docs")))
+      val tf = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(dfreq, "term")
+        .crossJoin(nDocs)
+        .withColumn("tfidf", round(col("tf") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rnk")
+    }),
+
     // Gopher-style repetition filters: duplicate-word fraction and
     // most-frequent-bigram fraction, both from ONE RepetitionStats
     // kernel pass per document — no per-gram explode, no shuffle of
@@ -239,6 +266,26 @@ object TextQueries {
         |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
         |  ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ln on both sides; DuckDB's `/` on integers is already double
+    // division. Ranking orders by the ROUNDED score in both engines so
+    // the term-asc tiebreak resolves identically.
+    "q72_tfidf_topterms" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM w WHERE term <> '' GROUP BY 1, 2),
+        | dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        | sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    ROUND(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        | r AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, rnk, term, tf, df, tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q70_mixture_resample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
         | m AS (SELECT MIN(n_lang) AS mn FROM c)

@@ -122,4 +122,33 @@ class TextFunctionsSpec extends SparkSpec {
       TextFunctions.markerHits(lit("x"), Seq("The")) // must be lowercase
     }
   }
+
+  test("q72 tf-idf top terms match a brute-force Scala recompute on sf0.001") {
+    // Scala BigDecimal(double) is valueOf/HALF_UP — the exact rounding
+    // path Spark's Round takes on DoubleType, so equality is exact.
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val n = rows.length.toLong
+    val tf: Seq[(Long, String, Long)] = rows.toSeq.flatMap { case (id, text) =>
+      text.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
+        .map { case (t, a) => (id, t, a.length.toLong) }
+    }
+    val dfreq: Map[String, Long] =
+      tf.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    val expected = tf.groupBy(_._1).toSeq.flatMap { case (id, g) =>
+      g.map { case (_, t, c) =>
+          val d = dfreq(t)
+          (t, c, d, round6(c * (math.log((n + 1).toDouble / (d + 1)) + 1)))
+        }
+        .sortBy { case (t, _, _, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((t, c, d, s), i) => (id, (i + 1).toLong, t, c, d, s) }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q72_tfidf_topterms")(spark, sfDir)
+      .as[(Long, Long, String, Long, Long, Double)].collect().toSeq
+    assert(got.size === expected.size)
+    assert(got === expected)
+  }
 }
