@@ -94,6 +94,31 @@ object SimilarityQueries {
       val exact = Similarity.cosinePairs(sliced, "vec_id", "embedding",
         threshold = 0.4)
       rhp.exceptAll(exact).orderBy("id_a", "id_b")
+    }),
+
+    // Per-label centroid + cluster cohesion: the grouped vector mean is
+    // a VecMeanAggregator (one dim-length partial per partition per
+    // label — the rows never shuffle), the tiny centroid table
+    // broadcasts back, and cohesion is one more scan scoring each
+    // member against its centroid. The oracle's explode-to-(label, dim)
+    // formulation is what this aggregator exists to avoid: it inflates
+    // the exchange 64× at 100 TB.
+    "q74_label_centroids" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("label"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val vmean = udaf(new graft.functions.VecMeanAggregator)
+      val cents = broadcast(
+        e.groupBy("label").agg(vmean(col("v")).as("cv"))
+          .withColumn("centroid_norm",
+            sqrt(aggregate(col("cv"), lit(0.0), (a, x) => a + x * x))))
+      e.join(cents, "label")
+        .withColumn("cs", Similarity.cosine(col("v"), col("cv")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(first(col("centroid_norm")), 6).as("centroid_norm"),
+          round(avg(col("cs")), 6).as("mean_cos"),
+          round(min(col("cs")), 6).as("min_cos"))
+        .orderBy("label")
     })
   )
 
@@ -154,6 +179,28 @@ object SimilarityQueries {
         |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
         |       FROM s)
         |SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS sim
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // Zipped unnest pairs each element with its subscript (two unnests
+    // in one SELECT zip; generate_subscripts would count as a nested
+    // unnest); AVG per (label, dim) then list(ORDER BY i) rebuilds the
+    // centroid. With unit-norm input vectors mean_cos equals
+    // centroid_norm identically — both engines must agree on that
+    // invariant too.
+    "q74_label_centroids" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        | u AS (SELECT label, unnest(v) AS x,
+        |              unnest(range(1, len(v) + 1)) AS i FROM e),
+        | cd AS (SELECT label, i, AVG(x) AS m FROM u GROUP BY 1, 2),
+        | cent AS (SELECT label, list(m ORDER BY i) AS cv,
+        |            sqrt(SUM(m * m)) AS centroid_norm
+        |          FROM cd GROUP BY 1),
+        | coh AS (SELECT e.label, list_cosine_similarity(e.v, cent.cv) AS cs,
+        |                cent.centroid_norm
+        |         FROM e JOIN cent USING (label))
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(ANY_VALUE(centroid_norm), 6) AS centroid_norm,
+        |  ROUND(AVG(cs), 6) AS mean_cos, ROUND(MIN(cs), 6) AS min_cos
+        |FROM coh GROUP BY label ORDER BY label""".stripMargin
   )
 }

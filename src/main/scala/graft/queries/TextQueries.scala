@@ -160,6 +160,68 @@ object TextQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // Fixed-size token chunking with overlap (context-window prep):
+    // chunk starts are a per-row `sequence` + `posexplode` — pure
+    // map-side fan-out, no shuffle, so it streams at scan speed on any
+    // corpus size. 32-token chunks, stride 24 (8-token overlap).
+    "q73_token_chunks" -> ((s, dir) => {
+      val C = 32
+      val S = 24
+      val d = docs(s, dir)
+        .withColumn("w", words(col("text")))
+        .withColumn("nw", size(col("w")))
+      d.select(col("doc_id"), col("w"), col("nw"),
+          posexplode(when(col("nw") > 0, sequence(lit(0), col("nw") - 1, lit(S)))
+            .otherwise(array().cast("array<int>"))).as(Seq("pos", "st")))
+        .select(col("doc_id"),
+          (col("pos") + 1).cast("bigint").as("chunk_no"),
+          col("st").cast("bigint").as("start_tok"),
+          least(lit(C), col("nw") - col("st")).cast("bigint").as("n_tok"),
+          concat_ws(" ", slice(col("w"), col("st") + 1, lit(C))).as("chunk_text"))
+        .orderBy("doc_id", "chunk_no")
+    }),
+
+    // Corpus vocabulary head (Zipf top-20 terms with corpus share).
+    // The term aggregate is vocabulary-sized with map-side combine;
+    // the head is TakeOrderedAndProject (bounded), and the rank window
+    // runs over the already-limited 20 rows — never the vocabulary.
+    "q75_vocab_head" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(explode(words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = broadcast(tf.agg(sum("cnt").as("total")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term").asc)
+      tf.orderBy(col("cnt").desc, col("term").asc).limit(20)
+        .crossJoin(tot)
+        .withColumn("share", round(col("cnt").cast("double") / col("total"), 6))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .select("rnk", "term", "cnt", "share")
+        .orderBy("rnk")
+    }),
+
+    // Deterministic k-per-stratum sample: rank by a multiplicative hash
+    // of doc_id and keep each language's k best via the bounded
+    // TopKAggregator — partial k-row heaps merge map-side, so the
+    // exchange moves k rows per (lang, partition) where the window
+    // formulation (the oracle) must sort EVERY row of the stratum.
+    // Exactly-k, reproducible, and one scan — the training-data
+    // sampling contract a reservoir can't give deterministically.
+    "q76_stratified_sample" -> ((s, dir) => {
+      val k = 25
+      val topk = udaf(new graft.functions.TopKAggregator(k))
+      docs(s, dir)
+        .withColumn("h",
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+        .groupBy("lang")
+        .agg(topk(col("doc_id"), col("h").cast("double")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("lang"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("entry._1").as("doc_id"), col("entry._2").cast("bigint").as("h"))
+        .orderBy("lang", "rnk")
+    }),
+
     // Gopher-style repetition filters: duplicate-word fraction and
     // most-frequent-bigram fraction, both from ONE RepetitionStats
     // kernel pass per document — no per-gram explode, no shuffle of
@@ -286,6 +348,39 @@ object TextQueries {
         |  FROM sc)
         |SELECT doc_id, rnk, term, tf, df, tfidf
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // `//` for integer division (DuckDB `/` promotes to double);
+    // range() excludes the stop like Spark's sequence(0, nw-1, S);
+    // list slices are 1-based inclusive like Spark's slice().
+    "q73_token_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | s AS (SELECT doc_id, w, len(w) AS nw,
+        |         unnest(range(0, len(w), 24)) AS st FROM t)
+        |SELECT doc_id, CAST(st // 24 + 1 AS BIGINT) AS chunk_no,
+        |  CAST(st AS BIGINT) AS start_tok,
+        |  CAST(least(32, nw - st) AS BIGINT) AS n_tok,
+        |  array_to_string(w[CAST(st + 1 AS BIGINT):CAST(least(st + 32, nw) AS BIGINT)], ' ')
+        |    AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
+    "q75_vocab_head" ->
+      """WITH tf AS (
+        |  SELECT term, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> '' GROUP BY 1),
+        | t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM tf),
+        | r AS (SELECT term, cnt,
+        |         ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk FROM tf)
+        |SELECT rnk, term, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / (SELECT total FROM t), 6) AS share
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "q76_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        | r AS (SELECT lang, doc_id, h,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY h DESC, doc_id) AS rnk FROM b)
+        |SELECT lang, rnk, doc_id, CAST(h AS BIGINT) AS h
+        |FROM r WHERE rnk <= 25 ORDER BY lang, rnk""".stripMargin,
     "q70_mixture_resample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
         | m AS (SELECT MIN(n_lang) AS mn FROM c)

@@ -71,4 +71,49 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(pairs.forall(p => p._1 < p._2))
   }
+
+  test("q74 centroids/cohesion match a brute-force Scala recompute on sf0.001") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect()
+    val expected = rows.groupBy(_._1).toSeq.map { case (label, g) =>
+      val vs = g.map(_._2.toArray)
+      val n = vs.length
+      val dim = vs.head.length
+      val cent = Array.tabulate(dim)(i => vs.map(_(i)).sum / n)
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.map(i => a(i) * b(i)).sum
+      def norm(a: Array[Double]) = math.sqrt(dot(a, a))
+      val cos = vs.map(v => dot(v, cent) / (norm(v) * norm(cent)))
+      (label, n.toLong, round6(norm(cent)), round6(cos.sum / n), round6(cos.min))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q74_label_centroids")(spark, sfDir)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 === e._1); assert(g._2 === e._2)
+      // The Scala fold and the aggregator merge tree sum in different
+      // orders; equality holds to float tolerance, not bit-exactness.
+      assert(math.abs(g._3 - e._3) < 1e-9, s"label ${g._1} norm")
+      assert(math.abs(g._4 - e._4) < 1e-9, s"label ${g._1} mean_cos")
+      assert(math.abs(g._5 - e._5) < 1e-9, s"label ${g._1} min_cos")
+    }
+    assert(got.size === expected.size)
+  }
+
+  test("VecMeanAggregator: skips nulls, rejects mixed dimensions") {
+    val vmean = udaf(new graft.functions.VecMeanAggregator)
+    val ok = Seq((1, Seq(1.0, 3.0)), (1, Seq(3.0, 5.0))).toDF("g", "v")
+      .union(Seq((1, null.asInstanceOf[Seq[Double]])).toDF("g", "v"))
+      .groupBy("g").agg(vmean($"v").as("m"))
+      .as[(Int, Seq[Double])].head()
+    assert(ok._2 === Seq(2.0, 4.0))
+    val err = intercept[org.apache.spark.SparkException] {
+      Seq((1, Seq(1.0, 2.0)), (1, Seq(1.0))).toDF("g", "v")
+        .groupBy("g").agg(vmean($"v")).collect()
+    }
+    assert(err.getMessage.contains("mixed dimensions")
+      || err.getCause.getMessage.contains("mixed dimensions"))
+  }
 }

@@ -151,4 +151,45 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.size === expected.size)
     assert(got === expected)
   }
+
+  test("q73 chunks reconstruct every document exactly (stride 24, size 32)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val chunks = SparkEntry.queries("q73_token_chunks")(spark, sfDir)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk_no dense from 1, starts at stride intervals
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length))
+      assert(sorted.map(_._3).toSeq === sorted.indices.map(_ * 24L))
+      // dropping each chunk's 8-token overlap with its predecessor
+      // reassembles the original token stream exactly
+      val toks = sorted.flatMap { case (_, no, _, _, text) =>
+        val ws = text.split(" ", -1)
+        if (no == 1L) ws else ws.drop(8)
+      }
+      assert(toks.mkString(" ") === docs(id), s"doc $id")
+      // each chunk holds min(32, remaining) tokens from its start
+      val nw = docs(id).split(" ", -1).length.toLong
+      sorted.foreach(c => assert(c._4 === math.min(32L, nw - c._3), s"doc $id"))
+    }
+  }
+
+  test("q76 bounded-heap sample equals the window-sort formulation") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("h", pmod($"doc_id" * lit(2654435761L), lit(4294967296L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy($"h".desc, $"doc_id".asc)
+    val viaWindow = d.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter($"rnk" <= 25)
+      .select($"lang", $"rnk", $"doc_id", $"h".cast("bigint").as("h"))
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val viaAgg = SparkEntry.queries("q76_stratified_sample")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+    // exactly-k per stratum (strata here are larger than k)
+    assert(viaAgg.groupBy(_._1).values.forall(_.length === 25))
+  }
 }
