@@ -144,9 +144,15 @@ object TextQueries {
     "q72_tfidf_topterms" -> ((s, dir) => {
       val d = docs(s, dir)
       val nDocs = broadcast(d.agg(count(lit(1)).as("n_docs")))
+      // tf feeds both the scoring join and the df re-aggregation;
+      // without the checkpoint each branch would re-run scan + explode
+      // + groupBy over the raw text, which is strictly larger than tf
+      // itself — materializing once is the cheaper side of the
+      // persist-vs-recompute tradeoff at every scale.
       val tf = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
         .filter(col("term") =!= "")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = true)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
@@ -190,7 +196,11 @@ object TextQueries {
         .select(explode(words(col("text"))).as("term"))
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("cnt"))
-      val tot = broadcast(tf.agg(sum("cnt").as("total")))
+      // total token count map-side from the array length — re-deriving
+      // it from tf would recompute the whole explode+groupBy branch.
+      val tot = broadcast(docs(s, dir)
+        .agg(sum(size(filter(words(col("text")), t => t =!= "")))
+          .cast("bigint").as("total")))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("term").asc)
       tf.orderBy(col("cnt").desc, col("term").asc).limit(20)

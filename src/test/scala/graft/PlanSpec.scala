@@ -81,6 +81,54 @@ class PlanSpec extends SparkSpec {
       "no partial top-k aggregation:\n" + p.take(2000))
   }
 
+  test("q72 tf is computed once (checkpoint reuse) and the rank limit is pushed") {
+    val p = planOf("q72_tfidf_topterms")
+    // both consumers of tf read the materialized checkpoint, not a
+    // re-run of scan+explode+groupBy
+    assert(p.contains("ExistingRDD"), "tf not checkpoint-reused:\n" + p.take(2000))
+    assert(p.split("Scan parquet", -1).length - 1 == 1,
+      "documents must be scanned exactly once outside the checkpoint:\n" + p.take(2000))
+    // Spark's WindowGroupLimit prunes each doc's terms to the top 3
+    // BEFORE the window exchange — the shuffle moves ≤3+ rows per doc
+    assert(p.contains("WindowGroupLimit"), "rank limit not pushed:\n" + p.take(2000))
+  }
+
+  test("q73 chunking fans out map-side (no exchange below the fan-out)") {
+    val p = planOf("q73_token_chunks")
+    val gen = p.indexOf("Generate")
+    val ex = p.indexOf("Exchange")
+    assert(gen >= 0, p.take(2000))
+    // the only Exchange is the final presentation sort, ABOVE the fan-out
+    assert(ex >= 0 && ex < gen, "fan-out must not sit above a shuffle:\n" + p.take(2000))
+    assert(p.indexOf("Exchange", ex + 1) < 0,
+      "chunking should shuffle once (the orderBy), found more:\n" + p.take(2000))
+  }
+
+  test("q74 centroid aggregation merges vector partials map-side") {
+    val p = planOf("q74_label_centroids").toLowerCase
+    assert(p.contains("partial_vecmeanaggregator"),
+      "no partial vector-mean aggregation:\n" + p.take(2000))
+    assert(p.contains("broadcasthashjoin"),
+      "centroids must broadcast back, not shuffle the corpus:\n" + p.take(2000))
+  }
+
+  test("q75 vocabulary head is a bounded TakeOrderedAndProject") {
+    val p = planOf("q75_vocab_head")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the corpus-total branch is a map-side array-length sum — only the
+    // head branch pays the explode
+    assert(p.split("Generate", -1).length - 1 == 1,
+      "total must not re-run the explode:\n" + p.take(2000))
+  }
+
+  test("q76 stratified sample merges bounded heaps map-side (no stratum sort)") {
+    val p = planOf("q76_stratified_sample").toLowerCase
+    assert(p.contains("partial_topkaggregator"),
+      "no partial top-k aggregation:\n" + p.take(2000))
+    assert(!p.contains("window"),
+      "sample must not window-sort the strata:\n" + p.take(2000))
+  }
+
   test("q01 aggregation is partial+final (map-side combine)") {
     val p = planOf("q01_agg_returnflag")
     assert(p.contains("partial_"), "no partial aggregation:\n" + p.take(2000))
