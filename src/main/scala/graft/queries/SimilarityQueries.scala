@@ -119,6 +119,31 @@ object SimilarityQueries {
           round(avg(col("cs")), 6).as("mean_cos"),
           round(min(col("cs")), 6).as("min_cos"))
         .orderBy("label")
+    }),
+
+    // Int8 scalar quantization (4× memory for ANN shards): per-vector
+    // max-abs scale, q = round(x/scale·127) ∈ [-127,127], plus the
+    // reconstruction quality a quantized index ships with (RMSE and
+    // cosine vs the original). Entirely map-side — quantizing 100 TB of
+    // embeddings is one scan. The squared error is expanded as
+    // v·v − 2·v·r + r·r through the codegen DotProduct kernel — the
+    // same arithmetic path the oracle's list_inner_product takes.
+    "q78_int8_quant" -> ((s, dir) => {
+      def dot = graft.expressions.ArrayOps.dot _
+      val e = emb(s, dir).select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      e.withColumn("scale",
+          greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)))
+        .withColumn("rv", transform(col("v"),
+          x => round(x / col("scale") * 127).cast("int").cast("double")
+            * col("scale") / 127))
+        .withColumn("se",
+          dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("rv"))
+            + dot(col("rv"), col("rv")))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          round(sqrt(greatest(col("se"), lit(0.0)) / size(col("v"))), 6).as("rmse"),
+          round(Similarity.cosine(col("v"), col("rv")), 6).as("cos_recon"))
+        .orderBy("vec_id")
     })
   )
 
@@ -201,6 +226,28 @@ object SimilarityQueries {
         |SELECT label, COUNT(*) AS n_vecs,
         |  ROUND(ANY_VALUE(centroid_norm), 6) AS centroid_norm,
         |  ROUND(AVG(cs), 6) AS mean_cos, ROUND(MIN(cs), 6) AS min_cos
-        |FROM coh GROUP BY label ORDER BY label""".stripMargin
+        |FROM coh GROUP BY label ORDER BY label""".stripMargin,
+    // round() is half-away-from-zero in both engines; the squared error
+    // uses the same v·v − 2·v·r + r·r expansion via list_inner_product.
+    "q78_int8_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        | q AS (SELECT vec_id, v,
+        |         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+        |           AS scale FROM e),
+        | r AS (SELECT vec_id, v, scale,
+        |         list_transform(v, x ->
+        |           CAST(CAST(round(x / scale * 127) AS INTEGER) AS DOUBLE)
+        |             * scale / 127) AS rv
+        |       FROM q),
+        | m AS (SELECT vec_id, scale,
+        |         list_inner_product(v, v) - 2 * list_inner_product(v, rv)
+        |           + list_inner_product(rv, rv) AS se,
+        |         list_cosine_similarity(v, rv) AS cr, len(v) AS d
+        |       FROM r)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  ROUND(sqrt(greatest(se, 0.0) / d), 6) AS rmse,
+        |  ROUND(cr, 6) AS cos_recon
+        |FROM m ORDER BY vec_id""".stripMargin
   )
 }

@@ -232,6 +232,38 @@ object TextQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // Count-min-sketch heavy-hitter GATE: at 100 TB the sketch pass
+    // REPLACES the exact vocabulary aggregate (fixed 80 KB state,
+    // map-side mergeable partials, no vocabulary shuffle); here the
+    // exact side plays referee and the query emits every top-20 term
+    // whose estimate violates the CMS contract
+    // (exact ≤ estimate ≤ exact + ⌈eps·N⌉) — the oracle is the EMPTY
+    // relation, so a sketch bug becomes a driver-gate row mismatch.
+    // Driver-side state is the 80 KB sketch + 20 rows (model-parameter
+    // sized, like the IVF centroids); seed 42 makes it deterministic.
+    "q77_cms_bound_gate" -> ((s, dir) => {
+      val eps = 0.001
+      def terms = docs(s, dir)
+        .select(explode(words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val top = terms.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term").asc).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val row = terms.agg(
+          expr(s"count_min_sketch(term, ${eps}d, 0.99d, 42)").as("sk"),
+          count(lit(1)).as("total"))
+        .head()
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+      val slack = math.ceil(eps * row.getAs[Long]("total")).toLong
+      val viol = top.toSeq.flatMap { case (t, ex) =>
+        val est = sk.estimateCount(t)
+        if (est >= ex && est <= ex + slack) None else Some((t, ex, est, slack))
+      }
+      import s.implicits._
+      viol.toDF("term", "exact_cnt", "est_cnt", "slack").orderBy("term")
+    }),
+
     // Gopher-style repetition filters: duplicate-word fraction and
     // most-frequent-bigram fraction, both from ONE RepetitionStats
     // kernel pass per document — no per-gram explode, no shuffle of
@@ -382,6 +414,10 @@ object TextQueries {
         |SELECT rnk, term, cnt,
         |  ROUND(CAST(cnt AS DOUBLE) / (SELECT total FROM t), 6) AS share
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "q77_cms_bound_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS exact_cnt,
+        |  CAST(NULL AS BIGINT) AS est_cnt, CAST(NULL AS BIGINT) AS slack
+        |WHERE FALSE""".stripMargin,
     "q76_stratified_sample" ->
       """WITH b AS (
         |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS h

@@ -34,4 +34,37 @@ class SketchSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(merged === direct)
   }
+
+  test("CMS SQL agg and driver-side estimateCount hash strings identically") {
+    // On a corpus whose distinct count is far below the sketch width
+    // the CMS is collision-free, so every estimate must be EXACT —
+    // which only holds if the SQL aggregate (UTF8String bytes) and
+    // CountMinSketch.estimateCount(String) hash the same way. This is
+    // the agreement q77's probe relies on.
+    val words = Seq("alpha", "beta", "beta", "gamma", "gamma", "gamma", "δδ")
+    val df = words.toDF("term")
+    val bytes = df.agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    words.distinct.foreach { w =>
+      assert(sk.estimateCount(w) === words.count(_ == w).toLong, w)
+    }
+  }
+
+  test("q77 CMS bound gate is empty on sf0.001 (contract holds)") {
+    assert(SparkEntry.queries("q77_cms_bound_gate")(spark, sfDir).count() === 0L)
+  }
+
+  test("q78 int8 quantization: per-element error within half a step") {
+    // |x - recon| <= scale/254 per element, so rmse <= scale/254 and
+    // the reconstruction stays essentially colinear.
+    val rows = SparkEntry.queries("q78_int8_quant")(spark, sfDir)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, rmse, cos) =>
+      assert(rmse <= scale / 254 + 1e-9, s"vec $id rmse $rmse vs scale $scale")
+      assert(cos >= 0.99, s"vec $id cos_recon $cos")
+    }
+  }
 }
