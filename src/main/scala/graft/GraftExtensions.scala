@@ -123,5 +123,9 @@ object GraftExtensions {
     definitions.foreach { case (name, inf, builder) =>
       registry.registerFunction(FunctionIdentifier(name), inf, builder)
     }
+    // Typed aggregators go through the udf registry (they are udafs,
+    // not expression builders). Idempotent like the rest.
+    spark.udf.register("vec_mean",
+      org.apache.spark.sql.functions.udaf(new graft.functions.VecMeanAggregator))
   }
 }

@@ -124,6 +124,16 @@ class PropertySpec extends SparkSpec {
     assert(ex.getMessage.contains("n must be >= 1"))
   }
 
+  test("vec_mean is registered on the SQL surface") {
+    GraftSession.tune(spark)
+    val m = spark.sql(
+      """SELECT g, vec_mean(v) AS m FROM VALUES
+        |  (1, array(1.0d, 3.0d)), (1, array(3.0d, 5.0d)) AS t(g, v)
+        |GROUP BY g""".stripMargin)
+      .head().getSeq[Double](1)
+    assert(m === Seq(2.0, 4.0))
+  }
+
   test("expression constant-folding: literal inputs fold at plan time") {
     val df = spark.range(1)
       .select(graft.expressions.ArrayOps.jaccardSorted(
