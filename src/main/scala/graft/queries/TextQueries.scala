@@ -232,6 +232,40 @@ object TextQueries {
         .orderBy("lang", "rnk")
     }),
 
+    // Bigram-LM quality score (the CCNet-style perplexity filter): a
+    // corpus bigram model scores each document's average log
+    // P(w2|w1) with add-1 smoothing over the context vocabulary.
+    // The exploded bigram frame feeds THREE consumers (bigram counts,
+    // context counts, scoring join) — checkpointed once; the scoring
+    // join keys on the bigram so the model shuffles once, and the
+    // context-count side is vocabulary-sized (AQE broadcasts it when
+    // it fits). One corpus text scan total at any scale.
+    "q79_bigram_logprob" -> ((s, dir) => {
+      val w = words(col("text"))
+      val bi = docs(s, dir)
+        .select(col("doc_id"),
+          explode(when(size(w) >= 2,
+            transform(sequence(lit(0), size(w) - 2),
+              i => struct(element_at(w, i + 1).as("w1"),
+                element_at(w, i + 2).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .localCheckpoint(eager = true)
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vctx = broadcast(c1.agg(count(lit(1)).as("vctx")))
+      // fold c1 into the bigram model first (model-sized join) so the
+      // CORPUS-sized bi frame pays one shuffle join, not two
+      val model = c2.join(c1, Seq("w1"))
+      bi.join(model, Seq("w1", "w2")).crossJoin(vctx)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log((col("c2") + 1) / (col("c1") + col("vctx")))), 6)
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // Count-min-sketch heavy-hitter GATE: at 100 TB the sketch pass
     // REPLACES the exact vocabulary aggregate (fixed 80 KB state,
     // map-side mergeable partials, no vocabulary shuffle); here the
@@ -414,6 +448,20 @@ object TextQueries {
         |SELECT rnk, term, cnt,
         |  ROUND(CAST(cnt AS DOUBLE) / (SELECT total FROM t), 6) AS share
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "q79_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | b AS (SELECT doc_id,
+        |         unnest(list_transform(range(len(w) - 1),
+        |           i -> {'w1': w[i+1], 'w2': w[i+2]})) AS g
+        |       FROM t WHERE len(w) >= 2),
+        | bi AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM b),
+        | c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+        | c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+        | v AS (SELECT COUNT(*) AS vctx FROM c1)
+        |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(ln((c2.c2 + 1) / (c1.c1 + v.vctx))), 6) AS avg_logp
+        |FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
     "q77_cms_bound_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS exact_cnt,
         |  CAST(NULL AS BIGINT) AS est_cnt, CAST(NULL AS BIGINT) AS slack

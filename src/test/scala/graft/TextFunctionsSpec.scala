@@ -177,6 +177,33 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("q79 bigram log-prob matches a brute-force Scala LM on sf0.001") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bigrams: Seq[(Long, (String, String))] = rows.toSeq.flatMap {
+      case (id, text) =>
+        val ws = text.split(" ", -1)
+        ws.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val c2 = bigrams.groupBy(_._2).map { case (g, v) => g -> v.size.toLong }
+    val c1 = bigrams.groupBy(_._2._1).map { case (wd, v) => wd -> v.size.toLong }
+    val vctx = c1.size.toLong
+    val expected = bigrams.groupBy(_._1).toSeq.map { case (id, g) =>
+      val lps = g.map { case (_, bg) =>
+        math.log((c2(bg) + 1).toDouble / (c1(bg._1) + vctx))
+      }
+      (id, g.size.toLong, round6(lps.sum / lps.size))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q79_bigram_logprob")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === expected.map(r => (r._1, r._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-9, s"doc ${g._1}")
+    }
+  }
+
   test("q76 bounded-heap sample equals the window-sort formulation") {
     val d = Tables.load(spark, sfDir, "documents")
       .withColumn("h", pmod($"doc_id" * lit(2654435761L), lit(4294967296L)))
