@@ -16,6 +16,26 @@ object EventQueries {
   import RelationalQueries.Q
 
   val queries: Map[String, Q] = Map(
+    // Trailing-24h per-user activity via a time-RANGE window frame
+    // (the feature-engineering shape behind rate limits / burst
+    // detection). One keyed exchange; the frame's buffered state is
+    // bounded by each user's 24h event density, never the history —
+    // and because the frame is range-based, peer rows at the same
+    // timestamp get identical frames, so the result is deterministic
+    // without an ORDER BY tiebreak inside the window. The streaming
+    // twin of this query is the watermarked sliding window (q40).
+    "q80_rolling_24h" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-86400000000L, 0L)
+      Tables.load(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_24h"),
+          round(sum(col("value")).over(w), 6).as("sum_24h"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // Gaps-and-islands sessionization (lag + running sum + two aggs).
     "q34_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -186,6 +206,16 @@ object EventQueries {
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // RANGE INTERVAL PRECEDING is inclusive at the boundary in both
+    // engines (Spark rangeBetween(-24h_µs, 0) ≡ ts >= cur - 24h).
+    "q80_rolling_24h" ->
+      """SELECT user_id, event_id, ts,
+        |  COUNT(*) OVER w AS n_24h,
+        |  ROUND(SUM(value) OVER w, 6) AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "q34_sessionize" -> sessionSql,
     "q35_multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -124,6 +124,33 @@ class PropertySpec extends SparkSpec {
     assert(ex.getMessage.contains("n must be >= 1"))
   }
 
+  test("q80 range-frame window == brute-force trailing-24h scan on sf0.001") {
+    val evs = Tables.load(spark, sfDir, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("ts_us"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.map { case (u, id, t, _) =>
+        val frame = g.filter(e => e._3 >= t - 86400000000L && e._3 <= t)
+        ((u, id), (frame.length.toLong, round6(frame.map(_._4).sum)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q80_rolling_24h")(spark, sfDir)
+      .select("user_id", "event_id", "n_24h", "sum_24h")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length === evs.length)
+    got.foreach { case (u, id, n, sm) =>
+      val (en, esum) = expected((u, id))
+      assert(n === en, s"user $u event $id count")
+      assert(math.abs(sm - esum) < 1e-6, s"user $u event $id sum")
+    }
+  }
+
   test("vec_mean is registered on the SQL surface") {
     GraftSession.tune(spark)
     val m = spark.sql(
