@@ -16,8 +16,12 @@ case class VecSumBuf(sum: Array[Double], n: Long)
   * The explode-to-(group, dim)-rows formulation the oracle uses would
   * inflate the exchange by the embedding dimension (64× here).
   *
-  * Nulls are skipped (SQL AVG semantics); a dimension mismatch inside a
-  * group is a data error and fails loudly rather than truncating.
+  * Null vectors are skipped; a group with NO non-null vectors yields an
+  * EMPTY array (not NULL — the zero buffer can't know the dimension),
+  * so callers that need SQL-AVG NULL semantics for all-null groups
+  * should filter nulls out first (q74 does). A dimension mismatch
+  * inside a group is a data error and fails loudly rather than
+  * truncating.
   */
 class VecMeanAggregator extends Aggregator[Seq[Double], VecSumBuf, Seq[Double]] {
 

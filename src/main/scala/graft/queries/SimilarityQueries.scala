@@ -104,8 +104,11 @@ object SimilarityQueries {
     // formulation is what this aggregator exists to avoid: it inflates
     // the exchange 64× at 100 TB.
     "q74_label_centroids" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("label"),
-        Similarity.asDouble(col("embedding")).as("v"))
+      // drop NULL embeddings up front: a label with only NULL vectors
+      // must vanish entirely (the oracle's unnest drops it), not
+      // surface as an empty-centroid row from the aggregator's zero.
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("label"), Similarity.asDouble(col("embedding")).as("v"))
       val vmean = udaf(new graft.functions.VecMeanAggregator)
       val cents = broadcast(
         e.groupBy("label").agg(vmean(col("v")).as("cv"))

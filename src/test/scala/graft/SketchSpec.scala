@@ -56,6 +56,31 @@ class SketchSpec extends SparkSpec {
     assert(SparkEntry.queries("q77_cms_bound_gate")(spark, sfDir).count() === 0L)
   }
 
+  test("CMS eps·N upper bound holds for the top-20 terms on the fixed testdata") {
+    // Probabilistic per-probe (confidence 0.99), so it is pinned here on
+    // fixed data + seed (deterministic for this corpus) instead of being
+    // part of q77's any-data empty-diff gate, which only asserts the
+    // deterministic never-underestimate direction.
+    val eps = 0.001
+    val terms = Tables.load(spark, sfDir, "documents")
+      .select(explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+    val top = terms.groupBy("term").agg(count(lit(1)).as("exact"))
+      .orderBy($"exact".desc, $"term".asc).limit(20)
+      .as[(String, Long)].collect()
+    val row = terms.agg(
+        expr(s"count_min_sketch(term, ${eps}d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("total"))
+      .head()
+    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+    val slack = math.ceil(eps * row.getAs[Long]("total")).toLong
+    top.foreach { case (t, ex) =>
+      val est = sk.estimateCount(t)
+      assert(est <= ex + slack, s"term '$t': est $est > exact $ex + slack $slack")
+    }
+  }
+
   test("q78 int8 quantization: per-element error within half a step") {
     // |x - recon| <= scale/254 per element, so rmse <= scale/254 and
     // the reconstruction stays essentially colinear.
