@@ -129,6 +129,41 @@ class PlanSpec extends SparkSpec {
       "sample must not window-sort the strata:\n" + p.take(2000))
   }
 
+  test("q79 model join degrades to a keyed SMJ when broadcast is off (scale path)") {
+    // At sf0.01 stats the bigram model broadcasts; at 100 TB it will
+    // not fit. Pin the fallback: with broadcast disabled the scoring
+    // join must become a sort-merge join keyed on the bigram — never a
+    // nested-loop — and the result must be unchanged.
+    val conf = spark.conf
+    val old = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    def restore(): Unit = {
+      old.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      oldAqe.fold(conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q79_bigram_logprob")(spark, sfDir)
+      val rows = df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // The corpus-side scoring join must become a keyed shuffle join
+      // on the bigram (SMJ, or SHJ if AQE downgrades it) — the shape
+      // that survives scale. The remaining BroadcastNestedLoopJoin
+      // Cross in the plan is the intentional 1-row vctx cross join.
+      assert(p.contains("SortMergeJoin [w1") || p.contains("ShuffledHashJoin [w1"),
+        "no keyed shuffle-join fallback on the bigram keys:\n" + p.take(3000))
+      assert(!p.contains("BroadcastHashJoin"),
+        "a broadcast join leaked through the disabled threshold:\n" + p.take(3000))
+      restore()
+      val broadcastRows = SparkEntry.queries("q79_bigram_logprob")(spark, sfDir).collect()
+      assert(rows.toSeq === broadcastRows.toSeq,
+        "SMJ and broadcast plans must produce identical results")
+    } finally restore()
+  }
+
   test("q01 aggregation is partial+final (map-side combine)") {
     val p = planOf("q01_agg_returnflag")
     assert(p.contains("partial_"), "no partial aggregation:\n" + p.take(2000))
