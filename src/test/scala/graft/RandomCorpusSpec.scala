@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Differential fuzzing of the text battery: the fixed testdata has no
+  * NULL text, no empty documents, and no multi-space runs, so a query
+  * can pass the DuckDB gate by data-shape luck (exactly how the
+  * size(NULL) = -1 asymmetry in q75's first draft stayed invisible).
+  * Here seeded random corpora — salted with those adversarial shapes —
+  * are written as parquet and the SparkEntry queries are checked
+  * against independent Scala reference models.
+  */
+class RandomCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(424242L)
+  private val vocab = Vector("key", "agg", "row", "scan", "slow", "fast",
+    "table", "value", "ß", "号", "a", "b-1", "x")
+
+  /** Random corpus with edge rows: null text, empty text, single word,
+    * all-identical words, double spaces (empty tokens), trailing space.
+    */
+  private def corpus(n: Int): Seq[(Long, String, String)] = {
+    val langs = Vector("en", "es", "zz")
+    val regular = (0 until n).map { i =>
+      val nw = 1 + rnd.nextInt(40)
+      val text = Seq.fill(nw)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, text, langs(rnd.nextInt(langs.size)))
+    }
+    val edges = Seq(
+      (n + 0L, null.asInstanceOf[String], "en"),
+      (n + 1L, "", "es"),
+      (n + 2L, "solo", "zz"),
+      (n + 3L, Seq.fill(12)("w").mkString(" "), "en"),
+      (n + 4L, "a  b", "es"),        // double space → empty token
+      (n + 5L, "tail ", "zz"))       // trailing space → empty token
+    regular ++ edges
+  }
+
+  private def writeCorpus(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz").toString
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("fuzz"))
+      .withColumn("n_chars", coalesce(length($"text").cast("long"), lit(0L)))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q72/q75/q79 match Scala reference models on 3 random corpora") {
+    (1 to 3).foreach { trial =>
+      val rows = corpus(60 + rnd.nextInt(60))
+      val dir = writeCorpus(rows)
+      val docs = rows.filter(_._2 != null)
+      val nDocsAll = rows.size.toLong // q72's N counts every row, null text included
+
+      // --- q72 TF-IDF reference ---
+      val tf = docs.flatMap { case (id, text, _) =>
+        text.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
+          .map { case (t, a) => (id, t, a.length.toLong) }
+      }
+      val dfreq = tf.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+      val expTfidf = tf.groupBy(_._1).toSeq.flatMap { case (id, g) =>
+        g.map { case (_, t, c) =>
+            val d = dfreq(t)
+            (t, c, d, round6(c * (math.log((nDocsAll + 1).toDouble / (d + 1)) + 1)))
+          }
+          .sortBy { case (t, _, _, s) => (-s, t) }.take(3).zipWithIndex
+          .map { case ((t, c, d, s), i) => (id, (i + 1).toLong, t, c, d, s) }
+      }.sortBy(r => (r._1, r._2))
+      val gotTfidf = SparkEntry.queries("q72_tfidf_topterms")(spark, dir)
+        .as[(Long, Long, String, Long, Long, Double)].collect().toSeq
+      assert(gotTfidf === expTfidf, s"trial $trial: q72")
+
+      // --- q75 vocabulary head reference ---
+      val counts = tf.groupBy(_._2).map { case (t, g) => t -> g.map(_._3).sum }
+      val total = counts.values.sum.toDouble
+      val expHead = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+        .zipWithIndex.map { case ((t, c), i) =>
+          ((i + 1).toLong, t, c, round6(c / total))
+        }
+      val gotHead = SparkEntry.queries("q75_vocab_head")(spark, dir)
+        .as[(Long, String, Long, Double)].collect().toSeq
+      assert(gotHead === expHead, s"trial $trial: q75")
+
+      // --- q79 bigram LM reference (empty tokens count as words) ---
+      val bigrams = docs.flatMap { case (id, text, _) =>
+        val ws = text.split(" ", -1)
+        ws.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1)))).toSeq
+      }
+      val c2 = bigrams.groupBy(_._2).map { case (g, v) => g -> v.size.toLong }
+      val c1 = bigrams.groupBy(_._2._1).map { case (w, v) => w -> v.size.toLong }
+      val vctx = c1.size.toLong
+      val expLm = bigrams.groupBy(_._1).toSeq.map { case (id, g) =>
+        val lps = g.map { case (_, bg) =>
+          math.log((c2(bg) + 1).toDouble / (c1(bg._1) + vctx))
+        }
+        (id, g.size.toLong, round6(lps.sum / lps.size))
+      }.sortBy(_._1)
+      val gotLm = SparkEntry.queries("q79_bigram_logprob")(spark, dir)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(gotLm.map(r => (r._1, r._2)) === expLm.map(r => (r._1, r._2)),
+        s"trial $trial: q79 keys")
+      gotLm.zip(expLm).foreach { case (g, e) =>
+        assert(math.abs(g._3 - e._3) < 1e-9, s"trial $trial: q79 doc ${g._1}")
+      }
+    }
+  }
+
+  test("q73 chunking reconstructs random corpora; null/empty rows behave") {
+    val rows = corpus(40)
+    val dir = writeCorpus(rows)
+    val chunks = SparkEntry.queries("q73_token_chunks")(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect().groupBy(_._1)
+    val nonNull = rows.filter(_._2 != null).map(r => r._1 -> r._2).toMap
+    // null-text doc vanishes; every other doc (incl. "" → one chunk of
+    // the empty token) reconstructs exactly
+    assert(chunks.keySet === nonNull.keySet)
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val toks = sorted.flatMap { case (_, no, _, _, text) =>
+        val ws = text.split(" ", -1)
+        if (no == 1L) ws else ws.drop(8)
+      }
+      assert(toks.mkString(" ") === nonNull(id), s"doc $id")
+    }
+  }
+
+  test("q76 sampling is text-independent: null-text docs still rank by id hash") {
+    val rows = corpus(40)
+    val dir = writeCorpus(rows)
+    val got = SparkEntry.queries("q76_stratified_sample")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    val expected = rows.groupBy(_._3).toSeq.flatMap { case (lang, g) =>
+      g.map { case (id, _, _) => (id, (id * 2654435761L) % 4294967296L) }
+        .sortBy { case (id, h) => (-h, id) }.take(25).zipWithIndex
+        .map { case ((id, h), i) => (lang, (i + 1).toLong, id, h) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq.sortBy(r => (r._1, r._2)) === expected)
+  }
+}
