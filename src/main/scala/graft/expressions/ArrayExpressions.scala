@@ -343,6 +343,95 @@ object ArgTopKCosine {
   }
 }
 
+/** Product-quantization encoder: for each of the `m` contiguous
+  * subvectors of the input, the index of the L2-nearest codeword in that
+  * subspace's codebook, plus the total squared reconstruction error —
+  * one fused codegen pass per row (m·ksub·dsub multiply-adds, no
+  * allocation beyond the output). Ties pick the LOWEST codeword index
+  * (strict `<` keeps the first minimum). A vector whose length is not
+  * m·dsub returns NULL. The codebook is a model parameter captured as a
+  * literal reference object, like `ArgTopKCosine`'s centroid matrix.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+
+  require(codebooks.nonEmpty, "pq_encode: need at least one subspace codebook")
+  require(codebooks.forall(_.nonEmpty), "pq_encode: empty codebook")
+  require(codebooks.forall(_.length == codebooks.head.length),
+    "pq_encode: all subspaces must share one ksub")
+  require(codebooks.flatten.forall(_.length == codebooks.head.head.length),
+    "pq_encode: all codewords must share one subvector dimension")
+
+  private def dim: Int = codebooks.length * codebooks.head.head.length
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sq_err", DoubleType, nullable = false)))
+  override def prettyName: String = "pq_encode"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) null
+    else PqEncode.encode(v, codebooks)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val books = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.expressions.PqEncode.encode($a, $books);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** Shared eval/codegen kernel (static forwarder lets generated Java
+    * call it directly, like `ArgTopKCosine.topK`).
+    */
+  def encode(vec: ArrayData,
+             books: Array[Array[Array[Double]]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val codes = new Array[Long](m)
+    var err = 0.0
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      val book = books(j)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = vec.getDouble(base + t) - cw(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best.toLong
+      err += bestD
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(codes), err))
+  }
+}
+
 /** Column-level entry points for the expressions above. */
 object ArrayOps {
   private def expr2(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
@@ -364,4 +453,8 @@ object ArrayOps {
   /** Indices of the k most cosine-similar centroid rows for each vector. */
   def argTopKCosine(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
     ColumnBridge.column(ArgTopKCosine(ColumnBridge.expression(vec), centroids, k))
+
+  /** PQ codes + squared reconstruction error against literal codebooks. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), codebooks))
 }

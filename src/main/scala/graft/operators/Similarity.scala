@@ -305,4 +305,121 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"))
   }
+
+  /** Product-quantization codebooks: plain (non-spherical) L2 k-means
+    * per contiguous subspace, trained driver-side on the same bounded
+    * deterministic sample strategy as `trainIvfCentroids` — the m ×
+    * ksub × (dim/m) model is parameters, not data. k-means++ seeding
+    * with D² weighting, `iters` Lloyd rounds, emptied clusters keep
+    * their previous codeword. Seeded → fully deterministic.
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, ksub: Int, sampleSize: Int = 4096,
+                       iters: Int = 5, seed: Long = 13L): Array[Array[Array[Double]]] = {
+    val sample: Array[Array[Double]] =
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .orderBy(xxhash64(col("id")))
+        .limit(sampleSize)
+        .collect()
+        .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"PQ needs dim % m == 0, got dim=$dim m=$m")
+    require(sample.length >= ksub,
+      s"PQ training needs at least ksub=$ksub vectors, sample has ${sample.length}")
+    val dsub = dim / m
+
+    def sqDist(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dsub) { val d = a(off + i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(m) { j =>
+      val off = j * dsub
+      val book = Array.ofDim[Array[Double]](ksub)
+      book(0) = sample(rnd.nextInt(sample.length)).slice(off, off + dsub)
+      val bestD = Array.fill(sample.length)(Double.PositiveInfinity)
+      var c = 1
+      while (c < ksub) {
+        var i = 0
+        while (i < sample.length) {
+          val d = sqDist(sample(i), off, book(c - 1))
+          if (d < bestD(i)) bestD(i) = d
+          i += 1
+        }
+        val total = bestD.sum
+        var pick = rnd.nextDouble() * math.max(total, 1e-12)
+        var p = 0
+        while (p < sample.length - 1 && pick > bestD(p)) { pick -= bestD(p); p += 1 }
+        book(c) = sample(p).slice(off, off + dsub)
+        c += 1
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        var i = 0
+        while (i < sample.length) {
+          var best = 0; var bd = sqDist(sample(i), off, book(0))
+          var cc = 1
+          while (cc < ksub) {
+            val d = sqDist(sample(i), off, book(cc))
+            if (d < bd) { bd = d; best = cc }
+            cc += 1
+          }
+          val acc = sums(best)
+          var t = 0
+          while (t < dsub) { acc(t) += sample(i)(off + t); t += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var cc = 0
+        while (cc < ksub) {
+          if (counts(cc) > 0) book(cc) = sums(cc).map(_ / counts(cc))
+          cc += 1
+        }
+        it += 1
+      }
+      book
+    }
+  }
+
+  /** PQ-encode every corpus vector: trains the codebooks, then ONE
+    * map-side codegen pass (`PqEncode`) emits each vector's m codes and
+    * squared reconstruction error. At 100 TB this is the index-build
+    * scan of every PQ-based ANN system: 64 doubles compress to m bytes
+    * of codes and the corpus is never shuffled or collected.
+    */
+  def pqQuantize(corpus: DataFrame, idCol: String, vecCol: String,
+                 m: Int = 8, ksub: Int = 16): DataFrame = {
+    val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub)
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("pq", ArrayOps.pqEncode(col("v"), books))
+      .select(col(idCol), col("pq.codes").as("codes"),
+        col("pq.sq_err").as("sq_err"))
+  }
+
+  /** The interpreted formulation `PqEncode` replaces — per subspace, an
+    * argmin over a literal struct array via array_min (struct ordering
+    * is field-by-field, so ties resolve to the lowest codeword index,
+    * matching the kernel). Reference semantics for the q81 exactness
+    * gate and ExpressionsSpec; every lambda here is an interpreted
+    * per-row evaluator.
+    */
+  private[graft] def pqEncodeSortForm(books: Array[Array[Array[Double]]])(
+      vec: Column): Column = {
+    val dsub = books.head.head.length
+    val perSub = books.zipWithIndex.map { case (book, j) =>
+      val sub = slice(vec, j * dsub + 1, dsub)
+      val scored = array(book.zipWithIndex.map { case (cw, c) =>
+        struct(
+          aggregate(zip_with(sub, typedlit(cw.toSeq), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d).as("d"),
+          lit(c.toLong).as("c"))
+      }: _*)
+      array_min(scored).getField("c")
+    }
+    array(perSub: _*)
+  }
 }

@@ -147,6 +147,33 @@ object SimilarityQueries {
           round(sqrt(greatest(col("se"), lit(0.0)) / size(col("v"))), 6).as("rmse"),
           round(Similarity.cosine(col("v"), col("rv")), 6).as("cos_recon"))
         .orderBy("vec_id")
+    }),
+
+    // Product-quantization exactness GATE (q66/q67 pattern): every
+    // vector is encoded by BOTH the fused `PqEncode` codegen kernel and
+    // the interpreted array_min struct formulation; per-subspace code
+    // disagreements are emitted and the oracle is the EMPTY relation.
+    // Both paths fold the squared distance in ascending index order, so
+    // the doubles are bit-identical and the diff is deterministic —
+    // a kernel bug becomes a driver-gate row mismatch. The codebooks
+    // are k-means-trained on a bounded deterministic sample (seeded);
+    // the encode itself is one map-side pass (the PQ index-build scan
+    // that compresses 64 doubles to 8 codes at 100 TB).
+    "q81_pq_exactness" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val books = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+        m = 8, ksub = 16)
+      e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("kc",
+          graft.expressions.ArrayOps.pqEncode(col("v"), books).getField("codes"))
+        .withColumn("rc", Similarity.pqEncodeSortForm(books)(col("v")))
+        .select(col("vec_id"),
+          posexplode(zip_with(col("kc"), col("rc"),
+            (a, b) => struct(a.as("k"), b.as("r")))).as(Seq("sub", "p")))
+        .select(col("vec_id"), col("sub").cast("bigint").as("subspace"),
+          col("p.k").as("kernel_code"), col("p.r").as("ref_code"))
+        .filter(col("kernel_code") =!= col("ref_code"))
+        .orderBy("vec_id", "subspace")
     })
   )
 
@@ -251,6 +278,10 @@ object SimilarityQueries {
         |SELECT vec_id, ROUND(scale, 6) AS scale,
         |  ROUND(sqrt(greatest(se, 0.0) / d), 6) AS rmse,
         |  ROUND(cr, 6) AS cos_recon
-        |FROM m ORDER BY vec_id""".stripMargin
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q81_pq_exactness" ->
+      """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS subspace,
+        |  CAST(NULL AS BIGINT) AS kernel_code, CAST(NULL AS BIGINT) AS ref_code
+        |WHERE FALSE""".stripMargin
   )
 }

@@ -163,6 +163,41 @@ class ExpressionsSpec extends SparkSpec {
       .toLongArray.toSeq === Seq(0L, 1L))
   }
 
+  test("PqEncode: codes + sq_err match a Scala recompute; ties take lowest index; dim mismatch → null") {
+    val rnd = new scala.util.Random(7L)
+    val m = 4; val dsub = 3; val ksub = 5
+    val books = Array.fill(m, ksub, dsub)(rnd.nextDouble() * 2 - 1)
+    val vecs = Seq.fill(20)(Seq.fill(m * dsub)(rnd.nextDouble() * 2 - 1))
+    val got = vecs.toDF("v")
+      .select(graft.expressions.ArrayOps.pqEncode($"v", books).as("pq"))
+      .select($"pq.codes", $"pq.sq_err")
+      .as[(Seq[Long], Double)].collect()
+    vecs.zip(got).foreach { case (v, (codes, err)) =>
+      var expErr = 0.0
+      val expCodes = (0 until m).map { j =>
+        val ds = books(j).map { cw =>
+          (0 until dsub).map(t => math.pow(v(j * dsub + t) - cw(t), 2)).sum
+        }
+        val best = ds.zipWithIndex.minBy { case (d, i) => (d, i) }
+        expErr += best._1
+        best._2.toLong
+      }
+      assert(codes === expCodes)
+      assert(math.abs(err - expErr) < 1e-9)
+    }
+    // duplicate codewords: the tie must resolve to the LOWEST index
+    val dup = Array(Array(Array(1.0, 2.0), Array(1.0, 2.0), Array(9.0, 9.0)))
+    val tied = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(graft.expressions.ArrayOps.pqEncode($"v", dup).getField("codes"))
+      .as[Seq[Long]].head()
+    assert(tied === Seq(0L))
+    // wrong dimension → null
+    val bad = Seq(Seq(1.0, 2.0, 3.0)).toDF("v")
+      .select(graft.expressions.ArrayOps.pqEncode($"v", dup).as("pq"))
+      .collect()
+    assert(bad.head.isNullAt(0))
+  }
+
   test("RepetitionStats: hand-computed fractions and string_split edge semantics") {
     import graft.expressions.TextOps
     val rows = Seq(

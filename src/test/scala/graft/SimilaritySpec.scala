@@ -102,6 +102,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size === expected.size)
   }
 
+  test("pqQuantize: trained codebooks beat the k=1 (global mean) distortion") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val quant = Similarity.pqQuantize(e, "vec_id", "embedding", m = 8, ksub = 16)
+      .as[(Long, Seq[Long], Double)].collect()
+    assert(quant.length === e.count())
+    assert(quant.forall(_._2.length === 8))
+    assert(quant.forall(q => q._2.forall(c => c >= 0 && c < 16)))
+    val meanPqErr = quant.map(_._3).sum / quant.length
+    // k=1 baseline: reconstruct every vector as the global mean
+    val vs = e.select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    val dim = vs.head.length
+    val gm = Array.tabulate(dim)(i => vs.map(_(i)).sum / vs.length)
+    val meanBaseErr = vs.map(v =>
+      v.indices.map(i => math.pow(v(i) - gm(i), 2)).sum).sum / vs.length
+    assert(meanPqErr < meanBaseErr,
+      s"PQ distortion $meanPqErr not below k=1 baseline $meanBaseErr")
+  }
+
   test("VecMeanAggregator: skips nulls, rejects mixed dimensions") {
     val vmean = udaf(new graft.functions.VecMeanAggregator)
     val ok = Seq((1, Seq(1.0, 3.0)), (1, Seq(3.0, 5.0))).toDF("g", "v")
