@@ -149,6 +149,18 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // PQ search end-to-end: code-only candidate scan → exact rerank of
+    // 100 candidates/query (the production PQ pattern — q31's shape
+    // with the corpus side compressed to 8 codes). Approximate ⇒
+    // rows-only; the candidate-recall floor is pinned in SimilaritySpec.
+    "q82_pq_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqRerankTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
     // Product-quantization exactness GATE (q66/q67 pattern): every
     // vector is encoded by BOTH the fused `PqEncode` codegen kernel and
     // the interpreted array_min struct formulation; per-subspace code

@@ -102,6 +102,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size === expected.size)
   }
 
+  test("pqRerankTopK: recall >= 0.9 vs exact top-5; ranks dense") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = SparkEntry.queries("q82_pq_ann")(spark, sfDir)
+      .select("query_id", "rnk", "neighbor_id").as[(Long, Long, Long)].collect()
+    pq.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to 5L), s"query $qid ranks")
+    }
+    val byQ = pq.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = exact.map { case (qid, ex) =>
+      (byQ.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.9, s"PQ rerank recall $recall < 0.9")
+  }
+
   test("pqQuantize: trained codebooks beat the k=1 (global mean) distortion") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val quant = Similarity.pqQuantize(e, "vec_id", "embedding", m = 8, ksub = 16)
