@@ -81,6 +81,37 @@ object GraftExtensions {
         }.toArray
         ArgTopKCosine(a.head, centroids, intLiteral("argtopk_cosine", "k", a(2)))
       } _),
+    ("pq_encode",
+      info("pq_encode",
+        "pq_encode(vec, codebooks) - product-quantization codes + squared reconstruction error against a literal m x ksub x dsub codebook tensor"),
+      arity("pq_encode", 2) { a =>
+        require(a(1).foldable,
+          "pq_encode: argument 'codebooks' must be a literal array of arrays of numeric arrays")
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        val td = a(1).eval().asInstanceOf[ArrayData]
+        require(td != null && td.numElements() > 0,
+          "pq_encode: 'codebooks' must be a non-empty literal")
+        val cellType = a(1).dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        def cell(row: ArrayData, j: Int): Double = cellType match {
+          case org.apache.spark.sql.types.DoubleType => row.getDouble(j)
+          case org.apache.spark.sql.types.FloatType => row.getFloat(j).toDouble
+          case org.apache.spark.sql.types.IntegerType => row.getInt(j).toDouble
+          case org.apache.spark.sql.types.LongType => row.getLong(j).toDouble
+          case t => throw new IllegalArgumentException(
+            s"pq_encode: unsupported codebook element type $t")
+        }
+        val books = (0 until td.numElements()).map { m =>
+          val book = td.getArray(m)
+          (0 until book.numElements()).map { c =>
+            val cw = book.getArray(c)
+            (0 until cw.numElements()).map(cell(cw, _)).toArray
+          }.toArray
+        }.toArray
+        PqEncode(a.head, books)
+      } _),
     ("jaccard_sorted",
       info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of two sorted bigint arrays"),
       arity("jaccard_sorted", 2)(a => JaccardSortedLongs(a(0), a(1))) _),

@@ -161,6 +161,20 @@ class PropertySpec extends SparkSpec {
     assert(m === Seq(2.0, 4.0))
   }
 
+  test("pq_encode is registered on the SQL surface with a literal codebook tensor") {
+    GraftSession.tune(spark)
+    val row = spark.sql(
+      """SELECT pq_encode(array(0.9d, 0.1d),
+        |  array(array(array(1.0d), array(5.0d)),
+        |        array(array(0.0d), array(2.0d)))) AS pq""".stripMargin)
+      .select("pq.codes", "pq.sq_err").head()
+    assert(row.getSeq[Long](0) === Seq(0L, 0L))
+    assert(math.abs(row.getDouble(1) - (0.01 + 0.01)) < 1e-12)
+    val ex = intercept[Exception](
+      spark.sql("SELECT pq_encode(array(1.0d), array(array(array('x'))))"))
+    assert(ex.getMessage.contains("pq_encode"))
+  }
+
   test("expression constant-folding: literal inputs fold at plan time") {
     val df = spark.range(1)
       .select(graft.expressions.ArrayOps.jaccardSorted(
