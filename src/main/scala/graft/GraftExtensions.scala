@@ -42,6 +42,65 @@ object GraftExtensions {
     e.eval().asInstanceOf[Number].intValue()
   }
 
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+
+  /** The numeric element type at nesting `depth` of an array literal,
+    * with a $fn-prefixed error (not a bare ClassCastException) when the
+    * SQL author passes the wrong nesting.
+    */
+  private def elementTypeAtDepth(fn: String, param: String, t: DataType,
+                                 depth: Int): DataType = {
+    var cur = t
+    (1 to depth).foreach { d =>
+      cur match {
+        case ArrayType(e, _) => cur = e
+        case other => throw new IllegalArgumentException(
+          s"$fn: '$param' must be a $depth-level nested array literal; " +
+            s"found $other at nesting level $d")
+      }
+    }
+    cur
+  }
+
+  /** Eval a foldable array literal after validating its nesting depth. */
+  private def literalArrayData(fn: String, param: String, e: Expression,
+                               depth: Int): ArrayData = {
+    require(e.foldable, s"$fn: argument '$param' must be a literal")
+    elementTypeAtDepth(fn, param, e.dataType, depth)
+    val ad = e.eval().asInstanceOf[ArrayData]
+    require(ad != null && ad.numElements() > 0,
+      s"$fn: '$param' must be a non-empty literal")
+    ad
+  }
+
+  /** One numeric cell, promoting every SQL numeric literal type —
+    * including the DecimalType that plain fractional literals like 0.5
+    * parse to — so SQL authors don't need d-suffixes.
+    */
+  private def numericCell(fn: String, t: DataType, row: ArrayData, j: Int): Double =
+    t match {
+      case DoubleType => row.getDouble(j)
+      case FloatType => row.getFloat(j).toDouble
+      case IntegerType => row.getInt(j).toDouble
+      case LongType => row.getLong(j).toDouble
+      case ShortType => row.getShort(j).toDouble
+      case d: DecimalType => row.getDecimal(j, d.precision, d.scale).toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: unsupported element type $other")
+    }
+
+  /** A 2-level numeric array literal as a dense matrix. */
+  private def literalMatrix(fn: String, param: String,
+                            e: Expression): Array[Array[Double]] = {
+    val md = literalArrayData(fn, param, e, depth = 2)
+    val cellType = elementTypeAtDepth(fn, param, e.dataType, 2)
+    (0 until md.numElements()).map { i =>
+      val row = md.getArray(i)
+      (0 until row.numElements()).map(numericCell(fn, cellType, row, _)).toArray
+    }.toArray
+  }
+
   /** (name, info, builder) for every graft SQL function. */
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity",
@@ -57,57 +116,21 @@ object GraftExtensions {
       info("argtopk_cosine",
         "argtopk_cosine(vec, matrix, k) - indices of the k most cosine-similar rows of a literal matrix"),
       arity("argtopk_cosine", 3) { a =>
-        require(a(1).foldable,
-          "argtopk_cosine: argument 'matrix' must be a literal array of numeric arrays")
-        import org.apache.spark.sql.catalyst.util.ArrayData
-        val md = a(1).eval().asInstanceOf[ArrayData]
-        require(md != null && md.numElements() > 0,
-          "argtopk_cosine: 'matrix' must be a non-empty literal")
-        val rowType = a(1).dataType
-          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-        val centroids = (0 until md.numElements()).map { i =>
-          val row = md.getArray(i)
-          (0 until row.numElements()).map { j =>
-            rowType match {
-              case org.apache.spark.sql.types.DoubleType => row.getDouble(j)
-              case org.apache.spark.sql.types.FloatType => row.getFloat(j).toDouble
-              case org.apache.spark.sql.types.IntegerType => row.getInt(j).toDouble
-              case org.apache.spark.sql.types.LongType => row.getLong(j).toDouble
-              case t => throw new IllegalArgumentException(
-                s"argtopk_cosine: unsupported matrix element type $t")
-            }
-          }.toArray
-        }.toArray
+        val centroids = literalMatrix("argtopk_cosine", "matrix", a(1))
         ArgTopKCosine(a.head, centroids, intLiteral("argtopk_cosine", "k", a(2)))
       } _),
     ("pq_encode",
       info("pq_encode",
         "pq_encode(vec, codebooks) - product-quantization codes + squared reconstruction error against a literal m x ksub x dsub codebook tensor"),
       arity("pq_encode", 2) { a =>
-        require(a(1).foldable,
-          "pq_encode: argument 'codebooks' must be a literal array of arrays of numeric arrays")
-        import org.apache.spark.sql.catalyst.util.ArrayData
-        val td = a(1).eval().asInstanceOf[ArrayData]
-        require(td != null && td.numElements() > 0,
-          "pq_encode: 'codebooks' must be a non-empty literal")
-        val cellType = a(1).dataType
-          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-        def cell(row: ArrayData, j: Int): Double = cellType match {
-          case org.apache.spark.sql.types.DoubleType => row.getDouble(j)
-          case org.apache.spark.sql.types.FloatType => row.getFloat(j).toDouble
-          case org.apache.spark.sql.types.IntegerType => row.getInt(j).toDouble
-          case org.apache.spark.sql.types.LongType => row.getLong(j).toDouble
-          case t => throw new IllegalArgumentException(
-            s"pq_encode: unsupported codebook element type $t")
-        }
+        val td = literalArrayData("pq_encode", "codebooks", a(1), depth = 3)
+        val cellType = elementTypeAtDepth("pq_encode", "codebooks", a(1).dataType, 3)
         val books = (0 until td.numElements()).map { m =>
           val book = td.getArray(m)
           (0 until book.numElements()).map { c =>
             val cw = book.getArray(c)
-            (0 until cw.numElements()).map(cell(cw, _)).toArray
+            (0 until cw.numElements())
+              .map(numericCell("pq_encode", cellType, cw, _)).toArray
           }.toArray
         }.toArray
         PqEncode(a.head, books)

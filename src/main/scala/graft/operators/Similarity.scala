@@ -169,6 +169,20 @@ object Similarity {
     * seeding + `iters` Lloyd rounds on unit vectors (cosine ⇔ dot);
     * an emptied cluster keeps its previous centroid.
     */
+  /** Bounded deterministic training sample shared by the IVF and PQ
+    * trainers: hash-ordered, NULL vectors dropped (a NULL in the sample
+    * would NPE the driver-side k-means), `sampleSize` rows collected as
+    * model input.
+    */
+  private def sampleVectors(corpus: DataFrame, idCol: String, vecCol: String,
+                            sampleSize: Int): Array[Array[Double]] =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("id")))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         nlist: Int, sampleSize: Int = 4096, iters: Int = 5,
                         seed: Long = 11L): Array[Array[Double]] = {
@@ -179,11 +193,7 @@ object Similarity {
       v.map(_ * inv)
     }
     val sample: Array[Array[Double]] =
-      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-        .orderBy(xxhash64(col("id")))
-        .limit(sampleSize)
-        .collect()
-        .map(r => normalize(r.getSeq[Double](1).toArray))
+      sampleVectors(corpus, idCol, vecCol, sampleSize).map(normalize)
     require(sample.length >= nlist,
       s"IVF training needs at least nlist=$nlist vectors, corpus sample has ${sample.length}")
 
@@ -317,11 +327,7 @@ object Similarity {
                        m: Int, ksub: Int, sampleSize: Int = 4096,
                        iters: Int = 5, seed: Long = 13L): Array[Array[Array[Double]]] = {
     val sample: Array[Array[Double]] =
-      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-        .orderBy(xxhash64(col("id")))
-        .limit(sampleSize)
-        .collect()
-        .map(_.getSeq[Double](1).toArray)
+      sampleVectors(corpus, idCol, vecCol, sampleSize)
     require(sample.nonEmpty, "PQ training needs a non-empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"PQ needs dim % m == 0, got dim=$dim m=$m")
@@ -412,7 +418,6 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
              excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub)
     val litBooks = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val coded = fanout(corpus.select(col(idCol).as("neighbor_id"),
@@ -423,15 +428,20 @@ object Similarity {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv")))
     val crossed = q.crossJoin(coded)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    // Bounded top-k aggregator, not a window: the candidate stage is the
+    // corpus-wide scan, and a window would exchange the whole n·q score
+    // matrix into per-query sorts — the exact shape TopKAggregator
+    // exists to avoid (k-row partial heaps merge map-side instead).
+    val topk = udaf(new graft.functions.TopKAggregator(k))
     (if (excludeSelf) crossed.filter(col("query_id") =!= col("neighbor_id"))
      else crossed)
       .withColumn("sim", cosine(col("qv"), col("recon")))
-      .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("entry._1").as("neighbor_id"),
+        round(col("entry._2"), 6).as("sim"))
   }
 
   /** PQ candidate generation + exact rerank — the production PQ search
@@ -453,8 +463,8 @@ object Similarity {
     val cands = pqTopK(corpus, queries, idCol, vecCol, k = candidates,
         m = m, ksub = ksub, excludeSelf = excludeSelf)
       .select(col("query_id"), col("neighbor_id"))
-    val truth = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"))
+    val truth = fanout(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv")))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv")))
     val w = Window.partitionBy(col("query_id"))

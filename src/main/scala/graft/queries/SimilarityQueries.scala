@@ -176,9 +176,17 @@ object SimilarityQueries {
       val books = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
         m = 8, ksub = 16)
       e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        .filter(col("v").isNotNull)
         .withColumn("kc",
           graft.expressions.ArrayOps.pqEncode(col("v"), books).getField("codes"))
         .withColumn("rc", Similarity.pqEncodeSortForm(books)(col("v")))
+        // sentinel arrays keep the gate sensitive to a path wrongly
+        // returning NULL for a non-null vector: zip_with(NULL, x) is
+        // NULL and posexplode would silently drop the row — with the
+        // sentinels a null-vs-present disagreement becomes a -1 vs -2
+        // mismatch row instead of a green gate.
+        .withColumn("kc", coalesce(col("kc"), array(lit(-1L))))
+        .withColumn("rc", coalesce(col("rc"), array(lit(-2L))))
         .select(col("vec_id"),
           posexplode(zip_with(col("kc"), col("rc"),
             (a, b) => struct(a.as("k"), b.as("r")))).as(Seq("sub", "p")))

@@ -163,16 +163,23 @@ class PropertySpec extends SparkSpec {
 
   test("pq_encode is registered on the SQL surface with a literal codebook tensor") {
     GraftSession.tune(spark)
+    // plain decimal literals (no d-suffix) must work — 0.9 parses as
+    // DecimalType and the builder promotes it
     val row = spark.sql(
       """SELECT pq_encode(array(0.9d, 0.1d),
-        |  array(array(array(1.0d), array(5.0d)),
-        |        array(array(0.0d), array(2.0d)))) AS pq""".stripMargin)
+        |  array(array(array(1.0), array(5.0)),
+        |        array(array(0.0), array(2.0)))) AS pq""".stripMargin)
       .select("pq.codes", "pq.sq_err").head()
     assert(row.getSeq[Long](0) === Seq(0L, 0L))
     assert(math.abs(row.getDouble(1) - (0.01 + 0.01)) < 1e-12)
+    // non-numeric cells and wrong nesting both fail with named errors
     val ex = intercept[Exception](
       spark.sql("SELECT pq_encode(array(1.0d), array(array(array('x'))))"))
     assert(ex.getMessage.contains("pq_encode"))
+    val ex2 = intercept[Exception](
+      spark.sql("SELECT pq_encode(array(1.0d), array(array(1.0)))"))
+    assert(ex2.getMessage.contains("pq_encode")
+      && ex2.getMessage.contains("nested array"))
   }
 
   test("expression constant-folding: literal inputs fold at plan time") {
