@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, PipelineQueries,
-  RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries}
+import graft.queries.{ChangeDataQueries, DedupQueries, EventQueries,
+  PipelineQueries, RelationalQueries, SimilarityQueries, TemporalQueries,
+  TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,10 +24,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
-      TemporalQueries.queries ++ PipelineQueries.queries
+      TemporalQueries.queries ++ PipelineQueries.queries ++
+      ChangeDataQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
-      TemporalQueries.oracles ++ PipelineQueries.oracles
+      TemporalQueries.oracles ++ PipelineQueries.oracles ++
+      ChangeDataQueries.oracles
 }

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.ChangeData
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture battery: snapshot diff, MERGE/upsert, and SCD
+  * Type-2 history. The two snapshots are derived deterministically from
+  * the `customer` table (key-modulus membership + a balance bump), so
+  * the DuckDB oracle reconstructs the identical inputs from the same
+  * parquet — no extra test fixtures.
+  */
+object ChangeDataQueries {
+  import RelationalQueries.Q
+
+  /** Old snapshot: customers whose key is not ≡0 (mod 9) — the ≡0 rows
+    * become inserts. Original values throughout.
+    */
+  private def oldSnap(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "customer").filter(col("c_custkey") % 9 =!= 0)
+
+  /** New snapshot: drops keys ≡0 (mod 11) (deletes) and bumps the
+    * account balance by exactly 100.0 on keys ≡0 (mod 7) (updates; the
+    * IEEE sum is bit-identical in Spark and DuckDB).
+    */
+  private def newSnap(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "customer").filter(col("c_custkey") % 11 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+          .otherwise(col("c_acctbal")))
+
+  private val oracleSnaps =
+    """WITH oldsnap AS (
+      |  SELECT * FROM customer WHERE c_custkey % 9 <> 0),
+      |newsnap AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+      |         ELSE c_acctbal END AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 11 <> 0)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // CDC diff: one co-partitioned full-outer join; emits only the
+    // changed rows (insert/update/delete) with new + old values.
+    "q83_snapshot_diff" -> ((s, dir) =>
+      ChangeData.snapshotDiff(oldSnap(s, dir), newSnap(s, dir),
+          keyCols = Seq("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // MERGE/upsert round-trip: applying the diff to the old snapshot
+    // must reproduce the new snapshot bit-for-bit — the oracle IS the
+    // directly-computed new snapshot, so the hash gate proves the
+    // diff+merge pair is lossless.
+    "q84_merge_upsert" -> ((s, dir) => {
+      val old = oldSnap(s, dir)
+      val diff = ChangeData.snapshotDiff(old, newSnap(s, dir),
+        keyCols = Seq("c_custkey"))
+      ChangeData.applyChangeset(old, diff, keyCols = Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    // SCD Type-2: collapse each customer's order-priority history into
+    // validity intervals [valid_from, valid_to) — one keyed exchange,
+    // two windows sharing the sort, no self-join.
+    "q85_scd2_intervals" -> ((s, dir) =>
+      ChangeData.scd2(
+          Tables.load(s, dir, "orders")
+            .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+              col("o_orderpriority")),
+          keyCols = Seq("o_custkey"), timeCol = "o_orderdate",
+          tiebreakCol = "o_orderkey", valueCols = Seq("o_orderpriority"))
+        .orderBy("o_custkey", "version_n"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q83_snapshot_diff" -> (oracleSnaps +
+      """
+        |SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |       WHEN n.c_custkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  n.c_name, n.c_nationkey, n.c_acctbal, n.c_mktsegment,
+        |  o.c_name AS old_c_name, o.c_nationkey AS old_c_nationkey,
+        |  o.c_acctbal AS old_c_acctbal, o.c_mktsegment AS old_c_mktsegment
+        |FROM oldsnap o FULL OUTER JOIN newsnap n
+        |  ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.c_name IS DISTINCT FROM n.c_name
+        |   OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+        |   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin),
+    "q84_merge_upsert" -> (oracleSnaps +
+      """
+        |SELECT * FROM newsnap ORDER BY c_custkey""".stripMargin),
+    "q85_scd2_intervals" ->
+      """WITH s AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |starts AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderkey,
+        |    o_orderdate AS valid_from
+        |  FROM s WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, o_orderkey) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, o_orderkey) AS INTEGER) AS version_n,
+        |  (lead(valid_from) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
+        |FROM starts ORDER BY o_custkey, version_n""".stripMargin
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.ChangeData
+import org.apache.spark.sql.functions._
+
+/** Hand-computable contracts for the CDC operators: op classification
+  * (including null-safe update detection in both directions), the
+  * diff→merge round-trip on randomized snapshots, and SCD2 interval
+  * invariants (contiguity, version numbering, exactly one open version
+  * per key, same-timestamp tiebreak).
+  */
+class ChangeDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  // old: 1 unchanged, 2 update (value change), 3 delete,
+  //      5 update (value→null), 6 update (null→value)
+  private def oldSnap = Seq(
+    (1L, Option("a"), Option(10.0)), (2L, Option("b"), Option(20.0)),
+    (3L, Option("c"), Option(30.0)), (5L, Option("e"), Option(50.0)),
+    (6L, None: Option[String], Option(60.0))
+  ).toDF("k", "s", "v")
+  private def newSnap = Seq(
+    (1L, Option("a"), Option(10.0)), (2L, Option("B"), Option(20.0)),
+    (4L, Option("d"), Option(40.0)), (5L, None: Option[String], Option(50.0)),
+    (6L, Option("f"), Option(60.0))
+  ).toDF("k", "s", "v")
+
+  test("snapshotDiff classifies insert/update/delete and skips unchanged; null moves are updates") {
+    val diff = ChangeData.snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(diff === Array((2L, "update"), (3L, "delete"), (4L, "insert"),
+      (5L, "update"), (6L, "update")))
+    val cols = ChangeData.snapshotDiff(oldSnap, newSnap, Seq("k")).columns
+    assert(cols === Array("k", "op", "s", "v", "old_s", "old_v"))
+    // Delete rows carry nulls on the new side, old values on the old side.
+    val del = ChangeData.snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .filter(col("op") === "delete").collect().head
+    assert(del.isNullAt(2) && del.getString(4) == "c" && del.getDouble(5) == 30.0)
+  }
+
+  test("snapshotDiff rejects mismatched schemas; applyChangeset rejects op-less changesets") {
+    intercept[IllegalArgumentException] {
+      ChangeData.snapshotDiff(oldSnap, newSnap.withColumnRenamed("v", "w"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      ChangeData.applyChangeset(oldSnap, oldSnap, Seq("k"))
+    }
+  }
+
+  test("diff→merge round-trip reproduces the new snapshot on randomized snapshots") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val keys = (1L to 200L).filter(_ => rng.nextDouble() < 0.8)
+      def snap(ks: Seq[Long]) = ks.map { k =>
+        (k, if (rng.nextDouble() < 0.1) null else s"s${rng.nextInt(5)}",
+          if (rng.nextDouble() < 0.1) None else Some(rng.nextInt(100).toDouble))
+      }.toDF("k", "s", "v")
+      val o = snap(keys.filter(_ => rng.nextDouble() < 0.9))
+      val n = snap(keys.filter(_ => rng.nextDouble() < 0.9))
+      val merged = ChangeData.applyChangeset(o,
+        ChangeData.snapshotDiff(o, n, Seq("k")), Seq("k"))
+      assert(ChangeData.sameContent(merged, n),
+        "merge(old, diff(old,new)) must equal new")
+    }
+  }
+
+  test("scd2 collapses runs into contiguous intervals with one open version per key") {
+    // key a: x,x,y,x — 3 versions; same-ts rows at 30 ordered by tiebreak
+    // id (4 before 5) so the run at 30 starts with y then flips to x.
+    val src = Seq(
+      ("a", 10L, 1L, "x"), ("a", 20L, 2L, "x"), ("a", 30L, 4L, "y"),
+      ("a", 30L, 5L, "x"), ("b", 15L, 3L, "z")
+    ).toDF("k", "sec", "id", "val")
+      .select(col("k"), timestamp_seconds(col("sec")).as("t"), col("id"), col("val"))
+    val out = ChangeData.scd2(src, Seq("k"), "t", "id", Seq("val"))
+      .orderBy("k", "version_n").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2).getTime / 1000,
+        if (r.isNullAt(3)) -1L else r.getTimestamp(3).getTime / 1000,
+        r.getInt(4), r.getBoolean(5)))
+    assert(out === Array(
+      ("a", "x", 10L, 30L, 1, false),
+      ("a", "y", 30L, 30L, 2, false),
+      ("a", "x", 30L, -1L, 3, true),
+      ("b", "z", 15L, -1L, 1, true)))
+    // Invariants: per key, valid_to chains to the next valid_from and
+    // exactly the last version is open.
+    val byKey = out.groupBy(_._1)
+    byKey.foreach { case (_, vs) =>
+      vs.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3); case _ =>
+      }
+      assert(vs.count(_._6) == 1 && vs.last._6)
+    }
+  }
+}
