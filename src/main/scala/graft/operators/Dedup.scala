@@ -265,6 +265,54 @@ object Dedup {
     * pure map-side projection, NO shuffle (the explode + 64-column
     * aggregate formulation exchanged |corpus|×|shingles| rows).
     */
+  /** Sorted-neighborhood (blocked SNM) near-dup candidates: records are
+    * blocked on a `blockLen`-char normalized prefix, sorted within each
+    * block by a `probeLen`-char probe (ties by id), and each record is
+    * compared ONLY to its next `window - 1` sort neighbors with an exact
+    * Levenshtein distance over the probe. The classic record-linkage
+    * alternative to LSH: the expensive O(probeLen²) distance runs a
+    * constant number of times per row (linear total) instead of per
+    * pair (quadratic).
+    *
+    * Scale design: one hash shuffle on the block key + a per-block sort;
+    * the lead() comparisons never leave the partition. Like all SNM,
+    * recall is bounded by the blocking choice — near-dups that diverge
+    * inside the first `blockLen` chars land in different blocks (the
+    * standard fix is a second pass under a different blocking key, which
+    * is just another call with different params). A degenerate corpus
+    * where most rows share one block degrades to that block's sort — the
+    * same skew bound any keyed window has.
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, textCol: String,
+                              blockLen: Int = 16, probeLen: Int = 120,
+                              window: Int = 4, maxDist: Int = 20): DataFrame = {
+    require(window >= 2 && blockLen >= 1 && probeLen >= blockLen && maxDist >= 0,
+      s"bad SNM params: window=$window blockLen=$blockLen probeLen=$probeLen maxDist=$maxDist")
+    val probe = lower(substring(col(textCol), 1, probeLen))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), probe.as("_probe"),
+        substring(probe, 1, blockLen).as("_blk"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("_blk").orderBy(col("_probe"), col("_id"))
+    // Window expressions first (generators can't host them), then the
+    // per-neighbor distance inside the explode.
+    val withLeads = base.select(Seq(col("_id"), col("_probe")) ++
+      (1 until window).flatMap(i => Seq(
+        lead(col("_id"), i).over(win).as(s"_nid$i"),
+        lead(col("_probe"), i).over(win).as(s"_np$i"))): _*)
+    val neighbors = (1 until window).map { i =>
+      struct(col(s"_nid$i").as("nid"),
+        levenshtein(col("_probe"), col(s"_np$i")).as("dist"))
+    }
+    withLeads.select(col("_id"), explode(array(neighbors: _*)).as("n"))
+      .filter(col("n.nid").isNotNull && col("n.dist") <= maxDist)
+      .select(least(col("_id"), col("n.nid")).as("id_a"),
+        greatest(col("_id"), col("n.nid")).as("id_b"),
+        col("n.dist").as("dist"))
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol),
       TextOps.simhash64(shingleHashSet(col(textCol), n)).as("simhash"))

@@ -103,6 +103,17 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Sorted-neighborhood near-dup candidates: block on a 16-char
+    // normalized prefix, sort within block, Levenshtein over a 120-char
+    // probe against the next 3 sort neighbors only — the linear-work
+    // record-linkage alternative to LSH (shuffle on block key, constant
+    // comparisons per row).
+    "q86_sorted_neighborhood" -> ((s, dir) => {
+      Dedup.sortedNeighborhoodPairs(docs(s, dir), "doc_id", "text",
+          blockLen = 16, probeLen = 120, window = 4, maxDist = 20)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Near-dup clusters: LSH pairs → connected components → the
     // representative (min id) a dedup pass would keep per cluster.
     "q43_neardup_components" -> ((s, dir) => {
@@ -158,6 +169,26 @@ object DedupQueries {
         |SELECT c.doc_id, COUNT(*) AS n_hit_grams
         |FROM corpus c JOIN bench b ON c.gram = b.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q86_sorted_neighborhood" ->
+      """WITH b AS (
+        |  SELECT doc_id, substr(lower(text), 1, 16) AS blk,
+        |    substr(lower(text), 1, 120) AS probe
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, probe,
+        |    lead(doc_id, 1) OVER win AS k1, lead(probe, 1) OVER win AS p1,
+        |    lead(doc_id, 2) OVER win AS k2, lead(probe, 2) OVER win AS p2,
+        |    lead(doc_id, 3) OVER win AS k3, lead(probe, 3) OVER win AS p3
+        |  FROM b WINDOW win AS (PARTITION BY blk ORDER BY probe, doc_id)),
+        |c AS (
+        |  SELECT doc_id, k1 AS nid, levenshtein(probe, p1) AS dist FROM w
+        |  WHERE k1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, k2, levenshtein(probe, p2) FROM w WHERE k2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, k3, levenshtein(probe, p3) FROM w WHERE k3 IS NOT NULL)
+        |SELECT least(doc_id, nid) AS id_a, greatest(doc_id, nid) AS id_b,
+        |  CAST(dist AS INTEGER) AS dist
+        |FROM c WHERE dist <= 20 ORDER BY 1, 2""".stripMargin,
     "q43_neardup_components" -> (shingleCte.replace("WITH t", "WITH RECURSIVE t") +
       """
         |, p AS (

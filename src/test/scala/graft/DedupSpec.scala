@@ -120,6 +120,32 @@ class DedupSpec extends SparkSpec {
     assert(shortOut === Array((11L, 1L)))
   }
 
+  test("sortedNeighborhoodPairs: same-block neighbors within distance, blocking bounds recall") {
+    val docs = Seq(
+      // Same 16-char block, 1 edit apart within the probe → found.
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fax jumps over the lazy dog tonight"),
+      // Same block but far beyond maxDist → suppressed.
+      (3L, "the quick brown cat completely different tail text zzzz"),
+      // Near-dup of doc 1 that diverges INSIDE the block prefix →
+      // different block, missed by design (the documented SNM tradeoff).
+      (4L, "teh quick brown fox jumps over the lazy dog tonight"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        blockLen = 16, probeLen = 60, window = 4, maxDist = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((1L, 2L, 1)))
+    // Wider blocking (shorter block prefix) recovers the cross-block pair.
+    val wide = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        blockLen = 1, probeLen = 60, window = 4, maxDist = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(wide.contains((1L, 4L, 2)) && wide.contains((1L, 2L, 1)))
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text", window = 1)
+    }
+  }
+
   test("salting does not change blockedJaccardPairs results") {
     val r1 = Dedup.blockedJaccardPairs(docsDf, "doc_id", "text", Seq("lang"),
       threshold = 0.1, saltBuckets = 1).as[(Long, Long, Double)].collect().toSet
