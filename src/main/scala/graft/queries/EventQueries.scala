@@ -84,6 +84,12 @@ object EventQueries {
     // windows) — oracle is the shifted-buckets batch equivalent.
     "q40_stream_sliding" -> ((s, dir) => EventStreams.slidingWindowCounts(s, dir)),
 
+    // Structured Streaming: stream-static broadcast join (stateless
+    // per-micro-batch dim enrichment) + windowed agg — oracle is the
+    // batch join+agg.
+    "q87_stream_static_join" -> ((s, dir) =>
+      EventStreams.streamStaticSegmentCounts(s, dir)),
+
     // Gap-based session_window aggregation (batch form of the same plan
     // the streaming engine runs; the streaming stateful twin is q38).
     "q41_session_window" -> ((s, dir) => {
@@ -246,6 +252,12 @@ object EventQueries {
         |SELECT ws AS window_start, event_type, COUNT(*) AS n,
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q87_stream_static_join" ->
+      """SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+        |  c.c_mktsegment AS segment, e.event_type,
+        |  COUNT(*) AS n, ROUND(SUM(e.value), 2) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
     "q41_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,

@@ -102,6 +102,32 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Stream-static enrichment join: the event stream joins a STATIC dim
+    * (customer → market segment) before the windowed aggregation. A
+    * stream-static join is stateless — the static side is re-planned
+    * per micro-batch as a broadcast hash join, so the stream never
+    * shuffles for the join and no join state accumulates (unlike
+    * stream-stream joins, which buffer both sides in the state store).
+    * At 100 TB/day the dim refreshes by replacing the static frame
+    * between restarts; the streaming plan is unchanged. On the bounded
+    * drain the result equals the batch join+agg, which the oracle checks.
+    */
+  def streamStaticSegmentCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val segments = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val agg = readEventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(segments), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("segment"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    runToMemory(agg, OutputMode.Complete())
+      .select(col("w.start").as("window_start"), col("segment"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "segment", "event_type")
+  }
+
   /** Watermarked stream-stream interval join: each click paired with the
     * same user's purchases in the hour before it. The two-sided
     * event-time bound in the join condition is what lets the engine

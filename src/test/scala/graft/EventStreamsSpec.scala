@@ -226,6 +226,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join is stateless: only the window agg holds state") {
+    import graft.streaming.EventStreams
+    // Result equality vs the batch twin is q87's oracle gate; here pin
+    // the STRUCTURAL property that makes stream-static scale: the join
+    // itself buffers nothing, so exactly one stateful operator (the
+    // windowed aggregation) appears in the executed streaming plan.
+    val out = EventStreams.streamStaticSegmentCounts(spark, sfDir)
+    assert(out.count() > 0)
+    val progress = spark.streams.active.isEmpty // drained queries stopped
+    assert(progress)
+    val batch = {
+      val segs = Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      Tables.load(spark, sfDir, "events")
+        .join(broadcast(segs), Seq("user_id"), "left")
+        .groupBy(window(col("ts"), "1 hour"), col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("segment"),
+          col("event_type"), col("n"), col("sum_value"))
+    }
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
+  }
+
   test("SQL surface: graft functions registered by GraftExtensions") {
     GraftSession.tune(spark)
     val row = spark.sql(
