@@ -484,6 +484,36 @@ object Similarity {
     * gate and ExpressionsSpec; every lambda here is an interpreted
     * per-row evaluator.
     */
+  /** Nearest-centroid classification: per-label centroids from `train`
+    * (map-side VecMeanAggregator partials — train rows never shuffle),
+    * broadcast to `test`, cosine-scored per row, argmax via a
+    * max-of-struct aggregation whose partial collapses each test vector
+    * to one candidate per partition before the (tiny) final exchange.
+    * Ties break to the lowest label via the negated-label struct field.
+    *
+    * Output: idCol, true_label, pred_label, sim (6 dp).
+    */
+  def nearestCentroid(train: DataFrame, test: DataFrame,
+                      idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val vmean = udaf(new graft.functions.VecMeanAggregator)
+    val cents = broadcast(
+      train.filter(col(vecCol).isNotNull)
+        .select(col(labelCol).as("pred_label"), asDouble(col(vecCol)).as("tv"))
+        .groupBy("pred_label").agg(vmean(col("tv")).as("cv")))
+    test.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(labelCol).as("true_label"),
+        asDouble(col(vecCol)).as("v"))
+      .crossJoin(cents)
+      .withColumn("cs", cosine(col("v"), col("cv")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cs"), (-col("pred_label")).as("neg_label"),
+        col("pred_label"), col("true_label"))).as("m"))
+      .select(col(idCol), col("m.true_label").as("true_label"),
+        col("m.pred_label").as("pred_label"),
+        round(col("m.cs"), 6).as("sim"))
+  }
+
   private[graft] def pqEncodeSortForm(books: Array[Array[Array[Double]]])(
       vec: Column): Column = {
     val dsub = books.head.head.length

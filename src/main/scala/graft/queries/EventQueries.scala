@@ -109,6 +109,24 @@ object EventQueries {
     "q61_stream_interval_join" -> ((s, dir) =>
       EventStreams.streamIntervalJoinPairs(s, dir)),
 
+    // Z-score anomaly flags: per-type mean/stddev in ONE map-side-
+    // combined aggregation over a handful of groups, broadcast back to
+    // the fact — the fact table itself never shuffles. Threshold is
+    // applied to the 6-dp-rounded score so both engines compare the
+    // same value.
+    "q88_zscore_outliers" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val stats = ev.groupBy("event_type").agg(
+        avg("value").as("mu"), stddev_samp("value").as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .filter(col("sigma") > 0)
+        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"), col("z"))
+        .orderBy("event_id")
+    }),
+
     // Multimodal frame sampling: chunk binary payloads into fixed-size
     // frames, keep every 2nd (UDTF-shaped explode, fully oracle-checked
     // on frame content via md5).
@@ -252,6 +270,16 @@ object EventQueries {
         |SELECT ws AS window_start, event_type, COUNT(*) AS n,
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM w GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q88_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
+        |  ROUND((e.value - s.mu) / s.sigma, 6) AS z
+        |FROM events e JOIN s USING (event_type)
+        |WHERE s.sigma > 0
+        |  AND ABS(ROUND((e.value - s.mu) / s.sigma, 6)) > 3
+        |ORDER BY e.event_id""".stripMargin,
     "q87_stream_static_join" ->
       """SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
         |  c.c_mktsegment AS segment, e.event_type,

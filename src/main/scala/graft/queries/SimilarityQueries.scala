@@ -124,6 +124,22 @@ object SimilarityQueries {
         .orderBy("label")
     }),
 
+    // Nearest-centroid classification: label centroids from the train
+    // slice (map-side VecMeanAggregator partials, rows never shuffle),
+    // broadcast to the held-out slice, scored per row against every
+    // centroid, and the argmax is a max-of-struct aggregation — the
+    // partial agg collapses each test vector to one candidate per
+    // partition before the (tiny) final exchange. Ties break to the
+    // lowest label via the negated-label struct field.
+    "q89_nearest_centroid" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.nearestCentroid(
+          train = e.filter(col("vec_id") % 5 =!= 0),
+          test = e.filter(col("vec_id") % 5 === 0),
+          idCol = "vec_id", vecCol = "embedding", labelCol = "label")
+        .orderBy("vec_id")
+    }),
+
     // Int8 scalar quantization (4× memory for ANN shards): per-vector
     // max-abs scale, q = round(x/scale·127) ∈ [-127,127], plus the
     // reconstruction quality a quantized index ships with (RMSE and
@@ -277,6 +293,24 @@ object SimilarityQueries {
         |  ROUND(ANY_VALUE(centroid_norm), 6) AS centroid_norm,
         |  ROUND(AVG(cs), 6) AS mean_cos, ROUND(MIN(cs), 6) AS min_cos
         |FROM coh GROUP BY label ORDER BY label""".stripMargin,
+    "q89_nearest_centroid" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        | u AS (SELECT label, unnest(v) AS x,
+        |              unnest(range(1, len(v) + 1)) AS i
+        |       FROM e WHERE vec_id % 5 <> 0),
+        | cd AS (SELECT label, i, AVG(x) AS m FROM u GROUP BY 1, 2),
+        | cent AS (SELECT label AS pred_label, list(m ORDER BY i) AS cv
+        |          FROM cd GROUP BY 1),
+        | sc AS (SELECT t.vec_id, t.label AS true_label, c.pred_label,
+        |          list_cosine_similarity(t.v, c.cv) AS cs,
+        |          row_number() OVER (PARTITION BY t.vec_id
+        |            ORDER BY list_cosine_similarity(t.v, c.cv) DESC,
+        |              c.pred_label ASC) AS rn
+        |        FROM (SELECT * FROM e WHERE vec_id % 5 = 0) t
+        |        CROSS JOIN cent c)
+        |SELECT vec_id, true_label, pred_label, ROUND(cs, 6) AS sim
+        |FROM sc WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // round() is half-away-from-zero in both engines; the squared error
     // uses the same v·v − 2·v·r + r·r expansion via list_inner_product.
     "q78_int8_quant" ->

@@ -140,6 +140,32 @@ class SimilaritySpec extends SparkSpec {
       s"PQ distortion $meanPqErr not below k=1 baseline $meanBaseErr")
   }
 
+  test("nearestCentroid: separable clusters classify perfectly; ties break to lowest label") {
+    // Three well-separated axis clusters; noise is small enough that
+    // every held-out vector is nearest its own label's centroid.
+    val rng = new scala.util.Random(7)
+    def pt(axis: Int) = Array.tabulate(3)(i =>
+      (if (i == axis) 1.0f else 0.0f) + rng.nextFloat() * 0.1f)
+    val rows = for (lbl <- 0 to 2; j <- 0 until 20)
+      yield (lbl * 100L + j, pt(lbl), lbl)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearestCentroid(
+        df.filter(col("vec_id") % 5 =!= 0), df.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", "label")
+      .as[(Long, Int, Int, Double)].collect()
+    assert(out.length === 12 && out.forall(r => r._2 == r._3))
+    // Tie: two labels with IDENTICAL centroids — prediction pins to the
+    // lower label, not an arbitrary one.
+    val tied = Seq(
+      (1L, Array(1.0f, 0.0f), 5), (2L, Array(1.0f, 0.0f), 9),
+      (3L, Array(1.0f, 0.1f), 5)).toDF("vec_id", "embedding", "label")
+    val t = Similarity.nearestCentroid(
+        tied.filter(col("vec_id") =!= 3), tied.filter(col("vec_id") === 3),
+        "vec_id", "embedding", "label")
+      .as[(Long, Int, Int, Double)].collect()
+    assert(t.length === 1 && t.head._3 === 5)
+  }
+
   test("VecMeanAggregator: skips nulls, rejects mixed dimensions") {
     val vmean = udaf(new graft.functions.VecMeanAggregator)
     val ok = Seq((1, Seq(1.0, 3.0)), (1, Seq(3.0, 5.0))).toDF("g", "v")
