@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{ChangeDataQueries, DedupQueries, EventQueries,
-  PipelineQueries, RelationalQueries, SimilarityQueries, TemporalQueries,
-  TextQueries}
+  PipelineQueries, RelationalQueries, SimilarityQueries, SourceQueries,
+  TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,11 +25,11 @@ object SparkEntry {
     RelationalQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
       TemporalQueries.queries ++ PipelineQueries.queries ++
-      ChangeDataQueries.queries
+      ChangeDataQueries.queries ++ SourceQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
       SimilarityQueries.oracles ++ EventQueries.oracles ++
       TemporalQueries.oracles ++ PipelineQueries.oracles ++
-      ChangeDataQueries.oracles
+      ChangeDataQueries.oracles ++ SourceQueries.oracles
 }

@@ -44,23 +44,58 @@ object Tables {
     * reused while the source fingerprint matches (a regenerated
     * events.parquet at the same path forces a rebuild).
     */
-  def eventsDayLayout(spark: SparkSession, sfDir: String): String = synchronized {
+  def eventsDayLayout(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions.{col, to_date}
-    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_layout", sfName, "events_by_day")
-    val tokenFile = out.resolve("_graft_source_token")
-    val token = sourceToken(sfDir, "events")
-    val current =
-      if (java.nio.file.Files.exists(tokenFile))
-        java.nio.file.Files.readString(tokenFile)
-      else ""
-    if (current != token || !java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+    derivedLayout(sfDir, "events", "events_by_day") { out =>
       load(spark, sfDir, "events")
         .withColumn("dt", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("dt").parquet(out.toString)
-      java.nio.file.Files.writeString(tokenFile, token)
+        .write.mode("overwrite").partitionBy("dt").parquet(out)
     }
-    out.toString
   }
+
+  /** ORC copy of `orders` — the second columnar source format (same
+    * pushdown/pruning path as parquet through the ORC reader).
+    */
+  def ordersOrcLayout(spark: SparkSession, sfDir: String): String =
+    derivedLayout(sfDir, "orders", "orders_orc") { out =>
+      load(spark, sfDir, "orders").write.mode("overwrite").orc(out)
+    }
+
+  /** JSON-lines copy of `events` (timestamps as epoch-µs longs — JSON
+    * has no timestamp type; a lossless long beats ISO-string parsing).
+    * Readers must supply the schema explicitly: schema inference is a
+    * full extra pass over the data, which at 100 TB doubles the scan.
+    */
+  def eventsJsonLayout(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    derivedLayout(sfDir, "events", "events_json") { out =>
+      load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite").json(out)
+    }
+  }
+
+  /** Build-once derived copy of a source table under the system temp
+    * root, keyed by the source fingerprint: a regenerated source at the
+    * same path forces a rebuild, an unchanged one is reused as-is.
+    */
+  private def derivedLayout(sfDir: String, source: String,
+                            layoutName: String)(build: String => Unit): String =
+    synchronized {
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val out = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_layout", sfName, layoutName)
+      val tokenFile = out.resolve("_graft_source_token")
+      val token = sourceToken(sfDir, source)
+      val current =
+        if (java.nio.file.Files.exists(tokenFile))
+          java.nio.file.Files.readString(tokenFile)
+        else ""
+      if (current != token || !java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+        build(out.toString)
+        java.nio.file.Files.writeString(tokenFile, token)
+      }
+      out.toString
+    }
 }

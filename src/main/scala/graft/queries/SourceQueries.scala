@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Source-format round-trips beyond parquet/CSV: ORC and JSON lines.
+  * Each query writes a derived copy of a testdata table in the target
+  * format (build-once, fingerprint-guarded — see `Tables.derivedLayout`),
+  * reads it back through the format's native Spark source, and
+  * aggregates; the oracle computes the same answer from the original
+  * parquet, so the hash gate proves the round-trip is lossless,
+  * including doubles (Spark's JSON writer emits shortest-round-trip
+  * literals) and timestamps (carried as epoch-µs longs in JSON).
+  */
+object SourceQueries {
+  import RelationalQueries.Q
+
+  val queries: Map[String, Q] = Map(
+    // ORC scan with predicate pushdown: the status filter reaches the
+    // ORC reader (PushedFilters), same scan path as parquet.
+    "q90_orc_roundtrip" -> ((s, dir) => {
+      val path = Tables.ordersOrcLayout(s, dir)
+      s.read.orc(path)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // JSON-lines scan with an EXPLICIT schema — inference would add a
+    // full pass over the data at scale.
+    "q91_json_roundtrip" -> ((s, dir) => {
+      val path = Tables.eventsJsonLayout(s, dir)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, ts_us BIGINT")
+        .json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
+        .orderBy("event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q90_orc_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 2) AS total_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q91_json_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

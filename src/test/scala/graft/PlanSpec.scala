@@ -40,6 +40,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_comment"), "column pruning broken:\n" + p.take(2000))
   }
 
+  test("q90 ORC scan pushes the status filter; q91 JSON scan reads the explicit schema only") {
+    val orc = planOf("q90_orc_roundtrip")
+    assert(orc.contains("ORC") || orc.contains("orc"), orc.take(500))
+    assert(orc.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      "ORC pushdown missing:\n" + orc.take(2000))
+    // Projection pruning: the unread o_comment-ish columns (o_orderkey is
+    // unused here too) must not appear in ReadSchema.
+    assert(!orc.contains("o_custkey"), "ORC column pruning broken:\n" + orc.take(2000))
+    val json = planOf("q91_json_roundtrip")
+    assert(json.contains("json") || json.contains("Json"), json.take(500))
+    assert(!json.contains("props"), "JSON scan read beyond the explicit schema:\n" + json.take(2000))
+  }
+
   test("q31 pair scoring runs inside whole-stage codegen") {
     val p = finalPlanOf("q31_cosine_topk")
     // codegen spans are marked `*(n)` in the final adaptive plan
