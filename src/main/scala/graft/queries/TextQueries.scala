@@ -331,6 +331,38 @@ object TextQueries {
           round(element_at(col("__r"), 1), 6).as("dup_word_frac"),
           round(element_at(col("__r"), 2), 6).as("top_bigram_frac"))
         .orderBy("doc_id")
+    }),
+
+    // Corpus drift: add-1-smoothed unigram KL divergence (both
+    // directions) and Jensen-Shannon divergence between the even- and
+    // odd-doc_id slices — the distribution-shift monitor a training-data
+    // pipeline runs between corpus versions. One token explode + one
+    // term-keyed aggregation; the divergence itself is a tiny second
+    // aggregate over the (vocab-sized) term frame.
+    "q92_corpus_drift" -> ((s, dir) => {
+      import graft.functions.TextFunctions.words
+      val toks = docs(s, dir)
+        .select((col("doc_id") % 2 === 0).as("in_a"),
+          explode(words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val counts = toks.groupBy("term").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+      val tot = broadcast(counts.agg(
+        sum("ca").as("tot_a"), sum("cb").as("tot_b"),
+        count(lit(1)).as("v")))
+      counts.crossJoin(tot)
+        .withColumn("p", (col("ca") + 1).cast("double") / (col("tot_a") + col("v")))
+        .withColumn("q", (col("cb") + 1).cast("double") / (col("tot_b") + col("v")))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .agg(
+          first(col("v")).as("n_terms"),
+          first(col("tot_a")).as("tot_a"),
+          first(col("tot_b")).as("tot_b"),
+          round(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_ab"),
+          round(sum(col("q") * log(col("q") / col("p"))), 6).as("kl_ba"),
+          round(sum(col("p") * log(col("p") / col("m")) +
+            col("q") * log(col("q") / col("m"))) / 2, 6).as("jsd"))
     })
   )
 
@@ -524,6 +556,27 @@ object TextQueries {
         |         ELSE p.seq_no END
         |  FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
         |SELECT lang, doc_id, n_tokens, seq_no
-        |FROM p ORDER BY lang, doc_id""".stripMargin
+        |FROM p ORDER BY lang, doc_id""".stripMargin,
+    "q92_corpus_drift" ->
+      """WITH toks AS (
+        |  SELECT (doc_id % 2 = 0) AS in_a,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        | c AS (SELECT term,
+        |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |       FROM toks WHERE term <> '' GROUP BY 1),
+        | t AS (SELECT CAST(SUM(ca) AS BIGINT) AS tot_a,
+        |         CAST(SUM(cb) AS BIGINT) AS tot_b,
+        |         COUNT(*) AS v FROM c),
+        | pq AS (SELECT (ca + 1) / CAST(tot_a + v AS DOUBLE) AS p,
+        |               (cb + 1) / CAST(tot_b + v AS DOUBLE) AS q
+        |        FROM c CROSS JOIN t)
+        |SELECT (SELECT v FROM t) AS n_terms,
+        |  (SELECT tot_a FROM t) AS tot_a, (SELECT tot_b FROM t) AS tot_b,
+        |  ROUND(SUM(p * ln(p / q)), 6) AS kl_ab,
+        |  ROUND(SUM(q * ln(q / p)), 6) AS kl_ba,
+        |  ROUND(SUM(p * ln(p / ((p + q) / 2))
+        |          + q * ln(q / ((p + q) / 2))) / 2, 6) AS jsd
+        |FROM pq""".stripMargin
   )
 }

@@ -129,6 +129,41 @@ class RandomCorpusSpec extends SparkSpec {
     }
   }
 
+  test("q92 drift: zero on mirrored slices, matches a Scala reference on a random corpus") {
+    // Mirrored corpus — every text present once per slice → all three
+    // divergences are exactly zero (p = q term-by-term).
+    val base = corpus(40)
+    val mirrored = base.zipWithIndex.flatMap { case ((_, t, l), i) =>
+      Seq((2L * i, t, l), (2L * i + 1, t, l)) }
+    val out = SparkEntry.queries("q92_corpus_drift")(spark, writeCorpus(mirrored))
+      .collect().head
+    assert(out.getDouble(3) === 0.0 && out.getDouble(4) === 0.0 &&
+      out.getDouble(5) === 0.0)
+
+    // Random corpus vs an independent Scala model of the smoothed KL/JSD.
+    val rows = corpus(80)
+    val got = SparkEntry.queries("q92_corpus_drift")(spark, writeCorpus(rows))
+      .collect().head
+    val toks = rows.filter(_._2 != null).flatMap { case (id, t, _) =>
+      t.split(" ", -1).filter(_.nonEmpty).map(w => (id % 2 == 0, w)) }
+    val byTerm = toks.groupBy(_._2).values.map(xs =>
+      (xs.count(_._1).toLong, xs.count(!_._1).toLong)).toVector
+    val (totA, totB, v) = (byTerm.map(_._1).sum, byTerm.map(_._2).sum, byTerm.size)
+    def prob(c: Long, tot: Long) = (c + 1).toDouble / (tot + v)
+    val terms = byTerm.map { case (ca, cb) => (prob(ca, totA), prob(cb, totB)) }
+    val klAb = terms.map { case (p, q) => p * math.log(p / q) }.sum
+    val klBa = terms.map { case (p, q) => q * math.log(q / p) }.sum
+    val jsd = terms.map { case (p, q) =>
+      p * math.log(p / ((p + q) / 2)) + q * math.log(q / ((p + q) / 2)) }.sum / 2
+    assert(got.getLong(0) === v.toLong && got.getLong(1) === totA && got.getLong(2) === totB)
+    assert(math.abs(got.getDouble(3) - klAb) < 1e-6)
+    assert(math.abs(got.getDouble(4) - klBa) < 1e-6)
+    assert(math.abs(got.getDouble(5) - jsd) < 1e-6)
+    // Divergence invariants: non-negative, JSD bounded by ln 2.
+    assert(got.getDouble(3) >= 0 && got.getDouble(4) >= 0)
+    assert(got.getDouble(5) >= 0 && got.getDouble(5) <= math.log(2) + 1e-12)
+  }
+
   test("q76 sampling is text-independent: null-text docs still rank by id hash") {
     val rows = corpus(40)
     val dir = writeCorpus(rows)
