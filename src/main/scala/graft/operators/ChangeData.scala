@@ -125,6 +125,54 @@ object ChangeData {
         col("valid_to"), col("version_n"), col("is_current")): _*)
   }
 
+  /** Maintain a grouped (sum, count, non-null count) aggregate under a
+    * `snapshotDiff` changeset WITHOUT rescanning the base fact — the
+    * payoff of the CDC path: at 100 TB the base aggregate is a tiny
+    * table and the changeset is the only thing that moves.
+    *
+    * Each changeset row contributes up to two signed deltas: the new
+    * side adds (+value, +1) to its group, the old side subtracts
+    * (-old_value, -1) from ITS group — so updates that move a row
+    * between groups are handled, and same-group updates net out. The
+    * deltas aggregate to one row per touched group (map-side combine)
+    * and merge into the base with one full-outer join on the group key;
+    * groups whose count reaches zero disappear, like a re-aggregation.
+    *
+    * `baseAgg` must carry columns `groupCols :+ sumCol :+ nCol :+
+    * nnCol` as produced by `sum(value), count(*), count(value)`; the
+    * non-null count is what lets an all-null-value group keep the NULL
+    * sum a direct re-aggregation would produce.
+    */
+  def incrementalAgg(baseAgg: DataFrame, changes: DataFrame,
+                     groupCols: Seq[String], valueCol: String,
+                     sumCol: String = "sum_val", nCol: String = "n",
+                     nnCol: String = "n_nonnull"): DataFrame = {
+    require(changes.columns.contains("op"),
+      "changeset must carry an 'op' column (snapshotDiff output)")
+    require(Seq(sumCol, nCol, nnCol).forall(baseAgg.columns.contains),
+      s"baseAgg must carry $sumCol/$nCol/$nnCol")
+    val one = lit(1L)
+    val newSide = changes.filter(col("op") =!= "delete")
+      .select(groupCols.map(col) ++ Seq(
+        col(valueCol).cast("double").as("_v"), one.as("_c"),
+        when(col(valueCol).isNotNull, one).otherwise(lit(0L)).as("_nn")): _*)
+    val oldSide = changes.filter(col("op") =!= "insert")
+      .select(groupCols.map(g => col(s"old_$g").as(g)) ++ Seq(
+        (-col(s"old_$valueCol")).cast("double").as("_v"), (-one).as("_c"),
+        when(col(s"old_$valueCol").isNotNull, -one).otherwise(lit(0L)).as("_nn")): _*)
+    val delta = newSide.unionByName(oldSide)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("_v").as("_dv"), sum("_c").as("_dc"), sum("_nn").as("_dnn"))
+    baseAgg.join(delta, groupCols, "full_outer")
+      .withColumn("_n_out", coalesce(col(nCol), lit(0L)) + coalesce(col("_dc"), lit(0L)))
+      .withColumn("_nn_out", coalesce(col(nnCol), lit(0L)) + coalesce(col("_dnn"), lit(0L)))
+      .withColumn("_sum_out", when(col("_nn_out") > 0,
+        coalesce(col(sumCol), lit(0.0)) + coalesce(col("_dv"), lit(0.0))))
+      .filter(col("_n_out") > 0)
+      .select(groupCols.map(col) ++ Seq(col("_sum_out").as(sumCol),
+        col("_n_out").as(nCol), col("_nn_out").as(nnCol)): _*)
+  }
+
   /** Convenience for q84-style self-checks: true when the two frames
     * have identical content (symmetric exceptAll both ways is empty).
     */
