@@ -28,6 +28,11 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        # Subset Verify runs (graft.Verify <sf> <out> <prefix>...) dump
+        # only matching queries; absent dirs are not failures then.
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()

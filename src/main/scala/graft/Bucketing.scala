@@ -34,14 +34,21 @@ object Bucketing {
   def ensureBucketedTable(df: DataFrame, table: String, buckets: Int,
                           key: String, token: String): Unit = {
     val spark = df.sparkSession
+    // The stored token covers the full layout identity — source
+    // fingerprint AND bucket count, bucket key, projected columns — so
+    // a later caller reusing the table name with different bucketing or
+    // a changed projection rebuilds instead of silently joining against
+    // a stale (wrongly-bucketed) layout.
+    val fullToken =
+      s"$token|buckets=$buckets|key=$key|cols=${df.columns.mkString(",")}"
     val current =
       try spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
         .properties.get("graft.layout.token")
       catch { case _: Exception => None }
-    if (!current.contains(token)) {
+    if (!current.contains(fullToken)) {
       recreateBucketedTable(df, table, buckets, key)
-      val esc = token.replace("'", "''")
+      val esc = fullToken.replace("'", "''")
       spark.sql(
         s"ALTER TABLE $table SET TBLPROPERTIES ('graft.layout.token'='$esc')")
     }

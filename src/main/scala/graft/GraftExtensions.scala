@@ -171,15 +171,24 @@ object GraftExtensions {
         MarkerHits(a.head, spec.split(';').toSeq.map(_.split(',').toSeq.map(_.trim)))
       } _))
 
-  /** Register on an already-built session (idempotent). */
+  /** Register on an already-built session. Truly idempotent: a name
+    * that is already present is left alone (re-registering would emit a
+    * "function replaced" WARN per call site — `GraftSession.tune` runs
+    * on every query, so a battery run would spray hundreds of them
+    * through PlanAudit output).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     definitions.foreach { case (name, inf, builder) =>
-      registry.registerFunction(FunctionIdentifier(name), inf, builder)
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, inf, builder)
     }
     // Typed aggregators go through the udf registry (they are udafs,
-    // not expression builders). Idempotent like the rest.
-    spark.udf.register("vec_mean",
-      org.apache.spark.sql.functions.udaf(new graft.functions.VecMeanAggregator))
+    // not expression builders) but land in the same session registry,
+    // so the same exists-check applies.
+    if (!registry.functionExists(FunctionIdentifier("vec_mean")))
+      spark.udf.register("vec_mean",
+        org.apache.spark.sql.functions.udaf(new graft.functions.VecMeanAggregator))
   }
 }

@@ -76,25 +76,67 @@ object Tables {
     }
   }
 
+  /** Spark 4 bundles the Avro source inside spark-sql, but this
+    * deployment's unmanaged-jar classpath has no service registration
+    * for the "avro" short name (`format("avro")` throws the
+    * deploy-the-module error), so readers and writers address the
+    * format by class name.
+    */
+  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  /** Avro copy of `lineitem` — the row-major format a Kafka-adjacent
+    * training-data ingest actually meets. Unlike JSON-lines, Avro files
+    * embed their writer schema, so reading needs no inference pass and
+    * no explicit schema; logical types carry timestamps losslessly
+    * (timestamp-micros, exactly the session's µs precision).
+    */
+  def lineitemAvroLayout(spark: SparkSession, sfDir: String): String =
+    derivedLayout(sfDir, "lineitem", "lineitem_avro") { out =>
+      load(spark, sfDir, "lineitem")
+        .write.mode("overwrite").format(AvroFormat).save(out)
+    }
+
   /** Build-once derived copy of a source table under the system temp
     * root, keyed by the source fingerprint: a regenerated source at the
     * same path forces a rebuild, an unchanged one is reused as-is.
+    *
+    * Concurrency-safe across JVMs sharing one java.io.tmpdir (bench and
+    * verify can overlap): the check-and-build runs under an exclusive
+    * OS file lock, the layout is built into a process-unique staging
+    * directory with its token written BEFORE publication, and
+    * publication is one directory rename — a reader never observes a
+    * half-written layout or a token ahead of its data.
     */
   private def derivedLayout(sfDir: String, source: String,
                             layoutName: String)(build: String => Unit): String =
     synchronized {
-      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-      val out = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_layout", sfName, layoutName)
-      val tokenFile = out.resolve("_graft_source_token")
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val root = Paths.get(sys.props("java.io.tmpdir"), "graft_layout", sfName)
+      Files.createDirectories(root)
+      val out = root.resolve(layoutName)
       val token = sourceToken(sfDir, source)
-      val current =
-        if (java.nio.file.Files.exists(tokenFile))
-          java.nio.file.Files.readString(tokenFile)
-        else ""
-      if (current != token || !java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
-        build(out.toString)
-        java.nio.file.Files.writeString(tokenFile, token)
+      val lockPath = root.resolve(s"$layoutName.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = ch.lock() // blocks until the other JVM's build finishes
+      try {
+        val tokenFile = out.resolve("_graft_source_token")
+        val current =
+          if (Files.exists(tokenFile)) Files.readString(tokenFile) else ""
+        if (current != token || !Files.exists(out.resolve("_SUCCESS"))) {
+          val staging = root.resolve(
+            s"$layoutName.stage-${ProcessHandle.current().pid()}")
+          pipeline.Ingest.deleteRecursively(staging)
+          build(staging.toString)
+          Files.writeString(staging.resolve("_graft_source_token"), token)
+          pipeline.Ingest.deleteRecursively(out)
+          Files.move(staging, out, StandardCopyOption.ATOMIC_MOVE)
+        }
+      } finally {
+        lock.release()
+        ch.close()
       }
       out.toString
     }

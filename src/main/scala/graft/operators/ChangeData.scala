@@ -142,6 +142,13 @@ object ChangeData {
     * nnCol` as produced by `sum(value), count(*), count(value)`; the
     * non-null count is what lets an all-null-value group keep the NULL
     * sum a direct re-aggregation would produce.
+    *
+    * `groupCols` and `valueCol` must be PAYLOAD (non-key) columns of
+    * the diffed snapshots: the old side of each delta reads the
+    * `old_<col>` columns, which `snapshotDiff` emits only for non-key
+    * columns (a key column cannot change within a row, so grouping by
+    * one needs no old side — pass it through `snapshotDiff`'s key
+    * output and group on that instead).
     */
   def incrementalAgg(baseAgg: DataFrame, changes: DataFrame,
                      groupCols: Seq[String], valueCol: String,
@@ -151,6 +158,12 @@ object ChangeData {
       "changeset must carry an 'op' column (snapshotDiff output)")
     require(Seq(sumCol, nCol, nnCol).forall(baseAgg.columns.contains),
       s"baseAgg must carry $sumCol/$nCol/$nnCol")
+    val missingOld = (groupCols :+ valueCol)
+      .filterNot(c => changes.columns.contains(s"old_$c"))
+    require(missingOld.isEmpty,
+      s"groupCols/valueCol must be payload (non-key) snapshot columns — " +
+        s"the changeset has no old_<col> for: ${missingOld.mkString(", ")} " +
+        "(snapshotDiff emits old_<col> only for non-key columns)")
     val one = lit(1L)
     val newSide = changes.filter(col("op") =!= "delete")
       .select(groupCols.map(col) ++ Seq(
@@ -163,14 +176,26 @@ object ChangeData {
     val delta = newSide.unionByName(oldSide)
       .groupBy(groupCols.map(col): _*)
       .agg(sum("_v").as("_dv"), sum("_c").as("_dc"), sum("_nn").as("_dnn"))
-    baseAgg.join(delta, groupCols, "full_outer")
+      .select(groupCols.map(g => col(g).as(s"_d_$g")) ++
+        Seq(col("_dv"), col("_dc"), col("_dnn")): _*)
+    // Null-safe merge join: groupBy puts NULL group keys in one group,
+    // so the base↔delta match must too (a plain equality join would
+    // leave a NULL-keyed base row and its NULL-keyed delta unmatched —
+    // two output rows where the re-aggregation has one).
+    val joinCond = groupCols.map(g => col(g) <=> col(s"_d_$g")).reduce(_ && _)
+    baseAgg.join(delta, joinCond, "full_outer")
+      // A base-absent group key comes from the delta side; `_dc` is the
+      // presence witness (it is non-null exactly on delta rows, NULL
+      // group keys included, where coalesce of the key columns isn't).
       .withColumn("_n_out", coalesce(col(nCol), lit(0L)) + coalesce(col("_dc"), lit(0L)))
       .withColumn("_nn_out", coalesce(col(nnCol), lit(0L)) + coalesce(col("_dnn"), lit(0L)))
       .withColumn("_sum_out", when(col("_nn_out") > 0,
         coalesce(col(sumCol), lit(0.0)) + coalesce(col("_dv"), lit(0.0))))
       .filter(col("_n_out") > 0)
-      .select(groupCols.map(col) ++ Seq(col("_sum_out").as(sumCol),
-        col("_n_out").as(nCol), col("_nn_out").as(nnCol)): _*)
+      .select(groupCols.map(g =>
+        when(col("_dc").isNotNull, col(s"_d_$g")).otherwise(col(g)).as(g)) ++
+        Seq(col("_sum_out").as(sumCol),
+          col("_n_out").as(nCol), col("_nn_out").as(nnCol)): _*)
   }
 
   /** Convenience for q84-style self-checks: true when the two frames

@@ -59,6 +59,31 @@ object ChangeDataQueries {
         .orderBy("c_custkey")
     }),
 
+    // Incremental aggregate maintenance: the base aggregate plus ONLY
+    // the changeset's signed deltas must equal a full re-aggregation of
+    // the new snapshot (the oracle recomputes it from scratch). The q93
+    // snapshot derivation adds group MIGRATION (segment rewritten on
+    // keys ≡0 mod 13) so update rows move between groups, and carries
+    // the value as exact cents (integer-valued doubles sum exactly, so
+    // incremental base+delta arithmetic is bit-equal to the oracle's
+    // re-sum in any order).
+    "q93_incremental_agg" -> ((s, dir) => {
+      val old = oldSnap(s, dir).withColumn("bal_cents",
+        round(col("c_acctbal") * 100).cast("long"))
+      val nw = newSnap(s, dir)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 13 === 0, lit("MIGRATED"))
+            .otherwise(col("c_mktsegment")))
+        .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("long"))
+      val baseAgg = old.groupBy("c_mktsegment")
+        .agg(sum(col("bal_cents").cast("double")).as("sum_val"),
+          count(lit(1)).as("n"), count(col("bal_cents")).as("n_nonnull"))
+      val diff = ChangeData.snapshotDiff(old, nw, keyCols = Seq("c_custkey"))
+      ChangeData.incrementalAgg(baseAgg, diff,
+          groupCols = Seq("c_mktsegment"), valueCol = "bal_cents")
+        .orderBy("c_mktsegment")
+    }),
+
     // SCD Type-2: collapse each customer's order-priority history into
     // validity intervals [valid_from, valid_to) — one keyed exchange,
     // two windows sharing the sort, no self-join.
@@ -93,6 +118,19 @@ object ChangeDataQueries {
     "q84_merge_upsert" -> (oracleSnaps +
       """
         |SELECT * FROM newsnap ORDER BY c_custkey""".stripMargin),
+    // Full re-aggregation of the q93 new snapshot — what incrementalAgg
+    // must reproduce WITHOUT rescanning the base.
+    "q93_incremental_agg" ->
+      """WITH newsnap AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 13 = 0 THEN 'MIGRATED'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    CAST(round((CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |                     ELSE c_acctbal END) * 100) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_custkey % 11 <> 0)
+        |SELECT c_mktsegment, CAST(SUM(bal_cents) AS DOUBLE) AS sum_val,
+        |  COUNT(*) AS n, COUNT(bal_cents) AS n_nonnull
+        |FROM newsnap GROUP BY 1 ORDER BY 1""".stripMargin,
     "q85_scd2_intervals" ->
       """WITH s AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,

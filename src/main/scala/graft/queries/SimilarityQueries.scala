@@ -279,7 +279,7 @@ object SimilarityQueries {
     // invariant too.
     "q74_label_centroids" ->
       """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
+        |           FROM embeddings WHERE embedding IS NOT NULL),
         | u AS (SELECT label, unnest(v) AS x,
         |              unnest(range(1, len(v) + 1)) AS i FROM e),
         | cd AS (SELECT label, i, AVG(x) AS m FROM u GROUP BY 1, 2),

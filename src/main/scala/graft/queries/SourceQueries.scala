@@ -28,6 +28,22 @@ object SourceQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Avro scan: row-major format with an embedded writer schema (no
+    // inference pass, no explicit schema needed) and timestamp-micros
+    // logical types — the oracle aggregates the original parquet, so
+    // the hash gate proves doubles AND timestamps survive the
+    // round-trip bit-exactly.
+    "q94_avro_roundtrip" -> ((s, dir) => {
+      val path = Tables.lineitemAvroLayout(s, dir)
+      s.read.format(Tables.AvroFormat).load(path)
+        .filter(col("l_quantity") >= 25)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice"), 2).as("total_price"),
+          min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // JSON-lines scan with an EXPLICIT schema — inference would add a
     // full pass over the data at scale.
     "q91_json_roundtrip" -> ((s, dir) => {
@@ -49,6 +65,12 @@ object SourceQueries {
         |  ROUND(SUM(o_totalprice), 2) AS total_price
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q94_avro_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  ROUND(SUM(l_extendedprice), 2) AS total_price,
+        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        |FROM lineitem WHERE l_quantity >= 25
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q91_json_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(SUM(value), 2) AS sum_value,

@@ -94,4 +94,59 @@ class ChangeDataSpec extends SparkSpec {
       assert(vs.count(_._6) == 1 && vs.last._6)
     }
   }
+
+  private def aggOf(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("g").agg(sum("v").as("sum_val"),
+      count(lit(1)).as("n"), count(col("v")).as("n_nonnull"))
+
+  test("incrementalAgg(agg(old), diff(old,new)) == agg(new) on randomized " +
+    "snapshots with group migration, all-null-value groups, and NULL group keys") {
+    val rng = new scala.util.Random(7)
+    // Group alphabet includes an all-NULL-value group ("nullv" rows
+    // always carry v=NULL — its correct sum is NULL, not 0.0) and a
+    // NULL group KEY (groupBy buckets it as one group; the delta merge
+    // must too). Independent old/new group draws make updates migrate
+    // rows between groups constantly.
+    val groups = Seq(Some("g0"), Some("g1"), Some("g2"), Some("nullv"), None)
+    def snap(ks: Seq[Long]) = ks.map { k =>
+      val g = groups(rng.nextInt(groups.size))
+      val v = if (g.contains("nullv") || rng.nextDouble() < 0.2) None
+              else Some(rng.nextInt(100).toDouble)
+      (k, g, v)
+    }.toDF("k", "g", "v")
+    for (round <- 1 to 5) {
+      val o = snap((1L to 300L).filter(_ => rng.nextDouble() < 0.8))
+      val n = snap((1L to 300L).filter(_ => rng.nextDouble() < 0.8))
+      val maintained = ChangeData.incrementalAgg(
+        aggOf(o), ChangeData.snapshotDiff(o, n, Seq("k")), Seq("g"), "v")
+      assert(ChangeData.sameContent(maintained, aggOf(n)),
+        s"round $round: incrementally-maintained aggregate diverged from " +
+          "a full re-aggregation of the new snapshot")
+    }
+  }
+
+  test("incrementalAgg handles groups vanishing entirely and appearing fresh") {
+    // old: all rows in g0; new: all rows moved to g1 — g0 must disappear
+    // (count reaches zero) and g1 must appear without a base row.
+    val o = Seq((1L, "g0", Some(1.0)), (2L, "g0", Some(2.0))).toDF("k", "g", "v")
+    val n = Seq((1L, "g1", Some(1.0)), (2L, "g1", Some(5.0))).toDF("k", "g", "v")
+    val out = ChangeData.incrementalAgg(
+      aggOf(o), ChangeData.snapshotDiff(o, n, Seq("k")), Seq("g"), "v")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "g1" && out.head.getDouble(1) == 6.0 &&
+      out.head.getLong(2) == 2L && out.head.getLong(3) == 2L)
+  }
+
+  test("incrementalAgg rejects key columns as groupCols/valueCol") {
+    val o = Seq((1L, "g0", Some(1.0))).toDF("k", "g", "v")
+    val n = Seq((1L, "g0", Some(2.0))).toDF("k", "g", "v")
+    val diff = ChangeData.snapshotDiff(o, n, Seq("k"))
+    intercept[IllegalArgumentException] {
+      ChangeData.incrementalAgg(aggOf(o), diff, Seq("k"), "v")
+    }
+    intercept[IllegalArgumentException] {
+      ChangeData.incrementalAgg(aggOf(o), diff, Seq("g"), "k")
+    }
+  }
 }
