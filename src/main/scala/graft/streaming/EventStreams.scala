@@ -250,7 +250,18 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"))
       .as[Ev]
-    val out = ds.groupByKey(_.user_id)
+    runToMemory(sessionSummaries(ds).toDF(), OutputMode.Append())
+      .orderBy("user_id")
+  }
+
+  /** The stateful sessionization transform alone, source/sink-agnostic —
+    * `statefulSessionCounts` drives it from the events file stream;
+    * EventStreamsSpec drives it through a checkpointed stop/restart
+    * cycle (the recovery path a long-lived deployment exercises daily).
+    */
+  def sessionSummaries(ds: org.apache.spark.sql.Dataset[Ev]): org.apache.spark.sql.Dataset[SessionSummary] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionSummary](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, events, state: GroupState[SessState]) =>
@@ -273,6 +284,5 @@ object EventStreams {
             Iterator(SessionSummary(uid, st.nSessions, st.nEvents, st.maxEvents))
           }
       }
-    runToMemory(out.toDF(), OutputMode.Append()).orderBy("user_id")
   }
 }
