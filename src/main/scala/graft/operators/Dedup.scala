@@ -85,6 +85,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Per-block salt fan-out, grown proportionally for blocks larger than
+    * `maxBlockRows`: a block of c rows gets ceil(c/maxBlockRows) ×
+    * `saltBuckets`, so each salted A-slice holds ~maxBlockRows rows no
+    * matter how skewed the blocking column is. Computed from a
+    * column-pruned scan of the raw block columns only (the shingle
+    * kernel is never re-run for the census); one row per distinct block.
+    */
+  private[graft] def blockSalts(docs: DataFrame, blockCols: Seq[String],
+                                saltBuckets: Int, maxBlockRows: Int): DataFrame =
+    docs.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__salt_n",
+        (ceil(col("__cnt") / lit(maxBlockRows.toDouble)) * saltBuckets).cast("int"))
+      .drop("__cnt")
+
   /** Exact blocked n-gram Jaccard: all pairs within the same blocking
     * key (e.g. language) — the exact-answer counterpart to LSH.
     *
@@ -93,17 +108,40 @@ object Dedup {
     * salting fixes that: side A is keyed by salt(id_a), side B is
     * replicated to every salt, so each pair meets exactly once and the
     * pair space fans out over blocks×saltBuckets reducers.
+    *
+    * Skew guard: a block larger than `maxBlockRows` gets proportionally
+    * MORE salt buckets (ceil(size/maxBlockRows) × saltBuckets), so one
+    * skewed blocking value — a dominant language, an empty-prefix
+    * block — can't quietly pin its whole quadratic pair space on
+    * `saltBuckets` reducers. The per-block sizes come from a
+    * column-pruned scan of the raw block columns (the shingle kernel is
+    * never re-run for the census), and oversized blocks are logged
+    * loudly before the pair stage runs — at 100 TB you want the skew in
+    * the logs, not discovered from a straggler.
     */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], threshold: Double,
-                          n: Int = 3, saltBuckets: Int = 16): DataFrame = {
+                          n: Int = 3, saltBuckets: Int = 16,
+                          maxBlockRows: Int = 4096): DataFrame = {
+    val salts = blockSalts(docs, blockCols, saltBuckets, maxBlockRows)
+    val over = salts.filter(col("__salt_n") > saltBuckets).limit(20).collect()
+    if (over.nonEmpty) {
+      val desc = over.map(r => blockCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString(",") +
+        s" salt=${r.getInt(r.length - 1)}").mkString("; ")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"blockedJaccardPairs: oversized blocks re-salted (cap=$maxBlockRows): $desc")
+    }
     val t = graft.GraftSession.fanout(docs)
       .select(
         (col(idCol).as("id") +: blockCols.map(col)) :+ shingleHashSet(col(textCol), n).as("hs"): _*)
-    val a = t.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("hs").as("hs_a"): _*)
-      .withColumn("salt", pmod(xxhash64(col("id_a")), lit(saltBuckets)).cast("int"))
-    val b = t.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("hs").as("hs_b"): _*)
-      .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+      .join(broadcast(salts), blockCols)
+    val a = t.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("hs").as("hs_a") :+ col("__salt_n"): _*)
+      .withColumn("salt", pmod(xxhash64(col("id_a")), col("__salt_n")).cast("int"))
+      .drop("__salt_n")
+    val b = t.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("hs").as("hs_b") :+ col("__salt_n"): _*)
+      .withColumn("salt", explode(sequence(lit(0), col("__salt_n") - 1)))
+      .drop("__salt_n")
     a.join(b, blockCols :+ "salt")
       .filter(col("id_a") < col("id_b"))
       .withColumn("jaccard", ArrayOps.jaccardSorted(col("hs_a"), col("hs_b")))

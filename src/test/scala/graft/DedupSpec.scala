@@ -153,4 +153,29 @@ class DedupSpec extends SparkSpec {
       threshold = 0.1, saltBuckets = 16).as[(Long, Long, Double)].collect().toSet
     assert(r1 === r16 && r1.nonEmpty)
   }
+
+  test("skew guard re-salts oversized blocks proportionally without changing results") {
+    // One dominant block (200 'en' docs built from the sf0.001 corpus) vs
+    // a 4-row 'de' block; cap 50 forces the en block to 4× the base salt.
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"), lit("en").as("lang"), col("text"))
+      .union(docsDf.filter(col("lang") === "de").select("doc_id", "lang", "text"))
+    val salts = Dedup.blockSalts(docs, Seq("lang"), saltBuckets = 8, maxBlockRows = 50)
+      .as[(String, Int)].collect().toMap
+    assert(salts("en") === 32 && salts("de") === 8) // ceil(200/50)*8, ceil(4/50)*8
+    // A-side slices respect the cap: rows per (block, salt) stay near
+    // blockSize/saltN — the whole point of the guard (hash-uniformity
+    // slack of 2× on the expected ~6 rows/slice).
+    val sliced = docs.join(
+        broadcast(Dedup.blockSalts(docs, Seq("lang"), 8, 50)), Seq("lang"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), col("__salt_n")))
+      .groupBy("lang", "salt").count()
+      .agg(max("count")).as[Long].head()
+    assert(sliced <= 50, s"largest salted slice $sliced exceeds the 50-row cap")
+    val guarded = Dedup.blockedJaccardPairs(docs, "doc_id", "text", Seq("lang"),
+      threshold = 0.8, maxBlockRows = 50).as[(Long, Long, Double)].collect().toSet
+    val baseline = Dedup.blockedJaccardPairs(docs, "doc_id", "text", Seq("lang"),
+      threshold = 0.8, maxBlockRows = Int.MaxValue).as[(Long, Long, Double)].collect().toSet
+    assert(guarded === baseline && guarded.nonEmpty)
+  }
 }
