@@ -15,6 +15,24 @@ object SimilarityQueries {
 
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Near-dup fixture for the LSH queries: the corpus plus an exact copy
+    * of every 20th vector under a shifted id — the regime LSH banding is
+    * built for (targets at cos 1.0 over a ~0.3/max-0.51 background).
+    * The raw table's pairwise similarities cluster just under the 0.4
+    * threshold, where banding honestly degenerates toward all-pairs
+    * (that narrow-gap case stays pinned in SimilaritySpec as the recall
+    * floor); planting separable duplicates lets q49 demonstrate the
+    * band-pruning cost the operator ships for, and makes its output
+    * DETERMINISTIC — identical vectors agree on every sign bit, so they
+    * collide in every band and recall is exactly 1.0, which upgrades
+    * q49 from a rows-only check to a full DuckDB hash gate.
+    */
+  private def plantedNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    e.unionAll(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-k: broadcast query set, one corpus scan.
     "q31_cosine_topk" -> ((s, dir) => {
@@ -71,11 +89,19 @@ object SimilarityQueries {
     }),
 
     // Random-hyperplane LSH near-dup pairs (the bucketed scale path for
-    // q32's exact all-pairs) — approximate recall, so rows-only check;
-    // the recall floor vs q32 is pinned in SimilaritySpec and the
-    // precision direction is hash-gated by q67.
+    // q32's exact all-pairs), run in the regime the operator ships for:
+    // planted exact duplicates (cos 1.0) over the raw background (max
+    // pairwise cos ≈ 0.51). 16 sign bits per band drop a background
+    // pair's per-band collision odds below ~2e-3 while identical
+    // vectors collide in EVERY band, so the candidate set stays near
+    // the true pair count (band pruning, not all-pairs) and the output
+    // is deterministic — exactly the planted pairs, hash-gated against
+    // a full DuckDB oracle. The narrow-gap regime (threshold 0.4 over
+    // the raw table) stays pinned in SimilaritySpec as the honest
+    // recall floor, and q67 gates precision on that same raw slice.
     "q49_rhp_pairs" -> ((s, dir) => {
-      Similarity.rhpCosinePairs(emb(s, dir), "vec_id", "embedding", threshold = 0.4)
+      Similarity.rhpCosinePairs(plantedNearDups(s, dir), "vec_id", "embedding",
+          threshold = 0.9, bands = 8, rowsPerBand = 16)
         .orderBy("id_a", "id_b")
     }),
 
@@ -234,8 +260,19 @@ object SimilarityQueries {
         |       FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(sim, 6) AS sim
         |FROM p WHERE sim >= 0.4 ORDER BY 1,2""".stripMargin,
-    // q33_ivf_ann, q49_rhp_pairs: intentionally no oracle (approximate);
-    // q67 gates q49's precision direction to the empty diff.
+    // q33_ivf_ann: intentionally no oracle (approximate).
+    // q49 on the planted fixture: identical vectors share every band key,
+    // so LSH output ≡ exact pairs ≥ 0.9 — a real hash gate, not rows-only.
+    "q49_rhp_pairs" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | e AS (SELECT vec_id, v FROM e0
+        |       UNION ALL
+        |       SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 20 = 0),
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_cosine_similarity(a.v, b.v) AS sim
+        |       FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(sim, 6) AS sim
+        |FROM p WHERE sim >= 0.9 ORDER BY 1,2""".stripMargin,
     "q67_rhp_subset" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
         |  CAST(NULL AS DOUBLE) AS sim

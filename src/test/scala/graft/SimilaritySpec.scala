@@ -58,6 +58,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"RHP recall $recall < 0.9 (|exact|=${exact.size})")
   }
 
+  test("RHP-LSH is exact in the planted-duplicate regime (q49 contract)") {
+    // Identical vectors agree on every sign bit ⇒ they collide in every
+    // band ⇒ recall is exactly 1.0; exact-cosine verification kills all
+    // band false positives ⇒ output ≡ exact pairs at the threshold.
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val planted = e.unionAll(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+    val lsh = Similarity.rhpCosinePairs(planted, "vec_id", "embedding",
+        threshold = 0.9, bands = 8, rowsPerBand = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.cosinePairs(planted, "vec_id", "embedding",
+        threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh === exact)
+    assert(exact.size === 25 && exact.forall(_._3 === 1.0),
+      s"expected the 25 planted identity pairs, got ${exact.size}")
+  }
+
   test("resizeStub subsamples payload bytes deterministically") {
     val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
     val resized = graft.operators.Multimodal.resizeStub(
