@@ -91,14 +91,54 @@ object Dedup {
     * matter how skewed the blocking column is. Computed from a
     * column-pruned scan of the raw block columns only (the shingle
     * kernel is never re-run for the census); one row per distinct block.
+    *
+    * `__salt_n` stays LONG end-to-end: with ANSI off, an int cast would
+    * silently WRAP for a pathological block — `sequence(0, negative)`
+    * descends and the pmod sides disagree, dropping pairs without a
+    * trace. A block too big for sane salting must instead fail loudly,
+    * which `saltCensus` enforces.
     */
   private[graft] def blockSalts(docs: DataFrame, blockCols: Seq[String],
                                 saltBuckets: Int, maxBlockRows: Int): DataFrame =
     docs.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__salt_n",
-        (ceil(col("__cnt") / lit(maxBlockRows.toDouble)) * saltBuckets).cast("int"))
+        (ceil(col("__cnt") / lit(maxBlockRows.toDouble)) * saltBuckets).cast("long"))
       .drop("__cnt")
+
+  /** Runs the salt census ONCE and replays it as a local relation: the
+    * census is broadcast downstream anyway, so it must fit on the driver
+    * by construction, and collecting it here means the upstream is
+    * scanned exactly once — not once for the oversize log and again as
+    * the broadcast join side. Returns (broadcastable census frame,
+    * collected rows) so callers can log/inspect without re-scanning.
+    *
+    * Loud guard: any block needing more than `maxSaltsPerBlock` slices
+    * throws. ceil(c/maxBlockRows)·saltBuckets > 2^20 means the block's
+    * quadratic pair space is ~2^40·maxBlockRows² comparisons — that is a
+    * re-block-your-data problem, and wrapping an int (the old behavior)
+    * would have silently dropped pairs instead of saying so.
+    */
+  private[graft] def saltCensus(docs: DataFrame, blockCols: Seq[String],
+                                saltBuckets: Int, maxBlockRows: Int,
+                                maxSaltsPerBlock: Long = 1L << 20)
+      : (DataFrame, Array[org.apache.spark.sql.Row]) = {
+    val census = blockSalts(docs, blockCols, saltBuckets, maxBlockRows)
+    val rows = census.collect()
+    val saltIdx = blockCols.length
+    val bad = rows.filter(_.getLong(saltIdx) > maxSaltsPerBlock)
+    require(bad.isEmpty, {
+      val desc = bad.take(5).map(r => blockCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString(",") +
+        s" -> ${r.getLong(saltIdx)} salts").mkString("; ")
+      s"saltCensus: block(s) exceed $maxSaltsPerBlock salt slices ($desc). " +
+        "The per-block pair space is quadratic - re-block on a finer key " +
+        "or raise maxSaltsPerBlock deliberately."
+    })
+    val local = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), census.schema)
+    (local, rows)
+  }
 
   /** Exact blocked n-gram Jaccard: all pairs within the same blocking
     * key (e.g. language) — the exact-answer counterpart to LSH.
@@ -123,12 +163,12 @@ object Dedup {
                           blockCols: Seq[String], threshold: Double,
                           n: Int = 3, saltBuckets: Int = 16,
                           maxBlockRows: Int = 4096): DataFrame = {
-    val salts = blockSalts(docs, blockCols, saltBuckets, maxBlockRows)
-    val over = salts.filter(col("__salt_n") > saltBuckets).limit(20).collect()
+    val (salts, saltRows) = saltCensus(docs, blockCols, saltBuckets, maxBlockRows)
+    val over = saltRows.filter(_.getLong(blockCols.length) > saltBuckets).take(20)
     if (over.nonEmpty) {
       val desc = over.map(r => blockCols.zipWithIndex
         .map { case (c, i) => s"$c=${r.get(i)}" }.mkString(",") +
-        s" salt=${r.getInt(r.length - 1)}").mkString("; ")
+        s" salt=${r.getLong(r.length - 1)}").mkString("; ")
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"blockedJaccardPairs: oversized blocks re-salted (cap=$maxBlockRows): $desc")
     }
@@ -137,10 +177,10 @@ object Dedup {
         (col(idCol).as("id") +: blockCols.map(col)) :+ shingleHashSet(col(textCol), n).as("hs"): _*)
       .join(broadcast(salts), blockCols)
     val a = t.select(blockCols.map(col) :+ col("id").as("id_a") :+ col("hs").as("hs_a") :+ col("__salt_n"): _*)
-      .withColumn("salt", pmod(xxhash64(col("id_a")), col("__salt_n")).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("id_a")), col("__salt_n")))
       .drop("__salt_n")
     val b = t.select(blockCols.map(col) :+ col("id").as("id_b") :+ col("hs").as("hs_b") :+ col("__salt_n"): _*)
-      .withColumn("salt", explode(sequence(lit(0), col("__salt_n") - 1)))
+      .withColumn("salt", explode(sequence(lit(0L), col("__salt_n") - 1)))
       .drop("__salt_n")
     a.join(b, blockCols :+ "salt")
       .filter(col("id_a") < col("id_b"))

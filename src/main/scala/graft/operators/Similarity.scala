@@ -107,14 +107,14 @@ object Similarity {
                            clusterCol: String, threshold: Double,
                            saltBuckets: Int = 8,
                            maxClusterRows: Int = 4096): DataFrame = {
-    val salts = Dedup.blockSalts(corpus, Seq(clusterCol), saltBuckets, maxClusterRows)
+    val (salts, _) = Dedup.saltCensus(corpus, Seq(clusterCol), saltBuckets, maxClusterRows)
     val t = fanout(corpus.select(col(clusterCol).as("__cl"), col(idCol).as("id"),
         asDouble(col(vecCol)).as("v")))
       .join(broadcast(salts.withColumnRenamed(clusterCol, "__cl")), Seq("__cl"))
     val a = t.select(col("__cl"), col("id").as("id_a"), col("v").as("va"),
-        pmod(xxhash64(col("id")), col("__salt_n")).cast("int").as("salt"))
+        pmod(xxhash64(col("id")), col("__salt_n")).as("salt"))
     val b = t.select(col("__cl"), col("id").as("id_b"), col("v").as("vb"),
-        explode(sequence(lit(0), col("__salt_n") - 1)).as("salt"))
+        explode(sequence(lit(0L), col("__salt_n") - 1)).as("salt"))
     a.join(b, Seq("__cl", "salt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("va"), col("vb")))

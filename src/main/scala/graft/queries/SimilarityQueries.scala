@@ -29,8 +29,14 @@ object SimilarityQueries {
     */
   private def plantedNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    // The clone-id shift is DERIVED (max+1), not a fixed constant: a
+    // fixed +1e6 collides with real vec_ids at larger scale factors, and
+    // because the oracle mirrors the fixture arithmetic the q49 gate
+    // would stay green over the broken fixture. One column-pruned agg
+    // scan at plan time; the oracle computes the same MAX(vec_id)+1.
+    val shift = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
     e.unionAll(e.filter(col("vec_id") % 20 === 0)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      .select((col("vec_id") + lit(shift)).as("vec_id"), col("embedding")))
   }
 
   val queries: Map[String, Q] = Map(
@@ -191,6 +197,22 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup clustered cosine pairs: EXACT all-pairs WITHIN a cluster
+    // assignment (`label` stands in for the trained k-means/IVF
+    // assignment — any categorical column works), the move that shrinks
+    // q32's O(n²) pair space to Σ|cluster|² at 100 TB. Exact within
+    // clusters ⇒ full DuckDB hash gate (q32's oracle + an equi-cluster
+    // join predicate). maxClusterRows=32 forces the proportional
+    // re-salting path on the ~50-row sf0.01 clusters, so the gate
+    // exercises the per-cluster skew guard, not just the happy path;
+    // salting-invariance and ≡-cosinePairs-within-clusters are pinned
+    // in SimilaritySpec.
+    "q95_clustered_pairs" -> ((s, dir) => {
+      Similarity.clusteredCosinePairs(emb(s, dir), "vec_id", "embedding",
+          clusterCol = "label", threshold = 0.35, maxClusterRows = 32)
+        .orderBy("id_a", "id_b")
+    }),
+
     // PQ search end-to-end: code-only candidate scan → exact rerank of
     // 100 candidates/query (the production PQ pattern — q31's shape
     // with the corpus side compressed to 8 codes). Approximate ⇒
@@ -267,7 +289,8 @@ object SimilarityQueries {
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | e AS (SELECT vec_id, v FROM e0
         |       UNION ALL
-        |       SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 20 = 0),
+        |       SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM e0), v
+        |       FROM e0 WHERE vec_id % 20 = 0),
         | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |        list_cosine_similarity(a.v, b.v) AS sim
         |       FROM e a JOIN e b ON a.vec_id < b.vec_id)
@@ -373,6 +396,17 @@ object SimilarityQueries {
     "q81_pq_exactness" ->
       """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS subspace,
         |  CAST(NULL AS BIGINT) AS kernel_code, CAST(NULL AS BIGINT) AS ref_code
-        |WHERE FALSE""".stripMargin
+        |WHERE FALSE""".stripMargin,
+    // q32's oracle restricted to equi-cluster pairs: the clustered
+    // operator is exact within clusters, so it takes a full hash gate.
+    "q95_clustered_pairs" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_cosine_similarity(a.v, b.v) AS sim
+        |       FROM e a JOIN e b
+        |         ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(sim, 6) AS sim
+        |FROM p WHERE sim >= 0.35 ORDER BY 1,2""".stripMargin
   )
 }

@@ -161,8 +161,8 @@ class DedupSpec extends SparkSpec {
       .select(col("doc_id"), lit("en").as("lang"), col("text"))
       .union(docsDf.filter(col("lang") === "de").select("doc_id", "lang", "text"))
     val salts = Dedup.blockSalts(docs, Seq("lang"), saltBuckets = 8, maxBlockRows = 50)
-      .as[(String, Int)].collect().toMap
-    assert(salts("en") === 32 && salts("de") === 8) // ceil(200/50)*8, ceil(4/50)*8
+      .as[(String, Long)].collect().toMap
+    assert(salts("en") === 32L && salts("de") === 8L) // ceil(200/50)*8, ceil(4/50)*8
     // A-side slices respect the cap: rows per (block, salt) stay near
     // blockSize/saltN — the whole point of the guard (hash-uniformity
     // slack of 2× on the expected ~6 rows/slice).
@@ -177,5 +177,23 @@ class DedupSpec extends SparkSpec {
     val baseline = Dedup.blockedJaccardPairs(docs, "doc_id", "text", Seq("lang"),
       threshold = 0.8, maxBlockRows = Int.MaxValue).as[(Long, Long, Double)].collect().toSet
     assert(guarded === baseline && guarded.nonEmpty)
+  }
+
+  test("saltCensus fails loudly (names the block) instead of wrapping past the cap") {
+    // 100 rows in one block, cap 1 row/slice, 16 base salts -> 1600
+    // slices, over the deliberately tiny 512 cap: must throw with the
+    // offending block named, never int-wrap into silently dropped pairs.
+    val docs = (1 to 100).map(i => (i.toLong, "en", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.saltCensus(docs, Seq("lang"), saltBuckets = 16, maxBlockRows = 1,
+        maxSaltsPerBlock = 512L)
+    }
+    assert(ex.getMessage.contains("lang=en") && ex.getMessage.contains("1600"))
+    // census values stay LONG (no int cast anywhere on the salt path)
+    val (census, rows) = Dedup.saltCensus(docs, Seq("lang"), 16, 1)
+    assert(census.schema("__salt_n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(rows.head.getLong(1) === 1600L)
   }
 }

@@ -77,6 +77,38 @@ class SimilaritySpec extends SparkSpec {
       s"expected the 25 planted identity pairs, got ${exact.size}")
   }
 
+  test("clusteredCosinePairs: salting-invariant and ≡ cosinePairs within clusters") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    // saltBuckets=1 (no fan-out) vs 8 with a cap that forces the
+    // proportional re-salt path on every ~50-row label: identical output.
+    val s1 = Similarity.clusteredCosinePairs(e, "vec_id", "embedding", "label",
+      threshold = 0.3, saltBuckets = 1).as[(Long, Long, Double)].collect().toSet
+    val s8 = Similarity.clusteredCosinePairs(e, "vec_id", "embedding", "label",
+        threshold = 0.3, saltBuckets = 8, maxClusterRows = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(s1 === s8 && s1.nonEmpty)
+    // The operator is exactly cosinePairs restricted to equi-cluster
+    // pairs — nothing dropped inside a cluster, nothing invented across.
+    val cl = e.select(col("vec_id"), col("label"))
+    val expected = Similarity.cosinePairs(e, "vec_id", "embedding", threshold = 0.3)
+      .join(cl.select(col("vec_id").as("id_a"), col("label").as("la")), "id_a")
+      .join(cl.select(col("vec_id").as("id_b"), col("label").as("lb")), "id_b")
+      .filter(col("la") === col("lb"))
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(s1 === expected)
+  }
+
+  test("clusteredCosinePairs drops NULL-cluster rows (SQL equi-join semantics)") {
+    val df = Seq((1L, Array(1f, 0f), Option("a")), (2L, Array(1f, 0f), Option("a")),
+        (3L, Array(1f, 0f), Option.empty[String]), (4L, Array(1f, 0f), Option.empty[String]))
+      .toDF("vec_id", "embedding", "cl")
+    val out = Similarity.clusteredCosinePairs(df, "vec_id", "embedding", "cl",
+      threshold = 0.9).as[(Long, Long, Double)].collect().toSet
+    // NULL never equals NULL: ids 3/4 pair with nothing, matching the
+    // oracle's `a.label = b.label` predicate.
+    assert(out === Set((1L, 2L, 1.0)))
+  }
+
   test("resizeStub subsamples payload bytes deterministically") {
     val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
     val resized = graft.operators.Multimodal.resizeStub(
