@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins README.md's battery/oracle counts to the actual `SparkEntry`
+  * maps: the counts drifted silently across rounds 3-5, so they are now
+  * test-gated — adding a query without touching the README (or vice
+  * versa) fails the suite and names the stale sentence.
+  */
+class DocsSpec extends AnyFunSuite {
+
+  private lazy val readme = new String(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+    java.nio.charset.StandardCharsets.UTF_8)
+
+  test("README battery and oracle counts match SparkEntry") {
+    val nQueries = SparkEntry.queries.size
+    val nOracles = SparkEntry.oracleSql.size
+    assert(readme.contains(s"the $nQueries-query battery"),
+      s"README must describe 'the $nQueries-query battery' (SparkEntry.queries.size)")
+    assert(readme.contains(s"($nOracles/$nQueries;"),
+      s"README must cite '($nOracles/$nQueries;' oracle coverage (SparkEntry.oracleSql.size)")
+    assert(readme.contains(s"All $nOracles oracle-checked queries"),
+      s"README verification status must say 'All $nOracles oracle-checked queries'")
+    assert(raw"The other ${nQueries - 1}\s+queries".r.findFirstIn(readme).isDefined,
+      s"README baseline section must say 'The other ${nQueries - 1} queries' (all but q44)")
+  }
+
+  test("every oracle key names a real query; rows-only set is the documented four") {
+    val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(stray.isEmpty, s"oracles without a query: $stray")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // The README enumerates exactly these as the no-oracle checks; a new
+    // oracle-less query must either get an oracle or be documented there.
+    assert(rowsOnly === Set("q26_simhash_neardup", "q33_ivf_ann",
+      "q47_hll_distinct", "q82_pq_ann"),
+      s"undocumented rows-only queries: $rowsOnly")
+  }
+}
