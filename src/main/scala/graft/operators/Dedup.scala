@@ -216,6 +216,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_hit_grams"))
   }
 
+  /** Incremental dedup against a historical corpus — the daily-increment
+    * shape at 100 TB: history is petabytes and append-only, today's batch
+    * is small, and re-deduplicating the union from scratch every day is
+    * the anti-pattern. Returns the batch rows whose `textCol` content
+    * does not already appear in history (EXACT, same content-equality
+    * semantics as a SQL NOT EXISTS on the text).
+    *
+    * Scale shape: the history side is reduced MAP-SIDE to distinct
+    * 8-byte xxhash64 content fingerprints from a column-pruned scan —
+    * the history text never leaves its executors, and the partial
+    * distinct collapses the (high at crawl scale) duplicate mass before
+    * the exchange. The anti-join then shuffles fingerprints only, and
+    * Catalyst's runtime Bloom filter (the q68 mechanism) can prune the
+    * batch side before its shuffle when the planner finds it selective.
+    * Hash-equality stands in for text-equality at a ~2^-64 collision
+    * risk per pair — the same adjudication as `contaminationHits`, and
+    * the q96 oracle's string-equality check would surface one. NULL
+    * text never matches anything (SQL semantics): its fingerprint is
+    * NULL, and an anti-join null key survives.
+    */
+  def newAgainstHistory(history: DataFrame, batch: DataFrame,
+                        textCol: String): DataFrame = {
+    val fp = when(col(textCol).isNotNull, xxhash64(col(textCol)))
+    val histFp = history.select(fp.as("__fp")).distinct()
+    batch.withColumn("__fp", fp)
+      .join(histFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Connected components over a near-dup pair list by iterative
     * min-label propagation (Pregel-lite on DataFrames): every node
     * adopts the smallest id reachable through its edges until fixpoint.

@@ -114,6 +114,22 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Incremental dedup against an append-only history (the daily-batch
+    // pattern): history reduces map-side to distinct 8-byte content
+    // fingerprints — its text never shuffles — and the batch anti-joins
+    // on the fingerprint. Output is exact (hash pre-check, string-level
+    // oracle); doc_id%3 history vs doc_id%2 batch gives a ~2/3-duplicate
+    // batch, the realistic crawl-increment regime.
+    "q96_incremental_new" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.newAgainstHistory(
+          history = d.filter(col("doc_id") % 3 =!= 0),
+          batch = d.filter(col("doc_id") % 2 === 0),
+          textCol = "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup clusters: LSH pairs → connected components → the
     // representative (min id) a dedup pass would keep per cluster.
     "q43_neardup_components" -> ((s, dir) => {
@@ -169,6 +185,16 @@ object DedupQueries {
         |SELECT c.doc_id, COUNT(*) AS n_hit_grams
         |FROM corpus c JOIN bench b ON c.gram = b.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // String-level NOT EXISTS: adjudicates the operator's 64-bit
+    // fingerprint equality — a hash collision would surface here as a
+    // row the oracle keeps and the operator dropped.
+    "q96_incremental_new" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents b
+        |WHERE b.doc_id % 2 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents h
+        |                  WHERE h.doc_id % 3 <> 0 AND h.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
     "q86_sorted_neighborhood" ->
       """WITH b AS (
         |  SELECT doc_id, substr(lower(text), 1, 16) AS blk,

@@ -179,6 +179,20 @@ class DedupSpec extends SparkSpec {
     assert(guarded === baseline && guarded.nonEmpty)
   }
 
+  test("newAgainstHistory: exact NOT-EXISTS semantics, NULL text never matches") {
+    val history = Seq((1L, "alpha"), (2L, "beta"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "gamma"), (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.newAgainstHistory(history, batch, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // "alpha" already exists; NULL text equals nothing (SQL semantics),
+    // so the NULL batch row is new even though history also has a NULL.
+    assert(out === Set(11L, 12L))
+    // helper column must not leak into the output schema
+    assert(!Dedup.newAgainstHistory(history, batch, "text").columns.contains("__fp"))
+  }
+
   test("saltCensus fails loudly (names the block) instead of wrapping past the cap") {
     // 100 rows in one block, cap 1 row/slice, 16 base salts -> 1600
     // slices, over the deliberately tiny 512 cap: must throw with the

@@ -182,6 +182,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "no partial aggregation:\n" + p.take(2000))
   }
 
+  test("q95 salt census is a collected local relation; salts stay long") {
+    val p = planOf("q95_clustered_pairs")
+    // The census must replay from the driver-collected rows — if it ever
+    // recomputes as a live aggregate, a third corpus scan appears here.
+    assert(p.contains("LocalTableScan"),
+      "census must be a collected local relation:\n" + p.take(3000))
+    assert(p.split("Scan parquet").length - 1 === 2,
+      "corpus must scan exactly twice (pair side A and B):\n" + p.take(3000))
+    // The round-5 int-wrap hazard: no int cast anywhere on the salt path.
+    assert(!p.contains("cast(pmod"),
+      "salt must stay LONG end-to-end:\n" + p.take(3000))
+  }
+
+  test("q96 anti-joins on fingerprints; history scan reads only the text column") {
+    val p = planOf("q96_incremental_new")
+    assert(p.contains("LeftAnti"), "incremental dedup must be an anti-join:\n" + p.take(3000))
+    assert(p.contains("xxhash64"), p.take(3000))
+    // History side is column-pruned to the text it fingerprints (plus
+    // doc_id for the fixture's %3 split) — lang/source/n_chars must
+    // never be read there.
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "history scan must read only (doc_id, text):\n" + p.take(3000))
+  }
+
   test("q32 exact pairs never broadcast the corpus (CartesianProduct path)") {
     val p = planOf("q32_cosine_pairs")
     assert(!p.contains("BroadcastExchange"),
