@@ -149,6 +149,36 @@ object Similarity {
         round(col("entry._2"), 6).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most similar corpus vectors with a DIFFERENT
+    * label — the highest-value negatives a contrastive loss can see.
+    *
+    * Scale shape: identical to `bruteForceTopKAgg` (queries broadcast,
+    * one corpus scan, bounded `TopKAggregator` partial heaps shuffling k
+    * rows per (query, partition)), with the label-inequality filter
+    * applied BEFORE the cosine so same-label candidates die without
+    * being scored. NULL labels on either side disqualify the pair
+    * (SQL `<>` semantics — an unlabeled vector is neither a positive
+    * nor a safe negative).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), asDouble(col(vecCol)).as("qv")))
+    val c = fanout(corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__cl"), asDouble(col(vecCol)).as("cv")))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    q.crossJoin(c)
+      .filter(col("__ql") =!= col("__cl"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("entry._1").as("neighbor_id"),
+        round(col("entry._2"), 6).as("sim"))
+  }
+
   /** Random-hyperplane LSH near-dup pairs: each vector is sketched into
     * `bands` keys of `rowsPerBand` sign bits (sign of the dot product
     * with a seeded Gaussian hyperplane — collision probability

@@ -197,6 +197,18 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // Hard-negative mining (contrastive-training data prep): per query,
+    // the top-5 most-similar corpus vectors with a DIFFERENT label.
+    // Same bounded-aggregator shape as q31/q50; the label-inequality
+    // filter runs before any cosine is computed.
+    "q97_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
     // SemDeDup clustered cosine pairs: EXACT all-pairs WITHIN a cluster
     // assignment (`label` stands in for the trained k-means/IVF
     // assignment — any categorical column works), the move that shrinks
@@ -397,6 +409,21 @@ object SimilarityQueries {
       """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS subspace,
         |  CAST(NULL AS BIGINT) AS kernel_code, CAST(NULL AS BIGINT) AS ref_code
         |WHERE FALSE""".stripMargin,
+    "q97_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql,
+        |             CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS neighbor_id, label AS cl,
+        |         CAST(embedding AS DOUBLE[]) AS cv
+        |       FROM embeddings),
+        | s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+        |       FROM q CROSS JOIN c WHERE ql <> cl),
+        | r AS (SELECT query_id, neighbor_id, sim,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        |       FROM s)
+        |SELECT query_id, rnk, neighbor_id, ROUND(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // q32's oracle restricted to equi-cluster pairs: the clustered
     // operator is exact within clusters, so it takes a full hash gate.
     "q95_clustered_pairs" ->

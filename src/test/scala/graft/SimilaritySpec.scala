@@ -77,6 +77,22 @@ class SimilaritySpec extends SparkSpec {
       s"expected the 25 planted identity pairs, got ${exact.size}")
   }
 
+  test("hardNegatives excludes same-label vectors even when they are nearest") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), "a"),   // the query itself
+      (1L, Array(0.99f, 0.01f), "a"), // nearest overall but same label
+      (2L, Array(0.9f, 0.1f), "b"),
+      (3L, Array(0.0f, 1.0f), "b"),
+      (4L, Array(0.8f, 0.2f), null.asInstanceOf[String]) // unlabeled: never a negative
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(corpus, corpus.filter($"vec_id" === 0),
+        "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    // ids 0/1 (label a) and 4 (NULL) are disqualified; among label b,
+    // (0.9,0.1) beats (0,1).
+    assert(out.map(r => (r._2, r._3)).toSeq === Seq((1L, 2L), (2L, 3L)))
+  }
+
   test("clusteredCosinePairs: salting-invariant and ≡ cosinePairs within clusters") {
     val e = Tables.load(spark, sfDir, "embeddings")
     // saltBuckets=1 (no fan-out) vs 8 with a cap that forces the
