@@ -110,6 +110,26 @@ object TextQueries {
     // TextFunctionsSpec.
     "q46_length_quantiles" -> ((s, dir) => lengthQuantiles(docs(s, dir), approx = false)),
 
+    // Per-language ADAPTIVE length filter: keep documents inside their
+    // own language's [p05, p95] length band — fixed length thresholds
+    // are wrong across languages (CJK chars ≠ Latin chars), so
+    // multilingual pipelines derive the band per language. Composition:
+    // the exact interpolated `percentile` (q46 gates its ≡ to DuckDB's
+    // quantile_cont; state is bounded by distinct lengths per language,
+    // approx_percentile is the documented sketch fallback) produces a
+    // language-count-sized bounds dim that BROADCASTS back, and the
+    // filter is one map-side corpus scan — the text never shuffles.
+    "q98_adaptive_length_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bounds = d.groupBy("lang").agg(
+        expr("percentile(n_chars, 0.05)").as("lo"),
+        expr("percentile(n_chars, 0.95)").as("hi"))
+      d.join(broadcast(bounds), "lang")
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing (LLM training-data prep): greedy concatenation of
     // documents into ≤ 256-token training sequences per language, in
     // doc_id order. One keyed exchange + a streaming O(1)-state walk per
@@ -456,6 +476,17 @@ object TextQueries {
         |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
         |  ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same interpolation definition both engines (q46 gates it); the
+    // band compare runs on the identical doubles, so the boundary
+    // rows resolve identically.
+    "q98_adaptive_length_filter" ->
+      """WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+        |             quantile_cont(n_chars, 0.95) AS hi
+        |           FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN b USING (lang)
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+        |ORDER BY d.doc_id""".stripMargin,
     // ln on both sides; DuckDB's `/` on integers is already double
     // division. Ranking orders by the ROUNDED score in both engines so
     // the term-asc tiebreak resolves identically.

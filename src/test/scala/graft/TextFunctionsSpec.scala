@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q98 keeps exactly each language's inclusive [p05, p95] length band") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val out = SparkEntry.queries("q98_adaptive_length_filter")(spark, sfDir)
+    val kept = out.groupBy("lang").agg(count(lit(1)).as("k"),
+      min("n_chars").as("mn"), max("n_chars").as("mx"))
+    val bounds = d.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"), count(lit(1)).as("n"))
+    val rows = kept.join(bounds, "lang")
+      .as[(String, Long, Long, Long, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, k, mn, mx, lo, hi, n) =>
+      assert(mn >= lo && mx <= hi, s"$lang kept [$mn,$mx] outside band [$lo,$hi]")
+      // an adaptive p05-p95 band must actually trim tails but keep ~90%
+      assert(k < n && k >= (0.85 * n).toLong, s"$lang kept $k of $n")
+    }
+  }
+
   test("shingles: distinct 3-gram word shingles; short docs collapse to whole text") {
     val df = Seq(
       ("a b c d"),          // 2 shingles
