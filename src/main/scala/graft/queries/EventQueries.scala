@@ -90,6 +90,12 @@ object EventQueries {
     "q87_stream_static_join" -> ((s, dir) =>
       EventStreams.streamStaticSegmentCounts(s, dir)),
 
+    // Structured Streaming: incremental dedup against a static history
+    // (stateless stream-static ANTI join + in-stream first-occurrence
+    // dedup) — the streaming-ingestion twin of q96's batch operator.
+    "q99_stream_new_pairs" -> ((s, dir) =>
+      EventStreams.streamingNewAgainstHistory(s, dir)),
+
     // Gap-based session_window aggregation (batch form of the same plan
     // the streaming engine runs; the streaming stateful twin is q38).
     "q41_session_window" -> ((s, dir) => {
@@ -255,6 +261,17 @@ object EventQueries {
     "q37_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Batch equivalent of the bounded drain: pairs first seen after the
+    // cutoff, never seen before it.
+    "q99_stream_new_pairs" ->
+      """WITH hist AS (SELECT DISTINCT user_id, event_type FROM events
+        |              WHERE ts < TIMESTAMP '2024-01-03'),
+        | fresh AS (SELECT DISTINCT user_id, event_type FROM events
+        |           WHERE ts >= TIMESTAMP '2024-01-03'),
+        | nw AS (SELECT f.user_id, f.event_type FROM fresh f
+        |        ANTI JOIN hist h USING (user_id, event_type))
+        |SELECT event_type, COUNT(*) AS n_new_pairs
+        |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin,
     // q38: the bounded drain is a single batch (one source file), so the
     // changelog holds exactly one row per key with exact in-order session
     // counts — the full q34 sessionization contract, max_session_events

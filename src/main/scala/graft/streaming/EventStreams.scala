@@ -102,6 +102,35 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Streaming incremental dedup against a static history — the
+    * streaming-ingestion twin of `Dedup.newAgainstHistory`: events after
+    * the cutoff anti-join a STATIC frame of already-seen
+    * (user_id, event_type) pairs, then an in-stream dropDuplicates keeps
+    * the first occurrence of each surviving pair. The stream-static
+    * LEFT ANTI join is STATELESS — the static side re-plans per
+    * micro-batch (broadcast hash), so no join state accumulates; the
+    * only state is one dedup entry per emitted pair (the q37 trade-off:
+    * pair identity is global, so the state is keyed-bounded, not
+    * time-bounded — a TTL'd deployment adds a watermark). On the
+    * bounded drain the result equals the batch anti-join, which the
+    * q99 oracle checks.
+    */
+  def streamingNewAgainstHistory(spark: SparkSession, sfDir: String,
+                                 cutoff: String = "2024-01-03"): DataFrame = {
+    val history = Tables.load(spark, sfDir, "events")
+      .filter(col("ts") < to_timestamp(lit(cutoff)))
+      .select("user_id", "event_type").distinct()
+    val fresh = readEventsStream(spark, sfDir)
+      .filter(col("ts") >= to_timestamp(lit(cutoff)))
+      .select("user_id", "event_type")
+      .join(history, Seq("user_id", "event_type"), "left_anti")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_new_pairs"))
+    runToMemory(fresh, OutputMode.Complete())
+      .orderBy("event_type")
+  }
+
   /** Stream-static enrichment join: the event stream joins a STATIC dim
     * (customer → market segment) before the windowed aggregation. A
     * stream-static join is stateless — the static side is re-planned
