@@ -110,6 +110,45 @@ class RandomCorpusSpec extends SparkSpec {
     }
   }
 
+  test("q96/q98 match Scala reference models on a random corpus (null text/lang edges)") {
+    // The fixed testdata has no NULL lang and no duplicate texts at
+    // sf0.01 — precisely where the anti-join and the band join could
+    // diverge from SQL semantics unnoticed.
+    val base = corpus(80)
+    val rows = base :+ ((base.size + 100L, "orphan words here",
+      null.asInstanceOf[String]))
+    val dir = writeCorpus(rows)
+
+    // --- q96 reference: NOT EXISTS on the text; NULL text never matches ---
+    val histTexts = rows.filter(r => r._1 % 3 != 0 && r._2 != null).map(_._2).toSet
+    val expNew = rows.filter(_._1 % 2 == 0)
+      .filter(r => r._2 == null || !histTexts.contains(r._2))
+      .map(_._1).sorted
+    val gotNew = SparkEntry.queries("q96_incremental_new")(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(gotNew === expNew, "q96")
+
+    // --- q98 reference: per-lang inclusive [p05, p95] interpolated band;
+    // NULL-lang rows vanish (the bounds join never matches them) ---
+    def quant(vs: Seq[Long], p: Double): Double = {
+      val s = vs.sorted
+      val pos = p * (s.size - 1)
+      val lo = s(pos.floor.toInt).toDouble
+      val hi = s(pos.ceil.toInt).toDouble
+      lo + (hi - lo) * (pos - pos.floor)
+    }
+    def nchars(t: String): Long = if (t == null) 0L else t.length.toLong
+    val expKept = rows.filter(_._3 != null).groupBy(_._3).toSeq
+      .flatMap { case (_, rs) =>
+        val lens = rs.map(r => nchars(r._2))
+        val (lo, hi) = (quant(lens, 0.05), quant(lens, 0.95))
+        rs.filter(r => nchars(r._2) >= lo && nchars(r._2) <= hi).map(_._1)
+      }.sorted
+    val gotKept = SparkEntry.queries("q98_adaptive_length_filter")(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(gotKept === expKept, "q98")
+  }
+
   test("q73 chunking reconstructs random corpora; null/empty rows behave") {
     val rows = corpus(40)
     val dir = writeCorpus(rows)
