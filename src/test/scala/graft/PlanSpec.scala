@@ -94,6 +94,18 @@ class PlanSpec extends SparkSpec {
       "no partial top-k aggregation:\n" + p.take(2000))
   }
 
+  test("q97 hard negatives: broadcast query set, label filter below the partial heaps") {
+    val p = planOf("q97_hard_negatives")
+    assert(p.toLowerCase.contains("partial_topkaggregator"),
+      "no partial top-k aggregation:\n" + p.take(2000))
+    // query side broadcasts (BuildLeft BNLJ) — the corpus is never shuffled
+    // for scoring, and the label-inequality filter sits below the agg.
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BuildLeft"),
+      p.take(2000))
+    assert(p.contains("NOT (__ql") || p.contains("__ql") && p.contains("__cl"),
+      "label-inequality filter missing from the scoring stage:\n" + p.take(2000))
+  }
+
   test("q72 tf is computed once (checkpoint reuse) and the rank limit is pushed") {
     val p = planOf("q72_tfidf_topterms")
     // both consumers of tf read the materialized checkpoint, not a
