@@ -55,4 +55,48 @@ object Packing {
       }
       .toDF(groupCol, idCol, tokenCol, "seq_no")
   }
+
+  /** Token-budget cap per group: keep rows, in ascending `orderCol`
+    * order, while the group's running token total stays ≤ `budget` —
+    * the mixture-design pass that caps each language/source's
+    * contribution to a training corpus. Emits the input columns plus
+    * `cum_tokens` (the running total INCLUDING the row).
+    *
+    * This is a distributed PREFIX SUM, not a window: a plain
+    * `sum().over(partitionBy(group).orderBy(id))` funnels each group
+    * through ONE task — with 5 languages over 100 TB that is 5 sorting
+    * reducers and a dead cluster. Instead the classic two-phase scan:
+    * (1) rows bucket into `binSize`-wide orderCol bins and each
+    * (group, bin)'s token total aggregates map-side into a TINY table
+    * (groups × bins rows); (2) the exclusive bin-prefix runs as a window
+    * over that tiny table only, and broadcasts back; (3) each row's
+    * running total is its bin offset + a cumsum LOCAL to its
+    * (group, bin) partition. Parallelism is groups × bins, the
+    * full-detail exchange happens once, and no task ever sorts more
+    * than a bin. Contract: `orderCol` must be non-null (a NULL order
+    * key has no position in a prefix sum; such rows are dropped by the
+    * bin join and the caller should filter them explicitly).
+    */
+  def tokenBudgetCap(docs: DataFrame, groupCol: String, orderCol: String,
+                     tokenCol: String, budget: Long,
+                     binSize: Long = 1L << 20): DataFrame = {
+    require(budget >= 1, s"tokenBudgetCap: budget must be >= 1, got $budget")
+    require(binSize >= 1, s"tokenBudgetCap: binSize must be >= 1, got $binSize")
+    import org.apache.spark.sql.expressions.Window
+    val binned = docs.withColumn("__bin",
+      floor(col(orderCol).cast("long") / binSize))
+    val binTotals = binned.groupBy(groupCol, "__bin")
+      .agg(sum(tokenCol).as("__bin_sum"))
+    val wBins = Window.partitionBy(groupCol).orderBy("__bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = binTotals
+      .withColumn("__offset", coalesce(sum("__bin_sum").over(wBins), lit(0L)))
+      .drop("__bin_sum")
+    val wLocal = Window.partitionBy(groupCol, "__bin").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.join(broadcast(offsets), Seq(groupCol, "__bin"))
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(wLocal) + col("__offset"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__bin", "__offset")
+  }
 }

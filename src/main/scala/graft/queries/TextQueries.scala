@@ -130,6 +130,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-budget cap per language (mixture design): keep documents in
+    // doc_id order while each language's running token total stays
+    // ≤ 2000. Implemented as a DISTRIBUTED PREFIX SUM (binned partial
+    // sums → tiny bin-prefix table broadcast back → local cumsum), not a
+    // per-language window — a plain window funnels each language through
+    // ONE task at 100 TB. binSize=100 forces the multi-bin path on the
+    // fixture; PackingSpec pins bin-size invariance and ≡ to the
+    // single-window formulation.
+    "q100_token_budget_cap" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("bigint"))
+      graft.operators.Packing.tokenBudgetCap(d, "lang", "doc_id", "n_tokens",
+          budget = 2000, binSize = 100)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing (LLM training-data prep): greedy concatenation of
     // documents into ≤ 256-token training sequences per language, in
     // doc_id order. One keyed exchange + a streaming O(1)-state walk per
@@ -476,6 +493,17 @@ object TextQueries {
         |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
         |  ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The oracle states the SEMANTICS as the plain window cumsum; the
+    // operator's binned two-phase prefix sum must be indistinguishable.
+    "q100_token_budget_cap" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | c AS (SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
     // Same interpolation definition both engines (q46 gates it); the
     // band compare runs on the identical doubles, so the boundary
     // rows resolve identically.

@@ -52,4 +52,40 @@ class PackingSpec extends SparkSpec {
     // every doc appears exactly once
     assert(packed.count() === d.count())
   }
+
+  test("tokenBudgetCap: boundary semantics and bin-size invariance") {
+    val d = Seq(
+      ("g", 1L, 900L), ("g", 2L, 1100L), // cum 2000 == budget: kept
+      ("g", 3L, 1L),                     // cum 2001: dropped, forever
+      ("g", 4L, 5L),                     // still over: dropped
+      ("h", 5L, 2000L), ("h", 6L, 1L)    // exact-budget first row; next drops
+    ).toDF("grp", "id", "n")
+    val exp = Set(("g", 1L, 900L, 900L), ("g", 2L, 1100L, 2000L),
+      ("h", 5L, 2000L, 2000L))
+    // binSize 2 splits groups across bins (exercising the offset path);
+    // a huge binSize degenerates to one bin per group — results identical.
+    Seq(2L, 1L << 20).foreach { bs =>
+      val got = Packing.tokenBudgetCap(d, "grp", "id", "n",
+          budget = 2000, binSize = bs)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === exp, s"binSize $bs")
+    }
+  }
+
+  test("tokenBudgetCap equals the single-window formulation on real documents") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = d.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= 2000)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val got = Packing.tokenBudgetCap(d, "lang", "doc_id", "n_tokens",
+        budget = 2000, binSize = 37)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === ref && got.nonEmpty)
+  }
 }

@@ -106,6 +106,18 @@ class PlanSpec extends SparkSpec {
       "label-inequality filter missing from the scoring stage:\n" + p.take(2000))
   }
 
+  test("q100 prefix sum never windows a whole language: detail window is per (lang, bin)") {
+    val p = planOf("q100_token_budget_cap")
+    // The detail-side running sum must partition by (lang, __bin) — a
+    // windowspec over lang alone is the one-task-per-language plan this
+    // operator exists to avoid. The bin-offset table joins back broadcast.
+    val windows = p.split("windowspecdefinition").toSeq.drop(1)
+    assert(windows.exists(w => w.contains("__bin") && w.contains("doc_id")),
+      "detail cumsum must be (lang, __bin)-partitioned:\n" + p.take(3000))
+    assert(p.contains("BroadcastExchange"),
+      "bin offsets must broadcast back:\n" + p.take(3000))
+  }
+
   test("q72 tf is computed once (checkpoint reuse) and the rank limit is pushed") {
     val p = planOf("q72_tfidf_topterms")
     // both consumers of tf read the materialized checkpoint, not a
