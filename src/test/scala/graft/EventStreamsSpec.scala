@@ -311,6 +311,52 @@ class EventStreamsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("q99 stream-static anti-join recovers its dedup state from the checkpoint") {
+    // The state that must survive the kill is dropDuplicates' seen-pair
+    // set: a pair first emitted in run 1 that reappears in run 2's files
+    // would double-count without the recovered state (Complete-mode
+    // counts re-emit from aggregate state, so the equality with the
+    // batch anti-join proves both recoveries at once).
+    val (base, h1, h2) = splitEventsDir()
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt99"
+    val schema = h1.schema
+    val cutoff = "2024-01-03"
+    val history = Tables.load(spark, sfDir, "events")
+      .filter(col("ts") < to_timestamp(lit(cutoff)))
+      .select("user_id", "event_type").distinct()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def start(runName: String) = spark.readStream.schema(schema).parquet(inDir)
+        .filter(col("ts") >= to_timestamp(lit(cutoff)))
+        .select("user_id", "event_type")
+        .join(history, Seq("user_id", "event_type"), "left_anti")
+        .dropDuplicates("user_id", "event_type")
+        .groupBy("event_type").agg(count(lit(1)).as("n_new_pairs"))
+        .writeStream.outputMode(OutputMode.Complete()).format("memory")
+        .queryName(runName).option("checkpointLocation", ckpt).start()
+      val q1 = start("ckpt_q99_run1")
+      try q1.processAllAvailable() finally q1.stop()
+      h2.write.mode("append").parquet(inDir)
+      val q2 = start("ckpt_q99_run2")
+      val run2Rows = try {
+        q2.processAllAvailable()
+        q2.recentProgress.map(_.numInputRows).sum
+      } finally q2.stop()
+      assert(run2Rows <= h2.count(),
+        s"restart reprocessed old files: read $run2Rows rows, half2 has ${h2.count()}")
+      val ev = Tables.load(spark, sfDir, "events")
+      val want = ev.filter(col("ts") >= to_timestamp(lit(cutoff)))
+        .select("user_id", "event_type").distinct()
+        .join(history, Seq("user_id", "event_type"), "left_anti")
+        .groupBy("event_type").agg(count(lit(1)).as("n_new_pairs"))
+      val got = spark.table("ckpt_q99_run2")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "recovered dedup state + new files must equal the batch anti-join over all events")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("stateful sessionization resumes from the checkpoint and matches the batch oracle") {
     val (base, h1, h2) = splitEventsDir()
     val inDir = s"$base/in"
