@@ -130,6 +130,42 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PMI collocations (tokenizer/vocab analysis): the top-20 bigrams by
+    // pointwise mutual information with a min-count floor — the classic
+    // multi-word-expression miner a tokenizer-design pass runs. Scale
+    // shape: the corpus pays ONE bigram explode into the model-sized
+    // pair-count aggregate (checkpointed once for its four consumers);
+    // margins re-aggregate that model table (Σ over one side — never a
+    // second corpus pass), broadcast back, and PMI is the ADDITIVE log
+    // form ln(nab)+ln(n)-ln(na)-ln(nb) so no count product can overflow
+    // a long at 100 TB (DuckDB would auto-promote to HUGEINT; Spark
+    // would silently wrap — the sum of logs sidesteps the divergence).
+    "q101_pmi_collocations" -> ((s, dir) => {
+      val w = words(col("text"))
+      val bi = docs(s, dir)
+        .select(explode(when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2),
+            i => struct(element_at(w, i + 1).as("w1"),
+              element_at(w, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("nab"))
+        .localCheckpoint(eager = true)
+      val ca = c2.groupBy("w1").agg(sum("nab").as("na"))
+      val cb = c2.groupBy("w2").agg(sum("nab").as("nb"))
+      val n = broadcast(c2.agg(sum("nab").as("n")))
+      c2.filter(col("nab") >= 5)
+        .join(broadcast(ca), Seq("w1"))
+        .join(broadcast(cb), Seq("w2"))
+        .crossJoin(n)
+        .withColumn("pmi", round(
+          log(col("nab")) + log(col("n")) - log(col("na")) - log(col("nb")), 6))
+        .select(col("w1"), col("w2"), col("nab"), col("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Token-budget cap per language (mixture design): keep documents in
     // doc_id order while each language's running token total stays
     // ≤ 2000. Implemented as a DISTRIBUTED PREFIX SUM (binned partial
@@ -493,6 +529,26 @@ object TextQueries {
         |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
         |  ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Margins derive from the pair-count model (Σ_w2 nab = na exactly),
+    // mirroring the Spark side; the additive log form is the identical
+    // expression tree in both engines. LIMIT's order is total
+    // (pmi DESC, w1, w2) so ties cannot flip the cut.
+    "q101_pmi_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | b AS (SELECT unnest(list_transform(range(len(w) - 1),
+        |         i -> {'w1': w[i+1], 'w2': w[i+2]})) AS g
+        |       FROM t WHERE len(w) >= 2),
+        | bi AS (SELECT g.w1 AS w1, g.w2 AS w2 FROM b),
+        | c2 AS (SELECT w1, w2, COUNT(*) AS nab FROM bi GROUP BY 1, 2),
+        | ca AS (SELECT w1, SUM(nab) AS na FROM c2 GROUP BY 1),
+        | cb AS (SELECT w2, SUM(nab) AS nb FROM c2 GROUP BY 1),
+        | n AS (SELECT SUM(nab) AS n FROM c2),
+        | p AS (SELECT w1, w2, nab,
+        |        ROUND(LN(nab) + LN(n.n) - LN(na) - LN(nb), 6) AS pmi
+        |       FROM c2 JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n
+        |       WHERE nab >= 5)
+        |SELECT w1, w2, nab, pmi FROM p
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     // The oracle states the SEMANTICS as the plain window cumsum; the
     // operator's binned two-phase prefix sum must be indistinguishable.
     "q100_token_budget_cap" ->
