@@ -53,6 +53,17 @@ object Tables {
     }
   }
 
+  /** Embeddings persisted as an IVF-bucket-partitioned layout — the
+    * durable ANN index (see `Similarity.writeIvfLayout`). Built once per
+    * sf and reused across JVMs like the other derived layouts.
+    */
+  def embeddingsIvfLayout(spark: SparkSession, sfDir: String,
+                          nlist: Int = 16, nassign: Int = 3): String =
+    derivedLayout(sfDir, "embeddings", s"embeddings_ivf_${nlist}_$nassign") { out =>
+      operators.Similarity.writeIvfLayout(load(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", out, nlist, nassign)
+    }
+
   /** ORC copy of `orders` — the second columnar source format (same
     * pushdown/pruning path as parquet through the ORC reader).
     */

@@ -366,7 +366,18 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", explode(nearestBuckets(col("qv"), nprobe)))
 
-    val joined = broadcast(q).join(c, Seq("bucket"))
+    rankBucketCandidates(broadcast(q).join(c, Seq("bucket")), k, excludeSelf)
+  }
+
+  /** Shared scoring/ranking tail of the two IVF paths (in-flight and
+    * persisted layout): score, dedup multi-assignment collisions, rank
+    * with the deterministic (sim desc, neighbor_id) tie-break. Keeping
+    * it shared is what makes the q102 empty-diff gate a meaningful
+    * statement about the LAYOUT, not about incidental tail drift.
+    */
+  private def rankBucketCandidates(joined: DataFrame, k: Int,
+                                   excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     // A neighbor multi-assigned into several probed buckets collides more
@@ -380,6 +391,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"))
+  }
+
+  /** Persists the corpus partitioned by its `nassign`-nearest IVF
+    * buckets — the durable form of `ivfTopK`'s in-flight index. At
+    * 100 TB the layout IS the ANN index: bucket assignment is paid once
+    * at write time (one map-side kernel pass), and every search after
+    * that reads only its probed partitions. Centroids are deterministic
+    * (seeded sample + seeded k-means), so readers retrain the identical
+    * model instead of shipping it.
+    */
+  def writeIvfLayout(corpus: DataFrame, idCol: String, vecCol: String,
+                     dir: String, nlist: Int, nassign: Int = 3): Unit = {
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters = 10)
+    fanout(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
+      .withColumn("bucket",
+        explode(ArrayOps.argTopKCosine(col("cv"), centroids, nassign)))
+      .withColumn("bucket", col("bucket").cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+  }
+
+  /** IVF search over a `writeIvfLayout` directory: identical semantics
+    * to `ivfTopK` (same seeded centroids, same multi-assignment written
+    * into the layout, same scoring tail), but the corpus side is the
+    * bucket-partitioned layout and the probe arrives at the scan as a
+    * runtime partition prune — the broadcast query buckets become a
+    * dynamicpruning subquery on the partition column (q65's mechanism
+    * pointed at an ANN index), so a search touches nprobe/nlist of the
+    * stored bytes instead of assigning the whole corpus in-flight.
+    */
+  def ivfTopKFromLayout(layoutDir: String, corpusForCentroids: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nlist: Int = 16, nprobe: Int = 4,
+                        excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpusForCentroids.sparkSession
+    val centroids =
+      trainIvfCentroids(corpusForCentroids, idCol, vecCol, nlist, iters = 10)
+    val c = spark.read.parquet(layoutDir)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket",
+        explode(ArrayOps.argTopKCosine(col("qv"), centroids, nprobe)))
+      .withColumn("bucket", col("bucket").cast("int"))
+    rankBucketCandidates(broadcast(q).join(c, Seq("bucket")), k, excludeSelf)
   }
 
   /** Product-quantization codebooks: plain (non-spherical) L2 k-means

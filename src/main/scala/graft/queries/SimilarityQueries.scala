@@ -237,6 +237,28 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVF-INDEX-AS-STORAGE-LAYOUT gate (q66/q81 pattern): the persisted
+    // bucket-partitioned layout (the durable ANN index — a search reads
+    // nprobe/nlist of the stored bytes via runtime partition pruning)
+    // must return EXACTLY the in-flight q33 IVF's results: same seeded
+    // centroids, same multi-assignment frozen into the layout, same
+    // shared ranking tail. The symmetric diff is the query output and
+    // the oracle is the EMPTY relation — any layout drift (lost bucket,
+    // type mangling through the partition column, stale index) becomes
+    // a driver-gate row mismatch.
+    "q102_ivf_layout_gate" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      val inflight = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      val layoutDir = Tables.embeddingsIvfLayout(s, dir, nlist = 16, nassign = 3)
+      val layout = Similarity.ivfTopKFromLayout(layoutDir, e, queries,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      layout.exceptAll(inflight).unionAll(inflight.exceptAll(layout))
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
     // Product-quantization exactness GATE (q66/q67 pattern): every
     // vector is encoded by BOTH the fused `PqEncode` codegen kernel and
     // the interpreted array_min struct formulation; per-subspace code
@@ -408,6 +430,10 @@ object SimilarityQueries {
     "q81_pq_exactness" ->
       """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS subspace,
         |  CAST(NULL AS BIGINT) AS kernel_code, CAST(NULL AS BIGINT) AS ref_code
+        |WHERE FALSE""".stripMargin,
+    "q102_ivf_layout_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rnk,
+        |  CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS sim
         |WHERE FALSE""".stripMargin,
     "q97_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS ql,

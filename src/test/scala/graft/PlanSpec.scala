@@ -106,6 +106,22 @@ class PlanSpec extends SparkSpec {
       "label-inequality filter missing from the scoring stage:\n" + p.take(2000))
   }
 
+  test("q102 layout search prunes to the probed IVF partitions at runtime") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val layoutDir = Tables.embeddingsIvfLayout(spark, sfDir)
+    val df = graft.operators.Similarity.ivfTopKFromLayout(layoutDir, e, queries,
+      "vec_id", "embedding", k = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // The probe must reach the layout scan as a partition filter — the
+    // broadcast query buckets arrive as a dynamicpruning subquery (q65's
+    // mechanism pointed at the ANN index).
+    assert(p.contains("dynamicpruning"),
+      "layout scan is not runtime-pruned:\n" + p.take(3000))
+  }
+
   test("q100 prefix sum never windows a whole language: detail window is per (lang, bin)") {
     val p = planOf("q100_token_budget_cap")
     // The detail-side running sum must partition by (lang, __bin) — a
