@@ -99,7 +99,7 @@ object Similarity {
     * because they are near the same centroid.
     *
     * Parallelism is the blocked-Jaccard shape: per-cluster adaptive
-    * salting (Dedup.blockSalts) spreads each cluster's pair space over
+    * salting (Dedup.saltCensus) spreads each cluster's pair space over
     * ceil(size/maxClusterRows)×saltBuckets reducers, so one hot cluster
     * can't pin the stage, and the skew is logged, not silent.
     */
