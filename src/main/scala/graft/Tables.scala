@@ -59,7 +59,9 @@ object Tables {
     */
   def embeddingsIvfLayout(spark: SparkSession, sfDir: String,
                           nlist: Int = 16, nassign: Int = 3): String =
-    derivedLayout(sfDir, "embeddings", s"embeddings_ivf_${nlist}_$nassign") { out =>
+    // v2: the layout carries its centroids file — the name bump rebuilds
+    // any cached pre-centroids layout from older builds.
+    derivedLayout(sfDir, "embeddings", s"embeddings_ivf2_${nlist}_$nassign") { out =>
       operators.Similarity.writeIvfLayout(load(spark, sfDir, "embeddings"),
         "vec_id", "embedding", out, nlist, nassign)
     }

@@ -397,9 +397,12 @@ object Similarity {
     * buckets — the durable form of `ivfTopK`'s in-flight index. At
     * 100 TB the layout IS the ANN index: bucket assignment is paid once
     * at write time (one map-side kernel pass), and every search after
-    * that reads only its probed partitions. Centroids are deterministic
-    * (seeded sample + seeded k-means), so readers retrain the identical
-    * model instead of shipping it.
+    * that reads only its probed partitions. The trained centroids are
+    * stored WITH the index (`_graft_ivf_centroids.json`, underscore
+    * prefix → invisible to the parquet reader) so a search needs
+    * neither the original corpus nor a retrain at query time —
+    * `Double.toString`/`parseDouble` round-trips doubles exactly, so
+    * the persisted model is bit-identical to the trained one.
     */
   def writeIvfLayout(corpus: DataFrame, idCol: String, vecCol: String,
                      dir: String, nlist: Int, nassign: Int = 3): Unit = {
@@ -409,24 +412,37 @@ object Similarity {
         explode(ArrayOps.argTopKCosine(col("cv"), centroids, nassign)))
       .withColumn("bucket", col("bucket").cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_ivf_centroids.json"), json)
+  }
+
+  private[graft] def readIvfCentroids(layoutDir: String): Array[Array[Double]] = {
+    val path = java.nio.file.Paths.get(layoutDir, "_graft_ivf_centroids.json")
+    require(java.nio.file.Files.exists(path),
+      s"ivfTopKFromLayout: $layoutDir has no _graft_ivf_centroids.json - " +
+        "not a writeIvfLayout directory (or written by an older build); rebuild it.")
+    java.nio.file.Files.readString(path).trim
+      .stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(java.lang.Double.parseDouble))
   }
 
   /** IVF search over a `writeIvfLayout` directory: identical semantics
-    * to `ivfTopK` (same seeded centroids, same multi-assignment written
-    * into the layout, same scoring tail), but the corpus side is the
+    * to `ivfTopK` (the centroids stored with the layout are the exact
+    * trained model, the multi-assignment is frozen in the partitioning,
+    * and the scoring tail is shared), but the corpus side is the
     * bucket-partitioned layout and the probe arrives at the scan as a
     * runtime partition prune — the broadcast query buckets become a
     * dynamicpruning subquery on the partition column (q65's mechanism
     * pointed at an ANN index), so a search touches nprobe/nlist of the
-    * stored bytes instead of assigning the whole corpus in-flight.
+    * stored bytes, with no corpus access and no retrain at query time.
     */
-  def ivfTopKFromLayout(layoutDir: String, corpusForCentroids: DataFrame,
-                        queries: DataFrame, idCol: String, vecCol: String,
-                        k: Int, nlist: Int = 16, nprobe: Int = 4,
+  def ivfTopKFromLayout(layoutDir: String, queries: DataFrame,
+                        idCol: String, vecCol: String,
+                        k: Int, nprobe: Int = 4,
                         excludeSelf: Boolean = true): DataFrame = {
-    val spark = corpusForCentroids.sparkSession
-    val centroids =
-      trainIvfCentroids(corpusForCentroids, idCol, vecCol, nlist, iters = 10)
+    val spark = queries.sparkSession
+    val centroids = readIvfCentroids(layoutDir)
     val c = spark.read.parquet(layoutDir)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket",

@@ -252,8 +252,8 @@ object SimilarityQueries {
       val inflight = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4)
       val layoutDir = Tables.embeddingsIvfLayout(s, dir, nlist = 16, nassign = 3)
-      val layout = Similarity.ivfTopKFromLayout(layoutDir, e, queries,
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      val layout = Similarity.ivfTopKFromLayout(layoutDir, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
       layout.exceptAll(inflight).unionAll(inflight.exceptAll(layout))
         .withColumnRenamed("rank", "rnk")
         .orderBy("query_id", "rnk")

@@ -111,7 +111,7 @@ class PlanSpec extends SparkSpec {
     val e = Tables.load(spark, sfDir, "embeddings")
     val queries = e.filter(col("vec_id") < 10)
     val layoutDir = Tables.embeddingsIvfLayout(spark, sfDir)
-    val df = graft.operators.Similarity.ivfTopKFromLayout(layoutDir, e, queries,
+    val df = graft.operators.Similarity.ivfTopKFromLayout(layoutDir, queries,
       "vec_id", "embedding", k = 5)
     df.collect()
     val p = df.queryExecution.executedPlan.toString

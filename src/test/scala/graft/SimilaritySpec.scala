@@ -77,6 +77,18 @@ class SimilaritySpec extends SparkSpec {
       s"expected the 25 planted identity pairs, got ${exact.size}")
   }
 
+  test("IVF layout centroids round-trip bit-exactly through the persisted model") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    Similarity.writeIvfLayout(e, "vec_id", "embedding", dir, nlist = 8)
+    val trained = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 8, iters = 10)
+    val read = Similarity.readIvfCentroids(dir)
+    assert(read.length === trained.length)
+    // Double.toString/parseDouble round-trips exactly — the stored model
+    // IS the trained model, bit for bit (the q102 gate depends on it).
+    read.zip(trained).foreach { case (r, t) => assert(r.toSeq === t.toSeq) }
+  }
+
   test("hardNegatives excludes same-label vectors even when they are nearest") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f), "a"),   // the query itself
