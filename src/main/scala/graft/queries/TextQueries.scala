@@ -551,13 +551,16 @@ object TextQueries {
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     // The oracle states the SEMANTICS as the plain window cumsum; the
     // operator's binned two-phase prefix sum must be indistinguishable.
+    // CAST the window SUM back to BIGINT: DuckDB widens SUM(BIGINT) to
+    // HUGEINT, which reaches the checker as float64 and hash-diverges
+    // from Spark's int64 even when every value is equal (q69 likewise).
     "q100_token_budget_cap" ->
       """WITH t AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
         | c AS (SELECT doc_id, lang, n_tokens,
-        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t)
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
     // Same interpolation definition both engines (q46 gates it); the
