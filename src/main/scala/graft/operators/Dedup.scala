@@ -140,6 +140,49 @@ object Dedup {
     (local, rows)
   }
 
+  /** Salt census for HIGH-cardinality keys (LSH band keys: ≈ n·bands
+    * distinct values at scale), where `saltCensus`'s full collect would
+    * be O(data) on the driver. Only keys with more than `maxKeyRows`
+    * rows are collected — a degenerate regime (many near-identical or
+    * zero-norm vectors) by construction collapses MANY rows into FEW
+    * keys, so the hot subset is small; healthy keys never reach the
+    * driver at all. The collect itself is bounded by `limit` (not just
+    * validated after the fact), and blowing either bound throws loudly
+    * instead of OOMing the driver or silently under-salting.
+    *
+    * Returns (broadcastable hot-key census with `__salt_n`, collected
+    * rows). Callers LEFT-join and coalesce the salt count to 1 so cold
+    * keys pay nothing.
+    */
+  private[graft] def hotKeySaltCensus(df: DataFrame, keyCol: String,
+                                      saltBuckets: Int, maxKeyRows: Int,
+                                      maxHotKeys: Int = 1 << 20,
+                                      maxSaltsPerKey: Long = 1L << 20)
+      : (DataFrame, Array[org.apache.spark.sql.Row]) = {
+    val census = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxKeyRows)
+      .withColumn("__salt_n",
+        (ceil(col("__cnt") / lit(maxKeyRows.toDouble)) * saltBuckets).cast("long"))
+      .drop("__cnt")
+    val rows = census.limit(maxHotKeys + 1).collect()
+    require(rows.length <= maxHotKeys,
+      s"hotKeySaltCensus: more than $maxHotKeys keys exceed $maxKeyRows rows - " +
+        "the key distribution is pathologically flat-and-heavy; re-key the " +
+        "data or raise maxHotKeys deliberately.")
+    val bad = rows.filter(_.getLong(1) > maxSaltsPerKey)
+    require(bad.isEmpty, {
+      val desc = bad.take(5)
+        .map(r => s"$keyCol=${r.get(0)} -> ${r.getLong(1)} salts").mkString("; ")
+      s"hotKeySaltCensus: key(s) exceed $maxSaltsPerKey salt slices ($desc). " +
+        "The per-key pair space is quadratic - re-key on a finer value " +
+        "or raise maxSaltsPerKey deliberately."
+    })
+    val local = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), census.schema)
+    (local, rows)
+  }
+
   /** Exact blocked n-gram Jaccard: all pairs within the same blocking
     * key (e.g. language) — the exact-answer counterpart to LSH.
     *

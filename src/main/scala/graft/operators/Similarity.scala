@@ -196,10 +196,25 @@ object Similarity {
     * DuckDB gate), and SimilaritySpec pins the narrow-gap recall floor.
     * In the identical-vector limit recall is exactly 1.0 — equal inputs
     * agree on every sign bit, so they collide in every band.
+    *
+    * Skew guard: the band self-join is SALTED on hot keys. A degenerate
+    * band (many near-identical or zero-norm vectors hashing to one band
+    * key) is a quadratic hot key that would pin one reducer at scale —
+    * `Dedup.hotKeySaltCensus` collects only the bands larger than
+    * `maxBandRows` (band keys are high-cardinality, so a FULL census
+    * collect would be O(data) on the driver; the degenerate regime by
+    * construction collapses many rows into few keys, so the hot subset
+    * stays driver-sized), and those bands fan their pair space over
+    * ceil(size/maxBandRows)×saltBuckets reducers with the
+    * `blockedJaccardPairs` a-salted/b-replicated scheme: each pair
+    * still meets exactly once, so the candidate set — and therefore
+    * the output — is salting-invariant (pinned in SimilaritySpec).
+    * Cold bands coalesce to one salt slice and pay nothing.
     */
   def rhpCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bands: Int = 24, rowsPerBand: Int = 4,
-                     seed: Long = 7L): DataFrame = {
+                     seed: Long = 7L, saltBuckets: Int = 8,
+                     maxBandRows: Int = 4096): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bands * rowsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
@@ -215,9 +230,27 @@ object Similarity {
     }
     val keys = base.select(col("id"),
       explode(array((0 until bands).map(bandKey): _*)).as("key"))
-    val cand = keys.as("a")
-      .join(keys.as("b"), col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // The census pays one extra map-side sketch pass over the corpus (no
+    // shuffle beyond the narrow per-key partial count) — at 100 TB that
+    // is the price of KNOWING the skew before committing the pair stage
+    // to it, and the hot keys land in the logs, not in a straggler.
+    val (hotSalts, hotRows) =
+      Dedup.hotKeySaltCensus(keys, "key", saltBuckets, maxBandRows)
+    if (hotRows.nonEmpty) {
+      val desc = hotRows.take(20)
+        .map(r => s"key=${r.get(0)} salt=${r.getLong(1)}").mkString("; ")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"rhpCosinePairs: hot bands re-salted (cap=$maxBandRows): $desc")
+    }
+    val keyed = keys.join(broadcast(hotSalts), Seq("key"), "left")
+      .withColumn("__salt_n", coalesce(col("__salt_n"), lit(1L)))
+    val a = keyed.select(col("key"), col("id").as("id_a"),
+      pmod(xxhash64(col("id")), col("__salt_n")).as("salt"))
+    val b = keyed.select(col("key"), col("id").as("id_b"),
+      explode(sequence(lit(0L), col("__salt_n") - 1)).as("salt"))
+    val cand = a.join(b, Seq("key", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
@@ -413,16 +446,32 @@ object Similarity {
       .withColumn("bucket", col("bucket").cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
     val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "_graft_ivf_centroids.json"), json)
+    // The model file lives WHERE THE INDEX LIVES: resolved through the
+    // Hadoop FS API like the parquet beside it, so any URI the layout
+    // accepts (HDFS, S3, local) carries its centroids too — java.nio
+    // would have written to the driver's local disk on a real cluster.
+    val path = centroidsPath(dir)
+    val fs = path.getFileSystem(
+      corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  private[graft] def readIvfCentroids(layoutDir: String): Array[Array[Double]] = {
-    val path = java.nio.file.Paths.get(layoutDir, "_graft_ivf_centroids.json")
-    require(java.nio.file.Files.exists(path),
+  private def centroidsPath(layoutDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(layoutDir, "_graft_ivf_centroids.json")
+
+  private[graft] def readIvfCentroids(layoutDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[Array[Double]] = {
+    val path = centroidsPath(layoutDir)
+    val fs = path.getFileSystem(conf)
+    require(fs.exists(path),
       s"ivfTopKFromLayout: $layoutDir has no _graft_ivf_centroids.json - " +
         "not a writeIvfLayout directory (or written by an older build); rebuild it.")
-    java.nio.file.Files.readString(path).trim
+    val in = fs.open(path)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    json.trim
       .stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .map(_.split(",").map(java.lang.Double.parseDouble))
   }
@@ -442,7 +491,8 @@ object Similarity {
                         k: Int, nprobe: Int = 4,
                         excludeSelf: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
-    val centroids = readIvfCentroids(layoutDir)
+    val centroids =
+      readIvfCentroids(layoutDir, spark.sparkContext.hadoopConfiguration)
     val c = spark.read.parquet(layoutDir)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket",

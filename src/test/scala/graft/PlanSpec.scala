@@ -88,6 +88,20 @@ class PlanSpec extends SparkSpec {
       "candidate distinct carries shingle sets:\n" + dedupLines.mkString("\n"))
   }
 
+  test("q49 band self-join is keyed on (key, salt) — hot bands can spread") {
+    val p = planOf("q49_rhp_pairs")
+    // The candidate join must carry the salt in its equi-keys: without
+    // it a degenerate band is a quadratic hot key on one reducer. The
+    // join TYPE is scale-dependent (BHJ at spec scale, SMJ/SHJ at
+    // 100 TB) — the pinned property is the KEY LIST [key#.., salt#..],
+    // which every keyed join operator prints the same way.
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join [key#")).toSeq
+    assert(joinLines.nonEmpty, "no keyed band join found:\n" + p.take(3000))
+    assert(joinLines.exists(_.contains("salt#")),
+      "band join keys lack the salt:\n" + joinLines.mkString("\n"))
+  }
+
   test("q50 top-k aggregator merges partial heaps map-side") {
     val p = planOf("q50_topk_aggregator").toLowerCase
     assert(p.contains("partial_topkaggregator"),

@@ -58,6 +58,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"RHP recall $recall < 0.9 (|exact|=${exact.size})")
   }
 
+  test("rhpCosinePairs: salting-invariant under a forced hot-band re-salt") {
+    // Default params on sf0.001 leave every band under the 4096-row cap
+    // (census collects nothing); maxBandRows=2 forces the proportional
+    // re-salt path on essentially every band key. The candidate set must
+    // be identical either way — each (a,b) pair meets exactly once under
+    // the a-salted/b-replicated scheme — so the output cannot move.
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cold = Similarity.rhpCosinePairs(e, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val hot = Similarity.rhpCosinePairs(e, "vec_id", "embedding", 0.4,
+        saltBuckets = 4, maxBandRows = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cold.nonEmpty)
+    assert(cold === hot)
+  }
+
   test("RHP-LSH is exact in the planted-duplicate regime (q49 contract)") {
     // Identical vectors agree on every sign bit ⇒ they collide in every
     // band ⇒ recall is exactly 1.0; exact-cosine verification kills all
@@ -82,7 +98,8 @@ class SimilaritySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
     Similarity.writeIvfLayout(e, "vec_id", "embedding", dir, nlist = 8)
     val trained = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 8, iters = 10)
-    val read = Similarity.readIvfCentroids(dir)
+    val read = Similarity.readIvfCentroids(dir,
+      spark.sparkContext.hadoopConfiguration)
     assert(read.length === trained.length)
     // Double.toString/parseDouble round-trips exactly — the stored model
     // IS the trained model, bit for bit (the q102 gate depends on it).
