@@ -94,8 +94,19 @@ object Bench {
       .mkString("[", ",", "]")
     val total = byQuery.map(_._2).sum
     val runTotals = passes.map(p => f"${p.map(_._2._1).sum}%.3f").mkString("[", ",", "]")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"runs":$runs,"run_totals":$runTotals,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"runs":$runs,"run_totals":$runTotals,"sf":"$sfDir"}"""
+    println(line)
+    // Self-archive: the driver captures a tail of stdout, which truncates
+    // the battery prefix once the query map outgrows it — the full
+    // per-query record must survive on disk regardless.
+    try {
+      val archive = java.nio.file.Paths.get("target", "bench_latest.json")
+      java.nio.file.Files.createDirectories(archive.getParent)
+      java.nio.file.Files.writeString(archive, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] archive write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (byQuery.exists(!_._3)) sys.exit(1)
   }

@@ -73,30 +73,83 @@ object Packing {
     * running total is its bin offset + a cumsum LOCAL to its
     * (group, bin) partition. Parallelism is groups × bins, the
     * full-detail exchange happens once, and no task ever sorts more
-    * than a bin. Contract: `orderCol` must be non-null (a NULL order
-    * key has no position in a prefix sum; such rows are dropped by the
-    * bin join and the caller should filter them explicitly).
+    * than a bin.
+    *
+    * Contracts and guards:
+    *  - `orderCol` must be non-null (a NULL order key has no position in
+    *    a prefix sum; such rows are dropped by the bin join and the
+    *    caller should filter them explicitly).
+    *  - A NULL GROUP is kept as its own partition with its own budget —
+    *    the single-window formulation this operator must be
+    *    indistinguishable from (`PARTITION BY group`) treats NULLs as
+    *    one partition, so the bin join is null-safe on the group key.
+    *  - Bins are EXACT integer arithmetic: `o - pmod(o, binSize)` (the
+    *    floor-aligned bin start — monotonic, distinct per bin, and no
+    *    division at all), not double division, which loses whole bins
+    *    past 2^53 where a long-to-double cast collapses 256-wide ulps.
+    *    The only domain edge is `orderCol` ≤ Long.MinValue + binSize,
+    *    where the alignment itself would wrap — documented, not checked
+    *    (checking would cost a scan).
+    *  - The bin stats collect is BOUNDED (`maxBins`, loud) — the offset
+    *    table broadcasts anyway, so it must be driver-sized by
+    *    construction; the bound makes a binSize misconfiguration throw
+    *    instead of OOMing the driver.
+    *  - A (group, bin) cell bigger than `maxBinRows` (duplicate-heavy
+    *    orderCol — bins bound distinct VALUES, not rows) serializes
+    *    through one local-window task: logged loudly, like the dedup
+    *    salt census, so at 100 TB the skew is in the logs before the
+    *    stage runs, not discovered from a straggler.
     */
   def tokenBudgetCap(docs: DataFrame, groupCol: String, orderCol: String,
                      tokenCol: String, budget: Long,
-                     binSize: Long = 1L << 20): DataFrame = {
+                     binSize: Long = 1L << 20,
+                     maxBinRows: Long = 1L << 22,
+                     maxBins: Int = 1 << 20): DataFrame = {
     require(budget >= 1, s"tokenBudgetCap: budget must be >= 1, got $budget")
     require(binSize >= 1, s"tokenBudgetCap: binSize must be >= 1, got $binSize")
     import org.apache.spark.sql.expressions.Window
-    val binned = docs.withColumn("__bin",
-      floor(col(orderCol).cast("long") / binSize))
-    val binTotals = binned.groupBy(groupCol, "__bin")
-      .agg(sum(tokenCol).as("__bin_sum"))
+    val o = col(orderCol).cast("long")
+    val binned = docs.withColumn("__bin", o - pmod(o, lit(binSize)))
+    // Collect-and-replay (the salt-census pattern): the stats are
+    // broadcast downstream anyway, so collecting them here bounds the
+    // driver cost by construction AND means the detail side is the only
+    // other scan of `docs` — the census is free beyond the one
+    // aggregation pass the offset table always needed.
+    val binStats = binned.groupBy(col(groupCol), col("__bin"))
+      .agg(sum(tokenCol).as("__bin_sum"), count(lit(1)).as("__bin_rows"))
+    val rows = binStats.limit(maxBins + 1).collect()
+    require(rows.length <= maxBins,
+      s"tokenBudgetCap: more than $maxBins (group, bin) cells - the offset " +
+        "table would not be broadcastable. Raise binSize (fewer, larger " +
+        "bins) or raise maxBins deliberately.")
+    val over = oversizedBins(rows, maxBinRows)
+    if (over.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"tokenBudgetCap: (group, bin) cell(s) exceed $maxBinRows rows and will " +
+          s"serialize through one window task each: ${over.take(20).mkString("; ")}. " +
+          "orderCol is duplicate-heavy there - use a finer orderCol if this skews.")
+    val local = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), binStats.schema)
     val wBins = Window.partitionBy(groupCol).orderBy("__bin")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = binTotals
+    val offsets = local
       .withColumn("__offset", coalesce(sum("__bin_sum").over(wBins), lit(0L)))
-      .drop("__bin_sum")
+      .select(col(groupCol).as("__og"), col("__bin").as("__ob"), col("__offset"))
     val wLocal = Window.partitionBy(groupCol, "__bin").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    binned.join(broadcast(offsets), Seq(groupCol, "__bin"))
+    binned.join(broadcast(offsets),
+        col(groupCol) <=> col("__og") && col("__bin") === col("__ob"))
       .withColumn("cum_tokens", sum(col(tokenCol)).over(wLocal) + col("__offset"))
       .filter(col("cum_tokens") <= budget)
-      .drop("__bin", "__offset")
+      .drop("__bin", "__og", "__ob", "__offset")
   }
+
+  /** The skew predicate behind the oversized-cell warn, extracted so the
+    * spec can pin exactly when the bound fires. Row shape is binStats:
+    * (group, __bin, __bin_sum, __bin_rows).
+    */
+  private[graft] def oversizedBins(rows: Array[org.apache.spark.sql.Row],
+                                   maxBinRows: Long): Seq[String] =
+    rows.toSeq.filter(_.getLong(3) > maxBinRows)
+      .map(r => s"group=${r.get(0)} bin=${r.get(1)} rows=${r.getLong(3)}")
 }

@@ -72,6 +72,62 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetCap keeps NULL groups as their own partition (window parity)") {
+    // The single-window formulation (PARTITION BY group) treats NULLs as
+    // one partition with its own budget — the bin join must not silently
+    // drop them (SQL equi-join semantics would), so it is null-safe.
+    val d = Seq(
+      (Option("g"), 1L, 600L), (Option("g"), 2L, 600L),
+      (Option.empty[String], 3L, 700L), (Option.empty[String], 4L, 200L),
+      (Option.empty[String], 5L, 300L) // NULL-group cum 1200 > 1000: dropped
+    ).toDF("grp", "id", "n")
+    val got = Packing.tokenBudgetCap(d, "grp", "id", "n",
+        budget = 1000, binSize = 2)
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (Some("g"), 1L, 600L, 600L),
+      (None, 3L, 700L, 700L), (None, 4L, 200L, 900L)))
+  }
+
+  test("tokenBudgetCap bins exactly past 2^53 (no double-division collapse)") {
+    // Longs past 2^53 collapse 256-wide under a long→double cast: the
+    // old floor(o / binSize) binning degraded there. Integer alignment
+    // must keep bins exact — verify against a Scala reference cumsum.
+    val base = 1L << 60
+    val d = (0 until 40).map(i => ("g", base + i, (i % 7 + 1).toLong))
+      .toDF("grp", "id", "n")
+    var cum = 0L
+    val exp = (0 until 40).flatMap { i =>
+      cum += i % 7 + 1
+      if (cum <= 60) Some(("g", base + i, (i % 7 + 1).toLong, cum)) else None
+    }.toSet
+    val got = Packing.tokenBudgetCap(d, "grp", "id", "n",
+        budget = 60, binSize = 4)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === exp)
+  }
+
+  test("tokenBudgetCap skew census: a dominant (group, bin) cell fires the bound") {
+    // Duplicate-heavy orderCol: bins bound distinct VALUES, not rows, so
+    // one hot cell serializes through one window task — the census
+    // predicate behind the warn must flag exactly that cell, and the
+    // result must still be correct (the bound logs, never drops).
+    val d = ((1 to 100).map(i => ("g", 5L, 1L)) :+ (("g", 6L, 1L)) :+ (("h", 5L, 1L)))
+      .toDF("grp", "id", "n")
+    val binStats = d.withColumn("__bin", col("id") - pmod(col("id"), lit(4L)))
+      .groupBy(col("grp"), col("__bin"))
+      .agg(sum("n").as("__bin_sum"), count(lit(1)).as("__bin_rows"))
+    val over = Packing.oversizedBins(binStats.collect(), maxBinRows = 50)
+    assert(over.size === 1 && over.head.contains("group=g")
+      && over.head.contains("rows=101"), over.mkString("; "))
+    // under the bound: nothing flagged
+    assert(Packing.oversizedBins(binStats.collect(), maxBinRows = 200).isEmpty)
+    // and the capped output is unaffected by the skew
+    val got = Packing.tokenBudgetCap(d, "grp", "id", "n",
+      budget = 50, binSize = 4, maxBinRows = 50)
+    assert(got.count() === 51) // 50 of the g-dups + the single h row
+  }
+
   test("tokenBudgetCap equals the single-window formulation on real documents") {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.load(spark, sfDir, "documents")
