@@ -145,18 +145,32 @@ object EventQueries {
         .orderBy("doc_id", "frame_no")
     }),
 
-    // Sketch-based distinct counting: HLL sketches built per event_type
-    // AND per (event_type, month) then merged — demonstrating the
-    // mergeability that makes sketches the 100 TB path (pre-aggregate
-    // per partition/day, union later; exact countDistinct re-shuffles
-    // raw keys every time). Approximate ⇒ no SQL oracle; the ±5% error
-    // contract vs exact is pinned in SketchSpec.
+    // Sketch-based distinct counting, ERROR-GATED (q77 referee pattern):
+    // HLL sketches built per (event_type, month) then merged —
+    // demonstrating the mergeability that makes sketches the 100 TB path
+    // (pre-aggregate per partition/day, union later; exact countDistinct
+    // re-shuffles raw keys every time). The exact distinct plays referee
+    // IN the query: any event_type whose merged-sketch estimate misses
+    // the exact count by more than 5% relative error is emitted, and the
+    // oracle is the EMPTY relation — a sketch-accuracy regression
+    // becomes a driver-gate row mismatch (the HLL is hash-deterministic
+    // given the data, so the gate is stable). SketchSpec keeps the same
+    // contract pinned unit-side.
     "q47_hll_distinct" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
       val monthly = ev.groupBy(col("event_type"), month(col("ts")).as("m"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      monthly.groupBy(col("event_type"))
+      val approx = monthly.groupBy(col("event_type"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      approx.join(exact, Seq("event_type"))
+        .withColumn("rel_err", round(
+          abs(col("approx_users") - col("exact_users"))
+            / col("exact_users"), 6))
+        .filter(col("rel_err") > 0.05)
+        .select(col("event_type"), col("exact_users"),
+          col("approx_users"), col("rel_err"))
         .orderBy("event_type")
     }),
 
@@ -236,6 +250,12 @@ object EventQueries {
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q47_hll_distinct" ->
+      """SELECT CAST(NULL AS VARCHAR) AS event_type,
+        |  CAST(NULL AS BIGINT) AS exact_users,
+        |  CAST(NULL AS BIGINT) AS approx_users,
+        |  CAST(NULL AS DOUBLE) AS rel_err
+        |WHERE FALSE""".stripMargin,
     // RANGE INTERVAL PRECEDING is inclusive at the boundary in both
     // engines (Spark rangeBetween(-24h_µs, 0) ≡ ts >= cur - 24h).
     "q80_rolling_24h" ->

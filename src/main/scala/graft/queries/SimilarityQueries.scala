@@ -73,14 +73,29 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // IVF-bucketed approximate top-k (the 100 TB scale path) — recall vs
-    // brute force is pinned in SimilaritySpec; no SQL oracle (approximate).
+    // IVF-bucketed approximate top-k, RECALL-GATED (q77 referee
+    // pattern): the exact brute-force top-k plays referee IN the query —
+    // per-query recall of the IVF path aggregates to a mean, and a row
+    // is emitted only when that mean drops below the 0.8 floor. The
+    // oracle is the EMPTY relation, so an ANN recall regression becomes
+    // a driver-gate row mismatch instead of a rows-only shrug; the
+    // stricter 0.9 floor on this testdata stays pinned in
+    // SimilaritySpec, and q102 separately gates the persisted layout
+    // ≡ the in-flight index.
     "q33_ivf_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy("query_id", "rnk")
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall"))
+        .agg(round(avg(col("recall")), 6).as("mean_recall"))
+        .filter(col("mean_recall") < 0.8)
+        .select(col("mean_recall"), lit(0.8).as("recall_floor"))
     }),
 
     // Same top-k semantics as q31 but via the bounded TopKAggregator
@@ -225,16 +240,34 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // PQ search end-to-end: code-only candidate scan → exact rerank of
-    // 100 candidates/query (the production PQ pattern — q31's shape
-    // with the corpus side compressed to 8 codes). Approximate ⇒
-    // rows-only; the candidate-recall floor is pinned in SimilaritySpec.
+    // PQ search end-to-end (code-only candidate scan → exact rerank of
+    // 100 candidates/query — the production PQ pattern), RECALL-GATED
+    // like q33: the exact top-k referees in the query, the mean recall
+    // must clear the 0.9 floor, and the oracle is the EMPTY relation —
+    // a candidate-generation regression is a driver-gate row mismatch.
+    // End-to-end recall equals candidate recall because the rerank is
+    // exact; the per-rank shape stays pinned in SimilaritySpec.
     "q82_pq_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.pqRerankTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy("query_id", "rnk")
+      val q = e.filter(col("vec_id") < 10)
+      // The gate pins the recall contract at a constant candidate
+      // FRACTION (1/5 of the corpus, floored at the production default
+      // of 100): a fixed count over a growing corpus measures pool
+      // dilution, not code quality — at sf0.1 the same 100 candidates
+      // are 5% of the corpus and recall honestly sags to 0.76. The
+      // corpus count is one column-pruned scan, fixture-side only.
+      val candidates = math.max(100L, (e.count() + 4) / 5).toInt
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.pqRerankTopK(e, q, "vec_id", "embedding", k = 5,
+          candidates = candidates)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall"))
+        .agg(round(avg(col("recall")), 6).as("mean_recall"))
+        .filter(col("mean_recall") < 0.9)
+        .select(col("mean_recall"), lit(0.9).as("recall_floor"))
     }),
 
     // IVF-INDEX-AS-STORAGE-LAYOUT gate (q66/q81 pattern): the persisted
@@ -316,7 +349,14 @@ object SimilarityQueries {
         |       FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(sim, 6) AS sim
         |FROM p WHERE sim >= 0.4 ORDER BY 1,2""".stripMargin,
-    // q33_ivf_ann: intentionally no oracle (approximate).
+    "q33_ivf_ann" ->
+      """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
+        |  CAST(NULL AS DOUBLE) AS recall_floor
+        |WHERE FALSE""".stripMargin,
+    "q82_pq_ann" ->
+      """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
+        |  CAST(NULL AS DOUBLE) AS recall_floor
+        |WHERE FALSE""".stripMargin,
     // q49 on the planted fixture: identical vectors share every band key,
     // so LSH output ≡ exact pairs ≥ 0.9 — a real hash gate, not rows-only.
     "q49_rhp_pairs" ->

@@ -26,14 +26,15 @@ class DocsSpec extends AnyFunSuite {
       s"README baseline section must say 'The other ${nQueries - 1} queries' (all but q44)")
   }
 
-  test("every oracle key names a real query; rows-only set is the documented four") {
+  test("every oracle key names a real query; rows-only set is the documented one") {
     val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stray.isEmpty, s"oracles without a query: $stray")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // The README enumerates exactly these as the no-oracle checks; a new
     // oracle-less query must either get an oracle or be documented there.
-    assert(rowsOnly === Set("q26_simhash_neardup", "q33_ivf_ann",
-      "q47_hll_distinct", "q82_pq_ann"),
+    // (q33/q82/q47 graduated to empty-diff referee gates in round 7;
+    // q26 keeps q66 as its exactness gate.)
+    assert(rowsOnly === Set("q26_simhash_neardup"),
       s"undocumented rows-only queries: $rowsOnly")
   }
 }

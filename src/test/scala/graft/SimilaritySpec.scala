@@ -204,8 +204,9 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val pq = SparkEntry.queries("q82_pq_ann")(spark, sfDir)
-      .select("query_id", "rnk", "neighbor_id").as[(Long, Long, Long)].collect()
+    val pq = Similarity.pqRerankTopK(e, q, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"))
+      .as[(Long, Long, Long)].collect()
     pq.groupBy(_._1).foreach { case (qid, rs) =>
       assert(rs.map(_._2).sorted.toSeq === (1L to 5L), s"query $qid ranks")
     }

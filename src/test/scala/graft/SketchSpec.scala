@@ -12,26 +12,35 @@ class SketchSpec extends SparkSpec {
 
   private lazy val events = Tables.load(spark, sfDir, "events")
 
-  test("HLL estimate within 5% of exact distinct per event_type") {
+  /** The q47 query is now the ERROR GATE (emits >5%-off event_types;
+    * empty when the contract holds) — the monthly-merged estimate it
+    * gates is rebuilt here for the direct spec-side assertions.
+    */
+  private def mergedMonthlyEstimate = events
+    .groupBy(col("event_type"), month(col("ts")).as("m"))
+    .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    .groupBy(col("event_type"))
+    .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+
+  test("HLL estimate within 5% of exact distinct per event_type; q47 gate is empty") {
     val exact = events.groupBy("event_type")
       .agg(countDistinct("user_id").as("n"))
       .as[(String, Long)].collect().toMap
-    val approx = SparkEntry.queries("q47_hll_distinct")(spark, sfDir)
-      .as[(String, Long)].collect().toMap
+    val approx = mergedMonthlyEstimate.as[(String, Long)].collect().toMap
     assert(approx.keySet === exact.keySet)
     exact.foreach { case (k, n) =>
       val a = approx(k)
       assert(math.abs(a - n).toDouble / n < 0.05,
         s"$k: approx $a vs exact $n (>5% off)")
     }
+    assert(SparkEntry.queries("q47_hll_distinct")(spark, sfDir).count() === 0L)
   }
 
   test("sketch merge-invariance: union of monthly sketches == direct sketch") {
     val direct = events.groupBy("event_type")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
       .as[(String, Long)].collect().toMap
-    val merged = SparkEntry.queries("q47_hll_distinct")(spark, sfDir)
-      .as[(String, Long)].collect().toMap
+    val merged = mergedMonthlyEstimate.as[(String, Long)].collect().toMap
     assert(merged === direct)
   }
 
