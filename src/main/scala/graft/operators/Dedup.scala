@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *  - exact dedup: one hash shuffle on the dedup key;
   *  - MinHash-LSH: signatures are computed map-side in one pass; the
   *    band-bucket self-join exchanges only (id, band-key) pairs — never
-  *    the shingle sets — so the wide stages move ~16 bytes/row. Shingle
-  *    sets are re-attached to the (small) candidate-pair set by two
-  *    narrow joins for exact-Jaccard verification;
+  *    the shingle sets — so the wide stages move ~16 bytes/row, and hot
+  *    bands (mass duplication) are salt-fanned via the bounded hot-key
+  *    census instead of pinning one reducer. Shingle sets are
+  *    re-attached to the (small) candidate-pair set by two narrow joins
+  *    for exact-Jaccard verification;
   *  - SimHash: one explode+agg to build 64-bit fingerprints, then a
   *    4-chunk pigeonhole join (guarantees recall for hamming ≤ 3);
   *  - exact blocked Jaccard is inherently quadratic per block — kept
@@ -61,7 +63,8 @@ object Dedup {
     */
   def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, n: Int = 3,
-                      numPerm: Int = 64, bands: Int = 8): DataFrame = {
+                      numPerm: Int = 64, bands: Int = 8,
+                      saltBuckets: Int = 8, maxBandRows: Int = 4096): DataFrame = {
     val rows = numPerm / bands
     // Repartition before shingling: a single parquet file otherwise pins
     // the (expensive) signature computation to one task.
@@ -71,9 +74,27 @@ object Dedup {
     // hash by bandKeys, so one column suffices.
     val keys = base.select(col("id"),
       explode(bandKeys(TextOps.minhashSignature(col("hs"), numPerm), bands, rows)).as("key"))
-    val cand = keys.as("a")
-      .join(keys.as("b"), col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Hot-band salting, same scheme as Similarity.rhpCosinePairs: a
+    // degenerate band (mass duplication — exactly what a dedup pass is
+    // hunting) is a quadratic hot key; the bounded hot-key census fans
+    // it over salted reducers, cold bands coalesce to one slice, and
+    // each pair still meets exactly once (a-salted/b-replicated), so
+    // the candidate set is salting-invariant (DedupSpec pins it).
+    val (hotSalts, hotRows) = hotKeySaltCensus(keys, "key", saltBuckets, maxBandRows)
+    if (hotRows.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshNearDupPairs: hot bands re-salted (cap=$maxBandRows): " +
+          hotRows.take(20).map(r => s"key=${r.get(0)} salt=${r.getLong(1)}")
+            .mkString("; "))
+    val keyed = keys.join(broadcast(hotSalts), Seq("key"), "left")
+      .withColumn("__salt_n", coalesce(col("__salt_n"), lit(1L)))
+    val a = keyed.select(col("key"), col("id").as("id_a"),
+      pmod(xxhash64(col("id")), col("__salt_n")).as("salt"))
+    val b = keyed.select(col("key"), col("id").as("id_b"),
+      explode(sequence(lit(0L), col("__salt_n") - 1)).as("salt"))
+    val cand = a.join(b, Seq("key", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
     // Re-attach shingle sets to the (small) candidate set for exact
     // verification; false positives from banding die here.
@@ -257,6 +278,41 @@ object Dedup {
     corpusGrams.join(broadcast(benchGrams), "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** Cross-document repeated-gram profile (ExactSubstr-lite, after Lee
+    * et al.'s "Deduplicating Training Data Makes Language Models
+    * Better"): for every document, the fraction of its distinct word
+    * n-grams that also occur in at least one OTHER document — the
+    * per-document boilerplate/duplication diagnostic a span-level dedup
+    * pass ranks its work by. Documents shorter than n words participate
+    * as one whole-text gram (the `ShingleHashSet` fallback, same as
+    * `contaminationHits`).
+    *
+    * Scale shape: grams travel as 8-byte xxhash64 fingerprints — the
+    * text never shuffles. Two narrow exchanges: (gram → doc-frequency)
+    * map-side-combined aggregation, then the (id, gram) pairs re-keyed
+    * once to join the frequency back and fold per document. The gram
+    * doc-frequency table is vocabulary-of-grams sized: big, but
+    * hash-partitioned and never collected. Hash-for-string equality is
+    * the `contaminationHits` adjudication (~2^-64 per pair; the
+    * string-level oracle would surface a collision).
+    *
+    * Output: (idCol, n_grams, n_shared, shared_frac 6dp).
+    */
+  def repeatedGramProfile(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val grams = graft.GraftSession.fanout(docs)
+      .select(col(idCol), explode(shingleHashSet(col(textCol), n)).as("__g"))
+    // shingleHashSet is a DISTINCT set per document, so the per-gram
+    // count IS the document frequency.
+    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared") / col("n_grams"), 6))
   }
 
   /** Incremental dedup against a historical corpus — the daily-increment

@@ -103,6 +103,16 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-document repeated-gram profile (ExactSubstr-lite): per doc,
+    // the fraction of its distinct word 8-grams shared with any other
+    // document — the span-level duplication diagnostic. Grams shuffle as
+    // 8-byte hashes only (text stays put); the string-level oracle
+    // adjudicates hash-for-string equality like q59's.
+    "q103_repeated_grams" -> ((s, dir) => {
+      Dedup.repeatedGramProfile(docs(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // Sorted-neighborhood near-dup candidates: block on a 16-char
     // normalized prefix, sort within block, Levenshtein over a 120-char
     // probe against the next 3 sort neighbors only — the linear-work
@@ -184,6 +194,23 @@ object DedupQueries {
         |  WHERE doc_id % 10 <> 0)
         |SELECT c.doc_id, COUNT(*) AS n_hit_grams
         |FROM corpus c JOIN bench b ON c.gram = b.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same gram definition as q59's oracle (8-word grams, whole-text
+    // fallback); SUMs cast back to BIGINT (DuckDB widens to HUGEINT).
+    "q103_repeated_grams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | g AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+        |      list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))
+        |    ELSE [array_to_string(w, ' ')] END AS gs
+        |  FROM t),
+        | d AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g),
+        | f AS (SELECT gram, COUNT(*) AS df FROM d GROUP BY 1)
+        |SELECT d.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  ROUND(CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS shared_frac
+        |FROM d JOIN f USING (gram)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // String-level NOT EXISTS: adjudicates the operator's 64-bit
     // fingerprint equality — a hash collision would surface here as a

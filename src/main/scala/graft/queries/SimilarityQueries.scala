@@ -143,6 +143,31 @@ object SimilarityQueries {
       rhp.exceptAll(exact).orderBy("id_a", "id_b")
     }),
 
+    // Quality-aware near-dup representative selection — the production
+    // dedup keep rule: within each embedding near-dup component, KEEP
+    // the highest-quality member (longest document, ties to the lowest
+    // id), not the arbitrary min-id. Composes the pair machinery +
+    // connected components with a quality join against `documents`
+    // (vec_id and doc_id share an id space by construction): the pair
+    // list is anomaly-sized, the quality join touches only component
+    // members, and the argmax is a max-of-struct partial aggregation —
+    // no window, no corpus shuffle beyond the pair stage itself.
+    "q105_keep_best_rep" -> ((s, dir) => {
+      val pairs = Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4)
+      val comp = graft.operators.Dedup.nearDupComponents(pairs)
+      val quality = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      comp.join(quality, Seq("doc_id"))
+        .groupBy(col("rep_id").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"),
+            col("doc_id"))).as("m"))
+        .select(col("cluster_id"), col("n_members"),
+          col("m.doc_id").as("keep_id"), col("m.n_chars").as("keep_n_chars"))
+        .orderBy("cluster_id")
+    }),
+
     // Per-label centroid + cluster cohesion: the grouped vector mean is
     // a VecMeanAggregator (one dim-length partial per partition per
     // label — the rows never shuffle), the tiny centroid table
@@ -392,6 +417,35 @@ object SimilarityQueries {
         |SELECT node AS vec_id,
         |  LEAST(node, MIN(peer)) AS rep_id
         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+    // q62's recursive-CC oracle + a quality join: the kept row is the
+    // (n_chars DESC, doc_id ASC) argmax within each component.
+    "q105_keep_best_rep" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e0 a CROSS JOIN e0 b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.v, b.v) >= 0.4),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |       UNION SELECT id_b, id_a FROM p),
+        | reach AS (
+        |  SELECT src AS node, dst AS peer FROM e
+        |  UNION
+        |  SELECT node, e.dst FROM reach JOIN e ON reach.peer = e.src
+        |  WHERE e.dst <> reach.node),
+        | comp AS (SELECT node AS doc_id,
+        |            LEAST(node, MIN(peer)) AS cluster_id
+        |          FROM reach GROUP BY node),
+        | j AS (SELECT c.cluster_id, c.doc_id, d.n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+        |          ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+        |       FROM comp c JOIN documents d USING (doc_id)),
+        | agg AS (SELECT cluster_id, COUNT(*) AS n_members FROM j GROUP BY 1)
+        |SELECT j.cluster_id, agg.n_members, j.doc_id AS keep_id,
+        |  j.n_chars AS keep_n_chars
+        |FROM j JOIN agg USING (cluster_id)
+        |WHERE j.rn = 1 ORDER BY cluster_id""".stripMargin,
     "q50_topk_aggregator" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),

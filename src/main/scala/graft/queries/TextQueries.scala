@@ -391,6 +391,23 @@ object TextQueries {
       viol.toDF("term", "exact_cnt", "est_cnt", "slack").orderBy("term")
     }),
 
+    // PII scrub profile (q49's planted-fixture pattern): the corpus
+    // text contains no PII by construction, so every 25th document is
+    // planted with an email + IPv4 + card-number suffix — the oracle
+    // mirrors the plant — and the scrubber must (a) count each class
+    // exactly and (b) produce the byte-identical redacted text,
+    // hash-gated via md5. Entirely map-side codegen'd regex (zero
+    // shuffle before the presentation sort); patterns stay inside the
+    // Java∩RE2 regex subset so both engines read them identically.
+    "q104_pii_scrub" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" contact alice.w@example.org from " +
+            "10.0.0.1 ref 4111111111111111"))).otherwise(col("text")))
+      graft.operators.Scrub.piiStats(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition filters: duplicate-word fraction and
     // most-frequent-bigram fraction, both from ONE RepetitionStats
     // kernel pass per document — no per-gram explode, no shuffle of
@@ -563,6 +580,30 @@ object TextQueries {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
+    // The oracle re-plants the same PII suffix and runs the same
+    // Java∩RE2 patterns through RE2; md5 of the redacted text makes the
+    // hash gate validate the exact redaction bytes, not just counts.
+    "q104_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 25 = 0 THEN text ||
+        |      ' contact alice.w@example.org from 10.0.0.1 ref 4111111111111111'
+        |    ELSE text END AS text
+        |  FROM documents),
+        | m AS (SELECT doc_id,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |    len(regexp_extract_all(text, '\b\d{9,}\b')) AS n_nums,
+        |    md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{9,}\b', '<NUM>', 'g')) AS clean_md5
+        |  FROM t)
+        |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+        |  CAST(n_ips AS BIGINT) AS n_ips, CAST(n_nums AS BIGINT) AS n_nums,
+        |  clean_md5
+        |FROM m WHERE n_emails + n_ips + n_nums > 0 ORDER BY doc_id""".stripMargin,
     // Same interpolation definition both engines (q46 gates it); the
     // band compare runs on the identical doubles, so the boundary
     // rows resolve identically.

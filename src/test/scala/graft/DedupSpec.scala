@@ -63,6 +63,41 @@ class DedupSpec extends SparkSpec {
       s"LSH missed ${(exact -- lsh).size}, hallucinated ${(lsh -- exact).size}")
   }
 
+  test("lshNearDupPairs: salting-invariant under a forced hot-band re-salt") {
+    // maxBandRows=2 forces the proportional re-salt path on essentially
+    // every band key (each signature band groups many docs at sf0.001);
+    // the a-salted/b-replicated scheme meets each pair exactly once, so
+    // the verified output cannot move.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cold = Dedup.lshNearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val hot = Dedup.lshNearDupPairs(docs, "doc_id", "text", threshold = 0.8,
+        saltBuckets = 4, maxBandRows = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cold.nonEmpty)
+    assert(cold === hot)
+  }
+
+  test("repeatedGramProfile: hand-checked shared/unique gram counts") {
+    // a/b share their first 8-gram (identical first 9 words except the
+    // last differs → grams: a has [w1..w8],[w2..w9a]; b has
+    // [w1..w8],[w2..w9b]) ⇒ each doc: 2 grams, 1 shared. c is short
+    // (<8 words) ⇒ whole-text gram, unique ⇒ 0 shared. d duplicates c
+    // exactly ⇒ both whole-text grams become shared.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 end1"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 end2"),
+      (3L, "short doc here"),
+      (4L, "short doc here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedGramProfile(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 1L, 1L, 1.0), (4L, 1L, 1L, 1.0)))
+  }
+
   test("simhash ranks a near-dup closer than an unrelated doc") {
     val fp = Dedup.simhash(docsDf, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

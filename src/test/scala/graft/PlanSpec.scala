@@ -102,6 +102,23 @@ class PlanSpec extends SparkSpec {
       "band join keys lack the salt:\n" + joinLines.mkString("\n"))
   }
 
+  test("q104 PII scrub is map-side: the only exchange is the presentation sort") {
+    val p = planOf("q104_pii_scrub")
+    val ex = p.indexOf("Exchange")
+    assert(ex >= 0 && p.indexOf("Exchange", ex + 1) < 0,
+      "scrub must not shuffle (one presentation-sort exchange only):\n" + p.take(3000))
+    assert(p.contains("rangepartitioning"),
+      "the single exchange should be the orderBy:\n" + p.take(2000))
+  }
+
+  test("q103 gram frequency aggregates partially; scan reads only (doc_id, text)") {
+    val p = planOf("q103_repeated_grams")
+    assert(p.contains("partial_count"),
+      "gram doc-frequency must map-side combine:\n" + p.take(3000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan must be pruned to (doc_id, text):\n" + p.take(3000))
+  }
+
   test("q50 top-k aggregator merges partial heaps map-side") {
     val p = planOf("q50_topk_aggregator").toLowerCase
     assert(p.contains("partial_topkaggregator"),

@@ -154,6 +154,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Set((1L, 2L, 1.0)))
   }
 
+  test("q105 keep rule: quality argmax inside a component, lowest-id tie-break") {
+    import org.apache.spark.sql.functions.{count, lit, max, struct}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val quality = Seq((1L, 100L), (2L, 300L), (3L, 300L), (10L, 5L), (11L, 9L))
+      .toDF("doc_id", "n_chars")
+    val out = graft.operators.Dedup.nearDupComponents(pairs)
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("rep_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"),
+          col("doc_id"))).as("m"))
+      .select(col("cluster_id"), col("n_members"),
+        col("m.doc_id").as("keep_id"), col("m.n_chars").as("keep_n_chars"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // {1,2,3}: 300-char tie between 2 and 3 resolves to the LOWER id;
+    // {10,11}: plain quality argmax.
+    assert(out === Set((1L, 3L, 2L, 300L), (10L, 2L, 11L, 9L)))
+  }
+
   test("resizeStub subsamples payload bytes deterministically") {
     val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
     val resized = graft.operators.Multimodal.resizeStub(

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Scrub.piiStats: counts each class, redacts byte-exactly, skips clean docs") {
+    import graft.operators.Scrub
+    val docs = Seq(
+      (1L, "mail a@b.io and c.d+x@e.org then 1.2.3.4 plus card 123456789012"),
+      (2L, "clean text with short 123 and 1.2 nothing else"),
+      (3L, "edge 999.999.999.999 still redacts as ip")
+    ).toDF("doc_id", "text")
+    val out = Scrub.piiStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 2 is clean -> absent; doc 3's over-wide quad redacts (a
+    // scrubber over-redacts rather than leaks).
+    assert(out.map(_._1) === Seq(1L, 3L))
+    assert(out.head._2 === 2L && out.head._3 === 1L && out.head._4 === 1L)
+    val redacted = docs.filter($"doc_id" === 1)
+      .select(Scrub.redactPii($"text")).as[String].head()
+    assert(redacted ===
+      "mail <EMAIL> and <EMAIL> then <IP> plus card <NUM>")
+  }
+
   test("q98 keeps exactly each language's inclusive [p05, p95] length band") {
     val d = Tables.load(spark, sfDir, "documents")
     val out = SparkEntry.queries("q98_adaptive_length_filter")(spark, sfDir)
