@@ -71,9 +71,13 @@ object Dedup {
     val base = graft.GraftSession.fanout(docs)
       .select(col(idCol).as("id"), shingleHashSet(col(textCol), n).as("hs"))
     // Narrow (id, band-key) rows only — band index is folded into the key
-    // hash by bandKeys, so one column suffices.
+    // hash by bandKeys, so one column suffices. Checkpointed because
+    // three consumers read it (census + both join sides): each would
+    // otherwise re-shingle and re-minhash the whole corpus, and the
+    // narrow relation is ~1% of the corpus bytes.
     val keys = base.select(col("id"),
       explode(bandKeys(TextOps.minhashSignature(col("hs"), numPerm), bands, rows)).as("key"))
+      .localCheckpoint(eager = true)
     // Hot-band salting, same scheme as Similarity.rhpCosinePairs: a
     // degenerate band (mass duplication — exactly what a dedup pass is
     // hunting) is a quadratic hot key; the bounded hot-key census fans

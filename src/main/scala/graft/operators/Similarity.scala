@@ -228,12 +228,18 @@ object Similarity {
       }
       xxhash64(lit(b), bits.reduce(_.bitwiseOR(_)))
     }
+    // Materialize the narrow (id, band-key) relation ONCE: three
+    // consumers read it (the census and both join sides), and each
+    // would otherwise re-scan the corpus and re-run the sketch kernel —
+    // at 100 TB that is three full-corpus passes traded for
+    // checkpointing a relation ~1% of the corpus bytes (the
+    // `nearDupComponents` reasoning).
     val keys = base.select(col("id"),
       explode(array((0 until bands).map(bandKey): _*)).as("key"))
-    // The census pays one extra map-side sketch pass over the corpus (no
-    // shuffle beyond the narrow per-key partial count) — at 100 TB that
-    // is the price of KNOWING the skew before committing the pair stage
-    // to it, and the hot keys land in the logs, not in a straggler.
+      .localCheckpoint(eager = true)
+    // The census is a narrow per-key partial count over the checkpoint —
+    // at 100 TB that is the price of KNOWING the skew before committing
+    // the pair stage to it; hot keys land in the logs, not a straggler.
     val (hotSalts, hotRows) =
       Dedup.hotKeySaltCensus(keys, "key", saltBuckets, maxBandRows)
     if (hotRows.nonEmpty) {
