@@ -63,6 +63,9 @@ object Bench {
     // the pruned search, not the write.
     try Tables.embeddingsIvfLayout(spark, sfDir)
     catch { case _: Throwable => () }
+    // And q107's incrementally-appended layout, same reasoning.
+    try Tables.embeddingsIvfAppendLayout(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // Optional positional args = query-name prefixes, for iterating on a
     // subset locally; the driver passes none and measures everything.

@@ -66,6 +66,23 @@ object Tables {
         "vec_id", "embedding", out, nlist, nassign)
     }
 
+  /** Incrementally-maintained IVF layout for the q107 append gate: the
+    * index is built over the base slice (vec_id % 5 != 4), then the
+    * held-out slice is APPENDED with the persisted centroids — no
+    * retrain, no rewrite. Built once per sf like the other layouts.
+    */
+  def embeddingsIvfAppendLayout(spark: SparkSession, sfDir: String,
+                                nlist: Int = 16, nassign: Int = 3): String =
+    derivedLayout(sfDir, "embeddings",
+        s"embeddings_ivf_app_${nlist}_$nassign") { out =>
+      import org.apache.spark.sql.functions.col
+      val e = load(spark, sfDir, "embeddings")
+      operators.Similarity.writeIvfLayout(e.filter(col("vec_id") % 5 =!= 4),
+        "vec_id", "embedding", out, nlist, nassign)
+      operators.Similarity.appendIvfLayout(out,
+        e.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", nassign)
+    }
+
   /** ORC copy of `orders` — the second columnar source format (same
     * pushdown/pruning path as parquet through the ORC reader).
     */

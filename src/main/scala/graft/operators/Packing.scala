@@ -144,6 +144,37 @@ object Packing {
       .drop("__bin", "__og", "__ob", "__offset")
   }
 
+  /** Deterministic training-order shuffle: every row gets a
+    * multiplicative-hash position (`(id + seed) * 2654435761 mod 2^32`,
+    * Knuth's constant — odd, so id-injective below 2^32) and lands in
+    * `shard = hash mod nShards` at within-shard rank `pos`. This is the
+    * epoch-reshuffle pass of a training pipeline: reproducible from
+    * (corpus, seed) alone, a new seed is a new permutation, and shard
+    * assignment depends only on the id — appending documents never
+    * moves existing ones across shards, so shard files stay stable
+    * across corpus increments.
+    *
+    * Scale shape: one keyed exchange on `shard`, then each shard sorts
+    * its ~n/nShards rows independently — no global sort, no single
+    * reducer; size nShards to the downstream trainer's file count.
+    * Contract: non-negative ids below 2^32 (the `docHash` arithmetic
+    * contract — pmod and `%` agree and the product stays inside Long).
+    *
+    * Output: input columns + (shard, pos), pos 1-based per shard.
+    */
+  def shardShuffle(docs: DataFrame, idCol: String, nShards: Int,
+                   seed: Long = 0L): DataFrame = {
+    require(nShards >= 1, s"shardShuffle: nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod((col(idCol) + lit(seed)) * lit(2654435761L), lit(4294967296L))
+    docs.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol)))
+        .cast("bigint"))
+      .drop("__h")
+  }
+
   /** The skew predicate behind the oversized-cell warn, extracted so the
     * spec can pin exactly when the bound fires. Row shape is binStats:
     * (group, __bin, __bin_sum, __bin_rows).

@@ -391,12 +391,21 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              nassign: Int = 3, excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+              nassign: Int = 3, excludeSelf: Boolean = true): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k,
+      trainIvfCentroids(corpus, idCol, vecCol, nlist, iters = 10),
+      nprobe, nassign, excludeSelf)
 
-    val centroids: Array[Array[Double]] =
-      trainIvfCentroids(corpus, idCol, vecCol, nlist, iters = 10)
-
+  /** `ivfTopK` against an EXPLICIT centroid model — the search half on
+    * its own, for callers that already hold a trained/persisted model
+    * (the q107 append gate compares this against the appended layout
+    * under the layout's own centroids).
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           centroids: Array[Array[Double]], nprobe: Int = 4,
+                           nassign: Int = 3,
+                           excludeSelf: Boolean = true): DataFrame = {
     def nearestBuckets(vec: Column, take: Int): Column =
       ArrayOps.argTopKCosine(vec, centroids, take)
 
@@ -462,6 +471,28 @@ object Similarity {
     val out = fs.create(path, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Incremental index maintenance: assign NEW vectors with the
+    * layout's PERSISTED centroids (no retrain, no rewrite of existing
+    * rows) and append them into the bucket partitions. This is the
+    * daily-increment half of the ANN story (q96/q99's shape pointed at
+    * the index): a 100 TB index absorbs a day's vectors as one map-side
+    * kernel pass + a partition-local append — rebuilding would re-scan
+    * everything, and re-TRAINING would silently shift every existing
+    * vector's bucket assignment out from under the stored layout. The
+    * q107 gate pins append ≡ in-flight-search-on-the-union under the
+    * same model.
+    */
+  def appendIvfLayout(layoutDir: String, newVecs: DataFrame, idCol: String,
+                      vecCol: String, nassign: Int = 3): Unit = {
+    val centroids = readIvfCentroids(layoutDir,
+      newVecs.sparkSession.sparkContext.hadoopConfiguration)
+    fanout(newVecs.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
+      .withColumn("bucket",
+        explode(ArrayOps.argTopKCosine(col("cv"), centroids, nassign)))
+      .withColumn("bucket", col("bucket").cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(layoutDir)
   }
 
   private def centroidsPath(layoutDir: String): org.apache.hadoop.fs.Path =

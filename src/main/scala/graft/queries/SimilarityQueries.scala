@@ -317,6 +317,31 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVF INCREMENTAL-APPEND gate (q102's pattern pointed at index
+    // MAINTENANCE): the layout is built over the base slice, the
+    // held-out slice is appended with the layout's persisted centroids
+    // (no retrain, no rewrite — the daily-increment move), and a search
+    // over the appended layout must return EXACTLY what the in-flight
+    // path computes over the union corpus under the same model. The
+    // symmetric diff is the query output and the oracle is the EMPTY
+    // relation — a lost appended partition, a bucket-type mangle, or an
+    // accidental retrain becomes a driver-gate row mismatch.
+    "q107_ivf_append_gate" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      val layoutDir = Tables.embeddingsIvfAppendLayout(s, dir, nlist = 16,
+        nassign = 3)
+      val centroids = Similarity.readIvfCentroids(layoutDir,
+        s.sparkContext.hadoopConfiguration)
+      val layout = Similarity.ivfTopKFromLayout(layoutDir, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      val inflight = Similarity.ivfTopKWithCentroids(e, queries,
+        "vec_id", "embedding", k = 5, centroids, nprobe = 4, nassign = 3)
+      layout.exceptAll(inflight).unionAll(inflight.exceptAll(layout))
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
+    }),
+
     // Product-quantization exactness GATE (q66/q67 pattern): every
     // vector is encoded by BOTH the fused `PqEncode` codegen kernel and
     // the interpreted array_min struct formulation; per-subspace code
@@ -526,6 +551,10 @@ object SimilarityQueries {
         |  CAST(NULL AS BIGINT) AS kernel_code, CAST(NULL AS BIGINT) AS ref_code
         |WHERE FALSE""".stripMargin,
     "q102_ivf_layout_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rnk,
+        |  CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS sim
+        |WHERE FALSE""".stripMargin,
+    "q107_ivf_append_gate" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rnk,
         |  CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS sim
         |WHERE FALSE""".stripMargin,

@@ -391,6 +391,18 @@ object TextQueries {
       viol.toDF("term", "exact_cnt", "est_cnt", "slack").orderBy("term")
     }),
 
+    // Deterministic training-order shuffle: multiplicative-hash
+    // position, shard = hash mod 8, within-shard rank. One keyed
+    // exchange, per-shard independent sorts, shard assignment stable
+    // under corpus appends; the identical arithmetic runs in the oracle
+    // (the q45/q70/q76 docHash family with a seed term).
+    "q106_shard_shuffle" -> ((s, dir) => {
+      graft.operators.Packing.shardShuffle(
+          docs(s, dir).select(col("doc_id")), "doc_id",
+          nShards = 8, seed = 7L)
+        .orderBy("shard", "pos")
+    }),
+
     // PII scrub profile (q49's planted-fixture pattern): the corpus
     // text contains no PII by construction, so every 25th document is
     // planted with an email + IPv4 + card-number suffix — the oracle
@@ -580,6 +592,15 @@ object TextQueries {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
+    "q106_shard_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    ((doc_id + 7) * 2654435761) % 4294967296 AS hh FROM documents),
+        | s AS (SELECT doc_id, hh % 8 AS shard,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8
+        |      ORDER BY hh, doc_id) AS BIGINT) AS pos
+        |   FROM h)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     // The oracle re-plants the same PII suffix and runs the same
     // Java∩RE2 patterns through RE2; md5 of the redacted text makes the
     // hash gate validate the exact redaction bytes, not just counts.

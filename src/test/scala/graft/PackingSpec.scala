@@ -128,6 +128,34 @@ class PackingSpec extends SparkSpec {
     assert(got.count() === 51) // 50 of the g-dups + the single h row
   }
 
+  test("shardShuffle: exact permutation, dense per-shard positions, seed-sensitive") {
+    val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val out = Packing.shardShuffle(d, "doc_id", nShards = 8, seed = 7L)
+      .as[(Long, Long, Long)].collect().toSeq
+    // permutation: every doc exactly once
+    assert(out.map(_._1).sorted === d.as[Long].collect().sorted.toSeq)
+    // dense 1..|shard| positions within each shard
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.size), s"shard $shard")
+    }
+    // deterministic: a re-run is identical
+    val again = Packing.shardShuffle(d, "doc_id", nShards = 8, seed = 7L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.toSet === again.toSet)
+    // a different seed is a different permutation (shard or pos moves)
+    val reseeded = Packing.shardShuffle(d, "doc_id", nShards = 8, seed = 8L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reseeded !== out.toSet)
+    // shard assignment depends only on (id, seed): appending documents
+    // never moves existing ones across shards
+    val appended = Packing.shardShuffle(
+        d.unionAll(Seq(1000001L, 1000002L).toDF("doc_id")),
+        "doc_id", nShards = 8, seed = 7L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, shard, _) => assert(appended(id) === shard) }
+  }
+
   test("tokenBudgetCap equals the single-window formulation on real documents") {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.load(spark, sfDir, "documents")

@@ -106,6 +106,31 @@ class SimilaritySpec extends SparkSpec {
     read.zip(trained).foreach { case (r, t) => assert(r.toSeq === t.toSeq) }
   }
 
+  test("appendIvfLayout: appends under the persisted model without retraining") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val base = e.filter(col("vec_id") % 5 =!= 4)
+    val extra = e.filter(col("vec_id") % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.writeIvfLayout(base, "vec_id", "embedding", dir, nlist = 8)
+    val before = Similarity.readIvfCentroids(dir,
+      spark.sparkContext.hadoopConfiguration)
+    Similarity.appendIvfLayout(dir, extra, "vec_id", "embedding")
+    // the model is untouched — an accidental retrain would shift every
+    // existing vector's bucket out from under the stored layout
+    val after = Similarity.readIvfCentroids(dir,
+      spark.sparkContext.hadoopConfiguration)
+    before.zip(after).foreach { case (b, a) => assert(b.toSeq === a.toSeq) }
+    // the appended layout holds exactly the union's ids, each in its
+    // nassign buckets
+    val layout = spark.read.parquet(dir)
+    assert(layout.select("neighbor_id").distinct().count() === e.count())
+    assert(layout.count() === e.count() * 3)
+    import org.apache.spark.sql.functions.countDistinct
+    assert(layout.groupBy("neighbor_id")
+      .agg(countDistinct("bucket").as("nb"))
+      .filter(col("nb") =!= 3).count() === 0L)
+  }
+
   test("hardNegatives excludes same-label vectors even when they are nearest") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f), "a"),   // the query itself
