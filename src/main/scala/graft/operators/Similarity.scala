@@ -179,6 +179,47 @@ object Similarity {
         round(col("entry._2"), 6).as("sim"))
   }
 
+  /** Margin-based cross-corpus pair mining (the Artetxe & Schwenk ratio
+    * margin, the CCMatrix/LASER bitext-mining score): for each source
+    * vector, its best target match scored by
+    * `margin = 2·cos(x,y) / (avg_k cos(x, NN_k(x,T)) + avg_k cos(y, NN_k(y,S)))`
+    * — raw cosine over-mines hubs (vectors close to everything); the
+    * margin normalizes by both endpoints' neighborhood density, which
+    * is what makes mined pairs usable as training data. Pairs at or
+    * above `minMargin` are emitted.
+    *
+    * Scale shape: both kNN directions are the bounded `TopKAggregator`
+    * scan (k-row partial heaps, no score-matrix shuffle); the margin
+    * math then joins three MODEL-SIZED frames (best-match pairs + two
+    * per-id neighborhood averages) — the corpora themselves are never
+    * exchanged. At 100 TB the two exact kNN stages swap for the IVF
+    * layout search (`ivfTopKFromLayout`) — the margin math downstream
+    * is identical.
+    *
+    * Output: (src_id, tgt_id, sim 6dp, margin 6dp). Margins compute
+    * over the 6dp-rounded sims so the SQL oracle can reproduce them
+    * bit-for-bit.
+    */
+  def marginMinePairs(src: DataFrame, tgt: DataFrame, idCol: String,
+                      vecCol: String, k: Int = 4,
+                      minMargin: Double = 1.0): DataFrame = {
+    val fwd = bruteForceTopKAgg(tgt, src, idCol, vecCol, k, excludeSelf = false)
+    val bwd = bruteForceTopKAgg(src, tgt, idCol, vecCol, k, excludeSelf = false)
+    val srcAvg = fwd.groupBy(col("query_id").as("src_id"))
+      .agg(avg(col("sim")).as("src_avg"))
+    val tgtAvg = bwd.groupBy(col("query_id").as("tgt_id"))
+      .agg(avg(col("sim")).as("tgt_avg"))
+    fwd.filter(col("rank") === 1)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("sim"))
+      .join(srcAvg, Seq("src_id"))
+      .join(tgtAvg, Seq("tgt_id"))
+      .withColumn("margin",
+        round(lit(2) * col("sim") / (col("src_avg") + col("tgt_avg")), 6))
+      .filter(col("margin") >= minMargin)
+      .select(col("src_id"), col("tgt_id"), col("sim"), col("margin"))
+  }
+
   /** Random-hyperplane LSH near-dup pairs: each vector is sketched into
     * `bands` keys of `rowsPerBand` sign bits (sign of the dot product
     * with a seeded Gaussian hyperplane — collision probability

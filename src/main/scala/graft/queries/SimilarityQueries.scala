@@ -317,6 +317,21 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // Margin-based cross-corpus pair mining (Artetxe & Schwenk ratio
+    // margin — the bitext/semantic-pair mining score): label parity
+    // splits the embeddings into the two "corpora"; each source vector's
+    // best target match is scored by the two-sided neighborhood-density
+    // margin and mined at >= 1.02. Both kNN directions are the bounded
+    // TopKAggregator scan; the margin math joins model-sized frames.
+    "q108_margin_mining" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.marginMinePairs(
+          src = e.filter(col("label") % 2 === 0),
+          tgt = e.filter(col("label") % 2 === 1),
+          idCol = "vec_id", vecCol = "embedding", k = 4, minMargin = 1.02)
+        .orderBy("src_id")
+    }),
+
     // IVF INCREMENTAL-APPEND gate (q102's pattern pointed at index
     // MAINTENANCE): the layout is built over the base slice, the
     // held-out slice is appended with the layout's persisted centroids
@@ -558,6 +573,37 @@ object SimilarityQueries {
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rnk,
         |  CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS sim
         |WHERE FALSE""".stripMargin,
+    // Ranks by the UNROUNDED sim (the operator's ordering contract),
+    // averages/margins over the 6dp-ROUNDED sims (the operator's output
+    // values) — the same split the Spark side makes.
+    "q108_margin_mining" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE label % 2 = 0),
+        | t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings WHERE label % 2 = 1),
+        | f AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+        |         list_cosine_similarity(s.v, t.v) AS sim,
+        |         ROW_NUMBER() OVER (PARTITION BY s.vec_id
+        |           ORDER BY list_cosine_similarity(s.v, t.v) DESC, t.vec_id)
+        |           AS rn
+        |       FROM s CROSS JOIN t),
+        | b AS (SELECT t.vec_id AS tgt_id, s.vec_id AS src_id,
+        |         list_cosine_similarity(t.v, s.v) AS sim,
+        |         ROW_NUMBER() OVER (PARTITION BY t.vec_id
+        |           ORDER BY list_cosine_similarity(t.v, s.v) DESC, s.vec_id)
+        |           AS rn
+        |       FROM t CROSS JOIN s),
+        | fa AS (SELECT src_id, AVG(ROUND(sim, 6)) AS src_avg
+        |        FROM f WHERE rn <= 4 GROUP BY 1),
+        | ba AS (SELECT tgt_id, AVG(ROUND(sim, 6)) AS tgt_avg
+        |        FROM b WHERE rn <= 4 GROUP BY 1),
+        | best AS (SELECT src_id, tgt_id, ROUND(sim, 6) AS sim
+        |          FROM f WHERE rn = 1),
+        | m AS (SELECT best.src_id, best.tgt_id, best.sim,
+        |         ROUND(2 * best.sim / (fa.src_avg + ba.tgt_avg), 6) AS margin
+        |       FROM best JOIN fa USING (src_id) JOIN ba USING (tgt_id))
+        |SELECT src_id, tgt_id, sim, margin FROM m
+        |WHERE margin >= 1.02 ORDER BY src_id""".stripMargin,
     "q97_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS ql,
         |             CAST(embedding AS DOUBLE[]) AS qv

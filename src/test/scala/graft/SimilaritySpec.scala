@@ -106,6 +106,39 @@ class SimilaritySpec extends SparkSpec {
     read.zip(trained).foreach { case (r, t) => assert(r.toSeq === t.toSeq) }
   }
 
+  test("marginMinePairs matches a Scala reference on a hand fixture") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val srcRows = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+    val tgtRows = Seq((10L, Array(0.8f, 0.6f)), (11L, Array(0.6f, 0.8f)),
+      (12L, Array(1f, 0.05f)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val k = 2
+    // reference: rank by unrounded sim (id-asc ties), average/margin
+    // over 6dp-rounded sims — the operator's documented split
+    def topk(q: (Long, Array[Float]), cands: Seq[(Long, Array[Float])]) =
+      cands.map(c => (c._1, cos(q._2, c._2)))
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+    val srcAvg = srcRows.map(s => s._1 ->
+      topk(s, tgtRows).map(t => round6(t._2)).sum / k).toMap
+    val tgtAvg = tgtRows.map(t => t._1 ->
+      topk(t, srcRows).map(s => round6(s._2)).sum / k).toMap
+    val expected = srcRows.map { s =>
+      val (bestId, bestSim) = topk(s, tgtRows).head
+      (s._1, bestId, round6(bestSim),
+        round6(2 * round6(bestSim) / (srcAvg(s._1) + tgtAvg(bestId))))
+    }.filter(_._4 >= 1.0).toSet
+    val got = Similarity.marginMinePairs(
+        srcRows.toDF("vec_id", "embedding"), tgtRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = k, minMargin = 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("appendIvfLayout: appends under the persisted model without retraining") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val base = e.filter(col("vec_id") % 5 =!= 4)
