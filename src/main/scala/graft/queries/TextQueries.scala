@@ -249,6 +249,72 @@ object TextQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // Model-based quality filter GATE (the GPT-3/CCNet learned filter,
+    // q77's referee pattern): a logistic classifier is trained
+    // driver-side on a bounded hash-ordered sample and applied to the
+    // whole corpus as a literal-weight sigmoid — one map-side codegen
+    // pass, zero shuffle for scoring. The corpus text is
+    // label-independent by construction (marker ratios are flat across
+    // langs — verified), so the learnable signal is PLANTED,
+    // q104-style: every third document gets a boilerplate suffix, and
+    // the model must learn to flag contaminated docs from marker-ratio
+    // features (the label is the plant rule, never fed to the model as
+    // a feature). The gate emits a row only if full-corpus accuracy
+    // drops below 0.95; the oracle is the EMPTY relation. Zero-init
+    // fixed-iteration GD keeps the fit deterministic given the corpus.
+    "q110_quality_classifier_gate" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val boiler = Seq("lorem", "ipsum", "dolor", "sit", "amet")
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" lorem ipsum dolor sit amet lorem ipsum")))
+          .otherwise(col("text")))
+      val nTok = greatest(size(words(col("text"))), lit(1)).cast("double")
+      val feats = planted
+        .withColumn("mh", markerHitsAll(col("text"), Seq(boiler, markers.head._2)))
+        .select(col("doc_id"),
+          (element_at(col("mh"), 1) / nTok).as("f_boiler"),
+          (element_at(col("mh"), 2) / nTok).as("f_stop"),
+          (col("doc_id") % 3 === 0).cast("double").as("label"))
+      val fcols = Seq("f_boiler", "f_stop")
+      val model = QualityModel.trainLogistic(
+        QualityModel.sampleFeatures(feats, "doc_id", fcols, "label"),
+        iters = 2000, lr = 2.0)
+      feats
+        .withColumn("pred",
+          (model.score(fcols.map(col)) >= 0.5).cast("double"))
+        .agg(avg((col("pred") === col("label")).cast("double")).as("accuracy"))
+        .filter(col("accuracy") < 0.95)
+        .select(round(col("accuracy"), 6).as("accuracy"),
+          lit(0.95).as("floor"))
+    }),
+
+    // Vocabulary OOV-rate profile (tokenizer-coverage diagnostic): the
+    // top-100 corpus vocabulary stands in for a fixed tokenizer vocab;
+    // per doc, the fraction of token OCCURRENCES falling outside it —
+    // the metric that decides whether a tokenizer (or vocab cut) fits a
+    // corpus. One corpus scan builds the checkpointed (doc, term, tf)
+    // frame (q72's reasoning); the vocab derives from it model-sized
+    // and joins back BROADCAST, so the per-doc fold never re-reads
+    // text and the only wide exchange carries (doc_id, term, tf).
+    "q109_oov_rate" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = true)
+      val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(100)
+        .select(col("term"), lit(1L).as("__in"))
+      tf.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"),
+          sum(when(col("__in").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")
+    }),
+
     // Fixed-size token chunking with overlap (context-window prep):
     // chunk starts are a per-row `sequence` + `posexplode` — pure
     // map-side fan-out, no shuffle, so it streams at scan speed on any
@@ -592,6 +658,28 @@ object TextQueries {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
+    "q110_quality_classifier_gate" ->
+      """SELECT CAST(NULL AS DOUBLE) AS accuracy, CAST(NULL AS DOUBLE) AS floor
+        |WHERE FALSE""".stripMargin,
+    // Vocab cut by (cnt DESC, term ASC) rank <= 100, identical on both
+    // sides; SUMs cast back to BIGINT (DuckDB HUGEINT widening).
+    "q109_oov_rate" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        | tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |        FROM w WHERE term <> '' GROUP BY 1, 2),
+        | vc AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1),
+        | v AS (SELECT term FROM (
+        |        SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC)
+        |          AS rn FROM vc) WHERE rn <= 100),
+        | d AS (SELECT tf.doc_id,
+        |        CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END)
+        |          AS BIGINT) AS n_oov
+        |       FROM tf LEFT JOIN v USING (term) GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q106_shard_shuffle" ->
       """WITH h AS (SELECT doc_id,
         |    ((doc_id + 7) * 2654435761) % 4294967296 AS hh FROM documents),

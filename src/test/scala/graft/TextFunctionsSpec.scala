@@ -6,6 +6,30 @@ import org.apache.spark.sql.functions._
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("QualityModel: GD separates a separable set; score() is the literal sigmoid") {
+    import graft.operators.QualityModel
+    val sample: Array[(Array[Double], Double)] = Array(
+      (Array(0.0, 0.1), 0.0), (Array(0.05, 0.2), 0.0), (Array(0.0, 0.3), 0.0),
+      (Array(0.5, 0.1), 1.0), (Array(0.6, 0.2), 1.0), (Array(0.45, 0.3), 1.0))
+    val m = QualityModel.trainLogistic(sample, iters = 2000, lr = 2.0)
+    def p(x: Array[Double]): Double = {
+      val z = x.zip(m.weights).map { case (a, b) => a * b }.sum + m.bias
+      1.0 / (1.0 + math.exp(-z))
+    }
+    sample.foreach { case (x, y) =>
+      assert((p(x) >= 0.5) === (y == 1.0), s"x=${x.toSeq} p=${p(x)}")
+    }
+    // the column expression computes the identical sigmoid
+    val got = Seq((0.0, 0.1), (0.5, 0.1)).toDF("f1", "f2")
+      .select(m.score(Seq($"f1", $"f2"))).as[Double].collect()
+    got.zip(Seq(Array(0.0, 0.1), Array(0.5, 0.1)).map(p)).foreach {
+      case (g, e) => assert(math.abs(g - e) < 1e-12)
+    }
+    // zero-init fixed-iteration GD: bit-deterministic retrain
+    val m2 = QualityModel.trainLogistic(sample, iters = 2000, lr = 2.0)
+    assert(m.weights.toSeq === m2.weights.toSeq && m.bias === m2.bias)
+  }
+
   test("Scrub.piiStats: counts each class, redacts byte-exactly, skips clean docs") {
     import graft.operators.Scrub
     val docs = Seq(
