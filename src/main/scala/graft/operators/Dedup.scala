@@ -348,6 +348,79 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Incremental NEAR-dup dedup against a historical corpus — the
+    * LSH counterpart to `newAgainstHistory`'s exact-hash anti-join
+    * (q96/q99 cover exact content equality; a crawl increment also
+    * carries boilerplate-edited near-copies that exact hashing never
+    * catches). Returns the batch rows with no history document at or
+    * above `threshold` Jaccard.
+    *
+    * Scale shape: both sides reduce map-side to narrow (id, band-key)
+    * rows; candidates come from the band join (batch keys × history
+    * keys — NOT a self-join, so the candidate space is |batch|-bounded,
+    * the daily-increment regime), and only candidates re-attach shingle
+    * sets for exact-Jaccard verification. At 100 TB the history side's
+    * band keys and shingle sets are PERSISTED layouts maintained by
+    * appending each day's batch (the q107 index-maintenance move
+    * pointed at the dedup index) — the in-flight computation here is
+    * the same plan reading live frames instead of the layout.
+    *
+    * Skew guard: a degenerate band (boilerplate that hashes the whole
+    * crawl into one key) makes the band join quadratic on that key.
+    * The history keys run through `hotKeySaltCensus`: hot bands get
+    * their HISTORY rows salted across ceil(size/maxBandRows)×saltBuckets
+    * slices and the (narrow, ids-only) batch keys replicated to every
+    * slice, so each (batch, history) candidate meets exactly once and
+    * no reducer sees more than ~maxBandRows history rows per band. Cold
+    * bands coalesce to one slice and pay nothing.
+    */
+  def lshNewAgainstHistory(history: DataFrame, batch: DataFrame,
+                           idCol: String, textCol: String, threshold: Double,
+                           n: Int = 3, numPerm: Int = 64,
+                           bands: Int = 8, saltBuckets: Int = 8,
+                           maxBandRows: Int = 4096): DataFrame = {
+    val rows = numPerm / bands
+    def keyed(df: DataFrame, idAs: String, hsAs: String)
+        : (DataFrame, DataFrame) = {
+      val base = graft.GraftSession.fanout(df)
+        .select(col(idCol).as(idAs), shingleHashSet(col(textCol), n).as(hsAs))
+      val keys = base.select(col(idAs), explode(
+        bandKeys(TextOps.minhashSignature(col(hsAs), numPerm), bands, rows))
+        .as("key"))
+      (base, keys)
+    }
+    val (hBase, hKeysRaw) = keyed(history, "__hid", "__hhs")
+    val (bBase, bKeys) = keyed(batch, "__bid", "__bhs")
+    // Two consumers of the history keys (census + join side): checkpoint
+    // the narrow relation once instead of re-running the sketch kernel
+    // over the full history (the rhpCosinePairs reasoning).
+    val hKeys = hKeysRaw.localCheckpoint(eager = true)
+    val (hotSalts, hotRows) = hotKeySaltCensus(hKeys, "key", saltBuckets, maxBandRows)
+    if (hotRows.nonEmpty) {
+      val desc = hotRows.take(20)
+        .map(r => s"key=${r.get(0)} salt=${r.getLong(1)}").mkString("; ")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshNewAgainstHistory: hot bands re-salted (cap=$maxBandRows): $desc")
+    }
+    val h = hKeys.join(broadcast(hotSalts), Seq("key"), "left")
+      .withColumn("__salt_n", coalesce(col("__salt_n"), lit(1L)))
+      .select(col("key"), col("__hid"),
+        pmod(xxhash64(col("__hid")), col("__salt_n")).as("salt"))
+    val b = bKeys.join(broadcast(hotSalts), Seq("key"), "left")
+      .withColumn("__salt_n", coalesce(col("__salt_n"), lit(1L)))
+      .select(col("key"), col("__bid"),
+        explode(sequence(lit(0L), col("__salt_n") - 1)).as("salt"))
+    val cand = b.join(h, Seq("key", "salt"))
+      .select(col("__bid"), col("__hid")).distinct()
+    val dupIds = cand
+      .join(bBase, Seq("__bid"))
+      .join(hBase, Seq("__hid"))
+      .withColumn("__j", ArrayOps.jaccardSorted(col("__bhs"), col("__hhs")))
+      .filter(col("__j") >= threshold)
+      .select(col("__bid").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list by iterative
     * min-label propagation (Pregel-lite on DataFrames): every node
     * adopts the smallest id reachable through its edges until fixpoint.

@@ -103,6 +103,25 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental NEAR-dup dedup (q96's daily-increment regime, LSH
+    // semantics): batch docs with a >= 0.8-Jaccard neighbor in history
+    // are dropped — the boilerplate-edited near-copies exact hashing
+    // (q96/q99) never catches. Candidates come from the batch-keys ×
+    // history-keys band join (|batch|-bounded, never a self-join);
+    // exact-Jaccard verify on the candidates only. The oracle is the
+    // exact NOT-EXISTS over string shingles, which the banded path
+    // matches deterministically in this corpus's near-dup regime
+    // (planted pairs sit far above the band S-curve midpoint).
+    "q111_lsh_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.lshNewAgainstHistory(
+          history = d.filter(col("doc_id") % 3 =!= 0),
+          batch = d.filter(col("doc_id") % 2 === 0),
+          idCol = "doc_id", textCol = "text", threshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Cross-document repeated-gram profile (ExactSubstr-lite): per doc,
     // the fraction of its distinct word 8-grams shared with any other
     // document — the span-level duplication diagnostic. Grams shuffle as
@@ -195,6 +214,23 @@ object DedupQueries {
         |SELECT c.doc_id, COUNT(*) AS n_hit_grams
         |FROM corpus c JOIN bench b ON c.gram = b.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact string-shingle NOT-EXISTS — adjudicates both the 64-bit
+    // shingle hashing and the banded candidate recall (q25's shingle
+    // definition; a banding miss surfaces as a row the oracle drops
+    // and the operator keeps).
+    "q111_lsh_incremental" -> (shingleCte +
+      """
+        |, h AS (SELECT doc_id AS hid, sh AS hsh FROM t WHERE doc_id % 3 <> 0)
+        |, b AS (SELECT doc_id, sh FROM t WHERE doc_id % 2 = 0)
+        |, dup AS (
+        |  SELECT DISTINCT b.doc_id FROM b JOIN h ON
+        |    CAST(len(list_intersect(b.sh, h.hsh)) AS DOUBLE)
+        |      / (len(b.sh) + len(h.hsh) - len(list_intersect(b.sh, h.hsh)))
+        |      >= 0.8)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN b USING (doc_id)
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin),
     // Same gram definition as q59's oracle (8-word grams, whole-text
     // fallback); SUMs cast back to BIGINT (DuckDB widens to HUGEINT).
     "q103_repeated_grams" ->

@@ -228,6 +228,44 @@ class DedupSpec extends SparkSpec {
     assert(!Dedup.newAgainstHistory(history, batch, "text").columns.contains("__fp"))
   }
 
+  test("lshNewAgainstHistory: drops near-dups of history, keeps novel + NULL text") {
+    // History holds doc 1; the batch carries its near-dup (j = 7/9, far
+    // above the bands=32 S-curve at threshold 0.5), a novel doc, and a
+    // NULL text. The near-dup is dropped; the novel doc survives; NULL
+    // text has no shingles, so — like newAgainstHistory's SQL-equality
+    // semantics — it can never match history and is kept as new.
+    val history = docsDf.filter(col("doc_id") === 1L)
+    val batch = Seq(
+      (10L, "en", "the quick brown fox jumps over the lazy dog today"),
+      (11L, "en", "completely different words in this unrelated sentence here now"),
+      (12L, "en", null.asInstanceOf[String])
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.lshNewAgainstHistory(history, batch, "doc_id", "text",
+        threshold = 0.5, bands = 32)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(11L, 12L))
+    // Output schema is the batch's own — no helper columns leak.
+    assert(Dedup.lshNewAgainstHistory(history, batch, "doc_id", "text",
+      threshold = 0.5, bands = 32).columns.toSeq === batch.columns.toSeq)
+  }
+
+  test("lshNewAgainstHistory: salting-invariant under a forced hot-band re-salt") {
+    // maxBandRows=2 pushes essentially every history band through the
+    // proportional re-salt path; the salted/replicated scheme meets each
+    // (batch, history) candidate exactly once, so the verified survivor
+    // set cannot move.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    def run(salts: Int, cap: Int) =
+      Dedup.lshNewAgainstHistory(history, batch, "doc_id", "text",
+          threshold = 0.8, saltBuckets = salts, maxBandRows = cap)
+        .select("doc_id").as[Long].collect().toSet
+    val cold = run(8, 4096)
+    assert(cold.nonEmpty && cold.size < batch.count())
+    assert(cold === run(4, 2))
+  }
+
   test("saltCensus fails loudly (names the block) instead of wrapping past the cap") {
     // 100 rows in one block, cap 1 row/slice, 16 base salts -> 1600
     // slices, over the deliberately tiny 512 cap: must throw with the
