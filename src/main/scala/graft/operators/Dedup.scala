@@ -319,6 +319,112 @@ object Dedup {
         round(col("n_shared") / col("n_grams"), 6))
   }
 
+  /** Duplicate-SPAN profile (ExactSubstr, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): per document, the
+    * maximal contiguous word intervals covered by `n`-grams that also
+    * occur in at least one OTHER document. Where `repeatedGramProfile`
+    * answers "how much of this doc is duplicated", this answers "WHICH
+    * spans" — the unit a span-level dedup pass actually excises.
+    * Documents shorter than n words participate as one whole-text gram
+    * spanning [0, len). Intervals that overlap or touch merge into one
+    * span (gaps-and-islands over a running max-end).
+    *
+    * Scale shape: positional grams travel as (id, pos, end, 8-byte
+    * xxhash64) — the text never shuffles. Three narrow exchanges: the
+    * gram doc-frequency aggregation (column-pruned to (gram, id) with
+    * map-side partial distinct), the hash semi-join attaching the
+    * cross-doc flag back to positions, and one id-keyed exchange for
+    * the per-document island window (doc-length bounded per key). The
+    * gram relation feeds two consumers and is deliberately RECOMPUTED,
+    * not checkpointed: positional grams are ~n× the text bytes, so
+    * materializing them (the q111 band-key checkpoint move, right for
+    * narrow 8-keys-per-doc relations) would cost more than the second
+    * column-pruned scan. Hash-for-string gram equality is the
+    * `contaminationHits` adjudication (~2^-64 per pair; the q112
+    * string-level oracle would surface a collision).
+    *
+    * Output: (idCol, span_start, span_end, span_words) — [start, end)
+    * word offsets, one row per merged span, docs with no duplicated
+    * gram absent.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.GraftSession.fanout(docs)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .withColumn("__nw", size(col("__w")))
+    val positional = base.filter(col("__nw") >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), col("__nw") - n),
+        i => struct(i.as("pos"), (i + n).as("e"),
+          xxhash64(concat_ws(" ", slice(col("__w"), i + 1, lit(n)))).as("g"))))
+        .as("__s"))
+    val whole = base.filter(col("__nw") < n)
+      .select(col(idCol), struct(lit(0).as("pos"), col("__nw").as("e"),
+        xxhash64(concat_ws(" ", col("__w"))).as("g")).as("__s"))
+    val grams = positional.unionByName(whole)
+      .select(col(idCol), col("__s.pos").as("__pos"),
+        col("__s.e").as("__e"), col("__s.g").as("__g"))
+    // A gram repeated only WITHIN one doc is not boilerplate: the
+    // cross-document criterion is distinct-doc frequency > 1.
+    val dupG = grams.groupBy(col("__g"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > 1)
+      .select(col("__g"))
+    val dup = grams.join(dupG, Seq("__g"))
+      .select(col(idCol), col("__pos"), col("__e"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"), col("__e"))
+    val prevMax = max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = sum(when(prevMax.isNull || col("__pos") > prevMax, 1L)
+      .otherwise(0L)).over(w)
+    dup.withColumn("__isl", isl)
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        max(col("__e")).cast("long").as("span_end"))
+      .withColumn("span_words", col("span_end") - col("span_start"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_words"))
+  }
+
+  /** Span-level dedup scrub: remove every `duplicateSpans` interval from
+    * the text and reassemble what is left — the ExactSubstr EXCISION
+    * pass (document-level dedup throws away the whole doc; span-level
+    * keeps the novel remainder, which at crawl scale is most of the
+    * value in partially-boilerplate pages).
+    *
+    * Scale shape: the span relation is narrow (id, start, end) and
+    * corpus-bounded in rows, then collapses to one array per affected
+    * doc; the corpus pays exactly ONE wide exchange — the id-keyed join
+    * attaching each doc's edit list — which is the information-theoretic
+    * minimum for per-document edits (AQE broadcasts the span side when
+    * few docs are affected). The rewrite itself is a map-side
+    * higher-order `filter`/`exists` over the word array — codegen'd,
+    * no UDF. NULL text stays NULL; a fully-duplicated doc comes back as
+    * the empty string with n_kept = 0 (kept distinct from NULL).
+    *
+    * Output: the input row plus (clean_text, n_kept).
+    */
+  def exciseDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val words = split(col(textCol), " ")
+    val kept = filter(words, (_, i) =>
+      !exists(col("__spans"), s =>
+        i >= s.getField("span_start") && i < s.getField("span_end")))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("clean_text",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .when(col("__spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", kept)))
+      .withColumn("n_kept",
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .when(col("__spans").isNull, size(words).cast("long"))
+          .otherwise(size(kept).cast("long")))
+      .drop("__spans")
+  }
+
   /** Incremental dedup against a historical corpus — the daily-increment
     * shape at 100 TB: history is petabytes and append-only, today's batch
     * is small, and re-deduplicating the union from scratch every day is

@@ -27,6 +27,38 @@ object DedupQueries {
       |     FROM (SELECT string_split(text, ' ') AS w)) AS sh
       |  FROM documents)""".stripMargin
 
+  /** Shared oracle CTE: merged cross-document duplicated-8-gram spans
+    * per doc (the q112 semantics; q113's oracle builds on it). Island
+    * numbering differs from the operator's (0- vs 1-based) but the
+    * BREAK condition — pos > running max end over (pos, e) order — is
+    * identical, and islands are only ever grouped by, never emitted.
+    */
+  private val spanCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      | g1 AS (SELECT doc_id, pos, pos + 8 AS e,
+      |         array_to_string(w[pos+1:pos+8], ' ') AS gram
+      |        FROM (SELECT doc_id, w, unnest(range(len(w)-7)) AS pos
+      |              FROM t WHERE len(w) >= 8)),
+      | g2 AS (SELECT doc_id, 0 AS pos, len(w) AS e,
+      |         array_to_string(w, ' ') AS gram FROM t WHERE len(w) < 8),
+      | g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+      | f AS (SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df
+      |                         FROM g GROUP BY 1) WHERE df > 1),
+      | d AS (SELECT doc_id, pos, e FROM g JOIN f USING (gram)),
+      | m AS (SELECT doc_id, pos, e,
+      |        CASE WHEN pos > MAX(e) OVER (PARTITION BY doc_id
+      |             ORDER BY pos, e
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |          THEN 1 ELSE 0 END AS brk
+      |       FROM d),
+      | s AS (SELECT doc_id, pos, e,
+      |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos, e
+      |          ROWS UNBOUNDED PRECEDING) AS isl
+      |       FROM m),
+      | spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end
+      |           FROM s GROUP BY doc_id, isl)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: representative + multiplicity per key (A7 at scale).
     "q22_dedup_exact" -> ((s, dir) => {
@@ -119,6 +151,27 @@ object DedupQueries {
           batch = d.filter(col("doc_id") % 2 === 0),
           idCol = "doc_id", textCol = "text", threshold = 0.8)
         .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Duplicate-span profile (ExactSubstr): per doc, the merged [start,
+    // end) word intervals covered by cross-document duplicated 8-grams —
+    // the spans a span-level dedup pass excises. Text never shuffles
+    // (positional grams travel as 8-byte hashes); interval merge is a
+    // per-doc gaps-and-islands window.
+    "q112_duplicate_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // Span excision (the ExactSubstr scrub): remove every q112 span and
+    // reassemble the remainder — keeps the novel tail of partially-
+    // boilerplate docs instead of dropping them whole. One id-keyed
+    // exchange attaches each doc's edit list; the rewrite is a map-side
+    // codegen'd higher-order filter.
+    "q113_span_excision" -> ((s, dir) => {
+      Dedup.exciseDuplicateSpans(docs(s, dir), "doc_id", "text", n = 8)
+        .select("doc_id", "clean_text", "n_kept")
         .orderBy("doc_id")
     }),
 
@@ -231,6 +284,32 @@ object DedupQueries {
         |FROM documents d JOIN b USING (doc_id)
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY doc_id""".stripMargin),
+    // String-level gram identity (adjudicates the operator's xxhash64
+    // gram equality) + the same gaps-and-islands merge.
+    "q112_duplicate_spans" -> (spanCte +
+      """
+        |SELECT doc_id, span_start, span_end,
+        |  CAST(span_end - span_start AS BIGINT) AS span_words
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin),
+    // Excision tail on the shared span CTE: keep words outside every
+    // span, reassemble in position order; fully-scrubbed docs come back
+    // as '' / 0 (LEFT JOIN + COALESCE), NULL text stays NULL.
+    "q113_span_excision" -> (spanCte +
+      """
+        |, wp AS (SELECT doc_id, pos, w[pos+1] AS word
+        |         FROM (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t)),
+        | kept AS (SELECT wp.* FROM wp WHERE NOT EXISTS (
+        |            SELECT 1 FROM spans sp WHERE sp.doc_id = wp.doc_id
+        |              AND wp.pos >= sp.span_start AND wp.pos < sp.span_end)),
+        | agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS ct,
+        |          CAST(COUNT(*) AS BIGINT) AS nk FROM kept GROUP BY 1)
+        |SELECT dd.doc_id,
+        |  COALESCE(a.ct, CASE WHEN dd.text IS NULL THEN NULL ELSE '' END)
+        |    AS clean_text,
+        |  COALESCE(a.nk, CASE WHEN dd.text IS NULL THEN NULL
+        |    ELSE CAST(0 AS BIGINT) END) AS n_kept
+        |FROM documents dd LEFT JOIN agg a USING (doc_id)
+        |ORDER BY dd.doc_id""".stripMargin),
     // Same gram definition as q59's oracle (8-word grams, whole-text
     // fallback); SUMs cast back to BIGINT (DuckDB widens to HUGEINT).
     "q103_repeated_grams" ->

@@ -266,6 +266,51 @@ class DedupSpec extends SparkSpec {
     assert(cold === run(4, 2))
   }
 
+  private def spanCorpus = {
+    // Doc 1 embeds a 12-word run shared with doc 2 at offset 4; with
+    // n=8 the duplicated grams start at positions 4..8 (doc 1) / 0..4
+    // (doc 2), merging to exactly the shared run: [4,16) / [0,12).
+    // Docs 5/6 are identical 5-word shorties (whole-text gram, span
+    // [0,5)); doc 7 repeats an 8-gram WITHIN itself only (distinct-doc
+    // frequency 1 — not boilerplate); doc 3 is novel, doc 4 NULL.
+    val run = (0 until 12).map(i => s"r$i").mkString(" ")
+    Seq(
+      (1L, s"a0 a1 a2 a3 $run a4 a5 a6 a7"),
+      (2L, s"$run b0 b1 b2 b3 b4 b5 b6 b7"),
+      (3L, "novel words only here nothing shared with anyone else at all"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "tiny dup doc case x"),
+      (6L, "tiny dup doc case x"),
+      (7L, ((0 until 8) ++ (0 until 8)).map(i => s"g$i").mkString(" "))
+    ).toDF("doc_id", "text")
+  }
+
+  test("duplicateSpans: merged cross-doc spans; intra-doc repeats don't count") {
+    val out = Dedup.duplicateSpans(spanCorpus, "doc_id", "text", n = 8)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 16L, 12L), (2L, 0L, 12L, 12L),
+      (5L, 0L, 5L, 5L), (6L, 0L, 5L, 5L)))
+  }
+
+  test("exciseDuplicateSpans: scrubs spans, keeps novel text, '' distinct from NULL") {
+    val out = Dedup.exciseDuplicateSpans(spanCorpus, "doc_id", "text", n = 8)
+      .select("doc_id", "clean_text", "n_kept")
+      .orderBy("doc_id")
+      .as[(Long, String, java.lang.Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a0 a1 a2 a3 a4 a5 a6 a7", 8L: java.lang.Long),
+      (2L, "b0 b1 b2 b3 b4 b5 b6 b7", 8L: java.lang.Long),
+      (3L, "novel words only here nothing shared with anyone else at all",
+        11L: java.lang.Long),
+      (4L, null, null),
+      (5L, "", 0L: java.lang.Long),
+      (6L, "", 0L: java.lang.Long),
+      (7L, "g0 g1 g2 g3 g4 g5 g6 g7 g0 g1 g2 g3 g4 g5 g6 g7",
+        16L: java.lang.Long)))
+  }
+
   test("saltCensus fails loudly (names the block) instead of wrapping past the cap") {
     // 100 rows in one block, cap 1 row/slice, 16 base salts -> 1600
     // slices, over the deliberately tiny 512 cap: must throw with the

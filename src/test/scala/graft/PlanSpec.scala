@@ -119,6 +119,22 @@ class PlanSpec extends SparkSpec {
       "documents scan must be pruned to (doc_id, text):\n" + p.take(3000))
   }
 
+  test("q112 span profile: scan pruned to (doc_id, text); gram agg partial") {
+    val p = planOf("q112_duplicate_spans")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan must be pruned to (doc_id, text):\n" + p.take(3000))
+    assert(p.contains("partial_count"),
+      "gram doc-frequency must map-side combine:\n" + p.take(3000))
+  }
+
+  test("q113 excision rewrite is a codegen'd higher-order filter, not a UDF") {
+    val p = planOf("q113_span_excision")
+    assert(p.toLowerCase.contains("lambdafunction"),
+      "word-keep rewrite must be a higher-order array filter:\n" + p.take(3000))
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("mappartitions"),
+      "rewrite must stay on the codegen path:\n" + p.take(3000))
+  }
+
   test("q50 top-k aggregator merges partial heaps map-side") {
     val p = planOf("q50_topk_aggregator").toLowerCase
     assert(p.contains("partial_topkaggregator"),
