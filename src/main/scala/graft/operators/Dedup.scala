@@ -425,6 +425,53 @@ object Dedup {
       .drop("__spans")
   }
 
+  /** Cross-corpus overlap matrix: pairwise Jaccard between the distinct
+    * `n`-gram sets of each group (source / crawl snapshot / subcorpus) —
+    * the corpus-level contamination diagnostic that decides which
+    * sources need a cross-dedup pass before mixing.
+    *
+    * Contract: `groupCol` is a LOW-cardinality corpus tag (crawls,
+    * snapshots, named sources — tens to thousands), not a per-document
+    * key. Under that contract the plan avoids the gram self-join
+    * entirely: one (group, gram-hash) distinct, then a per-gram
+    * `collect_set` whose state is bounded by the group count k, then
+    * pair expansion MAP-SIDE with higher-order transforms (≤ k(k-1)/2
+    * structs per gram, only for grams in >1 group) into a final
+    * k²-bounded aggregate. No stage shuffles more than (tag, 8-byte
+    * hash) rows; a self-join formulation would instead re-shuffle the
+    * gram relation and fan hot grams quadratically through a reducer.
+    *
+    * Output: (src_a, src_b, n_common, jaccard 6dp), src_a < src_b,
+    * pairs with no shared gram absent.
+    */
+  def crossCorpusOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val grams = graft.GraftSession.fanout(docs)
+      .select(col(groupCol).as("__grp"),
+        explode(shingleHashSet(col(textCol), n)).as("__g"))
+      .distinct()
+    val sizes = grams.groupBy(col("__grp")).agg(count(lit(1)).as("__n"))
+    val byGram = grams.groupBy(col("__g"))
+      .agg(sort_array(collect_set(col("__grp"))).as("__gs"))
+      .filter(size(col("__gs")) > 1)
+    val m = size(col("__gs"))
+    val pairs = byGram.select(explode(flatten(transform(
+      sequence(lit(0), m - 2),
+      i => transform(sequence(i + 1, m - 1),
+        j => struct(element_at(col("__gs"), i + 1).as("src_a"),
+          element_at(col("__gs"), j + 1).as("src_b")))))).as("__p"))
+      .select(col("__p.src_a"), col("__p.src_b"))
+    pairs.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("__grp").as("src_a"), col("__n").as("__na"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("__grp").as("src_b"), col("__n").as("__nb"))),
+        Seq("src_b"))
+      .withColumn("jaccard",
+        round(col("n_common") / (col("__na") + col("__nb") - col("n_common")), 6))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("jaccard"))
+  }
+
   /** Incremental dedup against a historical corpus — the daily-increment
     * shape at 100 TB: history is petabytes and append-only, today's batch
     * is small, and re-deduplicating the union from scratch every day is

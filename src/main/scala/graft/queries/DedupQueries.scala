@@ -175,6 +175,15 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-source contamination matrix: pairwise gram-set Jaccard
+    // between sources. No gram self-join — per-gram collect_set is
+    // bounded by the group count, pairs expand map-side; nothing wider
+    // than (tag, 8-byte hash) shuffles.
+    "q114_source_overlap" -> ((s, dir) => {
+      Dedup.crossCorpusOverlap(docs(s, dir), "source", "text", n = 8)
+        .orderBy("src_a", "src_b")
+    }),
+
     // Cross-document repeated-gram profile (ExactSubstr-lite): per doc,
     // the fraction of its distinct word 8-grams shared with any other
     // document — the span-level duplication diagnostic. Grams shuffle as
@@ -284,6 +293,28 @@ object DedupQueries {
         |FROM documents d JOIN b USING (doc_id)
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY doc_id""".stripMargin),
+    // q103's gram definition (8-word grams, whole-text fallback) at the
+    // source level; the oracle's pair join is the semantics statement —
+    // the operator must produce it without the self-join.
+    "q114_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        | g AS (SELECT source, CASE WHEN len(w) >= 8 THEN
+        |         list_transform(range(len(w)-7),
+        |           i -> array_to_string(w[i+1:i+8], ' '))
+        |        ELSE [array_to_string(w, ' ')] END AS gs FROM t),
+        | d AS (SELECT DISTINCT grp, gram FROM
+        |        (SELECT source AS grp, unnest(gs) AS gram FROM g)),
+        | s AS (SELECT grp, COUNT(*) AS n FROM d GROUP BY 1),
+        | c AS (SELECT a.grp AS src_a, b.grp AS src_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_common
+        |       FROM d a JOIN d b ON a.gram = b.gram AND a.grp < b.grp
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+        |    AS jaccard
+        |FROM c JOIN s sa ON sa.grp = c.src_a JOIN s sb ON sb.grp = c.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // String-level gram identity (adjudicates the operator's xxhash64
     // gram equality) + the same gaps-and-islands merge.
     "q112_duplicate_spans" -> (spanCte +

@@ -311,6 +311,20 @@ class DedupSpec extends SparkSpec {
         16L: java.lang.Long)))
   }
 
+  test("crossCorpusOverlap: hand-computed Jaccard, disjoint and NULL sources absent") {
+    // Short texts are whole-text grams: A={x,y}, B={y,z}, C={q}; the
+    // NULL text contributes nothing to B's set size. Only (A,B) share:
+    // n_common 1, jaccard 1/(2+2-1) = 1/3.
+    val corpus = Seq(
+      (1L, "A", "x"), (2L, "A", "y"),
+      (3L, "B", "y"), (4L, "B", "z"), (5L, "B", null.asInstanceOf[String]),
+      (6L, "C", "q")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.crossCorpusOverlap(corpus, "source", "text", n = 8)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(("A", "B", 1L, 0.333333)))
+  }
+
   test("saltCensus fails loudly (names the block) instead of wrapping past the cap") {
     // 100 rows in one block, cap 1 row/slice, 16 base salts -> 1600
     // slices, over the deliberately tiny 512 cap: must throw with the

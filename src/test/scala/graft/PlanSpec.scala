@@ -135,6 +135,16 @@ class PlanSpec extends SparkSpec {
       "rewrite must stay on the codegen path:\n" + p.take(3000))
   }
 
+  test("q114 overlap matrix has no gram self-join: set agg + broadcast sizes only") {
+    val p = planOf("q114_source_overlap")
+    assert(p.toLowerCase.contains("partial_collect_set"),
+      "per-gram group sets must map-side combine:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "the gram relation must never self-join:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"),
+      "size lookups must broadcast:\n" + p.take(3000))
+  }
+
   test("q50 top-k aggregator merges partial heaps map-side") {
     val p = planOf("q50_topk_aggregator").toLowerCase
     assert(p.contains("partial_topkaggregator"),
