@@ -98,6 +98,25 @@ object SimilarityQueries {
         .select(col("mean_recall"), lit(0.8).as("recall_floor"))
     }),
 
+    // Distributed Lloyd refinement referee gate: sample-train an IVF
+    // model, refine it over the FULL corpus (one map-side-combined agg
+    // per round — corpus never shuffles), and emit any round where the
+    // spherical objective DECREASED (Lloyd guarantees non-decreasing;
+    // a violation means the update step is not the assignment's
+    // maximizer). Oracle is the empty relation.
+    "q115_kmeans_refine_gate" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val init = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+        nlist = 16, iters = 2)
+      val (_, objs) = Similarity.kmeansRefine(e, "vec_id", "embedding",
+        init, iters = 4)
+      val viol = (1 until objs.length).collect {
+        case i if objs(i) < objs(i - 1) - 1e-9 => (i, objs(i - 1), objs(i))
+      }.toSeq
+      import s.implicits._
+      viol.toDF("iter", "obj_prev", "obj")
+    }),
+
     // Same top-k semantics as q31 but via the bounded TopKAggregator
     // (map-side partial heaps, k rows shuffled per group-partition
     // instead of the full score matrix) — shares q31's oracle shape.
@@ -421,6 +440,10 @@ object SimilarityQueries {
     "q82_pq_ann" ->
       """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
         |  CAST(NULL AS DOUBLE) AS recall_floor
+        |WHERE FALSE""".stripMargin,
+    "q115_kmeans_refine_gate" ->
+      """SELECT CAST(NULL AS INTEGER) AS iter, CAST(NULL AS DOUBLE) AS obj_prev,
+        |  CAST(NULL AS DOUBLE) AS obj
         |WHERE FALSE""".stripMargin,
     // q49 on the planted fixture: identical vectors share every band key,
     // so LSH output ≡ exact pairs ≥ 0.9 — a real hash gate, not rows-only.

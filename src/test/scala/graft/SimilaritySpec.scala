@@ -340,6 +340,53 @@ class SimilaritySpec extends SparkSpec {
     assert(t.length === 1 && t.head._3 === 5)
   }
 
+  test("kmeansRefine: hand-computed 2-d convergence, monotone objective, unit centroids") {
+    // Points split into the (1,0)-ish and (0,1)-ish half; init at the
+    // axes. Round 1 objective = 1+0.8+1+0.8 = 3.6; the update moves each
+    // centroid to the normalized half-mean (0.9487, 0.3162)/(0.3162,
+    // 0.9487), under which every point scores 0.9487 -> round 2
+    // objective 3.7947 and a fixed point thereafter.
+    val pts = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.8, 0.6)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.6, 0.8))
+    ).toDF("vec_id", "embedding")
+    val init = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val (cents, objs) = Similarity.kmeansRefine(pts, "vec_id", "embedding", init, iters = 3)
+    assert(math.abs(objs(0) - 3.6) < 1e-9)
+    assert(math.abs(objs(1) - 3.7947331922020545) < 1e-9)
+    assert(objs.sliding(2).forall(w => w(1) >= w(0) - 1e-9), objs.toSeq.toString)
+    val exp = Array(Array(0.9486832980505138, 0.31622776601683794),
+      Array(0.31622776601683794, 0.9486832980505138))
+    for (c <- 0 until 2; d <- 0 until 2)
+      assert(math.abs(cents(c)(d) - exp(c)(d)) < 1e-9, cents.map(_.toSeq).toSeq.toString)
+    for (c <- cents)
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-12)
+  }
+
+  test("kmeansRefine: emptied cluster keeps its centroid; NULL vectors skipped; deterministic") {
+    val pts = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, null.asInstanceOf[Array[Double]])
+    ).toDF("vec_id", "embedding")
+    // Centroid 1 at the antipode attracts nothing and must survive
+    // unchanged (a dropped cluster would shrink the IVF model).
+    val init = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val (c1, o1) = Similarity.kmeansRefine(pts, "vec_id", "embedding", init, iters = 2)
+    assert(c1(1).toSeq === Seq(-1.0, 0.0))
+    val (c2, o2) = Similarity.kmeansRefine(pts, "vec_id", "embedding", init, iters = 2)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq && o1.toSeq === o2.toSeq)
+  }
+
+  test("lloydRound plan: fused assignment kernel, map-side vector partials, one exchange") {
+    val pts = Tables.load(spark, sfDir, "embeddings")
+      .select(transform(col("embedding"), x => x.cast("double")).as("__u"))
+    val cents = Array(Array.fill(64)(0.125), Array.tabulate(64)(i => if (i % 2 == 0) 0.17 else -0.1))
+    val plan = Similarity.lloydRound(pts, cents).queryExecution.executedPlan.toString
+    assert(plan.contains("argtopk_cosine"), plan.take(2000))
+    assert(plan.toLowerCase.contains("partial_vecmeanaggregator"), plan.take(2000))
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 2, plan.take(3000))
+  }
+
   test("VecMeanAggregator: skips nulls, rejects mixed dimensions") {
     val vmean = udaf(new graft.functions.VecMeanAggregator)
     val ok = Seq((1, Seq(1.0, 3.0)), (1, Seq(3.0, 5.0))).toDF("g", "v")
