@@ -432,6 +432,36 @@ object PqEncode {
   }
 }
 
+/** Codegen'd membership probe against a pre-built Bloom filter
+  * (`org.apache.spark.util.sketch.BloomFilter`, the mergeable sketch
+  * `DataFrameStatFunctions.bloomFilter` trains distributively). The
+  * filter rides along as a codegen reference object — serialized once
+  * with the plan, probed with `mightContainLong` per row, no UDF and no
+  * per-row (de)serialization. Spark's own runtime `BloomFilterMightContain`
+  * is planner-internal (injected by the InjectRuntimeFilter rule, not
+  * constructible from the public API), hence this expression.
+  */
+case class BloomMightContainLong(child: Expression,
+                                 filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_long"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bf = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $bf.mightContainLong($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the expressions above. */
 object ArrayOps {
   private def expr2(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
@@ -457,4 +487,9 @@ object ArrayOps {
   /** PQ codes + squared reconstruction error against literal codebooks. */
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), codebooks))
+
+  /** Membership probe of a long column against a pre-built Bloom filter. */
+  def bloomMightContainLong(c: Column,
+                            bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(BloomMightContainLong(ColumnBridge.expression(c), bf))
 }

@@ -501,6 +501,50 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Bloom-prefiltered incremental dedup: identical OUTPUT to
+    * `newAgainstHistory` (exact content-equality keep), but the batch
+    * is first probed against a Bloom filter of the history fingerprints
+    * so only the sketch-POSITIVE slice pays the anti-join exchange.
+    * Bloom filters have NO false negatives, so a negative probe proves
+    * the row is new and it bypasses the join entirely — the exchange
+    * shrinks from |batch| to |true dups| + fpp·|new|, which in the
+    * daily-crawl regime (mostly-novel batches) is the difference
+    * between shuffling the batch and shuffling almost nothing.
+    *
+    * Scale shape: the sketch trains DISTRIBUTIVELY (mergeable per-
+    * partition partials via `stat.bloomFilter`) over the map-side
+    * fingerprint projection — history text never leaves its executors —
+    * and ships to batch executors once as a plan reference object
+    * probed by the codegen'd `bloom_might_contain_long` kernel (no UDF).
+    * Size the sketch for the tier: ~9.6 bits/item at fpp=1% (1e9-doc
+    * history ⇒ ~1.2 GB), and at 100 TB the filter is the thing you
+    * PERSIST and maintain incrementally (`mergeInPlace` of each day's
+    * batch sketch) instead of rebuilding — the q107 index-maintenance
+    * move applied to the dedup sketch. Correctness never depends on
+    * sketch quality: false positives are re-checked by the exact
+    * fingerprint anti-join, false negatives don't exist.
+    *
+    * NULL batch text probes NULL → kept as new, matching
+    * `newAgainstHistory`'s SQL anti-join semantics.
+    */
+  def bloomNewAgainstHistory(history: DataFrame, batch: DataFrame,
+                             textCol: String, expectedItems: Long = 1L << 20,
+                             fpp: Double = 0.01): DataFrame = {
+    val fp = when(col(textCol).isNotNull, xxhash64(col(textCol)))
+    val bf = history.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("__fp"))
+      .stat.bloomFilter("__fp", expectedItems, fpp)
+    val marked = batch.withColumn("__fp", fp)
+      .withColumn("__maybe",
+        coalesce(ArrayOps.bloomMightContainLong(col("__fp"), bf), lit(false)))
+    val histFp = history.select(fp.as("__fp")).distinct()
+    val verified = marked.filter(col("__maybe"))
+      .join(histFp, Seq("__fp"), "left_anti")
+    marked.filter(!col("__maybe"))
+      .unionByName(verified)
+      .drop("__maybe", "__fp")
+  }
+
   /** Incremental NEAR-dup dedup against a historical corpus — the
     * LSH counterpart to `newAgainstHistory`'s exact-hash anti-join
     * (q96/q99 cover exact content equality; a crawl increment also

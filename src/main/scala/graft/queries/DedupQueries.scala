@@ -175,6 +175,20 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered incremental dedup: q96's exact semantics, but
+    // only the sketch-positive slice of the batch pays the anti-join
+    // exchange (no false negatives ⇒ negatives are provably new). Full
+    // hash gate — sketch quality affects cost, never output.
+    "q116_bloom_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomNewAgainstHistory(
+          history = d.filter(col("doc_id") % 3 =!= 0),
+          batch = d.filter(col("doc_id") % 2 === 0),
+          textCol = "text", expectedItems = 1L << 16)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Cross-source contamination matrix: pairwise gram-set Jaccard
     // between sources. No gram self-join — per-gram collect_set is
     // bounded by the group count, pairs expand map-side; nothing wider
@@ -293,6 +307,15 @@ object DedupQueries {
         |FROM documents d JOIN b USING (doc_id)
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY doc_id""".stripMargin),
+    // q96's string-level NOT EXISTS verbatim: the Bloom path must be
+    // output-indistinguishable from the plain anti-join.
+    "q116_bloom_incremental" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents b
+        |WHERE b.doc_id % 2 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents h
+        |                  WHERE h.doc_id % 3 <> 0 AND h.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
     // q103's gram definition (8-word grams, whole-text fallback) at the
     // source level; the oracle's pair join is the semantics statement —
     // the operator must produce it without the self-join.

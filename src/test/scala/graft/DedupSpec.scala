@@ -311,6 +311,27 @@ class DedupSpec extends SparkSpec {
         16L: java.lang.Long)))
   }
 
+  test("bloomNewAgainstHistory ≡ newAgainstHistory; NULL text survives; fpp-invariant") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val history = d.filter(col("doc_id") % 3 =!= 0)
+    val batch = Seq(
+      (9000L, "en", "brand new words never seen in any history document"),
+      (9001L, "en", null.asInstanceOf[String])
+    ).toDF("doc_id", "lang", "text")
+      .unionByName(d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang", "text"))
+    val exact = Dedup.newAgainstHistory(history, batch, "text")
+      .select("doc_id").as[Long].collect().toSet
+    // A deliberately under-sized sketch (high fpp) forces many batch
+    // rows through the verify join: the OUTPUT cannot move.
+    for (items <- Seq(1L << 4, 1L << 16)) {
+      val out = Dedup.bloomNewAgainstHistory(history, batch, "text",
+          expectedItems = items)
+        .select("doc_id").as[Long].collect().toSet
+      assert(out === exact, s"expectedItems=$items")
+    }
+    assert(exact.contains(9000L) && exact.contains(9001L))
+  }
+
   test("crossCorpusOverlap: hand-computed Jaccard, disjoint and NULL sources absent") {
     // Short texts are whole-text grams: A={x,y}, B={y,z}, C={q}; the
     // NULL text contributes nothing to B's set size. Only (A,B) share:

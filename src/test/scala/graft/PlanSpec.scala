@@ -135,6 +135,14 @@ class PlanSpec extends SparkSpec {
       "rewrite must stay on the codegen path:\n" + p.take(3000))
   }
 
+  test("q116 probes the codegen'd bloom kernel below the anti-join") {
+    val p = planOf("q116_bloom_incremental")
+    assert(p.contains("bloom_might_contain_long"),
+      "batch must be bloom-prefiltered before the anti-join:\n" + p.take(3000))
+    assert(p.contains("LeftAnti"),
+      "sketch positives must still verify via the exact anti-join:\n" + p.take(3000))
+  }
+
   test("q114 overlap matrix has no gram self-join: set agg + broadcast sizes only") {
     val p = planOf("q114_source_overlap")
     assert(p.toLowerCase.contains("partial_collect_set"),
