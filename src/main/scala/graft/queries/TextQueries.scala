@@ -14,6 +14,27 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** Referee for an approximate percentile: joins claimed (group, value,
+    * n) stats back to the data, computes the value's exact rank range
+    * [rank_lt+1, rank_lt+n_eq], and emits every group where the claim
+    * is not a real element (n_eq = 0) or its rank range misses the
+    * ±n/acc window around p·n — the exact guarantee
+    * `percentile_approx` publishes. Exposed for the spec to feed a
+    * corrupted stats frame and prove the referee fires.
+    */
+  private[graft] def percentileViolations(d: DataFrame, groupCol: String,
+      valCol: String, stats: DataFrame, p: Double, acc: Int): DataFrame =
+    d.join(stats, Seq(groupCol))
+      .groupBy(col(groupCol), col("v"), col("n"))
+      .agg(sum(when(col(valCol) < col("v"), 1L).otherwise(0L)).as("rank_lt"),
+        sum(when(col(valCol) === col("v"), 1L).otherwise(0L)).as("n_eq"))
+      .withColumn("lo", floor((lit(p) - lit(1.0) / acc) * col("n")))
+      .withColumn("hi", ceil((lit(p) + lit(1.0) / acc) * col("n")))
+      .filter(col("n_eq") === 0 ||
+        (col("rank_lt") + col("n_eq")) < col("lo") ||
+        (col("rank_lt") + 1) > col("hi"))
+      .select(col(groupCol), col("v"), col("n"), col("rank_lt"), col("n_eq"))
+
   /** Multiplicative doc-id hash shared by q45/q70/q76 — one definition
     * so the three Spark sites and their DuckDB mirrors
     * (`(doc_id * 2654435761) % 4294967296`) cannot drift apart.
@@ -297,6 +318,22 @@ object TextQueries {
     // frame (q72's reasoning); the vocab derives from it model-sized
     // and joins back BROADCAST, so the per-doc fold never re-reads
     // text and the only wide exchange carries (doc_id, term, tf).
+    // Approximate-percentile referee gate: `percentile_approx` is the
+    // mergeable quantile sketch a 100 TB length/quality profile runs on
+    // (exact percentiles need a full sort; the sketch merges map-side).
+    // Its published contract — the returned value is a REAL element
+    // whose exact rank lies within ±n/accuracy of the target — is
+    // re-checked here against exact rank counts; violations emit,
+    // oracle is the empty relation.
+    "q117_percentile_gate" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("bigint"))
+      val stats = d.groupBy(col("lang"))
+        .agg(percentile_approx(col("n_tokens"), lit(0.5), lit(100)).as("v"),
+          count(lit(1)).as("n"))
+      percentileViolations(d, "lang", "n_tokens", stats, p = 0.5, acc = 100)
+    }),
+
     "q109_oov_rate" -> ((s, dir) => {
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -660,6 +697,11 @@ object TextQueries {
         |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
     "q110_quality_classifier_gate" ->
       """SELECT CAST(NULL AS DOUBLE) AS accuracy, CAST(NULL AS DOUBLE) AS floor
+        |WHERE FALSE""".stripMargin,
+    "q117_percentile_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS v,
+        |  CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS rank_lt,
+        |  CAST(NULL AS BIGINT) AS n_eq
         |WHERE FALSE""".stripMargin,
     // Vocab cut by (cnt DESC, term ASC) rank <= 100, identical on both
     // sides; SUMs cast back to BIGINT (DuckDB HUGEINT widening).

@@ -50,6 +50,24 @@ class TextFunctionsSpec extends SparkSpec {
       "mail <EMAIL> and <EMAIL> then <IP> plus card <NUM>")
   }
 
+  test("percentile referee: silent on an honest sketch, fires on corrupted claims") {
+    import graft.queries.TextQueries
+    val d = (1 to 100).map(i => ("en", i.toLong)).toDF("lang", "tok")
+    val honest = d.groupBy(col("lang"))
+      .agg(percentile_approx(col("tok"), lit(0.5), lit(100)).as("v"),
+        count(lit(1)).as("n"))
+    assert(TextQueries.percentileViolations(d, "lang", "tok", honest, 0.5, 100)
+      .count() === 0)
+    // Rank 98 sits far outside the ±1-rank window around 50.
+    val shifted = honest.withColumn("v", lit(98L))
+    assert(TextQueries.percentileViolations(d, "lang", "tok", shifted, 0.5, 100)
+      .count() === 1)
+    // A value that is not an element of the column at all must also fire.
+    val phantom = honest.withColumn("v", lit(1000L))
+    assert(TextQueries.percentileViolations(d, "lang", "tok", phantom, 0.5, 100)
+      .count() === 1)
+  }
+
   test("q98 keeps exactly each language's inclusive [p05, p95] length band") {
     val d = Tables.load(spark, sfDir, "documents")
     val out = SparkEntry.queries("q98_adaptive_length_filter")(spark, sfDir)
