@@ -59,6 +59,26 @@ object DedupQueries {
       | spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end
       |           FROM s GROUP BY doc_id, isl)""".stripMargin
 
+  /** Shared by q111 (batch) and q118 (streaming): exact string-shingle
+    * NOT-EXISTS over the %3-history / %2-batch split — adjudicates the
+    * 64-bit shingle hashing and the banded candidate recall of both
+    * twins (a banding miss surfaces as a row the oracle drops and the
+    * operator keeps).
+    */
+  private val lshIncrementalOracle = shingleCte +
+    """
+      |, h AS (SELECT doc_id AS hid, sh AS hsh FROM t WHERE doc_id % 3 <> 0)
+      |, b AS (SELECT doc_id, sh FROM t WHERE doc_id % 2 = 0)
+      |, dup AS (
+      |  SELECT DISTINCT b.doc_id FROM b JOIN h ON
+      |    CAST(len(list_intersect(b.sh, h.hsh)) AS DOUBLE)
+      |      / (len(b.sh) + len(h.hsh) - len(list_intersect(b.sh, h.hsh)))
+      |      >= 0.8)
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM documents d JOIN b USING (doc_id)
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: representative + multiplicity per key (A7 at scale).
     "q22_dedup_exact" -> ((s, dir) => {
@@ -198,6 +218,16 @@ object DedupQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // Streaming twin of q111: docs arrive as a file stream, sketch
+    // map-side, band-join the STATIC history (stateless — re-planned
+    // per micro-batch), verify with exact Jaccard, fold per doc. On the
+    // bounded drain the kept set equals the batch operator's, so it
+    // shares q111's exact string-shingle oracle.
+    "q118_stream_lsh_incremental" -> ((s, dir) =>
+      graft.streaming.DocumentStreams
+        .streamingLshNewAgainstHistory(s, dir, threshold = 0.8)
+        .orderBy("doc_id")),
+
     // Cross-document repeated-gram profile (ExactSubstr-lite): per doc,
     // the fraction of its distinct word 8-grams shared with any other
     // document — the span-level duplication diagnostic. Grams shuffle as
@@ -294,19 +324,10 @@ object DedupQueries {
     // shingle hashing and the banded candidate recall (q25's shingle
     // definition; a banding miss surfaces as a row the oracle drops
     // and the operator keeps).
-    "q111_lsh_incremental" -> (shingleCte +
-      """
-        |, h AS (SELECT doc_id AS hid, sh AS hsh FROM t WHERE doc_id % 3 <> 0)
-        |, b AS (SELECT doc_id, sh FROM t WHERE doc_id % 2 = 0)
-        |, dup AS (
-        |  SELECT DISTINCT b.doc_id FROM b JOIN h ON
-        |    CAST(len(list_intersect(b.sh, h.hsh)) AS DOUBLE)
-        |      / (len(b.sh) + len(h.hsh) - len(list_intersect(b.sh, h.hsh)))
-        |      >= 0.8)
-        |SELECT d.doc_id, d.lang, d.source, d.n_chars
-        |FROM documents d JOIN b USING (doc_id)
-        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
-        |ORDER BY doc_id""".stripMargin),
+    "q111_lsh_incremental" -> lshIncrementalOracle,
+    // The streaming twin drains to the same kept set on bounded input —
+    // one oracle states the semantics for both execution modes.
+    "q118_stream_lsh_incremental" -> lshIncrementalOracle,
     // q96's string-level NOT EXISTS verbatim: the Bloom path must be
     // output-indistinguishable from the plain anti-join.
     "q116_bloom_incremental" ->

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.{GraftSession, Tables}
+import graft.expressions.{ArrayOps, TextOps}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming over the `documents` table — the streaming
+  * ingestion face of the dedup stack (the events twin lives in
+  * [[EventStreams]]; same drain-to-memory smoke pattern).
+  */
+object DocumentStreams {
+
+  /** Streaming read of the documents table (file source; glob-filtered
+    * to the single table file, same move as `readEventsStream`).
+    */
+  def readDocumentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
+
+  /** Streaming LSH NEAR-dup dedup against a static history — the
+    * streaming twin of `Dedup.lshNewAgainstHistory`, completing the
+    * incremental-dedup matrix (exact batch q96 / exact streaming q99 /
+    * LSH batch q111 / LSH streaming here): arriving docs with a history
+    * neighbor at or above `threshold` Jaccard are dropped in-flight.
+    *
+    * Plan shape: the stream side sketches MAP-SIDE (shingle set →
+    * MinHash → band keys, all single-pass kernels — legal in a
+    * streaming plan because they are per-row projections), then
+    * `explode_outer` fans each doc to its band keys — OUTER so a
+    * NULL-text doc (NULL key array) survives as a keyless row and is
+    * kept as new, matching the batch operator's SQL semantics. The
+    * stream-static LEFT OUTER band join is STATELESS: the static
+    * (key, shingle-set) history frame re-plans per micro-batch, no join
+    * state accumulates; at 100 TB that static side is the PERSISTED
+    * band-key layout maintained by appending each day's batch (the
+    * q107 move — same note as the batch twin). Candidates verify with
+    * the exact-Jaccard merge-walk kernel; the per-doc max(dup) fold is
+    * the only stateful op (one boolean per in-flight doc; Complete mode
+    * for the bounded drain — a real deployment watermarks the arrival
+    * time and emits append-mode). On bounded input the kept set equals
+    * the batch operator's, which the q118 oracle (exact string-shingle
+    * NOT-EXISTS) checks end to end.
+    *
+    * Fixture: history = doc_id % 3 ≠ 0, stream batch = doc_id % 2 = 0
+    * (q111's split, so the two twins are directly comparable).
+    */
+  def streamingLshNewAgainstHistory(spark: SparkSession, sfDir: String,
+                                    threshold: Double = 0.8, n: Int = 3,
+                                    numPerm: Int = 64,
+                                    bands: Int = 8): DataFrame = {
+    val rows = numPerm / bands
+    def sketch(text: Column): Column = TextOps.shingleHashSet(text, n)
+    def keys(hs: Column): Column =
+      bandKeys(TextOps.minhashSignature(hs, numPerm), bands, rows)
+
+    val history = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(sketch(col("text")).as("__hhs"))
+      .select(explode(keys(col("__hhs"))).as("key"), col("__hhs"))
+    val flagged = readDocumentsStream(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0)
+      .withColumn("__bhs", sketch(col("text")))
+      .withColumn("key", explode_outer(keys(col("__bhs"))))
+      .join(history, Seq("key"), "left_outer")
+      .withColumn("__dup", coalesce(
+        ArrayOps.jaccardSorted(col("__bhs"), col("__hhs")) >= threshold,
+        lit(false)))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .agg(max(col("__dup")).as("__isdup"))
+    EventStreams.runToMemory(flagged, OutputMode.Complete())
+      .filter(!col("__isdup"))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+}

@@ -27,7 +27,7 @@ object EventStreams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
+  private[streaming] def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     // Stateful streaming ops allocate one state store per shuffle
     // partition at query start; for this drain-a-bounded-input pattern 8

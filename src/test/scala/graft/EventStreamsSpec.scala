@@ -16,6 +16,49 @@ class EventStreamsSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  test("streaming LSH dedup drains to the batch twin's kept set") {
+    import graft.streaming.DocumentStreams
+    import graft.operators.Dedup
+    val streamIds = DocumentStreams
+      .streamingLshNewAgainstHistory(spark, sfDir, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val d = Tables.load(spark, sfDir, "documents")
+    val batchIds = Dedup.lshNewAgainstHistory(
+        history = d.filter(col("doc_id") % 3 =!= 0),
+        batch = d.filter(col("doc_id") % 2 === 0),
+        idCol = "doc_id", textCol = "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamIds === batchIds && streamIds.nonEmpty)
+  }
+
+  test("streaming LSH dedup: exact + near dups dropped in-flight, NULL text kept") {
+    import graft.streaming.DocumentStreams
+    // history = %3≠0 → {1, 2, 4}; stream batch = %2=0 → {4, 12, 18, 24}.
+    // 4 is its own exact history dup; 12 is a 7/9-Jaccard near-dup of 1
+    // (bands=32 ⇒ miss P≈7e-13 at threshold 0.5); 18 is novel; 24 has
+    // NULL text — the explode_outer keeps it as a keyless row and it
+    // must come out the far end as new.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "some entirely separate history document content here"),
+      (4L, "this exact document appears in history and in the stream"),
+      (12L, "the quick brown fox jumps over the lazy dog today"),
+      (18L, "completely novel words that match nothing in the history"),
+      (24L, null.asInstanceOf[String])
+    ).map { case (id, t) => (id, t, "en", "src", Option(t).map(_.length.toLong).getOrElse(0L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString + "/out"
+    docs.coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, dir.resolve("documents.parquet"))
+    val kept = DocumentStreams
+      .streamingLshNewAgainstHistory(spark, dir.toString, threshold = 0.5, bands = 32)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(18L, 24L))
+  }
+
   test("streaming state lives in RocksDB, not on the JVM heap") {
     // Every stateful query in this suite (and q36-q42/q61 under the
     // oracle gate) runs with this provider; at 100 TB key cardinality
