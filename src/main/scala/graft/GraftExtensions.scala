@@ -138,6 +138,11 @@ object GraftExtensions {
     ("jaccard_sorted",
       info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of two sorted bigint arrays"),
       arity("jaccard_sorted", 2)(a => JaccardSortedLongs(a(0), a(1))) _),
+    ("sparse_dot_sorted",
+      info("sparse_dot_sorted",
+        "sparse_dot_sorted(aKeys, aVals, bKeys, bVals) - merge-walk dot of two key-sorted sparse vectors"),
+      arity("sparse_dot_sorted", 4)(a =>
+        SparseDotSortedLongs(a(0), a(1), a(2), a(3))) _),
     ("shingle_hash_set",
       info("shingle_hash_set", "shingle_hash_set(text, n) - sorted distinct n-gram shingle hashes"),
       arity("shingle_hash_set", 2) { a =>

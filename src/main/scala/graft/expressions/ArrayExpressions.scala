@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -463,6 +463,87 @@ case class BloomMightContainLong(child: Expression,
 }
 
 /** Column-level entry points for the expressions above. */
+/** Sparse dot product of two vectors stored as aligned (sorted-ascending
+  * distinct long keys, double values) array pairs, via a merge walk —
+  * O(n+m) per pair, no hash map, no per-pair allocation. The sparse twin
+  * of [[DotProduct]]: dense pair scoring walks two aligned value arrays,
+  * sparse pair scoring (TF / TF-IDF document vectors, where the "dimension"
+  * is the vocabulary) walks two key-sorted postings. Callers pre-sort once
+  * per row (`sort_array` on a struct list), not per pair — the
+  * [[JaccardSortedLongs]] contract.
+  *
+  * Accumulation order is ascending-key, matching the key-ordered SUM the
+  * DuckDB oracle's shared-term join produces, so 6-dp rounding agrees.
+  * A keys/values length mismatch on either side returns NULL (caller bug,
+  * same contract as [[CosineSimilarity]]'s length check); disjoint or
+  * empty inputs return 0.0 (an empty sum, exactly like the oracle's join
+  * producing no rows for the pair).
+  */
+case class SparseDotSortedLongs(aKeys: Expression, aVals: Expression,
+                                bKeys: Expression, bVals: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def first: Expression = aKeys
+  override def second: Expression = aVals
+  override def third: Expression = bKeys
+  override def fourth: Expression = bVals
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(DoubleType),
+    ArrayType(LongType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sparse_dot_sorted"
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(ak: Any, av: Any, bk: Any, bv: Any): Any = {
+    val xk = ak.asInstanceOf[ArrayData]; val xv = av.asInstanceOf[ArrayData]
+    val yk = bk.asInstanceOf[ArrayData]; val yv = bv.asInstanceOf[ArrayData]
+    val n = xk.numElements(); val m = yk.numElements()
+    if (n != xv.numElements() || m != yv.numElements()) return null
+    var i = 0; var j = 0; var acc = 0.0
+    while (i < n && j < m) {
+      val ki = xk.getLong(i); val kj = yk.getLong(j)
+      if (ki == kj) { acc += xv.getDouble(i) * yv.getDouble(j); i += 1; j += 1 }
+      else if (ki < kj) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ak, av, bk, bv) => {
+      // freshName for the same reason as CosineSimilarity above.
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val ki = ctx.freshName("ki"); val kj = ctx.freshName("kj")
+      s"""
+         |int $n = $ak.numElements(), $m = $bk.numElements();
+         |if ($n != $av.numElements() || $m != $bv.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $i = 0, $j = 0;
+         |  double $acc = 0.0;
+         |  while ($i < $n && $j < $m) {
+         |    long $ki = $ak.getLong($i);
+         |    long $kj = $bk.getLong($j);
+         |    if ($ki == $kj) {
+         |      $acc += $av.getDouble($i) * $bv.getDouble($j);
+         |      $i++; $j++;
+         |    }
+         |    else if ($ki < $kj) $i++;
+         |    else $j++;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(aKeys = newFirst, aVals = newSecond, bKeys = newThird, bVals = newFourth)
+}
+
 object ArrayOps {
   private def expr2(f: (Expression, Expression) => Expression)(a: Column, b: Column): Column =
     ColumnBridge.column(f(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -487,6 +568,13 @@ object ArrayOps {
   /** PQ codes + squared reconstruction error against literal codebooks. */
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), codebooks))
+
+  /** Sparse dot of two (sorted long keys, aligned double values) vectors. */
+  def sparseDotSorted(aKeys: Column, aVals: Column,
+                      bKeys: Column, bVals: Column): Column =
+    ColumnBridge.column(SparseDotSortedLongs(
+      ColumnBridge.expression(aKeys), ColumnBridge.expression(aVals),
+      ColumnBridge.expression(bKeys), ColumnBridge.expression(bVals)))
 
   /** Membership probe of a long column against a pre-built Bloom filter. */
   def bloomMightContainLong(c: Column,

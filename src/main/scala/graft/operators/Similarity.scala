@@ -307,6 +307,143 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** EXACT all-pairs cosine over SPARSE term-frequency document vectors
+    * via prefix filtering (the AllPairs/PPJoin family — Bayardo, Ma &
+    * Srikant WWW'07; Xiao et al.) — the third leg of the pairs stack:
+    * dense-exact (`cosinePairs`, O(n²) with a loud guard),
+    * dense-approximate (`rhpCosinePairs`, banded, recall-gated), and
+    * sparse-exact here, where a PROVABLE pruning bound — not a sketch —
+    * kills the quadratic term, so the output carries a full DuckDB hash
+    * gate instead of a recall floor.
+    *
+    * Each document becomes a unit-normalized smooth TF-IDF vector over
+    * word n-gram features (idf = ln((N+1)/(df+1)) + 1 — q72's formula,
+    * whose DuckDB parity is already proven; n-grams are the dedup
+    * stack's shingle convention). BOTH choices are what make prefix
+    * filtering bite: prefix pruning only works when each document owns
+    * some rare, high-mass features. Unigrams over a small shared
+    * vocabulary have neither (on the testdata corpus every word's df is
+    * ~0.77·N — measured: 59M raw candidates from 5000 docs, i.e. the
+    * full inverted-index join), and raw TF without IDF parks the norm
+    * mass on boilerplate terms so the prefix extends into the
+    * huge-postings end of the vocabulary. n-gram features make the
+    * space sparse enough for documents to own rare features; IDF keeps
+    * the norm mass on them.
+    * Terms get a global rarest-first order (rank 1 = smallest df; the
+    * rank sort is over the VOCAB — model-sized, q72's argument — never
+    * the corpus). Per document, `ssq(t)` = the squared norm of its
+    * rank-suffix from term t inclusive; the PREFIX is the rare end
+    * where `ssq ≥ threshold²`. Only prefixes are indexed;
+    * probing happens with FULL postings (the asymmetric AllPairs
+    * scheme). Completeness: take a qualifying pair (a,b), cos ≥ t, and
+    * its rarest shared term t*. If t* were outside b's prefix then by
+    * Cauchy-Schwarz cos(a,b) ≤ ‖a‖·‖b_{rank ≥ rank(t*)}‖ =
+    * √ssq_b(t*) < t — contradiction. So some shared term is in b's
+    * prefix (symmetrically a's), and the full(a) ⋈ prefix(b) term join
+    * meets the pair. The prefix test keeps a 1e-9 slack so a borderline
+    * float in the running suffix sum can only ADMIT an extra candidate
+    * (re-verified exactly), never drop a qualifying one.
+    *
+    * Scale shape: postings shuffle as (rank, id) — 16 bytes/row, text
+    * never moves past the tf stage. df=1 terms are dropped from BOTH
+    * postings sides (a term in one document meets nobody; under Zipf
+    * that is a large fraction of postings rows) but stay in the vectors,
+    * which the exact verify walks with the codegen
+    * [[graft.expressions.SparseDotSortedLongs]] merge kernel. The
+    * frequent-term postings that make naive inverted-index joins
+    * quadratic are exactly the terms prefix filtering keeps OUT of the
+    * index: a stopword carries ~no per-doc norm mass, so it appears in
+    * ~no prefixes, and its full-postings rows meet only the rare
+    * prefix-side rows. Residual hot ranks are re-salted through
+    * `Dedup.hotKeySaltCensus` (full side salted, prefix side
+    * replicated — each pair meets exactly once, so the candidate set is
+    * salting-invariant). The tf relation is checkpointed once for its
+    * two consumers (df and the weighted join); the flagged postings
+    * relation once for its three (both join sides + the vector roll-up,
+    * whose groupBy reuses the window's id-hash partitioning).
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, n: Int = 3, saltBuckets: Int = 8,
+                        maxTermRows: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1,
+      s"sparseCosinePairs: threshold must be in (0, 1], got $threshold " +
+        "(at 0 the prefix is the whole vector and the join is the naive " +
+        "quadratic inverted index)")
+    val base = fanout(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+    // Word n-gram features, the dedup stack's shingle convention
+    // (DedupQueries.shingleCte): docs shorter than n words contribute
+    // their whole text as a single feature, so exact-dup short docs
+    // still pair. NULL text falls through to an array(NULL) whose term
+    // the filter drops — the doc simply has no vector, like the oracle.
+    val wArr = split(col("text"), " ")
+    val grams = when(size(wArr) >= n,
+        transform(sequence(lit(0), size(wArr) - n),
+          i => array_join(slice(wArr, i + 1, lit(n)), " ")))
+      .otherwise(array(col("text")))
+    val tf = base
+      .select(col("id"), explode(grams).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(eager = true)
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("nd")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ranks = dfreq.withColumn("rank",
+      row_number().over(Window.orderBy(col("df").asc, col("term").asc))
+        .cast("long"))
+    // q72's smooth idf, token-for-token (the proven-parity expression).
+    val tw = tf.join(ranks, Seq("term")).crossJoin(nDocs)
+      .select(col("id"), col("rank"), col("df"), (col("tf") *
+        (log((col("nd") + 1).cast("double") / (col("df") + 1)) + 1)).as("tw"))
+    val nrm = tw.groupBy("id").agg(sqrt(sum(col("tw") * col("tw"))).as("nn"))
+    val winDesc = Window.partitionBy("id").orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = tw.join(nrm, Seq("id"))
+      .select(col("id"), col("rank"), col("df"), (col("tw") / col("nn")).as("w"))
+      .withColumn("ssq", sum(col("w") * col("w")).over(winDesc))
+      .localCheckpoint(eager = true)
+    val full = flagged.filter(col("df") >= 2).select(col("rank"), col("id"))
+    val pref = flagged.filter(col("df") >= 2 &&
+        col("ssq") >= lit(threshold * threshold - 1e-9))
+      .select(col("rank"), col("id"))
+    val (hotSalts, hotRows) =
+      Dedup.hotKeySaltCensus(full, "rank", saltBuckets, maxTermRows)
+    if (hotRows.nonEmpty) {
+      val desc = hotRows.take(20)
+        .map(r => s"rank=${r.get(0)} salt=${r.getLong(1)}").mkString("; ")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"sparseCosinePairs: hot terms re-salted (cap=$maxTermRows): $desc")
+    }
+    val f = full.join(broadcast(hotSalts), Seq("rank"), "left")
+      .withColumn("__salt_n", coalesce(col("__salt_n"), lit(1L)))
+      .select(col("rank"), col("id").as("id_f"),
+        pmod(xxhash64(col("id")), col("__salt_n")).as("salt"))
+    val p = pref.join(broadcast(hotSalts), Seq("rank"), "left")
+      .withColumn("__salt_n", coalesce(col("__salt_n"), lit(1L)))
+      .select(col("rank"), col("id").as("id_p"),
+        explode(sequence(lit(0L), col("__salt_n") - 1)).as("salt"))
+    val cand = f.join(p, Seq("rank", "salt"))
+      .filter(col("id_f") =!= col("id_p"))
+      .select(least(col("id_f"), col("id_p")).as("id_a"),
+        greatest(col("id_f"), col("id_p")).as("id_b"))
+      .distinct()
+    val vecs = flagged
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("w")))).as("tv"))
+      .select(col("id"),
+        transform(col("tv"), x => x.getField("rank")).as("ks"),
+        transform(col("tv"), x => x.getField("w")).as("ws"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("ks").as("ka"),
+        col("ws").as("wa")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("ks").as("kb"),
+        col("ws").as("wb")), Seq("id_b"))
+      .withColumn("cos", round(
+        ArrayOps.sparseDotSorted(col("ka"), col("wa"), col("kb"), col("wb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Spherical k-means centroids trained driver-side on a bounded,
     * deterministic sample (order by xxhash64(id), take `sampleSize`) —
     * the sample and the resulting nlist×dim model are model parameters,

@@ -162,6 +162,22 @@ object SimilarityQueries {
       rhp.exceptAll(exact).orderBy("id_a", "id_b")
     }),
 
+    // EXACT all-pairs sparse cosine over TF document vectors via
+    // AllPairs/PPJoin prefix filtering — the pruning bound is provable
+    // (Similarity.sparseCosinePairs scaladoc), so unlike the banded
+    // paths this near-dup surface carries a FULL hash gate: the oracle
+    // recomputes every pair the naive way (shared-term join + SUM) and
+    // the hashes must agree pair-for-pair at 6 dp. Trigram TF-IDF makes
+    // the feature space discriminative (the corpus's WORD vocabulary is
+    // 31 terms, every one in ~77% of docs — unigram vectors are
+    // structurally unprunable AND semantically mush); threshold 0.8 is
+    // the near-dup regime, far above the trigram background.
+    "q119_sparse_allpairs" -> ((s, dir) => {
+      Similarity.sparseCosinePairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Quality-aware near-dup representative selection — the production
     // dedup keep rule: within each embedding near-dup component, KEEP
     // the highest-quality member (longest document, ties to the lowest
@@ -480,6 +496,38 @@ object SimilarityQueries {
         |SELECT node AS vec_id,
         |  LEAST(node, MIN(peer)) AS rep_id
         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+    // The naive formulation of q119: word-trigram features (the
+    // shingleCte convention — whole text stands in for docs under 3
+    // words), q72's smooth TF-IDF weights unit-normalized, every
+    // co-occurring pair scored by a shared-term join + SUM. The engine
+    // side must reproduce this EXACTLY while touching only the
+    // prefix-filtered candidate space — rounding to 6 dp happens before
+    // the threshold test on both sides so boundary decisions agree.
+    "q119_sparse_allpairs" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |           FROM documents),
+        | g AS (SELECT doc_id,
+        |         unnest(CASE WHEN len(w) >= 3
+        |           THEN list_transform(range(len(w)-2),
+        |                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |           ELSE [text] END) AS term
+        |       FROM t),
+        | tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |        FROM g WHERE term IS NOT NULL AND term <> '' GROUP BY 1, 2),
+        | dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT COUNT(*) AS nd FROM documents),
+        | tw AS (SELECT doc_id, term,
+        |          tf * (ln((n.nd + 1) / (dfq.df + 1)) + 1) AS tw
+        |        FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        | nrm AS (SELECT doc_id, sqrt(SUM(tw * tw)) AS nn FROM tw GROUP BY 1),
+        | v AS (SELECT tw.doc_id, tw.term, tw.tw / nrm.nn AS w
+        |       FROM tw JOIN nrm USING (doc_id)),
+        | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         ROUND(SUM(a.w * b.w), 6) AS cos
+        |       FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     // q62's recursive-CC oracle + a quality join: the kept row is the
     // (n_chars DESC, doc_id ASC) argmax within each component.
     "q105_keep_best_rep" ->

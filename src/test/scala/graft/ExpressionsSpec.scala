@@ -69,6 +69,40 @@ class ExpressionsSpec extends SparkSpec {
     assert(vals(0) === 2.0 / 6.0 && vals(1) === 0.0 && vals(2) === 1.0)
   }
 
+  test("SparseDotSortedLongs: merge-walk values, disjoint/empty → 0.0, SQL surface") {
+    GraftSession.tune(spark)
+    val df = Seq(
+      (Array(1L, 3L, 5L), Array(0.5, 0.25, 0.125),
+        Array(3L, 5L, 7L), Array(2.0, 4.0, 8.0)),              // 0.25·2 + 0.125·4 = 1.0
+      (Array(1L, 2L), Array(1.0, 1.0), Array(3L, 4L), Array(1.0, 1.0)), // disjoint
+      (Array.empty[Long], Array.empty[Double],
+        Array(1L), Array(2.0))                                 // empty side
+    ).toDF("ka", "wa", "kb", "wb")
+    val vals = df.select(ArrayOps.sparseDotSorted($"ka", $"wa", $"kb", $"wb"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(vals === Seq(1.0, 0.0, 0.0))
+    // Same kernel on the SQL surface (GraftExtensions registration).
+    val sql = spark.sql(
+      "SELECT sparse_dot_sorted(array(1L, 3L), array(0.5d, 2.0d), " +
+        "array(3L), array(10.0d)) AS d").head().getDouble(0)
+    assert(sql === 20.0)
+  }
+
+  test("SparseDotSortedLongs: keys/values length mismatch → NULL; eval == codegen") {
+    val bad = Seq((Array(1L, 2L), Array(1.0), Array(1L), Array(1.0)))
+      .toDF("ka", "wa", "kb", "wb")
+    assert(bad.select(ArrayOps.sparseDotSorted($"ka", $"wa", $"kb", $"wb"))
+      .collect()(0).isNullAt(0))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val e = graft.expressions.SparseDotSortedLongs(
+      Literal.create(Seq(1L, 3L, 5L), ArrayType(LongType)),
+      Literal.create(Seq(0.5, 0.25, 0.125), ArrayType(DoubleType)),
+      Literal.create(Seq(3L, 5L, 7L), ArrayType(LongType)),
+      Literal.create(Seq(2.0, 4.0, 8.0), ArrayType(DoubleType)))
+    assert(e.eval(null).asInstanceOf[Double] === 1.0)
+  }
+
   test("ShingleHashSet kernel == sort_array(array_distinct(xxhash64(shingle strings)))") {
     import graft.functions.TextFunctions
     import graft.expressions.TextOps

@@ -102,6 +102,24 @@ class PlanSpec extends SparkSpec {
       "band join keys lack the salt:\n" + joinLines.mkString("\n"))
   }
 
+  test("q119 term join is keyed on (rank, salt); candidate distinct is ids-only") {
+    val p = planOf("q119_sparse_allpairs")
+    // Hot-term spreading needs the salt in the equi-keys (the q49
+    // property, same reasoning).
+    val joinLines = p.linesIterator.filter(_.contains("Join [rank#")).toSeq
+    assert(joinLines.nonEmpty, "no keyed term join found:\n" + p.take(3000))
+    assert(joinLines.exists(_.contains("salt#")),
+      "term join keys lack the salt:\n" + joinLines.mkString("\n"))
+    // The candidate distinct must aggregate exactly (id_a, id_b): if the
+    // sparse vectors were attached here they would ride every exchange
+    // after it (the q24 property).
+    val dedupLines = p.linesIterator
+      .filter(l => l.contains("Aggregate [id_a") || l.contains("HashAggregate(keys=[id_a")).toSeq
+    assert(dedupLines.nonEmpty, "candidate distinct not found:\n" + p.take(3000))
+    assert(dedupLines.forall(l => !l.contains("ks#") && !l.contains("ws#")),
+      "candidate distinct carries sparse vectors:\n" + dedupLines.mkString("\n"))
+  }
+
   test("q104 PII scrub is map-side: the only exchange is the presentation sort") {
     val p = planOf("q104_pii_scrub")
     val ex = p.indexOf("Exchange")

@@ -93,6 +93,78 @@ class SimilaritySpec extends SparkSpec {
       s"expected the 25 planted identity pairs, got ${exact.size}")
   }
 
+  test("sparseCosinePairs: hand fixture — exact dups 1.0, partial trigram overlap, short-doc fallback, NULL text") {
+    val docs = Seq(
+      (1L, "a b c d"),                  // trigrams: "a b c", "b c d"
+      (2L, "a b c d"),                  // exact dup of 1
+      (3L, "a b c x"),                  // shares "a b c" with 1/2
+      (4L, "p q"),                      // < 3 words → whole-text feature
+      (5L, "p q"),                      // exact dup of 4
+      (6L, null.asInstanceOf[String])   // no vector at all
+    ).toDF("doc_id", "text")
+    val out = Similarity.sparseCosinePairs(docs, "doc_id", "text", threshold = 0.05)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    assert(out((1L, 2L)) === 1.0 && out((4L, 5L)) === 1.0)
+    // Hand-computed 1↔3: smooth idf over N=6 docs; "a b c" df=3,
+    // "b c d" df=2, "b c x" df=1, tf=1 everywhere.
+    def idf(df: Int) = math.log(7.0 / (df + 1)) + 1
+    val expected = BigDecimal(idf(3) * idf(3) /
+        (math.sqrt(idf(3) * idf(3) + idf(2) * idf(2)) *
+         math.sqrt(idf(3) * idf(3) + idf(1) * idf(1))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, 3L)) === expected && out((2L, 3L)) === expected)
+  }
+
+  test("sparseCosinePairs ≡ the naive shared-term join (no prefix filter) on sf0.001") {
+    // Prefix filtering is pruning, not approximation: the full
+    // inverted-index join with identical featurization must produce the
+    // identical pair set. (The DuckDB oracle states the same property;
+    // this pins it in-JVM at spec time.)
+    val d = Tables.load(spark, sfDir, "documents")
+    val out = Similarity.sparseCosinePairs(d, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val wArr = split(col("text"), " ")
+    val grams = when(size(wArr) >= 3,
+        transform(sequence(lit(0), size(wArr) - 3),
+          i => array_join(slice(wArr, i + 1, lit(3)), " ")))
+      .otherwise(array(col("text")))
+    val tf = d.select(col("doc_id").as("id"), explode(grams).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val nd = d.count()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tw = tf.join(dfreq, "term").select(col("id"), col("term"), (col("tf") *
+      (log((lit(nd) + 1).cast("double") / (col("df") + 1)) + 1)).as("tw"))
+    val nrm = tw.groupBy("id").agg(sqrt(sum(col("tw") * col("tw"))).as("nn"))
+    val v = tw.join(nrm, "id")
+      .select(col("id"), col("term"), (col("tw") / col("nn")).as("w"))
+    val ref = v.as("x").join(v.as("y"),
+        col("x.term") === col("y.term") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(round(sum(col("x.w") * col("y.w")), 6).as("cos"))
+      .filter(col("cos") >= 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.nonEmpty)
+    assert(out === ref)
+  }
+
+  test("sparseCosinePairs: salting-invariant under a forced hot-term re-salt") {
+    // maxTermRows=2 pushes essentially every shared trigram through the
+    // census; the full-side-salted/prefix-side-replicated scheme meets
+    // each (full, prefix) row pair exactly once, so the candidate set —
+    // and the output — cannot move.
+    val d = Tables.load(spark, sfDir, "documents")
+    val cold = Similarity.sparseCosinePairs(d, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val hot = Similarity.sparseCosinePairs(d, "doc_id", "text", 0.8,
+        saltBuckets = 4, maxTermRows = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cold.nonEmpty)
+    assert(cold === hot)
+  }
+
   test("IVF layout centroids round-trip bit-exactly through the persisted model") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
