@@ -94,7 +94,13 @@ object ChangeDataQueries {
               col("o_orderpriority")),
           keyCols = Seq("o_custkey"), timeCol = "o_orderdate",
           tiebreakCol = "o_orderkey", valueCols = Seq("o_orderpriority"))
-        .orderBy("o_custkey", "version_n"))
+        .orderBy("o_custkey", "version_n")),
+
+    // Streaming upsert view over the event change feed — last-write-wins
+    // per user_id, one struct per key in RocksDB state; on the bounded
+    // drain it equals the batch per-key argmax, which the oracle states.
+    "q120_stream_upsert_view" -> ((s, dir) =>
+      graft.streaming.EventStreams.streamingUpsertView(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,6 +154,18 @@ object ChangeDataQueries {
         |    ORDER BY valid_from, o_orderkey) AS INTEGER) AS version_n,
         |  (lead(valid_from) OVER (PARTITION BY o_custkey
         |    ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
-        |FROM starts ORDER BY o_custkey, version_n""".stripMargin
+        |FROM starts ORDER BY o_custkey, version_n""".stripMargin,
+    // Per-key last-write-wins argmax over the whole feed — what the
+    // streaming view must equal on the bounded drain. (ts, event_id)
+    // ordering matches the struct-max tiebreak; event_id is unique.
+    "q120_stream_upsert_view" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_event_type, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -141,6 +141,37 @@ object EventStreams {
     * between restarts; the streaming plan is unchanged. On the bounded
     * drain the result equals the batch join+agg, which the oracle checks.
     */
+  /** Streaming UPSERT VIEW — the CDC stack's streaming leg (batch diff
+    * q83 / batch merge q84 / SCD2 q85 get their ingestion twin, the
+    * same completion move q118 made for LSH dedup): the event stream is
+    * a change feed keyed by `user_id`, and the view materializes each
+    * key's LAST-WRITE-WINS row, ordered by (ts, event_id) — event_id
+    * is unique, so the winner is deterministic.
+    *
+    * Declarative on purpose: `max(struct(ts, event_id, …))` is a
+    * streaming AGGREGATION, so Catalyst gives it a map-side partial
+    * merge — each micro-batch reduces to ≤ one candidate row per key
+    * per input partition BEFORE the state-store shuffle, which a
+    * `mapGroupsWithState` formulation would forfeit (every event would
+    * cross the exchange). State is exactly one struct per key in
+    * RocksDB — the upsert-view contract — and grows with key
+    * cardinality, not event volume. Complete mode materializes the
+    * bounded drain for the oracle; a real deployment emits UPDATE mode
+    * into a KV/Delta sink and the state itself IS the view.
+    */
+  def streamingUpsertView(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventsStream(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+    runToMemory(agg, OutputMode.Complete())
+      .select(col("user_id"), col("m.ts").as("last_ts"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_event_type"),
+        col("m.value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   def streamStaticSegmentCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val segments = Tables.load(spark, sfDir, "customer")
       .select(col("c_custkey").as("user_id"),

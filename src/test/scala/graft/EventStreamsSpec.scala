@@ -59,6 +59,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(kept === Set(18L, 24L))
   }
 
+  test("streaming upsert view: cross-batch last-write-wins; state is one row per key") {
+    import graft.streaming.EventStreams
+    // Batch 1: two keys. Batch 2 brings an OLDER event for key 1 (must
+    // lose to the state it finds) and a newer event for key 2 (must
+    // win), plus a brand-new key 3 — the upsert-view semantics that only
+    // show up ACROSS micro-batches, which the bounded-drain oracle
+    // can't distinguish from a single-batch argmax.
+    def ev(id: Long, uid: Long, minute: Int, typ: String, v: Double) =
+      (id, ts(minute), uid, typ, v, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val inDir = s"$base/in"
+    val b1 = Seq(ev(10L, 1L, 30, "click", 1.0), ev(11L, 2L, 30, "view", 2.0))
+      .toDF(cols: _*)
+    b1.write.parquet(inDir)
+    val schema = b1.schema
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val agg = spark.readStream.schema(schema).parquet(inDir)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName("upsert_view_t").start()
+      try {
+        q.processAllAvailable()
+        Seq(ev(20L, 1L, 10, "stale", 9.0), ev(21L, 2L, 50, "purchase", 5.0),
+            ev(22L, 3L, 40, "click", 7.0))
+          .toDF(cols: _*).write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+        val got = spark.table("upsert_view_t")
+          .select(col("user_id"), col("m.event_id")).as[(Long, Long)]
+          .collect().toMap
+        assert(got === Map(1L -> 10L, 2L -> 21L, 3L -> 22L))
+        // The upsert-view contract: state rows == live keys, not events.
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows === 3L, s"state holds $stateRows rows for 3 keys")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("streaming state lives in RocksDB, not on the JVM heap") {
     // Every stateful query in this suite (and q36-q42/q61 under the
     // oracle gate) runs with this provider; at 100 TB key cardinality
