@@ -66,6 +66,10 @@ object Bench {
     // And q107's incrementally-appended layout, same reasoning.
     try Tables.embeddingsIvfAppendLayout(spark, sfDir)
     catch { case _: Throwable => () }
+    // And q121's z-ordered orders copy: clustering is the compaction
+    // job's one-time output, not per-query work.
+    try Tables.ordersZOrderLayout(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // Optional positional args = query-name prefixes, for iterating on a
     // subset locally; the driver passes none and measures everything.

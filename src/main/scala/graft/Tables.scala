@@ -83,6 +83,18 @@ object Tables {
         e.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", nassign)
     }
 
+  /** Z-ordered (Morton-clustered) parquet copy of `orders` on
+    * (o_custkey, o_orderdate) — the multi-column range-pruning layout
+    * (q121). Build-once like the other derived layouts; at 100 TB this
+    * is the compaction job's output.
+    */
+  def ordersZOrderLayout(spark: SparkSession, sfDir: String,
+                         numFiles: Int = 16): String =
+    derivedLayout(sfDir, "orders", s"orders_zorder_$numFiles") { out =>
+      operators.ZOrder.writeZOrdered(load(spark, sfDir, "orders"), out,
+        "o_custkey", "o_orderdate", numFiles)
+    }
+
   /** ORC copy of `orders` — the second columnar source format (same
     * pushdown/pruning path as parquet through the ORC reader).
     */

@@ -44,6 +44,26 @@ object SourceQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Z-ordered layout under a 2-D box predicate: the scan reads the
+    // Morton-clustered copy of orders (ZOrder.writeZOrdered — one range
+    // exchange at build time, min-max-prunable files forever after) and
+    // both range filters reach the reader as PushedFilters (PlanSpec);
+    // the oracle runs the same box on the ORIGINAL parquet, so the hash
+    // gate proves the clustering is pure layout — zero semantic drift.
+    // The pruning geometry itself (files touched per box vs a linear
+    // sort) is pinned in ZOrderSpec.
+    "q121_zorder_box" -> ((s, dir) => {
+      val path = Tables.ordersZOrderLayout(s, dir)
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(100, 199) &&
+          col("o_orderdate").between(
+            lit("1997-01-01").cast("timestamp"),
+            lit("1997-12-31").cast("timestamp")))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+          "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     // JSON-lines scan with an EXPLICIT schema — inference would add a
     // full pass over the data at scale.
     "q91_json_roundtrip" -> ((s, dir) => {
@@ -71,6 +91,14 @@ object SourceQueries {
         |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
         |FROM lineitem WHERE l_quantity >= 25
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q121_zorder_box" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 199
+        |  AND o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+        |                      AND TIMESTAMP '1997-12-31'
+        |ORDER BY o_orderkey""".stripMargin,
     "q91_json_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(SUM(value), 2) AS sum_value,

@@ -40,6 +40,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_comment"), "column pruning broken:\n" + p.take(2000))
   }
 
+  test("q121 box predicates reach the z-ordered parquet scan as pushed filters") {
+    // Both range dimensions must land in PushedFilters — that is the
+    // entire point of the layout: ordinary stats pruning, no special
+    // reader. toString elides long filter lists, so read the scan's
+    // metadata directly.
+    val scan = SparkEntry.queries("q121_zorder_box")(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scan.nonEmpty, "no parquet scan found")
+    val pushed = scan.map(_.metadata("PushedFilters")).mkString("; ")
+    Seq("GreaterThanOrEqual(o_custkey,100)", "LessThanOrEqual(o_custkey,199)",
+      "GreaterThanOrEqual(o_orderdate,", "LessThanOrEqual(o_orderdate,")
+      .foreach(b => assert(pushed.contains(b), s"missing $b in: $pushed"))
+  }
+
   test("q90 ORC scan pushes the status filter; q91 JSON scan reads the explicit schema only") {
     val orc = planOf("q90_orc_roundtrip")
     assert(orc.contains("ORC") || orc.contains("orc"), orc.take(500))
