@@ -52,8 +52,10 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type, so
-    // read as long and convert in Tables.load (values are µs-aligned).
+    // Older testdata generators stored events.ts as parquet
+    // TIMESTAMP(NANOS); Spark has no nanos type, so read those as long
+    // and convert in Tables.normalizeEventsTs (values are µs-aligned).
+    // Harmless for µs-typed data, which never hits this legacy path.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
     // graft's custom expressions as SQL functions (idempotent).

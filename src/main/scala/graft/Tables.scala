@@ -14,15 +14,26 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftSession.tune(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) → read as long nanos (see
-    // GraftSession.tune) and convert losslessly to a µs timestamp
-    // (testdata values are µs-aligned; integer `div` avoids the double
-    // round-trip that would lose precision past 2^53).
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
+  /** Adapt `events.ts` to session-zoned TimestampType (µs) regardless of
+    * how the generator encoded it: TIMESTAMP(NANOS) parquet arrives as
+    * long nanos (see GraftSession.tune) and converts losslessly with
+    * integer `div` (values are µs-aligned; double division would lose
+    * precision past 2^53); TIMESTAMP_NTZ relabels to TimestampType — the
+    * session is pinned UTC, so the micros value is unchanged and every
+    * downstream consumer (watermarks, window(), unix_micros, the DuckDB
+    * oracle's naive timestamps) sees one type across generator versions.
+    */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Fingerprint of a source table file (size + mtime) — the staleness

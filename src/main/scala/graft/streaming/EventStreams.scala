@@ -16,15 +16,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Streaming read of events with the nanos→micros conversion applied. */
+  /** Streaming read of events with the ts normalization applied (see
+    * `Tables.normalizeEventsTs` — adapts whichever encoding the
+    * generator used to session-zoned µs TimestampType).
+    */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     GraftSession.tune(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // file-stream source requires a directory; glob-filter to the table
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventsTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   private[streaming] def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
