@@ -952,6 +952,83 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF-PQ search — the composition every production 100 TB ANN system
+    * ships (FAISS IVFPQ, SCANN's tree-AH): an IVF coarse quantizer
+    * prunes the scan to the probed buckets, a PQ asymmetric-distance
+    * scan ranks the survivors by their m-byte codes, and only the top
+    * `candidates` per query pay an exact rerank against true vectors.
+    * Cost shape at scale: the index-build pass encodes each vector once
+    * map-side (codes + nassign bucket ids, the vector itself is dropped
+    * before any exchange); a search touches nprobe/nlist of the code
+    * relation and candidates·|Q| full vectors. Codes are encoded on the
+    * RAW vectors (not IVF residuals): residual encoding buys accuracy
+    * when nlist is large enough that cells are tight — at the nlist
+    * this operator targets the simpler raw-vector ADC keeps the encode
+    * pass a pure map and lets the q122 gate referee the recall contract
+    * directly. Multi-assignment (`nassign`) makes up the boundary
+    * recall that raw-vector coarse pruning loses.
+    *
+    * Output: (query_id, rank, neighbor_id, sim) — identical contract to
+    * `pqRerankTopK`/`ivfTopK`, so the recall referee composes unchanged.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                nassign: Int = 3, candidates: Int = 100,
+                m: Int = 8, ksub: Int = 64,
+                excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates >= k, s"ivfPqTopK: candidates=$candidates < k=$k")
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters = 10)
+    val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub)
+    val litBooks = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // Index-build scan: ONE map-side pass computes codes and coarse
+    // buckets from the vector, then the vector is dropped — from here to
+    // the rerank the corpus flows as (id, codes, bucket), ~m bytes+ids.
+    val coded = fanout(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv")))
+      .select(col("neighbor_id"),
+        ArrayOps.pqEncode(col("cv"), books).getField("codes").as("codes"),
+        explode(ArrayOps.argTopKCosine(col("cv"), centroids, nassign)).as("bucket"))
+      .withColumn("recon",
+        flatten(zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, j) => element_at(element_at(litBooks, j + 1), (c + 1).cast("int")))))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket",
+        explode(ArrayOps.argTopKCosine(col("qv"), centroids, nprobe))))
+
+    // ADC candidate stage: probed-bucket equi-join, codegen cosine on
+    // reconstructions, distinct to collapse multi-assignment collisions
+    // (ADC sim is a pure function of the codes, so duplicates agree),
+    // then bounded per-query heaps — never a corpus-wide window.
+    val topk = udaf(new graft.functions.TopKAggregator(candidates))
+    val scored = q.join(coded, Seq("bucket"))
+    val cands = (if (excludeSelf) scored.filter(col("query_id") =!= col("neighbor_id"))
+                 else scored)
+      .withColumn("sim", cosine(col("qv"), col("recon")))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .distinct()
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("entry"))
+      .select(col("query_id"), col("entry._1").as("neighbor_id"))
+
+    // Exact rerank: only candidates·|Q| true vectors in flight.
+    val truth = fanout(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv")))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.join(truth, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** The interpreted formulation `PqEncode` replaces — per subspace, an
     * argmin over a literal struct array via array_min (struct ordering
     * is field-by-field, so ties resolve to the lowest codeword index,

@@ -307,6 +307,32 @@ object SimilarityQueries {
     // a candidate-generation regression is a driver-gate row mismatch.
     // End-to-end recall equals candidate recall because the rerank is
     // exact; the per-rank shape stays pinned in SimilaritySpec.
+    // IVF-PQ end-to-end (coarse-prune → ADC code scan → exact rerank —
+    // the FAISS-IVFPQ composition every 100 TB ANN deployment runs),
+    // RECALL-GATED like q33/q82: exact brute-force referees in the
+    // query, the mean recall must clear a 0.85 floor (between q33's
+    // IVF-only 0.8 and q82's PQ-only 0.9 — the two pruning losses
+    // compose), and the oracle is the EMPTY relation. Candidate pool is
+    // the same corpus FRACTION as q82 (1/5, floored at 100): probed at
+    // nprobe=6/nassign=4 this holds 0.92-0.98 across sf0.001-0.1 on the
+    // isotropic testdata, BOTH quantizers' adversarial case.
+    "q122_ivfpq_gate" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val candidates = math.max(100L, (e.count() + 4) / 5).toInt
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5,
+          nprobe = 6, nassign = 4, candidates = candidates)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall"))
+        .agg(round(avg(col("recall")), 6).as("mean_recall"))
+        .filter(col("mean_recall") < 0.85)
+        .select(col("mean_recall"), lit(0.85).as("recall_floor"))
+    }),
+
     "q82_pq_ann" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
@@ -454,6 +480,10 @@ object SimilarityQueries {
         |  CAST(NULL AS DOUBLE) AS recall_floor
         |WHERE FALSE""".stripMargin,
     "q82_pq_ann" ->
+      """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
+        |  CAST(NULL AS DOUBLE) AS recall_floor
+        |WHERE FALSE""".stripMargin,
+    "q122_ivfpq_gate" ->
       """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
         |  CAST(NULL AS DOUBLE) AS recall_floor
         |WHERE FALSE""".stripMargin,

@@ -23,6 +23,18 @@ object RecallProbe {
         .agg(avg(col("recall"))).head.getDouble(0)
       println(s"[probe] candidates=$cand mean_recall=$r")
     }
+    val n = e.count()
+    for ((probe, assign) <- Seq((4, 3), (6, 4), (8, 4));
+         cand <- Seq(100, math.max(100L, (n + 4) / 5).toInt)) {
+      val approx = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+          k = 5, nprobe = probe, nassign = assign, candidates = cand)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val r = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall"))
+        .agg(avg(col("recall"))).head.getDouble(0)
+      println(s"[probe] ivfpq nprobe=$probe nassign=$assign candidates=$cand mean_recall=$r")
+    }
     spark.stop()
   }
 }

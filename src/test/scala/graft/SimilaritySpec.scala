@@ -367,6 +367,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ rerank recall $recall < 0.9")
   }
 
+  test("ivfPqTopK: recall >= 0.85 vs exact top-5; ranks dense; deterministic") {
+    // Both quantizers' adversarial case at once (isotropic data): the
+    // q122 gate's 0.85 floor and the fraction-sized candidate pool are
+    // pinned here at sf0.001 so a recall regression fails the suite
+    // before it reaches the driver gate.
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val candidates = math.max(100L, (e.count() + 4) / 5).toInt
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def run() = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5,
+        nprobe = 6, nassign = 4, candidates = candidates)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"))
+      .as[(Long, Long, Long)].collect()
+    val out = run()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ===
+      run().sortBy(r => (r._1, r._2)).toSeq, "ivfPqTopK must be deterministic")
+    out.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to 5L), s"query $qid ranks")
+    }
+    val byQ = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = exact.map { case (qid, ex) =>
+      (byQ.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.85, s"IVF-PQ recall $recall < 0.85")
+  }
+
   test("pqQuantize: trained codebooks beat the k=1 (global mean) distortion") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val quant = Similarity.pqQuantize(e, "vec_id", "embedding", m = 8, ksub = 16)
