@@ -307,6 +307,37 @@ object SimilarityQueries {
     // a candidate-generation regression is a driver-gate row mismatch.
     // End-to-end recall equals candidate recall because the rerank is
     // exact; the per-rank shape stays pinned in SimilaritySpec.
+    // Prototype-density pruning (the SSL-prototypes / SemDeDup-family
+    // redundancy cut): per-cluster centroid (label stands in for the
+    // trained assignment), every member scored by cosine to its own
+    // centroid, and the top quarter MOST prototypical rows dropped —
+    // near-centroid examples are the redundant mass; the kept tail
+    // carries the diversity. Ordering contract is the 6dp-ROUNDED score
+    // (vec_id tie-break), so cross-engine float noise can't flip a
+    // rank. Scale shape: centroids are map-side VecMeanAggregator
+    // partials (corpus never shuffles to build them) broadcast back;
+    // the rank window partitions by cluster — bounded like SemDeDup's
+    // Σ|cluster|² contract, not a global sort.
+    "q124_prototype_prune" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vmean = udaf(new graft.functions.VecMeanAggregator)
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      val cents = broadcast(e.groupBy("label").agg(vmean(col("v")).as("cv")))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("sim_r").desc, col("vec_id").asc)
+      val cw = Window.partitionBy(col("label"))
+      e.join(cents, Seq("label"))
+        .withColumn("sim_r", round(Similarity.cosine(col("v"), col("cv")), 6))
+        .withColumn("proto_rank", row_number().over(w).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("proto_rank") > floor(col("n") / 4))
+        .select(col("vec_id"), col("label"), col("sim_r").as("sim_centroid"),
+          col("proto_rank"))
+        .orderBy("vec_id")
+    }),
+
     // IVF-PQ end-to-end (coarse-prune → ADC code scan → exact rerank —
     // the FAISS-IVFPQ composition every 100 TB ANN deployment runs),
     // RECALL-GATED like q33/q82: exact brute-force referees in the
@@ -487,6 +518,26 @@ object SimilarityQueries {
       """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
         |  CAST(NULL AS DOUBLE) AS recall_floor
         |WHERE FALSE""".stripMargin,
+    // q74's centroid CTE + a per-cluster rank on the ROUNDED score —
+    // the rank itself is part of the cross-engine contract, so it is
+    // computed over 6dp values on both sides.
+    "q124_prototype_prune" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        | u AS (SELECT label, unnest(v) AS x,
+        |              unnest(range(1, len(v) + 1)) AS i FROM e),
+        | cd AS (SELECT label, i, AVG(x) AS m FROM u GROUP BY 1, 2),
+        | cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cd GROUP BY 1),
+        | sc AS (SELECT e.vec_id, e.label,
+        |          ROUND(list_cosine_similarity(e.v, cent.cv), 6) AS sim_r
+        |        FROM e JOIN cent USING (label)),
+        | r AS (SELECT vec_id, label, sim_r,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY label
+        |           ORDER BY sim_r DESC, vec_id ASC) AS BIGINT) AS proto_rank,
+        |         COUNT(*) OVER (PARTITION BY label) AS n
+        |       FROM sc)
+        |SELECT vec_id, label, sim_r AS sim_centroid, proto_rank
+        |FROM r WHERE proto_rank > FLOOR(n / 4.0) ORDER BY vec_id""".stripMargin,
     "q115_kmeans_refine_gate" ->
       """SELECT CAST(NULL AS INTEGER) AS iter, CAST(NULL AS DOUBLE) AS obj_prev,
         |  CAST(NULL AS DOUBLE) AS obj

@@ -204,6 +204,47 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): smoothed unigram
+    // LMs for a curated target slice (source = src0) and the raw pool
+    // (everything else), per-token log importance ratio
+    // ln(p_target/p_raw), per-doc mean over token instances, keep raw
+    // docs whose 6dp-rounded weight is > 0 ("more target-like than
+    // raw"). Scale shape: both LMs live in ONE vocab-sized term table
+    // (model-sized → broadcast back to the token stream, the q72/q92
+    // move), the corpus pays two map-heavy scans (count, score) and
+    // shuffles only tokens→terms; selection itself is a map-side
+    // filter. At open-vocab 100 TB the DSIR paper's hashed n-gram
+    // bucketing drops in by replacing `term` with a fixed-width bucket
+    // id — the pipeline shape is unchanged.
+    "q123_dsir_resample" -> ((s, dir) => {
+      import graft.functions.TextFunctions.words
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("source") === "src0").as("in_tgt"),
+          explode(words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val counts = toks.groupBy("term").agg(
+        sum(when(col("in_tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("in_tgt"), 1L).otherwise(0L)).as("cr"))
+      val tot = broadcast(counts.agg(
+        sum("ct").as("tt"), sum("cr").as("tr"), count(lit(1)).as("v")))
+      val lm = broadcast(counts.crossJoin(tot)
+        .select(col("term"),
+          (log((col("ct") + 1).cast("double") / (col("tt") + col("v"))) -
+           log((col("cr") + 1).cast("double") / (col("tr") + col("v"))))
+            .as("log_ratio")))
+      toks.filter(!col("in_tgt"))
+        .join(lm, Seq("term"))
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(col("log_ratio")), 6).as("dsir_weight"))
+        .filter(col("dsir_weight") > 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          col("dsir_weight"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing (LLM training-data prep): greedy concatenation of
     // documents into ≤ 256-token training sequences per language, in
     // doc_id order. One keyed exchange + a streaming O(1)-state walk per
@@ -867,6 +908,30 @@ object TextQueries {
         |  FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
         |SELECT lang, doc_id, n_tokens, seq_no
         |FROM p ORDER BY lang, doc_id""".stripMargin,
+    // Mirrors the engine's split of rounding: the per-token log ratios
+    // are exact doubles, only the per-doc AVG is 6dp-rounded before the
+    // > 0 keep test, so boundary decisions agree across engines.
+    "q123_dsir_resample" ->
+      """WITH toks AS (SELECT doc_id, lang, source, (source = 'src0') AS in_tgt,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        | tk AS (SELECT * FROM toks WHERE term <> ''),
+        | c AS (SELECT term,
+        |         CAST(SUM(CASE WHEN in_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |         CAST(SUM(CASE WHEN in_tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |       FROM tk GROUP BY 1),
+        | t AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+        |         CAST(SUM(cr) AS BIGINT) AS tr, COUNT(*) AS v FROM c),
+        | lm AS (SELECT term,
+        |          ln((ct + 1) / CAST(tt + v AS DOUBLE))
+        |            - ln((cr + 1) / CAST(tr + v AS DOUBLE)) AS log_ratio
+        |        FROM c CROSS JOIN t),
+        | sc AS (SELECT tk.doc_id, tk.lang, tk.source,
+        |          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |          ROUND(AVG(lm.log_ratio), 6) AS dsir_weight
+        |        FROM tk JOIN lm USING (term) WHERE NOT tk.in_tgt
+        |        GROUP BY 1, 2, 3)
+        |SELECT doc_id, lang, source, n_tokens, dsir_weight
+        |FROM sc WHERE dsir_weight > 0 ORDER BY doc_id""".stripMargin,
     "q92_corpus_drift" ->
       """WITH toks AS (
         |  SELECT (doc_id % 2 = 0) AS in_a,

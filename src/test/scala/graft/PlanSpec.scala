@@ -441,6 +441,22 @@ class PlanSpec extends SparkSpec {
       "one output row per surviving partition (busy day) expected")
   }
 
+  test("q123 LM table broadcasts back to the token stream (corpus never shuffles for scoring)") {
+    val p = planOf("q123_dsir_resample")
+    assert(p.contains("BroadcastHashJoin"),
+      "token→LM scoring join must be broadcast (the LM is model-sized):\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "scoring join degraded to a corpus-wide SMJ:\n" + p.take(2000))
+  }
+
+  test("q124 centroids build from map-side vector partials and broadcast back") {
+    val p = planOf("q124_prototype_prune").toLowerCase
+    assert(p.contains("partial_vecmeanaggregator"),
+      "no partial vector-mean aggregation:\n" + p.take(2000))
+    assert(p.contains("broadcasthashjoin"),
+      "centroids must broadcast back, not shuffle the corpus:\n" + p.take(2000))
+  }
+
   test("fanout is a no-op on inputs that are already well split") {
     import spark.implicits._
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
