@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table-statistics profiling for a cost-based planner / data-quality
+  * dashboard: the ANALYZE-style passes a warehouse runs over every
+  * ingested table. The flagship operator is the equi-height histogram,
+  * which needs an EXACT global rank — the classic "order statistics at
+  * scale" problem.
+  *
+  * Scale design: a global `row_number() OVER (ORDER BY v)` funnels the
+  * entire table through ONE sorting reducer — the single worst plan a
+  * 100 TB profiler can pick. Instead the rank is a distributed two-phase
+  * scan (the `Packing.tokenBudgetCap` shape, counting rows instead of
+  * summing tokens): rows bucket into value-aligned bins, per-bin counts
+  * aggregate map-side into a TINY table, the exclusive bin-prefix runs
+  * over that table only and broadcasts back, and each row's global rank
+  * is its bin offset + a row_number LOCAL to its bin. Parallelism is the
+  * bin count; no task ever sorts more than one bin.
+  */
+object Profile {
+
+  /** Equi-height histogram of `valueCol` (ties broken by `idCol`, so the
+    * rank — and therefore the histogram — is fully deterministic):
+    * `buckets` buckets of sizes differing by at most one row, assigned
+    * by exact integer arithmetic `((rank-1)·buckets) div n + 1` —
+    * identical to what a single-window `row_number` formulation would
+    * produce (pinned in ProfileSpec), without ever building one.
+    *
+    * Output: (bucket, n_rows, min_v, max_v, avg_v) — min/max are exact
+    * doubles; avg is 6dp-rounded (the only accumulation-order-sensitive
+    * field).
+    *
+    * Bins are value-aligned on the long-truncated value
+    * (`t - pmod(t, binSize)`): truncation toward zero is non-strictly
+    * monotone in v (every value in a lower bin ≤ every value in a higher
+    * bin, negatives included since pmod keeps bin starts on the floor
+    * side), which is all the two-phase rank needs — within-bin order is
+    * re-established by the local (v, id) sort. Guards mirror
+    * `tokenBudgetCap`: the bin table collect is bounded (`maxBins`,
+    * loud — it broadcasts, so it must be driver-sized by construction)
+    * and an oversized bin (duplicate-heavy values) warns before the
+    * stage runs instead of surfacing as a straggler.
+    */
+  def equiHeightHistogram(df: DataFrame, valueCol: String, idCol: String,
+                          buckets: Int, binSize: Long = 1L << 20,
+                          maxBins: Int = 1 << 20,
+                          maxBinRows: Long = 1L << 22): DataFrame = {
+    require(buckets >= 1, s"equiHeightHistogram: buckets must be >= 1, got $buckets")
+    require(binSize >= 1, s"equiHeightHistogram: binSize must be >= 1, got $binSize")
+    import org.apache.spark.sql.expressions.Window
+    val t = col(valueCol).cast("long")
+    val binned = df.select(col(idCol).as("__id"),
+        col(valueCol).cast("double").as("__v"),
+        (t - pmod(t, lit(binSize))).as("__bin"))
+    val binStats = binned.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__bin_rows"))
+    val rows = binStats.limit(maxBins + 1).collect()
+    require(rows.length <= maxBins,
+      s"equiHeightHistogram: more than $maxBins bins - the offset table " +
+        "would not be broadcastable. Raise binSize (fewer, larger bins) " +
+        "or raise maxBins deliberately.")
+    require(rows.nonEmpty, "equiHeightHistogram: empty input")
+    val over = rows.toSeq.filter(_.getLong(1) > maxBinRows)
+      .map(r => s"bin=${r.get(0)} rows=${r.getLong(1)}")
+    if (over.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"equiHeightHistogram: bin(s) exceed $maxBinRows rows and will " +
+          s"serialize through one window task each: ${over.take(20).mkString("; ")}. " +
+          "valueCol is duplicate-heavy there - use a finer binSize if this skews.")
+    val n = rows.map(_.getLong(1)).sum
+    val local = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), binStats.schema)
+    val wBins = Window.orderBy("__bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // The offset window runs over the COLLECTED bin table (maxBins rows,
+    // one task by design), never the detail relation.
+    val offsets = local
+      .withColumn("__offset", coalesce(sum("__bin_rows").over(wBins), lit(0L)))
+      .select(col("__bin").as("__ob"), col("__offset"))
+    val wLocal = Window.partitionBy("__bin").orderBy(col("__v"), col("__id"))
+    binned.join(broadcast(offsets), col("__bin") === col("__ob"))
+      .withColumn("__rank", row_number().over(wLocal).cast("long") + col("__offset"))
+      .withColumn("bucket",
+        expr(s"(__rank - 1) * ${buckets.toLong} div ${n}") + lit(1L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("__v")).as("min_v"),
+        max(col("__v")).as("max_v"), round(avg(col("__v")), 6).as("avg_v"))
+  }
+}

@@ -398,10 +398,38 @@ object RelationalQueries {
         .select(col("c_custkey")).withColumn("tag", lit("no_big_order"))
       withBig.unionAll(noBig).select(col("tag"), col("c_custkey"))
         .orderBy("tag", "c_custkey")
+    }),
+
+    // ANALYZE-style equi-height histogram (the CBO stats pass): 16
+    // buckets over o_totalprice via an EXACT distributed global rank —
+    // two-phase bin-offset prefix count, never a whole-table window
+    // (PlanSpec pins the detail window to per-bin partitions). The
+    // oracle states the semantics as the plain single-window
+    // row_number + integer bucket arithmetic; the operator must be
+    // indistinguishable. binSize=10000 forces ~50 real bins on the
+    // fixture, so the gate exercises the multi-bin offset path.
+    "q125_equiheight_histogram" -> ((s, dir) => {
+      graft.operators.Profile.equiHeightHistogram(t(s, dir, "orders"),
+          "o_totalprice", "o_orderkey", buckets = 16, binSize = 10000)
+        .orderBy("bucket")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Ranks on the raw (value, id) order — both engines read identical
+    // parquet doubles, so rank and min/max are exact; only avg is
+    // accumulation-order-sensitive and 6dp-rounded. Bucket assignment is
+    // pure BIGINT arithmetic (no float division to drift).
+    "q125_equiheight_histogram" ->
+      """WITH r AS (SELECT o_totalprice AS v,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+        |      AS BIGINT) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM orders)
+        |SELECT ((rk - 1) * 16) // n + 1 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(v) AS min_v, MAX(v) AS max_v, ROUND(AVG(v), 6) AS avg_v
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q01_agg_returnflag" ->
       """SELECT l_returnflag, l_linestatus,
         | ROUND(SUM(l_quantity),2) AS sum_qty,

@@ -441,6 +441,21 @@ class PlanSpec extends SparkSpec {
       "one output row per surviving partition (busy day) expected")
   }
 
+  test("q125 rank never windows the whole table: detail window is per-bin") {
+    val p = planOf("q125_equiheight_histogram")
+    // The detail-side row_number must partition by __bin — an
+    // unpartitioned windowspec over (v, id) is the one-reducer global
+    // sort the two-phase rank exists to avoid. Offsets broadcast back.
+    val windows = p.split("windowspecdefinition").toSeq.drop(1)
+    assert(windows.exists(w => w.contains("__bin#")),
+      "detail row_number must be __bin-partitioned:\n" + p.take(3000))
+    assert(p.contains("BroadcastExchange"),
+      "bin offsets must broadcast back:\n" + p.take(3000))
+    // Collect-and-replay: the bin census replays from the driver rows.
+    assert(p.contains("LocalTableScan"),
+      "bin offsets must replay from the collected census:\n" + p.take(3000))
+  }
+
   test("q123 LM table broadcasts back to the token stream (corpus never shuffles for scoring)") {
     val p = planOf("q123_dsir_resample")
     assert(p.contains("BroadcastHashJoin"),

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Profile
+import org.apache.spark.sql.functions._
+
+/** The equi-height histogram's contract is "indistinguishable from the
+  * single-window row_number formulation" — pinned here against a literal
+  * single-window reference, across bin sizes (including the degenerate
+  * one-bin case) and on a negative-value fixture where the truncation
+  * binning is easiest to get wrong.
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(buckets: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.load(spark, sfDir, "orders")
+    val w = Window.orderBy(col("v"), col("id"))
+    val n = o.count()
+    o.select(col("o_totalprice").cast("double").as("v"),
+        col("o_orderkey").as("id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("bucket", expr(s"(rk - 1) * ${buckets.toLong} div $n") + lit(1L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("min_v"),
+        max("v").as("max_v"), round(avg("v"), 6).as("avg_v"))
+      .orderBy("bucket")
+      .collect().toSeq
+  }
+
+  test("equiHeightHistogram ≡ the single-window formulation on sf0.001 orders") {
+    val o = Tables.load(spark, sfDir, "orders")
+    val ref = reference(16)
+    for (binSize <- Seq(1000L, 10000L, 10000000L)) {
+      val got = Profile.equiHeightHistogram(o, "o_totalprice", "o_orderkey",
+          buckets = 16, binSize = binSize)
+        .orderBy("bucket").collect().toSeq
+      assert(got === ref, s"binSize=$binSize diverges from the single window")
+    }
+  }
+
+  test("negative values: truncation bins stay monotone, rank matches a local sort") {
+    val df = Seq((-12.5, 1L), (-12.5, 2L), (-0.4, 3L), (-1.0, 4L),
+      (0.3, 5L), (7.9, 6L), (120.0, 7L), (-130.7, 8L))
+      .toDF("v", "id")
+    val got = Profile.equiHeightHistogram(df, "v", "id", buckets = 4, binSize = 10)
+      .orderBy("bucket")
+      .select("bucket", "n_rows", "min_v", "max_v")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // 8 rows into 4 buckets of 2, in (v, id) order:
+    // (-130.7) (-12.5,id1) | (-12.5,id2) (-1.0) | (-0.4) (0.3) | (7.9) (120.0)
+    assert(got === Seq(
+      (1L, 2L, -130.7, -12.5), (2L, 2L, -12.5, -1.0),
+      (3L, 2L, -0.4, 0.3), (4L, 2L, 7.9, 120.0)))
+  }
+
+  test("maxBins guard throws loudly instead of collecting an unbounded bin table") {
+    val o = Tables.load(spark, sfDir, "orders")
+    val e = intercept[IllegalArgumentException] {
+      Profile.equiHeightHistogram(o, "o_totalprice", "o_orderkey",
+        buckets = 4, binSize = 1, maxBins = 10)
+    }
+    assert(e.getMessage.contains("maxBins") || e.getMessage.contains("10"))
+  }
+}
