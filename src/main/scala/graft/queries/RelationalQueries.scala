@@ -400,6 +400,26 @@ object RelationalQueries {
         .orderBy("tag", "c_custkey")
     }),
 
+    // PageRank over the customer–supplier trading graph (orders ⋈
+    // lineitem, symmetrized; node ids disjoint by parity), 5 damped
+    // power-iteration rounds — THE iterative-join workload class
+    // (GraphX/Pregel). Fixed rounds keep it a deterministic function of
+    // the graph, so the oracle can unroll the identical recurrence as 5
+    // CTE layers and take a full hash gate. Edge list + out-degrees are
+    // checkpointed once; each round is one keyed join + one dst-keyed
+    // aggregation over the node-sized rank relation.
+    "q126_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val e0 = o.join(l, "o_orderkey").select("src", "dst")
+      val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graphs.pageRank(e, "src", "dst", iters = 5)
+        .orderBy("node")
+    }),
+
     // ANALYZE-style equi-height histogram (the CBO stats pass): 16
     // buckets over o_totalprice via an EXACT distributed global rank —
     // two-phase bin-offset prefix count, never a whole-table window
@@ -420,6 +440,44 @@ object RelationalQueries {
     // parquet doubles, so rank and min/max are exact; only avg is
     // accumulation-order-sensitive and 6dp-rounded. Bucket assignment is
     // pure BIGINT arithmetic (no float division to drift).
+    // The engine's 5 power-iteration rounds unrolled as CTE layers —
+    // identical recurrence (residual + damped mass over out-degree),
+    // rounding only at the final projection on both sides.
+    "q126_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        | e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        | deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        | nodes AS (SELECT DISTINCT src AS node FROM e),
+        | nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        | p0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+        | c1 AS (SELECT e.dst AS node, SUM(p.pr / deg.outdeg) AS mass
+        |        FROM e JOIN p0 p ON e.src = p.node JOIN deg ON e.src = deg.src
+        |        GROUP BY 1),
+        | p1 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c1.mass, 0) AS pr
+        |        FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
+        | c2 AS (SELECT e.dst AS node, SUM(p.pr / deg.outdeg) AS mass
+        |        FROM e JOIN p1 p ON e.src = p.node JOIN deg ON e.src = deg.src
+        |        GROUP BY 1),
+        | p2 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c2.mass, 0) AS pr
+        |        FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
+        | c3 AS (SELECT e.dst AS node, SUM(p.pr / deg.outdeg) AS mass
+        |        FROM e JOIN p2 p ON e.src = p.node JOIN deg ON e.src = deg.src
+        |        GROUP BY 1),
+        | p3 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c3.mass, 0) AS pr
+        |        FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node),
+        | c4 AS (SELECT e.dst AS node, SUM(p.pr / deg.outdeg) AS mass
+        |        FROM e JOIN p3 p ON e.src = p.node JOIN deg ON e.src = deg.src
+        |        GROUP BY 1),
+        | p4 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c4.mass, 0) AS pr
+        |        FROM nodes CROSS JOIN nn LEFT JOIN c4 ON nodes.node = c4.node),
+        | c5 AS (SELECT e.dst AS node, SUM(p.pr / deg.outdeg) AS mass
+        |        FROM e JOIN p4 p ON e.src = p.node JOIN deg ON e.src = deg.src
+        |        GROUP BY 1),
+        | p5 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c5.mass, 0) AS pr
+        |        FROM nodes CROSS JOIN nn LEFT JOIN c5 ON nodes.node = c5.node)
+        |SELECT node, ROUND(pr, 6) AS pr FROM p5 ORDER BY node""".stripMargin,
     "q125_equiheight_histogram" ->
       """WITH r AS (SELECT o_totalprice AS v,
         |    CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)

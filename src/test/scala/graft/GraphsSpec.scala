@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Graphs
+import org.apache.spark.sql.functions._
+
+/** PageRank semantics are pinned against closed-form cases (uniform on
+  * regular graphs), a literal Scala recompute of the recurrence on a
+  * hand fixture, and the probability-mass invariant on the real graph.
+  */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("directed 3-cycle: PR stays exactly uniform at every round") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val out = Graphs.pageRank(e, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    // outdeg 1 everywhere: pr = 0.15/3 + 0.85*pr = 1/3 is a fixed point
+    // from the uniform init, so every round reproduces it exactly.
+    assert(out.keySet === Set(0L, 1L, 2L))
+    out.values.foreach(v =>
+      assert(v === math.rint(1e6 / 3) / 1e6, out.toString))
+  }
+
+  test("symmetric star matches a literal Scala recompute of the recurrence") {
+    val half = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val e = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val out = Graphs.pageRank(e, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    // Reference: center outdeg 3, leaves outdeg 1.
+    var center = 0.25; var leaf = 0.25
+    for (_ <- 1 to 5) {
+      val c2 = 0.15 / 4 + 0.85 * (3 * leaf)        // all leaves point at center
+      val l2 = 0.15 / 4 + 0.85 * (center / 3)      // center splits 3 ways
+      center = c2; leaf = l2
+    }
+    assert(math.abs(out(0L) - math.rint(center * 1e6) / 1e6) < 1e-9)
+    Seq(1L, 2L, 3L).foreach(i =>
+      assert(math.abs(out(i) - math.rint(leaf * 1e6) / 1e6) < 1e-9))
+  }
+
+  test("probability mass ≈ 1 and runs are deterministic on the sf0.001 graph") {
+    val o = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val e0 = o.join(l, "o_orderkey").select("src", "dst")
+    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    def run() = Graphs.pageRank(e, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val a = run()
+    // Symmetrized graph has no dangling mass: Σpr = 1 up to rounding.
+    assert(math.abs(a.map(_._2).sum - 1.0) < 1e-3, s"mass=${a.map(_._2).sum}")
+    assert(a === run(), "pageRank must be deterministic")
+  }
+
+  test("duplicate edges collapse; iters must be >= 1") {
+    val e = Seq((0L, 1L), (0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val out = Graphs.pageRank(e, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    // After dedup this is a symmetric 2-node pair: uniform 1/2 fixed point.
+    assert(out.values.forall(v => math.abs(v - 0.5) < 1e-9), out.toString)
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(e, "src", "dst", iters = 0)
+    }
+  }
+}
