@@ -952,6 +952,39 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Johnson–Lindenstrauss random projection: map each vector to
+    * `outDim` dimensions with a deterministic ±1/√outDim sign matrix —
+    * the standard pre-ANN compression move (64→16 dims cuts every
+    * downstream scoring scan 4×, with distortion bounded by JL). The
+    * sign matrix is never materialized: entry (k, j) is an arithmetic
+    * hash of the flat index (multiply–xorshift–multiply–xorshift, all
+    * exact BIGINT ops), so both this operator and the q127 DuckDB
+    * oracle can recompute any entry independently — a seeded RNG matrix
+    * would be engine-private state and unverifiable. One map-side pass;
+    * the corpus never shuffles.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int): DataFrame = {
+    require(outDim >= 1, s"randomProject: outDim must be >= 1, got $outDim")
+    def bit(idx: Column): Column = {
+      val m32 = lit(4294967296L)
+      val x1 = pmod(idx.cast("long") * lit(2654435761L), m32)
+      val x2 = x1.bitwiseXOR(shiftright(x1, 16))
+      val x3 = pmod(x2 * lit(40503L), m32)
+      val x4 = x3.bitwiseXOR(shiftright(x3, 15))
+      pmod(x4, lit(2L))
+    }
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(outDim - 1)), k =>
+          aggregate(
+            zip_with(col("__v"), sequence(lit(0), size(col("__v")) - 1),
+              (x, j) => x * when(bit(k * size(col("__v")) + j + 1) === 0,
+                lit(1.0)).otherwise(lit(-1.0))),
+            lit(0.0), (acc, y) => acc + y) * lit(inv)).as("pv"))
+  }
+
   /** IVF-PQ search — the composition every production 100 TB ANN system
     * ships (FAISS IVFPQ, SCANN's tree-AH): an IVF coarse quantizer
     * prunes the scan to the probed buckets, a PQ asymmetric-distance

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search battery over the `embeddings` table (array<float>).
@@ -307,6 +307,37 @@ object SimilarityQueries {
     // a candidate-generation regression is a driver-gate row mismatch.
     // End-to-end recall equals candidate recall because the rerank is
     // exact; the per-rank shape stays pinned in SimilaritySpec.
+    // JL random-projection distortion report: project 64-dim embeddings
+    // to 16 dims with the arithmetic sign-hash matrix and report the
+    // pairwise Euclidean distance ratio d_proj/d_orig over the vec_id<30
+    // sample — the preprocessing audit a pipeline runs before switching
+    // its ANN stack to projected vectors. FULL hash gate: the sign
+    // matrix is pure BIGINT arithmetic, so the oracle recomputes the
+    // identical projection and the only float slack is summation order,
+    // absorbed by the 6dp round. The projection itself is one map-side
+    // pass (never shuffles); the O(sample²) pair stage is fixture-sized
+    // by construction.
+    "q127_jl_distortion" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 30)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      val p = Similarity.randomProject(e, "vec_id", "v", outDim = 16)
+      val both = e.join(p, Seq("vec_id"))
+      val a = both.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("pv").as("pa"))
+      val b = both.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("pv").as("pb"))
+      def dist(x: Column, y: Column): Column =
+        sqrt(aggregate(zip_with(x, y, (p1, p2) => (p1 - p2) * (p1 - p2)),
+          lit(0.0), (acc, d) => acc + d))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("d_orig", dist(col("va"), col("vb")))
+        .withColumn("d_proj", dist(col("pa"), col("pb")))
+        .filter(col("d_orig") > 0)
+        .select(col("id_a"), col("id_b"),
+          round(col("d_proj") / col("d_orig"), 6).as("ratio"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Prototype-density pruning (the SSL-prototypes / SemDeDup-family
     // redundancy cut): per-cluster centroid (label stands in for the
     // trained assignment), every member scored by cosine to its own
@@ -518,6 +549,34 @@ object SimilarityQueries {
       """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
         |  CAST(NULL AS DOUBLE) AS recall_floor
         |WHERE FALSE""".stripMargin,
+    // Recomputes the identical multiply–xorshift sign hash in BIGINT
+    // (xor/>>/% agree exactly across engines — verified digit-for-digit)
+    // and the same Σ±x/√16 projection; only the pair ratio is rounded.
+    "q127_jl_distortion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 30),
+        | u AS (SELECT vec_id, unnest(v) AS x,
+        |              unnest(range(0, len(v))) AS j, len(v) AS d FROM e),
+        | kj AS (SELECT vec_id, x, j, d, k
+        |        FROM u CROSS JOIN range(0, 16) t(k)),
+        | h AS (SELECT vec_id, x, k,
+        |         ((k * d + j + 1) * 2654435761) % 4294967296 AS x1 FROM kj),
+        | h2 AS (SELECT vec_id, x, k, xor(x1, x1 >> 16) AS x2 FROM h),
+        | h3 AS (SELECT vec_id, x, k, (x2 * 40503) % 4294967296 AS x3 FROM h2),
+        | h4 AS (SELECT vec_id, x, k, xor(x3, x3 >> 15) AS x4 FROM h3),
+        | s AS (SELECT vec_id, k,
+        |         SUM(x * CASE WHEN x4 % 2 = 0 THEN 1.0 ELSE -1.0 END)
+        |           / sqrt(16.0) AS pk
+        |       FROM h4 GROUP BY 1, 2),
+        | p AS (SELECT vec_id, list(pk ORDER BY k) AS pv FROM s GROUP BY 1),
+        | pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |          list_distance(a.v, b.v) AS d_orig,
+        |          list_distance(pa.pv, pb.pv) AS d_proj
+        |        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |        JOIN p pa ON pa.vec_id = a.vec_id
+        |        JOIN p pb ON pb.vec_id = b.vec_id)
+        |SELECT id_a, id_b, ROUND(d_proj / d_orig, 6) AS ratio
+        |FROM pr WHERE d_orig > 0 ORDER BY id_a, id_b""".stripMargin,
     // q74's centroid CTE + a per-cluster rank on the ROUNDED score —
     // the rank itself is part of the cross-engine contract, so it is
     // computed over 6dp values on both sides.

@@ -204,6 +204,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Temperature-scaled mixture weights (the multinomial α-sampling
+    // recipe of XLM-R/mT5, α=0.3): per-source token shares p_i flatten
+    // to q_i ∝ p_i^α, the standard rebalance that up-samples tail
+    // domains without q70's hard equalization. Everything after the
+    // per-source token count (one partial-agg scan) is arithmetic over
+    // the 10-row domain table — two broadcast scalars, no second corpus
+    // pass.
+    "q128_temperature_mixture" -> ((s, dir) => {
+      val per = docs(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val tot = broadcast(per.agg(sum("n_tokens").as("tot")))
+      val scored = per.crossJoin(tot)
+        .withColumn("p", col("n_tokens").cast("double") / col("tot"))
+        .withColumn("pa", pow(col("p"), lit(0.3)))
+      val z = broadcast(scored.agg(sum("pa").as("z")))
+      scored.crossJoin(z)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("p"), 6).as("p_share"),
+          round(col("pa") / col("z"), 6).as("q_temp"),
+          round((col("pa") / col("z")) / col("p"), 6).as("boost"))
+        .orderBy("source")
+    }),
+
     // DSIR-style importance selection (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): smoothed unigram
     // LMs for a curated target slice (source = src0) and the raw pool
@@ -908,6 +934,19 @@ object TextQueries {
         |  FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
         |SELECT lang, doc_id, n_tokens, seq_no
         |FROM p ORDER BY lang, doc_id""".stripMargin,
+    "q128_temperature_mixture" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per),
+        | sc AS (SELECT source, n_docs, n_tokens,
+        |          n_tokens / CAST(tot AS DOUBLE) AS p,
+        |          pow(n_tokens / CAST(tot AS DOUBLE), 0.3) AS pa
+        |        FROM per CROSS JOIN tot),
+        | z AS (SELECT SUM(pa) AS z FROM sc)
+        |SELECT source, n_docs, n_tokens, ROUND(p, 6) AS p_share,
+        |  ROUND(pa / z.z, 6) AS q_temp, ROUND((pa / z.z) / p, 6) AS boost
+        |FROM sc CROSS JOIN z ORDER BY source""".stripMargin,
     // Mirrors the engine's split of rounding: the per-token log ratios
     // are exact doubles, only the per-doc AVG is 6dp-rounded before the
     // > 0 keep test, so boundary decisions agree across engines.

@@ -396,6 +396,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"IVF-PQ recall $recall < 0.85")
   }
 
+  test("randomProject: deterministic, map-side, JL distortion in a sane band") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val p = Similarity.randomProject(e, "vec_id", "embedding", outDim = 16)
+    assert(p.collect().toSeq === Similarity.randomProject(e, "vec_id",
+      "embedding", outDim = 16).collect().toSeq, "projection must be deterministic")
+    // No exchange: the projection is a pure per-row kernel.
+    assert(!p.queryExecution.executedPlan.toString.contains("Exchange"),
+      "randomProject must not shuffle")
+    // JL sanity on the real vectors: pairwise distance ratios stay in a
+    // wide-but-bounded band and center near 1 (ε≈0.5 at outDim=16 —
+    // this pins "the matrix mixes", not a tight JL constant).
+    import org.apache.spark.sql.expressions.Window
+    val both = e.limit(40).join(p, Seq("vec_id"))
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"), col("pv"))
+    val rows = both.as[(Long, Array[Double], Array[Double])].collect()
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for {
+      (ia, va, pa) <- rows; (ib, vb, pb) <- rows if ia < ib
+      d0 = dist(va, vb) if d0 > 0
+    } yield dist(pa, pb) / d0
+    assert(ratios.nonEmpty)
+    assert(ratios.forall(r => r > 0.3 && r < 1.9),
+      s"ratio outside band: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean ratio $mean drifted from 1")
+  }
+
   test("pqQuantize: trained codebooks beat the k=1 (global mean) distortion") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val quant = Similarity.pqQuantize(e, "vec_id", "embedding", m = 8, ksub = 16)
