@@ -46,27 +46,55 @@ object Profile {
   def equiHeightHistogram(df: DataFrame, valueCol: String, idCol: String,
                           buckets: Int, binSize: Long = 1L << 20,
                           maxBins: Int = 1 << 20,
-                          maxBinRows: Long = 1L << 22): DataFrame = {
-    require(buckets >= 1, s"equiHeightHistogram: buckets must be >= 1, got $buckets")
-    require(binSize >= 1, s"equiHeightHistogram: binSize must be >= 1, got $binSize")
+                          maxBinRows: Long = 1L << 22): DataFrame =
+    equiHeightBuckets(df.select(col(idCol), col(valueCol)), valueCol, idCol,
+        buckets, binSize, 1.0, maxBins, maxBinRows)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol).cast("double")).as("min_v"),
+        max(col(valueCol).cast("double")).as("max_v"),
+        round(avg(col(valueCol).cast("double")), 6).as("avg_v"))
+
+  /** The row-level half of the histogram, reusable by any
+    * equal-count-bucket consumer (lift/calibration curves, decile
+    * reports): every input row comes back with its 1-based `bucket`
+    * under the exact (value, id) global rank. `binScale` pre-multiplies
+    * the value before long-truncation for domains narrower than 1.0
+    * (e.g. scores in [0, 1] — multiplication by a positive constant and
+    * truncation are both non-strictly monotone, so bin order still
+    * agrees with value order; the scale only affects bin GRANULARITY,
+    * never the result).
+    */
+  def equiHeightBuckets(df: DataFrame, valueCol: String, idCol: String,
+                        buckets: Int, binSize: Long = 1L << 20,
+                        binScale: Double = 1.0,
+                        maxBins: Int = 1 << 20,
+                        maxBinRows: Long = 1L << 22): DataFrame = {
+    require(buckets >= 1, s"equiHeightBuckets: buckets must be >= 1, got $buckets")
+    require(binSize >= 1, s"equiHeightBuckets: binSize must be >= 1, got $binSize")
+    require(binScale > 0, s"equiHeightBuckets: binScale must be > 0, got $binScale")
     import org.apache.spark.sql.expressions.Window
-    val t = col(valueCol).cast("long")
-    val binned = df.select(col(idCol).as("__id"),
-        col(valueCol).cast("double").as("__v"),
-        (t - pmod(t, lit(binSize))).as("__bin"))
+    // binScale == 1 keeps integral values on the exact long path (a
+    // double detour would collapse 256-wide ulp ranges past 2^53 — the
+    // tokenBudgetCap bin lesson); a scaled bin basis is only for
+    // sub-integer domains, where the input is already a double.
+    val t =
+      if (binScale == 1.0) col(valueCol).cast("long")
+      else (col(valueCol).cast("double") * lit(binScale)).cast("long")
+    val binned = df.withColumn("__bin", t - pmod(t, lit(binSize)))
     val binStats = binned.groupBy(col("__bin"))
       .agg(count(lit(1)).as("__bin_rows"))
     val rows = binStats.limit(maxBins + 1).collect()
     require(rows.length <= maxBins,
-      s"equiHeightHistogram: more than $maxBins bins - the offset table " +
+      s"equiHeightBuckets: more than $maxBins bins - the offset table " +
         "would not be broadcastable. Raise binSize (fewer, larger bins) " +
         "or raise maxBins deliberately.")
-    require(rows.nonEmpty, "equiHeightHistogram: empty input")
+    require(rows.nonEmpty, "equiHeightBuckets: empty input")
     val over = rows.toSeq.filter(_.getLong(1) > maxBinRows)
       .map(r => s"bin=${r.get(0)} rows=${r.getLong(1)}")
     if (over.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"equiHeightHistogram: bin(s) exceed $maxBinRows rows and will " +
+        s"equiHeightBuckets: bin(s) exceed $maxBinRows rows and will " +
           s"serialize through one window task each: ${over.take(20).mkString("; ")}. " +
           "valueCol is duplicate-heavy there - use a finer binSize if this skews.")
     val n = rows.map(_.getLong(1)).sum
@@ -79,13 +107,15 @@ object Profile {
     val offsets = local
       .withColumn("__offset", coalesce(sum("__bin_rows").over(wBins), lit(0L)))
       .select(col("__bin").as("__ob"), col("__offset"))
-    val wLocal = Window.partitionBy("__bin").orderBy(col("__v"), col("__id"))
+    // Within-bin order compares the RAW column (native type), so the
+    // rank agrees exactly with a single-window formulation over the
+    // same column — no double detour for integral values.
+    val wLocal = Window.partitionBy("__bin")
+      .orderBy(col(valueCol), col(idCol))
     binned.join(broadcast(offsets), col("__bin") === col("__ob"))
       .withColumn("__rank", row_number().over(wLocal).cast("long") + col("__offset"))
       .withColumn("bucket",
         expr(s"(__rank - 1) * ${buckets.toLong} div ${n}") + lit(1L))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_rows"), min(col("__v")).as("min_v"),
-        max(col("__v")).as("max_v"), round(avg(col("__v")), 6).as("avg_v"))
+      .drop("__bin", "__ob", "__offset", "__rank")
   }
 }

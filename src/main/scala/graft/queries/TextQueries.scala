@@ -204,6 +204,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Feature lift curve (the filter-audit report a pipeline produces
+    // before trusting a quality signal): docs ranked by the boilerplate
+    // marker ratio — q110's planted contamination supplies ground truth
+    // — and bucketed into EXACT equal-count deciles via the distributed
+    // rank (`Profile.equiHeightBuckets`, binScale stretching the [0,1]
+    // score domain over real bins — never a whole-table window); per
+    // decile, mean score and empirical positive rate. A well-ranking
+    // signal concentrates the positives in the top deciles; the whole
+    // curve is arithmetic, so unlike the trained-model gate (q110) it
+    // takes a FULL cross-engine hash gate.
+    "q129_lift_curve" -> ((s, dir) => {
+      val boiler = Seq("lorem", "ipsum", "dolor", "sit", "amet")
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" lorem ipsum dolor sit amet lorem ipsum")))
+          .otherwise(col("text")))
+      val nTok = greatest(size(words(col("text"))), lit(1)).cast("double")
+      val feats = planted.select(col("doc_id"),
+        (markerHits(col("text"), boiler).cast("double") / nTok).as("score"),
+        (col("doc_id") % 3 === 0).cast("long").as("label"))
+      graft.operators.Profile.equiHeightBuckets(feats, "score", "doc_id",
+          buckets = 10, binSize = 1, binScale = 1000.0)
+        .groupBy(col("bucket").as("decile"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(col("score")), 6).as("mean_score"),
+          round(avg(col("label").cast("double")), 6).as("pos_rate"))
+        .orderBy("decile")
+    }),
+
     // Temperature-scaled mixture weights (the multinomial α-sampling
     // recipe of XLM-R/mT5, α=0.3): per-source token shares p_i flatten
     // to q_i ∝ p_i^α, the standard rebalance that up-samples tail
@@ -934,6 +963,31 @@ object TextQueries {
         |  FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
         |SELECT lang, doc_id, n_tokens, seq_no
         |FROM p ORDER BY lang, doc_id""".stripMargin,
+    // Single-window statement of the decile rank (the operator's
+    // two-phase form must be indistinguishable); the score is the same
+    // regexp marker count over the same planted text, and the rank
+    // tiebreak (score, doc_id) makes the bucketing fully deterministic.
+    "q129_lift_curve" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' lorem ipsum dolor sit amet lorem ipsum'
+        |      ELSE text END AS text
+        |  FROM documents),
+        | f AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(lorem|ipsum|dolor|sit|amet)\b')) AS DOUBLE)
+        |      / greatest(len(string_split(text, ' ')), 1) AS score,
+        |    CAST(doc_id % 3 = 0 AS BIGINT) AS label
+        |  FROM planted),
+        | r AS (SELECT score, label,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id) AS BIGINT) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM f)
+        |SELECT ((rk - 1) * 10) // n + 1 AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  ROUND(AVG(score), 6) AS mean_score,
+        |  ROUND(AVG(CAST(label AS DOUBLE)), 6) AS pos_rate
+        |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
     "q128_temperature_mixture" ->
       """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

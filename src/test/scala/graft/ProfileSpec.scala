@@ -54,6 +54,26 @@ class ProfileSpec extends SparkSpec {
       (3L, 2L, -0.4, 0.3), (4L, 2L, 7.9, 120.0)))
   }
 
+  test("equiHeightBuckets with binScale ≡ single-window deciles on a [0,1] domain") {
+    import org.apache.spark.sql.expressions.Window
+    // Sub-integer scores: without binScale everything lands in bin 0;
+    // the scale must spread them WITHOUT changing the bucketing.
+    val df = (1 to 500).map(i => (i.toLong, (i % 97) / 97.0)).toDF("id", "score")
+    val got = Profile.equiHeightBuckets(df, "score", "id", buckets = 10,
+        binSize = 1, binScale = 1000.0)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy(col("score"), col("id"))
+    val ref = df.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("bucket", expr("(rk - 1) * 10 div 500") + lit(1L))
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got === ref)
+    // And the scale genuinely spread the bins (no one-task funnel).
+    val bins = df.select(((col("score") * 1000).cast("long") -
+      pmod((col("score") * 1000).cast("long"), lit(1L))).as("b"))
+      .distinct().count()
+    assert(bins > 10, s"binScale produced only $bins bins")
+  }
+
   test("maxBins guard throws loudly instead of collecting an unbounded bin table") {
     val o = Tables.load(spark, sfDir, "orders")
     val e = intercept[IllegalArgumentException] {
