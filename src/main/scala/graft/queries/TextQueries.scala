@@ -204,6 +204,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    // Spirakis A-ES): each doc draws u from the q45/q70 multiplicative
+    // hash (exact integer → one double division, engine-identical) and
+    // keeps the 200 smallest -ln(u)/w keys, w = n_chars — the
+    // quality-weighted subsample pass of a training-data pipeline,
+    // reproducible from (corpus, hash) alone. Scale shape: the keyed
+    // scan is map-side and the selection is a bounded
+    // TakeOrderedAndProject (k-row partial heaps merge map-side,
+    // PlanSpec-pinned) — never a global sort; the rank window runs over
+    // the 200 SELECTED rows only.
+    "q130_weighted_sample" -> ((s, dir) => {
+      val u = (docHash(col("doc_id")) + 1).cast("double") / lit(4294967297.0)
+      val keyed = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars"),
+        (-log(u) / greatest(col("n_chars"), lit(1L)).cast("double"))
+          .as("es_key"))
+      val top = keyed.orderBy(col("es_key"), col("doc_id")).limit(200)
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("es_key"), col("doc_id"))
+      top.withColumn("sample_rank", row_number().over(win).cast("bigint"))
+        .select(col("sample_rank"), col("doc_id"), col("lang"),
+          col("n_chars"), round(col("es_key"), 9).as("es_key"))
+        .orderBy("sample_rank")
+    }),
+
     // Feature lift curve (the filter-audit report a pipeline produces
     // before trusting a quality signal): docs ranked by the boilerplate
     // marker ratio — q110's planted contamination supplies ground truth
@@ -963,6 +988,22 @@ object TextQueries {
         |  FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
         |SELECT lang, doc_id, n_tokens, seq_no
         |FROM p ORDER BY lang, doc_id""".stripMargin,
+    // Same exact-integer hash → one double division → -ln(u)/w; the
+    // rank orders UNROUNDED keys (continuous, cross-engine-identical
+    // arithmetic) with the doc_id tiebreak; only the output key is
+    // rounded.
+    "q130_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, lang, n_chars,
+        |    -ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0)
+        |      / greatest(n_chars, 1) AS es_key
+        |  FROM documents),
+        | r AS (SELECT doc_id, lang, n_chars, es_key,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY es_key, doc_id) AS BIGINT)
+        |      AS sample_rank
+        |  FROM k)
+        |SELECT sample_rank, doc_id, lang, n_chars,
+        |  ROUND(es_key, 9) AS es_key
+        |FROM r WHERE sample_rank <= 200 ORDER BY sample_rank""".stripMargin,
     // Single-window statement of the decile rank (the operator's
     // two-phase form must be indistinguishable); the score is the same
     // regexp marker count over the same planted text, and the rank

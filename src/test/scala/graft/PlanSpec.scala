@@ -456,6 +456,12 @@ class PlanSpec extends SparkSpec {
       "bin offsets must replay from the collected census:\n" + p.take(3000))
   }
 
+  test("q130 weighted sample selects via bounded TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q130_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "A-ES selection must be a bounded top-k:\n" + p.take(2000))
+  }
+
   test("q123 LM table broadcasts back to the token stream (corpus never shuffles for scoring)") {
     val p = planOf("q123_dsir_resample")
     assert(p.contains("BroadcastHashJoin"),
