@@ -456,6 +456,21 @@ class PlanSpec extends SparkSpec {
       "bin offsets must replay from the collected census:\n" + p.take(3000))
   }
 
+  test("q122 ADC candidate stage drops the full vectors (codes-only scan)") {
+    // The IVF-PQ candidate scan must carry (query, neighbor, sim) into
+    // its distinct/heap stages — if the true corpus vectors (cv) were
+    // still attached past the encode projection, they'd appear in the
+    // aggregate keys and every exchange of the candidate stage.
+    val p = SparkEntry.queries("q122_ivfpq_gate")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val dedupLines = p.linesIterator
+      .filter(l => l.contains("Aggregate [query_id") ||
+        l.contains("Deduplicate [query_id")).toSeq
+    assert(dedupLines.nonEmpty, "candidate distinct not found:\n" + p.take(3000))
+    assert(dedupLines.forall(l => !l.contains("cv#") && !l.contains("recon")),
+      "candidate stage still carries vectors:\n" + dedupLines.mkString("\n"))
+  }
+
   test("q130 weighted sample selects via bounded TakeOrderedAndProject, not a global sort") {
     val p = planOf("q130_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
