@@ -96,6 +96,14 @@ object EventQueries {
     "q99_stream_new_pairs" -> ((s, dir) =>
       EventStreams.streamingNewAgainstHistory(s, dir)),
 
+    // Structured Streaming: per-window distinct-user ESTIMATES from the
+    // mergeable HLL sketch (bounded state where exact streaming
+    // COUNT(DISTINCT) holds every id), refereed in-query against the
+    // batch exact counts — violations emit, the oracle is the empty
+    // relation (the q47/q77 referee pattern, streaming edition).
+    "q131_stream_distinct_monitor" -> ((s, dir) =>
+      EventStreams.streamingDistinctMonitor(s, dir)),
+
     // Gap-based session_window aggregation (batch form of the same plan
     // the streaming engine runs; the streaming stateful twin is q38).
     "q41_session_window" -> ((s, dir) => {
@@ -250,6 +258,13 @@ object EventQueries {
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q131_stream_distinct_monitor" ->
+      """SELECT CAST(NULL AS TIMESTAMP) AS window_start,
+        |  CAST(NULL AS VARCHAR) AS event_type,
+        |  CAST(NULL AS BIGINT) AS est_users,
+        |  CAST(NULL AS BIGINT) AS exact_users,
+        |  CAST(NULL AS DOUBLE) AS rel_err
+        |WHERE FALSE""".stripMargin,
     "q47_hll_distinct" ->
       """SELECT CAST(NULL AS VARCHAR) AS event_type,
         |  CAST(NULL AS BIGINT) AS exact_users,

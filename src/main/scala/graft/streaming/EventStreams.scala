@@ -105,6 +105,59 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Streaming cardinality monitor: per-hour/per-type distinct-user
+    * ESTIMATES from the mergeable HLL behind `approx_count_distinct` —
+    * the sketch a 100 TB stream aggregates with bounded state (exact
+    * streaming COUNT(DISTINCT) would hold every user id per open
+    * window; the sketch holds KBs and merges map-side across
+    * partitions). Drained on the bounded feed, the estimates are
+    * refereed against the exact batch distinct counts; rows emit only
+    * when the relative error leaves the sketch's contract band (or a
+    * window/type disagrees between the two sides — the FULL join makes
+    * a missing window a violation, not a silent drop), so the driver
+    * oracle is the empty relation.
+    */
+  def streamingDistinctMonitor(spark: SparkSession, sfDir: String,
+                               bound: Double = 0.15,
+                               absSlack: Long = 5L): DataFrame = {
+    val est = readEventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("est_users"))
+    val drained = runToMemory(est, OutputMode.Complete())
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("est_users"))
+    val exact = graft.Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("exact_users"))
+    distinctMonitorReferee(drained, exact, bound, absSlack)
+  }
+
+  /** The referee half, factored out so the spec can feed it corrupted
+    * estimates: violations = est/exact mismatch beyond BOTH the
+    * relative band and the absolute slack, OR a (window, type) present
+    * on only one side. The two-sided band is the honest statement of
+    * the HLL contract — relative error is the asymptotic guarantee
+    * (rsd·n scaling), while at the tiny per-window cardinalities of
+    * this feed a ±few-users register wobble is in-contract even though
+    * it is a large FRACTION of a 4-user window.
+    */
+  private[graft] def distinctMonitorReferee(est: DataFrame, exact: DataFrame,
+                                            bound: Double,
+                                            absSlack: Long): DataFrame =
+    est.join(exact, Seq("window_start", "event_type"), "full")
+      .withColumn("rel_err",
+        abs(col("est_users") - col("exact_users")).cast("double")
+          / col("exact_users"))
+      .filter((col("rel_err") > bound &&
+          abs(col("est_users") - col("exact_users")) > absSlack) ||
+        col("est_users").isNull || col("exact_users").isNull)
+      .select(col("window_start"), col("event_type"), col("est_users"),
+        col("exact_users"), round(col("rel_err"), 6).as("rel_err"))
+      .orderBy("window_start", "event_type")
+
   /** Streaming incremental dedup against a static history — the
     * streaming-ingestion twin of `Dedup.newAgainstHistory`: events after
     * the cutoff anti-join a STATIC frame of already-seen

@@ -507,6 +507,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("distinct monitor: silent on honest sketches, fires on corruption and missing windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // End-to-end on the real feed: the sketch must sit inside its band.
+    assert(EventStreams.streamingDistinctMonitor(spark, sfDir).count() === 0,
+      "monitor fired on an honest HLL estimate")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val exact = Seq((t0, "click", 100L), (t1, "click", 50L))
+      .toDF("window_start", "event_type", "exact_users")
+    // Corrupted estimate (40% off, past both bands) plus a window the
+    // estimator dropped: both must surface through the FULL join
+    // referee.
+    val est = Seq((t0, "click", 140L))
+      .toDF("window_start", "event_type", "est_users")
+    val v = EventStreams.distinctMonitorReferee(est, exact, bound = 0.15,
+        absSlack = 5L)
+      .select("window_start", "event_type").as[(java.sql.Timestamp, String)]
+      .collect().toSeq
+    assert(v === Seq((t0, "click"), (t1, "click")),
+      s"referee missed a violation: $v")
+  }
+
   test("SQL surface: graft functions registered by GraftExtensions") {
     GraftSession.tune(spark)
     val row = spark.sql(
