@@ -403,6 +403,73 @@ case class RollingFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** Content-defined chunking (the Rabin/FastCDC family): boundaries
+  * where the W-codepoint rolling Rabin-Karp hash (base 31, mod 1e9+7 —
+  * the `RollingFingerprint` constants) satisfies `h % mask == 0`, so a
+  * byte inserted early in a document shifts every later FIXED chunk but
+  * leaves content-defined boundaries downstream of the edit aligned —
+  * the property that makes sub-document dedup shift-robust. One
+  * codepoint pass per row: the window hash rolls incrementally
+  * (subtract c_out·B^W, add c_in), boundaries collect, then each
+  * chunk's content fingerprint is the same polynomial recurrence over
+  * its own span. Output: array of (chunk_no, c_start, c_len, fp),
+  * 1-based codepoint offsets — exactly the relation the q132 DuckDB
+  * oracle rebuilds with list_reduce over codepoint slices.
+  */
+case class CdcChunks(child: Expression, w: Int, mask: Long)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+  require(w >= 1, s"CdcChunks: w must be >= 1, got $w")
+  require(mask >= 1, s"CdcChunks: mask must be >= 1, got $mask")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("chunk_no", LongType, nullable = false)
+    .add("c_start", LongType, nullable = false)
+    .add("c_len", LongType, nullable = false)
+    .add("fp", LongType, nullable = false), containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  private val M = 1000000007L
+  private val B = 31L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    var bw = 1L
+    var j = 0
+    while (j < w) { bw = bw * B % M; j += 1 }
+    // boundary END positions (1-based), h = hash of the last w codepoints
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * B + cps(i)) % M
+      if (i >= w) h = ((h - cps(i - w) * bw) % M + M) % M
+      if (i + 1 >= w && h % mask == 0 && i + 1 < n) bounds += (i + 1)
+      i += 1
+    }
+    val starts = 1 +: bounds.map(_ + 1)
+    val rows = new Array[Any](starts.length)
+    var k = 0
+    while (k < starts.length) {
+      val st = starts(k)
+      val end = if (k + 1 < starts.length) starts(k + 1) - 1 else n
+      var fp = 0L
+      var p = st - 1
+      while (p < end) { fp = (fp * B + cps(p)) % M; p += 1 }
+      rows(k) = org.apache.spark.sql.catalyst.InternalRow(
+        (k + 1).toLong, st.toLong, (end - st + 1).toLong, fp)
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextOps {
   private def wrap(e: Expression): Column = ColumnBridge.column(e)
 
@@ -426,4 +493,7 @@ object TextOps {
 
   def fingerprint(text: Column): Column =
     wrap(RollingFingerprint(ColumnBridge.expression(text)))
+
+  def cdcChunks(text: Column, w: Int, mask: Long): Column =
+    wrap(CdcChunks(ColumnBridge.expression(text), w, mask))
 }

@@ -270,10 +270,90 @@ object DedupQueries {
     "q43_neardup_components" -> ((s, dir) => {
       val pairs = Dedup.lshNearDupPairs(docs(s, dir), "doc_id", "text", threshold = 0.8)
       Dedup.nearDupComponents(pairs).orderBy("doc_id")
+    }),
+
+    // Content-defined chunking (Rabin/FastCDC family): boundaries where
+    // the 8-codepoint rolling hash ≡ 0 (mod 64) — shift-robust
+    // sub-document units (an early edit realigns at the next content
+    // boundary, unlike fixed-width chunks), the storage-dedup
+    // counterpart of q112's exact duplicated spans. The `CdcChunks`
+    // kernel is one codepoint pass per row, map-side; the oracle
+    // rebuilds the identical chunk relation with list_reduce over
+    // codepoint slices (same base-31/mod-1e9+7 arithmetic), so the
+    // whole relation takes a FULL hash gate.
+    "q132_cdc_chunks" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          explode(graft.expressions.TextOps.cdcChunks(col("text"), 8, 64))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_no").as("chunk_no"),
+          col("c.c_start").as("c_start"), col("c.c_len").as("c_len"),
+          col("c.fp").as("fp"))
+        .orderBy("doc_id", "chunk_no")
+    }),
+
+    // Cross-document shared-chunk profile over the CDC relation — the
+    // dedup report storage systems run on content-defined chunks:
+    // fingerprint groups seen in ≥ 2 docs, with occurrence and
+    // distinct-doc counts. One chunk-keyed aggregation; the chunk
+    // relation itself never re-reads text.
+    "q133_chunk_dedup" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+          explode(graft.expressions.TextOps.cdcChunks(col("text"), 8, 64))
+            .as("c"))
+        .select(col("doc_id"), col("c.c_len").as("c_len"), col("c.fp").as("fp"))
+        .groupBy(col("fp"), col("c_len"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("fp", "c_len")
     })
   )
 
+  /** Shared oracle CTE: the CDC chunk relation, rebuilt from codepoint
+    * slices with the kernel's exact arithmetic (base-31 rolling hash
+    * mod 1e9+7 over an 8-codepoint window, boundary at h % 64 == 0,
+    * final partial chunk always emitted).
+    */
+  private val cdcCte =
+    """WITH c AS (SELECT doc_id, length(text) AS n,
+      |    list_transform(range(1, length(text) + 1),
+      |      p -> CAST(unicode(substr(text, CAST(p AS INT), 1)) AS BIGINT))
+      |      AS codes
+      |  FROM documents),
+      | b AS (SELECT doc_id, n, codes,
+      |    list_filter(range(8, n + 1),
+      |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i-7:i]),
+      |             (a, x) -> (a * 31 + x) % 1000000007) % 64 = 0) AS bnds
+      |  FROM c),
+      | s AS (SELECT doc_id, n, codes,
+      |    list_sort(list_distinct(list_prepend(CAST(1 AS BIGINT),
+      |      list_transform(list_filter(bnds, x -> x < n), x -> x + 1))))
+      |      AS starts
+      |  FROM b),
+      | ch AS (SELECT doc_id, n, codes, starts,
+      |    unnest(range(1, len(starts) + 1)) AS k
+      |  FROM s),
+      | cdc AS (SELECT doc_id, k AS chunk_no, starts[k] AS c_start,
+      |    (CASE WHEN k < len(starts) THEN starts[k+1] ELSE n + 1 END)
+      |      - starts[k] AS c_len,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      codes[starts[k]:(CASE WHEN k < len(starts) THEN starts[k+1]
+      |        ELSE n + 1 END) - 1]),
+      |      (a, x) -> (a * 31 + x) % 1000000007) AS fp
+      |  FROM ch)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q132_cdc_chunks" -> (cdcCte +
+      """
+        |SELECT doc_id, chunk_no, c_start, c_len, fp
+        |FROM cdc ORDER BY doc_id, chunk_no""".stripMargin),
+    "q133_chunk_dedup" -> (cdcCte +
+      """
+        |SELECT fp, c_len, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM cdc GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY fp, c_len""".stripMargin),
     "q22_dedup_exact" ->
       """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,

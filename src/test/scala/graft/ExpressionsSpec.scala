@@ -247,4 +247,57 @@ class ExpressionsSpec extends SparkSpec {
     assert(out(2) === Seq(0.0, 0.0))
     assert(out(3) === Seq(0.75, 1.0))
   }
+
+  test("CdcChunks: Scala reference equality, reconstruction, shift-robustness") {
+    val W = 8; val MASK = 64L; val M = 1000000007L; val B = 31L
+    def ref(s: String): Seq[(Long, Long, Long, Long)] = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      val bw = (1 to W).foldLeft(1L)((a, _) => a * B % M)
+      var h = 0L
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+      for (i <- 0 until n) {
+        h = (h * B + cps(i)) % M
+        if (i >= W) h = ((h - cps(i - W) * bw) % M + M) % M
+        if (i + 1 >= W && h % MASK == 0 && i + 1 < n) bounds += (i + 1)
+      }
+      val starts = 1 +: bounds.map(_ + 1)
+      starts.zipWithIndex.map { case (st, k) =>
+        val end = if (k + 1 < starts.length) starts(k + 1) - 1 else n
+        val fp = (st - 1 until end).foldLeft(0L)((a, p) => (a * B + cps(p)) % M)
+        ((k + 1).toLong, st.toLong, (end - st + 1).toLong, fp)
+      }.toSeq
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight again",
+      "short", "", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa") ++
+      Tables.load(spark, sfDir, "documents").select("text")
+        .limit(50).as[String].collect().toSeq
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"),
+        explode(graft.expressions.TextOps.cdcChunks(col("text"), W, MASK)).as("c"))
+      .select(col("id"), col("c.chunk_no"), col("c.c_start"), col("c.c_len"),
+        col("c.fp"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5)).sortBy(_._1).toSeq)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === ref(t), s"text #$i diverged from reference")
+      // Chunks must tile the text exactly: starts/lengths reconstruct it.
+      val chunks = got(i.toLong)
+      assert(chunks.map(_._3).sum === t.codePointCount(0, t.length).toLong)
+      chunks.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 + a._3 === b._2, "chunks must be contiguous")
+        case _ => ()
+      }
+    }
+    // Shift-robustness: prepending text realigns at the next content
+    // boundary — the suffix chunks keep their fingerprints (fixed-width
+    // chunking would shift every one of them).
+    val base = texts.head
+    val shifted = "INSERTED PREFIX " + base
+    val fpBase = ref(base).map(_._4)
+    val fpShift = ref(shifted).map(_._4)
+    assert(fpBase.intersect(fpShift).nonEmpty,
+      "no shared chunk fingerprints after a prefix edit - chunking is not content-defined")
+  }
 }
