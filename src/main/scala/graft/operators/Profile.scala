@@ -45,10 +45,11 @@ object Profile {
     */
   def equiHeightHistogram(df: DataFrame, valueCol: String, idCol: String,
                           buckets: Int, binSize: Long = 1L << 20,
+                          binScale: Double = 1.0,
                           maxBins: Int = 1 << 20,
                           maxBinRows: Long = 1L << 22): DataFrame =
     equiHeightBuckets(df.select(col(idCol), col(valueCol)), valueCol, idCol,
-        buckets, binSize, 1.0, maxBins, maxBinRows)
+        buckets, binSize, binScale, maxBins, maxBinRows)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(valueCol).cast("double")).as("min_v"),

@@ -291,6 +291,32 @@ object DedupQueries {
         .orderBy("doc_id", "chunk_no")
     }),
 
+    // Incremental containment at CHUNK granularity: how much of each
+    // new-batch document already exists in the history, measured over
+    // content-defined chunk occurrences — the sub-document sibling of
+    // q96's whole-text anti-join (a doc that is 90% recycled boilerplate
+    // with a fresh header passes q96 but is caught here). Scale shape:
+    // the chunk relation is checkpointed once (two consumers), the join
+    // carries only 16-byte (fp, c_len) keys — text never reshuffles.
+    "q134_chunk_containment" -> ((s, dir) => {
+      val chunks = docs(s, dir).select(col("doc_id"),
+          explode(graft.expressions.TextOps.cdcChunks(col("text"), 8, 64))
+            .as("c"))
+        .select(col("doc_id"), col("c.c_len").as("c_len"), col("c.fp").as("fp"))
+        .localCheckpoint(true)
+      val hist = chunks.filter(col("doc_id") % 3 =!= 0)
+        .select("fp", "c_len").distinct()
+      chunks.filter(col("doc_id") % 2 === 0)
+        .join(hist.withColumn("hit", lit(1L)), Seq("fp", "c_len"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("containment",
+          round(col("n_hit") / col("n_chunks").cast("double"), 6))
+        .withColumn("mostly_dup", col("n_hit") >= col("n_chunks") * 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Cross-document shared-chunk profile over the CDC relation — the
     // dedup report storage systems run on content-defined chunks:
     // fingerprint groups seen in ≥ 2 docs, with occurrence and
@@ -354,6 +380,19 @@ object DedupQueries {
         |FROM cdc GROUP BY 1, 2
         |HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY fp, c_len""".stripMargin),
+    "q134_chunk_containment" -> (cdcCte +
+      """
+        |, hist AS (SELECT DISTINCT fp, c_len FROM cdc WHERE doc_id % 3 <> 0),
+        | batch AS (SELECT doc_id, fp, c_len FROM cdc WHERE doc_id % 2 = 0),
+        | j AS (SELECT b.doc_id,
+        |         CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |       FROM batch b
+        |       LEFT JOIN hist h ON b.fp = h.fp AND b.c_len = h.c_len)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(hit) AS BIGINT) AS n_hit,
+        |  ROUND(SUM(hit) / CAST(COUNT(*) AS DOUBLE), 6) AS containment,
+        |  (SUM(hit) >= COUNT(*) * 0.5) AS mostly_dup
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin),
     "q22_dedup_exact" ->
       """SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,

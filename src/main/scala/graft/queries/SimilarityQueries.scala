@@ -307,6 +307,23 @@ object SimilarityQueries {
     // a candidate-generation regression is a driver-gate row mismatch.
     // End-to-end recall equals candidate recall because the rerank is
     // exact; the per-rank shape stays pinned in SimilaritySpec.
+    // Embedding QC: equi-height histogram of L2 norms — the first sanity
+    // report an embedding pipeline runs (collapsed or exploding norms
+    // are the classic sign of a broken encoder batch). Norms are
+    // 6dp-rounded BEFORE ranking so the bucket boundaries sit on values
+    // both engines agree on digit-for-digit; the rank itself is the
+    // q125 distributed two-phase machinery (binScale stretches the
+    // narrow norm range over real bins — never a whole-table window).
+    "q135_norm_histogram" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          round(sqrt(aggregate(Similarity.asDouble(col("embedding")),
+            lit(0.0), (acc, x) => acc + x * x)), 6).as("nrm"))
+      graft.operators.Profile.equiHeightHistogram(e, "nrm", "vec_id",
+          buckets = 8, binSize = 1, binScale = 100.0)
+        .orderBy("bucket")
+    }),
+
     // JL random-projection distortion report: project 64-dim embeddings
     // to 16 dims with the arithmetic sign-hash matrix and report the
     // pairwise Euclidean distance ratio d_proj/d_orig over the vec_id<30
@@ -549,6 +566,23 @@ object SimilarityQueries {
       """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
         |  CAST(NULL AS DOUBLE) AS recall_floor
         |WHERE FALSE""".stripMargin,
+    // Same 6dp-rounded norm (left-fold sum order differences are
+    // absorbed by the round), single-window rank + exact BIGINT bucket
+    // arithmetic — the q125 oracle shape.
+    "q135_norm_histogram" ->
+      """WITH e AS (SELECT vec_id,
+        |    ROUND(sqrt(list_aggregate(
+        |      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        |      'sum')), 6) AS nrm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        | r AS (SELECT nrm,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY nrm, vec_id) AS BIGINT) AS rk,
+        |    COUNT(*) OVER () AS n
+        |  FROM e)
+        |SELECT ((rk - 1) * 8) // n + 1 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(nrm) AS min_v, MAX(nrm) AS max_v, ROUND(AVG(nrm), 6) AS avg_v
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
     // Recomputes the identical multiply–xorshift sign hash in BIGINT
     // (xor/>>/% agree exactly across engines — verified digit-for-digit)
     // and the same Σ±x/√16 projection; only the pair ratio is rounded.
