@@ -24,6 +24,66 @@ object EventQueries {
     // timestamp get identical frames, so the result is deterministic
     // without an ORDER BY tiebreak inside the window. The streaming
     // twin of this query is the watermarked sliding window (q40).
+    // Ordered conversion funnel (view → click → purchase, each stage
+    // strictly AFTER the previous stage's first occurrence for that
+    // user — the product-analytics query class). Three user-keyed
+    // aggregations chained by keyed joins: t_click only counts clicks
+    // after the user's first view, t_purchase only purchases after that
+    // click. Everything is keyed by user_id — at 100 TB the three
+    // aggregations share one hash partitioning (AQE reuses the
+    // exchange), and the final summary is a 3-row rollup.
+    "q136_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      val counts = v.agg(count(lit(1)).as("nv"))
+        .crossJoin(c.agg(count(lit(1)).as("nc")))
+        .crossJoin(p.agg(count(lit(1)).as("np")))
+      counts.select(explode(array(
+          struct(lit(1L).as("stage_no"), lit("view").as("stage"),
+            col("nv").as("n_users"), lit(1.0).as("conv_from_prev")),
+          struct(lit(2L).as("stage_no"), lit("click_after_view").as("stage"),
+            col("nc").as("n_users"),
+            round(col("nc") / col("nv").cast("double"), 6).as("conv_from_prev")),
+          struct(lit(3L).as("stage_no"), lit("purchase_after_click").as("stage"),
+            col("np").as("n_users"),
+            round(col("np") / col("nc").cast("double"), 6).as("conv_from_prev"))))
+          .as("r"))
+        .select(col("r.stage_no").as("stage_no"), col("r.stage").as("stage"),
+          col("r.n_users").as("n_users"),
+          col("r.conv_from_prev").as("conv_from_prev"))
+        .orderBy("stage_no")
+    }),
+
+    // Weekly retention cohorts (the growth-analytics matrix): cohort =
+    // ISO week of a user's first event; for each (cohort, activity
+    // week), distinct active users and the retention fraction of the
+    // cohort. Two user-keyed aggregations and one broadcast-sized
+    // cohort dim — the fact table never moves twice.
+    "q137_retention_cohorts" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val sizes = cohort.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_n"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("wk"), col("n_active"), col("cohort_n"),
+          round(col("n_active").cast("double") / col("cohort_n"), 6)
+            .as("retention"))
+        .orderBy("cohort_wk", "wk")
+    }),
+
     "q80_rolling_24h" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
@@ -258,6 +318,43 @@ object EventQueries {
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q136_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        | c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+        |       FROM events e JOIN v ON e.user_id = v.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        | p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |       FROM events e JOIN c ON e.user_id = c.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |       GROUP BY 1),
+        | n AS (SELECT (SELECT COUNT(*) FROM v) AS nv,
+        |              (SELECT COUNT(*) FROM c) AS nc,
+        |              (SELECT COUNT(*) FROM p) AS np)
+        |SELECT stage_no, stage, n_users, conv_from_prev FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_no, 'view' AS stage,
+        |    CAST(nv AS BIGINT) AS n_users, 1.0 AS conv_from_prev FROM n
+        |  UNION ALL
+        |  SELECT 2, 'click_after_view', CAST(nc AS BIGINT),
+        |    ROUND(nc / CAST(nv AS DOUBLE), 6) FROM n
+        |  UNION ALL
+        |  SELECT 3, 'purchase_after_click', CAST(np AS BIGINT),
+        |    ROUND(np / CAST(nc AS DOUBLE), 6) FROM n)
+        |ORDER BY stage_no""".stripMargin,
+    "q137_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        | cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1),
+        | sizes AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_n
+        |           FROM cohort GROUP BY 1),
+        | act AS (SELECT c.cohort_wk, ev.wk,
+        |           CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
+        |         FROM ev JOIN cohort c ON ev.user_id = c.user_id
+        |         GROUP BY 1, 2)
+        |SELECT act.cohort_wk, act.wk, act.n_active, sizes.cohort_n,
+        |  ROUND(act.n_active / CAST(sizes.cohort_n AS DOUBLE), 6) AS retention
+        |FROM act JOIN sizes USING (cohort_wk)
+        |ORDER BY cohort_wk, wk""".stripMargin,
     "q131_stream_distinct_monitor" ->
       """SELECT CAST(NULL AS TIMESTAMP) AS window_start,
         |  CAST(NULL AS VARCHAR) AS event_type,
