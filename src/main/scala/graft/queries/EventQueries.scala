@@ -35,12 +35,18 @@ object EventQueries {
     "q136_funnel" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
+      // v feeds both the click stage and its own count, c feeds the
+      // purchase stage and its count — checkpoint each once (the q72
+      // persist-vs-recompute call: the per-user stage tables are
+      // strictly smaller than the event scans that build them).
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts").as("t_view"))
+        .localCheckpoint(true)
       val c = ev.filter(col("event_type") === "click")
         .join(v, Seq("user_id"))
         .filter(col("ts") > col("t_view"))
         .groupBy("user_id").agg(min("ts").as("t_click"))
+        .localCheckpoint(true)
       val p = ev.filter(col("event_type") === "purchase")
         .join(c, Seq("user_id"))
         .filter(col("ts") > col("t_click"))
