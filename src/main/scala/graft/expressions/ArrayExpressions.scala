@@ -234,6 +234,44 @@ case class ByteMean(child: Expression)
     copy(child = newChild)
 }
 
+/** 256-bin byte histogram of a binary payload — the cheapest
+  * content-signature a multimodal pipeline can compute without decoding
+  * the media (distribution of bytes survives container re-muxing far
+  * better than a whole-file hash). One codegen pass over the bytes;
+  * counts are exact longs, so downstream cosine arithmetic is
+  * integer-exact and cross-engine reproducible (the q138 gate).
+  */
+case class ByteHistogram(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "byte_histogram"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val h = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) { h(bytes(i) & 0xff) += 1L; i += 1 }
+    new GenericArrayData(h)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      s"""
+         |long[] $h = new long[256];
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $h[$a[$i] & 0xff]++;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($h);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Indices of the `k` centroids most cosine-similar to the input vector,
   * in one fused kernel — the map-side argmax of IVF bucket assignment.
   *
@@ -560,6 +598,9 @@ object ArrayOps {
   /** Mean unsigned-byte value of a binary column. */
   def byteMean(a: Column): Column =
     ColumnBridge.column(ByteMean(ColumnBridge.expression(a)))
+
+  def byteHistogram(a: Column): Column =
+    ColumnBridge.column(ByteHistogram(ColumnBridge.expression(a)))
 
   /** Indices of the k most cosine-similar centroid rows for each vector. */
   def argTopKCosine(vec: Column, centroids: Array[Array[Double]], k: Int): Column =

@@ -24,6 +24,32 @@ object EventQueries {
     // timestamp get identical frames, so the result is deterministic
     // without an ORDER BY tiebreak inside the window. The streaming
     // twin of this query is the watermarked sliding window (q40).
+    // Multimodal near-dup candidates WITHOUT decoding: 256-bin byte
+    // histograms (the `ByteHistogram` codegen kernel — one pass over
+    // the payload, no media codec) cosine-compared across a bounded
+    // sample; byte distributions survive container-level differences a
+    // whole-file hash (q35's sha256) cannot. Histogram counts are exact
+    // longs, so every dot/norm is integer-exact in double and the gate
+    // is digit-for-digit across engines — the oracle rebuilds the
+    // histograms from the payload's hex expansion. At corpus scale the
+    // histogram pass stays map-side and pairs come from an LSH/banding
+    // stage (the q49 machinery) rather than this fixture-sized O(n²).
+    "q138_media_histogram_pairs" -> ((s, dir) => {
+      import graft.expressions.ArrayOps
+      val media = Multimodal.toMedia(Tables.load(s, dir, "documents")).toDF()
+        .filter(col("doc_id") < 40)
+      val h = media.select(col("doc_id"),
+        transform(ArrayOps.byteHistogram(col("payload")),
+          x => x.cast("double")).as("hv"))
+      val a = h.select(col("doc_id").as("id_a"), col("hv").as("ha"))
+      val b = h.select(col("doc_id").as("id_b"), col("hv").as("hb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim", round(ArrayOps.cosineSim(col("ha"), col("hb")), 6))
+        .filter(col("sim") >= 0.99)
+        .select(col("id_a"), col("id_b"), col("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Ordered conversion funnel (view → click → purchase, each stage
     // strictly AFTER the previous stage's first occurrence for that
     // user — the product-analytics query class). Three user-keyed
@@ -324,6 +350,32 @@ object EventQueries {
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Rebuilds the 256-bin histograms from the payload's hex expansion
+    // (encode(text) is exactly the kernel's input bytes); all cosine
+    // arithmetic is integer-exact, so the 6dp round is formality.
+    "q138_media_histogram_pairs" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 40),
+        | b AS (SELECT doc_id, unnest(list_transform(range(0, n),
+        |    i -> 16 * (strpos('0123456789ABCDEF',
+        |           substr(hx, CAST(2*i+1 AS INT), 1)) - 1)
+        |       + (strpos('0123456789ABCDEF',
+        |           substr(hx, CAST(2*i+2 AS INT), 1)) - 1))) AS byte
+        |  FROM m),
+        | hist AS (SELECT doc_id, byte, CAST(COUNT(*) AS DOUBLE) AS c
+        |          FROM b GROUP BY 1, 2),
+        | nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nn FROM hist GROUP BY 1),
+        | p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |         SUM(a.c * b2.c) AS dot
+        |       FROM hist a JOIN hist b2
+        |         ON a.byte = b2.byte AND a.doc_id < b2.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT id_a, id_b, ROUND(dot / (na.nn * nb.nn), 6) AS sim
+        |FROM p JOIN nrm na ON p.id_a = na.doc_id
+        |  JOIN nrm nb ON p.id_b = nb.doc_id
+        |WHERE ROUND(dot / (na.nn * nb.nn), 6) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
     "q136_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

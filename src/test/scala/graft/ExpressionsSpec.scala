@@ -248,6 +248,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(out(3) === Seq(0.75, 1.0))
   }
 
+  test("ByteHistogram: Scala reference equality incl. high bytes; empty; sums to length") {
+    val data = Seq(
+      (1L, "hello world".getBytes("UTF-8")),
+      (2L, Array[Byte](0, -1, -128, 127, -1, 0)), // high bytes must land in 128..255
+      (3L, Array.emptyByteArray),
+      (4L, "日本語テキスト".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val got = data.select(col("id"),
+        graft.expressions.ArrayOps.byteHistogram(col("payload")).as("h"))
+      .as[(Long, Array[Long])].collect().toMap
+    def ref(bs: Array[Byte]): Array[Long] = {
+      val h = new Array[Long](256); bs.foreach(b => h(b & 0xff) += 1); h
+    }
+    Seq(1L -> "hello world".getBytes("UTF-8"),
+      2L -> Array[Byte](0, -1, -128, 127, -1, 0),
+      3L -> Array.emptyByteArray,
+      4L -> "日本語テキスト".getBytes("UTF-8")).foreach { case (id, bs) =>
+      assert(got(id).toSeq === ref(bs).toSeq, s"id=$id")
+      assert(got(id).sum === bs.length.toLong)
+    }
+    assert(got(2L)(255) === 2L && got(2L)(128) === 1L && got(2L)(0) === 2L)
+  }
+
   test("CdcChunks: Scala reference equality, reconstruction, shift-robustness") {
     val W = 8; val MASK = 64L; val M = 1000000007L; val B = 31L
     def ref(s: String): Seq[(Long, Long, Long, Long)] = {
