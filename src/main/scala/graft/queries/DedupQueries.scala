@@ -228,6 +228,14 @@ object DedupQueries {
         .streamingLshNewAgainstHistory(s, dir, threshold = 0.8)
         .orderBy("doc_id")),
 
+    // Streaming chunk-store maintenance (the q134 containment flow as
+    // an ingestion stream): arriving docs chunk map-side, anti-join the
+    // static chunk store statelessly, and the per-doc new-chunk delta
+    // is what a pipeline appends to the store each batch. Bounded drain
+    // ≡ the batch formulation (the q134 CTE flipped to NEW chunks).
+    "q139_stream_new_chunks" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingNewChunks(s, dir)),
+
     // Cross-document repeated-gram profile (ExactSubstr-lite): per doc,
     // the fraction of its distinct word 8-grams shared with any other
     // document — the span-level duplication diagnostic. Grams shuffle as
@@ -380,6 +388,14 @@ object DedupQueries {
         |FROM cdc GROUP BY 1, 2
         |HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY fp, c_len""".stripMargin),
+    "q139_stream_new_chunks" -> (cdcCte +
+      """
+        |, hist AS (SELECT DISTINCT fp, c_len FROM cdc WHERE doc_id % 3 <> 0),
+        | batch AS (SELECT doc_id, fp, c_len FROM cdc WHERE doc_id % 2 = 0),
+        | nw AS (SELECT b.doc_id FROM batch b
+        |        ANTI JOIN hist h ON b.fp = h.fp AND b.c_len = h.c_len)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_chunks
+        |FROM nw GROUP BY 1 ORDER BY doc_id""".stripMargin),
     "q134_chunk_containment" -> (cdcCte +
       """
         |, hist AS (SELECT DISTINCT fp, c_len FROM cdc WHERE doc_id % 3 <> 0),

@@ -78,4 +78,32 @@ object DocumentStreams {
       .filter(!col("__isdup"))
       .select("doc_id", "lang", "source", "n_chars")
   }
+
+  /** Streaming chunk-store maintenance — the streaming leg of q134's
+    * chunk containment: arriving docs chunk MAP-SIDE (`CdcChunks` is a
+    * per-row projection, legal in a streaming plan), anti-join the
+    * static chunk store on 16-byte (fp, c_len) keys (STATELESS — the
+    * store re-plans per micro-batch; at 100 TB it is a persisted,
+    * appended layout, the q107 move), and the per-doc aggregate counts
+    * the chunks the store has not seen — the per-batch delta an
+    * ingestion pipeline appends to the store. On bounded input the
+    * result equals the batch formulation, which the q139 oracle (the
+    * q134 CTE flipped to count NEW chunks) checks end to end.
+    */
+  def streamingNewChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    def chunkRel(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+          explode(TextOps.cdcChunks(col("text"), 8, 64)).as("c"))
+        .select(col("doc_id"), col("c.c_len").as("c_len"), col("c.fp").as("fp"))
+    val store = chunkRel(Tables.load(spark, sfDir, "documents")
+        .filter(col("doc_id") % 3 =!= 0))
+      .select("fp", "c_len").distinct()
+    val fresh = chunkRel(readDocumentsStream(spark, sfDir)
+        .filter(col("doc_id") % 2 === 0))
+      .join(store, Seq("fp", "c_len"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_new_chunks"))
+    EventStreams.runToMemory(fresh, OutputMode.Complete())
+      .orderBy("doc_id")
+  }
 }
