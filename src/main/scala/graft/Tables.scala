@@ -106,6 +106,27 @@ object Tables {
         "o_custkey", "o_orderdate", numFiles)
     }
 
+  /** Day-partitioned events copy with one day BACKFILLED through
+    * `ChangeData.overwritePartitions` (partitionOverwriteMode=dynamic):
+    * the layout is written once, then 2024-01-05 is rewritten with
+    * doubled values — only that partition's files change, which is the
+    * whole point of dynamic overwrite on a 100 TB table (a static
+    * overwrite deletes the dataset; a full rewrite pays the table for a
+    * one-day fix). Built once per sf; q140 hash-gates the resulting
+    * content against the arithmetic statement of the backfill.
+    */
+  def eventsBackfillLayout(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    derivedLayout(sfDir, "events", "events_backfill") { out =>
+      val ev = load(spark, sfDir, "events").withColumn("dt", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("dt").parquet(out)
+      operators.ChangeData.overwritePartitions(
+        ev.filter(col("dt") === lit("2024-01-05").cast("date"))
+          .withColumn("value", col("value") * 2),
+        out, "dt")
+    }
+  }
+
   /** ORC copy of `orders` — the second columnar source format (same
     * pushdown/pruning path as parquet through the ORC reader).
     */

@@ -203,4 +203,26 @@ object ChangeData {
     */
   def sameContent(a: DataFrame, b: DataFrame): Boolean =
     a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  /** Dynamic-partition-overwrite backfill: rewrite ONLY the partitions
+    * present in `df`, leaving every other partition's files untouched —
+    * the daily-backfill move on a partitioned 100 TB table, where a
+    * static overwrite would delete the whole dataset and a
+    * read-modify-write would pay a full rewrite for a one-day fix.
+    * Uses Spark's `partitionOverwriteMode=dynamic` (scoped to this
+    * write, previous value restored); ChangeDataSpec pins the contract
+    * that untouched partitions' files are bit-identical afterwards.
+    */
+  def overwritePartitions(df: DataFrame, layoutDir: String,
+                          partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(layoutDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -100,10 +100,30 @@ object ChangeDataQueries {
     // per user_id, one struct per key in RocksDB state; on the bounded
     // drain it equals the batch per-key argmax, which the oracle states.
     "q120_stream_upsert_view" -> ((s, dir) =>
-      graft.streaming.EventStreams.streamingUpsertView(s, dir))
+      graft.streaming.EventStreams.streamingUpsertView(s, dir)),
+
+    // Partition backfill via dynamic partition overwrite: the
+    // day-partitioned layout has 2024-01-05 rewritten with doubled
+    // values through `ChangeData.overwritePartitions` — ONLY that
+    // partition's files were replaced (ChangeDataSpec pins the other
+    // partitions bit-identical). The query reads the post-backfill
+    // layout; the oracle states the same backfill arithmetically over
+    // the raw table, so the layout mutation itself is hash-gated.
+    "q140_partition_backfill" -> ((s, dir) => {
+      val layout = Tables.eventsBackfillLayout(s, dir)
+      s.read.parquet(layout)
+        .groupBy(col("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("dt")
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "q140_partition_backfill" ->
+      """SELECT CAST(ts AS DATE) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+        |    THEN value * 2 ELSE value END), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q83_snapshot_diff" -> (oracleSnaps +
       """
         |SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,

@@ -149,4 +149,38 @@ class ChangeDataSpec extends SparkSpec {
       ChangeData.incrementalAgg(aggOf(o), diff, Seq("g"), "k")
     }
   }
+
+  test("overwritePartitions replaces only the targeted partition's files") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    try {
+      val base = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
+        (4L, "c", 4.0)).toDF("id", "p", "v")
+      base.write.mode("overwrite").partitionBy("p").parquet(dir)
+      def files() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(dir))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+      }
+      val before = files()
+      ChangeData.overwritePartitions(
+        Seq((3L, "b", 30.0), (5L, "b", 50.0)).toDF("id", "p", "v"), dir, "p")
+      val after = files()
+      // a and c partitions: bit-identical files (path, size, mtime).
+      def keep(fs: Seq[(String, Long, Long)]) = fs.filterNot(_._1.contains("p=b"))
+      assert(keep(after) === keep(before),
+        "untouched partitions were rewritten")
+      // b partition fully replaced; content reflects the backfill only.
+      val got = spark.read.parquet(dir).select("id", "p", "v")
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 30.0),
+        (4L, "c", 4.0), (5L, "b", 50.0)))
+      // the dynamic mode must not leak into the session
+      assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        .contains("dynamic"))
+    } finally graft.pipeline.Ingest.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
 }
