@@ -307,6 +307,32 @@ object SimilarityQueries {
     // a candidate-generation regression is a driver-gate row mismatch.
     // End-to-end recall equals candidate recall because the rerank is
     // exact; the per-rank shape stays pinned in SimilaritySpec.
+    // Compress-then-band (the production embedding-dedup pipeline):
+    // JL-project 64→16 dims, THEN run RHP-LSH banding in the projected
+    // space — every downstream sketch/score pays a quarter of the
+    // bytes. Gate: on the planted-duplicate fixture (q49's), every
+    // planted pair must still surface — identical vectors project to
+    // identical vectors, agree on every sign bit, and collide in every
+    // band regardless of the sign-matrix draw, so a missing pair is a
+    // code regression, never fixture noise. Violations emit (missing
+    // pairs); the oracle is the EMPTY relation.
+    "q141_jl_lsh_gate" -> ((s, dir) => {
+      val shift = emb(s, dir).agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val expected = emb(s, dir).select(col("vec_id"))
+        .filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("id_a"),
+          (col("vec_id") + lit(shift)).as("id_b"))
+      val proj = Similarity.randomProject(plantedNearDups(s, dir),
+        "vec_id", "embedding", outDim = 16)
+      val found = Similarity.rhpCosinePairs(proj, "vec_id", "pv",
+          threshold = 0.9)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      expected.join(found, Seq("id_a", "id_b"), "left")
+        .filter(col("hit").isNull)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Embedding QC: equi-height histogram of L2 norms — the first sanity
     // report an embedding pipeline runs (collapsed or exploding norms
     // are the classic sign of a broken encoder batch). Norms are
@@ -565,6 +591,9 @@ object SimilarityQueries {
     "q122_ivfpq_gate" ->
       """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
         |  CAST(NULL AS DOUBLE) AS recall_floor
+        |WHERE FALSE""".stripMargin,
+    "q141_jl_lsh_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
         |WHERE FALSE""".stripMargin,
     // Same 6dp-rounded norm (left-fold sum order differences are
     // absorbed by the round), single-window rank + exact BIGINT bucket
