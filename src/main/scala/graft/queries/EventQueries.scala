@@ -24,6 +24,28 @@ object EventQueries {
     // timestamp get identical frames, so the result is deterministic
     // without an ORDER BY tiebreak inside the window. The streaming
     // twin of this query is the watermarked sliding window (q40).
+    // Event-type transition matrix (the Markov/Sankey view of user
+    // behavior): consecutive events per user in (ts, event_id) order,
+    // P(next | current) = pair count / out count. One user-keyed window
+    // (bounded by each user's history, never the feed) + a 25-cell
+    // aggregate; the probability divides two exact counts, so the 6dp
+    // round is digit-stable cross-engine.
+    "q142_transition_matrix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val steps = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val pairs = steps.groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_ab"))
+      val outs = pairs.groupBy("event_type").agg(sum("n_ab").as("n_a"))
+      pairs.join(broadcast(outs), Seq("event_type"))
+        .select(col("event_type"), col("next_type"), col("n_ab"), col("n_a"),
+          round(col("n_ab") / col("n_a").cast("double"), 6).as("p"))
+        .orderBy("event_type", "next_type")
+    }),
+
     // Multimodal near-dup candidates WITHOUT decoding: 256-bin byte
     // histograms (the `ByteHistogram` codegen kernel — one pass over
     // the payload, no media codec) cosine-compared across a bounded
@@ -350,6 +372,20 @@ object EventQueries {
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q142_transition_matrix" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        | p AS (SELECT event_type, next_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n_ab
+        |       FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        | o AS (SELECT event_type, CAST(SUM(n_ab) AS BIGINT) AS n_a
+        |       FROM p GROUP BY 1)
+        |SELECT p.event_type, p.next_type, p.n_ab, o.n_a,
+        |  ROUND(p.n_ab / CAST(o.n_a AS DOUBLE), 6) AS p
+        |FROM p JOIN o USING (event_type)
+        |ORDER BY event_type, next_type""".stripMargin,
     // Rebuilds the 256-bin histograms from the payload's hex expansion
     // (encode(text) is exactly the kernel's input bytes); all cosine
     // arithmetic is integer-exact, so the 6dp round is formality.
