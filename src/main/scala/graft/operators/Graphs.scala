@@ -64,4 +64,53 @@ object Graphs {
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
+
+  /** Personalized PageRank: the restart mass returns to a SEED set
+    * instead of spreading uniformly — graph-proximity relevance from a
+    * trusted set, the selection primitive behind "find data like these
+    * seeds" (and the sampling heuristic of GraphSAGE-family systems).
+    * Same contract and cost shape as [[pageRank]] (checkpointed
+    * edge+outdeg invariant, one keyed join + dst aggregation per fixed
+    * round, lineage cut each round); seeds outside the node set are
+    * ignored (restart normalizes over seeds ∩ nodes).
+    *
+    * Output: (node, ppr) 6dp-rounded, one row per node.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String, iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank: iters must be >= 1, got $iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(deg, Seq("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    val ns = sd.count()
+    require(ns > 0, "personalizedPageRank: no seed appears in the graph")
+    val restart = nodes
+      .join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(1.0 / ns)).otherwise(lit(0.0))
+          .as("restart"))
+      .localCheckpoint(true)
+    var pr = restart.select(col("node"), col("restart").as("ppr"))
+    var i = 0
+    while (i < iters) {
+      val contrib = e.join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("ppr") / col("outdeg")).as("mass"))
+      pr = restart.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("restart") +
+            lit(damping) * coalesce(col("mass"), lit(0.0))).as("ppr"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    pr.select(col("node"), round(col("ppr"), 6).as("ppr"))
+  }
 }

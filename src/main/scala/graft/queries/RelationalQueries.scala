@@ -420,6 +420,26 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Personalized PageRank from a seed set (nation-0 customers):
+    // graph-proximity relevance over the same trading graph — the
+    // "find nodes like these seeds" selection primitive. Same fixed-
+    // round/unrolled-CTE contract as q126; restart normalizes over
+    // seeds ∩ nodes so out-of-graph seeds are inert.
+    "q143_personalized_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val e0 = o.join(l, "o_orderkey").select("src", "dst")
+      val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.operators.Graphs.personalizedPageRank(e, "src", "dst",
+          seeds, "node", iters = 5)
+        .orderBy("node")
+    }),
+
     // ANALYZE-style equi-height histogram (the CBO stats pass): 16
     // buckets over o_totalprice via an EXACT distributed global rank —
     // two-phase bin-offset prefix count, never a whole-table window
@@ -440,6 +460,50 @@ object RelationalQueries {
     // parquet doubles, so rank and min/max are exact; only avg is
     // accumulation-order-sensitive and 6dp-rounded. Bucket assignment is
     // pure BIGINT arithmetic (no float division to drift).
+    // q126's unrolled recurrence with the restart mass sent to the
+    // seed distribution instead of uniform: 0.15·r(v) + 0.85·mass.
+    "q143_personalized_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        | e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        | deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        | nodes AS (SELECT DISTINCT src AS node FROM e),
+        | sd AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+        |        WHERE c_nationkey = 0
+        |        INTERSECT SELECT node FROM nodes),
+        | ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM sd),
+        | r AS (SELECT nodes.node,
+        |         CASE WHEN sd.node IS NOT NULL THEN 1.0 / ns.ns
+        |           ELSE 0.0 END AS restart
+        |       FROM nodes CROSS JOIN ns LEFT JOIN sd ON nodes.node = sd.node),
+        | p0 AS (SELECT node, restart AS pr FROM r),
+        | c1 AS (SELECT e.dst AS node, SUM(p.pr / deg.outdeg) AS mass
+        |        FROM e JOIN p0 p ON e.src = p.node JOIN deg ON e.src = deg.src
+        |        GROUP BY 1),
+        | p1 AS (SELECT r.node, 0.15 * r.restart + 0.85 * COALESCE(c1.mass, 0) AS pr
+        |        FROM r LEFT JOIN c1 ON r.node = c1.node),
+        | c2 AS (SELECT e.dst AS node, SUM(p.pr / deg.outdeg) AS mass
+        |        FROM e JOIN p1 p ON e.src = p.node JOIN deg ON e.src = deg.src
+        |        GROUP BY 1),
+        | p2 AS (SELECT r.node, 0.15 * r.restart + 0.85 * COALESCE(c2.mass, 0) AS pr
+        |        FROM r LEFT JOIN c2 ON r.node = c2.node),
+        | c3 AS (SELECT e.dst AS node, SUM(p.pr / deg.outdeg) AS mass
+        |        FROM e JOIN p2 p ON e.src = p.node JOIN deg ON e.src = deg.src
+        |        GROUP BY 1),
+        | p3 AS (SELECT r.node, 0.15 * r.restart + 0.85 * COALESCE(c3.mass, 0) AS pr
+        |        FROM r LEFT JOIN c3 ON r.node = c3.node),
+        | c4 AS (SELECT e.dst AS node, SUM(p.pr / deg.outdeg) AS mass
+        |        FROM e JOIN p3 p ON e.src = p.node JOIN deg ON e.src = deg.src
+        |        GROUP BY 1),
+        | p4 AS (SELECT r.node, 0.15 * r.restart + 0.85 * COALESCE(c4.mass, 0) AS pr
+        |        FROM r LEFT JOIN c4 ON r.node = c4.node),
+        | c5 AS (SELECT e.dst AS node, SUM(p.pr / deg.outdeg) AS mass
+        |        FROM e JOIN p4 p ON e.src = p.node JOIN deg ON e.src = deg.src
+        |        GROUP BY 1),
+        | p5 AS (SELECT r.node, 0.15 * r.restart + 0.85 * COALESCE(c5.mass, 0) AS pr
+        |        FROM r LEFT JOIN c5 ON r.node = c5.node)
+        |SELECT node, ROUND(pr, 6) AS ppr FROM p5 ORDER BY node""".stripMargin,
     // The engine's 5 power-iteration rounds unrolled as CTE layers —
     // identical recurrence (residual + damped mass over out-degree),
     // rounding only at the final projection on both sides.

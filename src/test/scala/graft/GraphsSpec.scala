@@ -53,6 +53,26 @@ class GraphsSpec extends SparkSpec {
     assert(a === run(), "pageRank must be deterministic")
   }
 
+  test("personalizedPageRank: 2-node recurrence matches a literal recompute; out-of-graph seeds inert") {
+    val e = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    // Seed 99 is not in the graph and must not dilute the restart mass.
+    val seeds = Seq(0L, 99L).toDF("node")
+    val out = Graphs.personalizedPageRank(e, "src", "dst", seeds, "node",
+        iters = 5).as[(Long, Double)].collect().toMap
+    var p0 = 1.0; var p1 = 0.0 // restart = (1, 0)
+    for (_ <- 1 to 5) {
+      val n0 = 0.15 * 1.0 + 0.85 * p1
+      val n1 = 0.85 * p0
+      p0 = n0; p1 = n1
+    }
+    assert(out(0L) === math.rint(p0 * 1e6) / 1e6, out.toString)
+    assert(out(1L) === math.rint(p1 * 1e6) / 1e6, out.toString)
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(e, "src", "dst",
+        Seq(99L).toDF("node"), "node", iters = 2)
+    }
+  }
+
   test("duplicate edges collapse; iters must be >= 1") {
     val e = Seq((0L, 1L), (0L, 1L), (1L, 0L)).toDF("src", "dst")
     val out = Graphs.pageRank(e, "src", "dst", iters = 3)
