@@ -280,6 +280,27 @@ object DedupQueries {
       Dedup.nearDupComponents(pairs).orderBy("doc_id")
     }),
 
+    // LEAKAGE-SAFE train/heldout split: q45's deterministic hash split,
+    // but keyed on the NEAR-DUP COMPONENT representative instead of the
+    // doc id — near-duplicate documents land on the SAME side, so the
+    // heldout set can't be contaminated by a train-side twin (the
+    // eval-integrity bug naive random splits ship at every scale).
+    // Composition: LSH pairs → connected components → rep; singletons
+    // (no pair) are their own rep via the null-safe coalesce.
+    "q144_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comps = Dedup.nearDupComponents(
+        Dedup.lshNearDupPairs(d, "doc_id", "text", threshold = 0.8))
+      d.select(col("doc_id"))
+        .join(comps.select(col("doc_id"), col("rep_id")), Seq("doc_id"), "left")
+        .withColumn("rep_id", coalesce(col("rep_id"), col("doc_id")))
+        .withColumn("split",
+          when(TextQueries.docHash(col("rep_id")) % 10 < 8, lit("train"))
+            .otherwise(lit("heldout")))
+        .select("doc_id", "rep_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // Content-defined chunking (Rabin/FastCDC family): boundaries where
     // the 8-codepoint rolling hash ≡ 0 (mod 64) — shift-robust
     // sub-document units (an early edit realigns at the next content
@@ -583,6 +604,30 @@ object DedupQueries {
         |  WHERE e.dst <> reach.node)
         |SELECT node AS doc_id,
         |  LEAST(node, MIN(peer)) AS rep_id
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+    // q43's component oracle left-joined over ALL docs (singletons are
+    // their own rep), then q45's exact-integer hash split on the REP.
+    "q144_leakage_safe_split" -> (shingleCte.replace("WITH t", "WITH RECURSIVE t") +
+      """
+        |, p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |       UNION SELECT id_b, id_a FROM p),
+        | reach AS (
+        |  SELECT src AS node, dst AS peer FROM e
+        |  UNION
+        |  SELECT node, e.dst FROM reach JOIN e ON reach.peer = e.src
+        |  WHERE e.dst <> reach.node),
+        | comp AS (SELECT node AS doc_id, LEAST(node, MIN(peer)) AS rep_id
+        |          FROM reach GROUP BY node),
+        | allr AS (SELECT d.doc_id, COALESCE(c.rep_id, d.doc_id) AS rep_id
+        |          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, rep_id,
+        |  CASE WHEN (rep_id * 2654435761) % 4294967296 % 10 < 8
+        |    THEN 'train' ELSE 'heldout' END AS split
+        |FROM allr ORDER BY doc_id""".stripMargin)
   )
 }
