@@ -471,6 +471,24 @@ class PlanSpec extends SparkSpec {
       "candidate stage still carries vectors:\n" + dedupLines.mkString("\n"))
   }
 
+  test("q132 chunking is a Generate over the pruned scan; only the presentation sort exchanges") {
+    val p = planOf("q132_cdc_chunks")
+    assert(p.contains("Generate"), p.take(2000))
+    assert(p.toLowerCase.contains("readschema: struct<doc_id:bigint,text:string>"),
+      "chunk scan must read only (doc_id, text):\n" + p.take(2000))
+    assert(p.split("Exchange").length - 1 <= 2,
+      "chunking should exchange only for the presentation sort:\n" + p.take(2000))
+  }
+
+  test("q142 transition matrix: user-bounded window, broadcast out-count join") {
+    val p = planOf("q142_transition_matrix")
+    val windows = p.split("windowspecdefinition").toSeq.drop(1)
+    assert(windows.exists(_.contains("user_id")),
+      "lead() must partition by user_id:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "out-count join must broadcast (25-row dim):\n" + p.take(2000))
+  }
+
   test("q130 weighted sample selects via bounded TakeOrderedAndProject, not a global sort") {
     val p = planOf("q130_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
