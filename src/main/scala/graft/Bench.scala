@@ -74,6 +74,9 @@ object Bench {
     // build + one-day dynamic overwrite is one-time maintenance work.
     try Tables.eventsBackfillLayout(spark, sfDir)
     catch { case _: Throwable => () }
+    // And q145's two-generation schema-evolution layout, same reasoning.
+    try Tables.documentsEvolvedLayout(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // Optional positional args = query-name prefixes, for iterating on a
     // subset locally; the driver passes none and measures everything.

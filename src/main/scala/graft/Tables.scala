@@ -127,6 +127,29 @@ object Tables {
     }
   }
 
+  /** Two-generation documents layout for the schema-evolution path: the
+    * v1 batch lacks the `quality` column the v2 batch adds (a
+    * deterministic n_chars-derived score, so the oracle can restate
+    * it) — the lakehouse reality that a 100 TB table's early files
+    * predate later columns, and readers must widen with NULLs instead
+    * of rewriting history. Built once per sf.
+    */
+  def documentsEvolvedLayout(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{col, lit}
+    derivedLayout(sfDir, "documents", "documents_evolved") { out =>
+      val d = load(spark, sfDir, "documents")
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("batch", lit("v1"))
+        .write.partitionBy("batch").mode("overwrite").parquet(out)
+      d.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") % 7).cast("double").as("quality"))
+        .withColumn("batch", lit("v2"))
+        .write.partitionBy("batch").mode("append").parquet(out)
+    }
+  }
+
   /** ORC copy of `orders` — the second columnar source format (same
     * pushdown/pruning path as parquet through the ORC reader).
     */

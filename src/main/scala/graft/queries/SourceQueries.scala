@@ -16,6 +16,23 @@ object SourceQueries {
   import RelationalQueries.Q
 
   val queries: Map[String, Q] = Map(
+    // Parquet schema evolution: the v1 files predate the `quality`
+    // column the v2 files carry; `mergeSchema` widens the unified read
+    // schema and fills v1 rows with NULLs — history is never rewritten
+    // (the lakehouse column-add path; at 100 TB a backfill rewrite of
+    // every old file is the alternative, and it is not an option). The
+    // oracle restates the evolved content arithmetically over the raw
+    // table, so the gate proves both the NULL-fill and the v2 values.
+    "q145_schema_evolution" -> ((s, dir) => {
+      val path = Tables.documentsEvolvedLayout(s, dir)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(col("quality")).as("n_quality"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+        .orderBy("lang")
+    }),
+
     // ORC scan with predicate pushdown: the status filter reaches the
     // ORC reader (PushedFilters), same scan path as parquet.
     "q90_orc_roundtrip" -> ((s, dir) => {
@@ -80,6 +97,13 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q145_schema_evolution" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS BIGINT)
+        |    AS n_quality,
+        |  ROUND(AVG(CASE WHEN doc_id % 2 <> 0
+        |    THEN CAST(n_chars % 7 AS DOUBLE) END), 6) AS avg_quality
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q90_orc_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  ROUND(SUM(o_totalprice), 2) AS total_price
