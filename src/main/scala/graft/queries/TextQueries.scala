@@ -644,6 +644,48 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Training-shard integrity manifest: per shard of the q106
+    // deterministic shuffle, doc/token counts plus an ORDER-INVARIANT
+    // content checksum (sum of the q30 polynomial fingerprints — exact
+    // BIGINT, so re-materializing a shard in any row order reproduces
+    // the manifest bit-for-bit). This is the artifact a training run
+    // records so a re-export, a backfill, or a corrupted shard is
+    // caught by diffing two 8-row tables instead of re-reading the
+    // corpus. One map-side pass (hash + fingerprint per row) + an
+    // 8-group aggregate.
+    "q146_shard_manifest" -> ((s, dir) => {
+      import graft.functions.TextFunctions.fingerprint
+      graft.operators.Packing
+        .shardShuffle(docs(s, dir), "doc_id", nShards = 8, seed = 7L)
+        .select(col("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          fingerprint("text").as("fp"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum("fp").as("content_sum"))
+        .orderBy("shard")
+    }),
+
+    // PII-scrub IDEMPOTENCE gate: redactPii(redactPii(text)) must equal
+    // redactPii(text) on the q104 planted corpus — the property that
+    // makes re-running a scrub pass over already-clean data safe (a
+    // non-idempotent redactor that mangles its own placeholders
+    // corrupts every rerun). Violating doc_ids emit; the oracle is the
+    // EMPTY relation. Two map-side kernel passes, no shuffle but the
+    // presentation sort.
+    "q147_scrub_idempotence" -> ((s, dir) => {
+      import graft.operators.Scrub.redactPii
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" contact alice.w@example.org from " +
+            "10.0.0.1 ref 4111111111111111"))).otherwise(col("text")))
+      planted.withColumn("once", redactPii(col("text")))
+        .withColumn("twice", redactPii(col("once")))
+        .filter(col("once") =!= col("twice"))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition filters: duplicate-word fraction and
     // most-frequent-bigram fraction, both from ONE RepetitionStats
     // kernel pass per document — no per-gram explode, no shuffle of
@@ -843,6 +885,25 @@ object TextQueries {
         |SELECT doc_id, n_tokens, n_oov,
         |  ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
         |FROM d ORDER BY doc_id""".stripMargin,
+    // q106's shard arithmetic + q30's fingerprint recurrence, summed
+    // per shard — all exact BIGINT, so the manifest is a full hash gate.
+    "q146_shard_manifest" ->
+      """WITH h AS (SELECT text,
+        |    ((doc_id + 7) * 2654435761) % 4294967296 AS hh FROM documents),
+        | f AS (SELECT CAST(hh % 8 AS BIGINT) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |  FROM h)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(fp) AS BIGINT) AS content_sum
+        |FROM f GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q147_scrub_idempotence" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE""".stripMargin,
     "q106_shard_shuffle" ->
       """WITH h AS (SELECT doc_id,
         |    ((doc_id + 7) * 2654435761) % 4294967296 AS hh FROM documents),
