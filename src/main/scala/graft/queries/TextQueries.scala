@@ -644,6 +644,59 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Dataset-card summary (the per-source statistics table a corpus
+    // release documents): doc/token counts, language spread, bytes per
+    // token, share of substantial documents. One partial-agg corpus
+    // scan; every number derives from exact counts so the rounds are
+    // digit-stable.
+    "q148_dataset_card" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(sum("n_chars").cast("double") / sum("n_tok"), 6)
+            .as("chars_per_token"),
+          round(avg((col("n_tok") >= 100).cast("double")), 6).as("pct_long"))
+        .orderBy("source")
+    }),
+
+    // Shard token-balance gate: the q106/q146 shards must stay within a
+    // 1.5× max/min token ratio — a skewed shard starves every trainer
+    // reading round-robin (the load-balance failure multiplicative-hash
+    // sharding exists to prevent). Violations emit; empty oracle.
+    "q149_shard_balance_gate" -> ((s, dir) => {
+      val m = graft.operators.Packing
+        .shardShuffle(docs(s, dir), "doc_id", nShards = 8, seed = 7L)
+        .select(col("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("shard").agg(sum("n_tok").as("n_tokens"))
+      m.agg(max("n_tokens").as("max_tokens"), min("n_tokens").as("min_tokens"))
+        .withColumn("ratio",
+          round(col("max_tokens").cast("double") / col("min_tokens"), 6))
+        .filter(col("ratio") > 1.5)
+        .select(col("max_tokens"), col("min_tokens"), col("ratio"),
+          lit(1.5).as("bound"))
+    }),
+
+    // Length–quality correlation profile: per-language Pearson r between
+    // token count and stopword ratio — the quick collinearity check run
+    // before trusting either as an independent filter signal. corr is a
+    // single-pass co-moment aggregate (partial+final) on both engines;
+    // the 6dp round absorbs their accumulation-order drift.
+    "q150_length_quality_corr" -> ((s, dir) => {
+      val nTok = size(words(col("text"))).cast("double")
+      val d = docs(s, dir)
+        .withColumn("n_tok", nTok)
+        .withColumn("stop_ratio",
+          markerHits(col("text"), markers.head._2).cast("double") / nTok)
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("n_tok"), col("stop_ratio")), 6).as("len_stop_corr"))
+        .orderBy("lang")
+    }),
+
     // Training-shard integrity manifest: per shard of the q106
     // deterministic shuffle, doc/token counts plus an ORDER-INVARIANT
     // content checksum (sum of the q30 polynomial fingerprints — exact
@@ -885,6 +938,32 @@ object TextQueries {
         |SELECT doc_id, n_tokens, n_oov,
         |  ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q148_dataset_card" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  ROUND(SUM(n_chars) / CAST(SUM(n_tok) AS DOUBLE), 6)
+        |    AS chars_per_token,
+        |  ROUND(AVG(CASE WHEN n_tok >= 100 THEN 1.0 ELSE 0.0 END), 6)
+        |    AS pct_long
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q149_shard_balance_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS max_tokens,
+        |  CAST(NULL AS BIGINT) AS min_tokens,
+        |  CAST(NULL AS DOUBLE) AS ratio, CAST(NULL AS DOUBLE) AS bound
+        |WHERE FALSE""".stripMargin,
+    "q150_length_quality_corr" ->
+      s"""WITH d AS (SELECT lang,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |    ${markerSql("en")} / CAST(len(string_split(text, ' ')) AS DOUBLE)
+         |      AS stop_ratio
+         |  FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ROUND(corr(n_tok, stop_ratio), 6) AS len_stop_corr
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // q106's shard arithmetic + q30's fingerprint recurrence, summed
     // per shard — all exact BIGINT, so the manifest is a full hash gate.
     "q146_shard_manifest" ->
