@@ -644,6 +644,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Stratified weighted sampling: q130's A-ES keys selected PER
+    // LANGUAGE through bounded per-group heaps (q76's
+    // TopKAggregator shape — k-row partials merge map-side, no
+    // stratum ever sorts) — equal per-language quotas with
+    // quality-proportional within-stratum odds, the mixture+quality
+    // sampling pass combined. Keys are continuous (exact-integer hash
+    // → one division → ln), so heap order and the oracle's window
+    // order agree without a tiebreak ever firing.
+    "q151_stratified_weighted_sample" -> ((s, dir) => {
+      val k = 25
+      val topk = udaf(new graft.functions.TopKAggregator(k))
+      val u = (docHash(col("doc_id")) + 1).cast("double") / lit(4294967297.0)
+      docs(s, dir)
+        .withColumn("es_key",
+          -log(u) / greatest(col("n_chars"), lit(1L)).cast("double"))
+        .groupBy("lang")
+        .agg(topk(col("doc_id"), -col("es_key")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "entry")))
+        .select(col("lang"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("entry._1").as("doc_id"),
+          round(-col("entry._2"), 9).as("es_key"))
+        .orderBy("lang", "rnk")
+    }),
+
     // Dataset-card summary (the per-source statistics table a corpus
     // release documents): doc/token counts, language spread, bytes per
     // token, share of substantial documents. One partial-agg corpus
@@ -938,6 +962,17 @@ object TextQueries {
         |SELECT doc_id, n_tokens, n_oov,
         |  ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q151_stratified_weighted_sample" ->
+      """WITH kk AS (SELECT lang, doc_id,
+        |    -ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0)
+        |      / greatest(n_chars, 1) AS es_key
+        |  FROM documents),
+        | r AS (SELECT lang, doc_id, es_key,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY es_key, doc_id) AS BIGINT) AS rnk
+        |  FROM kk)
+        |SELECT lang, rnk, doc_id, ROUND(es_key, 9) AS es_key
+        |FROM r WHERE rnk <= 25 ORDER BY lang, rnk""".stripMargin,
     "q148_dataset_card" ->
       """WITH d AS (SELECT source, lang, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
