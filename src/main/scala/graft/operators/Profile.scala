@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table-statistics profiling for a cost-based planner / data-quality
@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   * entire table through ONE sorting reducer — the single worst plan a
   * 100 TB profiler can pick. Instead the rank is a distributed two-phase
   * scan (the `Packing.tokenBudgetCap` shape, counting rows instead of
-  * summing tokens): rows bucket into value-aligned bins, per-bin counts
+  * summing tokens): rows bucket into order-aligned bins, per-bin counts
   * aggregate map-side into a TINY table, the exclusive bin-prefix runs
   * over that table only and broadcasts back, and each row's global rank
   * is its bin offset + a row_number LOCAL to its bin. Parallelism is the
-  * bin count; no task ever sorts more than one bin.
+  * bin count; no task ever sorts more than one bin. The same core serves
+  * two bin shapes: value-aligned long bins (`equiHeightBuckets`, for
+  * high-cardinality numeric domains) and composite (value, tie-prefix)
+  * bins (`exactRank`, for duplicate-heavy values like document
+  * frequencies, where value bins alone would collapse into one giant
+  * bin and quietly rebuild the single-partition sort).
   */
 object Profile {
 
@@ -74,7 +79,6 @@ object Profile {
     require(buckets >= 1, s"equiHeightBuckets: buckets must be >= 1, got $buckets")
     require(binSize >= 1, s"equiHeightBuckets: binSize must be >= 1, got $binSize")
     require(binScale > 0, s"equiHeightBuckets: binScale must be > 0, got $binScale")
-    import org.apache.spark.sql.expressions.Window
     // binScale == 1 keeps integral values on the exact long path (a
     // double detour would collapse 256-wide ulp ranges past 2^53 — the
     // tokenBudgetCap bin lesson); a scaled bin basis is only for
@@ -83,40 +87,95 @@ object Profile {
       if (binScale == 1.0) col(valueCol).cast("long")
       else (col(valueCol).cast("double") * lit(binScale)).cast("long")
     val binned = df.withColumn("__bin", t - pmod(t, lit(binSize)))
+    // Within-bin order compares the RAW column (native type), so the
+    // rank agrees exactly with a single-window formulation over the
+    // same column — no double detour for integral values.
+    val (ranked, n) = twoPhaseRank(binned, Seq(col(valueCol), col(idCol)),
+      maxBins, maxBinRows, "equiHeightBuckets")
+    ranked
+      .withColumn("bucket",
+        expr(s"(__rank - 1) * ${buckets.toLong} div ${n}") + lit(1L))
+      .drop("__bin", "__rank")
+  }
+
+  /** Distributed EXACT global rank by (`valueCol` asc, `tieCol` asc) —
+    * the drop-in replacement for `row_number() OVER (ORDER BY value,
+    * tie)` when the value column is integral and DUPLICATE-HEAVY, the
+    * document-frequency shape: under Zipf most of a corpus vocabulary
+    * shares tiny df values, so `equiHeightBuckets`-style value-aligned
+    * bins would collapse into one giant df=2 bin whose local window IS
+    * the single-partition sort this machinery exists to avoid. Bins are
+    * instead the COMPOSITE (long value, substring(tie, 1,
+    * `tiePrefixLen`)): long truncation keeps bin order aligned with
+    * value order, and lexicographic prefix truncation is non-strictly
+    * monotone in the tie string, so the composite bin is non-strictly
+    * monotone in the (value, tie) sort key — all the two-phase rank
+    * needs. Parallelism is (#distinct values × #tie prefixes); a
+    * residual oversized bin (one value × one prefix still huge) warns
+    * before the stage runs — raise `tiePrefixLen` to split it further.
+    *
+    * Output: the input columns + `rankName` (1-based long), row-for-row
+    * equal to the single-window formulation (pinned in ProfileSpec and
+    * SimilaritySpec) without ever building one. Contract: `valueCol`
+    * must be exactly representable as long (integral); `tieCol` is a
+    * string.
+    */
+  def exactRank(df: DataFrame, valueCol: String, tieCol: String,
+                rankName: String, tiePrefixLen: Int = 2,
+                maxBins: Int = 1 << 20,
+                maxBinRows: Long = 1L << 22): DataFrame = {
+    require(tiePrefixLen >= 1,
+      s"exactRank: tiePrefixLen must be >= 1, got $tiePrefixLen")
+    val binned = df.withColumn("__bin",
+      struct(col(valueCol).cast("long").as("bv"),
+        substring(col(tieCol), 1, tiePrefixLen).as("bt")))
+    val (ranked, _) = twoPhaseRank(binned, Seq(col(valueCol), col(tieCol)),
+      maxBins, maxBinRows, "exactRank")
+    ranked.withColumn(rankName, col("__rank")).drop("__bin", "__rank")
+  }
+
+  /** Shared two-phase core. Input: a frame carrying a `__bin` column
+    * that is non-strictly monotone in `orderCols` (every row of a lower
+    * bin sorts ≤ every row of a higher bin — the caller proves this for
+    * its bin shape). Output: the frame + exact 1-based `__rank` under
+    * `orderCols`, plus the total row count. The bin census collect is
+    * bounded (`maxBins`, loud — the offset table broadcasts, so it must
+    * be driver-sized by construction); the offset window runs over the
+    * COLLECTED census (one task by design, never the detail relation);
+    * each row's rank is its broadcast bin offset + a row_number LOCAL to
+    * its bin.
+    */
+  private def twoPhaseRank(binned: DataFrame, orderCols: Seq[Column],
+                           maxBins: Int, maxBinRows: Long,
+                           what: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
     val binStats = binned.groupBy(col("__bin"))
       .agg(count(lit(1)).as("__bin_rows"))
     val rows = binStats.limit(maxBins + 1).collect()
     require(rows.length <= maxBins,
-      s"equiHeightBuckets: more than $maxBins bins - the offset table " +
-        "would not be broadcastable. Raise binSize (fewer, larger bins) " +
+      s"$what: more than $maxBins bins - the offset table " +
+        "would not be broadcastable. Use fewer, larger bins " +
         "or raise maxBins deliberately.")
-    require(rows.nonEmpty, "equiHeightBuckets: empty input")
+    require(rows.nonEmpty, s"$what: empty input")
     val over = rows.toSeq.filter(_.getLong(1) > maxBinRows)
       .map(r => s"bin=${r.get(0)} rows=${r.getLong(1)}")
     if (over.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"equiHeightBuckets: bin(s) exceed $maxBinRows rows and will " +
+        s"$what: bin(s) exceed $maxBinRows rows and will " +
           s"serialize through one window task each: ${over.take(20).mkString("; ")}. " +
-          "valueCol is duplicate-heavy there - use a finer binSize if this skews.")
+          "The bin key is duplicate-heavy there - use finer bins if this skews.")
     val n = rows.map(_.getLong(1)).sum
-    val local = df.sparkSession.createDataFrame(
+    val local = binned.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), binStats.schema)
     val wBins = Window.orderBy("__bin")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // The offset window runs over the COLLECTED bin table (maxBins rows,
-    // one task by design), never the detail relation.
     val offsets = local
       .withColumn("__offset", coalesce(sum("__bin_rows").over(wBins), lit(0L)))
       .select(col("__bin").as("__ob"), col("__offset"))
-    // Within-bin order compares the RAW column (native type), so the
-    // rank agrees exactly with a single-window formulation over the
-    // same column — no double detour for integral values.
-    val wLocal = Window.partitionBy("__bin")
-      .orderBy(col(valueCol), col(idCol))
-    binned.join(broadcast(offsets), col("__bin") === col("__ob"))
+    val wLocal = Window.partitionBy("__bin").orderBy(orderCols: _*)
+    val ranked = binned.join(broadcast(offsets), col("__bin") === col("__ob"))
       .withColumn("__rank", row_number().over(wLocal).cast("long") + col("__offset"))
-      .withColumn("bucket",
-        expr(s"(__rank - 1) * ${buckets.toLong} div ${n}") + lit(1L))
-      .drop("__bin", "__ob", "__offset", "__rank")
+      .drop("__ob", "__offset")
+    (ranked, n)
   }
 }

@@ -329,9 +329,12 @@ object Similarity {
     * huge-postings end of the vocabulary. n-gram features make the
     * space sparse enough for documents to own rare features; IDF keeps
     * the norm mass on them.
-    * Terms get a global rarest-first order (rank 1 = smallest df; the
-    * rank sort is over the VOCAB — model-sized, q72's argument — never
-    * the corpus). Per document, `ssq(t)` = the squared norm of its
+    * Terms get a global rarest-first order (rank 1 = smallest df). The
+    * rank sort is over the vocabulary, and under Zipf trigram TYPES grow
+    * near-linearly with the corpus — so the rank itself must distribute:
+    * it runs through `Profile.exactRank`'s two-phase (df, term-prefix)
+    * bin machinery (bin census → broadcast exclusive prefix → per-bin
+    * local row_number), never a single-partition window. Per document, `ssq(t)` = the squared norm of its
     * rank-suffix from term t inclusive; the PREFIX is the rare end
     * where `ssq ≥ threshold²`. Only prefixes are indexed;
     * probing happens with FULL postings (the asymmetric AllPairs
@@ -388,9 +391,14 @@ object Similarity {
       .localCheckpoint(eager = true)
     val nDocs = broadcast(docs.agg(count(lit(1)).as("nd")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val ranks = dfreq.withColumn("rank",
-      row_number().over(Window.orderBy(col("df").asc, col("term").asc))
-        .cast("long"))
+    // Rarest-first term rank — DISTRIBUTED (Profile.exactRank's
+    // two-phase (df, term-prefix) bins): under Zipf the n-gram
+    // vocabulary grows near-linearly with the corpus, so a naive
+    // `row_number() OVER (ORDER BY df, term)` would funnel a
+    // corpus-scale relation through one sorting task. Pinned equal to
+    // the single-window formulation in SimilaritySpec; PlanSpec pins
+    // that no unpartitioned window sits on the vocab path.
+    val ranks = Profile.exactRank(dfreq, "df", "term", "rank")
     // q72's smooth idf, token-for-token (the proven-parity expression).
     val tw = tf.join(ranks, Seq("term")).crossJoin(nDocs)
       .select(col("id"), col("rank"), col("df"), (col("tf") *

@@ -32,8 +32,9 @@ object SparseProbe {
     println("[probe] tf rows " + tf.count())
     val nDocs = broadcast(docs.agg(count(lit(1)).as("nd")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val ranks = dfreq.withColumn("rank",
-      row_number().over(Window.orderBy(col("df").asc, col("term").asc)).cast("long"))
+    // Distributed two-phase rank — same as the production operator
+    // (Similarity.sparseCosinePairs); never a single-partition window.
+    val ranks = graft.operators.Profile.exactRank(dfreq, "df", "term", "rank")
     val tw = tf.join(ranks, Seq("term")).crossJoin(nDocs)
       .select(col("id"), col("rank"), col("df"), (col("tf") *
         (log((col("nd") + 1).cast("double") / (col("df") + 1)) + 1)).as("tw"))

@@ -456,6 +456,33 @@ class PlanSpec extends SparkSpec {
       "bin offsets must replay from the collected census:\n" + p.take(3000))
   }
 
+  test("exactRank (the q119 vocab path) never windows the detail relation unpartitioned") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions._
+    // The q119 rank runs behind an eager checkpoint, so its plan must be
+    // pinned at the operator itself: the detail-side row_number is
+    // __bin-partitioned; the ONLY unpartitioned window replays the
+    // collected bin census (LocalTableScan leaves, maxBins-bounded) —
+    // never the vocabulary relation.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dfreq = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val plan = graft.operators.Profile.exactRank(dfreq, "df", "term", "rank")
+      .queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "two-phase rank lost its windows:\n" + plan.toString.take(3000))
+    val unpart = windows.filter(_.partitionSpec.isEmpty)
+    unpart.foreach { w =>
+      val leaves = w.collectLeaves()
+      assert(leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalTableScanExec]),
+        "unpartitioned window over detail data - the single-reducer " +
+          "global sort the two-phase rank exists to avoid:\n" + w.toString.take(3000))
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "detail row_number must be bin-partitioned:\n" + plan.toString.take(3000))
+  }
+
   test("q122 ADC candidate stage drops the full vectors (codes-only scan)") {
     // The IVF-PQ candidate scan must carry (query, neighbor, sim) into
     // its distinct/heap stages — if the true corpus vectors (cv) were

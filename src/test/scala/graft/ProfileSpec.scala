@@ -82,4 +82,24 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxBins") || e.getMessage.contains("10"))
   }
+
+  test("exactRank ≡ the single-window rank on a duplicate-heavy (df, term) domain") {
+    import org.apache.spark.sql.expressions.Window
+    // The document-frequency shape: a long Zipf tail where hundreds of
+    // terms share the same tiny value, so the rank is decided by the
+    // string tie-break — the regime where value-aligned bins alone
+    // would collapse and the composite (value, prefix) bin must not.
+    val df = ((1 to 500).map(i => (f"term_$i%03d", (500 / i).toLong)) :+
+      ("" -> 3L) :+ ("zz" -> 3L)).toDF("term", "df")
+    val ref = df.withColumn("rank",
+        row_number().over(Window.orderBy(col("df").asc, col("term").asc))
+          .cast("long"))
+      .orderBy("rank").collect().toSeq
+    for (prefixLen <- Seq(1, 2, 8)) {
+      val got = Profile.exactRank(df, "df", "term", "rank",
+          tiePrefixLen = prefixLen)
+        .orderBy("rank").collect().toSeq
+      assert(got === ref, s"tiePrefixLen=$prefixLen diverges from the single window")
+    }
+  }
 }

@@ -165,6 +165,33 @@ class SimilaritySpec extends SparkSpec {
     assert(cold === hot)
   }
 
+  test("vocab rank: the distributed two-phase rank ≡ the single-window rank on the real trigram dfreq") {
+    import org.apache.spark.sql.expressions.Window
+    // The exact (df, term) relation q119 ranks — built the operator's
+    // way (word trigrams, short-doc whole-text fallback) — must get
+    // IDENTICAL rank values from Profile.exactRank's composite-bin
+    // two-phase machinery and from the single-partition window it
+    // replaced (the round-7 scale-killer).
+    val d = Tables.load(spark, sfDir, "documents")
+    val wArr = split(col("text"), " ")
+    val grams = when(size(wArr) >= 3,
+        transform(sequence(lit(0), size(wArr) - 3),
+          i => array_join(slice(wArr, i + 1, lit(3)), " ")))
+      .otherwise(array(col("text")))
+    val dfreq = d.select(col("doc_id").as("id"), explode(grams).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val ref = dfreq.withColumn("rank",
+        row_number().over(Window.orderBy(col("df").asc, col("term").asc))
+          .cast("long"))
+      .select("term", "df", "rank").orderBy("rank").collect().toSeq
+    val got = graft.operators.Profile.exactRank(dfreq, "df", "term", "rank")
+      .select("term", "df", "rank").orderBy("rank").collect().toSeq
+    assert(ref.nonEmpty)
+    assert(got === ref)
+  }
+
   test("IVF layout centroids round-trip bit-exactly through the persisted model") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
