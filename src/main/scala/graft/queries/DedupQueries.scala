@@ -18,6 +18,25 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** Symmetric difference between the banded SimHash pair path and the
+    * brute-force all-pairs hamming filter over the same fingerprints —
+    * the q26/q66 exactness gates; correct banding makes it EMPTY.
+    */
+  private def simhashDiff(d: DataFrame, maxHamming: Int): DataFrame = {
+    val lsh = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = maxHamming)
+    val fp = Dedup.simhash(d, "doc_id", "text")
+    val brute = fp.select(col("doc_id").as("id_a"), col("simhash").as("fp_a"))
+      .crossJoin(fp.select(col("doc_id").as("id_b"), col("simhash").as("fp_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+    lsh.exceptAll(brute).withColumn("side", lit("lsh_only"))
+      .unionAll(brute.exceptAll(lsh).withColumn("side", lit("brute_only")))
+      .orderBy("id_a", "id_b", "side")
+  }
+
   /** Shared oracle CTE: distinct 3-word shingles per doc. */
   private val shingleCte =
     """WITH t AS (
@@ -108,39 +127,27 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pairs (hash-internal — rows-only check; the
-    // planted-pair recall is pinned in DedupSpec instead).
-    "q26_simhash_neardup" -> ((s, dir) => {
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b")
-    }),
+    // SimHash exactness gate (the q66 pattern, AS the driver entry): the
+    // banded pigeonhole join GUARANTEES that the emitted pair set equals
+    // brute-force all-pairs hamming ≤ 3 over the same fingerprints
+    // (4 disjoint 16-bit chunks ⇒ any pair within hamming 3 collides on
+    // ≥ 1 chunk; exact hamming verify removes false positives). The
+    // query materializes the symmetric difference of the two paths —
+    // its oracle is the EMPTY relation, so any banding bug (missed
+    // chunk, dropped dedup, filter drift) turns into a row-count
+    // mismatch in the driver's gate rather than a silent recall loss.
+    // SimHash values are engine-internal, which is why the raw pair
+    // list cannot be SQL-oracled; set equality of two independent
+    // formulations is the next-strongest deterministic gate. (DedupSpec
+    // additionally pins planted-pair recall on the raw pair list.)
+    "q26_simhash_neardup" -> ((s, dir) => simhashDiff(docs(s, dir), 3)),
 
-    // Exactness gate for q26: the banded pigeonhole join GUARANTEES that
-    // the emitted pair set equals brute-force all-pairs hamming ≤ 3 over
-    // the same fingerprints (4 disjoint 16-bit chunks ⇒ any pair within
-    // hamming 3 collides on ≥ 1 chunk; exact hamming verify removes
-    // false positives). This query materializes the symmetric
-    // difference of the two paths — its oracle is the EMPTY relation,
-    // so any banding bug (missed chunk, dropped dedup, filter drift)
-    // turns into a row-count mismatch in the driver's gate rather than
-    // a silent recall loss. SimHash values are engine-internal, which is
-    // why q26 itself cannot be SQL-oracled; set equality of two
-    // independent formulations is the next-strongest deterministic gate.
-    "q66_simhash_exactness" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val lsh = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
-      val fp = Dedup.simhash(d, "doc_id", "text")
-      val brute = fp.select(col("doc_id").as("id_a"), col("simhash").as("fp_a"))
-        .crossJoin(fp.select(col("doc_id").as("id_b"), col("simhash").as("fp_b")))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("hamming",
-          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("bigint"))
-        .filter(col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-      lsh.exceptAll(brute).withColumn("side", lit("lsh_only"))
-        .unionAll(brute.exceptAll(lsh).withColumn("side", lit("brute_only")))
-        .orderBy("id_a", "id_b", "side")
-    }),
+    // Same gate in the STRICT regime (hamming ≤ 1): at this radius the
+    // banded candidate set still admits chance chunk collisions up to
+    // hamming 63, so the diff staying empty additionally proves the
+    // exact-hamming verify prunes — the filter-drift failure mode the
+    // radius-3 gate exercises only weakly.
+    "q66_simhash_exactness" -> ((s, dir) => simhashDiff(docs(s, dir), 1)),
 
     // Benchmark decontamination: docs sharing any 8-gram with the
     // held-out benchmark slice (doc_id % 10 == 0), with the count of
@@ -456,8 +463,12 @@ object DedupQueries {
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.lang = b.lang)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM p
         |WHERE j >= 0.3 ORDER BY 1,2""".stripMargin),
-    // q26_simhash_neardup: intentionally no oracle (engine-internal hashes);
-    // q66 gates it by pinning banded == brute-force to the empty diff.
+    // q26/q66 pin banded == brute-force to the empty diff (radius 3 and
+    // the strict radius-1 regime); the oracle is the empty relation.
+    "q26_simhash_neardup" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS BIGINT) AS hamming, CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
     "q66_simhash_exactness" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
         |  CAST(NULL AS BIGINT) AS hamming, CAST(NULL AS VARCHAR) AS side

@@ -30,11 +30,10 @@ class DocsSpec extends AnyFunSuite {
     val stray = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stray.isEmpty, s"oracles without a query: $stray")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // The README enumerates exactly these as the no-oracle checks; a new
-    // oracle-less query must either get an oracle or be documented there.
-    // (q33/q82/q47 graduated to empty-diff referee gates in round 7;
-    // q26 keeps q66 as its exactness gate.)
-    assert(rowsOnly === Set("q26_simhash_neardup"),
-      s"undocumented rows-only queries: $rowsOnly")
+    // Every query carries an oracle: the last rows-only entry (q26)
+    // graduated to an empty-diff exactness gate in round 8 (q33/q82/q47
+    // graduated the same way in round 7).
+    assert(rowsOnly === Set.empty[String],
+      s"oracle-less queries appeared: $rowsOnly")
   }
 }
