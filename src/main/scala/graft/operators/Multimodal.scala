@@ -92,6 +92,29 @@ object Multimodal {
     }
   }
 
+  /** Decode-free near-dup PAIRS at corpus scale: 256-bin byte histograms
+    * (the `ByteHistogram` codegen kernel — one map-side pass over the
+    * payload, no media codec) treated as dense vectors and fed to the
+    * banded RHP-LSH pair machinery (`Similarity.rhpCosinePairs`, hot
+    * bands salted, every candidate exact-cosine verified). This is the
+    * scale path that q138's fixture-bounded exact cross join stands in
+    * for: the histogram pass never shuffles, and pairs come from the
+    * band join instead of O(n²). Identical payloads produce identical
+    * histograms, which agree on every sign bit and collide in every
+    * band — so recall on exact duplicates is 1.0 (the q152 planted
+    * gate); near-identical payloads are found with the usual banded
+    * probability. Output: (id_a, id_b, sim), sim 6dp-rounded.
+    */
+  def histogramNearDupPairs(media: DataFrame, threshold: Double,
+                            bands: Int = 24, rowsPerBand: Int = 4,
+                            seed: Long = 7L): DataFrame = {
+    val h = media.select(col("doc_id"),
+      transform(graft.expressions.ArrayOps.byteHistogram(col("payload")),
+        x => x.cast("double")).as("hv"))
+    Similarity.rhpCosinePairs(h, "doc_id", "hv", threshold,
+      bands = bands, rowsPerBand = rowsPerBand, seed = seed)
+  }
+
   /** Column-expression twin of `extractFeatures` for the stub features:
     * every one has a codegen form (`octet_length`, `sha2`, the fused
     * `ByteMean` kernel), so the whole projection stays inside

@@ -54,8 +54,10 @@ object EventQueries {
     // longs, so every dot/norm is integer-exact in double and the gate
     // is digit-for-digit across engines — the oracle rebuilds the
     // histograms from the payload's hex expansion. At corpus scale the
-    // histogram pass stays map-side and pairs come from an LSH/banding
-    // stage (the q49 machinery) rather than this fixture-sized O(n²).
+    // histogram pass stays map-side and pairs come from the banded
+    // `Multimodal.histogramNearDupPairs` path, whose recall on planted
+    // duplicates is gated by q152; this fixture-sized O(n²) exists for
+    // the digit-exact DuckDB comparison banding cannot give.
     "q138_media_histogram_pairs" -> ((s, dir) => {
       import graft.expressions.ArrayOps
       val media = Multimodal.toMedia(Tables.load(s, dir, "documents")).toDF()
@@ -69,6 +71,38 @@ object EventQueries {
         .withColumn("sim", round(ArrayOps.cosineSim(col("ha"), col("hb")), 6))
         .filter(col("sim") >= 0.99)
         .select(col("id_a"), col("id_b"), col("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // BANDED multimodal near-dup recall gate (the q141 composition
+    // pattern): plant an exact duplicate of every fixture payload under
+    // a shifted id, run the decode-free banded path
+    // (`Multimodal.histogramNearDupPairs` = ByteHistogram →
+    // hot-band-salted RHP-LSH → exact cosine verify), and emit every
+    // planted pair the banding MISSED. Identical payloads give
+    // identical histograms, which agree on every sign bit and collide
+    // in every band — so the oracle is the EMPTY relation, and any
+    // banding/salting/verify bug surfaces as rows in the driver's
+    // gate. NULL/empty payloads are excluded: a zero histogram has no
+    // cosine direction, so "duplicate of nothing" is not a pair the
+    // contract promises (same bound as the oracle, which is empty
+    // either way).
+    "q152_media_banded_gate" -> ((s, dir) => {
+      val shift = 1L << 20
+      val media = Multimodal.toMedia(
+          Tables.load(s, dir, "documents")
+            .filter(col("text").isNotNull && length(col("text")) > 0 &&
+              col("doc_id") < 300))
+        .toDF()
+      val planted = media.unionAll(
+        media.withColumn("doc_id", col("doc_id") + lit(shift)))
+      val expected = media.select(col("doc_id").as("id_a"),
+        (col("doc_id") + lit(shift)).as("id_b"))
+      val found = Multimodal.histogramNearDupPairs(planted, threshold = 0.99)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      expected.join(found, Seq("id_a", "id_b"), "left")
+        .filter(col("hit").isNull)
+        .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -412,6 +446,12 @@ object EventQueries {
         |  JOIN nrm nb ON p.id_b = nb.doc_id
         |WHERE ROUND(dot / (na.nn * nb.nn), 6) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+    // q152: planted-duplicate recall through the banded path is exact
+    // (identical histograms collide in every band), so the
+    // expected-minus-found diff is the empty relation.
+    "q152_media_banded_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+        |WHERE FALSE""".stripMargin,
     "q136_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

@@ -106,6 +106,33 @@ class SinksAndQualitySpec extends SparkSpec {
     assert(math.abs(m("n") - 1.0 / 3) < 1e-9) // only null
   }
 
+  test("histogramNearDupPairs: banded ⊆ exact with equal sims; planted duplicates always found") {
+    import graft.expressions.ArrayOps
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull && length($"text") > 0).limit(30)
+    val media = Multimodal.toMedia(docs).toDF()
+    val shift = 100000L
+    val planted = media.unionAll(
+      media.withColumn("doc_id", $"doc_id" + shift))
+    val banded = Multimodal.histogramNearDupPairs(planted, threshold = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    // The exact q138 formulation over the same planted corpus.
+    val h = planted.select($"doc_id",
+      transform(ArrayOps.byteHistogram($"payload"), x => x.cast("double")).as("hv"))
+    val exact = h.select($"doc_id".as("id_a"), $"hv".as("ha"))
+      .join(h.select($"doc_id".as("id_b"), $"hv".as("hb")), $"id_a" < $"id_b")
+      .withColumn("sim", round(ArrayOps.cosineSim($"ha", $"hb"), 6))
+      .filter($"sim" >= 0.99).select("id_a", "id_b", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    // Exact-cosine verify after the band join ⇒ precision 1.0.
+    assert(banded.nonEmpty && banded.subsetOf(exact))
+    // Identical payloads collide in every band ⇒ planted recall 1.0.
+    docs.select($"doc_id").as[Long].collect().foreach { id =>
+      assert(banded.exists(t => t._1 == id && t._2 == id + shift),
+        s"missed planted pair ($id, ${id + shift})")
+    }
+  }
+
   test("multimodal decoder-boundary, column-expression, and SQL q35 formulations all agree") {
     val docs = Tables.load(spark, sfDir, "documents").limit(50)
     val viaPartitions = Multimodal.extractFeatures(Multimodal.toMedia(docs), batchSize = 16)
