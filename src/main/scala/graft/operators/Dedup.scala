@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.CutOps
 import graft.expressions.{ArrayOps, TextOps}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -77,7 +78,7 @@ object Dedup {
     // narrow relation is ~1% of the corpus bytes.
     val keys = base.select(col("id"),
       explode(bandKeys(TextOps.minhashSignature(col("hs"), numPerm), bands, rows)).as("key"))
-      .localCheckpoint(eager = true)
+      .cutLineage
     // Hot-band salting, same scheme as Similarity.rhpCosinePairs: a
     // degenerate band (mass duplication — exactly what a dedup pass is
     // hunting) is a quadratic hot key; the bounded hot-key census fans
@@ -591,7 +592,7 @@ object Dedup {
     // Two consumers of the history keys (census + join side): checkpoint
     // the narrow relation once instead of re-running the sketch kernel
     // over the full history (the rhpCosinePairs reasoning).
-    val hKeys = hKeysRaw.localCheckpoint(eager = true)
+    val hKeys = hKeysRaw.cutLineage
     val (hotSalts, hotRows) = hotKeySaltCensus(hKeys, "key", saltBuckets, maxBandRows)
     if (hotRows.nonEmpty) {
       val desc = hotRows.take(20)
@@ -641,7 +642,7 @@ object Dedup {
     // pair-detection pipeline (an O(n²) cartesian for exact cosine
     // pairs) — checkpoint first so it runs exactly once.
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint(eager = true)
+      .cutLineage
 
     // Near-dup pair lists are tiny relative to the corpus they came
     // from (they ARE the anomaly being hunted). Below `maxDriverEdges`
@@ -664,7 +665,7 @@ object Dedup {
     // its convergence count) re-reads it.
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(eager = true)
+      .cutLineage
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
@@ -693,7 +694,7 @@ object Dedup {
       // ONE materialization per round: the convergence count reads the
       // checkpointed partitions instead of re-running the round's joins.
       val mat = jumped.withColumn("__changed", col("label") =!= col("old"))
-        .localCheckpoint(eager = true) // also truncates the iterative lineage
+        .cutLineage // also truncates the iterative lineage
       converged = mat.filter(col("__changed")).limit(1).count() == 0
       labels = mat.select("node", "label")
       iter += 1

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.CutOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -14,35 +15,69 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Shared invariant setup: collapsed (src, dst, outdeg) edge relation,
+    * the node set (src ∪ dst — sink-only nodes are REAL nodes), and the
+    * set of dangling nodes (no out-edges), each lineage-cut once. The
+    * dangling set is node-sized at worst; whether it is empty is decided
+    * here, once, so compliant (symmetrized) graphs skip the per-round
+    * dangling-mass aggregate entirely.
+    */
+  private def invariants(edges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame, DataFrame, Boolean) = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(deg, Seq("src")).cutLineage
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .cutLineage
+    val dangling = nodes
+      .join(e.select(col("src").as("node")), Seq("node"), "left_anti")
+      .cutLineage
+    (e, nodes, dangling, !dangling.isEmpty)
+  }
+
+  /** One row, one column `__dm`: the rank mass currently sitting on
+    * dangling nodes — broadcast back into the update expression so the
+    * iteration stays fully distributed (no driver collect per round).
+    */
+  private def danglingMass(pr: DataFrame, dangling: DataFrame,
+                           rankCol: String): DataFrame =
+    broadcast(pr.join(dangling, Seq("node"), "left_semi")
+      .agg(coalesce(sum(col(rankCol)), lit(0.0)).as("__dm")))
+
   /** Damped PageRank, a FIXED `iters` power-iteration rounds (fixed, not
     * convergence-tested, so the result is a deterministic function of
     * the graph — the q126 oracle unrolls the same rounds as CTE layers).
     *
-    * Contract: `edges` is a directed edge list; every node reachable as
-    * a destination must also have at least one out-edge (no dangling
-    * mass — a symmetrized/undirected graph satisfies this by
-    * construction; callers with genuinely directed graphs add their own
-    * dangling-mass handling). Duplicate edges are collapsed.
+    * `edges` is a directed edge list; duplicate edges are collapsed.
+    * Nodes are src ∪ dst, so sink-only destinations are ranked too, and
+    * DANGLING nodes (no out-edges) are handled exactly: their rank mass
+    * redistributes uniformly each round (the standard teleport
+    * treatment), so Σpr = 1 for every input graph, not just the
+    * symmetrized ones that have no dangling nodes. The dangling check
+    * runs once at setup; graphs without dangling nodes pay nothing per
+    * round.
     *
     * Scale shape: out-degrees join the edge list once, up front, and the
-    * (src, dst, outdeg) relation is localCheckpoint'ed — the per-round
-    * cost is one shuffle join of the node-sized rank relation against
-    * the edges plus one dst-keyed aggregation; rank lineage is cut each
-    * round (the Dedup.nearDupComponents loop idiom), so round r's plan
-    * does not replay rounds 1..r-1.
+    * (src, dst, outdeg) relation is lineage-cut (`Checkpoints.cut`:
+    * replicated `checkpoint()` when the session has a reliable
+    * checkpoint dir configured, `localCheckpoint` otherwise) — the
+    * per-round cost is one shuffle join of the node-sized rank relation
+    * against the edges plus one dst-keyed aggregation (plus, only on
+    * graphs that have dangling nodes, one node-sized semi-join aggregate
+    * whose 1-row result broadcasts); rank lineage is cut each round (the
+    * Dedup.nearDupComponents loop idiom), so round r's plan does not
+    * replay rounds 1..r-1.
     *
     * Output: (node, pr) with pr 6dp-rounded, one row per node.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct()
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = e0.join(deg, Seq("src")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+    val (e, nodes, dangling, hasDangling) = invariants(edges, srcCol, dstCol)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val residual = (1.0 - damping) / n
@@ -52,14 +87,20 @@ object Graphs {
       val contrib = e.join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("outdeg")).as("mass"))
-      // LEFT join keeps sink-only nodes alive (they receive only the
-      // residual) even though the stated contract excludes them — the
-      // formulation then degrades gracefully instead of dropping rows.
-      pr = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(residual) + lit(damping) * coalesce(col("mass"), lit(0.0)))
-            .as("pr"))
-        .localCheckpoint(true)
+      // LEFT join: nodes nobody links to still receive the residual
+      // (and their dangling share).
+      val base = nodes.join(contrib, Seq("node"), "left")
+      val next =
+        if (hasDangling)
+          base.crossJoin(danglingMass(pr, dangling, "pr"))
+            .select(col("node"),
+              (lit(residual) + lit(damping) *
+                (coalesce(col("mass"), lit(0.0)) + col("__dm") / n)).as("pr"))
+        else
+          base.select(col("node"),
+            (lit(residual) + lit(damping) * coalesce(col("mass"), lit(0.0)))
+              .as("pr"))
+      pr = next.cutLineage
       i += 1
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
@@ -72,7 +113,10 @@ object Graphs {
     * Same contract and cost shape as [[pageRank]] (checkpointed
     * edge+outdeg invariant, one keyed join + dst aggregation per fixed
     * round, lineage cut each round); seeds outside the node set are
-    * ignored (restart normalizes over seeds ∩ nodes).
+    * ignored (restart normalizes over seeds ∩ nodes). Dangling-node
+    * mass returns to the SEEDS (proportionally to the restart vector —
+    * the personalized analogue of the uniform teleport), so Σppr = 1
+    * on every input graph.
     *
     * Output: (node, ppr) 6dp-rounded, one row per node.
     */
@@ -80,16 +124,10 @@ object Graphs {
                            seeds: DataFrame, seedCol: String, iters: Int,
                            damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"personalizedPageRank: iters must be >= 1, got $iters")
-    val e0 = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .distinct()
-    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = e0.join(deg, Seq("src")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+    val (e, nodes, dangling, hasDangling) = invariants(edges, srcCol, dstCol)
     val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .join(nodes, Seq("node"), "left_semi")
-      .localCheckpoint(true)
+      .cutLineage
     val ns = sd.count()
     require(ns > 0, "personalizedPageRank: no seed appears in the graph")
     val restart = nodes
@@ -97,18 +135,26 @@ object Graphs {
       .select(col("node"),
         when(col("__s").isNotNull, lit(1.0 / ns)).otherwise(lit(0.0))
           .as("restart"))
-      .localCheckpoint(true)
+      .cutLineage
     var pr = restart.select(col("node"), col("restart").as("ppr"))
     var i = 0
     while (i < iters) {
       val contrib = e.join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("ppr") / col("outdeg")).as("mass"))
-      pr = restart.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) * col("restart") +
-            lit(damping) * coalesce(col("mass"), lit(0.0))).as("ppr"))
-        .localCheckpoint(true)
+      val base = restart.join(contrib, Seq("node"), "left")
+      val next =
+        if (hasDangling)
+          base.crossJoin(danglingMass(pr, dangling, "ppr"))
+            .select(col("node"),
+              (lit(1.0 - damping) * col("restart") + lit(damping) *
+                (coalesce(col("mass"), lit(0.0)) +
+                  col("__dm") * col("restart"))).as("ppr"))
+        else
+          base.select(col("node"),
+            (lit(1.0 - damping) * col("restart") +
+              lit(damping) * coalesce(col("mass"), lit(0.0))).as("ppr"))
+      pr = next.cutLineage
       i += 1
     }
     pr.select(col("node"), round(col("ppr"), 6).as("ppr"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Checkpoints.CutOps
 import graft.expressions.ArrayOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -277,7 +278,7 @@ object Similarity {
     // `nearDupComponents` reasoning).
     val keys = base.select(col("id"),
       explode(array((0 until bands).map(bandKey): _*)).as("key"))
-      .localCheckpoint(eager = true)
+      .cutLineage
     // The census is a narrow per-key partial count over the checkpoint —
     // at 100 TB that is the price of KNOWING the skew before committing
     // the pair stage to it; hot keys land in the logs, not a straggler.
@@ -388,7 +389,7 @@ object Similarity {
       .select(col("id"), explode(grams).as("term"))
       .filter(col("term").isNotNull && col("term") =!= "")
       .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint(eager = true)
+      .cutLineage
     val nDocs = broadcast(docs.agg(count(lit(1)).as("nd")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // Rarest-first term rank — DISTRIBUTED (Profile.exactRank's
@@ -409,7 +410,7 @@ object Similarity {
     val flagged = tw.join(nrm, Seq("id"))
       .select(col("id"), col("rank"), col("df"), (col("tw") / col("nn")).as("w"))
       .withColumn("ssq", sum(col("w") * col("w")).over(winDesc))
-      .localCheckpoint(eager = true)
+      .cutLineage
     val full = flagged.filter(col("df") >= 2).select(col("rank"), col("id"))
     val pref = flagged.filter(col("df") >= 2 &&
         col("ssq") >= lit(threshold * threshold - 1e-9))

@@ -136,6 +136,19 @@ class DedupSpec extends SparkSpec {
     assert(distributed === expected)
   }
 
+  test("nearDupComponents under a reliable checkpoint dir ≡ the localCheckpoint fast path") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val local = Dedup.nearDupComponents(pairs, maxDriverEdges = 0L)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_dedup").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = Dedup.nearDupComponents(pairs, maxDriverEdges = 0L)
+        .orderBy("doc_id").as[(Long, Long)].collect()
+      assert(reliable === local)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("contaminationHits finds exactly the docs sharing an n-gram with the benchmark") {
     // doc 1 (bench) and doc 2 (corpus) are 10 words differing only in
     // the last → their first two 8-grams coincide; docs 3/4 share none.

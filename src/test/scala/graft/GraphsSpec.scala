@@ -53,6 +53,51 @@ class GraphsSpec extends SparkSpec {
     assert(a === run(), "pageRank must be deterministic")
   }
 
+  test("dangling (sink-only) nodes are ranked, their mass redistributes, Σpr = 1") {
+    // 0↔1 plus 0→2: node 2 has no out-edges. It must appear in the
+    // output, and its mass must teleport uniformly each round — not
+    // silently vanish (the pre-round-8 behavior dropped the node).
+    val e = Seq((0L, 1L), (1L, 0L), (0L, 2L)).toDF("src", "dst")
+    val out = Graphs.pageRank(e, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(math.abs(out.values.sum - 1.0) < 3e-6, s"mass=${out.values.sum}")
+    // Literal recompute: outdeg(0)=2, outdeg(1)=1, node 2 dangling.
+    var p = Map(0L -> 1.0 / 3, 1L -> 1.0 / 3, 2L -> 1.0 / 3)
+    for (_ <- 1 to 3) {
+      val dm = p(2L)
+      p = Map(
+        0L -> (0.05 + 0.85 * (p(1L) + dm / 3)),
+        1L -> (0.05 + 0.85 * (p(0L) / 2 + dm / 3)),
+        2L -> (0.05 + 0.85 * (p(0L) / 2 + dm / 3)))
+    }
+    p.foreach { case (k, v) =>
+      assert(math.abs(out(k) - math.rint(v * 1e6) / 1e6) < 1e-9,
+        s"node $k: got ${out(k)}, want $v")
+    }
+    // Personalized variant: dangling mass returns to the seeds; the
+    // distribution still sums to 1.
+    val pprOut = Graphs.personalizedPageRank(e, "src", "dst",
+        Seq(0L).toDF("node"), "node", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(pprOut.keySet === Set(0L, 1L, 2L))
+    assert(math.abs(pprOut.values.sum - 1.0) < 3e-6, s"mass=${pprOut.values.sum}")
+  }
+
+  test("reliable checkpoint dir: results identical to the localCheckpoint fast path") {
+    val half = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val e = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val local = Graphs.pageRank(e, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = Graphs.pageRank(e, "src", "dst", iters = 5)
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      assert(reliable === local)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("personalizedPageRank: 2-node recurrence matches a literal recompute; out-of-graph seeds inert") {
     val e = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
     // Seed 99 is not in the graph and must not dilute the restart mass.
