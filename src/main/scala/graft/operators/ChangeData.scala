@@ -209,20 +209,19 @@ object ChangeData {
     * the daily-backfill move on a partitioned 100 TB table, where a
     * static overwrite would delete the whole dataset and a
     * read-modify-write would pay a full rewrite for a one-day fix.
-    * Uses Spark's `partitionOverwriteMode=dynamic` (scoped to this
-    * write, previous value restored); ChangeDataSpec pins the contract
-    * that untouched partitions' files are bit-identical afterwards.
+    * Uses Spark's `partitionOverwriteMode=dynamic` as a PER-WRITE
+    * option, not a session-conf set/restore: the writer option takes
+    * precedence over the session conf and is visible only to this
+    * write, so concurrent writers on the same SparkSession can't race
+    * on the global setting (another thread's static overwrite picking
+    * up "dynamic", or the restore clobbering a concurrent setter).
+    * ChangeDataSpec pins the contract that untouched partitions' files
+    * are bit-identical afterwards.
     */
   def overwritePartitions(df: DataFrame, layoutDir: String,
-                          partitionCol: String): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(layoutDir)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+                          partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(layoutDir)
 }

@@ -697,9 +697,14 @@ object TextQueries {
           size(split(col("text"), " ")).cast("long").as("n_tok"))
         .groupBy("shard").agg(sum("n_tok").as("n_tokens"))
       m.agg(max("n_tokens").as("max_tokens"), min("n_tokens").as("min_tokens"))
+        // An EMPTY shard (min_tokens = 0) is the worst possible skew:
+        // its ratio is undefined (NULL under non-ANSI division), so it
+        // must trip the gate explicitly — a bare `ratio > 1.5` filter
+        // would drop the NULL row and let it silently pass.
         .withColumn("ratio",
-          round(col("max_tokens").cast("double") / col("min_tokens"), 6))
-        .filter(col("ratio") > 1.5)
+          when(col("min_tokens") === 0, lit(null).cast("double"))
+            .otherwise(round(col("max_tokens").cast("double") / col("min_tokens"), 6)))
+        .filter(col("ratio") > 1.5 || col("min_tokens") === 0)
         .select(col("max_tokens"), col("min_tokens"), col("ratio"),
           lit(1.5).as("bound"))
     }),

@@ -25,7 +25,9 @@ object RecallProbe {
     }
     val n = e.count()
     for ((probe, assign) <- Seq((4, 3), (6, 4), (8, 4));
-         cand <- Seq(100, math.max(100L, (n + 4) / 5).toInt)) {
+         // distinct: on a small corpus the n/5 candidate count clamps
+         // to 100 and would duplicate the first configuration
+         cand <- Seq(100, math.max(100L, (n + 4) / 5).toInt).distinct) {
       val approx = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
           k = 5, nprobe = probe, nassign = assign, candidates = cand)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
