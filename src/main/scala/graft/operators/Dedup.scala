@@ -406,8 +406,21 @@ object Dedup {
     * Output: the input row plus (clean_text, n_kept).
     */
   def exciseDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, n)
+                           n: Int): DataFrame =
+    exciseWithSpans(docs, duplicateSpans(docs, idCol, textCol, n),
+      idCol, textCol)
+
+  /** The edit-application half of [[exciseDuplicateSpans]], decoupled
+    * from span DISCOVERY so any span relation (id, span_start,
+    * span_end) can drive it — a persisted span store from a previous
+    * maintenance run, or a STATIC span side under a streaming scan
+    * (`DocumentStreams.streamingExciseSpans`, where the stream-static
+    * id join is stateless and the rewrite stays a map-side codegen
+    * projection, both legal in a streaming plan).
+    */
+  def exciseWithSpans(docs: DataFrame, spanRel: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    val spans = spanRel
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     val words = split(col(textCol), " ")

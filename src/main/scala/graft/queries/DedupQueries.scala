@@ -78,6 +78,28 @@ object DedupQueries {
       | spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end
       |           FROM s GROUP BY doc_id, isl)""".stripMargin
 
+  /** Shared by q113 (batch) and q153 (streaming): excision tail on the
+    * shared span CTE — keep words outside every span, reassemble in
+    * position order; fully-scrubbed docs come back as '' / 0 (LEFT JOIN
+    * + COALESCE), NULL text stays NULL.
+    */
+  private lazy val spanExcisionOracle = spanCte +
+    """
+      |, wp AS (SELECT doc_id, pos, w[pos+1] AS word
+      |         FROM (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t)),
+      | kept AS (SELECT wp.* FROM wp WHERE NOT EXISTS (
+      |            SELECT 1 FROM spans sp WHERE sp.doc_id = wp.doc_id
+      |              AND wp.pos >= sp.span_start AND wp.pos < sp.span_end)),
+      | agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS ct,
+      |          CAST(COUNT(*) AS BIGINT) AS nk FROM kept GROUP BY 1)
+      |SELECT dd.doc_id,
+      |  COALESCE(a.ct, CASE WHEN dd.text IS NULL THEN NULL ELSE '' END)
+      |    AS clean_text,
+      |  COALESCE(a.nk, CASE WHEN dd.text IS NULL THEN NULL
+      |    ELSE CAST(0 AS BIGINT) END) AS n_kept
+      |FROM documents dd LEFT JOIN agg a USING (doc_id)
+      |ORDER BY dd.doc_id""".stripMargin
+
   /** Shared by q111 (batch) and q118 (streaming): exact string-shingle
     * NOT-EXISTS over the %3-history / %2-batch split — adjudicates the
     * 64-bit shingle hashing and the banded candidate recall of both
@@ -242,6 +264,13 @@ object DedupQueries {
     // ≡ the batch formulation (the q134 CTE flipped to NEW chunks).
     "q139_stream_new_chunks" -> ((s, dir) =>
       graft.streaming.DocumentStreams.streamingNewChunks(s, dir)),
+
+    // Streaming twin of q113: arriving docs attach their edit list from
+    // the static span store (stateless stream-static join) and excise
+    // in-flight with the same codegen rewrite. Bounded drain ≡ the
+    // batch scrub, so it shares q113's oracle.
+    "q153_stream_excise_spans" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingExciseSpans(s, dir)),
 
     // Cross-document repeated-gram profile (ExactSubstr-lite): per doc,
     // the fraction of its distinct word 8-grams shared with any other
@@ -536,22 +565,9 @@ object DedupQueries {
     // Excision tail on the shared span CTE: keep words outside every
     // span, reassemble in position order; fully-scrubbed docs come back
     // as '' / 0 (LEFT JOIN + COALESCE), NULL text stays NULL.
-    "q113_span_excision" -> (spanCte +
-      """
-        |, wp AS (SELECT doc_id, pos, w[pos+1] AS word
-        |         FROM (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t)),
-        | kept AS (SELECT wp.* FROM wp WHERE NOT EXISTS (
-        |            SELECT 1 FROM spans sp WHERE sp.doc_id = wp.doc_id
-        |              AND wp.pos >= sp.span_start AND wp.pos < sp.span_end)),
-        | agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS ct,
-        |          CAST(COUNT(*) AS BIGINT) AS nk FROM kept GROUP BY 1)
-        |SELECT dd.doc_id,
-        |  COALESCE(a.ct, CASE WHEN dd.text IS NULL THEN NULL ELSE '' END)
-        |    AS clean_text,
-        |  COALESCE(a.nk, CASE WHEN dd.text IS NULL THEN NULL
-        |    ELSE CAST(0 AS BIGINT) END) AS n_kept
-        |FROM documents dd LEFT JOIN agg a USING (doc_id)
-        |ORDER BY dd.doc_id""".stripMargin),
+    "q113_span_excision" -> spanExcisionOracle,
+    // Streaming twin: bounded drain ≡ the batch scrub, same oracle.
+    "q153_stream_excise_spans" -> spanExcisionOracle,
     // Same gram definition as q59's oracle (8-word grams, whole-text
     // fallback); SUMs cast back to BIGINT (DuckDB widens to HUGEINT).
     "q103_repeated_grams" ->

@@ -90,6 +90,30 @@ object DocumentStreams {
     * result equals the batch formulation, which the q139 oracle (the
     * q134 CTE flipped to count NEW chunks) checks end to end.
     */
+  /** Streaming leg of the ExactSubstr excision — q113's span scrub as
+    * an ingestion stream, completing the batch/streaming symmetry the
+    * span stack was missing (q112/q113 batch spans + excision, q139
+    * chunk-store maintenance, and now in-flight excision). The span
+    * relation comes from the STATIC corpus (at 100 TB: the persisted
+    * span store a maintenance job keeps appending — the q139/q107
+    * move), grouped to one edit list per doc; arriving docs attach
+    * their edits with a STATELESS stream-static left join (the static
+    * side re-plans per micro-batch, no join state), and the rewrite is
+    * the batch operator's map-side codegen'd higher-order filter — no
+    * stateful op anywhere, so the drain runs in Append mode. On bounded
+    * input the result equals batch q113, whose oracle q153 shares.
+    */
+  def streamingExciseSpans(spark: SparkSession, sfDir: String,
+                           n: Int = 8): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "documents")
+    val spans = graft.operators.Dedup.duplicateSpans(corpus, "doc_id", "text", n)
+    val out = graft.operators.Dedup.exciseWithSpans(
+        readDocumentsStream(spark, sfDir), spans, "doc_id", "text")
+      .select("doc_id", "clean_text", "n_kept")
+    EventStreams.runToMemory(out, OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   def streamingNewChunks(spark: SparkSession, sfDir: String): DataFrame = {
     def chunkRel(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
