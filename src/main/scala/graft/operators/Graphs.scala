@@ -33,10 +33,13 @@ object Graphs {
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
       .cutLineage
-    val dangling = nodes
+    val danglingRaw = nodes
       .join(e.select(col("src").as("node")), Seq("node"), "left_anti")
-      .cutLineage
-    (e, nodes, dangling, !dangling.isEmpty)
+    val hasDangling = !danglingRaw.isEmpty
+    // Only graphs that HAVE dangling nodes re-read this relation every
+    // round — compliant graphs skip the materialization entirely.
+    val dangling = if (hasDangling) danglingRaw.cutLineage else danglingRaw
+    (e, nodes, dangling, hasDangling)
   }
 
   /** One row, one column `__dm`: the rank mass currently sitting on
