@@ -252,6 +252,15 @@ object EventQueries {
     "q131_stream_distinct_monitor" -> ((s, dir) =>
       EventStreams.streamingDistinctMonitor(s, dir)),
 
+    // Structured Streaming: per-window Misra–Gries heavy-user summaries
+    // (m counters of mergeable state per open window where exact
+    // streaming top contributors holds every key), refereed in-query
+    // against the batch exact counts on the deterministic MG contract —
+    // violations emit, the oracle is the empty relation (q131's referee
+    // pattern; the batch twin of the summary itself is q154).
+    "q155_stream_heavy_hitters" -> ((s, dir) =>
+      EventStreams.streamingHeavyHittersMonitor(s, dir)),
+
     // Gap-based session_window aggregation (batch form of the same plan
     // the streaming engine runs; the streaming stateful twin is q38).
     "q41_session_window" -> ((s, dir) => {
@@ -495,6 +504,14 @@ object EventQueries {
         |  CAST(NULL AS BIGINT) AS est_users,
         |  CAST(NULL AS BIGINT) AS exact_users,
         |  CAST(NULL AS DOUBLE) AS rel_err
+        |WHERE FALSE""".stripMargin,
+    "q155_stream_heavy_hitters" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind,
+        |  CAST(NULL AS TIMESTAMP) AS window_start,
+        |  CAST(NULL AS VARCHAR) AS user_key,
+        |  CAST(NULL AS BIGINT) AS exact_cnt,
+        |  CAST(NULL AS BIGINT) AS est_cnt,
+        |  CAST(NULL AS BIGINT) AS err
         |WHERE FALSE""".stripMargin,
     "q47_hll_distinct" ->
       """SELECT CAST(NULL AS VARCHAR) AS event_type,

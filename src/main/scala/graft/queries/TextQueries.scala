@@ -615,6 +615,55 @@ object TextQueries {
       viol.toDF("term", "exact_cnt", "est_cnt", "slack").orderBy("term")
     }),
 
+    // Misra–Gries heavy-hitters GATE — the sketch complement of q77:
+    // CMS point-queries keys you already hold; MG SURFACES the heavy
+    // keys themselves in one pass with 64 counters of mergeable state
+    // (map-side partials, pointwise-sum merge). At 100 TB the summary
+    // pass replaces the corpus-scale phrase-frequency aggregate; here
+    // the exact aggregate plays referee. Runs over word BIGRAMS (q79's
+    // construction) — the unigram vocabulary of this corpus fits in the
+    // summary, which would never exercise the decrement path — and the
+    // counter VALUES are merge-order dependent, but the MG contract is
+    // not, so the query emits every contract violation and the oracle
+    // is the empty relation on ANY data: (a) a counter exceeding the
+    // true count — MG counters only ever lose mass; (b) an undercount
+    // beyond the summary's exact accumulated decrement `err`; (c) a key
+    // with true count > err absent from the summary. Driver-side state
+    // is the 64-entry summary + err (model-parameter sized, q77's
+    // shape); the referee join broadcasts it, so the exact side never
+    // shuffles twice.
+    "q154_mg_heavy_hitters_gate" -> ((s, dir) => {
+      val mg = udaf(new graft.functions.HeavyHittersAggregator(64),
+        org.apache.spark.sql.Encoders.STRING)
+      def terms = {
+        val w = words(col("text"))
+        docs(s, dir).select(
+          explode(when(size(w) >= 2,
+            transform(sequence(lit(0), size(w) - 2),
+              i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+            .otherwise(array().cast("array<string>"))).as("term"))
+          .filter(col("term") =!= "")
+      }
+      val hh = terms.agg(mg(col("term")).as("hh")).head().getStruct(0)
+      val err = hh.getLong(1)
+      val items = hh.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1)))
+      import s.implicits._
+      val est = broadcast(items.toDF("term", "est_cnt"))
+      terms.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .join(est, Seq("term"), "left")
+        .withColumn("kind",
+          when(col("est_cnt") > col("exact_cnt"), lit("overcount"))
+            .when(col("est_cnt").isNotNull &&
+              col("est_cnt") < col("exact_cnt") - err, lit("undercount"))
+            .when(col("est_cnt").isNull && col("exact_cnt") > err,
+              lit("missing_heavy")))
+        .filter(col("kind").isNotNull)
+        .select(col("kind"), col("term"), col("exact_cnt"), col("est_cnt"),
+          lit(err).as("err_bound"))
+        .orderBy("kind", "term")
+    }),
+
     // Deterministic training-order shuffle: multiplicative-hash
     // position, shard = hash mod 8, within-shard rank. One keyed
     // exchange, per-shard independent sorts, shard assignment stable
@@ -1128,6 +1177,11 @@ object TextQueries {
     "q77_cms_bound_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS exact_cnt,
         |  CAST(NULL AS BIGINT) AS est_cnt, CAST(NULL AS BIGINT) AS slack
+        |WHERE FALSE""".stripMargin,
+    "q154_mg_heavy_hitters_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS term,
+        |  CAST(NULL AS BIGINT) AS exact_cnt, CAST(NULL AS BIGINT) AS est_cnt,
+        |  CAST(NULL AS BIGINT) AS err_bound
         |WHERE FALSE""".stripMargin,
     "q76_stratified_sample" ->
       """WITH b AS (

@@ -158,6 +158,73 @@ object EventStreams {
         col("exact_users"), round(col("rel_err"), 6).as("rel_err"))
       .orderBy("window_start", "event_type")
 
+  /** Streaming heavy-hitters monitor: per-day Misra–Gries summaries of
+    * user activity — the bounded-state streaming form of "who are the
+    * heavy users this window". Exact per-window top contributors would
+    * hold EVERY key of every open window in the state store; the MG
+    * summary holds `m` counters per window, partials merge map-side
+    * within a micro-batch and across micro-batches through the state
+    * store's merge path, and the final summary carries its exact
+    * accumulated decrement `err`. Drained on the bounded feed, each
+    * window is refereed against the exact batch counts on the
+    * DETERMINISTIC MG contract (est ≤ true; undercount ≤ err; any key
+    * with true count > err is present) — the contract holds under any
+    * micro-batch arrival/merge order even though the counter values do
+    * not, so the driver oracle is the empty relation. `m` defaults low
+    * on purpose: at the testdata's per-window cardinalities a roomy
+    * summary would be exact and the decrement path would never run.
+    */
+  def streamingHeavyHittersMonitor(spark: SparkSession, sfDir: String,
+                                   m: Int = 8): DataFrame = {
+    val mg = udaf(new graft.functions.HeavyHittersAggregator(m),
+      org.apache.spark.sql.Encoders.STRING)
+    val est = readEventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(mg(col("user_id").cast("string")).as("hh"))
+    val drained = runToMemory(est, OutputMode.Complete())
+      .select(col("w.start").as("window_start"),
+        explode_outer(col("hh._1")).as("item"), col("hh._2").as("err"))
+      .select(col("window_start"), col("item._1").as("user_key"),
+        col("item._2").as("est_cnt"), col("err"))
+    val exact = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        col("user_id").cast("string").as("user_key"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .select(col("w.start").as("window_start"), col("user_key"),
+        col("exact_cnt"))
+    heavyHittersReferee(drained, exact)
+  }
+
+  /** The referee half, factored out so the spec can feed it corrupted
+    * summaries: violations = a summary counter above the true count
+    * (including a key the data never produced), an undercount beyond
+    * the window's exact `err`, a guaranteed-heavy key (true > err)
+    * absent from the summary, or a window present on only one side.
+    * The exact side plays referee only — at 100 TB the summary pass
+    * REPLACES it.
+    */
+  private[graft] def heavyHittersReferee(est: DataFrame,
+                                         exact: DataFrame): DataFrame = {
+    val errs = est.groupBy("window_start").agg(max("err").as("err"))
+    val items = est.filter(col("user_key").isNotNull)
+      .select("window_start", "user_key", "est_cnt")
+    exact.join(items, Seq("window_start", "user_key"), "full")
+      .join(errs, Seq("window_start"), "left")
+      .withColumn("kind",
+        when(col("err").isNull, lit("window_missing"))
+          .when(col("exact_cnt").isNull, lit("overcount"))
+          .when(col("est_cnt") > col("exact_cnt"), lit("overcount"))
+          .when(col("est_cnt").isNotNull &&
+            col("est_cnt") < col("exact_cnt") - col("err"), lit("undercount"))
+          .when(col("est_cnt").isNull && col("exact_cnt") > col("err"),
+            lit("missing_heavy")))
+      .filter(col("kind").isNotNull)
+      .select(col("kind"), col("window_start"), col("user_key"),
+        col("exact_cnt"), col("est_cnt"), col("err"))
+      .orderBy("kind", "window_start", "user_key")
+  }
+
   /** Streaming incremental dedup against a static history — the
     * streaming-ingestion twin of `Dedup.newAgainstHistory`: events after
     * the cutoff anti-join a STATIC frame of already-seen

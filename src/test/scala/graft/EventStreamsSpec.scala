@@ -530,6 +530,32 @@ class EventStreamsSpec extends SparkSpec {
       s"referee missed a violation: $v")
   }
 
+  test("heavy-hitters monitor: silent on honest summaries, fires on every corruption kind") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // End-to-end on the real feed: the MG contract must hold after the
+    // state-store merge path (q155's driver gate, run in-spec).
+    assert(EventStreams.streamingHeavyHittersMonitor(spark, sfDir).count() === 0,
+      "monitor fired on an honest Misra-Gries summary")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val exact = Seq((t0, "u1", 100L), (t0, "u2", 40L), (t0, "u3", 3L),
+        (t1, "u1", 50L))
+      .toDF("window_start", "user_key", "exact_cnt")
+    // err=5 for t0. Four corruptions: u1 overcounted (105>100), u2
+    // undercounted past err (30 < 40-5), u3 heavy-and-missing is NOT a
+    // violation (3 <= err) but u9 is spurious (never in the data), and
+    // window t1 has no summary at all.
+    val est = Seq((t0, "u1", 105L, 5L), (t0, "u2", 30L, 5L),
+        (t0, "u9", 2L, 5L))
+      .toDF("window_start", "user_key", "est_cnt", "err")
+    val v = EventStreams.heavyHittersReferee(est, exact)
+      .select("kind", "user_key").as[(String, Option[String])].collect().toSet
+    assert(v === Set(("overcount", Some("u1")), ("undercount", Some("u2")),
+        ("overcount", Some("u9")), ("window_missing", Some("u1"))),
+      s"referee verdicts wrong: $v")
+  }
+
   test("SQL surface: graft functions registered by GraftExtensions") {
     GraftSession.tune(spark)
     val row = spark.sql(

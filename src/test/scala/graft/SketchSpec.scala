@@ -90,6 +90,57 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries contract holds under any split/merge tree (driver-side laws)") {
+    // Zipf-ish stream: key i appears ~N/i times, shuffled deterministically.
+    val rnd = new scala.util.Random(7)
+    val stream = rnd.shuffle(
+      (1 to 40).flatMap(i => Seq.fill(400 / i)(s"k$i")).toVector)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val agg = new functions.HeavyHittersAggregator(8)
+    def fold(xs: Seq[String]) = xs.foldLeft(agg.zero)(agg.reduce)
+    // Three different partitionings, including a skewed one and a deep
+    // left fold of many small partials — the estimates may differ, the
+    // contract may not.
+    val splits = Seq(
+      Seq(stream),
+      stream.grouped(37).toSeq,
+      Seq(stream.take(5), stream.slice(5, 1200), stream.drop(1200)))
+    splits.foreach { parts =>
+      val (items, err) = agg.finish(parts.map(fold).reduce(agg.merge))
+      val est = items.toMap
+      assert(err <= stream.size / 9 + 1, s"err $err above n/(m+1)")
+      assert(err > 0, "fixture must exercise the decrement path")
+      est.foreach { case (k, e) =>
+        assert(e <= truth(k), s"$k overcounted: $e > ${truth(k)}")
+        assert(truth(k) - e <= err, s"$k undercount past err=$err")
+      }
+      truth.foreach { case (k, t) =>
+        if (t > err) assert(est.contains(k), s"heavy key $k (n=$t) missing, err=$err")
+      }
+    }
+  }
+
+  test("q154 MG gate is empty on sf0.001 AND the summary is genuinely lossy") {
+    assert(SparkEntry.queries("q154_mg_heavy_hitters_gate")(spark, sfDir)
+      .count() === 0L)
+    // The gate would be vacuous if its key domain fit in 64 counters;
+    // prove the decrement path ran on this corpus (err > 0). Bigrams,
+    // matching the gate (the unigram vocabulary here is ~31 words).
+    val mg = udaf(new functions.HeavyHittersAggregator(64),
+      org.apache.spark.sql.Encoders.STRING)
+    val w = split($"text", " ")
+    val hh = Tables.load(spark, sfDir, "documents")
+      .select(explode(when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("term"))
+      .filter($"term" =!= "")
+      .agg(mg($"term")).head().getStruct(0)
+    assert(hh.getLong(1) > 0L,
+      "sf0.001 bigram vocabulary should overflow 64 counters")
+    assert(hh.getSeq[Any](0).nonEmpty)
+  }
+
   test("q78 int8 quantization: per-element error within half a step") {
     // |x - recon| <= scale/254 per element, so rmse <= scale/254 and
     // the reconstruction stays essentially colinear.
