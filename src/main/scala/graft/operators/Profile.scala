@@ -134,6 +134,76 @@ object Profile {
     ranked.withColumn(rankName, col("__rank")).drop("__bin", "__rank")
   }
 
+  /** Exact type-7 (linear-interpolation) quantiles per group from a
+    * VALUE CENSUS — the scale replacement for `percentile()` /
+    * `quantile_cont`, whose aggregation buffer holds EVERY value of
+    * every group: corpus-sized state serialized through one reducer per
+    * group, the order-statistics twin of the single-window rank this
+    * file opens with. The census `groupBy(group, value)` is map-side
+    * combinable and sized by DISTINCT values, not rows — the right
+    * shape for discrete or quantized measures (counts, lengths, 2-dp
+    * amounts). For an unbounded continuous domain, quantize first (the
+    * `binScale` idea) or the census degenerates toward the row count;
+    * the cumulative window below is partitioned by group over census
+    * rows only, so census size per group IS the straggler bound.
+    *
+    * Each requested p needs exactly the two order statistics at
+    * floor/ceil((n−1)·p), picked out of the same census pass with
+    * conditional aggregation — no per-p rescan. Output:
+    * (group, p, q) with q = v_lo + frac·(v_hi − v_lo), the same
+    * arithmetic `percentile()` publishes (pinned in ProfileSpec).
+    */
+  def censusQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"censusQuantiles: every p must be in [0,1], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val census = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(groupCol).orderBy("__v")
+    val wAll = Window.partitionBy(groupCol)
+    census
+      .withColumn("__cum", sum("__cnt").over(wCum))
+      .withColumn("__total", sum("__cnt").over(wAll))
+      .withColumn("__prev", col("__cum") - col("__cnt"))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("__h", (col("__total") - 1).cast("double") * col("p"))
+      .groupBy(col(groupCol), col("p"))
+      .agg(
+        max(when(col("__prev") <= floor(col("__h")) &&
+          floor(col("__h")) < col("__cum"), col("__v"))).as("__vlo"),
+        max(when(col("__prev") <= ceil(col("__h")) &&
+          ceil(col("__h")) < col("__cum"), col("__v"))).as("__vhi"),
+        first(col("__h")).as("__hh"))
+      .withColumn("q",
+        col("__vlo") + (col("__hh") - floor(col("__hh"))) *
+          (col("__vhi") - col("__vlo")))
+      .select(col(groupCol), col("p"), col("q"))
+  }
+
+  /** Tukey-fence outlier rows per group: every row whose value falls
+    * outside [q1 − k·IQR, q3 + k·IQR] — the robust measurement filter a
+    * training pipeline runs before trusting a numeric signal. Quartiles
+    * come from `censusQuantiles` (domain-sized state, no per-group
+    * value buffering); the one-row-per-group fence table broadcasts
+    * back, so the detail table is scanned once and never shuffles.
+    * Output: the input columns + `lo`/`hi` (the unrounded fences the
+    * filter compared against).
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 1.5): DataFrame = {
+    val fences = censusQuantiles(df, groupCol, valueCol, Seq(0.25, 0.75))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("p") === 0.25, col("q"))).as("__q1"),
+        max(when(col("p") === 0.75, col("q"))).as("__q3"))
+      .withColumn("lo", col("__q1") - lit(k) * (col("__q3") - col("__q1")))
+      .withColumn("hi", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+      .select(col(groupCol), col("lo"), col("hi"))
+    df.join(broadcast(fences), Seq(groupCol))
+      .filter(col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+  }
+
   /** Shared two-phase core. Input: a frame carrying a `__bin` column
     * that is non-strictly monotone in `orderCols` (every row of a lower
     * bin sorts ≤ every row of a higher bin — the caller proves this for

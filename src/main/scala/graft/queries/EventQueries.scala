@@ -280,6 +280,27 @@ object EventQueries {
     "q61_stream_interval_join" -> ((s, dir) =>
       EventStreams.streamIntervalJoinPairs(s, dir)),
 
+    // Robust per-type outlier rows: Tukey fences [q1−1.5·IQR,
+    // q3+1.5·IQR] from EXACT type-7 quantiles computed on the VALUE
+    // CENSUS (`Profile.censusQuantiles`) — where `percentile()` /
+    // quantile_cont buffers every value of every group through one
+    // reducer, the census pass is a map-side-combinable groupBy sized
+    // by DISTINCT values, and the fence table broadcasts back so the
+    // fact table is scanned once and never shuffles. The robust
+    // complement of q88's z-score flags (fences don't move when the
+    // outliers themselves inflate the moments). Fences are 6dp-rounded
+    // for presentation only; the filter compares unrounded doubles,
+    // mirrored exactly by the oracle.
+    "q156_iqr_outliers" -> ((s, dir) => {
+      graft.operators.Profile.iqrOutliers(
+          Tables.load(s, dir, "events")
+            .select("event_type", "event_id", "value"),
+          "event_type", "value")
+        .select(col("event_type"), col("event_id"), col("value"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // Z-score anomaly flags: per-type mean/stddev in ONE map-side-
     // combined aggregation over a handful of groups, broadcast back to
     // the fact — the fact table itself never shuffles. Threshold is
@@ -505,6 +526,20 @@ object EventQueries {
         |  CAST(NULL AS BIGINT) AS exact_users,
         |  CAST(NULL AS DOUBLE) AS rel_err
         |WHERE FALSE""".stripMargin,
+    // quantile_cont and Spark's percentile/censusQuantiles share the
+    // type-7 (n−1)·p interpolation, so the unrounded fences agree
+    // bit-for-bit and the boundary filter selects the same rows.
+    "q156_iqr_outliers" ->
+      """WITH q AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1)
+        |SELECT d.event_type, d.event_id, d.value,
+        |  ROUND(q1 - 1.5*(q3-q1), 6) AS lo,
+        |  ROUND(q3 + 1.5*(q3-q1), 6) AS hi
+        |FROM events d JOIN q USING (event_type)
+        |WHERE d.value < q1 - 1.5*(q3-q1) OR d.value > q3 + 1.5*(q3-q1)
+        |ORDER BY event_type, event_id""".stripMargin,
     "q155_stream_heavy_hitters" ->
       """SELECT CAST(NULL AS VARCHAR) AS kind,
         |  CAST(NULL AS TIMESTAMP) AS window_start,

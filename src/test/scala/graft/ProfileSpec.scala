@@ -102,4 +102,48 @@ class ProfileSpec extends SparkSpec {
       assert(got === ref, s"tiePrefixLen=$prefixLen diverges from the single window")
     }
   }
+
+  test("censusQuantiles ≡ percentile() across ps, incl. endpoints and a 1-row group") {
+    import org.apache.spark.sql.Row
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_type", $"value")
+      // a singleton group: every quantile must be its lone value
+      .union(Seq(("solo", 42.5)).toDF("event_type", "value"))
+    val want = ev.groupBy("event_type")
+      .agg(percentile($"value", typedLit(ps)).as("qs"))
+      .select($"event_type", posexplode($"qs"))
+      .select($"event_type", lit(1), $"pos", $"col")
+      .collect().map(r => (r.getString(0), ps(r.getInt(2))) -> r.getDouble(3))
+      .toMap
+    val got = Profile.censusQuantiles(ev, "event_type", "value", ps)
+      .collect().map { case Row(g: String, p: Double, q: Double) => (g, p) -> q }
+      .toMap
+    assert(got.keySet === want.keySet)
+    // Same type-7 order statistics; censusQuantiles interpolates as
+    // lo + frac·(hi−lo) — DuckDB's quantile_cont form, which the q156
+    // oracle needs bit-for-bit — while Spark's percentile uses the
+    // symmetric (hi−t)·lo + (t−lo)·hi, so the two agree only to the
+    // last ulp. Relative 1e-12 pins everything but that ulp.
+    got.foreach { case (k, v) =>
+      val w = want(k)
+      assert(math.abs(v - w) <= 1e-12 * math.max(1.0, math.abs(w)),
+        s"$k: census $v vs percentile $w")
+    }
+  }
+
+  test("iqrOutliers: every returned row is outside its group fences, none missed") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_type", $"event_id", $"value")
+    val out = Profile.iqrOutliers(ev, "event_type", "value")
+    assert(out.count() > 0, "fixture should contain Tukey outliers")
+    // Fences joined back: flagged ⟺ outside, checked row-by-row.
+    val fences = out.select($"event_type", $"lo", $"hi").distinct()
+    assert(out.filter($"value" >= $"lo" && $"value" <= $"hi").count() === 0)
+    val missed = ev.join(fences, Seq("event_type"))
+      .filter($"value" < $"lo" || $"value" > $"hi")
+      .join(out.select("event_type", "event_id"),
+        Seq("event_type", "event_id"), "left_anti")
+    assert(missed.count() === 0, "rows outside the fences were not flagged")
+  }
 }
