@@ -664,6 +664,69 @@ object TextQueries {
         .orderBy("kind", "term")
     }),
 
+    // KMV (bottom-k) cross-corpus vocabulary-overlap GATE — the set
+    // algebra HLL cannot do: HLL unions but never intersects, and the
+    // question contamination/diversity audits ask is OVERLAP ("how much
+    // of source A's n-gram vocabulary does B share?"). Each source's
+    // trigram vocabulary folds into a 256-value bottom-k sketch
+    // (`Sketches.kmvSketch` — mergeable, map-side k-row partials,
+    // deterministic: the sketch IS the k smallest xxhash64 values, so
+    // unlike MG the numbers are partition-order invariant and the gate
+    // can pin estimate ERRORS, not just laws). The 20-row sketch
+    // relation self-joins for all 190 pairwise union/intersection/
+    // Jaccard estimates — model-sized arithmetic; at 100 TB that is the
+    // whole comparison cost, where the exact formulation reshuffles the
+    // corpus-scale gram domain per audit. The exact referee (only
+    // feasible at gate scale) emits every estimate outside the
+    // concentration-bound slack, C=6 over the published σ: distinct —
+    // nd/√(k−2) (Beyer et al.); intersection — the binomial
+    // |K∩A∩B| ~ Bin(k, ρ) term union_ex/(2√k) plus the union-estimate
+    // term int_ex/√(k−2). Probed worst case on this data sits at
+    // 2.3-2.8× inside the band (tools/KmvProbe), and the estimates are
+    // hash-deterministic, so the gate is stable; the oracle is the
+    // empty relation.
+    "q157_kmv_overlap_gate" -> ((s, dir) => {
+      val k = 256
+      val c = 6.0
+      import graft.operators.Sketches
+      val grams = docs(s, dir).select(col("source"),
+        explode(shingles(col("text"), 3)).as("g"))
+      val sk = Sketches.kmvSketch(grams, Seq("source"), "g", k)
+      val g = grams.distinct()
+      val nd = g.groupBy("source").agg(count(lit(1)).as("nd"))
+      val dViol = sk.join(nd, Seq("source"))
+        .withColumn("est_v", round(Sketches.kmvDistinct(col("sk"), k), 6))
+        .withColumn("slack", round(lit(c / math.sqrt(k - 2.0)) * col("nd"), 6))
+        .filter(abs(col("est_v") - col("nd")) > col("slack"))
+        .select(lit("distinct").as("kind"), col("source").as("src_a"),
+          lit(null).cast("string").as("src_b"), col("nd").as("exact_v"),
+          col("est_v"), col("slack"))
+      val inter = g.select(col("source").as("src_a"), col("g"))
+        .join(g.select(col("source").as("src_b"), col("g")), Seq("g"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("int_exact"))
+      val est = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+        .join(sk.select(col("source").as("src_b"), col("sk").as("skb")),
+          col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          Sketches.kmvOverlap(col("ska"), col("skb"), k).as("ov"))
+      val iViol = est.join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("int_exact", coalesce(col("int_exact"), lit(0L)))
+        .join(nd.select(col("source").as("src_a"), col("nd").as("nd_a")),
+          Seq("src_a"))
+        .join(nd.select(col("source").as("src_b"), col("nd").as("nd_b")),
+          Seq("src_b"))
+        .withColumn("union_ex", col("nd_a") + col("nd_b") - col("int_exact"))
+        .withColumn("est_v", round(col("ov.intersect_est"), 6))
+        .withColumn("slack", round(
+          lit(c) * (col("union_ex") / lit(2.0 * math.sqrt(k.toDouble)) +
+            col("int_exact") / lit(math.sqrt(k - 2.0))), 6))
+        .filter(abs(col("est_v") - col("int_exact")) > col("slack"))
+        .select(lit("intersect").as("kind"), col("src_a"), col("src_b"),
+          col("int_exact").as("exact_v"), col("est_v"), col("slack"))
+      dViol.unionByName(iViol).orderBy("kind", "src_a", "src_b")
+    }),
+
     // Deterministic training-order shuffle: multiplicative-hash
     // position, shard = hash mod 8, within-shard rank. One keyed
     // exchange, per-shard independent sorts, shard assignment stable
@@ -1182,6 +1245,11 @@ object TextQueries {
       """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS term,
         |  CAST(NULL AS BIGINT) AS exact_cnt, CAST(NULL AS BIGINT) AS est_cnt,
         |  CAST(NULL AS BIGINT) AS err_bound
+        |WHERE FALSE""".stripMargin,
+    "q157_kmv_overlap_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS src_a,
+        |  CAST(NULL AS VARCHAR) AS src_b, CAST(NULL AS BIGINT) AS exact_v,
+        |  CAST(NULL AS DOUBLE) AS est_v, CAST(NULL AS DOUBLE) AS slack
         |WHERE FALSE""".stripMargin,
     "q76_stratified_sample" ->
       """WITH b AS (

@@ -141,6 +141,93 @@ class SketchSpec extends SparkSpec {
     assert(hh.getSeq[Any](0).nonEmpty)
   }
 
+  test("KMV sketch == k smallest distinct hashes, under ANY split/merge tree") {
+    val rnd = new scala.util.Random(11)
+    // Duplicate-heavy stream of longs standing in for xxhash64 values.
+    val stream = Vector.fill(5000)(rnd.nextLong() % 700)
+    val truth = stream.distinct.sorted.take(64)
+    val agg = new functions.KmvAggregator(64)
+    def fold(xs: Seq[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val splits = Seq(
+      Seq(stream),
+      stream.grouped(41).toSeq,
+      Seq(stream.take(3), stream.slice(3, 4000), stream.drop(4000)))
+    splits.foreach { parts =>
+      val sk = agg.finish(parts.map(fold).reduce(agg.merge)).toVector
+      assert(sk === truth, "sketch must be the k smallest distinct values " +
+        "regardless of partitioning")
+    }
+  }
+
+  test("KMV exact regime: an under-filled sketch answers distinct and " +
+      "intersection exactly") {
+    val k = 256
+    val a = (0L until 100L).map(("a", _)) ++
+      (0L until 40L).map(v => ("b", v + 80L))
+    val df = a.toDF("grp", "v")
+    val sk = operators.Sketches.kmvSketch(df, Seq("grp"), "v", k)
+    val est = sk.select($"grp", operators.Sketches.kmvDistinct($"sk", k))
+      .as[(String, Double)].collect().toMap
+    assert(est("a") === 100.0 && est("b") === 40.0)
+    val ov = sk.filter($"grp" === "a").select($"sk".as("ska"))
+      .crossJoin(sk.filter($"grp" === "b").select($"sk".as("skb")))
+      .select(operators.Sketches.kmvOverlap($"ska", $"skb", k).as("ov"))
+      .select("ov.*").as[(Double, Double, Double)].head()
+    assert(ov._1 === 120.0, "union exact when sketches under-filled")
+    assert(ov._2 === 20.0, "intersection exact when sketches under-filled")
+    assert(math.abs(ov._3 - 20.0 / 120.0) < 1e-12)
+  }
+
+  test("KMV approximate regime: concentration band holds and the sketch " +
+      "is genuinely lossy (k=256 over 20k distinct)") {
+    val k = 256
+    // Two overlapping 20k-element sets; values arbitrary distinct longs.
+    val rows = (0L until 20000L).map(("a", _)) ++
+      (12000L until 32000L).map(("b", _))
+    val sk = operators.Sketches.kmvSketch(rows.toDF("grp", "v"), Seq("grp"),
+      "v", k)
+    val est = sk.select($"grp", size($"sk"),
+        operators.Sketches.kmvDistinct($"sk", k))
+      .as[(String, Int, Double)].collect()
+    est.foreach { case (g, sz, e) =>
+      assert(sz === k, s"$g sketch must be full (lossy regime)")
+      assert(e !== 20000.0, s"$g estimate should not be exactly n")
+      assert(math.abs(e - 20000.0) <= 6.0 * 20000.0 / math.sqrt(k - 2.0),
+        s"$g distinct estimate $e outside the 6-sigma band")
+    }
+    val ov = sk.filter($"grp" === "a").select($"sk".as("ska"))
+      .crossJoin(sk.filter($"grp" === "b").select($"sk".as("skb")))
+      .select(operators.Sketches.kmvOverlap($"ska", $"skb", k).as("ov"))
+      .select("ov.*").as[(Double, Double, Double)].head()
+    // true union 32000, intersection 8000.
+    assert(math.abs(ov._2 - 8000.0) <=
+      6.0 * (32000.0 / (2.0 * math.sqrt(k)) + 8000.0 / math.sqrt(k - 2.0)),
+      s"intersection estimate ${ov._2} outside the q157 band")
+  }
+
+  test("KMV union-sketch membership is exact (the set-algebra lemma)") {
+    // For h in the union sketch K, h ∈ set ⟺ h ∈ that set's sketch:
+    // h is among the k smallest of the union, hence among the k
+    // smallest of any containing set. Checked against the raw sets.
+    val k = 64
+    val rnd = new scala.util.Random(23)
+    val setA = Vector.fill(3000)(rnd.nextLong()).distinct
+    val setB = (setA.take(500) ++ Vector.fill(2500)(rnd.nextLong())).distinct
+    val agg = new functions.KmvAggregator(k)
+    def sketch(xs: Seq[Long]) = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    val (ska, skb) = (sketch(setA), sketch(setB))
+    val ks = (ska ++ skb).distinct.sorted.take(k)
+    ks.foreach { h =>
+      assert(setA.contains(h) === ska.contains(h), s"A membership lies for $h")
+      assert(setB.contains(h) === skb.contains(h), s"B membership lies for $h")
+    }
+  }
+
+  test("q157 KMV overlap gate is empty on sf0.001") {
+    assert(SparkEntry.queries("q157_kmv_overlap_gate")(spark, sfDir)
+      .count() === 0L)
+  }
+
   test("q78 int8 quantization: per-element error within half a step") {
     // |x - recon| <= scale/254 per element, so rmse <= scale/254 and
     // the reconstruction stays essentially colinear.
