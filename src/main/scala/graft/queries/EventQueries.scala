@@ -184,6 +184,40 @@ object EventQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Ingest-volume anomaly detection (the pipeline-health QC every
+    // continuously-fed corpus needs: a collapsed crawler or a
+    // double-delivered feed shows up as a daily-volume spike/crater
+    // long before any content-level signal). Per-type daily counts —
+    // ONE map-side-combinable aggregate over the raw feed; that is the
+    // only corpus-scale work — then a trailing-7-day moving z-score
+    // over the (types × days)-sized day-grain relation, which is
+    // BOUNDED by the calendar, not the data, so the per-type window
+    // costs nothing at any corpus scale. ROWS (not RANGE) frame
+    // excluding the current day: an anomalous today must not inflate
+    // its own baseline, and day gaps compress rather than shrink the
+    // baseline sample. Warm-up rows (< 7 trailing days) are dropped —
+    // their z would be noise — and a zero-variance week yields z NULL
+    // with is_anomaly=false (a constant baseline cannot certify a
+    // spike size; the threshold is |z| > 3).
+    "q158_volume_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("dt")
+        .rowsBetween(-7, -1)
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sd", stddev_samp(col("n")).over(w))
+        .withColumn("n_hist", count(col("n")).over(w))
+        .filter(col("n_hist") >= 7)
+        .withColumn("z",
+          when(col("sd") > 0, round((col("n") - col("mu")) / col("sd"), 6)))
+        .select(col("event_type"), col("dt"), col("n"),
+          round(col("mu"), 6).as("mu"), round(col("sd"), 6).as("sd"),
+          col("z"), coalesce(abs(col("z")) > 3, lit(false)).as("is_anomaly"))
+        .orderBy("event_type", "dt")
+    }),
+
     // Gaps-and-islands sessionization (lag + running sum + two aggs).
     "q34_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -564,6 +598,24 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q158_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        | st AS (
+        |  SELECT event_type, dt, n,
+        |    AVG(n) OVER w AS mu,
+        |    STDDEV_SAMP(n) OVER w AS sd,
+        |    COUNT(n) OVER w AS n_hist
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY dt
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, dt, n, ROUND(mu, 6) AS mu, ROUND(sd, 6) AS sd,
+        |  CASE WHEN sd > 0 THEN ROUND((n - mu) / sd, 6) END AS z,
+        |  COALESCE(abs(CASE WHEN sd > 0 THEN ROUND((n - mu) / sd, 6) END) > 3,
+        |    FALSE) AS is_anomaly
+        |FROM st WHERE n_hist >= 7
+        |ORDER BY event_type, dt""".stripMargin,
     "q34_sessionize" -> sessionSql,
     "q35_multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
