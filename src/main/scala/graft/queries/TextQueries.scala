@@ -821,6 +821,78 @@ object TextQueries {
           lit(1.5).as("bound"))
     }),
 
+    // Population-stability-index drift profile (the between-snapshot /
+    // between-slice distribution check run before retraining filters or
+    // mixing a new crawl in): PSI of the document-length distribution of
+    // every non-baseline language against the 'en' baseline,
+    // PSI = Σ_buckets (q−p)·ln(q/p) over fixed-width n_chars buckets
+    // with the standard 1e-6 clamp for empty buckets (PSI is undefined
+    // at zero mass; the clamp keeps a vanished bucket loud but finite).
+    // Scale shape: the only corpus-scale work is one map-side-combinable
+    // (lang, bucket) census; the lang × bucket grid (built by crossing
+    // the two distinct sets, so a bucket missing from EITHER side still
+    // contributes) and all the log arithmetic are model-sized. The
+    // conventional read: PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25
+    // action — emitted as a band column so the profile is actionable
+    // without memorizing thresholds.
+    "q159_psi_drift" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"),
+        floor(col("n_chars") / lit(100.0)).cast("long").as("bucket"))
+      val base = d.filter(col("lang") === "en")
+        .groupBy("bucket").agg(count(lit(1)).as("nb"))
+      val nBase = broadcast(d.filter(col("lang") === "en")
+        .agg(count(lit(1)).as("n_base")))
+      val cand = d.filter(col("lang") =!= "en")
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("nc"))
+      val nCand = d.filter(col("lang") =!= "en")
+        .groupBy("lang").agg(count(lit(1)).as("n_cand"))
+      val grid = d.filter(col("lang") =!= "en").select("lang").distinct()
+        .crossJoin(d.select("bucket").distinct())
+      val sh = grid
+        .join(broadcast(base), Seq("bucket"), "left").crossJoin(nBase)
+        .join(broadcast(cand), Seq("lang", "bucket"), "left")
+        .join(broadcast(nCand), Seq("lang"))
+        .select(col("lang"), col("bucket"),
+          greatest(coalesce(col("nb"), lit(0L)) / col("n_base"), lit(1e-6))
+            .as("p"),
+          greatest(coalesce(col("nc"), lit(0L)) / col("n_cand"), lit(1e-6))
+            .as("q"))
+      sh.groupBy("lang")
+        .agg(round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6)
+          .as("psi"))
+        .withColumn("band",
+          when(col("psi") < 0.1, "stable")
+            .when(col("psi") < 0.25, "moderate").otherwise("action"))
+        .orderBy("lang")
+    }),
+
+    // Positional-inverted-index phrase search (the serving-side "find
+    // every document containing this exact phrase" primitive; also the
+    // lookup an ExactSubstr-style audit issues per suspect span). The
+    // token relation is filtered to the QUERY'S OWN WORDS before
+    // anything widens — Catalyst pushes the IN-filter into the scan, so
+    // only the phrase words' postings materialize; at 100 TB the same
+    // join runs against a PERSISTED (word, doc_id, pos) postings table
+    // bucketed by word, making this an index lookup instead of a corpus
+    // scan. Adjacency = equi-join on (doc_id, pos−offset) per phrase
+    // word — no window, no array re-walk; the oracle recomputes
+    // occurrences with DuckDB list lambdas over the raw text.
+    "q160_phrase_search" -> ((s, dir) => {
+      val phrase = Seq("table", "part")
+      val toks = docs(s, dir)
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .toDF("doc_id", "pos", "w")
+        .filter(col("w").isin(phrase: _*))
+      phrase.zipWithIndex
+        .map { case (word, i) =>
+          toks.filter(col("w") === word)
+            .select(col("doc_id"), (col("pos") - i).as("pos"))
+        }
+        .reduce(_.join(_, Seq("doc_id", "pos")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .orderBy("doc_id")
+    }),
+
     // Length–quality correlation profile: per-language Pearson r between
     // token count and stopword ratio — the quick collinearity check run
     // before trusting either as an independent filter signal. corr is a
@@ -1116,6 +1188,41 @@ object TextQueries {
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
          |  ROUND(corr(n_tok, stop_ratio), 6) AS len_stop_corr
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q159_psi_drift" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket FROM documents),
+        | bs AS (SELECT bucket, COUNT(*) AS nb FROM d WHERE lang = 'en'
+        |   GROUP BY 1),
+        | nb AS (SELECT COUNT(*) AS n_base FROM d WHERE lang = 'en'),
+        | cs AS (SELECT lang, bucket, COUNT(*) AS nc FROM d
+        |   WHERE lang <> 'en' GROUP BY 1, 2),
+        | nc AS (SELECT lang, COUNT(*) AS n_cand FROM d WHERE lang <> 'en'
+        |   GROUP BY 1),
+        | grid AS (SELECT l.lang, b.bucket
+        |   FROM (SELECT DISTINCT lang FROM d WHERE lang <> 'en') l
+        |   CROSS JOIN (SELECT DISTINCT bucket FROM d) b),
+        | sh AS (SELECT g.lang, g.bucket,
+        |    GREATEST(COALESCE(bs.nb, 0) * 1.0 / nb.n_base, 1e-6) AS p,
+        |    GREATEST(COALESCE(cs.nc, 0) * 1.0 / nc.n_cand, 1e-6) AS q
+        |  FROM grid g CROSS JOIN nb
+        |  LEFT JOIN bs USING (bucket)
+        |  JOIN nc ON g.lang = nc.lang
+        |  LEFT JOIN cs ON cs.lang = g.lang AND cs.bucket = g.bucket),
+        | t AS (SELECT lang, ROUND(SUM((q - p) * ln(q / p)), 6) AS psi
+        |  FROM sh GROUP BY 1)
+        |SELECT lang, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |       WHEN psi < 0.25 THEN 'moderate' ELSE 'action' END AS band
+        |FROM t ORDER BY lang""".stripMargin,
+    "q160_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        | m AS (SELECT doc_id,
+        |    CAST(len(list_filter(range(1, len(w)),
+        |      i -> w[i] = 'table' AND w[i + 1] = 'part')) AS BIGINT) AS n_occ
+        |  FROM t)
+        |SELECT doc_id, n_occ FROM m WHERE n_occ > 0
+        |ORDER BY doc_id""".stripMargin,
     // q106's shard arithmetic + q30's fingerprint recurrence, summed
     // per shard — all exact BIGINT, so the manifest is a full hash gate.
     "q146_shard_manifest" ->
