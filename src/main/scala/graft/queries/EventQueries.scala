@@ -295,6 +295,15 @@ object EventQueries {
     "q155_stream_heavy_hitters" -> ((s, dir) =>
       EventStreams.streamingHeavyHittersMonitor(s, dir)),
 
+    // Streaming PSI drift monitor — q159's streaming twin: per-day PSI
+    // of the value distribution vs the static whole-corpus baseline.
+    // The stream computes only the watermarked (day, bucket) census;
+    // PSI arithmetic is batch-side on the drained model-sized relation.
+    // Complete mode ≡ batch on the bounded drain, so the oracle
+    // restates the whole computation from the batch table.
+    "q161_stream_psi_drift" -> ((s, dir) =>
+      EventStreams.streamingPsiDrift(s, dir)),
+
     // Gap-based session_window aggregation (batch form of the same plan
     // the streaming engine runs; the streaming stateful twin is q38).
     "q41_session_window" -> ((s, dir) => {
@@ -582,6 +591,29 @@ object EventQueries {
         |  CAST(NULL AS BIGINT) AS est_cnt,
         |  CAST(NULL AS BIGINT) AS err
         |WHERE FALSE""".stripMargin,
+    "q161_stream_psi_drift" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS dt,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS bucket FROM events),
+        | bs AS (SELECT bucket, COUNT(*) AS nb FROM e GROUP BY 1),
+        | nb AS (SELECT COUNT(*) AS n_base FROM e),
+        | cs AS (SELECT dt, bucket, COUNT(*) AS nc FROM e GROUP BY 1, 2),
+        | nd AS (SELECT dt, COUNT(*) AS n_day FROM e GROUP BY 1),
+        | grid AS (SELECT d.dt, b.bucket
+        |   FROM (SELECT DISTINCT dt FROM e) d
+        |   CROSS JOIN (SELECT DISTINCT bucket FROM e) b),
+        | sh AS (SELECT g.dt,
+        |    GREATEST(COALESCE(bs.nb, 0) * 1.0 / nb.n_base, 1e-6) AS p,
+        |    GREATEST(COALESCE(cs.nc, 0) * 1.0 / nd.n_day, 1e-6) AS q
+        |  FROM grid g CROSS JOIN nb
+        |  LEFT JOIN bs USING (bucket)
+        |  JOIN nd ON g.dt = nd.dt
+        |  LEFT JOIN cs ON cs.dt = g.dt AND cs.bucket = g.bucket),
+        | t AS (SELECT dt, ROUND(SUM((q - p) * ln(q / p)), 6) AS psi
+        |  FROM sh GROUP BY 1)
+        |SELECT dt, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |       WHEN psi < 0.25 THEN 'moderate' ELSE 'action' END AS band
+        |FROM t ORDER BY dt""".stripMargin,
     "q47_hll_distinct" ->
       """SELECT CAST(NULL AS VARCHAR) AS event_type,
         |  CAST(NULL AS BIGINT) AS exact_users,

@@ -158,6 +158,52 @@ object EventStreams {
         col("exact_users"), round(col("rel_err"), 6).as("rel_err"))
       .orderBy("window_start", "event_type")
 
+  /** Streaming PSI drift monitor — the streaming twin of the q159
+    * batch profile: per-day population-stability index of the event
+    * `value` distribution against a STATIC whole-corpus baseline. The
+    * streaming side computes only the per-(day-window, bucket) census —
+    * a watermarked windowed aggregate whose state is bounded by
+    * buckets × open windows, never the feed — and the PSI arithmetic
+    * runs batch-side on the drained day × bucket relation joined to the
+    * broadcast baseline (model-sized: the baseline census is one
+    * bucket-count table). In production the baseline is a persisted
+    * profile refreshed per corpus release; a day whose PSI crosses the
+    * action band is the "feed changed under us" alarm that fires before
+    * any content-level signal moves. Fixed-width value buckets with the
+    * q159 1e-6 clamp; Complete mode equals the batch answer on the
+    * bounded drain, which is exactly what the driver oracle checks.
+    */
+  def streamingPsiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = floor(col("value") / lit(10.0)).cast("long").as("bucket")
+    val daily = readEventsStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), bucket)
+      .agg(count(lit(1)).as("nc"))
+    val obs = runToMemory(daily, OutputMode.Complete())
+      .select(col("w.start").cast("date").as("dt"), col("bucket"), col("nc"))
+    val batch = graft.Tables.load(spark, sfDir, "events")
+    val base = batch.select(bucket).groupBy("bucket")
+      .agg(count(lit(1)).as("nb"))
+    val nBase = broadcast(batch.agg(count(lit(1)).as("n_base")))
+    val nDay = obs.groupBy("dt").agg(sum("nc").as("n_day"))
+    val sh = nDay.select("dt").crossJoin(broadcast(base.select("bucket")))
+      .join(broadcast(base), Seq("bucket"), "left").crossJoin(nBase)
+      .join(obs, Seq("dt", "bucket"), "left")
+      .join(nDay, Seq("dt"))
+      .select(col("dt"),
+        greatest(coalesce(col("nb"), lit(0L)) / col("n_base"), lit(1e-6))
+          .as("p"),
+        greatest(coalesce(col("nc"), lit(0L)) / col("n_day"), lit(1e-6))
+          .as("q"))
+    sh.groupBy("dt")
+      .agg(round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6)
+        .as("psi"))
+      .withColumn("band",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate").otherwise("action"))
+      .orderBy("dt")
+  }
+
   /** Streaming heavy-hitters monitor: per-day Misra–Gries summaries of
     * user activity — the bounded-state streaming form of "who are the
     * heavy users this window". Exact per-window top contributors would
