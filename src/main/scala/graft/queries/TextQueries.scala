@@ -893,6 +893,70 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Source-level (domain-level) duplication filter — the hierarchical
+    // cleanup web pipelines run BEFORE document-level dedup: a source
+    // whose pages are mostly copies of each other is a template farm,
+    // and dropping the whole source is cheaper and safer than pairwise
+    // deduping its members (C4/RefinedWeb drop high-duplication domains
+    // outright). Per-source dup_rate = 1 − distinct/total over text
+    // digests: the distinct count shuffles 16-byte md5 digests keyed by
+    // source — text never moves (the q96 fingerprint discipline) and
+    // the decision table is source-count-sized, broadcast back to
+    // filter at corpus scale. The corpus has no natural template farms,
+    // so two are PLANTED (the q104/q110 fixture pattern — src4/src9
+    // collapse to 3 rotating templates); the oracle mirrors the plant,
+    // and the filter must quarantine exactly those two sources.
+    "q162_source_dup_filter" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("source").isin("src4", "src9"),
+          concat(lit("template boilerplate page variant "),
+            (col("doc_id") % 3).cast("string")))
+          .otherwise(col("text")))
+      planted.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(col("text"))).as("n_distinct"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_distinct") / col("n_docs"), 6))
+        .withColumn("kept", col("dup_rate") <= 0.5)
+        .select("source", "n_docs", "n_distinct", "dup_rate", "kept")
+        .orderBy("source")
+    }),
+
+    // Rank-based score fusion (quantile normalization): combining two
+    // quality signals with incomparable scales by EXACT rank — each
+    // signal's distributed rank comes from the q125 two-phase machinery
+    // (`Profile.exactRank`), never a whole-corpus single-partition
+    // window — then averaging rank percentiles. Contract pinned
+    // explicitly: the stopword signal is 1e-6-quantized (floor) before
+    // ranking and ties break on the STRING form of doc_id, so both
+    // engines sort identically; the top-20 selection is a bounded
+    // TakeOrderedAndProject. This is the scale-correct form of "blend
+    // two filter scores" — z-scores need distributional assumptions,
+    // min-max is outlier-hostage; rank fusion needs only the exact rank
+    // the engine already distributes.
+    "q163_rank_fusion" -> ((s, dir) => {
+      import graft.operators.Profile
+      val nTok = size(words(col("text"))).cast("double")
+      val sr = markerHits(col("text"), markers.head._2).cast("double") / nTok
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        floor(sr * 1e6).cast("long").as("sr_q"),
+        col("doc_id").cast("string").as("tie"))
+      val r1 = Profile.exactRank(
+        d.select(col("doc_id"), col("sr_q"), col("tie")),
+        "sr_q", "tie", "r_stop")
+      val r2 = Profile.exactRank(
+        d.select(col("doc_id"), col("n_chars"), col("tie")),
+        "n_chars", "tie", "r_len")
+      val n = broadcast(docs(s, dir).agg(count(lit(1)).as("n")))
+      r1.select("doc_id", "r_stop")
+        .join(r2.select("doc_id", "r_len"), Seq("doc_id"))
+        .crossJoin(n)
+        .select(col("doc_id"), col("r_stop"), col("r_len"),
+          round((col("r_stop") + col("r_len")) / (lit(2.0) * col("n")), 6)
+            .as("fused"))
+        .orderBy(col("fused").desc, col("doc_id")).limit(20)
+    }),
+
     // Length–quality correlation profile: per-language Pearson r between
     // token count and stopword ratio — the quick collinearity check run
     // before trusting either as an independent filter signal. corr is a
@@ -1188,6 +1252,36 @@ object TextQueries {
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
          |  ROUND(corr(n_tok, stop_ratio), 6) AS len_stop_corr
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q162_source_dup_filter" ->
+      """WITH planted AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN source IN ('src4', 'src9')
+        |      THEN 'template boilerplate page variant ' ||
+        |        CAST(doc_id % 3 AS VARCHAR)
+        |      ELSE text END AS text
+        |  FROM documents),
+        | a AS (SELECT source, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT md5(text)) AS n_distinct
+        |  FROM planted GROUP BY 1)
+        |SELECT source, n_docs, n_distinct,
+        |  ROUND(1.0 - n_distinct * 1.0 / n_docs, 6) AS dup_rate,
+        |  ROUND(1.0 - n_distinct * 1.0 / n_docs, 6) <= 0.5 AS kept
+        |FROM a ORDER BY source""".stripMargin,
+    "q163_rank_fusion" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(floor(${markerSql("en")} * 1.0
+        |      / len(string_split(text, ' ')) * 1e6) AS BIGINT) AS sr_q
+        |  FROM documents),
+        | r AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY sr_q, CAST(doc_id AS VARCHAR))
+        |      AS r_stop,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, CAST(doc_id AS VARCHAR))
+        |      AS r_len,
+        |    COUNT(*) OVER () AS n
+        |  FROM d)
+        |SELECT doc_id, r_stop, r_len,
+        |  ROUND((r_stop + r_len) / (2.0 * n), 6) AS fused
+        |FROM r ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin,
     "q159_psi_drift" ->
       """WITH d AS (SELECT lang,
         |    CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket FROM documents),
