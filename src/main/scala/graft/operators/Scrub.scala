@@ -41,6 +41,43 @@ object Scrub {
         Ipv4Re, "<IP>"),
       LongNumRe, "<NUM>")
 
+  /** `<script>`/`<style>` blocks including their content — non-greedy
+    * with `(?s)` so a block spanning line breaks still dies as a unit.
+    * Both constructs are in Java ∩ RE2.
+    */
+  val ScriptStyleRe: String = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+
+  /** Any remaining tag: `<` + non-`>` run + `>`. Runs AFTER the block
+    * pass so a tag inside a dead script never resurrects.
+    */
+  val TagRe: String = "<[^>]*>"
+
+  /** Markup stripping — the WET-extraction stage of a web pipeline
+    * (tags and script/style payloads are boilerplate to a language
+    * model, and entity-encoded text double-counts tokens). Order is
+    * load-bearing: script/style blocks first (content dies with the
+    * tags), then residual tags, then the four ubiquitous entities
+    * (amp LAST so `&amp;lt;` decodes to the literal `&lt;` rather than
+    * a fake tag opener), then whitespace collapse + trim so the
+    * stripped text re-enters the single-spaced corpus convention.
+    * Entirely codegen'd map-side expressions, zero shuffle; idempotent
+    * (a clean document passes through unchanged), which the spec pins
+    * the q147 way.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(text, ScriptStyleRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Per-document PII profile: match counts per class plus the md5 of
     * the redacted text (so a gate validates the exact redaction output,
     * not just the counts). Only documents with at least one hit are

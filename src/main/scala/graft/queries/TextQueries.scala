@@ -869,14 +869,15 @@ object TextQueries {
     // Positional-inverted-index phrase search (the serving-side "find
     // every document containing this exact phrase" primitive; also the
     // lookup an ExactSubstr-style audit issues per suspect span). The
-    // token relation is filtered to the QUERY'S OWN WORDS before
-    // anything widens — Catalyst pushes the IN-filter into the scan, so
-    // only the phrase words' postings materialize; at 100 TB the same
-    // join runs against a PERSISTED (word, doc_id, pos) postings table
-    // bucketed by word, making this an index lookup instead of a corpus
-    // scan. Adjacency = equi-join on (doc_id, pos−offset) per phrase
-    // word — no window, no array re-walk; the oracle recomputes
-    // occurrences with DuckDB list lambdas over the raw text.
+    // token relation is filtered to the QUERY'S OWN WORDS immediately
+    // after the map-side explode — nothing but the phrase words'
+    // postings ever reaches an exchange; at 100 TB the same join runs
+    // against a PERSISTED (word, doc_id, pos) postings table bucketed
+    // by word, where the IN-filter becomes real scan pruning and the
+    // lookup never touches the corpus. Adjacency = equi-join on
+    // (doc_id, pos−offset) per phrase word — no window, no array
+    // re-walk; the oracle recomputes occurrences with DuckDB list
+    // lambdas over the raw text.
     "q160_phrase_search" -> ((s, dir) => {
       val phrase = Seq("table", "part")
       val toks = docs(s, dir)
@@ -891,6 +892,74 @@ object TextQueries {
         .reduce(_.join(_, Seq("doc_id", "pos")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
         .orderBy("doc_id")
+    }),
+
+    // Markup stripping (the WET-extraction stage: tags and
+    // script/style payloads are boilerplate, entity-encoded text
+    // miscounts tokens). The corpus is markup-free by construction, so
+    // every 10th document is PLANTED with a full wrapper — nested tags
+    // with attributes, a <script> whose body contains a bare `<`, a
+    // <style> block, and entity-encoded text (`&amp;` + `&lt;tag&gt;`,
+    // which must decode to literal text, not resurrect as a tag) — and
+    // the scrubbed output is hash-gated byte-for-byte (the q104
+    // pattern). Entirely map-side codegen regex in the Java∩RE2
+    // subset; spec-side: clean docs pass through byte-identical, and
+    // the scrub is idempotent except where entity decoding legitimately
+    // produced literal <...> text — the documented reason it runs ONCE
+    // at ingest.
+    "q165_markup_strip" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(
+          lit("<html><body onload=\"x()\"><p class=\"a\">"), col("text"),
+          lit("</p><script type=\"text/javascript\">var x = 1 < 2;" +
+            "</script><style>.a{color:red}</style> Fish &amp; Chips " +
+            "&lt;tag&gt;</body></html>")))
+          .otherwise(col("text")))
+      planted.filter(col("doc_id") % 10 === 0)
+        .withColumn("clean", graft.operators.Scrub.stripMarkup(col("text")))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("bigint").as("n_chars_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // Rendezvous (highest-random-weight) re-sharding: growing a
+    // sharded 100 TB corpus from 8 to 9 shards must NOT be `hash mod
+    // n` — mod re-sharding relocates (n−1)/n ≈ 89% of every shard;
+    // rendezvous hashing relocates only the ≈ 1/9 of docs whose argmax
+    // lands on the new shard, and everything else stays byte-for-byte
+    // where it was. Owner = argmax over shards of
+    // h(doc, s) = (mix(doc)·mix(s)) mod p — the per-(doc, shard)
+    // weight must mix doc and s NONLINEARLY: an affine family like
+    // mix(doc + s·c) makes h(·, s) an arithmetic progression in s, the
+    // same shard wins the argmax almost everywhere, and the layout
+    // collapses (observed: 64% of the corpus on one shard). The
+    // multiply-mod-prime form keeps both operands < 2³¹ so the product
+    // stays exact in BIGINT, and lands balanced (52-75 docs/shard
+    // here) with ≈ 1/9 movement. Computed MAP-SIDE as an array fold
+    // with the tie-free packing h·16+s (owner = max % 16 — no window,
+    // no explode, no shuffle before the 8-row summary aggregate); the
+    // output compares rendezvous movement against the mod baseline per
+    // shard, exact integer arithmetic end-to-end, so the oracle
+    // restates it verbatim.
+    "q164_rendezvous_reshard" -> ((s, dir) => {
+      def owner(n: Int) = array_max(transform(
+        sequence(lit(0L), lit(n - 1L)),
+        i => ((col("doc_id") * lit(2654435761L) % lit(2147483648L) + 1L) *
+          ((i + lit(131L)) * lit(2654435761L) % lit(2147483648L) + 1L))
+          % lit(1000000007L) * lit(16L) + i)) % lit(16L)
+      docs(s, dir)
+        .select(col("doc_id"), owner(8).as("shard8"), owner(9).as("shard9"),
+          (col("doc_id") % 8).as("mod8"), (col("doc_id") % 9).as("mod9"))
+        .groupBy("shard8")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(when(col("mod8") =!= col("mod9"), 1L).otherwise(0L))
+            .as("n_moved_mod"))
+        .withColumn("move_frac", round(col("n_moved") / col("n_docs"), 6))
+        .withColumn("move_frac_mod",
+          round(col("n_moved_mod") / col("n_docs"), 6))
+        .orderBy("shard8")
     }),
 
     // Source-level (domain-level) duplication filter — the hierarchical
@@ -1252,6 +1321,56 @@ object TextQueries {
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
          |  ROUND(corr(n_tok, stop_ratio), 6) AS len_stop_corr
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q165_markup_strip" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN '<html><body onload="x()"><p class="a">' || text ||
+        |        '</p><script type="text/javascript">var x = 1 < 2;' ||
+        |        '</script><style>.a{color:red}</style> Fish &amp; Chips ' ||
+        |        '&lt;tag&gt;</body></html>'
+        |      ELSE text END AS text
+        |  FROM documents),
+        | c AS (SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(text,
+        |                  '(?s)<(script|style)[^>]*>.*?</(script|style)>',
+        |                  ' ', 'g'),
+        |                '<[^>]*>', ' ', 'g'),
+        |              '&lt;', '<', 'g'),
+        |            '&gt;', '>', 'g'),
+        |          '&quot;', '"', 'g'),
+        |        '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM planted WHERE doc_id % 10 = 0)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |  CAST(length(clean) AS BIGINT) AS n_chars_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q164_rendezvous_reshard" ->
+      """WITH o AS (SELECT doc_id,
+        |    list_max(list_transform(range(0, 8), i ->
+        |      ((doc_id * 2654435761) % 2147483648 + 1) *
+        |      (((i + 131) * 2654435761) % 2147483648 + 1)
+        |      % 1000000007 * 16 + i)) % 16 AS shard8,
+        |    list_max(list_transform(range(0, 9), i ->
+        |      ((doc_id * 2654435761) % 2147483648 + 1) *
+        |      (((i + 131) * 2654435761) % 2147483648 + 1)
+        |      % 1000000007 * 16 + i)) % 16 AS shard9,
+        |    doc_id % 8 AS mod8, doc_id % 9 AS mod9
+        |  FROM documents)
+        |SELECT CAST(shard8 AS BIGINT) AS shard8,
+        |  COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS n_moved,
+        |  SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS n_moved_mod,
+        |  ROUND(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) * 1.0
+        |    / COUNT(*), 6) AS move_frac,
+        |  ROUND(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) * 1.0
+        |    / COUNT(*), 6) AS move_frac_mod
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "q162_source_dup_filter" ->
       """WITH planted AS (
         |  SELECT source, doc_id,

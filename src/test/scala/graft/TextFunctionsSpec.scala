@@ -50,6 +50,37 @@ class TextFunctionsSpec extends SparkSpec {
       "mail <EMAIL> and <EMAIL> then <IP> plus card <NUM>")
   }
 
+  test("Scrub.stripMarkup: blocks die whole, entities decode once, " +
+      "idempotent, clean text passes through") {
+    import graft.operators.Scrub
+    val docs = Seq(
+      (1L, "<p class=\"x\">hello <b>world</b></p>" +
+        "<script>var a = 1 < 2;</script>tail"),
+      (2L, "Fish &amp; Chips say &lt;hi&gt; and &amp;lt;not-a-tag&amp;gt;"),
+      (3L, "already clean single spaced text"),
+      (4L, "<style>.a{color:red}</style>kept")
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id", Scrub.stripMarkup($"text").as("c"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out(0)._2 === "hello world tail",
+      "script body (incl. bare <) must die with its block")
+    // &amp;lt; decodes to the LITERAL string &lt; — one pass, no
+    // double-decode into a tag opener.
+    assert(out(1)._2 === "Fish & Chips say <hi> and &lt;not-a-tag&gt;")
+    assert(out(2)._2 === "already clean single spaced text",
+      "clean text must pass through byte-identical")
+    assert(out(3)._2 === "kept")
+    // Idempotence, the q147 property: scrub ∘ scrub ≡ scrub — EXCEPT
+    // where decoding legitimately produced literal <...> text, which a
+    // second pass would strip; that is why production runs the scrub
+    // ONCE at ingest (same reason PII redaction tokens are angle-free).
+    val once = docs.filter($"doc_id" =!= 2)
+      .select(Scrub.stripMarkup($"text").as("c"))
+    val twice = once.select(Scrub.stripMarkup($"c").as("c"))
+    assert(once.as[String].collect().toSeq ===
+      twice.as[String].collect().toSeq)
+  }
+
   test("percentile referee: silent on an honest sketch, fires on corrupted claims") {
     import graft.queries.TextQueries
     val d = (1 to 100).map(i => ("en", i.toLong)).toDF("lang", "tok")
