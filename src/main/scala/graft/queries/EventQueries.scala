@@ -304,6 +304,13 @@ object EventQueries {
     "q161_stream_psi_drift" -> ((s, dir) =>
       EventStreams.streamingPsiDrift(s, dir)),
 
+    // Streaming ingest-volume anomaly (q158's streaming twin): the
+    // stream holds only the per-(day, type) census; the trailing
+    // z-score runs batch-side on the drained day-grain relation.
+    // Shares q158's oracle verbatim (the q153 pattern).
+    "q167_stream_volume_anomaly" -> ((s, dir) =>
+      EventStreams.streamingVolumeAnomaly(s, dir)),
+
     // Gap-based session_window aggregation (batch form of the same plan
     // the streaming engine runs; the streaming stateful twin is q38).
     "q41_session_window" -> ((s, dir) => {
@@ -478,6 +485,28 @@ object EventQueries {
       |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events
       |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Shared by q158 (batch) and q167 (streaming drain ≡ batch): the
+    * trailing-7-day moving z-score over per-type daily counts.
+    */
+  private val volumeAnomalyOracle =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      | st AS (
+      |  SELECT event_type, dt, n,
+      |    AVG(n) OVER w AS mu,
+      |    STDDEV_SAMP(n) OVER w AS sd,
+      |    COUNT(n) OVER w AS n_hist
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY dt
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, dt, n, ROUND(mu, 6) AS mu, ROUND(sd, 6) AS sd,
+      |  CASE WHEN sd > 0 THEN ROUND((n - mu) / sd, 6) END AS z,
+      |  COALESCE(abs(CASE WHEN sd > 0 THEN ROUND((n - mu) / sd, 6) END) > 3,
+      |    FALSE) AS is_anomaly
+      |FROM st WHERE n_hist >= 7
+      |ORDER BY event_type, dt""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q142_transition_matrix" ->
       """WITH s AS (SELECT user_id, event_type,
@@ -630,24 +659,8 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
-    "q158_volume_anomaly" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        | st AS (
-        |  SELECT event_type, dt, n,
-        |    AVG(n) OVER w AS mu,
-        |    STDDEV_SAMP(n) OVER w AS sd,
-        |    COUNT(n) OVER w AS n_hist
-        |  FROM daily
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY dt
-        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-        |SELECT event_type, dt, n, ROUND(mu, 6) AS mu, ROUND(sd, 6) AS sd,
-        |  CASE WHEN sd > 0 THEN ROUND((n - mu) / sd, 6) END AS z,
-        |  COALESCE(abs(CASE WHEN sd > 0 THEN ROUND((n - mu) / sd, 6) END) > 3,
-        |    FALSE) AS is_anomaly
-        |FROM st WHERE n_hist >= 7
-        |ORDER BY event_type, dt""".stripMargin,
+    "q158_volume_anomaly" -> volumeAnomalyOracle,
+    "q167_stream_volume_anomaly" -> volumeAnomalyOracle,
     "q34_sessionize" -> sessionSql,
     "q35_multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -894,6 +894,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental KMV sketch-table maintenance GATE — the operating
+    // mode that makes per-group sketches a 100 TB primitive: the
+    // corpus-scale aggregation runs once per arriving batch; absorbing
+    // the batch into the standing per-source vocabulary profile is a
+    // group-keyed join of two model-sized sketch tables
+    // (`Sketches.mergeKmvTables`), history never re-read. KMV merge is
+    // exact set-union-then-truncate, so the maintained table must be
+    // BIT-IDENTICAL to a from-scratch sketch of the whole corpus — the
+    // gate emits any (source, position) where the two sketch arrays
+    // differ, and the oracle is the empty relation. (q93 is the same
+    // law for additive aggregates; this is its sketch-state sibling.)
+    "q166_kmv_incremental" -> ((s, dir) => {
+      val k = 256
+      import graft.operators.Sketches
+      def grams(d: DataFrame) = d.select(col("source"),
+        explode(shingles(col("text"), 3)).as("g"))
+      val all = docs(s, dir)
+      val history = Sketches.kmvSketch(
+        grams(all.filter(col("doc_id") % 4 =!= 0)), Seq("source"), "g", k)
+      val delta = Sketches.kmvSketch(
+        grams(all.filter(col("doc_id") % 4 === 0)), Seq("source"), "g", k)
+      val maintained = Sketches.mergeKmvTables(history, delta,
+        Seq("source"), k)
+      val scratch = Sketches.kmvSketch(grams(all), Seq("source"), "g", k)
+      maintained.withColumnRenamed("sk", "sk_inc")
+        .join(scratch.withColumnRenamed("sk", "sk_scratch"),
+          Seq("source"), "full")
+        .filter(col("sk_inc").isNull || col("sk_scratch").isNull ||
+          col("sk_inc") =!= col("sk_scratch"))
+        .select(col("source"), size(col("sk_inc")).as("n_inc"),
+          size(col("sk_scratch")).as("n_scratch"))
+        .orderBy("source")
+    }),
+
     // Markup stripping (the WET-extraction stage: tags and
     // script/style payloads are boilerplate, entity-encoded text
     // miscounts tokens). The corpus is markup-free by construction, so
@@ -1321,6 +1355,11 @@ object TextQueries {
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
          |  ROUND(corr(n_tok, stop_ratio), 6) AS len_stop_corr
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q166_kmv_incremental" ->
+      """SELECT CAST(NULL AS VARCHAR) AS source,
+        |  CAST(NULL AS INTEGER) AS n_inc,
+        |  CAST(NULL AS INTEGER) AS n_scratch
+        |WHERE FALSE""".stripMargin,
     "q165_markup_strip" ->
       """WITH planted AS (SELECT doc_id,
         |    CASE WHEN doc_id % 10 = 0

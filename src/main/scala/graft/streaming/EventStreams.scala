@@ -204,6 +204,39 @@ object EventStreams {
       .orderBy("dt")
   }
 
+  /** Streaming twin of the q158 ingest-volume anomaly detector: the
+    * stream maintains only the watermarked per-(day, type) count —
+    * state bounded by types × open windows — and the trailing-7-day
+    * z-score runs batch-side on the drained calendar-bounded relation,
+    * with identical semantics (ROWS frame excluding the current day,
+    * warm-up rows dropped, zero-variance weeks NULL). Complete mode ≡
+    * batch on the bounded drain, so the query SHARES q158's oracle —
+    * the q153/q113 shared-oracle pattern.
+    */
+  def streamingVolumeAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = readEventsStream(spark, sfDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val drained = runToMemory(daily, OutputMode.Complete())
+      .select(col("event_type"), col("w.start").cast("date").as("dt"),
+        col("n"))
+    val w = Window.partitionBy("event_type").orderBy("dt")
+      .rowsBetween(-7, -1)
+    drained
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .withColumn("n_hist", count(col("n")).over(w))
+      .filter(col("n_hist") >= 7)
+      .withColumn("z",
+        when(col("sd") > 0, round((col("n") - col("mu")) / col("sd"), 6)))
+      .select(col("event_type"), col("dt"), col("n"),
+        round(col("mu"), 6).as("mu"), round(col("sd"), 6).as("sd"),
+        col("z"), coalesce(abs(col("z")) > 3, lit(false)).as("is_anomaly"))
+      .orderBy("event_type", "dt")
+  }
+
   /** Streaming heavy-hitters monitor: per-day Misra–Gries summaries of
     * user activity — the bounded-state streaming form of "who are the
     * heavy users this window". Exact per-window top contributors would

@@ -228,6 +228,30 @@ class SketchSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("q166 incremental-merge gate: empty when maintained, fires when " +
+      "the delta is dropped (non-vacuous)") {
+    assert(SparkEntry.queries("q166_kmv_incremental")(spark, sfDir)
+      .count() === 0L)
+    // Non-vacuity: the history-only table must NOT equal the scratch
+    // sketch — i.e. the delta genuinely changes sketches, so a broken
+    // merge cannot hide behind an unchanged corpus.
+    val k = 256
+    import graft.functions.TextFunctions.shingles
+    def grams(d: org.apache.spark.sql.DataFrame) = d.select($"source",
+      explode(shingles($"text", 3)).as("g"))
+    val all = Tables.load(spark, sfDir, "documents")
+    val history = operators.Sketches.kmvSketch(
+      grams(all.filter($"doc_id" % 4 =!= 0)), Seq("source"), "g", k)
+    val scratch = operators.Sketches.kmvSketch(
+      grams(all), Seq("source"), "g", k)
+    val differing = history.withColumnRenamed("sk", "sk_inc")
+      .join(scratch.withColumnRenamed("sk", "sk_scratch"), Seq("source"), "full")
+      .filter($"sk_inc".isNull || $"sk_scratch".isNull ||
+        $"sk_inc" =!= $"sk_scratch")
+      .count()
+    assert(differing > 0L, "fixture must make the delta observable")
+  }
+
   test("q78 int8 quantization: per-element error within half a step") {
     // |x - recon| <= scale/254 per element, so rmse <= scale/254 and
     // the reconstruction stays essentially colinear.
