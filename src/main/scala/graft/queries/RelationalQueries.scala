@@ -179,6 +179,40 @@ object RelationalQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // Declarative referential-integrity audit (the dbt-test / data-
+    // contract layer a warehouse runs after every load): each rule is
+    // ONE anti-join (FK) or keyed aggregate (uniqueness, not-null),
+    // and the audit emits a rule-count-sized violations table — at
+    // 100 TB the FK anti-joins broadcast the dim or shuffle on the key
+    // like any join, and the counts fold map-side. The clean synthetic
+    // schema would make every FK rule vacuous, so the lineitem→orders
+    // check runs against a PLANTED lost partition (orders with
+    // o_orderkey % 97 == 0 dropped — the "one file of the dim didn't
+    // land" incident): orphan counts emerge deterministically and the
+    // oracle mirrors the plant.
+    "q169_integrity_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val ordLossy = ord.filter(col("o_orderkey") % 97 =!= 0)
+      def one(name: String, viol: DataFrame) =
+        viol.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_violations"))
+      Seq(
+        one("fk_lineitem_orders_after_loss",
+          li.join(ordLossy, col("l_orderkey") === col("o_orderkey"),
+            "left_anti")),
+        one("fk_orders_customer",
+          ord.join(cust, col("o_custkey") === col("c_custkey"),
+            "left_anti")),
+        one("unique_orderkey",
+          ord.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1)),
+        one("notnull_l_orderkey", li.filter(col("l_orderkey").isNull)))
+        .reduce(_ unionByName _)
+        .orderBy("check_name")
+    }),
+
     // ROLLUP grouping sets with explicit grouping flags.
     "q14_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -456,6 +490,24 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_integrity_audit" ->
+      """WITH lost AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
+        | a AS (SELECT 'fk_lineitem_orders_after_loss' AS check_name,
+        |    COUNT(*) AS n_violations FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM lost o
+        |    WHERE o.o_orderkey = l.l_orderkey)),
+        | b AS (SELECT 'fk_orders_customer' AS check_name,
+        |    COUNT(*) AS n_violations FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey)),
+        | c AS (SELECT 'unique_orderkey' AS check_name,
+        |    COUNT(*) AS n_violations FROM
+        |    (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)),
+        | d AS (SELECT 'notnull_l_orderkey' AS check_name,
+        |    COUNT(*) AS n_violations FROM lineitem WHERE l_orderkey IS NULL)
+        |SELECT * FROM a UNION ALL SELECT * FROM b
+        |UNION ALL SELECT * FROM c UNION ALL SELECT * FROM d
+        |ORDER BY check_name""".stripMargin,
     // Ranks on the raw (value, id) order — both engines read identical
     // parquet doubles, so rank and min/max are exact; only avg is
     // accumulation-order-sensitive and 6dp-rounded. Bucket assignment is

@@ -231,6 +231,29 @@ object SimilarityQueries {
         .orderBy("label")
     }),
 
+    // Embedding-space slice drift — the vector sibling of the q159 PSI
+    // profile: 1 − cos(centroid_slice, centroid_global) per label
+    // slice. A slice whose centroid swings away from the corpus mean
+    // signals a shifted sub-population (new crawl, encoder change,
+    // poisoned source) before any scalar feature moves. Everything is
+    // two map-side VecMeanAggregator passes (per-label + global — rows
+    // never shuffle, the oracle's explode-to-(label, dim) formulation
+    // is what the aggregator avoids) and label-count-sized cosine
+    // arithmetic against the broadcast global centroid.
+    "q168_embedding_drift" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("label"), Similarity.asDouble(col("embedding")).as("v"))
+      val vmean = udaf(new graft.functions.VecMeanAggregator)
+      val cents = e.groupBy("label").agg(vmean(col("v")).as("cv"),
+        count(lit(1)).as("n_vecs"))
+      val global = broadcast(e.agg(vmean(col("v")).as("gv")))
+      cents.crossJoin(global)
+        .select(col("label"), col("n_vecs"),
+          round(lit(1.0) - Similarity.cosine(col("cv"), col("gv")), 6)
+            .as("drift"))
+        .orderBy("label")
+    }),
+
     // Nearest-centroid classification: label centroids from the train
     // slice (map-side VecMeanAggregator partials, rows never shuffle),
     // broadcast to the held-out slice, scored per row against every
@@ -795,6 +818,20 @@ object SimilarityQueries {
         |  ROUND(ANY_VALUE(centroid_norm), 6) AS centroid_norm,
         |  ROUND(AVG(cs), 6) AS mean_cos, ROUND(MIN(cs), 6) AS min_cos
         |FROM coh GROUP BY label ORDER BY label""".stripMargin,
+    "q168_embedding_drift" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        | u AS (SELECT label, unnest(v) AS x,
+        |              unnest(range(1, len(v) + 1)) AS i FROM e),
+        | cd AS (SELECT label, i, AVG(x) AS m FROM u GROUP BY 1, 2),
+        | cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cd GROUP BY 1),
+        | gd AS (SELECT i, AVG(x) AS g FROM u GROUP BY 1),
+        | gc AS (SELECT list(g ORDER BY i) AS gv FROM gd),
+        | n AS (SELECT label, COUNT(*) AS n_vecs FROM e GROUP BY 1)
+        |SELECT cent.label, n.n_vecs,
+        |  ROUND(1.0 - list_cosine_similarity(cent.cv, gc.gv), 6) AS drift
+        |FROM cent CROSS JOIN gc JOIN n ON cent.label = n.label
+        |ORDER BY cent.label""".stripMargin,
     "q89_nearest_centroid" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE embedding IS NOT NULL),
