@@ -538,6 +538,39 @@ class PlanSpec extends SparkSpec {
       "centroids must broadcast back, not shuffle the corpus:\n" + p.take(2000))
   }
 
+  test("q164 rendezvous owners are a pure projection: no explode, " +
+      "partial+final agg, two exchanges only") {
+    val p = planOf("q164_rendezvous_reshard")
+    assert(!p.contains("Generate"),
+      "owner must be an array fold, not an exploded shard join:\n" + p.take(2000))
+    assert(p.contains("partial_count"),
+      "summary must combine map-side:\n" + p.take(2000))
+    val n = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(n <= 2, s"expected <= 2 exchanges (groupBy + sort), got $n:\n" +
+      p.take(3000))
+  }
+
+  test("q160 phrase search: word filter sits below the position join; " +
+      "no cartesian stage") {
+    val p = planOf("q160_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "adjacency must be an equi-join on (doc_id, pos):\n" + p.take(3000))
+    assert(p.contains("= table") || p.contains("= part"),
+      "the query words' equality filters must appear below the join:\n" +
+        p.take(3000))
+  }
+
+  test("q165 markup strip is map-side: the only exchange is the " +
+      "presentation sort") {
+    val p = planOf("q165_markup_strip")
+    val ex = p.indexOf("Exchange")
+    assert(ex >= 0 && p.indexOf("Exchange", ex + 1) < 0,
+      "scrub must not shuffle (one presentation-sort exchange only):\n" +
+        p.take(3000))
+    assert(p.contains("rangepartitioning"),
+      "the single exchange should be the orderBy:\n" + p.take(2000))
+  }
+
   test("fanout is a no-op on inputs that are already well split") {
     import spark.implicits._
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
