@@ -150,6 +150,28 @@ object Tables {
     }
   }
 
+  /** Documents shattered into 64 tiny files — the accreted-micro-batch
+    * shape the q170 compaction pass exists to repair. Built once per sf.
+    */
+  def documentsSmallFilesLayout(spark: SparkSession, sfDir: String): String =
+    derivedLayout(sfDir, "documents", "documents_small_files") { out =>
+      load(spark, sfDir, "documents")
+        .repartition(64)
+        .write.mode("overwrite").parquet(out)
+    }
+
+  /** The small-files layout compacted by `operators.Compaction` to a
+    * handful of size-targeted files. Built once per sf; q170 gates the
+    * content, CompactionSpec the file counts.
+    */
+  def documentsCompactedLayout(spark: SparkSession, sfDir: String): String = {
+    val small = documentsSmallFilesLayout(spark, sfDir)
+    derivedLayout(sfDir, "documents", "documents_compacted") { out =>
+      operators.Compaction.compact(spark, small, out,
+        targetBytes = 512L * 1024)
+    }
+  }
+
   /** ORC copy of `orders` — the second columnar source format (same
     * pushdown/pruning path as parquet through the ORC reader).
     */

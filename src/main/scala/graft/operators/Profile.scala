@@ -134,6 +134,33 @@ object Profile {
     ranked.withColumn(rankName, col("__rank")).drop("__bin", "__rank")
   }
 
+  /** Join-key skew profile: the diagnostic run BEFORE choosing a skew
+    * remedy (salt fan-out, AQE skew-join thresholds, broadcast side).
+    * One map-side-combinable key census, a bounded
+    * TakeOrderedAndProject for the top-k, and two broadcast scalars;
+    * the rank window runs over the k survivors only (the q130
+    * discipline — never over the key domain). Output per hot key:
+    * (rank, key, n_rows, share of all rows, vs_mean = n·keys/total —
+    * the straggler multiplier a shuffle partition holding this key
+    * alone would suffer).
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"keySkewProfile: k must be >= 1, got $k")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val tot = broadcast(counts.agg(sum("n_rows").as("__total"),
+      count(lit(1)).as("__n_keys")))
+    counts.orderBy(col("n_rows").desc, col(keyCol)).limit(k)
+      .crossJoin(tot)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n_rows").desc, col(keyCol))).cast("long"))
+      .select(col("rank"), col(keyCol), col("n_rows"),
+        round(col("n_rows") / col("__total"), 6).as("share"),
+        round(col("n_rows") * col("__n_keys") / col("__total"), 6)
+          .as("vs_mean"))
+      .orderBy("rank")
+  }
+
   /** Exact type-7 (linear-interpolation) quantiles per group from a
     * VALUE CENSUS — the scale replacement for `percentile()` /
     * `quantile_cont`, whose aggregation buffer holds EVERY value of

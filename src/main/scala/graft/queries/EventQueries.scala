@@ -304,6 +304,17 @@ object EventQueries {
     "q161_stream_psi_drift" -> ((s, dir) =>
       EventStreams.streamingPsiDrift(s, dir)),
 
+    // Join-key skew profile — the diagnostic BEFORE choosing a remedy
+    // (salt fan-out sizing, AQE skew thresholds, broadcast side):
+    // which keys are hot, how much of the table they carry, and the
+    // straggler multiplier a shuffle partition holding each would
+    // suffer. One key census + bounded top-k + two broadcast scalars
+    // (`Profile.keySkewProfile`); the rank window covers only the 5
+    // survivors.
+    "q171_key_skew_profile" -> ((s, dir) =>
+      graft.operators.Profile.keySkewProfile(
+        Tables.load(s, dir, "events"), "user_id", 5)),
+
     // Streaming ingest-volume anomaly (q158's streaming twin): the
     // stream holds only the per-(day, type) census; the trailing
     // z-score runs batch-side on the drained day-grain relation.
@@ -661,6 +672,18 @@ object EventQueries {
         |ORDER BY user_id, ts, event_id""".stripMargin,
     "q158_volume_anomaly" -> volumeAnomalyOracle,
     "q167_stream_volume_anomaly" -> volumeAnomalyOracle,
+    "q171_key_skew_profile" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events
+        |  GROUP BY 1),
+        | t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c),
+        | top AS (SELECT user_id, n_rows FROM c
+        |  ORDER BY n_rows DESC, user_id LIMIT 5)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id)
+        |    AS BIGINT) AS rank,
+        |  user_id, n_rows,
+        |  ROUND(n_rows * 1.0 / total, 6) AS share,
+        |  ROUND(n_rows * 1.0 * n_keys / total, 6) AS vs_mean
+        |FROM top CROSS JOIN t ORDER BY rank""".stripMargin,
     "q34_sessionize" -> sessionSql,
     "q35_multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

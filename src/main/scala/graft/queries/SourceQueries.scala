@@ -33,6 +33,23 @@ object SourceQueries {
         .orderBy("lang")
     }),
 
+    // Small-files compaction (the OPTIMIZE maintenance pass): the
+    // 64-tiny-file accreted layout is rewritten by
+    // `operators.Compaction.compact` into ⌈bytes/target⌉ size-targeted
+    // files via one round-robin exchange — at 100 TB, scan cost on an
+    // uncompacted table is file-OPEN cost (listing, footer reads, task
+    // scheduling), not byte cost. The gate reads the compacted layout
+    // back and hashes the FULL content against the original table —
+    // compaction must be semantically invisible; CompactionSpec pins
+    // the 64 → few file-count collapse and the size targeting.
+    "q170_compaction" -> ((s, dir) => {
+      val path = Tables.documentsCompactedLayout(s, dir)
+      s.read.parquet(path)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ORC scan with predicate pushdown: the status filter reaches the
     // ORC reader (PushedFilters), same scan path as parquet.
     "q90_orc_roundtrip" -> ((s, dir) => {
@@ -97,6 +114,9 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_compaction" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q145_schema_evolution" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS BIGINT)
