@@ -125,6 +125,19 @@ object ChangeData {
         col("valid_to"), col("version_n"), col("is_current")): _*)
   }
 
+  /** Point-in-time (time travel) read of an SCD2 dimension: the rows
+    * whose validity interval [valid_from, valid_to) covers `at` — one
+    * map-side filter over the dimension, no join, no window. This is
+    * the read half of the scd2 contract: reproduce last quarter's
+    * report, join facts to the dimension AS IT WAS, audit what a model
+    * saw at training time. (For a fact-side per-row as-of, use
+    * `TemporalJoins.asofBackward` — this is the dimension-wide cut at
+    * one instant.)
+    */
+  def scd2AsOf(dim: DataFrame, at: Column): DataFrame =
+    dim.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+
   /** Maintain a grouped (sum, count, non-null count) aggregate under a
     * `snapshotDiff` changeset WITHOUT rescanning the base fact — the
     * payoff of the CDC path: at 100 TB the base aggregate is a tiny

@@ -96,6 +96,26 @@ object ChangeDataQueries {
           tiebreakCol = "o_orderkey", valueCols = Seq("o_orderpriority"))
         .orderBy("o_custkey", "version_n")),
 
+    // Point-in-time (time travel) read over the q85 SCD2 dimension:
+    // every customer's priority AS OF 1998-06-01 — the read half of
+    // the SCD2 contract (reproduce an old report, join facts to the
+    // dimension as it was, audit what a model saw at training time).
+    // One map-side interval filter over the dimension
+    // (`ChangeData.scd2AsOf`), no join, no extra window beyond the
+    // q85 build.
+    "q173_scd2_asof" -> ((s, dir) => {
+      val dim = ChangeData.scd2(
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderpriority")),
+        keyCols = Seq("o_custkey"), timeCol = "o_orderdate",
+        tiebreakCol = "o_orderkey", valueCols = Seq("o_orderpriority"))
+      ChangeData.scd2AsOf(dim, lit("1998-06-01").cast("timestamp"))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("valid_from"), col("version_n"))
+        .orderBy("o_custkey")
+    }),
+
     // Streaming upsert view over the event change feed — last-write-wins
     // per user_id, one struct per key in RocksDB state; on the bounded
     // drain it equals the batch per-key argmax, which the oracle states.
@@ -175,6 +195,28 @@ object ChangeDataQueries {
         |  (lead(valid_from) OVER (PARTITION BY o_custkey
         |    ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
         |FROM starts ORDER BY o_custkey, version_n""".stripMargin,
+    "q173_scd2_asof" ->
+      """WITH s AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |starts AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderkey,
+        |    o_orderdate AS valid_from
+        |  FROM s WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderpriority),
+        |iv AS (
+        |  SELECT o_custkey, o_orderpriority, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY o_custkey
+        |      ORDER BY valid_from, o_orderkey) AS valid_to,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY valid_from, o_orderkey) AS INTEGER) AS version_n
+        |  FROM starts)
+        |SELECT o_custkey, o_orderpriority, valid_from, version_n
+        |FROM iv
+        |WHERE valid_from <= TIMESTAMP '1998-06-01'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-06-01')
+        |ORDER BY o_custkey""".stripMargin,
     // Per-key last-write-wins argmax over the whole feed — what the
     // streaming view must equal on the bounded drain. (ts, event_id)
     // ordering matches the struct-max tiebreak; event_id is unique.

@@ -71,6 +71,48 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Mixed-language (code-switching) detection — the document-level
+    // QC that catches concatenation artifacts (a crawler gluing an
+    // English page to its Spanish footer) which a WHOLE-document
+    // language vote hides: q27's marker argmax is applied separately to
+    // the first and second half of the token stream, and the halves
+    // must agree. Same fused one-pass MarkerHits kernel per half
+    // (map-side, zero shuffle before the presentation sort); the
+    // corpus has no natural code-switching, so every 20th document is
+    // PLANTED with a Spanish-marker tail (the q104 fixture pattern) and
+    // the oracle mirrors the plant.
+    "q174_mixed_lang" -> ((s, dir) => {
+      val esTail = " el la los de que" * 8
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 20 === 0, concat(col("text"), lit(esTail)))
+          .otherwise(col("text")))
+      val w = words(col("text"))
+      val k = expr("(size(split(text, ' ')) + 1) div 2")
+      val half1 = array_join(slice(w, lit(1), k), " ")
+      val half2 = array_join(slice(w, k + 1, greatest(size(w) - k, lit(0))),
+        " ")
+      def vote(prefix: String) =
+        when(col(s"${prefix}_en") >= col(s"${prefix}_es") &&
+            col(s"${prefix}_en") >= col(s"${prefix}_de") &&
+            col(s"${prefix}_en") >= col(s"${prefix}_fr"), "en")
+          .when(col(s"${prefix}_es") >= col(s"${prefix}_de") &&
+            col(s"${prefix}_es") >= col(s"${prefix}_fr"), "es")
+          .when(col(s"${prefix}_de") >= col(s"${prefix}_fr"), "de")
+          .otherwise("fr")
+      val scored = planted
+        .withColumn("m1", markerHitsAll(half1, markers.map(_._2)))
+        .withColumn("m2", markerHitsAll(half2, markers.map(_._2)))
+      val named = markers.zipWithIndex.foldLeft(scored) {
+        case (df, ((lg, _), i)) =>
+          df.withColumn(s"h1_$lg", element_at(col("m1"), i + 1))
+            .withColumn(s"h2_$lg", element_at(col("m2"), i + 1))
+      }
+      named.select(col("doc_id"), vote("h1").as("lang_first"),
+          vote("h2").as("lang_second"))
+        .withColumn("mixed", col("lang_first") =!= col("lang_second"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: token count, chars/token, stopword ratio, flag.
     "q28_quality_score" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -894,6 +936,36 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Persisted positional-postings phrase search — q160's declared
+    // scale path DELIVERED (the q102 move: when a docstring promises
+    // "at corpus scale this runs against a persisted layout", ship the
+    // layout and gate it). The (w, doc_id, pos) postings persist
+    // bucketed-and-sorted on `w` (pay-the-shuffle-once); each phrase
+    // word's lookup then BUCKET-PRUNES the scan — the plan reads 1 of
+    // 16 buckets per word (PlanSpec pins SelectedBucketsCount), which
+    // at 100 TB is the difference between an index lookup and a corpus
+    // scan. Adjacency is q160's equi-join; the result is q160's, so it
+    // shares q160's oracle (the q153 pattern).
+    "q172_postings_phrase_search" -> ((s, dir) => {
+      val phrase = Seq("table", "part")
+      val postings = docs(s, dir)
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .toDF("doc_id", "pos", "w")
+        .select(col("w"), col("doc_id"), col("pos"))
+      graft.Bucketing.ensureBucketedTable(postings, "bq_postings_w",
+        buckets = 16, key = "w",
+        token = dir + "|" + graft.Tables.sourceToken(dir, "documents"))
+      val tb = s.table("bq_postings_w")
+      phrase.zipWithIndex
+        .map { case (word, i) =>
+          tb.filter(col("w") === word)
+            .select(col("doc_id"), (col("pos") - i).as("pos"))
+        }
+        .reduce(_.join(_, Seq("doc_id", "pos")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental KMV sketch-table maintenance GATE — the operating
     // mode that makes per-group sketches a 100 TB primitive: the
     // corpus-scale aggregation runs once per arriving batch; absorbing
@@ -1187,10 +1259,25 @@ object TextQueries {
       .orderBy("lang")
   }
 
-  private def markerSql(lg: String): String =
-    s"CAST(len(regexp_extract_all(lower(text), '\\b(${markers.toMap.apply(lg).mkString("|")})\\b')) AS BIGINT)"
+  private def markerSql(lg: String, c: String = "text"): String =
+    s"CAST(len(regexp_extract_all(lower($c), '\\b(${markers.toMap.apply(lg).mkString("|")})\\b')) AS BIGINT)"
+
+  /** Shared by q160 (in-plan postings) and q172 (persisted bucketed
+    * postings): occurrences of the adjacent pair via DuckDB list
+    * lambdas over the raw text.
+    */
+  private val phraseSearchOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      | m AS (SELECT doc_id,
+      |    CAST(len(list_filter(range(1, len(w)),
+      |      i -> w[i] = 'table' AND w[i + 1] = 'part')) AS BIGINT) AS n_occ
+      |  FROM t)
+      |SELECT doc_id, n_occ FROM m WHERE n_occ > 0
+      |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q172_postings_phrase_search" -> phraseSearchOracle,
     "q60_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         | base AS (
@@ -1466,15 +1553,35 @@ object TextQueries {
         |  CASE WHEN psi < 0.1 THEN 'stable'
         |       WHEN psi < 0.25 THEN 'moderate' ELSE 'action' END AS band
         |FROM t ORDER BY lang""".stripMargin,
-    "q160_phrase_search" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-        |  FROM documents),
-        | m AS (SELECT doc_id,
-        |    CAST(len(list_filter(range(1, len(w)),
-        |      i -> w[i] = 'table' AND w[i + 1] = 'part')) AS BIGINT) AS n_occ
-        |  FROM t)
-        |SELECT doc_id, n_occ FROM m WHERE n_occ > 0
-        |ORDER BY doc_id""".stripMargin,
+    "q160_phrase_search" -> phraseSearchOracle,
+    "q174_mixed_lang" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 20 = 0
+         |      THEN text || '${" el la los de que" * 8}'
+         |      ELSE text END AS text
+         |  FROM documents),
+         | sp AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |    (len(string_split(text, ' ')) + 1) // 2 AS k FROM p),
+         | h AS (SELECT doc_id,
+         |    array_to_string(w[1:k], ' ') AS h1,
+         |    array_to_string(w[k+1:len(w)], ' ') AS h2 FROM sp),
+         | sc AS (SELECT doc_id,
+         |    ${markerSql("en", "h1")} AS a_en, ${markerSql("es", "h1")} AS a_es,
+         |    ${markerSql("de", "h1")} AS a_de, ${markerSql("fr", "h1")} AS a_fr,
+         |    ${markerSql("en", "h2")} AS b_en, ${markerSql("es", "h2")} AS b_es,
+         |    ${markerSql("de", "h2")} AS b_de, ${markerSql("fr", "h2")} AS b_fr
+         |  FROM h),
+         | v AS (SELECT doc_id,
+         |    CASE WHEN a_en >= a_es AND a_en >= a_de AND a_en >= a_fr THEN 'en'
+         |         WHEN a_es >= a_de AND a_es >= a_fr THEN 'es'
+         |         WHEN a_de >= a_fr THEN 'de' ELSE 'fr' END AS lang_first,
+         |    CASE WHEN b_en >= b_es AND b_en >= b_de AND b_en >= b_fr THEN 'en'
+         |         WHEN b_es >= b_de AND b_es >= b_fr THEN 'es'
+         |         WHEN b_de >= b_fr THEN 'de' ELSE 'fr' END AS lang_second
+         |  FROM sc)
+         |SELECT doc_id, lang_first, lang_second,
+         |  lang_first <> lang_second AS mixed
+         |FROM v ORDER BY doc_id""".stripMargin,
     // q106's shard arithmetic + q30's fingerprint recurrence, summed
     // per shard — all exact BIGINT, so the manifest is a full hash gate.
     "q146_shard_manifest" ->

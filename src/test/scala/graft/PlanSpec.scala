@@ -571,6 +571,14 @@ class PlanSpec extends SparkSpec {
       "the single exchange should be the orderBy:\n" + p.take(2000))
   }
 
+  test("q172 persisted postings lookups bucket-prune: 1 of 16 buckets " +
+      "per phrase word") {
+    val p = planOf("q172_postings_phrase_search")
+    assert(p.contains("SelectedBucketsCount: 1 out of 16"),
+      "each word's equality filter must prune to its bucket:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("fanout is a no-op on inputs that are already well split") {
     import spark.implicits._
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
