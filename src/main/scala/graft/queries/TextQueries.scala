@@ -1000,6 +1000,15 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Streaming per-source vocabulary sketch — the KMV trio's third
+    // leg (build q157, incremental q166, streaming here): the sketch
+    // folds inside the streaming aggregation with k longs of state per
+    // source; merge-order invariance makes the drained sketch
+    // BIT-IDENTICAL to the batch referee, so the gate needs no
+    // tolerance band (contrast q131's HLL monitor).
+    "q175_stream_vocab_sketch" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingVocabSketch(s, dir)),
+
     // Markup stripping (the WET-extraction stage: tags and
     // script/style payloads are boilerplate, entity-encoded text
     // miscounts tokens). The corpus is markup-free by construction, so
@@ -1446,6 +1455,11 @@ object TextQueries {
       """SELECT CAST(NULL AS VARCHAR) AS source,
         |  CAST(NULL AS INTEGER) AS n_inc,
         |  CAST(NULL AS INTEGER) AS n_scratch
+        |WHERE FALSE""".stripMargin,
+    "q175_stream_vocab_sketch" ->
+      """SELECT CAST(NULL AS VARCHAR) AS source,
+        |  CAST(NULL AS INTEGER) AS n_stream,
+        |  CAST(NULL AS INTEGER) AS n_batch
         |WHERE FALSE""".stripMargin,
     "q165_markup_strip" ->
       """WITH planted AS (SELECT doc_id,

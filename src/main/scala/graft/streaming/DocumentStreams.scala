@@ -130,4 +130,37 @@ object DocumentStreams {
     EventStreams.runToMemory(fresh, OutputMode.Complete())
       .orderBy("doc_id")
   }
+
+  /** Streaming per-source vocabulary sketch — the third leg of the KMV
+    * trio (batch build q157, incremental table maintenance q166,
+    * streaming here): the per-source KMV folds INSIDE the streaming
+    * aggregation, so state is k longs per source — the streaming
+    * profile a 100 TB feed maintains continuously where an exact
+    * vocabulary census would hold the whole gram domain in the state
+    * store. Because KMV is merge-order invariant (exact
+    * set-union-then-truncate), the drained sketch is BIT-IDENTICAL to
+    * the batch sketch of the same rows — the gate emits any differing
+    * source against the batch referee and the oracle is the empty
+    * relation; no tolerance band needed, unlike the q131 HLL monitor.
+    */
+  def streamingVocabSketch(spark: SparkSession, sfDir: String,
+                           k: Int = 256): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def grams(d: DataFrame) = d.select(col("source"),
+      explode(shingles(col("text"), 3)).as("g"))
+      .select(col("source"), xxhash64(col("g")).as("h"))
+    val streamed = grams(readDocumentsStream(spark, sfDir))
+      .groupBy("source").agg(kmv(col("h")).as("sk"))
+    val drained = EventStreams.runToMemory(streamed, OutputMode.Complete())
+    val batch = grams(Tables.load(spark, sfDir, "documents"))
+      .groupBy("source").agg(kmv(col("h")).as("sk"))
+    drained.withColumnRenamed("sk", "sk_stream")
+      .join(batch.withColumnRenamed("sk", "sk_batch"), Seq("source"), "full")
+      .filter(col("sk_stream").isNull || col("sk_batch").isNull ||
+        col("sk_stream") =!= col("sk_batch"))
+      .select(col("source"), size(col("sk_stream")).as("n_stream"),
+        size(col("sk_batch")).as("n_batch"))
+      .orderBy("source")
+  }
 }
