@@ -966,6 +966,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental postings-index maintenance — the q107 move applied
+    // to q172's search index: a new batch's postings APPEND to the
+    // bucketed table with the same bucket spec (each append file lands
+    // in its word's bucket, still sorted), so the index absorbs a
+    // day's documents without rewriting history — at 100 TB a rebuild
+    // pays the whole corpus for a 0.1% delta. The lookup over the
+    // appended table must equal the from-scratch answer: same result
+    // relation as q160/q172, same oracle. Rebuilt-then-appended fresh
+    // on every invocation so the gate exercises the append path
+    // deterministically.
+    "q176_postings_append" -> ((s, dir) => {
+      val phrase = Seq("table", "part")
+      def postings(d: DataFrame) = d
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .toDF("doc_id", "pos", "w")
+        .select(col("w"), col("doc_id"), col("pos"))
+      val all = docs(s, dir)
+      graft.Bucketing.recreateBucketedTable(
+        postings(all.filter(col("doc_id") % 4 =!= 0)),
+        "bq_postings_inc", buckets = 16, key = "w")
+      postings(all.filter(col("doc_id") % 4 === 0))
+        .write.mode("append").bucketBy(16, "w").sortBy("w")
+        .saveAsTable("bq_postings_inc")
+      val tb = s.table("bq_postings_inc")
+      phrase.zipWithIndex
+        .map { case (word, i) =>
+          tb.filter(col("w") === word)
+            .select(col("doc_id"), (col("pos") - i).as("pos"))
+        }
+        .reduce(_.join(_, Seq("doc_id", "pos")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental KMV sketch-table maintenance GATE — the operating
     // mode that makes per-group sketches a 100 TB primitive: the
     // corpus-scale aggregation runs once per arriving batch; absorbing
@@ -1287,6 +1321,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q172_postings_phrase_search" -> phraseSearchOracle,
+    "q176_postings_append" -> phraseSearchOracle,
     "q60_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         | base AS (
