@@ -127,6 +127,21 @@ object Tables {
     }
   }
 
+  /** Day-partitioned events copy with users 3 and 7 purged via
+    * `ChangeData.purgeRows` — only their days' partitions rewritten,
+    * the rest byte-identical (ChangeDataSpec pins both). Built once
+    * per sf; q177 gates the surviving content.
+    */
+  def eventsPurgeLayout(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{col, to_date}
+    derivedLayout(sfDir, "events", "events_purged") { out =>
+      load(spark, sfDir, "events").withColumn("dt", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("dt").parquet(out)
+      operators.ChangeData.purgeRows(spark, out, "dt",
+        col("user_id").isin(3L, 7L))
+    }
+  }
+
   /** Two-generation documents layout for the schema-evolution path: the
     * v1 batch lacks the `quality` column the v2 batch adds (a
     * deterministic n_chars-derived score, so the oracle can restate

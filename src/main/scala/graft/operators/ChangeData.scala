@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,6 +123,46 @@ object ChangeData {
       .withColumn("is_current", col("valid_to").isNull)
       .select((keyCols ++ valueCols).map(col) ++ Seq(col("valid_from"),
         col("valid_to"), col("version_n"), col("is_current")): _*)
+  }
+
+  /** Targeted deletion from a partitioned layout (the GDPR /
+    * right-to-be-forgotten path, and the delete twin of the q140
+    * backfill): rewrite ONLY the partitions that contain victim rows —
+    * at 100 TB a full-table rewrite to delete one user's rows is not
+    * an option, and dynamic partition overwrite already scopes the
+    * write. One census pass finds the affected partitions and whether
+    * anything survives in each (the collect is bounded by the layout's
+    * partition domain — the calendar here — same bound q140 rides on);
+    * survivors rewrite through `overwritePartitions`, while partitions
+    * left EMPTY are dropped via the FS API, because a dynamic
+    * overwrite never touches a partition absent from the frame — the
+    * silent-retention trap this operator exists to close.
+    */
+  def purgeRows(spark: SparkSession, layoutDir: String, partitionCol: String,
+                victim: Column, maxAffected: Int = 1 << 16): Unit = {
+    val t = spark.read.parquet(layoutDir)
+    val parts = t.groupBy(col(partitionCol))
+      .agg(sum(when(victim, 1L).otherwise(0L)).as("n_victim"),
+        sum(when(!victim, 1L).otherwise(0L)).as("n_keep"))
+      .filter(col("n_victim") > 0)
+      .limit(maxAffected + 1)
+      .collect()
+    require(parts.length <= maxAffected,
+      s"purgeRows: more than $maxAffected affected partitions - run " +
+        "per-partition-range batches instead of one driver-sized census")
+    if (parts.isEmpty) return
+    val (live, dead) = parts.partition(_.getLong(2) > 0L)
+    if (live.nonEmpty) {
+      val rewrite = t
+        .filter(col(partitionCol).isin(live.map(_.get(0)).toSeq: _*) && !victim)
+      overwritePartitions(rewrite, layoutDir, partitionCol)
+    }
+    dead.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(
+        s"$layoutDir/$partitionCol=${r.get(0)}")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+    }
   }
 
   /** Point-in-time (time travel) read of an SCD2 dimension: the rows

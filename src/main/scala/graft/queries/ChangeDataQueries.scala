@@ -135,6 +135,26 @@ object ChangeDataQueries {
         .groupBy(col("dt"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .orderBy("dt")
+    }),
+
+    // Targeted retention purge (right-to-be-forgotten; q140's delete
+    // twin): users 3 and 7 are removed from the day-partitioned layout
+    // by rewriting ONLY their days' partitions
+    // (`ChangeData.purgeRows`); partitions a purge would leave empty
+    // are dropped explicitly — dynamic overwrite never touches a
+    // partition absent from the frame, the silent-retention trap.
+    // The gate aggregates the surviving content per day and per purged
+    // user; the oracle restates the purge over the raw table.
+    // ChangeDataSpec pins untouched partitions byte-identical and the
+    // empty-partition drop on a synthetic mini-layout.
+    "q177_retention_purge" -> ((s, dir) => {
+      val layout = Tables.eventsPurgeLayout(s, dir)
+      val t = s.read.parquet(layout)
+      t.groupBy(col("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          sum(when(col("user_id").isin(3L, 7L), 1L).otherwise(0L))
+            .as("n_victim_rows"))
+        .orderBy("dt")
     })
   )
 
@@ -144,6 +164,12 @@ object ChangeDataQueries {
         |  ROUND(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
         |    THEN value * 2 ELSE value END), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q177_retention_purge" ->
+      """SELECT CAST(ts AS DATE) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(0 AS BIGINT) AS n_victim_rows
+        |FROM events WHERE user_id NOT IN (3, 7)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q83_snapshot_diff" -> (oracleSnaps +
       """
         |SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,

@@ -183,4 +183,40 @@ class ChangeDataSpec extends SparkSpec {
     } finally graft.pipeline.Ingest.deleteRecursively(
       java.nio.file.Paths.get(dir))
   }
+
+  test("purgeRows rewrites only victim partitions, drops emptied ones, " +
+      "leaves the rest byte-identical") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_purge").toString
+    try {
+      // p=a mixed (victim + survivor), p=b victims only (must be
+      // DROPPED — the dynamic-overwrite silent-retention trap), p=c
+      // untouched (must stay bit-identical).
+      val base = Seq((1L, "a", 9L), (2L, "a", 1L), (3L, "b", 9L),
+        (4L, "c", 1L)).toDF("id", "p", "u")
+      base.write.mode("overwrite").partitionBy("p").parquet(dir)
+      def files() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(dir))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+      }
+      val before = files()
+      ChangeData.purgeRows(spark, dir, "p", $"u" === 9L)
+      val after = files()
+      def cOnly(fs: Seq[(String, Long, Long)]) = fs.filter(_._1.contains("p=c"))
+      assert(cOnly(after) === cOnly(before), "untouched partition rewritten")
+      assert(!after.exists(_._1.contains("p=b")),
+        "a partition left empty by the purge must be dropped, not retained")
+      val got = spark.read.parquet(dir).select("id", "p", "u")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(got === Seq((2L, "a", 1L), (4L, "c", 1L)))
+      // no-op purge: nothing matches, nothing moves
+      val snap = files()
+      ChangeData.purgeRows(spark, dir, "p", $"u" === 12345L)
+      assert(files() === snap)
+    } finally graft.pipeline.Ingest.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
 }
