@@ -397,8 +397,72 @@ object DedupQueries {
           countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") >= 2)
         .orderBy("fp", "c_len")
+    }),
+
+    // Chunk-level re-embedding diff (embedding-cache invalidation):
+    // after an edit lands, WHICH sub-document chunks need their
+    // embeddings recomputed? Content-defined chunking localizes the
+    // answer — an edit at the head of a document realigns at the next
+    // content boundary, so only the chunk(s) spanning the edit change
+    // fingerprints and the rest of the doc's embedding cache stays
+    // valid (fixed-width chunking would shift-invalidate EVERYTHING
+    // after the edit; that contrast is the point of CDC, pinned by the
+    // q132 shift-robustness spec). Fixture: every 10th doc gets a
+    // 5-char prepend; the diff joins 16-byte (fp, c_len) keys per doc
+    // — text never reshuffles — and emits per edited doc the chunk
+    // count, the invalidated count, and the surviving-cache fraction.
+    "q178_chunk_reembed_diff" -> ((s, dir) => {
+      import graft.expressions.TextOps
+      def chunksOf(d: DataFrame) = d.select(col("doc_id"),
+          explode(TextOps.cdcChunks(col("text"), 8, 64)).as("c"))
+        .select(col("doc_id"), col("c.fp").as("fp"), col("c.c_len").as("c_len"))
+      val v1 = chunksOf(docs(s, dir)).distinct()
+      val v2 = chunksOf(docs(s, dir).withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(lit("edit "), col("text")))
+          .otherwise(col("text"))))
+      v2.join(v1.withColumn("old", lit(1L)), Seq("doc_id", "fp", "c_len"),
+          "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("old").isNull, 1L).otherwise(0L)).as("n_new"))
+        .filter(col("n_new") > 0)
+        .withColumn("reuse_frac",
+          round(lit(1.0) - col("n_new") / col("n_chunks"), 6))
+        .orderBy("doc_id")
     })
   )
+
+  /** The q132 chunk chain parameterized on its source CTE and a name
+    * suffix, so an oracle can chunk TWO corpus versions side by side
+    * (q178 diffs them). `cdcCte` below keeps the original names.
+    */
+  private def cdcChain(src: String, x: String): String =
+    s"""c$x AS (SELECT doc_id, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1),
+       |      p -> CAST(unicode(substr(text, CAST(p AS INT), 1)) AS BIGINT))
+       |      AS codes
+       |  FROM $src),
+       | b$x AS (SELECT doc_id, n, codes,
+       |    list_filter(range(8, n + 1),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i-7:i]),
+       |             (a, x) -> (a * 31 + x) % 1000000007) % 64 = 0) AS bnds
+       |  FROM c$x),
+       | s$x AS (SELECT doc_id, n, codes,
+       |    list_sort(list_distinct(list_prepend(CAST(1 AS BIGINT),
+       |      list_transform(list_filter(bnds, x -> x < n), x -> x + 1))))
+       |      AS starts
+       |  FROM b$x),
+       | ch$x AS (SELECT doc_id, n, codes, starts,
+       |    unnest(range(1, len(starts) + 1)) AS k
+       |  FROM s$x),
+       | cdc$x AS (SELECT doc_id, k AS chunk_no, starts[k] AS c_start,
+       |    (CASE WHEN k < len(starts) THEN starts[k+1] ELSE n + 1 END)
+       |      - starts[k] AS c_len,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      codes[starts[k]:(CASE WHEN k < len(starts) THEN starts[k+1]
+       |        ELSE n + 1 END) - 1]),
+       |      (a, x) -> (a * 31 + x) % 1000000007) AS fp
+       |  FROM ch$x)""".stripMargin
 
   /** Shared oracle CTE: the CDC chunk relation, rebuilt from codepoint
     * slices with the kernel's exact arithmetic (base-31 rolling hash
@@ -434,6 +498,25 @@ object DedupQueries {
       |  FROM ch)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q178_chunk_reembed_diff" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0 THEN 'edit ' || text ELSE text END
+         |      AS text
+         |  FROM documents),
+         | ${cdcChain("documents", "1")},
+         | ${cdcChain("p", "2")}
+         |SELECT d2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN d1.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new,
+         |  ROUND(1.0 - SUM(CASE WHEN d1.fp IS NULL THEN 1 ELSE 0 END)
+         |    * 1.0 / COUNT(*), 6) AS reuse_frac
+         |FROM cdc2 d2
+         |LEFT JOIN (SELECT DISTINCT doc_id, fp, c_len FROM cdc1) d1
+         |  ON d2.doc_id = d1.doc_id AND d2.fp = d1.fp
+         |    AND d2.c_len = d1.c_len
+         |GROUP BY 1
+         |HAVING SUM(CASE WHEN d1.fp IS NULL THEN 1 ELSE 0 END) > 0
+         |ORDER BY 1""".stripMargin,
     "q132_cdc_chunks" -> (cdcCte +
       """
         |SELECT doc_id, chunk_no, c_start, c_len, fp
