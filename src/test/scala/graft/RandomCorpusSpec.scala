@@ -203,6 +203,48 @@ class RandomCorpusSpec extends SparkSpec {
     assert(got.getDouble(5) >= 0 && got.getDouble(5) <= math.log(2) + 1e-12)
   }
 
+  test("q166 KMV incremental law survives random corpora with edge rows " +
+      "(null/empty text, unicode, random split)") {
+    import graft.operators.Sketches
+    import graft.functions.TextFunctions.shingles
+    (1 to 3).foreach { _ =>
+      val dir = writeCorpus(corpus(40 + rnd.nextInt(40)))
+      val all = Tables.load(spark, dir, "documents")
+      def grams(d: org.apache.spark.sql.DataFrame) = d.select($"source",
+        explode(shingles($"text", 3)).as("g"))
+      val m = 2 + rnd.nextInt(4)
+      val history = Sketches.kmvSketch(
+        grams(all.filter($"doc_id" % m =!= 0)), Seq("source"), "g", 64)
+      val delta = Sketches.kmvSketch(
+        grams(all.filter($"doc_id" % m === 0)), Seq("source"), "g", 64)
+      val maintained = Sketches.mergeKmvTables(history, delta,
+        Seq("source"), 64)
+      val scratch = Sketches.kmvSketch(grams(all), Seq("source"), "g", 64)
+      val diff = maintained.withColumnRenamed("sk", "a")
+        .join(scratch.withColumnRenamed("sk", "b"), Seq("source"), "full")
+        .filter($"a".isNull || $"b".isNull || $"a" =!= $"b")
+        .count()
+      assert(diff === 0L, s"maintained sketch diverged from scratch (m=$m)")
+    }
+  }
+
+  test("stripMarkup is the identity on markup-free random corpora") {
+    val rows = corpus(60)
+    val dir = writeCorpus(rows)
+    val d = Tables.load(spark, dir, "documents").filter($"text".isNotNull)
+    // Whitespace-collapse exception: the generator's double-space and
+    // trailing-space edge rows legitimately normalize; everything else
+    // must come back byte-identical.
+    val changed = d.select($"doc_id", $"text",
+        graft.operators.Scrub.stripMarkup($"text").as("c"))
+      .filter($"text" =!= $"c")
+      .as[(Long, String, String)].collect()
+    changed.foreach { case (id, t, c) =>
+      assert(t.replaceAll("\\s+", " ").trim === c,
+        s"doc $id changed beyond whitespace normalization: '$t' -> '$c'")
+    }
+  }
+
   test("q76 sampling is text-independent: null-text docs still rank by id hash") {
     val rows = corpus(40)
     val dir = writeCorpus(rows)
