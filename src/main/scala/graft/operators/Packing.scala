@@ -106,6 +106,95 @@ object Packing {
                      maxBinRows: Long = 1L << 22,
                      maxBins: Int = 1 << 20): DataFrame = {
     require(budget >= 1, s"tokenBudgetCap: budget must be >= 1, got $budget")
+    val (cum, _) = binnedRunningTotals(docs, groupCol, orderCol, tokenCol,
+      binSize, maxBinRows, maxBins)
+    cum.filter(col("cum_tokens") <= budget)
+  }
+
+  /** Temperature-scaled source mixing (the standard multilingual /
+    * multi-source sampling design: Devlin et al.'s mBERT exponent,
+    * Conneau & Lample's XLM sampling, T5's mixture rates): each group's
+    * share of a `totalBudget`-token corpus is proportional to
+    * `sqrt(group_total_tokens)` (temperature alpha = 0.5), flattening
+    * the head — a group with 4x the tokens gets only 2x the budget — so
+    * low-resource sources are over-sampled relative to their natural
+    * rate. Docs are then kept per group, ascending `orderCol`, while the
+    * group's running total stays within its derived budget (the q100
+    * cap applied per group with a computed, not supplied, budget).
+    *
+    * Determinism contract (the reason alpha is FIXED at 0.5 rather than
+    * a parameter): `sqrt` is IEEE-correctly-rounded in every engine, so
+    * `floor(sqrt(total))` is bit-reproducible driver-, executor-, and
+    * oracle-side, and every other step is integer arithmetic
+    * (`budget_g = totalBudget * w_g / sum(w)` in exact BigInt, truncated
+    * — all values non-negative so truncation == floor == SQL `//`). A
+    * general `pow(total, alpha)` is NOT correctly rounded and may differ
+    * across libm builds by an ulp, which at a budget boundary flips a
+    * whole document in or out.
+    *
+    * Scale shape: identical to `tokenBudgetCap` — the (group, bin)
+    * census this operator collects anyway yields the per-group totals
+    * as a driver-side fold of the already-bounded census rows, so the
+    * weight/budget arithmetic costs ZERO extra scans; budgets broadcast
+    * back joined null-safely on the group key. The full-detail exchange
+    * happens once; parallelism is groups x bins.
+    *
+    * Output: input columns + `cum_tokens` (running total within group,
+    * including the row) + `grp_budget` (the group's derived budget).
+    */
+  def temperatureMix(docs: DataFrame, groupCol: String, orderCol: String,
+                     tokenCol: String, totalBudget: Long,
+                     binSize: Long = 1L << 20,
+                     maxBinRows: Long = 1L << 22,
+                     maxBins: Int = 1 << 20): DataFrame = {
+    require(totalBudget >= 1,
+      s"temperatureMix: totalBudget must be >= 1, got $totalBudget")
+    val (cum, census) = binnedRunningTotals(docs, groupCol, orderCol, tokenCol,
+      binSize, maxBinRows, maxBins)
+    // Per-group token totals are a driver fold of the collected census
+    // (group, __bin, __bin_sum, __bin_rows) — no extra corpus scan. A
+    // group whose rows all carry NULL tokens sums to null → weight 0.
+    val totals: Map[Any, Long] = census.toSeq.groupBy(_.get(0))
+      .map { case (g, rs) =>
+        g -> rs.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+      }
+    val weights = totals.map { case (g, t) =>
+      g -> math.floor(math.sqrt(math.max(t, 0L).toDouble)).toLong
+    }
+    val wSum = weights.values.foldLeft(BigInt(0))(_ + _)
+    require(wSum > 0,
+      "temperatureMix: all groups have zero tokens - no budget to apportion")
+    val budgets: Seq[(Any, Long)] = weights.toSeq.map { case (g, w) =>
+      // Exact rational apportionment: BigInt keeps totalBudget * w from
+      // overflowing Long at corpus scale (w ~ sqrt(total tokens)).
+      g -> (BigInt(totalBudget) * w / wSum).toLong
+    }
+    val groupField = cum.schema(groupCol)
+    val budgetRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(budgets.map { case (g, b) =>
+        org.apache.spark.sql.Row(g, b)
+      }: _*)
+    val budgetSchema = org.apache.spark.sql.types.StructType(Seq(
+      // nullable: a NULL group is a legal partition (the tokenBudgetCap
+      // null-safe-join contract), whatever the source schema claims
+      groupField.copy(name = "__bg", nullable = true),
+      org.apache.spark.sql.types.StructField("grp_budget",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val budgetDf = docs.sparkSession.createDataFrame(budgetRows, budgetSchema)
+    cum.join(broadcast(budgetDf), col(groupCol) <=> col("__bg"))
+      .filter(col("cum_tokens") <= col("grp_budget"))
+      .drop("__bg")
+  }
+
+  /** The q100 two-phase binned prefix sum, shared by `tokenBudgetCap`
+    * and `temperatureMix`: returns (rows + `cum_tokens`, the collected
+    * (group, __bin, __bin_sum, __bin_rows) census the offsets were built
+    * from). See `tokenBudgetCap`'s Scaladoc for the full contract — this
+    * helper is that operator minus the budget filter.
+    */
+  private def binnedRunningTotals(docs: DataFrame, groupCol: String,
+      orderCol: String, tokenCol: String, binSize: Long, maxBinRows: Long,
+      maxBins: Int): (DataFrame, Array[org.apache.spark.sql.Row]) = {
     require(binSize >= 1, s"tokenBudgetCap: binSize must be >= 1, got $binSize")
     import org.apache.spark.sql.expressions.Window
     val o = col(orderCol).cast("long")
@@ -137,11 +226,11 @@ object Packing {
       .select(col(groupCol).as("__og"), col("__bin").as("__ob"), col("__offset"))
     val wLocal = Window.partitionBy(groupCol, "__bin").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    binned.join(broadcast(offsets),
+    val withCum = binned.join(broadcast(offsets),
         col(groupCol) <=> col("__og") && col("__bin") === col("__ob"))
       .withColumn("cum_tokens", sum(col(tokenCol)).over(wLocal) + col("__offset"))
-      .filter(col("cum_tokens") <= budget)
       .drop("__bin", "__og", "__ob", "__offset")
+    (withCum, rows)
   }
 
   /** Deterministic training-order shuffle: every row gets a

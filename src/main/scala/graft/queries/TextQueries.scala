@@ -246,6 +246,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Temperature-scaled source mixing (mBERT/XLM/T5 sampling, alpha =
+    // 0.5): per-language budgets proportional to sqrt(language token
+    // total) — en holds ~44% of the corpus tokens but draws only ~31%
+    // of the budget, the low-resource languages over-sample — then the
+    // q100 per-group cap keeps docs in doc_id order within each derived
+    // budget. All arithmetic is integer except the IEEE-exact
+    // floor(sqrt(bigint)), so the oracle reproduces the budgets
+    // bit-for-bit (see temperatureMix's determinism contract).
+    "q179_temperature_mix" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("bigint"))
+      graft.operators.Packing.temperatureMix(d, "lang", "doc_id", "n_tokens",
+          totalBudget = 8000, binSize = 100)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"),
+          col("grp_budget"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     // Spirakis A-ES): each doc draws u from the q45/q70 multiplicative
     // hash (exact integer → one double division, engine-identical) and
@@ -1422,6 +1440,26 @@ object TextQueries {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 2000 ORDER BY doc_id""".stripMargin,
+    // Budget arithmetic mirrors temperatureMix exactly: floor(sqrt()) is
+    // IEEE-correctly-rounded in both engines, everything else is integer
+    // (DuckDB // floor-division == BigInt truncation on non-negatives;
+    // SUM(w) is cast back from HUGEINT before dividing).
+    "q179_temperature_mix" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | tot AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total
+        |   FROM t GROUP BY 1),
+        | w AS (SELECT lang, CAST(FLOOR(SQRT(total)) AS BIGINT) AS w FROM tot),
+        | b AS (SELECT lang, CAST(8000 * w //
+        |     (SELECT CAST(SUM(w) AS BIGINT) FROM w) AS BIGINT) AS grp_budget
+        |   FROM w),
+        | c AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens, b.grp_budget
+        |FROM c JOIN b USING (lang)
+        |WHERE c.cum_tokens <= b.grp_budget ORDER BY c.doc_id""".stripMargin,
     "q110_quality_classifier_gate" ->
       """SELECT CAST(NULL AS DOUBLE) AS accuracy, CAST(NULL AS DOUBLE) AS floor
         |WHERE FALSE""".stripMargin,

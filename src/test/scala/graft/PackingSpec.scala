@@ -172,4 +172,56 @@ class PackingSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSet
     assert(got === ref && got.nonEmpty)
   }
+
+  test("temperatureMix: exact sqrt-apportioned budgets and per-group cap") {
+    // totals: a=400, b=100, c=1 → w = 20, 10, 1; W = 31.
+    // budgets at totalBudget=310: a=200, b=100, c=10 (exact division).
+    val d = Seq(
+      ("a", 1L, 150L), ("a", 2L, 50L), ("a", 3L, 100L), ("a", 4L, 100L),
+      ("b", 5L, 60L), ("b", 6L, 40L), ("b", 7L, 1L),
+      ("c", 8L, 1L)
+    ).toDF("grp", "id", "n")
+    val out = Packing.temperatureMix(d, "grp", "id", "n",
+        totalBudget = 310, binSize = 2)
+      .select("grp", "id", "n", "cum_tokens", "grp_budget")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("a", 1L, 150L, 150L, 200L), ("a", 2L, 50L, 200L, 200L),
+      // a's cum 300 > 200 → ids 3,4 dropped
+      ("b", 5L, 60L, 60L, 100L), ("b", 6L, 40L, 100L, 100L),
+      // b's cum 101 > 100 → id 7 dropped
+      ("c", 8L, 1L, 1L, 10L)))
+  }
+
+  test("temperatureMix flattens the head: 4x the tokens gets only 2x the budget") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+    val totals = d.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    val budgets = Packing.temperatureMix(d, "lang", "doc_id", "n_tokens",
+        totalBudget = 8000, binSize = 100)
+      .select("lang", "grp_budget").distinct()
+      .as[(String, Long)].collect().toMap
+    // law: budget_g == totalBudget * floor(sqrt(t_g)) / sum(floor(sqrt))
+    val w = totals.view.mapValues(t => math.floor(math.sqrt(t.toDouble)).toLong).toMap
+    val wSum = w.values.sum
+    budgets.foreach { case (g, b) =>
+      assert(b === BigInt(8000) * w(g) / wSum, s"lang $g")
+    }
+    // en holds ~3x the others' tokens; its budget share must sit strictly
+    // between its sqrt share (flattened) and its natural share
+    val en = totals("en").toDouble / totals.values.sum
+    val enB = budgets("en").toDouble / budgets.values.sum
+    assert(enB < en, s"en budget share $enB should be flattened below natural $en")
+    // binSize invariance (the offset path exercised vs degenerate bins)
+    val big = Packing.temperatureMix(d, "lang", "doc_id", "n_tokens",
+        totalBudget = 8000, binSize = 1L << 20)
+      .select("doc_id", "cum_tokens", "grp_budget")
+      .as[(Long, Long, Long)].collect().toSet
+    val fine = Packing.temperatureMix(d, "lang", "doc_id", "n_tokens",
+        totalBudget = 8000, binSize = 7)
+      .select("doc_id", "cum_tokens", "grp_budget")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(big === fine && big.nonEmpty)
+  }
 }
