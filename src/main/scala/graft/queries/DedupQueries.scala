@@ -100,6 +100,26 @@ object DedupQueries {
       |FROM documents dd LEFT JOIN agg a USING (doc_id)
       |ORDER BY dd.doc_id""".stripMargin
 
+  /** Shared by q59 (batch audit) and q180 (streaming admission check):
+    * per corpus doc, the count of its distinct word 8-grams that occur
+    * anywhere in the benchmark split (doc_id % 10 = 0) — exact string
+    * grams, adjudicating the operators' 64-bit gram hashing.
+    */
+  private val decontaminateOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      | g AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+      |      list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))
+      |    ELSE [array_to_string(w, ' ')] END AS gs
+      |  FROM t),
+      | bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 0),
+      | corpus AS (
+      |  SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g
+      |  WHERE doc_id % 10 <> 0)
+      |SELECT c.doc_id, COUNT(*) AS n_hit_grams
+      |FROM corpus c JOIN bench b ON c.gram = b.gram
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared by q111 (batch) and q118 (streaming): exact string-shingle
     * NOT-EXISTS over the %3-history / %2-batch split — adjudicates the
     * 64-bit shingle hashing and the banded candidate recall of both
@@ -271,6 +291,15 @@ object DedupQueries {
     // batch scrub, so it shares q113's oracle.
     "q153_stream_excise_spans" -> ((s, dir) =>
       graft.streaming.DocumentStreams.streamingExciseSpans(s, dir)),
+
+    // Streaming twin of q59: benchmark gram fingerprints stay static,
+    // arriving docs shingle map-side and the stateless stream-static
+    // join counts contaminated grams per doc — the admission check a
+    // pipeline runs on every ingest batch before docs reach the corpus.
+    // Bounded drain ≡ batch contaminationHits, so it shares q59's exact
+    // string-gram oracle.
+    "q180_stream_contamination" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingContamination(s, dir, n = 8)),
 
     // Cross-document repeated-gram profile (ExactSubstr-lite): per doc,
     // the fraction of its distinct word 8-grams shared with any other
@@ -585,20 +614,10 @@ object DedupQueries {
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
         |  CAST(NULL AS BIGINT) AS hamming, CAST(NULL AS VARCHAR) AS side
         |WHERE FALSE""".stripMargin,
-    "q59_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        | g AS (
-        |  SELECT doc_id, CASE WHEN len(w) >= 8 THEN
-        |      list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))
-        |    ELSE [array_to_string(w, ' ')] END AS gs
-        |  FROM t),
-        | bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 0),
-        | corpus AS (
-        |  SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g
-        |  WHERE doc_id % 10 <> 0)
-        |SELECT c.doc_id, COUNT(*) AS n_hit_grams
-        |FROM corpus c JOIN bench b ON c.gram = b.gram
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_decontaminate" -> decontaminateOracle,
+    // The streaming admission check drains to the same per-doc hit
+    // counts on bounded input — one oracle for both execution modes.
+    "q180_stream_contamination" -> decontaminateOracle,
     // Exact string-shingle NOT-EXISTS — adjudicates both the 64-bit
     // shingle hashing and the banded candidate recall (q25's shingle
     // definition; a banding miss surfaces as a row the oracle drops

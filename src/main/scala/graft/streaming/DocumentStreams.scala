@@ -114,6 +114,39 @@ object DocumentStreams {
       .orderBy("doc_id")
   }
 
+  /** Streaming benchmark-contamination monitor — q59's decontamination
+    * check as an ingestion stream, the gate a training pipeline runs on
+    * every arriving batch BEFORE documents reach the corpus (batch q59
+    * audits after the fact; this blocks at the door). Arriving docs
+    * shingle MAP-SIDE (`ShingleHashSet` is a per-row projection), the
+    * stream-static inner join against the distinct benchmark gram
+    * fingerprints is STATELESS (the static side re-plans per
+    * micro-batch and is benchmark-sized — at 100 TB it broadcasts,
+    * exactly like the batch twin), and the per-doc hit count is the
+    * only stateful op (one counter per flagged doc; Complete mode for
+    * the bounded drain). Because `shingleHashSet` emits a DISTINCT set
+    * per document, the count is the number of distinct contaminated
+    * grams — the same quantity q59 reports, so the drained relation
+    * equals the batch operator's and shares its exact string-gram
+    * oracle.
+    */
+  def streamingContamination(spark: SparkSession, sfDir: String,
+                             n: Int = 8): DataFrame = {
+    val bench = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(explode(TextOps.shingleHashSet(col("text"), n)).as("__g"))
+      .distinct()
+    val hits = readDocumentsStream(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        explode(TextOps.shingleHashSet(col("text"), n)).as("__g"))
+      .join(bench, Seq("__g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+    EventStreams.runToMemory(hits, OutputMode.Complete())
+      .orderBy("doc_id")
+  }
+
   def streamingNewChunks(spark: SparkSession, sfDir: String): DataFrame = {
     def chunkRel(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
