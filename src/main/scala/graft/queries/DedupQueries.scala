@@ -301,6 +301,37 @@ object DedupQueries {
     "q180_stream_contamination" -> ((s, dir) =>
       graft.streaming.DocumentStreams.streamingContamination(s, dir, n = 8)),
 
+    // End-to-end curation pipeline — the composite a training-data run
+    // actually executes, as ONE dataflow: (1) admission filter (length
+    // floor, benchmark split held out), (2) near-dup drop (verified LSH
+    // pairs; a doc with a >= 0.8-Jaccard smaller-id neighbor is dropped
+    // — recall-exact in this corpus regime, q24's argument), (3)
+    // decontamination (any shared 8-gram with the benchmark split
+    // disqualifies), (4) temperature-mixed per-language token budgets
+    // (q179). Each stage is a previously-gated operator; the gate here
+    // is the COMPOSITION — one oracle restates all four stages over
+    // exact string grams end to end. At sf0.01: 316 admitted, 12
+    // near-dup dropped, 4 contaminated dropped, then the sqrt-budget
+    // cap selects per language.
+    "q181_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") % 10 =!= 0 && col("n_chars") >= 200)
+      val pairs = Dedup.lshNearDupPairs(base, "doc_id", "text", threshold = 0.8)
+      val deduped = base.join(
+        pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val hits = Dedup.contaminationHits(deduped,
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 8)
+      val clean = deduped.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+      val withTok = clean.withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("bigint"))
+      graft.operators.Packing.temperatureMix(withTok, "lang", "doc_id",
+          "n_tokens", totalBudget = 9000, binSize = 100)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"), col("grp_budget"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-document repeated-gram profile (ExactSubstr-lite): per doc,
     // the fraction of its distinct word 8-grams shared with any other
     // document — the span-level duplication diagnostic. Grams shuffle as
@@ -618,6 +649,58 @@ object DedupQueries {
     // The streaming admission check drains to the same per-doc hit
     // counts on bounded input — one oracle for both execution modes.
     "q180_stream_contamination" -> decontaminateOracle,
+    // All four pipeline stages restated over exact string grams; the
+    // near-dup stage assumes 100% band recall (q24's planted-pair
+    // argument) and the budget arithmetic is q179's (floor(sqrt) +
+    // integer division — bit-reproducible).
+    "q181_curation_pipeline" ->
+      """WITH base AS (SELECT doc_id, lang, text FROM documents
+        |   WHERE doc_id % 10 <> 0 AND n_chars >= 200),
+        | sh AS (SELECT doc_id, lang, text,
+        |    (SELECT CASE WHEN len(w) >= 3 THEN
+        |        list_distinct(list_transform(range(len(w)-2),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+        |      ELSE [text] END
+        |     FROM (SELECT string_split(text, ' ') AS w)) AS sh
+        |   FROM base),
+        | nd AS (SELECT DISTINCT b.doc_id FROM sh b JOIN sh a
+        |   ON a.doc_id < b.doc_id
+        |     AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |       >= 0.8),
+        | dd AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+        | wdd AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+        | gdd AS (SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+        |     list_transform(range(len(w)-7),
+        |       i -> array_to_string(w[i+1:i+8], ' '))
+        |   ELSE [array_to_string(w, ' ')] END AS gs FROM wdd),
+        | wb AS (SELECT string_split(text, ' ') AS w FROM documents
+        |   WHERE doc_id % 10 = 0),
+        | gb AS (SELECT CASE WHEN len(w) >= 8 THEN
+        |     list_transform(range(len(w)-7),
+        |       i -> array_to_string(w[i+1:i+8], ' '))
+        |   ELSE [array_to_string(w, ' ')] END AS gs FROM wb),
+        | bench AS (SELECT DISTINCT unnest(gs) AS gram FROM gb),
+        | cont AS (SELECT DISTINCT doc_id FROM
+        |   (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM gdd) c
+        |   JOIN bench USING (gram)),
+        | clean AS (SELECT d.* FROM dd d
+        |   WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        | t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |   FROM clean),
+        | tot AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total
+        |   FROM t GROUP BY 1),
+        | w2 AS (SELECT lang, CAST(FLOOR(SQRT(total)) AS BIGINT) AS w FROM tot),
+        | b2 AS (SELECT lang, CAST(9000 * w //
+        |     (SELECT CAST(SUM(w) AS BIGINT) FROM w2) AS BIGINT) AS grp_budget
+        |   FROM w2),
+        | c2 AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT c2.doc_id, c2.lang, c2.n_tokens, c2.cum_tokens, b2.grp_budget
+        |FROM c2 JOIN b2 USING (lang)
+        |WHERE c2.cum_tokens <= b2.grp_budget ORDER BY c2.doc_id""".stripMargin,
     // Exact string-shingle NOT-EXISTS — adjudicates both the 64-bit
     // shingle hashing and the banded candidate recall (q25's shingle
     // definition; a banding miss surfaces as a row the oracle drops
