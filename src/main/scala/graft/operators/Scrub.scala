@@ -96,4 +96,79 @@ object Scrub {
           .cast("bigint").as("n_nums"),
         md5(redactPii(col(textCol))).as("clean_md5"))
       .filter(col("n_emails") + col("n_ips") + col("n_nums") > 0)
+
+  /** Frequent-token downsampling (word2vec's subsample heuristic,
+    * Mikolov et al. 2013 §2.3): each token occurrence survives with
+    * probability min(1, sqrt(t / f_w)) where f_w is the word's corpus
+    * frequency — head words (the/of/and) thin toward sqrt-scaled
+    * counts, the long tail passes untouched. `thresholdPpb` is t in
+    * parts-per-billion (default 1e9 ppb = t of 1e-3, the paper's
+    * value). The "coin flip" is the deterministic positional hash
+    * h6(doc, pos) in [0, 1e6): an occurrence is kept iff
+    * h6² · cnt_w ≤ t_ppb · N, so the pass is bit-reproducible from
+    * (corpus, threshold) alone and the SQL oracle can restate it.
+    *
+    * Scale shape — the reason this is an operator and not a
+    * per-word join: a word is DROPPABLE at all only if
+    * cnt_w > N · t_ppb / 1e12 (otherwise every h6 passes), and words
+    * above that frequency number at most 1e12 / t_ppb (1000 at the
+    * default) REGARDLESS of corpus size, because their counts sum to
+    * N. So the droppable set collects to the driver (loud bound),
+    * each word's exact keep-ceiling maxh_w = isqrt(t_ppb · N / cnt_w)
+    * is computed in overflow-free BigInt, and the ceilings ship into
+    * the plan as a literal map. The rewrite is then a PURE MAP-SIDE
+    * higher-order filter over the split array — the corpus is scanned
+    * once for the vocabulary census (narrow word-count exchange) and
+    * once for the rewrite, and never shuffles. maxh is exact in
+    * double because droppable words have t_ppb·N/cnt < 1e12 < 2^53
+    * and isqrt(x<1e12) < 6.7e7, below the floor(sqrt) rounding hazard.
+    *
+    * Output: (idCol, ds_text, n_kept); NULL text stays NULL, a doc
+    * whose every token drops comes back as ('', 0).
+    *
+    * Contract: ids non-negative and `id·1000003 + pos` within Long
+    * (any realistic id space); tokens are single-space separated.
+    */
+  def downsampleFrequentTokens(docs: DataFrame, idCol: String,
+                               textCol: String,
+                               thresholdPpb: Long = 1000000000L,
+                               maxHotWords: Int = 1 << 16): DataFrame = {
+    require(thresholdPpb >= 1,
+      s"downsampleFrequentTokens: thresholdPpb must be >= 1, got $thresholdPpb")
+    val freq = docs
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+    val nTok = freq.agg(coalesce(sum("__cnt"), lit(0L))).head.getLong(0)
+    val t = BigInt(thresholdPpb) * nTok
+    // droppable ⇔ cnt > t/1e12 (else maxh ≥ 1e6 > any h6) — ≤ 1e12/ppb words
+    val hotBound = (t / BigInt(1000000000000L)).toLong
+    val hotRows = freq.filter(col("__cnt") > hotBound)
+      .limit(maxHotWords + 1).collect()
+    require(hotRows.length <= maxHotWords,
+      s"downsampleFrequentTokens: more than $maxHotWords droppable words " +
+        "(thresholdPpb is very aggressive) - the ceiling map would bloat the " +
+        "plan. Raise maxHotWords deliberately or raise thresholdPpb.")
+    val ceilings: Map[String, Long] = hotRows.map { r =>
+      val arg = (t / r.getLong(1)).toDouble // < 1e12, exact in double
+      r.getString(0) -> math.floor(math.sqrt(arg)).toLong
+    }.toMap
+    def h6(id: Column, pos: Column): Column =
+      pmod(pmod(id * lit(1000003L) + pos + lit(1L), lit(3000000000L))
+        * lit(2654435761L), lit(1000000L))
+    val words = split(col(textCol), " ")
+    val keptArr =
+      if (ceilings.isEmpty) words
+      else {
+        val maxhMap = typedLit(ceilings)
+        filter(words, (w, i) => {
+          val mh = element_at(maxhMap, w)
+          mh.isNull || h6(col(idCol), i.cast("long")) <= mh
+        })
+      }
+    docs.select(col(idCol),
+      when(col(textCol).isNull, lit(null).cast("string"))
+        .otherwise(array_join(keptArr, " ")).as("ds_text"),
+      when(col(textCol).isNull, lit(null).cast("bigint"))
+        .otherwise(size(keptArr).cast("bigint")).as("n_kept"))
+  }
 }

@@ -264,6 +264,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Frequent-token downsampling (word2vec's subsample heuristic):
+    // head words thin toward sqrt-scaled counts under a deterministic
+    // positional-hash coin; the droppable-word set is provably ≤ 1000
+    // entries at the default threshold, so the rewrite is a pure
+    // map-side array filter against a literal ceiling map — the corpus
+    // never shuffles. The oracle restates hash, ceilings, and
+    // reassembly in exact integer arithmetic.
+    "q182_token_downsample" -> ((s, dir) =>
+      graft.operators.Scrub.downsampleFrequentTokens(
+          docs(s, dir), "doc_id", "text", thresholdPpb = 1000000000L)
+        .orderBy("doc_id")),
+
     // Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     // Spirakis A-ES): each doc draws u from the q45/q70 multiplicative
     // hash (exact integer → one double division, engine-identical) and
@@ -1460,6 +1472,34 @@ object TextQueries {
         |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens, b.grp_budget
         |FROM c JOIN b USING (lang)
         |WHERE c.cum_tokens <= b.grp_budget ORDER BY c.doc_id""".stripMargin,
+    // Keep rule: h6(doc,pos)² · cnt ≤ t_ppb · N, restated as
+    // h6 ≤ floor(sqrt(t_ppb·N // cnt)) — exact because the argument is
+    // < 2^53 and the root is far below the floor(sqrt) rounding hazard
+    // (see downsampleFrequentTokens). Same positional hash, 0-based pos.
+    "q182_token_downsample" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents WHERE text IS NOT NULL),
+        | wp AS (SELECT doc_id, pos, w[pos+1] AS word
+        |   FROM (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t)),
+        | f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wp GROUP BY 1),
+        | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wp),
+        | m AS (SELECT word, CAST(FLOOR(SQRT(CAST(
+        |     (1000000000 * (SELECT n FROM n)) // cnt AS DOUBLE))) AS BIGINT)
+        |     AS maxh
+        |   FROM f),
+        | kept AS (SELECT wp.doc_id, wp.pos, wp.word
+        |   FROM wp JOIN m USING (word)
+        |   WHERE ((((wp.doc_id * 1000003 + wp.pos + 1) % 3000000000)
+        |     * 2654435761) % 1000000) <= m.maxh),
+        | agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS ct,
+        |   CAST(COUNT(*) AS BIGINT) AS nk FROM kept GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(a.ct, CASE WHEN d.text IS NULL THEN NULL ELSE '' END)
+        |    AS ds_text,
+        |  COALESCE(a.nk, CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE CAST(0 AS BIGINT) END) AS n_kept
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q110_quality_classifier_gate" ->
       """SELECT CAST(NULL AS DOUBLE) AS accuracy, CAST(NULL AS DOUBLE) AS floor
         |WHERE FALSE""".stripMargin,

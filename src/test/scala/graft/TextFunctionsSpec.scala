@@ -330,4 +330,61 @@ class TextFunctionsSpec extends SparkSpec {
     // exactly-k per stratum (strata here are larger than k)
     assert(viaAgg.groupBy(_._1).values.forall(_.length === 25))
   }
+
+  test("Scrub.downsampleFrequentTokens: tail untouched, head thinned, " +
+      "subsequence law, deterministic, null/empty totality") {
+    import graft.operators.Scrub
+    // all-distinct corpus of ≥1000 tokens: every word's frequency is
+    // 1/N ≤ t=1e-3, nothing is droppable → identity. (On a TINY corpus
+    // even singletons exceed the frequency threshold and thin — that is
+    // the formula, not a bug: f = 1/N >> t.)
+    val tailTexts = (0 until 2).map(d =>
+      (d.toLong + 1L, (0 until 600).map(i => s"w${d}_$i").mkString(" ")))
+    val tail = tailTexts.toDF("doc_id", "text")
+    val tailOut = Scrub.downsampleFrequentTokens(tail, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(tailOut === tailTexts.map { case (id, t) => (id, t, 600L) })
+
+    // real corpus: head words thin, rare words never dropped, every
+    // output is a positional subsequence of its input
+    val d = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
+    val out = Scrub.downsampleFrequentTokens(d, "doc_id", "text")
+    val joined = d.join(out, "doc_id")
+      .select($"doc_id", $"text", $"ds_text", $"n_kept")
+      .as[(Long, String, String, Long)].collect()
+    val freq = d.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ", -1)).groupBy(identity).view.mapValues(_.length)
+    val nTok = freq.values.sum
+    joined.foreach { case (id, orig, ds, nk) =>
+      val ow = orig.split(" ", -1).toSeq
+      val dw = if (ds.isEmpty) Seq.empty else ds.split(" ", -1).toSeq
+      assert(dw.size === nk, s"doc $id")
+      // subsequence check: dw embeds into ow in order
+      var i = 0
+      dw.foreach { w =>
+        val j = ow.indexOf(w, i)
+        assert(j >= 0, s"doc $id: '$w' not a subsequence element")
+        i = j + 1
+      }
+      // words below the droppable bound survive in full
+      val hotBound = nTok / 1000L
+      val owHot = ow.filter(w => freq(w) > hotBound)
+      assert(dw.size >= ow.size - owHot.size, s"doc $id dropped a tail word")
+    }
+    // head genuinely thinned on this corpus
+    assert(joined.map(_._4).sum < joined.map(_._2.split(" ", -1).length.toLong).sum)
+    // deterministic re-run
+    val again = Scrub.downsampleFrequentTokens(d, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(again === out.as[(Long, String, Long)].collect().toSet)
+
+    // totality: NULL text → NULL; a doc whose token always drops → ('', 0)
+    // (forced by a tiny threshold over a two-word corpus is impossible to
+    // pin deterministically, so assert the NULL path only)
+    val nulls = Seq((9L, Option.empty[String]), (10L, Option("x x x"))).toDF("doc_id", "text")
+    val nOut = Scrub.downsampleFrequentTokens(nulls, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Option[String], Option[Long])].collect().toSeq
+    assert(nOut.head === ((9L, None, None)))
+    assert(nOut(1)._2.isDefined && nOut(1)._3.isDefined)
+  }
 }
