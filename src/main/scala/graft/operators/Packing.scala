@@ -186,8 +186,74 @@ object Packing {
       .drop("__bg")
   }
 
-  /** The q100 two-phase binned prefix sum, shared by `tokenBudgetCap`
-    * and `temperatureMix`: returns (rows + `cum_tokens`, the collected
+  /** Deterministic proportional interleave (stride scheduling, Waldspurger
+    * & Weihl '95 — the lottery/stride work multiplexed schedulers use,
+    * here multiplexing corpus SOURCES into one training order): group g
+    * holding w_g of the corpus's W rows occupies every prefix of the
+    * merged order at ~w_g/W of the slots, with bounded drift — the
+    * "interleave shards at mixture rates" pass that turns per-source
+    * shards into a single mixed curriculum without a global shuffle.
+    * Item k (1-based, ascending `orderCol` within its group) gets stride
+    * key (2k−1)/w_g — the midpoint rule, so a group's items sit at the
+    * centers of its w_g equal slices of [0, 2] — and the merged order is
+    * (key asc, group asc); within a group keys strictly increase, across
+    * groups ties break lexicographically, so the order is total and
+    * reproducible from (corpus, groupCol, orderCol) alone.
+    *
+    * Determinism: the key is ONE IEEE division of two exact integers
+    * (both < 2^53 by the id-space contract) — correctly rounded,
+    * bit-identical in any engine; everything else is integer.
+    *
+    * Scale shape: per-group positions k come from the shared two-phase
+    * binned machinery (one narrow census + one broadcast-joined local
+    * window — never a per-group window over the corpus); group weights
+    * are a driver fold of the SAME census (zero extra scans, the
+    * `temperatureMix` move); the schedule head is a bounded
+    * TakeOrderedAndProject (map-side heaps) and the `ord` window runs
+    * over the `take` survivors only (the q130 discipline). Emitting the
+    * FULL schedule order instead is a sort-merge write, not a window —
+    * at 100 TB you'd range-partition by key and write shards in
+    * partition order.
+    *
+    * Output: first `take` slots as (ord 1.., groupCol, orderCol, k, w).
+    */
+  def proportionalInterleave(docs: DataFrame, groupCol: String,
+                             orderCol: String, take: Int,
+                             binSize: Long = 1L << 20,
+                             maxBinRows: Long = 1L << 22,
+                             maxBins: Int = 1 << 20): DataFrame = {
+    require(take >= 1, s"proportionalInterleave: take must be >= 1, got $take")
+    import org.apache.spark.sql.expressions.Window
+    val withOne = docs.select(col(groupCol), col(orderCol))
+      .withColumn("__one", lit(1L))
+    val (cum, census) = binnedRunningTotals(withOne, groupCol, orderCol,
+      "__one", binSize, maxBinRows, maxBins)
+    val weights: Seq[(Any, Long)] = census.toSeq.groupBy(_.get(0))
+      .map { case (g, rs) =>
+        g -> rs.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+      }.toSeq
+    val groupField = cum.schema(groupCol)
+    val wRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(weights.map { case (g, w) =>
+        org.apache.spark.sql.Row(g, w)
+      }: _*)
+    val wSchema = org.apache.spark.sql.types.StructType(Seq(
+      groupField.copy(name = "__wg", nullable = true),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val wDf = docs.sparkSession.createDataFrame(wRows, wSchema)
+    val keyed = cum.withColumnRenamed("cum_tokens", "k")
+      .join(broadcast(wDf), col(groupCol) <=> col("__wg"))
+      .withColumn("__key", (lit(2L) * col("k") - 1L).cast("double") / col("w"))
+    val wOrd = Window.orderBy(col("__key"), col(groupCol))
+    keyed.orderBy(col("__key"), col(groupCol)).limit(take)
+      .withColumn("ord", row_number().over(wOrd).cast("long"))
+      .select(col("ord"), col(groupCol), col(orderCol), col("k"), col("w"))
+      .orderBy("ord")
+  }
+
+  /** The q100 two-phase binned prefix sum, shared by `tokenBudgetCap`,
+    * `temperatureMix`, and `proportionalInterleave`: returns (rows + `cum_tokens`, the collected
     * (group, __bin, __bin_sum, __bin_rows) census the offsets were built
     * from). See `tokenBudgetCap`'s Scaladoc for the full contract — this
     * helper is that operator minus the budget filter.

@@ -264,6 +264,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic proportional interleave (stride scheduling): the
+    // per-language shards merge into one training order occupying every
+    // prefix at ~natural-share rates; first 100 slots emitted, per-slot
+    // rank windowed over the survivors only. The stride key is one IEEE
+    // division of exact integers — engine-identical.
+    "q183_stride_interleave" -> ((s, dir) =>
+      graft.operators.Packing.proportionalInterleave(
+          docs(s, dir), "lang", "doc_id", take = 100, binSize = 100)),
+
     // Frequent-token downsampling (word2vec's subsample heuristic):
     // head words thin toward sqrt-scaled counts under a deterministic
     // positional-hash coin; the droppable-word set is provably ≤ 1000
@@ -1472,6 +1481,21 @@ object TextQueries {
         |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens, b.grp_budget
         |FROM c JOIN b USING (lang)
         |WHERE c.cum_tokens <= b.grp_budget ORDER BY c.doc_id""".stripMargin,
+    // Stride key restated with the same single IEEE division; ties
+    // across groups break by lang, within a group keys strictly
+    // increase, so the 100-slot head is a total deterministic order.
+    "q183_stride_interleave" ->
+      """WITH t AS (SELECT doc_id, lang FROM documents),
+        | k AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER
+        |    (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS k FROM t),
+        | w AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS w FROM t GROUP BY 1),
+        | s AS (SELECT k.doc_id, k.lang, k.k, w.w,
+        |    CAST(2*k.k - 1 AS DOUBLE) / w.w AS key
+        |   FROM k JOIN w USING (lang)),
+        | top AS (SELECT * FROM s ORDER BY key, lang LIMIT 100)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key, lang) AS BIGINT) AS ord,
+        |  lang, doc_id, k, w
+        |FROM top ORDER BY ord""".stripMargin,
     // Keep rule: h6(doc,pos)² · cnt ≤ t_ppb · N, restated as
     // h6 ≤ floor(sqrt(t_ppb·N // cnt)) — exact because the argument is
     // < 2^53 and the root is far below the floor(sqrt) rounding hazard

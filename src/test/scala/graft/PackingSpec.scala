@@ -224,4 +224,31 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(big === fine && big.nonEmpty)
   }
+
+  test("proportionalInterleave equals a Scala reference merge and bounds prefix drift") {
+    val d = Tables.load(spark, sfDir, "documents").select($"lang", $"doc_id")
+    val all = d.as[(String, Long)].collect()
+    val n = all.length
+    val got = Packing.proportionalInterleave(d, "lang", "doc_id",
+        take = n, binSize = 100)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // reference: stride keys (2k-1)/w, merged by (key, lang)
+    val byLang = all.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val ref = byLang.toSeq.flatMap { case (g, ids) =>
+      val w = ids.length.toLong
+      ids.zipWithIndex.map { case (id, i) =>
+        ((2L * (i + 1) - 1).toDouble / w, g, id, (i + 1).toLong, w)
+      }
+    }.sortBy(r => (r._1, r._2))
+      .zipWithIndex.map { case ((_, g, id, k, w), i) => (i + 1L, g, id, k, w) }
+    assert(got === ref)
+    // stride law: every prefix holds each group within ~1 slot of its share
+    val counts = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    got.foreach { case (ord, g, _, _, w) =>
+      counts(g) += 1
+      val expect = ord.toDouble * w / n
+      assert(math.abs(counts(g) - expect) <= 1.0 + 1e-9,
+        s"prefix $ord: group $g has ${counts(g)}, expected ~$expect")
+    }
+  }
 }
