@@ -187,6 +187,28 @@ object Tables {
     }
   }
 
+  /** One raw binary file per document (payload = UTF-8 text bytes,
+    * named <doc_id>.bin) — the on-disk shape an image/audio corpus
+    * arrives in before any tabular ingestion, feeding the `binaryFile`
+    * source (q184). NULL-text docs have no file (nothing to write).
+    * The collect is fixture-building over the bounded testdata table,
+    * not a query path. Built once per sf.
+    */
+  def documentsBinFilesLayout(spark: SparkSession, sfDir: String): String =
+    derivedLayout(sfDir, "documents", "documents_binfiles") { out =>
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.functions.col
+      val dir = Paths.get(out)
+      Files.createDirectories(dir)
+      load(spark, sfDir, "documents").select("doc_id", "text")
+        .where(col("text").isNotNull)
+        .collect().foreach { r =>
+          Files.write(dir.resolve(s"${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    }
+
   /** ORC copy of `orders` — the second columnar source format (same
     * pushdown/pruning path as parquet through the ORC reader).
     */

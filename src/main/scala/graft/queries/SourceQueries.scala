@@ -52,6 +52,28 @@ object SourceQueries {
 
     // ORC scan with predicate pushdown: the status filter reaches the
     // ORC reader (PushedFilters), same scan path as parquet.
+    // binaryFile-source ingestion — the multimodal front door: a
+    // directory of raw per-document payload files reads as (path,
+    // content) rows, doc ids recover from filenames, and the q35
+    // codegen byte-feature projection runs unchanged on the content
+    // column. At 100 TB this is how image/audio corpora enter the
+    // engine (binaryFile parallelizes per file and prunes by glob);
+    // the hash gate proves file round-trip + id recovery are lossless
+    // byte-for-byte against the parquet-side restatement.
+    "q184_binaryfile_ingest" -> ((s, dir) => {
+      val path = Tables.documentsBinFilesLayout(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.bin$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"))
+      graft.operators.Multimodal.featureColumns(media)
+        .select(col("doc_id"), col("n_bytes"), col("sha256_hex"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy("doc_id")
+    }),
+
     "q90_orc_roundtrip" -> ((s, dir) => {
       val path = Tables.ordersOrcLayout(s, dir)
       s.read.orc(path)
@@ -124,6 +146,16 @@ object SourceQueries {
         |  ROUND(AVG(CASE WHEN doc_id % 2 <> 0
         |    THEN CAST(n_chars % 7 AS DOUBLE) END), 6) AS avg_quality
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q35's byte-feature restatement, minus the docs that have no file
+    // (NULL text) — the binaryFile read must reproduce every payload
+    // byte-exactly for the sha/brightness to hash-match.
+    "q184_binaryfile_ingest" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256_hex,
+        |  ROUND(CAST((SELECT SUM(x) FROM UNNEST(list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substr(text, i, 1)))) AS t(x)) AS DOUBLE) / octet_length(encode(text)), 6)
+        |    AS brightness
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     "q90_orc_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  ROUND(SUM(o_totalprice), 2) AS total_price
