@@ -837,6 +837,13 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming twin of q104: the scrub is per-row codegen regex, so
+    // the streaming plan is fully stateless (Append mode) — redaction
+    // at the ingestion door. Bounded drain ≡ batch piiStats; shares
+    // q104's oracle.
+    "q185_stream_pii_scrub" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingPiiScrub(s, dir)),
+
     // Stratified weighted sampling: q130's A-ES keys selected PER
     // LANGUAGE through bounded per-group heaps (q76's
     // TopKAggregator shape — k-row partials merge map-side, no
@@ -1358,6 +1365,32 @@ object TextQueries {
       |SELECT doc_id, n_occ FROM m WHERE n_occ > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Shared by q104 (batch) and q185 (streaming): the planted-PII
+    * fixture, detection counts, and redacted-text md5 restated in
+    * RE2 regex - one oracle for both execution modes.
+    */
+  private val piiScrubOracle =
+    """WITH t AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 25 = 0 THEN text ||
+      |      ' contact alice.w@example.org from 10.0.0.1 ref 4111111111111111'
+      |    ELSE text END AS text
+      |  FROM documents),
+      | m AS (SELECT doc_id,
+      |    len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |    len(regexp_extract_all(text,
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+      |    len(regexp_extract_all(text, '\b\d{9,}\b')) AS n_nums,
+      |    md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\b\d{9,}\b', '<NUM>', 'g')) AS clean_md5
+      |  FROM t)
+      |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+      |  CAST(n_ips AS BIGINT) AS n_ips, CAST(n_nums AS BIGINT) AS n_nums,
+      |  clean_md5
+      |FROM m WHERE n_emails + n_ips + n_nums > 0 ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q172_postings_phrase_search" -> phraseSearchOracle,
     "q176_postings_append" -> phraseSearchOracle,
@@ -1764,27 +1797,10 @@ object TextQueries {
     // The oracle re-plants the same PII suffix and runs the same
     // Java∩RE2 patterns through RE2; md5 of the redacted text makes the
     // hash gate validate the exact redaction bytes, not just counts.
-    "q104_pii_scrub" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 25 = 0 THEN text ||
-        |      ' contact alice.w@example.org from 10.0.0.1 ref 4111111111111111'
-        |    ELSE text END AS text
-        |  FROM documents),
-        | m AS (SELECT doc_id,
-        |    len(regexp_extract_all(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |    len(regexp_extract_all(text,
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
-        |    len(regexp_extract_all(text, '\b\d{9,}\b')) AS n_nums,
-        |    md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |      '\b\d{9,}\b', '<NUM>', 'g')) AS clean_md5
-        |  FROM t)
-        |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
-        |  CAST(n_ips AS BIGINT) AS n_ips, CAST(n_nums AS BIGINT) AS n_nums,
-        |  clean_md5
-        |FROM m WHERE n_emails + n_ips + n_nums > 0 ORDER BY doc_id""".stripMargin,
+    "q104_pii_scrub" -> piiScrubOracle,
+    // The streaming scrub drains to the same flagged set on bounded
+    // input - one oracle for both execution modes.
+    "q185_stream_pii_scrub" -> piiScrubOracle,
     // Same interpolation definition both engines (q46 gates it); the
     // band compare runs on the identical doubles, so the boundary
     // rows resolve identically.

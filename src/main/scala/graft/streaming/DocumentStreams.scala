@@ -147,6 +147,24 @@ object DocumentStreams {
       .orderBy("doc_id")
   }
 
+  /** Streaming PII scrub — q104's redaction pass at the ingestion
+    * door, completing the scrub stack's batch/streaming symmetry: the
+    * planted-PII fixture, detection counts, and the md5 of the
+    * redacted text are all PER-ROW codegen projections (regex in the
+    * Java∩RE2 subset), so the plan is fully stateless and drains in
+    * Append mode — the deployed form is exactly this plus a sink. On
+    * bounded input the drain equals batch `Scrub.piiStats`, whose
+    * oracle q185 shares with q104.
+    */
+  def streamingPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = readDocumentsStream(spark, sfDir).withColumn("text",
+      when(col("doc_id") % 25 === 0,
+        concat(col("text"), lit(" contact alice.w@example.org from " +
+          "10.0.0.1 ref 4111111111111111"))).otherwise(col("text")))
+    val out = graft.operators.Scrub.piiStats(planted, "doc_id", "text")
+    EventStreams.runToMemory(out, OutputMode.Append()).orderBy("doc_id")
+  }
+
   def streamingNewChunks(spark: SparkSession, sfDir: String): DataFrame = {
     def chunkRel(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
