@@ -1022,6 +1022,39 @@ object TextQueries {
     // relation as q160/q172, same oracle. Rebuilt-then-appended fresh
     // on every invocation so the gate exercises the append path
     // deterministically.
+    // Postings tombstone delete — the third leg of the index lifecycle
+    // (build q172, append q176, delete here): retention deletes mark a
+    // tombstone set instead of rewriting the bucketed index, and the
+    // search applies them as one broadcast anti-join AFTER the
+    // bucket-pruned lookups — deletions are visible immediately at
+    // read time while the physical purge (a per-bucket rewrite, q177's
+    // move on a bucketed table) can run whenever maintenance windows
+    // allow. The oracle restates the phrase search over the corpus
+    // minus the deleted split (32 → 23 matching docs at sf0.01, so the
+    // tombstones provably bite).
+    "q186_postings_delete" -> ((s, dir) => {
+      val phrase = Seq("table", "part")
+      val postings = docs(s, dir)
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .toDF("doc_id", "pos", "w")
+        .select(col("w"), col("doc_id"), col("pos"))
+      graft.Bucketing.ensureBucketedTable(postings, "bq_postings_w",
+        buckets = 16, key = "w",
+        token = dir + "|" + graft.Tables.sourceToken(dir, "documents"))
+      val tomb = docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select("doc_id")
+      val tb = s.table("bq_postings_w")
+      phrase.zipWithIndex
+        .map { case (word, i) =>
+          tb.filter(col("w") === word)
+            .select(col("doc_id"), (col("pos") - i).as("pos"))
+        }
+        .reduce(_.join(_, Seq("doc_id", "pos")))
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .orderBy("doc_id")
+    }),
+
     "q176_postings_append" -> ((s, dir) => {
       val phrase = Seq("table", "part")
       def postings(d: DataFrame) = d
@@ -1394,6 +1427,17 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q172_postings_phrase_search" -> phraseSearchOracle,
     "q176_postings_append" -> phraseSearchOracle,
+    // The phrase search minus the tombstoned split: read-time deletes
+    // must be indistinguishable from an index built without those docs.
+    "q186_postings_delete" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        | m AS (SELECT doc_id,
+        |    CAST(len(list_filter(range(1, len(w)),
+        |      i -> w[i] = 'table' AND w[i + 1] = 'part')) AS BIGINT) AS n_occ
+        |  FROM t)
+        |SELECT doc_id, n_occ FROM m WHERE n_occ > 0
+        |ORDER BY doc_id""".stripMargin,
     "q60_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         | base AS (
