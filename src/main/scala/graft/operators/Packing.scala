@@ -215,10 +215,20 @@ object Packing {
     * at 100 TB you'd range-partition by key and write shards in
     * partition order.
     *
+    * With `sqrtWeights = true` the stride weight is floor(sqrt(w_g))
+    * instead of w_g — the q179 temperature exponent applied to the
+    * ORDER rather than the budget, so low-resource groups surface
+    * earlier and more often than their natural rate (the curriculum
+    * twin of temperature sampling; same IEEE-exact floor(sqrt)
+    * determinism argument). Note the group then exhausts its items
+    * before the schedule ends — the natural-rate tail — which is
+    * exactly the behavior of epoch-limited oversampling.
+    *
     * Output: first `take` slots as (ord 1.., groupCol, orderCol, k, w).
     */
   def proportionalInterleave(docs: DataFrame, groupCol: String,
                              orderCol: String, take: Int,
+                             sqrtWeights: Boolean = false,
                              binSize: Long = 1L << 20,
                              maxBinRows: Long = 1L << 22,
                              maxBins: Int = 1 << 20): DataFrame = {
@@ -230,7 +240,8 @@ object Packing {
       "__one", binSize, maxBinRows, maxBins)
     val weights: Seq[(Any, Long)] = census.toSeq.groupBy(_.get(0))
       .map { case (g, rs) =>
-        g -> rs.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+        val w = rs.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+        g -> (if (sqrtWeights) math.floor(math.sqrt(w.toDouble)).toLong else w)
       }.toSeq
     val groupField = cum.schema(groupCol)
     val wRows: java.util.List[org.apache.spark.sql.Row] =

@@ -273,6 +273,15 @@ object TextQueries {
       graft.operators.Packing.proportionalInterleave(
           docs(s, dir), "lang", "doc_id", take = 100, binSize = 100)),
 
+    // Temperature-rate curriculum: the q179 sqrt exponent applied to
+    // the ORDER (stride weights floor(sqrt(count))) — low-resource
+    // languages surface earlier/oftener than their natural rate; en's
+    // slot share in the head flattens from ~44% toward its sqrt share.
+    "q187_temperature_interleave" -> ((s, dir) =>
+      graft.operators.Packing.proportionalInterleave(
+          docs(s, dir), "lang", "doc_id", take = 100, sqrtWeights = true,
+          binSize = 100)),
+
     // Frequent-token downsampling (word2vec's subsample heuristic):
     // head words thin toward sqrt-scaled counts under a deterministic
     // positional-hash coin; the droppable-word set is provably ≤ 1000
@@ -1566,6 +1575,21 @@ object TextQueries {
         | k AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER
         |    (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS k FROM t),
         | w AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS w FROM t GROUP BY 1),
+        | s AS (SELECT k.doc_id, k.lang, k.k, w.w,
+        |    CAST(2*k.k - 1 AS DOUBLE) / w.w AS key
+        |   FROM k JOIN w USING (lang)),
+        | top AS (SELECT * FROM s ORDER BY key, lang LIMIT 100)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key, lang) AS BIGINT) AS ord,
+        |  lang, doc_id, k, w
+        |FROM top ORDER BY ord""".stripMargin,
+    // q183 with stride weights floor(sqrt(count)) — the IEEE-exact
+    // sqrt both engines share (q179's determinism argument).
+    "q187_temperature_interleave" ->
+      """WITH t AS (SELECT doc_id, lang FROM documents),
+        | k AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER
+        |    (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS k FROM t),
+        | w AS (SELECT lang, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w
+        |   FROM t GROUP BY 1),
         | s AS (SELECT k.doc_id, k.lang, k.k, w.w,
         |    CAST(2*k.k - 1 AS DOUBLE) / w.w AS key
         |   FROM k JOIN w USING (lang)),
