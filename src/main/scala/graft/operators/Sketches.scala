@@ -93,4 +93,29 @@ object Sketches {
     struct(unionEst.as("union_est"), (rho * unionEst).as("intersect_est"),
       rho.as("jaccard_est"))
   }
+
+  /** One CMS per group over `keyCol` — the join-size face of the sketch
+    * family (see [[graft.functions.CmsAggregator]]). Map-side partials
+    * merge by element-wise add; depth·width longs of state per group.
+    */
+  def cmsSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                depth: Int, width: Int): DataFrame = {
+    val cms = udaf(new graft.functions.CmsAggregator(depth, width),
+      Encoders.scalaLong)
+    val grouped = df
+      .select((groupCols.map(col) :+ xxhash64(col(keyCol)).as("__h")): _*)
+      .groupBy(groupCols.map(col): _*)
+    grouped.agg(cms(col("__h")).as("cms"))
+  }
+
+  /** Join-size estimate min_r Σ_c A[r][c]·B[r][c] for two CMS columns
+    * of the same (depth, width) — pure higher-order column arithmetic
+    * (no UDF): |A ⋈ B| on the sketched keys, NEVER below the exact
+    * value, within e·N_a·N_b/width above it w.p. 1−e^(−depth).
+    */
+  def cmsJoinSize(a: Column, b: Column, depth: Int, width: Int): Column =
+    array_min(transform(sequence(lit(0), lit(depth - 1)), r =>
+      aggregate(sequence(lit(0), lit(width - 1)), lit(0L), (acc, c) =>
+        acc + element_at(a, r * width + c + 1) *
+          element_at(b, r * width + c + 1))))
 }

@@ -21,6 +21,51 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
   val queries: Map[String, Q] = Map(
+    // CMS join-size estimation gate — the planner question "how big is
+    // this join" answered from two depth×width sketches instead of
+    // running the join (Cormode-Muthukrishnan inner-product estimator).
+    // Two laws gate it: est ≥ exact ALWAYS (counters only over-count —
+    // a deterministic inequality), and est ≤ exact + e·N_a·N_b/width
+    // (Markov over the min of depth rows; fixed seeds over fixed data
+    // make it deterministic here). Cases: the orders⋈lineitem FK join
+    // and the events.user_id SELF-join size (= F2, the quantity that
+    // prices a skewed shuffle). Sketches merge by element-wise add, so
+    // at 100 TB each side builds map-side in one pass; the referee
+    // joins are sf-bounded gate work only.
+    "q188_cms_joinsize_gate" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val depth = 5; val width = 4096
+      def sk(df: DataFrame, c: String) =
+        Sketches.cmsSketch(df.select(col(c).as("k")).withColumn("g", lit(1)),
+          Seq("g"), "k", depth, width).select(col("cms"))
+      def exactJoin(a: DataFrame, ac: String, b: DataFrame, bc: String) =
+        a.groupBy(col(ac).as("k")).agg(count(lit(1)).as("ca"))
+          .join(b.groupBy(col(bc).as("k")).agg(count(lit(1)).as("cb")), "k")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_v"))
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val ev = Tables.load(s, dir, "events")
+      val cases = Seq(
+        ("orders_lineitem",
+          sk(li, "l_orderkey"), sk(o, "o_orderkey"),
+          exactJoin(li, "l_orderkey", o, "o_orderkey"),
+          li.count() * o.count()),
+        ("events_selfjoin",
+          sk(ev, "user_id"), sk(ev, "user_id"),
+          exactJoin(ev, "user_id", ev, "user_id"),
+          ev.count() * ev.count()))
+      cases.map { case (label, sa, sb, exact, nanb) =>
+        sa.crossJoin(sb.withColumnRenamed("cms", "cmsb"))
+          .crossJoin(exact)
+          .select(lit(label).as("label"), col("exact_v"),
+            Sketches.cmsJoinSize(col("cms"), col("cmsb"), depth, width)
+              .as("est_v"),
+            round(lit(math.E * nanb.toDouble / width), 6).as("slack"))
+      }.reduce(_.unionByName(_))
+        .filter(col("est_v") < col("exact_v") ||
+          col("est_v") > col("exact_v") + col("slack"))
+        .orderBy("label")
+    }),
+
     // A1/A9 hash aggregation (reference transform_spark.py:127-136 shape):
     // partial+final agg, one shuffle on the group keys.
     "q01_agg_returnflag" -> ((s, dir) => {
@@ -490,6 +535,12 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Referee gate: violations of the never-under / Markov-band laws —
+    // correct sketch arithmetic makes it EMPTY.
+    "q188_cms_joinsize_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS label, CAST(NULL AS BIGINT) AS exact_v,
+        |  CAST(NULL AS BIGINT) AS est_v, CAST(NULL AS DOUBLE) AS slack
+        |WHERE FALSE""".stripMargin,
     "q169_integrity_audit" ->
       """WITH lost AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
         | a AS (SELECT 'fk_lineitem_orders_after_loss' AS check_name,

@@ -252,6 +252,41 @@ class SketchSpec extends SparkSpec {
     assert(differing > 0L, "fixture must make the delta observable")
   }
 
+  test("CMS join-size: never-under law, element-wise-add merge, q188 gate " +
+      "empty and non-vacuous") {
+    import graft.operators.Sketches
+    val depth = 5; val width = 64
+    def sketchOf(df: org.apache.spark.sql.DataFrame, c: String) =
+      Sketches.cmsSketch(df.select(col(c).as("k")).withColumn("g", lit(1)),
+          Seq("g"), "k", depth, width)
+        .select("cms").as[Seq[Long]].head().toArray
+    // small width forces real collisions → the never-under law is
+    // exercised where it matters
+    val ev = events.select("user_id")
+    val skA = sketchOf(ev, "user_id")
+    val exact = ev.groupBy("user_id").count()
+      .agg(sum(col("count") * col("count"))).as[Long].head()
+    def inner(a: Array[Long], b: Array[Long]): Long =
+      (0 until depth).map { r =>
+        (0 until width).map(c => a(r * width + c) * b(r * width + c)).sum
+      }.min
+    val est = inner(skA, skA)
+    assert(est >= exact, s"CMS under-estimated: $est < $exact")
+    // merge law: sketch(A ∪ B) == sketch(A) + sketch(B), bit-for-bit
+    val h1 = sketchOf(ev.filter($"user_id" % 2 === 0), "user_id")
+    val h2 = sketchOf(ev.filter($"user_id" % 2 =!= 0), "user_id")
+    val whole = sketchOf(ev, "user_id")
+    assert(h1.zip(h2).map(p => p._1 + p._2).toSeq === whole.toSeq)
+    // q188 gate: empty on the battery fixture…
+    assert(SparkEntry.queries("q188_cms_joinsize_gate")(spark, sfDir)
+      .count() === 0L)
+    // …and non-vacuous: a corrupted (zeroed-row) sketch under-estimates
+    // and the never-under check fires
+    val corrupted = whole.clone(); (0 until width).foreach(c => corrupted(c) = 0L)
+    assert(inner(corrupted, whole) < exact,
+      "corrupting a row must push the estimate below exact")
+  }
+
   test("q78 int8 quantization: per-element error within half a step") {
     // |x - recon| <= scale/254 per element, so rmse <= scale/254 and
     // the reconstruction stays essentially colinear.
