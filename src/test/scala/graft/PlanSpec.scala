@@ -571,6 +571,49 @@ class PlanSpec extends SparkSpec {
       "the single exchange should be the orderBy:\n" + p.take(2000))
   }
 
+  test("q179/q183 mixing plans: detail windows stay per (group, bin), " +
+      "budgets/weights broadcast back") {
+    Seq("q179_temperature_mix", "q183_stride_interleave").foreach { q =>
+      val p = planOf(q)
+      // no windowspec partitioned by the group alone on the corpus side —
+      // the one-task-per-language plan the binned machinery exists to avoid
+      val windows = p.split("windowspecdefinition").toSeq.drop(1)
+      val corpusWindows = windows.filterNot(_.take(120).contains("__key"))
+      assert(corpusWindows.forall(w => w.contains("__bin")),
+        s"$q: detail window must include the bin key:\n" + p.take(3000))
+      assert(p.contains("BroadcastExchange"),
+        s"$q: offsets/budgets must broadcast back:\n" + p.take(2000))
+    }
+    // q183's final ord window runs over the bounded take=100 head only
+    val p183 = planOf("q183_stride_interleave")
+    assert(p183.contains("TakeOrderedAndProject") || p183.contains("GlobalLimit"),
+      "interleave head must be a bounded top-k:\n" + p183.take(3000))
+  }
+
+  test("q182 downsample rewrite is one scan, zero corpus shuffle") {
+    val p = planOf("q182_token_downsample")
+    // the ceilings are a plan literal, so the rewrite side is Scan →
+    // Project(filter HOF) → presentation sort: exactly one parquet scan
+    // and exactly one exchange (the orderBy)
+    assert(p.split("Scan parquet", -1).length - 1 === 1,
+      "rewrite must not rescan for the vocabulary (collected at build):\n" +
+        p.take(3000))
+    val ex = p.indexOf("Exchange")
+    assert(ex >= 0 && p.indexOf("Exchange", ex + 1) < 0,
+      "rewrite must not shuffle (one presentation-sort exchange only):\n" +
+        p.take(3000))
+  }
+
+  test("q186 tombstoned postings search: bucket-pruned lookups + broadcast " +
+      "anti-join, no index rewrite") {
+    val p = planOf("q186_postings_delete")
+    assert(p.contains("SelectedBucketsCount: 1 out of 16"),
+      "lookups must still bucket-prune with tombstones applied:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      (p.contains("LeftAnti") && p.contains("BroadcastExchange")),
+      "tombstones must apply as a broadcast anti-join:\n" + p.take(3000))
+  }
+
   test("q172 persisted postings lookups bucket-prune: 1 of 16 buckets " +
       "per phrase word") {
     val p = planOf("q172_postings_phrase_search")

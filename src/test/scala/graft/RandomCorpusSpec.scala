@@ -245,6 +245,95 @@ class RandomCorpusSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMix and proportionalInterleave match reference models " +
+      "on random corpora with edge rows") {
+    import graft.operators.Packing
+    (1 to 2).foreach { trial =>
+      val rows = corpus(50 + rnd.nextInt(50))
+      val dir = writeCorpus(rows)
+      val d = Tables.load(spark, dir, "documents")
+        .withColumn("n_tokens", size(split($"text", " ")).cast("bigint"))
+      // --- temperatureMix vs the single-window formulation ---
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totals = d.groupBy("lang")
+        .agg(coalesce(sum("n_tokens"), lit(0L)).as("t"))
+        .as[(String, Long)].collect().toMap
+      val ws = totals.view
+        .mapValues(t => math.floor(math.sqrt(t.toDouble)).toLong).toMap
+      val wSum = ws.values.sum
+      val budget = udf((lang: String) => (BigInt(1500) * ws(lang) / wSum).toLong)
+      val ref = d.withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("grp_budget", budget($"lang"))
+        .filter($"cum_tokens" <= $"grp_budget")
+        .select("doc_id", "lang", "cum_tokens", "grp_budget")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val got = Packing.temperatureMix(d, "lang", "doc_id", "n_tokens",
+          totalBudget = 1500, binSize = 7)
+        .select("doc_id", "lang", "cum_tokens", "grp_budget")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got === ref && got.nonEmpty, s"trial $trial")
+      // --- interleave vs a Scala reference merge (natural + sqrt) ---
+      Seq(false, true).foreach { sq =>
+        val ids = rows.map(r => (r._3, r._1))
+        val byLang = ids.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        val refOrder = byLang.toSeq.flatMap { case (g, gIds) =>
+          val w0 = gIds.length.toLong
+          val wg = if (sq) math.floor(math.sqrt(w0.toDouble)).toLong else w0
+          gIds.zipWithIndex.map { case (id, i) =>
+            ((2L * (i + 1) - 1).toDouble / wg, g, id)
+          }
+        }.sortBy(r => (r._1, r._2)).take(40)
+          .zipWithIndex.map { case ((_, g, id), i) => (i + 1L, g, id) }
+        val gotOrder = Packing.proportionalInterleave(
+            Tables.load(spark, dir, "documents"), "lang", "doc_id",
+            take = 40, sqrtWeights = sq, binSize = 7)
+          .select("ord", "lang", "doc_id")
+          .as[(Long, String, Long)].collect().toSeq
+        assert(gotOrder === refOrder, s"trial $trial sqrtWeights=$sq")
+      }
+    }
+  }
+
+  test("downsampleFrequentTokens matches a Scala reference model on " +
+      "random corpora (empty tokens, null text, aggressive threshold)") {
+    import graft.operators.Scrub
+    (1 to 2).foreach { trial =>
+      val rows = corpus(50 + rnd.nextInt(50))
+      val dir = writeCorpus(rows)
+      val d = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+      val ppb = 50000000000L // t=0.05: thins moderately on tiny corpora
+      val texts = rows.filter(_._2 != null).map(r => (r._1, r._2))
+      val allToks = texts.flatMap(_._2.split(" ", -1))
+      val freq = allToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = allToks.length.toLong
+      val t = BigInt(ppb) * n
+      def maxh(wd: String): Long = {
+        val arg = t / freq(wd)
+        if (arg >= BigInt(1000000000000L)) 1000000L
+        else math.floor(math.sqrt(arg.toDouble)).toLong
+      }
+      def h6(id: Long, pos: Long): Long =
+        ((id * 1000003L + pos + 1) % 3000000000L) * 2654435761L % 1000000L
+      val ref = texts.map { case (id, txt) =>
+        val kept = txt.split(" ", -1).zipWithIndex
+          .filter { case (wd, i) => h6(id, i.toLong) <= maxh(wd) }.map(_._1)
+        (id, kept.mkString(" "), kept.length.toLong)
+      }.toSet ++ rows.filter(_._2 == null)
+        .map(r => (r._1, null.asInstanceOf[String], -1L)) // null marker
+      val got = Scrub.downsampleFrequentTokens(d, "doc_id", "text",
+          thresholdPpb = ppb)
+        .as[(Long, Option[String], Option[Long])].collect()
+        .map { case (id, ds, nk) => (id, ds.orNull, nk.getOrElse(-1L)) }.toSet
+      assert(got === ref, s"trial $trial")
+      // the aggressive threshold must actually thin something
+      assert(got.exists { case (id, ds, nk) =>
+        nk >= 0 && texts.toMap.get(id).exists(_.split(" ", -1).length > nk) },
+        s"trial $trial: vacuous — nothing thinned")
+    }
+  }
+
   test("q76 sampling is text-independent: null-text docs still rank by id hash") {
     val rows = corpus(40)
     val dir = writeCorpus(rows)
