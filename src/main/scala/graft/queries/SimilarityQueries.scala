@@ -40,6 +40,43 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // SemDeDup with LEARNED clusters — the published recipe end to end
+    // (Abbas et al. 2023: k-means the embeddings, dedup within
+    // clusters): IVF centroids train on a bounded sample, every vector
+    // takes its argmax bucket MAP-SIDE (the fused ArgTopKCosine
+    // kernel), and the salted per-cluster quadratic finds pairs. The
+    // gate is the composition law: clustered pairs over learned buckets
+    // ≡ exact all-pairs RESTRICTED to same-bucket ids — computed as the
+    // symmetric diff, empty when the cluster path loses nothing within
+    // clusters (cross-cluster misses are the documented SemDeDup
+    // contract, priced by nlist). At 100 TB the referee side vanishes
+    // and the clustered path is the deployment: per-cluster quadratic,
+    // hot clusters salted, corpus scanned twice (assign + pair).
+    "q189_semdedup_ivf_gate" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+        nlist = 8)
+      val assigned = e.select(col("vec_id"),
+        col("embedding"),
+        element_at(graft.expressions.ArrayOps.argTopKCosine(
+          Similarity.asDouble(col("embedding")), cents, 1), 1).as("bucket"))
+      val clustered = Similarity.clusteredCosinePairs(assigned, "vec_id",
+          "embedding", "bucket", threshold = 0.4)
+        .select("id_a", "id_b", "sim")
+      val buckets = assigned.select(col("vec_id"), col("bucket"))
+      val exactSameBucket = Similarity.cosinePairs(e, "vec_id", "embedding",
+          threshold = 0.4)
+        .join(buckets.withColumnRenamed("vec_id", "id_a")
+          .withColumnRenamed("bucket", "ba"), Seq("id_a"))
+        .join(buckets.withColumnRenamed("vec_id", "id_b")
+          .withColumnRenamed("bucket", "bb"), Seq("id_b"))
+        .filter(col("ba") === col("bb"))
+        .select("id_a", "id_b", "sim")
+      clustered.exceptAll(exactSameBucket).withColumn("side", lit("clustered_only"))
+        .unionAll(exactSameBucket.exceptAll(clustered).withColumn("side", lit("exact_only")))
+        .orderBy("id_a", "id_b", "side")
+    }),
+
     // Brute-force cosine top-k: broadcast query set, one corpus scan.
     "q31_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -583,6 +620,13 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Composition referee: clustered-over-learned-buckets ≡ exact
+    // same-bucket pairs; empty when the cluster path is lossless
+    // within clusters.
+    "q189_semdedup_ivf_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS DOUBLE) AS sim, CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
     "q31_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 10),

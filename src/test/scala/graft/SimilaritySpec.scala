@@ -558,4 +558,33 @@ class SimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("mixed dimensions")
       || err.getCause.getMessage.contains("mixed dimensions"))
   }
+
+  test("q189 SemDeDup-IVF gate: empty, non-vacuous (pairs exist; a " +
+      "threshold skew fires the diff)") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding", nlist = 8)
+    val assigned = e.select($"vec_id", $"embedding",
+      element_at(graft.expressions.ArrayOps.argTopKCosine(
+        Similarity.asDouble($"embedding"), cents, 1), 1).as("bucket"))
+    val clustered = Similarity.clusteredCosinePairs(assigned, "vec_id",
+      "embedding", "bucket", threshold = 0.4)
+    // the composition finds real within-cluster pairs on this corpus
+    assert(clustered.count() > 0, "no within-cluster pairs - gate is vacuous")
+    // the battery gate itself is empty
+    assert(SparkEntry.queries("q189_semdedup_ivf_gate")(spark, sfDir)
+      .count() === 0L)
+    // skewing one side's threshold makes the two sides diverge — proof
+    // the diff actually compares the relations
+    val buckets = assigned.select($"vec_id", $"bucket")
+    val exactTighter = Similarity.cosinePairs(e, "vec_id", "embedding",
+        threshold = 0.45)
+      .join(buckets.withColumnRenamed("vec_id", "id_a")
+        .withColumnRenamed("bucket", "ba"), Seq("id_a"))
+      .join(buckets.withColumnRenamed("vec_id", "id_b")
+        .withColumnRenamed("bucket", "bb"), Seq("id_b"))
+      .filter($"ba" === $"bb").select("id_a", "id_b", "sim")
+    val diff = clustered.select("id_a", "id_b", "sim").exceptAll(exactTighter)
+    assert(diff.count() > 0, "threshold skew must surface in the diff")
+  }
 }
