@@ -320,6 +320,38 @@ object Dedup {
         round(col("n_shared") / col("n_grams"), 6))
   }
 
+  /** Per-document NOVELTY profile — the data-valuation complement of
+    * [[repeatedGramProfile]]: for every document, the fraction of its
+    * distinct word n-grams whose canonical FIRST occurrence (minimum
+    * doc_id over the corpus) is this document — "how much content does
+    * this doc contribute that no earlier doc already carries". The
+    * ordering-by-id convention makes the attribution deterministic and
+    * restatable in SQL; a curation pass ranks candidate additions by
+    * novelty exactly this way (a doc of n_grams = n_novel adds pure new
+    * content; novelty ≈ 0 marks boilerplate already owned elsewhere).
+    *
+    * Scale shape: grams travel as 8-byte xxhash64 fingerprints — text
+    * never shuffles. Two narrow exchanges: the per-gram min(doc_id)
+    * aggregation (map-side combinable) and the (id, gram) re-key to
+    * join ownership back. The gram-owner table is vocabulary-sized,
+    * hash-partitioned, never collected.
+    *
+    * Output: (idCol, n_grams, n_novel, novelty_frac 6dp).
+    */
+  def noveltyProfile(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    val grams = graft.GraftSession.fanout(docs)
+      .select(col(idCol), explode(shingleHashSet(col(textCol), n)).as("__g"))
+    val owner = grams.groupBy(col("__g"))
+      .agg(min(col(idCol)).as("__first"))
+    grams.join(owner, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_frac", round(col("n_novel") / col("n_grams"), 6))
+  }
+
   /** Duplicate-SPAN profile (ExactSubstr, Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better"): per document, the
     * maximal contiguous word intervals covered by `n`-grams that also

@@ -342,6 +342,16 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-doc novelty (data valuation): the fraction of a doc's
+    // distinct 8-grams whose canonical first occurrence (min doc_id)
+    // is this doc — ranks candidate additions by how much genuinely
+    // new content they carry. Grams shuffle as 8-byte hashes only;
+    // the string-level oracle adjudicates hash-for-string equality.
+    "q190_novelty_profile" -> ((s, dir) => {
+      Dedup.noveltyProfile(docs(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // Sorted-neighborhood near-dup candidates: block on a 16-char
     // normalized prefix, sort within block, Levenshtein over a 120-char
     // probe against the next 3 sort neighbors only — the linear-work
@@ -768,6 +778,23 @@ object DedupQueries {
         |  CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
         |  ROUND(CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*), 6) AS shared_frac
+        |FROM d JOIN f USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q103's CTE with min-doc ownership instead of doc frequency.
+    "q190_novelty_profile" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | g AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+        |      list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))
+        |    ELSE [array_to_string(w, ' ')] END AS gs
+        |  FROM t),
+        | d AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g),
+        | f AS (SELECT gram, MIN(doc_id) AS first_doc FROM d GROUP BY 1)
+        |SELECT d.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS novelty_frac
         |FROM d JOIN f USING (gram)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // String-level NOT EXISTS: adjudicates the operator's 64-bit
