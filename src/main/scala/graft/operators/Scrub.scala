@@ -132,10 +132,23 @@ object Scrub {
   def downsampleFrequentTokens(docs: DataFrame, idCol: String,
                                textCol: String,
                                thresholdPpb: Long = 1000000000L,
-                               maxHotWords: Int = 1 << 16): DataFrame = {
+                               maxHotWords: Int = 1 << 16): DataFrame =
+    applyTokenCeilings(docs, idCol, textCol,
+      tokenCeilings(docs, textCol, thresholdPpb, maxHotWords))
+
+  /** The census half of [[downsampleFrequentTokens]]: the droppable
+    * words and their exact keep-ceilings maxh_w = isqrt(t_ppb·N/cnt_w).
+    * Split out so the rewrite half can run where the census cannot —
+    * a streaming ingestion plan applies ceilings computed from the
+    * STANDING corpus (at 100 TB: maintained incrementally, the q166
+    * move — word counts merge by addition).
+    */
+  def tokenCeilings(corpus: DataFrame, textCol: String,
+                    thresholdPpb: Long = 1000000000L,
+                    maxHotWords: Int = 1 << 16): Map[String, Long] = {
     require(thresholdPpb >= 1,
       s"downsampleFrequentTokens: thresholdPpb must be >= 1, got $thresholdPpb")
-    val freq = docs
+    val freq = corpus
       .select(explode(split(col(textCol), " ")).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__cnt"))
     val nTok = freq.agg(coalesce(sum("__cnt"), lit(0L))).head.getLong(0)
@@ -148,10 +161,18 @@ object Scrub {
       s"downsampleFrequentTokens: more than $maxHotWords droppable words " +
         "(thresholdPpb is very aggressive) - the ceiling map would bloat the " +
         "plan. Raise maxHotWords deliberately or raise thresholdPpb.")
-    val ceilings: Map[String, Long] = hotRows.map { r =>
+    hotRows.map { r =>
       val arg = (t / r.getLong(1)).toDouble // < 1e12, exact in double
       r.getString(0) -> math.floor(math.sqrt(arg)).toLong
     }.toMap
+  }
+
+  /** The rewrite half of [[downsampleFrequentTokens]]: a pure map-side
+    * higher-order filter against the literal ceiling map — legal in a
+    * streaming plan (per-row projection, no state).
+    */
+  def applyTokenCeilings(docs: DataFrame, idCol: String, textCol: String,
+                         ceilings: Map[String, Long]): DataFrame = {
     def h6(id: Column, pos: Column): Column =
       pmod(pmod(id * lit(1000003L) + pos + lit(1L), lit(3000000000L))
         * lit(2654435761L), lit(1000000L))

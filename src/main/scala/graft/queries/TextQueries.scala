@@ -294,6 +294,12 @@ object TextQueries {
           docs(s, dir), "doc_id", "text", thresholdPpb = 1000000000L)
         .orderBy("doc_id")),
 
+    // Streaming twin of q182: ceilings from the standing corpus
+    // census, the rewrite applied per-row in-flight (stateless, Append
+    // mode). Bounded drain ≡ batch; shares q182's oracle.
+    "q191_stream_token_downsample" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingTokenDownsample(s, dir)),
+
     // Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     // Spirakis A-ES): each doc draws u from the q45/q70 multiplicative
     // hash (exact integer → one double division, engine-identical) and
@@ -1411,6 +1417,34 @@ object TextQueries {
     * fixture, detection counts, and redacted-text md5 restated in
     * RE2 regex - one oracle for both execution modes.
     */
+  /** Shared by q182 (batch) and q191 (streaming): hash, ceilings, and
+    * reassembly restated in exact integer arithmetic.
+    */
+  private val tokenDownsampleOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents WHERE text IS NOT NULL),
+        | wp AS (SELECT doc_id, pos, w[pos+1] AS word
+        |   FROM (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t)),
+        | f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wp GROUP BY 1),
+        | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wp),
+        | m AS (SELECT word, CAST(FLOOR(SQRT(CAST(
+        |     (1000000000 * (SELECT n FROM n)) // cnt AS DOUBLE))) AS BIGINT)
+        |     AS maxh
+        |   FROM f),
+        | kept AS (SELECT wp.doc_id, wp.pos, wp.word
+        |   FROM wp JOIN m USING (word)
+        |   WHERE ((((wp.doc_id * 1000003 + wp.pos + 1) % 3000000000)
+        |     * 2654435761) % 1000000) <= m.maxh),
+        | agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS ct,
+        |   CAST(COUNT(*) AS BIGINT) AS nk FROM kept GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(a.ct, CASE WHEN d.text IS NULL THEN NULL ELSE '' END)
+        |    AS ds_text,
+        |  COALESCE(a.nk, CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE CAST(0 AS BIGINT) END) AS n_kept
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+
   private val piiScrubOracle =
     """WITH t AS (SELECT doc_id,
       |    CASE WHEN doc_id % 25 = 0 THEN text ||
@@ -1601,30 +1635,8 @@ object TextQueries {
     // h6 ≤ floor(sqrt(t_ppb·N // cnt)) — exact because the argument is
     // < 2^53 and the root is far below the floor(sqrt) rounding hazard
     // (see downsampleFrequentTokens). Same positional hash, 0-based pos.
-    "q182_token_downsample" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-        |   FROM documents WHERE text IS NOT NULL),
-        | wp AS (SELECT doc_id, pos, w[pos+1] AS word
-        |   FROM (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t)),
-        | f AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM wp GROUP BY 1),
-        | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wp),
-        | m AS (SELECT word, CAST(FLOOR(SQRT(CAST(
-        |     (1000000000 * (SELECT n FROM n)) // cnt AS DOUBLE))) AS BIGINT)
-        |     AS maxh
-        |   FROM f),
-        | kept AS (SELECT wp.doc_id, wp.pos, wp.word
-        |   FROM wp JOIN m USING (word)
-        |   WHERE ((((wp.doc_id * 1000003 + wp.pos + 1) % 3000000000)
-        |     * 2654435761) % 1000000) <= m.maxh),
-        | agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS ct,
-        |   CAST(COUNT(*) AS BIGINT) AS nk FROM kept GROUP BY 1)
-        |SELECT d.doc_id,
-        |  COALESCE(a.ct, CASE WHEN d.text IS NULL THEN NULL ELSE '' END)
-        |    AS ds_text,
-        |  COALESCE(a.nk, CASE WHEN d.text IS NULL THEN NULL
-        |    ELSE CAST(0 AS BIGINT) END) AS n_kept
-        |FROM documents d LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "q182_token_downsample" -> tokenDownsampleOracle,
+    "q191_stream_token_downsample" -> tokenDownsampleOracle,
     "q110_quality_classifier_gate" ->
       """SELECT CAST(NULL AS DOUBLE) AS accuracy, CAST(NULL AS DOUBLE) AS floor
         |WHERE FALSE""".stripMargin,

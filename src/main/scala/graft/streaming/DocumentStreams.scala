@@ -165,6 +165,25 @@ object DocumentStreams {
     EventStreams.runToMemory(out, OutputMode.Append()).orderBy("doc_id")
   }
 
+  /** Streaming frequent-token downsampling — q182's rewrite applied at
+    * the ingestion door: the keep-ceilings come from the STANDING
+    * corpus census (`Scrub.tokenCeilings`; at 100 TB that census is
+    * maintained incrementally — word counts merge by addition, the
+    * q166 move), and the rewrite half is a per-row higher-order filter
+    * against the literal ceiling map — fully stateless, Append mode.
+    * The stream reads the same table the census covers, so the bounded
+    * drain equals batch `downsampleFrequentTokens` and shares q182's
+    * oracle.
+    */
+  def streamingTokenDownsample(spark: SparkSession, sfDir: String,
+                               thresholdPpb: Long = 1000000000L): DataFrame = {
+    val ceilings = graft.operators.Scrub.tokenCeilings(
+      Tables.load(spark, sfDir, "documents"), "text", thresholdPpb)
+    val out = graft.operators.Scrub.applyTokenCeilings(
+      readDocumentsStream(spark, sfDir), "doc_id", "text", ceilings)
+    EventStreams.runToMemory(out, OutputMode.Append()).orderBy("doc_id")
+  }
+
   def streamingNewChunks(spark: SparkSession, sfDir: String): DataFrame = {
     def chunkRel(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
