@@ -77,6 +77,42 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b", "side")
     }),
 
+    // Matryoshka (prefix-truncated) embedding search with exact rerank
+    // (Kusupati et al. 2022: MRL models front-load signal, so the
+    // 16-dim PREFIX serves as the cheap first pass): candidates from a
+    // 16-of-64-dim brute-force top-10, then the bounded candidate set
+    // reranks with FULL vectors — 4x less vector arithmetic and I/O in
+    // the scan stage, exactness restored by the rerank (q82's
+    // candidates→rerank shape with slice() instead of PQ codes). Gate:
+    // on the planted-clone fixture every clone's top-1 must be its
+    // original (prefix of a clone is identical, so truncation cannot
+    // lose it — deterministic recall 1.0); emits misses, oracle empty.
+    "q192_matryoshka_ann_gate" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val shift = base.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val queries = base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + lit(shift)).as("vec_id"), col("embedding"))
+      def trunc(d: DataFrame) = d.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("v16"))
+      val cand = Similarity.bruteForceTopKAgg(trunc(base), trunc(queries),
+          "vec_id", "v16", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val reranked = cand
+        .join(queries.select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("qv")), Seq("query_id"))
+        .join(base.select(col("vec_id").as("neighbor_id"),
+          Similarity.asDouble(col("embedding")).as("cv")), Seq("neighbor_id"))
+        .withColumn("sim",
+          graft.expressions.ArrayOps.cosineSim(col("qv"), col("cv")))
+        .groupBy("query_id")
+        .agg(max(struct(col("sim"), col("neighbor_id"))).as("best"))
+        .select(col("query_id"), col("best.neighbor_id").as("got_id"))
+      reranked.withColumn("expected_id", col("query_id") - lit(shift))
+        .filter(col("got_id") =!= col("expected_id"))
+        .select("query_id", "expected_id", "got_id")
+        .orderBy("query_id")
+    }),
+
     // Brute-force cosine top-k: broadcast query set, one corpus scan.
     "q31_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -626,6 +662,12 @@ object SimilarityQueries {
     "q189_semdedup_ivf_gate" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
         |  CAST(NULL AS DOUBLE) AS sim, CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
+    // Planted-clone recall referee: truncated-prefix search + exact
+    // rerank must return every clone's original — empty when lossless.
+    "q192_matryoshka_ann_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id,
+        |  CAST(NULL AS BIGINT) AS expected_id, CAST(NULL AS BIGINT) AS got_id
         |WHERE FALSE""".stripMargin,
     "q31_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

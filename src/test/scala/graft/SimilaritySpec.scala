@@ -587,4 +587,31 @@ class SimilaritySpec extends SparkSpec {
     val diff = clustered.select("id_a", "id_b", "sim").exceptAll(exactTighter)
     assert(diff.count() > 0, "threshold skew must surface in the diff")
   }
+
+  test("q192 matryoshka gate: empty over a real query set; prefix-only " +
+      "search (no rerank) is genuinely lossier at small k") {
+    import graft.operators.Similarity
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val n = base.count()
+    assert(n / 20 > 0, "fixture must plant at least one clone")
+    assert(SparkEntry.queries("q192_matryoshka_ann_gate")(spark, sfDir)
+      .count() === 0L)
+    // the 16-dim prefix ORDER differs from the full-dim order for real
+    // (non-clone) queries — proof the rerank stage is load-bearing, not
+    // decorative: compare top-1 under truncated vs full similarity
+    def top1(vecCol: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val q = base.filter($"vec_id" < 25)
+      Similarity.bruteForceTopKAgg(vecCol(base), vecCol(q), "vec_id",
+          "v", k = 1)
+        .select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().toMap
+    }
+    val full = top1(d => d.select($"vec_id", $"embedding".as("v")))
+    val pref = top1(d => d.select($"vec_id", slice($"embedding", 1, 16).as("v")))
+    assert(full.keySet === pref.keySet)
+    assert(full.exists { case (q, nb) => pref(q) != nb },
+      "prefix order should differ somewhere at k=1 - otherwise the gate " +
+        "could pass without the rerank and proves nothing")
+  }
 }
