@@ -294,6 +294,30 @@ object TextQueries {
           docs(s, dir), "doc_id", "text", thresholdPpb = 1000000000L)
         .orderBy("doc_id")),
 
+    // Epoch plan — the composition a trainer actually consumes each
+    // epoch: deterministic reshuffle (q106's multiplicative-hash
+    // shards; a new seed is a new permutation, shard assignment stable
+    // under appends) then greedy sequence packing WITHIN each shard in
+    // shuffle order (q69's reset-on-overflow walk, one keyed exchange,
+    // O(1) state). Both stages previously gated; the gate here is the
+    // composition, restated by the oracle as the recursive packing
+    // walk over the recomputed shard/pos assignment.
+    "q193_epoch_packing" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("bigint"))
+      val sharded = graft.operators.Packing.shardShuffle(
+        d.select(col("doc_id"), col("n_tokens")), "doc_id",
+        nShards = 4, seed = 7L)
+      val packed = graft.operators.Packing
+        .packGreedy(sharded, "shard", "pos", "n_tokens", budget = 256)
+        .withColumn("shard", col("shard").cast("bigint"))
+      packed.join(sharded.select(col("shard"), col("pos"), col("doc_id")),
+          Seq("shard", "pos"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("n_tokens"),
+          col("seq_no"))
+        .orderBy("shard", "pos")
+    }),
+
     // Streaming twin of q182: ceilings from the standing corpus
     // census, the rewrite applied per-row in-flight (stateless, Append
     // mode). Bounded drain ≡ batch; shares q182's oracle.
@@ -1984,6 +2008,30 @@ object TextQueries {
     // The greedy packing recurrence (reset-on-overflow running sum) has
     // no window-function form; the oracle walks it with a recursive CTE
     // over the per-language rank.
+    // q106's shard/pos arithmetic + q69's recursive packing walk, per
+    // shard in shuffle order.
+    "q193_epoch_packing" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ((doc_id + 7) * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        | sh AS (SELECT doc_id, n_tokens, h % 4 AS shard,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY h % 4 ORDER BY h, doc_id)
+        |      AS BIGINT) AS pos
+        |  FROM b),
+        | p AS (
+        |  SELECT shard, pos, doc_id, n_tokens,
+        |    n_tokens AS fill, CAST(1 AS BIGINT) AS seq_no
+        |  FROM sh WHERE pos = 1
+        |  UNION ALL
+        |  SELECT s2.shard, s2.pos, s2.doc_id, s2.n_tokens,
+        |    CASE WHEN p.fill + s2.n_tokens > 256 THEN s2.n_tokens
+        |         ELSE p.fill + s2.n_tokens END,
+        |    CASE WHEN p.fill + s2.n_tokens > 256 THEN p.seq_no + 1
+        |         ELSE p.seq_no END
+        |  FROM p JOIN sh s2 ON s2.shard = p.shard AND s2.pos = p.pos + 1)
+        |SELECT CAST(shard AS BIGINT) AS shard, pos, doc_id, n_tokens, seq_no
+        |FROM p ORDER BY shard, pos""".stripMargin,
     "q69_seq_packing" ->
       """WITH RECURSIVE t AS (
         |  SELECT lang, doc_id,
