@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich et al. 2016, the
+  * subword-tokenizer induction pass every LLM data stack runs once per
+  * corpus): starting from characters, repeatedly merge the most
+  * frequent adjacent symbol pair, weighted by word frequency.
+  *
+  * Scale design — the reason BPE is cheap at 100 TB even though it is
+  * iterative: the algorithm never looks at the corpus, only at the
+  * WORD-FREQUENCY table. The corpus pays exactly ONE pass (the word
+  * census, map-side combinable); every merge iteration then runs over
+  * the vocabulary-sized (symbols, count) relation — pair counts are a
+  * weighted aggregate of adjacent symbol pairs, the argmax is a 1-row
+  * bounded collect (count desc, pair asc — fully deterministic
+  * tie-break), and the merge application is a map-side fold over each
+  * word's symbol array (a higher-order `aggregate`, no UDF). Under
+  * Zipf the vocabulary grows sublinearly with the corpus, and the
+  * iteration state is one literal (left, right) pair per round.
+  *
+  * Merge application is the classic LEFT-TO-RIGHT NON-OVERLAPPING
+  * rule: in "a a a" with merge (a,a) the first two merge, the third
+  * survives alone. Words are space tokens with a `</w>` terminal
+  * symbol appended, so merges can capture word endings.
+  *
+  * Output: (merge_rank 1.., left, right, pair_count) — the merge
+  * table a tokenizer ships. `learnMergesReference` is the driver-side
+  * restatement used by the q194 empty-diff gate and the spec.
+  */
+object Bpe {
+
+  /** End-of-word marker (its own symbol, never merged away from the
+    * character it follows unless BPE learns that merge).
+    */
+  val Eow = "</w>"
+
+  /** The per-word symbol array at iteration 0: one symbol per
+    * character plus the terminal marker.
+    */
+  private def initialSymbols(word: Column): Column =
+    // Java-regex split with limit -1 appends a trailing "" — drop it
+    concat(filter(split(word, ""), s => length(s) > 0), array(lit(Eow)))
+
+  /** Non-overlapping left-to-right merge of adjacent (left, right)
+    * into one symbol, as a higher-order fold: state is (out, prev);
+    * each step either completes a merge, flushes prev, or starts a
+    * new pending symbol; finish flushes the trailing prev.
+    */
+  private def mergeFold(symbols: Column, left: String, right: String): Column = {
+    val merged = left + right
+    aggregate(
+      symbols,
+      struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("prev")),
+      (st, s) => {
+        val out = st.getField("out"); val prev = st.getField("prev")
+        when(prev.isNull, struct(out.as("out"), s.as("prev")))
+          .when(prev === lit(left) && s === lit(right),
+            struct(concat(out, array(lit(merged))).as("out"),
+              lit(null).cast("string").as("prev")))
+          .otherwise(struct(concat(out, array(prev)).as("out"), s.as("prev")))
+      },
+      st => when(st.getField("prev").isNull, st.getField("out"))
+        .otherwise(concat(st.getField("out"), array(st.getField("prev")))))
+  }
+
+  /** Word-frequency census — the single corpus-scale pass. */
+  def wordCensus(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Learn `numMerges` BPE merges from the corpus. Each iteration:
+    * vocabulary-sized pair aggregate → deterministic 1-row argmax →
+    * map-side merge fold. Stops early if no pair occurs twice.
+    */
+  def learnMerges(docs: DataFrame, textCol: String,
+                  numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"learnMerges: numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    var vocab = wordCensus(docs, textCol)
+      .select(initialSymbols(col("w")).as("syms"), col("cnt"))
+    // model-sized: cut lineage once so iterations do not re-census
+    vocab = Checkpoints.cut(vocab)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val best = vocab
+        .select(posexplode(col("syms")).as(Seq("p", "s")), col("syms"), col("cnt"))
+        .filter(col("p") < size(col("syms")) - 1)
+        .select(col("s").as("l"),
+          element_at(col("syms"), col("p") + 2).as("r"), col("cnt"))
+        .groupBy("l", "r").agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < 2) exhausted = true
+      else {
+        val (l, r, pc) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((l, r, pc))
+        vocab = Checkpoints.cut(
+          vocab.select(mergeFold(col("syms"), l, r).as("syms"), col("cnt")))
+        i += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((l, r, pc), k) => (k + 1L, l, r, pc) }
+      .toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** Driver-side reference: the same algorithm over a collected
+    * (word, count) table — the q194 referee. Loud bound: this is a
+    * GATE tool, not the scale path (the distributed learner is).
+    */
+  def learnMergesReference(census: Seq[(String, Long)],
+                           numMerges: Int): Seq[(Long, String, String, Long)] = {
+    require(census.size <= 1000000,
+      "learnMergesReference is the bounded referee - use learnMerges at scale")
+    var vocab: Seq[(Vector[String], Long)] = census.map { case (w, c) =>
+      (w.toSeq.map(_.toString).toVector :+ Eow, c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          j += 1
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((l, r), pc) => (-pc, l, r) }.headOption
+      best match {
+        case Some(((l, r), pc)) if pc >= 2 =>
+          out += ((k + 1L, l, r, pc))
+          val merged = l + r
+          vocab = vocab.map { case (syms, c) =>
+            val b = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                b += merged; j += 2
+              } else { b += syms(j); j += 1 }
+            }
+            (b.result(), c)
+          }
+          k += 1
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+}

@@ -294,6 +294,30 @@ object TextQueries {
           docs(s, dir), "doc_id", "text", thresholdPpb = 1000000000L)
         .orderBy("doc_id")),
 
+    // Distributed BPE-merge learning gate (tokenizer induction): the
+    // corpus pays ONE census pass; every merge iteration runs over the
+    // vocabulary-sized symbol table (weighted pair aggregate →
+    // deterministic 1-row argmax → map-side merge fold). The gate
+    // diffs the distributed learner's merge table against the bounded
+    // driver-side reference implementation of the same algorithm —
+    // empty when the fold, tie-break, and weighting agree exactly
+    // (iterative state has no SQL restatement, so the referee is the
+    // oracle, the q110/q115 move).
+    "q194_bpe_merges_gate" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val d = docs(s, dir)
+      val learned = Bpe.learnMerges(d, "text", numMerges = 12)
+      val census = Bpe.wordCensus(d, "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val sp = s
+      import sp.implicits._
+      val ref = Bpe.learnMergesReference(census, numMerges = 12)
+        .toDF("merge_rank", "left", "right", "pair_count")
+      learned.exceptAll(ref).withColumn("side", lit("learned_only"))
+        .unionAll(ref.exceptAll(learned).withColumn("side", lit("ref_only")))
+        .orderBy("merge_rank", "side")
+    }),
+
     // Epoch plan — the composition a trainer actually consumes each
     // epoch: deterministic reshuffle (q106's multiplicative-hash
     // shards; a new seed is a new permutation, shard assignment stable
@@ -2008,6 +2032,12 @@ object TextQueries {
     // The greedy packing recurrence (reset-on-overflow running sum) has
     // no window-function form; the oracle walks it with a recursive CTE
     // over the per-language rank.
+    // Referee gate (distributed learner ≡ driver reference): empty.
+    "q194_bpe_merges_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS merge_rank,
+        |  CAST(NULL AS VARCHAR) AS "left", CAST(NULL AS VARCHAR) AS "right",
+        |  CAST(NULL AS BIGINT) AS pair_count, CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
     // q106's shard/pos arithmetic + q69's recursive packing walk, per
     // shard in shuffle order.
     "q193_epoch_packing" ->
