@@ -112,6 +112,56 @@ object Bpe {
       .toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** Apply a learned merge list to the corpus — the TOKENIZE side of
+    * the contract (learnMerges is train): each word's symbol array
+    * folds through the merges in rank order (the order is semantic:
+    * later merges consume earlier merges' outputs), entirely map-side
+    * — the merge list ships as literals, the corpus never shuffles,
+    * and per-doc stats reduce in the same projection. Fertility
+    * (subwords per word) is THE tokenizer-quality number a
+    * multilingual data pipeline tracks per language.
+    *
+    * Output: (idCol, n_words, n_subwords, fertility 6dp); NULL text
+    * stays NULL (0-word docs get NULL fertility).
+    */
+  def subwordStats(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val tokenized = transform(words, w =>
+      size(merges.foldLeft(initialSymbols(w)) { case (syms, (l, r)) =>
+        mergeFold(syms, l, r)
+      }))
+    val nWords = size(words).cast("bigint")
+    val nSub = coalesce(
+      aggregate(tokenized, lit(0L), (acc, n) => acc + n), lit(0L))
+    docs.select(col(idCol),
+      when(col(textCol).isNull, lit(null).cast("bigint"))
+        .otherwise(nWords).as("n_words"),
+      when(col(textCol).isNull, lit(null).cast("bigint"))
+        .otherwise(nSub).as("n_subwords"),
+      when(col(textCol).isNull || nWords === 0, lit(null).cast("double"))
+        .otherwise(round(nSub.cast("double") / nWords, 6)).as("fertility"))
+  }
+
+  /** Driver-side tokenize reference for one word — the q195 referee's
+    * kernel (mirrors `mergeFold` exactly).
+    */
+  def tokenizeReference(word: String,
+                        merges: Seq[(String, String)]): Vector[String] = {
+    var syms = word.toSeq.map(_.toString).toVector :+ Eow
+    merges.foreach { case (l, r) =>
+      val b = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+          b += (l + r); j += 2
+        } else { b += syms(j); j += 1 }
+      }
+      syms = b.result()
+    }
+    syms
+  }
+
   /** Driver-side reference: the same algorithm over a collected
     * (word, count) table — the q194 referee. Loud bound: this is a
     * GATE tool, not the scale path (the distributed learner is).

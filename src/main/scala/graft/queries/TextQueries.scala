@@ -318,6 +318,42 @@ object TextQueries {
         .orderBy("merge_rank", "side")
     }),
 
+    // BPE tokenize-apply gate — the consumer side of q194: the learned
+    // merge list ships as literals and each word folds through it
+    // map-side (the corpus never shuffles); per-doc subword counts and
+    // fertility come out of the same projection. The gate diffs the
+    // distributed tokenization against the driver reference applied to
+    // the collected corpus (bounded gate work; the distributed path is
+    // the deployment).
+    "q195_bpe_tokenize_gate" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val d = docs(s, dir)
+      val merges = Bpe.learnMerges(d, "text", numMerges = 12)
+        .orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val learned = Bpe.subwordStats(d, "doc_id", "text", merges)
+      val sp = s
+      import sp.implicits._
+      val ref = d.select(col("doc_id"), col("text"))
+        .as[(Long, Option[String])].collect().toSeq
+        .map { case (id, txt) =>
+          val counts = txt.map { t =>
+            val ws = t.split(" ", -1).filter(_.nonEmpty)
+            val subs = ws.map(w => Bpe.tokenizeReference(w, merges).size.toLong)
+            (ws.length.toLong, subs.sum)
+          }
+          (id, counts.map(_._1), counts.map(_._2),
+            counts.flatMap { case (nw, ns) =>
+              if (nw == 0) None
+              else Some(BigDecimal(ns.toDouble / nw)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            })
+        }.toDF("doc_id", "n_words", "n_subwords", "fertility")
+      learned.exceptAll(ref).withColumn("side", lit("learned_only"))
+        .unionAll(ref.exceptAll(learned).withColumn("side", lit("ref_only")))
+        .orderBy("doc_id", "side")
+    }),
+
     // Epoch plan — the composition a trainer actually consumes each
     // epoch: deterministic reshuffle (q106's multiplicative-hash
     // shards; a new seed is a new permutation, shard assignment stable
@@ -2032,6 +2068,12 @@ object TextQueries {
     // The greedy packing recurrence (reset-on-overflow running sum) has
     // no window-function form; the oracle walks it with a recursive CTE
     // over the per-language rank.
+    // Referee gate (distributed tokenize ≡ driver reference): empty.
+    "q195_bpe_tokenize_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words,
+        |  CAST(NULL AS BIGINT) AS n_subwords, CAST(NULL AS DOUBLE) AS fertility,
+        |  CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
     // Referee gate (distributed learner ≡ driver reference): empty.
     "q194_bpe_merges_gate" ->
       """SELECT CAST(NULL AS BIGINT) AS merge_rank,

@@ -51,6 +51,38 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.learnMerges(docs, "text", numMerges = 5).count() === 0L)
   }
 
+  test("subwordStats: hand-checked counts, merges genuinely compress, " +
+      "null/empty totality") {
+    val docs = Seq(
+      (1L, Option("low low lower")),
+      (2L, Option("")),            // zero words → NULL fertility
+      (3L, Option.empty[String])   // NULL text → all NULL
+    ).toDF("doc_id", "text")
+    // merges: (l,o) then (lo,w): "low" → [low, </w>] (2); "lower" →
+    // [low, e, r, </w>] (4)
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val got = Bpe.subwordStats(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[Double])].collect().toSeq
+    assert(got(0) === ((1L, Some(3L), Some(8L), Some(round6(8.0 / 3)))))
+    assert(got(1) === ((2L, Some(0L), Some(0L), None)))
+    assert(got(2) === ((3L, None, None, None)))
+    // on real data, learned merges must compress vs no merges at all
+    val d = Tables.load(spark, sfDir, "documents")
+    val learned = Bpe.learnMerges(d, "text", numMerges = 12)
+      .orderBy("merge_rank")
+      .as[(Long, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    def total(ms: Seq[(String, String)]): Long =
+      Bpe.subwordStats(d, "doc_id", "text", ms)
+        .agg(sum("n_subwords")).as[Long].head()
+    assert(total(learned) < total(Seq.empty),
+      "12 learned merges must reduce the corpus subword total")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("q194 gate: empty on testdata, non-vacuous (a corrupted reference fires)") {
     val d = Tables.load(spark, sfDir, "documents")
     val learned = Bpe.learnMerges(d, "text", numMerges = 6)
