@@ -66,6 +66,34 @@ object RelationalQueries {
         .orderBy("label")
     }),
 
+    // Universe (join-consistent) sampling — BlinkDB/Quickr's move for
+    // approximating JOINS: independent per-table Bernoulli samples
+    // destroy join pairs (P both survive = p²), so both tables instead
+    // keep a row iff the multiplicative hash of the JOIN KEY falls in
+    // the same 1/8 slice — the sampled fact joins the sampled dim with
+    // ZERO orphans BY CONSTRUCTION (same key ⇒ same hash ⇒ same
+    // decision), no coordination, no key exchange: each side filters
+    // map-side at the scan. The n_orphans audit column pins the
+    // integrity claim inside the gate; the aggregate over the sampled
+    // join is hash-checked exactly (the q45/q70 hash, engine-shared).
+    "q196_universe_sample" -> ((s, dir) => {
+      def keep(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(k * lit(2654435761L), lit(4294967296L)) < lit(536870912L)
+      val o = t(s, dir, "orders").filter(keep(col("o_orderkey")))
+      val l = t(s, dir, "lineitem").filter(keep(col("l_orderkey")))
+      val orphans = broadcast(
+        l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("net"))
+        .crossJoin(orphans)
+        .orderBy("o_orderpriority")
+    }),
+
     // A1/A9 hash aggregation (reference transform_spark.py:127-136 shape):
     // partial+final agg, one shuffle on the group keys.
     "q01_agg_returnflag" -> ((s, dir) => {
@@ -541,6 +569,19 @@ object RelationalQueries {
       """SELECT CAST(NULL AS VARCHAR) AS label, CAST(NULL AS BIGINT) AS exact_v,
         |  CAST(NULL AS BIGINT) AS est_v, CAST(NULL AS DOUBLE) AS slack
         |WHERE FALSE""".stripMargin,
+    "q196_universe_sample" ->
+      """WITH so AS (SELECT * FROM orders
+        |    WHERE (o_orderkey * 2654435761) % 4294967296 < 536870912),
+        | sl AS (SELECT * FROM lineitem
+        |    WHERE (l_orderkey * 2654435761) % 4294967296 < 536870912),
+        | orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans FROM sl
+        |    WHERE NOT EXISTS (SELECT 1 FROM so WHERE o_orderkey = l_orderkey))
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(COUNT(DISTINCT so.o_orderkey) AS BIGINT) AS n_orders,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS net,
+        |  (SELECT n_orphans FROM orph) AS n_orphans
+        |FROM sl JOIN so ON sl.l_orderkey = so.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q169_integrity_audit" ->
       """WITH lost AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
         | a AS (SELECT 'fk_lineitem_orders_after_loss' AS check_name,
