@@ -318,6 +318,40 @@ object TextQueries {
         .orderBy("merge_rank", "side")
     }),
 
+    // Quality-first temperature mixing — the composition a mixture
+    // designer actually wants: each language's sqrt-temperature budget
+    // (q179) is spent on its BEST documents first, "best" being the
+    // q163 fused rank (stopword ratio + length, both through the
+    // distributed exact-rank machinery — never a whole-corpus window).
+    // The order key packs (-fused_rank_sum, doc_id) into one integer
+    // so the per-group prefix sum stays on the exact integer path
+    // (unique per doc; doc_id < 2^20 by corpus contract).
+    "q197_quality_temperature_mix" -> ((s, dir) => {
+      import graft.operators.{Packing, Profile}
+      val nTokD = size(words(col("text"))).cast("double")
+      val sr = markerHits(col("text"), markers.head._2).cast("double") / nTokD
+      val base = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        floor(sr * 1e6).cast("long").as("sr_q"),
+        col("doc_id").cast("string").as("tie"))
+      val r1 = Profile.exactRank(
+        base.select(col("doc_id"), col("sr_q"), col("tie")),
+        "sr_q", "tie", "r_stop")
+      val r2 = Profile.exactRank(
+        base.select(col("doc_id"), col("n_chars"), col("tie")),
+        "n_chars", "tie", "r_len")
+      val scored = base.select("doc_id", "lang", "n_tokens")
+        .join(r1.select("doc_id", "r_stop"), Seq("doc_id"))
+        .join(r2.select("doc_id", "r_len"), Seq("doc_id"))
+        .withColumn("okey",
+          -(col("r_stop") + col("r_len")) * lit(1048576L) + col("doc_id"))
+      Packing.temperatureMix(scored, "lang", "okey", "n_tokens",
+          totalBudget = 8000)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"), col("grp_budget"))
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenize-apply gate — the consumer side of q194: the learned
     // merge list ships as literals and each word folds through it
     // map-side (the corpus never shuffles); per-doc subword counts and
@@ -2068,6 +2102,33 @@ object TextQueries {
     // The greedy packing recurrence (reset-on-overflow running sum) has
     // no window-function form; the oracle walks it with a recursive CTE
     // over the per-language rank.
+    // q163's fused ranks + q179's budget arithmetic, spent best-first.
+    "q197_quality_temperature_mix" ->
+      s"""WITH d AS (SELECT doc_id, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(floor(${markerSql("en")} * 1.0
+        |      / len(string_split(text, ' ')) * 1e6) AS BIGINT) AS sr_q
+        |  FROM documents),
+        | r AS (SELECT doc_id, lang, n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY sr_q, CAST(doc_id AS VARCHAR))
+        |      AS r_stop,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, CAST(doc_id AS VARCHAR))
+        |      AS r_len
+        |  FROM d),
+        | k AS (SELECT doc_id, lang, n_tokens,
+        |    -(r_stop + r_len) * 1048576 + doc_id AS okey FROM r),
+        | tot AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total
+        |   FROM k GROUP BY 1),
+        | w2 AS (SELECT lang, CAST(FLOOR(SQRT(total)) AS BIGINT) AS w FROM tot),
+        | b2 AS (SELECT lang, CAST(8000 * w //
+        |     (SELECT CAST(SUM(w) AS BIGINT) FROM w2) AS BIGINT) AS grp_budget
+        |   FROM w2),
+        | c2 AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY okey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM k)
+        |SELECT c2.doc_id, c2.lang, c2.n_tokens, c2.cum_tokens, b2.grp_budget
+        |FROM c2 JOIN b2 USING (lang)
+        |WHERE c2.cum_tokens <= b2.grp_budget ORDER BY c2.doc_id""".stripMargin,
     // Referee gate (distributed tokenize ≡ driver reference): empty.
     "q195_bpe_tokenize_gate" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words,
