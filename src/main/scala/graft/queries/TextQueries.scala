@@ -318,6 +318,13 @@ object TextQueries {
         .orderBy("merge_rank", "side")
     }),
 
+    // Streaming twin of q195: the merge fold is a pure per-row
+    // projection, so tokenization runs stateless at the ingestion door
+    // with the corpus-trained merges; the gate diffs the bounded drain
+    // against the batch operator (empty — per-row rewrite).
+    "q198_stream_bpe_tokenize" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingSubwordStats(s, dir)),
+
     // Quality-first temperature mixing — the composition a mixture
     // designer actually wants: each language's sqrt-temperature budget
     // (q179) is spent on its BEST documents first, "best" being the
@@ -2129,6 +2136,12 @@ object TextQueries {
         |SELECT c2.doc_id, c2.lang, c2.n_tokens, c2.cum_tokens, b2.grp_budget
         |FROM c2 JOIN b2 USING (lang)
         |WHERE c2.cum_tokens <= b2.grp_budget ORDER BY c2.doc_id""".stripMargin,
+    // Streaming ≡ batch empty-diff on the bounded drain.
+    "q198_stream_bpe_tokenize" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words,
+        |  CAST(NULL AS BIGINT) AS n_subwords, CAST(NULL AS DOUBLE) AS fertility,
+        |  CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
     // Referee gate (distributed tokenize ≡ driver reference): empty.
     "q195_bpe_tokenize_gate" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words,

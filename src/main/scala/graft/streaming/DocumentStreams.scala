@@ -184,6 +184,33 @@ object DocumentStreams {
     EventStreams.runToMemory(out, OutputMode.Append()).orderBy("doc_id")
   }
 
+  /** Streaming BPE tokenization — the merge list learned from the
+    * standing corpus (q194) ships as plan literals and each arriving
+    * doc's subword stats compute per-row (the q195 fold is a pure
+    * projection, legal in a streaming plan, no state — Append mode):
+    * token accounting at the ingestion door with the tokenizer the
+    * corpus was trained with. The q198 gate diffs the bounded drain
+    * against the batch operator on the same corpus — empty because the
+    * rewrite is per-row.
+    */
+  def streamingSubwordStats(spark: SparkSession, sfDir: String,
+                            numMerges: Int = 12): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "documents")
+    val merges = graft.operators.Bpe.learnMerges(corpus, "text", numMerges)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val streamed = graft.operators.Bpe.subwordStats(
+      readDocumentsStream(spark, sfDir), "doc_id", "text", merges)
+    val drained = EventStreams.runToMemory(streamed, OutputMode.Append())
+    val batch = graft.operators.Bpe.subwordStats(corpus, "doc_id", "text",
+      merges)
+    drained.exceptAll(batch)
+      .withColumn("side", org.apache.spark.sql.functions.lit("stream_only"))
+      .unionAll(batch.exceptAll(drained)
+        .withColumn("side", org.apache.spark.sql.functions.lit("batch_only")))
+      .orderBy("doc_id", "side")
+  }
+
   def streamingNewChunks(spark: SparkSession, sfDir: String): DataFrame = {
     def chunkRel(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
