@@ -332,6 +332,41 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Curation-pipeline observability — q181's flagship composition
+    // instrumented: one summary row per stage (docs and tokens
+    // surviving admission → near-dup drop → decontamination → budget
+    // selection), the run report a pipeline owner actually reads and
+    // the alarm surface for silent stage regressions (a dedup pass
+    // suddenly dropping 40% is a bug long before the model notices).
+    // Each stage count is one aggregate over the already-priced q181
+    // dataflow; the oracle restates the stage CTE chain with counts.
+    "q200_pipeline_stage_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") % 10 =!= 0 && col("n_chars") >= 200)
+      val pairs = Dedup.lshNearDupPairs(base, "doc_id", "text", threshold = 0.8)
+      val deduped = base.join(
+        pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val hits = Dedup.contaminationHits(deduped,
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 8)
+      val clean = deduped.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+      val withTok = clean.withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("bigint"))
+      val selected = graft.operators.Packing.temperatureMix(withTok, "lang",
+        "doc_id", "n_tokens", totalBudget = 9000, binSize = 100)
+      def stage(ord: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(size(split(col("text"), " ")).cast("bigint")), lit(0L))
+              .as("n_tokens"))
+          .select(lit(ord.toLong).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      stage(1, "admitted", base)
+        .unionAll(stage(2, "after_neardup", deduped))
+        .unionAll(stage(3, "after_decontam", clean))
+        .unionAll(stage(4, "selected", selected))
+        .orderBy("stage")
+    }),
+
     // Cross-document repeated-gram profile (ExactSubstr-lite): per doc,
     // the fraction of its distinct word 8-grams shared with any other
     // document — the span-level duplication diagnostic. Grams shuffle as
@@ -659,6 +694,69 @@ object DedupQueries {
     // The streaming admission check drains to the same per-doc hit
     // counts on bounded input — one oracle for both execution modes.
     "q180_stream_contamination" -> decontaminateOracle,
+    // q181's stage chain with counts per stage.
+    "q200_pipeline_stage_report" ->
+      """WITH base AS (SELECT doc_id, lang, text FROM documents
+        |   WHERE doc_id % 10 <> 0 AND n_chars >= 200),
+        | sh AS (SELECT doc_id, lang, text,
+        |    (SELECT CASE WHEN len(w) >= 3 THEN
+        |        list_distinct(list_transform(range(len(w)-2),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+        |      ELSE [text] END
+        |     FROM (SELECT string_split(text, ' ') AS w)) AS sh
+        |   FROM base),
+        | nd AS (SELECT DISTINCT b.doc_id FROM sh b JOIN sh a
+        |   ON a.doc_id < b.doc_id
+        |     AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        |       >= 0.8),
+        | dd AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+        | wdd AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+        | gdd AS (SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+        |     list_transform(range(len(w)-7),
+        |       i -> array_to_string(w[i+1:i+8], ' '))
+        |   ELSE [array_to_string(w, ' ')] END AS gs FROM wdd),
+        | wb AS (SELECT string_split(text, ' ') AS w FROM documents
+        |   WHERE doc_id % 10 = 0),
+        | gb AS (SELECT CASE WHEN len(w) >= 8 THEN
+        |     list_transform(range(len(w)-7),
+        |       i -> array_to_string(w[i+1:i+8], ' '))
+        |   ELSE [array_to_string(w, ' ')] END AS gs FROM wb),
+        | bench AS (SELECT DISTINCT unnest(gs) AS gram FROM gb),
+        | cont AS (SELECT DISTINCT doc_id FROM
+        |   (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM gdd) c
+        |   JOIN bench USING (gram)),
+        | clean AS (SELECT d.* FROM dd d
+        |   WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        | t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |   FROM clean),
+        | tot AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total
+        |   FROM t GROUP BY 1),
+        | w2 AS (SELECT lang, CAST(FLOOR(SQRT(total)) AS BIGINT) AS w FROM tot),
+        | b2 AS (SELECT lang, CAST(9000 * w //
+        |     (SELECT CAST(SUM(w) AS BIGINT) FROM w2) AS BIGINT) AS grp_budget
+        |   FROM w2),
+        | c2 AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t),
+        | sel AS (SELECT c2.doc_id, c2.n_tokens FROM c2 JOIN b2 USING (lang)
+        |   WHERE c2.cum_tokens <= b2.grp_budget)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'admitted' AS stage_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+        |    AS n_tokens FROM base
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'after_neardup', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM dd
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'after_decontam', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+        |  FROM clean
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'selected', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM sel
+        |ORDER BY stage""".stripMargin,
     // All four pipeline stages restated over exact string grams; the
     // near-dup stage assumes 100% band recall (q24's planted-pair
     // argument) and the budget arithmetic is q179's (floor(sqrt) +

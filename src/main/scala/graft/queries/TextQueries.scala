@@ -318,6 +318,44 @@ object TextQueries {
         .orderBy("merge_rank", "side")
     }),
 
+    // Per-language tokenizer-fertility profile — the tokenizer-fairness
+    // diagnostic (a BPE trained on a mixed corpus fragments
+    // low-resource languages into more subwords per word; the
+    // per-language fertility gap IS that bias, measured): q195's
+    // per-doc stats reduce to one row per language. Referee-gated like
+    // the rest of the BPE family: distributed profile ≡ the driver
+    // reference tokenization aggregated the same way.
+    "q199_fertility_by_lang" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val d = docs(s, dir)
+      val merges = Bpe.learnMerges(d, "text", numMerges = 12)
+        .orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      def profile(stats: DataFrame) = stats
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_words"), lit(0L)).as("sum_words"),
+          coalesce(sum("n_subwords"), lit(0L)).as("sum_subwords"))
+        .withColumn("fertility",
+          round(col("sum_subwords").cast("double") / col("sum_words"), 6))
+      val learned = profile(Bpe.subwordStats(d, "doc_id", "text", merges))
+      val sp = s
+      import sp.implicits._
+      val refStats = d.select(col("doc_id"), col("text"))
+        .as[(Long, Option[String])].collect().toSeq
+        .map { case (id, txt) =>
+          val ws = txt.map(_.split(" ", -1).filter(_.nonEmpty)).getOrElse(Array.empty)
+          (id, txt.map(_ => ws.length.toLong),
+            txt.map(_ => ws.map(w =>
+              Bpe.tokenizeReference(w, merges).size.toLong).sum))
+        }.toDF("doc_id", "n_words", "n_subwords")
+      val ref = profile(refStats)
+      learned.exceptAll(ref).withColumn("side", lit("learned_only"))
+        .unionAll(ref.exceptAll(learned).withColumn("side", lit("ref_only")))
+        .orderBy("lang", "side")
+    }),
+
     // Streaming twin of q195: the merge fold is a pure per-row
     // projection, so tokenization runs stateless at the ingestion door
     // with the corpus-trained merges; the gate diffs the bounded drain
@@ -2136,6 +2174,12 @@ object TextQueries {
         |SELECT c2.doc_id, c2.lang, c2.n_tokens, c2.cum_tokens, b2.grp_budget
         |FROM c2 JOIN b2 USING (lang)
         |WHERE c2.cum_tokens <= b2.grp_budget ORDER BY c2.doc_id""".stripMargin,
+    // Referee gate (distributed profile ≡ driver reference): empty.
+    "q199_fertility_by_lang" ->
+      """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_docs,
+        |  CAST(NULL AS BIGINT) AS sum_words, CAST(NULL AS BIGINT) AS sum_subwords,
+        |  CAST(NULL AS DOUBLE) AS fertility, CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
     // Streaming ≡ batch empty-diff on the bounded drain.
     "q198_stream_bpe_tokenize" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words,
