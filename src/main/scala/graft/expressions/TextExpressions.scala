@@ -470,6 +470,71 @@ case class CdcChunks(child: Expression, w: Int, mask: Long)
     copy(child = newChild)
 }
 
+/** Per-document BPE subword accounting against a LITERAL merge list —
+  * the tokenize-apply hot path (q195/q198/q199). The q195 first draft
+  * expressed the merge fold as 12 nested higher-order `aggregate`
+  * lambdas; interpreted HOF evaluation with per-element array concat
+  * made it ~50 s at sf0.1 — this kernel is the same left-to-right
+  * non-overlapping fold (bit-identical to `Bpe.tokenizeReference`) as
+  * one imperative pass: ~1 s. Words split on single spaces, empties
+  * skipped; each word tokenizes into chars + `</w>`, then the merges
+  * apply IN RANK ORDER over a reused string array.
+  *
+  * Output: [n_words, n_subwords] (long array); NULL text → NULL.
+  */
+case class BpeSubwordCounts(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bpe_subword_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    var nWords = 0L
+    var nSub = 0L
+    var start = 0
+    val tLen = text.length
+    // reused scratch: symbols for the current word (chars + </w>)
+    var buf = new Array[String](32)
+    var i = 0
+    while (i <= tLen) {
+      if (i == tLen || text.charAt(i) == ' ') {
+        val wLen = i - start
+        if (wLen > 0) {
+          nWords += 1
+          var m = wLen + 1
+          if (buf.length < m) buf = new Array[String](m)
+          var j = 0
+          while (j < wLen) {
+            buf(j) = String.valueOf(text.charAt(start + j)); j += 1
+          }
+          buf(wLen) = graft.operators.Bpe.Eow
+          // apply merges in rank order, in place (write index w <= read)
+          merges.foreach { case (l, r) =>
+            var rd = 0; var wr = 0
+            while (rd < m) {
+              if (rd < m - 1 && buf(rd) == l && buf(rd + 1) == r) {
+                buf(wr) = l + r; rd += 2
+              } else { buf(wr) = buf(rd); rd += 1 }
+              wr += 1
+            }
+            m = wr
+          }
+          nSub += m
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(nWords, nSub))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextOps {
   private def wrap(e: Expression): Column = ColumnBridge.column(e)
 
@@ -496,4 +561,7 @@ object TextOps {
 
   def cdcChunks(text: Column, w: Int, mask: Long): Column =
     wrap(CdcChunks(ColumnBridge.expression(text), w, mask))
+
+  def bpeSubwordCounts(text: Column, merges: Seq[(String, String)]): Column =
+    wrap(BpeSubwordCounts(ColumnBridge.expression(text), merges))
 }

@@ -126,20 +126,17 @@ object Bpe {
     */
   def subwordStats(docs: DataFrame, idCol: String, textCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
-    val words = filter(split(col(textCol), " "), w => length(w) > 0)
-    val tokenized = transform(words, w =>
-      size(merges.foldLeft(initialSymbols(w)) { case (syms, (l, r)) =>
-        mergeFold(syms, l, r)
-      }))
-    val nWords = size(words).cast("bigint")
-    val nSub = coalesce(
-      aggregate(tokenized, lit(0L), (acc, n) => acc + n), lit(0L))
+    // One imperative kernel pass per doc (BpeSubwordCounts — see its
+    // Scaladoc for why this is not a higher-order fold): the merge
+    // list rides inside the expression, the corpus never shuffles.
+    val counts = graft.expressions.TextOps
+      .bpeSubwordCounts(col(textCol), merges)
+    val nWords = element_at(counts, 1)
+    val nSub = element_at(counts, 2)
     docs.select(col(idCol),
-      when(col(textCol).isNull, lit(null).cast("bigint"))
-        .otherwise(nWords).as("n_words"),
-      when(col(textCol).isNull, lit(null).cast("bigint"))
-        .otherwise(nSub).as("n_subwords"),
-      when(col(textCol).isNull || nWords === 0, lit(null).cast("double"))
+      nWords.as("n_words"),
+      nSub.as("n_subwords"),
+      when(nWords.isNull || nWords === 0, lit(null).cast("double"))
         .otherwise(round(nSub.cast("double") / nWords, 6)).as("fertility"))
   }
 
