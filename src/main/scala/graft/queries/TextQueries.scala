@@ -318,6 +318,30 @@ object TextQueries {
         .orderBy("merge_rank", "side")
     }),
 
+    // Deterministic balanced OVERSAMPLING — the upsampling half of
+    // mixture design (q70 downsamples to the min; temperature mixing
+    // caps budgets; low-resource languages instead REPLICATE toward
+    // the max): every doc gets floor(max_n/n_lang) copies, and the
+    // remainder spreads by the multiplicative id hash (residue mod
+    // n_lang < max_n mod n_lang — deterministic, join-free,
+    // oracle-expressible; no per-language rank window anywhere). The
+    // fan-out is a map-side sequence explode against two broadcast
+    // scalars: the corpus never shuffles to replicate.
+    "q201_balanced_oversample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val maxN = broadcast(counts.agg(max("n_lang").as("max_n")))
+      d.join(broadcast(counts), Seq("lang"))
+        .crossJoin(maxN)
+        .withColumn("copies",
+          expr("max_n div n_lang") +
+            when(pmod(docHash(col("doc_id")), col("n_lang"))
+              < pmod(col("max_n"), col("n_lang")), 1L).otherwise(0L))
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("copies"))).as("copy_no"))
+        .orderBy("doc_id", "copy_no")
+    }),
+
     // Per-language tokenizer-fertility profile — the tokenizer-fairness
     // diagnostic (a BPE trained on a mixed corpus fragments
     // low-resource languages into more subwords per word; the
@@ -2174,6 +2198,20 @@ object TextQueries {
         |SELECT c2.doc_id, c2.lang, c2.n_tokens, c2.cum_tokens, b2.grp_budget
         |FROM c2 JOIN b2 USING (lang)
         |WHERE c2.cum_tokens <= b2.grp_budget ORDER BY c2.doc_id""".stripMargin,
+    // Same replication arithmetic; lateral generate_series fans copies.
+    "q201_balanced_oversample" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+        |   FROM documents GROUP BY 1),
+        | m AS (SELECT CAST(MAX(n_lang) AS BIGINT) AS max_n FROM c),
+        | k AS (SELECT d.doc_id, d.lang,
+        |    CAST((SELECT max_n FROM m) // c.n_lang
+        |      + CASE WHEN ((d.doc_id * 2654435761) % 4294967296) % c.n_lang
+        |          < (SELECT max_n FROM m) % c.n_lang THEN 1 ELSE 0 END
+        |      AS BIGINT) AS copies
+        |  FROM documents d JOIN c USING (lang))
+        |SELECT k.doc_id, k.lang,
+        |  CAST(unnest(range(1, k.copies + 1)) AS BIGINT) AS copy_no
+        |FROM k ORDER BY doc_id, copy_no""".stripMargin,
     // Referee gate (distributed profile ≡ driver reference): empty.
     "q199_fertility_by_lang" ->
       """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_docs,
