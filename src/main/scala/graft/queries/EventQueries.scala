@@ -16,6 +16,41 @@ object EventQueries {
   import RelationalQueries.Q
 
   val queries: Map[String, Q] = Map(
+    // Poisson-bootstrap confidence intervals in ONE pass (Chamandy et
+    // al., "Estimating Uncertainty for Massive Data Streams" — the
+    // standard trick when classical resampling would need B corpus
+    // passes): every row carries B=32 Poisson(1) weights derived from
+    // a positional hash, each replica's count is the weighted sum, and
+    // the spread across replicas IS the bootstrap standard error of
+    // the per-type event count. Everything before the final sqrt is
+    // INTEGER (the Poisson inverse-CDF thresholds are pre-scaled to
+    // the h6 hash's 1e6 grid, truncated at 4 — P(>4) ≈ 0.4%), so the
+    // replica sums are exact and engine-identical; the fan-out is a
+    // map-side sequence explode (×32 narrow rows into a
+    // map-side-combinable aggregate — no extra corpus scan, no
+    // shuffle beyond the (type, replica) agg).
+    "q202_bootstrap_count_se" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"))
+      val h6 = pmod(pmod(col("event_id") * lit(1000003L) + col("b") + lit(1L),
+        lit(3000000000L)) * lit(2654435761L), lit(1000000L))
+      val w = when(h6 < 367879L, 0L).when(h6 < 735758L, 1L)
+        .when(h6 < 919698L, 2L).when(h6 < 981011L, 3L).otherwise(4L)
+      val reps = ev.withColumn("b", explode(sequence(lit(0L), lit(31L))))
+        .withColumn("w", w)
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum("w").as("nb"))
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      reps.groupBy("event_type")
+        .agg(sum("nb").as("sx"), sum(col("nb") * col("nb")).as("sxx"))
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          round(col("sx").cast("double") / 32.0, 6).as("boot_mean"),
+          round(sqrt((col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx") / 32.0) / 31.0), 6)
+            .as("boot_se"))
+        .orderBy("event_type")
+    }),
     // Trailing-24h per-user activity via a time-RANGE window frame
     // (the feature-engineering shape behind rate limits / burst
     // detection). One keyed exchange; the frame's buffered state is
@@ -519,6 +554,29 @@ object EventQueries {
       |ORDER BY event_type, dt""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Integer replica sums (pre-scaled inverse-CDF thresholds on the
+    // 1e6 hash grid), exact in both engines; one sqrt at the end.
+    "q202_bootstrap_count_se" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |    unnest(range(0, 32)) AS b FROM events),
+        | w AS (SELECT event_type, b,
+        |    (((event_id * 1000003 + b + 1) % 3000000000) * 2654435761)
+        |      % 1000000 AS h6 FROM r),
+        | wt AS (SELECT event_type, b,
+        |    CASE WHEN h6 < 367879 THEN 0 WHEN h6 < 735758 THEN 1
+        |         WHEN h6 < 919698 THEN 2 WHEN h6 < 981011 THEN 3
+        |         ELSE 4 END AS w FROM w),
+        | nb AS (SELECT event_type, b, CAST(SUM(w) AS BIGINT) AS nb
+        |   FROM wt GROUP BY 1, 2),
+        | st AS (SELECT event_type, CAST(SUM(nb) AS BIGINT) AS sx,
+        |    CAST(SUM(nb * nb) AS BIGINT) AS sxx FROM nb GROUP BY 1),
+        | ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |   FROM events GROUP BY 1)
+        |SELECT st.event_type, ex.n,
+        |  ROUND(CAST(sx AS DOUBLE) / 32.0, 6) AS boot_mean,
+        |  ROUND(SQRT((CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * sx / 32.0) / 31.0), 6) AS boot_se
+        |FROM st JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
     "q142_transition_matrix" ->
       """WITH s AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id
