@@ -332,6 +332,16 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming admission pipeline — q181's curation concept at the
+    // ingestion door, one streaming dataflow: exact-dup drop vs
+    // history (stateless anti-join), benchmark contamination check
+    // (stateless gram join + per-doc fold), PII scrub on the admitted
+    // set. All three stages previously gated solo (q96/q99, q59/q180,
+    // q104/q185); the gate here is the streaming COMPOSITION against
+    // one oracle restating all three over the batch table.
+    "q203_stream_admission" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingAdmissionPipeline(s, dir)),
+
     // Curation-pipeline observability — q181's flagship composition
     // instrumented: one summary row per stage (docs and tokens
     // surviving admission → near-dup drop → decontamination → budget
@@ -694,6 +704,30 @@ object DedupQueries {
     // The streaming admission check drains to the same per-doc hit
     // counts on bounded input — one oracle for both execution modes.
     "q180_stream_contamination" -> decontaminateOracle,
+    // q96's NOT-EXISTS + q59's exact string grams + q104's RE2 scrub,
+    // composed over the batch table.
+    "q203_stream_admission" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | g AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+        |      list_transform(range(len(w)-7), i -> array_to_string(w[i+1:i+8], ' '))
+        |    ELSE [array_to_string(w, ' ')] END AS gs
+        |  FROM t),
+        | bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+        |   WHERE doc_id % 10 = 0),
+        | cg AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g),
+        | cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bench USING (gram)),
+        | adm AS (SELECT b.* FROM documents b
+        |  WHERE b.doc_id % 2 = 0 AND b.doc_id % 10 <> 0
+        |    AND NOT EXISTS (SELECT 1 FROM documents h
+        |      WHERE h.doc_id % 3 <> 0 AND h.text = b.text)
+        |    AND b.doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT doc_id, lang, source, n_chars,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{9,}\b', '<NUM>', 'g')) AS clean_md5
+        |FROM adm ORDER BY doc_id""".stripMargin,
     // q181's stage chain with counts per stage.
     "q200_pipeline_stage_report" ->
       """WITH base AS (SELECT doc_id, lang, text FROM documents

@@ -211,6 +211,46 @@ object DocumentStreams {
       .orderBy("doc_id", "side")
   }
 
+  /** Streaming ADMISSION pipeline — the ingestion-side twin of q181's
+    * batch curation composite, as ONE streaming dataflow: arriving
+    * docs (1) drop if their exact text fingerprint exists in the
+    * standing history (stateless stream-static anti-join on 8-byte
+    * xxhash64 — q96/q99's move), (2) check every 8-gram against the
+    * benchmark fingerprints (stateless left join + per-doc max fold,
+    * q180's shape), and (3) admitted docs leave PII-scrubbed (q104's
+    * map-side regex). The only streaming state is one row per
+    * in-flight doc for the contamination fold; history and benchmark
+    * sides re-plan per micro-batch and at 100 TB are persisted,
+    * appended layouts. The oracle restates all three stages — q96's
+    * NOT-EXISTS, q59's exact string grams, q104's RE2 scrub — over the
+    * batch table, so the whole admission path is hash-gated end to
+    * end.
+    */
+  def streamingAdmissionPipeline(spark: SparkSession, sfDir: String,
+                                 n: Int = 8): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "documents")
+    val histFp = corpus.filter(col("doc_id") % 3 =!= 0)
+      .select(xxhash64(col("text")).as("__fp")).distinct()
+    val benchGrams = corpus.filter(col("doc_id") % 10 === 0)
+      .select(explode(TextOps.shingleHashSet(col("text"), n)).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val folded = readDocumentsStream(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 =!= 0)
+      .withColumn("__fp", xxhash64(col("text")))
+      .join(histFp, Seq("__fp"), "left_anti")
+      .withColumn("__g", explode_outer(TextOps.shingleHashSet(col("text"), n)))
+      .join(benchGrams, Seq("__g"), "left_outer")
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+      .agg(max(coalesce(col("__hit"), lit(0))).as("__contaminated"))
+    EventStreams.runToMemory(folded, OutputMode.Complete())
+      .filter(col("__contaminated") === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(graft.operators.Scrub.redactPii(col("text"))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   def streamingNewChunks(spark: SparkSession, sfDir: String): DataFrame = {
     def chunkRel(df: DataFrame): DataFrame =
       df.select(col("doc_id"),
