@@ -140,9 +140,10 @@ object Profile {
     * TakeOrderedAndProject for the top-k, and two broadcast scalars;
     * the rank window runs over the k survivors only (the q130
     * discipline — never over the key domain). Output per hot key:
-    * (rank, key, n_rows, share of all rows, vs_mean = n·keys/total —
-    * the straggler multiplier a shuffle partition holding this key
-    * alone would suffer).
+    * (rank, key, n_rows, share_ppm of all rows, vs_mean_ppm =
+    * n·keys·1e6/total — the straggler multiplier a shuffle partition
+    * holding this key alone would suffer; both exact-BIGINT ppm so the
+    * gate carries no floating fraction).
     */
   def keySkewProfile(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -155,9 +156,10 @@ object Profile {
       .withColumn("rank", row_number()
         .over(Window.orderBy(col("n_rows").desc, col(keyCol))).cast("long"))
       .select(col("rank"), col(keyCol), col("n_rows"),
-        round(col("n_rows") / col("__total"), 6).as("share"),
-        round(col("n_rows") * col("__n_keys") / col("__total"), 6)
-          .as("vs_mean"))
+        // Exact BIGINT ppm — gate outputs never carry floating
+        // fractions (engine/oracle DECIMAL-vs-DOUBLE typing hazard).
+        expr("n_rows * 1000000 div __total").as("share_ppm"),
+        expr("n_rows * __n_keys * 1000000 div __total").as("vs_mean_ppm"))
       .orderBy("rank")
   }
 

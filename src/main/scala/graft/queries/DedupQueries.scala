@@ -541,8 +541,8 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("old").isNull, 1L).otherwise(0L)).as("n_new"))
         .filter(col("n_new") > 0)
-        .withColumn("reuse_frac",
-          round(lit(1.0) - col("n_new") / col("n_chunks"), 6))
+        .withColumn("reuse_frac_ppm",
+          expr("(n_chunks - n_new) * 1000000 div n_chunks"))
         .orderBy("doc_id")
     })
   )
@@ -623,8 +623,8 @@ object DedupQueries {
          |SELECT d2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
          |  CAST(SUM(CASE WHEN d1.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_new,
-         |  ROUND(1.0 - SUM(CASE WHEN d1.fp IS NULL THEN 1 ELSE 0 END)
-         |    * 1.0 / COUNT(*), 6) AS reuse_frac
+         |  CAST((COUNT(*) - SUM(CASE WHEN d1.fp IS NULL THEN 1 ELSE 0
+         |    END)) * 1000000 // COUNT(*) AS BIGINT) AS reuse_frac_ppm
          |FROM cdc2 d2
          |LEFT JOIN (SELECT DISTINCT doc_id, fp, c_len FROM cdc1) d1
          |  ON d2.doc_id = d1.doc_id AND d2.fp = d1.fp

@@ -700,8 +700,10 @@ object EventQueries {
         |   FROM (SELECT DISTINCT dt FROM e) d
         |   CROSS JOIN (SELECT DISTINCT bucket FROM e) b),
         | sh AS (SELECT g.dt,
-        |    GREATEST(COALESCE(bs.nb, 0) * 1.0 / nb.n_base, 1e-6) AS p,
-        |    GREATEST(COALESCE(cs.nc, 0) * 1.0 / nd.n_day, 1e-6) AS q
+        |    GREATEST(CAST(COALESCE(bs.nb, 0) AS DOUBLE) / nb.n_base,
+        |      1e-6) AS p,
+        |    GREATEST(CAST(COALESCE(cs.nc, 0) AS DOUBLE) / nd.n_day,
+        |      1e-6) AS q
         |  FROM grid g CROSS JOIN nb
         |  LEFT JOIN bs USING (bucket)
         |  JOIN nd ON g.dt = nd.dt
@@ -739,8 +741,9 @@ object EventQueries {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id)
         |    AS BIGINT) AS rank,
         |  user_id, n_rows,
-        |  ROUND(n_rows * 1.0 / total, 6) AS share,
-        |  ROUND(n_rows * 1.0 * n_keys / total, 6) AS vs_mean
+        |  CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(n_rows * n_keys * 1000000 // total AS BIGINT)
+        |    AS vs_mean_ppm
         |FROM top CROSS JOIN t ORDER BY rank""".stripMargin,
     "q34_sessionize" -> sessionSql,
     "q35_multimodal_features" ->

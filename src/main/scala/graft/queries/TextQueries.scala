@@ -1386,9 +1386,14 @@ object TextQueries {
             .as("n_moved"),
           sum(when(col("mod8") =!= col("mod9"), 1L).otherwise(0L))
             .as("n_moved_mod"))
-        .withColumn("move_frac", round(col("n_moved") / col("n_docs"), 6))
-        .withColumn("move_frac_mod",
-          round(col("n_moved_mod") / col("n_docs"), 6))
+        // Exact BIGINT parts-per-million — floating fractions are
+        // banned from gate outputs (DuckDB's `x * 1.0 / y` chain is
+        // DECIMAL or DOUBLE depending on version; integer division is
+        // one value everywhere).
+        .withColumn("move_frac_ppm",
+          expr("n_moved * 1000000 div n_docs"))
+        .withColumn("move_frac_mod_ppm",
+          expr("n_moved_mod * 1000000 div n_docs"))
         .orderBy("shard8")
     }),
 
@@ -1414,10 +1419,10 @@ object TextQueries {
       planted.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           count_distinct(md5(col("text"))).as("n_distinct"))
-        .withColumn("dup_rate",
-          round(lit(1.0) - col("n_distinct") / col("n_docs"), 6))
-        .withColumn("kept", col("dup_rate") <= 0.5)
-        .select("source", "n_docs", "n_distinct", "dup_rate", "kept")
+        .withColumn("dup_rate_ppm",
+          expr("(n_docs - n_distinct) * 1000000 div n_docs"))
+        .withColumn("kept", col("dup_rate_ppm") <= 500000L)
+        .select("source", "n_docs", "n_distinct", "dup_rate_ppm", "kept")
         .orderBy("source")
     }),
 
@@ -1943,10 +1948,10 @@ object TextQueries {
         |  COUNT(*) AS n_docs,
         |  SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS n_moved,
         |  SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS n_moved_mod,
-        |  ROUND(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) * 1.0
-        |    / COUNT(*), 6) AS move_frac,
-        |  ROUND(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) * 1.0
-        |    / COUNT(*), 6) AS move_frac_mod
+        |  CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS move_frac_ppm,
+        |  CAST(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS move_frac_mod_ppm
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "q162_source_dup_filter" ->
       """WITH planted AS (
@@ -1960,12 +1965,13 @@ object TextQueries {
         |    COUNT(DISTINCT md5(text)) AS n_distinct
         |  FROM planted GROUP BY 1)
         |SELECT source, n_docs, n_distinct,
-        |  ROUND(1.0 - n_distinct * 1.0 / n_docs, 6) AS dup_rate,
-        |  ROUND(1.0 - n_distinct * 1.0 / n_docs, 6) <= 0.5 AS kept
+        |  CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT)
+        |    AS dup_rate_ppm,
+        |  (n_docs - n_distinct) * 1000000 // n_docs <= 500000 AS kept
         |FROM a ORDER BY source""".stripMargin,
     "q163_rank_fusion" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
-        |    CAST(floor(${markerSql("en")} * 1.0
+        |    CAST(floor(CAST(${markerSql("en")} AS DOUBLE)
         |      / len(string_split(text, ' ')) * 1e6) AS BIGINT) AS sr_q
         |  FROM documents),
         | r AS (SELECT doc_id,
@@ -1992,8 +1998,10 @@ object TextQueries {
         |   FROM (SELECT DISTINCT lang FROM d WHERE lang <> 'en') l
         |   CROSS JOIN (SELECT DISTINCT bucket FROM d) b),
         | sh AS (SELECT g.lang, g.bucket,
-        |    GREATEST(COALESCE(bs.nb, 0) * 1.0 / nb.n_base, 1e-6) AS p,
-        |    GREATEST(COALESCE(cs.nc, 0) * 1.0 / nc.n_cand, 1e-6) AS q
+        |    GREATEST(CAST(COALESCE(bs.nb, 0) AS DOUBLE) / nb.n_base,
+        |      1e-6) AS p,
+        |    GREATEST(CAST(COALESCE(cs.nc, 0) AS DOUBLE) / nc.n_cand,
+        |      1e-6) AS q
         |  FROM grid g CROSS JOIN nb
         |  LEFT JOIN bs USING (bucket)
         |  JOIN nc ON g.lang = nc.lang
@@ -2175,7 +2183,7 @@ object TextQueries {
     "q197_quality_temperature_mix" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(floor(${markerSql("en")} * 1.0
+        |    CAST(floor(CAST(${markerSql("en")} AS DOUBLE)
         |      / len(string_split(text, ' ')) * 1e6) AS BIGINT) AS sr_q
         |  FROM documents),
         | r AS (SELECT doc_id, lang, n_tokens,
