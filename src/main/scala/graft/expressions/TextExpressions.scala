@@ -504,13 +504,21 @@ case class BpeSubwordCounts(child: Expression, merges: Seq[(String, String)])
         val wLen = i - start
         if (wLen > 0) {
           nWords += 1
-          var m = wLen + 1
-          if (buf.length < m) buf = new Array[String](m)
-          var j = 0
-          while (j < wLen) {
-            buf(j) = String.valueOf(text.charAt(start + j)); j += 1
+          // Split by CODE POINTS, not UTF-16 code units — the learner's
+          // initialSymbols (Spark split(word, "")) is code-point aware,
+          // and tokenize-apply must operate on the same symbol alphabet
+          // or non-BMP text (emoji, rare CJK) never matches a merge.
+          if (buf.length < wLen + 1) buf = new Array[String](wLen + 1)
+          var m = 0
+          var j = start
+          while (j < i) {
+            val cp = text.codePointAt(j)
+            buf(m) = new String(Character.toChars(cp))
+            m += 1
+            j += Character.charCount(cp)
           }
-          buf(wLen) = graft.operators.Bpe.Eow
+          buf(m) = graft.operators.Bpe.Eow
+          m += 1
           // apply merges in rank order, in place (write index w <= read)
           merges.foreach { case (l, r) =>
             var rd = 0; var wr = 0

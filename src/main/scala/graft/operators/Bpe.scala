@@ -140,12 +140,46 @@ object Bpe {
         .otherwise(round(nSub.cast("double") / nWords, 6)).as("fertility"))
   }
 
+  /** One symbol per Unicode CODE POINT — the driver-side mirror of
+    * `initialSymbols` (Spark's split(word, "") is code-point aware;
+    * Java charAt/toSeq would split surrogate pairs and put the
+    * references on a different symbol alphabet than the engine).
+    */
+  private def codePointSymbols(word: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var j = 0
+    while (j < word.length) {
+      val cp = word.codePointAt(j)
+      b += new String(Character.toChars(cp))
+      j += Character.charCount(cp)
+    }
+    b.result()
+  }
+
+  /** Lexicographic comparison by code point — identical to the UTF-8
+    * binary ordering Spark's `orderBy` applies to the engine-side
+    * argmax tie-break (Java String.compareTo orders by UTF-16 code
+    * unit, which diverges for supplementary characters).
+    */
+  private[graft] def codePointLess(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    (a.length - i) < (b.length - j)
+  }
+
   /** Driver-side tokenize reference for one word — the q195 referee's
     * kernel (mirrors `mergeFold` exactly).
     */
   def tokenizeReference(word: String,
                         merges: Seq[(String, String)]): Vector[String] = {
-    var syms = word.toSeq.map(_.toString).toVector :+ Eow
+    var syms = codePointSymbols(word) :+ Eow
     merges.foreach { case (l, r) =>
       val b = Vector.newBuilder[String]
       var j = 0
@@ -168,7 +202,7 @@ object Bpe {
     require(census.size <= 1000000,
       "learnMergesReference is the bounded referee - use learnMerges at scale")
     var vocab: Seq[(Vector[String], Long)] = census.map { case (w, c) =>
-      (w.toSeq.map(_.toString).toVector :+ Eow, c)
+      (codePointSymbols(w) :+ Eow, c)
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var k = 0
@@ -183,8 +217,15 @@ object Bpe {
           j += 1
         }
       }
+      // Tie-break on the same code-point (UTF-8 binary) ordering the
+      // engine's orderBy(l, r) uses — Scala's default String ordering
+      // is UTF-16 and diverges on supplementary characters.
       val best = counts.toSeq
-        .sortBy { case ((l, r), pc) => (-pc, l, r) }.headOption
+        .sortWith { case (((l1, r1), p1), ((l2, r2), p2)) =>
+          if (p1 != p2) p1 > p2
+          else if (l1 != l2) codePointLess(l1, l2)
+          else codePointLess(r1, r2)
+        }.headOption
       best match {
         case Some(((l, r), pc)) if pc >= 2 =>
           out += ((k + 1L, l, r, pc))

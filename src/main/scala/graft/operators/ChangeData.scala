@@ -141,9 +141,15 @@ object ChangeData {
   def purgeRows(spark: SparkSession, layoutDir: String, partitionCol: String,
                 victim: Column, maxAffected: Int = 1 << 16): Unit = {
     val t = spark.read.parquet(layoutDir)
+    // A NULL-valued predicate (e.g. `user_id === x` on a null user_id)
+    // must count as KEEP: under the raw column it would satisfy neither
+    // `victim` nor `!victim`, dropping the row from the census AND the
+    // rewrite — silent over-deletion on the one path whose contract is
+    // "delete exactly the victim rows".
+    val isVictim = coalesce(victim, lit(false))
     val parts = t.groupBy(col(partitionCol))
-      .agg(sum(when(victim, 1L).otherwise(0L)).as("n_victim"),
-        sum(when(!victim, 1L).otherwise(0L)).as("n_keep"))
+      .agg(sum(when(isVictim, 1L).otherwise(0L)).as("n_victim"),
+        sum(when(!isVictim, 1L).otherwise(0L)).as("n_keep"))
       .filter(col("n_victim") > 0)
       .limit(maxAffected + 1)
       .collect()
@@ -154,7 +160,8 @@ object ChangeData {
     val (live, dead) = parts.partition(_.getLong(2) > 0L)
     if (live.nonEmpty) {
       val rewrite = t
-        .filter(col(partitionCol).isin(live.map(_.get(0)).toSeq: _*) && !victim)
+        .filter(col(partitionCol).isin(live.map(_.get(0)).toSeq: _*)
+          && !isVictim)
       overwritePartitions(rewrite, layoutDir, partitionCol)
     }
     dead.foreach { r =>

@@ -18,19 +18,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Compaction {
 
-  /** (file count, total bytes) of the non-hidden data files under dir. */
+  /** (file count, total bytes) of the non-hidden data files under dir.
+    * Hidden means any path COMPONENT below `dir` starting with `_` or
+    * `.` — not just the leaf name, or files under a transient
+    * `_temporary/` / `.staging/` tree (left by a concurrent or failed
+    * write) would count into totalBytes and skew the file-size target.
+    */
   def fileStats(spark: SparkSession, dir: String): (Long, Long) = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.getFileStatus(path).getPath.toUri.getPath
     val it = fs.listFiles(path, true)
     var n = 0L
     var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) {
-        n += 1; bytes += f.getLen
-      }
+      val rel = f.getPath.toUri.getPath.stripPrefix(root)
+      val hidden = rel.split('/')
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (!hidden) { n += 1; bytes += f.getLen }
     }
     (n, bytes)
   }

@@ -42,10 +42,15 @@ object Scrub {
       LongNumRe, "<NUM>")
 
   /** `<script>`/`<style>` blocks including their content — non-greedy
-    * with `(?s)` so a block spanning line breaks still dies as a unit.
-    * Both constructs are in Java ∩ RE2.
+    * with `(?s)` so a block spanning line breaks still dies as a unit,
+    * `(?i)` because HTML tag names are case-insensitive (`<SCRIPT>`
+    * would otherwise leak its payload into the "clean" text once TagRe
+    * stripped the tags), and one pattern PER construct so a stray
+    * `</style>` can never close a `<script>` block early. All
+    * constructs are in Java ∩ RE2.
     */
-  val ScriptStyleRe: String = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+  val ScriptRe: String = "(?is)<script[^>]*>.*?</script>"
+  val StyleRe: String = "(?is)<style[^>]*>.*?</style>"
 
   /** Any remaining tag: `<` + non-`>` run + `>`. Runs AFTER the block
     * pass so a tag inside a dead script never resurrects.
@@ -65,7 +70,8 @@ object Scrub {
     * the q147 way.
     */
   def stripMarkup(text: Column): Column = {
-    val noBlocks = regexp_replace(text, ScriptStyleRe, " ")
+    val noBlocks =
+      regexp_replace(regexp_replace(text, ScriptRe, " "), StyleRe, " ")
     val noTags = regexp_replace(noBlocks, TagRe, " ")
     val decoded =
       regexp_replace(

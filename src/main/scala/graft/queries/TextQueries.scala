@@ -1919,9 +1919,9 @@ object TextQueries {
         |          regexp_replace(
         |            regexp_replace(
         |              regexp_replace(
-        |                regexp_replace(text,
-        |                  '(?s)<(script|style)[^>]*>.*?</(script|style)>',
-        |                  ' ', 'g'),
+        |                regexp_replace(regexp_replace(text,
+        |                  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |                '<[^>]*>', ' ', 'g'),
         |              '&lt;', '<', 'g'),
         |            '&gt;', '>', 'g'),

@@ -219,4 +219,25 @@ class ChangeDataSpec extends SparkSpec {
     } finally graft.pipeline.Ingest.deleteRecursively(
       java.nio.file.Paths.get(dir))
   }
+
+  test("purgeRows keeps rows whose victim predicate is NULL — they are " +
+      "not victims, and a partition of only victims+NULLs is not dead") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_purge_null")
+      .toString
+    try {
+      // p=a: victim + NULL-u row (predicate u===9 is NULL there);
+      // p=b: victim + NULL-u only — must be rewritten, NOT dropped.
+      val base = Seq((1L, "a", Some(9L)), (2L, "a", None),
+        (3L, "a", Some(1L)), (4L, "b", Some(9L)), (5L, "b", None))
+        .toDF("id", "p", "u")
+      base.write.mode("overwrite").partitionBy("p").parquet(dir)
+      ChangeData.purgeRows(spark, dir, "p", $"u" === 9L)
+      val got = spark.read.parquet(dir).select("id", "p")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got === Seq((2L, "a"), (3L, "a"), (5L, "b")),
+        "NULL-predicate rows must survive a purge")
+    } finally graft.pipeline.Ingest.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
 }

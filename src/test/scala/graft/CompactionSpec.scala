@@ -56,4 +56,23 @@ class CompactionSpec extends SparkSpec {
         s"file sizes skewed: ${sizes.sorted.mkString(", ")}")
     }
   }
+
+  test("fileStats skips files under transient _/. directories, not just " +
+      "hidden leaf names") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_filestats_spec").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val (n0, bytes0) = Compaction.fileStats(spark, dir)
+    // Plant a leftover concurrent-write tree: a real parquet file under
+    // _temporary/ must count into neither n nor bytes.
+    val tmp = new java.io.File(dir, "_temporary/0")
+    tmp.mkdirs()
+    val planted = new java.io.File(tmp, "part-leftover.parquet")
+    java.nio.file.Files.write(planted.toPath, Array.fill[Byte](4096)(1))
+    val (n1, bytes1) = Compaction.fileStats(spark, dir)
+    assert(n1 === n0 && bytes1 === bytes0,
+      "files under _temporary/ leaked into fileStats")
+  }
 }

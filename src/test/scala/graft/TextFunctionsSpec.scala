@@ -58,7 +58,12 @@ class TextFunctionsSpec extends SparkSpec {
         "<script>var a = 1 < 2;</script>tail"),
       (2L, "Fish &amp; Chips say &lt;hi&gt; and &amp;lt;not-a-tag&amp;gt;"),
       (3L, "already clean single spaced text"),
-      (4L, "<style>.a{color:red}</style>kept")
+      (4L, "<style>.a{color:red}</style>kept"),
+      // HTML tag names are case-insensitive; the payload must die with
+      // the block, not leak once the tags are stripped.
+      (5L, "<SCRIPT>var leak = 1;</SCRIPT><Style>.b{}</Style>ok"),
+      // a stray </style> must NOT close a <script> block early
+      (6L, "<script>var a = 'x</style>y';</script>after")
     ).toDF("doc_id", "text")
     val out = docs.select($"doc_id", Scrub.stripMarkup($"text").as("c"))
       .orderBy("doc_id").as[(Long, String)].collect().toSeq
@@ -70,6 +75,10 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2)._2 === "already clean single spaced text",
       "clean text must pass through byte-identical")
     assert(out(3)._2 === "kept")
+    assert(out(4)._2 === "ok",
+      "<SCRIPT>/<Style> payloads must die case-insensitively")
+    assert(out(5)._2 === "after",
+      "a </style> inside a script body must not close the script block")
     // Idempotence, the q147 property: scrub ∘ scrub ≡ scrub — EXCEPT
     // where decoding legitimately produced literal <...> text, which a
     // second pass would strip; that is why production runs the scrub
