@@ -209,6 +209,39 @@ object Tables {
       Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
     }
 
+  /** One REAL PNG per document, named <doc_id>.png — the image-corpus
+    * on-disk shape feeding the real-decode path (q204). Dimensions and
+    * every pixel derive from (doc_id, x, y) by an exact-integer rule:
+    *
+    *   w = 8 + doc_id % 9,  h = 8 + doc_id % 7
+    *   r = (doc_id·31 + x·7  + y·13) % 256
+    *   g = (doc_id·17 + x·11 + y·5 ) % 256
+    *   b = (doc_id·23 + x·3  + y·19) % 256
+    *
+    * PNG is lossless, so `ImageIO.read` must reproduce these values
+    * bit-exactly — which is what makes a FULL DuckDB gate possible for
+    * a codec operator: the oracle restates the rule arithmetically
+    * while the engine's numbers come from actually decoding the bytes.
+    * The collect is fixture-building over the bounded testdata table,
+    * not a query path. Built once per sf.
+    */
+  def documentsPngFilesLayout(spark: SparkSession, sfDir: String): String =
+    derivedLayout(sfDir, "documents", "documents_pngfiles") { out =>
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.functions.col
+      val dir = Paths.get(out)
+      Files.createDirectories(dir)
+      load(spark, sfDir, "documents").select("doc_id")
+        .where(col("doc_id").isNotNull)
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          val img = operators.Multimodal.plantedImage(id)
+          javax.imageio.ImageIO.write(img, "png",
+            dir.resolve(s"$id.png").toFile)
+        }
+      Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    }
+
   /** ORC copy of `orders` — the second columnar source format (same
     * pushdown/pruning path as parquet through the ORC reader).
     */

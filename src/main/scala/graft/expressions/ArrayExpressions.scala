@@ -191,12 +191,12 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Mean unsigned-byte value of a binary payload (the "brightness" stub
+/** Mean unsigned-byte value of a binary payload (the "brightness" byte
   * feature of the multimodal path) in one fused loop. The column-
-  * expression twin of `Multimodal.decodeStub`'s byte mean: keeps q35's
+  * expression twin of `Multimodal.byteFeatures`'s byte mean: keeps q35's
   * benched path inside whole-stage codegen instead of deserializing every
   * row through a typed `mapPartitions`. Empty input yields 0.0 (matching
-  * the stub's contract).
+  * `byteFeatures`' contract).
   */
 case class ByteMean(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes with Serializable {

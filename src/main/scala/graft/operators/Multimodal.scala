@@ -6,19 +6,27 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
   * with feature extraction as a batched `mapPartitions` (the Scala
   * analogue of `mapInPandas` — rows are processed in fixed-size batches
-  * so a real decoder could amortize model/library setup per batch).
+  * so a decoder can amortize codec/library setup per batch).
   *
-  * The decode step itself is a DETERMINISTIC STUB (`decodeStub`): real
-  * image/audio codecs are not available in this container, so it computes
-  * cheap byte-level features (size, sha256, mean byte value standing in
-  * for "brightness"). The Spark-side plumbing — schema, encoders, batch
-  * shape, partition-parallel execution — is real and tested.
+  * Two feature families ride this boundary:
+  *  - byte-level features (size, sha256, mean byte value) for payloads
+  *    treated as opaque blobs — these also have pure codegen column
+  *    forms (`featureColumns`), which is what the benched q35 runs;
+  *  - REAL image decode (`decodeImageFeatures` / `resizeImage`) via the
+  *    JDK's `javax.imageio` PNG codec — width/height/channel sums read
+  *    from actually-decoded pixels, and a nearest-neighbor resize that
+  *    re-encodes losslessly. q204 gates the decode against a DuckDB
+  *    oracle that restates the planted pixel rule arithmetically
+  *    (`Tables.documentsPngFilesLayout`), so a decode bug cannot hide.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
   case class MediaFeatures(doc_id: Long, n_bytes: Long, sha256_hex: String,
                            brightness: Double)
+  case class ImageFeatures(doc_id: Long, width: Long, height: Long,
+                           r_sum: Long, g_sum: Long, b_sum: Long,
+                           rz_hash: Long)
 
   /** Wrap a text corpus as binary media rows (payload = UTF-8 bytes). */
   def toMedia(docs: DataFrame): Dataset[MediaRow] = {
@@ -30,8 +38,8 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Deterministic fake decoder — stands in for an image/audio codec. */
-  def decodeStub(row: MediaRow): MediaFeatures = {
+  /** Byte-level features of an opaque payload (no codec needed). */
+  def byteFeatures(row: MediaRow): MediaFeatures = {
     val bytes = row.payload
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val hex = md.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
@@ -41,8 +49,8 @@ object Multimodal {
   }
 
   /** Frame sampling over an opaque binary payload: chunk the bytes into
-    * fixed-size "frames" (stub for video/audio frame boundaries — real
-    * codecs are not in this container) and keep every `stride`-th one.
+    * fixed-size "frames" (byte-level proxy for video/audio frame
+    * boundaries) and keep every `stride`-th one.
     * Pure column expressions: sequence → transform(substring) → explode,
     * so the UDTF-shaped op stays inside the optimizer and parallelizes
     * per input row. Frame numbering is the position BEFORE striding.
@@ -59,12 +67,12 @@ object Multimodal {
           .as("frame"))
   }
 
-  /** Resize stub: deterministic nearest-neighbor byte subsampling by
-    * `factor` — stands in for an image resize (no codecs in this
-    * container); the Spark-side shape (map-side binary→binary transform,
-    * metadata carried alongside) is the real part.
+  /** Deterministic nearest-neighbor byte subsampling by `factor` — the
+    * opaque-payload downsampling shape (map-side binary→binary
+    * transform, metadata carried alongside). For decoded pixel-space
+    * resizing of real images, use `resizeImage`.
     */
-  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+  def subsampleBytes(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { r =>
@@ -73,21 +81,140 @@ object Multimodal {
     }
   }
 
-  /** Batched partition-parallel feature extraction — the documented
-    * boundary for a REAL codec: rows arrive in fixed-size batches so a
-    * decoder can amortize library/model setup per batch, exactly like a
-    * `mapInPandas` UDF would. This path deserializes rows out of
-    * Tungsten, so it is NOT the default — `featureColumns` computes the
-    * same stub features as pure codegen'd column expressions and is what
-    * the benched q35 runs; MultimodalSpec pins the two paths equal.
+  /** The deterministic planted image for `doc_id` — dimensions and every
+    * RGB value are exact-integer functions of (doc_id, x, y), see
+    * `Tables.documentsPngFilesLayout`. Shared by the fixture writer, the
+    * decode spec, and (arithmetically restated) the q204 oracle.
+    */
+  def plantedImage(id: Long): java.awt.image.BufferedImage = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 5) % 256).toInt
+        val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** REAL image decode + feature extraction through the batched
+    * `mapPartitions` codec boundary: `javax.imageio.ImageIO` (in the
+    * JDK — no external codec dependency) parses each payload, and the
+    * features come from the DECODED pixel grid, not the bytes:
+    * width/height, exact per-channel BIGINT sums, and a rolling hash of
+    * the nearest-neighbor `rz`×`rz` resize (source pixel for resized
+    * (i, j) is (i·w/rz, j·h/rz), integer division — the resize audit
+    * without shipping pixels). All outputs are exact integers, so the
+    * q204 oracle restates them in SQL from the planted-pixel rule and
+    * the gate is a FULL hash gate even though DuckDB cannot decode PNG.
+    * Undecodable payloads fail loudly — silently skipping a corrupt
+    * image is how a multimodal corpus rots.
+    */
+  def decodeImageFeatures(media: Dataset[MediaRow], rz: Int = 4,
+                          batchSize: Int = 64): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // codec/library setup would amortize here, once per batch
+        batch.map { row =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.payload))
+          require(img != null,
+            s"decodeImageFeatures: undecodable payload for doc ${row.doc_id}")
+          val w = img.getWidth
+          val h = img.getHeight
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          var hsh = 0L
+          var j = 0
+          while (j < rz) {
+            var i = 0
+            while (i < rz) {
+              val p = img.getRGB(i * w / rz, j * h / rz)
+              hsh = (hsh * 1000003L + ((p >> 16) & 0xff)) % 1000000007L
+              hsh = (hsh * 1000003L + ((p >> 8) & 0xff)) % 1000000007L
+              hsh = (hsh * 1000003L + (p & 0xff)) % 1000000007L
+              i += 1
+            }
+            j += 1
+          }
+          ImageFeatures(row.doc_id, w.toLong, h.toLong, rs, gs, bs, hsh)
+        }
+      }
+    }
+  }
+
+  /** Decoded-pixel-space resize: decode → nearest-neighbor sample to
+    * `w`×`h` → losslessly re-encode as PNG. Same batched boundary as
+    * `decodeImageFeatures`; MultimodalSpec pins the round trip by
+    * decoding the output again and checking the pixels against the
+    * nearest-neighbor rule.
+    */
+  def resizeImage(media: Dataset[MediaRow], w: Int, h: Int,
+                  batchSize: Int = 64): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.payload))
+          require(img != null,
+            s"resizeImage: undecodable payload for doc ${row.doc_id}")
+          val sw = img.getWidth
+          val sh = img.getHeight
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var j = 0
+          while (j < h) {
+            var i = 0
+            while (i < w) {
+              out.setRGB(i, j, img.getRGB(i * sw / w, j * sh / h) & 0xffffff)
+              i += 1
+            }
+            j += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          row.copy(payload = bos.toByteArray, mime = "image/png")
+        }
+      }
+    }
+  }
+
+  /** Batched partition-parallel byte-feature extraction — the same
+    * codec boundary `decodeImageFeatures` uses, for opaque payloads:
+    * rows arrive in fixed-size batches exactly like a `mapInPandas`
+    * UDF's. This path deserializes rows out of Tungsten, so it is NOT
+    * the default — `featureColumns` computes the same byte features as
+    * pure codegen'd column expressions and is what the benched q35
+    * runs; MultimodalSpec pins the two paths equal.
     */
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real decoder would init the codec once per batch here
-        batch.map(decodeStub)
+        batch.map(byteFeatures)
       }
     }
   }
@@ -115,12 +242,12 @@ object Multimodal {
       bands = bands, rowsPerBand = rowsPerBand, seed = seed)
   }
 
-  /** Column-expression twin of `extractFeatures` for the stub features:
+  /** Column-expression twin of `extractFeatures` for the byte features:
     * every one has a codegen form (`octet_length`, `sha2`, the fused
     * `ByteMean` kernel), so the whole projection stays inside
     * whole-stage codegen with no Tungsten→JVM-object round trip. A real
     * decoder can't be expressed this way — that's what the
-    * `mapPartitions` boundary above is for — but stub features shouldn't
+    * `mapPartitions` boundary above is for — but byte features shouldn't
     * pay its deserialization tax.
     */
   def featureColumns(media: DataFrame): DataFrame =

@@ -60,6 +60,34 @@ object SourceQueries {
     // engine (binaryFile parallelizes per file and prunes by glob);
     // the hash gate proves file round-trip + id recovery are lossless
     // byte-for-byte against the parquet-side restatement.
+    // REAL image decode through the batched codec boundary: the fixture
+    // plants one genuine PNG per doc whose dimensions and pixels are
+    // exact-integer functions of (doc_id, x, y)
+    // (`Tables.documentsPngFilesLayout`), the engine reads them through
+    // binaryFile and DECODES them with the JDK's ImageIO
+    // (`Multimodal.decodeImageFeatures` — width/height, per-channel
+    // BIGINT sums, nearest-neighbor-4×4 rolling hash, all from decoded
+    // pixels), and the oracle restates the planted rule arithmetically —
+    // PNG is lossless, so a FULL hash gate on a codec path with no
+    // codec in DuckDB. A wrong pixel anywhere breaks a sum or the
+    // resize hash.
+    "q204_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val path = Tables.documentsPngFilesLayout(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"),
+          lit("image/png").as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeImageFeatures(media, rz = 4)
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -136,6 +164,36 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The planted-pixel rule of documentsPngFilesLayout restated in
+    // exact integer SQL — what ImageIO must read back out of the PNGs.
+    // rz_hash iterates resized pixels row-major (k//4 = row j, k%4 =
+    // col i) with channels r,g,b per pixel, source pixel at
+    // (i*w//4, j*h//4) — mirroring decodeImageFeatures' loop exactly.
+    "q204_image_decode" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        | xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        | px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        | sums AS (SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+        |    CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS r_sum,
+        |    CAST(SUM((doc_id*17 + x*11 + y*5) % 256) AS BIGINT) AS g_sum,
+        |    CAST(SUM((doc_id*23 + x*3 + y*19) % 256) AS BIGINT) AS b_sum
+        |  FROM px GROUP BY 1),
+        | rz AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      flatten(list_transform(range(0, 16), k ->
+        |        [(doc_id*31 + ((k % 4) * w // 4)*7
+        |            + ((k // 4) * h // 4)*13) % 256,
+        |         (doc_id*17 + ((k % 4) * w // 4)*11
+        |            + ((k // 4) * h // 4)*5) % 256,
+        |         (doc_id*23 + ((k % 4) * w // 4)*3
+        |            + ((k // 4) * h // 4)*19) % 256]))),
+        |      (a, v) -> (a * 1000003 + v) % 1000000007) AS rz_hash
+        |  FROM d)
+        |SELECT s.doc_id, CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height, r_sum, g_sum, b_sum,
+        |  CAST(rz_hash AS BIGINT) AS rz_hash
+        |FROM sums s JOIN rz USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q170_compaction" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -330,9 +330,9 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Set((1L, 3L, 2L, 300L), (10L, 2L, 11L, 9L)))
   }
 
-  test("resizeStub subsamples payload bytes deterministically") {
+  test("subsampleBytes subsamples payload bytes deterministically") {
     val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
-    val resized = graft.operators.Multimodal.resizeStub(
+    val resized = graft.operators.Multimodal.subsampleBytes(
       graft.operators.Multimodal.toMedia(docs), factor = 2).collect()
     assert(resized.head.payload.map(_.toChar).mkString === "aceg")
   }

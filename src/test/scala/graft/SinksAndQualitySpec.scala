@@ -154,6 +154,59 @@ class SinksAndQualitySpec extends SparkSpec {
     viaColumns.zip(viaPartitions).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("decodeImageFeatures reads real pixels back out of real PNGs") {
+    val ids = Seq(3L, 17L, 1000L)
+    val rows = ids.map { id =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(Multimodal.plantedImage(id), "png", bos)
+      Multimodal.MediaRow(id, bos.toByteArray, "image/png")
+    }
+    val got = Multimodal
+      .decodeImageFeatures(rows.toDS(), rz = 4, batchSize = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    ids.foreach { id =>
+      val w = (8 + id % 9).toInt; val h = (8 + id % 7).toInt
+      val px = for (y <- 0 until h; x <- 0 until w) yield
+        ((id * 31 + x * 7 + y * 13) % 256, (id * 17 + x * 11 + y * 5) % 256,
+          (id * 23 + x * 3 + y * 19) % 256)
+      var hsh = 0L
+      for (j <- 0 until 4; i <- 0 until 4) {
+        val sx = i * w / 4; val sy = j * h / 4
+        Seq((id * 31 + sx * 7 + sy * 13) % 256,
+          (id * 17 + sx * 11 + sy * 5) % 256,
+          (id * 23 + sx * 3 + sy * 19) % 256)
+          .foreach(v => hsh = (hsh * 1000003L + v) % 1000000007L)
+      }
+      val f = got(id)
+      assert(f.width === w.toLong && f.height === h.toLong)
+      assert(f.r_sum === px.map(_._1).sum && f.g_sum === px.map(_._2).sum &&
+        f.b_sum === px.map(_._3).sum)
+      assert(f.rz_hash === hsh)
+    }
+  }
+
+  test("resizeImage re-encodes losslessly: decoded output pixels follow " +
+      "the nearest-neighbor rule") {
+    val id = 42L
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(Multimodal.plantedImage(id), "png", bos)
+    val media = Seq(Multimodal.MediaRow(id, bos.toByteArray, "image/png")).toDS()
+    val resized = Multimodal.resizeImage(media, w = 5, h = 3).collect().head
+    assert(resized.mime === "image/png")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.payload))
+    assert(img.getWidth === 5 && img.getHeight === 3)
+    val sw = (8 + id % 9).toInt; val sh = (8 + id % 7).toInt
+    for (j <- 0 until 3; i <- 0 until 5) {
+      val sx = i * sw / 5; val sy = j * sh / 3
+      val expected = ((((id * 31 + sx * 7 + sy * 13) % 256) << 16) |
+        (((id * 17 + sx * 11 + sy * 5) % 256) << 8) |
+        ((id * 23 + sx * 3 + sy * 19) % 256)).toInt
+      assert((img.getRGB(i, j) & 0xffffff) === expected,
+        s"pixel ($i,$j) diverged after resize+re-encode")
+    }
+  }
+
   test("schema enforcement adds missing columns as typed nulls and prunes extras") {
     val df = Seq(("1", "x", "extra")).toDF("A", "B", "Z")
     val (out, ok, issues) = Quality.enforceSchema(df,
