@@ -457,6 +457,103 @@ object TextQueries {
         .orderBy("doc_id", "side")
     }),
 
+    // Distributed unigram-LM (SentencePiece-style) learning gate — the
+    // EM sibling of q194 and the tokenizer family of T5/mT5/XLM-R. The
+    // corpus pays the one word-census pass; the seed explodes
+    // code-point substrings of the CENSUS; each EM iteration is a
+    // census-scale kernel map into a vocab-sized INTEGER aggregate
+    // (per-word expected counts are 1e-6-quantized before the shuffle,
+    // so the distributed sum is exact — what makes EM refereeable).
+    // The gate diffs the distributed learner's final piece table
+    // against the bounded driver reference of the same published
+    // algorithm (Kudo 2018) — empty when seed, quantized E-step, and
+    // prune tie-breaks agree exactly.
+    "q205_unigram_learn_gate" -> ((s, dir) => {
+      import graft.operators.{Bpe, Unigram}
+      val d = docs(s, dir)
+      val learned = Unigram.learn(d, "text", multiVocab = 48,
+        maxLen = 3, iters = 2)
+      val census = Bpe.wordCensus(d, "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val sp = s
+      import sp.implicits._
+      val ref = Unigram.learnReference(census, multiVocab = 48,
+        maxLen = 3, iters = 2).toDF("piece", "cnt_q")
+      learned.exceptAll(ref).withColumn("side", lit("learned_only"))
+        .unionAll(ref.exceptAll(learned).withColumn("side", lit("ref_only")))
+        .orderBy("piece", "side")
+    }),
+
+    // Unigram tokenize-apply gate — q195's twin for the Viterbi
+    // segmenter: the learned piece table ships as literals and each
+    // word's max-probability segmentation runs as one imperative
+    // map-side kernel pass (strict-greater tie rule, length-ascending
+    // candidates — the pinned order both engines follow). Diffed
+    // against the driver reference applied to the collected corpus.
+    "q206_unigram_tokenize_gate" -> ((s, dir) => {
+      import graft.operators.Unigram
+      val d = docs(s, dir)
+      val learned = Unigram.learn(d, "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val stats = Unigram.pieceStats(d, "doc_id", "text", learned)
+      val sp = s
+      import sp.implicits._
+      val ref = d.select(col("doc_id"), col("text"))
+        .as[(Long, Option[String])].collect().toSeq
+        .map { case (id, txt) =>
+          val counts = txt.map { t =>
+            val ws = t.split(" ", -1).filter(_.nonEmpty)
+            val ps = ws.map(w =>
+              Unigram.viterbiCountReference(w, learned).toLong)
+            (ws.length.toLong, ps.sum)
+          }
+          (id, counts.map(_._1), counts.map(_._2),
+            counts.flatMap { case (nw, np) =>
+              if (nw == 0) None
+              else Some(BigDecimal(np.toDouble / nw)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            })
+        }.toDF("doc_id", "n_words", "n_pieces", "fertility")
+      stats.exceptAll(ref).withColumn("side", lit("learned_only"))
+        .unionAll(ref.exceptAll(stats).withColumn("side", lit("ref_only")))
+        .orderBy("doc_id", "side")
+    }),
+
+    // Per-language unigram fertility profile — q199's twin: the
+    // tokenizer-fairness gap under the Viterbi segmenter, refereed the
+    // same way (distributed profile ≡ driver reference aggregated
+    // identically).
+    "q207_unigram_fertility" -> ((s, dir) => {
+      import graft.operators.Unigram
+      val d = docs(s, dir)
+      val learned = Unigram.learn(d, "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      def profile(stats: DataFrame) = stats
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("n_words"), lit(0L)).as("sum_words"),
+          coalesce(sum("n_pieces"), lit(0L)).as("sum_pieces"))
+        .withColumn("fertility",
+          round(col("sum_pieces").cast("double") / col("sum_words"), 6))
+      val learnedProf = profile(Unigram.pieceStats(d, "doc_id", "text", learned))
+      val sp = s
+      import sp.implicits._
+      val refStats = d.select(col("doc_id"), col("text"))
+        .as[(Long, Option[String])].collect().toSeq
+        .map { case (id, txt) =>
+          val ws = txt.map(_.split(" ", -1).filter(_.nonEmpty))
+            .getOrElse(Array.empty)
+          (id, txt.map(_ => ws.length.toLong),
+            txt.map(_ => ws.map(w =>
+              Unigram.viterbiCountReference(w, learned).toLong).sum))
+        }.toDF("doc_id", "n_words", "n_pieces")
+      val ref = profile(refStats)
+      learnedProf.exceptAll(ref).withColumn("side", lit("learned_only"))
+        .unionAll(ref.exceptAll(learnedProf).withColumn("side", lit("ref_only")))
+        .orderBy("lang", "side")
+    }),
+
     // Epoch plan — the composition a trainer actually consumes each
     // epoch: deterministic reshuffle (q106's multiplicative-hash
     // shards; a new seed is a new permutation, shard assignment stable
@@ -2237,6 +2334,21 @@ object TextQueries {
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words,
         |  CAST(NULL AS BIGINT) AS n_subwords, CAST(NULL AS DOUBLE) AS fertility,
         |  CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
+    // Referee gates (distributed unigram-LM ≡ driver reference): empty.
+    "q205_unigram_learn_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS piece, CAST(NULL AS BIGINT) AS cnt_q,
+        |  CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
+    "q206_unigram_tokenize_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words,
+        |  CAST(NULL AS BIGINT) AS n_pieces, CAST(NULL AS DOUBLE) AS fertility,
+        |  CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
+    "q207_unigram_fertility" ->
+      """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_docs,
+        |  CAST(NULL AS BIGINT) AS sum_words, CAST(NULL AS BIGINT) AS sum_pieces,
+        |  CAST(NULL AS DOUBLE) AS fertility, CAST(NULL AS VARCHAR) AS side
         |WHERE FALSE""".stripMargin,
     // Referee gate (distributed learner ≡ driver reference): empty.
     "q194_bpe_merges_gate" ->
