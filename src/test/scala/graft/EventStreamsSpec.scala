@@ -442,6 +442,93 @@ class EventStreamsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("dropDuplicatesWithinWatermark recovers its seen-key state from " +
+      "the checkpoint after a kill") {
+    // The state that must survive: the watermark-scoped seen-key set. A
+    // (user, type) pair first seen in half 1 that reappears in half 2
+    // double-counts if the restart loses it. Watermark longer than the
+    // table's span so no key legitimately expires mid-test (expiry is
+    // pinned separately above); equality with exact batch distinct is
+    // then exact, not a bound.
+    val (base, h1, h2) = splitEventsDir()
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt_ddw"
+    val schema = h1.schema
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def start(runName: String) = spark.readStream.schema(schema).parquet(inDir)
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+        .writeStream.outputMode(OutputMode.Complete()).format("memory")
+        .queryName(runName).option("checkpointLocation", ckpt).start()
+      val q1 = start("ckpt_ddw_run1")
+      try q1.processAllAvailable() finally q1.stop()
+      h2.write.mode("append").parquet(inDir)
+      val q2 = start("ckpt_ddw_run2")
+      val run2Rows = try {
+        q2.processAllAvailable()
+        q2.recentProgress.map(_.numInputRows).sum
+      } finally q2.stop()
+      assert(run2Rows <= h2.count(),
+        s"restart reprocessed old files: read $run2Rows rows, half2 has ${h2.count()}")
+      val want = Tables.load(spark, sfDir, "events")
+        .select("user_id", "event_type").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      val got = spark.table("ckpt_ddw_run2")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "recovered seen-key state + new files must equal batch distinct " +
+          "over all events")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("streaming upsert view recovers per-key last-write state from " +
+      "the checkpoint after a kill") {
+    // The state that must survive: one max(struct) row per key. Keys
+    // whose latest event is in half 1 and silent in half 2 can only
+    // appear in run 2's Complete-mode output FROM recovered state; keys
+    // updated in half 2 must compare against the recovered candidate,
+    // not start fresh.
+    val (base, h1, h2) = splitEventsDir()
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt_upsert"
+    val schema = h1.schema
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def start(runName: String) = spark.readStream.schema(schema).parquet(inDir)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .writeStream.outputMode(OutputMode.Complete()).format("memory")
+        .queryName(runName).option("checkpointLocation", ckpt).start()
+      val q1 = start("ckpt_upsert_run1")
+      try q1.processAllAvailable() finally q1.stop()
+      h2.write.mode("append").parquet(inDir)
+      val q2 = start("ckpt_upsert_run2")
+      val run2Rows = try {
+        q2.processAllAvailable()
+        q2.recentProgress.map(_.numInputRows).sum
+      } finally q2.stop()
+      assert(run2Rows <= h2.count(),
+        s"restart reprocessed old files: read $run2Rows rows, half2 has ${h2.count()}")
+      val want = Tables.load(spark, sfDir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("last_event_id"),
+          col("m.value").as("last_value"))
+      val got = spark.table("ckpt_upsert_run2")
+        .select(col("user_id"), col("m.event_id").as("last_event_id"),
+          col("m.value").as("last_value"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "recovered per-key state + new files must equal the batch " +
+          "last-write-wins view over all events")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("stateful sessionization resumes from the checkpoint and matches the batch oracle") {
     val (base, h1, h2) = splitEventsDir()
     val inDir = s"$base/in"
