@@ -245,14 +245,27 @@ object Unigram {
         .otherwise(round(nPieces.cast("double") / nWords, 6)).as("fertility"))
   }
 
+  /** Factory for the q206/q207 referee's word counter: builds the
+    * piece-probability map ONCE (the per-word rebuild was the
+    * referee's dominant cost on a corpus-sized diff).
+    */
+  def viterbiCounterReference(learned: Seq[(String, Long)],
+                              maxLen: Int = 3): String => Int = {
+    val total = learned.map(_._2).sum
+    val prob = learned.map { case (p, c) => p -> c.toDouble / total }.toMap
+    w => viterbiCount(w, prob, maxLen)
+  }
+
   /** Driver-side Viterbi piece count for one word — the q206/q207
     * referee's kernel (independent implementation, same strict-greater
     * tie rule and length-ascending candidate order).
     */
   def viterbiCountReference(word: String, learned: Seq[(String, Long)],
-                            maxLen: Int = 3): Int = {
-    val total = learned.map(_._2).sum
-    val prob = learned.map { case (p, c) => p -> c.toDouble / total }.toMap
+                            maxLen: Int = 3): Int =
+    viterbiCounterReference(learned, maxLen)(word)
+
+  private def viterbiCount(word: String, prob: Map[String, Double],
+                           maxLen: Int): Int = {
     val a = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Int]
       var i = 0

@@ -423,6 +423,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"IVF-PQ recall $recall < 0.85")
   }
 
+  test("q141 JL-LSH gate is empty on sf0.001 and its half slice keeps " +
+      "planted pairs") {
+    assert(graft.SparkEntry.queries("q141_jl_lsh_gate")(spark, sfDir)
+      .count() === 0L)
+    // The sliced expected set (every 20th EVEN base id) must stay
+    // non-empty or the recall law is vacuously satisfied.
+    val n = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 20 === 0 && col("vec_id") % 2 === 0)
+      .count()
+    assert(n >= 5, s"sliced q141 fixture plants only $n pairs")
+  }
+
   test("randomProject: deterministic, map-side, JL distortion in a sane band") {
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))

@@ -124,12 +124,14 @@ class SketchSpec extends SparkSpec {
     assert(SparkEntry.queries("q154_mg_heavy_hitters_gate")(spark, sfDir)
       .count() === 0L)
     // The gate would be vacuous if its key domain fit in 64 counters;
-    // prove the decrement path ran on this corpus (err > 0). Bigrams,
-    // matching the gate (the unigram vocabulary here is ~31 words).
+    // prove the decrement path ran on the gate's own HALF-CORPUS slice
+    // (err > 0). Bigrams, matching the gate (the unigram vocabulary
+    // here is ~31 words).
     val mg = udaf(new functions.HeavyHittersAggregator(64),
       org.apache.spark.sql.Encoders.STRING)
     val w = split($"text", " ")
     val hh = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id" % 2 === 0)
       .select(explode(when(size(w) >= 2,
         transform(sequence(lit(0), size(w) - 2),
           i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
@@ -223,9 +225,16 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("q157 KMV overlap gate is empty on sf0.001") {
+  test("q157 KMV overlap gate is empty on sf0.001 and its half-corpus " +
+      "slice stays non-vacuous") {
     assert(SparkEntry.queries("q157_kmv_overlap_gate")(spark, sfDir)
       .count() === 0L)
+    // The referee fixture slice must still cover several sources with
+    // real vocabulary, or the 190-pair comparison degenerates.
+    val srcs = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id" % 2 === 0 && $"text".isNotNull)
+      .select("source").distinct().count()
+    assert(srcs >= 5, s"sliced q157 fixture covers only $srcs sources")
   }
 
   test("q166 incremental-merge gate: empty when maintained, fires when " +
@@ -239,7 +248,9 @@ class SketchSpec extends SparkSpec {
     import graft.functions.TextFunctions.shingles
     def grams(d: org.apache.spark.sql.DataFrame) = d.select($"source",
       explode(shingles($"text", 3)).as("g"))
+    // Match the gate's half-corpus referee slice.
     val all = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id" % 2 === 0)
     val history = operators.Sketches.kmvSketch(
       grams(all.filter($"doc_id" % 4 =!= 0)), Seq("source"), "g", k)
     val scratch = operators.Sketches.kmvSketch(
@@ -250,6 +261,18 @@ class SketchSpec extends SparkSpec {
         $"sk_inc" =!= $"sk_scratch")
       .count()
     assert(differing > 0L, "fixture must make the delta observable")
+  }
+
+  test("q175 streaming vocab sketch gate is empty and its quarter slice " +
+      "stays non-vacuous") {
+    assert(SparkEntry.queries("q175_stream_vocab_sketch")(spark, sfDir)
+      .count() === 0L)
+    // The bit-identity comparison must still span several sources with
+    // enough grams to fill sketches past the trivial regime.
+    val sliced = Tables.load(spark, sfDir, "documents")
+      .filter($"doc_id" % 4 === 0 && $"text".isNotNull)
+    assert(sliced.select("source").distinct().count() >= 5)
+    assert(sliced.count() >= 50)
   }
 
   test("CMS join-size: never-under law, element-wise-add merge, q188 gate " +
