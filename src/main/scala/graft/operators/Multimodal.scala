@@ -163,6 +163,56 @@ object Multimodal {
     }
   }
 
+  /** REAL-decode image signature for cross-modal matching: decode →
+    * nearest-neighbor `rz`×`rz` sample → the red-channel values as a
+    * dense double vector (row-major). The "image encoder" of the
+    * cross-modal stack (q208): at 100 TB this slot holds a trained
+    * vision encoder behind the same batched boundary — the signature
+    * contract (decoded pixels in, fixed-dim vector out, map-side, no
+    * shuffle) is what the pairing machinery consumes either way.
+    *
+    * The vector carries the decoded WIDTH and HEIGHT and a trailing
+    * constant BIAS element (255). All three are load-bearing for
+    * discrimination: the floor-sampled rz-grid maps adjacent dims to
+    * the same pixels (h=8 and h=9 sample identical rows at rz=4), so
+    * dimensions must enter the vector explicitly, and cosine is
+    * scale-blind — linear pixel patterns from different images can be
+    * exact scalings/shifts of each other — so the bias pins the scale.
+    * Only the identical image scores 1.0.
+    */
+  def imageSignature(media: Dataset[MediaRow], rz: Int = 4,
+                     batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.payload))
+          require(img != null,
+            s"imageSignature: undecodable payload for doc ${row.doc_id}")
+          val w = img.getWidth
+          val h = img.getHeight
+          val sig = new Array[Double](rz * rz + 3)
+          var j = 0
+          while (j < rz) {
+            var i = 0
+            while (i < rz) {
+              sig(j * rz + i) =
+                ((img.getRGB(i * w / rz, j * h / rz) >> 16) & 0xff).toDouble
+              i += 1
+            }
+            j += 1
+          }
+          sig(rz * rz) = w.toDouble
+          sig(rz * rz + 1) = h.toDouble
+          sig(rz * rz + 2) = 255.0
+          (row.doc_id, sig)
+        }
+      }
+    }.toDF("doc_id", "sig")
+  }
+
   /** Decoded-pixel-space resize: decode → nearest-neighbor sample to
     * `w`×`h` → losslessly re-encode as PNG. Same batched boundary as
     * `decodeImageFeatures`; MultimodalSpec pins the round trip by

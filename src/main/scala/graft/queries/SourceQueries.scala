@@ -88,6 +88,56 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-modal caption↔image pairing — the one LLM-pipeline family
+    // that joins TEXT to MEDIA: real-decoded image signatures
+    // (`Multimodal.imageSignature` — PNG decode → 4×4 red-channel
+    // vector + constant bias, the vision-encoder slot) margin-mined
+    // against the caption side's aligned-encoder output (the planted
+    // stand-in: the q204 pixel rule — an exactly-aligned encoder; at
+    // 100 TB both slots hold trained encoders, the pairing machinery
+    // is identical). The bias element is load-bearing: ids congruent
+    // mod 256 produce pixel patterns that are exact scalings/shifts of
+    // each other, which raw cosine cannot tell apart — the bias pins
+    // the scale so only the own image scores 1.0.
+    // `Similarity.marginMinePairs` normalizes by BOTH
+    // endpoints' neighborhood density (Artetxe & Schwenk), the
+    // hub-robust score bitext/caption mining actually uses. Gate: every
+    // caption must mine ITS OWN image as best match at margin ≥ 1 —
+    // violations emit, the oracle is the empty relation (planted
+    // recall, the q141 pattern; misalignment is spec-pinned to fire).
+    "q208_crossmodal_pairing" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Multimodal, Similarity}
+      val path = Tables.documentsPngFilesLayout(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"),
+          lit("image/png").as("mime"))
+        .as[Multimodal.MediaRow]
+      val imgs = Multimodal.imageSignature(media, rz = 4)
+      val caps = Tables.load(s, dir, "documents")
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), expr(
+          """transform(sequence(0L, 18L), k -> CAST(CASE
+            |  WHEN k = 16 THEN 8 + doc_id % 9
+            |  WHEN k = 17 THEN 8 + doc_id % 7
+            |  WHEN k = 18 THEN 255
+            |  ELSE (doc_id*31 + ((k % 4) * (8 + doc_id % 9) div 4) * 7
+            |      + ((k div 4) * (8 + doc_id % 7) div 4) * 13) % 256
+            |  END AS DOUBLE))""".stripMargin)
+          .as("sig"))
+      val mined = Similarity.marginMinePairs(caps, imgs, "doc_id", "sig",
+        k = 4, minMargin = 1.0)
+      caps.select(col("doc_id").as("src_id"))
+        .join(mined, Seq("src_id"), "left")
+        .filter(col("tgt_id").isNull || col("tgt_id") =!= col("src_id"))
+        .select(col("src_id"), col("tgt_id"))
+        .orderBy("src_id")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -164,6 +214,10 @@ object SourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Planted-recall referee gate: empty.
+    "q208_crossmodal_pairing" ->
+      """SELECT CAST(NULL AS BIGINT) AS src_id, CAST(NULL AS BIGINT) AS tgt_id
+        |WHERE FALSE""".stripMargin,
     // The planted-pixel rule of documentsPngFilesLayout restated in
     // exact integer SQL — what ImageIO must read back out of the PNGs.
     // rz_hash iterates resized pixels row-major (k//4 = row j, k%4 =

@@ -355,18 +355,20 @@ object TextQueries {
       val merges = Bpe.learnMerges(d, "text", numMerges = 12)
         .orderBy("merge_rank")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      // Trained full-corpus; profiled on the q206 half slice.
+      val dd = d.filter(col("doc_id") % 2 === 0)
       def profile(stats: DataFrame) = stats
-        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(dd.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum("n_words"), lit(0L)).as("sum_words"),
           coalesce(sum("n_subwords"), lit(0L)).as("sum_subwords"))
         .withColumn("fertility",
           round(col("sum_subwords").cast("double") / col("sum_words"), 6))
-      val learned = profile(Bpe.subwordStats(d, "doc_id", "text", merges))
+      val learned = profile(Bpe.subwordStats(dd, "doc_id", "text", merges))
       val sp = s
       import sp.implicits._
-      val refStats = d.select(col("doc_id"), col("text"))
+      val refStats = dd.select(col("doc_id"), col("text"))
         .as[(Long, Option[String])].collect().toSeq
         .map { case (id, txt) =>
           val ws = txt.map(_.split(" ", -1).filter(_.nonEmpty)).getOrElse(Array.empty)
@@ -434,10 +436,13 @@ object TextQueries {
       val merges = Bpe.learnMerges(d, "text", numMerges = 12)
         .orderBy("merge_rank")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      val learned = Bpe.subwordStats(d, "doc_id", "text", merges)
+      // Trained full-corpus; the apply≡reference diff runs on the q206
+      // deterministic half slice (referee-fixture rationale).
+      val dd = d.filter(col("doc_id") % 2 === 0)
+      val learned = Bpe.subwordStats(dd, "doc_id", "text", merges)
       val sp = s
       import sp.implicits._
-      val ref = d.select(col("doc_id"), col("text"))
+      val ref = dd.select(col("doc_id"), col("text"))
         .as[(Long, Option[String])].collect().toSeq
         .map { case (id, txt) =>
           val counts = txt.map { t =>

@@ -185,6 +185,41 @@ class SinksAndQualitySpec extends SparkSpec {
     }
   }
 
+  test("q208 cross-modal pairing: empty on the aligned plant, fires on " +
+      "a misaligned one") {
+    assert(SparkEntry.queries("q208_crossmodal_pairing")(spark, sfDir)
+      .count() === 0L)
+    // Non-vacuity: shift the caption→image alignment by one and the
+    // planted-recall law must fire for (nearly) every caption.
+    import graft.operators.{Multimodal, Similarity}
+    val path = Tables.documentsPngFilesLayout(spark, sfDir)
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(path)
+      .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+        .cast("bigint").as("doc_id"),
+        col("content").as("payload"), lit("image/png").as("mime"))
+      .as[Multimodal.MediaRow]
+    val imgs = Multimodal.imageSignature(media, rz = 4)
+    val nDocs = imgs.count()
+    val capsShifted = Tables.load(spark, sfDir, "documents")
+      .where($"doc_id".isNotNull)
+      .select((($"doc_id" + 1) % nDocs).as("doc_id"), expr(
+        """transform(sequence(0L, 18L), k -> CAST(CASE
+          |  WHEN k = 16 THEN 8 + doc_id % 9
+          |  WHEN k = 17 THEN 8 + doc_id % 7
+          |  WHEN k = 18 THEN 255
+          |  ELSE (doc_id*31 + ((k % 4) * (8 + doc_id % 9) div 4) * 7
+          |      + ((k div 4) * (8 + doc_id % 7) div 4) * 13) % 256
+          |  END AS DOUBLE))""".stripMargin).as("sig"))
+    val mined = Similarity.marginMinePairs(capsShifted, imgs, "doc_id",
+      "sig", k = 4, minMargin = 1.0)
+    // The shifted caption for id i carries (i+1)%n's signature, so its
+    // best image is (i+1)%n, not i — every row violates own-match.
+    val misses = mined.filter($"tgt_id" =!= $"src_id").count()
+    assert(misses >= nDocs * 9 / 10,
+      s"misaligned plant fired only $misses/$nDocs violations")
+  }
+
   test("resizeImage re-encodes losslessly: decoded output pixels follow " +
       "the nearest-neighbor rule") {
     val id = 42L
