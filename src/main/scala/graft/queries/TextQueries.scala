@@ -565,6 +565,14 @@ object TextQueries {
         .orderBy("lang", "side")
     }),
 
+    // Streaming twin of q206 (the q198 move for the unigram family):
+    // the Viterbi fold is a pure per-row projection, so piece
+    // accounting runs stateless at the ingestion door with the
+    // corpus-trained table; the gate diffs the bounded drain against
+    // the batch operator (empty — per-row rewrite).
+    "q209_stream_unigram_tokenize" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingUnigramStats(s, dir)),
+
     // Epoch plan — the composition a trainer actually consumes each
     // epoch: deterministic reshuffle (q106's multiplicative-hash
     // shards; a new seed is a new permutation, shard assignment stable
@@ -2358,6 +2366,12 @@ object TextQueries {
     "q195_bpe_tokenize_gate" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words,
         |  CAST(NULL AS BIGINT) AS n_subwords, CAST(NULL AS DOUBLE) AS fertility,
+        |  CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
+    // Streaming ≡ batch empty-diff on the bounded drain.
+    "q209_stream_unigram_tokenize" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words,
+        |  CAST(NULL AS BIGINT) AS n_pieces, CAST(NULL AS DOUBLE) AS fertility,
         |  CAST(NULL AS VARCHAR) AS side
         |WHERE FALSE""".stripMargin,
     // Referee gates (distributed unigram-LM ≡ driver reference): empty.

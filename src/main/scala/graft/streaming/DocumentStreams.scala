@@ -215,6 +215,33 @@ object DocumentStreams {
       .orderBy("doc_id", "side")
   }
 
+  /** Streaming unigram-LM tokenization — q198's sibling for the
+    * Viterbi segmenter (and the unigram family's streaming leg beside
+    * learn q205 / apply q206 / fertility q207): the corpus-trained
+    * piece table ships as plan literals and `UnigramPieceCounts` is a
+    * pure per-row projection, so token accounting runs STATELESS at
+    * the ingestion door in Append mode. The gate diffs the bounded
+    * drain against the batch operator on the same half slice — empty,
+    * because a per-row rewrite cannot depend on batching.
+    */
+  def streamingUnigramStats(spark: SparkSession, sfDir: String,
+                            multiVocab: Int = 48): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "documents")
+    val learned = graft.operators.Unigram.learn(corpus, "text", multiVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val streamed = graft.operators.Unigram.pieceStats(
+      readDocumentsStream(spark, sfDir).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", learned)
+    val drained = EventStreams.runToMemory(streamed, OutputMode.Append())
+    val batch = graft.operators.Unigram.pieceStats(
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", learned)
+    drained.exceptAll(batch)
+      .withColumn("side", org.apache.spark.sql.functions.lit("stream_only"))
+      .unionAll(batch.exceptAll(drained)
+        .withColumn("side", org.apache.spark.sql.functions.lit("batch_only")))
+      .orderBy("doc_id", "side")
+  }
+
   /** Streaming ADMISSION pipeline — the ingestion-side twin of q181's
     * batch curation composite, as ONE streaming dataflow: arriving
     * docs (1) drop if their exact text fingerprint exists in the
