@@ -198,4 +198,58 @@ object Scrub {
       when(col(textCol).isNull, lit(null).cast("bigint"))
         .otherwise(size(keptArr).cast("bigint")).as("n_kept"))
   }
+
+  /** The line-frequency census behind `dropFrequentLines`: 8-byte
+    * hashes of the lines appearing in at least `minDf` DISTINCT
+    * documents — boilerplate by definition (nav bars, cookie banners,
+    * subscribe prompts repeat across a site; body text does not). The
+    * census is a map-side-combinable groupBy of (line-hash, doc) —
+    * line text crosses the shuffle once as its 8-byte hash + the doc
+    * key for the distinct-df count.
+    */
+  def frequentLineHashes(corpus: DataFrame, idCol: String, textCol: String,
+                         minDf: Int): DataFrame =
+    corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("line"))
+      .filter(col("line") =!= "")
+      .groupBy(xxhash64(col("line")).as("lh"))
+      .agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("lh")
+
+  /** C4-style LINE-level dedup: drop every line that appears in ≥
+    * `minDf` distinct documents, keep the rest in order — the cleanup
+    * that removes cross-site boilerplate exact-substr span dedup
+    * (q112) is too surgical for and document dedup too blunt for.
+    *
+    * Scale shape: the census half is corpus-scale but narrow (8-byte
+    * line hashes); the drop SET is bounded by total_lines/minDf and
+    * collected under a loud `maxDropLines` guard (the q182 ceiling-map
+    * discipline), then ships as a plan literal so the rewrite half is
+    * a pure MAP-SIDE array filter — the corpus never shuffles to be
+    * cleaned, and the rewrite is streaming-legal. For drop sets past
+    * the literal regime, swap the membership probe for the Bloom +
+    * exact-join machinery (q116) — the census half is unchanged.
+    */
+  def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
+                        minDf: Int,
+                        maxDropLines: Int = 1 << 17): DataFrame = {
+    val dropRows = frequentLineHashes(docs, idCol, textCol, minDf)
+      .limit(maxDropLines + 1).collect()
+    require(dropRows.length <= maxDropLines,
+      s"dropFrequentLines: drop set exceeds $maxDropLines lines - raise " +
+        "minDf or switch the probe to the Bloom+anti-join path")
+    val drop = dropRows.map(_.getLong(0)).sorted
+    val lines = split(col(textCol), "\n")
+    val kept =
+      if (drop.isEmpty) filter(lines, l => l =!= "")
+      else filter(lines, l =>
+        l =!= "" && !array_contains(lit(drop), xxhash64(l)))
+    docs.select(col(idCol),
+      when(col(textCol).isNull, lit(null).cast("string"))
+        .otherwise(array_join(kept, "\n")).as("clean_text"),
+      when(col(textCol).isNull, lit(null).cast("bigint"))
+        .otherwise((size(filter(lines, l => l =!= "")) - size(kept))
+          .cast("bigint")).as("n_dropped"))
+  }
 }

@@ -565,6 +565,85 @@ object TextQueries {
         .orderBy("lang", "side")
     }),
 
+    // Gopher-style composite quality rules (Rae et al. 2021, table A1
+    // adapted): word-count bounds, mean-word-length bounds,
+    // symbol-to-word ratio, alphabetic-word fraction, stopword
+    // presence — the classic pre-filter battery, evaluated in ONE
+    // map-side projection over existing kernels (no UDFs, no second
+    // scan). Fractions follow this round's exactness rule: emitted as
+    // BIGINT ppm via integer division, so the oracle restates every
+    // rule digit-for-digit. Violating docs are PLANTED (every 10th doc
+    // gets symbol noise + numeric words, the q165 move) so each rule
+    // demonstrably fires.
+    "q210_gopher_rules" -> ((s, dir) => {
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"),
+              lit(" ## ### 12345 67890 ... 00 11 22 33 44 55 66 77")))
+            .otherwise(col("text")))
+      val w = words(col("text"))
+      planted.select(col("doc_id"),
+          col("text"),
+          size(w).cast("bigint").as("n_words"),
+          markerHits(col("text"), markers.head._2).cast("bigint")
+            .as("stop_hits"))
+        .withColumn("n_hash",
+          (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+            .cast("bigint"))
+        .withColumn("n_ellipsis", expr(
+          "CAST((length(text) - length(replace(text, '...', ''))) div 3" +
+            " AS BIGINT)"))
+        .withColumn("n_alpha_words",
+          size(filter(w, x => x.rlike("[a-z]"))).cast("bigint"))
+        .withColumn("mwl_ppm", expr(
+          "(length(text) - n_words + 1) * 1000000 div n_words"))
+        .withColumn("sym_ppm",
+          expr("(n_hash + n_ellipsis) * 1000000 div n_words"))
+        .withColumn("alpha_ppm", expr("n_alpha_words * 1000000 div n_words"))
+        .withColumn("r_wordcount",
+          col("n_words") >= 20 && col("n_words") <= 100000)
+        .withColumn("r_meanlen",
+          col("mwl_ppm") >= 3000000L && col("mwl_ppm") <= 10000000L)
+        .withColumn("r_symbols", col("sym_ppm") <= 100000L)
+        .withColumn("r_alpha", col("alpha_ppm") >= 800000L)
+        .withColumn("r_stopwords", col("stop_hits") >= 2)
+        .withColumn("keep", col("r_wordcount") && col("r_meanlen") &&
+          col("r_symbols") && col("r_alpha") && col("r_stopwords"))
+        .select("doc_id", "n_words", "mwl_ppm", "sym_ppm", "alpha_ppm",
+          "stop_hits", "r_wordcount", "r_meanlen", "r_symbols", "r_alpha",
+          "r_stopwords", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // C4-style LINE-level dedup — the cleanup that removes cross-site
+    // boilerplate (nav bars, subscribe prompts) that document dedup is
+    // too blunt for and span dedup too surgical for: lines appearing
+    // in ≥ minDf DISTINCT docs drop, the rest keep their order. The
+    // corpus has no multi-line docs, so boilerplate lines are PLANTED
+    // (every 3rd doc gains a subscribe prompt, every 5th a rights
+    // notice). The census half shuffles 8-byte line hashes; the drop
+    // set ships as a plan literal under a loud bound and the rewrite
+    // is pure map-side (`Scrub.dropFrequentLines` — the q182 ceiling
+    // discipline). FULL hash gate via md5 of the cleaned text.
+    "q211_line_dedup" -> ((s, dir) => {
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\nsubscribe to our newsletter today")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\nall rights reserved")))
+            .otherwise(col("text")))
+      graft.operators.Scrub
+        .dropFrequentLines(planted, "doc_id", "text", minDf = 5)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("bigint").as("n_chars_clean"),
+          col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming twin of q206 (the q198 move for the unigram family):
     // the Viterbi fold is a pure per-row projection, so piece
     // accounting runs stateless at the ingestion door with the
@@ -2368,6 +2447,66 @@ object TextQueries {
         |  CAST(NULL AS BIGINT) AS n_subwords, CAST(NULL AS DOUBLE) AS fertility,
         |  CAST(NULL AS VARCHAR) AS side
         |WHERE FALSE""".stripMargin,
+    "q210_gopher_rules" ->
+      s"""WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text ||
+        |      ' ## ### 12345 67890 ... 00 11 22 33 44 55 66 77'
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        | b AS (SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    ${markerSql("en")} AS stop_hits,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ellipsis,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words
+        |  FROM planted),
+        | c AS (SELECT *,
+        |    CAST((length(text) - n_words + 1) * 1000000 // n_words
+        |      AS BIGINT) AS mwl_ppm,
+        |    CAST((n_hash + n_ellipsis) * 1000000 // n_words AS BIGINT)
+        |      AS sym_ppm,
+        |    CAST(n_alpha_words * 1000000 // n_words AS BIGINT) AS alpha_ppm
+        |  FROM b)
+        |SELECT doc_id, n_words, mwl_ppm, sym_ppm, alpha_ppm, stop_hits,
+        |  n_words >= 20 AND n_words <= 100000 AS r_wordcount,
+        |  mwl_ppm BETWEEN 3000000 AND 10000000 AS r_meanlen,
+        |  sym_ppm <= 100000 AS r_symbols,
+        |  alpha_ppm >= 800000 AS r_alpha,
+        |  stop_hits >= 2 AS r_stopwords,
+        |  (n_words >= 20 AND n_words <= 100000)
+        |    AND (mwl_ppm BETWEEN 3000000 AND 10000000)
+        |    AND sym_ppm <= 100000 AND alpha_ppm >= 800000
+        |    AND stop_hits >= 2 AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q211_line_dedup" ->
+      """WITH p1 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) ||
+        |      'subscribe to our newsletter today' ELSE text END AS t1
+        |  FROM documents WHERE text IS NOT NULL),
+        | p2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN t1 || chr(10) ||
+        |      'all rights reserved' ELSE t1 END AS text FROM p1),
+        | t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p2),
+        | e AS (SELECT doc_id, k, ls[k] AS line
+        |  FROM t, unnest(range(1, len(ls) + 1)) AS u(k)
+        |  WHERE ls[k] <> ''),
+        | dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM e
+        |  GROUP BY 1),
+        | kept AS (SELECT doc_id, k, line FROM e
+        |  WHERE line NOT IN (SELECT line FROM dfc WHERE df >= 5)),
+        | agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY k)
+        |    AS clean_text, COUNT(*) AS n_kept FROM kept GROUP BY 1),
+        | base AS (SELECT doc_id,
+        |    len(list_filter(ls, x -> x <> '')) AS n_lines FROM t)
+        |SELECT b.doc_id, md5(COALESCE(a.clean_text, '')) AS clean_md5,
+        |  CAST(length(COALESCE(a.clean_text, '')) AS BIGINT)
+        |    AS n_chars_clean,
+        |  CAST(b.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // Streaming ≡ batch empty-diff on the bounded drain.
     "q209_stream_unigram_tokenize" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_words,

@@ -90,6 +90,33 @@ class TextFunctionsSpec extends SparkSpec {
       twice.as[String].collect().toSeq)
   }
 
+  test("Scrub.dropFrequentLines: boilerplate drops, order keeps, " +
+      "below-threshold survives, null/empty total, guard fires") {
+    import graft.operators.Scrub
+    val boiler = "subscribe now"
+    val docs = (1L to 6L).map { i =>
+      (i, Some(s"body line $i\n$boiler\ntail line $i"))
+    } :+ (7L, Some(s"rare line\nonly twice")) :+
+      (8L, Some("only twice")) :+ (9L, None: Option[String])
+    val df = docs.toDF("doc_id", "text")
+    val out = Scrub.dropFrequentLines(df, "doc_id", "text", minDf = 5)
+      .orderBy("doc_id").as[(Long, Option[String], Option[Long])]
+      .collect().toSeq
+    // boilerplate (df=6) dies; body/tail keep their order
+    assert(out.head._2.get === "body line 1\ntail line 1" &&
+      out.head._3.get === 1L)
+    // "only twice" (df=2 < 5) survives in both docs
+    assert(out(6)._2.get === "rare line\nonly twice")
+    assert(out(7)._2.get === "only twice")
+    // null text is total
+    assert(out(8)._2.isEmpty && out(8)._3.isEmpty)
+    // loud guard on an over-threshold drop set
+    intercept[IllegalArgumentException] {
+      Scrub.dropFrequentLines(df, "doc_id", "text", minDf = 1,
+        maxDropLines = 2)
+    }
+  }
+
   test("percentile referee: silent on an honest sketch, fires on corrupted claims") {
     import graft.queries.TextQueries
     val d = (1 to 100).map(i => ("en", i.toLong)).toDF("lang", "tok")
