@@ -828,12 +828,23 @@ object Dedup {
       (1 until window).flatMap(i => Seq(
         lead(col("_id"), i).over(win).as(s"_nid$i"),
         lead(col("_probe"), i).over(win).as(s"_np$i"))): _*)
+    // Distance kernel cost discipline (sf1-stress finding): a full
+    // probeLen² Levenshtein DP per neighbor dominated the operator on
+    // a duplicate-heavy corpus. Equal probes (THE common case in a
+    // dedup workload) short-circuit to 0 without touching the DP, and
+    // the inexact pairs use the THRESHOLDED kernel — a banded
+    // O(probeLen·maxDist) pass that returns -1 past the bound, exact
+    // within it, so kept rows carry identical distances to the
+    // unthresholded form.
     val neighbors = (1 until window).map { i =>
       struct(col(s"_nid$i").as("nid"),
-        levenshtein(col("_probe"), col(s"_np$i")).as("dist"))
+        when(col("_probe") === col(s"_np$i"), lit(0))
+          .otherwise(levenshtein(col("_probe"), col(s"_np$i"), maxDist))
+          .as("dist"))
     }
     withLeads.select(col("_id"), explode(array(neighbors: _*)).as("n"))
-      .filter(col("n.nid").isNotNull && col("n.dist") <= maxDist)
+      .filter(col("n.nid").isNotNull && col("n.dist") >= 0 &&
+        col("n.dist") <= maxDist)
       .select(least(col("_id"), col("n.nid")).as("id_a"),
         greatest(col("_id"), col("n.nid")).as("id_b"),
         col("n.dist").as("dist"))
