@@ -543,6 +543,32 @@ case class BpeSubwordCounts(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer — in the JDK, no
+  * external dependency): the canonical-composition pass a multilingual
+  * pipeline runs BEFORE exact/fuzzy dedup — "café" with a combining
+  * acute and "café" precomposed are different byte strings that md5,
+  * xxhash64, shingles, and BPE alphabets all treat as different text.
+  * Map-side, once per row; NULL → NULL. Gate: q212 vs DuckDB's
+  * `nfc_normalize` (two independent NFC implementations agreeing
+  * byte-for-byte on planted decomposed text).
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextOps {
   private def wrap(e: Expression): Column = ColumnBridge.column(e)
 
@@ -572,4 +598,7 @@ object TextOps {
 
   def bpeSubwordCounts(text: Column, merges: Seq[(String, String)]): Column =
     wrap(BpeSubwordCounts(ColumnBridge.expression(text), merges))
+
+  def nfcNormalize(text: Column): Column =
+    wrap(NfcNormalize(ColumnBridge.expression(text)))
 }

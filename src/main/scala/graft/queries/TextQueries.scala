@@ -616,6 +616,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Unicode NFC normalization — the canonical-composition pass a
+    // multilingual pipeline runs BEFORE dedup: decomposed "café"
+    // (e + combining acute) and precomposed "café" are different byte
+    // strings that md5/xxhash64/shingles/BPE alphabets all treat as
+    // different text, so un-normalized corpora under-dedup. The corpus
+    // is ASCII by construction, so decomposed text is PLANTED (every
+    // 4th doc gains a suffix with combining acute U+0301 and cedilla
+    // U+0327); the gate hashes the engine's JDK Normalizer output
+    // against DuckDB's independent nfc_normalize — two NFC
+    // implementations agreeing byte-for-byte, plus the changed flag
+    // and the char-count contraction the composition causes.
+    "q212_nfc_normalize" -> ((s, dir) => {
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" cafe\u0301 franc\u0327ais")))
+            .otherwise(col("text")))
+      planted.select(col("doc_id"),
+          graft.expressions.TextOps.nfcNormalize(col("text")).as("nfc"),
+          length(col("text")).cast("bigint").as("n_chars_raw"))
+        .select(col("doc_id"), md5(col("nfc")).as("nfc_md5"),
+          length(col("nfc")).cast("bigint").as("n_chars_nfc"),
+          col("n_chars_raw"),
+          (length(col("nfc")) =!= col("n_chars_raw")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // C4-style LINE-level dedup — the cleanup that removes cross-site
     // boilerplate (nav bars, subscribe prompts) that document dedup is
     // too blunt for and span dedup too surgical for: lines appearing
@@ -2447,6 +2474,20 @@ object TextQueries {
         |  CAST(NULL AS BIGINT) AS n_subwords, CAST(NULL AS DOUBLE) AS fertility,
         |  CAST(NULL AS VARCHAR) AS side
         |WHERE FALSE""".stripMargin,
+    // Two independent NFC implementations (JDK Normalizer vs DuckDB)
+    // must agree byte-for-byte on the planted decomposed text.
+    "q212_nfc_normalize" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN text || ' cafe' || chr(769) || ' franc' || chr(807)
+        |        || 'ais'
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  length(nfc_normalize(text)) <> length(text) AS changed
+        |FROM planted ORDER BY doc_id""".stripMargin,
     "q210_gopher_rules" ->
       s"""WITH planted AS (SELECT doc_id,
         |    CASE WHEN doc_id % 10 = 0 THEN text ||
