@@ -117,9 +117,17 @@ object SourceQueries {
           col("content").as("payload"),
           lit("image/png").as("mime"))
         .as[Multimodal.MediaRow]
-      val imgs = Multimodal.imageSignature(media, rz = 4)
+      // Decode ONCE (both mining directions consume the signatures —
+      // without the cut each re-lists and re-decodes the 5000-file
+      // layout) and cap the referee at 2000 aligned pairs: the
+      // planted-recall law is equally binding on any non-vacuous slice
+      // (the q141 rationale), and the margin-mine referee is O(n²) by
+      // contract.
+      val imgs = graft.operators.Checkpoints.cut(
+        Multimodal.imageSignature(media, rz = 4)
+          .filter(col("doc_id") < 2000))
       val caps = Tables.load(s, dir, "documents")
-        .where(col("doc_id").isNotNull)
+        .where(col("doc_id").isNotNull && col("doc_id") < 2000)
         .select(col("doc_id"), expr(
           """transform(sequence(0L, 18L), k -> CAST(CASE
             |  WHEN k = 16 THEN 8 + doc_id % 9

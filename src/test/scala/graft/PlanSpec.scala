@@ -604,6 +604,30 @@ class PlanSpec extends SparkSpec {
         p.take(3000))
   }
 
+  test("q211 line-dedup rewrite is map-side: one scan, one presentation " +
+      "exchange (drop set is a plan literal)") {
+    val p = planOf("q211_line_dedup")
+    assert(p.split("Scan parquet", -1).length - 1 === 1,
+      "rewrite must not rescan for the line census (collected at build):\n" +
+        p.take(3000))
+    val ex = p.indexOf("Exchange")
+    assert(ex >= 0 && p.indexOf("Exchange", ex + 1) < 0,
+      "rewrite must not shuffle (one presentation-sort exchange only):\n" +
+        p.take(3000))
+  }
+
+  test("q210 gopher rules and q212 nfc normalize are single-scan map-side " +
+      "projections") {
+    Seq("q210_gopher_rules", "q212_nfc_normalize").foreach { q =>
+      val p = planOf(q)
+      assert(p.split("Scan parquet", -1).length - 1 === 1,
+        s"$q must scan once:\n" + p.take(2000))
+      val ex = p.indexOf("Exchange")
+      assert(ex >= 0 && p.indexOf("Exchange", ex + 1) < 0,
+        s"$q must not shuffle beyond its presentation sort:\n" + p.take(2000))
+    }
+  }
+
   test("q186 tombstoned postings search: bucket-pruned lookups + broadcast " +
       "anti-join, no index rewrite") {
     val p = planOf("q186_postings_delete")
