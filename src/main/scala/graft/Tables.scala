@@ -242,6 +242,33 @@ object Tables {
       Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
     }
 
+  /** One REAL WAV per document, named <doc_id>.wav — the audio-corpus
+    * on-disk shape feeding the real audio-decode path (q213/q214).
+    * Track length and every 16-bit PCM sample derive from (doc_id, t)
+    * by the exact-integer rule in `Multimodal.plantedSamples`, with
+    * silence planted in whole frames so the trim operator has real
+    * work. PCM is lossless, so `javax.sound.sampled` must read the
+    * values back bit-exactly — which is what makes a FULL DuckDB gate
+    * possible for an audio codec operator (the q204 move, second
+    * modality). The collect is fixture-building over the bounded
+    * testdata table, not a query path. Built once per sf.
+    */
+  def documentsWavFilesLayout(spark: SparkSession, sfDir: String): String =
+    derivedLayout(sfDir, "documents", "documents_wavfiles") { out =>
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.functions.col
+      val dir = Paths.get(out)
+      Files.createDirectories(dir)
+      load(spark, sfDir, "documents").select("doc_id")
+        .where(col("doc_id").isNotNull)
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          Files.write(dir.resolve(s"$id.wav"),
+            operators.Multimodal.plantedWavBytes(id))
+        }
+      Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    }
+
   /** ORC copy of `orders` — the second columnar source format (same
     * pushdown/pruning path as parquet through the ORC reader).
     */

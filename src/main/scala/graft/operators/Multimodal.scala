@@ -292,6 +292,158 @@ object Multimodal {
       bands = bands, rowsPerBand = rowsPerBand, seed = seed)
   }
 
+  case class AudioFeatures(doc_id: Long, n_samples: Long, sample_rate: Long,
+                           sum_s: Long, energy: Long, zero_x: Long,
+                           s_hash: Long)
+  case class AudioTrim(doc_id: Long, n_frames: Long, n_silent: Long,
+                       lead_trim: Long, tail_trim: Long, n_kept: Long)
+
+  /** The deterministic planted PCM track for `doc_id` — length and every
+    * 16-bit sample are exact-integer functions of (doc_id, t), with
+    * silence planted in whole frames so the trim operator has real work:
+    *
+    *   n   = 64 + doc_id % 97
+    *   s_t = 0                                     if ⌊t/16⌋ < doc_id % 3
+    *                                               or ⌊t/16⌋ % 3 == 2
+    *       = ((doc_id·37 + t²·13 + t·29) % 65536) − 32768   otherwise
+    *
+    * Shared by the fixture writer (`Tables.documentsWavFilesLayout`),
+    * the decode spec, and (arithmetically restated) the q213/q214
+    * oracles — the audio analogue of `plantedImage`.
+    */
+  def plantedSamples(id: Long): Array[Int] = {
+    val n = (64 + id % 97).toInt
+    Array.tabulate(n) { t =>
+      val f = t / 16
+      if (f < id % 3 || f % 3 == 2) 0
+      else (((id * 37 + t.toLong * t * 13 + t * 29L) % 65536L) - 32768L).toInt
+    }
+  }
+
+  /** The planted track serialized as a REAL RIFF/WAVE file (PCM_SIGNED,
+    * 16-bit little-endian, mono, 8 kHz) — what `javax.sound.sampled`
+    * must parse back bit-exactly (PCM is lossless).
+    */
+  def plantedWavBytes(id: Long): Array[Byte] = {
+    val samples = plantedSamples(id)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000).putInt(16000) // sample rate, byte rate
+      .putShort(2).putShort(16)   // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  /** Decode a WAV payload to its PCM samples through the JDK's
+    * `javax.sound.sampled` codec (headless-safe, no external deps).
+    * Fails loudly on anything but 16-bit little-endian signed PCM —
+    * silently resampling a mis-encoded track corrupts every downstream
+    * feature.
+    */
+  private def decodePcm16(docId: Long, payload: Array[Byte]): Array[Int] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"decodePcm16: doc $docId is not 16-bit LE signed PCM ($fmt)")
+    val bytes = in.readAllBytes()
+    val n = bytes.length / (2 * fmt.getChannels)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // average channels away only for mono; multichannel keeps channel 0
+    // (feature contract: one track per doc)
+    val step = fmt.getChannels
+    Array.tabulate(n)(i => bb.getShort(i * 2 * step).toInt)
+  }
+
+  private[operators] def sampleRateOf(payload: Array[Byte]): Long = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    in.getFormat.getSampleRate.toLong
+  }
+
+  /** REAL audio decode + feature extraction — the audio sibling of
+    * `decodeImageFeatures`, same batched `mapPartitions` codec boundary:
+    * `javax.sound.sampled` parses each WAV payload and every feature
+    * comes from the DECODED samples. All outputs are exact integers
+    * (sums, an energy Σs², sign-change counts, a rolling hash of the
+    * full track), so the q213 oracle restates the planted-sample rule
+    * arithmetically and the gate is a FULL hash gate even though DuckDB
+    * cannot decode WAV. Undecodable payloads fail loudly.
+    */
+  def decodeAudioFeatures(media: Dataset[MediaRow],
+                          batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val s = decodePcm16(row.doc_id, row.payload)
+          var sum = 0L; var energy = 0L; var zx = 0L; var h = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sum += v
+            energy += v * v
+            if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) zx += 1
+            h = (h * 1000003L + (v + 32768L)) % 1000000007L
+            i += 1
+          }
+          AudioFeatures(row.doc_id, s.length.toLong,
+            sampleRateOf(row.payload), sum, energy, zx, h)
+        }
+      }
+    }
+  }
+
+  /** Silence trimming — the lead/tail-silence cut an audio training
+    * pipeline runs before feature extraction (whole frames of
+    * `frameLen` samples; a frame is silent iff its energy is exactly 0,
+    * the only silence definition that is codec-exact and therefore
+    * refereeable). Emits the per-doc trim profile: frame counts, lead
+    * and tail trims, and the surviving sample count. Decode + trim are
+    * one map-side pass over the payloads — no shuffle anywhere.
+    */
+  def trimSilence(media: Dataset[MediaRow], frameLen: Int = 16,
+                  batchSize: Int = 64): Dataset[AudioTrim] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val s = decodePcm16(row.doc_id, row.payload)
+          val nf = (s.length + frameLen - 1) / frameLen
+          val silent = Array.tabulate(nf) { f =>
+            var e = 0L
+            var t = f * frameLen
+            val end = math.min((f + 1) * frameLen, s.length)
+            while (t < end) { e += s(t).toLong * s(t); t += 1 }
+            e == 0L
+          }
+          val firstLoud = silent.indexWhere(!_)
+          val lastLoud = silent.lastIndexWhere(!_)
+          val lead = if (firstLoud < 0) nf.toLong else firstLoud.toLong
+          val tail = if (lastLoud < 0) 0L else (nf - 1 - lastLoud).toLong
+          val kept =
+            if (firstLoud < 0) 0L
+            else (math.min((lastLoud + 1) * frameLen, s.length) -
+              firstLoud * frameLen).toLong
+          AudioTrim(row.doc_id, nf.toLong, silent.count(identity).toLong,
+            lead, tail, kept)
+        }
+      }
+    }
+  }
+
   /** Column-expression twin of `extractFeatures` for the byte features:
     * every one has a codegen form (`octet_length`, `sha2`, the fused
     * `ByteMean` kernel), so the whole projection stays inside

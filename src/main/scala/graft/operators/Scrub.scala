@@ -231,6 +231,52 @@ object Scrub {
     * the literal regime, swap the membership probe for the Bloom +
     * exact-join machinery (q116) — the census half is unchanged.
     */
+  /** The UNBOUNDED-drop-set regime of [[dropFrequentLines]] — the
+    * "Bloom + anti-join path" that operator's guard names: when the
+    * boilerplate census is too large to ship as a plan literal (a web
+    * crawl's nav/footer space at 100 TB), the drop set stays
+    * DISTRIBUTED and the rewrite becomes a LEFT ANTI join of exploded
+    * (doc, pos, line-hash) rows against it, followed by an order-
+    * preserving re-assembly (`array_sort` over (pos, line) structs —
+    * sorting WITHIN a doc's collected lines, never a global sort).
+    *
+    * Scale shape: the only corpus-scale shuffles are (a) the census's
+    * narrow 8-byte-hash aggregate and (b) the anti-join's exchange of
+    * (doc, pos, line) — and when the drop side is small Catalyst
+    * broadcasts it so (b) vanishes; past broadcast size it is an SMJ
+    * on 8-byte keys with Spark's runtime Bloom filter (the q68
+    * mechanism) eligible on the corpus side, which is exactly the
+    * Bloom-prefilter-then-exact-join discipline of q116. Docs whose
+    * every line drops, and NULL-text docs, round-trip identically to
+    * the literal-set operator (ScrubSpec pins the two regimes equal
+    * row-for-row).
+    */
+  def dropFrequentLinesDistributed(docs: DataFrame, idCol: String,
+                                   textCol: String, minDf: Int): DataFrame = {
+    val drop = frequentLineHashes(docs, idCol, textCol, minDf)
+    val exploded = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("__pos", "__line")))
+      .filter(col("__line") =!= "")
+    val kept = exploded
+      .join(drop, xxhash64(col("__line")) === drop("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), "\n").as("__clean"),
+        count(lit(1)).as("__n_kept"))
+    val lines = split(col(textCol), "\n")
+    docs.select(col(idCol), col(textCol),
+        size(filter(lines, l => l =!= "")).cast("bigint").as("__n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean"), lit(""))).as("clean_text"),
+        when(col(textCol).isNull, lit(null).cast("bigint"))
+          .otherwise(col("__n_lines") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   def dropFrequentLines(docs: DataFrame, idCol: String, textCol: String,
                         minDf: Int,
                         maxDropLines: Int = 1 << 17): DataFrame = {

@@ -146,6 +146,60 @@ object SourceQueries {
         .orderBy("src_id")
     }),
 
+    // REAL audio decode through the batched codec boundary — the WAV
+    // sibling of q204: the fixture plants one genuine RIFF/PCM16 file
+    // per doc whose length and samples are exact-integer functions of
+    // (doc_id, t) (`Tables.documentsWavFilesLayout`), the engine reads
+    // them through binaryFile and DECODES them with the JDK's
+    // javax.sound.sampled (`Multimodal.decodeAudioFeatures` — sample
+    // count, rate, Σs, Σs², sign-change count, rolling hash, all from
+    // decoded PCM), and the oracle restates the planted rule
+    // arithmetically — PCM is lossless, so a FULL hash gate on an audio
+    // codec path with no codec in DuckDB. A wrong sample anywhere
+    // breaks a sum, the crossing count, or the track hash.
+    "q213_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val path = Tables.documentsWavFilesLayout(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"),
+          lit("audio/wav").as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeAudioFeatures(media)
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // Silence trimming over the same decoded tracks — the lead/tail cut
+    // an audio pipeline runs before feature extraction. A frame is
+    // silent iff its decoded energy is EXACTLY zero (the only
+    // codec-exact, refereeable silence definition), and the fixture
+    // plants silence in whole frames (leading frames by doc_id % 3,
+    // every third frame interior) so lead, interior, and tail trims all
+    // demonstrably fire. Decode + trim are one map-side pass — the
+    // audio never shuffles; the oracle recomputes frame energies from
+    // the planted rule.
+    "q214_silence_trim" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val path = Tables.documentsWavFilesLayout(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"),
+          lit("audio/wav").as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal.trimSilence(media, frameLen = 16)
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -226,6 +280,66 @@ object SourceQueries {
     "q208_crossmodal_pairing" ->
       """SELECT CAST(NULL AS BIGINT) AS src_id, CAST(NULL AS BIGINT) AS tgt_id
         |WHERE FALSE""".stripMargin,
+    // The planted-sample rule of documentsWavFilesLayout restated in
+    // exact integer SQL — what javax.sound.sampled must read back out
+    // of the WAVs. Sign-change counting via LAG; the rolling hash via
+    // the same list_reduce shape as q204's.
+    "q213_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        | ts AS (SELECT doc_id, unnest(range(0, n)) AS t FROM d),
+        | s AS (SELECT doc_id, t,
+        |    CASE WHEN (t // 16) < doc_id % 3 OR (t // 16) % 3 = 2 THEN 0
+        |      ELSE ((doc_id*37 + t*t*13 + t*29) % 65536) - 32768
+        |    END AS v FROM ts),
+        | w AS (SELECT doc_id, t, v,
+        |    LAG(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv FROM s),
+        | agg AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(v) AS BIGINT) AS sum_s,
+        |    CAST(SUM(v*v) AS BIGINT) AS energy,
+        |    CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_x
+        |  FROM w GROUP BY 1),
+        | hs AS (SELECT doc_id, CAST(list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT), list(v + 32768 ORDER BY t)),
+        |      (a, x) -> (a * 1000003 + x) % 1000000007) AS BIGINT) AS s_hash
+        |  FROM s GROUP BY 1)
+        |SELECT a.doc_id, a.n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+        |  a.sum_s, a.energy, a.zero_x, h.s_hash
+        |FROM agg a JOIN hs h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Frame energies from the same planted rule; a frame is silent iff
+    // its energy is exactly 0, trims are the runs of silent frames at
+    // each end, n_kept counts surviving SAMPLES (tail frame partial).
+    "q214_silence_trim" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        | ts AS (SELECT doc_id, unnest(range(0, n)) AS t FROM d),
+        | s AS (SELECT doc_id, t, t // 16 AS f,
+        |    CASE WHEN (t // 16) < doc_id % 3 OR (t // 16) % 3 = 2 THEN 0
+        |      ELSE ((doc_id*37 + t*t*13 + t*29) % 65536) - 32768
+        |    END AS v FROM ts),
+        | fr AS (SELECT doc_id, f, COUNT(*) AS fn, SUM(v*v) AS fe
+        |  FROM s GROUP BY 1, 2),
+        | fl AS (SELECT doc_id, COUNT(*) AS nf,
+        |    SUM(CASE WHEN fe = 0 THEN 1 ELSE 0 END) AS n_silent,
+        |    MIN(CASE WHEN fe > 0 THEN f END) AS fmin,
+        |    MAX(CASE WHEN fe > 0 THEN f END) AS fmax
+        |  FROM fr GROUP BY 1),
+        | k AS (SELECT doc_id, nf, n_silent,
+        |    COALESCE(fmin, nf) AS lead_trim,
+        |    CASE WHEN fmax IS NULL THEN 0 ELSE nf - 1 - fmax END AS tail_trim
+        |  FROM fl),
+        | kept AS (SELECT k.doc_id,
+        |    SUM(CASE WHEN fr.f >= k.lead_trim AND fr.f < k.nf - k.tail_trim
+        |      THEN fr.fn ELSE 0 END) AS n_kept
+        |  FROM fr JOIN k USING (doc_id) GROUP BY 1)
+        |SELECT k.doc_id, CAST(k.nf AS BIGINT) AS n_frames,
+        |  CAST(k.n_silent AS BIGINT) AS n_silent,
+        |  CAST(k.lead_trim AS BIGINT) AS lead_trim,
+        |  CAST(k.tail_trim AS BIGINT) AS tail_trim,
+        |  CAST(kept.n_kept AS BIGINT) AS n_kept
+        |FROM k JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
     // The planted-pixel rule of documentsPngFilesLayout restated in
     // exact integer SQL — what ImageIO must read back out of the PNGs.
     // rz_hash iterates resized pixels row-major (k//4 = row j, k%4 =

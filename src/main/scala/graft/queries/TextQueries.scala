@@ -671,6 +671,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // q211's UNBOUNDED-drop-set regime — the "Bloom + anti-join path"
+    // its guard names, run for real: the boilerplate census never
+    // ships to the driver; exploded (doc, pos, line) rows LEFT ANTI
+    // join the distributed drop set on 8-byte hashes (broadcast while
+    // small, SMJ + runtime Bloom past that) and docs re-assemble with
+    // a per-doc array_sort — no global sort, no plan literal, no
+    // census bound. Same planted fixture and the same FULL DuckDB
+    // oracle as q211: the two regimes must produce byte-identical
+    // cleaned corpora (ScrubSpec additionally pins them equal on
+    // all-dropped and NULL docs).
+    "q215_line_dedup_antijoin" -> ((s, dir) => {
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\nsubscribe to our newsletter today")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\nall rights reserved")))
+            .otherwise(col("text")))
+      graft.operators.Scrub
+        .dropFrequentLinesDistributed(planted, "doc_id", "text", minDf = 5)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("bigint").as("n_chars_clean"),
+          col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming twin of q206 (the q198 move for the unigram family):
     // the Viterbi fold is a pure per-row projection, so piece
     // accounting runs stateless at the ingestion door with the
@@ -2522,6 +2550,35 @@ object TextQueries {
         |    AND sym_ppm <= 100000 AND alpha_ppm >= 800000
         |    AND stop_hits >= 2 AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q215 runs the distributed anti-join regime over the SAME planted
+    // fixture — the oracle is q211's verbatim: both regimes must clean
+    // identically.
+    "q215_line_dedup_antijoin" ->
+      """WITH p1 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) ||
+        |      'subscribe to our newsletter today' ELSE text END AS t1
+        |  FROM documents WHERE text IS NOT NULL),
+        | p2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN t1 || chr(10) ||
+        |      'all rights reserved' ELSE t1 END AS text FROM p1),
+        | t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p2),
+        | e AS (SELECT doc_id, k, ls[k] AS line
+        |  FROM t, unnest(range(1, len(ls) + 1)) AS u(k)
+        |  WHERE ls[k] <> ''),
+        | dfc AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM e
+        |  GROUP BY 1),
+        | kept AS (SELECT doc_id, k, line FROM e
+        |  WHERE line NOT IN (SELECT line FROM dfc WHERE df >= 5)),
+        | agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY k)
+        |    AS clean_text, COUNT(*) AS n_kept FROM kept GROUP BY 1),
+        | base AS (SELECT doc_id,
+        |    len(list_filter(ls, x -> x <> '')) AS n_lines FROM t)
+        |SELECT b.doc_id, md5(COALESCE(a.clean_text, '')) AS clean_md5,
+        |  CAST(length(COALESCE(a.clean_text, '')) AS BIGINT)
+        |    AS n_chars_clean,
+        |  CAST(b.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "q211_line_dedup" ->
       """WITH p1 AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) ||

@@ -185,6 +185,66 @@ class SinksAndQualitySpec extends SparkSpec {
     }
   }
 
+  test("decodeAudioFeatures reads real PCM back out of real WAVs") {
+    val ids = Seq(0L, 5L, 19L, 1000L)
+    val rows = ids.map(id =>
+      Multimodal.MediaRow(id, Multimodal.plantedWavBytes(id), "audio/wav"))
+    val got = Multimodal.decodeAudioFeatures(rows.toDS(), batchSize = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    ids.foreach { id =>
+      val s = Multimodal.plantedSamples(id)
+      val f = got(id)
+      assert(f.n_samples === s.length.toLong && f.sample_rate === 8000L)
+      assert(f.sum_s === s.map(_.toLong).sum)
+      assert(f.energy === s.map(v => v.toLong * v).sum)
+      assert(f.zero_x === s.indices.drop(1)
+        .count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toLong)
+      val h = s.foldLeft(0L)((a, v) => (a * 1000003L + v + 32768L) % 1000000007L)
+      assert(f.s_hash === h)
+    }
+    // undecodable/mis-encoded payloads fail loudly, never skip
+    val junk = Seq(Multimodal.MediaRow(7L, Array[Byte](1, 2, 3), "audio/wav"))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioFeatures(junk.toDS()).collect()
+    }
+  }
+
+  test("trimSilence cuts exactly the lead/tail zero-energy frames") {
+    // planted rule: leading frames < id%3 silent, every third frame
+    // interior silent — lead, interior, and tail trims all exercised
+    val ids = Seq(1L, 2L, 3L, 64L, 101L)
+    val rows = ids.map(id =>
+      Multimodal.MediaRow(id, Multimodal.plantedWavBytes(id), "audio/wav"))
+    val got = Multimodal.trimSilence(rows.toDS(), frameLen = 16, batchSize = 2)
+      .collect().map(t => t.doc_id -> t).toMap
+    ids.foreach { id =>
+      val s = Multimodal.plantedSamples(id)
+      val nf = (s.length + 15) / 16
+      val silent = (0 until nf).map { f =>
+        (f * 16 until math.min((f + 1) * 16, s.length))
+          .forall(t => s(t) == 0)
+      }
+      val first = silent.indexWhere(!_); val last = silent.lastIndexWhere(!_)
+      val t = got(id)
+      assert(t.n_frames === nf.toLong)
+      assert(t.n_silent === silent.count(identity).toLong)
+      assert(t.lead_trim === first.toLong)
+      assert(t.tail_trim === (nf - 1 - last).toLong)
+      assert(t.n_kept ===
+        (math.min((last + 1) * 16, s.length) - first * 16).toLong)
+      assert(id % 3 != 1 || t.lead_trim >= 1L) // the lead plant fires
+    }
+    // an all-silent track trims to nothing (lead_trim = n_frames)
+    val mute = {
+      val bytes = Multimodal.plantedWavBytes(0L)
+      java.util.Arrays.fill(bytes, 44, bytes.length, 0.toByte)
+      Seq(Multimodal.MediaRow(99L, bytes, "audio/wav"))
+    }
+    val mt = Multimodal.trimSilence(mute.toDS(), frameLen = 16).collect().head
+    assert(mt.n_silent === mt.n_frames && mt.lead_trim === mt.n_frames &&
+      mt.tail_trim === 0L && mt.n_kept === 0L)
+  }
+
   test("q208 cross-modal pairing: empty on the aligned plant, fires on " +
       "a misaligned one") {
     assert(SparkEntry.queries("q208_crossmodal_pairing")(spark, sfDir)

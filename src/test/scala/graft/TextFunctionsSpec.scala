@@ -117,6 +117,30 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("Scrub.dropFrequentLinesDistributed ≡ literal-set regime, " +
+      "including all-dropped, empty, and null docs") {
+    import graft.operators.Scrub
+    val boiler = "subscribe now"
+    val docs = (1L to 6L).map { i =>
+      (i, Some(s"body line $i\n$boiler\ntail line $i"))
+    } :+ (7L, Some(boiler)) :+ // every line drops
+      (8L, Some("")) :+        // no non-empty lines at all
+      (9L, None: Option[String])
+    val df = docs.toDF("doc_id", "text")
+    val literal = Scrub.dropFrequentLines(df, "doc_id", "text", minDf = 5)
+      .orderBy("doc_id").as[(Long, Option[String], Option[Long])]
+      .collect().toSeq
+    val joined = Scrub
+      .dropFrequentLinesDistributed(df, "doc_id", "text", minDf = 5)
+      .orderBy("doc_id").as[(Long, Option[String], Option[Long])]
+      .collect().toSeq
+    assert(literal === joined)
+    // and the edge rows really exercise the edges
+    assert(joined(6) === ((7L, Some(""), Some(1L)))) // all-dropped
+    assert(joined(7) === ((8L, Some(""), Some(0L)))) // empty text
+    assert(joined(8) === ((9L, None, None)))         // null is total
+  }
+
   test("percentile referee: silent on an honest sketch, fires on corrupted claims") {
     import graft.queries.TextQueries
     val d = (1 to 100).map(i => ("en", i.toLong)).toDF("lang", "tok")
