@@ -269,6 +269,21 @@ object Tables {
       Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
     }
 
+  /** The documents corpus exported as WebDataset-style tar shards
+    * (`operators.Shards.writeTarShards`) — the interchange layout
+    * multimodal training jobs stream. Built once per sf; the q216
+    * round-trip gate reads the shards back through the strict ustar
+    * parser and hashes every payload against the original table.
+    */
+  def documentsTarShardsLayout(spark: SparkSession, sfDir: String,
+                               nShards: Int = 8): String =
+    derivedLayout(sfDir, "documents", s"documents_tarshards_$nShards") { out =>
+      operators.Shards.writeTarShards(
+        load(spark, sfDir, "documents"), "doc_id", "text", out, nShards)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "_SUCCESS"), Array.empty[Byte])
+    }
+
   /** ORC copy of `orders` — the second columnar source format (same
     * pushdown/pruning path as parquet through the ORC reader).
     */

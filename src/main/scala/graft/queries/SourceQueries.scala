@@ -200,6 +200,24 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // WebDataset-style tar-shard round trip — the interchange format
+    // large multimodal training reads (one tar per shard, samples as
+    // named entries, sequential I/O). The corpus exports through ONE
+    // keyed exchange + streaming per-partition tar writes (O(1) task
+    // memory, atomic rename publish; `Shards.writeTarShards`), reads
+    // back through binaryFile + a STRICT ustar parser that validates
+    // every header checksum, and the gate hashes every payload plus
+    // its multiplicative-hash shard assignment against the original
+    // table — export must be byte-lossless and deterministic.
+    "q216_tar_shards_roundtrip" -> ((s, dir) => {
+      val path = Tables.documentsTarShardsLayout(s, dir, nShards = 8)
+      graft.operators.Shards.readTarShards(s, path)
+        .select(col("doc_id"), col("shard"),
+          octet_length(col("payload")).cast("bigint").as("n_bytes"),
+          md5(col("payload")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -280,6 +298,15 @@ object SourceQueries {
     "q208_crossmodal_pairing" ->
       """SELECT CAST(NULL AS BIGINT) AS src_id, CAST(NULL AS BIGINT) AS tgt_id
         |WHERE FALSE""".stripMargin,
+    // Byte-lossless tar export: payload md5/length straight off the
+    // original text, shard from the q106/q196/q201 multiplicative hash.
+    "q216_tar_shards_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST((doc_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS text_md5
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // The planted-sample rule of documentsWavFilesLayout restated in
     // exact integer SQL — what javax.sound.sampled must read back out
     // of the WAVs. Sign-change counting via LAG; the rolling hash via

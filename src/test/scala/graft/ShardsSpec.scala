@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Shards
+import org.apache.spark.sql.functions._
+
+class ShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_shards_test").toString
+
+  test("tar round trip: empty, block-aligned, and odd-size payloads") {
+    val out = tmpDir()
+    // payload sizes 0, 512 (exact block), 513 (one past), 100
+    val docs = Seq(
+      (1L, ""), (2L, "x" * 512), (3L, "y" * 513), (4L, "z" * 100))
+      .toDF("doc_id", "text")
+    Shards.writeTarShards(docs, "doc_id", "text", out, nShards = 1)
+    val back = Shards.readTarShards(spark, out)
+      .select($"doc_id", $"payload".cast("string").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(back === Map(1L -> "", 2L -> "x" * 512, 3L -> "y" * 513,
+      4L -> "z" * 100))
+  }
+
+  test("written shards parse strictly; corruption fails loudly") {
+    val out = tmpDir()
+    val docs = (1L to 40L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    Shards.writeTarShards(docs, "doc_id", "text", out, nShards = 4)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .toArray.map(_.toString).filter(_.endsWith(".tar")).sorted
+    assert(files.nonEmpty && files.length <= 4)
+    // every entry validates (checksum-checked parse), ids ascend in-shard
+    files.foreach { f =>
+      val entries = Shards.untar(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+      val ids = entries.map(_._1.stripSuffix(".txt").toLong)
+      assert(ids === ids.sorted, s"entries out of order in $f")
+    }
+    // flip a payload byte inside the first entry -> checksum still ok
+    // (payload is not checksummed by tar) but flip a HEADER byte ->
+    // the strict parser rejects the archive instead of dropping samples
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(files.head))
+    bytes(125) = (bytes(125) ^ 0x01).toByte // inside the size field
+    intercept[IllegalArgumentException] { Shards.untar(bytes) }
+    // truncation (lost terminator blocks) also fails loudly
+    val whole = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(files.head))
+    intercept[IllegalArgumentException] {
+      Shards.untar(whole.take(whole.length - 1024))
+    }
+  }
+
+  test("export round trip over the corpus: lossless and shard-stable") {
+    val out = tmpDir()
+    val docs = Tables.load(spark, sfDir, "documents")
+    Shards.writeTarShards(docs, "doc_id", "text", out, nShards = 8)
+    val back = Shards.readTarShards(spark, out)
+    val orig = docs.where($"text".isNotNull)
+      .select($"doc_id", md5($"text".cast("binary")).as("m"))
+    val joined = back
+      .select($"doc_id", $"shard", md5($"payload").as("m2"))
+      .join(orig, Seq("doc_id"), "full")
+    assert(joined.filter($"m".isNull || $"m2".isNull || $"m" =!= $"m2")
+      .count() === 0L)
+    // shard assignment matches the multiplicative-hash rule
+    assert(back.filter($"shard" =!=
+      Shards.shardOf($"doc_id", 8)).count() === 0L)
+  }
+}
