@@ -218,6 +218,14 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming twin of q213 — the codec boundary at the ingestion
+    // door: WAV files arrive through the binaryFile FILE STREAM source
+    // and decode per-row (stateless, Append mode, zero shuffle). The
+    // bounded drain equals batch q213, whose arithmetic oracle this
+    // gate shares.
+    "q217_stream_audio_decode" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingAudioDecode(s, dir)),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -309,8 +317,33 @@ object SourceQueries {
         |ORDER BY doc_id""".stripMargin,
     // The planted-sample rule of documentsWavFilesLayout restated in
     // exact integer SQL — what javax.sound.sampled must read back out
-    // of the WAVs. Sign-change counting via LAG; the rolling hash via
+    // of the WAVs (q217 is the streaming drain of the same decode and
+    // shares it). Sign-change counting via LAG; the rolling hash via
     // the same list_reduce shape as q204's.
+    "q217_stream_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        | ts AS (SELECT doc_id, unnest(range(0, n)) AS t FROM d),
+        | s AS (SELECT doc_id, t,
+        |    CASE WHEN (t // 16) < doc_id % 3 OR (t // 16) % 3 = 2 THEN 0
+        |      ELSE ((doc_id*37 + t*t*13 + t*29) % 65536) - 32768
+        |    END AS v FROM ts),
+        | w AS (SELECT doc_id, t, v,
+        |    LAG(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv FROM s),
+        | agg AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(v) AS BIGINT) AS sum_s,
+        |    CAST(SUM(v*v) AS BIGINT) AS energy,
+        |    CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_x
+        |  FROM w GROUP BY 1),
+        | hs AS (SELECT doc_id, CAST(list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT), list(v + 32768 ORDER BY t)),
+        |      (a, x) -> (a * 1000003 + x) % 1000000007) AS BIGINT) AS s_hash
+        |  FROM s GROUP BY 1)
+        |SELECT a.doc_id, a.n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+        |  a.sum_s, a.energy, a.zero_x, h.s_hash
+        |FROM agg a JOIN hs h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q213_audio_decode" ->
       """WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n
         |  FROM documents WHERE doc_id IS NOT NULL),

@@ -165,6 +165,34 @@ object DocumentStreams {
     EventStreams.runToMemory(out, OutputMode.Append()).orderBy("doc_id")
   }
 
+  /** Streaming audio decode — the media codec boundary run at the
+    * ingestion door, extending the streaming-twin pattern (q198 BPE,
+    * q209 unigram) to the MODALITY family: WAV files arrive through
+    * the binaryFile FILE STREAM source (each micro-batch picks up newly
+    * landed files — exactly how a media corpus accretes), and decoding
+    * runs per-row inside the same batched `mapPartitions` codec
+    * boundary as batch q213 — stateless, Append mode, zero shuffle, so
+    * the plan is deployable as-is with a sink. On bounded input the
+    * drain equals the batch operator; the q217 gate shares q213's
+    * arithmetic oracle.
+    */
+  def streamingAudioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = Tables.documentsWavFilesLayout(spark, sfDir)
+    val media = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length BIGINT, content BINARY")
+      .option("pathGlobFilter", "*.wav")
+      .load(path)
+      .select(regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+        .cast("bigint").as("doc_id"),
+        col("content").as("payload"),
+        lit("audio/wav").as("mime"))
+      .as[graft.operators.Multimodal.MediaRow]
+    val out = graft.operators.Multimodal.decodeAudioFeatures(media).toDF()
+    EventStreams.runToMemory(out, OutputMode.Append()).orderBy("doc_id")
+  }
+
   /** Streaming frequent-token downsampling — q182's rewrite applied at
     * the ingestion door: the keep-ceilings come from the STANDING
     * corpus census (`Scrub.tokenCeilings`; at 100 TB that census is

@@ -616,6 +616,26 @@ class PlanSpec extends SparkSpec {
         p.take(3000))
   }
 
+  test("q215 anti-join line dedup: distributed drop set joins LeftAnti, " +
+      "re-assembly sorts within docs (no global sort, no plan literal)") {
+    val p = planOf("q215_line_dedup_antijoin")
+    assert(p.contains("LeftAnti"),
+      "the drop set must stay distributed as an anti-join:\n" + p.take(3000))
+    assert(!p.contains("isInCollection") && !p.contains("INSET"),
+      "the distributed regime must not ship the drop set as a literal:\n" +
+        p.take(3000))
+    // re-assembly is a per-doc collect_list aggregate (array_sort folds
+    // into its result expression, which the plan string elides) — and
+    // never a plan-level Sort over the exploded line relation: the only
+    // Sort node allowed is the final presentation sort
+    assert(p.contains("collect_list"),
+      "line order must re-assemble per doc via collect_list + array_sort:\n" +
+        p.take(3000))
+    assert(p.linesIterator.count(_.trim.startsWith("+- Sort")) <= 1,
+      "no Sort operator below the presentation sort (per-doc array_sort " +
+        "only):\n" + p.take(3000))
+  }
+
   test("q210 gopher rules and q212 nfc normalize are single-scan map-side " +
       "projections") {
     Seq("q210_gopher_rules", "q212_nfc_normalize").foreach { q =>
