@@ -444,6 +444,35 @@ object Multimodal {
     }
   }
 
+  /** Decoded ENERGY ENVELOPE as a fixed-dim vector — the audio
+    * signature for near-dup mining (the envelope is what survives
+    * re-encoding and small edits; raw bytes do not): sample t's s²
+    * accumulates into bin ⌊t·bins/n⌋, so tracks of any length map to
+    * the same `bins`-dim space. Exact integer sums cast to double;
+    * identical tracks produce identical envelopes, which agree on
+    * every RHP sign bit — banded recall on exact duplicates is 1.0
+    * (the q152 law, third modality). One map-side pass, no shuffle.
+    */
+  def audioEnvelope(media: Dataset[MediaRow], bins: Int = 16,
+                    batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val s = decodePcm16(row.doc_id, row.payload)
+          val env = new Array[Double](bins)
+          var t = 0
+          while (t < s.length) {
+            env((t.toLong * bins / s.length).toInt) += s(t).toDouble * s(t)
+            t += 1
+          }
+          (row.doc_id, env)
+        }
+      }
+    }.toDF("doc_id", "env")
+  }
+
   /** Column-expression twin of `extractFeatures` for the byte features:
     * every one has a codegen form (`octet_length`, `sha2`, the fused
     * `ByteMean` kernel), so the whole projection stays inside

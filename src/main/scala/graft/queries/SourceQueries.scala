@@ -226,6 +226,40 @@ object SourceQueries {
     "q217_stream_audio_decode" -> ((s, dir) =>
       graft.streaming.DocumentStreams.streamingAudioDecode(s, dir)),
 
+    // BANDED audio near-dup recall gate — the q152 law on the THIRD
+    // modality: every fixture track is planted again verbatim under a
+    // shifted id, tracks decode to fixed-dim energy envelopes
+    // (`Multimodal.audioEnvelope` — what survives re-encoding; raw
+    // bytes do not), and the envelope space runs through the same
+    // hot-band-salted RHP-LSH + exact-cosine-verify machinery as text
+    // shingles, embeddings, and byte histograms. Identical tracks give
+    // identical envelopes → every sign bit agrees → banded recall on
+    // exact duplicates is 1.0: the gate emits every planted pair the
+    // banding missed, and the oracle is the empty relation.
+    "q218_audio_banded_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Multimodal, Similarity}
+      val shift = 1L << 20
+      val ids = Tables.load(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
+      val media = ids.flatMap { id =>
+        val p = Multimodal.plantedWavBytes(id)
+        Seq(Multimodal.MediaRow(id, p, "audio/wav"),
+          Multimodal.MediaRow(id + shift, p, "audio/wav"))
+      }
+      val env = Multimodal.audioEnvelope(media, bins = 16)
+      val found = Similarity
+        .rhpCosinePairs(env, "doc_id", "env", threshold = 0.999)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      ids.toDF("id_a")
+        .select(col("id_a"), (col("id_a") + shift).as("id_b"))
+        .join(found, Seq("id_a", "id_b"), "left")
+        .filter(col("hit").isNull)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -305,6 +339,10 @@ object SourceQueries {
     // Planted-recall referee gate: empty.
     "q208_crossmodal_pairing" ->
       """SELECT CAST(NULL AS BIGINT) AS src_id, CAST(NULL AS BIGINT) AS tgt_id
+        |WHERE FALSE""".stripMargin,
+    // Planted-recall referee gate (banded audio near-dup): empty.
+    "q218_audio_banded_neardup" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
         |WHERE FALSE""".stripMargin,
     // Byte-lossless tar export: payload md5/length straight off the
     // original text, shard from the q106/q196/q201 multiplicative hash.

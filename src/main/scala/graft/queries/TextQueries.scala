@@ -699,6 +699,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CONSISTENT pseudonymization — q104/q185's redaction upgraded to
+    // referential integrity: each email is replaced by a stable token
+    // derived from the match itself (first 8 md5 hex), so the same
+    // address tokenizes identically corpus-wide and cross-document
+    // entity structure survives the scrub. Pure codegen'd map-side
+    // rebuild (split + zip_with re-interleave — no per-match UDF, no
+    // driver token vault), restated in SQL by the oracle. Emails are
+    // PLANTED with doc-derived user numbers so the same address recurs
+    // across many docs — the md5 gate then proves token stability.
+    "q219_pseudonymize" -> ((s, dir) => {
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 4 === 1,
+            concat(col("text"), lit(" contact user"),
+              (col("doc_id") % 7).cast("string"),
+              lit("@example.com or user"),
+              ((col("doc_id") + 3) % 7).cast("string"),
+              lit("@example.org")))
+            .otherwise(col("text")))
+      planted.select(col("doc_id"),
+          md5(graft.operators.Scrub.pseudonymizeEmails(col("text")))
+            .as("pseudo_md5"),
+          size(regexp_extract_all(col("text"),
+            lit(graft.operators.Scrub.EmailRe), lit(0)))
+            .cast("bigint").as("n_emails"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming twin of q206 (the q198 move for the unigram family):
     // the Viterbi fold is a pure per-row projection, so piece
     // accounting runs stateless at the ingestion door with the
@@ -2550,6 +2578,28 @@ object TextQueries {
         |    AND sym_ppm <= 100000 AND alpha_ppm >= 800000
         |    AND stop_hits >= 2 AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+    // The pseudonymization rebuild restated: RE2 splits/extracts with
+    // the same pattern, tokens re-derive per match, md5 over the
+    // re-interleaved text must agree with the engine byte-for-byte.
+    "q219_pseudonymize" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1 THEN text || ' contact user'
+        |      || CAST(doc_id % 7 AS VARCHAR) || '@example.com or user'
+        |      || CAST((doc_id + 3) % 7 AS VARCHAR) || '@example.org'
+        |    ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        | r AS (SELECT doc_id, t,
+        |    regexp_split_to_array(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS segs,
+        |    regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS m
+        |  FROM p)
+        |SELECT doc_id,
+        |  md5(COALESCE(array_to_string(list_transform(range(1, len(m) + 1),
+        |      i -> segs[i] || '<EMAIL:' || substr(md5(m[i]), 1, 8) || '>'),
+        |    ''), '') || segs[len(m) + 1]) AS pseudo_md5,
+        |  CAST(len(m) AS BIGINT) AS n_emails
+        |FROM r ORDER BY doc_id""".stripMargin,
     // q215 runs the distributed anti-join regime over the SAME planted
     // fixture — the oracle is q211's verbatim: both regimes must clean
     // identically.

@@ -245,6 +245,34 @@ class SinksAndQualitySpec extends SparkSpec {
       mt.tail_trim === 0L && mt.n_kept === 0L)
   }
 
+  test("q218 audio banded near-dup: all planted dups found, and a " +
+      "diverged copy fires the gate") {
+    import graft.operators.Similarity
+    assert(SparkEntry.queries("q218_audio_banded_neardup")(spark, sfDir)
+      .count() === 0L)
+    // non-vacuity: swap one shifted copy's track for a different one —
+    // its planted pair must surface as a miss
+    val shift = 1L << 20
+    val ids = (0L until 40L)
+    val media = ids.flatMap { id =>
+      val dupOf = if (id == 5L) 6L else id // diverge id 5's copy
+      Seq(Multimodal.MediaRow(id, Multimodal.plantedWavBytes(id), "audio/wav"),
+        Multimodal.MediaRow(id + shift, Multimodal.plantedWavBytes(dupOf),
+          "audio/wav"))
+    }.toDS()
+    val env = Multimodal.audioEnvelope(media, bins = 16)
+    val found = Similarity
+      .rhpCosinePairs(env, "doc_id", "env", threshold = 0.999)
+      .select($"id_a", $"id_b", lit(1L).as("hit"))
+    val misses = ids.toDF("id_a")
+      .select($"id_a", ($"id_a" + shift).as("id_b"))
+      .join(found, Seq("id_a", "id_b"), "left")
+      .filter($"hit".isNull).select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(misses === Set((5L, 5L + shift)),
+      s"exactly the diverged pair must miss, got $misses")
+  }
+
   test("q208 cross-modal pairing: empty on the aligned plant, fires on " +
       "a misaligned one") {
     assert(SparkEntry.queries("q208_crossmodal_pairing")(spark, sfDir)

@@ -141,6 +141,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(joined(8) === ((9L, None, None)))         // null is total
   }
 
+  test("Scrub.pseudonymizeEmails: stable tokens, structure preserved, " +
+      "idempotent, null-total") {
+    import graft.operators.Scrub
+    val df = Seq(
+      (1L, Some("write a@x.com then b@y.org end")),
+      (2L, Some("reply a@x.com")),   // same address as doc 1
+      (3L, Some("no emails here")),
+      (4L, None: Option[String])).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        Scrub.pseudonymizeEmails($"text").as("p"))
+      .orderBy("doc_id").as[(Long, Option[String])].collect()
+    val tokA = out(0)._2.get.split(" ")(1)
+    assert(tokA.matches("<EMAIL:[0-9a-f]{8}>"))
+    // same address → same token across documents
+    assert(out(1)._2.get === s"reply $tokA")
+    // different addresses → different tokens, surrounding text intact
+    assert(out(0)._2.get.startsWith("write <EMAIL:") &&
+      out(0)._2.get.endsWith(" end"))
+    assert(out(0)._2.get.split("<EMAIL:").length === 3)
+    assert(!out(0)._2.get.contains("@"))
+    // email-free and NULL docs pass through
+    assert(out(2)._2.get === "no emails here")
+    assert(out(3)._2.isEmpty)
+    // idempotent: tokens contain no '@', so a second pass is a no-op
+    val twice = df.select($"doc_id", Scrub.pseudonymizeEmails(
+        Scrub.pseudonymizeEmails($"text")).as("p"))
+      .orderBy("doc_id").as[(Long, Option[String])].collect()
+    assert(twice.map(_._2).toSeq === out.map(_._2).toSeq)
+  }
+
   test("percentile referee: silent on an honest sketch, fires on corrupted claims") {
     import graft.queries.TextQueries
     val d = (1 to 100).map(i => ("en", i.toLong)).toDF("lang", "tok")
