@@ -444,6 +444,104 @@ object Multimodal {
     }
   }
 
+  case class AudioSegment(doc_id: Long, seg_no: Long, start_frame: Long,
+                          n_frames: Long, n_samples: Long, energy: Long)
+
+  /** Silence-delimited segmentation — the audio analogue of
+    * sessionization: maximal runs of non-silent frames become numbered
+    * segments (what a speech pipeline feeds to per-utterance
+    * transcription/embedding). Decode + the gaps-and-islands walk run
+    * in ONE map-side pass per track — unlike event sessionization no
+    * shuffle is needed, because a track's frames already live together
+    * in its payload. Exact-integer outputs (frame spans, sample
+    * counts, Σs² energies) so the q220 oracle restates the walk over
+    * the planted rule with SQL window islands.
+    */
+  def segmentBySilence(media: Dataset[MediaRow], frameLen: Int = 16,
+                       batchSize: Int = 64): Dataset[AudioSegment] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val s = decodePcm16(row.doc_id, row.payload)
+          val nf = (s.length + frameLen - 1) / frameLen
+          val segs = Seq.newBuilder[AudioSegment]
+          var f = 0
+          var segNo = 0L
+          while (f < nf) {
+            var e = 0L
+            var t = f * frameLen
+            val end = math.min((f + 1) * frameLen, s.length)
+            while (t < end) { e += s(t).toLong * s(t); t += 1 }
+            if (e == 0L) f += 1
+            else {
+              // extend the non-silent run
+              val start = f
+              var energy = 0L
+              var samples = 0L
+              var loud = true
+              while (f < nf && loud) {
+                var fe = 0L
+                var u = f * frameLen
+                val fEnd = math.min((f + 1) * frameLen, s.length)
+                while (u < fEnd) { fe += s(u).toLong * s(u); u += 1 }
+                if (fe == 0L) loud = false
+                else {
+                  energy += fe; samples += fEnd - f * frameLen; f += 1
+                }
+              }
+              segNo += 1
+              segs += AudioSegment(row.doc_id, segNo, start.toLong,
+                (f - start).toLong, samples, energy)
+            }
+          }
+          segs.result()
+        }
+      }
+    }
+  }
+
+  /** Sample-rate downconversion by an integer `factor` (keep every
+    * factor-th sample, rate divides) with lossless re-encode — the
+    * audio sibling of `resizeImage`, same decode → transform → encode
+    * chain through the batched boundary. The q221 gate decodes the
+    * OUTPUT again and must reproduce the planted rule at stride
+    * `factor` — any bug in decode, stride arithmetic, or the re-encoded
+    * RIFF header breaks the downstream feature hash.
+    */
+  def resampleAudio(media: Dataset[MediaRow], factor: Int,
+                    batchSize: Int = 64): Dataset[MediaRow] = {
+    require(factor >= 1, s"resampleAudio: factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.payload))
+          val rate = in.getFormat.getSampleRate.toInt
+          val s = decodePcm16(row.doc_id, row.payload)
+          val out = Array.tabulate((s.length + factor - 1) / factor)(
+            t => s(t * factor))
+          val dataLen = out.length * 2
+          val newRate = rate / factor
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1)
+            .putInt(newRate).putInt(newRate * 2)
+            .putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+          out.foreach(v => bb.putShort(v.toShort))
+          row.copy(payload = bb.array())
+        }
+      }
+    }
+  }
+
   /** Decoded ENERGY ENVELOPE as a fixed-dim vector — the audio
     * signature for near-dup mining (the envelope is what survives
     * re-encoding and small edits; raw bytes do not): sample t's s²

@@ -260,6 +260,53 @@ object SourceQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Silence-delimited segmentation — sessionization for audio:
+    // maximal non-silent frame runs become numbered segments (the
+    // per-utterance unit a speech pipeline transcribes/embeds).
+    // Decode + the gaps-and-islands walk are ONE map-side pass per
+    // track (a track's frames live together in its payload — no
+    // shuffle, unlike event sessionization); the oracle restates the
+    // islands with SQL windows over the planted frame energies.
+    "q220_audio_segments" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val path = Tables.documentsWavFilesLayout(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"),
+          lit("audio/wav").as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal.segmentBySilence(media, frameLen = 16)
+        .toDF()
+        .orderBy("doc_id", "seg_no")
+    }),
+
+    // Sample-rate downconversion round trip — decode → stride-2
+    // resample → lossless re-encode → decode AGAIN and feature-extract:
+    // the full codec chain must reproduce the planted rule at stride 2
+    // (n' = ⌈n/2⌉, s'_t = s_2t, rate 4000), which the oracle restates
+    // arithmetically. Any bug in the stride walk or the re-encoded
+    // RIFF header breaks a sum, the crossing count, or the track hash.
+    "q221_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val path = Tables.documentsWavFilesLayout(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"),
+          lit("audio/wav").as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeAudioFeatures(Multimodal.resampleAudio(media, 2))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -344,6 +391,61 @@ object SourceQueries {
     "q218_audio_banded_neardup" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
         |WHERE FALSE""".stripMargin,
+    // Gaps-and-islands over the planted frame energies: non-silent
+    // frames grouped by f - ROW_NUMBER() (consecutive-run key), each
+    // run a segment.
+    "q220_audio_segments" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        | ts AS (SELECT doc_id, unnest(range(0, n)) AS t FROM d),
+        | s AS (SELECT doc_id, t, t // 16 AS f,
+        |    CASE WHEN (t // 16) < doc_id % 3 OR (t // 16) % 3 = 2 THEN 0
+        |      ELSE ((doc_id*37 + t*t*13 + t*29) % 65536) - 32768
+        |    END AS v FROM ts),
+        | fr AS (SELECT doc_id, f, COUNT(*) AS fn, SUM(v*v) AS fe
+        |  FROM s GROUP BY 1, 2),
+        | ns AS (SELECT doc_id, f, fn, fe,
+        |    f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        |  FROM fr WHERE fe > 0),
+        | seg AS (SELECT doc_id, grp, MIN(f) AS start_frame,
+        |    COUNT(*) AS n_frames, SUM(fn) AS n_samples, SUM(fe) AS energy
+        |  FROM ns GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame)
+        |    AS BIGINT) AS seg_no,
+        |  CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(energy AS BIGINT) AS energy
+        |FROM seg ORDER BY doc_id, seg_no""".stripMargin,
+    // The planted rule at stride 2 (n' = ceil(n/2), s'_t = s_2t,
+    // rate 4000) — what the decode→resample→re-encode→decode chain
+    // must reproduce.
+    "q221_audio_resample" ->
+      """WITH d AS (SELECT doc_id, (64 + doc_id % 97 + 1) // 2 AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        | ts AS (SELECT doc_id, unnest(range(0, n)) AS t FROM d),
+        | s AS (SELECT doc_id, t,
+        |    CASE WHEN ((2*t) // 16) < doc_id % 3 OR ((2*t) // 16) % 3 = 2
+        |      THEN 0
+        |      ELSE ((doc_id*37 + (2*t)*(2*t)*13 + (2*t)*29) % 65536) - 32768
+        |    END AS v FROM ts),
+        | w AS (SELECT doc_id, t, v,
+        |    LAG(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv FROM s),
+        | agg AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(v) AS BIGINT) AS sum_s,
+        |    CAST(SUM(v*v) AS BIGINT) AS energy,
+        |    CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_x
+        |  FROM w GROUP BY 1),
+        | hs AS (SELECT doc_id, CAST(list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT), list(v + 32768 ORDER BY t)),
+        |      (a, x) -> (a * 1000003 + x) % 1000000007) AS BIGINT) AS s_hash
+        |  FROM s GROUP BY 1)
+        |SELECT a.doc_id, a.n_samples, CAST(4000 AS BIGINT) AS sample_rate,
+        |  a.sum_s, a.energy, a.zero_x, h.s_hash
+        |FROM agg a JOIN hs h USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Byte-lossless tar export: payload md5/length straight off the
     // original text, shard from the q106/q196/q201 multiplicative hash.
     "q216_tar_shards_roundtrip" ->
@@ -360,7 +462,7 @@ object SourceQueries {
     // the same list_reduce shape as q204's.
     "q217_stream_audio_decode" ->
       """WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n
-        |  FROM documents WHERE doc_id IS NOT NULL),
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id < 1000),
         | ts AS (SELECT doc_id, unnest(range(0, n)) AS t FROM d),
         | s AS (SELECT doc_id, t,
         |    CASE WHEN (t // 16) < doc_id % 3 OR (t // 16) % 3 = 2 THEN 0

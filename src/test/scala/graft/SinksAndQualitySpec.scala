@@ -245,6 +245,54 @@ class SinksAndQualitySpec extends SparkSpec {
       mt.tail_trim === 0L && mt.n_kept === 0L)
   }
 
+  test("segmentBySilence: segments partition the non-silent frames and " +
+      "tile exactly with trimSilence") {
+    val ids = Seq(1L, 2L, 5L, 64L, 101L)
+    val rows = ids.map(id =>
+      Multimodal.MediaRow(id, Multimodal.plantedWavBytes(id), "audio/wav"))
+    val segs = Multimodal.segmentBySilence(rows.toDS(), frameLen = 16)
+      .collect().groupBy(_.doc_id)
+    val trims = Multimodal.trimSilence(rows.toDS(), frameLen = 16)
+      .collect().map(t => t.doc_id -> t).toMap
+    ids.foreach { id =>
+      val s = Multimodal.plantedSamples(id)
+      val nf = (s.length + 15) / 16
+      val silent = (0 until nf).map(f =>
+        (f * 16 until math.min((f + 1) * 16, s.length)).forall(s(_) == 0))
+      val ss = segs(id).sortBy(_.seg_no)
+      // seg_no dense from 1; segments disjoint, ordered, non-silent runs
+      assert(ss.map(_.seg_no).toSeq === (1L to ss.length))
+      ss.foreach { g =>
+        (g.start_frame until g.start_frame + g.n_frames).foreach(f =>
+          assert(!silent(f.toInt), s"segment covers silent frame $f"))
+        assert(g.start_frame + g.n_frames >= nf ||
+          silent((g.start_frame + g.n_frames).toInt))
+        assert(g.start_frame == 0L || silent(g.start_frame.toInt - 1))
+      }
+      // first segment starts at the trim lead; last ends at nf - tail
+      val t = trims(id)
+      assert(ss.head.start_frame === t.lead_trim)
+      assert(ss.last.start_frame + ss.last.n_frames === nf - t.tail_trim)
+      // total non-silent frames across segments = nf - n_silent
+      assert(ss.map(_.n_frames).sum === nf - t.n_silent)
+    }
+  }
+
+  test("resampleAudio halves the track: decoded output is the stride-2 " +
+      "sample sequence at half the rate") {
+    val id = 17L
+    val media = Seq(Multimodal.MediaRow(id,
+      Multimodal.plantedWavBytes(id), "audio/wav")).toDS()
+    val out = Multimodal.resampleAudio(media, factor = 2).collect().head
+    val f = Multimodal.decodeAudioFeatures(Seq(out).toDS()).collect().head
+    val s = Multimodal.plantedSamples(id)
+    val expected = s.indices.collect { case t if t % 2 == 0 => s(t) }
+    assert(f.sample_rate === 4000L)
+    assert(f.n_samples === expected.length.toLong)
+    assert(f.sum_s === expected.map(_.toLong).sum)
+    assert(f.energy === expected.map(v => v.toLong * v).sum)
+  }
+
   test("q218 audio banded near-dup: all planted dups found, and a " +
       "diverged copy fires the gate") {
     import graft.operators.Similarity
