@@ -284,6 +284,28 @@ object Tables {
         java.nio.file.Paths.get(out, "_SUCCESS"), Array.empty[Byte])
     }
 
+  /** One planted frame-container "video" per document, named
+    * <doc_id>.gftv (`Multimodal.plantedVideoBytes` — length-prefixed
+    * REAL PNG frames behind a container index, the structure every real
+    * container shares). Feeds the frame-sampling decode path (q222).
+    * Built once per sf.
+    */
+  def documentsVidFilesLayout(spark: SparkSession, sfDir: String): String =
+    derivedLayout(sfDir, "documents", "documents_vidfiles") { out =>
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.functions.col
+      val dir = Paths.get(out)
+      Files.createDirectories(dir)
+      load(spark, sfDir, "documents").select("doc_id")
+        .where(col("doc_id").isNotNull)
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          Files.write(dir.resolve(s"$id.gftv"),
+            operators.Multimodal.plantedVideoBytes(id))
+        }
+      Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    }
+
   /** ORC copy of `orders` — the second columnar source format (same
     * pushdown/pruning path as parquet through the ORC reader).
     */

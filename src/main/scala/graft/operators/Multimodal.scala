@@ -341,35 +341,55 @@ object Multimodal {
     bb.array()
   }
 
-  /** Decode a WAV payload to its PCM samples through the JDK's
-    * `javax.sound.sampled` codec (headless-safe, no external deps).
-    * Fails loudly on anything but 16-bit little-endian signed PCM —
-    * silently resampling a mis-encoded track corrupts every downstream
-    * feature.
+  /** ONE-open WAV decode to (sampleRate, samples). Canonical 44-byte
+    * RIFF/PCM16-mono-LE headers parse DIRECTLY — `AudioSystem`'s
+    * provider lookup synchronizes globally, and the sf1 stress measured
+    * it serializing the 32 decode threads (q221 made 4 opens per track
+    * and cost 46 s at 50k tracks); the direct path is lock-free and the
+    * planted fixture is exactly this shape. Any other WAV layout
+    * (extra chunks, multichannel, other encodings) falls back to
+    * `javax.sound.sampled` — the general-format codec slot — and still
+    * fails loudly on anything but 16-bit little-endian signed PCM.
+    * AudioSpec pins the two paths sample-identical.
     */
-  private def decodePcm16(docId: Long, payload: Array[Byte]): Array[Int] = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    val fmt = in.getFormat
-    require(fmt.getEncoding ==
-        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-      s"decodePcm16: doc $docId is not 16-bit LE signed PCM ($fmt)")
-    val bytes = in.readAllBytes()
-    val n = bytes.length / (2 * fmt.getChannels)
-    val bb = java.nio.ByteBuffer.wrap(bytes)
+  private[graft] def decodeWav(docId: Long,
+                               payload: Array[Byte]): (Long, Array[Int]) = {
+    def ascii(off: Int, s: String): Boolean =
+      (0 until s.length).forall(i => payload(off + i) == s.charAt(i).toByte)
+    val bb = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    // average channels away only for mono; multichannel keeps channel 0
-    // (feature contract: one track per doc)
-    val step = fmt.getChannels
-    Array.tabulate(n)(i => bb.getShort(i * 2 * step).toInt)
+    val canonical = payload.length >= 44 &&
+      ascii(0, "RIFF") && ascii(8, "WAVE") && ascii(12, "fmt ") &&
+      bb.getInt(16) == 16 && bb.getShort(20) == 1 && // PCM
+      bb.getShort(22) == 1 && bb.getShort(34) == 16 && // mono, 16-bit
+      ascii(36, "data")
+    if (canonical) {
+      val dataLen = bb.getInt(40)
+      require(dataLen >= 0 && 44 + dataLen <= payload.length,
+        s"decodeWav: doc $docId data chunk overruns the payload")
+      (bb.getInt(24).toLong,
+        Array.tabulate(dataLen / 2)(i => bb.getShort(44 + 2 * i).toInt))
+    } else {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"decodeWav: doc $docId is not 16-bit LE signed PCM ($fmt)")
+      val bytes = in.readAllBytes()
+      val n = bytes.length / (2 * fmt.getChannels)
+      val db = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // multichannel keeps channel 0 (feature contract: one track/doc)
+      val step = fmt.getChannels
+      (fmt.getSampleRate.toLong,
+        Array.tabulate(n)(i => db.getShort(i * 2 * step).toInt))
+    }
   }
 
-  private[operators] def sampleRateOf(payload: Array[Byte]): Long = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    in.getFormat.getSampleRate.toLong
-  }
+  private def decodePcm16(docId: Long, payload: Array[Byte]): Array[Int] =
+    decodeWav(docId, payload)._2
 
   /** REAL audio decode + feature extraction — the audio sibling of
     * `decodeImageFeatures`, same batched `mapPartitions` codec boundary:
@@ -387,7 +407,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
-          val s = decodePcm16(row.doc_id, row.payload)
+          val (rate, s) = decodeWav(row.doc_id, row.payload)
           var sum = 0L; var energy = 0L; var zx = 0L; var h = 0L
           var i = 0
           while (i < s.length) {
@@ -398,8 +418,7 @@ object Multimodal {
             h = (h * 1000003L + (v + 32768L)) % 1000000007L
             i += 1
           }
-          AudioFeatures(row.doc_id, s.length.toLong,
-            sampleRateOf(row.payload), sum, energy, zx, h)
+          AudioFeatures(row.doc_id, s.length.toLong, rate, sum, energy, zx, h)
         }
       }
     }
@@ -439,6 +458,91 @@ object Multimodal {
               firstLoud * frameLen).toLong
           AudioTrim(row.doc_id, nf.toLong, silent.count(identity).toLong,
             lead, tail, kept)
+        }
+      }
+    }
+  }
+
+  case class VideoFrame(doc_id: Long, frame_no: Long, width: Long,
+                        height: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** The deterministic planted "video" for `doc_id`: a length-prefixed
+    * frame container (magic `GFTV`, LE int32 frame count, then per
+    * frame LE int32 byte length + a REAL PNG) — the structure every
+    * real container format shares (an index plus per-frame codec
+    * payloads), with the JDK's PNG codec standing in the per-frame
+    * codec slot. Frame k's image is `plantedImage(doc_id·131 + k·17)`
+    * and the frame count is 2 + doc_id % 4, so the q222 oracle can
+    * restate every sampled frame's pixel sums arithmetically.
+    */
+  def plantedVideoBytes(id: Long): Array[Byte] = {
+    val nF = (2 + id % 4).toInt
+    val frames = (0 until nF).map { k =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(plantedImage(id * 131 + k * 17), "png", bos)
+      bos.toByteArray
+    }
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + frames.map(_.length + 4).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GFTV".getBytes("US-ASCII")).putInt(nF)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  /** Frame sampling with REAL per-frame decode — the video leg of the
+    * modality stack: parse the container index, decode every
+    * `stride`-th frame with the PNG codec, and emit per-frame features
+    * from the DECODED pixels (the byte-level `sampleFrames` is the
+    * decode-free sibling). Strict parse — a bad magic or a frame
+    * overrunning the payload fails loudly, never yields partial
+    * frames. One map-side pass; frames of one video never shuffle.
+    * Frame numbering is the position BEFORE striding (the
+    * `sampleFrames` contract).
+    */
+  def sampleVideoFrames(media: Dataset[MediaRow], stride: Int,
+                        batchSize: Int = 64): Dataset[VideoFrame] = {
+    require(stride >= 1, s"sampleVideoFrames: stride must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val bb = java.nio.ByteBuffer.wrap(row.payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val magic = new Array[Byte](4)
+          bb.get(magic)
+          require(new String(magic, "US-ASCII") == "GFTV",
+            s"sampleVideoFrames: bad container magic for doc ${row.doc_id}")
+          val nF = bb.getInt
+          (0 until nF).flatMap { k =>
+            val len = bb.getInt
+            require(len >= 0 && len <= bb.remaining(),
+              s"sampleVideoFrames: frame $k overruns doc ${row.doc_id}")
+            val frame = new Array[Byte](len)
+            bb.get(frame)
+            if (k % stride != 0) None
+            else {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(frame))
+              require(img != null,
+                s"sampleVideoFrames: undecodable frame $k of doc ${row.doc_id}")
+              val w = img.getWidth; val h = img.getHeight
+              var rs = 0L; var gs = 0L; var bs = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Some(VideoFrame(row.doc_id, k.toLong, w.toLong, h.toLong,
+                rs, gs, bs))
+            }
+          }
         }
       }
     }
@@ -518,10 +622,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(row.payload))
-          val rate = in.getFormat.getSampleRate.toInt
-          val s = decodePcm16(row.doc_id, row.payload)
+          val (srcRate, s) = decodeWav(row.doc_id, row.payload)
+          val rate = srcRate.toInt
           val out = Array.tabulate((s.length + factor - 1) / factor)(
             t => s(t * factor))
           val dataLen = out.length * 2

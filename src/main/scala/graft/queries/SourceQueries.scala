@@ -307,6 +307,31 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // Video frame sampling with REAL per-frame decode — the third
+    // modality's decode leg: each doc's planted frame container (magic
+    // + index + length-prefixed real PNGs, the structure every real
+    // container shares) is parsed strictly, every 2nd frame decodes
+    // through the PNG codec, and per-frame channel sums come from the
+    // DECODED pixels. The oracle restates the sampled frames' pixel
+    // rule arithmetically (frame k's image id is doc_id·131 + k·17) —
+    // a container + codec gate with neither in DuckDB.
+    "q222_video_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val path = Tables.documentsVidFilesLayout(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gftv")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.gftv$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"),
+          lit("video/x-gftv").as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleVideoFrames(media, stride = 2)
+        .toDF()
+        .orderBy("doc_id", "frame_no")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -391,6 +416,26 @@ object SourceQueries {
     "q218_audio_banded_neardup" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
         |WHERE FALSE""".stripMargin,
+    // The sampled frames' planted-pixel rule restated: frame k of doc
+    // d (k even) is the q204 pixel rule at image id d·131 + k·17.
+    "q222_video_frame_sample" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        | fx AS (SELECT doc_id, unnest(range(0, nf)) AS k FROM d),
+        | sel AS (SELECT doc_id, k, doc_id*131 + k*17 AS fid
+        |  FROM fx WHERE k % 2 = 0),
+        | dim AS (SELECT doc_id, k, fid, 8 + fid % 9 AS w, 8 + fid % 7 AS h
+        |  FROM sel),
+        | xs AS (SELECT doc_id, k, fid, w, h, unnest(range(0, w)) AS x
+        |  FROM dim),
+        | px AS (SELECT doc_id, k, fid, w, h, x, unnest(range(0, h)) AS y
+        |  FROM xs)
+        |SELECT doc_id, CAST(k AS BIGINT) AS frame_no,
+        |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+        |  CAST(SUM((fid*31 + x*7 + y*13) % 256) AS BIGINT) AS r_sum,
+        |  CAST(SUM((fid*17 + x*11 + y*5) % 256) AS BIGINT) AS g_sum,
+        |  CAST(SUM((fid*23 + x*3 + y*19) % 256) AS BIGINT) AS b_sum
+        |FROM px GROUP BY doc_id, k ORDER BY doc_id, frame_no""".stripMargin,
     // Gaps-and-islands over the planted frame energies: non-silent
     // frames grouped by f - ROW_NUMBER() (consecutive-run key), each
     // run a segment.

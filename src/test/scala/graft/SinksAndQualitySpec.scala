@@ -245,6 +245,73 @@ class SinksAndQualitySpec extends SparkSpec {
       mt.tail_trim === 0L && mt.n_kept === 0L)
   }
 
+  test("decodeWav fast path ≡ javax.sound on the same payload; " +
+      "non-canonical layouts take the codec fallback") {
+    val ids = Seq(0L, 7L, 123L)
+    ids.foreach { id =>
+      val payload = Multimodal.plantedWavBytes(id)
+      val (rate, fast) = Multimodal.decodeWav(id, payload)
+      // reference decode through the general codec
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ref = Array.tabulate(bytes.length / 2)(i => bb.getShort(2 * i).toInt)
+      assert(rate === in.getFormat.getSampleRate.toLong)
+      assert(fast.toSeq === ref.toSeq)
+      // a payload with an extra chunk before `data` is NOT canonical —
+      // it must still decode (fallback), with identical samples
+      val extra = {
+        val base = Multimodal.plantedWavBytes(id)
+        val pad = java.nio.ByteBuffer.allocate(12)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        pad.put("LIST".getBytes("US-ASCII")).putInt(4)
+          .put("INFO".getBytes("US-ASCII"))
+        val out = java.nio.ByteBuffer
+          .allocate(base.length + 12)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put(base, 0, 36)               // header through fmt chunk
+        out.put(pad.array())               // foreign chunk
+        out.put(base, 36, base.length - 36) // data chunk
+        // fix the RIFF size field for the inserted 12 bytes
+        out.putInt(4, base.length + 12 - 8)
+        out.array()
+      }
+      val (rate2, viaFallback) = Multimodal.decodeWav(id, extra)
+      assert(rate2 === rate && viaFallback.toSeq === fast.toSeq,
+        "non-canonical WAV must decode identically through the fallback")
+    }
+  }
+
+  test("sampleVideoFrames: strict container parse, stride semantics, " +
+      "decoded pixels match the planted rule") {
+    val id = 42L
+    val media = Seq(Multimodal.MediaRow(id,
+      Multimodal.plantedVideoBytes(id), "video/x-gftv")).toDS()
+    val frames = Multimodal.sampleVideoFrames(media, stride = 2)
+      .collect().sortBy(_.frame_no)
+    val nF = (2 + id % 4).toInt
+    assert(frames.map(_.frame_no).toSeq ===
+      (0 until nF).filter(_ % 2 == 0).map(_.toLong))
+    frames.foreach { f =>
+      val fid = id * 131 + f.frame_no * 17
+      val w = (8 + fid % 9).toInt; val h = (8 + fid % 7).toInt
+      val px = for (y <- 0 until h; x <- 0 until w) yield
+        ((fid * 31 + x * 7 + y * 13) % 256, (fid * 17 + x * 11 + y * 5) % 256,
+          (fid * 23 + x * 3 + y * 19) % 256)
+      assert(f.width === w.toLong && f.height === h.toLong)
+      assert(f.r_sum === px.map(_._1).sum && f.g_sum === px.map(_._2).sum &&
+        f.b_sum === px.map(_._3).sum)
+    }
+    // bad magic fails loudly
+    val junk = Seq(Multimodal.MediaRow(9L,
+      "NOPE".getBytes("US-ASCII") ++ new Array[Byte](8), "video/x-gftv")).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleVideoFrames(junk, stride = 1).collect()
+    }
+  }
+
   test("segmentBySilence: segments partition the non-silent frames and " +
       "tile exactly with trimSilence") {
     val ids = Seq(1L, 2L, 5L, 64L, 101L)
