@@ -218,6 +218,14 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming twin of q216 — shard export at the ingestion door:
+    // each micro-batch writes a GENERATION of tar shards via
+    // foreachBatch (idempotent under batch replay), and the union of
+    // generations read back through the strict parser must reproduce
+    // the corpus byte-for-byte. Shares q216's oracle.
+    "q223_stream_tar_export" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingTarShardExport(s, dir)),
+
     // Streaming twin of q213 — the codec boundary at the ingestion
     // door: WAV files arrive through the binaryFile FILE STREAM source
     // and decode per-row (stateless, Append mode, zero shuffle). The
@@ -492,7 +500,16 @@ object SourceQueries {
         |  a.sum_s, a.energy, a.zero_x, h.s_hash
         |FROM agg a JOIN hs h USING (doc_id) ORDER BY doc_id""".stripMargin,
     // Byte-lossless tar export: payload md5/length straight off the
-    // original text, shard from the q106/q196/q201 multiplicative hash.
+    // original text, shard from the q106/q196/q201 multiplicative hash
+    // (q223 is the streaming-generation export of the same corpus and
+    // shares this restatement).
+    "q223_stream_tar_export" ->
+      """SELECT doc_id,
+        |  CAST((doc_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS text_md5
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "q216_tar_shards_roundtrip" ->
       """SELECT doc_id,
         |  CAST((doc_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard,

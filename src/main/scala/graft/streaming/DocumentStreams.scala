@@ -198,6 +198,38 @@ object DocumentStreams {
     EventStreams.runToMemory(out, OutputMode.Append()).orderBy("doc_id")
   }
 
+  /** Streaming tar-shard EXPORT — the batch exporter (q216) run at the
+    * ingestion door: each micro-batch writes its docs as a GENERATION
+    * of shards under `batch=<id>/` via `foreachBatch` (the standard
+    * streaming file-export pattern — a generation publishes atomically
+    * per batch, and a replayed batch rewrites its own directory, so
+    * the sink is idempotent under retries). Reading the union of
+    * generations back through the strict parser must reproduce the
+    * corpus byte-for-byte; the q223 gate shares q216's oracle. At
+    * 100 TB this is exactly how a training-data lake accretes
+    * WebDataset shards from a firehose — shard files within a
+    * generation, generations over time.
+    */
+  def streamingTarShardExport(spark: SparkSession, sfDir: String,
+                              nShards: Int = 8): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_shards").toString
+    val q = readDocumentsStream(spark, sfDir)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Shards.writeTarShards(batch, "doc_id", "text",
+          s"$out/batch=$batchId", nShards)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Shards.readTarShards(spark, out)
+      .select(col("doc_id"), col("shard"),
+        octet_length(col("payload")).cast("bigint").as("n_bytes"),
+        md5(col("payload")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming frequent-token downsampling — q182's rewrite applied at
     * the ingestion door: the keep-ceilings come from the STANDING
     * corpus census (`Scrub.tokenCeilings`; at 100 TB that census is

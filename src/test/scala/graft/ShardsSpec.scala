@@ -52,6 +52,28 @@ class ShardsSpec extends SparkSpec {
     }
   }
 
+  test("generation layout: batches union as one corpus; replay is idempotent") {
+    // The q223 streaming export writes one generation dir per micro-batch
+    // (`batch=<id>/`). Pin the two laws the sink relies on: (a) the
+    // recursive read unions generations into one corpus, and (b) a
+    // REPLAYED batch (Structured Streaming re-runs foreachBatch with the
+    // same rows after a failure) rewrites its own generation in place —
+    // REPLACE_EXISTING publish — so the corpus has no duplicates.
+    val out = tmpDir()
+    val gen0 = (1L to 20L).map(i => (i, s"g0 doc $i")).toDF("doc_id", "text")
+    val gen1 = (21L to 40L).map(i => (i, s"g1 doc $i")).toDF("doc_id", "text")
+    Shards.writeTarShards(gen0, "doc_id", "text", s"$out/batch=0", nShards = 4)
+    Shards.writeTarShards(gen1, "doc_id", "text", s"$out/batch=1", nShards = 4)
+    // replay batch 1 (identical rows — the streaming contract)
+    Shards.writeTarShards(gen1, "doc_id", "text", s"$out/batch=1", nShards = 4)
+    val back = Shards.readTarShards(spark, out)
+      .select($"doc_id", $"payload".cast("string").as("t"))
+      .as[(Long, String)].collect()
+    assert(back.length === 40, "replayed generation duplicated rows")
+    assert(back.toMap === (1L to 40L).map(i =>
+      i -> s"g${if (i <= 20) 0 else 1} doc $i").toMap)
+  }
+
   test("export round trip over the corpus: lossless and shard-stable") {
     val out = tmpDir()
     val docs = Tables.load(spark, sfDir, "documents")
