@@ -226,6 +226,59 @@ object SourceQueries {
     "q223_stream_tar_export" -> ((s, dir) =>
       graft.streaming.DocumentStreams.streamingTarShardExport(s, dir)),
 
+    // URL canonicalization + canonical-URL dedup — the FIRST pass of
+    // every crawl-derived corpus (C4/CCNet dedup by canonical URL
+    // before reading a byte of content). The fixture plants one messy
+    // URL per doc from an exact rule on j = doc_id % 24 (case-mangled
+    // scheme/host, default and non-default ports, dot-segment paths,
+    // shuffled query params with utm_/gclid junk, fragments — the
+    // MESS varies per doc_id, the canonical form only per j), the
+    // engine canonicalizes with the generic `Urls.canonicalize`
+    // column expression (parse_url + codegen HOFs, zero UDF, zero
+    // shuffle until the dedup groupBy), and docs collapse ~21:1 onto
+    // 24 canonical URLs. The oracle restates the canonical string
+    // arithmetically — a wrong case fold, an unstripped :443, a
+    // surviving utm_ param or fragment, or a bad dot-segment pop all
+    // change a group key and break the hash.
+    "q224_url_canonicalize" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("url", graft.operators.Urls.canonicalize(
+          plantedUrl(col("doc_id") % 24, col("doc_id"))))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+        .orderBy("url")
+    }),
+
+    // Registrable-domain (eTLD+1) rollup + broadcast blocklist
+    // admission — crawl politeness, blocklists, and per-site caps all
+    // key on the registrable domain, not the hostname. Hosts from the
+    // q224 fixture extract under a public-suffix list that includes
+    // both `uk` and `co.uk` (so the LONGEST-match PSL rule is load-
+    // bearing: shop.site3.co.uk → site3.co.uk, not co.uk); every
+    // *.example.com host collapses to example.com. The blocklist is a
+    // DATA-side table (broadcast LEFT ANTI — the shape a 10k-domain
+    // production blocklist takes; a literal IN-list would not scale),
+    // planted to block co.uk sites with even site number. The oracle
+    // restates hosts, registrable domains, and the block rule
+    // arithmetically.
+    "q225_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val suffixes = Seq("uk", "co.uk", "com", "org")
+      val hosts = Tables.load(s, dir, "documents")
+        .withColumn("host", graft.operators.Urls.hostOf(
+          plantedUrl(col("doc_id") % 24, col("doc_id"))))
+        .withColumn("registrable_domain",
+          graft.operators.Urls.registrableDomain(col("host"), suffixes))
+      val blocklist = Seq("site0.co.uk", "site2.co.uk", "site4.co.uk")
+        .toDF("registrable_domain")
+      hosts.join(broadcast(blocklist), Seq("registrable_domain"),
+          "left_anti")
+        .groupBy("registrable_domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("host").as("n_hosts"))
+        .orderBy("registrable_domain")
+    }),
+
     // Streaming twin of q213 — the codec boundary at the ingestion
     // door: WAV files arrive through the binaryFile FILE STREAM source
     // and decode per-row (stateless, Append mode, zero shuffle). The
@@ -415,7 +468,83 @@ object SourceQueries {
     })
   )
 
+  /** The q224/q225 messy-URL fixture: one URL per doc whose CANONICAL
+    * form depends only on j = doc_id % 24 while the surface mess
+    * (letter case, planted default port, dot-segments, param order,
+    * tracking junk, fragments) varies with the full doc_id — so
+    * canonicalization must actually do its job for docs to collapse
+    * onto their 24 canonical URLs. Kept injective per j (CRT on the
+    * rule moduli), restatable arithmetically by the oracles.
+    */
+  private def plantedUrl(j: org.apache.spark.sql.Column,
+                         id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val scheme = when(j % 3 === 0,
+        when(id % 2 === 0, lit("HTTPS")).otherwise(lit("https")))
+      .otherwise(when(id % 2 === 0, lit("HTTP")).otherwise(lit("hTtp")))
+    val hostCore = concat(lit("SiTe"), (j % 8).cast("string"))
+    val host = when(j % 5 === 0,
+        concat(lit("Shop."), hostCore, lit(".CO.UK")))
+      .otherwise(concat(
+        when(j % 4 === 0, lit("WWW.")).otherwise(lit("")),
+        hostCore, lit(".ExAmPle.COM")))
+    val port = when(j % 3 === 0 && id % 2 === 0, lit(":443"))
+      .when(j % 3 =!= 0 && j % 8 === 1, lit(":8080"))
+      .otherwise(lit(""))
+    val path = when(j % 7 === 0,
+        when(id % 3 === 0, lit("/.")).otherwise(lit("")))
+      .otherwise(when(id % 3 === 0,
+          concat(lit("/a/../p"), (j % 6).cast("string"), lit("/./x/")))
+        .otherwise(concat(lit("/p"), (j % 6).cast("string"), lit("/x"))))
+    val query = when(j % 11 === 0, lit(""))
+      .otherwise(when(id % 2 === 0,
+          concat(lit("?utm_source=n"), (id % 7).cast("string"),
+            lit("&b="), (j % 2).cast("string"), lit("&A=1")))
+        .otherwise(concat(lit("?b="), (j % 2).cast("string"),
+          lit("&gclid=g"), (id % 3).cast("string"), lit("&A=1"))))
+    val frag = when(id % 2 === 1,
+      concat(lit("#s"), (id % 4).cast("string"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
   val oracles: Map[String, String] = Map(
+    // Canonical form restated arithmetically from the j = doc_id % 24
+    // rule (the planted mess is exactly what canonicalization removes).
+    "q224_url_canonicalize" ->
+      """WITH d AS (SELECT doc_id, doc_id % 24 AS j FROM documents),
+        | c AS (SELECT doc_id,
+        |  'http' || CASE WHEN j%3=0 THEN 's' ELSE '' END || '://' ||
+        |  CASE WHEN j%5=0
+        |    THEN 'shop.site' || CAST(j%8 AS VARCHAR) || '.co.uk'
+        |    ELSE CASE WHEN j%4=0 THEN 'www.' ELSE '' END
+        |      || 'site' || CAST(j%8 AS VARCHAR) || '.example.com' END ||
+        |  CASE WHEN j%3<>0 AND j%8=1 THEN ':8080' ELSE '' END ||
+        |  CASE WHEN j%7=0 THEN '/'
+        |    ELSE '/p' || CAST(j%6 AS VARCHAR) || '/x' END ||
+        |  CASE WHEN j%11=0 THEN ''
+        |    ELSE '?A=1&b=' || CAST(j%2 AS VARCHAR) END AS url
+        | FROM d)
+        |SELECT url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS keeper
+        |FROM c GROUP BY url ORDER BY url""".stripMargin,
+    // Hosts, registrable domains, and the blocklist rule (co.uk sites
+    // with even site number) restated from the same fixture.
+    "q225_domain_blocklist" ->
+      """WITH d AS (SELECT doc_id, doc_id % 24 AS j FROM documents),
+        | r AS (SELECT doc_id, j,
+        |  CASE WHEN j%5=0
+        |    THEN 'shop.site' || CAST(j%8 AS VARCHAR) || '.co.uk'
+        |    ELSE CASE WHEN j%4=0 THEN 'www.' ELSE '' END
+        |      || 'site' || CAST(j%8 AS VARCHAR) || '.example.com' END
+        |    AS host,
+        |  CASE WHEN j%5=0
+        |    THEN 'site' || CAST(j%8 AS VARCHAR) || '.co.uk'
+        |    ELSE 'example.com' END AS registrable_domain
+        | FROM d)
+        |SELECT registrable_domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM r WHERE NOT (j%5=0 AND (j%8)%2=0)
+        |GROUP BY registrable_domain ORDER BY registrable_domain""".stripMargin,
     // Planted-recall referee gate: empty.
     "q208_crossmodal_pairing" ->
       """SELECT CAST(NULL AS BIGINT) AS src_id, CAST(NULL AS BIGINT) AS tgt_id

@@ -648,6 +648,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q224 url canonicalization is a map-side projection: one scan, one " +
+      "dedup exchange + presentation sort, no UDF") {
+    val p = planOf("q224_url_canonicalize")
+    assert(p.split("Scan parquet", -1).length - 1 === 1,
+      "q224 must scan documents once:\n" + p.take(2000))
+    assert(p.split("Exchange", -1).length - 1 <= 2,
+      "q224 must shuffle only for the dedup groupBy + presentation sort:\n" +
+        p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "canonicalization must stay in codegen'd built-ins:\n" + p.take(2000))
+  }
+
+  test("q225 blocklist applies as a broadcast anti-join") {
+    val p = planOf("q225_domain_blocklist")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "the blocklist must broadcast and anti-join:\n" + p.take(3000))
+    assert(p.split("Scan parquet", -1).length - 1 === 1,
+      "q225 must scan documents once:\n" + p.take(2000))
+  }
+
   test("q186 tombstoned postings search: bucket-pruned lookups + broadcast " +
       "anti-join, no index rewrite") {
     val p = planOf("q186_postings_delete")
