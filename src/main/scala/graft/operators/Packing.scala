@@ -111,6 +111,58 @@ object Packing {
     cum.filter(col("cum_tokens") <= budget)
   }
 
+  /** Concat-and-chunk context-window assignment — the standard
+    * pretraining tokenization layout (GPT-2/3, Llama: every document
+    * concatenated into ONE token stream in a fixed order, the stream
+    * cut into `windowTokens`-sized training windows, no padding). The
+    * output is the BOUNDARY MAP that layout needs downstream: each
+    * document's absolute token offset and the window range it lands in
+    * — what document-boundary attention masking, window→doc provenance,
+    * and loss-masking at boundaries all consume.
+    *
+    * Per doc (ascending `orderCol`, the training order): `start_tok`
+    * (0-based absolute offset of its first token), `first_window` /
+    * `last_window` (0-based window ids of its first/last token), and
+    * `n_windows` (windows it touches — >1 means the doc straddles a
+    * boundary and is split across training sequences). All exact
+    * integer arithmetic.
+    *
+    * Scale shape: the global running offset is the SAME two-phase
+    * binned prefix sum as `tokenBudgetCap` (one map-side (bin → sum)
+    * census, exclusive bin prefix over the tiny census only, per-row
+    * cumsum local to a bin) under a single constant group — a naive
+    * `sum().over(orderBy(id))` would funnel 100 TB through ONE task;
+    * here parallelism is the bin count and no task sorts more than a
+    * bin. The census/maxBins/maxBinRows guards are inherited.
+    *
+    * Rows with `tokenCol` ≤ 0 occupy no stream positions: they emit
+    * with NULL window ids and `n_windows` 0 rather than silently
+    * claiming a window (an empty doc has no tokens to train on).
+    */
+  def contextWindows(docs: DataFrame, orderCol: String, tokenCol: String,
+                     windowTokens: Long,
+                     binSize: Long = 1L << 20,
+                     maxBinRows: Long = 1L << 22,
+                     maxBins: Int = 1 << 20): DataFrame = {
+    require(windowTokens >= 1,
+      s"contextWindows: windowTokens must be >= 1, got $windowTokens")
+    val all = "__cw_all"
+    val (cum, _) = binnedRunningTotals(docs.withColumn(all, lit(0)),
+      all, orderCol, tokenCol, binSize, maxBinRows, maxBins)
+    val n = col(tokenCol).cast("long")
+    cum.drop(all)
+      .withColumn("start_tok", col("cum_tokens") - n)
+      .withColumn("first_window",
+        when(n <= 0, lit(null).cast("long"))
+          .otherwise(expr(s"start_tok div $windowTokens")))
+      .withColumn("last_window",
+        when(n <= 0, lit(null).cast("long"))
+          .otherwise(expr(s"(cum_tokens - 1L) div $windowTokens")))
+      .withColumn("n_windows",
+        when(n <= 0, lit(0L))
+          .otherwise(col("last_window") - col("first_window") + 1))
+  }
+
   /** Temperature-scaled source mixing (the standard multilingual /
     * multi-source sampling design: Devlin et al.'s mBERT exponent,
     * Conneau & Lample's XLM sampling, T5's mixture rates): each group's

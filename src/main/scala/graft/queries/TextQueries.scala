@@ -627,6 +627,25 @@ object TextQueries {
     // against DuckDB's independent nfc_normalize — two NFC
     // implementations agreeing byte-for-byte, plus the changed flag
     // and the char-count contraction the composition causes.
+    // Concat-and-chunk context-window boundary map — the pretraining
+    // layout step itself (GPT/Llama: concat every doc in training
+    // order, cut into fixed 512-token windows) emitted as each doc's
+    // absolute offset + window range. The global running offset is the
+    // two-phase binned prefix sum (census of 64-wide doc_id bins +
+    // bin-local cumsum — NO single-reducer orderBy window), and every
+    // column is exact integer arithmetic the oracle restates with a
+    // plain SQL cumulative window at gate scale.
+    "q226_context_windows" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+        .select("doc_id", "n_tokens")
+      graft.operators.Packing.contextWindows(d, "doc_id", "n_tokens",
+          windowTokens = 512, binSize = 64)
+        .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+          col("first_window"), col("last_window"), col("n_windows"))
+        .orderBy("doc_id")
+    }),
+
     "q212_nfc_normalize" -> ((s, dir) => {
       val planted = docs(s, dir).filter(col("text").isNotNull)
         .withColumn("text",
@@ -2530,6 +2549,25 @@ object TextQueries {
         |  CAST(NULL AS BIGINT) AS n_subwords, CAST(NULL AS DOUBLE) AS fertility,
         |  CAST(NULL AS VARCHAR) AS side
         |WHERE FALSE""".stripMargin,
+    // The boundary map restated with a plain cumulative window — what
+    // the binned prefix sum must be indistinguishable from. All
+    // integers; n_tokens >= 1 always (whitespace split of non-null
+    // text), so the NULL-window branch never fires here.
+    "q226_context_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_tok,
+        |  start_tok // 512 AS first_window,
+        |  (start_tok + n_tokens - 1) // 512 AS last_window,
+        |  (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
+        |    AS n_windows
+        |FROM c ORDER BY doc_id""".stripMargin,
     // Two independent NFC implementations (JDK Normalizer vs DuckDB)
     // must agree byte-for-byte on the planted decomposed text.
     "q212_nfc_normalize" ->

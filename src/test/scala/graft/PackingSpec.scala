@@ -27,6 +27,35 @@ class PackingSpec extends SparkSpec {
       ("h", 6L, 3L, 1L))) // group boundary resets the counter
   }
 
+  test("contextWindows: hand-checked offsets, boundary straddle, exact fit, " +
+      "zero-token rows, bin-size invariance") {
+    val d = Seq((1L, 3L), (2L, 5L), (3L, 0L), (4L, 8L), (5L, 4L))
+      .toDF("id", "n")
+    // stream: [0,3) [3,8) — [8,16) [16,20); windows of 8
+    val out = Packing.contextWindows(d, "id", "n", windowTokens = 8,
+        binSize = 2)
+      .select("id", "start_tok", "first_window", "last_window", "n_windows")
+      .orderBy("id")
+      .as[(Long, Long, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, Some(0L), Some(0L), 1L),   // [0,3) in window 0
+      (2L, 3L, Some(0L), Some(0L), 1L),   // [3,8) ends AT the boundary
+      (3L, 8L, None, None, 0L),           // zero tokens: no window
+      (4L, 8L, Some(1L), Some(1L), 1L),   // [8,16) fills window 1 exactly
+      (5L, 16L, Some(2L), Some(2L), 1L))) // [16,20) partial last window
+    // a doc straddling a boundary spans both windows
+    val straddle = Packing.contextWindows(
+        Seq((1L, 6L), (2L, 6L)).toDF("id", "n"), "id", "n",
+        windowTokens = 8, binSize = 1)
+      .select("id", "n_windows").orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(straddle === Seq((1L, 1L), (2L, 2L))) // [6,12) crosses 8
+    // bin size must not change the answer (pure parallelism knob)
+    val a = Packing.contextWindows(d, "id", "n", 8, binSize = 1)
+    val b = Packing.contextWindows(d, "id", "n", 8, binSize = 1000)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("packing invariants on real documents: budget respected, seq_nos contiguous") {
     val budget = 256L
     val d = Tables.load(spark, sfDir, "documents")

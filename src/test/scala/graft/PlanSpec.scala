@@ -233,6 +233,16 @@ class PlanSpec extends SparkSpec {
       "bin offsets must broadcast back:\n" + p.take(3000))
   }
 
+  test("q226 context windows: the global prefix sum is bin-partitioned, " +
+      "never one task for the whole stream") {
+    val p = planOf("q226_context_windows")
+    val windows = p.split("windowspecdefinition").toSeq.drop(1)
+    assert(windows.nonEmpty && windows.forall(_.contains("__bin")),
+      "every detail cumsum must be __bin-partitioned:\n" + p.take(3000))
+    assert(p.contains("BroadcastExchange"),
+      "bin offsets must broadcast back:\n" + p.take(3000))
+  }
+
   test("q72 tf is computed once (checkpoint reuse) and the rank limit is pushed") {
     val p = planOf("q72_tfidf_topterms")
     // both consumers of tf read the materialized checkpoint, not a
