@@ -36,7 +36,19 @@ def main(sf_dir, out_dir):
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
-            exp = con.execute(sql).df()
+            rel = con.sql(sql)
+            # The driver's hash is TYPE-aware: a DuckDB HUGEINT (int128,
+            # e.g. from a bare SUM over integers) hash-mismatches a Spark
+            # BIGINT even when values agree, and the pandas value-compare
+            # below masks it. Fail loudly here instead (q164/q226 class).
+            bad = [c for c, t in zip(rel.columns, rel.types)
+                   if "HUGEINT" in str(t).upper()]
+            if bad:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) {bad} — "
+                      f"wrap in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
+            exp = rel.df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1

@@ -624,6 +624,13 @@ object Multimodal {
         batch.map { row =>
           val (srcRate, s) = decodeWav(row.doc_id, row.payload)
           val rate = srcRate.toInt
+          // "rate divides" is a CONTRACT, not a hint: truncating
+          // rate/factor would re-encode with a wrong sample-rate header
+          // (8 kHz at factor 3 → 2666 Hz) instead of failing loudly
+          // like the rest of the codec boundary.
+          require(rate % factor == 0,
+            s"resampleAudio: factor $factor does not divide sample rate " +
+              s"$rate (doc ${row.doc_id})")
           val out = Array.tabulate((s.length + factor - 1) / factor)(
             t => s(t * factor))
           val dataLen = out.length * 2

@@ -2257,8 +2257,10 @@ object TextQueries {
         |  FROM documents)
         |SELECT CAST(shard8 AS BIGINT) AS shard8,
         |  COUNT(*) AS n_docs,
-        |  SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS n_moved,
-        |  SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS n_moved_mod,
+        |  CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved,
+        |  CAST(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved_mod,
         |  CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
         |    * 1000000 // COUNT(*) AS BIGINT) AS move_frac_ppm,
         |  CAST(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END)
@@ -2558,15 +2560,15 @@ object TextQueries {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents WHERE text IS NOT NULL),
         | c AS (SELECT doc_id, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS start_tok
+        |      AS BIGINT) AS start_tok
         |  FROM t)
         |SELECT doc_id, n_tokens, start_tok,
-        |  start_tok // 512 AS first_window,
-        |  (start_tok + n_tokens - 1) // 512 AS last_window,
-        |  (start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
-        |    AS n_windows
+        |  CAST(start_tok // 512 AS BIGINT) AS first_window,
+        |  CAST((start_tok + n_tokens - 1) // 512 AS BIGINT) AS last_window,
+        |  CAST((start_tok + n_tokens - 1) // 512 - start_tok // 512 + 1
+        |    AS BIGINT) AS n_windows
         |FROM c ORDER BY doc_id""".stripMargin,
     // Two independent NFC implementations (JDK Normalizer vs DuckDB)
     // must agree byte-for-byte on the planted decomposed text.

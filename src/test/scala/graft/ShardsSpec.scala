@@ -52,6 +52,41 @@ class ShardsSpec extends SparkSpec {
     }
   }
 
+  test("untar round-trips a full 100-byte entry name (no NUL terminator)") {
+    // A 100-byte name legally fills the whole ustar name field with no
+    // NUL; a parser that scans past byte 99 for the terminator would
+    // silently absorb the mode field ("name0000644") into the name.
+    val name100 = "d" * 96 + ".txt"
+    assert(name100.length === 100)
+    val short = "e.txt"
+    val bos = new java.io.ByteArrayOutputStream()
+    Shards.writeEntry(bos, name100, "payload A".getBytes("UTF-8"))
+    Shards.writeEntry(bos, short, "payload B".getBytes("UTF-8"))
+    bos.write(new Array[Byte](2 * 512)) // tar terminator
+    val entries = Shards.untar(bos.toByteArray)
+    assert(entries.map(_._1) === Seq(name100, short))
+    assert(entries.map(e => new String(e._2, "UTF-8")) ===
+      Seq("payload A", "payload B"))
+  }
+
+  test("two attempts of the same partition get distinct tmp shard paths") {
+    // Speculative execution / zombie-attempt-plus-retry run the same
+    // partition twice in one executor JVM. Same (outDir, shard) but a
+    // different attempt id must never share a tmp file, or interleaved
+    // writes publish corrupt bytes under a valid shard name.
+    val a = Shards.tmpShardPath("/data/out", shard = 3L, attempt = 41L)
+    val b = Shards.tmpShardPath("/data/out", shard = 3L, attempt = 42L)
+    assert(a !== b)
+    // same attempt is stable (the task reopens nothing mid-partition)
+    assert(a === Shards.tmpShardPath("/data/out", 3L, 41L))
+    // both resolve to the final name via the writer's rename rule
+    assert(a.resolveSibling("shard-00003.tar") ===
+      b.resolveSibling("shard-00003.tar"))
+    // hidden from the *.tar reader glob while in flight
+    assert(a.getFileName.toString.startsWith(".") &&
+      !a.getFileName.toString.endsWith(".tar"))
+  }
+
   test("generation layout: batches union as one corpus; replay is idempotent") {
     // The q223 streaming export writes one generation dir per micro-batch
     // (`batch=<id>/`). Pin the two laws the sink relies on: (a) the

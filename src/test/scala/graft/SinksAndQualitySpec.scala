@@ -360,6 +360,21 @@ class SinksAndQualitySpec extends SparkSpec {
     assert(f.energy === expected.map(v => v.toLong * v).sum)
   }
 
+  test("resampleAudio fails loudly when the factor does not divide the " +
+      "sample rate") {
+    // 8 kHz at factor 3 would truncate to a wrong 2666 Hz header; the
+    // codec-boundary contract is loud failure, not silent mis-encode.
+    val media = Seq(Multimodal.MediaRow(17L,
+      Multimodal.plantedWavBytes(17L), "audio/wav")).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resampleAudio(media, factor = 3).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("does not divide sample rate")))
+  }
+
   test("q218 audio banded near-dup: all planted dups found, and a " +
       "diverged copy fires the gate") {
     import graft.operators.Similarity
