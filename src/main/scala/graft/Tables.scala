@@ -17,6 +17,31 @@ object Tables {
     if (name == "events") normalizeEventsTs(df) else df
   }
 
+  /** Streaming read of table `name`, layout-aware: the driver's testdata
+    * stores each table as a SINGLE parquet file (`<sfDir>/<name>.parquet`),
+    * but any real lake table — and the GenScale sf1 stress corpus — is a
+    * DIRECTORY of part files under that path. The file-stream source
+    * needs a directory to list, so: single-file layout → list `sfDir`
+    * glob-filtered to the one table file (never sibling tables);
+    * directory layout → list the table directory itself (part files;
+    * `_SUCCESS`/dot-files are excluded by the source's default filter).
+    * Matching on only one layout silently streams 0 rows on the other —
+    * and 0 rows is exactly what a drain≡batch gate CANNOT distinguish
+    * from "nothing to do" without its non-vacuity pin.
+    */
+  private[graft] def readTableStream(spark: SparkSession, sfDir: String,
+                                     name: String): DataFrame = {
+    GraftSession.tune(spark)
+    val path = s"$sfDir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
+    val df =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+        reader.parquet(path)
+      else reader.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
   /** Adapt `events.ts` to session-zoned TimestampType (µs) regardless of
     * how the generator encoded it: TIMESTAMP(NANOS) parquet arrives as
     * long nanos (see GraftSession.tune) and converts losslessly with

@@ -13,16 +13,12 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object DocumentStreams {
 
-  /** Streaming read of the documents table (file source; glob-filtered
-    * to the single table file, same move as `readEventsStream`).
+  /** Streaming read of the documents table (file source; layout-aware —
+    * single-file testdata or a directory of part files, see
+    * `Tables.readTableStream`).
     */
-  def readDocumentsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSession.tune(spark)
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
-  }
+  def readDocumentsStream(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.readTableStream(spark, sfDir, "documents")
 
   /** Streaming LSH NEAR-dup dedup against a static history — the
     * streaming twin of `Dedup.lshNewAgainstHistory`, completing the

@@ -20,17 +20,12 @@ object EventStreams {
     * `Tables.normalizeEventsTs` — adapts whichever encoding the
     * generator used to session-zoned µs TimestampType).
     */
-  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftSession.tune(spark)
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // file-stream source requires a directory; glob-filter to the table
-    Tables.normalizeEventsTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
-  }
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    // layout-aware (single-file testdata or a part-file directory) with
+    // the ts normalization applied inside Tables.readTableStream
+    graft.Tables.readTableStream(spark, sfDir, "events")
 
-  private[streaming] def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
+  private[graft] def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     // Stateful streaming ops allocate one state store per shuffle
     // partition at query start; for this drain-a-bounded-input pattern 8

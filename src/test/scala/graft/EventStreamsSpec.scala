@@ -16,6 +16,32 @@ class EventStreamsSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  test("stream readers handle both table layouts: single file and " +
+      "part-file directory") {
+    // The driver's testdata stores each table as ONE parquet file; any
+    // real lake table (and the GenScale sf1 corpus) is a DIRECTORY of
+    // part files under the same `<name>.parquet` path. A reader matching
+    // only one layout silently streams 0 rows on the other — caught live
+    // at sf1, where every documents-stream query drained empty.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_layout").toString
+    docs.repartition(4).write.parquet(s"$dir/documents.parquet")
+    val nParts = java.nio.file.Files
+      .list(java.nio.file.Paths.get(dir, "documents.parquet"))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    assert(nParts === 4, "fixture must be a genuine multi-part directory")
+    val drained = EventStreams.runToMemory(
+      graft.streaming.DocumentStreams.readDocumentsStream(spark, dir),
+      OutputMode.Append())
+    assert(drained.count() === docs.count())
+    // the single-file layout (the driver's) keeps working via the glob
+    val single = EventStreams.runToMemory(
+      graft.streaming.DocumentStreams.readDocumentsStream(spark, sfDir),
+      OutputMode.Append())
+    assert(single.count() === docs.count())
+  }
+
   test("streaming LSH dedup drains to the batch twin's kept set") {
     import graft.streaming.DocumentStreams
     import graft.operators.Dedup
