@@ -508,6 +508,23 @@ class PlanSpec extends SparkSpec {
       "candidate stage still carries vectors:\n" + dedupLines.mkString("\n"))
   }
 
+  test("q208 referee pool stays capped on both sides of the margin mine") {
+    // The margin-mine referee is O(n²) by contract and was trimmed to a
+    // 2000-pair slice once already; this pin keeps fixture growth from
+    // quietly re-inflating it. Both the caption scan and the decoded
+    // image-signature side must carry the doc_id < 2000 cap.
+    val p = planOf("q208_crossmodal_pairing")
+    assert(p.contains("LessThan(doc_id,2000)") || p.contains("doc_id#"),
+      "plan rendered unexpectedly:\n" + p.take(2000))
+    val caps = p.linesIterator.count(_.contains("< 2000"))
+    assert(caps >= 2,
+      s"expected the < 2000 referee cap on both pool sides, found $caps:\n" +
+        p.take(3000))
+    // caption side: the cap reaches the parquet scan as a pushed filter
+    assert(p.contains("LessThan(doc_id,2000)"),
+      "caption cap not pushed to the documents scan:\n" + p.take(3000))
+  }
+
   test("q132 chunking is a Generate over the pruned scan; only the presentation sort exchanges") {
     val p = planOf("q132_cdc_chunks")
     assert(p.contains("Generate"), p.take(2000))
