@@ -393,6 +393,33 @@ object SourceQueries {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // Shot-boundary detection — the classic mean-color-difference cut
+    // detector over REAL per-frame decodes: a cut opens a new shot
+    // where consecutive frames' summed per-channel mean difference
+    // exceeds 40% of the 3·255 maximum. All arithmetic is exact-integer
+    // (cross-multiplied means, floor-divided ppm scores), so the oracle
+    // restates every cut decision AND every shot's opening score from
+    // the planted pixel rule — a segmentation gate over a codec path
+    // with no codec in DuckDB. One map-side pass, zero shuffle until
+    // the presentation sort: a video's frames live together in its
+    // payload (the segmentBySilence scale argument).
+    "q227_shot_boundaries" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val path = Tables.documentsVidFilesLayout(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gftv")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.gftv$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"),
+          lit("video/x-gftv").as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal.detectShots(media, thrPermille = 80)
+        .toDF()
+        .orderBy("doc_id", "shot_no")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -553,6 +580,53 @@ object SourceQueries {
     "q218_audio_banded_neardup" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
         |WHERE FALSE""".stripMargin,
+    // Every cut decision and opening score restated from the planted
+    // frame rule: per-frame channel sums from the q204 pixel rule at
+    // image id d·131 + k·17, cross-multiplied mean differences, the
+    // 400‰ threshold, and a running-sum islands grouping. Within a
+    // shot only its opening row carries cut=1, so MAX(score) is the
+    // opening cut's score.
+    "q227_shot_boundaries" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        | fx AS (SELECT doc_id, unnest(range(0, nf)) AS k FROM d),
+        | dm AS (SELECT doc_id, k, doc_id*131 + k*17 AS fid FROM fx),
+        | d2 AS (SELECT doc_id, k, fid, 8 + fid % 9 AS w, 8 + fid % 7 AS h
+        |  FROM dm),
+        | xs AS (SELECT doc_id, k, fid, w, h, unnest(range(0, w)) AS x
+        |  FROM d2),
+        | px AS (SELECT doc_id, k, fid, w, h, x, unnest(range(0, h)) AS y
+        |  FROM xs),
+        | f AS (SELECT doc_id, k, MAX(w*h) AS a,
+        |    SUM((fid*31 + x*7 + y*13) % 256) AS r,
+        |    SUM((fid*17 + x*11 + y*5) % 256) AS g,
+        |    SUM((fid*23 + x*3 + y*19) % 256) AS b
+        |  FROM px GROUP BY doc_id, k),
+        | dl AS (SELECT doc_id, k, a, r, g, b,
+        |    LAG(a) OVER w AS pa, LAG(r) OVER w AS pr,
+        |    LAG(g) OVER w AS pg, LAG(b) OVER w AS pb
+        |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY k)),
+        | ct AS (SELECT doc_id, k,
+        |    CASE WHEN pa IS NOT NULL AND
+        |        1000*(abs(r*pa - pr*a) + abs(g*pa - pg*a) + abs(b*pa - pb*a))
+        |          > 80*765*a*pa
+        |      THEN 1 ELSE 0 END AS cut,
+        |    CASE WHEN pa IS NOT NULL AND
+        |        1000*(abs(r*pa - pr*a) + abs(g*pa - pg*a) + abs(b*pa - pb*a))
+        |          > 80*765*a*pa
+        |      THEN 1000000*(abs(r*pa - pr*a) + abs(g*pa - pg*a)
+        |        + abs(b*pa - pb*a)) // (765*a*pa)
+        |      ELSE 0 END AS score
+        |  FROM dl),
+        | gr AS (SELECT doc_id, k, cut, score,
+        |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY k) AS shot_idx
+        |  FROM ct)
+        |SELECT doc_id, CAST(shot_idx + 1 AS BIGINT) AS shot_no,
+        |  CAST(MIN(k) AS BIGINT) AS start_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(MAX(score) AS BIGINT) AS cut_score_ppm
+        |FROM gr GROUP BY doc_id, shot_idx
+        |ORDER BY doc_id, shot_no""".stripMargin,
     // The sampled frames' planted-pixel rule restated: frame k of doc
     // d (k even) is the q204 pixel rule at image id d·131 + k·17.
     "q222_video_frame_sample" ->

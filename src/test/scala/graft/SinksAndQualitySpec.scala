@@ -312,6 +312,56 @@ class SinksAndQualitySpec extends SparkSpec {
     }
   }
 
+  test("detectShots: identical frames merge, a hard cut splits, scores " +
+      "are exact") {
+    // Handcrafted container: two identical mid-gray frames (distance 0
+    // — must merge into one shot) followed by a white frame (mean jump
+    // 255·3 of 765 = 100% — must cut at any threshold < 1000‰).
+    def solidPng(v: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def container(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(8 + frames.map(_.length + 4).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GFTV".getBytes("US-ASCII")).putInt(frames.length)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+    val gray = solidPng(128, 6, 4)
+    val white = solidPng(255, 6, 4)
+    val media = Seq(Multimodal.MediaRow(7L,
+      container(Seq(gray, gray, white)), "video/x-gftv")).toDS()
+    val shots = Multimodal.detectShots(media, thrPermille = 400)
+      .collect().sortBy(_.shot_no)
+    assert(shots.map(s => (s.shot_no, s.start_frame, s.n_frames)).toSeq ===
+      Seq((1L, 0L, 2L), (2L, 2L, 1L)))
+    // shot 1 opens the video: score 0; shot 2's opening cut is the
+    // gray→white jump: |255-128|·3/765 exactly = 127/255 → 498039 ppm
+    // (cross-multiplied: 10⁶·(127·24·24·3)/(765·24·24))
+    assert(shots.map(_.cut_score_ppm).toSeq === Seq(0L, 498039L))
+    // one-frame video: a single shot, score 0
+    val single = Seq(Multimodal.MediaRow(8L,
+      container(Seq(gray)), "video/x-gftv")).toDS()
+    assert(Multimodal.detectShots(single, thrPermille = 0).collect()
+      .map(s => (s.shot_no, s.start_frame, s.n_frames, s.cut_score_ppm))
+      .toSeq === Seq((1L, 0L, 1L, 0L)))
+    // fixture non-vacuity at the q227 threshold: both merged multi-frame
+    // shots and single-frame shots occur on the planted corpus
+    val planted = (0L until 40L).map(i => Multimodal.MediaRow(i,
+      Multimodal.plantedVideoBytes(i), "video/x-gftv")).toDS()
+    val ps = Multimodal.detectShots(planted, thrPermille = 80).collect()
+    assert(ps.exists(_.n_frames > 1L) && ps.exists(_.n_frames === 1L))
+    assert(ps.groupBy(_.doc_id).forall { case (d, ss) =>
+      ss.map(_.n_frames).sum === 2 + d % 4 })
+  }
+
   test("segmentBySilence: segments partition the non-silent frames and " +
       "tile exactly with trimSilence") {
     val ids = Seq(1L, 2L, 5L, 64L, 101L)
