@@ -106,6 +106,164 @@ object Multimodal {
     img
   }
 
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Strict PNG chunk walk: (type, whole chunk incl length/type/CRC)
+    * in file order. Validates the signature, every chunk's CRC32, that
+    * IEND terminates the stream, and that nothing trails it — a
+    * corrupted image fails loudly here, never propagates half-parsed
+    * (the untar contract, applied to the image container).
+    */
+  private[graft] def pngChunks(id: Long,
+                               bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    require(bytes.length >= 8 &&
+      (0 until 8).forall(i => bytes(i) == PngSignature(i)),
+      s"pngChunks: bad PNG signature for doc $id")
+    def be32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var off = 8
+    var sawEnd = false
+    while (!sawEnd) {
+      require(off + 12 <= bytes.length,
+        s"pngChunks: truncated PNG at offset $off (doc $id)")
+      val len = be32(off)
+      require(off + 12 + len <= bytes.length,
+        s"pngChunks: chunk overruns PNG at offset $off (doc $id)")
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, off + 4, 4 + len.toInt)
+      require(crc.getValue == be32(off + 8 + len.toInt),
+        s"pngChunks: CRC mismatch in $typ chunk (doc $id)")
+      out += typ -> java.util.Arrays.copyOfRange(bytes, off,
+        off + 12 + len.toInt)
+      if (typ == "IEND") sawEnd = true
+      off += 12 + len.toInt
+    }
+    require(off == bytes.length,
+      s"pngChunks: trailing bytes after IEND (doc $id)")
+    out.result()
+  }
+
+  /** One serialized PNG chunk (length + type + data + CRC32). */
+  private[graft] def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    require(t.length == 4, s"pngChunk: bad type $typ")
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length) // big-endian
+    bb.putInt(data.length).put(t).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** The chunk types `scrubPngMetadata` strips by default: the
+    * pure-annotation set (text comments, timestamps, raw EXIF — where
+    * camera serials, GPS fixes, and author names live). Deliberately
+    * NOT "all ancillary chunks": tRNS/gAMA/etc. change how pixels
+    * decode, and the scrub contract is pixel-losslessness.
+    */
+  val PngMetaChunkTypes: Set[String] = Set("tEXt", "zTXt", "iTXt", "tIME",
+    "eXIf")
+
+  /** Metadata scrubbing for PNG payloads — the image-side sibling of
+    * the q104 text PII scrub: drop the annotation chunks, keep every
+    * other chunk BYTE-IDENTICAL (no re-encode, no pixel risk), re-emit
+    * signature + survivors. One map-side pass; payloads never shuffle.
+    */
+  def scrubPngMetadata(media: Dataset[MediaRow],
+                       strip: Set[String] = PngMetaChunkTypes,
+                       batchSize: Int = 64): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map(row =>
+          row.copy(payload = scrubPngBytes(row.doc_id, row.payload, strip)))
+      }
+    }
+  }
+
+  private def scrubPngBytes(id: Long, bytes: Array[Byte],
+                            strip: Set[String]): Array[Byte] = {
+    val kept = pngChunks(id, bytes)
+      .filterNot { case (typ, _) => strip.contains(typ) }
+    val bos = new java.io.ByteArrayOutputStream(bytes.length)
+    bos.write(PngSignature, 0, 8)
+    kept.foreach { case (_, raw) => bos.write(raw, 0, raw.length) }
+    bos.toByteArray
+  }
+
+  /** Fixture side of the q228 gate: plant `1 + id % 3` tEXt comment
+    * chunks after IHDR (keyword "Comment", 8-digit zero-padded value ⇒
+    * exactly 28 bytes per chunk), CRC-correct so both the strict walk
+    * and any standard decoder accept them.
+    */
+  def plantPngText(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val injected = (0 until (1 + id % 3).toInt).map { i =>
+      val v = f"${(id * 7919 + i) % 100000000}%08d"
+      pngChunk("tEXt", ("Comment".getBytes("US-ASCII") :+ 0.toByte) ++
+        v.getBytes("US-ASCII"))
+    }
+    val bos = new java.io.ByteArrayOutputStream(payload.length + 28 * 3)
+    bos.write(PngSignature, 0, 8)
+    pngChunks(id, payload).foreach { case (typ, raw) =>
+      bos.write(raw, 0, raw.length)
+      if (typ == "IHDR") injected.foreach(c => bos.write(c, 0, c.length))
+    }
+    bos.toByteArray
+  }
+
+  case class ScrubbedImage(doc_id: Long, width: Long, height: Long,
+                           r_sum: Long, g_sum: Long, b_sum: Long,
+                           n_meta_before: Long, n_meta_after: Long,
+                           bytes_removed: Long)
+
+  /** The q228 gate harness: plant metadata → scrub → re-decode, all in
+    * one map-side pass per payload. Emits the decoded pixel sums OF THE
+    * SCRUBBED BYTES (pixel-losslessness is the contract — the oracle
+    * restates them from the planted rule) plus the metadata accounting
+    * (chunks before/after, bytes removed) the oracle restates
+    * arithmetically from the deterministic plant.
+    */
+  def pngScrubGate(media: Dataset[MediaRow],
+                   batchSize: Int = 64): Dataset[ScrubbedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val dirty = plantPngText(row.doc_id, row.payload)
+          val before = pngChunks(row.doc_id, dirty)
+            .count { case (t, _) => PngMetaChunkTypes.contains(t) }
+          val clean = scrubPngBytes(row.doc_id, dirty, PngMetaChunkTypes)
+          val after = pngChunks(row.doc_id, clean)
+            .count { case (t, _) => PngMetaChunkTypes.contains(t) }
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(clean))
+          require(img != null,
+            s"pngScrubGate: scrubbed payload undecodable for doc ${row.doc_id}")
+          val w = img.getWidth; val h = img.getHeight
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ScrubbedImage(row.doc_id, w.toLong, h.toLong, rs, gs, bs,
+            before.toLong, after.toLong, (dirty.length - clean.length).toLong)
+        }
+      }
+    }
+  }
+
   /** REAL image decode + feature extraction through the batched
     * `mapPartitions` codec boundary: `javax.imageio.ImageIO` (in the
     * JDK — no external codec dependency) parses each payload, and the

@@ -420,6 +420,34 @@ object SourceQueries {
         .orderBy("doc_id", "shot_no")
     }),
 
+    // PNG metadata scrubbing — the image-side sibling of the q104 text
+    // PII scrub (EXIF-class privacy payloads live in annotation
+    // chunks: camera serials, GPS fixes, author names). The fixture
+    // plants 1 + doc_id % 3 CRC-correct tEXt chunks (28 bytes each)
+    // into each planted PNG, the engine strips exactly the
+    // pure-annotation chunk set via a strict CRC-validating chunk walk
+    // (pixel-affecting ancillary chunks are NEVER touched — the
+    // contract is pixel-losslessness, proven by re-DECODING the
+    // scrubbed bytes), and the oracle restates the decoded pixel sums
+    // from the planted rule plus the metadata accounting from the
+    // deterministic plant. One map-side pass; payloads never shuffle.
+    "q228_png_meta_scrub" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val path = Tables.documentsPngFilesLayout(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"),
+          lit("image/png").as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal.pngScrubGate(media)
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -627,6 +655,24 @@ object SourceQueries {
         |  CAST(MAX(score) AS BIGINT) AS cut_score_ppm
         |FROM gr GROUP BY doc_id, shot_idx
         |ORDER BY doc_id, shot_no""".stripMargin,
+    // Scrubbed pixels restated from the planted rule (the q204
+    // restatement — pixel-losslessness) plus the metadata accounting
+    // from the deterministic plant: 1 + doc_id % 3 tEXt chunks of
+    // exactly 28 bytes each, all removed.
+    "q228_png_meta_scrub" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        | xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        | px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+        |  CAST(MAX(h) AS BIGINT) AS height,
+        |  CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS r_sum,
+        |  CAST(SUM((doc_id*17 + x*11 + y*5) % 256) AS BIGINT) AS g_sum,
+        |  CAST(SUM((doc_id*23 + x*3 + y*19) % 256) AS BIGINT) AS b_sum,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_meta_before,
+        |  CAST(0 AS BIGINT) AS n_meta_after,
+        |  CAST(28 * (1 + doc_id % 3) AS BIGINT) AS bytes_removed
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The sampled frames' planted-pixel rule restated: frame k of doc
     // d (k even) is the q204 pixel rule at image id d·131 + k·17.
     "q222_video_frame_sample" ->

@@ -312,6 +312,55 @@ class SinksAndQualitySpec extends SparkSpec {
     }
   }
 
+  test("scrubPngMetadata: plant-then-scrub is byte-identity; non-meta " +
+      "ancillary chunks survive; corruption fails loudly") {
+    val id = 13L
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(Multimodal.plantedImage(id), "png", bos)
+    val original = bos.toByteArray
+    val dirty = Multimodal.plantPngText(id, original)
+    assert(dirty.length === original.length + 28 * (1 + id % 3).toInt)
+    // scrubbing removes exactly the planted chunks → original bytes back
+    val scrubbed = Multimodal.scrubPngMetadata(
+      Seq(Multimodal.MediaRow(id, dirty, "image/png")).toDS())
+      .collect().head.payload
+    assert(java.util.Arrays.equals(scrubbed, original))
+    // idempotent: a clean payload passes through byte-identical
+    val again = Multimodal.scrubPngMetadata(
+      Seq(Multimodal.MediaRow(id, scrubbed, "image/png")).toDS())
+      .collect().head.payload
+    assert(java.util.Arrays.equals(again, original))
+    // a pixel-affecting ancillary chunk (gAMA) is NOT metadata and must
+    // survive the scrub even though it is ancillary
+    val gama = Multimodal.pngChunk("gAMA",
+      java.nio.ByteBuffer.allocate(4).putInt(45455).array())
+    val chunks = Multimodal.pngChunks(id, original)
+    val withGama = new java.io.ByteArrayOutputStream()
+    withGama.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    chunks.foreach { case (typ, raw) =>
+      withGama.write(raw)
+      if (typ == "IHDR") withGama.write(gama)
+    }
+    val keptTypes = Multimodal.pngChunks(id,
+      Multimodal.scrubPngMetadata(
+        Seq(Multimodal.MediaRow(id,
+          Multimodal.plantPngText(id, withGama.toByteArray), "image/png"))
+          .toDS()).collect().head.payload).map(_._1)
+    assert(keptTypes.contains("gAMA") && !keptTypes.contains("tEXt"))
+    // flipped byte inside a chunk body -> CRC validation fails loudly
+    val corrupt = dirty.clone()
+    corrupt(40) = (corrupt(40) ^ 0x01).toByte
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.scrubPngMetadata(
+        Seq(Multimodal.MediaRow(id, corrupt, "image/png")).toDS()).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("CRC mismatch")))
+  }
+
   test("detectShots: identical frames merge, a hard cut splits, scores " +
       "are exact") {
     // Handcrafted container: two identical mid-gray frames (distance 0
