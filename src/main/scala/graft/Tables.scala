@@ -309,6 +309,18 @@ object Tables {
         java.nio.file.Paths.get(out, "_SUCCESS"), Array.empty[Byte])
     }
 
+  /** Token-id binary shards of `documents` (`TokenShards` — the
+    * memmap `.bin`/`.idx` pretraining artifact). Built once per sf.
+    */
+  def documentsTokenShardsLayout(spark: SparkSession, sfDir: String,
+                                 nShards: Int = 8): String =
+    derivedLayout(sfDir, "documents", s"documents_tokenshards_$nShards") { out =>
+      operators.TokenShards.writeTokenShards(
+        load(spark, sfDir, "documents"), "doc_id", "text", out, nShards)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "_SUCCESS"), Array.empty[Byte])
+    }
+
   /** One planted frame-container "video" per document, named
     * <doc_id>.gftv (`Multimodal.plantedVideoBytes` — length-prefixed
     * REAL PNG frames behind a container index, the structure every real

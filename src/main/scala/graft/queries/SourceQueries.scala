@@ -448,6 +448,30 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-id binary shard round trip — the memmap artifact LLM
+    // pretraining actually consumes (Megatron-LM `.bin`/`.idx`,
+    // nanoGPT's flat token file): fixed-width md5-derived token ids
+    // concatenated per shard plus a fixed-width per-doc index, written
+    // with the tar exporter's discipline (one keyed exchange, O(1)
+    // task memory, attempt-safe tmps, atomic rename — `.bin` before
+    // `.idx` so a visible index implies its data). The gate reads the
+    // shards back through the STRICT pair-joining parser and hashes
+    // every doc's token count, id sum, and an ORDER-SENSITIVE rolling
+    // id hash against the oracle's restatement from raw text — a
+    // byte-level container gate where the oracle re-derives every
+    // token id arithmetically.
+    "q229_token_shards_roundtrip" -> ((s, dir) => {
+      import graft.operators.TokenShards
+      val path = Tables.documentsTokenShardsLayout(s, dir, nShards = 8)
+      TokenShards.readTokenShards(s, path)
+        .select(col("doc_id"), col("shard"),
+          size(col("ids")).cast("bigint").as("n_tokens"),
+          aggregate(col("ids"), lit(0L), (a, v) => a + v).as("id_sum"),
+          aggregate(col("ids"), lit(0L),
+            (a, v) => (a * 1000003L + v) % 1000000007L).as("id_hash"))
+        .orderBy("doc_id")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -655,6 +679,23 @@ object SourceQueries {
         |  CAST(MAX(score) AS BIGINT) AS cut_score_ppm
         |FROM gr GROUP BY doc_id, shot_idx
         |ORDER BY doc_id, shot_no""".stripMargin,
+    // Every token id re-derived from raw text (single-space split,
+    // empties kept; id = first 32 md5 bits — the q219 hex discipline),
+    // the shard from the multiplicative hash, and the rolling hash
+    // order-sensitive: a swapped, dropped, or mis-sliced token anywhere
+    // in a shard's .bin breaks id_hash.
+    "q229_token_shards_roundtrip" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(string_split(text, ' '),
+        |      tk -> CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)) AS ids
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST((doc_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard,
+        |  CAST(len(ids) AS BIGINT) AS n_tokens,
+        |  CAST(list_aggregate(ids, 'sum') AS BIGINT) AS id_sum,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+        |    (a, v) -> (a * 1000003 + v) % 1000000007) AS BIGINT) AS id_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
     // Scrubbed pixels restated from the planted rule (the q204
     // restatement — pixel-losslessness) plus the metadata accounting
     // from the deterministic plant: 1 + doc_id % 3 tEXt chunks of

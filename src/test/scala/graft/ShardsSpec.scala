@@ -109,6 +109,48 @@ class ShardsSpec extends SparkSpec {
       i -> s"g${if (i <= 20) 0 else 1} doc $i").toMap)
   }
 
+  test("token shards: ids round-trip in document order; empties kept; " +
+      "half-published and truncated shards fail loudly") {
+    import graft.operators.TokenShards
+    val out = tmpDir()
+    // trailing/double spaces exercise the empties-kept split contract
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "one  two "),
+      (3L, ""), (4L, "solo")).toDF("doc_id", "text")
+    TokenShards.writeTokenShards(docs, "doc_id", "text", out, nShards = 2)
+    val back = TokenShards.readTokenShards(spark, out)
+      .select($"doc_id", $"ids").as[(Long, Array[Long])].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ids(s: String): Seq[Long] =
+      s.split(" ", -1).toSeq.map(TokenShards.tokenId(md, _))
+    assert(back(1L).toSeq === ids("alpha beta gamma"))
+    assert(back(2L).toSeq === ids("one  two ") && back(2L).length === 4)
+    assert(back(3L).toSeq === ids("") && back(3L).length === 1)
+    assert(back(4L).toSeq === ids("solo"))
+    // ids match the oracle's hex discipline: first 32 md5 bits
+    assert(TokenShards.tokenId(md, "hello") ===
+      java.lang.Long.parseLong("5d41402a", 16))
+    // orphan .idx (its .bin removed) -> loud failure, not missing docs
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .toArray.map(_.toString).sorted
+    val aBin = files.find(_.endsWith(".bin")).get
+    java.nio.file.Files.delete(java.nio.file.Paths.get(aBin))
+    intercept[org.apache.spark.SparkException] {
+      TokenShards.readTokenShards(spark, out).collect()
+    }
+    // truncated .bin -> the overrun check fails loudly
+    val out2 = tmpDir()
+    TokenShards.writeTokenShards(docs, "doc_id", "text", out2, nShards = 1)
+    val bin2 = java.nio.file.Files.list(java.nio.file.Paths.get(out2))
+      .toArray.map(_.toString).find(_.endsWith(".bin")).get
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(bin2))
+    java.nio.file.Files.write(java.nio.file.Paths.get(bin2),
+      bytes.take(bytes.length - 4))
+    intercept[org.apache.spark.SparkException] {
+      TokenShards.readTokenShards(spark, out2).collect()
+    }
+  }
+
   test("export round trip over the corpus: lossless and shard-stable") {
     val out = tmpDir()
     val docs = Tables.load(spark, sfDir, "documents")
