@@ -126,17 +126,23 @@ object TokenShards {
     */
   def readTokenShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Pair key is the full path STEM, not the shard number: generation
+    // layouts (batch=<id>/ dirs) repeat shard numbers across
+    // generations, and a number-keyed join would cross-match batch 0's
+    // index with batch 1's data.
     def files(ext: String) = spark.read.format("binaryFile")
       .option("pathGlobFilter", s"*.$ext")
       .option("recursiveFileLookup", "true")
       .load(dir)
-      .select(regexp_extract(col("path"), s"shard-(\\d+)\\.$ext$$", 1)
-        .cast("bigint").as("shard"), col("content").as(ext))
-    files("idx").join(files("bin"), Seq("shard"), "full")
-      .as[(Long, Array[Byte], Array[Byte])]
-      .flatMap { case (shard, ix, bn) =>
+      .select(regexp_replace(col("path"), s"\\.$ext$$", "").as("stem"),
+        col("content").as(ext))
+    files("idx").join(files("bin"), Seq("stem"), "full")
+      .select(regexp_extract(col("stem"), "shard-(\\d+)$", 1)
+        .cast("bigint").as("shard"), col("stem"), col("idx"), col("bin"))
+      .as[(Long, String, Array[Byte], Array[Byte])]
+      .flatMap { case (shard, stem, ix, bn) =>
         require(ix != null && bn != null,
-          s"readTokenShards: half-published shard $shard " +
+          s"readTokenShards: half-published shard pair at $stem " +
             s"(idx=${ix != null}, bin=${bn != null})")
         require(ix.length % 24 == 0,
           s"readTokenShards: ragged idx for shard $shard (${ix.length} bytes)")

@@ -472,6 +472,13 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming twin of q229 — token-shard export at the ingestion
+    // door: each micro-batch writes a GENERATION of .bin/.idx pairs
+    // (idempotent under replay), and the union of generations must
+    // re-derive every document's token stream. Shares q229's oracle.
+    "q230_stream_token_shards" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingTokenShardExport(s, dir)),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -685,6 +692,20 @@ object SourceQueries {
     // order-sensitive: a swapped, dropped, or mis-sliced token anywhere
     // in a shard's .bin breaks id_hash.
     "q229_token_shards_roundtrip" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(string_split(text, ' '),
+        |      tk -> CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)) AS ids
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST((doc_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard,
+        |  CAST(len(ids) AS BIGINT) AS n_tokens,
+        |  CAST(list_aggregate(ids, 'sum') AS BIGINT) AS id_sum,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
+        |    (a, v) -> (a * 1000003 + v) % 1000000007) AS BIGINT) AS id_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // The q229 restatement verbatim: the generation layout must be
+    // invisible to the reader.
+    "q230_stream_token_shards" ->
       """WITH t AS (SELECT doc_id,
         |    list_transform(string_split(text, ' '),
         |      tk -> CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT)) AS ids

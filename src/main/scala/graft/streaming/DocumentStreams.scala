@@ -226,6 +226,39 @@ object DocumentStreams {
       .orderBy("doc_id")
   }
 
+  /** Streaming token-shard EXPORT — the q229 memmap artifact accreted
+    * at the ingestion door exactly like the tar twin above: each
+    * micro-batch writes its docs' token ids as a GENERATION of
+    * `.bin`/`.idx` shard pairs under `batch=<id>/` via `foreachBatch`
+    * (idempotent under batch replay — a replayed batch rewrites its own
+    * generation in place), and the union of generations read back
+    * through the strict pair-joining parser must re-derive every
+    * document's token stream. Shares q229's oracle. At 100 TB this is
+    * how a tokenized training set accretes from a firehose without a
+    * rewrite-the-world retokenization pass.
+    */
+  def streamingTokenShardExport(spark: SparkSession, sfDir: String,
+                                nShards: Int = 8): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_tokshards").toString
+    val q = readDocumentsStream(spark, sfDir)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TokenShards.writeTokenShards(batch, "doc_id",
+          "text", s"$out/batch=$batchId", nShards)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.TokenShards.readTokenShards(spark, out)
+      .select(col("doc_id"), col("shard"),
+        size(col("ids")).cast("bigint").as("n_tokens"),
+        aggregate(col("ids"), lit(0L), (a, v) => a + v).as("id_sum"),
+        aggregate(col("ids"), lit(0L),
+          (a, v) => (a * 1000003L + v) % 1000000007L).as("id_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming frequent-token downsampling — q182's rewrite applied at
     * the ingestion door: the keep-ceilings come from the STANDING
     * corpus census (`Scrub.tokenCeilings`; at 100 TB that census is

@@ -151,6 +151,21 @@ class ShardsSpec extends SparkSpec {
     }
   }
 
+  test("token shards generation layout: batches union; replay is idempotent") {
+    import graft.operators.TokenShards
+    val out = tmpDir()
+    val gen0 = (1L to 20L).map(i => (i, s"g0 doc $i")).toDF("doc_id", "text")
+    val gen1 = (21L to 40L).map(i => (i, s"g1 doc $i")).toDF("doc_id", "text")
+    TokenShards.writeTokenShards(gen0, "doc_id", "text", s"$out/batch=0", 4)
+    TokenShards.writeTokenShards(gen1, "doc_id", "text", s"$out/batch=1", 4)
+    // replay batch 1 (identical rows — the streaming replay contract)
+    TokenShards.writeTokenShards(gen1, "doc_id", "text", s"$out/batch=1", 4)
+    val back = TokenShards.readTokenShards(spark, out)
+      .select($"doc_id", $"ids").as[(Long, Array[Long])].collect()
+    assert(back.length === 40, "replayed generation duplicated rows")
+    assert(back.forall(_._2.length === 3)) // "gN doc i" = 3 tokens
+  }
+
   test("export round trip over the corpus: lossless and shard-stable") {
     val out = tmpDir()
     val docs = Tables.load(spark, sfDir, "documents")
