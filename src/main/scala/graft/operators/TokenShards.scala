@@ -126,36 +126,61 @@ object TokenShards {
     */
   def readTokenShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Pair key is the full path STEM, not the shard number: generation
-    // layouts (batch=<id>/ dirs) repeat shard numbers across
-    // generations, and a number-keyed join would cross-match batch 0's
-    // index with batch 1's data.
+    // Pairing: the `.idx` is the manifest; each task side-opens its
+    // shard's `.bin` through the Hadoop FS (the side-file pattern).
+    // The `.bin` BYTES never enter an exchange — at 100 TB they are
+    // the whole tokenized corpus, and the naive alternative (binaryFile
+    // both extensions, join on stem) shuffles every token through one
+    // exchange. What DOES join is metadata: the `.bin` listing projects
+    // only its path (binaryFile prunes content for unselected columns),
+    // full-joined on the path STEM so BOTH orphan kinds fail loudly —
+    // an idx whose bin is missing and a bin whose idx never published.
+    // The stem, not the shard number, is the key: generation layouts
+    // (batch=<id>/ dirs) repeat shard numbers across generations.
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bconf = spark.sparkContext.broadcast(conf)
     def files(ext: String) = spark.read.format("binaryFile")
       .option("pathGlobFilter", s"*.$ext")
       .option("recursiveFileLookup", "true")
       .load(dir)
-      .select(regexp_replace(col("path"), s"\\.$ext$$", "").as("stem"),
-        col("content").as(ext))
-    files("idx").join(files("bin"), Seq("stem"), "full")
+    val idx = files("idx")
+      .select(regexp_replace(col("path"), "\\.idx$", "").as("stem"),
+        col("content").as("idx"))
+    val binStems = files("bin")
+      .select(regexp_replace(col("path"), "\\.bin$", "").as("stem"),
+        lit(true).as("has_bin"))
+    idx.join(binStems, Seq("stem"), "full")
       .select(regexp_extract(col("stem"), "shard-(\\d+)$", 1)
-        .cast("bigint").as("shard"), col("stem"), col("idx"), col("bin"))
-      .as[(Long, String, Array[Byte], Array[Byte])]
-      .flatMap { case (shard, stem, ix, bn) =>
-        require(ix != null && bn != null,
+        .cast("bigint").as("shard"), col("stem"), col("idx"),
+        col("has_bin"))
+      .as[(Long, String, Array[Byte], Option[Boolean])]
+      .flatMap { case (shard, stem, ix, hasBin) =>
+        require(ix != null && hasBin.isDefined,
           s"readTokenShards: half-published shard pair at $stem " +
-            s"(idx=${ix != null}, bin=${bn != null})")
+            s"(idx=${ix != null}, bin=${hasBin.isDefined})")
         require(ix.length % 24 == 0,
           s"readTokenShards: ragged idx for shard $shard (${ix.length} bytes)")
-        val ib = java.nio.ByteBuffer.wrap(ix)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        (0 until ix.length / 24).map { _ =>
-          val id = ib.getLong; val off = ib.getLong; val n = ib.getLong
-          require(off >= 0 && n >= 0 && 4 * (off + n) <= bn.length,
-            s"readTokenShards: doc $id overruns shard $shard's bin")
-          val bb = java.nio.ByteBuffer.wrap(bn, 4 * off.toInt, 4 * n.toInt)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          (shard, id, Array.fill(n.toInt)(bb.getInt.toLong & 0xffffffffL))
-        }
+        val p = new org.apache.hadoop.fs.Path(s"$stem.bin")
+        val fs = p.getFileSystem(bconf.value.value)
+        val binLen = fs.getFileStatus(p).getLen
+        val in = fs.open(p)
+        val entries =
+          try {
+            val ib = java.nio.ByteBuffer.wrap(ix)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            (0 until ix.length / 24).map { _ =>
+              val id = ib.getLong; val off = ib.getLong; val n = ib.getLong
+              require(off >= 0 && n >= 0 && 4 * (off + n) <= binLen,
+                s"readTokenShards: doc $id overruns shard $shard's bin")
+              val raw = new Array[Byte](4 * n.toInt)
+              in.readFully(4 * off, raw)
+              val bb = java.nio.ByteBuffer.wrap(raw)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              (shard, id, Array.fill(n.toInt)(bb.getInt.toLong & 0xffffffffL))
+            }
+          } finally in.close()
+        entries
       }
       .toDF("shard", "doc_id", "ids")
   }

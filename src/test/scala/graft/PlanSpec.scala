@@ -525,6 +525,22 @@ class PlanSpec extends SparkSpec {
       "caption cap not pushed to the documents scan:\n" + p.take(3000))
   }
 
+  test("q229 token-shard read: .bin bytes never enter the pair join") {
+    // The .idx is the manifest; the .bin side of the stem join projects
+    // only its path (content pruned at the binaryFile scan) and each
+    // task side-opens its shard's .bin. At 100 TB the .bin bytes are
+    // the whole tokenized corpus — a content-carrying join would
+    // shuffle every token once.
+    val p = SparkEntry.queries("q229_token_shards_roundtrip")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.size >= 2, "expected both binaryFile scans:\n" + p.take(3000))
+    val withContent = scans.count(_.contains("content"))
+    assert(withContent === 1,
+      s"exactly the idx scan may read content, found $withContent:\n" +
+        scans.mkString("\n"))
+  }
+
   test("q132 chunking is a Generate over the pruned scan; only the presentation sort exchanges") {
     val p = planOf("q132_cdc_chunks")
     assert(p.contains("Generate"), p.take(2000))
