@@ -309,6 +309,30 @@ object Tables {
         java.nio.file.Paths.get(out, "_SUCCESS"), Array.empty[Byte])
     }
 
+  /** WebDataset paired-modality shards: each document's text and its
+    * planted PNG written as ADJACENT tar entries (`<id>.txt` +
+    * `<id>.png`) — built by the cross-modal join of the table with the
+    * media directory, which is exactly how a production corpus pairs
+    * captions with images before export. Built once per sf.
+    */
+  def documentsWdsShardsLayout(spark: SparkSession, sfDir: String,
+                               nShards: Int = 8): String =
+    derivedLayout(sfDir, "documents", s"documents_wdsshards_$nShards") { out =>
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      val pngs = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(documentsPngFilesLayout(spark, sfDir))
+        .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"), col("content").as("img"))
+      val docs = load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("txt"))
+      operators.Shards.writeTarSampleShards(
+        docs.join(pngs, Seq("doc_id")), "doc_id",
+        Seq("txt" -> "txt", "png" -> "img"), out, nShards)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "_SUCCESS"), Array.empty[Byte])
+    }
+
   /** Token-id binary shards of `documents` (`TokenShards` — the
     * memmap `.bin`/`.idx` pretraining artifact). Built once per sf.
     */

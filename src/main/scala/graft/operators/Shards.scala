@@ -177,6 +177,89 @@ object Shards {
       }
   }
 
+  /** Multi-entry WebDataset samples: ALL of a sample's modalities
+    * written ADJACENT in the same shard tar — `<id>.<suffix>` per
+    * payload column, in the given order — which is the actual
+    * WebDataset contract: a trainer streams a sample's text and image
+    * together with sequential I/O, no seeks, no cross-file join at
+    * read time. `entries` maps entry-name suffix → payload column
+    * (binary). Rows with any NULL payload are dropped (a sample is
+    * whole or absent — half-samples are how multimodal corpora rot).
+    * Same scale shape and attempt-safe publish as `writeTarShards`.
+    */
+  def writeTarSampleShards(docs: DataFrame, idCol: String,
+                           entries: Seq[(String, String)],
+                           outDir: String, nShards: Int): Unit = {
+    require(entries.nonEmpty, "writeTarSampleShards: no entries")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val payloadCols = entries.map { case (_, c) => col(c).cast("binary") }
+    docs.filter(payloadCols.map(_.isNotNull).reduce(_ && _))
+      .select(col(idCol).cast("long").as("id"),
+        array(payloadCols: _*).as("payloads"),
+        shardOf(col(idCol).cast("long"), nShards).as("shard"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Seq[Array[Byte]], Long)]
+      .foreachPartition { (it: Iterator[(Long, Seq[Array[Byte]], Long)]) =>
+        val suffixes = entries.map(_._1)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(
+              0L, Long.MaxValue))
+        var cur = -1L
+        var out: java.io.OutputStream = null
+        var tmp: java.nio.file.Path = null
+        def close(): Unit = if (out != null) {
+          out.write(new Array[Byte](2 * BlockSize))
+          out.close()
+          java.nio.file.Files.move(tmp,
+            tmp.resolveSibling(f"shard-$cur%05d.tar"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          out = null
+        }
+        it.foreach { case (id, payloads, shard) =>
+          if (shard != cur) {
+            close()
+            cur = shard
+            tmp = tmpShardPath(outDir, cur, attempt)
+            out = new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(tmp))
+          }
+          suffixes.zip(payloads).foreach { case (sfx, payload) =>
+            writeEntry(out, s"$id.$sfx", payload)
+          }
+        }
+        close()
+      }
+  }
+
+  /** Read multi-entry sample shards back as (shard, doc_id, ext,
+    * payload) — entry names parse as `<id>.<ext>`; adjacency inside
+    * the tar is the writer's contract, the relational surface exposes
+    * one row per modality.
+    */
+  def readTarSampleShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(regexp_extract(col("path"), "shard-(\\d+)\\.tar$", 1)
+        .cast("bigint").as("shard"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (shard, bytes) =>
+        untar(bytes).map { case (name, payload) =>
+          val dot = name.lastIndexOf('.')
+          require(dot > 0, s"readTarSampleShards: unparseable entry $name")
+          (shard, name.take(dot).toLong, name.drop(dot + 1), payload)
+        }
+      }
+      .toDF("shard", "doc_id", "ext", "payload")
+  }
+
   /** Read tar shards back as (shard, doc_id, payload) — `binaryFile`
     * parallelizes per shard file; the strict parser runs in the same
     * batched boundary style as the media decoders.

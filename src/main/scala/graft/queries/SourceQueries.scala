@@ -472,12 +472,46 @@ object SourceQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming twin of q227 — shot detection at the ingestion door
+    // (the video leg of the streaming decode matrix: audio q217,
+    // tokens q230). detectShots is a stateless per-payload map, so the
+    // bounded drain equals the batch operator on the q217-style
+    // referee slice (docs 0-999, listing-pruning glob).
+    "q231_stream_shot_boundaries" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingShotBoundaries(s, dir)),
+
     // Streaming twin of q229 — token-shard export at the ingestion
     // door: each micro-batch writes a GENERATION of .bin/.idx pairs
     // (idempotent under replay), and the union of generations must
     // re-derive every document's token stream. Shares q229's oracle.
     "q230_stream_token_shards" -> ((s, dir) =>
       graft.streaming.DocumentStreams.streamingTokenShardExport(s, dir)),
+
+    // WebDataset PAIRED-modality round trip — the layout multimodal
+    // training actually streams: each sample's caption and image are
+    // ADJACENT entries in the same shard tar (<id>.txt + <id>.png), so
+    // a trainer reads a sample's modalities with sequential I/O and no
+    // join at read time. The fixture builds the pairs with the honest
+    // cross-modal join (table x media directory), exports through the
+    // attempt-safe tar writer, reads back through the strict parser,
+    // and the gate verifies BOTH modalities end to end: caption md5
+    // against the table, and the image entries RE-DECODED with the
+    // pixel sums + resize hash restated from the planted rule.
+    "q232_wds_sample_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Multimodal, Shards}
+      val path = Tables.documentsWdsShardsLayout(s, dir)
+      val rows = graft.operators.Checkpoints.cut(
+        Shards.readTarSampleShards(s, path))
+      val txt = rows.filter(col("ext") === "txt")
+        .select(col("doc_id"), col("shard"), md5(col("payload")).as("text_md5"))
+      val img = Multimodal.decodeImageFeatures(
+        rows.filter(col("ext") === "png")
+          .select(col("doc_id"), col("payload"),
+            lit("image/png").as("mime"))
+          .as[Multimodal.MediaRow]).toDF()
+      txt.join(img, Seq("doc_id")).orderBy("doc_id")
+    }),
 
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
@@ -703,6 +737,83 @@ object SourceQueries {
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
         |    (a, v) -> (a * 1000003 + v) % 1000000007) AS BIGINT) AS id_hash
         |FROM t ORDER BY doc_id""".stripMargin,
+    // The q227 restatement on the streaming referee slice (docs
+    // 0-999 — 1-3 digit filenames).
+    "q231_stream_shot_boundaries" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id < 1000),
+        | fx AS (SELECT doc_id, unnest(range(0, nf)) AS k FROM d),
+        | dm AS (SELECT doc_id, k, doc_id*131 + k*17 AS fid FROM fx),
+        | d2 AS (SELECT doc_id, k, fid, 8 + fid % 9 AS w, 8 + fid % 7 AS h
+        |  FROM dm),
+        | xs AS (SELECT doc_id, k, fid, w, h, unnest(range(0, w)) AS x
+        |  FROM d2),
+        | px AS (SELECT doc_id, k, fid, w, h, x, unnest(range(0, h)) AS y
+        |  FROM xs),
+        | f AS (SELECT doc_id, k, MAX(w*h) AS a,
+        |    SUM((fid*31 + x*7 + y*13) % 256) AS r,
+        |    SUM((fid*17 + x*11 + y*5) % 256) AS g,
+        |    SUM((fid*23 + x*3 + y*19) % 256) AS b
+        |  FROM px GROUP BY doc_id, k),
+        | dl AS (SELECT doc_id, k, a, r, g, b,
+        |    LAG(a) OVER w AS pa, LAG(r) OVER w AS pr,
+        |    LAG(g) OVER w AS pg, LAG(b) OVER w AS pb
+        |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY k)),
+        | ct AS (SELECT doc_id, k,
+        |    CASE WHEN pa IS NOT NULL AND
+        |        1000*(abs(r*pa - pr*a) + abs(g*pa - pg*a) + abs(b*pa - pb*a))
+        |          > 80*765*a*pa
+        |      THEN 1 ELSE 0 END AS cut,
+        |    CASE WHEN pa IS NOT NULL AND
+        |        1000*(abs(r*pa - pr*a) + abs(g*pa - pg*a) + abs(b*pa - pb*a))
+        |          > 80*765*a*pa
+        |      THEN 1000000*(abs(r*pa - pr*a) + abs(g*pa - pg*a)
+        |        + abs(b*pa - pb*a)) // (765*a*pa)
+        |      ELSE 0 END AS score
+        |  FROM dl),
+        | gr AS (SELECT doc_id, k, cut, score,
+        |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY k) AS shot_idx
+        |  FROM ct)
+        |SELECT doc_id, CAST(shot_idx + 1 AS BIGINT) AS shot_no,
+        |  CAST(MIN(k) AS BIGINT) AS start_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(MAX(score) AS BIGINT) AS cut_score_ppm
+        |FROM gr GROUP BY doc_id, shot_idx
+        |ORDER BY doc_id, shot_no""".stripMargin,
+    // Both modalities restated: caption md5 from the table, image
+    // dims/sums/resize-hash from the q204 pixel rule, shard from the
+    // multiplicative hash; the sample set is docs with non-null text
+    // (a sample is whole or absent).
+    "q232_wds_sample_roundtrip" ->
+      """WITH d AS (SELECT doc_id, text, 8 + doc_id % 9 AS w,
+        |    8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        | xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        | px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        | sums AS (SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+        |    CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS r_sum,
+        |    CAST(SUM((doc_id*17 + x*11 + y*5) % 256) AS BIGINT) AS g_sum,
+        |    CAST(SUM((doc_id*23 + x*3 + y*19) % 256) AS BIGINT) AS b_sum
+        |  FROM px GROUP BY 1),
+        | rz AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      flatten(list_transform(range(0, 16), k ->
+        |        [(doc_id*31 + ((k % 4) * w // 4)*7
+        |            + ((k // 4) * h // 4)*13) % 256,
+        |         (doc_id*17 + ((k % 4) * w // 4)*11
+        |            + ((k // 4) * h // 4)*5) % 256,
+        |         (doc_id*23 + ((k % 4) * w // 4)*3
+        |            + ((k // 4) * h // 4)*19) % 256]))),
+        |      (a, v) -> (a * 1000003 + v) % 1000000007) AS rz_hash
+        |  FROM d)
+        |SELECT d.doc_id,
+        |  CAST((d.doc_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard,
+        |  md5(d.text) AS text_md5,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  r_sum, g_sum, b_sum, CAST(rz_hash AS BIGINT) AS rz_hash
+        |FROM d JOIN sums ON d.doc_id = sums.doc_id
+        |  JOIN rz ON d.doc_id = rz.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // The q229 restatement verbatim: the generation layout must be
     // invisible to the reader.
     "q230_stream_token_shards" ->

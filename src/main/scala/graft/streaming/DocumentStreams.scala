@@ -194,6 +194,34 @@ object DocumentStreams {
     EventStreams.runToMemory(out, OutputMode.Append()).orderBy("doc_id")
   }
 
+  /** Streaming shot-boundary detection — the q227 batch operator run at
+    * the ingestion door (the video leg of the streaming decode matrix:
+    * audio q217, tokens q230): `detectShots` is a per-payload map
+    * (container walk + PNG decode + islands fold, no state), so it is
+    * streaming-legal as-is over the binaryFile file stream. Same
+    * referee slice as q217 (docs 0-999 via the listing-pruning glob);
+    * the bounded drain equals the batch operator on that slice, which
+    * the q231 oracle restates arithmetically.
+    */
+  def streamingShotBoundaries(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = Tables.documentsVidFilesLayout(spark, sfDir)
+    val media = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length BIGINT, content BINARY")
+      .option("pathGlobFilter", "{?,??,???}.gftv")
+      .load(path)
+      .select(regexp_extract(col("path"), "(\\d+)\\.gftv$", 1)
+        .cast("bigint").as("doc_id"),
+        col("content").as("payload"),
+        lit("video/x-gftv").as("mime"))
+      .as[graft.operators.Multimodal.MediaRow]
+    val out = graft.operators.Multimodal
+      .detectShots(media, thrPermille = 80).toDF()
+    EventStreams.runToMemory(out, OutputMode.Append())
+      .orderBy("doc_id", "shot_no")
+  }
+
   /** Streaming tar-shard EXPORT — the batch exporter (q216) run at the
     * ingestion door: each micro-batch writes its docs as a GENERATION
     * of shards under `batch=<id>/` via `foreachBatch` (the standard

@@ -166,6 +166,35 @@ class ShardsSpec extends SparkSpec {
     assert(back.forall(_._2.length === 3)) // "gN doc i" = 3 tokens
   }
 
+  test("sample shards: a sample's entries are adjacent and ordered; " +
+      "half-samples are dropped whole") {
+    val out = tmpDir()
+    val docs = Seq(
+      (1L, "caption one", Array[Byte](1, 2, 3)),
+      (2L, "caption two", Array[Byte](4, 5)),
+      (3L, null.asInstanceOf[String], Array[Byte](6)), // half-sample
+      (4L, "caption four", null.asInstanceOf[Array[Byte]])) // half-sample
+      .toDF("doc_id", "txt", "img")
+    Shards.writeTarSampleShards(docs, "doc_id",
+      Seq("txt" -> "txt", "png" -> "img"), out, nShards = 1)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .toArray.map(_.toString).filter(_.endsWith(".tar"))
+    assert(files.length === 1)
+    val names = Shards.untar(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(files.head))).map(_._1)
+    // whole samples only, each sample's modalities adjacent, txt first
+    assert(names === Seq("1.txt", "1.png", "2.txt", "2.png"))
+    val back = Shards.readTarSampleShards(spark, out)
+      .select($"doc_id", $"ext", $"payload")
+      .as[(Long, String, Array[Byte])].collect()
+    assert(back.map(r => (r._1, r._2)).toSet ===
+      Set((1L, "txt"), (1L, "png"), (2L, "txt"), (2L, "png")))
+    assert(back.find(r => r._1 == 1L && r._2 == "png").get._3.toSeq ===
+      Seq[Byte](1, 2, 3))
+    assert(new String(back.find(r => r._1 == 2L && r._2 == "txt").get._3,
+      "UTF-8") === "caption two")
+  }
+
   test("export round trip over the corpus: lossless and shard-stable") {
     val out = tmpDir()
     val docs = Tables.load(spark, sfDir, "documents")
