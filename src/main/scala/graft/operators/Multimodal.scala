@@ -621,6 +621,59 @@ object Multimodal {
     }
   }
 
+  case class ImageDHash(doc_id: Long, dhash_hi: Long, dhash_lo: Long,
+                        n_bits_set: Long)
+
+  /** Perceptual difference hash (dHash) from REAL decodes — the
+    * image-dedup primitive production crawls actually use (LAION-class
+    * pipelines bucket on perceptual hashes, not byte hashes, because
+    * re-encodes and resizes change bytes but not gradients): sample a
+    * 9×8 luma grid by nearest neighbor (source point (i·w/9, j·h/8),
+    * integer division — the `resizeImage` convention), and bit
+    * k = j·8+i is set iff luma(i+1, j) > luma(i, j). Luma is the raw
+    * channel SUM (monotone-equivalent to the mean for comparisons —
+    * no division, no rounding ambiguity), so every bit is an
+    * exact-integer decision the q233 oracle restates in SQL. The
+    * 64-bit hash ships as two 32-bit halves (`dhash_hi`/`dhash_lo`) so
+    * neither side ever touches the sign bit; `n_bits_set` is the
+    * popcount. One map-side pass; pixels never shuffle.
+    */
+  def imageDHash(media: Dataset[MediaRow],
+                 batchSize: Int = 64): Dataset[ImageDHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.payload))
+          require(img != null,
+            s"imageDHash: undecodable payload for doc ${row.doc_id}")
+          val w = img.getWidth; val h = img.getHeight
+          def luma(i: Int, j: Int): Long = {
+            val p = img.getRGB(i * w / 9, j * h / 8)
+            ((p >> 16) & 0xff).toLong + ((p >> 8) & 0xff) + (p & 0xff)
+          }
+          var hi = 0L; var lo = 0L; var set = 0L
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              if (luma(i + 1, j) > luma(i, j)) {
+                val k = j * 8 + i
+                if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+                set += 1
+              }
+              i += 1
+            }
+            j += 1
+          }
+          ImageDHash(row.doc_id, hi, lo, set)
+        }
+      }
+    }
+  }
+
   case class VideoFrame(doc_id: Long, frame_no: Long, width: Long,
                         height: Long, r_sum: Long, g_sum: Long, b_sum: Long)
 

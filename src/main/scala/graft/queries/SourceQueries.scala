@@ -513,6 +513,83 @@ object SourceQueries {
       txt.join(img, Seq("doc_id")).orderBy("doc_id")
     }),
 
+    // Perceptual difference hash (dHash) from REAL decodes — the
+    // image-dedup primitive production crawls bucket on (re-encodes
+    // and resizes change bytes, not gradients): 9x8 nearest-neighbor
+    // luma grid, bit k = j*8+i set iff luma(i+1,j) > luma(i,j), luma =
+    // raw channel sum (monotone-equivalent, division-free). Every bit
+    // is an exact-integer decision, so the oracle restates the FULL
+    // 64-bit hash (as two 32-bit halves) and the popcount in SQL — a
+    // full hash gate on a perceptual hash with no codec in DuckDB.
+    "q233_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val path = Tables.documentsPngFilesLayout(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"),
+          lit("image/png").as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal.imageDHash(media).toDF().orderBy("doc_id")
+    }),
+
+    // Banded Hamming near-dup over the perceptual hash — the workflow
+    // image dedup actually runs (dHash + Hamming <= r via LSH-style
+    // banding: 4 x 16-bit bands, <= 2 differing bits leaves >= 2 bands
+    // intact, so every planted pair MUST share a band). The fixture
+    // plants, for each base image, a copy whose (i=4, j=3) grid pixel
+    // is forced to white — a one-pixel re-touch that moves at most 2
+    // dHash bits, the perceptual-dup regime byte hashing cannot see.
+    // Gate: every planted (base, copy) pair must surface from the
+    // band join with verified Hamming <= 8 — violations emit, the
+    // oracle is the empty relation (planted recall, the q218 pattern;
+    // misalignment is spec-pinned to fire).
+    "q234_image_banded_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val shift = 1L << 20
+      val media = s.range(0L, 200L).flatMap { id =>
+        def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val base = Multimodal.plantedImage(id)
+        val pert = Multimodal.plantedImage(id)
+        pert.setRGB(4 * pert.getWidth / 9, 3 * pert.getHeight / 8, 0xffffff)
+        Seq(Multimodal.MediaRow(id, png(base), "image/png"),
+          Multimodal.MediaRow(id + shift, png(pert), "image/png"))
+      }
+      val hashes = graft.operators.Checkpoints.cut(
+        Multimodal.imageDHash(media).toDF())
+      val bands = hashes.select(col("doc_id"), explode(array(
+        col("dhash_lo") % 65536,
+        shiftright(col("dhash_lo"), 16) + lit(1L << 17),
+        (col("dhash_hi") % 65536) + lit(2L << 17),
+        shiftright(col("dhash_hi"), 16) + lit(3L << 17)))
+        .as("band"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val verified = cand
+        .join(hashes.select(col("doc_id").as("id_a"),
+          col("dhash_hi").as("ha"), col("dhash_lo").as("la")), Seq("id_a"))
+        .join(hashes.select(col("doc_id").as("id_b"),
+          col("dhash_hi").as("hb"), col("dhash_lo").as("lb")), Seq("id_b"))
+        .filter(bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb"))
+          <= lit(8))
+        .select(col("id_a"), col("id_b"))
+      s.range(0L, 200L).toDF("id_a")
+        .select(col("id_a"), (col("id_a") + shift).as("id_b"))
+        .join(verified, Seq("id_a", "id_b"), "left_anti")
+        .orderBy("id_a")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -780,6 +857,37 @@ object SourceQueries {
         |  CAST(MAX(score) AS BIGINT) AS cut_score_ppm
         |FROM gr GROUP BY doc_id, shot_idx
         |ORDER BY doc_id, shot_no""".stripMargin,
+    // The full 64-bit dHash restated bit-for-bit: luma sums on the
+    // 9x8 floor-sampled grid from the planted pixel rule, horizontal
+    // gradient comparisons, halves assembled by shifted bit sums.
+    "q233_image_dhash" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        | jj AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS j FROM d),
+        | ij AS (SELECT doc_id, w, h, j, unnest(range(0, 9)) AS i FROM jj),
+        | lum AS (SELECT doc_id, j, i,
+        |      (doc_id*31 + (i*w//9)*7 + (j*h//8)*13) % 256
+        |    + (doc_id*17 + (i*w//9)*11 + (j*h//8)*5) % 256
+        |    + (doc_id*23 + (i*w//9)*3 + (j*h//8)*19) % 256 AS v
+        |  FROM ij),
+        | bits AS (SELECT a.doc_id, a.j*8 + a.i AS k,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.j = b.j
+        |    AND b.i = a.i + 1
+        |  WHERE a.i < 8)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN k >= 32
+        |    THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+        |    AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN k < 32
+        |    THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+        |    AS BIGINT) AS dhash_lo,
+        |  CAST(SUM(bit) AS BIGINT) AS n_bits_set
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Planted-recall referee gate (banded perceptual near-dup): empty.
+    "q234_image_banded_neardup" ->
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+        |WHERE FALSE""".stripMargin,
     // Both modalities restated: caption md5 from the table, image
     // dims/sums/resize-hash from the q204 pixel rule, shard from the
     // multiplicative hash; the sample set is docs with non-null text

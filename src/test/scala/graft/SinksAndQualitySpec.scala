@@ -361,6 +361,60 @@ class SinksAndQualitySpec extends SparkSpec {
       c.getMessage.contains("CRC mismatch")))
   }
 
+  test("imageDHash: solid is all-zero, monotone gradient is all-ones, " +
+      "a one-pixel retouch moves at most 2 bits, divergence fires") {
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def mk(w: Int, h: Int)(f: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      img
+    }
+    def hashOf(id: Long, img: java.awt.image.BufferedImage) =
+      Multimodal.imageDHash(
+        Seq(Multimodal.MediaRow(id, png(img), "image/png")).toDS())
+        .collect().head
+    // solid: no gradient anywhere -> zero hash
+    val solid = hashOf(1L, mk(9, 8)((_, _) => 0x808080))
+    assert((solid.dhash_hi, solid.dhash_lo, solid.n_bits_set) === (0L, 0L, 0L))
+    // strictly increasing luma left to right -> all 64 bits set
+    val grad = hashOf(2L, mk(9, 8)((x, _) => (x * 20) << 16))
+    assert(grad.n_bits_set === 64L)
+    assert(grad.dhash_hi === 0xffffffffL && grad.dhash_lo === 0xffffffffL)
+    def hamming(a: Multimodal.ImageDHash, b: Multimodal.ImageDHash): Int =
+      java.lang.Long.bitCount(a.dhash_hi ^ b.dhash_hi) +
+        java.lang.Long.bitCount(a.dhash_lo ^ b.dhash_lo)
+    // the q234 plant: forcing the (i=4, j=3) grid pixel white moves at
+    // most the two bits that compare against that sample point
+    (0L until 24L).foreach { id =>
+      val base = Multimodal.plantedImage(id)
+      val pert = Multimodal.plantedImage(id)
+      pert.setRGB(4 * pert.getWidth / 9, 3 * pert.getHeight / 8, 0xffffff)
+      assert(hamming(hashOf(id, base), hashOf(id, pert)) <= 2)
+    }
+    // divergent images are far in Hamming space — the gate CAN fire.
+    // plantedImage is a linear ramp (mostly-ones hash), so build the
+    // divergent fixture from bit-mixed pixels: independent seeds give
+    // ~Bernoulli(1/2) bits, expected Hamming ~32.
+    def mixed(seed: Long) = mk(16, 16) { (x, y) =>
+      var z = seed * 0x9e3779b97f4a7c15L + x * 0xbf58476d1ce4e5b9L +
+        y * 0x94d049bb133111ebL
+      z ^= z >>> 31; z *= 0xff51afd7ed558ccdL; z ^= z >>> 33
+      (z & 0xffffff).toInt
+    }
+    val far = (0L until 24L).map { id =>
+      hamming(hashOf(id, mixed(id)), hashOf(id, mixed(id + 100)))
+    }
+    assert(far.count(_ > 8) === 24, s"divergent Hamming too small: $far")
+    // the planted-recall gate itself: empty on the aligned fixture
+    assert(SparkEntry.queries("q234_image_banded_neardup")(spark, sfDir)
+      .count() === 0L)
+  }
+
   test("detectShots: identical frames merge, a hard cut splits, scores " +
       "are exact") {
     // Handcrafted container: two identical mid-gray frames (distance 0
