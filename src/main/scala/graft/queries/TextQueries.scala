@@ -1160,6 +1160,75 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser–Ney bigram scoring — the smoothing the real
+    // CCNet/KenLM perplexity filter uses (q79's add-1 is the teaching
+    // baseline; KN is what ships): P(w2|w1) = (c(w1,w2) − D)/c(w1)
+    // + D·N1+(w1,·)/c(w1) · N1+(·,w2)/B with D = 0.75, where the
+    // continuation weight N1+(·,w2)/B scores how many CONTEXTS a word
+    // follows, not how often it occurs — the "Francisco problem".
+    // Plan shape inherits q79's discipline: the exploded bigram frame
+    // checkpoints once; c1, both N1+ tables, and B all re-aggregate
+    // the MODEL-sized c2 (never the corpus frame); the model folds to
+    // one (w1,w2)-keyed relation so the corpus pays exactly one
+    // shuffle join. Every scored bigram is in-model (same-corpus
+    // training), so c2 ≥ 1 > D and the discount never clips.
+    "q235_kn_bigram_logprob" -> ((s, dir) => {
+      val D = 0.75
+      val w = words(col("text"))
+      val bi = docs(s, dir)
+        .select(col("doc_id"),
+          explode(when(size(w) >= 2,
+            transform(sequence(lit(0), size(w) - 2),
+              i => struct(element_at(w, i + 1).as("w1"),
+                element_at(w, i + 2).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .localCheckpoint(eager = true)
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .localCheckpoint(eager = true)
+      val left = c2.groupBy("w1")
+        .agg(sum("c2").as("c1"), count(lit(1)).as("n1f"))
+      val right = c2.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val btot = broadcast(c2.agg(count(lit(1)).as("b")))
+      val model = c2.join(left, Seq("w1")).join(right, Seq("w2"))
+      bi.join(model, Seq("w1", "w2")).crossJoin(btot)
+        .withColumn("logp", log(
+          (col("c2") - D) / col("c1") +
+            lit(D) * col("n1f") / col("c1") * col("n1b") / col("b")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("logp")), 6).as("avg_logp_kn"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style perplexity buckets: per LANGUAGE, documents split
+    // into head/middle/tail terciles of the KN score (head = best
+    // logp = lowest perplexity) — the bucketing CCNet publishes so a
+    // training mix can oversample the head and drop the tail. Ordering
+    // is on the ROUNDED score with doc_id tiebreak, so the tercile
+    // boundary cannot flip on sub-1e-6 float noise between engines.
+    // The per-lang window is an exact tercile: it sorts within each
+    // language partition (languages parallelize; production CCNet
+    // fixes cutoffs from a sample to avoid even that sort — the exact
+    // form is the referee-able one). Only scored docs (≥1 bigram)
+    // bucket, matching the model's domain.
+    "q236_ppl_buckets" -> ((s, dir) => {
+      val scored = queries("q235_kn_bigram_logprob")(s, dir)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(col("avg_logp_kn").desc, col("doc_id").asc)
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"))
+        .withColumn("tercile", ntile(3).over(win).cast("bigint"))
+        .withColumn("bucket",
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle").otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("avg_logp_kn"),
+          col("tercile"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Count-min-sketch heavy-hitter GATE: at 100 TB the sketch pass
     // REPLACES the exact vocabulary aggregate (fixed 80 KB state,
     // map-side mergeable partials, no vocabulary shuffle); here the
@@ -2458,6 +2527,53 @@ object TextQueries {
         |  ROUND(AVG(ln((c2.c2 + 1) / (c1.c1 + v.vctx))), 6) AS avg_logp
         |FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
+    // Interpolated Kneser–Ney restated: discount 0.75, forward/backward
+    // continuation counts and the bigram-type total all from the c2
+    // relation, exactly as the engine derives them.
+    "q235_kn_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | b AS (SELECT doc_id,
+        |         unnest(list_transform(range(len(w) - 1),
+        |           i -> {'w1': w[i+1], 'w2': w[i+2]})) AS g
+        |       FROM t WHERE len(w) >= 2),
+        | bi AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM b),
+        | c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+        | l AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1f FROM c2 GROUP BY 1),
+        | r AS (SELECT w2, COUNT(*) AS n1b FROM c2 GROUP BY 1),
+        | bt AS (SELECT COUNT(*) AS b FROM c2)
+        |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(ln((c2.c2 - 0.75) / l.c1
+        |    + 0.75 * l.n1f / l.c1 * r.n1b / bt.b)), 6) AS avg_logp_kn
+        |FROM bi JOIN c2 USING (w1, w2) JOIN l USING (w1) JOIN r USING (w2)
+        |  CROSS JOIN bt
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
+    // Per-language terciles of the KN score, rounded-score ordering
+    // with doc_id tiebreak (the determinism contract above).
+    "q236_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | b AS (SELECT doc_id,
+        |         unnest(list_transform(range(len(w) - 1),
+        |           i -> {'w1': w[i+1], 'w2': w[i+2]})) AS g
+        |       FROM t WHERE len(w) >= 2),
+        | bi AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM b),
+        | c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+        | l AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1f FROM c2 GROUP BY 1),
+        | r AS (SELECT w2, COUNT(*) AS n1b FROM c2 GROUP BY 1),
+        | bt AS (SELECT COUNT(*) AS b FROM c2),
+        | s AS (SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+        |    ROUND(AVG(ln((c2.c2 - 0.75) / l.c1
+        |      + 0.75 * l.n1f / l.c1 * r.n1b / bt.b)), 6) AS avg_logp_kn
+        |  FROM bi JOIN c2 USING (w1, w2) JOIN l USING (w1) JOIN r USING (w2)
+        |    CROSS JOIN bt
+        |  GROUP BY bi.doc_id),
+        | k AS (SELECT d.doc_id, d.lang, s.avg_logp_kn,
+        |    NTILE(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.avg_logp_kn DESC, d.doc_id) AS tercile
+        |  FROM documents d JOIN s ON d.doc_id = s.doc_id)
+        |SELECT doc_id, lang, avg_logp_kn, CAST(tercile AS BIGINT) AS tercile,
+        |  CASE WHEN tercile = 1 THEN 'head' WHEN tercile = 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q77_cms_bound_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS exact_cnt,
         |  CAST(NULL AS BIGINT) AS est_cnt, CAST(NULL AS BIGINT) AS slack

@@ -405,6 +405,58 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("q235 Kneser-Ney log-prob matches a brute-force Scala LM; " +
+      "q236 terciles are balanced and score-ordered per language") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bigrams: Seq[(Long, (String, String))] = rows.toSeq.flatMap {
+      case (id, text) =>
+        val ws = text.split(" ", -1)
+        ws.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val c2 = bigrams.groupBy(_._2).map { case (g, v) => g -> v.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (wd, v) => wd -> v.values.sum }
+    val n1f = c2.groupBy(_._1._1).map { case (wd, v) => wd -> v.size.toLong }
+    val n1b = c2.groupBy(_._1._2).map { case (wd, v) => wd -> v.size.toLong }
+    val b = c2.size.toDouble
+    val D = 0.75
+    val expected = bigrams.groupBy(_._1).toSeq.map { case (id, g) =>
+      val lps = g.map { case (_, bg) =>
+        math.log((c2(bg) - D) / c1(bg._1) +
+          D * n1f(bg._1) / c1(bg._1) * n1b(bg._2) / b)
+      }
+      (id, g.size.toLong, round6(lps.sum / lps.size))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q235_kn_bigram_logprob")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === expected.map(r => (r._1, r._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-9, s"doc ${g._1}")
+    }
+    // KN differs from add-1 (the models are genuinely distinct)
+    val addOne = SparkEntry.queries("q79_bigram_logprob")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._3) !== addOne.map(_._3))
+    // buckets: partition the scored docs; per lang sizes differ <= 1;
+    // every head score >= every middle score >= every tail score
+    val buckets = SparkEntry.queries("q236_ppl_buckets")(spark, sfDir)
+      .as[(Long, String, Double, Long, String)].collect().toSeq
+    assert(buckets.map(_._1).sorted === got.map(_._1).sorted)
+    buckets.groupBy(_._2).foreach { case (lang, g) =>
+      val sizes = g.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.keySet === Set(1L, 2L, 3L), lang)
+      assert(sizes.values.max - sizes.values.min <= 1, lang)
+      assert(g.filter(_._4 == 1L).map(_._3).min >=
+        g.filter(_._4 == 2L).map(_._3).max - 1e-12, lang)
+      assert(g.filter(_._4 == 2L).map(_._3).min >=
+        g.filter(_._4 == 3L).map(_._3).max - 1e-12, lang)
+      assert(g.forall(r => r._5 == Map(1L -> "head", 2L -> "middle",
+        3L -> "tail")(r._4)), lang)
+    }
+  }
+
   test("q76 bounded-heap sample equals the window-sort formulation") {
     val d = Tables.load(spark, sfDir, "documents")
       .withColumn("h", pmod($"doc_id" * lit(2654435761L), lit(4294967296L)))
