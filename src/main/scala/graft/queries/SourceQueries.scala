@@ -279,6 +279,35 @@ object SourceQueries {
         .orderBy("registrable_domain")
     }),
 
+    // Per-host politeness scheduling — the crawl-frontier op that
+    // turns a URL set into a fetch timetable respecting each host's
+    // crawl-delay (the robots.txt contract every crawler honors).
+    // Each host's URLs serialize at its delay (here planted from the
+    // host string: 250·(1 + len(host) mod 4) ms, the role a parsed
+    // robots.txt delay plays); slot k fetches at (k−1)·delay, and
+    // slots fold into 10 s scheduler rounds. The whole schedule is ONE
+    // window partitioned by host: cross-host parallelism is free, and
+    // a hot host's long chain is not skew to fix — serialization at
+    // the delay IS the politeness semantics; the scheduler's job is
+    // exactly to surface it (max_slot per round = the frontier's
+    // drain time). Exact integer throughout.
+    "q237_crawl_schedule" -> ((s, dir) => {
+      val hosts = Tables.load(s, dir, "documents")
+        .withColumn("host", graft.operators.Urls.hostOf(
+          plantedUrl(col("doc_id") % 24, col("doc_id"))))
+        .withColumn("delay_ms",
+          (lit(250) * (lit(1) + length(col("host")) % 4)).cast("bigint"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy("doc_id")
+      hosts
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .withColumn("slot_ms", (col("rank") - 1) * col("delay_ms"))
+        .withColumn("sched_round", expr("slot_ms div 10000"))
+        .select("host", "doc_id", "rank", "delay_ms", "slot_ms",
+          "sched_round")
+        .orderBy("host", "rank")
+    }),
+
     // Streaming twin of q213 — the codec boundary at the ingestion
     // door: WAV files arrive through the binaryFile FILE STREAM source
     // and decode per-row (stateless, Append mode, zero shuffle). The
@@ -742,6 +771,25 @@ object SourceQueries {
         |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
         |FROM r WHERE NOT (j%5=0 AND (j%8)%2=0)
         |GROUP BY registrable_domain ORDER BY registrable_domain""".stripMargin,
+    // Hosts from the j-rule, the len-derived delay, and the politeness
+    // timetable window restated.
+    "q237_crawl_schedule" ->
+      """WITH d AS (SELECT doc_id, doc_id % 24 AS j FROM documents),
+        | r AS (SELECT doc_id,
+        |  CASE WHEN j%5=0
+        |    THEN 'shop.site' || CAST(j%8 AS VARCHAR) || '.co.uk'
+        |    ELSE CASE WHEN j%4=0 THEN 'www.' ELSE '' END
+        |      || 'site' || CAST(j%8 AS VARCHAR) || '.example.com' END
+        |    AS host
+        | FROM d),
+        | t AS (SELECT host, doc_id,
+        |    CAST(250 * (1 + length(host) % 4) AS BIGINT) AS delay_ms,
+        |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rank
+        |  FROM r)
+        |SELECT host, doc_id, CAST(rank AS BIGINT) AS rank, delay_ms,
+        |  CAST((rank - 1) * delay_ms AS BIGINT) AS slot_ms,
+        |  CAST((rank - 1) * delay_ms // 10000 AS BIGINT) AS sched_round
+        |FROM t ORDER BY host, rank""".stripMargin,
     // Planted-recall referee gate: empty.
     "q208_crossmodal_pairing" ->
       """SELECT CAST(NULL AS BIGINT) AS src_id, CAST(NULL AS BIGINT) AS tgt_id

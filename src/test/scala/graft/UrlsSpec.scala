@@ -49,6 +49,27 @@ class UrlsSpec extends SparkSpec {
       "example.com", "example.com", "host.internal"))
   }
 
+  test("q237 schedule: every doc slotted once, per-host slots advance by " +
+      "exactly the host's delay, rounds fold at 10s") {
+    val out = SparkEntry.queries("q237_crawl_schedule")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2).sorted ===
+      Tables.load(spark, sfDir, "documents").select("doc_id")
+        .as[Long].collect().sorted.toSeq)
+    out.groupBy(_._1).foreach { case (host, g) =>
+      val d = 250L * (1 + host.length % 4)
+      assert(g.forall(_._4 == d), host)
+      val byRank = g.sortBy(_._3)
+      assert(byRank.map(_._3) === (1L to g.size).toSeq, host)
+      byRank.foreach { r =>
+        assert(r._5 === (r._3 - 1) * d, host)
+        assert(r._6 === r._5 / 10000, host)
+      }
+    }
+    // politeness is host-local: distinct hosts may share slot 0
+    assert(out.count(_._5 == 0L) === out.map(_._1).distinct.size)
+  }
+
   test("q224 fixture collapses the corpus ~21:1 onto 24 canonical URLs " +
       "with full dedup-group coverage") {
     val out = SparkEntry.queries("q224_url_canonicalize")(spark, sfDir)
