@@ -649,26 +649,59 @@ object Multimodal {
             new java.io.ByteArrayInputStream(row.payload))
           require(img != null,
             s"imageDHash: undecodable payload for doc ${row.doc_id}")
-          val w = img.getWidth; val h = img.getHeight
-          def luma(i: Int, j: Int): Long = {
-            val p = img.getRGB(i * w / 9, j * h / 8)
-            ((p >> 16) & 0xff).toLong + ((p >> 8) & 0xff) + (p & 0xff)
-          }
-          var hi = 0L; var lo = 0L; var set = 0L
-          var j = 0
-          while (j < 8) {
-            var i = 0
-            while (i < 8) {
-              if (luma(i + 1, j) > luma(i, j)) {
-                val k = j * 8 + i
-                if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
-                set += 1
-              }
-              i += 1
-            }
-            j += 1
-          }
+          val (hi, lo, set) = dhashOf(img)
           ImageDHash(row.doc_id, hi, lo, set)
+        }
+      }
+    }
+  }
+
+  private def dhashOf(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    def luma(i: Int, j: Int): Long = {
+      val p = img.getRGB(i * w / 9, j * h / 8)
+      ((p >> 16) & 0xff).toLong + ((p >> 8) & 0xff) + (p & 0xff)
+    }
+    var hi = 0L; var lo = 0L; var set = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (luma(i + 1, j) > luma(i, j)) {
+          val k = j * 8 + i
+          if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+          set += 1
+        }
+        i += 1
+      }
+      j += 1
+    }
+    (hi, lo, set)
+  }
+
+  case class ImageProfile(doc_id: Long, width: Long, height: Long,
+                          dhash_hi: Long, dhash_lo: Long)
+
+  /** Dims + perceptual hash in ONE decode per payload — the admission
+    * profile an image-curation pass needs (size/aspect filters key on
+    * dims, dedup keys on the dHash; paying two decodes for them would
+    * double the dominant cost of the scan). Same dHash definition as
+    * [[imageDHash]].
+    */
+  def imageProfile(media: Dataset[MediaRow],
+                   batchSize: Int = 64): Dataset[ImageProfile] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.payload))
+          require(img != null,
+            s"imageProfile: undecodable payload for doc ${row.doc_id}")
+          val (hi, lo, _) = dhashOf(img)
+          ImageProfile(row.doc_id, img.getWidth.toLong, img.getHeight.toLong,
+            hi, lo)
         }
       }
     }

@@ -619,6 +619,54 @@ object SourceQueries {
         .orderBy("id_a")
     }),
 
+    // Image-curation admission pipeline — the LAION-style pass that
+    // turns a raw image crawl into a training set: decode once, apply
+    // the size floor (min dim ≥ 9) and aspect bound (max/min ≤ 3/2 as
+    // the exact-integer cross-multiplication 2·max ≤ 3·min), then
+    // keep-first perceptual dedup on the exact dHash among admission
+    // survivors. The fixture re-ingests every corpus PNG a second time
+    // under a shifted id (the re-crawled re-encode case perceptual
+    // hashing exists for), so the dup branch is non-vacuous by
+    // construction: each copy collapses onto its base (keeper = min
+    // id). ONE decode per payload (`imageProfile` fuses dims + hash);
+    // after the decode only (id, dims, two 32-bit halves) shuffle —
+    // pixels never do. Statuses are mutually exclusive in priority
+    // order too_small > bad_aspect > perceptual_dup > admitted, and
+    // the oracle restates dims, the full hash, and both rules.
+    "q238_image_curation" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val shift = 1L << 20
+      val path = Tables.documentsPngFilesLayout(s, dir)
+      val base = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(path)
+        .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+          .cast("bigint").as("doc_id"),
+          col("content").as("payload"),
+          lit("image/png").as("mime"))
+      val media = base.union(base.select(
+        (col("doc_id") + shift).as("doc_id"), col("payload"), col("mime")))
+        .as[Multimodal.MediaRow]
+      val prof = graft.operators.Checkpoints.cut(
+        Multimodal.imageProfile(media).toDF())
+      val mn = least(col("width"), col("height"))
+      val mx = greatest(col("width"), col("height"))
+      val flagged = prof.withColumn("filter_status",
+        when(mn < 9, "too_small")
+          .when(mx * 2 > mn * 3, "bad_aspect"))
+      val keepers = flagged.filter(col("filter_status").isNull)
+        .groupBy("dhash_hi", "dhash_lo").agg(min("doc_id").as("kp"))
+      flagged.join(keepers, Seq("dhash_hi", "dhash_lo"), "left")
+        .select(col("doc_id"), col("width"), col("height"),
+          when(col("filter_status").isNotNull, col("filter_status"))
+            .when(col("doc_id") === col("kp"), "admitted")
+            .otherwise("perceptual_dup").as("status"),
+          when(col("filter_status").isNull, col("kp"))
+            .otherwise(lit(null).cast("bigint")).as("keeper"))
+        .orderBy("doc_id")
+    }),
+
     "q184_binaryfile_ingest" -> ((s, dir) => {
       val path = Tables.documentsBinFilesLayout(s, dir)
       val media = s.read.format("binaryFile")
@@ -936,6 +984,55 @@ object SourceQueries {
     "q234_image_banded_neardup" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
         |WHERE FALSE""".stripMargin,
+    // Dims + the full dHash from the planted pixel rule (the q233
+    // restatement keyed on the BASE id — the shifted copy shares its
+    // base's payload), then the size/aspect rules and keep-first
+    // grouping.
+    "q238_image_curation" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS base FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 1048576, doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        | d AS (SELECT DISTINCT base, 8 + base % 9 AS w, 8 + base % 7 AS h
+        |  FROM ids),
+        | jj AS (SELECT base, w, h, unnest(range(0, 8)) AS j FROM d),
+        | ij AS (SELECT base, w, h, j, unnest(range(0, 9)) AS i FROM jj),
+        | lum AS (SELECT base, j, i,
+        |      (base*31 + (i*w//9)*7 + (j*h//8)*13) % 256
+        |    + (base*17 + (i*w//9)*11 + (j*h//8)*5) % 256
+        |    + (base*23 + (i*w//9)*3 + (j*h//8)*19) % 256 AS v
+        |  FROM ij),
+        | bits AS (SELECT a.base, a.j*8 + a.i AS k,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON a.base = b.base AND a.j = b.j
+        |    AND b.i = a.i + 1
+        |  WHERE a.i < 8),
+        | hsh AS (SELECT base,
+        |    CAST(SUM(CASE WHEN k >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+        |      AS BIGINT) AS dhash_hi,
+        |    CAST(SUM(CASE WHEN k < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+        |      AS BIGINT) AS dhash_lo
+        |  FROM bits GROUP BY base),
+        | p AS (SELECT ids.doc_id, d.w, d.h, hsh.dhash_hi, hsh.dhash_lo
+        |  FROM ids JOIN d ON ids.base = d.base JOIN hsh ON ids.base = hsh.base),
+        | f AS (SELECT doc_id, w, h, dhash_hi, dhash_lo,
+        |    CASE WHEN least(w, h) < 9 THEN 'too_small'
+        |      WHEN 2*greatest(w, h) > 3*least(w, h) THEN 'bad_aspect'
+        |    END AS fs
+        |  FROM p),
+        | k AS (SELECT dhash_hi, dhash_lo, MIN(doc_id) AS kp
+        |  FROM f WHERE fs IS NULL GROUP BY 1, 2)
+        |SELECT f.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CASE WHEN fs IS NOT NULL THEN fs
+        |    WHEN f.doc_id = k.kp THEN 'admitted'
+        |    ELSE 'perceptual_dup' END AS status,
+        |  CASE WHEN fs IS NULL THEN k.kp END AS keeper
+        |FROM f LEFT JOIN k USING (dhash_hi, dhash_lo)
+        |ORDER BY f.doc_id""".stripMargin,
     // Both modalities restated: caption md5 from the table, image
     // dims/sums/resize-hash from the q204 pixel rule, shard from the
     // multiplicative hash; the sample set is docs with non-null text

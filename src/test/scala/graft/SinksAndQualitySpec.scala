@@ -415,6 +415,37 @@ class SinksAndQualitySpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("q238 curation: statuses follow the dims rules, every keeper is an " +
+      "admitted group-minimum, every surviving copy collapses onto a base") {
+    val shift = 1L << 20
+    val out = SparkEntry.queries("q238_image_curation")(spark, sfDir)
+      .as[(Long, Long, Long, String, Option[Long])].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    out.foreach { case (id, w, h, status, keeper) =>
+      val fs = if (math.min(w, h) < 9) Some("too_small")
+        else if (2 * math.max(w, h) > 3 * math.min(w, h)) Some("bad_aspect")
+        else None
+      fs match {
+        case Some(f) =>
+          assert(status === f, s"doc $id"); assert(keeper.isEmpty, s"doc $id")
+        case None =>
+          assert(Set("admitted", "perceptual_dup")(status), s"doc $id")
+          assert(keeper.exists(_ <= id), s"doc $id")
+          // the keeper of any passing row is itself admitted
+          assert(byId(keeper.get)._4 === "admitted", s"doc $id")
+          assert(status === (if (keeper.get == id) "admitted"
+            else "perceptual_dup"), s"doc $id")
+      }
+    }
+    // every copy shares its base's payload → its keeper is < shift
+    out.filter(r => r._1 >= shift && r._5.isDefined)
+      .foreach(r => assert(r._5.get < shift, s"copy ${r._1}"))
+    assert(out.count(_._4 == "admitted") > 0)
+    assert(out.count(_._4 == "perceptual_dup") > 0)
+    assert(out.count(_._4 == "too_small") > 0)
+    assert(out.count(_._4 == "bad_aspect") > 0)
+  }
+
   test("detectShots: identical frames merge, a hard cut splits, scores " +
       "are exact") {
     // Handcrafted container: two identical mid-gray frames (distance 0
