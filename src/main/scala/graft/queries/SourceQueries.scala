@@ -509,6 +509,14 @@ object SourceQueries {
     "q231_stream_shot_boundaries" -> ((s, dir) =>
       graft.streaming.DocumentStreams.streamingShotBoundaries(s, dir)),
 
+    // Streaming twin of q238's decode — image admission profiling at
+    // the ingestion door (the image leg of the streaming decode
+    // matrix: audio q217, video q231, tokens q230). imageProfile is a
+    // stateless per-payload map (dims + perceptual dHash in one
+    // decode); bounded drain on the q217 referee slice (docs 0-999).
+    "q239_stream_image_profile" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingImageProfile(s, dir)),
+
     // Streaming twin of q229 — token-shard export at the ingestion
     // door: each micro-batch writes a GENERATION of .bin/.idx pairs
     // (idempotent under replay), and the union of generations must
@@ -910,6 +918,34 @@ object SourceQueries {
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
         |    (a, v) -> (a * 1000003 + v) % 1000000007) AS BIGINT) AS id_hash
         |FROM t ORDER BY doc_id""".stripMargin,
+    // The q233 dims+hash restatement on the streaming referee slice
+    // (docs 0-999 — 1-3 digit filenames).
+    "q239_stream_image_profile" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id < 1000),
+        | jj AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS j FROM d),
+        | ij AS (SELECT doc_id, w, h, j, unnest(range(0, 9)) AS i FROM jj),
+        | lum AS (SELECT doc_id, j, i,
+        |      (doc_id*31 + (i*w//9)*7 + (j*h//8)*13) % 256
+        |    + (doc_id*17 + (i*w//9)*11 + (j*h//8)*5) % 256
+        |    + (doc_id*23 + (i*w//9)*3 + (j*h//8)*19) % 256 AS v
+        |  FROM ij),
+        | bits AS (SELECT a.doc_id, a.j*8 + a.i AS k,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.j = b.j
+        |    AND b.i = a.i + 1
+        |  WHERE a.i < 8),
+        | hsh AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+        |      AS BIGINT) AS dhash_hi,
+        |    CAST(SUM(CASE WHEN k < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END)
+        |      AS BIGINT) AS dhash_lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  hsh.dhash_hi, hsh.dhash_lo
+        |FROM d JOIN hsh USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // The q227 restatement on the streaming referee slice (docs
     // 0-999 — 1-3 digit filenames).
     "q231_stream_shot_boundaries" ->

@@ -222,6 +222,31 @@ object DocumentStreams {
       .orderBy("doc_id", "shot_no")
   }
 
+  /** Streaming image profiling — the IMAGE leg of the streaming decode
+    * matrix (audio q217, video q231, tokens q230): `imageProfile` is a
+    * stateless per-payload map (one decode → dims + perceptual dHash),
+    * so the q238 admission profile computes at the ingestion door with
+    * zero state and zero shuffle. Same referee slice as q217 (docs
+    * 0-999 via the listing-pruning glob); the bounded drain equals the
+    * batch profile, which the q239 oracle restates arithmetically.
+    */
+  def streamingImageProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = Tables.documentsPngFilesLayout(spark, sfDir)
+    val media = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length BIGINT, content BINARY")
+      .option("pathGlobFilter", "{?,??,???}.png")
+      .load(path)
+      .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+        .cast("bigint").as("doc_id"),
+        col("content").as("payload"),
+        lit("image/png").as("mime"))
+      .as[graft.operators.Multimodal.MediaRow]
+    val out = graft.operators.Multimodal.imageProfile(media).toDF()
+    EventStreams.runToMemory(out, OutputMode.Append()).orderBy("doc_id")
+  }
+
   /** Streaming tar-shard EXPORT — the batch exporter (q216) run at the
     * ingestion door: each micro-batch writes its docs as a GENERATION
     * of shards under `batch=<id>/` via `foreachBatch` (the standard

@@ -42,6 +42,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(single.count() === docs.count())
   }
 
+  test("streaming image profile drains to the batch profile on the " +
+      "referee slice, non-vacuously") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q239_stream_image_profile")(spark, sfDir)
+      .collect().toSeq
+    val path = Tables.documentsPngFilesLayout(spark, sfDir)
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "{?,??,???}.png").load(path)
+      .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+        .cast("bigint").as("doc_id"),
+        col("content").as("payload"), lit("image/png").as("mime"))
+      .as[graft.operators.Multimodal.MediaRow]
+    val batch = graft.operators.Multimodal.imageProfile(media).toDF()
+      .orderBy("doc_id").collect().toSeq
+    assert(got.nonEmpty, "drain must be non-vacuous")
+    assert(got === batch)
+  }
+
   test("streaming LSH dedup drains to the batch twin's kept set") {
     import graft.streaming.DocumentStreams
     import graft.operators.Dedup
