@@ -1202,6 +1202,129 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Length-bucketed batch assembly — the dataloader op that decides
+    // how much of a training step is padding: within each shard
+    // (q106's multiplicative doc-hash mod 16 — batches assemble
+    // per-shard at scale, never across the cluster), rows group into
+    // batches of 8 under TWO policies, 'arrival' (doc_id order — the
+    // naive loader) and 'sorted' (length-descending — bucketed
+    // batching), and each batch pays pad = 8·max_len − Σlen. Both
+    // policies are one rank window per shard + one aggregation; the
+    // sorted policy's total pad is provably ≤ arrival's per shard
+    // (spec-pinned), which is the entire reason dataloaders sort.
+    // Exact integers; shards parallelize the windows.
+    "q242_batch_padding" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("n_tokens", size(words(col("text"))).cast("bigint"))
+        .withColumn("shard", expr(
+          "(doc_id * 2654435761) % 4294967296 % 16"))
+        .select("shard", "doc_id", "n_tokens")
+      def assemble(policy: String,
+                   order: Seq[Column]): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(order: _*)
+        d.withColumn("rn", row_number().over(w).cast("bigint"))
+          .withColumn("batch_no", expr("(rn - 1) div 8"))
+          .groupBy("shard", "batch_no")
+          .agg(count(lit(1)).as("n_rows"), max("n_tokens").as("max_len"),
+            sum("n_tokens").as("sum_len"))
+          .withColumn("pad_tokens",
+            col("n_rows") * col("max_len") - col("sum_len"))
+          .withColumn("policy", lit(policy))
+      }
+      assemble("arrival", Seq(col("doc_id").asc))
+        .unionByName(assemble("sorted",
+          Seq(col("n_tokens").desc, col("doc_id").asc)))
+        .select("policy", "shard", "batch_no", "n_rows", "max_len",
+          "sum_len", "pad_tokens")
+        .orderBy("policy", "shard", "batch_no")
+    }),
+
+    // Preference-pair mining — the DPO/RLHF data-prep op: within each
+    // comparable group (language × 32-token length bucket standing in
+    // for "same prompt"), rank docs by an exact-integer quality score
+    // (1000·stop_hits + n_tokens; deterministic, doc_id tiebreak) and
+    // pair best-vs-worst inward (rank i vs rank G+1−i, i ≤ G/2) — the
+    // max-margin pairing that makes preference labels least ambiguous.
+    // Tied scores drop (margin > 0): a pair the scorer cannot order is
+    // not a preference. One window shuffle builds rank + group size;
+    // the pairing is an equi-join on (group, G+1−i) — no cross join,
+    // no per-group driver work; groups parallelize.
+    "q241_preference_pairs" -> ((s, dir) => {
+      val nTok = size(words(col("text"))).cast("bigint")
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("n_tokens", nTok)
+        .withColumn("score",
+          lit(1000L) * markerHits(col("text"), markers.head._2).cast("bigint")
+            + col("n_tokens"))
+        .withColumn("bucket", expr("n_tokens div 32"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "bucket")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "bucket")
+      val ranked = d.select(col("lang"), col("bucket"), col("doc_id"),
+          col("score"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .withColumn("g", count(lit(1)).over(wg))
+      val top = ranked.filter(col("rnk") <= expr("g div 2"))
+        .select(col("lang"), col("bucket"), col("rnk").as("pair_no"),
+          col("doc_id").as("chosen_id"), col("score").as("chosen_score"),
+          (col("g") + 1 - col("rnk")).as("want"))
+      val bot = ranked.select(col("lang"), col("bucket"),
+        col("rnk").as("want"), col("doc_id").as("rejected_id"),
+        col("score").as("rejected_score"))
+      top.join(bot, Seq("lang", "bucket", "want"))
+        .filter(col("chosen_score") > col("rejected_score"))
+        .select(col("lang"), col("bucket"), col("pair_no"),
+          col("chosen_id"), col("rejected_id"),
+          (col("chosen_score") - col("rejected_score")).as("margin"))
+        .orderBy("lang", "bucket", "pair_no")
+    }),
+
+    // T5-style span corruption — the denoising-objective data prep:
+    // deterministic hash decisions (h = (doc·1000003 + p·7919) mod
+    // 1e9+7) plant a span START at ~5% of positions (h mod 20 = 0)
+    // with length 1 + (h div 20) mod 3, overlapping spans merge, and
+    // the masked set is summarized per doc (count, maximal-island span
+    // count, ppm ratio, and an order-sensitive position hash so the
+    // gate pins EXACTLY which tokens mask, not just how many). Seeded
+    // by (doc_id, position) — reproducible across epochs and engines,
+    // which is the property a training-data mask must have. Coverage
+    // at p is a bounded 3-position lookback, so the whole operator is
+    // per-row HOFs over the token sequence: one scan, zero shuffle
+    // before the presentation sort, codegen end to end.
+    "q240_span_corruption" -> ((s, dir) => {
+      val P = 1000000007L
+      def h1(p: Column): Column =
+        (col("doc_id") * 1000003L + p * 7919L) % P
+      def startsAt(p: Column): Column = h1(p) % 20 === 0
+      def lenAt(p: Column): Column =
+        floor(h1(p) / 20).cast("long") % 3 + 1
+      val wsa = words(col("text"))
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("n_tokens", size(wsa).cast("bigint"))
+        .withColumn("cov", transform(sequence(lit(0), size(wsa) - 1),
+          p => when(startsAt(p)
+            .or(p >= 1 && startsAt(p - 1) && lenAt(p - 1) > 1)
+            .or(p >= 2 && startsAt(p - 2) && lenAt(p - 2) > 2), 1L)
+            .otherwise(0L)))
+      d.select(col("doc_id"), col("n_tokens"),
+          aggregate(col("cov"), lit(0L), (a, x) => a + x).as("n_masked"),
+          aggregate(sequence(lit(0), col("n_tokens") - 1), lit(0L),
+            (a, p) => a + when(element_at(col("cov"), (p + 1).cast("int")) === 1
+              && when(p === 0, lit(0L))
+                .otherwise(element_at(col("cov"), p.cast("int"))) === 0,
+              1L).otherwise(0L)).as("n_spans"),
+          aggregate(sequence(lit(0), col("n_tokens") - 1), lit(0L),
+            (a, p) => when(element_at(col("cov"), (p + 1).cast("int")) === 1,
+              (a * 131L + p) % P).otherwise(a)).as("mask_hash"))
+        .withColumn("mask_ppm", expr("(1000000 * n_masked) div n_tokens"))
+        .select("doc_id", "n_tokens", "n_masked", "n_spans", "mask_ppm",
+          "mask_hash")
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style perplexity buckets: per LANGUAGE, documents split
     // into head/middle/tail terciles of the KN score (head = best
     // logp = lowest perplexity) — the bucketing CCNet publishes so a
@@ -2547,6 +2670,76 @@ object TextQueries {
         |FROM bi JOIN c2 USING (w1, w2) JOIN l USING (w1) JOIN r USING (w2)
         |  CROSS JOIN bt
         |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
+    // Both assembly policies restated as windows over the shard hash.
+    "q242_batch_padding" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 % 16 AS shard
+        |  FROM documents WHERE text IS NOT NULL),
+        | a AS (SELECT 'arrival' AS policy, shard, doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'sorted', shard, doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY shard
+        |      ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM d)
+        |SELECT policy, CAST(shard AS BIGINT) AS shard,
+        |  CAST((rn - 1) // 8 AS BIGINT) AS batch_no,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+        |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+        |    AS pad_tokens
+        |FROM a GROUP BY 1, 2, 3 ORDER BY policy, shard, batch_no""".stripMargin,
+    // The rank/group windows and inward pairing restated; score from
+    // the same stop-hit regex as q28.
+    "q241_preference_pairs" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    1000 * ${markerSql("en")}
+         |      + len(string_split(text, ' ')) AS score
+         |  FROM documents WHERE text IS NOT NULL),
+         | r AS (SELECT doc_id, lang, n_tokens // 32 AS bucket, score,
+         |    ROW_NUMBER() OVER (PARTITION BY lang, n_tokens // 32
+         |      ORDER BY score DESC, doc_id) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY lang, n_tokens // 32) AS g
+         |  FROM d)
+         |SELECT a.lang, CAST(a.bucket AS BIGINT) AS bucket,
+         |  CAST(a.rnk AS BIGINT) AS pair_no,
+         |  a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+         |  CAST(a.score - b.score AS BIGINT) AS margin
+         |FROM r a JOIN r b ON a.lang = b.lang AND a.bucket = b.bucket
+         |  AND b.rnk = a.g + 1 - a.rnk
+         |WHERE a.rnk <= a.g // 2 AND a.score > b.score
+         |ORDER BY a.lang, a.bucket, pair_no""".stripMargin,
+    // The mask rule restated: hash starts/lengths, 3-position bounded
+    // lookback for coverage, LAG islands, ordered list_reduce for the
+    // position hash (q229's fold pattern).
+    "q240_span_corruption" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        | pp AS (SELECT doc_id, n, unnest(range(0, n)) AS p FROM t),
+        | hh AS (SELECT doc_id, n, p,
+        |    (doc_id*1000003 + p*7919) % 1000000007 AS h1 FROM pp),
+        | c AS (SELECT a.doc_id, a.n, a.p,
+        |    MAX(CASE WHEN b.h1 % 20 = 0
+        |      AND 1 + (b.h1 // 20) % 3 > a.p - b.p THEN 1 ELSE 0 END) AS cov
+        |  FROM hh a JOIN hh b ON a.doc_id = b.doc_id
+        |    AND b.p BETWEEN a.p - 2 AND a.p
+        |  GROUP BY 1, 2, 3),
+        | i AS (SELECT doc_id, n, p, cov,
+        |    LAG(cov, 1, 0) OVER (PARTITION BY doc_id ORDER BY p) AS pcov
+        |  FROM c)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cov) AS BIGINT) AS n_masked,
+        |  CAST(SUM(CASE WHEN cov = 1 AND pcov = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_spans,
+        |  CAST(1000000 * SUM(cov) // MAX(n) AS BIGINT) AS mask_ppm,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list(p ORDER BY p) FILTER (cov = 1)),
+        |    (a, v) -> (a * 131 + v) % 1000000007) AS BIGINT) AS mask_hash
+        |FROM i GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Per-language terciles of the KN score, rounded-score ordering
     // with doc_id tiebreak (the determinism contract above).
     "q236_ppl_buckets" ->

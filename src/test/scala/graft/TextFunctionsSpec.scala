@@ -457,6 +457,59 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("q240 span corruption matches a brute-force Scala mask; " +
+      "q241 pairs are strict preferences; q242 sorted batching never " +
+      "pads more than arrival order") {
+    val P = 1000000007L
+    val docsRows = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // q240 brute force
+    val expected = docsRows.map { case (id, text) =>
+      val n = text.split(" ", -1).length
+      def h(p: Int): Long = (id * 1000003L + p * 7919L) % P
+      val cov = (0 until n).map { p =>
+        (0 to 2).exists { o =>
+          p - o >= 0 && h(p - o) % 20 == 0 && 1 + (h(p - o) / 20) % 3 > o
+        }
+      }
+      val masked = cov.count(identity)
+      val spans = (0 until n).count(p => cov(p) && (p == 0 || !cov(p - 1)))
+      val mh = (0 until n).filter(cov).foldLeft(0L)((a, p) => (a * 131 + p) % P)
+      (id, n.toLong, masked.toLong, spans.toLong,
+        1000000L * masked / n, mh)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q240_span_corruption")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // q241: strict margins, no doc reused within a group, chosen
+    // outranks rejected by construction
+    val pairs = SparkEntry.queries("q241_preference_pairs")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._6 > 0), "margins must be strictly positive")
+    pairs.groupBy(p => (p._1, p._2)).foreach { case (g, ps) =>
+      val ids = ps.flatMap(p => Seq(p._4, p._5))
+      assert(ids.distinct.size === ids.size, s"group $g reuses a doc")
+    }
+    // q242: per (shard): sorted total pad <= arrival total pad, row
+    // conservation, batches full except the last
+    val b = SparkEntry.queries("q242_batch_padding")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val byPol = b.groupBy(_._1)
+    assert(byPol.keySet === Set("arrival", "sorted"))
+    (0L until 16L).foreach { sh =>
+      val a = byPol("arrival").filter(_._2 == sh)
+      val s2 = byPol("sorted").filter(_._2 == sh)
+      assert(a.map(_._4).sum === s2.map(_._4).sum, s"shard $sh rows")
+      assert(s2.map(_._7).sum <= a.map(_._7).sum, s"shard $sh pad")
+      Seq(a, s2).foreach { g =>
+        val last = g.map(_._3).max
+        g.filter(_._3 < last).foreach(r => assert(r._4 === 8L, s"shard $sh"))
+      }
+    }
+  }
+
   test("q76 bounded-heap sample equals the window-sort formulation") {
     val d = Tables.load(spark, sfDir, "documents")
       .withColumn("h", pmod($"doc_id" * lit(2654435761L), lit(4294967296L)))
