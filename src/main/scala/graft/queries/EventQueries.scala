@@ -504,6 +504,38 @@ object EventQueries {
       salted.groupBy(col("event_type"))
         .agg(sum("pn").as("n"), round(sum("ps"), 2).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // k-anonymity release (k = 5) — the privacy gate on an event log
+    // before it leaves the trust boundary: the quasi-identifier
+    // (event_type, hour-of-day) is released only for groups with ≥ k
+    // members; smaller groups generalize the hour to '*', and if even
+    // the generalized rollup stays under k it suppresses into the
+    // global ('*','*') cell, so no released row ever describes fewer
+    // than k events. Cost is ONE map-side-combinable aggregation over
+    // the corpus; the generalize/suppress passes run on the already
+    // |QI|-sized frame (≤ types×24 rows), so row-level data shuffles
+    // exactly once at any scale.
+    "q246_k_anonymity" -> ((s, dir) => {
+      val k = 5L
+      val g = Tables.load(s, dir, "events")
+        .select(col("event_type"), hour(col("ts")).cast("bigint").as("hh"))
+        .groupBy("event_type", "hh").agg(count(lit(1)).as("n"))
+      val exact = g.filter(col("n") >= k)
+        .select(lit("exact").as("anon_level"), col("event_type"),
+          col("hh").cast("string").as("hour_key"), col("n"))
+      val gen = g.filter(col("n") < k)
+        .groupBy("event_type").agg(sum("n").as("n"))
+      val genOk = gen.filter(col("n") >= k)
+        .select(lit("generalized").as("anon_level"), col("event_type"),
+          lit("*").as("hour_key"), col("n"))
+      val supp = gen.filter(col("n") < k)
+        .agg(coalesce(sum("n"), lit(0L)).as("n"))
+        .select(lit("suppressed").as("anon_level"),
+          lit("*").as("event_type"), lit("*").as("hour_key"), col("n"))
+        .filter(col("n") > 0)
+      exact.unionByName(genOk).unionByName(supp)
+        .orderBy("anon_level", "event_type", "hour_key")
     })
   )
 
@@ -860,6 +892,26 @@ object EventQueries {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts - INTERVAL '1 hour'
         | AND p.ts <= c.ts
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    // The k-anonymity contract restated: exact cells at n ≥ 5, the
+    // under-k remainder rolled to (type, '*') when that reaches 5,
+    // else into the global ('*','*') cell. SUM widenings cast back.
+    "q246_k_anonymity" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hh,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        | sm AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n
+        |   FROM g WHERE n < 5 GROUP BY 1),
+        | ex AS (SELECT 'exact' AS anon_level, event_type,
+        |    CAST(hh AS VARCHAR) AS hour_key, n FROM g WHERE n >= 5),
+        | gn AS (SELECT 'generalized' AS anon_level, event_type,
+        |    '*' AS hour_key, n FROM sm WHERE n >= 5),
+        | sp AS (SELECT 'suppressed' AS anon_level, '*' AS event_type,
+        |    '*' AS hour_key, CAST(SUM(n) AS BIGINT) AS n
+        |   FROM sm WHERE n < 5 HAVING COUNT(*) > 0)
+        |SELECT * FROM ex UNION ALL SELECT * FROM gn UNION ALL
+        |SELECT * FROM sp
+        |ORDER BY anon_level, event_type, hour_key""".stripMargin
   )
 }

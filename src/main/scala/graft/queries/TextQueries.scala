@@ -2068,6 +2068,180 @@ object TextQueries {
           round(sum(col("q") * log(col("q") / col("p"))), 6).as("kl_ba"),
           round(sum(col("p") * log(col("p") / col("m")) +
             col("q") * log(col("q") / col("m"))) / 2, 6).as("jsd"))
+    }),
+
+    // Fill-in-the-middle transform (Bavarian et al. 2022) — the code-
+    // corpus prep that moves a hash-chosen middle span to the end so a
+    // causal LM learns infilling. Split points derive from doc_id
+    // (reproducible across epochs and engines); half the corpus
+    // transforms (the paper's 50% FIM rate), split evenly between PSM
+    // (<PRE>p<SUF>s<MID>m) and joined SPM (<PRE><SUF>s<MID>p·m)
+    // rendering. Pure per-row string arithmetic: one scan, zero
+    // shuffle before the presentation sort, codegen end to end. The
+    // md5 pins the exact transformed bytes; the three length columns
+    // pin the char-conservation law n_pre + n_mid + n_suf = len(text).
+    "q243_fim_transform" -> ((s, dir) => {
+      val P = 1000000007L
+      val cut = col("len") + 1L
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("len", length(col("text")).cast("bigint"))
+        .withColumn("h1", (col("doc_id") * 1000003L + 17L) % P)
+        .withColumn("h2", (col("doc_id") * 1000003L + 89L) % P)
+        .withColumn("fim", docHash(col("doc_id")) % 2 === 0)
+        .withColumn("lo", least(col("h1") % cut, col("h2") % cut))
+        .withColumn("hi", greatest(col("h1") % cut, col("h2") % cut))
+        // Mode bit from docHash bit 1, NOT h1 parity: h1 = id·1000003+17
+        // stays below P for small ids, so its parity is id's — every
+        // FIM'd (even-id) doc would land in one mode.
+        .withColumn("mode", when(!col("fim"), "none")
+          .when(docHash(col("doc_id")) % 4 === 0, "psm").otherwise("spm"))
+        .withColumn("pre", expr("substring(text, 1, int(lo))"))
+        .withColumn("mid", expr("substring(text, int(lo) + 1, int(hi - lo))"))
+        .withColumn("suf", expr("substring(text, int(hi) + 1)"))
+        .withColumn("rendered", when(col("mode") === "none", col("text"))
+          .when(col("mode") === "psm",
+            concat(lit("<PRE>"), col("pre"), lit("<SUF>"), col("suf"),
+              lit("<MID>"), col("mid")))
+          .otherwise(concat(lit("<PRE><SUF>"), col("suf"), lit("<MID>"),
+            col("pre"), col("mid"))))
+      d.select(col("doc_id"), col("mode"),
+          when(col("mode") === "none", col("len")).otherwise(col("lo"))
+            .as("n_pre"),
+          when(col("mode") === "none", 0L).otherwise(col("hi") - col("lo"))
+            .as("n_mid"),
+          when(col("mode") === "none", 0L).otherwise(col("len") - col("hi"))
+            .as("n_suf"),
+          length(col("rendered")).cast("bigint").as("n_out"),
+          md5(col("rendered")).as("out_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Chat-template flattening + loss-mask accounting — the SFT data
+    // prep: docs group into 4-turn conversations (conv_id = doc_id/4,
+    // turn order = doc_id mod 4), roles alternate user/assistant by
+    // doc_id parity, each turn renders as <|role|>text<|end|>, and the
+    // conversation is the ordered concatenation. The loss mask is the
+    // assistant-token set: user/role tokens are context-only. Per-turn
+    // token cost is words+2 (role marker + end marker); an assistant
+    // turn contributes words+1 to the loss (its text + its end marker —
+    // the model never predicts its own role token). ONE groupBy(conv)
+    // shuffle of pre-rendered turn strings; the concat is an ordered
+    // array fold inside the aggregate — no window, no driver state.
+    // NULL-text docs drop before grouping (an empty turn is not a
+    // turn), so n_turns ≤ 4 and conversations parallelize freely.
+    "q244_chat_flatten" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("conv_id", expr("doc_id div 4"))
+        .withColumn("pos", col("doc_id") % 4)
+        .withColumn("role",
+          when(col("doc_id") % 2 === 0, "user").otherwise("assistant"))
+        .withColumn("n_words", size(words(col("text"))).cast("bigint"))
+        .withColumn("rendered", concat(lit("<|"), col("role"), lit("|>"),
+          col("text"), lit("<|end|>")))
+        .withColumn("t_tok", col("n_words") + 2L)
+        .withColumn("t_loss", when(col("role") === "assistant",
+          col("n_words") + 1L).otherwise(0L))
+      d.groupBy("conv_id")
+        .agg(count(lit(1)).as("n_turns"),
+          sum("t_tok").as("n_tokens"),
+          sum("t_loss").as("n_loss"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("rendered")))),
+            x => x.getField("rendered")), "")).as("flat_md5"))
+        .withColumn("loss_ppm", expr("(1000000 * n_loss) div n_tokens"))
+        .select("conv_id", "n_turns", "n_tokens", "n_loss", "loss_ppm",
+          "flat_md5")
+        .orderBy("conv_id")
+    }),
+
+    // SPDX license-header detection + strip — the code-corpus
+    // compliance op: a source-file crawl must classify the license (to
+    // admit/exclude by policy) and remove the header before training so
+    // the model doesn't parrot boilerplate. Headers are planted
+    // deterministically (doc_id % 7 = 0; MIT/Apache-2.0 alternating by
+    // doc_id div 7) and detected with ONE anchored regex in the
+    // Java∩RE2 dialect (the q104 discipline: both engines run the
+    // byte-identical pattern). strip∘plant is the identity on this
+    // corpus, so stripped_md5 doubles as a full inverse gate. Pure
+    // per-row regex — one scan, codegen, no shuffle before the sort.
+    "q245_license_scrub" -> ((s, dir) => {
+      val pat = "^// SPDX-License-Identifier: ([A-Za-z0-9.-]+)\\n"
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(lit("// SPDX-License-Identifier: "),
+            when(expr("(doc_id div 7) % 2") === 0, "MIT")
+              .otherwise("Apache-2.0"),
+            lit("\n"), col("text"))).otherwise(col("text")))
+      planted
+        .withColumn("lic", regexp_extract(col("text"), pat, 1))
+        .withColumn("stripped", regexp_replace(col("text"), pat, ""))
+        .select(col("doc_id"),
+          when(col("lic") === "", "none").otherwise(col("lic")).as("license"),
+          (col("lic") =!= "").as("had_header"),
+          (length(col("text")) - length(col("stripped"))).cast("bigint")
+            .as("n_chars_stripped"),
+          md5(col("stripped")).as("stripped_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Best-of-n rejection sampling — the RLHF/distillation selector:
+    // within each candidate group ("prompt" = doc_id div 8), keep the
+    // argmax of the deterministic reward (q241's exact-integer score,
+    // 1000·stop_hits + n_tokens, doc_id tiebreak) and record the margin
+    // over the runner-up — the confidence signal a distillation
+    // pipeline logs to decide whether the prompt is worth keeping.
+    // One window shuffle on the group key; groups parallelize (the
+    // partition key has corpus/8 cardinality, nothing funnels), no
+    // driver state. Sole-candidate groups report margin 0.
+    "q247_best_of_n" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("prompt_id", expr("doc_id div 8"))
+        .withColumn("reward",
+          lit(1000L) * markerHits(col("text"), markers.head._2).cast("bigint")
+            + size(words(col("text"))).cast("bigint"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("prompt_id")
+        .orderBy(col("reward").desc, col("doc_id").asc)
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy("prompt_id")
+      d.withColumn("rnk", row_number().over(w))
+        .withColumn("n_cands", count(lit(1)).over(wg).cast("bigint"))
+        .withColumn("runner_up", lead(col("reward"), 1).over(w))
+        .filter(col("rnk") === 1)
+        .select(col("prompt_id"), col("doc_id").as("best_doc"),
+          col("reward").as("best_reward"),
+          coalesce(col("reward") - col("runner_up"), lit(0L)).as("margin"),
+          col("n_cands"))
+        .orderBy("prompt_id")
+    }),
+
+    // Distinct-n diversity (Li et al. 2016's distinct-1/distinct-2,
+    // run as a corpus monitor): per source, the ratio of distinct
+    // unigrams/bigrams to totals, in exact ppm. A collapsing ratio
+    // flags template spam or synthetic-data mode collapse before it
+    // trains in. Two explode→agg passes (gram rows shuffle once each
+    // on (source, gram) for the exact distinct); counts are map-side-
+    // combinable partials and the result frame is source-sized.
+    "q248_distinct_ngrams" -> ((s, dir) => {
+      val w = words(col("text"))
+      val base = docs(s, dir).filter(col("text").isNotNull)
+      val uni = base.select(col("source"), explode(w).as("g"))
+        .groupBy("source")
+        .agg(count_distinct(col("g")).as("distinct_1"),
+          count(lit(1)).as("total_1"))
+      val bi = base.select(col("source"), explode(when(size(w) >= 2,
+          transform(sequence(lit(0), size(w) - 2),
+            i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+        .groupBy("source")
+        .agg(count_distinct(col("g")).as("distinct_2"),
+          count(lit(1)).as("total_2"))
+      uni.join(bi, Seq("source"))
+        .withColumn("d1_ppm", expr("(1000000 * distinct_1) div total_1"))
+        .withColumn("d2_ppm", expr("(1000000 * distinct_2) div total_2"))
+        .select("source", "distinct_1", "total_1", "distinct_2", "total_2",
+          "d1_ppm", "d2_ppm")
+        .orderBy("source")
     })
   )
 
@@ -3172,6 +3346,120 @@ object TextQueries {
         |  ROUND(SUM(q * ln(q / p)), 6) AS kl_ba,
         |  ROUND(SUM(p * ln(p / ((p + q) / 2))
         |          + q * ln(q / ((p + q) / 2))) / 2, 6) AS jsd
-        |FROM pq""".stripMargin
+        |FROM pq""".stripMargin,
+    // The FIM rule restated as plain substr arithmetic: same hash
+    // split points, same PSM/SPM rendering, md5 over the transformed
+    // bytes. substr is 1-based char-indexed in both engines.
+    "q243_fim_transform" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    (doc_id * 1000003 + 17) % 1000000007 AS h1,
+        |    (doc_id * 1000003 + 89) % 1000000007 AS h2,
+        |    (doc_id * 2654435761) % 4294967296 % 2 = 0 AS fim
+        |  FROM documents WHERE text IS NOT NULL),
+        | s AS (SELECT doc_id, text, len,
+        |    LEAST(h1 % (len + 1), h2 % (len + 1)) AS lo,
+        |    GREATEST(h1 % (len + 1), h2 % (len + 1)) AS hi,
+        |    CASE WHEN NOT fim THEN 'none'
+        |      WHEN (doc_id * 2654435761) % 4294967296 % 4 = 0 THEN 'psm'
+        |      ELSE 'spm' END AS mode
+        |  FROM t),
+        | r AS (SELECT doc_id, mode, len, lo, hi,
+        |    CASE WHEN mode = 'none' THEN text
+        |      WHEN mode = 'psm' THEN '<PRE>' || substr(text, 1, lo)
+        |        || '<SUF>' || substr(text, hi + 1)
+        |        || '<MID>' || substr(text, lo + 1, hi - lo)
+        |      ELSE '<PRE><SUF>' || substr(text, hi + 1)
+        |        || '<MID>' || substr(text, 1, lo)
+        |        || substr(text, lo + 1, hi - lo) END AS rendered
+        |  FROM s)
+        |SELECT doc_id, mode,
+        |  CAST(CASE WHEN mode = 'none' THEN len ELSE lo END AS BIGINT)
+        |    AS n_pre,
+        |  CAST(CASE WHEN mode = 'none' THEN 0 ELSE hi - lo END AS BIGINT)
+        |    AS n_mid,
+        |  CAST(CASE WHEN mode = 'none' THEN 0 ELSE len - hi END AS BIGINT)
+        |    AS n_suf,
+        |  CAST(length(rendered) AS BIGINT) AS n_out,
+        |  md5(rendered) AS out_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // The chat template restated with an ordered string_agg; token
+    // accounting is words+2 per turn, words+1 of loss per assistant
+    // turn.
+    "q244_chat_flatten" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS conv_id, doc_id % 4 AS pos,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, text
+        |  FROM documents WHERE text IS NOT NULL),
+        | t AS (SELECT conv_id, pos,
+        |    '<|' || role || '|>' || text || '<|end|>' AS rendered,
+        |    n_words + 2 AS t_tok,
+        |    CASE WHEN role = 'assistant' THEN n_words + 1 ELSE 0 END AS t_loss
+        |  FROM d)
+        |SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |  CAST(SUM(t_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(t_loss) AS BIGINT) AS n_loss,
+        |  CAST(1000000 * SUM(t_loss) // SUM(t_tok) AS BIGINT) AS loss_ppm,
+        |  md5(string_agg(rendered, '' ORDER BY pos)) AS flat_md5
+        |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // Same plant, same Java∩RE2 pattern through RE2, same strip; the
+    // md5 gates the exact post-strip bytes (= the original text, since
+    // strip∘plant is the identity here).
+    "q245_license_scrub" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN '// SPDX-License-Identifier: ' ||
+        |        CASE WHEN (doc_id // 7) % 2 = 0 THEN 'MIT'
+        |          ELSE 'Apache-2.0' END || chr(10) || text
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        | x AS (SELECT doc_id, text,
+        |    regexp_extract(text,
+        |      '^// SPDX-License-Identifier: ([A-Za-z0-9.-]+)\n', 1) AS lic,
+        |    regexp_replace(text,
+        |      '^// SPDX-License-Identifier: ([A-Za-z0-9.-]+)\n', '') AS stripped
+        |  FROM planted)
+        |SELECT doc_id,
+        |  CASE WHEN lic = '' THEN 'none' ELSE lic END AS license,
+        |  lic <> '' AS had_header,
+        |  CAST(length(text) - length(stripped) AS BIGINT) AS n_chars_stripped,
+        |  md5(stripped) AS stripped_md5
+        |FROM x ORDER BY doc_id""".stripMargin,
+    // Per-prompt argmax with the q241 reward, margin from LEAD over
+    // the same total order.
+    "q247_best_of_n" ->
+      s"""WITH d AS (SELECT doc_id, doc_id // 8 AS prompt_id,
+         |    1000 * ${markerSql("en")}
+         |      + len(string_split(text, ' ')) AS reward
+         |  FROM documents WHERE text IS NOT NULL),
+         | r AS (SELECT prompt_id, doc_id, reward,
+         |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+         |      ORDER BY reward DESC, doc_id) AS rnk,
+         |    LEAD(reward, 1) OVER (PARTITION BY prompt_id
+         |      ORDER BY reward DESC, doc_id) AS ru,
+         |    COUNT(*) OVER (PARTITION BY prompt_id) AS n
+         |  FROM d)
+         |SELECT prompt_id, doc_id AS best_doc,
+         |  CAST(reward AS BIGINT) AS best_reward,
+         |  CAST(COALESCE(reward - ru, 0) AS BIGINT) AS margin,
+         |  CAST(n AS BIGINT) AS n_cands
+         |FROM r WHERE rnk = 1 ORDER BY prompt_id""".stripMargin,
+    // Distinct/total n-gram ratios per source; the bigram build is
+    // q101's list-lambda construction joined with a space.
+    "q248_distinct_ngrams" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        | u AS (SELECT source, unnest(w) AS g FROM t),
+        | a1 AS (SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_1,
+        |    CAST(COUNT(*) AS BIGINT) AS total_1 FROM u GROUP BY 1),
+        | b AS (SELECT source, unnest(list_transform(range(len(w) - 1),
+        |        i -> w[i+1] || ' ' || w[i+2])) AS g
+        |      FROM t WHERE len(w) >= 2),
+        | a2 AS (SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_2,
+        |    CAST(COUNT(*) AS BIGINT) AS total_2 FROM b GROUP BY 1)
+        |SELECT source, distinct_1, total_1, distinct_2, total_2,
+        |  CAST(1000000 * distinct_1 // total_1 AS BIGINT) AS d1_ppm,
+        |  CAST(1000000 * distinct_2 // total_2 AS BIGINT) AS d2_ppm
+        |FROM a1 JOIN a2 USING (source) ORDER BY source""".stripMargin
   )
 }

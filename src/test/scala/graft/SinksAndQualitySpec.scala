@@ -666,4 +666,35 @@ class SinksAndQualitySpec extends SparkSpec {
     assert(rows(1).getDouble(0) === 1.5 && rows(1).getBoolean(1) === false)
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
+
+  test("q246 k-anonymity: released cells ≥ k, event conservation, " +
+      "brute-force release plan") {
+    val k = 5L
+    val rows = SparkEntry.queries("q246_k_anonymity")(spark, sfDir)
+      .as[(String, String, String, Long)].collect().toSeq
+    // every (exact | generalized) released cell really has ≥ k members
+    rows.filter(_._1 != "suppressed").foreach { r =>
+      assert(r._4 >= k, s"released cell $r under k")
+    }
+    // conservation: nothing lost, nothing double-released
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_._4).sum === total)
+    assert(rows.map(r => (r._1, r._2, r._3)).distinct.size === rows.size)
+    // brute force the whole release plan from the raw (type, hour) census
+    val census = Tables.load(spark, sfDir, "events")
+      .select($"event_type", hour($"ts").cast("long").as("hh"))
+      .as[(String, Long)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val exact = census.collect { case ((t, h), n) if n >= k =>
+      ("exact", t, h.toString, n) }
+    val small = census.filter(_._2 < k)
+      .groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toSeq
+    val gen = small.collect { case (t, n) if n >= k =>
+      ("generalized", t, "*", n) }
+    val suppN = small.filter(_._2 < k).map(_._2).sum
+    val supp = if (suppN > 0) Seq(("suppressed", "*", "*", suppN)) else Nil
+    val expected = (exact ++ gen ++ supp)
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(rows === expected)
+  }
 }

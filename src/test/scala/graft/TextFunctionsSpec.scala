@@ -30,6 +30,136 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m.weights.toSeq === m2.weights.toSeq && m.bias === m2.bias)
   }
 
+  test("q243 FIM: char conservation, marker overhead, brute-force render md5") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val P = 1000000007L
+    val texts = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val rows = SparkEntry.queries("q243_fim_transform")(spark, sfDir)
+      .as[(Long, String, Long, Long, Long, Long, String)].collect().toSeq
+    assert(rows.map(_._1).toSet === texts.keySet)
+    assert(rows.map(_._2).toSet === Set("none", "psm", "spm"))
+    rows.foreach { case (id, mode, nPre, nMid, nSuf, nOut, gotMd5) =>
+      val text = texts(id)
+      val len = text.length.toLong
+      assert(nPre + nMid + nSuf === len, s"doc $id conservation")
+      assert(nOut === len + (if (mode == "none") 0L else 15L), s"doc $id")
+      val h1 = (id * 1000003L + 17L) % P
+      val h2 = (id * 1000003L + 89L) % P
+      val dh = (id * 2654435761L) % 4294967296L
+      val fim = dh % 2 == 0
+      val expMode = if (!fim) "none" else if (dh % 4 == 0) "psm" else "spm"
+      assert(mode === expMode, s"doc $id mode")
+      val lo = math.min(h1 % (len + 1), h2 % (len + 1)).toInt
+      val hi = math.max(h1 % (len + 1), h2 % (len + 1)).toInt
+      val (pre, mid, suf) =
+        (text.substring(0, lo), text.substring(lo, hi), text.substring(hi))
+      val rendered = mode match {
+        case "none" => text
+        case "psm"  => s"<PRE>$pre<SUF>$suf<MID>$mid"
+        case _      => s"<PRE><SUF>$suf<MID>$pre$mid"
+      }
+      assert(gotMd5 === md5hex(rendered), s"doc $id rendered bytes")
+    }
+  }
+
+  test("q244 chat flatten: brute-force conversations match exactly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val expected = docs.groupBy(_._1 / 4).toSeq.map { case (conv, turns) =>
+      val ordered = turns.sortBy(_._1 % 4)
+      val rendered = ordered.map { case (id, t) =>
+        val role = if (id % 2 == 0) "user" else "assistant"
+        s"<|$role|>$t<|end|>"
+      }.mkString
+      val toks = ordered.map { case (_, t) => t.split(" ", -1).length + 2L }.sum
+      val loss = ordered.collect { case (id, t) if id % 2 == 1 =>
+        t.split(" ", -1).length + 1L }.sum
+      (conv, ordered.size.toLong, toks, loss, 1000000L * loss / toks,
+        md5hex(rendered))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q244_chat_flatten")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("q245 license scrub: detection is exact and strip inverts the plant") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val rows = SparkEntry.queries("q245_license_scrub")(spark, sfDir)
+      .as[(Long, String, Boolean, Long, String)].collect().toSeq
+    assert(rows.map(_._1).toSet === texts.keySet)
+    rows.foreach { case (id, lic, had, nStripped, gotMd5) =>
+      val planted = id % 7 == 0
+      assert(had === planted, s"doc $id detection")
+      val expLic =
+        if (!planted) "none"
+        else if ((id / 7) % 2 == 0) "MIT" else "Apache-2.0"
+      assert(lic === expLic, s"doc $id license")
+      val header =
+        if (planted) s"// SPDX-License-Identifier: $expLic\n" else ""
+      assert(nStripped === header.length.toLong, s"doc $id strip length")
+      // strip ∘ plant = identity: the scrubbed bytes are the original
+      assert(gotMd5 === md5hex(texts(id)), s"doc $id inverse")
+    }
+  }
+
+  test("q247 best-of-n: window argmax equals the brute-force selector") {
+    import graft.functions.TextFunctions.markerHits
+    val scored = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        (lit(1000L) * markerHits($"text", Seq("the", "a", "of", "and", "to"))
+          .cast("bigint")
+          + size(split($"text", " ")).cast("bigint")).as("reward"))
+      .as[(Long, Long)].collect().toSeq
+    val expected = scored.groupBy(_._1 / 8).toSeq.map { case (p, cs) =>
+      val ordered = cs.sortBy { case (id, r) => (-r, id) }
+      val margin = if (ordered.size > 1) ordered(0)._2 - ordered(1)._2 else 0L
+      (p, ordered.head._1, ordered.head._2, margin, cs.size.toLong)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q247_best_of_n")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.forall(_._4 >= 0))
+  }
+
+  test("q248 distinct-n: brute-force per-source ratios match; bounds hold") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("source", "text")
+      .as[(String, String)].collect().toSeq
+    val expected = docs.groupBy(_._1).toSeq.map { case (src, ds) =>
+      val unis = ds.flatMap(_._2.split(" ", -1))
+      val bis = ds.flatMap { case (_, t) =>
+        val w = t.split(" ", -1)
+        if (w.length < 2) Seq.empty
+        else (0 until w.length - 1).map(i => w(i) + " " + w(i + 1))
+      }
+      (src, unis.distinct.size.toLong, unis.size.toLong,
+        bis.distinct.size.toLong, bis.size.toLong,
+        1000000L * unis.distinct.size / unis.size,
+        1000000L * bis.distinct.size / bis.size)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q248_distinct_ngrams")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    got.foreach { r =>
+      assert(r._2 <= r._3 && r._4 <= r._5, s"${r._1} distinct ≤ total")
+      assert(r._6 <= 1000000L && r._7 <= 1000000L)
+    }
+  }
+
   test("Scrub.piiStats: counts each class, redacts byte-exactly, skips clean docs") {
     import graft.operators.Scrub
     val docs = Seq(
