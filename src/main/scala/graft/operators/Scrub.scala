@@ -127,6 +127,33 @@ object Scrub {
         md5(redactPii(col(textCol))).as("clean_md5"))
       .filter(col("n_emails") + col("n_ips") + col("n_nums") > 0)
 
+  /** Anchored SPDX header line, Java∩RE2 dialect (the PII-pattern
+    * discipline above): `^// SPDX-License-Identifier: <id>\n`.
+    */
+  val SpdxHeaderRe: String =
+    "^// SPDX-License-Identifier: ([A-Za-z0-9.-]+)\\n"
+
+  /** License-header classification + strip — the code-corpus
+    * compliance projection shared by batch q245 and its streaming
+    * twin: per-row regex only (codegen, stateless, zero shuffle), so
+    * it drains in Append mode unchanged. Emits (idCol, license,
+    * had_header, n_chars_stripped, stripped_md5); docs without a
+    * header pass through with license = 'none' and the md5 of their
+    * unchanged bytes.
+    */
+  def licenseScrub(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .withColumn("__lic", regexp_extract(col(textCol), SpdxHeaderRe, 1))
+      .withColumn("__stripped", regexp_replace(col(textCol), SpdxHeaderRe, ""))
+      .select(col(idCol),
+        when(col("__lic") === "", "none").otherwise(col("__lic"))
+          .as("license"),
+        (col("__lic") =!= "").as("had_header"),
+        (length(col(textCol)) - length(col("__stripped"))).cast("bigint")
+          .as("n_chars_stripped"),
+        md5(col("__stripped")).as("stripped_md5"))
+
   /** Frequent-token downsampling (word2vec's subsample heuristic,
     * Mikolov et al. 2013 §2.3): each token occurrence survives with
     * probability min(1, sqrt(t / f_w)) where f_w is the word's corpus

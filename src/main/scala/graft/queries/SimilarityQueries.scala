@@ -660,6 +660,44 @@ object SimilarityQueries {
           col("p.k").as("kernel_code"), col("p.r").as("ref_code"))
         .filter(col("kernel_code") =!= col("ref_code"))
         .orderBy("vec_id", "subspace")
+    }),
+
+    // ColBERT-style MaxSim late interaction (Khattab & Zaharia 2020):
+    // each 64-dim embedding is read as 4 "token" sub-vectors of 16
+    // dims, and score(q, d) = Σ_i max_j cos(q_i, d_j) — the retrieval
+    // scorer that keeps per-token granularity where single-vector
+    // cosine collapses it. Same shape as q31: the query slice
+    // broadcasts, ONE corpus scan computes all 16 slice cosines inside
+    // codegen (fixed 16 kernel calls per row — constant work, no
+    // explode, no extra shuffle), and the top-k window partitions by
+    // query. The i-sum runs in fixed slice order so the float result
+    // is engine-deterministic (the oracle adds in the same order).
+    "q250_maxsim_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def slices(v: Column): Seq[Column] =
+        (0 until 4).map(i => slice(Similarity.asDouble(v), 16 * i + 1, 16))
+      val q = broadcast(emb(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id") +:
+          slices(col("embedding")).zipWithIndex.map { case (c, i) =>
+            c.as(s"q$i") }: _*))
+      val c = emb(s, dir)
+        .select(col("vec_id").as("neighbor_id") +:
+          slices(col("embedding")).zipWithIndex.map { case (c0, i) =>
+            c0.as(s"c$i") }: _*)
+      val maxsim = (0 until 4).map { i =>
+        greatest((0 until 4).map(j =>
+          Similarity.cosine(col(s"q$i"), col(s"c$j"))): _*)
+      }.reduceLeft(_ + _)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("maxsim").desc, col("neighbor_id").asc)
+      q.crossJoin(c)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("maxsim", maxsim)
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          round(col("maxsim"), 6).as("maxsim"))
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -1034,6 +1072,46 @@ object SimilarityQueries {
         |       FROM e a JOIN e b
         |         ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(sim, 6) AS sim
-        |FROM p WHERE sim >= 0.35 ORDER BY 1,2""".stripMargin
+        |FROM p WHERE sim >= 0.35 ORDER BY 1,2""".stripMargin,
+    // MaxSim restated with explicit 16-dim slices; GREATEST is exact
+    // and the four guarded sums add in the same slice order as the
+    // engine, so the doubles agree bit-for-bit before the ROUND.
+    "q250_maxsim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    CAST(embedding[1:16] AS DOUBLE[]) AS q0,
+        |    CAST(embedding[17:32] AS DOUBLE[]) AS q1,
+        |    CAST(embedding[33:48] AS DOUBLE[]) AS q2,
+        |    CAST(embedding[49:64] AS DOUBLE[]) AS q3
+        |  FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS neighbor_id,
+        |    CAST(embedding[1:16] AS DOUBLE[]) AS c0,
+        |    CAST(embedding[17:32] AS DOUBLE[]) AS c1,
+        |    CAST(embedding[33:48] AS DOUBLE[]) AS c2,
+        |    CAST(embedding[49:64] AS DOUBLE[]) AS c3
+        |  FROM embeddings),
+        | s AS (SELECT query_id, neighbor_id,
+        |    GREATEST(list_cosine_similarity(q0, c0),
+        |      list_cosine_similarity(q0, c1),
+        |      list_cosine_similarity(q0, c2),
+        |      list_cosine_similarity(q0, c3))
+        |    + GREATEST(list_cosine_similarity(q1, c0),
+        |      list_cosine_similarity(q1, c1),
+        |      list_cosine_similarity(q1, c2),
+        |      list_cosine_similarity(q1, c3))
+        |    + GREATEST(list_cosine_similarity(q2, c0),
+        |      list_cosine_similarity(q2, c1),
+        |      list_cosine_similarity(q2, c2),
+        |      list_cosine_similarity(q2, c3))
+        |    + GREATEST(list_cosine_similarity(q3, c0),
+        |      list_cosine_similarity(q3, c1),
+        |      list_cosine_similarity(q3, c2),
+        |      list_cosine_similarity(q3, c3)) AS maxsim
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        | r AS (SELECT query_id, neighbor_id, maxsim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY maxsim DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT query_id, rnk, neighbor_id, ROUND(maxsim, 6) AS maxsim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   )
 }

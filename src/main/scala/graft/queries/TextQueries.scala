@@ -45,6 +45,19 @@ object TextQueries {
   private[queries] def docHash(id: Column): Column =
     pmod(id * lit(2654435761L), lit(4294967296L))
 
+  /** Deterministic SPDX-header fixture shared by q245 and its
+    * streaming twin q249 (one definition so the batch plant, the
+    * stream plant, and the DuckDB mirror cannot drift): doc_id % 7 = 0
+    * gets a header, MIT/Apache-2.0 alternating by doc_id div 7.
+    */
+  private[graft] def plantSpdxHeaders(df: DataFrame): DataFrame =
+    df.filter(col("text").isNotNull)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(lit("// SPDX-License-Identifier: "),
+          when(expr("(doc_id div 7) % 2") === 0, "MIT")
+            .otherwise("Apache-2.0"),
+          lit("\n"), col("text"))).otherwise(col("text")))
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "es" -> Seq("el", "la", "los", "de", "que"),
@@ -2164,25 +2177,18 @@ object TextQueries {
     // byte-identical pattern). strip∘plant is the identity on this
     // corpus, so stripped_md5 doubles as a full inverse gate. Pure
     // per-row regex — one scan, codegen, no shuffle before the sort.
-    "q245_license_scrub" -> ((s, dir) => {
-      val pat = "^// SPDX-License-Identifier: ([A-Za-z0-9.-]+)\\n"
-      val planted = docs(s, dir).filter(col("text").isNotNull)
-        .withColumn("text", when(col("doc_id") % 7 === 0,
-          concat(lit("// SPDX-License-Identifier: "),
-            when(expr("(doc_id div 7) % 2") === 0, "MIT")
-              .otherwise("Apache-2.0"),
-            lit("\n"), col("text"))).otherwise(col("text")))
-      planted
-        .withColumn("lic", regexp_extract(col("text"), pat, 1))
-        .withColumn("stripped", regexp_replace(col("text"), pat, ""))
-        .select(col("doc_id"),
-          when(col("lic") === "", "none").otherwise(col("lic")).as("license"),
-          (col("lic") =!= "").as("had_header"),
-          (length(col("text")) - length(col("stripped"))).cast("bigint")
-            .as("n_chars_stripped"),
-          md5(col("stripped")).as("stripped_md5"))
-        .orderBy("doc_id")
-    }),
+    "q245_license_scrub" -> ((s, dir) =>
+      graft.operators.Scrub.licenseScrub(
+        plantSpdxHeaders(docs(s, dir)), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Streaming twin of q245: the classify+strip is per-row codegen
+    // regex, so the streaming plan is fully stateless (Append mode) —
+    // license compliance at the ingestion door, before a source file
+    // ever lands in the lake. Bounded drain ≡ batch; shares q245's
+    // oracle.
+    "q249_stream_license_scrub" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingLicenseScrub(s, dir)),
 
     // Best-of-n rejection sampling — the RLHF/distillation selector:
     // within each candidate group ("prompt" = doc_id div 8), keep the
@@ -2313,6 +2319,31 @@ object TextQueries {
         |    ELSE CAST(0 AS BIGINT) END) AS n_kept
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared by q245 (batch) and q249 (streaming twin): the SPDX plant,
+    * the Java∩RE2 detection pattern, and the strip, restated in
+    * DuckDB.
+    */
+  private val licenseScrubOracle =
+    """WITH planted AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN '// SPDX-License-Identifier: ' ||
+      |        CASE WHEN (doc_id // 7) % 2 = 0 THEN 'MIT'
+      |          ELSE 'Apache-2.0' END || chr(10) || text
+      |      ELSE text END AS text
+      |  FROM documents WHERE text IS NOT NULL),
+      | x AS (SELECT doc_id, text,
+      |    regexp_extract(text,
+      |      '^// SPDX-License-Identifier: ([A-Za-z0-9.-]+)\n', 1) AS lic,
+      |    regexp_replace(text,
+      |      '^// SPDX-License-Identifier: ([A-Za-z0-9.-]+)\n', '') AS stripped
+      |  FROM planted)
+      |SELECT doc_id,
+      |  CASE WHEN lic = '' THEN 'none' ELSE lic END AS license,
+      |  lic <> '' AS had_header,
+      |  CAST(length(text) - length(stripped) AS BIGINT) AS n_chars_stripped,
+      |  md5(stripped) AS stripped_md5
+      |FROM x ORDER BY doc_id""".stripMargin
 
   private val piiScrubOracle =
     """WITH t AS (SELECT doc_id,
@@ -3404,27 +3435,10 @@ object TextQueries {
         |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin,
     // Same plant, same Java∩RE2 pattern through RE2, same strip; the
     // md5 gates the exact post-strip bytes (= the original text, since
-    // strip∘plant is the identity here).
-    "q245_license_scrub" ->
-      """WITH planted AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0
-        |      THEN '// SPDX-License-Identifier: ' ||
-        |        CASE WHEN (doc_id // 7) % 2 = 0 THEN 'MIT'
-        |          ELSE 'Apache-2.0' END || chr(10) || text
-        |      ELSE text END AS text
-        |  FROM documents WHERE text IS NOT NULL),
-        | x AS (SELECT doc_id, text,
-        |    regexp_extract(text,
-        |      '^// SPDX-License-Identifier: ([A-Za-z0-9.-]+)\n', 1) AS lic,
-        |    regexp_replace(text,
-        |      '^// SPDX-License-Identifier: ([A-Za-z0-9.-]+)\n', '') AS stripped
-        |  FROM planted)
-        |SELECT doc_id,
-        |  CASE WHEN lic = '' THEN 'none' ELSE lic END AS license,
-        |  lic <> '' AS had_header,
-        |  CAST(length(text) - length(stripped) AS BIGINT) AS n_chars_stripped,
-        |  md5(stripped) AS stripped_md5
-        |FROM x ORDER BY doc_id""".stripMargin,
+    // strip∘plant is the identity here). The streaming twin q249
+    // drains to the identical relation on bounded input.
+    "q245_license_scrub" -> licenseScrubOracle,
+    "q249_stream_license_scrub" -> licenseScrubOracle,
     // Per-prompt argmax with the q241 reward, margin from LEAD over
     // the same total order.
     "q247_best_of_n" ->

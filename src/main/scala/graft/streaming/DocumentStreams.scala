@@ -152,6 +152,20 @@ object DocumentStreams {
     * bounded input the drain equals batch `Scrub.piiStats`, whose
     * oracle q185 shares with q104.
     */
+  /** Streaming license scrub — q245's SPDX classify+strip at the
+    * ingestion door: the projection is per-row codegen regex
+    * (`Scrub.licenseScrub`), so the streaming plan is fully stateless
+    * and drains in Append mode — the deployed form is exactly this
+    * plus a sink. Bounded drain ≡ batch q245 (same plant via
+    * `TextQueries.plantSpdxHeaders`, same oracle).
+    */
+  def streamingLicenseScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = graft.queries.TextQueries.plantSpdxHeaders(
+      readDocumentsStream(spark, sfDir))
+    val out = graft.operators.Scrub.licenseScrub(planted, "doc_id", "text")
+    EventStreams.runToMemory(out, OutputMode.Append()).orderBy("doc_id")
+  }
+
   def streamingPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     val planted = readDocumentsStream(spark, sfDir).withColumn("text",
       when(col("doc_id") % 25 === 0,

@@ -60,6 +60,16 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming license scrub drains to the batch q245 relation, " +
+      "non-vacuously") {
+    val got = SparkEntry.queries("q249_stream_license_scrub")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("q245_license_scrub")(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty, "drain must be non-vacuous")
+    assert(got === batch)
+  }
+
   test("streaming LSH dedup drains to the batch twin's kept set") {
     import graft.streaming.DocumentStreams
     import graft.operators.Dedup

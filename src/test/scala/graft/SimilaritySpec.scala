@@ -35,6 +35,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall below 0.9 (|exact|=${exact.size})")
   }
 
+  test("q250 MaxSim: window top-k equals the brute-force late-interaction " +
+      "scorer; MaxSim(q,q) slices to 4.0") {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def maxsim(q: Array[Double], d: Array[Double]): Double =
+      (0 until 4).map { i =>
+        (0 until 4).map { j =>
+          cos(q.slice(16 * i, 16 * i + 16), d.slice(16 * j, 16 * j + 16))
+        }.max
+      }.sum
+    val expected = vecs.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (nid, v) => (nid, maxsim(vecs(qid), v)) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((nid, s), r) =>
+          (qid, r + 1L, nid, math.rint(s * 1e6) / 1e6) }
+    }
+    val got = SparkEntry.queries("q250_maxsim_topk")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) ===
+      expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 2e-6, s"${g._1}/${g._3}") }
+    // identity law: every slice matches itself exactly
+    vecs.keys.take(3).foreach { id =>
+      assert(math.abs(maxsim(vecs(id), vecs(id)) - 4.0) < 1e-9)
+    }
+  }
+
   test("ivfTopK ranks are dense and unique per query") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 10)
