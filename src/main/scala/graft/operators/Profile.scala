@@ -163,6 +163,37 @@ object Profile {
       .orderBy("rank")
   }
 
+  /** k-anonymity release plan over a quasi-identifier CENSUS — the
+    * privacy gate shared by batch q246 and its streaming twin: cells
+    * with n ≥ k release exactly; smaller cells generalize the second
+    * key to '*'; if even the generalized rollup stays under k it
+    * suppresses into the global ('*','*') cell, so no released row
+    * ever describes fewer than k members. The input is already the
+    * (keyA, keyB, n) census (group-sized, NOT row-level), so every
+    * pass here is over a frame bounded by QI cardinality — the one
+    * corpus-scale aggregation happens upstream, once.
+    */
+  def kAnonymityRelease(census: DataFrame, keyA: String, keyB: String,
+      k: Long): DataFrame = {
+    val g = census.select(col(keyA).as("__a"),
+      col(keyB).cast("string").as("__b"), col("n"))
+    val exact = g.filter(col("n") >= k)
+      .select(lit("exact").as("anon_level"), col("__a"), col("__b"),
+        col("n"))
+    val gen = g.filter(col("n") < k)
+      .groupBy("__a").agg(sum("n").as("n"))
+    val genOk = gen.filter(col("n") >= k)
+      .select(lit("generalized").as("anon_level"), col("__a"),
+        lit("*").as("__b"), col("n"))
+    val supp = gen.filter(col("n") < k)
+      .agg(coalesce(sum("n"), lit(0L)).as("n"))
+      .select(lit("suppressed").as("anon_level"), lit("*").as("__a"),
+        lit("*").as("__b"), col("n"))
+      .filter(col("n") > 0)
+    exact.unionByName(genOk).unionByName(supp)
+      .withColumnRenamed("__a", keyA).withColumnRenamed("__b", keyB)
+  }
+
   /** Exact type-7 (linear-interpolation) quantiles per group from a
     * VALUE CENSUS — the scale replacement for `percentile()` /
     * `quantile_cont`, whose aggregation buffer holds EVERY value of

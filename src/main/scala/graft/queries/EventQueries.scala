@@ -517,26 +517,23 @@ object EventQueries {
     // |QI|-sized frame (≤ types×24 rows), so row-level data shuffles
     // exactly once at any scale.
     "q246_k_anonymity" -> ((s, dir) => {
-      val k = 5L
-      val g = Tables.load(s, dir, "events")
-        .select(col("event_type"), hour(col("ts")).cast("bigint").as("hh"))
-        .groupBy("event_type", "hh").agg(count(lit(1)).as("n"))
-      val exact = g.filter(col("n") >= k)
-        .select(lit("exact").as("anon_level"), col("event_type"),
-          col("hh").cast("string").as("hour_key"), col("n"))
-      val gen = g.filter(col("n") < k)
-        .groupBy("event_type").agg(sum("n").as("n"))
-      val genOk = gen.filter(col("n") >= k)
-        .select(lit("generalized").as("anon_level"), col("event_type"),
-          lit("*").as("hour_key"), col("n"))
-      val supp = gen.filter(col("n") < k)
-        .agg(coalesce(sum("n"), lit(0L)).as("n"))
-        .select(lit("suppressed").as("anon_level"),
-          lit("*").as("event_type"), lit("*").as("hour_key"), col("n"))
-        .filter(col("n") > 0)
-      exact.unionByName(genOk).unionByName(supp)
+      val census = Tables.load(s, dir, "events")
+        .select(col("event_type"), hour(col("ts")).cast("bigint").as("hour_key"))
+        .groupBy("event_type", "hour_key").agg(count(lit(1)).as("n"))
+      graft.operators.Profile
+        .kAnonymityRelease(census, "event_type", "hour_key", k = 5L)
         .orderBy("anon_level", "event_type", "hour_key")
-    })
+    }),
+
+    // Streaming twin of q246: the corpus-scale census maintains as a
+    // streaming aggregation (Complete mode — the same QI-sized state a
+    // deployed monitor holds), and the generalize/suppress release
+    // plan applies to each drained census snapshot, exactly how a
+    // privacy dashboard republishes per micro-batch via foreachBatch.
+    // Bounded drain ≡ batch; shares q246's oracle.
+    "q251_stream_k_anonymity" -> ((s, dir) =>
+      EventStreams.streamingKAnonymity(s, dir)
+        .orderBy("anon_level", "event_type", "hour_key"))
   )
 
   /** Shared oracle CTE: per-user 30-min-gap sessions with per-session
@@ -896,22 +893,26 @@ object EventQueries {
     // The k-anonymity contract restated: exact cells at n ≥ 5, the
     // under-k remainder rolled to (type, '*') when that reaches 5,
     // else into the global ('*','*') cell. SUM widenings cast back.
-    "q246_k_anonymity" ->
-      """WITH g AS (SELECT event_type,
-        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hh,
-        |    CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1, 2),
-        | sm AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n
-        |   FROM g WHERE n < 5 GROUP BY 1),
-        | ex AS (SELECT 'exact' AS anon_level, event_type,
-        |    CAST(hh AS VARCHAR) AS hour_key, n FROM g WHERE n >= 5),
-        | gn AS (SELECT 'generalized' AS anon_level, event_type,
-        |    '*' AS hour_key, n FROM sm WHERE n >= 5),
-        | sp AS (SELECT 'suppressed' AS anon_level, '*' AS event_type,
-        |    '*' AS hour_key, CAST(SUM(n) AS BIGINT) AS n
-        |   FROM sm WHERE n < 5 HAVING COUNT(*) > 0)
-        |SELECT * FROM ex UNION ALL SELECT * FROM gn UNION ALL
-        |SELECT * FROM sp
-        |ORDER BY anon_level, event_type, hour_key""".stripMargin
+    // The streaming twin q251 drains to the identical relation.
+    "q246_k_anonymity" -> kAnonymityOracle,
+    "q251_stream_k_anonymity" -> kAnonymityOracle
   )
+
+  private lazy val kAnonymityOracle =
+    """WITH g AS (SELECT event_type,
+      |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hh,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      | sm AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n
+      |   FROM g WHERE n < 5 GROUP BY 1),
+      | ex AS (SELECT 'exact' AS anon_level, event_type,
+      |    CAST(hh AS VARCHAR) AS hour_key, n FROM g WHERE n >= 5),
+      | gn AS (SELECT 'generalized' AS anon_level, event_type,
+      |    '*' AS hour_key, n FROM sm WHERE n >= 5),
+      | sp AS (SELECT 'suppressed' AS anon_level, '*' AS event_type,
+      |    '*' AS hour_key, CAST(SUM(n) AS BIGINT) AS n
+      |   FROM sm WHERE n < 5 HAVING COUNT(*) > 0)
+      |SELECT * FROM ex UNION ALL SELECT * FROM gn UNION ALL
+      |SELECT * FROM sp
+      |ORDER BY anon_level, event_type, hour_key""".stripMargin
 }

@@ -2248,6 +2248,41 @@ object TextQueries {
         .select("source", "distinct_1", "total_1", "distinct_2", "total_2",
           "d1_ppm", "d2_ppm")
         .orderBy("source")
+    }),
+
+    // Anchor-text aggregation — the web-graph op behind every anchor
+    // dataset (and PageRank's text sibling): each document emits 3
+    // hash-derived outlinks carrying its first-3-words anchor, and the
+    // per-target anchor BAG aggregates to (in-degree, unique anchors,
+    // most-frequent anchor with count-desc/lexicographic tiebreak) —
+    // the signal used for target-page titles, query expansion, and
+    // link-spam screens. Row-level data shuffles ONCE, into the
+    // (target, anchor) census; the per-target stats and the top-anchor
+    // pick are window passes over census rows (anchor-bag sized, not
+    // corpus sized). The link fan-out is a map-side sequence explode.
+    "q252_anchor_text" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val n = broadcast(d.agg(count(lit(1)).as("__n")))
+      val links = d.crossJoin(n)
+        .select(col("doc_id"), col("__n"),
+          array_join(slice(words(col("text")), 1, 3), " ").as("anchor"))
+        .withColumn("k", explode(sequence(lit(0L), lit(2L))))
+        .select(((col("doc_id") * 1000003L + col("k") * 7919L + 13L)
+          % col("__n")).as("target_id"), col("anchor"))
+      val census = links.groupBy("target_id", "anchor")
+        .agg(count(lit(1)).as("cnt"))
+      val wg = Window.partitionBy("target_id")
+      val w = Window.partitionBy("target_id")
+        .orderBy(col("cnt").desc, col("anchor").asc)
+      census
+        .withColumn("n_links", sum("cnt").over(wg))
+        .withColumn("n_unique_anchors", count(lit(1)).over(wg).cast("bigint"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("target_id"), col("n_links"), col("n_unique_anchors"),
+          col("anchor").as("top_anchor"), col("cnt").as("top_cnt"))
+        .orderBy("target_id")
     })
   )
 
@@ -3474,6 +3509,29 @@ object TextQueries {
         |SELECT source, distinct_1, total_1, distinct_2, total_2,
         |  CAST(1000000 * distinct_1 // total_1 AS BIGINT) AS d1_ppm,
         |  CAST(1000000 * distinct_2 // total_2 AS BIGINT) AS d2_ppm
-        |FROM a1 JOIN a2 USING (source) ORDER BY source""".stripMargin
+        |FROM a1 JOIN a2 USING (source) ORDER BY source""".stripMargin,
+    // The link rule and anchor bag restated; the top pick uses the
+    // same (cnt DESC, anchor) total order.
+    "q252_anchor_text" ->
+      """WITH d AS (SELECT doc_id,
+        |    array_to_string((string_split(text, ' '))[1:3], ' ') AS anchor
+        |  FROM documents WHERE text IS NOT NULL),
+        | n AS (SELECT COUNT(*) AS n FROM d),
+        | l AS (SELECT (d.doc_id * 1000003 + k.k * 7919 + 13) % n.n
+        |    AS target_id, d.anchor
+        |  FROM d CROSS JOIN n
+        |    CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k),
+        | c AS (SELECT target_id, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM l GROUP BY 1, 2),
+        | r AS (SELECT target_id, anchor, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY target_id) AS BIGINT) AS n_links,
+        |    CAST(COUNT(*) OVER (PARTITION BY target_id) AS BIGINT)
+        |      AS n_unique_anchors,
+        |    ROW_NUMBER() OVER (PARTITION BY target_id
+        |      ORDER BY cnt DESC, anchor) AS rnk
+        |  FROM c)
+        |SELECT CAST(target_id AS BIGINT) AS target_id, n_links,
+        |  n_unique_anchors, anchor AS top_anchor, cnt AS top_cnt
+        |FROM r WHERE rnk = 1 ORDER BY target_id""".stripMargin
   )
 }

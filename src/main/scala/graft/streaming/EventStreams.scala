@@ -45,6 +45,23 @@ object EventStreams {
   /** Tumbling 1-hour event-time window aggregation (complete mode —
     * equals the batch answer on bounded input, which the oracle checks).
     */
+  /** Streaming k-anonymity monitor — q246's release at the door: the
+    * quasi-identifier census runs as a streaming aggregation (Complete
+    * mode; state is QI-sized, ≤ types×24 rows, NOT corpus-sized) and
+    * the generalize/suppress plan applies to the drained snapshot —
+    * the deployed form republishes the release per micro-batch through
+    * foreachBatch. Bounded drain ≡ batch q246 (shared release plan via
+    * `Profile.kAnonymityRelease`, shared oracle).
+    */
+  def streamingKAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val census = readEventsStream(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).cast("bigint").as("hour_key"))
+      .groupBy("event_type", "hour_key").agg(count(lit(1)).as("n"))
+    val drained = runToMemory(census, OutputMode.Complete())
+    graft.operators.Profile
+      .kAnonymityRelease(drained, "event_type", "hour_key", k = 5L)
+  }
+
   def hourlyWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = readEventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")

@@ -70,6 +70,16 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming k-anonymity drains to the batch q246 release, " +
+      "non-vacuously") {
+    val got = SparkEntry.queries("q251_stream_k_anonymity")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("q246_k_anonymity")(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty, "drain must be non-vacuous")
+    assert(got === batch)
+  }
+
   test("streaming LSH dedup drains to the batch twin's kept set") {
     import graft.streaming.DocumentStreams
     import graft.operators.Dedup

@@ -160,6 +160,28 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("q252 anchor text: brute-force link/bag aggregation matches; " +
+      "link conservation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val n = docs.size.toLong
+    val links = docs.flatMap { case (id, t) =>
+      val anchor = t.split(" ", -1).take(3).mkString(" ")
+      (0L to 2L).map(k => ((id * 1000003L + k * 7919L + 13L) % n, anchor))
+    }
+    val expected = links.groupBy(_._1).toSeq.map { case (tgt, as) =>
+      val bag = as.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      val (topAnchor, topCnt) = bag.minBy { case (a, c) => (-c, a) }
+      (tgt, as.size.toLong, bag.size.toLong, topAnchor, topCnt)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q252_anchor_text")(spark, sfDir)
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(got === expected)
+    // every link lands exactly once: in-degrees sum to 3·|docs|
+    assert(got.map(_._2).sum === 3 * n)
+  }
+
   test("Scrub.piiStats: counts each class, redacts byte-exactly, skips clean docs") {
     import graft.operators.Scrub
     val docs = Seq(
