@@ -217,14 +217,8 @@ object TextQueries {
     // a long at 100 TB (DuckDB would auto-promote to HUGEINT; Spark
     // would silently wrap — the sum of logs sidesteps the divergence).
     "q101_pmi_collocations" -> ((s, dir) => {
-      val w = words(col("text"))
       val bi = docs(s, dir)
-        .select(explode(when(size(w) >= 2,
-          transform(sequence(lit(0), size(w) - 2),
-            i => struct(element_at(w, i + 1).as("w1"),
-              element_at(w, i + 2).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-          .as("g"))
+        .select(explode(wordBigramStructs(col("text"))).as("g"))
         .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
       val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("nab"))
         .localCheckpoint(eager = true)
@@ -1145,15 +1139,9 @@ object TextQueries {
     // context-count side is vocabulary-sized (AQE broadcasts it when
     // it fits). One corpus text scan total at any scale.
     "q79_bigram_logprob" -> ((s, dir) => {
-      val w = words(col("text"))
       val bi = docs(s, dir)
         .select(col("doc_id"),
-          explode(when(size(w) >= 2,
-            transform(sequence(lit(0), size(w) - 2),
-              i => struct(element_at(w, i + 1).as("w1"),
-                element_at(w, i + 2).as("w2"))))
-            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-            .as("g"))
+          explode(wordBigramStructs(col("text"))).as("g"))
         .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
         .localCheckpoint(eager = true)
       val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
@@ -1187,15 +1175,9 @@ object TextQueries {
     // training), so c2 ≥ 1 > D and the discount never clips.
     "q235_kn_bigram_logprob" -> ((s, dir) => {
       val D = 0.75
-      val w = words(col("text"))
       val bi = docs(s, dir)
         .select(col("doc_id"),
-          explode(when(size(w) >= 2,
-            transform(sequence(lit(0), size(w) - 2),
-              i => struct(element_at(w, i + 1).as("w1"),
-                element_at(w, i + 2).as("w2"))))
-            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-            .as("g"))
+          explode(wordBigramStructs(col("text"))).as("g"))
         .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
         .localCheckpoint(eager = true)
       val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
@@ -1425,16 +1407,10 @@ object TextQueries {
       // (sketch + exact referee), and the contract is equally binding
       // on any non-vacuous slice — the sketch operator's scale path is
       // exercised by its consumers, not by the referee's fixture size.
-      val terms = {
-        val w = words(col("text"))
-        graft.operators.Checkpoints.cut(
-          docs(s, dir).filter(col("doc_id") % 2 === 0).select(
-            explode(when(size(w) >= 2,
-              transform(sequence(lit(0), size(w) - 2),
-                i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
-              .otherwise(array().cast("array<string>"))).as("term"))
-            .filter(col("term") =!= ""))
-      }
+      val terms = graft.operators.Checkpoints.cut(
+        docs(s, dir).filter(col("doc_id") % 2 === 0).select(
+          explode(wordBigrams(col("text"))).as("term"))
+          .filter(col("term") =!= ""))
       val hh = terms.agg(mg(col("term")).as("hh")).head().getStruct(0)
       val err = hh.getLong(1)
       val items = hh.getSeq[org.apache.spark.sql.Row](0)
@@ -2225,23 +2201,26 @@ object TextQueries {
     // run as a corpus monitor): per source, the ratio of distinct
     // unigrams/bigrams to totals, in exact ppm. A collapsing ratio
     // flags template spam or synthetic-data mode collapse before it
-    // trains in. Two explode→agg passes (gram rows shuffle once each
-    // on (source, gram) for the exact distinct); counts are map-side-
-    // combinable partials and the result frame is source-sized.
+    // trains in. Each n runs census-first — groupBy(source, gram)
+    // count, then a source-keyed rollup of (rows, Σcnt): the census is
+    // map-side combinable so repeated grams collapse before the
+    // exchange, the rollup input is vocabulary-sized, and no Expand
+    // doubles the exploded rows the way a mixed count_distinct+count
+    // aggregate would. The bigram build is `wordBigrams` — see its
+    // Scaladoc for the O(len²) lambda re-split this avoids (measured
+    // 11× on this query's sf1 census).
     "q248_distinct_ngrams" -> ((s, dir) => {
-      val w = words(col("text"))
       val base = docs(s, dir).filter(col("text").isNotNull)
-      val uni = base.select(col("source"), explode(w).as("g"))
-        .groupBy("source")
-        .agg(count_distinct(col("g")).as("distinct_1"),
-          count(lit(1)).as("total_1"))
-      val bi = base.select(col("source"), explode(when(size(w) >= 2,
-          transform(sequence(lit(0), size(w) - 2),
-            i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
-          .otherwise(array().cast("array<string>"))).as("g"))
-        .groupBy("source")
-        .agg(count_distinct(col("g")).as("distinct_2"),
-          count(lit(1)).as("total_2"))
+      def stats(grams: DataFrame, dn: String, tn: String): DataFrame =
+        grams.groupBy("source", "g").agg(count(lit(1)).as("cnt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as(dn), sum("cnt").as(tn))
+      val uni = stats(
+        base.select(col("source"), explode(words(col("text"))).as("g")),
+        "distinct_1", "total_1")
+      val bi = stats(
+        base.select(col("source"), explode(wordBigrams(col("text"))).as("g")),
+        "distinct_2", "total_2")
       uni.join(bi, Seq("source"))
         .withColumn("d1_ppm", expr("(1000000 * distinct_1) div total_1"))
         .withColumn("d2_ppm", expr("(1000000 * distinct_2) div total_2"))

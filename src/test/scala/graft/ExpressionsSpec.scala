@@ -120,6 +120,44 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("wordBigrams / wordBigramStructs / shingles: brute force on edge " +
+      "cases (1 word, 2 words, repeats, empty string, null)") {
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      Some("the quick brown fox"), Some("a b"), Some("solo"),
+      Some("x y x y x"), Some(""), None)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select($"id",
+        TextFunctions.wordBigrams($"text").as("bi"),
+        TextFunctions.wordBigramStructs($"text").as("bs"),
+        TextFunctions.shingles($"text", 3).as("sh"))
+      .orderBy("id").collect()
+    cases.zip(got).foreach { case (t, row) =>
+      t match {
+        case None =>
+          // split(NULL) is NULL → zip_with(NULL,...) is NULL; shingles'
+          // short-doc fallback array(text) makes NULL text [NULL]
+          // (pre-existing contract — size(NULL) = -1 under legacy
+          // sizeOfNull takes the otherwise branch).
+          assert(row.isNullAt(1) && row.isNullAt(2))
+          assert(row.getSeq[String](3) === Seq(null))
+        case Some(s) =>
+          val w = s.split(" ", -1)
+          val expBi = (0 until w.length - 1).map(i => s"${w(i)} ${w(i + 1)}")
+          assert(row.getSeq[String](1) === expBi, s"'$s' bigrams")
+          val expBs = (0 until w.length - 1).map(i => (w(i), w(i + 1)))
+          assert(row.getSeq[org.apache.spark.sql.Row](2)
+            .map(r => (r.getString(0), r.getString(1))) === expBs, s"'$s'")
+          val expSh =
+            if (w.length < 3) Seq(s)
+            else (0 until w.length - 2)
+              .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").distinct
+          assert(row.getSeq[String](3).sorted === expSh.sorted, s"'$s'")
+      }
+    }
+  }
+
   test("MinHashSignature kernel == the transform/array_min formulation") {
     import graft.functions.TextFunctions
     import graft.expressions.TextOps
