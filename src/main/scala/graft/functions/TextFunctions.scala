@@ -35,19 +35,25 @@ object TextFunctions {
       (a, b) => struct(a.as("w1"), b.as("w2")))
   }
 
-  /** Distinct word n-gram shingles; short docs collapse to one shingle.
-    * Built by folding zip_with over n shifted slices (the `wordBigrams`
-    * rationale: no element_at(w, i) inside a lambda, so the split is
-    * never recomputed per element).
+  /** All word n-grams in document order (non-distinct — tf counting
+    * needs the multiplicity); docs shorter than n words yield their
+    * whole text as the single gram, so exact-dup short docs still
+    * pair. Built by folding zip_with over n shifted slices (the
+    * `wordBigrams` rationale: no element_at(w, i) inside a lambda, so
+    * the split is never recomputed per element).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def wordNgrams(text: Column, n: Int): Column = {
     val w = words(text)
     val m = size(w) - (n - 1)
     val grams = (2 to n).foldLeft(slice(w, lit(1), m)) { (acc, k) =>
       zip_with(acc, slice(w, lit(k), m), (a, b) => concat_ws(" ", a, b))
     }
-    array_distinct(when(size(w) >= n, grams).otherwise(array(text)))
+    when(size(w) >= n, grams).otherwise(array(text))
   }
+
+  /** Distinct word n-gram shingles; short docs collapse to one shingle. */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(wordNgrams(text, n))
 
   /** 64-bit hashes of each shingle (xxhash64 — seedless, stable). */
   def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))

@@ -380,11 +380,9 @@ object Similarity {
     // their whole text as a single feature, so exact-dup short docs
     // still pair. NULL text falls through to an array(NULL) whose term
     // the filter drops — the doc simply has no vector, like the oracle.
-    val wArr = split(col("text"), " ")
-    val grams = when(size(wArr) >= n,
-        transform(sequence(lit(0), size(wArr) - n),
-          i => array_join(slice(wArr, i + 1, lit(n)), " ")))
-      .otherwise(array(col("text")))
+    // wordNgrams, NOT slice-per-index-in-lambda: the latter re-splits
+    // the text per element (see the wordBigrams Scaladoc).
+    val grams = graft.functions.TextFunctions.wordNgrams(col("text"), n)
     val tf = base
       .select(col("id"), explode(grams).as("term"))
       .filter(col("term").isNotNull && col("term") =!= "")

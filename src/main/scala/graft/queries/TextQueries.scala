@@ -2229,6 +2229,118 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // UL2 mixture-of-denoisers task assignment (Tay et al. 2022) — the
+    // objective-mix data prep behind UL2/PaLM-2: each doc draws a
+    // denoiser by hash (50% R: short spans at 15%, 25% X: extreme
+    // 16-32-token spans at 1/64 starts, 25% S: prefix-LM masking the
+    // suffix half) and the EXACT mask set materializes per task — the
+    // q240 coverage machinery generalized to a 32-position lookback
+    // with task-conditional rate/length, all parameters hash-derived
+    // from (doc_id, position) so every epoch and engine rebuilds the
+    // identical mask. Per-row HOFs over the token sequence (the
+    // lookback bound is a constant 32): one scan, zero shuffle before
+    // the presentation sort. The order-sensitive mask_hash pins WHICH
+    // tokens mask, not just how many.
+    "q253_ul2_denoiser_mix" -> ((s, dir) => {
+      val P = 1000000007L
+      def h(q: Column): Column = (col("doc_id") * 1000003L + q * 7919L) % P
+      def startsAt(q: Column): Column =
+        when(col("task") === "r", h(q) % 20 < 3)
+          .when(col("task") === "x", h(q) % 64 === 0)
+          .otherwise(lit(false))
+      def lenAt(q: Column): Column =
+        when(col("task") === "r", floor(h(q) / 20).cast("long") % 3 + 1)
+          .otherwise(floor(h(q) / 64).cast("long") % 17 + 16)
+      val wsa = words(col("text"))
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("task",
+          when(docHash(col("doc_id")) % 4 <= 1, "r")
+            .when(docHash(col("doc_id")) % 4 === 2, "x").otherwise("s"))
+        .withColumn("n_tokens", size(wsa).cast("bigint"))
+        .withColumn("cov", transform(sequence(lit(0), size(wsa) - 1),
+          p => when(col("task") === "s",
+            when(p >= col("n_tokens") - expr("n_tokens div 2"), 1L)
+              .otherwise(0L))
+            .otherwise(when(exists(
+              // lookback only as far as the task's max span length
+              // (r: 3, x: 32) — the window drives the per-element HOF
+              // cost, and HOF lambdas run interpreted.
+              sequence(greatest(lit(0),
+                p - when(col("task") === "r", 2L).otherwise(31L)), p),
+              q => startsAt(q) && lenAt(q) > p - q), 1L).otherwise(0L))))
+      d.select(col("doc_id"), col("task"), col("n_tokens"),
+          aggregate(col("cov"), lit(0L), (a, x) => a + x).as("n_masked"),
+          aggregate(sequence(lit(0), col("n_tokens") - 1), lit(0L),
+            (a, p) => when(
+              element_at(col("cov"), (p + 1).cast("int")) === 1,
+              (a * 131L + p) % P).otherwise(a)).as("mask_hash"))
+        .withColumn("mask_ppm", expr("(1000000 * n_masked) div n_tokens"))
+        .select("doc_id", "task", "n_tokens", "n_masked", "mask_ppm",
+          "mask_hash")
+        .orderBy("doc_id")
+    }),
+
+    // Duplicate-aware epoch allocation (Muennighoff et al. 2023,
+    // "Scaling Data-Constrained Language Models"): repeating data is
+    // nearly free for ~4 epochs and decays after, so a doc's epoch
+    // budget shrinks with its duplicate count — singletons train 4
+    // epochs, 2-3-way dups 3, 4-7-way 2, heavier 1 (explicit CASE
+    // thresholds, NOT floor(log2): float log at exact powers of two is
+    // an engine-divergence hazard). Dup counts come from ONE window
+    // over the md5 fingerprint — text never shuffles, no join-back —
+    // and the planted template spam (q162's fixture) gives the decay
+    // real mass. Effective tokens = epochs × tokens is the number the
+    // mixture designer actually budgets.
+    "q254_dup_aware_epochs" -> ((s, dir) => {
+      val wd = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(lit("template boilerplate page variant "),
+            (expr("(doc_id div 10) % 5")).cast("string")))
+          .otherwise(col("text")))
+        .withColumn("fp", md5(col("text")))
+        .withColumn("n_tokens", size(words(col("text"))).cast("bigint"))
+        .withColumn("dup_count", count(lit(1)).over(wd).cast("bigint"))
+        .withColumn("n_epochs",
+          when(col("dup_count") >= 8, 1L)
+            .when(col("dup_count") >= 4, 2L)
+            .when(col("dup_count") >= 2, 3L).otherwise(4L))
+        .select(col("doc_id"), col("dup_count"), col("n_epochs"),
+          col("n_tokens"),
+          (col("n_epochs") * col("n_tokens")).as("effective_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // In-batch duplicate-collision accounting — the contrastive-
+    // training hazard check: retrieval/embedding trainers use other
+    // in-batch examples as negatives, and two near-identical docs in
+    // one batch poison the loss with false negatives. Batches are
+    // hash-assigned (16 of ~corpus/16 docs); per batch, the duplicate
+    // census (batch, fingerprint) → Σ C(k,2) counts colliding pairs
+    // exactly, against the planted template spam. One shuffle into the
+    // census; pair math is closed-form on group sizes — no pair
+    // enumeration, no self-join, so it scales as the census, not the
+    // collisions.
+    "q255_inbatch_collisions" -> ((s, dir) => {
+      val b = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(lit("template boilerplate page variant "),
+            (expr("(doc_id div 10) % 5")).cast("string")))
+          .otherwise(col("text")))
+        .select((docHash(col("doc_id")) % 16).as("batch"),
+          md5(col("text")).as("fp"))
+      b.groupBy("batch", "fp").agg(count(lit(1)).as("k"))
+        .groupBy("batch")
+        .agg(sum("k").as("n_docs"),
+          sum(expr("k * (k - 1) div 2")).as("n_dup_pairs"))
+        .withColumn("collision_ppm",
+          when(col("n_docs") >= 2,
+            expr("(2000000 * n_dup_pairs) div (n_docs * (n_docs - 1))"))
+            .otherwise(0L))
+        .select("batch", "n_docs", "n_dup_pairs", "collision_ppm")
+        .orderBy("batch")
+    }),
+
     // Anchor-text aggregation — the web-graph op behind every anchor
     // dataset (and PageRank's text sibling): each document emits 3
     // hash-derived outlinks carrying its first-3-words anchor, and the
@@ -3489,6 +3601,84 @@ object TextQueries {
         |  CAST(1000000 * distinct_1 // total_1 AS BIGINT) AS d1_ppm,
         |  CAST(1000000 * distinct_2 // total_2 AS BIGINT) AS d2_ppm
         |FROM a1 JOIN a2 USING (source) ORDER BY source""".stripMargin,
+    // The three denoisers restated: r/x coverage via the 32-window
+    // self-join with task-conditional rate/length, s as the suffix-half
+    // predicate, the same ordered fold for the mask hash.
+    "q253_ul2_denoiser_mix" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 4 <= 1 THEN 'r'
+        |      WHEN (doc_id * 2654435761) % 4294967296 % 4 = 2 THEN 'x'
+        |      ELSE 's' END AS task
+        |  FROM documents WHERE text IS NOT NULL),
+        | pp AS (SELECT doc_id, n, task, unnest(range(0, n)) AS p FROM t),
+        | hh AS (SELECT doc_id, n, task, p,
+        |    (doc_id * 1000003 + p * 7919) % 1000000007 AS h FROM pp),
+        | c AS (SELECT a.doc_id, a.n, a.task, a.p,
+        |    MAX(CASE
+        |      WHEN a.task = 'r' AND b.h % 20 < 3
+        |        AND 1 + (b.h // 20) % 3 > a.p - b.p THEN 1
+        |      WHEN a.task = 'x' AND b.h % 64 = 0
+        |        AND 16 + (b.h // 64) % 17 > a.p - b.p THEN 1
+        |      ELSE 0 END) AS covrx
+        |  FROM hh a JOIN hh b ON a.doc_id = b.doc_id
+        |    AND b.p BETWEEN a.p - 31 AND a.p
+        |  GROUP BY 1, 2, 3, 4),
+        | i AS (SELECT doc_id, n, task, p,
+        |    CASE WHEN task = 's'
+        |      THEN CASE WHEN p >= n - n // 2 THEN 1 ELSE 0 END
+        |      ELSE covrx END AS cov
+        |  FROM c)
+        |SELECT doc_id, task, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(cov) AS BIGINT) AS n_masked,
+        |  CAST(1000000 * SUM(cov) // MAX(n) AS BIGINT) AS mask_ppm,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list(p ORDER BY p) FILTER (cov = 1)),
+        |    (a, v) -> (a * 131 + v) % 1000000007) AS BIGINT) AS mask_hash
+        |FROM i GROUP BY doc_id, task ORDER BY doc_id""".stripMargin,
+    // The decay thresholds restated over the same planted dup fixture;
+    // the window count is a plain GROUP-join-free COUNT OVER.
+    "q254_dup_aware_epochs" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN 'template boilerplate page variant ' ||
+        |        CAST((doc_id // 10) % 5 AS VARCHAR)
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        | d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+        |      AS dup_count
+        |  FROM planted)
+        |SELECT doc_id, dup_count,
+        |  CAST(CASE WHEN dup_count >= 8 THEN 1 WHEN dup_count >= 4 THEN 2
+        |    WHEN dup_count >= 2 THEN 3 ELSE 4 END AS BIGINT) AS n_epochs,
+        |  n_tokens,
+        |  CAST(CASE WHEN dup_count >= 8 THEN 1 WHEN dup_count >= 4 THEN 2
+        |    WHEN dup_count >= 2 THEN 3 ELSE 4 END * n_tokens AS BIGINT)
+        |    AS effective_tokens
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // The collision census restated: per (batch, md5) sizes, pair
+    // count closed-form, ppm guarded against singleton batches.
+    "q255_inbatch_collisions" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN 'template boilerplate page variant ' ||
+        |        CAST((doc_id // 10) % 5 AS VARCHAR)
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        | b AS (SELECT (doc_id * 2654435761) % 4294967296 % 16 AS batch,
+        |    md5(text) AS fp FROM planted),
+        | c AS (SELECT batch, fp, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM b GROUP BY 1, 2),
+        | s AS (SELECT CAST(batch AS BIGINT) AS batch,
+        |    CAST(SUM(k) AS BIGINT) AS n_docs,
+        |    CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS n_dup_pairs
+        |  FROM c GROUP BY 1)
+        |SELECT batch, n_docs, n_dup_pairs,
+        |  CAST(CASE WHEN n_docs >= 2
+        |    THEN 2000000 * n_dup_pairs // (n_docs * (n_docs - 1))
+        |    ELSE 0 END AS BIGINT) AS collision_ppm
+        |FROM s ORDER BY batch""".stripMargin,
     // The link rule and anchor bag restated; the top pick uses the
     // same (cnt DESC, anchor) total order.
     "q252_anchor_text" ->

@@ -160,6 +160,82 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("q253 UL2 mix: brute-force masks per task; all three tasks " +
+      "present; s masks exactly the suffix half") {
+    val P = 1000000007L
+    val texts = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val got = SparkEntry.queries("q253_ul2_denoiser_mix")(spark, sfDir)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).toSet === Set("r", "x", "s"))
+    got.foreach { case (id, task, n, nMasked, maskPpm, maskHash) =>
+      val words = texts(id).split(" ", -1)
+      assert(n === words.length.toLong, s"doc $id")
+      def h(q: Int): Long = (id * 1000003L + q * 7919L) % P
+      val cov = (0 until words.length).map { p =>
+        task match {
+          case "s" => p >= words.length - words.length / 2
+          case _ => (math.max(0, p - 31) to p).exists { q =>
+            val starts =
+              if (task == "r") h(q) % 20 < 3 else h(q) % 64 == 0
+            val len =
+              if (task == "r") 1 + (h(q) / 20) % 3 else 16 + (h(q) / 64) % 17
+            starts && len > p - q
+          }
+        }
+      }
+      assert(nMasked === cov.count(identity).toLong, s"doc $id ($task)")
+      assert(maskPpm === 1000000L * nMasked / n, s"doc $id")
+      val mh = cov.zipWithIndex.filter(_._1)
+        .foldLeft(0L)((a, pi) => (a * 131 + pi._2) % P)
+      assert(maskHash === mh, s"doc $id mask positions")
+      if (task == "s") assert(nMasked === n / 2, s"doc $id suffix half")
+    }
+  }
+
+  test("q254 dup-aware epochs: thresholds honored, dup census exact, " +
+      "heavy template gets 1 epoch") {
+    val got = SparkEntry.queries("q254_dup_aware_epochs")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the planted template spam (50 docs over 5 variants at sf0.001)
+    // must hit the >= 8 bucket; untouched unique docs get 4 epochs
+    assert(got.filter(_._1 % 10 == 0).forall(r => r._2 >= 8 && r._3 == 1L))
+    got.foreach { case (id, dup, epochs, nTok, eff) =>
+      val exp = if (dup >= 8) 1L else if (dup >= 4) 2L
+        else if (dup >= 2) 3L else 4L
+      assert(epochs === exp, s"doc $id")
+      assert(eff === epochs * nTok, s"doc $id")
+    }
+    // dup census sums back to the corpus: group sizes × members
+    val byDup = got.groupBy(_._2)
+    byDup.foreach { case (d, rs) =>
+      assert(rs.size % d == 0 || d == 1L,
+        s"dup_count $d inconsistent with member count ${rs.size}")
+    }
+  }
+
+  test("q255 in-batch collisions: closed-form pair math equals " +
+      "enumeration; conservation") {
+    val got = SparkEntry.queries("q255_inbatch_collisions")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) =>
+        val text = if (id % 10 == 0)
+          s"template boilerplate page variant ${(id / 10) % 5}" else t
+        ((id * 2654435761L) % 4294967296L % 16, text)
+      }
+    assert(got.map(_._2).sum === docs.size.toLong)
+    val expected = docs.groupBy(_._1).toSeq.map { case (b, ds) =>
+      val pairs = ds.combinations(2).count(p => p(0)._2 == p(1)._2).toLong
+      (b, ds.size.toLong, pairs)
+    }.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3)) === expected)
+    assert(got.exists(_._3 > 0), "planted dups must collide somewhere")
+  }
+
   test("q252 anchor text: brute-force link/bag aggregation matches; " +
       "link conservation") {
     val docs = Tables.load(spark, sfDir, "documents")
