@@ -2341,6 +2341,67 @@ object TextQueries {
         .orderBy("batch")
     }),
 
+    // BERT-style MLM masking with the 80/10/10 rule (Devlin et al.
+    // 2018): 15% of positions mask (h % 20 < 3), and a masked position
+    // becomes [MASK] (80%), a deterministic "random" same-doc token
+    // (10%), or stays itself (10%) — every decision hash-derived from
+    // (doc_id, position), so epochs and engines rebuild the identical
+    // corruption. Completes the objective-prep family (CLM packing,
+    // span corruption q240, FIM q243, UL2 q253). The token array
+    // materializes ONCE per row as a column and every lambda indexes
+    // that attribute — never a split inside a lambda (the wordBigrams
+    // hazard). One scan, zero shuffle before the sort; out_md5 pins
+    // the exact corrupted bytes, decision_hash the per-position rule.
+    "q256_mlm_masking" -> ((s, dir) => {
+      val P = 1000000007L
+      def h(p: Column): Column =
+        (col("doc_id") * 1000003L + p * 7919L + 31L) % P
+      // class codes: 0 = unmasked, 1 = [MASK], 2 = random, 3 = keep
+      def clsAt(p: Column): Column =
+        when(h(p) % 20 >= 3, 0L)
+          .when(floor(h(p) / 20).cast("long") % 10 < 8, 1L)
+          .when(floor(h(p) / 20).cast("long") % 10 === 8, 2L)
+          .otherwise(3L)
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("w", words(col("text")))
+        .withColumn("n", size(col("w")).cast("bigint"))
+        .withColumn("cls", transform(sequence(lit(0), size(col("w")) - 1),
+          p => clsAt(p)))
+        .withColumn("rendered", array_join(
+          transform(sequence(lit(0), size(col("w")) - 1), p => {
+            val c = element_at(col("cls"), (p + 1).cast("int"))
+            when(c === 1L, lit("[MASK]"))
+              .when(c === 2L, element_at(col("w"),
+                (floor(h(p) / 200).cast("long") % col("n") + 1).cast("int")))
+              .otherwise(element_at(col("w"), (p + 1).cast("int")))
+          }), " "))
+      d.select(col("doc_id"), col("n").as("n_tokens"),
+          aggregate(col("cls"), lit(0L),
+            (a, c) => a + when(c > 0, 1L).otherwise(0L)).as("n_masked"),
+          aggregate(col("cls"), lit(0L),
+            (a, c) => a + when(c === 1L, 1L).otherwise(0L)).as("n_mask_tok"),
+          aggregate(col("cls"), lit(0L),
+            (a, c) => a + when(c === 2L, 1L).otherwise(0L)).as("n_random"),
+          aggregate(col("cls"), lit(0L),
+            (a, c) => a + when(c === 3L, 1L).otherwise(0L)).as("n_keep"),
+          aggregate(sequence(lit(0), col("n") - 1), lit(0L),
+            (a, p) => when(
+              element_at(col("cls"), (p + 1).cast("int")) > 0,
+              (a * 131L + (p * 4L
+                + element_at(col("cls"), (p + 1).cast("int")))) % P)
+              .otherwise(a)).as("decision_hash"),
+          md5(col("rendered")).as("out_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Streaming twin of q248: the per-(source, gram) census maintains
+    // as a streaming aggregation (Complete mode — vocabulary-sized
+    // state, the monitor a corpus-intake dashboard actually holds) and
+    // the source-level distinct/total rollup computes on each drained
+    // snapshot. Bounded drain ≡ batch; shares q248's oracle.
+    "q257_stream_distinct_ngrams" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingDistinctNgrams(s, dir)),
+
     // Anchor-text aggregation — the web-graph op behind every anchor
     // dataset (and PageRank's text sibling): each document emits 3
     // hash-derived outlinks carrying its first-3-words anchor, and the
@@ -2445,6 +2506,25 @@ object TextQueries {
         |    ELSE CAST(0 AS BIGINT) END) AS n_kept
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared by q248 (batch) and q257 (streaming twin): per-source
+    * distinct/total unigram and bigram ratios.
+    */
+  private val distinctNgramsOracle =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      | u AS (SELECT source, unnest(w) AS g FROM t),
+      | a1 AS (SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_1,
+      |    CAST(COUNT(*) AS BIGINT) AS total_1 FROM u GROUP BY 1),
+      | b AS (SELECT source, unnest(list_transform(range(len(w) - 1),
+      |        i -> w[i+1] || ' ' || w[i+2])) AS g
+      |      FROM t WHERE len(w) >= 2),
+      | a2 AS (SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_2,
+      |    CAST(COUNT(*) AS BIGINT) AS total_2 FROM b GROUP BY 1)
+      |SELECT source, distinct_1, total_1, distinct_2, total_2,
+      |  CAST(1000000 * distinct_1 // total_1 AS BIGINT) AS d1_ppm,
+      |  CAST(1000000 * distinct_2 // total_2 AS BIGINT) AS d2_ppm
+      |FROM a1 JOIN a2 USING (source) ORDER BY source""".stripMargin
 
   /** Shared by q245 (batch) and q249 (streaming twin): the SPDX plant,
     * the Java∩RE2 detection pattern, and the strip, restated in
@@ -3585,22 +3665,47 @@ object TextQueries {
          |  CAST(n AS BIGINT) AS n_cands
          |FROM r WHERE rnk = 1 ORDER BY prompt_id""".stripMargin,
     // Distinct/total n-gram ratios per source; the bigram build is
-    // q101's list-lambda construction joined with a space.
-    "q248_distinct_ngrams" ->
-      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+    // q101's list-lambda construction joined with a space. The
+    // streaming twin q257 drains to the identical relation.
+    "q248_distinct_ngrams" -> distinctNgramsOracle,
+    "q257_stream_distinct_ngrams" -> distinctNgramsOracle,
+    // The 80/10/10 rule restated: same per-position hash, same class
+    // codes, the corrupted sequence rebuilt with list indexing and
+    // md5'd, the decision fold in ascending position order.
+    "q256_mlm_masking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         |  FROM documents WHERE text IS NOT NULL),
-        | u AS (SELECT source, unnest(w) AS g FROM t),
-        | a1 AS (SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_1,
-        |    CAST(COUNT(*) AS BIGINT) AS total_1 FROM u GROUP BY 1),
-        | b AS (SELECT source, unnest(list_transform(range(len(w) - 1),
-        |        i -> w[i+1] || ' ' || w[i+2])) AS g
-        |      FROM t WHERE len(w) >= 2),
-        | a2 AS (SELECT source, CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_2,
-        |    CAST(COUNT(*) AS BIGINT) AS total_2 FROM b GROUP BY 1)
-        |SELECT source, distinct_1, total_1, distinct_2, total_2,
-        |  CAST(1000000 * distinct_1 // total_1 AS BIGINT) AS d1_ppm,
-        |  CAST(1000000 * distinct_2 // total_2 AS BIGINT) AS d2_ppm
-        |FROM a1 JOIN a2 USING (source) ORDER BY source""".stripMargin,
+        | m AS (SELECT doc_id, w, n,
+        |    list_transform(range(0, n), p -> CASE
+        |      WHEN (doc_id * 1000003 + p * 7919 + 31) % 1000000007 % 20 >= 3
+        |        THEN 0
+        |      WHEN ((doc_id * 1000003 + p * 7919 + 31) % 1000000007 // 20)
+        |        % 10 < 8 THEN 1
+        |      WHEN ((doc_id * 1000003 + p * 7919 + 31) % 1000000007 // 20)
+        |        % 10 = 8 THEN 2
+        |      ELSE 3 END) AS cls
+        |  FROM t),
+        | r AS (SELECT doc_id, n, cls,
+        |    array_to_string(list_transform(range(0, n), p -> CASE
+        |      WHEN cls[p + 1] = 1 THEN '[MASK]'
+        |      WHEN cls[p + 1] = 2 THEN w[CAST(
+        |        ((doc_id * 1000003 + p * 7919 + 31) % 1000000007 // 200) % n
+        |        + 1 AS BIGINT)]
+        |      ELSE w[p + 1] END), ' ') AS rendered
+        |  FROM m)
+        |SELECT doc_id, n AS n_tokens,
+        |  CAST(len(list_filter(cls, c -> c > 0)) AS BIGINT) AS n_masked,
+        |  CAST(len(list_filter(cls, c -> c = 1)) AS BIGINT) AS n_mask_tok,
+        |  CAST(len(list_filter(cls, c -> c = 2)) AS BIGINT) AS n_random,
+        |  CAST(len(list_filter(cls, c -> c = 3)) AS BIGINT) AS n_keep,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(range(0, n), p -> cls[p + 1] > 0),
+        |        p -> CAST(p * 4 + cls[p + 1] AS BIGINT))),
+        |    (a, v) -> (a * 131 + v) % 1000000007) AS BIGINT)
+        |    AS decision_hash,
+        |  md5(rendered) AS out_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     // The three denoisers restated: r/x coverage via the 32-window
     // self-join with task-conditional rate/length, s as the suffix-half
     // predicate, the same ordered fold for the mask hash.

@@ -152,6 +152,35 @@ object DocumentStreams {
     * bounded input the drain equals batch `Scrub.piiStats`, whose
     * oracle q185 shares with q104.
     */
+  /** Streaming distinct-n diversity monitor — q248's census legs run
+    * as Complete-mode streaming aggregations (state is the per-source
+    * gram vocabulary, exactly what an intake dashboard holds) with the
+    * source-level distinct/total rollup computed on each drained
+    * snapshot. Bounded drain ≡ batch q248 (same gram builders, same
+    * oracle).
+    */
+  def streamingDistinctNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.{wordBigrams, words}
+    def census(grams: DataFrame): DataFrame =
+      EventStreams.runToMemory(
+        grams.groupBy("source", "g").agg(count(lit(1)).as("cnt")),
+        OutputMode.Complete())
+    def leg(gram: org.apache.spark.sql.Column, dn: String,
+        tn: String): DataFrame =
+      census(readDocumentsStream(spark, sfDir)
+        .filter(col("text").isNotNull)
+        .select(col("source"), explode(gram).as("g")))
+        .groupBy("source").agg(count(lit(1)).as(dn), sum("cnt").as(tn))
+    leg(words(col("text")), "distinct_1", "total_1")
+      .join(leg(wordBigrams(col("text")), "distinct_2", "total_2"),
+        Seq("source"))
+      .withColumn("d1_ppm", expr("(1000000 * distinct_1) div total_1"))
+      .withColumn("d2_ppm", expr("(1000000 * distinct_2) div total_2"))
+      .select("source", "distinct_1", "total_1", "distinct_2", "total_2",
+        "d1_ppm", "d2_ppm")
+      .orderBy("source")
+  }
+
   /** Streaming license scrub — q245's SPDX classify+strip at the
     * ingestion door: the projection is per-row codegen regex
     * (`Scrub.licenseScrub`), so the streaming plan is fully stateless

@@ -70,6 +70,16 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming distinct-n monitor drains to the batch q248 relation, " +
+      "non-vacuously") {
+    val got = SparkEntry.queries("q257_stream_distinct_ngrams")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("q248_distinct_ngrams")(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty, "drain must be non-vacuous")
+    assert(got === batch)
+  }
+
   test("streaming k-anonymity drains to the batch q246 release, " +
       "non-vacuously") {
     val got = SparkEntry.queries("q251_stream_k_anonymity")(spark, sfDir)

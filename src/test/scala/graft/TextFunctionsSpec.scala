@@ -236,6 +236,49 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "planted dups must collide somewhere")
   }
 
+  test("q256 MLM masking: brute-force 80/10/10 decisions, counts, " +
+      "decision hash, and corrupted bytes") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val P = 1000000007L
+    val texts = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val got = SparkEntry.queries("q256_mlm_masking")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSeq
+    assert(got.map(_._1).toSet === texts.keySet)
+    got.foreach { case (id, n, nM, nMt, nR, nK, dh, outMd5) =>
+      val w = texts(id).split(" ", -1)
+      assert(n === w.length.toLong)
+      def h(p: Int): Long = (id * 1000003L + p * 7919L + 31L) % P
+      val cls = (0 until w.length).map { p =>
+        if (h(p) % 20 >= 3) 0
+        else if ((h(p) / 20) % 10 < 8) 1
+        else if ((h(p) / 20) % 10 == 8) 2 else 3
+      }
+      assert(nM === cls.count(_ > 0).toLong, s"doc $id")
+      assert(nMt === cls.count(_ == 1).toLong, s"doc $id")
+      assert(nR === cls.count(_ == 2).toLong, s"doc $id")
+      assert(nK === cls.count(_ == 3).toLong, s"doc $id")
+      val expDh = cls.zipWithIndex.filter(_._1 > 0)
+        .foldLeft(0L)((a, ci) => (a * 131 + (ci._2 * 4L + ci._1)) % P)
+      assert(dh === expDh, s"doc $id decisions")
+      val rendered = (0 until w.length).map { p =>
+        cls(p) match {
+          case 1 => "[MASK]"
+          case 2 => w(((h(p) / 200) % w.length).toInt)
+          case _ => w(p)
+        }
+      }.mkString(" ")
+      assert(outMd5 === md5hex(rendered), s"doc $id corrupted bytes")
+    }
+    // mask rate lands near 15% corpus-wide
+    val rate = got.map(_._3).sum.toDouble / got.map(_._2).sum
+    assert(rate > 0.12 && rate < 0.18, s"mask rate $rate")
+  }
+
   test("q252 anchor text: brute-force link/bag aggregation matches; " +
       "link conservation") {
     val docs = Tables.load(spark, sfDir, "documents")
