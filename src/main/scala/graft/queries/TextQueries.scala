@@ -2394,6 +2394,56 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming twin of q247: best-of-n as a streaming aggregation —
+    // a bounded TopKAggregator(2) per prompt carries the winner AND
+    // the runner-up the margin needs (map-side-combinable partials,
+    // 16 bytes of state per group in Complete mode). The reward
+    // expression is passed in so both twins score identically.
+    // Bounded drain ≡ batch; shares q247's oracle.
+    "q258_stream_best_of_n" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingBestOfN(s, dir,
+        lit(1000L) * markerHits(col("text"), markers.head._2).cast("bigint")
+          + size(words(col("text"))).cast("bigint"))),
+
+    // Incremental anchor-census maintenance — q252 under daily-batch
+    // arrival (the q166 mergeKmvTables discipline): the standing
+    // (target, anchor, cnt) census merges with the new batch's census
+    // by pointwise count addition — history TEXT is never re-read; the
+    // merge is census-sized — and the release (in-degree, unique
+    // anchors, top anchor) recomputes from the merged census alone.
+    // The gate is bit-identity with the from-scratch q252 relation
+    // (shared oracle), which is exactly the law an incremental
+    // maintainer must satisfy. Link-target hashing uses the FULL
+    // corpus size on both paths (targets are defined over the whole
+    // id space, not per batch).
+    "q259_anchor_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val n = broadcast(d.agg(count(lit(1)).as("__n")))
+      def census(part: DataFrame): DataFrame = part.crossJoin(n)
+        .select(col("doc_id"), col("__n"),
+          array_join(slice(words(col("text")), 1, 3), " ").as("anchor"))
+        .withColumn("k", explode(sequence(lit(0L), lit(2L))))
+        .select(((col("doc_id") * 1000003L + col("k") * 7919L + 13L)
+          % col("__n")).as("target_id"), col("anchor"))
+        .groupBy("target_id", "anchor").agg(count(lit(1)).as("cnt"))
+      val current = census(d.filter(col("doc_id") % 5 =!= 0))
+      val delta = census(d.filter(col("doc_id") % 5 === 0))
+      val merged = current.unionByName(delta)
+        .groupBy("target_id", "anchor").agg(sum("cnt").as("cnt"))
+      val wg = Window.partitionBy("target_id")
+      val w = Window.partitionBy("target_id")
+        .orderBy(col("cnt").desc, col("anchor").asc)
+      merged
+        .withColumn("n_links", sum("cnt").over(wg))
+        .withColumn("n_unique_anchors", count(lit(1)).over(wg).cast("bigint"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("target_id"), col("n_links"), col("n_unique_anchors"),
+          col("anchor").as("top_anchor"), col("cnt").as("top_cnt"))
+        .orderBy("target_id")
+    }),
+
     // Streaming twin of q248: the per-(source, gram) census maintains
     // as a streaming aggregation (Complete mode — vocabulary-sized
     // state, the monitor a corpus-intake dashboard actually holds) and
@@ -2506,6 +2556,52 @@ object TextQueries {
         |    ELSE CAST(0 AS BIGINT) END) AS n_kept
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared by q247 (batch window) and q258 (streaming bounded-heap
+    * twin): per-prompt argmax with runner-up margin.
+    */
+  private lazy val bestOfNOracle =
+    s"""WITH d AS (SELECT doc_id, doc_id // 8 AS prompt_id,
+       |    1000 * ${markerSql("en")}
+       |      + len(string_split(text, ' ')) AS reward
+       |  FROM documents WHERE text IS NOT NULL),
+       | r AS (SELECT prompt_id, doc_id, reward,
+       |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+       |      ORDER BY reward DESC, doc_id) AS rnk,
+       |    LEAD(reward, 1) OVER (PARTITION BY prompt_id
+       |      ORDER BY reward DESC, doc_id) AS ru,
+       |    COUNT(*) OVER (PARTITION BY prompt_id) AS n
+       |  FROM d)
+       |SELECT prompt_id, doc_id AS best_doc,
+       |  CAST(reward AS BIGINT) AS best_reward,
+       |  CAST(COALESCE(reward - ru, 0) AS BIGINT) AS margin,
+       |  CAST(n AS BIGINT) AS n_cands
+       |FROM r WHERE rnk = 1 ORDER BY prompt_id""".stripMargin
+
+  /** Shared by q252 (from-scratch) and q259 (incremental census
+    * merge): the anchor bag release.
+    */
+  private val anchorTextOracle =
+    """WITH d AS (SELECT doc_id,
+      |    array_to_string((string_split(text, ' '))[1:3], ' ') AS anchor
+      |  FROM documents WHERE text IS NOT NULL),
+      | n AS (SELECT COUNT(*) AS n FROM d),
+      | l AS (SELECT (d.doc_id * 1000003 + k.k * 7919 + 13) % n.n
+      |    AS target_id, d.anchor
+      |  FROM d CROSS JOIN n
+      |    CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k),
+      | c AS (SELECT target_id, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM l GROUP BY 1, 2),
+      | r AS (SELECT target_id, anchor, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY target_id) AS BIGINT) AS n_links,
+      |    CAST(COUNT(*) OVER (PARTITION BY target_id) AS BIGINT)
+      |      AS n_unique_anchors,
+      |    ROW_NUMBER() OVER (PARTITION BY target_id
+      |      ORDER BY cnt DESC, anchor) AS rnk
+      |  FROM c)
+      |SELECT CAST(target_id AS BIGINT) AS target_id, n_links,
+      |  n_unique_anchors, anchor AS top_anchor, cnt AS top_cnt
+      |FROM r WHERE rnk = 1 ORDER BY target_id""".stripMargin
 
   /** Shared by q248 (batch) and q257 (streaming twin): per-source
     * distinct/total unigram and bigram ratios.
@@ -3646,24 +3742,10 @@ object TextQueries {
     "q245_license_scrub" -> licenseScrubOracle,
     "q249_stream_license_scrub" -> licenseScrubOracle,
     // Per-prompt argmax with the q241 reward, margin from LEAD over
-    // the same total order.
-    "q247_best_of_n" ->
-      s"""WITH d AS (SELECT doc_id, doc_id // 8 AS prompt_id,
-         |    1000 * ${markerSql("en")}
-         |      + len(string_split(text, ' ')) AS reward
-         |  FROM documents WHERE text IS NOT NULL),
-         | r AS (SELECT prompt_id, doc_id, reward,
-         |    ROW_NUMBER() OVER (PARTITION BY prompt_id
-         |      ORDER BY reward DESC, doc_id) AS rnk,
-         |    LEAD(reward, 1) OVER (PARTITION BY prompt_id
-         |      ORDER BY reward DESC, doc_id) AS ru,
-         |    COUNT(*) OVER (PARTITION BY prompt_id) AS n
-         |  FROM d)
-         |SELECT prompt_id, doc_id AS best_doc,
-         |  CAST(reward AS BIGINT) AS best_reward,
-         |  CAST(COALESCE(reward - ru, 0) AS BIGINT) AS margin,
-         |  CAST(n AS BIGINT) AS n_cands
-         |FROM r WHERE rnk = 1 ORDER BY prompt_id""".stripMargin,
+    // the same total order. The streaming twin q258 drains to the
+    // identical relation.
+    "q247_best_of_n" -> bestOfNOracle,
+    "q258_stream_best_of_n" -> bestOfNOracle,
     // Distinct/total n-gram ratios per source; the bigram build is
     // q101's list-lambda construction joined with a space. The
     // streaming twin q257 drains to the identical relation.
@@ -3785,27 +3867,9 @@ object TextQueries {
         |    ELSE 0 END AS BIGINT) AS collision_ppm
         |FROM s ORDER BY batch""".stripMargin,
     // The link rule and anchor bag restated; the top pick uses the
-    // same (cnt DESC, anchor) total order.
-    "q252_anchor_text" ->
-      """WITH d AS (SELECT doc_id,
-        |    array_to_string((string_split(text, ' '))[1:3], ' ') AS anchor
-        |  FROM documents WHERE text IS NOT NULL),
-        | n AS (SELECT COUNT(*) AS n FROM d),
-        | l AS (SELECT (d.doc_id * 1000003 + k.k * 7919 + 13) % n.n
-        |    AS target_id, d.anchor
-        |  FROM d CROSS JOIN n
-        |    CROSS JOIN (SELECT unnest(range(0, 3)) AS k) k),
-        | c AS (SELECT target_id, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM l GROUP BY 1, 2),
-        | r AS (SELECT target_id, anchor, cnt,
-        |    CAST(SUM(cnt) OVER (PARTITION BY target_id) AS BIGINT) AS n_links,
-        |    CAST(COUNT(*) OVER (PARTITION BY target_id) AS BIGINT)
-        |      AS n_unique_anchors,
-        |    ROW_NUMBER() OVER (PARTITION BY target_id
-        |      ORDER BY cnt DESC, anchor) AS rnk
-        |  FROM c)
-        |SELECT CAST(target_id AS BIGINT) AS target_id, n_links,
-        |  n_unique_anchors, anchor AS top_anchor, cnt AS top_cnt
-        |FROM r WHERE rnk = 1 ORDER BY target_id""".stripMargin
+    // same (cnt DESC, anchor) total order. q259's incremental census
+    // merge must be bit-identical to this from-scratch relation.
+    "q252_anchor_text" -> anchorTextOracle,
+    "q259_anchor_incremental" -> anchorTextOracle
   )
 }

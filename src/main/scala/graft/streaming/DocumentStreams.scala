@@ -181,6 +181,38 @@ object DocumentStreams {
       .orderBy("source")
   }
 
+  /** Streaming best-of-n selection — q247's per-prompt argmax run as a
+    * streaming aggregation: a bounded `TopKAggregator(2)` per prompt
+    * (16 bytes of heap per group, mergeable map-side partials — the
+    * q50 machinery in Complete mode) carries exactly the winner and
+    * the runner-up the margin needs; n_cands rides the same agg. The
+    * reward column is caller-supplied so the batch and stream twins
+    * share one scoring definition. Bounded drain ≡ batch q247 (shared
+    * oracle).
+    */
+  def streamingBestOfN(spark: SparkSession, sfDir: String,
+      reward: org.apache.spark.sql.Column): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKAggregator(2))
+    val agg = readDocumentsStream(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .withColumn("prompt_id", expr("doc_id div 8"))
+      .withColumn("reward", reward)
+      .groupBy("prompt_id")
+      .agg(topk(col("doc_id"), col("reward").cast("double")).as("top"),
+        count(lit(1)).as("n_cands"))
+    EventStreams.runToMemory(agg, OutputMode.Complete())
+      .select(col("prompt_id"),
+        element_at(col("top"), 1).getField("_1").as("best_doc"),
+        element_at(col("top"), 1).getField("_2").cast("bigint")
+          .as("best_reward"),
+        coalesce(element_at(col("top"), 1).getField("_2")
+          - element_at(col("top"), 2).getField("_2"), lit(0.0))
+          .cast("bigint").as("margin"),
+        col("n_cands"))
+      .orderBy("prompt_id")
+  }
+
   /** Streaming license scrub — q245's SPDX classify+strip at the
     * ingestion door: the projection is per-row codegen regex
     * (`Scrub.licenseScrub`), so the streaming plan is fully stateless

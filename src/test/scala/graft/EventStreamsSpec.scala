@@ -80,6 +80,16 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming best-of-n drains to the batch q247 relation, " +
+      "non-vacuously") {
+    val got = SparkEntry.queries("q258_stream_best_of_n")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("q247_best_of_n")(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty, "drain must be non-vacuous")
+    assert(got === batch)
+  }
+
   test("streaming k-anonymity drains to the batch q246 release, " +
       "non-vacuously") {
     val got = SparkEntry.queries("q251_stream_k_anonymity")(spark, sfDir)

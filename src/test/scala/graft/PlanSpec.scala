@@ -729,6 +729,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q250 MaxSim: query slices broadcast, corpus scans once, no " +
+      "CartesianProduct, all 16 cosines in codegen") {
+    val p = planOf("q250_maxsim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the query side must broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "corpus×corpus cartesian would be the scale-killer:\n" + p.take(3000))
+    assert(p.split("Scan parquet", -1).length - 1 === 2,
+      "one corpus scan + one (filtered) query scan:\n" + p.take(2000))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      "MaxSim must stay in the codegen cosine kernel:\n" + p.take(2000))
+  }
+
+  test("q252 anchor text: row-level data shuffles once into the census; " +
+      "stats are census-sized windows") {
+    val p = planOf("q252_anchor_text")
+    assert(p.split("Scan parquet", -1).length - 1 === 2,
+      "docs scan + the 1-row count scan only:\n" + p.take(2000))
+    // hash exchanges: census groupBy + census→window repartition — the
+    // EXPLODED link rows cross exactly the first one; everything else
+    // is the broadcast of the 1-row count and the presentation sort
+    assert(p.split("Exchange hashpartitioning", -1).length - 1 <= 2,
+      "link rows must shuffle once (census), windows run census-side:\n" +
+        p.take(3000))
+    assert(p.split("Exchange rangepartitioning", -1).length - 1 === 1,
+      "one presentation sort:\n" + p.take(3000))
+  }
+
   test("fanout is a no-op on inputs that are already well split") {
     import spark.implicits._
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt

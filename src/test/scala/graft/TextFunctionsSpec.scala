@@ -301,6 +301,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.map(_._2).sum === 3 * n)
   }
 
+  test("q259 incremental anchor census is bit-identical to the " +
+      "from-scratch q252 release") {
+    val inc = SparkEntry.queries("q259_anchor_incremental")(spark, sfDir)
+      .collect().toSeq
+    val scratch = SparkEntry.queries("q252_anchor_text")(spark, sfDir)
+      .collect().toSeq
+    assert(inc.nonEmpty && inc === scratch)
+  }
+
   test("Scrub.piiStats: counts each class, redacts byte-exactly, skips clean docs") {
     import graft.operators.Scrub
     val docs = Seq(
