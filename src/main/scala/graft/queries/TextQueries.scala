@@ -2069,41 +2069,16 @@ object TextQueries {
     // shuffle before the presentation sort, codegen end to end. The
     // md5 pins the exact transformed bytes; the three length columns
     // pin the char-conservation law n_pre + n_mid + n_suf = len(text).
-    "q243_fim_transform" -> ((s, dir) => {
-      val P = 1000000007L
-      val cut = col("len") + 1L
-      val d = docs(s, dir).filter(col("text").isNotNull)
-        .withColumn("len", length(col("text")).cast("bigint"))
-        .withColumn("h1", (col("doc_id") * 1000003L + 17L) % P)
-        .withColumn("h2", (col("doc_id") * 1000003L + 89L) % P)
-        .withColumn("fim", docHash(col("doc_id")) % 2 === 0)
-        .withColumn("lo", least(col("h1") % cut, col("h2") % cut))
-        .withColumn("hi", greatest(col("h1") % cut, col("h2") % cut))
-        // Mode bit from docHash bit 1, NOT h1 parity: h1 = id·1000003+17
-        // stays below P for small ids, so its parity is id's — every
-        // FIM'd (even-id) doc would land in one mode.
-        .withColumn("mode", when(!col("fim"), "none")
-          .when(docHash(col("doc_id")) % 4 === 0, "psm").otherwise("spm"))
-        .withColumn("pre", expr("substring(text, 1, int(lo))"))
-        .withColumn("mid", expr("substring(text, int(lo) + 1, int(hi - lo))"))
-        .withColumn("suf", expr("substring(text, int(hi) + 1)"))
-        .withColumn("rendered", when(col("mode") === "none", col("text"))
-          .when(col("mode") === "psm",
-            concat(lit("<PRE>"), col("pre"), lit("<SUF>"), col("suf"),
-              lit("<MID>"), col("mid")))
-          .otherwise(concat(lit("<PRE><SUF>"), col("suf"), lit("<MID>"),
-            col("pre"), col("mid"))))
-      d.select(col("doc_id"), col("mode"),
-          when(col("mode") === "none", col("len")).otherwise(col("lo"))
-            .as("n_pre"),
-          when(col("mode") === "none", 0L).otherwise(col("hi") - col("lo"))
-            .as("n_mid"),
-          when(col("mode") === "none", 0L).otherwise(col("len") - col("hi"))
-            .as("n_suf"),
-          length(col("rendered")).cast("bigint").as("n_out"),
-          md5(col("rendered")).as("out_md5"))
-        .orderBy("doc_id")
-    }),
+    "q243_fim_transform" -> ((s, dir) =>
+      fimTransform(docs(s, dir)).orderBy("doc_id")),
+
+    // Streaming twin of q243: the FIM rewrite is per-row string
+    // arithmetic, so the streaming plan is fully stateless (Append
+    // mode) — objective prep at the ingestion door. Bounded drain ≡
+    // batch; shares q243's oracle.
+    "q260_stream_fim_transform" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingStatelessDocs(s, dir,
+        fimTransform)),
 
     // Chat-template flattening + loss-mask accounting — the SFT data
     // prep: docs group into 4-turn conversations (conv_id = doc_id/4,
@@ -2352,47 +2327,16 @@ object TextQueries {
     // that attribute — never a split inside a lambda (the wordBigrams
     // hazard). One scan, zero shuffle before the sort; out_md5 pins
     // the exact corrupted bytes, decision_hash the per-position rule.
-    "q256_mlm_masking" -> ((s, dir) => {
-      val P = 1000000007L
-      def h(p: Column): Column =
-        (col("doc_id") * 1000003L + p * 7919L + 31L) % P
-      // class codes: 0 = unmasked, 1 = [MASK], 2 = random, 3 = keep
-      def clsAt(p: Column): Column =
-        when(h(p) % 20 >= 3, 0L)
-          .when(floor(h(p) / 20).cast("long") % 10 < 8, 1L)
-          .when(floor(h(p) / 20).cast("long") % 10 === 8, 2L)
-          .otherwise(3L)
-      val d = docs(s, dir).filter(col("text").isNotNull)
-        .withColumn("w", words(col("text")))
-        .withColumn("n", size(col("w")).cast("bigint"))
-        .withColumn("cls", transform(sequence(lit(0), size(col("w")) - 1),
-          p => clsAt(p)))
-        .withColumn("rendered", array_join(
-          transform(sequence(lit(0), size(col("w")) - 1), p => {
-            val c = element_at(col("cls"), (p + 1).cast("int"))
-            when(c === 1L, lit("[MASK]"))
-              .when(c === 2L, element_at(col("w"),
-                (floor(h(p) / 200).cast("long") % col("n") + 1).cast("int")))
-              .otherwise(element_at(col("w"), (p + 1).cast("int")))
-          }), " "))
-      d.select(col("doc_id"), col("n").as("n_tokens"),
-          aggregate(col("cls"), lit(0L),
-            (a, c) => a + when(c > 0, 1L).otherwise(0L)).as("n_masked"),
-          aggregate(col("cls"), lit(0L),
-            (a, c) => a + when(c === 1L, 1L).otherwise(0L)).as("n_mask_tok"),
-          aggregate(col("cls"), lit(0L),
-            (a, c) => a + when(c === 2L, 1L).otherwise(0L)).as("n_random"),
-          aggregate(col("cls"), lit(0L),
-            (a, c) => a + when(c === 3L, 1L).otherwise(0L)).as("n_keep"),
-          aggregate(sequence(lit(0), col("n") - 1), lit(0L),
-            (a, p) => when(
-              element_at(col("cls"), (p + 1).cast("int")) > 0,
-              (a * 131L + (p * 4L
-                + element_at(col("cls"), (p + 1).cast("int")))) % P)
-              .otherwise(a)).as("decision_hash"),
-          md5(col("rendered")).as("out_md5"))
-        .orderBy("doc_id")
-    }),
+    "q256_mlm_masking" -> ((s, dir) =>
+      mlmMasking(docs(s, dir)).orderBy("doc_id")),
+
+    // Streaming twin of q256: the corruption is per-row column
+    // arithmetic over the materialized token array, so the streaming
+    // plan is fully stateless (Append mode). Bounded drain ≡ batch;
+    // shares q256's oracle.
+    "q261_stream_mlm_masking" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingStatelessDocs(s, dir,
+        mlmMasking)),
 
     // Streaming twin of q247: best-of-n as a streaming aggregation —
     // a bounded TopKAggregator(2) per prompt carries the winner AND
@@ -2557,6 +2501,90 @@ object TextQueries {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
 
+  /** Fill-in-the-middle projection shared by batch q243 and its
+    * streaming twin q260 (per-row string arithmetic, stateless —
+    * streaming-legal as-is). Mode bit from docHash bit 1, NOT h1
+    * parity: h1 = id·1000003+17 stays below P for small ids, so its
+    * parity is id's — every FIM'd (even-id) doc would land in one
+    * mode.
+    */
+  private[graft] val fimTransform: DataFrame => DataFrame = { in =>
+    val P = 1000000007L
+    val cut = col("len") + 1L
+    val d = in.filter(col("text").isNotNull)
+      .withColumn("len", length(col("text")).cast("bigint"))
+      .withColumn("h1", (col("doc_id") * 1000003L + 17L) % P)
+      .withColumn("h2", (col("doc_id") * 1000003L + 89L) % P)
+      .withColumn("fim", docHash(col("doc_id")) % 2 === 0)
+      .withColumn("lo", least(col("h1") % cut, col("h2") % cut))
+      .withColumn("hi", greatest(col("h1") % cut, col("h2") % cut))
+      .withColumn("mode", when(!col("fim"), "none")
+        .when(docHash(col("doc_id")) % 4 === 0, "psm").otherwise("spm"))
+      .withColumn("pre", expr("substring(text, 1, int(lo))"))
+      .withColumn("mid", expr("substring(text, int(lo) + 1, int(hi - lo))"))
+      .withColumn("suf", expr("substring(text, int(hi) + 1)"))
+      .withColumn("rendered", when(col("mode") === "none", col("text"))
+        .when(col("mode") === "psm",
+          concat(lit("<PRE>"), col("pre"), lit("<SUF>"), col("suf"),
+            lit("<MID>"), col("mid")))
+        .otherwise(concat(lit("<PRE><SUF>"), col("suf"), lit("<MID>"),
+          col("pre"), col("mid"))))
+    d.select(col("doc_id"), col("mode"),
+      when(col("mode") === "none", col("len")).otherwise(col("lo"))
+        .as("n_pre"),
+      when(col("mode") === "none", 0L).otherwise(col("hi") - col("lo"))
+        .as("n_mid"),
+      when(col("mode") === "none", 0L).otherwise(col("len") - col("hi"))
+        .as("n_suf"),
+      length(col("rendered")).cast("bigint").as("n_out"),
+      md5(col("rendered")).as("out_md5"))
+  }
+
+  /** MLM 80/10/10 projection shared by batch q256 and its streaming
+    * twin q261 (per-row column arithmetic over the materialized token
+    * array — stateless, streaming-legal as-is). Class codes:
+    * 0 = unmasked, 1 = [MASK], 2 = random, 3 = keep.
+    */
+  private[graft] val mlmMasking: DataFrame => DataFrame = { in =>
+    val P = 1000000007L
+    def h(p: Column): Column =
+      (col("doc_id") * 1000003L + p * 7919L + 31L) % P
+    def clsAt(p: Column): Column =
+      when(h(p) % 20 >= 3, 0L)
+        .when(floor(h(p) / 20).cast("long") % 10 < 8, 1L)
+        .when(floor(h(p) / 20).cast("long") % 10 === 8, 2L)
+        .otherwise(3L)
+    val d = in.filter(col("text").isNotNull)
+      .withColumn("w", words(col("text")))
+      .withColumn("n", size(col("w")).cast("bigint"))
+      .withColumn("cls", transform(sequence(lit(0), size(col("w")) - 1),
+        p => clsAt(p)))
+      .withColumn("rendered", array_join(
+        transform(sequence(lit(0), size(col("w")) - 1), p => {
+          val c = element_at(col("cls"), (p + 1).cast("int"))
+          when(c === 1L, lit("[MASK]"))
+            .when(c === 2L, element_at(col("w"),
+              (floor(h(p) / 200).cast("long") % col("n") + 1).cast("int")))
+            .otherwise(element_at(col("w"), (p + 1).cast("int")))
+        }), " "))
+    d.select(col("doc_id"), col("n").as("n_tokens"),
+      aggregate(col("cls"), lit(0L),
+        (a, c) => a + when(c > 0, 1L).otherwise(0L)).as("n_masked"),
+      aggregate(col("cls"), lit(0L),
+        (a, c) => a + when(c === 1L, 1L).otherwise(0L)).as("n_mask_tok"),
+      aggregate(col("cls"), lit(0L),
+        (a, c) => a + when(c === 2L, 1L).otherwise(0L)).as("n_random"),
+      aggregate(col("cls"), lit(0L),
+        (a, c) => a + when(c === 3L, 1L).otherwise(0L)).as("n_keep"),
+      aggregate(sequence(lit(0), col("n") - 1), lit(0L),
+        (a, p) => when(
+          element_at(col("cls"), (p + 1).cast("int")) > 0,
+          (a * 131L + (p * 4L
+            + element_at(col("cls"), (p + 1).cast("int")))) % P)
+          .otherwise(a)).as("decision_hash"),
+      md5(col("rendered")).as("out_md5"))
+  }
+
   /** Shared by q247 (batch window) and q258 (streaming bounded-heap
     * twin): per-prompt argmax with runner-up margin.
     */
@@ -2577,6 +2605,81 @@ object TextQueries {
        |  CAST(COALESCE(reward - ru, 0) AS BIGINT) AS margin,
        |  CAST(n AS BIGINT) AS n_cands
        |FROM r WHERE rnk = 1 ORDER BY prompt_id""".stripMargin
+
+  /** Shared by q243 (batch) and q260 (streaming twin): the FIM rule
+    * as plain substr arithmetic.
+    */
+  private val fimOracle =
+    """WITH t AS (SELECT doc_id, text,
+      |    CAST(length(text) AS BIGINT) AS len,
+      |    (doc_id * 1000003 + 17) % 1000000007 AS h1,
+      |    (doc_id * 1000003 + 89) % 1000000007 AS h2,
+      |    (doc_id * 2654435761) % 4294967296 % 2 = 0 AS fim
+      |  FROM documents WHERE text IS NOT NULL),
+      | s AS (SELECT doc_id, text, len,
+      |    LEAST(h1 % (len + 1), h2 % (len + 1)) AS lo,
+      |    GREATEST(h1 % (len + 1), h2 % (len + 1)) AS hi,
+      |    CASE WHEN NOT fim THEN 'none'
+      |      WHEN (doc_id * 2654435761) % 4294967296 % 4 = 0 THEN 'psm'
+      |      ELSE 'spm' END AS mode
+      |  FROM t),
+      | r AS (SELECT doc_id, mode, len, lo, hi,
+      |    CASE WHEN mode = 'none' THEN text
+      |      WHEN mode = 'psm' THEN '<PRE>' || substr(text, 1, lo)
+      |        || '<SUF>' || substr(text, hi + 1)
+      |        || '<MID>' || substr(text, lo + 1, hi - lo)
+      |      ELSE '<PRE><SUF>' || substr(text, hi + 1)
+      |        || '<MID>' || substr(text, 1, lo)
+      |        || substr(text, lo + 1, hi - lo) END AS rendered
+      |  FROM s)
+      |SELECT doc_id, mode,
+      |  CAST(CASE WHEN mode = 'none' THEN len ELSE lo END AS BIGINT)
+      |    AS n_pre,
+      |  CAST(CASE WHEN mode = 'none' THEN 0 ELSE hi - lo END AS BIGINT)
+      |    AS n_mid,
+      |  CAST(CASE WHEN mode = 'none' THEN 0 ELSE len - hi END AS BIGINT)
+      |    AS n_suf,
+      |  CAST(length(rendered) AS BIGINT) AS n_out,
+      |  md5(rendered) AS out_md5
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Shared by q256 (batch) and q261 (streaming twin): the 80/10/10
+    * rule with list indexing.
+    */
+  private val mlmOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      | m AS (SELECT doc_id, w, n,
+      |    list_transform(range(0, n), p -> CASE
+      |      WHEN (doc_id * 1000003 + p * 7919 + 31) % 1000000007 % 20 >= 3
+      |        THEN 0
+      |      WHEN ((doc_id * 1000003 + p * 7919 + 31) % 1000000007 // 20)
+      |        % 10 < 8 THEN 1
+      |      WHEN ((doc_id * 1000003 + p * 7919 + 31) % 1000000007 // 20)
+      |        % 10 = 8 THEN 2
+      |      ELSE 3 END) AS cls
+      |  FROM t),
+      | r AS (SELECT doc_id, n, cls,
+      |    array_to_string(list_transform(range(0, n), p -> CASE
+      |      WHEN cls[p + 1] = 1 THEN '[MASK]'
+      |      WHEN cls[p + 1] = 2 THEN w[CAST(
+      |        ((doc_id * 1000003 + p * 7919 + 31) % 1000000007 // 200) % n
+      |        + 1 AS BIGINT)]
+      |      ELSE w[p + 1] END), ' ') AS rendered
+      |  FROM m)
+      |SELECT doc_id, n AS n_tokens,
+      |  CAST(len(list_filter(cls, c -> c > 0)) AS BIGINT) AS n_masked,
+      |  CAST(len(list_filter(cls, c -> c = 1)) AS BIGINT) AS n_mask_tok,
+      |  CAST(len(list_filter(cls, c -> c = 2)) AS BIGINT) AS n_random,
+      |  CAST(len(list_filter(cls, c -> c = 3)) AS BIGINT) AS n_keep,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(range(0, n), p -> cls[p + 1] > 0),
+      |        p -> CAST(p * 4 + cls[p + 1] AS BIGINT))),
+      |    (a, v) -> (a * 131 + v) % 1000000007) AS BIGINT)
+      |    AS decision_hash,
+      |  md5(rendered) AS out_md5
+      |FROM r ORDER BY doc_id""".stripMargin
 
   /** Shared by q252 (from-scratch) and q259 (incremental census
     * merge): the anchor bag release.
@@ -3682,40 +3785,10 @@ object TextQueries {
         |FROM pq""".stripMargin,
     // The FIM rule restated as plain substr arithmetic: same hash
     // split points, same PSM/SPM rendering, md5 over the transformed
-    // bytes. substr is 1-based char-indexed in both engines.
-    "q243_fim_transform" ->
-      """WITH t AS (SELECT doc_id, text,
-        |    CAST(length(text) AS BIGINT) AS len,
-        |    (doc_id * 1000003 + 17) % 1000000007 AS h1,
-        |    (doc_id * 1000003 + 89) % 1000000007 AS h2,
-        |    (doc_id * 2654435761) % 4294967296 % 2 = 0 AS fim
-        |  FROM documents WHERE text IS NOT NULL),
-        | s AS (SELECT doc_id, text, len,
-        |    LEAST(h1 % (len + 1), h2 % (len + 1)) AS lo,
-        |    GREATEST(h1 % (len + 1), h2 % (len + 1)) AS hi,
-        |    CASE WHEN NOT fim THEN 'none'
-        |      WHEN (doc_id * 2654435761) % 4294967296 % 4 = 0 THEN 'psm'
-        |      ELSE 'spm' END AS mode
-        |  FROM t),
-        | r AS (SELECT doc_id, mode, len, lo, hi,
-        |    CASE WHEN mode = 'none' THEN text
-        |      WHEN mode = 'psm' THEN '<PRE>' || substr(text, 1, lo)
-        |        || '<SUF>' || substr(text, hi + 1)
-        |        || '<MID>' || substr(text, lo + 1, hi - lo)
-        |      ELSE '<PRE><SUF>' || substr(text, hi + 1)
-        |        || '<MID>' || substr(text, 1, lo)
-        |        || substr(text, lo + 1, hi - lo) END AS rendered
-        |  FROM s)
-        |SELECT doc_id, mode,
-        |  CAST(CASE WHEN mode = 'none' THEN len ELSE lo END AS BIGINT)
-        |    AS n_pre,
-        |  CAST(CASE WHEN mode = 'none' THEN 0 ELSE hi - lo END AS BIGINT)
-        |    AS n_mid,
-        |  CAST(CASE WHEN mode = 'none' THEN 0 ELSE len - hi END AS BIGINT)
-        |    AS n_suf,
-        |  CAST(length(rendered) AS BIGINT) AS n_out,
-        |  md5(rendered) AS out_md5
-        |FROM r ORDER BY doc_id""".stripMargin,
+    // bytes. substr is 1-based char-indexed in both engines. The
+    // streaming twin q260 drains to the identical relation.
+    "q243_fim_transform" -> fimOracle,
+    "q260_stream_fim_transform" -> fimOracle,
     // The chat template restated with an ordered string_agg; token
     // accounting is words+2 per turn, words+1 of loss per assistant
     // turn.
@@ -3753,41 +3826,10 @@ object TextQueries {
     "q257_stream_distinct_ngrams" -> distinctNgramsOracle,
     // The 80/10/10 rule restated: same per-position hash, same class
     // codes, the corrupted sequence rebuilt with list indexing and
-    // md5'd, the decision fold in ascending position order.
-    "q256_mlm_masking" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-        |  FROM documents WHERE text IS NOT NULL),
-        | m AS (SELECT doc_id, w, n,
-        |    list_transform(range(0, n), p -> CASE
-        |      WHEN (doc_id * 1000003 + p * 7919 + 31) % 1000000007 % 20 >= 3
-        |        THEN 0
-        |      WHEN ((doc_id * 1000003 + p * 7919 + 31) % 1000000007 // 20)
-        |        % 10 < 8 THEN 1
-        |      WHEN ((doc_id * 1000003 + p * 7919 + 31) % 1000000007 // 20)
-        |        % 10 = 8 THEN 2
-        |      ELSE 3 END) AS cls
-        |  FROM t),
-        | r AS (SELECT doc_id, n, cls,
-        |    array_to_string(list_transform(range(0, n), p -> CASE
-        |      WHEN cls[p + 1] = 1 THEN '[MASK]'
-        |      WHEN cls[p + 1] = 2 THEN w[CAST(
-        |        ((doc_id * 1000003 + p * 7919 + 31) % 1000000007 // 200) % n
-        |        + 1 AS BIGINT)]
-        |      ELSE w[p + 1] END), ' ') AS rendered
-        |  FROM m)
-        |SELECT doc_id, n AS n_tokens,
-        |  CAST(len(list_filter(cls, c -> c > 0)) AS BIGINT) AS n_masked,
-        |  CAST(len(list_filter(cls, c -> c = 1)) AS BIGINT) AS n_mask_tok,
-        |  CAST(len(list_filter(cls, c -> c = 2)) AS BIGINT) AS n_random,
-        |  CAST(len(list_filter(cls, c -> c = 3)) AS BIGINT) AS n_keep,
-        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(list_filter(range(0, n), p -> cls[p + 1] > 0),
-        |        p -> CAST(p * 4 + cls[p + 1] AS BIGINT))),
-        |    (a, v) -> (a * 131 + v) % 1000000007) AS BIGINT)
-        |    AS decision_hash,
-        |  md5(rendered) AS out_md5
-        |FROM r ORDER BY doc_id""".stripMargin,
+    // md5'd, the decision fold in ascending position order. The
+    // streaming twin q261 drains to the identical relation.
+    "q256_mlm_masking" -> mlmOracle,
+    "q261_stream_mlm_masking" -> mlmOracle,
     // The three denoisers restated: r/x coverage via the 32-window
     // self-join with task-conditional rate/length, s as the suffix-half
     // predicate, the same ordered fold for the mask hash.

@@ -181,6 +181,19 @@ object DocumentStreams {
       .orderBy("source")
   }
 
+  /** Generic stateless streaming twin: apply a shared per-row
+    * projection (q243's FIM, q256's MLM — any DataFrame => DataFrame
+    * that is pure column arithmetic) to the document stream and drain
+    * in Append mode. The deployed form is exactly projection + sink;
+    * bounded drain ≡ the batch operator by construction, so the twins
+    * share one oracle.
+    */
+  def streamingStatelessDocs(spark: SparkSession, sfDir: String,
+      projection: DataFrame => DataFrame): DataFrame =
+    EventStreams.runToMemory(
+      projection(readDocumentsStream(spark, sfDir)), OutputMode.Append())
+      .orderBy("doc_id")
+
   /** Streaming best-of-n selection — q247's per-prompt argmax run as a
     * streaming aggregation: a bounded `TopKAggregator(2)` per prompt
     * (16 bytes of heap per group, mergeable map-side partials — the

@@ -80,6 +80,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming FIM and MLM twins drain to their batch relations, " +
+      "non-vacuously") {
+    Seq("q260_stream_fim_transform" -> "q243_fim_transform",
+      "q261_stream_mlm_masking" -> "q256_mlm_masking").foreach {
+      case (streamQ, batchQ) =>
+        val got = SparkEntry.queries(streamQ)(spark, sfDir).collect().toSeq
+        val batch = SparkEntry.queries(batchQ)(spark, sfDir).collect().toSeq
+        assert(got.nonEmpty, s"$streamQ drain must be non-vacuous")
+        assert(got === batch, s"$streamQ vs $batchQ")
+    }
+  }
+
   test("streaming best-of-n drains to the batch q247 relation, " +
       "non-vacuously") {
     val got = SparkEntry.queries("q258_stream_best_of_n")(spark, sfDir)
