@@ -162,4 +162,46 @@ object Graphs {
     }
     pr.select(col("node"), round(col("ppr"), 6).as("ppr"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999), a FIXED `iters`
+    * mutual-reinforcement rounds in the EXACT-INTEGER unnormalized
+    * form: hub(u) = Σ_{(u,v)} auth(v), auth(v) = Σ_{(u,v)} hub(u),
+    * initialized at 1. Normalization is a per-round positive constant,
+    * so the RANKING is invariant without it — and dropping it keeps
+    * every score an exact BIGINT (sums of 1s through `iters` rounds;
+    * magnitudes bound by (max degree)^(2·iters), far inside Long for
+    * any real fan-out at iters=2), which lets the oracle take a full
+    * hash gate with zero float-order hazard — the q126 discipline,
+    * hardened. Edge MULTIPLICITY is kept deliberately: a repeat
+    * relationship is a stronger endorsement (multi-edges collapse
+    * upstream if not).
+    *
+    * Scale shape: the edge list is the checkpointed loop invariant;
+    * each half-round is one keyed join of the node-sized score
+    * relation against the edges plus one aggregation, lineage cut per
+    * round — pageRank's exact cost profile.
+    *
+    * Output: (kind 'hub'|'auth', node, score), every node of its side.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).cutLineage
+    // auth_0 = 1 per authority node → hub_1(u) = #edges out of u.
+    var hub = e.groupBy("src").agg(count(lit(1)).as("score")).cutLineage
+    var auth = e.join(hub, Seq("src"))
+      .groupBy("dst").agg(sum("score").as("score")).cutLineage
+    var i = 1
+    while (i < iters) {
+      hub = e.join(auth, Seq("dst"))
+        .groupBy("src").agg(sum("score").as("score")).cutLineage
+      auth = e.join(hub, Seq("src"))
+        .groupBy("dst").agg(sum("score").as("score")).cutLineage
+      i += 1
+    }
+    hub.select(lit("hub").as("kind"), col("src").as("node"), col("score"))
+      .unionByName(auth.select(lit("auth").as("kind"),
+        col("dst").as("node"), col("score")))
+  }
 }

@@ -532,6 +532,26 @@ object RelationalQueries {
     // "find nodes like these seeds" selection primitive. Same fixed-
     // round/unrolled-CTE contract as q126; restart normalizes over
     // seeds ∩ nodes so out-of-graph seeds are inert.
+    // HITS hubs & authorities over the DIRECTED customer→supplier
+    // trading graph (multiplicity kept: repeat trades endorse more
+    // strongly) — the link-analysis complement of q126: PageRank ranks
+    // by received mass, HITS separates good BUYERS (hubs) from good
+    // SELLERS (authorities) by mutual reinforcement. Two exact-integer
+    // rounds (see Graphs.hits: unnormalized scores stay BIGINT, so the
+    // gate is a full hash with zero float-order hazard, unlike any
+    // L2-normalized form). Per round: one keyed join + one agg over
+    // the checkpointed edge invariant — the q126 cost profile.
+    "q262_hits" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val e = o.join(l, "o_orderkey").select("src", "dst")
+      graft.operators.Graphs.hits(e, "src", "dst", iters = 2)
+        .orderBy("kind", "node")
+    }),
+
     "q143_personalized_pagerank" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
@@ -651,6 +671,25 @@ object RelationalQueries {
     // The engine's 5 power-iteration rounds unrolled as CTE layers —
     // identical recurrence (residual + damped mass over out-degree),
     // rounding only at the final projection on both sides.
+    // Two unrolled mutual-reinforcement rounds, all BIGINT (the
+    // unnormalized form — see Graphs.hits).
+    "q262_hits" ->
+      """WITH e AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        | h1 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS s
+        |   FROM e GROUP BY 1),
+        | a1 AS (SELECT e.dst, CAST(SUM(h1.s) AS BIGINT) AS s
+        |   FROM e JOIN h1 USING (src) GROUP BY 1),
+        | h2 AS (SELECT e.src, CAST(SUM(a1.s) AS BIGINT) AS s
+        |   FROM e JOIN a1 USING (dst) GROUP BY 1),
+        | a2 AS (SELECT e.dst, CAST(SUM(h2.s) AS BIGINT) AS s
+        |   FROM e JOIN h2 USING (src) GROUP BY 1)
+        |SELECT 'hub' AS kind, CAST(src AS BIGINT) AS node, s AS score
+        |FROM h2
+        |UNION ALL
+        |SELECT 'auth' AS kind, CAST(dst AS BIGINT) AS node, s AS score
+        |FROM a2
+        |ORDER BY kind, node""".stripMargin,
     "q126_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
         |    l_suppkey * 2 + 1 AS dst

@@ -118,6 +118,27 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("HITS: hand-computed 2-round integer scores; multiplicity " +
+      "endorses; iters guard") {
+    // a(0)→x(1), a(0)→y(3), b(2)→x(1):
+    //  hub1: a=2 b=1;  auth1: x=3 y=2;  hub2: a=5 b=3;  auth2: x=8 y=5
+    val e = Seq((0L, 1L), (0L, 3L), (2L, 1L)).toDF("src", "dst")
+    val out = Graphs.hits(e, "src", "dst", iters = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map(("hub", 0L) -> 5L, ("hub", 2L) -> 3L,
+      ("auth", 1L) -> 8L, ("auth", 3L) -> 5L))
+    // a duplicated edge counts twice (multiplicity is endorsement)
+    val e2 = Seq((0L, 1L), (0L, 1L)).toDF("src", "dst")
+    val out2 = Graphs.hits(e2, "src", "dst", iters = 1)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out2 === Map(("hub", 0L) -> 2L, ("auth", 1L) -> 4L))
+    intercept[IllegalArgumentException] {
+      Graphs.hits(e, "src", "dst", iters = 0)
+    }
+  }
+
   test("duplicate edges collapse; iters must be >= 1") {
     val e = Seq((0L, 1L), (0L, 1L), (1L, 0L)).toDF("src", "dst")
     val out = Graphs.pageRank(e, "src", "dst", iters = 3)
