@@ -532,6 +532,41 @@ object RelationalQueries {
     // "find nodes like these seeds" selection primitive. Same fixed-
     // round/unrolled-CTE contract as q126; restart normalizes over
     // seeds ∩ nodes so out-of-graph seeds are inert.
+    // Market-basket co-purchase lift — the co-occurrence mining op (the
+    // relational analog of q101's PMI): per ORDER basket, distinct
+    // supplier pairs, and lift = P(a,b)/(P(a)·P(b)) in exact ppm
+    // (1e6·n_ab·n_orders div (n_a·n_b)). Baskets are orders, so the
+    // per-basket quadratic is bounded by order width (~items per
+    // order), NOT by customer history — the blocking that keeps
+    // co-occurrence linear-ish at any corpus size; the pair relation
+    // shuffles once into its census. Support floor 5, top-100 by
+    // (lift, a, b) — a total order, so the cut cannot flip.
+    "q263_copurchase_lift" -> ((s, dir) => {
+      val basket = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("supp"))
+        .distinct()
+      val nOrders = broadcast(basket.select("ok").distinct()
+        .agg(count(lit(1)).as("n_orders")))
+      val item = basket.groupBy("supp").agg(count(lit(1)).as("n_item"))
+      val pairs = basket.as("a")
+        .join(basket.as("b"), col("a.ok") === col("b.ok")
+          && col("a.supp") < col("b.supp"))
+        .groupBy(col("a.supp").as("supp_a"), col("b.supp").as("supp_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      pairs
+        .join(broadcast(item.select(col("supp").as("supp_a"),
+          col("n_item").as("n_a"))), Seq("supp_a"))
+        .join(broadcast(item.select(col("supp").as("supp_b"),
+          col("n_item").as("n_b"))), Seq("supp_b"))
+        .crossJoin(nOrders)
+        .withColumn("lift_ppm",
+          expr("(1000000 * n_ab * n_orders) div (n_a * n_b)"))
+        .select("supp_a", "supp_b", "n_ab", "n_a", "n_b", "lift_ppm")
+        .orderBy(col("lift_ppm").desc, col("supp_a"), col("supp_b"))
+        .limit(100)
+    }),
+
     // HITS hubs & authorities over the DIRECTED customer→supplier
     // trading graph (multiplicity kept: repeat trades endorse more
     // strongly) — the link-analysis complement of q126: PageRank ranks
@@ -671,6 +706,26 @@ object RelationalQueries {
     // The engine's 5 power-iteration rounds unrolled as CTE layers —
     // identical recurrence (residual + damped mass over out-degree),
     // rounding only at the final projection on both sides.
+    // Baskets, pair census, lift arithmetic restated; the top-100 cut
+    // uses the same (lift, a, b) total order.
+    "q263_copurchase_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS supp
+        |  FROM lineitem),
+        | n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+        |   FROM b),
+        | it AS (SELECT supp, CAST(COUNT(*) AS BIGINT) AS n_item
+        |   FROM b GROUP BY 1),
+        | p AS (SELECT a.supp AS supp_a, c.supp AS supp_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.supp < c.supp
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT supp_a, supp_b, n_ab,
+        |  ia.n_item AS n_a, ib.n_item AS n_b,
+        |  CAST(1000000 * n_ab * n.n_orders
+        |    // (ia.n_item * ib.n_item) AS BIGINT) AS lift_ppm
+        |FROM p JOIN it ia ON p.supp_a = ia.supp
+        |  JOIN it ib ON p.supp_b = ib.supp CROSS JOIN n
+        |ORDER BY lift_ppm DESC, supp_a, supp_b LIMIT 100""".stripMargin,
     // Two unrolled mutual-reinforcement rounds, all BIGINT (the
     // unnormalized form — see Graphs.hits).
     "q262_hits" ->

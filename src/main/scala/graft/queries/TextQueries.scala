@@ -2396,6 +2396,32 @@ object TextQueries {
     "q257_stream_distinct_ngrams" -> ((s, dir) =>
       graft.streaming.DocumentStreams.streamingDistinctNgrams(s, dir)),
 
+    // Negative-sampling distribution (word2vec, Mikolov et al. 2013
+    // §2.2): sampling weight ∝ cnt^0.75 — the flattened-unigram table
+    // every contrastive/embedding trainer builds. Determinism
+    // engineering: cnt^0.75 computes as (sqrt(sqrt(cnt)))³ — sqrt and
+    // multiply are IEEE-correctly-rounded in BOTH engines (pow is
+    // not), so the weight is bit-identical cross-engine; it then
+    // QUANTIZES to a 1e-3 grid so the normalizing total is an exact
+    // BIGINT sum (order-independent — a float Σ over the vocabulary
+    // would hash-diverge on aggregation order). One census pass;
+    // everything after is vocabulary-sized.
+    "q264_negative_sampling" -> ((s, dir) => {
+      val census = docs(s, dir).filter(col("text").isNotNull)
+        .select(explode(words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val s2 = sqrt(sqrt(col("cnt").cast("double")))
+      val wq = census
+        .withColumn("wq", floor(s2 * s2 * s2 * 1000d).cast("bigint"))
+      val tot = broadcast(wq.agg(sum("wq").as("tot")))
+      wq.crossJoin(tot)
+        .withColumn("w_ppm", expr("(1000000 * wq) div tot"))
+        .select("term", "cnt", "wq", "w_ppm")
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(200)
+    }),
+
     // Anchor-text aggregation — the web-graph op behind every anchor
     // dataset (and PageRank's text sibling): each document emits 3
     // hash-derived outlinks carrying its first-3-words anchor, and the
@@ -3908,6 +3934,25 @@ object TextQueries {
         |    THEN 2000000 * n_dup_pairs // (n_docs * (n_docs - 1))
         |    ELSE 0 END AS BIGINT) AS collision_ppm
         |FROM s ORDER BY batch""".stripMargin,
+    // cnt^0.75 as the same composed-sqrt product (bit-identical in
+    // both engines), same 1e-3 quantization, same integer total.
+    "q264_negative_sampling" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |   FROM toks WHERE term <> '' GROUP BY 1),
+        | w AS (SELECT term, cnt,
+        |    CAST(FLOOR(sqrt(sqrt(CAST(cnt AS DOUBLE)))
+        |      * sqrt(sqrt(CAST(cnt AS DOUBLE)))
+        |      * sqrt(sqrt(CAST(cnt AS DOUBLE))) * 1000) AS BIGINT) AS wq
+        |  FROM c),
+        | t AS (SELECT CAST(SUM(wq) AS BIGINT) AS tot FROM w),
+        | r AS (SELECT term, cnt, wq,
+        |    CAST(1000000 * wq // t.tot AS BIGINT) AS w_ppm,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk
+        |  FROM w CROSS JOIN t)
+        |SELECT term, cnt, wq, w_ppm FROM r WHERE rnk <= 200
+        |ORDER BY cnt DESC, term""".stripMargin,
     // The link rule and anchor bag restated; the top pick uses the
     // same (cnt DESC, anchor) total order. q259's incremental census
     // merge must be bit-identical to this from-scratch relation.

@@ -310,6 +310,43 @@ class TextFunctionsSpec extends SparkSpec {
     assert(inc.nonEmpty && inc === scratch)
   }
 
+  test("q263 co-purchase lift and q264 negative sampling match " +
+      "brute force at sf0.001") {
+    // q263: per-order distinct supplier pairs, lift in exact ppm
+    val basket = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val nOrders = basket.map(_._1).distinct.size.toLong
+    val item = basket.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairCnt = basket.groupBy(_._1).values.flatMap { rows =>
+      val ss = rows.map(_._2).sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.size) yield (ss(i), ss(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected263 = pairCnt.toSeq.collect { case ((a, b), nAb) if nAb >= 5 =>
+      (a, b, nAb, item(a), item(b), 1000000L * nAb * nOrders / (item(a) * item(b)))
+    }.sortBy { case (a, b, _, _, _, lift) => (-lift, a, b) }.take(100)
+    val got263 = SparkEntry.queries("q263_copurchase_lift")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got263 === expected263 && got263.nonEmpty)
+
+    // q264: cnt^0.75 via composed sqrt, 1e-3 grid, integer total
+    val cnts = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select($"text").as[String].collect()
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    def wq(c: Long): Long = {
+      val s2 = math.sqrt(math.sqrt(c.toDouble))
+      math.floor(s2 * s2 * s2 * 1000d).toLong
+    }
+    val tot = cnts.map { case (_, c) => wq(c) }.sum
+    val expected264 = cnts.map { case (t, c) =>
+      (t, c, wq(c), 1000000L * wq(c) / tot) }
+      .sortBy { case (t, c, _, _) => (-c, t) }.take(200)
+    val got264 = SparkEntry.queries("q264_negative_sampling")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got264 === expected264 && got264.nonEmpty)
+  }
+
   test("Scrub.piiStats: counts each class, redacts byte-exactly, skips clean docs") {
     import graft.operators.Scrub
     val docs = Seq(
