@@ -2422,6 +2422,48 @@ object TextQueries {
         .limit(200)
     }),
 
+    // Shuffle-quality audit — did the shard shuffle actually break up
+    // source runs and duplicate adjacency? Training order matters:
+    // consecutive same-source (or near-identical) examples correlate
+    // gradients, and a shuffle that leaves runs is a silent data bug.
+    // Over q106's exact shard layout (multiplicative hash, (hh,
+    // doc_id) order), each shard reports adjacent same-source pairs
+    // and adjacent duplicate-fingerprint pairs (against the planted
+    // template spam) in exact ppm of its adjacencies. One window pass
+    // per shard — shards parallelize; the lag is within-shard only.
+    "q265_shuffle_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(lit("template boilerplate page variant "),
+            (expr("(doc_id div 10) % 5")).cast("string")))
+          .otherwise(col("text")))
+        .withColumn("hh",
+          pmod((col("doc_id") + 7L) * lit(2654435761L), lit(4294967296L)))
+        .withColumn("shard", pmod(col("hh"), lit(8L)))
+        .withColumn("fp", md5(col("text")))
+      val w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+      planted
+        .withColumn("prev_source", lag(col("source"), 1).over(w))
+        .withColumn("prev_fp", lag(col("fp"), 1).over(w))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source") === col("prev_source"), 1L).otherwise(0L))
+            .as("n_adj_same_source"),
+          sum(when(col("fp") === col("prev_fp"), 1L).otherwise(0L))
+            .as("n_adj_dup"))
+        .withColumn("same_source_ppm",
+          when(col("n_docs") >= 2,
+            expr("(1000000 * n_adj_same_source) div (n_docs - 1)"))
+            .otherwise(0L))
+        .withColumn("adj_dup_ppm",
+          when(col("n_docs") >= 2,
+            expr("(1000000 * n_adj_dup) div (n_docs - 1)")).otherwise(0L))
+        .select("shard", "n_docs", "n_adj_same_source", "same_source_ppm",
+          "n_adj_dup", "adj_dup_ppm")
+        .orderBy("shard")
+    }),
+
     // Anchor-text aggregation — the web-graph op behind every anchor
     // dataset (and PageRank's text sibling): each document emits 3
     // hash-derived outlinks carrying its first-3-words anchor, and the
@@ -3934,6 +3976,37 @@ object TextQueries {
         |    THEN 2000000 * n_dup_pairs // (n_docs * (n_docs - 1))
         |    ELSE 0 END AS BIGINT) AS collision_ppm
         |FROM s ORDER BY batch""".stripMargin,
+    // q106's layout restated with LAG per shard; same plant, exact
+    // ppm of adjacencies.
+    "q265_shuffle_quality" ->
+      """WITH planted AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 0
+        |      THEN 'template boilerplate page variant ' ||
+        |        CAST((doc_id // 10) % 5 AS VARCHAR)
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        | h AS (SELECT doc_id, source, md5(text) AS fp,
+        |    ((doc_id + 7) * 2654435761) % 4294967296 AS hh
+        |  FROM planted),
+        | o AS (SELECT CAST(hh % 8 AS BIGINT) AS shard, source, fp,
+        |    LAG(source, 1) OVER (PARTITION BY hh % 8
+        |      ORDER BY hh, doc_id) AS prev_source,
+        |    LAG(fp, 1) OVER (PARTITION BY hh % 8
+        |      ORDER BY hh, doc_id) AS prev_fp
+        |  FROM h)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN source = prev_source THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_adj_same_source,
+        |  CAST(CASE WHEN COUNT(*) >= 2 THEN 1000000 *
+        |      SUM(CASE WHEN source = prev_source THEN 1 ELSE 0 END)
+        |      // (COUNT(*) - 1) ELSE 0 END AS BIGINT)
+        |    AS same_source_ppm,
+        |  CAST(SUM(CASE WHEN fp = prev_fp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_adj_dup,
+        |  CAST(CASE WHEN COUNT(*) >= 2 THEN 1000000 *
+        |      SUM(CASE WHEN fp = prev_fp THEN 1 ELSE 0 END)
+        |      // (COUNT(*) - 1) ELSE 0 END AS BIGINT) AS adj_dup_ppm
+        |FROM o GROUP BY 1 ORDER BY shard""".stripMargin,
     // cnt^0.75 as the same composed-sqrt product (bit-identical in
     // both engines), same 1e-3 quantization, same integer total.
     "q264_negative_sampling" ->
