@@ -2464,6 +2464,37 @@ object TextQueries {
         .orderBy("shard")
     }),
 
+    // Epoch-order displacement audit — do two epochs actually see the
+    // corpus in different orders? A seeded per-epoch permutation
+    // (rank of a salted multiplicative hash) that accidentally
+    // correlates across epochs re-feeds examples in near-identical
+    // order, quietly reintroducing order bias. Each epoch's rank is
+    // the DISTRIBUTED two-phase exactRank (no single sorting reducer —
+    // the q125/q119 machinery with a fresh consumer); the audit bins
+    // |rank₀ − rank₁| into 10 equal-width buckets with exact-integer
+    // stats. Tie order within a hash collision is the doc_id STRING
+    // (exactRank's bin prefix is textual) — mirrored in the oracle.
+    "q266_epoch_order_audit" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      def h(c: Long) =
+        pmod((col("doc_id") + lit(c)) * lit(2654435761L), lit(4294967296L))
+      def ranked(c: Long, name: String): DataFrame =
+        graft.operators.Profile.exactRank(
+          d.withColumn("h", h(c))
+            .withColumn("tie", col("doc_id").cast("string")),
+          "h", "tie", "rnk")
+          .select(col("doc_id"), col("rnk").cast("bigint").as(name))
+      val n = broadcast(d.agg(count(lit(1)).as("n")))
+      ranked(3L, "r0").join(ranked(10L, "r1"), "doc_id")
+        .withColumn("disp", abs(col("r0") - col("r1")))
+        .crossJoin(n)
+        .withColumn("bin", expr("(10 * disp) div n"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("disp").as("sum_disp"),
+          max("disp").as("max_disp"))
+        .orderBy("bin")
+    }),
+
     // Anchor-text aggregation — the web-graph op behind every anchor
     // dataset (and PageRank's text sibling): each document emits 3
     // hash-derived outlinks carrying its first-3-words anchor, and the
@@ -3976,6 +4007,24 @@ object TextQueries {
         |    THEN 2000000 * n_dup_pairs // (n_docs * (n_docs - 1))
         |    ELSE 0 END AS BIGINT) AS collision_ppm
         |FROM s ORDER BY batch""".stripMargin,
+    // Two plain window ranks (the two-phase rank must be
+    // indistinguishable), same string tie, same bins.
+    "q266_epoch_order_audit" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        | r0 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+        |    ((doc_id + 3) * 2654435761) % 4294967296,
+        |    CAST(doc_id AS VARCHAR)) AS r FROM d),
+        | r1 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+        |    ((doc_id + 10) * 2654435761) % 4294967296,
+        |    CAST(doc_id AS VARCHAR)) AS r FROM d),
+        | n AS (SELECT COUNT(*) AS n FROM d),
+        | j AS (SELECT d.doc_id, ABS(r0.r - r1.r) AS disp
+        |   FROM d JOIN r0 USING (doc_id) JOIN r1 USING (doc_id))
+        |SELECT CAST((10 * disp) // n.n AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(disp) AS BIGINT) AS sum_disp,
+        |  CAST(MAX(disp) AS BIGINT) AS max_disp
+        |FROM j CROSS JOIN n GROUP BY 1 ORDER BY bin""".stripMargin,
     // q106's layout restated with LAG per shard; same plant, exact
     // ppm of adjacencies.
     "q265_shuffle_quality" ->
