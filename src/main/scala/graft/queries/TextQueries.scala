@@ -2495,6 +2495,39 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // Contrastive two-crop pairs (SimCSE/CLIP-text style augmentation):
+    // each doc yields two hash-derived character crops of half its
+    // length — the positive pair a contrastive pretrainer feeds — and
+    // the audit accounts the EXACT overlap between the crops (too much
+    // overlap → trivial positives, too little → false positives), in
+    // chars and ppm of crop length, plus md5s of both crop payloads.
+    // Pure per-row substring arithmetic (q243's discipline): one scan,
+    // zero shuffle before the presentation sort, codegen end to end.
+    "q267_contrastive_crops" -> ((s, dir) => {
+      val P = 1000000007L
+      val half = expr("len div 2")
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("len", length(col("text")).cast("bigint"))
+        .withColumn("span", half)
+        // crop starts in [0, len - span]; +1 below is substr's 1-base
+        .withColumn("s1",
+          (col("doc_id") * 1000003L + 41L) % P % (col("len") - col("span") + 1))
+        .withColumn("s2",
+          (col("doc_id") * 1000003L + 97L) % P % (col("len") - col("span") + 1))
+        .withColumn("crop1", expr("substring(text, int(s1) + 1, int(span))"))
+        .withColumn("crop2", expr("substring(text, int(s2) + 1, int(span))"))
+        .withColumn("overlap", greatest(lit(0L),
+          least(col("s1") + col("span"), col("s2") + col("span"))
+            - greatest(col("s1"), col("s2"))))
+      d.select(col("doc_id"), col("span"), col("s1"), col("s2"),
+          col("overlap"),
+          when(col("span") > 0, expr("(1000000 * overlap) div span"))
+            .otherwise(0L).as("overlap_ppm"),
+          md5(col("crop1")).as("crop1_md5"),
+          md5(col("crop2")).as("crop2_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Anchor-text aggregation — the web-graph op behind every anchor
     // dataset (and PageRank's text sibling): each document emits 3
     // hash-derived outlinks carrying its first-3-words anchor, and the
@@ -4007,6 +4040,28 @@ object TextQueries {
         |    THEN 2000000 * n_dup_pairs // (n_docs * (n_docs - 1))
         |    ELSE 0 END AS BIGINT) AS collision_ppm
         |FROM s ORDER BY batch""".stripMargin,
+    // Same hash starts, same substr crops, same interval-intersection
+    // overlap.
+    "q267_contrastive_crops" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    CAST(length(text) AS BIGINT) // 2 AS span
+        |  FROM documents WHERE text IS NOT NULL),
+        | s AS (SELECT doc_id, text, len, span,
+        |    (doc_id * 1000003 + 41) % 1000000007 % (len - span + 1) AS s1,
+        |    (doc_id * 1000003 + 97) % 1000000007 % (len - span + 1) AS s2
+        |  FROM t),
+        | c AS (SELECT doc_id, span, s1, s2,
+        |    substr(text, s1 + 1, span) AS crop1,
+        |    substr(text, s2 + 1, span) AS crop2,
+        |    GREATEST(0, LEAST(s1 + span, s2 + span) - GREATEST(s1, s2))
+        |      AS overlap
+        |  FROM s)
+        |SELECT doc_id, span, s1, s2, overlap,
+        |  CAST(CASE WHEN span > 0 THEN 1000000 * overlap // span
+        |    ELSE 0 END AS BIGINT) AS overlap_ppm,
+        |  md5(crop1) AS crop1_md5, md5(crop2) AS crop2_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     // Two plain window ranks (the two-phase rank must be
     // indistinguishable), same string tie, same bins.
     "q266_epoch_order_audit" ->

@@ -347,6 +347,41 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got264 === expected264 && got264.nonEmpty)
   }
 
+  test("q267 contrastive crops: brute-force crops, md5s, and exact " +
+      "interval overlap") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val P = 1000000007L
+    val texts = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val got = SparkEntry.queries("q267_contrastive_crops")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, String, String)]
+      .collect().toSeq
+    assert(got.map(_._1).toSet === texts.keySet)
+    got.foreach { case (id, span, s1, s2, ov, ovPpm, m1, m2) =>
+      val text = texts(id)
+      val len = text.length.toLong
+      assert(span === len / 2, s"doc $id span")
+      val e1 = (id * 1000003L + 41L) % P % (len - span + 1)
+      val e2 = (id * 1000003L + 97L) % P % (len - span + 1)
+      assert(s1 === e1 && s2 === e2, s"doc $id starts")
+      val expOv = math.max(0L,
+        math.min(s1 + span, s2 + span) - math.max(s1, s2))
+      assert(ov === expOv, s"doc $id overlap")
+      // the interval formula equals the true positional intersection
+      val set1 = (s1 until s1 + span).toSet
+      assert(ov === (set1 & (s2 until s2 + span).toSet).size.toLong)
+      assert(ovPpm === (if (span > 0) 1000000L * ov / span else 0L))
+      assert(m1 === md5hex(text.substring(s1.toInt, (s1 + span).toInt)))
+      assert(m2 === md5hex(text.substring(s2.toInt, (s2 + span).toInt)))
+    }
+    // the augmentation must produce a spread: some heavy and some
+    // light overlaps across the corpus (sanity that crops vary)
+    assert(got.exists(_._6 > 500000) && got.exists(_._6 < 500000))
+  }
+
   test("Scrub.piiStats: counts each class, redacts byte-exactly, skips clean docs") {
     import graft.operators.Scrub
     val docs = Seq(
