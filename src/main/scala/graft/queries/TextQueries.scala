@@ -2503,29 +2503,44 @@ object TextQueries {
     // chars and ppm of crop length, plus md5s of both crop payloads.
     // Pure per-row substring arithmetic (q243's discipline): one scan,
     // zero shuffle before the presentation sort, codegen end to end.
-    "q267_contrastive_crops" -> ((s, dir) => {
-      val P = 1000000007L
-      val half = expr("len div 2")
-      val d = docs(s, dir).filter(col("text").isNotNull)
-        .withColumn("len", length(col("text")).cast("bigint"))
-        .withColumn("span", half)
-        // crop starts in [0, len - span]; +1 below is substr's 1-base
-        .withColumn("s1",
-          (col("doc_id") * 1000003L + 41L) % P % (col("len") - col("span") + 1))
-        .withColumn("s2",
-          (col("doc_id") * 1000003L + 97L) % P % (col("len") - col("span") + 1))
-        .withColumn("crop1", expr("substring(text, int(s1) + 1, int(span))"))
-        .withColumn("crop2", expr("substring(text, int(s2) + 1, int(span))"))
-        .withColumn("overlap", greatest(lit(0L),
-          least(col("s1") + col("span"), col("s2") + col("span"))
-            - greatest(col("s1"), col("s2"))))
-      d.select(col("doc_id"), col("span"), col("s1"), col("s2"),
-          col("overlap"),
-          when(col("span") > 0, expr("(1000000 * overlap) div span"))
-            .otherwise(0L).as("overlap_ppm"),
-          md5(col("crop1")).as("crop1_md5"),
-          md5(col("crop2")).as("crop2_md5"))
-        .orderBy("doc_id")
+    "q267_contrastive_crops" -> ((s, dir) =>
+      contrastiveCrops(docs(s, dir)).orderBy("doc_id")),
+
+    // Streaming twin of q267: the crop/overlap projection is factored
+    // below and is pure per-row substring arithmetic — stateless,
+    // Append mode, shares q267's oracle.
+    "q268_stream_contrastive_crops" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingStatelessDocs(s, dir,
+        contrastiveCrops)),
+
+    // Skip-gram pair census (word2vec window = 2): the (center,
+    // context) multiset a skip-gram/embedding trainer actually feeds —
+    // distance-1 AND distance-2 neighbors on both sides, which is
+    // exactly what adjacency bigrams (q79) and PMI (q101) do NOT
+    // cover. Built as four zip_with legs over shifted slices (the
+    // wordBigrams discipline — no split recompute inside lambdas),
+    // exploded once, one census shuffle; top-100 by (count, center,
+    // context) is a total order. Symmetric pairs stay directional
+    // (the trainer's view: center predicts context).
+    "q269_skipgram_census" -> ((s, dir) => {
+      val w = words(col("text"))
+      def leg(dist: Int, rev: Boolean): Column = {
+        val a = slice(w, lit(1), size(w) - dist)
+        val b = slice(w, lit(1 + dist), size(w) - dist)
+        if (rev) zip_with(b, a,
+          (x, y) => struct(x.as("center"), y.as("context")))
+        else zip_with(a, b,
+          (x, y) => struct(x.as("center"), y.as("context")))
+      }
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(explode(concat(
+          leg(1, rev = false), leg(1, rev = true),
+          leg(2, rev = false), leg(2, rev = true))).as("p"))
+        .select(col("p.center").as("center"),
+          col("p.context").as("context"))
+        .groupBy("center", "context").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("center"), col("context"))
+        .limit(100)
     }),
 
     // Anchor-text aggregation — the web-graph op behind every anchor
@@ -2717,6 +2732,33 @@ object TextQueries {
       md5(col("rendered")).as("out_md5"))
   }
 
+  /** Two-crop contrastive projection shared by batch q267 and its
+    * streaming twin q268 (per-row substring arithmetic, stateless —
+    * streaming-legal as-is). Crop starts land in [0, len − span];
+    * the +1 at the substring sites is substr's 1-base.
+    */
+  private[graft] val contrastiveCrops: DataFrame => DataFrame = { in =>
+    val P = 1000000007L
+    val d = in.filter(col("text").isNotNull)
+      .withColumn("len", length(col("text")).cast("bigint"))
+      .withColumn("span", expr("len div 2"))
+      .withColumn("s1",
+        (col("doc_id") * 1000003L + 41L) % P % (col("len") - col("span") + 1))
+      .withColumn("s2",
+        (col("doc_id") * 1000003L + 97L) % P % (col("len") - col("span") + 1))
+      .withColumn("crop1", expr("substring(text, int(s1) + 1, int(span))"))
+      .withColumn("crop2", expr("substring(text, int(s2) + 1, int(span))"))
+      .withColumn("overlap", greatest(lit(0L),
+        least(col("s1") + col("span"), col("s2") + col("span"))
+          - greatest(col("s1"), col("s2"))))
+    d.select(col("doc_id"), col("span"), col("s1"), col("s2"),
+      col("overlap"),
+      when(col("span") > 0, expr("(1000000 * overlap) div span"))
+        .otherwise(0L).as("overlap_ppm"),
+      md5(col("crop1")).as("crop1_md5"),
+      md5(col("crop2")).as("crop2_md5"))
+  }
+
   /** Shared by q247 (batch window) and q258 (streaming bounded-heap
     * twin): per-prompt argmax with runner-up margin.
     */
@@ -2812,6 +2854,30 @@ object TextQueries {
       |    AS decision_hash,
       |  md5(rendered) AS out_md5
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Shared by q267 (batch) and q268 (streaming twin): the crop and
+    * overlap arithmetic.
+    */
+  private val contrastiveCropsOracle =
+    """WITH t AS (SELECT doc_id, text,
+      |    CAST(length(text) AS BIGINT) AS len,
+      |    CAST(length(text) AS BIGINT) // 2 AS span
+      |  FROM documents WHERE text IS NOT NULL),
+      | s AS (SELECT doc_id, text, len, span,
+      |    (doc_id * 1000003 + 41) % 1000000007 % (len - span + 1) AS s1,
+      |    (doc_id * 1000003 + 97) % 1000000007 % (len - span + 1) AS s2
+      |  FROM t),
+      | c AS (SELECT doc_id, span, s1, s2,
+      |    substr(text, s1 + 1, span) AS crop1,
+      |    substr(text, s2 + 1, span) AS crop2,
+      |    GREATEST(0, LEAST(s1 + span, s2 + span) - GREATEST(s1, s2))
+      |      AS overlap
+      |  FROM s)
+      |SELECT doc_id, span, s1, s2, overlap,
+      |  CAST(CASE WHEN span > 0 THEN 1000000 * overlap // span
+      |    ELSE 0 END AS BIGINT) AS overlap_ppm,
+      |  md5(crop1) AS crop1_md5, md5(crop2) AS crop2_md5
+      |FROM c ORDER BY doc_id""".stripMargin
 
   /** Shared by q252 (from-scratch) and q259 (incremental census
     * merge): the anchor bag release.
@@ -4041,27 +4107,30 @@ object TextQueries {
         |    ELSE 0 END AS BIGINT) AS collision_ppm
         |FROM s ORDER BY batch""".stripMargin,
     // Same hash starts, same substr crops, same interval-intersection
-    // overlap.
-    "q267_contrastive_crops" ->
-      """WITH t AS (SELECT doc_id, text,
-        |    CAST(length(text) AS BIGINT) AS len,
-        |    CAST(length(text) AS BIGINT) // 2 AS span
+    // overlap. The streaming twin q268 drains to the identical
+    // relation.
+    "q268_stream_contrastive_crops" -> contrastiveCropsOracle,
+    // The four shifted-slice legs restated as list lambdas; top-100
+    // on the same (n, center, context) total order.
+    "q269_skipgram_census" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w
         |  FROM documents WHERE text IS NOT NULL),
-        | s AS (SELECT doc_id, text, len, span,
-        |    (doc_id * 1000003 + 41) % 1000000007 % (len - span + 1) AS s1,
-        |    (doc_id * 1000003 + 97) % 1000000007 % (len - span + 1) AS s2
-        |  FROM t),
-        | c AS (SELECT doc_id, span, s1, s2,
-        |    substr(text, s1 + 1, span) AS crop1,
-        |    substr(text, s2 + 1, span) AS crop2,
-        |    GREATEST(0, LEAST(s1 + span, s2 + span) - GREATEST(s1, s2))
-        |      AS overlap
-        |  FROM s)
-        |SELECT doc_id, span, s1, s2, overlap,
-        |  CAST(CASE WHEN span > 0 THEN 1000000 * overlap // span
-        |    ELSE 0 END AS BIGINT) AS overlap_ppm,
-        |  md5(crop1) AS crop1_md5, md5(crop2) AS crop2_md5
-        |FROM c ORDER BY doc_id""".stripMargin,
+        | p AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> {'c': w[i], 'x': w[i+1]})) AS g FROM t WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> {'c': w[i+1], 'x': w[i]})) AS g FROM t WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT unnest(list_transform(range(1, len(w) - 1),
+        |    i -> {'c': w[i], 'x': w[i+2]})) AS g FROM t WHERE len(w) >= 3
+        |  UNION ALL
+        |  SELECT unnest(list_transform(range(1, len(w) - 1),
+        |    i -> {'c': w[i+2], 'x': w[i]})) AS g FROM t WHERE len(w) >= 3)
+        |SELECT g.c AS center, g.x AS context, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2
+        |ORDER BY n DESC, center, context LIMIT 100""".stripMargin,
+    "q267_contrastive_crops" -> contrastiveCropsOracle,
     // Two plain window ranks (the two-phase rank must be
     // indistinguishable), same string tie, same bins.
     "q266_epoch_order_audit" ->

@@ -83,7 +83,8 @@ class EventStreamsSpec extends SparkSpec {
   test("streaming FIM and MLM twins drain to their batch relations, " +
       "non-vacuously") {
     Seq("q260_stream_fim_transform" -> "q243_fim_transform",
-      "q261_stream_mlm_masking" -> "q256_mlm_masking").foreach {
+      "q261_stream_mlm_masking" -> "q256_mlm_masking",
+      "q268_stream_contrastive_crops" -> "q267_contrastive_crops").foreach {
       case (streamQ, batchQ) =>
         val got = SparkEntry.queries(streamQ)(spark, sfDir).collect().toSeq
         val batch = SparkEntry.queries(batchQ)(spark, sfDir).collect().toSeq

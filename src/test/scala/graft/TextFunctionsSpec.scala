@@ -382,6 +382,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.exists(_._6 > 500000) && got.exists(_._6 < 500000))
   }
 
+  test("q269 skip-gram census: brute-force window-2 pair counts match") {
+    val texts = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select($"text").as[String].collect()
+    val counts = texts.flatMap { t =>
+      val w = t.split(" ", -1)
+      w.indices.flatMap { i =>
+        Seq(1, 2).flatMap { d =>
+          Seq(i + d).filter(_ < w.length)
+            .flatMap(j => Seq((w(i), w(j)), (w(j), w(i))))
+        }
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expected = counts
+      .map { case ((c, x), n) => (c, x, n) }
+      .sortBy { case (c, x, n) => (-n, c, x) }.take(100)
+    val got = SparkEntry.queries("q269_skipgram_census")(spark, sfDir)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("Scrub.piiStats: counts each class, redacts byte-exactly, skips clean docs") {
     import graft.operators.Scrub
     val docs = Seq(
