@@ -2543,6 +2543,34 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Packing-budget sweep — the context-length tuning table: the
+    // greedy packer (q69) runs at budgets 128/256/512 and each
+    // (budget, lang) cell reports sequence count and slack (unused
+    // capacity) in exact ppm — the waste curve that decides what
+    // context length a training run can actually fill. Three packer
+    // passes (each one keyed exchange + O(1)-state partition walk);
+    // the summary is group-sized. Overlong single docs form their own
+    // over-budget sequence (greedy semantics), so slack clamps at 0
+    // per sequence rather than going negative.
+    "q270_packing_sweep" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(words(col("text"))).cast("bigint"))
+      Seq(128L, 256L, 512L).map { b =>
+        graft.operators.Packing.packGreedy(d, "lang", "doc_id", "n_tokens",
+            budget = b)
+          .withColumn("budget", lit(b))
+      }.reduce(_ unionByName _)
+        .groupBy("budget", "lang", "seq_no").agg(sum("n_tokens").as("fill"))
+        .groupBy("budget", "lang")
+        .agg(count(lit(1)).as("n_seqs"), sum("fill").as("sum_tokens"),
+          sum(greatest(lit(0L), col("budget") - col("fill"))).as("slack"))
+        .withColumn("slack_ppm",
+          expr("(1000000 * slack) div (n_seqs * budget)"))
+        .select("budget", "lang", "n_seqs", "sum_tokens", "slack",
+          "slack_ppm")
+        .orderBy("budget", "lang")
+    }),
+
     // Anchor-text aggregation — the web-graph op behind every anchor
     // dataset (and PageRank's text sibling): each document emits 3
     // hash-derived outlinks carrying its first-3-words anchor, and the
@@ -4106,6 +4134,60 @@ object TextQueries {
         |    THEN 2000000 * n_dup_pairs // (n_docs * (n_docs - 1))
         |    ELSE 0 END AS BIGINT) AS collision_ppm
         |FROM s ORDER BY batch""".stripMargin,
+    // q69's greedy recursion unrolled at each budget; slack clamps at
+    // 0 per sequence, ppm over n_seqs·budget capacity.
+    "q270_packing_sweep" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        | p128 AS (
+        |  SELECT lang, n_tokens, rn, n_tokens AS fill,
+        |    CAST(1 AS BIGINT) AS seq_no FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.lang, t.n_tokens, t.rn,
+        |    CASE WHEN p128.fill + t.n_tokens > 128 THEN t.n_tokens
+        |         ELSE p128.fill + t.n_tokens END,
+        |    CASE WHEN p128.fill + t.n_tokens > 128 THEN p128.seq_no + 1
+        |         ELSE p128.seq_no END
+        |  FROM p128 JOIN t ON t.lang = p128.lang AND t.rn = p128.rn + 1),
+        | p256 AS (
+        |  SELECT lang, n_tokens, rn, n_tokens AS fill,
+        |    CAST(1 AS BIGINT) AS seq_no FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.lang, t.n_tokens, t.rn,
+        |    CASE WHEN p256.fill + t.n_tokens > 256 THEN t.n_tokens
+        |         ELSE p256.fill + t.n_tokens END,
+        |    CASE WHEN p256.fill + t.n_tokens > 256 THEN p256.seq_no + 1
+        |         ELSE p256.seq_no END
+        |  FROM p256 JOIN t ON t.lang = p256.lang AND t.rn = p256.rn + 1),
+        | p512 AS (
+        |  SELECT lang, n_tokens, rn, n_tokens AS fill,
+        |    CAST(1 AS BIGINT) AS seq_no FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.lang, t.n_tokens, t.rn,
+        |    CASE WHEN p512.fill + t.n_tokens > 512 THEN t.n_tokens
+        |         ELSE p512.fill + t.n_tokens END,
+        |    CASE WHEN p512.fill + t.n_tokens > 512 THEN p512.seq_no + 1
+        |         ELSE p512.seq_no END
+        |  FROM p512 JOIN t ON t.lang = p512.lang AND t.rn = p512.rn + 1),
+        | u AS (
+        |  SELECT CAST(128 AS BIGINT) AS budget, lang, seq_no, n_tokens
+        |  FROM p128
+        |  UNION ALL
+        |  SELECT CAST(256 AS BIGINT), lang, seq_no, n_tokens FROM p256
+        |  UNION ALL
+        |  SELECT CAST(512 AS BIGINT), lang, seq_no, n_tokens FROM p512),
+        | f AS (SELECT budget, lang, seq_no,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS fill
+        |  FROM u GROUP BY 1, 2, 3)
+        |SELECT budget, lang, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(fill) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(GREATEST(0, budget - fill)) AS BIGINT) AS slack,
+        |  CAST(1000000 * SUM(GREATEST(0, budget - fill))
+        |    // (COUNT(*) * budget) AS BIGINT) AS slack_ppm
+        |FROM f GROUP BY 1, 2 ORDER BY budget, lang""".stripMargin,
     // Same hash starts, same substr crops, same interval-intersection
     // overlap. The streaming twin q268 drains to the identical
     // relation.
