@@ -542,9 +542,13 @@ object RelationalQueries {
     // shuffles once into its census. Support floor 5, top-100 by
     // (lift, a, b) — a total order, so the cut cannot flip.
     "q263_copurchase_lift" -> ((s, dir) => {
-      val basket = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("supp"))
-        .distinct()
+      // The deduped basket feeds FOUR consumers (both self-join sides,
+      // item counts, the order total) — cut once so lineitem scans
+      // once, not once per consumer.
+      val basket = graft.operators.Checkpoints.cut(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("supp"))
+          .distinct())
       val nOrders = broadcast(basket.select("ok").distinct()
         .agg(count(lit(1)).as("n_orders")))
       val item = basket.groupBy("supp").agg(count(lit(1)).as("n_item"))

@@ -757,6 +757,28 @@ class PlanSpec extends SparkSpec {
       "one presentation sort:\n" + p.take(3000))
   }
 
+  test("q263 co-purchase: the cut basket feeds all four consumers — " +
+      "lineitem scans once, no cartesian") {
+    val p = planOf("q263_copurchase_lift")
+    assert(p.split("Scan parquet", -1).length - 1 <= 1,
+      "the deduped basket must materialize once:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row order total may cross-join (broadcast NLJ):\n" +
+        p.take(2000))
+  }
+
+  test("q269 skip-gram census: one scan, one census exchange before " +
+      "the bounded top-k") {
+    val p = planOf("q269_skipgram_census")
+    assert(p.split("Scan parquet", -1).length - 1 === 1,
+      "documents must scan once:\n" + p.take(2000))
+    assert(p.split("Exchange hashpartitioning", -1).length - 1 <= 1,
+      "pair rows shuffle once into the census:\n" + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be the bounded operator, not a global sort:\n" +
+        p.take(2000))
+  }
+
   test("fanout is a no-op on inputs that are already well split") {
     import spark.implicits._
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
