@@ -2522,26 +2522,11 @@ object TextQueries {
     // exploded once, one census shuffle; top-100 by (count, center,
     // context) is a total order. Symmetric pairs stay directional
     // (the trainer's view: center predicts context).
-    "q269_skipgram_census" -> ((s, dir) => {
-      val w = words(col("text"))
-      def leg(dist: Int, rev: Boolean): Column = {
-        val a = slice(w, lit(1), size(w) - dist)
-        val b = slice(w, lit(1 + dist), size(w) - dist)
-        if (rev) zip_with(b, a,
-          (x, y) => struct(x.as("center"), y.as("context")))
-        else zip_with(a, b,
-          (x, y) => struct(x.as("center"), y.as("context")))
-      }
-      docs(s, dir).filter(col("text").isNotNull)
-        .select(explode(concat(
-          leg(1, rev = false), leg(1, rev = true),
-          leg(2, rev = false), leg(2, rev = true))).as("p"))
-        .select(col("p.center").as("center"),
-          col("p.context").as("context"))
+    "q269_skipgram_census" -> ((s, dir) =>
+      skipgramPairs(docs(s, dir))
         .groupBy("center", "context").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("center"), col("context"))
-        .limit(100)
-    }),
+        .limit(100)),
 
     // Packing-budget sweep — the context-length tuning table: the
     // greedy packer (q69) runs at budgets 128/256/512 and each
@@ -2570,6 +2555,14 @@ object TextQueries {
           "slack_ppm")
         .orderBy("budget", "lang")
     }),
+
+    // Streaming twin of q269: the pair census maintains as a
+    // Complete-mode streaming aggregation (state = the (center,
+    // context) vocabulary — what a live co-occurrence monitor holds);
+    // the top-100 cut computes on the drained snapshot. Shares q269's
+    // oracle.
+    "q271_stream_skipgram_census" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingSkipgramCensus(s, dir)),
 
     // Anchor-text aggregation — the web-graph op behind every anchor
     // dataset (and PageRank's text sibling): each document emits 3
@@ -2787,6 +2780,28 @@ object TextQueries {
       md5(col("crop2")).as("crop2_md5"))
   }
 
+  /** Skip-gram (window = 2) pair projection shared by batch q269 and
+    * its streaming twin q271: distance-1 and -2 neighbors, both
+    * directions, as four zip_with legs over shifted slices (the
+    * wordBigrams discipline — no split recompute inside lambdas).
+    */
+  private[graft] val skipgramPairs: DataFrame => DataFrame = { in =>
+    val w = words(col("text"))
+    def leg(dist: Int, rev: Boolean): Column = {
+      val a = slice(w, lit(1), size(w) - dist)
+      val b = slice(w, lit(1 + dist), size(w) - dist)
+      if (rev) zip_with(b, a,
+        (x, y) => struct(x.as("center"), y.as("context")))
+      else zip_with(a, b,
+        (x, y) => struct(x.as("center"), y.as("context")))
+    }
+    in.filter(col("text").isNotNull)
+      .select(explode(concat(
+        leg(1, rev = false), leg(1, rev = true),
+        leg(2, rev = false), leg(2, rev = true))).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+  }
+
   /** Shared by q247 (batch window) and q258 (streaming bounded-heap
     * twin): per-prompt argmax with runner-up margin.
     */
@@ -2882,6 +2897,28 @@ object TextQueries {
       |    AS decision_hash,
       |  md5(rendered) AS out_md5
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Shared by q269 (batch) and q271 (streaming census twin): the
+    * four shifted-slice legs as list lambdas.
+    */
+  private val skipgramOracle =
+    """WITH t AS (SELECT string_split(text, ' ') AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      | p AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> {'c': w[i], 'x': w[i+1]})) AS g FROM t WHERE len(w) >= 2
+      |  UNION ALL
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> {'c': w[i+1], 'x': w[i]})) AS g FROM t WHERE len(w) >= 2
+      |  UNION ALL
+      |  SELECT unnest(list_transform(range(1, len(w) - 1),
+      |    i -> {'c': w[i], 'x': w[i+2]})) AS g FROM t WHERE len(w) >= 3
+      |  UNION ALL
+      |  SELECT unnest(list_transform(range(1, len(w) - 1),
+      |    i -> {'c': w[i+2], 'x': w[i]})) AS g FROM t WHERE len(w) >= 3)
+      |SELECT g.c AS center, g.x AS context, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM p GROUP BY 1, 2
+      |ORDER BY n DESC, center, context LIMIT 100""".stripMargin
 
   /** Shared by q267 (batch) and q268 (streaming twin): the crop and
     * overlap arithmetic.
@@ -4193,25 +4230,10 @@ object TextQueries {
     // relation.
     "q268_stream_contrastive_crops" -> contrastiveCropsOracle,
     // The four shifted-slice legs restated as list lambdas; top-100
-    // on the same (n, center, context) total order.
-    "q269_skipgram_census" ->
-      """WITH t AS (SELECT string_split(text, ' ') AS w
-        |  FROM documents WHERE text IS NOT NULL),
-        | p AS (
-        |  SELECT unnest(list_transform(range(1, len(w)),
-        |    i -> {'c': w[i], 'x': w[i+1]})) AS g FROM t WHERE len(w) >= 2
-        |  UNION ALL
-        |  SELECT unnest(list_transform(range(1, len(w)),
-        |    i -> {'c': w[i+1], 'x': w[i]})) AS g FROM t WHERE len(w) >= 2
-        |  UNION ALL
-        |  SELECT unnest(list_transform(range(1, len(w) - 1),
-        |    i -> {'c': w[i], 'x': w[i+2]})) AS g FROM t WHERE len(w) >= 3
-        |  UNION ALL
-        |  SELECT unnest(list_transform(range(1, len(w) - 1),
-        |    i -> {'c': w[i+2], 'x': w[i]})) AS g FROM t WHERE len(w) >= 3)
-        |SELECT g.c AS center, g.x AS context, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM p GROUP BY 1, 2
-        |ORDER BY n DESC, center, context LIMIT 100""".stripMargin,
+    // on the same (n, center, context) total order. The streaming
+    // twin q271 drains to the identical relation.
+    "q271_stream_skipgram_census" -> skipgramOracle,
+    "q269_skipgram_census" -> skipgramOracle,
     "q267_contrastive_crops" -> contrastiveCropsOracle,
     // Two plain window ranks (the two-phase rank must be
     // indistinguishable), same string tie, same bins.

@@ -194,6 +194,21 @@ object DocumentStreams {
       projection(readDocumentsStream(spark, sfDir)), OutputMode.Append())
       .orderBy("doc_id")
 
+  /** Streaming skip-gram census — q269's (center, context) pair
+    * census as a Complete-mode streaming aggregation (state = the
+    * pair vocabulary, what a live co-occurrence monitor holds); the
+    * top-100 cut computes on the drained snapshot. Bounded drain ≡
+    * batch q269 (shared pair projection + oracle).
+    */
+  def streamingSkipgramCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val census = graft.queries.TextQueries.skipgramPairs(
+        readDocumentsStream(spark, sfDir))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+    EventStreams.runToMemory(census, OutputMode.Complete())
+      .orderBy(col("n").desc, col("center"), col("context"))
+      .limit(100)
+  }
+
   /** Streaming best-of-n selection — q247's per-prompt argmax run as a
     * streaming aggregation: a bounded `TopKAggregator(2)` per prompt
     * (16 bytes of heap per group, mergeable map-side partials — the

@@ -84,7 +84,8 @@ class EventStreamsSpec extends SparkSpec {
       "non-vacuously") {
     Seq("q260_stream_fim_transform" -> "q243_fim_transform",
       "q261_stream_mlm_masking" -> "q256_mlm_masking",
-      "q268_stream_contrastive_crops" -> "q267_contrastive_crops").foreach {
+      "q268_stream_contrastive_crops" -> "q267_contrastive_crops",
+      "q271_stream_skipgram_census" -> "q269_skipgram_census").foreach {
       case (streamQ, batchQ) =>
         val got = SparkEntry.queries(streamQ)(spark, sfDir).collect().toSeq
         val batch = SparkEntry.queries(batchQ)(spark, sfDir).collect().toSeq
