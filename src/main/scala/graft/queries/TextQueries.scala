@@ -2564,6 +2564,37 @@ object TextQueries {
     "q271_stream_skipgram_census" -> ((s, dir) =>
       graft.streaming.DocumentStreams.streamingSkipgramCensus(s, dir)),
 
+    // Per-source compliance dashboard — the governance rollup a data
+    // steward reads before admitting a source: PII incidence (q104's
+    // planted fixture and regexes) and license-header incidence
+    // (q245's plant) aggregated per source in exact ppm. Both signals
+    // are per-row codegen regex; the rollup is one source-keyed agg,
+    // so the corpus scans once and shuffles only source-sized rows.
+    "q272_compliance_dashboard" -> ((s, dir) => {
+      import graft.operators.Scrub
+      val planted = plantSpdxHeaders(docs(s, dir))
+        .withColumn("text", when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" contact alice.w@example.org from " +
+            "10.0.0.1 ref 4111111111111111"))).otherwise(col("text")))
+      planted
+        .withColumn("has_pii",
+          size(regexp_extract_all(col("text"), lit(Scrub.EmailRe), lit(0)))
+            + size(regexp_extract_all(col("text"), lit(Scrub.Ipv4Re), lit(0)))
+            + size(regexp_extract_all(col("text"), lit(Scrub.LongNumRe),
+              lit(0))) > 0)
+        .withColumn("has_lic",
+          regexp_extract(col("text"), Scrub.SpdxHeaderRe, 1) =!= "")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii"),
+          sum(when(col("has_lic"), 1L).otherwise(0L)).as("n_licensed"))
+        .withColumn("pii_ppm", expr("(1000000 * n_pii) div n_docs"))
+        .withColumn("lic_ppm", expr("(1000000 * n_licensed) div n_docs"))
+        .select("source", "n_docs", "n_pii", "pii_ppm", "n_licensed",
+          "lic_ppm")
+        .orderBy("source")
+    }),
+
     // Anchor-text aggregation — the web-graph op behind every anchor
     // dataset (and PageRank's text sibling): each document emits 3
     // hash-derived outlinks carrying its first-3-words anchor, and the
@@ -4253,6 +4284,38 @@ object TextQueries {
         |  CAST(SUM(disp) AS BIGINT) AS sum_disp,
         |  CAST(MAX(disp) AS BIGINT) AS max_disp
         |FROM j CROSS JOIN n GROUP BY 1 ORDER BY bin""".stripMargin,
+    // Both plants in the same order (license header first, PII suffix
+    // second), the same Java∩RE2 patterns, per-source exact ppm.
+    "q272_compliance_dashboard" ->
+      """WITH lic AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN '// SPDX-License-Identifier: ' ||
+        |        CASE WHEN (doc_id // 7) % 2 = 0 THEN 'MIT'
+        |          ELSE 'Apache-2.0' END || chr(10) || text
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        | t AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 25 = 0 THEN text ||
+        |      ' contact alice.w@example.org from 10.0.0.1 ref 4111111111111111'
+        |    ELSE text END AS text
+        |  FROM lic),
+        | f AS (SELECT source,
+        |    CASE WHEN len(regexp_extract_all(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text,
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |      + len(regexp_extract_all(text, '\b\d{9,}\b')) > 0
+        |      THEN 1 ELSE 0 END AS has_pii,
+        |    CASE WHEN regexp_extract(text,
+        |        '^// SPDX-License-Identifier: ([A-Za-z0-9.-]+)\n', 1) <> ''
+        |      THEN 1 ELSE 0 END AS has_lic
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(has_pii) AS BIGINT) AS n_pii,
+        |  CAST(1000000 * SUM(has_pii) // COUNT(*) AS BIGINT) AS pii_ppm,
+        |  CAST(SUM(has_lic) AS BIGINT) AS n_licensed,
+        |  CAST(1000000 * SUM(has_lic) // COUNT(*) AS BIGINT) AS lic_ppm
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
     // q106's layout restated with LAG per shard; same plant, exact
     // ppm of adjacencies.
     "q265_shuffle_quality" ->
