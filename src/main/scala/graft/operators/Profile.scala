@@ -167,8 +167,10 @@ object Profile {
     * privacy gate shared by batch q246 and its streaming twin: cells
     * with n ≥ k release exactly; smaller cells generalize the second
     * key to '*'; if even the generalized rollup stays under k it
-    * suppresses into the global ('*','*') cell, so no released row
-    * ever describes fewer than k members. The input is already the
+    * suppresses into the global ('*','*') cell — and that cell is
+    * itself released only when it reaches k, so NO released row ever
+    * describes fewer than k members (an under-k residue is withheld
+    * entirely, the standard suppression semantics). The input is already the
     * (keyA, keyB, n) census (group-sized, NOT row-level), so every
     * pass here is over a frame bounded by QI cardinality — the one
     * corpus-scale aggregation happens upstream, once.
@@ -189,7 +191,7 @@ object Profile {
       .agg(coalesce(sum("n"), lit(0L)).as("n"))
       .select(lit("suppressed").as("anon_level"), lit("*").as("__a"),
         lit("*").as("__b"), col("n"))
-      .filter(col("n") > 0)
+      .filter(col("n") >= k)
     exact.unionByName(genOk).unionByName(supp)
       .withColumnRenamed("__a", keyA).withColumnRenamed("__b", keyB)
   }

@@ -171,8 +171,14 @@ object TokenShards {
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             (0 until ix.length / 24).map { _ =>
               val id = ib.getLong; val off = ib.getLong; val n = ib.getLong
-              require(off >= 0 && n >= 0 && 4 * (off + n) <= binLen,
-                s"readTokenShards: doc $id overruns shard $shard's bin")
+              // Bounds in UNmultiplied form: 4*(off+n) can wrap Long on a
+              // corrupt idx and 4*n wraps Int past ~536M tokens — divide
+              // the known-good binLen instead so the failure stays a
+              // descriptive require, never a NegativeArraySizeException.
+              require(off >= 0 && n >= 0 && n <= Int.MaxValue / 4 &&
+                  off <= binLen / 4 && n <= binLen / 4 - off,
+                s"readTokenShards: doc $id overruns shard $shard's bin " +
+                  s"(off=$off, n=$n, binLen=$binLen)")
               val raw = new Array[Byte](4 * n.toInt)
               in.readFully(4 * off, raw)
               val bb = java.nio.ByteBuffer.wrap(raw)

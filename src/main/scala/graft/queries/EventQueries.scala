@@ -911,7 +911,7 @@ object EventQueries {
       |    '*' AS hour_key, n FROM sm WHERE n >= 5),
       | sp AS (SELECT 'suppressed' AS anon_level, '*' AS event_type,
       |    '*' AS hour_key, CAST(SUM(n) AS BIGINT) AS n
-      |   FROM sm WHERE n < 5 HAVING COUNT(*) > 0)
+      |   FROM sm WHERE n < 5 HAVING SUM(n) >= 5)
       |SELECT * FROM ex UNION ALL SELECT * FROM gn UNION ALL
       |SELECT * FROM sp
       |ORDER BY anon_level, event_type, hour_key""".stripMargin

@@ -857,7 +857,7 @@ object SourceQueries {
     // Every cut decision and opening score restated from the planted
     // frame rule: per-frame channel sums from the q204 pixel rule at
     // image id d·131 + k·17, cross-multiplied mean differences, the
-    // 400‰ threshold, and a running-sum islands grouping. Within a
+    // 80‰ threshold, and a running-sum islands grouping. Within a
     // shot only its opening row carries cut=1, so MAX(score) is the
     // opening cut's score.
     "q227_shot_boundaries" ->

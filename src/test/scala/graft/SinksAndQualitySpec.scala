@@ -672,13 +672,9 @@ class SinksAndQualitySpec extends SparkSpec {
     val k = 5L
     val rows = SparkEntry.queries("q246_k_anonymity")(spark, sfDir)
       .as[(String, String, String, Long)].collect().toSeq
-    // every (exact | generalized) released cell really has ≥ k members
-    rows.filter(_._1 != "suppressed").foreach { r =>
-      assert(r._4 >= k, s"released cell $r under k")
-    }
-    // conservation: nothing lost, nothing double-released
-    val total = Tables.load(spark, sfDir, "events").count()
-    assert(rows.map(_._4).sum === total)
+    // EVERY released cell — including the suppressed residue — has ≥ k
+    // members; an under-k residue is withheld entirely.
+    rows.foreach { r => assert(r._4 >= k, s"released cell $r under k") }
     assert(rows.map(r => (r._1, r._2, r._3)).distinct.size === rows.size)
     // brute force the whole release plan from the raw (type, hour) census
     val census = Tables.load(spark, sfDir, "events")
@@ -692,9 +688,13 @@ class SinksAndQualitySpec extends SparkSpec {
     val gen = small.collect { case (t, n) if n >= k =>
       ("generalized", t, "*", n) }
     val suppN = small.filter(_._2 < k).map(_._2).sum
-    val supp = if (suppN > 0) Seq(("suppressed", "*", "*", suppN)) else Nil
+    val supp = if (suppN >= k) Seq(("suppressed", "*", "*", suppN)) else Nil
     val expected = (exact ++ gen ++ supp)
       .sortBy(r => (r._1, r._2, r._3))
     assert(rows === expected)
+    // conservation: released + withheld residue accounts for every event
+    val withheld = if (suppN < k) suppN else 0L
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_._4).sum + withheld === total)
   }
 }
