@@ -649,6 +649,71 @@ object Similarity {
       .agg(vmean(col("__u")).as("__m"), sum(col("__cs")).as("__o"))
   }
 
+  /** Sign-bit signature of an embedding: one bit per dimension (set iff
+    * the dim is ≥ 0), folded MSB-first into ONE 64-bit word by a
+    * shift-or accumulate — a single codegen HOF pass per vector. Past
+    * 64 dims the shift wraps deterministically (earlier bits fall off);
+    * the shipped corpus is 64-dim so the map is exact.
+    */
+  def signBits(vec: Column): Column =
+    aggregate(vec, lit(0L), (acc, x) =>
+      shiftleft(acc, 1).bitwiseOR(when(x >= 0, lit(1L)).otherwise(lit(0L))))
+
+  /** Sign-bit binary-quantization ANN — the cheapest rung of the
+    * quantization ladder (float32 → int8 q78 → PQ q81 → 1 bit/dim
+    * here): each vector compresses 32× into one Long, candidate
+    * shortlisting is Hamming distance (XOR + bit_count — one integer
+    * instruction pair per candidate instead of a 64-multiply cosine
+    * loop), and only the `shortlist` best per query rerank by EXACT
+    * cosine on full vectors. For centered, roughly isotropic
+    * embeddings P(bit mismatch) = θ/π per dimension (the RHP/SimHash
+    * identity with the coordinate AXES as hyperplanes), so Hamming
+    * estimates angle and recall rises with shortlist/k.
+    *
+    * Scale shape: signatures compute map-side in one corpus pass;
+    * queries (id, sig) broadcast; the per-query shortlist runs as
+    * bounded TopKAggregator heaps (shortlist rows per query per
+    * partition cross the exchange — never a corpus-wide sort); the
+    * rerank joins the shortlist BROADCAST against the corpus, so full
+    * vectors of non-candidates are read but never scored, and the
+    * final top-k window sees ≤ shortlist rows per query.
+    */
+  def signBitTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      signBits(col(vecCol)).as("qsig")))
+    val c = fanout(corpus.select(col(idCol).as("neighbor_id"),
+      signBits(col(vecCol)).as("csig")))
+    val crossed = q.crossJoin(c)
+    val cand = (if (excludeSelf)
+        crossed.filter(col("query_id") =!= col("neighbor_id"))
+      else crossed)
+      .withColumn("ham",
+        bit_count(col("qsig").bitwiseXOR(col("csig"))).cast("double"))
+    val topm = udaf(new graft.functions.TopKAggregator(shortlist))
+    val short = cand
+      .groupBy("query_id")
+      .agg(topm(col("neighbor_id"), -col("ham")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e._1").as("neighbor_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cv.join(broadcast(short), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               nassign: Int = 3, excludeSelf: Boolean = true): DataFrame =

@@ -171,6 +171,35 @@ object SimilarityQueries {
         .select(col("mean_recall"), lit(0.8).as("recall_floor"))
     }),
 
+    // Sign-bit binary-quantization ANN recall gate (the q33 contract
+    // applied to the cheapest quantization rung): 1 bit/dim signatures,
+    // Hamming shortlist, exact-cosine rerank — any row out means the
+    // Hamming prefilter lost too much of the true top-5. The shortlist
+    // scales as max(128, N/8) (the IVF lesson: a FIXED shortlist's recall decays
+    // as the corpus grows past it, exactly like a fixed probe count —
+    // what holds recall is a constant rescored FRACTION, here 12.5%,
+    // i.e. a 8× exact-scoring cut on top of the 32× memory cut; the
+    // count() is a metadata action, not a collect). Exactness laws
+    // (signature determinism, duplicate ⇒ Hamming 0) pin in
+    // SimilaritySpec.
+    "q277_signbit_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val short = math.max(128L, e.count() / 8).toInt
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.signBitTopK(e, q, "vec_id", "embedding",
+          k = 5, shortlist = short)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall"))
+        .agg(round(avg(col("recall")), 6).as("mean_recall"))
+        .filter(col("mean_recall") < 0.8)
+        .select(col("mean_recall"), lit(0.8).as("recall_floor"))
+    }),
+
     // Distributed Lloyd refinement referee gate: sample-train an IVF
     // model, refine it over the FULL corpus (one map-side-combined agg
     // per round — corpus never shuffles), and emit any round where the
@@ -736,6 +765,10 @@ object SimilarityQueries {
         |SELECT id_a, id_b, ROUND(sim, 6) AS sim
         |FROM p WHERE sim >= 0.4 ORDER BY 1,2""".stripMargin,
     "q33_ivf_ann" ->
+      """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
+        |  CAST(NULL AS DOUBLE) AS recall_floor
+        |WHERE FALSE""".stripMargin,
+    "q277_signbit_ann" ->
       """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
         |  CAST(NULL AS DOUBLE) AS recall_floor
         |WHERE FALSE""".stripMargin,

@@ -2628,7 +2628,212 @@ object TextQueries {
         .select(col("target_id"), col("n_links"), col("n_unique_anchors"),
           col("anchor").as("top_anchor"), col("cnt").as("top_cnt"))
         .orderBy("target_id")
-    })
+    }),
+
+    // Okapi BM25 top-k retrieval (Robertson–Spärck Jones idf in the
+    // Lucene "+1" form; k1 = 1.2, b = 0.75) — the lexical scorer behind
+    // production search and the sparse half of hybrid RAG retrieval.
+    // Scale shape: the corpus text scans ONCE into a checkpointed
+    // (doc_id, dl, query-term tokens) frame — the term filter runs
+    // BEFORE the tf census, so everything downstream is sized by the
+    // query-term postings, not the corpus token stream; df and the
+    // query plan are model-sized broadcasts; corpus stats (N, Σdl) are
+    // a 1-row broadcast; and the per-query top-10 runs as bounded
+    // TopKAggregator heaps (10 rows per query per partition cross the
+    // exchange), never a single-reducer window over all candidates.
+    // Scores round to 6 dp BEFORE ranking so the order is engine-stable
+    // (cross-engine float-sum order differs only past ~1e-15); ties
+    // break on doc_id ascending inside the aggregator.
+    "q273_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queryDefs: Seq[(Long, Seq[String])] = Seq(
+        1L -> Seq("customer", "query"),
+        2L -> Seq("vector", "merge"),
+        3L -> Seq("stream", "window", "sort"),
+        4L -> Seq("hash", "join"))
+      val termSet = queryDefs.flatMap(_._2).distinct
+      val qt = broadcast(queryDefs
+        .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query_id", "w"))
+      val base = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("bigint").as("dl"),
+          filter(words(col("text")),
+            w => w.isInCollection(termSet)).as("qtoks"))
+        .localCheckpoint(eager = true)
+      val global = broadcast(base.agg(count(lit(1)).as("n_docs"),
+        sum("dl").as("sum_dl")))
+      val tf = base
+        .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("w"))
+        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+      val dfw = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val topk = udaf(new graft.functions.TopKAggregator(10))
+      tf.join(broadcast(dfw), Seq("w")).join(qt, Seq("w"))
+        .crossJoin(global)
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))))
+        .withColumn("num", col("tf") * lit(2.2))
+        .withColumn("den", col("tf") + lit(1.2) * (lit(0.25)
+          + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl")))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("idf") * col("num") / col("den")).as("score"))
+        .withColumn("score_r", round(col("score"), 6))
+        .groupBy("query_id")
+        .agg(topk(col("doc_id"), col("score_r")).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("e._1").as("doc_id"), col("e._2").as("score"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Bradley–Terry strength fitting over the best-of-n sampling arms —
+    // the preference-learning step after q241/q247: which of the 8
+    // candidate "arms" (doc_id mod 8 within each q247 prompt group)
+    // systematically wins pairwise reward comparisons. The corpus-scale
+    // stages are declarative: the within-prompt pairing is a
+    // group-bounded self-join (≤ 28 pairs per prompt — the q263 basket
+    // discipline), decided games collapse into an arm×arm win census
+    // (≤ 56 cells) before anything leaves the cluster, and
+    // Preference.bradleyTerry fits strengths from that census in exact
+    // fixed-point integer MM iterations (see its Scaladoc) — the
+    // centroid-pull discipline, so the gate is a FULL hash with zero
+    // float hazard. Ties carry no decision, exactly as in the oracle.
+    "q274_bradley_terry" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .select(expr("doc_id div 8").as("prompt_id"),
+          expr("doc_id % 8").as("arm"),
+          (lit(1000L) * markerHits(col("text"), markers.head._2).cast("bigint")
+            + size(words(col("text"))).cast("bigint")).as("reward"))
+      val a = d.select(col("prompt_id"), col("arm").as("arm_a"),
+        col("reward").as("r_a"))
+      val b = d.select(col("prompt_id"), col("arm").as("arm_b"),
+        col("reward").as("r_b"))
+      val wins = a.join(b, Seq("prompt_id"))
+        .filter(col("arm_a") < col("arm_b"))
+        .filter(col("r_a") =!= col("r_b"))
+        .select(when(col("r_a") > col("r_b"), col("arm_a"))
+            .otherwise(col("arm_b")).as("winner"),
+          when(col("r_a") > col("r_b"), col("arm_b"))
+            .otherwise(col("arm_a")).as("loser"))
+        .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+      graft.operators.Preference.bradleyTerry(wins, "winner", "loser", "n")
+    }),
+
+    // Group-relative advantage normalization (the GRPO / RLOO reward
+    // prep): within each prompt's candidate group, standardize rewards
+    // to z-scores — computed ENTIRELY in integers so the gate is a full
+    // hash. z_i = (n·r_i − Σr)/√V with V = n·Σr² − (Σr)²; the square
+    // root is an exact integer isqrt (floor-sqrt with a ±1 adjustment
+    // — double sqrt IS correctly rounded per IEEE-754, the adjustment
+    // removes the one-ulp boundary risk), and the divide is
+    // sign-split floor division so both engines truncate identically
+    // on negative advantages. Window partitions are candidate groups
+    // (≤ 8 rows) — bounded by construction, no straggler reducer.
+    "q275_grpo_advantage" -> ((s, dir) =>
+      groupAdvantage(docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("prompt_id", expr("doc_id div 8"))
+        .withColumn("reward",
+          lit(1000L) * markerHits(col("text"), markers.head._2).cast("bigint")
+            + size(words(col("text"))).cast("bigint"))
+        .select("prompt_id", "doc_id", "reward"))),
+
+    // Within-group self-overlap — the mode-collapse audit for sampled
+    // candidate groups (self-BLEU's set-overlap cousin): mean pairwise
+    // distinct-bigram Jaccard across each prompt's candidates, in exact
+    // ppm. A rising curve means the sampler is emitting near-copies —
+    // the signal that kills best-of-n and contrastive value before
+    // training does. Scale shape: per-doc distinct bigrams leave the
+    // scan as sorted 8-byte xxhash64 arrays (text never shuffles — the
+    // house dedup discipline); the pairing is the group-bounded
+    // self-join (≤ 28 pairs per prompt); intersection is an
+    // array_intersect on sorted hash arrays; all ratios are integer
+    // ppm floor-divides.
+    "q276_group_self_overlap" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .select(expr("doc_id div 8").as("prompt_id"), col("doc_id"),
+          array_sort(array_distinct(transform(wordBigrams(col("text")),
+            g => xxhash64(g)))).as("hs"))
+      val a = d.select(col("prompt_id"), col("doc_id").as("id_a"),
+        col("hs").as("ha"))
+      val b = d.select(col("prompt_id"), col("doc_id").as("id_b"),
+        col("hs").as("hb"))
+      a.join(b, Seq("prompt_id")).filter(col("id_a") < col("id_b"))
+        .withColumn("inter",
+          size(array_intersect(col("ha"), col("hb"))).cast("bigint"))
+        .withColumn("uni",
+          size(col("ha")).cast("bigint") + size(col("hb")) - col("inter"))
+        .withColumn("jac_ppm", when(col("uni") > 0,
+          expr("(1000000 * inter) div uni")).otherwise(lit(0L)))
+        .groupBy("prompt_id")
+        .agg(count(lit(1)).as("n_pairs"), sum("jac_ppm").as("sum_jac"))
+        .select(col("prompt_id"), col("n_pairs"),
+          expr("sum_jac div n_pairs").as("mean_jac_ppm"))
+        .orderBy("prompt_id")
+    }),
+
+    // Per-source unigram entropy — the corpus-health twin of q248's
+    // distinct-ngram ratios: Shannon entropy of each source's word
+    // distribution (H = ln T − (Σ c·ln c)/T over the vocabulary census)
+    // plus the vocabulary-normalized form H/ln V. Collapsing entropy
+    // flags template spam and synthetic mode collapse; it is also the
+    // quantity perplexity-based mixture weights key on. The census is
+    // map-side combinable; the entropy sums run census-side
+    // (vocabulary-sized, not corpus-sized); ROUND(6) absorbs
+    // cross-engine float-sum order (the q79 ln discipline).
+    "q278_entropy_profile" -> ((s, dir) =>
+      entropyProfile(docs(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt")))),
+
+    // Zipf-slope fit per source — the other classic corpus-health
+    // monitor: OLS slope of ln(count) on ln(rank) over each source's
+    // top-30 terms (natural text sits near −1; template spam flattens
+    // toward 0, boilerplate steepens). The rank window runs over the
+    // CENSUS (vocabulary-sized partitions — the census-side window
+    // discipline), the OLS moments are five sums over ≤ 30 rows per
+    // source, and ROUND(6) absorbs float-sum order.
+    "q279_zipf_slope" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("cnt").desc, col("w").asc)
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 30)
+        .select(col("source"), log(col("rnk").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope", round((col("n") * col("sxy")
+          - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+        .withColumn("intercept", round((col("sy") - (col("n") * col("sxy")
+          - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("n"), 6))
+        .select(col("source"), col("n").cast("bigint").as("n_terms"),
+          col("slope"), col("intercept"))
+        .orderBy("source")
+    }),
+
+    // Streaming twin of q275: per-prompt BOUNDED collect_list state
+    // (≤ 8 candidates per group), drained snapshot re-standardized by
+    // the shared groupAdvantage. Bounded drain ≡ batch; shares q275's
+    // oracle.
+    "q280_stream_grpo_advantage" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingGroupAdvantage(s, dir,
+        lit(1000L) * markerHits(col("text"), markers.head._2).cast("bigint")
+          + size(words(col("text"))).cast("bigint"))),
+
+    // Streaming twin of q278: the (source, word) vocabulary census in
+    // Complete mode, entropy rollup on the drained snapshot via the
+    // shared entropyProfile. Bounded drain ≡ batch; shares q278's
+    // oracle.
+    "q281_stream_entropy_profile" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingEntropyProfile(s, dir))
   )
 
   /** Per-language length quantiles. `approx = false` uses exact
@@ -2832,6 +3037,101 @@ object TextQueries {
         leg(2, rev = false), leg(2, rev = true))).as("p"))
       .select(col("p.center").as("center"), col("p.context").as("context"))
   }
+
+  /** Group-relative advantage shared by batch q275 and streaming twin
+    * q280: standardize each (prompt_id, doc_id, reward) row against its
+    * group ENTIRELY in integers — z_i = (n·r_i − Σr)/√V with
+    * V = n·Σr² − (Σr)², isqrt via floor-sqrt with the ±1 adjustment
+    * (double sqrt is IEEE-correctly-rounded; the adjustment removes the
+    * one-ulp boundary), divide sign-split so both engines floor
+    * identically on negative advantages. Window partitions are
+    * candidate groups (≤ 8 rows) — bounded by construction.
+    */
+  private[graft] def groupAdvantage(d: DataFrame): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("prompt_id")
+    d.withColumn("n_cands", count(lit(1)).over(wg).cast("bigint"))
+      .withColumn("sum_r", sum("reward").over(wg))
+      .withColumn("sum_r2", sum(col("reward") * col("reward")).over(wg))
+      .withColumn("__num", col("n_cands") * col("reward") - col("sum_r"))
+      .withColumn("__v", col("n_cands") * col("sum_r2")
+        - col("sum_r") * col("sum_r"))
+      .withColumn("__r0", floor(sqrt(col("__v").cast("double"))).cast("long"))
+      .withColumn("__isq", when(col("__v") <= 0, lit(0L))
+        .when((col("__r0") + 1) * (col("__r0") + 1) <= col("__v"),
+          col("__r0") + 1)
+        .when(col("__r0") * col("__r0") > col("__v"), col("__r0") - 1)
+        .otherwise(col("__r0")))
+      .withColumn("adv_milli", when(col("__isq") > 0,
+        signum(col("__num")).cast("long")
+          * expr("(abs(__num) * 1000) div __isq")).otherwise(lit(0L)))
+      .select(col("prompt_id"), col("doc_id"), col("reward"),
+        col("n_cands"), col("adv_milli"))
+      .orderBy("prompt_id", "doc_id")
+  }
+
+  /** Entropy rollup shared by batch q278 and streaming twin q281: from
+    * a (source, w, cnt) vocabulary census to per-source Shannon entropy
+    * H = ln T − (Σ c·ln c)/T and the ln-V-normalized form. All sums run
+    * census-side (vocabulary-sized); ROUND(6) absorbs cross-engine
+    * float-sum order (the q79 ln discipline).
+    */
+  private[graft] def entropyProfile(census: DataFrame): DataFrame =
+    census.groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum("cnt").as("total"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+          .as("sclogc"))
+      .withColumn("entropy",
+        round(log(col("total")) - col("sclogc") / col("total"), 6))
+      .withColumn("norm_entropy", when(col("vocab") > 1,
+        round((log(col("total")) - col("sclogc") / col("total"))
+          / log(col("vocab")), 6)))
+      .select("source", "vocab", "total", "entropy", "norm_entropy")
+      .orderBy("source")
+
+  /** Shared by q275 (batch window) and q280 (streaming bounded
+    * collect_list twin): the integer z-score prep.
+    */
+  private lazy val grpoAdvantageOracle =
+    s"""WITH d AS (SELECT doc_id, doc_id // 8 AS prompt_id,
+       |    1000 * ${markerSql("en")}
+       |      + len(string_split(text, ' ')) AS reward
+       |  FROM documents WHERE text IS NOT NULL),
+       | g AS (SELECT prompt_id, doc_id, reward,
+       |    COUNT(*) OVER w AS n, SUM(reward) OVER w AS sr,
+       |    SUM(reward * reward) OVER w AS sr2
+       |  FROM d WINDOW w AS (PARTITION BY prompt_id)),
+       | v AS (SELECT *, n * sr2 - sr * sr AS vv,
+       |    n * reward - sr AS num FROM g),
+       | q AS (SELECT *, CAST(FLOOR(SQRT(CAST(vv AS DOUBLE))) AS BIGINT)
+       |    AS r0 FROM v),
+       | z AS (SELECT *, CASE WHEN vv <= 0 THEN 0
+       |    WHEN (r0 + 1) * (r0 + 1) <= vv THEN r0 + 1
+       |    WHEN r0 * r0 > vv THEN r0 - 1 ELSE r0 END AS isq FROM q)
+       |SELECT CAST(prompt_id AS BIGINT) AS prompt_id, doc_id,
+       |  CAST(reward AS BIGINT) AS reward, CAST(n AS BIGINT) AS n_cands,
+       |  CAST(CASE WHEN isq > 0 THEN CAST(SIGN(num) AS BIGINT)
+       |      * ((ABS(num) * 1000) // isq) ELSE 0 END AS BIGINT)
+       |    AS adv_milli
+       |FROM z ORDER BY prompt_id, doc_id""".stripMargin
+
+  /** Shared by q278 (batch census) and q281 (streaming Complete-mode
+    * census twin): the per-source entropy rollup.
+    */
+  private lazy val entropyProfileOracle =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      | c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY 1, 2),
+      | a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(cnt) AS BIGINT) AS total,
+      |    SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS sclogc
+      |  FROM c GROUP BY 1)
+      |SELECT source, vocab, total,
+      |  ROUND(ln(total) - sclogc / total, 6) AS entropy,
+      |  CASE WHEN vocab > 1
+      |    THEN ROUND((ln(total) - sclogc / total) / ln(vocab), 6)
+      |  END AS norm_entropy
+      |FROM a ORDER BY source""".stripMargin
 
   /** Shared by q247 (batch window) and q258 (streaming bounded-heap
     * twin): per-prompt argmax with runner-up margin.
@@ -4370,6 +4670,179 @@ object TextQueries {
     // same (cnt DESC, anchor) total order. q259's incremental census
     // merge must be bit-identical to this from-scratch relation.
     "q252_anchor_text" -> anchorTextOracle,
-    "q259_anchor_incremental" -> anchorTextOracle
+    "q259_anchor_incremental" -> anchorTextOracle,
+
+    // BM25 restated term-for-term: same +1 idf, same k1/b constants in
+    // the same association, scores rounded to 6 dp BEFORE ranking (the
+    // cross-engine float-sum-order guard), ties on doc_id.
+    "q273_bm25_topk" ->
+      """WITH qt(query_id, w) AS (VALUES
+        |    (1, 'customer'), (1, 'query'), (2, 'vector'), (2, 'merge'),
+        |    (3, 'stream'), (3, 'window'), (3, 'sort'),
+        |    (4, 'hash'), (4, 'join')),
+        | base AS (SELECT doc_id,
+        |     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |     string_split(text, ' ') AS ws
+        |   FROM documents WHERE text IS NOT NULL),
+        | g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base),
+        | tok AS (SELECT doc_id, dl, unnest(ws) AS w FROM base),
+        | tf AS (SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |   FROM tok WHERE w IN (SELECT w FROM qt) GROUP BY 1, 2, 3),
+        | dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT qt.query_id, tf.doc_id,
+        |     SUM(ln(1.0 + (g.n_docs - dfw.df + 0.5) / (dfw.df + 0.5))
+        |       * (tf.tf * 2.2)
+        |       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl * g.n_docs / g.sum_dl)))
+        |       AS score
+        |   FROM tf JOIN dfw USING (w) JOIN qt USING (w) CROSS JOIN g
+        |   GROUP BY 1, 2),
+        | r AS (SELECT query_id, doc_id, ROUND(score, 6) AS score,
+        |     ROW_NUMBER() OVER (PARTITION BY query_id
+        |       ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+        |   FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT)
+        |    AS rnk, doc_id, score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // The MM loop restated in the SAME fixed-point integers: the win
+    // census densifies into a games matrix + wins vector (lists indexed
+    // by the sorted-player position), each iteration is the identical
+    // Long floor-divide arithmetic (int128 only where the engine uses
+    // BigInt), and the t = 16 snapshot publishes. Integer sums are
+    // order-free, so the recursion carries zero float hazard.
+    "q274_bradley_terry" ->
+      s"""WITH RECURSIVE
+         | d AS (SELECT doc_id // 8 AS prompt_id, doc_id % 8 AS arm,
+         |     1000 * ${markerSql("en")}
+         |       + len(string_split(text, ' ')) AS reward
+         |   FROM documents WHERE text IS NOT NULL),
+         | pair AS (SELECT
+         |     CASE WHEN a.reward > b.reward THEN a.arm ELSE b.arm END
+         |       AS winner,
+         |     CASE WHEN a.reward > b.reward THEN b.arm ELSE a.arm END
+         |       AS loser
+         |   FROM d a JOIN d b
+         |     ON a.prompt_id = b.prompt_id AND a.arm < b.arm
+         |   WHERE a.reward <> b.reward),
+         | wc AS (SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS n
+         |   FROM pair GROUP BY 1, 2),
+         | pl AS (SELECT arm, CAST(ROW_NUMBER() OVER (ORDER BY arm)
+         |     AS BIGINT) AS pi
+         |   FROM (SELECT winner AS arm FROM wc
+         |         UNION SELECT loser FROM wc)),
+         | np AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM pl),
+         | sym AS (SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+         |     SELECT pw.pi AS i, pli.pi AS j, n FROM wc
+         |       JOIN pl pw ON pw.arm = wc.winner
+         |       JOIN pl pli ON pli.arm = wc.loser
+         |     UNION ALL
+         |     SELECT pli.pi, pw.pi, n FROM wc
+         |       JOIN pl pw ON pw.arm = wc.winner
+         |       JOIN pl pli ON pli.arm = wc.loser)
+         |   GROUP BY 1, 2),
+         | nm AS (SELECT list(rowl ORDER BY i) AS nmat FROM (
+         |     SELECT pi.pi AS i,
+         |       list(CAST(COALESCE(s.n, 0) AS BIGINT) ORDER BY pj.pi)
+         |         AS rowl
+         |     FROM pl pi CROSS JOIN pl pj
+         |       LEFT JOIN sym s ON s.i = pi.pi AND s.j = pj.pi
+         |     GROUP BY pi.pi)),
+         | wpp AS (SELECT pl.pi AS pi, pl.arm AS arm,
+         |     CAST(COALESCE(SUM(wc.n), 0) AS BIGINT) AS wn
+         |   FROM pl LEFT JOIN wc ON wc.winner = pl.arm GROUP BY 1, 2),
+         | wv AS (SELECT list(wn ORDER BY pi) AS wvec FROM wpp),
+         | it(t, s) AS (
+         |   SELECT 0, (SELECT list(CAST(1000000 AS BIGINT) ORDER BY pi)
+         |     FROM pl)
+         |   UNION ALL
+         |   SELECT t + 1,
+         |     list_transform(raw, r -> GREATEST(CAST(1 AS BIGINT),
+         |       CAST(CAST(r AS HUGEINT) * p * 1000000 // list_sum(raw)
+         |         AS BIGINT)))
+         |   FROM (
+         |     SELECT t, p, list_transform(range(1, CAST(p + 1 AS BIGINT)),
+         |         i -> CASE WHEN den[i] > 0
+         |           THEN CAST((wvec[i] * 1000000000000) // den[i] AS BIGINT)
+         |           ELSE CAST(1000000 AS BIGINT) END) AS raw
+         |     FROM (
+         |       SELECT t, p, wvec,
+         |         list_transform(range(1, CAST(p + 1 AS BIGINT)), i ->
+         |           list_sum(list_transform(range(1, CAST(p + 1 AS BIGINT)),
+         |             j -> CASE WHEN j <> i AND nmat[i][j] > 0
+         |               THEN (nmat[i][j] * 1000000000000) // (s[i] + s[j])
+         |               ELSE CAST(0 AS BIGINT) END))) AS den
+         |       FROM it, nm, wv, np WHERE t < 16) q1) q2),
+         | fin AS (SELECT s FROM it WHERE t = 16),
+         | gpp AS (SELECT i AS pi, CAST(SUM(n) AS BIGINT) AS games
+         |   FROM sym GROUP BY 1)
+         |SELECT CAST(w.arm AS BIGINT) AS player,
+         |  CAST(COALESCE(g.games, 0) AS BIGINT) AS n_games,
+         |  CAST(w.wn AS BIGINT) AS n_wins,
+         |  CAST(f.s[w.pi] AS BIGINT) AS strength_micro
+         |FROM wpp w LEFT JOIN gpp g ON g.pi = w.pi CROSS JOIN fin f
+         |ORDER BY player""".stripMargin,
+
+    // The z-score restated in the same integers: V and the numerator
+    // from the window sums, the same floor-sqrt ±1 adjustment, the
+    // same sign-split floor divide. The streaming twin q280 drains to
+    // the identical relation (shared groupAdvantage).
+    "q275_grpo_advantage" -> grpoAdvantageOracle,
+    "q280_stream_grpo_advantage" -> grpoAdvantageOracle,
+
+    // Pairwise distinct-bigram Jaccard over the literal grams (the
+    // engine's 8-byte hashes are collision-free at these set sizes, the
+    // q25 equivalence); same integer ppm floor divides.
+    "q276_group_self_overlap" ->
+      """WITH d AS (SELECT doc_id, doc_id // 8 AS prompt_id,
+        |    string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        | g AS (SELECT doc_id, prompt_id,
+        |    CASE WHEN len(w) >= 2 THEN list_distinct(
+        |        list_transform(range(len(w) - 1),
+        |          i -> w[i + 1] || ' ' || w[i + 2]))
+        |      ELSE CAST([] AS VARCHAR[]) END AS gs
+        |  FROM d),
+        | p AS (SELECT a.prompt_id,
+        |    CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter,
+        |    CAST(len(a.gs) + len(b.gs)
+        |      - len(list_intersect(a.gs, b.gs)) AS BIGINT) AS uni
+        |  FROM g a JOIN g b
+        |    ON a.prompt_id = b.prompt_id AND a.doc_id < b.doc_id)
+        |SELECT CAST(prompt_id AS BIGINT) AS prompt_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(CAST(SUM(CASE WHEN uni > 0 THEN (1000000 * inter) // uni
+        |      ELSE 0 END) AS BIGINT) // COUNT(*) AS BIGINT)
+        |    AS mean_jac_ppm
+        |FROM p GROUP BY prompt_id ORDER BY prompt_id""".stripMargin,
+
+    // Entropy from the same census algebra (H = ln T − Σ c·ln c / T);
+    // ROUND(6) absorbs float-sum order, the q79 ln discipline. The
+    // streaming twin q281 drains the same census (shared entropyProfile).
+    "q278_entropy_profile" -> entropyProfileOracle,
+    "q281_stream_entropy_profile" -> entropyProfileOracle,
+
+    // The OLS moments over the same top-30 rank census, the same
+    // slope/intercept association, ROUND(6).
+    "q279_zipf_slope" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2),
+        | r AS (SELECT source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, w) AS rnk, cnt
+        |  FROM c),
+        | x AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y FROM r WHERE rnk <= 30),
+        | m AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx
+        |  FROM x GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_terms,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+        |    6) AS intercept
+        |FROM m ORDER BY source""".stripMargin
   )
 }

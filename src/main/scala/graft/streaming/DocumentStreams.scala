@@ -241,6 +241,47 @@ object DocumentStreams {
       .orderBy("prompt_id")
   }
 
+  /** Streaming group-relative advantage — q275's GRPO reward prep as a
+    * streaming aggregation: per-prompt state is a collect_list of
+    * (doc_id, reward) pairs, BOUNDED by the candidate-group size (≤ 8
+    * entries per group — the q258 bounded-state discipline; a reward
+    * stream groups by prompt, never by corpus). The drained snapshot
+    * explodes back to candidate rows and runs the SAME integer
+    * standardization (`TextQueries.groupAdvantage` — shared val, the
+    * q260/q261 factoring), so the bounded drain ≡ batch q275 and the
+    * twins share one oracle.
+    */
+  def streamingGroupAdvantage(spark: SparkSession, sfDir: String,
+      reward: Column): DataFrame = {
+    val agg = readDocumentsStream(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .withColumn("prompt_id", expr("doc_id div 8"))
+      .withColumn("reward", reward)
+      .groupBy("prompt_id")
+      .agg(collect_list(struct(col("doc_id"), col("reward"))).as("cands"))
+    val drained = EventStreams.runToMemory(agg, OutputMode.Complete())
+      .select(col("prompt_id"), explode(col("cands")).as("c"))
+      .select(col("prompt_id"), col("c.doc_id").as("doc_id"),
+        col("c.reward").as("reward"))
+    graft.queries.TextQueries.groupAdvantage(drained)
+  }
+
+  /** Streaming entropy profile — q278's per-source vocabulary census
+    * maintained as a Complete-mode streaming aggregation (state = the
+    * (source, word) vocabulary, what a live corpus-health monitor
+    * holds — the q175/q271 census discipline); the entropy rollup runs
+    * on the drained census via the SHARED `TextQueries.entropyProfile`,
+    * so the bounded drain ≡ batch q278 and the twins share one oracle.
+    */
+  def streamingEntropyProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val census = readDocumentsStream(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    graft.queries.TextQueries.entropyProfile(
+      EventStreams.runToMemory(census, OutputMode.Complete()))
+  }
+
   /** Streaming license scrub — q245's SPDX classify+strip at the
     * ingestion door: the projection is per-row codegen regex
     * (`Scrub.licenseScrub`), so the streaming plan is fully stateless

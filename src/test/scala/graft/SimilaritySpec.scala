@@ -662,4 +662,48 @@ class SimilaritySpec extends SparkSpec {
       "prefix order should differ somewhere at k=1 - otherwise the gate " +
         "could pass without the rerank and proves nothing")
   }
+
+  test("signBits: MSB-first fold matches a Scala reference; " +
+      "deterministic; duplicate vectors collide at Hamming 0") {
+    val e = Tables.load(spark, sfDir, "embeddings").limit(50)
+    val rows = e.select($"vec_id", $"embedding",
+        Similarity.signBits($"embedding").as("sig"))
+      .as[(Long, Array[Float], Long)].collect().toSeq
+    rows.foreach { case (id, v, sig) =>
+      val exp = v.foldLeft(0L)((acc, x) =>
+        (acc << 1) | (if (x >= 0) 1L else 0L))
+      assert(sig === exp, s"vec $id signature")
+    }
+    // identical vectors ⇒ identical signatures (Hamming 0)
+    val dup = rows.head
+    val again = e.filter($"vec_id" === dup._1)
+      .select(Similarity.signBits($"embedding")).as[Long].head()
+    assert(again === dup._3)
+  }
+
+  test("signBitTopK: shortlist covering the corpus degenerates to the " +
+      "exact brute force (rerank exactness law)") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val n = e.count().toInt
+    val q = e.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val viaSig = Similarity.signBitTopK(e, q, "vec_id", "embedding", k = 5,
+        shortlist = n)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(viaSig === exact)
+  }
+
+  test("signBitTopK: a planted exact duplicate is always retrieved " +
+      "first (Hamming 0 survives any shortlist)") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val planted = e.unionByName(
+      e.filter($"vec_id" === 3).withColumn("vec_id", lit(100000L)))
+    val out = Similarity.signBitTopK(planted,
+        planted.filter($"vec_id" === 100000L), "vec_id", "embedding",
+        k = 1, shortlist = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.size === 1)
+    assert(out.head._3 === 3L && out.head._4 === 1.0)
+  }
 }

@@ -954,4 +954,141 @@ class TextFunctionsSpec extends SparkSpec {
     assert(nOut.head === ((9L, None, None)))
     assert(nOut(1)._2.isDefined && nOut(1)._3.isDefined)
   }
+
+  test("q273 BM25: engine top-10 equals the brute-force scorer") {
+    val queryDefs: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("customer", "query"), 2L -> Seq("vector", "merge"),
+      3L -> Seq("stream", "window", "sort"), 4L -> Seq("hash", "join"))
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+    val nDocs = corpus.size.toLong
+    val sumDl = corpus.map(_._2.size.toLong).sum
+    val tf = corpus.map { case (id, ws) =>
+      (id, ws.size.toLong, ws.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+    val df = queryDefs.flatMap(_._2).distinct
+      .map(t => t -> tf.count(_._3.contains(t)).toLong).toMap
+    val expected = queryDefs.flatMap { case (qid, terms) =>
+      val scored = tf.flatMap { case (id, dl, m) =>
+        val s = terms.filter(m.contains).map { t =>
+          math.log(1.0 + (nDocs - df(t) + 0.5) / (df(t) + 0.5)) *
+            (m(t) * 2.2) / (m(t) + 1.2 * (0.25 + 0.75 * dl * nDocs / sumDl))
+        }.sum
+        if (terms.exists(m.contains))
+          Some((id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        else None
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, s), i) => (qid, i + 1L, id, s) }
+    }
+    val got = SparkEntry.queries("q273_bm25_topk")(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("bradleyTerry: count-scale invariance, dominance order, " +
+      "symmetric equality, bound guards") {
+    import graft.operators.Preference.bradleyTerry
+    // dominance chain: 0 beats 1 beats 2, transitively consistent
+    val chain = Seq((0L, 1L, 8L), (0L, 2L, 9L), (1L, 2L, 7L),
+      (1L, 0L, 2L), (2L, 0L, 1L), (2L, 1L, 3L))
+      .toDF("winner", "loser", "n")
+    val s1 = bradleyTerry(chain, "winner", "loser", "n")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(s1.map(_._1) === Seq(0L, 1L, 2L))
+    val strengths = s1.map(r => r._1 -> r._4).toMap
+    assert(strengths(0L) > strengths(1L) && strengths(1L) > strengths(2L))
+    assert(s1.map(_._2) === Seq(20L, 20L, 20L)) // games per player
+    assert(s1.map(_._3) === Seq(17L, 9L, 4L))   // wins
+    // MM is invariant to scaling every count (W and n scale together) —
+    // exactly in the reals; the fixed-point floor divides commute with
+    // the scaling only to ±1 micro-unit per player per iteration's
+    // final normalization, so the law is a tight band, not equality.
+    val doubled = chain.withColumn("n", $"n" * 2)
+    val s2 = bradleyTerry(doubled, "winner", "loser", "n")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    s2.foreach { r =>
+      assert(math.abs(r._4 - strengths(r._1)) <= 2L,
+        s"player ${r._1}: ${r._4} vs ${strengths(r._1)}")
+    }
+    // perfectly symmetric round-robin ⇒ equal strengths (the prior S)
+    val sym = Seq((0L, 1L, 5L), (1L, 0L, 5L), (0L, 2L, 5L), (2L, 0L, 5L),
+      (1L, 2L, 5L), (2L, 1L, 5L)).toDF("winner", "loser", "n")
+    val s3 = bradleyTerry(sym, "winner", "loser", "n")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(s3.map(_._4).distinct === Seq(1000000L))
+    // loud bound: too many players refuses
+    val big = (0L until 70L).map(i => (i, i + 100L, 1L))
+      .toDF("winner", "loser", "n")
+    val e = intercept[IllegalArgumentException] {
+      bradleyTerry(big, "winner", "loser", "n", maxPlayers = 8)
+    }
+    assert(e.getMessage.contains("census exceeds"))
+  }
+
+  test("q275 advantage: brute-force integer z-scores match; " +
+      "group sums stay near zero") {
+    import graft.functions.TextFunctions.markerHits
+    val scored = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        (lit(1000L) * markerHits($"text", Seq("the", "a", "of", "and", "to"))
+          .cast("bigint")
+          + size(split($"text", " ")).cast("bigint")).as("reward"))
+      .as[(Long, Long)].collect().toSeq
+    def isqrt(v: BigInt): Long = {
+      if (v <= 0) 0L
+      else {
+        val r0 = math.floor(math.sqrt(v.toDouble)).toLong
+        if (BigInt(r0 + 1) * (r0 + 1) <= v) r0 + 1
+        else if (BigInt(r0) * r0 > v) r0 - 1 else r0
+      }
+    }
+    val expected = scored.groupBy(_._1 / 8).toSeq.flatMap { case (p, cs) =>
+      val n = cs.size.toLong
+      val sr = cs.map(_._2).sum
+      val sr2 = cs.map(c => c._2 * c._2).sum
+      val s = isqrt(BigInt(n) * sr2 - BigInt(sr) * sr)
+      cs.map { case (id, r) =>
+        val num = n * r - sr
+        val adv = if (s > 0) num.sign * (math.abs(num) * 1000L / s) else 0L
+        (p, id, r, n, adv)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q275_grpo_advantage")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // floor rounding loses < 1 milli per row, so each group sums near 0
+    got.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._5).sum) <= g.size.toLong)
+    }
+  }
+
+  test("q276 self-overlap: brute-force set Jaccard matches") {
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 2) Set.empty
+      else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val expected = corpus.map { case (id, t) => (id / 8, id, grams(t)) }
+      .groupBy(_._1).toSeq.flatMap { case (p, ds) =>
+        val pairs = for {
+          a <- ds; b <- ds if a._2 < b._2
+        } yield {
+          val inter = (a._3 & b._3).size.toLong
+          val uni = a._3.size.toLong + b._3.size - inter
+          if (uni > 0) 1000000L * inter / uni else 0L
+        }
+        if (pairs.isEmpty) None
+        else Some((p, pairs.size.toLong, pairs.sum / pairs.size))
+      }.sortBy(_._1)
+    val got = SparkEntry.queries("q276_group_self_overlap")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
 }
