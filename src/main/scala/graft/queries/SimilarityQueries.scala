@@ -171,6 +171,59 @@ object SimilarityQueries {
         .select(col("mean_recall"), lit(0.8).as("recall_floor"))
     }),
 
+    // IVF probe-sweep gate — the nprobe tuning curve (the q270 sweep
+    // discipline applied to ANN), gated on a THEOREM instead of a
+    // floor alone: under one fixed centroid model the probed candidate
+    // set at nprobe 2p contains the set at p, and a top-k cosine
+    // rerank over a superset can only swap a true-top-k member for
+    // another true-top-k member — so per-query exact-hit counts are
+    // NON-DECREASING in nprobe, as integers, no tolerance needed. The
+    // gate emits every (query, probe-step) violating that, plus a
+    // floor row if even nprobe=8 recalls < 0.8. Oracle: empty.
+    "q287_ivf_probe_sweep" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+        nlist = 16, iters = 10)
+      val byProbe = Seq(1, 2, 4, 8).map { np =>
+        Similarity.ivfTopKWithCentroids(e, q, "vec_id", "embedding",
+            k = 5, cents, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(np.toLong).as("nprobe"), lit(1L).as("hit"))
+      }.reduce(_ unionByName _)
+      val counted = exact.join(byProbe, Seq("query_id", "neighbor_id"),
+          "left")
+        .filter(col("nprobe").isNotNull)
+        .groupBy("query_id", "nprobe")
+        .agg(sum("hit").as("hits"))
+      // densify: a zero-hit (query, nprobe) cell must exist, or the
+      // monotonicity join silently skips the very drop it should catch
+      val hits = q.select(col("vec_id").as("query_id"),
+          explode(array(lit(1L), lit(2L), lit(4L), lit(8L))).as("nprobe"))
+        .join(counted, Seq("query_id", "nprobe"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      val a = hits.select(col("query_id"), col("nprobe").as("np_lo"),
+        col("hits").as("hits_lo"))
+      val b = hits.select(col("query_id"), col("nprobe").as("np_hi"),
+        col("hits").as("hits_hi"))
+      val viol = a.join(b, Seq("query_id"))
+        .filter(col("np_hi") === col("np_lo") * 2)
+        .filter(col("hits_hi") < col("hits_lo"))
+        .select(col("query_id"), col("np_lo"), col("np_hi"),
+          col("hits_lo"), col("hits_hi"))
+      val floor = hits.filter(col("nprobe") === 8)
+        .agg((sum("hits") / (count(lit(1)) * 5)).as("recall"))
+        .filter(col("recall") < 0.8)
+        .select(lit(-1L).as("query_id"), lit(8L).as("np_lo"),
+          lit(8L).as("np_hi"),
+          (col("recall") * 1000).cast("bigint").as("hits_lo"),
+          lit(800L).as("hits_hi"))
+      viol.unionByName(floor).orderBy("query_id", "np_lo")
+    }),
+
     // Sign-bit binary-quantization ANN recall gate (the q33 contract
     // applied to the cheapest quantization rung): 1 bit/dim signatures,
     // Hamming shortlist, exact-cosine rerank — any row out means the
@@ -771,6 +824,11 @@ object SimilarityQueries {
     "q277_signbit_ann" ->
       """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
         |  CAST(NULL AS DOUBLE) AS recall_floor
+        |WHERE FALSE""".stripMargin,
+    "q287_ivf_probe_sweep" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id,
+        |  CAST(NULL AS BIGINT) AS np_lo, CAST(NULL AS BIGINT) AS np_hi,
+        |  CAST(NULL AS BIGINT) AS hits_lo, CAST(NULL AS BIGINT) AS hits_hi
         |WHERE FALSE""".stripMargin,
     "q82_pq_ann" ->
       """SELECT CAST(NULL AS DOUBLE) AS mean_recall,

@@ -2645,40 +2645,8 @@ object TextQueries {
     // (cross-engine float-sum order differs only past ~1e-15); ties
     // break on doc_id ascending inside the aggregator.
     "q273_bm25_topk" -> ((s, dir) => {
-      import s.implicits._
-      val queryDefs: Seq[(Long, Seq[String])] = Seq(
-        1L -> Seq("customer", "query"),
-        2L -> Seq("vector", "merge"),
-        3L -> Seq("stream", "window", "sort"),
-        4L -> Seq("hash", "join"))
-      val termSet = queryDefs.flatMap(_._2).distinct
-      val qt = broadcast(queryDefs
-        .flatMap { case (q, ts) => ts.map(t => (q, t)) }
-        .toDF("query_id", "w"))
-      val base = docs(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          size(words(col("text"))).cast("bigint").as("dl"),
-          filter(words(col("text")),
-            w => w.isInCollection(termSet)).as("qtoks"))
-        .localCheckpoint(eager = true)
-      val global = broadcast(base.agg(count(lit(1)).as("n_docs"),
-        sum("dl").as("sum_dl")))
-      val tf = base
-        .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("w"))
-        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-      val dfw = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val topk = udaf(new graft.functions.TopKAggregator(10))
-      tf.join(broadcast(dfw), Seq("w")).join(qt, Seq("w"))
-        .crossJoin(global)
-        .withColumn("idf",
-          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
-            / (col("df") + lit(0.5))))
-        .withColumn("num", col("tf") * lit(2.2))
-        .withColumn("den", col("tf") + lit(1.2) * (lit(0.25)
-          + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl")))
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("idf") * col("num") / col("den")).as("score"))
-        .withColumn("score_r", round(col("score"), 6))
+      bm25Scores(s, dir)
         .groupBy("query_id")
         .agg(topk(col("doc_id"), col("score_r")).as("top"))
         .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
@@ -2833,7 +2801,189 @@ object TextQueries {
     // shared entropyProfile. Bounded drain ≡ batch; shares q278's
     // oracle.
     "q281_stream_entropy_profile" -> ((s, dir) =>
-      graft.streaming.DocumentStreams.streamingEntropyProfile(s, dir))
+      graft.streaming.DocumentStreams.streamingEntropyProfile(s, dir)),
+
+    // Streaming twin of q273: frozen corpus model (driver-pulled,
+    // model-sized), map-side per-document scoring, ONE Complete-mode
+    // TopKAggregator(10) per query. Bounded drain ≡ batch; shares
+    // q273's oracle.
+    "q282_stream_bm25" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingBm25TopK(s, dir)),
+
+    // Hybrid retrieval fusion — the RAG-stack composition of the two
+    // retrieval paths this engine ships: per query, reciprocal-rank
+    // fusion of the BM25 lexical run (top-20 of q273's scored frame,
+    // bounded TopKAggregator heaps) with a dense cosine run (top-20
+    // around the query's anchor embedding — vec_id aligns with doc_id
+    // in the testdata, the cross-modal join key). RRF runs in EXACT
+    // integers: each run contributes floor(1e6/(60+rank)) ppm (the
+    // k=60 of Cormack et al.), absent runs contribute 0, so the fused
+    // score is a BIGINT sum with zero float hazard — the q163 lesson
+    // applied to true two-system fusion. The fused candidate pool is
+    // ≤ 40 rows per query, so the final window is bounded.
+    "q283_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val topk = udaf(new graft.functions.TopKAggregator(20))
+      val lex = bm25Scores(s, dir)
+        .groupBy("query_id")
+        .agg(topk(col("doc_id"), col("score_r")).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("query_id"), (col("pos") + 1).cast("bigint").as("r_lex"),
+          col("e._1").as("doc_id"))
+      val emb = Tables.load(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id").isin(
+        bm25QueryDefs.map(_._1): _*))
+      val dense = graft.operators.Similarity.bruteForceTopK(
+          emb, anchors, "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("rank").as("r_dense"),
+          col("neighbor_id").as("doc_id"))
+      val fused = lex.join(dense, Seq("query_id", "doc_id"), "full")
+        .withColumn("rrf_ppm",
+          coalesce(expr("1000000 div (60 + r_lex)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + r_dense)"), lit(0L)))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+      fused.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("rnk"), col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_dense"), lit(0L)).as("r_dense"),
+          col("rrf_ppm"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Best-of-n scaling curve — the inference-compute question ("how
+    // much does reward improve with more samples?") answered exactly:
+    // for n ∈ {1,2,4,8}, the mean best reward when each prompt keeps
+    // only its first n candidates (arm < n — the deterministic "first
+    // n samples" prefix). All integer arithmetic; the n fan-out is a
+    // 4-element map-side explode, the per-(n, prompt) max is one
+    // shuffle of 4×|corpus| skinny rows with map-side combine.
+    "q284_bon_scaling" -> ((s, dir) => {
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(expr("doc_id div 8").as("prompt_id"),
+          expr("doc_id % 8").as("arm"),
+          (lit(1000L) * markerHits(col("text"), markers.head._2).cast("bigint")
+            + size(words(col("text"))).cast("bigint")).as("reward"))
+        .withColumn("n", explode(array(lit(1L), lit(2L), lit(4L), lit(8L))))
+        .filter(col("arm") < col("n"))
+        .groupBy("n", "prompt_id").agg(max("reward").as("best"))
+        .groupBy("n").agg(count(lit(1)).as("n_prompts"),
+          sum("best").as("sum_best"))
+        .withColumn("mean_best_milli",
+          expr("(1000 * sum_best) div n_prompts"))
+        .select("n", "n_prompts", "sum_best", "mean_best_milli")
+        .orderBy("n")
+    }),
+
+    // Shared-prefix audit — the vLLM/prefix-cache accounting question:
+    // best-of-n candidates of one prompt share the rendered prompt
+    // prefix (planted here as "prompt <id> : " + text), and a
+    // prefix-caching server stores that prefix ONCE. Per group the
+    // common prefix is LCP(min, max) — the classic identity: the
+    // lexicographic extremes bound every member, so their common
+    // prefix is the group's (capped at 200 chars; the fold is a
+    // monotone zip_with + aggregate, linear in the cap, zero shuffle
+    // beyond the group agg). saved_chars = (n−1)·LCP is the cache win.
+    "q285_prefix_sharing" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("prompt_id", expr("doc_id div 8"))
+        .withColumn("rendered", concat(lit("prompt "),
+          col("prompt_id").cast("string"), lit(" : "), col("text")))
+      val g = d.groupBy("prompt_id").agg(count(lit(1)).as("n_cands"),
+        min("rendered").as("lo"), max("rendered").as("hi"))
+      val la = split(substring(col("lo"), 1, 200), "")
+      val lb = split(substring(col("hi"), 1, 200), "")
+      val eq = zip_with(la, lb,
+        (x, y) => when(x === y, 1L).otherwise(0L))
+      g.withColumn("lcp", aggregate(eq,
+          struct(lit(0L).as("c"), lit(1L).as("g")),
+          (acc, v) => struct(
+            (acc.getField("c") + acc.getField("g") * v).as("c"),
+            (acc.getField("g") * v).as("g")),
+          acc => acc.getField("c")))
+        .withColumn("saved_chars", (col("n_cands") - 1) * col("lcp"))
+        .select("prompt_id", "n_cands", "lcp", "saved_chars")
+        .orderBy("prompt_id")
+    }),
+
+    // Retrieval evaluation — the metrics harness a retriever ships
+    // with: MRR, recall@10, and nDCG@10 of the q273 BM25 run against
+    // EXACT binary qrels (relevant ⇔ the document contains every query
+    // term — deterministic and SQL-restatable, so the whole eval is
+    // oracle-gated, unlike real-world graded qrels). MRR and recall
+    // are integer (milli / ppm floor divides); DCG/IDCG use
+    // ln(r+1)/ln 2 with ROUND(6) (the q79 ln discipline). The run is
+    // 10 rows per query; the qrels join is query-keyed; the IDCG is a
+    // bounded 10-term fold — nothing here scales past the run size
+    // except the one relevance scan.
+    "q286_retrieval_metrics" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator(10))
+      val run = bm25Scores(s, dir).groupBy("query_id")
+        .agg(topk(col("doc_id"), col("score_r")).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("e._1").as("doc_id"))
+      val ws = words(col("text"))
+      val relArr = array(bm25QueryDefs.map { case (qid, ts) =>
+        struct(lit(qid).as("query_id"),
+          ts.map(t => array_contains(ws, t)).reduce(_ && _).as("rel"))
+      }: _*)
+      val rel = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(relArr).as("r"))
+        .filter(col("r.rel"))
+        .select(col("r.query_id").as("query_id"), col("doc_id"),
+          lit(1L).as("hit"))
+      val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+      run.join(rel, Seq("query_id", "doc_id"), "left")
+        .withColumn("hit", coalesce(col("hit"), lit(0L)))
+        .groupBy("query_id")
+        .agg(min(when(col("hit") === 1, col("rnk"))).as("first_rel"),
+          sum("hit").as("hits10"),
+          sum(when(col("hit") === 1,
+            lit(1.0) / (log(col("rnk") + lit(1)) / log(lit(2.0))))
+            .otherwise(lit(0.0))).as("dcg"))
+        .join(broadcast(nRel), Seq("query_id"), "left")
+        .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+        .withColumn("mrr_milli", when(col("first_rel").isNotNull,
+          expr("1000 div first_rel")).otherwise(lit(0L)))
+        .withColumn("recall10_ppm", when(col("n_rel") > 0,
+          expr("(1000000 * hits10) div n_rel")).otherwise(lit(0L)))
+        .withColumn("idcg", when(col("n_rel") > 0,
+          aggregate(sequence(lit(1L), least(col("n_rel"), lit(10L))),
+            lit(0.0), (acc, i) =>
+              acc + lit(1.0) / (log(i + lit(1)) / log(lit(2.0)))))
+          .otherwise(lit(0.0)))
+        .withColumn("ndcg10", when(col("idcg") > 0,
+          round(col("dcg") / col("idcg"), 6)).otherwise(lit(0.0)))
+        .select("query_id", "n_rel", "mrr_milli", "hits10",
+          "recall10_ppm", "ndcg10")
+        .orderBy("query_id")
+    }),
+
+    // Packed-sequence attention-mask accounting — what document packing
+    // (q69) costs and saves inside the attention kernel: with
+    // block-diagonal (per-document) masking, a packed sequence of
+    // lengths ℓᵢ attends over Σℓᵢ² positions instead of the budget²
+    // full square. mask_ppm is that density; xdoc_saved_ppm is the
+    // cross-document attention the mask removes (the contamination
+    // leak a NAIVE packer without masking trains on — used²−Σℓᵢ²).
+    // Pure integer rollup over q69's pack relation, one group agg.
+    "q288_pack_mask_density" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      graft.operators.Packing.packGreedy(d, "lang", "doc_id", "n_tokens",
+          budget = 256)
+        .groupBy(col("lang"), col("seq_no"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("used"),
+          sum(col("n_tokens") * col("n_tokens")).as("sum_sq"))
+        .withColumn("mask_ppm", expr("(1000000 * sum_sq) div (256 * 256)"))
+        .withColumn("xdoc_saved_ppm",
+          expr("(1000000 * (used * used - sum_sq)) div (256 * 256)"))
+        .select("lang", "seq_no", "n_docs", "used", "sum_sq", "mask_ppm",
+          "xdoc_saved_ppm")
+        .orderBy("lang", "seq_no")
+    })
   )
 
   /** Per-language length quantiles. `approx = false` uses exact
@@ -3038,6 +3188,52 @@ object TextQueries {
       .select(col("p.center").as("center"), col("p.context").as("context"))
   }
 
+  /** The BM25 query workload shared by q273 (batch), q282 (streaming
+    * twin), and q283 (hybrid fusion).
+    */
+  private[graft] val bm25QueryDefs: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("customer", "query"),
+    2L -> Seq("vector", "merge"),
+    3L -> Seq("stream", "window", "sort"),
+    4L -> Seq("hash", "join"))
+
+  /** BM25 scored candidates (query_id, doc_id, score_r) shared by q273
+    * and q283 — see q273's Scaladoc for the scale shape (one
+    * checkpointed term-filtered scan, model-sized broadcasts, scores
+    * rounded BEFORE any ranking).
+    */
+  private[graft] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val termSet = bm25QueryDefs.flatMap(_._2).distinct
+    val qt = broadcast(bm25QueryDefs
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "w"))
+    val base = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("bigint").as("dl"),
+        filter(words(col("text")),
+          w => w.isInCollection(termSet)).as("qtoks"))
+      .localCheckpoint(eager = true)
+    val global = broadcast(base.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl")))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("w"))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfw), Seq("w")).join(qt, Seq("w"))
+      .crossJoin(global)
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("num", col("tf") * lit(2.2))
+      .withColumn("den", col("tf") + lit(1.2) * (lit(0.25)
+        + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl")))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("idf") * col("num") / col("den")).as("score"))
+      .withColumn("score_r", round(col("score"), 6))
+      .select("query_id", "doc_id", "score_r")
+  }
+
   /** Group-relative advantage shared by batch q275 and streaming twin
     * q280: standardize each (prompt_id, doc_id, reward) row against its
     * group ENTIRELY in integers — z_i = (n·r_i − Σr)/√V with
@@ -3087,6 +3283,43 @@ object TextQueries {
           / log(col("vocab")), 6)))
       .select("source", "vocab", "total", "entropy", "norm_entropy")
       .orderBy("source")
+
+  /** The BM25 scoring CTE block (query terms → scored candidates `sc`),
+    * shared by the q273/q282 oracle and q283's lexical leg.
+    */
+  private lazy val bm25CoreSql =
+    """qt(query_id, w) AS (VALUES
+      |    (1, 'customer'), (1, 'query'), (2, 'vector'), (2, 'merge'),
+      |    (3, 'stream'), (3, 'window'), (3, 'sort'),
+      |    (4, 'hash'), (4, 'join')),
+      | base AS (SELECT doc_id,
+      |     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |     string_split(text, ' ') AS ws
+      |   FROM documents WHERE text IS NOT NULL),
+      | g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base),
+      | tok AS (SELECT doc_id, dl, unnest(ws) AS w FROM base),
+      | tf AS (SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+      |   FROM tok WHERE w IN (SELECT w FROM qt) GROUP BY 1, 2, 3),
+      | dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      | sc AS (SELECT qt.query_id, tf.doc_id,
+      |     SUM(ln(1.0 + (g.n_docs - dfw.df + 0.5) / (dfw.df + 0.5))
+      |       * (tf.tf * 2.2)
+      |       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl * g.n_docs / g.sum_dl)))
+      |       AS score
+      |   FROM tf JOIN dfw USING (w) JOIN qt USING (w) CROSS JOIN g
+      |   GROUP BY 1, 2)""".stripMargin
+
+  /** Shared by q273 (batch) and q282 (streaming frozen-model twin). */
+  private lazy val bm25TopKOracle =
+    s"""WITH $bm25CoreSql,
+       | r AS (SELECT query_id, doc_id, ROUND(score, 6) AS score,
+       |     ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+       |   FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT)
+       |    AS rnk, doc_id, score
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
   /** Shared by q275 (batch window) and q280 (streaming bounded
     * collect_list twin): the integer z-score prep.
@@ -4674,36 +4907,159 @@ object TextQueries {
 
     // BM25 restated term-for-term: same +1 idf, same k1/b constants in
     // the same association, scores rounded to 6 dp BEFORE ranking (the
-    // cross-engine float-sum-order guard), ties on doc_id.
-    "q273_bm25_topk" ->
-      """WITH qt(query_id, w) AS (VALUES
-        |    (1, 'customer'), (1, 'query'), (2, 'vector'), (2, 'merge'),
-        |    (3, 'stream'), (3, 'window'), (3, 'sort'),
-        |    (4, 'hash'), (4, 'join')),
-        | base AS (SELECT doc_id,
-        |     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-        |     string_split(text, ' ') AS ws
-        |   FROM documents WHERE text IS NOT NULL),
-        | g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base),
-        | tok AS (SELECT doc_id, dl, unnest(ws) AS w FROM base),
-        | tf AS (SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
-        |   FROM tok WHERE w IN (SELECT w FROM qt) GROUP BY 1, 2, 3),
-        | dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        | sc AS (SELECT qt.query_id, tf.doc_id,
-        |     SUM(ln(1.0 + (g.n_docs - dfw.df + 0.5) / (dfw.df + 0.5))
-        |       * (tf.tf * 2.2)
-        |       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl * g.n_docs / g.sum_dl)))
-        |       AS score
-        |   FROM tf JOIN dfw USING (w) JOIN qt USING (w) CROSS JOIN g
-        |   GROUP BY 1, 2),
-        | r AS (SELECT query_id, doc_id, ROUND(score, 6) AS score,
-        |     ROW_NUMBER() OVER (PARTITION BY query_id
-        |       ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
-        |   FROM sc)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT)
-        |    AS rnk, doc_id, score
-        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // cross-engine float-sum-order guard), ties on doc_id. The
+    // streaming twin q282 scores against the frozen model map-side and
+    // drains to the identical relation.
+    "q273_bm25_topk" -> bm25TopKOracle,
+    "q282_stream_bm25" -> bm25TopKOracle,
+
+    // Both runs restated (lexical from the shared BM25 CTE block, dense
+    // from list_cosine_similarity around the anchor vectors), then the
+    // same integer RRF: floor(1e6/(60+rank)) per present run.
+    "q283_hybrid_rrf" ->
+      s"""WITH $bm25CoreSql,
+         | lex AS (SELECT query_id, doc_id,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id
+         |       ORDER BY ROUND(score, 6) DESC, doc_id) AS r_lex
+         |   FROM sc QUALIFY r_lex <= 20),
+         | qv AS (SELECT vec_id AS query_id,
+         |     CAST(embedding AS DOUBLE[]) AS v
+         |   FROM embeddings WHERE vec_id IN (1, 2, 3, 4)),
+         | cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+         |   FROM embeddings),
+         | dn AS (SELECT qv.query_id, cv.doc_id,
+         |     ROW_NUMBER() OVER (PARTITION BY qv.query_id
+         |       ORDER BY list_cosine_similarity(qv.v, cv.v) DESC,
+         |         cv.doc_id) AS r_dense
+         |   FROM qv CROSS JOIN cv WHERE qv.query_id <> cv.doc_id
+         |   QUALIFY r_dense <= 20),
+         | f AS (SELECT COALESCE(lex.query_id, dn.query_id) AS query_id,
+         |     COALESCE(lex.doc_id, dn.doc_id) AS doc_id,
+         |     lex.r_lex, dn.r_dense,
+         |     COALESCE(1000000 // (60 + lex.r_lex), 0)
+         |       + COALESCE(1000000 // (60 + dn.r_dense), 0) AS rrf_ppm
+         |   FROM lex FULL JOIN dn
+         |     ON lex.query_id = dn.query_id AND lex.doc_id = dn.doc_id),
+         | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |     ORDER BY rrf_ppm DESC, doc_id) AS rnk FROM f)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(rnk AS BIGINT) AS rnk, doc_id,
+         |  CAST(COALESCE(r_lex, 0) AS BIGINT) AS r_lex,
+         |  CAST(COALESCE(r_dense, 0) AS BIGINT) AS r_dense,
+         |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // The curve restated: the same [1,2,4,8] fan-out, arm-prefix
+    // filter, and integer mean.
+    "q284_bon_scaling" ->
+      s"""WITH d AS (SELECT doc_id // 8 AS prompt_id, doc_id % 8 AS arm,
+         |    1000 * ${markerSql("en")}
+         |      + len(string_split(text, ' ')) AS reward
+         |  FROM documents WHERE text IS NOT NULL),
+         | f AS (SELECT n.n, d.prompt_id, MAX(d.reward) AS best
+         |   FROM d CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS n) n
+         |   WHERE d.arm < n.n GROUP BY 1, 2)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  CAST(COUNT(*) AS BIGINT) AS n_prompts,
+         |  CAST(SUM(best) AS BIGINT) AS sum_best,
+         |  CAST(CAST(1000 * SUM(best) AS BIGINT) // COUNT(*) AS BIGINT)
+         |    AS mean_best_milli
+         |FROM f GROUP BY n ORDER BY n""".stripMargin,
+
+    // The run from the shared BM25 CTE block, qrels from list_has_all,
+    // the same integer MRR/recall and ln-ratio DCG with ROUND(6).
+    "q286_retrieval_metrics" ->
+      s"""WITH $bm25CoreSql,
+         | run AS (SELECT query_id, doc_id,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id
+         |       ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+         |   FROM sc QUALIFY rnk <= 10),
+         | qt2 AS (SELECT query_id, list(w) AS terms FROM qt GROUP BY 1),
+         | rel AS (SELECT qt2.query_id, b.doc_id
+         |   FROM base b CROSS JOIN qt2
+         |   WHERE list_has_all(b.ws, qt2.terms)),
+         | nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |   FROM rel GROUP BY 1),
+         | h AS (SELECT run.query_id, run.rnk,
+         |     CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |   FROM run LEFT JOIN rel
+         |     ON run.query_id = rel.query_id AND run.doc_id = rel.doc_id),
+         | m AS (SELECT query_id,
+         |     MIN(CASE WHEN hit = 1 THEN rnk END) AS first_rel,
+         |     CAST(SUM(hit) AS BIGINT) AS hits10,
+         |     SUM(CASE WHEN hit = 1
+         |       THEN 1.0 / (ln(rnk + 1) / ln(2.0)) ELSE 0.0 END) AS dcg
+         |   FROM h GROUP BY 1),
+         | j AS (SELECT m.query_id, COALESCE(nr.n_rel, 0) AS n_rel,
+         |     m.first_rel, m.hits10, m.dcg,
+         |     CASE WHEN COALESCE(nr.n_rel, 0) > 0
+         |       THEN list_sum(list_transform(
+         |         range(1, CAST(least(nr.n_rel, 10) AS BIGINT) + 1),
+         |         i -> 1.0 / (ln(i + 1) / ln(2.0))))
+         |       ELSE 0.0 END AS idcg
+         |   FROM m LEFT JOIN nr ON m.query_id = nr.query_id)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(n_rel AS BIGINT) AS n_rel,
+         |  CAST(CASE WHEN first_rel IS NOT NULL THEN 1000 // first_rel
+         |    ELSE 0 END AS BIGINT) AS mrr_milli,
+         |  hits10,
+         |  CAST(CASE WHEN n_rel > 0 THEN (1000000 * hits10) // n_rel
+         |    ELSE 0 END AS BIGINT) AS recall10_ppm,
+         |  CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) ELSE 0.0 END
+         |    AS ndcg10
+         |FROM j ORDER BY query_id""".stripMargin,
+
+    // q69's recursive pack walk extended with the Σℓ² rollup; same
+    // integer ppm divides.
+    "q288_pack_mask_density" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        | p AS (
+        |  SELECT lang, doc_id, n_tokens, rn,
+        |    n_tokens AS fill, CAST(1 AS BIGINT) AS seq_no
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+        |    CASE WHEN p.fill + t.n_tokens > 256 THEN t.n_tokens
+        |         ELSE p.fill + t.n_tokens END,
+        |    CASE WHEN p.fill + t.n_tokens > 256 THEN p.seq_no + 1
+        |         ELSE p.seq_no END
+        |  FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
+        |SELECT lang, seq_no, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS used,
+        |  CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS sum_sq,
+        |  CAST(CAST(1000000 * SUM(n_tokens * n_tokens) AS BIGINT)
+        |    // (256 * 256) AS BIGINT) AS mask_ppm,
+        |  CAST(CAST(1000000 * (SUM(n_tokens) * SUM(n_tokens)
+        |      - SUM(n_tokens * n_tokens)) AS BIGINT)
+        |    // (256 * 256) AS BIGINT) AS xdoc_saved_ppm
+        |FROM p GROUP BY 1, 2 ORDER BY lang, seq_no""".stripMargin,
+
+    // LCP(min, max) restated with the prefix-equality sum (monotone, so
+    // the sum IS the common-prefix length), same 200-char cap, same
+    // planted "prompt <id> : " rendering.
+    "q285_prefix_sharing" ->
+      """WITH d AS (SELECT doc_id // 8 AS prompt_id,
+        |    'prompt ' || CAST(doc_id // 8 AS VARCHAR) || ' : ' || text
+        |      AS rendered
+        |  FROM documents WHERE text IS NOT NULL),
+        | g AS (SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_cands,
+        |    substr(MIN(rendered), 1, 200) AS lo,
+        |    substr(MAX(rendered), 1, 200) AS hi
+        |  FROM d GROUP BY 1),
+        | l AS (SELECT prompt_id, n_cands,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |      range(1, least(len(lo), len(hi)) + 1),
+        |      i -> CASE WHEN substr(lo, 1, CAST(i AS INTEGER))
+        |          = substr(hi, 1, CAST(i AS INTEGER))
+        |        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS lcp
+        |  FROM g)
+        |SELECT CAST(prompt_id AS BIGINT) AS prompt_id, n_cands, lcp,
+        |  CAST((n_cands - 1) * lcp AS BIGINT) AS saved_chars
+        |FROM l ORDER BY prompt_id""".stripMargin,
 
     // The MM loop restated in the SAME fixed-point integers: the win
     // census densifies into a games matrix + wins vector (lists indexed

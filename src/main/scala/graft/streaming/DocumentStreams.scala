@@ -241,6 +241,69 @@ object DocumentStreams {
       .orderBy("prompt_id")
   }
 
+  /** Streaming BM25 — q273's retrieval run at the ingestion door. The
+    * corpus statistics (N, Σdl, per-term df) are a FROZEN static model
+    * pulled once driver-side (model-sized: one scalar row + one df per
+    * query term — the centroid discipline; a live deployment refreshes
+    * it on a cadence, not per micro-batch). Each arriving document then
+    * scores MAP-SIDE against every query — per-term tf comes from its
+    * own token array, so there is no census and no per-doc state — and
+    * the only stateful operator is ONE Complete-mode TopKAggregator(10)
+    * per query (10 rows of state per query, mergeable partials).
+    * Term scores fold in fixed order and round to 6 dp before ranking
+    * (the q273 discipline), so the bounded drain ≡ batch q273 and the
+    * twins share one oracle.
+    */
+  def streamingBm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val defs = graft.queries.TextQueries.bm25QueryDefs
+    val terms = defs.flatMap(_._2).distinct
+    val stat = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .withColumn("__ws", words(col("text")))
+    val aggs = count(lit(1)).as("n") +: sum(size(col("__ws")).cast("bigint"))
+      .as("s") +: terms.map(t =>
+        sum(when(array_contains(col("__ws"), t), 1L).otherwise(0L))
+          .as(s"df_$t"))
+    val row = stat.agg(aggs.head, aggs.tail: _*).head()
+    val nDocs = row.getLong(0)
+    val sumDl = row.getLong(1)
+    val idf = terms.zipWithIndex.map { case (t, i) =>
+      val df = row.getLong(i + 2)
+      t -> math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    }.toMap
+    def tfOf(t: String): Column =
+      size(filter(col("__ws"), w => w === lit(t))).cast("bigint")
+    val dl = size(col("__ws")).cast("bigint")
+    def scoreOf(qterms: Seq[String]): Column = qterms.map { t =>
+      val tf = tfOf(t)
+      when(tf > 0, lit(idf(t)) * (tf * lit(2.2))
+        / (tf + lit(1.2) * (lit(0.25)
+          + lit(0.75) * dl * lit(nDocs) / lit(sumDl))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val perQuery = array(defs.map { case (qid, qterms) =>
+      struct(lit(qid).as("query_id"),
+        round(scoreOf(qterms), 6).as("score_r"),
+        (qterms.map(tfOf).reduce(_ + _) > 0).as("has"))
+    }: _*)
+    val scored = readDocumentsStream(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .withColumn("__ws", words(col("text")))
+      .select(col("doc_id"), explode(perQuery).as("q"))
+      .filter(col("q.has"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("q.score_r").as("score_r"))
+    val topk = udaf(new graft.functions.TopKAggregator(10))
+    val agg = scored.groupBy("query_id")
+      .agg(topk(col("doc_id"), col("score_r")).as("top"))
+    EventStreams.runToMemory(agg, OutputMode.Complete())
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("e._1").as("doc_id"), col("e._2").as("score"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Streaming group-relative advantage — q275's GRPO reward prep as a
     * streaming aggregation: per-prompt state is a collect_list of
     * (doc_id, reward) pairs, BOUNDED by the candidate-group size (≤ 8

@@ -779,6 +779,34 @@ class PlanSpec extends SparkSpec {
         p.take(2000))
   }
 
+  test("q273 BM25: checkpointed base (no re-scan), broadcast df/query " +
+      "joins, no sort-merge, bounded top-k aggregation") {
+    val p = planOf("q273_bm25_topk")
+    assert(!p.contains("Scan parquet"),
+      "the corpus must come from the checkpointed term-filtered base, " +
+        "never a second text scan:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "df/query-term joins must broadcast (model-sized sides):\n" +
+        p.take(2000))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window"),
+      "per-query top-10 must be the bounded aggregator, not a window " +
+        "sort:\n" + p.take(2000))
+  }
+
+  test("q276 self-overlap: hashes travel (no text column past the scan), " +
+      "one prompt-keyed exchange per side") {
+    val p = planOf("q276_group_self_overlap")
+    assert(!p.contains("CartesianProduct"),
+      "pairing must be the prompt-keyed equi-join:\n" + p.take(2000))
+    // the scan reads text (to hash it map-side), but every EXCHANGE must
+    // carry only (prompt_id, id, hash-array) — text never shuffles
+    val shufflingText = p.linesIterator
+      .filter(_.contains("Exchange")).filter(_.contains("text#"))
+    assert(shufflingText.isEmpty,
+      "text crossed an exchange:\n" + p.take(2000))
+  }
+
   test("fanout is a no-op on inputs that are already well split") {
     import spark.implicits._
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -1066,6 +1066,74 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("q284 best-of-n curve: brute-force prefix maxima match; " +
+      "curve is monotone in n") {
+    import graft.functions.TextFunctions.markerHits
+    val scored = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        (lit(1000L) * markerHits($"text", Seq("the", "a", "of", "and", "to"))
+          .cast("bigint")
+          + size(split($"text", " ")).cast("bigint")).as("reward"))
+      .as[(Long, Long)].collect().toSeq
+    val expected = Seq(1L, 2L, 4L, 8L).map { n =>
+      val bests = scored.filter(c => c._1 % 8 < n)
+        .groupBy(_._1 / 8).values.map(_.map(_._2).max).toSeq
+      (n, bests.size.toLong, bests.sum, 1000L * bests.sum / bests.size)
+    }
+    val got = SparkEntry.queries("q284_bon_scaling")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // more samples can only help: mean best reward is non-decreasing
+    got.map(_._4).sliding(2).foreach(p => assert(p(0) <= p(1)))
+  }
+
+  test("q285 prefix sharing: brute-force group LCP matches; " +
+      "planted prompt prefix makes every group share") {
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val expected = corpus
+      .map { case (id, t) => (id / 8, s"prompt ${id / 8} : $t".take(200)) }
+      .groupBy(_._1).toSeq.map { case (p, rs) =>
+        val texts = rs.map(_._2)
+        val lcp = texts.reduce { (a, b) =>
+          a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1).mkString
+        }.length.toLong
+        (p, rs.size.toLong, lcp, (rs.size - 1) * lcp)
+      }.sortBy(_._1)
+    val got = SparkEntry.queries("q285_prefix_sharing")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // the planted "prompt <id> : " prefix is shared by construction
+    got.foreach { r =>
+      assert(r._3 >= s"prompt ${r._1} : ".length,
+        s"group ${r._1} lost its planted prefix")
+    }
+  }
+
+  test("q283 hybrid RRF: internal consistency — scores recompute from " +
+      "ranks, every fused doc appears in at least one run") {
+    val got = SparkEntry.queries("q283_hybrid_rrf")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, _, rLex, rDense, rrf) =>
+      assert(rLex > 0 || rDense > 0)
+      val expect = (if (rLex > 0) 1000000L / (60 + rLex) else 0L) +
+        (if (rDense > 0) 1000000L / (60 + rDense) else 0L)
+      assert(rrf === expect)
+    }
+    // within each query: ranks strictly ordered by (rrf desc, doc asc)
+    got.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).foreach { p =>
+        if (p.size == 2)
+          assert(p(0)._6 > p(1)._6 ||
+            (p(0)._6 == p(1)._6 && p(0)._3 < p(1)._3))
+      }
+    }
+  }
+
   test("q276 self-overlap: brute-force set Jaccard matches") {
     val corpus = Tables.load(spark, sfDir, "documents")
       .filter($"text".isNotNull).select("doc_id", "text")
