@@ -2983,6 +2983,35 @@ object TextQueries {
         .select("lang", "seq_no", "n_docs", "used", "sum_sq", "mask_ppm",
           "xdoc_saved_ppm")
         .orderBy("lang", "seq_no")
+    }),
+
+    // Policy-vs-reference logprob monitor — the RLHF KL-budget
+    // dashboard shape, instantiated on the two LMs this engine ships:
+    // per document, Δ = add-1 logprob (q79, the "policy" stand-in)
+    // minus Kneser–Ney logprob (q235, the "reference"), rolled up per
+    // language as mean drift plus the ppm of documents past a ±0.5 nat
+    // clip — exactly the telemetry an RLHF loop reads to keep the
+    // policy on-distribution. COMPOSES the two published score
+    // relations by doc-keyed join (shared scoring definitions — the
+    // q260/q261 reuse discipline); both scores are pre-rounded at 6 dp
+    // so the deltas live on an exact 1e-6 grid and the clip compare is
+    // engine-stable. Rollup is language-sized.
+    "q289_kl_monitor" -> ((s, dir) => {
+      val lp1 = queries("q79_bigram_logprob")(s, dir)
+        .select(col("doc_id"), col("avg_logp"))
+      val lp2 = queries("q235_kn_bigram_logprob")(s, dir)
+        .select(col("doc_id"), col("avg_logp_kn"))
+      val langs = docs(s, dir).select(col("doc_id"), col("lang"))
+      lp1.join(lp2, Seq("doc_id")).join(langs, Seq("doc_id"))
+        .withColumn("delta", col("avg_logp") - col("avg_logp_kn"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("delta")), 6).as("mean_delta"),
+          sum(when(abs(col("delta")) > 0.5, 1L).otherwise(0L))
+            .as("n_clipped"))
+        .withColumn("clipped_ppm", expr("(1000000 * n_clipped) div n_docs"))
+        .select("lang", "n_docs", "mean_delta", "n_clipped", "clipped_ppm")
+        .orderBy("lang")
     })
   )
 
@@ -5037,6 +5066,40 @@ object TextQueries {
         |      - SUM(n_tokens * n_tokens)) AS BIGINT)
         |    // (256 * 256) AS BIGINT) AS xdoc_saved_ppm
         |FROM p GROUP BY 1, 2 ORDER BY lang, seq_no""".stripMargin,
+
+    // Both LM scores from ONE shared bigram-model CTE stack (identical
+    // algebra to the q79/q235 oracles), each rounded at 6 dp before the
+    // difference — the deltas live on the same 1e-6 grid the engine's
+    // join of pre-rounded relations produces.
+    "q289_kl_monitor" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |     FROM documents),
+        | b AS (SELECT doc_id,
+        |         unnest(list_transform(range(len(w) - 1),
+        |           i -> {'w1': w[i+1], 'w2': w[i+2]})) AS g
+        |       FROM t WHERE len(w) >= 2),
+        | bi AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM b),
+        | c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+        | l AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1f FROM c2 GROUP BY 1),
+        | r AS (SELECT w2, COUNT(*) AS n1b FROM c2 GROUP BY 1),
+        | bt AS (SELECT COUNT(*) AS b FROM c2),
+        | v AS (SELECT COUNT(*) AS vctx FROM l),
+        | s AS (SELECT bi.doc_id,
+        |     ROUND(AVG(ln((c2.c2 + 1) / (l.c1 + v.vctx))), 6) AS lp1,
+        |     ROUND(AVG(ln((c2.c2 - 0.75) / l.c1
+        |       + 0.75 * l.n1f / l.c1 * r.n1b / bt.b)), 6) AS lp2
+        |   FROM bi JOIN c2 USING (w1, w2) JOIN l USING (w1)
+        |     JOIN r USING (w2) CROSS JOIN bt CROSS JOIN v
+        |   GROUP BY bi.doc_id),
+        | d AS (SELECT s.doc_id, doc.lang, s.lp1 - s.lp2 AS delta
+        |   FROM s JOIN documents doc ON doc.doc_id = s.doc_id)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  ROUND(AVG(delta), 6) AS mean_delta,
+        |  CAST(SUM(CASE WHEN ABS(delta) > 0.5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped,
+        |  CAST(CAST(1000000 * SUM(CASE WHEN ABS(delta) > 0.5 THEN 1
+        |      ELSE 0 END) AS BIGINT) // COUNT(*) AS BIGINT) AS clipped_ppm
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     // LCP(min, max) restated with the prefix-equality sum (monotone, so
     // the sum IS the common-prefix length), same 200-char cap, same
