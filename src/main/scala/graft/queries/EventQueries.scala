@@ -525,6 +525,55 @@ object EventQueries {
         .orderBy("anon_level", "event_type", "hour_key")
     }),
 
+    // l-diversity audit over the q246 release — the second privacy bar:
+    // k-anonymity bounds re-identification, but a released cell whose
+    // members all share one SENSITIVE value (user_id mod 8 here stands
+    // in for the sensitive attribute) still leaks it; distinct-l
+    // diversity demands ≥ l sensitive values per released cell. The
+    // audit reproduces q246's release plan at row granularity by
+    // classifying the (QI, sens)-extended census — every pass after
+    // the ONE corpus aggregation is census-sized (≤ types×24×8 rows),
+    // and a generalized/suppressed cell's diversity counts distinct
+    // sens across everything merged into it, exactly as an attacker
+    // would see the published table.
+    "q291_l_diversity" -> ((s, dir) => {
+      val k = 5L
+      val l = 3L
+      val ext = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          hour(col("ts")).cast("bigint").as("hour_key"),
+          (col("user_id") % 8).as("sens"))
+        .groupBy("event_type", "hour_key", "sens")
+        .agg(count(lit(1)).as("n"))
+      val cell = ext.groupBy("event_type", "hour_key")
+        .agg(sum("n").as("cn"))
+      val gen = cell.filter(col("cn") < k).groupBy("event_type")
+        .agg(sum("cn").as("gn"))
+      val cls = cell.join(gen, Seq("event_type"), "left")
+        .withColumn("level", when(col("cn") >= k, "exact")
+          .when(coalesce(col("gn"), lit(0L)) >= k, "generalized")
+          .otherwise("suppressed"))
+        .select("event_type", "hour_key", "level")
+      val suppTotal = broadcast(cls.join(cell, Seq("event_type", "hour_key"))
+        .filter(col("level") === "suppressed")
+        .agg(coalesce(sum("cn"), lit(0L)).as("st")))
+      ext.join(cls, Seq("event_type", "hour_key"))
+        .crossJoin(suppTotal)
+        .filter(col("level") =!= "suppressed" || col("st") >= k)
+        .withColumn("rel_type", when(col("level") === "suppressed", lit("*"))
+          .otherwise(col("event_type")))
+        .withColumn("rel_hour", when(col("level") === "exact",
+          col("hour_key").cast("string")).otherwise(lit("*")))
+        .groupBy(col("level").as("anon_level"), col("rel_type"),
+          col("rel_hour"))
+        .agg(sum("n").as("n"), count_distinct(col("sens")).as("n_sens"))
+        .withColumn("l_ok", col("n_sens") >= l)
+        .select(col("anon_level"), col("rel_type").as("event_type"),
+          col("rel_hour").as("hour_key"), col("n"), col("n_sens"),
+          col("l_ok"))
+        .orderBy("anon_level", "event_type", "hour_key")
+    }),
+
     // Streaming twin of q246: the corpus-scale census maintains as a
     // streaming aggregation (Complete mode — the same QI-sized state a
     // deployed monitor holds), and the generalize/suppress release
@@ -895,7 +944,44 @@ object EventQueries {
     // else into the global ('*','*') cell. SUM widenings cast back.
     // The streaming twin q251 drains to the identical relation.
     "q246_k_anonymity" -> kAnonymityOracle,
-    "q251_stream_k_anonymity" -> kAnonymityOracle
+    "q251_stream_k_anonymity" -> kAnonymityOracle,
+
+    // The release plan replayed over the (QI, sens)-extended census;
+    // diversity counted across whatever merges into each released cell.
+    "q291_l_diversity" ->
+      """WITH ext AS (SELECT event_type,
+        |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_key,
+        |    user_id % 8 AS sens, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        | cell AS (SELECT event_type, hour_key, CAST(SUM(n) AS BIGINT)
+        |     AS cn FROM ext GROUP BY 1, 2),
+        | gen AS (SELECT event_type, CAST(SUM(cn) AS BIGINT) AS gn
+        |   FROM cell WHERE cn < 5 GROUP BY 1),
+        | cls AS (SELECT cell.event_type, cell.hour_key,
+        |     CASE WHEN cell.cn >= 5 THEN 'exact'
+        |       WHEN COALESCE(gen.gn, 0) >= 5 THEN 'generalized'
+        |       ELSE 'suppressed' END AS level
+        |   FROM cell LEFT JOIN gen ON gen.event_type = cell.event_type),
+        | st AS (SELECT CAST(COALESCE(SUM(cell.cn), 0) AS BIGINT) AS st
+        |   FROM cls JOIN cell ON cls.event_type = cell.event_type
+        |     AND cls.hour_key = cell.hour_key
+        |   WHERE cls.level = 'suppressed'),
+        | rel AS (SELECT cls.level AS anon_level,
+        |     CASE WHEN cls.level = 'suppressed' THEN '*'
+        |       ELSE ext.event_type END AS event_type,
+        |     CASE WHEN cls.level = 'exact' THEN CAST(ext.hour_key
+        |       AS VARCHAR) ELSE '*' END AS hour_key,
+        |     ext.sens, ext.n
+        |   FROM ext JOIN cls ON cls.event_type = ext.event_type
+        |     AND cls.hour_key = ext.hour_key
+        |   CROSS JOIN st
+        |   WHERE cls.level <> 'suppressed' OR st.st >= 5)
+        |SELECT anon_level, event_type, hour_key,
+        |  CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT sens) AS BIGINT) AS n_sens,
+        |  COUNT(DISTINCT sens) >= 3 AS l_ok
+        |FROM rel GROUP BY 1, 2, 3
+        |ORDER BY anon_level, event_type, hour_key""".stripMargin
   )
 
   private lazy val kAnonymityOracle =

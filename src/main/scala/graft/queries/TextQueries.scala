@@ -3012,6 +3012,50 @@ object TextQueries {
         .withColumn("clipped_ppm", expr("(1000000 * n_clipped) div n_docs"))
         .select("lang", "n_docs", "mean_delta", "n_clipped", "clipped_ppm")
         .orderBy("lang")
+    }),
+
+    // Triangle census + local clustering coefficient — the third leg of
+    // the web-graph stack (PageRank q126 ranks, components q43 cluster,
+    // triangles measure local density: link farms and mirror clusters
+    // light up as high-LCC pockets). Exact, via the standard
+    // node-iterator MR shape on the ORIENTED simple graph (u < v):
+    // wedges join on the low endpoint, close against the edge set —
+    // two equi-joins, no cartesian, every relation integer-keyed.
+    // Degrees and LCC (2T·1e6 div d(d−1), exact ppm) ride the same
+    // edge relation; the link fan-out is q252's hash rule, so the
+    // graph is deterministic and SQL-restatable.
+    "q290_triangle_census" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val n = broadcast(d.agg(count(lit(1)).as("__n")))
+      val und = d.crossJoin(n)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), lit(2L))).as("k"), col("__n"))
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 1000003L + col("k") * 7919L + 13L)
+            % col("__n")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val tri = und
+        .join(und.select(col("u"), col("v").as("w")), Seq("u"))
+        .filter(col("v") < col("w"))
+        .join(und.select(col("u").as("v"), col("v").as("w")),
+          Seq("v", "w"))
+      val triPerNode = tri
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
+      deg.join(triPerNode, Seq("node"), "left")
+        .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+        .withColumn("lcc_ppm", when(col("degree") >= 2,
+          expr("(2000000 * triangles) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+        .select("node", "degree", "triangles", "lcc_ppm")
+        .orderBy("node")
     })
   )
 
@@ -5100,6 +5144,37 @@ object TextQueries {
         |  CAST(CAST(1000000 * SUM(CASE WHEN ABS(delta) > 0.5 THEN 1
         |      ELSE 0 END) AS BIGINT) // COUNT(*) AS BIGINT) AS clipped_ppm
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The same oriented-simple-graph construction and two-join closure;
+    // all integers.
+    "q290_triangle_census" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        | n AS (SELECT COUNT(*) AS nn FROM d),
+        | raw AS (SELECT doc_id AS src,
+        |     (doc_id * 1000003 + k.k * 7919 + 13) % n.nn AS dst
+        |   FROM d CROSS JOIN n
+        |     CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k),
+        | und AS (SELECT DISTINCT least(src, dst) AS u,
+        |     greatest(src, dst) AS v
+        |   FROM raw WHERE src <> dst),
+        | deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |     SELECT u AS node FROM und
+        |     UNION ALL SELECT v FROM und) GROUP BY 1),
+        | tri AS (SELECT a.u, a.v, b.v AS w
+        |   FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+        |   JOIN und c ON c.u = a.v AND c.v = b.v),
+        | tpn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        |   FROM (SELECT u AS node FROM tri
+        |         UNION ALL SELECT v FROM tri
+        |         UNION ALL SELECT w FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg.degree,
+        |  CAST(COALESCE(tpn.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN deg.degree >= 2
+        |    THEN (2000000 * COALESCE(tpn.triangles, 0))
+        |      // (deg.degree * (deg.degree - 1))
+        |    ELSE 0 END AS BIGINT) AS lcc_ppm
+        |FROM deg LEFT JOIN tpn ON tpn.node = deg.node
+        |ORDER BY deg.node""".stripMargin,
 
     // LCP(min, max) restated with the prefix-equality sum (monotone, so
     // the sum IS the common-prefix length), same 200-char cap, same

@@ -149,4 +149,31 @@ class GraphsSpec extends SparkSpec {
       Graphs.pageRank(e, "src", "dst", iters = 0)
     }
   }
+
+  test("q290 triangle census: brute-force triangle enumeration and " +
+      "LCC match on sf0.001") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).select("doc_id").as[Long].collect().toSeq
+    val n = docs.size.toLong
+    val edges = docs.flatMap { d =>
+      (0L to 2L).map(k => (d * 1000003L + k * 7919L + 13L) % n)
+        .filter(_ != d).map(t => (math.min(d, t), math.max(d, t)))
+    }.distinct.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = adj.keys.toSeq.sorted.map { node =>
+      val nb = adj(node)
+      val d = nb.size.toLong
+      val t = nb.toSeq.combinations(2)
+        .count(p => edges.contains(
+          (math.min(p(0), p(1)), math.max(p(0), p(1))))).toLong
+      val lcc = if (d >= 2) 2000000L * t / (d * (d - 1)) else 0L
+      (node, d, t, lcc)
+    }
+    val got = SparkEntry.queries("q290_triangle_census")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.map(_._3).sum % 3 === 0) // each triangle counted thrice
+    assert(got.exists(_._3 > 0), "fixture has no triangles — vacuous")
+  }
 }

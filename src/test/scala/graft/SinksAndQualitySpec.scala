@@ -697,4 +697,34 @@ class SinksAndQualitySpec extends SparkSpec {
     val total = Tables.load(spark, sfDir, "events").count()
     assert(rows.map(_._4).sum + withheld === total)
   }
+
+  test("q291 l-diversity: release plan matches q246 cell-for-cell; " +
+      "diversity equals the brute-force distinct count") {
+    val k246 = SparkEntry.queries("q246_k_anonymity")(spark, sfDir)
+      .as[(String, String, String, Long)].collect().toSeq
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val ldiv = SparkEntry.queries("q291_l_diversity")(spark, sfDir)
+      .as[(String, String, String, Long, Long, Boolean)].collect().toSeq
+    // identical released cells with identical member counts
+    assert(ldiv.map(r => (r._1, r._2, r._3) -> r._4).toMap === k246)
+    // brute-force sensitive diversity per released cell
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_type", hour($"ts").cast("long"), $"user_id" % 8)
+      .as[(String, Long, Long)].collect().toSeq
+    ldiv.foreach { case (level, t, h, _, nSens, lOk) =>
+      val members = level match {
+        case "exact" => ev.filter(e => e._1 == t && e._2.toString == h)
+        case "generalized" =>
+          // the small cells of this type (those NOT released exactly)
+          ev.filter(e => e._1 == t &&
+            !k246.contains(("exact", t, e._2.toString)))
+        case _ =>
+          ev.filter(e => !k246.contains(("exact", e._1, e._2.toString)) &&
+            !k246.contains(("generalized", e._1, "*")))
+      }
+      assert(members.map(_._3).distinct.size.toLong === nSens,
+        s"cell ($level,$t,$h)")
+      assert(lOk === (nSens >= 3L))
+    }
+  }
 }
