@@ -196,6 +196,44 @@ object Profile {
       .withColumnRenamed("__a", keyA).withColumnRenamed("__b", keyB)
   }
 
+  /** l-diversity audit over a (keyA, keyB, sens, n) extended census —
+    * the second privacy bar on top of [[kAnonymityRelease]]: replay the
+    * k-anonymity release plan at sensitive-value granularity and count
+    * DISTINCT sensitive values per released cell (across everything a
+    * generalized/suppressed cell merges — what the published table
+    * exposes). Shared by batch q291 and its streaming twin q293; every
+    * pass after the upstream corpus aggregation is census-sized.
+    */
+  def lDiversityAudit(ext: DataFrame, keyA: String, keyB: String,
+      sensCol: String, k: Long, l: Long): DataFrame = {
+    val e = ext.select(col(keyA).as("__a"),
+      col(keyB).cast("string").as("__b"), col(sensCol).as("__s"), col("n"))
+    val cell = e.groupBy("__a", "__b").agg(sum("n").as("cn"))
+    val gen = cell.filter(col("cn") < k).groupBy("__a")
+      .agg(sum("cn").as("gn"))
+    val cls = cell.join(gen, Seq("__a"), "left")
+      .withColumn("level", when(col("cn") >= k, "exact")
+        .when(coalesce(col("gn"), lit(0L)) >= k, "generalized")
+        .otherwise("suppressed"))
+      .select("__a", "__b", "level")
+    val suppTotal = broadcast(cls.join(cell, Seq("__a", "__b"))
+      .filter(col("level") === "suppressed")
+      .agg(coalesce(sum("cn"), lit(0L)).as("st")))
+    e.join(cls, Seq("__a", "__b"))
+      .crossJoin(suppTotal)
+      .filter(col("level") =!= "suppressed" || col("st") >= k)
+      .withColumn("rel_a", when(col("level") === "suppressed", lit("*"))
+        .otherwise(col("__a")))
+      .withColumn("rel_b", when(col("level") === "exact", col("__b"))
+        .otherwise(lit("*")))
+      .groupBy(col("level").as("anon_level"), col("rel_a"), col("rel_b"))
+      .agg(sum("n").as("n"), count_distinct(col("__s")).as("n_sens"))
+      .withColumn("l_ok", col("n_sens") >= l)
+      .select(col("anon_level"), col("rel_a").as(keyA),
+        col("rel_b").as(keyB), col("n"), col("n_sens"), col("l_ok"))
+      .orderBy("anon_level", keyA, keyB)
+  }
+
   /** Exact type-7 (linear-interpolation) quantiles per group from a
     * VALUE CENSUS — the scale replacement for `percentile()` /
     * `quantile_cont`, whose aggregation buffer holds EVERY value of

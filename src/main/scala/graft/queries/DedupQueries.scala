@@ -544,6 +544,32 @@ object DedupQueries {
         .withColumn("reuse_frac_ppm",
           expr("(n_chunks - n_new) * 1000000 div n_chunks"))
         .orderBy("doc_id")
+    }),
+
+    // MinHash band-sweep gate — the LSH tuning curve (q287's sweep
+    // discipline applied to dedup), gated on the NESTED-BAND THEOREM
+    // rather than a recall sample: with one 64-perm signature, every
+    // band of the (b=4, r=16) layout is the concatenation of two
+    // (b=8, r=8) bands, which are each two (b=16, r=4) bands — so a
+    // pair colliding on a long band necessarily collides on its
+    // sub-bands, and after the (shared) exact-Jaccard verify the
+    // emitted pair SETS must nest: pairs(4) ⊆ pairs(8) ⊆ pairs(16).
+    // The gate emits every pair violating either inclusion — a banding,
+    // salting, or dedup bug surfaces as rows. Oracle: empty. The
+    // threshold (0.5) and shared verify keep precision identical
+    // across configs, so only the candidate sets can differ.
+    "q292_lsh_band_sweep" -> ((s, dir) => {
+      def pairsAt(bands: Int) =
+        Dedup.lshNearDupPairs(docs(s, dir), "doc_id", "text",
+            threshold = 0.5, numPerm = 64, bands = bands)
+          .select(col("id_a"), col("id_b"))
+      val p4 = pairsAt(4)
+      val p8 = pairsAt(8)
+      val p16 = pairsAt(16)
+      p4.exceptAll(p8).withColumn("step", lit("4_vs_8"))
+        .unionByName(p8.exceptAll(p16).withColumn("step", lit("8_vs_16")))
+        .select("step", "id_a", "id_b")
+        .orderBy("step", "id_a", "id_b")
     })
   )
 
@@ -999,6 +1025,10 @@ object DedupQueries {
         |SELECT doc_id, rep_id,
         |  CASE WHEN (rep_id * 2654435761) % 4294967296 % 10 < 8
         |    THEN 'train' ELSE 'heldout' END AS split
-        |FROM allr ORDER BY doc_id""".stripMargin)
+        |FROM allr ORDER BY doc_id""".stripMargin),
+    "q292_lsh_band_sweep" ->
+      """SELECT CAST(NULL AS VARCHAR) AS step,
+        |  CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+        |WHERE FALSE""".stripMargin
   )
 }

@@ -537,41 +537,33 @@ object EventQueries {
     // sens across everything merged into it, exactly as an attacker
     // would see the published table.
     "q291_l_diversity" -> ((s, dir) => {
-      val k = 5L
-      val l = 3L
       val ext = Tables.load(s, dir, "events")
         .select(col("event_type"),
           hour(col("ts")).cast("bigint").as("hour_key"),
           (col("user_id") % 8).as("sens"))
         .groupBy("event_type", "hour_key", "sens")
         .agg(count(lit(1)).as("n"))
-      val cell = ext.groupBy("event_type", "hour_key")
-        .agg(sum("n").as("cn"))
-      val gen = cell.filter(col("cn") < k).groupBy("event_type")
-        .agg(sum("cn").as("gn"))
-      val cls = cell.join(gen, Seq("event_type"), "left")
-        .withColumn("level", when(col("cn") >= k, "exact")
-          .when(coalesce(col("gn"), lit(0L)) >= k, "generalized")
-          .otherwise("suppressed"))
-        .select("event_type", "hour_key", "level")
-      val suppTotal = broadcast(cls.join(cell, Seq("event_type", "hour_key"))
-        .filter(col("level") === "suppressed")
-        .agg(coalesce(sum("cn"), lit(0L)).as("st")))
-      ext.join(cls, Seq("event_type", "hour_key"))
-        .crossJoin(suppTotal)
-        .filter(col("level") =!= "suppressed" || col("st") >= k)
-        .withColumn("rel_type", when(col("level") === "suppressed", lit("*"))
-          .otherwise(col("event_type")))
-        .withColumn("rel_hour", when(col("level") === "exact",
-          col("hour_key").cast("string")).otherwise(lit("*")))
-        .groupBy(col("level").as("anon_level"), col("rel_type"),
-          col("rel_hour"))
-        .agg(sum("n").as("n"), count_distinct(col("sens")).as("n_sens"))
-        .withColumn("l_ok", col("n_sens") >= l)
-        .select(col("anon_level"), col("rel_type").as("event_type"),
-          col("rel_hour").as("hour_key"), col("n"), col("n_sens"),
-          col("l_ok"))
-        .orderBy("anon_level", "event_type", "hour_key")
+      graft.operators.Profile.lDiversityAudit(ext, "event_type",
+        "hour_key", "sens", k = 5L, l = 3L)
+    }),
+
+    // Streaming twin of q291: the (QI, sens)-extended census maintains
+    // in Complete mode (the q251 discipline — census-sized state), the
+    // release-plan replay and diversity rollup run on the drained
+    // snapshot via the SHARED Profile.lDiversityAudit. Bounded drain ≡
+    // batch; shares q291's oracle.
+    "q293_stream_l_diversity" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val census = graft.streaming.EventStreams.readEventsStream(s, dir)
+        .select(col("event_type"),
+          hour(col("ts")).cast("bigint").as("hour_key"),
+          (col("user_id") % 8).as("sens"))
+        .groupBy("event_type", "hour_key", "sens")
+        .agg(count(lit(1)).as("n"))
+      val drained = graft.streaming.EventStreams.runToMemory(census,
+        OutputMode.Complete())
+      graft.operators.Profile.lDiversityAudit(drained, "event_type",
+        "hour_key", "sens", k = 5L, l = 3L)
     }),
 
     // Streaming twin of q246: the corpus-scale census maintains as a
@@ -948,7 +940,12 @@ object EventQueries {
 
     // The release plan replayed over the (QI, sens)-extended census;
     // diversity counted across whatever merges into each released cell.
-    "q291_l_diversity" ->
+    // The streaming twin q293 drains the same census (shared audit).
+    "q291_l_diversity" -> lDiversityOracle,
+    "q293_stream_l_diversity" -> lDiversityOracle
+  )
+
+  private lazy val lDiversityOracle =
       """WITH ext AS (SELECT event_type,
         |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_key,
         |    user_id % 8 AS sens, CAST(COUNT(*) AS BIGINT) AS n
@@ -982,7 +979,6 @@ object EventQueries {
         |  COUNT(DISTINCT sens) >= 3 AS l_ok
         |FROM rel GROUP BY 1, 2, 3
         |ORDER BY anon_level, event_type, hour_key""".stripMargin
-  )
 
   private lazy val kAnonymityOracle =
     """WITH g AS (SELECT event_type,

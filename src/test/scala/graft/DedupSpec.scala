@@ -376,4 +376,23 @@ class DedupSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
     assert(rows.head.getLong(1) === 1600L)
   }
+
+  test("q292 band sweep is non-vacuous: more bands genuinely widen the " +
+      "candidate net at a low threshold, and nesting still holds") {
+    val d = Tables.load(spark, sfDir, "documents")
+    def pairsAt(bands: Int, thr: Double): Set[(Long, Long)] =
+      Dedup.lshNearDupPairs(d, "doc_id", "text", threshold = thr,
+          numPerm = 64, bands = bands)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // At a threshold low enough that banding recall bites, the sweep's
+    // inclusion must be STRICT somewhere — otherwise the q292 gate
+    // could pass on three identical (even empty) sets forever.
+    val p4 = pairsAt(4, 0.15)
+    val p8 = pairsAt(8, 0.15)
+    val p16 = pairsAt(16, 0.15)
+    assert(p16.nonEmpty)
+    assert(p4.subsetOf(p8) && p8.subsetOf(p16))
+    assert(p16.size > p4.size,
+      s"sweep vacuous: |p4|=${p4.size} |p8|=${p8.size} |p16|=${p16.size}")
+  }
 }
