@@ -547,6 +547,56 @@ object EventQueries {
         "hour_key", "sens", k = 5L, l = 3L)
     }),
 
+    // Late-data / watermark audit — the question every Structured
+    // Streaming deployment must answer BEFORE picking a watermark:
+    // how many events would a delay of d drop? An event is late-by-d
+    // when the running event-time high-water mark over all PRIOR
+    // arrivals (arrival order = event_id) exceeds its own timestamp by
+    // more than d. The running max is the house two-phase prefix
+    // shape, NOT a whole-corpus window: 64 arrival bins → per-bin max
+    // (map-side) → exclusive prefix over the 64-row census → row-level
+    // combine with a within-bin window (partitions are bins, 1/64th of
+    // the corpus each — the q125 exactRank geometry). Everything is
+    // integer microseconds (unix_micros ↔ epoch_us).
+    "q296_late_data_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val mx = broadcast(ev.agg(max("event_id").as("mid")))
+      val binned = ev.crossJoin(mx)
+        .withColumn("bin", expr("event_id div (mid div 64 + 1)"))
+      val binCensus = binned.groupBy("bin").agg(max("tus").as("bmax"))
+      val wPref = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pref = binCensus
+        .withColumn("pmax", max("bmax").over(wPref))
+        .select("bin", "pmax")
+      val wIn = Window.partitionBy("bin").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hr = 3600L * 1000000L
+      binned.join(broadcast(pref), Seq("bin"))
+        .withColumn("wmax", max("tus").over(wIn))
+        .withColumn("run_prior",
+          greatest(coalesce(col("pmax"), lit(Long.MinValue)),
+            coalesce(col("wmax"), lit(Long.MinValue))))
+        .withColumn("disorder_us",
+          greatest(lit(0L), when(col("run_prior") === Long.MinValue, 0L)
+            .otherwise(col("run_prior") - col("tus"))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("disorder_us") > hr, 1L).otherwise(0L))
+            .as("n_late_1h"),
+          sum(when(col("disorder_us") > 6 * hr, 1L).otherwise(0L))
+            .as("n_late_6h"),
+          sum(when(col("disorder_us") > 24 * hr, 1L).otherwise(0L))
+            .as("n_late_24h"),
+          max("disorder_us").as("__mdu"))
+        .withColumn("max_disorder_sec", expr("__mdu div 1000000"))
+        .drop("__mdu")
+        .orderBy("event_type")
+    }),
+
     // Streaming twin of q291: the (QI, sens)-extended census maintains
     // in Complete mode (the q251 discipline — census-sized state), the
     // release-plan replay and diversity rollup run on the drained
@@ -942,7 +992,32 @@ object EventQueries {
     // diversity counted across whatever merges into each released cell.
     // The streaming twin q293 drains the same census (shared audit).
     "q291_l_diversity" -> lDiversityOracle,
-    "q293_stream_l_diversity" -> lDiversityOracle
+    "q293_stream_l_diversity" -> lDiversityOracle,
+
+    // The running high-water mark restated as one arrival-ordered
+    // window (the oracle may be single-partition; the ENGINE's
+    // two-phase shape is what the scale discipline binds).
+    "q296_late_data_audit" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        | r AS (SELECT event_type, tus,
+        |    MAX(tus) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS run_prior
+        |  FROM e),
+        | d AS (SELECT event_type,
+        |    CASE WHEN run_prior IS NULL OR run_prior < tus THEN 0
+        |      ELSE run_prior - tus END AS disorder_us
+        |  FROM r)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN disorder_us > 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_1h,
+        |  CAST(SUM(CASE WHEN disorder_us > 21600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_6h,
+        |  CAST(SUM(CASE WHEN disorder_us > 86400000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_24h,
+        |  CAST(MAX(disorder_us) // 1000000 AS BIGINT) AS max_disorder_sec
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   private lazy val lDiversityOracle =

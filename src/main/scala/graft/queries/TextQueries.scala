@@ -3056,6 +3056,87 @@ object TextQueries {
           .otherwise(lit(0L)))
         .select("node", "degree", "triangles", "lcc_ppm")
         .orderBy("node")
+    }),
+
+    // Incremental BM25 model maintenance — the q107/q176 index-
+    // lifecycle move applied to the retrieval MODEL: the corpus
+    // statistics BM25 needs (per-term df, N, Σdl) are all sums over
+    // disjoint document sets, so a history model absorbs a delta batch
+    // by POINTWISE ADDITION (the mergeKmvTables discipline on integer
+    // censuses — at 100 TB the day's delta never re-reads history).
+    // Here the corpus splits 90/10 by the q45 hash, each side builds
+    // its own model, the models merge, and the search over the merged
+    // model must equal q273's from-scratch run EXACTLY (merged counts
+    // are the same integers, so every idf/norm double is bit-identical)
+    // — the gate shares q273's oracle.
+    "q294_bm25_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val termSet = bm25QueryDefs.flatMap(_._2).distinct
+      val qt = broadcast(bm25QueryDefs
+        .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query_id", "w"))
+      val base = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("bigint").as("dl"),
+          filter(words(col("text")),
+            w => w.isInCollection(termSet)).as("qtoks"))
+        .withColumn("part",
+          when(pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % 10 < 9,
+            "hist").otherwise("delta"))
+        .localCheckpoint(eager = true)
+      val tf = base
+        .select(col("part"), col("doc_id"), col("dl"),
+          explode(col("qtoks")).as("w"))
+        .groupBy("part", "doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+      // per-partition model stats, then the POINTWISE merge
+      val dfw = tf.groupBy("part", "w").agg(count(lit(1)).as("pdf"))
+        .groupBy("w").agg(sum("pdf").as("df"))
+      val global = broadcast(
+        base.groupBy("part").agg(count(lit(1)).as("pn"), sum("dl").as("ps"))
+          .agg(sum("pn").as("n_docs"), sum("ps").as("sum_dl")))
+      val topk = udaf(new graft.functions.TopKAggregator(10))
+      tf.drop("part").join(broadcast(dfw), Seq("w")).join(qt, Seq("w"))
+        .crossJoin(global)
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))))
+        .withColumn("num", col("tf") * lit(2.2))
+        .withColumn("den", col("tf") + lit(1.2) * (lit(0.25)
+          + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl")))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("idf") * col("num") / col("den")).as("score"))
+        .withColumn("score_r", round(col("score"), 6))
+        .groupBy("query_id")
+        .agg(topk(col("doc_id"), col("score_r")).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+          col("e._1").as("doc_id"), col("e._2").as("score"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // BPE merge-count sweep — the tokenizer-size tuning curve (q287's
+    // sweep discipline on the BPE stack), gated on the merge-prefix
+    // THEOREM: learnMerges is greedy-deterministic, so the 12-merge
+    // list's prefixes ARE the 3- and 6-merge models, and tokenization
+    // folds the list in rank order — applying the extra merges can
+    // only merge further, so every document's subword count is
+    // NON-INCREASING in the merge budget, as integers. The gate emits
+    // every document violating either step; DedupSpec-style
+    // non-vacuity (counts strictly drop corpus-wide) pins in
+    // TextFunctionsSpec. Oracle: empty.
+    "q295_bpe_merge_sweep" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val d = docs(s, dir)
+      val merges = Bpe.learnMerges(d, "text", numMerges = 12)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      def counts(p: Int) =
+        Bpe.subwordStats(d, "doc_id", "text", merges.take(p))
+          .select(col("doc_id"), col("n_subwords").as(s"c$p"))
+      counts(3).join(counts(6), "doc_id").join(counts(12), "doc_id")
+        .filter(col("c6") > col("c3") || col("c12") > col("c6"))
+        .select(col("doc_id"), col("c3"), col("c6"), col("c12"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4985,6 +5066,13 @@ object TextQueries {
     // drains to the identical relation.
     "q273_bm25_topk" -> bm25TopKOracle,
     "q282_stream_bm25" -> bm25TopKOracle,
+    // The merged history+delta model carries the same integer counts as
+    // the from-scratch model, so the search result is q273's.
+    "q294_bm25_incremental" -> bm25TopKOracle,
+    "q295_bpe_merge_sweep" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS c3,
+        |  CAST(NULL AS BIGINT) AS c6, CAST(NULL AS BIGINT) AS c12
+        |WHERE FALSE""".stripMargin,
 
     // Both runs restated (lexical from the shared BM25 CTE block, dense
     // from list_cosine_similarity around the anchor vectors), then the

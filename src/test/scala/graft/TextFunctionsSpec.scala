@@ -1134,6 +1134,44 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("q295 merge sweep is non-vacuous: the 12-merge model genuinely " +
+      "compresses past the 3-merge model") {
+    import graft.operators.Bpe
+    val d = Tables.load(spark, sfDir, "documents")
+    val merges = Bpe.learnMerges(d, "text", numMerges = 12)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size === 12)
+    def total(p: Int): Long =
+      Bpe.subwordStats(d, "doc_id", "text", merges.take(p))
+        .agg(sum("n_subwords")).as[Long].head()
+    val t3 = total(3)
+    val t12 = total(12)
+    assert(t12 < t3, s"sweep vacuous: c3 total $t3, c12 total $t12")
+  }
+
+  test("q296 late-data audit: two-phase running max equals the " +
+      "sequential brute force") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"event_type", unix_micros($"ts"))
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    var run = Long.MinValue
+    val rows = ev.map { case (_, t, us) =>
+      val dis = if (run == Long.MinValue || run < us) 0L else run - us
+      run = math.max(run, us)
+      (t, dis)
+    }
+    val hr = 3600L * 1000000L
+    val expected = rows.groupBy(_._1).toSeq.map { case (t, ds) =>
+      (t, ds.size.toLong,
+        ds.count(_._2 > hr).toLong, ds.count(_._2 > 6 * hr).toLong,
+        ds.count(_._2 > 24 * hr).toLong, ds.map(_._2).max / 1000000L)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q296_late_data_audit")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("q276 self-overlap: brute-force set Jaccard matches") {
     val corpus = Tables.load(spark, sfDir, "documents")
       .filter($"text".isNotNull).select("doc_id", "text")
