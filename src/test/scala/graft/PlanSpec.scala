@@ -807,6 +807,26 @@ class PlanSpec extends SparkSpec {
       "text crossed an exchange:\n" + p.take(2000))
   }
 
+  test("q290 triangles: no cartesian; the edge relation is checkpointed " +
+      "(three consumers, zero re-scans)") {
+    val p = planOf("q290_triangle_census")
+    assert(!p.contains("CartesianProduct"),
+      "wedge/closure must be equi-joins:\n" + p.take(2000))
+    assert(!p.contains("Scan parquet"),
+      "und must come from the checkpoint, not re-derived scans:\n" +
+        p.take(2000))
+  }
+
+  test("q296 late-data: the corpus-sized window is BIN-partitioned — " +
+      "only the 64-row census prefix may be unpartitioned") {
+    val p = planOf("q296_late_data_audit")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.size >= 2, "expected census + row-level windows:\n" + p.take(2000))
+    // the row-level running max must carry a partition spec on bin
+    assert(windows.exists(w => w.contains("[bin#")),
+      "row-level window lost its bin partitioning:\n" + windows.mkString("\n"))
+  }
+
   test("fanout is a no-op on inputs that are already well split") {
     import spark.implicits._
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
