@@ -546,6 +546,34 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Contamination n-gram-length sweep — the tuning argument every
+    // decontamination pipeline has (8? 13? 20?), gated on the
+    // SUBSTRING-NESTING THEOREM: restricted to docs with ≥ 13 words on
+    // both sides (so no whole-text fallback muddies the domain), a
+    // corpus document sharing a 13-gram with the benchmark necessarily
+    // shares that gram's leading 8-gram, and an 8-gram hit implies a
+    // 4-gram hit — so the flagged-document SETS nest as n shrinks:
+    // hits(13) ⊆ hits(8) ⊆ hits(4). The gate emits violations of
+    // either inclusion (a shingle/hash/join bug surfaces as rows);
+    // non-vacuity (shorter n genuinely flags MORE) pins in DedupSpec.
+    "q297_contamination_sweep" -> ((s, dir) => {
+      import graft.functions.TextFunctions.words
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .filter(size(words(col("text"))) >= 13)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val bench = d.filter(col("doc_id") % 10 === 0)
+      def hitsAt(n: Int) =
+        Dedup.contaminationHits(corpus, bench, "doc_id", "text", n)
+          .select(col("doc_id"))
+      val h4 = hitsAt(4)
+      val h8 = hitsAt(8)
+      val h13 = hitsAt(13)
+      h13.exceptAll(h8).withColumn("step", lit("13_vs_8"))
+        .unionByName(h8.exceptAll(h4).withColumn("step", lit("8_vs_4")))
+        .select("step", "doc_id")
+        .orderBy("step", "doc_id")
+    }),
+
     // MinHash band-sweep gate — the LSH tuning curve (q287's sweep
     // discipline applied to dedup), gated on the NESTED-BAND THEOREM
     // rather than a recall sample: with one 64-perm signature, every
@@ -1029,6 +1057,10 @@ object DedupQueries {
     "q292_lsh_band_sweep" ->
       """SELECT CAST(NULL AS VARCHAR) AS step,
         |  CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+        |WHERE FALSE""".stripMargin,
+    "q297_contamination_sweep" ->
+      """SELECT CAST(NULL AS VARCHAR) AS step,
+        |  CAST(NULL AS BIGINT) AS doc_id
         |WHERE FALSE""".stripMargin
   )
 }

@@ -3137,6 +3137,57 @@ object TextQueries {
         .filter(col("c6") > col("c3") || col("c12") > col("c6"))
         .select(col("doc_id"), col("c3"), col("c6"), col("c12"))
         .orderBy("doc_id")
+    }),
+
+    // Corpus health scorecard — the one-page per-source verdict a data
+    // steward reads before admission, composing this round's monitors
+    // off ONE (source, word) census (a single corpus scan, a single
+    // map-side-combinable exchange; every signal after it is
+    // census-sided): type-token diversity (vocab/total ppm), Shannon
+    // entropy + its ln-V-normalized form (q278's algebra), the Zipf
+    // slope over the top-30 ranks (q279's OLS), and integer verdict
+    // flags at fixed thresholds (diversity < 1000 ppm → template spam;
+    // norm-entropy < 0.55 → collapsed distribution; slope > -0.35 →
+    // un-Zipfian/templated). Flags are booleans over ROUND(6)'d
+    // doubles, so the compare is engine-stable.
+    "q298_corpus_scorecard" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("cnt").desc, col("w").asc)
+      val census = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = true)
+      val ent = census.groupBy("source")
+        .agg(count(lit(1)).as("vocab"), sum("cnt").as("total"),
+          sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+            .as("sclogc"))
+        .withColumn("entropy",
+          round(log(col("total")) - col("sclogc") / col("total"), 6))
+        .withColumn("norm_entropy", when(col("vocab") > 1,
+          round((log(col("total")) - col("sclogc") / col("total"))
+            / log(col("vocab")), 6)))
+        .withColumn("diversity_ppm", expr("(1000000 * vocab) div total"))
+        .select("source", "vocab", "total", "diversity_ppm", "entropy",
+          "norm_entropy")
+      val zipf = census.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 30)
+        .select(col("source"), log(col("rnk").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope", round((col("n") * col("sxy")
+          - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+        .select("source", "slope")
+      ent.join(zipf, Seq("source"))
+        .withColumn("flag_diversity", col("diversity_ppm") < 1000L)
+        .withColumn("flag_entropy", col("norm_entropy") < 0.55)
+        .withColumn("flag_zipf", col("slope") > -0.35)
+        .withColumn("admitted", !col("flag_diversity")
+          && !col("flag_entropy") && !col("flag_zipf"))
+        .orderBy("source")
     })
   )
 
@@ -5073,6 +5124,48 @@ object TextQueries {
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS c3,
         |  CAST(NULL AS BIGINT) AS c6, CAST(NULL AS BIGINT) AS c12
         |WHERE FALSE""".stripMargin,
+
+    // The scorecard restated off the same single census: entropy/Zipf
+    // algebra verbatim from the q278/q279 oracles, flags on the
+    // rounded values.
+    "q298_corpus_scorecard" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2),
+        | a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(cnt) AS BIGINT) AS total,
+        |    SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS sclogc
+        |  FROM c GROUP BY 1),
+        | e AS (SELECT source, vocab, total,
+        |    CAST((1000000 * vocab) // total AS BIGINT) AS diversity_ppm,
+        |    ROUND(ln(total) - sclogc / total, 6) AS entropy,
+        |    CASE WHEN vocab > 1
+        |      THEN ROUND((ln(total) - sclogc / total) / ln(vocab), 6)
+        |    END AS norm_entropy
+        |  FROM a),
+        | r AS (SELECT source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, w) AS rnk, cnt
+        |  FROM c),
+        | x AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y FROM r WHERE rnk <= 30),
+        | m AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx
+        |  FROM x GROUP BY 1),
+        | z AS (SELECT source,
+        |    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+        |  FROM m)
+        |SELECT e.source, e.vocab, e.total, e.diversity_ppm, e.entropy,
+        |  e.norm_entropy, z.slope,
+        |  e.diversity_ppm < 1000 AS flag_diversity,
+        |  e.norm_entropy < 0.55 AS flag_entropy,
+        |  z.slope > -0.35 AS flag_zipf,
+        |  NOT (e.diversity_ppm < 1000) AND NOT (e.norm_entropy < 0.55)
+        |    AND NOT (z.slope > -0.35) AS admitted
+        |FROM e JOIN z ON z.source = e.source
+        |ORDER BY e.source""".stripMargin,
 
     // Both runs restated (lexical from the shared BM25 CTE block, dense
     // from list_cosine_similarity around the anchor vectors), then the

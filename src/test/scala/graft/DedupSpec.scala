@@ -395,4 +395,23 @@ class DedupSpec extends SparkSpec {
     assert(p16.size > p4.size,
       s"sweep vacuous: |p4|=${p4.size} |p8|=${p8.size} |p16|=${p16.size}")
   }
+
+  test("q297 contamination sweep is non-vacuous: shorter n-grams " +
+      "genuinely flag more docs; nesting holds") {
+    import graft.functions.TextFunctions.words
+    val d = Tables.load(spark, sfDir, "documents")
+      .filter($"text".isNotNull).filter(size(words($"text")) >= 13)
+    val corpus = d.filter($"doc_id" % 10 =!= 0)
+    val bench = d.filter($"doc_id" % 10 === 0)
+    def hitsAt(n: Int): Set[Long] =
+      Dedup.contaminationHits(corpus, bench, "doc_id", "text", n)
+        .select("doc_id").as[Long].collect().toSet
+    val h4 = hitsAt(4)
+    val h8 = hitsAt(8)
+    val h13 = hitsAt(13)
+    assert(h13.subsetOf(h8) && h8.subsetOf(h4))
+    assert(h4.nonEmpty)
+    assert(h4.size > h13.size,
+      s"sweep vacuous: |h4|=${h4.size} |h8|=${h8.size} |h13|=${h13.size}")
+  }
 }

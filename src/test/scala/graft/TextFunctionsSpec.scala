@@ -1172,6 +1172,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q298 scorecard: flags recompute from the published values; " +
+      "signal columns agree with q278/q279") {
+    val got = SparkEntry.queries("q298_corpus_scorecard")(spark, sfDir)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(3), r.getDouble(5), r.getDouble(6),
+          r.getBoolean(7), r.getBoolean(8), r.getBoolean(9), r.getBoolean(10))
+      }.toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (_, divPpm, normEnt, slope, fd, fe, fz, adm) =>
+      assert(fd === (divPpm < 1000L))
+      assert(fe === (normEnt < 0.55))
+      assert(fz === (slope > -0.35))
+      assert(adm === (!fd && !fe && !fz))
+    }
+    // signals match the standalone monitors
+    val ent = SparkEntry.queries("q278_entropy_profile")(spark, sfDir)
+      .select("source", "entropy").as[(String, Double)].collect().toMap
+    val zipf = SparkEntry.queries("q279_zipf_slope")(spark, sfDir)
+      .select("source", "slope").as[(String, Double)].collect().toMap
+    val card = SparkEntry.queries("q298_corpus_scorecard")(spark, sfDir)
+      .select("source", "entropy", "slope")
+      .as[(String, Double, Double)].collect().toSeq
+    card.foreach { case (s0, e, z) =>
+      assert(e === ent(s0) && z === zipf(s0), s"source $s0 drifted")
+    }
+  }
+
   test("q276 self-overlap: brute-force set Jaccard matches") {
     val corpus = Tables.load(spark, sfDir, "documents")
       .filter($"text".isNotNull).select("doc_id", "text")
