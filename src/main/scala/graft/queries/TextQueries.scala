@@ -3150,44 +3150,79 @@ object TextQueries {
     // norm-entropy < 0.55 → collapsed distribution; slope > -0.35 →
     // un-Zipfian/templated). Flags are booleans over ROUND(6)'d
     // doubles, so the compare is engine-stable.
-    "q298_corpus_scorecard" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-        .orderBy(col("cnt").desc, col("w").asc)
-      val census = docs(s, dir).filter(col("text").isNotNull)
+    "q298_corpus_scorecard" -> ((s, dir) =>
+      corpusScorecard(docs(s, dir).filter(col("text").isNotNull)
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt")))),
+
+    // Streaming twin of q298: the (source, word) census maintains in
+    // Complete mode at the ingestion door (the q281 census state), the
+    // scorecard rollup runs on the drained snapshot via the SHARED
+    // corpusScorecard — live source-admission governance. Bounded
+    // drain ≡ batch; shares q298's oracle.
+    "q299_stream_scorecard" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val census = graft.streaming.DocumentStreams
+        .readDocumentsStream(s, dir)
+        .filter(col("text").isNotNull)
         .select(col("source"), explode(words(col("text"))).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(eager = true)
-      val ent = census.groupBy("source")
-        .agg(count(lit(1)).as("vocab"), sum("cnt").as("total"),
-          sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
-            .as("sclogc"))
-        .withColumn("entropy",
-          round(log(col("total")) - col("sclogc") / col("total"), 6))
-        .withColumn("norm_entropy", when(col("vocab") > 1,
-          round((log(col("total")) - col("sclogc") / col("total"))
-            / log(col("vocab")), 6)))
-        .withColumn("diversity_ppm", expr("(1000000 * vocab) div total"))
-        .select("source", "vocab", "total", "diversity_ppm", "entropy",
-          "norm_entropy")
-      val zipf = census.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 30)
-        .select(col("source"), log(col("rnk").cast("double")).as("x"),
-          log(col("cnt").cast("double")).as("y"))
-        .groupBy("source")
-        .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
-          sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-        .withColumn("slope", round((col("n") * col("sxy")
-          - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx")), 6))
-        .select("source", "slope")
-      ent.join(zipf, Seq("source"))
-        .withColumn("flag_diversity", col("diversity_ppm") < 1000L)
-        .withColumn("flag_entropy", col("norm_entropy") < 0.55)
-        .withColumn("flag_zipf", col("slope") > -0.35)
-        .withColumn("admitted", !col("flag_diversity")
-          && !col("flag_entropy") && !col("flag_zipf"))
-        .orderBy("source")
+      corpusScorecard(graft.streaming.EventStreams.runToMemory(census,
+        OutputMode.Complete()))
+    }),
+
+    // Preference length-bias audit — the classic reward-hacking
+    // pathology check on q241's DPO pairs: if "chosen" wins mostly by
+    // being LONGER, the reward signal is teaching verbosity, not
+    // quality. Per-language rollup: chosen-longer ppm, mean token
+    // delta in exact milli (sign-split floor divide), and the margin
+    // mass split by whether length agrees with the preference — all
+    // integers over q241's group-bounded pair machinery, one rollup
+    // more.
+    "q300_preference_length_bias" -> ((s, dir) => {
+      val nTok = size(words(col("text"))).cast("bigint")
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("n_tokens", nTok)
+        .withColumn("score",
+          lit(1000L) * markerHits(col("text"), markers.head._2).cast("bigint")
+            + col("n_tokens"))
+        .withColumn("bucket", expr("n_tokens div 32"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "bucket")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "bucket")
+      val ranked = d.select(col("lang"), col("bucket"), col("doc_id"),
+          col("score"), col("n_tokens"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .withColumn("g", count(lit(1)).over(wg))
+      val top = ranked.filter(col("rnk") <= expr("g div 2"))
+        .select(col("lang"), col("bucket"), col("score").as("c_score"),
+          col("n_tokens").as("c_tok"),
+          (col("g") + 1 - col("rnk")).as("want"))
+      val bot = ranked.select(col("lang"), col("bucket"),
+        col("rnk").as("want"), col("score").as("r_score"),
+        col("n_tokens").as("r_tok"))
+      top.join(bot, Seq("lang", "bucket", "want"))
+        .filter(col("c_score") > col("r_score"))
+        .withColumn("longer", col("c_tok") > col("r_tok"))
+        .withColumn("margin", col("c_score") - col("r_score"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("longer"), 1L).otherwise(0L)).as("n_chosen_longer"),
+          sum(col("c_tok") - col("r_tok")).as("sum_tok_delta"),
+          sum(when(col("longer"), col("margin")).otherwise(0L))
+            .as("margin_longer"),
+          sum(when(!col("longer"), col("margin")).otherwise(0L))
+            .as("margin_not_longer"))
+        .withColumn("chosen_longer_ppm",
+          expr("(1000000 * n_chosen_longer) div n_pairs"))
+        .withColumn("mean_tok_delta_milli", signum(col("sum_tok_delta"))
+          .cast("bigint")
+          * expr("(abs(sum_tok_delta) * 1000) div n_pairs"))
+        .select("lang", "n_pairs", "n_chosen_longer", "chosen_longer_ppm",
+          "mean_tok_delta_milli", "margin_longer", "margin_not_longer")
+        .orderBy("lang")
     })
   )
 
@@ -3570,6 +3605,92 @@ object TextQueries {
       |    THEN ROUND((ln(total) - sclogc / total) / ln(vocab), 6)
       |  END AS norm_entropy
       |FROM a ORDER BY source""".stripMargin
+
+  /** Corpus health scorecard shared by batch q298 and streaming twin
+    * q299: from a (source, w, cnt) census to per-source diversity,
+    * entropy, Zipf slope, and deterministic verdict flags — see q298's
+    * query comment for thresholds and scale shape. The census
+    * checkpoints here because two consumers (entropy rollup + Zipf
+    * rank window) read it.
+    */
+  private[graft] def corpusScorecard(censusIn: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("w").asc)
+    val census = censusIn.localCheckpoint(true)
+    val ent = census.groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum("cnt").as("total"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double")))
+          .as("sclogc"))
+      .withColumn("entropy",
+        round(log(col("total")) - col("sclogc") / col("total"), 6))
+      .withColumn("norm_entropy", when(col("vocab") > 1,
+        round((log(col("total")) - col("sclogc") / col("total"))
+          / log(col("vocab")), 6)))
+      .withColumn("diversity_ppm", expr("(1000000 * vocab) div total"))
+      .select("source", "vocab", "total", "diversity_ppm", "entropy",
+        "norm_entropy")
+    val zipf = census.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 30)
+      .select(col("source"), log(col("rnk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope", round((col("n") * col("sxy")
+        - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+      .select("source", "slope")
+    ent.join(zipf, Seq("source"))
+      .withColumn("flag_diversity", col("diversity_ppm") < 1000L)
+      .withColumn("flag_entropy", col("norm_entropy") < 0.55)
+      .withColumn("flag_zipf", col("slope") > -0.35)
+      .withColumn("admitted", !col("flag_diversity")
+        && !col("flag_entropy") && !col("flag_zipf"))
+      .orderBy("source")
+  }
+
+  /** Shared by q298 (batch census) and q299 (streaming Complete-mode
+    * census twin): the scorecard rollup.
+    */
+  private lazy val scorecardOracle =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      | c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY 1, 2),
+      | a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(cnt) AS BIGINT) AS total,
+      |    SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS sclogc
+      |  FROM c GROUP BY 1),
+      | e AS (SELECT source, vocab, total,
+      |    CAST((1000000 * vocab) // total AS BIGINT) AS diversity_ppm,
+      |    ROUND(ln(total) - sclogc / total, 6) AS entropy,
+      |    CASE WHEN vocab > 1
+      |      THEN ROUND((ln(total) - sclogc / total) / ln(vocab), 6)
+      |    END AS norm_entropy
+      |  FROM a),
+      | r AS (SELECT source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY cnt DESC, w) AS rnk, cnt
+      |  FROM c),
+      | x AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+      |    ln(CAST(cnt AS DOUBLE)) AS y FROM r WHERE rnk <= 30),
+      | m AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx
+      |  FROM x GROUP BY 1),
+      | z AS (SELECT source,
+      |    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+      |  FROM m)
+      |SELECT e.source, e.vocab, e.total, e.diversity_ppm, e.entropy,
+      |  e.norm_entropy, z.slope,
+      |  e.diversity_ppm < 1000 AS flag_diversity,
+      |  e.norm_entropy < 0.55 AS flag_entropy,
+      |  z.slope > -0.35 AS flag_zipf,
+      |  NOT (e.diversity_ppm < 1000) AND NOT (e.norm_entropy < 0.55)
+      |    AND NOT (z.slope > -0.35) AS admitted
+      |FROM e JOIN z ON z.source = e.source
+      |ORDER BY e.source""".stripMargin
 
   /** Shared by q247 (batch window) and q258 (streaming bounded-heap
     * twin): per-prompt argmax with runner-up margin.
@@ -5127,45 +5248,49 @@ object TextQueries {
 
     // The scorecard restated off the same single census: entropy/Zipf
     // algebra verbatim from the q278/q279 oracles, flags on the
-    // rounded values.
-    "q298_corpus_scorecard" ->
-      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
-        |  FROM documents WHERE text IS NOT NULL),
-        | c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM toks GROUP BY 1, 2),
-        | a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
-        |    CAST(SUM(cnt) AS BIGINT) AS total,
-        |    SUM(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS sclogc
-        |  FROM c GROUP BY 1),
-        | e AS (SELECT source, vocab, total,
-        |    CAST((1000000 * vocab) // total AS BIGINT) AS diversity_ppm,
-        |    ROUND(ln(total) - sclogc / total, 6) AS entropy,
-        |    CASE WHEN vocab > 1
-        |      THEN ROUND((ln(total) - sclogc / total) / ln(vocab), 6)
-        |    END AS norm_entropy
-        |  FROM a),
-        | r AS (SELECT source,
-        |    ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY cnt DESC, w) AS rnk, cnt
-        |  FROM c),
-        | x AS (SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
-        |    ln(CAST(cnt AS DOUBLE)) AS y FROM r WHERE rnk <= 30),
-        | m AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
-        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
-        |    SUM(x * x) AS sxx
-        |  FROM x GROUP BY 1),
-        | z AS (SELECT source,
-        |    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
-        |  FROM m)
-        |SELECT e.source, e.vocab, e.total, e.diversity_ppm, e.entropy,
-        |  e.norm_entropy, z.slope,
-        |  e.diversity_ppm < 1000 AS flag_diversity,
-        |  e.norm_entropy < 0.55 AS flag_entropy,
-        |  z.slope > -0.35 AS flag_zipf,
-        |  NOT (e.diversity_ppm < 1000) AND NOT (e.norm_entropy < 0.55)
-        |    AND NOT (z.slope > -0.35) AS admitted
-        |FROM e JOIN z ON z.source = e.source
-        |ORDER BY e.source""".stripMargin,
+    // rounded values. The streaming twin q299 drains the same census.
+    "q298_corpus_scorecard" -> scorecardOracle,
+    "q299_stream_scorecard" -> scorecardOracle,
+
+    // q241's pair construction verbatim, one bias rollup more: the
+    // same rank/group windows and inward pairing, length comparison
+    // on the same token counts, sign-split integer mean.
+    "q300_preference_length_bias" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    1000 * ${markerSql("en")}
+         |      + len(string_split(text, ' ')) AS score
+         |  FROM documents WHERE text IS NOT NULL),
+         | r AS (SELECT doc_id, lang, n_tokens, n_tokens // 32 AS bucket,
+         |    score,
+         |    ROW_NUMBER() OVER (PARTITION BY lang, n_tokens // 32
+         |      ORDER BY score DESC, doc_id) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY lang, n_tokens // 32) AS g
+         |  FROM d),
+         | p AS (SELECT a.lang,
+         |    a.score AS c_score, a.n_tokens AS c_tok,
+         |    b.score AS r_score, b.n_tokens AS r_tok
+         |  FROM r a JOIN r b ON a.lang = b.lang AND a.bucket = b.bucket
+         |    AND b.rnk = a.g + 1 - a.rnk
+         |  WHERE a.rnk <= a.g // 2 AND a.score > b.score),
+         | m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN c_tok > r_tok THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_chosen_longer,
+         |    CAST(SUM(c_tok - r_tok) AS BIGINT) AS sum_tok_delta,
+         |    CAST(SUM(CASE WHEN c_tok > r_tok THEN c_score - r_score
+         |      ELSE 0 END) AS BIGINT) AS margin_longer,
+         |    CAST(SUM(CASE WHEN NOT (c_tok > r_tok)
+         |      THEN c_score - r_score ELSE 0 END) AS BIGINT)
+         |      AS margin_not_longer
+         |  FROM p GROUP BY 1)
+         |SELECT lang, n_pairs, n_chosen_longer,
+         |  CAST((1000000 * n_chosen_longer) // n_pairs AS BIGINT)
+         |    AS chosen_longer_ppm,
+         |  CAST(CAST(SIGN(sum_tok_delta) AS BIGINT)
+         |    * ((ABS(sum_tok_delta) * 1000) // n_pairs) AS BIGINT)
+         |    AS mean_tok_delta_milli,
+         |  margin_longer, margin_not_longer
+         |FROM m ORDER BY lang""".stripMargin,
 
     // Both runs restated (lexical from the shared BM25 CTE block, dense
     // from list_cosine_similarity around the anchor vectors), then the
