@@ -627,6 +627,80 @@ object SourceQueries {
         .orderBy("id_a")
     }),
 
+    // Incremental perceptual image dedup — the missing cell of the
+    // incremental-dedup matrix (exact text q96 / LSH text q111 /
+    // chunks q139 / images HERE): an arriving batch is screened
+    // against a dHash HISTORY by the q234 band join — candidates are
+    // batch-keys × history-keys (batch-bounded, never a self-join,
+    // history never rescans) — with the exact Hamming ≤ 8 verify on
+    // candidates only. The fixture plants 75 one-pixel re-crawls of
+    // history images (each MUST drop — identical pixels but one, so
+    // ≤ 8 dHash bits move and at least one 16-bit band is untouched)
+    // plus 50 unseen planted images; the survival direction gates in
+    // AGGREGATE (at least one unseen image survives) because distinct
+    // planted images are not pairwise-far in dHash space by
+    // construction — a per-image survival claim would encode fixture
+    // coincidence, not operator semantics. Oracle: empty.
+    "q301_image_incremental" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val shift = 1L << 20
+      def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val history = s.range(0L, 150L).map { id =>
+        Multimodal.MediaRow(id, png(Multimodal.plantedImage(id)),
+          "image/png")
+      }
+      val batch = s.range(0L, 125L).map { i =>
+        if (i < 75L) {
+          val pert = Multimodal.plantedImage(i)
+          pert.setRGB(4 * pert.getWidth / 9, 3 * pert.getHeight / 8,
+            0xffffff)
+          Multimodal.MediaRow(i + shift, png(pert), "image/png")
+        } else {
+          val id = 150L + (i - 75L)
+          Multimodal.MediaRow(id + shift,
+            png(Multimodal.plantedImage(id)), "image/png")
+        }
+      }
+      val hHist = graft.operators.Checkpoints.cut(
+        Multimodal.imageDHash(history).toDF())
+      val hBatch = graft.operators.Checkpoints.cut(
+        Multimodal.imageDHash(batch).toDF())
+      def bands(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), explode(array(
+          col("dhash_lo") % 65536,
+          shiftright(col("dhash_lo"), 16) + lit(1L << 17),
+          (col("dhash_hi") % 65536) + lit(2L << 17),
+          shiftright(col("dhash_hi"), 16) + lit(3L << 17))).as("band"))
+      val dropped = bands(hBatch).as("x")
+        .join(bands(hHist).select(col("doc_id").as("hid"), col("band")),
+          Seq("band"))
+        .select(col("doc_id"), col("hid")).distinct()
+        .join(hBatch.select(col("doc_id"), col("dhash_hi").as("bh"),
+          col("dhash_lo").as("bl")), Seq("doc_id"))
+        .join(hHist.select(col("doc_id").as("hid"),
+          col("dhash_hi").as("hh"), col("dhash_lo").as("hl")), Seq("hid"))
+        .filter(bit_count(expr("bh ^ hh")) + bit_count(expr("bl ^ hl"))
+          <= lit(8))
+        .select(col("doc_id")).distinct()
+      val kept = hBatch.select(col("doc_id"))
+        .join(dropped, Seq("doc_id"), "left_anti")
+      // violations, both directions
+      val noSurvivor = kept.filter(col("doc_id") >= shift + 150L)
+        .agg(count(lit(1)).as("n")).filter(col("n") === 0)
+        .select(lit("no_new_survivor").as("violation"),
+          lit(-1L).as("doc_id"))
+      kept.filter(col("doc_id") < shift + 75L)
+        .withColumn("violation", lit("recrawl_survived"))
+        .select("violation", "doc_id")
+        .unionByName(noSurvivor)
+        .orderBy("violation", "doc_id")
+    }),
+
     // Image-curation admission pipeline — the LAION-style pass that
     // turns a raw image crawl into a training set: decode once, apply
     // the size floor (min dim ≥ 9) and aspect bound (max/min ≤ 3/2 as
@@ -1019,6 +1093,10 @@ object SourceQueries {
     // Planted-recall referee gate (banded perceptual near-dup): empty.
     "q234_image_banded_neardup" ->
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b
+        |WHERE FALSE""".stripMargin,
+    "q301_image_incremental" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |  CAST(NULL AS BIGINT) AS doc_id
         |WHERE FALSE""".stripMargin,
     // Dims + the full dHash from the planted pixel rule (the q233
     // restatement keyed on the BASE id — the shifted copy shares its
