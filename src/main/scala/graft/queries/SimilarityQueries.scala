@@ -224,6 +224,63 @@ object SimilarityQueries {
       viol.unionByName(floor).orderBy("query_id", "np_lo")
     }),
 
+    // Streaming semantic admission (SemDeDup at the door) — see
+    // DocumentStreams.streamingSemanticAdmission. FULL-hash gate: the
+    // oracle states the exact NOT-EXISTS cosine rule over the planted
+    // twin/negation fixture.
+    "q302_stream_semantic_admission" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingSemanticAdmission(s, dir)),
+
+    // Distributed ROC-AUC with exact midrank tie handling — the eval
+    // metric every learned filter reports, computed the scale-right
+    // way: the score quantizes to a 1e-3 grid (cosine to the first
+    // axis ∈ [−1,1] ⇒ the census is GRID-bounded at ≤ 2001 rows, the
+    // binScale discipline), positives/negatives aggregate per distinct
+    // score (one map-side-combinable exchange), and the Mann–Whitney
+    // U assembles census-side with the doubled-U integer form
+    // (U2 = Σ p·(2·n_below + n) — midranks without halves), so
+    // auc_ppm is one exact floor divide. No corpus-sized window, no
+    // float comparison anywhere past the quantization.
+    "q303_distributed_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "embeddings")
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val ss = aggregate(v, lit(0.0), (a, x) => a + x * x)
+      val score = floor(element_at(v, 1) / sqrt(ss) * lit(1000))
+        .cast("long")
+      val census = e.select(score.as("s"), (col("label") < 5).as("pos"))
+        .groupBy("s")
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("n"))
+      val w = Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      census.withColumn("n_below", coalesce(sum("n").over(w), lit(0L)))
+        .agg(sum(expr("p * (2 * n_below + n)")).as("u2"),
+          sum("p").as("pp"), sum("n").as("nn"))
+        .select(col("pp").as("n_pos"), col("nn").as("n_neg"),
+          expr("(1000000 * u2) div (2 * pp * nn)").as("auc_ppm"))
+    }),
+
+    // Calibration / reliability buckets over the same quantized score:
+    // per decile of the score range, observed positive rate in exact
+    // ppm — the companion readout to q303 (a well-ranked score can
+    // still be miscalibrated). Same bounded census; one rollup.
+    "q304_score_calibration" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val ss = aggregate(v, lit(0.0), (a, x) => a + x * x)
+      val score = floor(element_at(v, 1) / sqrt(ss) * lit(1000))
+        .cast("long")
+      e.select(score.as("s"), (col("label") < 5).as("pos"))
+        .withColumn("bucket", expr("(s + 1000) div 200"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("pos_ppm", expr("(1000000 * n_pos) div n"))
+        .select("bucket", "n", "n_pos", "pos_ppm")
+        .orderBy("bucket")
+    }),
+
     // Sign-bit binary-quantization ANN recall gate (the q33 contract
     // applied to the cheapest quantization rung): 1 bit/dim signatures,
     // Hamming shortlist, exact-cosine rerank — any row out means the
@@ -830,6 +887,56 @@ object SimilarityQueries {
         |  CAST(NULL AS BIGINT) AS np_lo, CAST(NULL AS BIGINT) AS np_hi,
         |  CAST(NULL AS BIGINT) AS hits_lo, CAST(NULL AS BIGINT) AS hits_hi
         |WHERE FALSE""".stripMargin,
+    // The exact NOT-EXISTS admission rule over the twin/negation
+    // fixture — every true ≥0.95 match is an exact twin (cos 1.0),
+    // which the probe finds deterministically, so banded == exact.
+    "q302_stream_semantic_admission" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        | s AS (SELECT vec_id, CASE WHEN vec_id % 2 = 0 THEN vv
+        |    ELSE list_transform(vv, x -> -x) END AS sv FROM v)
+        |SELECT s.vec_id FROM s
+        |WHERE NOT EXISTS (SELECT 1 FROM v h
+        |  WHERE list_cosine_similarity(s.sv, h.vv) >= 0.95)
+        |ORDER BY s.vec_id""".stripMargin,
+    // The doubled-U midrank algebra over the same 1e-3 score census.
+    "q303_distributed_auc" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        | sc AS (SELECT CAST(FLOOR(vv[1]
+        |      / sqrt(list_sum(list_transform(vv, x -> x * x))) * 1000)
+        |      AS BIGINT) AS s,
+        |    label < 5 AS pos FROM v),
+        | c AS (SELECT s,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n
+        |  FROM sc GROUP BY 1),
+        | k AS (SELECT s, p, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_below
+        |  FROM c)
+        |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+        |  CAST(SUM(n) AS BIGINT) AS n_neg,
+        |  CAST(CAST(1000000 * SUM(p * (2 * n_below + n)) AS BIGINT)
+        |    // (2 * SUM(p) * SUM(n)) AS BIGINT) AS auc_ppm
+        |FROM k""".stripMargin,
+    "q304_score_calibration" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        | sc AS (SELECT CAST(FLOOR(vv[1]
+        |      / sqrt(list_sum(list_transform(vv, x -> x * x))) * 1000)
+        |      AS BIGINT) AS s,
+        |    label < 5 AS pos FROM v)
+        |SELECT CAST((s + 1000) // 200 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(CAST(1000000 * SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+        |    AS BIGINT) // COUNT(*) AS BIGINT) AS pos_ppm
+        |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q82_pq_ann" ->
       """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
         |  CAST(NULL AS DOUBLE) AS recall_floor

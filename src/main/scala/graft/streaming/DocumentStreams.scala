@@ -241,6 +241,51 @@ object DocumentStreams {
       .orderBy("prompt_id")
   }
 
+  /** Streaming semantic admission — SemDeDup at the ingestion door
+    * (the q118 stream-static discipline with EMBEDDINGS instead of
+    * shingles): arriving vectors assign to their top-1 centroid
+    * MAP-SIDE (literal model — the centroid-pull discipline), the
+    * stream-static bucket join is STATELESS against the multi-assigned
+    * (nassign = 3) history layout (at 100 TB: the persisted IVF layout
+    * q102 maintains), candidates verify by exact cosine, and the only
+    * stateful op is the per-vector boolean fold. Fixture: even ids
+    * arrive verbatim (re-crawl twins — an identical vector shares its
+    * twin's argmax centroid, so the probe finds it deterministically);
+    * odd ids arrive NEGATED (cos ≤ −cos-background against everything,
+    * far below threshold — genuinely new). On bounded input the
+    * admitted set equals the exact NOT-EXISTS rule, which the oracle
+    * states directly (the q111 regime note: every true match is an
+    * exact twin, far above the probe's reach).
+    */
+  def streamingSemanticAdmission(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.95, nlist: Int = 16): DataFrame = {
+    import graft.operators.Similarity
+    import graft.expressions.ArrayOps
+    val hist = Tables.load(spark, sfDir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(hist, "vec_id", "embedding",
+      nlist, iters = 10)
+    val histB = hist
+      .select(col("vec_id").as("hid"),
+        Similarity.asDouble(col("embedding")).as("hv"))
+      .withColumn("__b",
+        explode(ArrayOps.argTopKCosine(col("hv"), cents, 3)))
+    val sv0 = Similarity.asDouble(col("embedding"))
+    val flagged = Tables.readTableStream(spark, sfDir, "embeddings")
+      .withColumn("sv", when(col("vec_id") % 2 === 0, sv0)
+        .otherwise(transform(sv0, x => -x)))
+      .withColumn("__b",
+        element_at(ArrayOps.argTopKCosine(col("sv"), cents, 1), 1))
+      .join(histB, Seq("__b"), "left_outer")
+      .withColumn("__dup", coalesce(
+        Similarity.cosine(col("sv"), col("hv")) >= threshold, lit(false)))
+      .groupBy(col("vec_id"))
+      .agg(max(col("__dup")).as("__isdup"))
+    EventStreams.runToMemory(flagged, OutputMode.Complete())
+      .filter(!col("__isdup"))
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
   /** Streaming BM25 — q273's retrieval run at the ingestion door. The
     * corpus statistics (N, Σdl, per-term df) are a FROZEN static model
     * pulled once driver-side (model-sized: one scalar row + one df per

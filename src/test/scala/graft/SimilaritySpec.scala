@@ -663,6 +663,33 @@ class SimilaritySpec extends SparkSpec {
         "could pass without the rerank and proves nothing")
   }
 
+  test("q303 AUC: brute-force pairwise comparison equals the census " +
+      "doubled-U; q304 buckets partition the corpus") {
+    val rows = Tables.load(spark, sfDir, "embeddings")
+      .select($"embedding", $"label")
+      .as[(Array[Float], Int)].collect().toSeq
+      .map { case (v, l) =>
+        val d = v.map(_.toDouble)
+        val ss = d.foldLeft(0.0)((a, x) => a + x * x)
+        (math.floor(d(0) / math.sqrt(ss) * 1000).toLong, l < 5)
+      }
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    var u2 = 0L
+    pos.foreach(p => neg.foreach { n =>
+      if (p > n) u2 += 2 else if (p == n) u2 += 1
+    })
+    val expected = (1000000L * u2) / (2L * pos.size * neg.size)
+    val got = SparkEntry.queries("q303_distributed_auc")(spark, sfDir)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((pos.size.toLong, neg.size.toLong, expected)))
+    val buckets = SparkEntry.queries("q304_score_calibration")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(buckets.map(_._2).sum === rows.size.toLong)
+    assert(buckets.map(_._3).sum === pos.size.toLong)
+    buckets.foreach(b => assert(b._4 === 1000000L * b._3 / b._2))
+  }
+
   test("signBits: MSB-first fold matches a Scala reference; " +
       "deterministic; duplicate vectors collide at Hamming 0") {
     val e = Tables.load(spark, sfDir, "embeddings").limit(50)
