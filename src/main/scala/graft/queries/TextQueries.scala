@@ -3146,10 +3146,13 @@ object TextQueries {
     // census-sided): type-token diversity (vocab/total ppm), Shannon
     // entropy + its ln-V-normalized form (q278's algebra), the Zipf
     // slope over the top-30 ranks (q279's OLS), and integer verdict
-    // flags at fixed thresholds (diversity < 1000 ppm → template spam;
+    // flags at fixed thresholds (vocabulary < 16 → template spam — an
+    // ABSOLUTE floor, because a ppm diversity ratio scales with corpus
+    // size and sleeps through planted spam at small SFs, which the
+    // q305 sensitivity gate caught on this scorecard's first cut;
     // norm-entropy < 0.55 → collapsed distribution; slope > -0.35 →
     // un-Zipfian/templated). Flags are booleans over ROUND(6)'d
-    // doubles, so the compare is engine-stable.
+    // doubles and exact integers, so the compare is engine-stable.
     "q298_corpus_scorecard" -> ((s, dir) =>
       corpusScorecard(docs(s, dir).filter(col("text").isNotNull)
         .select(col("source"), explode(words(col("text"))).as("w"))
@@ -3169,6 +3172,38 @@ object TextQueries {
         .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
       corpusScorecard(graft.streaming.EventStreams.runToMemory(census,
         OutputMode.Complete()))
+    }),
+
+    // Scorecard sensitivity gate — monitors are only worth their cost
+    // if they DETECT the pathology they claim to. Template spam plants
+    // into src4/src9 (q162's fixture: every doc collapses to one of 3
+    // template strings — diversity and entropy crater), the scorecard
+    // runs on baseline and planted corpora, and the gate emits (a)
+    // planted sources still admitted after planting and (b) unplanted
+    // sources whose admission CHANGED — so it neither assumes the
+    // baseline verdicts nor lets the monitors sleep through a planted
+    // regression. Two scans (two corpora by design); oracle: empty.
+    "q305_scorecard_sensitivity" -> ((s, dir) => {
+      def census(d: DataFrame) = d.filter(col("text").isNotNull)
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      val base = docs(s, dir)
+      val planted = base.withColumn("text",
+        when(col("source").isin("src4", "src9"),
+          concat(lit("template boilerplate page variant "),
+            (col("doc_id") % 3).cast("string")))
+          .otherwise(col("text")))
+      val a = corpusScorecard(census(base))
+        .select(col("source"), col("admitted").as("adm_before"))
+      val b = corpusScorecard(census(planted))
+        .select(col("source"), col("admitted").as("adm_after"))
+      val j = a.join(b, Seq("source"))
+      j.filter(col("source").isin("src4", "src9") && col("adm_after"))
+        .select(lit("spam_admitted").as("violation"), col("source"))
+        .unionByName(j.filter(!col("source").isin("src4", "src9")
+            && col("adm_before") =!= col("adm_after"))
+          .select(lit("bystander_flipped").as("violation"), col("source")))
+        .orderBy("violation", "source")
     }),
 
     // Preference length-bias audit — the classic reward-hacking
@@ -3642,7 +3677,7 @@ object TextQueries {
         / (col("n") * col("sxx") - col("sx") * col("sx")), 6))
       .select("source", "slope")
     ent.join(zipf, Seq("source"))
-      .withColumn("flag_diversity", col("diversity_ppm") < 1000L)
+      .withColumn("flag_diversity", col("vocab") < 16L)
       .withColumn("flag_entropy", col("norm_entropy") < 0.55)
       .withColumn("flag_zipf", col("slope") > -0.35)
       .withColumn("admitted", !col("flag_diversity")
@@ -3684,10 +3719,10 @@ object TextQueries {
       |  FROM m)
       |SELECT e.source, e.vocab, e.total, e.diversity_ppm, e.entropy,
       |  e.norm_entropy, z.slope,
-      |  e.diversity_ppm < 1000 AS flag_diversity,
+      |  e.vocab < 16 AS flag_diversity,
       |  e.norm_entropy < 0.55 AS flag_entropy,
       |  z.slope > -0.35 AS flag_zipf,
-      |  NOT (e.diversity_ppm < 1000) AND NOT (e.norm_entropy < 0.55)
+      |  NOT (e.vocab < 16) AND NOT (e.norm_entropy < 0.55)
       |    AND NOT (z.slope > -0.35) AS admitted
       |FROM e JOIN z ON z.source = e.source
       |ORDER BY e.source""".stripMargin
@@ -5251,6 +5286,10 @@ object TextQueries {
     // rounded values. The streaming twin q299 drains the same census.
     "q298_corpus_scorecard" -> scorecardOracle,
     "q299_stream_scorecard" -> scorecardOracle,
+    "q305_scorecard_sensitivity" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |  CAST(NULL AS VARCHAR) AS source
+        |WHERE FALSE""".stripMargin,
 
     // q241's pair construction verbatim, one bias rollup more: the
     // same rank/group windows and inward pairing, length comparison

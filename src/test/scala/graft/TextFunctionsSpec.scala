@@ -1176,12 +1176,12 @@ class TextFunctionsSpec extends SparkSpec {
       "signal columns agree with q278/q279") {
     val got = SparkEntry.queries("q298_corpus_scorecard")(spark, sfDir)
       .collect().map { r =>
-        (r.getString(0), r.getLong(3), r.getDouble(5), r.getDouble(6),
+        (r.getString(0), r.getLong(1), r.getDouble(5), r.getDouble(6),
           r.getBoolean(7), r.getBoolean(8), r.getBoolean(9), r.getBoolean(10))
       }.toSeq
     assert(got.nonEmpty)
-    got.foreach { case (_, divPpm, normEnt, slope, fd, fe, fz, adm) =>
-      assert(fd === (divPpm < 1000L))
+    got.foreach { case (_, vocab, normEnt, slope, fd, fe, fz, adm) =>
+      assert(fd === (vocab < 16L))
       assert(fe === (normEnt < 0.55))
       assert(fz === (slope > -0.35))
       assert(adm === (!fd && !fe && !fz))
