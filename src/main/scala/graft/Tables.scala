@@ -390,6 +390,25 @@ object Tables {
     }
   }
 
+  /** JSON-lines copy of `events` with PLANTED corrupt lines: every
+    * event_id % 13 == 0 row becomes the non-JSON line "BAD <id>" — the
+    * fixture for PERMISSIVE-mode quarantine (q307). The corruption is
+    * CONTENT-derived (the id rule), so the fixture is deterministic
+    * under any file/line order the writer produces.
+    */
+  def eventsDirtyJsonLayout(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    derivedLayout(sfDir, "events", "events_dirty_json") { out =>
+      load(spark, sfDir, "events")
+        .select(when(col("event_id") % 13 === 0,
+            concat(lit("BAD "), col("event_id").cast("string")))
+          .otherwise(to_json(struct(col("event_id"), col("user_id"),
+            col("event_type"), col("value"),
+            unix_micros(col("ts")).as("ts_us")))).as("value"))
+        .write.mode("overwrite").text(out)
+    }
+  }
+
   /** Spark 4 bundles the Avro source inside spark-sql, but this
     * deployment's unmanaged-jar classpath has no service registration
     * for the "avro" short name (`format("avro")` throws the

@@ -811,6 +811,41 @@ object SourceQueries {
 
     // JSON-lines scan with an EXPLICIT schema — inference would add a
     // full pass over the data at scale.
+    // PERMISSIVE-mode corrupt-record quarantine — the ingestion reality
+    // q91's clean round trip skips: real JSONL feeds carry broken
+    // lines, and the contract is (a) good rows parse untouched, (b)
+    // corrupt lines land in `_corrupt_record` VERBATIM and are
+    // quarantined with an audit census, (c) nothing disappears
+    // silently. The fixture plants "BAD <id>" for every event_id
+    // % 13 == 0 (content-derived, so deterministic under any file
+    // order); the corrupt census carries (count, Σ of the ids parsed
+    // BACK out of the quarantined raw lines) — an order-free exact
+    // fingerprint, no corpus-sized collect_list (the oracle recomputes
+    // both from the id rule). The parsed frame checkpoints once (the
+    // Spark restriction on referencing only the corrupt column, and
+    // two consumers).
+    "q307_json_quarantine" -> ((s, dir) => {
+      val path = Tables.eventsDirtyJsonLayout(s, dir)
+      val parsed = s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, ts_us BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .localCheckpoint(true)
+      val good = parsed.filter(col("_corrupt_record").isNull)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .select(lit("good").as("kind"), col("event_type").as("key"),
+          col("n"))
+      val bad = parsed.filter(col("_corrupt_record").isNotNull)
+        .select(substring(col("_corrupt_record"), 5, 32).cast("bigint")
+          .as("bad_id"))
+        .agg(count(lit(1)).as("n"), sum("bad_id").as("id_sum"))
+        .select(lit("corrupt").as("kind"),
+          col("id_sum").cast("string").as("key"), col("n"))
+      good.unionByName(bad).orderBy("kind", "key")
+    }),
+
     "q91_json_roundtrip" -> ((s, dir) => {
       val path = Tables.eventsJsonLayout(s, dir)
       s.read
@@ -1098,6 +1133,17 @@ object SourceQueries {
       """SELECT CAST(NULL AS VARCHAR) AS violation,
         |  CAST(NULL AS BIGINT) AS doc_id
         |WHERE FALSE""".stripMargin,
+    // Both censuses restated from the planting rule: good rows are the
+    // non-%13 events per type; the corrupt fingerprint is the id sum.
+    "q307_json_quarantine" ->
+      """SELECT 'corrupt' AS kind,
+        |  CAST(CAST(SUM(event_id) AS BIGINT) AS VARCHAR) AS key,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events WHERE event_id % 13 = 0
+        |UNION ALL
+        |SELECT 'good', event_type, CAST(COUNT(*) AS BIGINT)
+        |FROM events WHERE event_id % 13 <> 0 GROUP BY 2
+        |ORDER BY kind, key""".stripMargin,
     // Dims + the full dHash from the planted pixel rule (the q233
     // restatement keyed on the BASE id — the shifted copy shares its
     // base's payload), then the size/aspect rules and keep-first

@@ -3174,6 +3174,26 @@ object TextQueries {
         OutputMode.Complete()))
     }),
 
+    // Incremental scorecard maintenance — the q259/q294 census-merge
+    // move applied to governance: the history census and the day's
+    // delta census (built independently — the delta never re-reads
+    // history) merge by pointwise count addition, and the scorecard
+    // over the merged census must BIT-EQUAL the from-scratch q298
+    // relation (merged counts are the same integers, so every rounded
+    // signal and flag is identical). Shares q298's oracle.
+    "q306_scorecard_incremental" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("part",
+          when(pmod(col("doc_id") * 2654435761L, lit(4294967296L)) % 10 < 9,
+            "hist").otherwise("delta"))
+      def census(p: String) = base.filter(col("part") === p)
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      val merged = census("hist").unionByName(census("delta"))
+        .groupBy("source", "w").agg(sum("cnt").as("cnt"))
+      corpusScorecard(merged)
+    }),
+
     // Scorecard sensitivity gate — monitors are only worth their cost
     // if they DETECT the pathology they claim to. Template spam plants
     // into src4/src9 (q162's fixture: every doc collapses to one of 3
@@ -5286,6 +5306,7 @@ object TextQueries {
     // rounded values. The streaming twin q299 drains the same census.
     "q298_corpus_scorecard" -> scorecardOracle,
     "q299_stream_scorecard" -> scorecardOracle,
+    "q306_scorecard_incremental" -> scorecardOracle,
     "q305_scorecard_sensitivity" ->
       """SELECT CAST(NULL AS VARCHAR) AS violation,
         |  CAST(NULL AS VARCHAR) AS source
