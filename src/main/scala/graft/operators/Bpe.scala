@@ -112,6 +112,92 @@ object Bpe {
       .toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** Greedy compatible-batch selection shared by the engine and the
+    * driver reference: scan candidates in (count desc, left, right)
+    * order and accept a pair iff none of {left, right, left+right}
+    * collides with a symbol already claimed this round. Merging (a,b)
+    * can only change counts of pairs that TOUCH a, b, or the new "ab"
+    * symbol — so a symbol-disjoint batch applied in rank order equals
+    * each merge applied against the counts it was selected under (the
+    * standard batched-BPE compatibility argument).
+    */
+  private def selectCompatible(cands: Iterator[(String, String, Long)],
+      want: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    cands.foreach { case (l, r, pc) =>
+      if (sel.size < want && !used(l) && !used(r) && !used(l + r)) {
+        sel += ((l, r, pc)); used += l; used += r; used += (l + r)
+      }
+    }
+    sel.toSeq
+  }
+
+  /** How deep each round's candidate scan goes: the top 4·batch pairs
+    * by (count desc, left, right). Deterministic and mirrored by the
+    * reference — the truncation depth is part of the algorithm, not an
+    * engine detail, so engine and referee always greedy-scan the SAME
+    * prefix of the same total order.
+    */
+  private def candidateCap(want: Int): Int = 4 * want
+
+  /** Batched BPE merge learning: per round, ONE vocabulary-sized pair
+    * aggregate selects up to `batch` mutually-compatible merges
+    * (symbol-disjoint — see `selectCompatible`), which all apply in one
+    * map-side fold. `learnMerges` pays one driver round-trip (one Spark
+    * job) PER MERGE — fine at 12 merges, but a production 50k-merge
+    * vocabulary would mean 50k sequential jobs; batching cuts that to
+    * ~50k/batch while staying bit-deterministic (every round's
+    * selection is a pure function of the pair census). batch = 1
+    * reproduces `learnMerges` exactly (BpeSpec law); batch > 1 is the
+    * standard batched-BPE approximation — a later in-batch merge is
+    * counted under the pre-batch census, which symbol-disjointness
+    * keeps valid, though a NEW pair created mid-batch (touching a
+    * just-merged symbol) cannot be selected until the next round.
+    * Gate: q308 empty-diffs this against `learnMergesBatchedReference`.
+    */
+  def learnMergesBatched(docs: DataFrame, textCol: String,
+      numMerges: Int, batch: Int = 8): DataFrame = {
+    require(numMerges >= 1,
+      s"learnMergesBatched: numMerges must be >= 1, got $numMerges")
+    require(batch >= 1, s"learnMergesBatched: batch must be >= 1, got $batch")
+    val spark = docs.sparkSession
+    var vocab = Checkpoints.cut(wordCensus(docs, textCol)
+      .select(initialSymbols(col("w")).as("syms"), col("cnt")))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var roundNo = 0L
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      roundNo += 1
+      val want = math.min(batch, numMerges - merges.size)
+      val top = vocab
+        .select(posexplode(col("syms")).as(Seq("p", "s")),
+          col("syms"), col("cnt"))
+        .filter(col("p") < size(col("syms")) - 1)
+        .select(col("s").as("l"),
+          element_at(col("syms"), col("p") + 2).as("r"), col("cnt"))
+        .groupBy("l", "r").agg(sum("cnt").as("pc"))
+        .filter(col("pc") >= 2)
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(candidateCap(want)).collect()
+      val sel = selectCompatible(top.iterator
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))), want)
+      if (sel.isEmpty) exhausted = true
+      else {
+        merges ++= sel.map { case (l, r, pc) => (roundNo, l, r, pc) }
+        val folded = sel.foldLeft(col("syms")) {
+          case (c, (l, r, _)) => mergeFold(c, l, r)
+        }
+        vocab = Checkpoints.cut(vocab.select(folded.as("syms"), col("cnt")))
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((rd, l, r, pc), k) => (k + 1L, rd, l, r, pc) }
+      .toDF("merge_rank", "round", "left", "right", "pair_count")
+  }
+
   /** Apply a learned merge list to the corpus — the TOKENIZE side of
     * the contract (learnMerges is train): each word's symbol array
     * folds through the merges in rank order (the order is semantic:
@@ -242,6 +328,66 @@ object Bpe {
           }
           k += 1
         case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  /** Driver-side restatement of `learnMergesBatched` — the q308
+    * referee. Mirrors the batching rule EXACTLY: per round, sort the
+    * full pair census by (count desc, left, right) in code-point
+    * order, truncate to the same `candidateCap(want)` prefix the
+    * engine collects, greedy-select symbol-disjoint pairs, apply them
+    * in rank order. Same loud census bound as `learnMergesReference`.
+    */
+  def learnMergesBatchedReference(census: Seq[(String, Long)],
+      numMerges: Int, batch: Int = 8)
+      : Seq[(Long, Long, String, String, Long)] = {
+    require(census.size <= 1000000,
+      "learnMergesBatchedReference is the bounded referee - use " +
+        "learnMergesBatched at scale")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    var vocab: Seq[(Vector[String], Long)] = census.map { case (w, c) =>
+      (codePointSymbols(w) :+ Eow, c)
+    }
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, String, String, Long)]
+    var roundNo = 0L
+    var done = false
+    while (out.size < numMerges && !done) {
+      roundNo += 1
+      val want = math.min(batch, numMerges - out.size)
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          j += 1
+        }
+      }
+      val top = counts.toSeq.filter(_._2 >= 2)
+        .sortWith { case (((l1, r1), p1), ((l2, r2), p2)) =>
+          if (p1 != p2) p1 > p2
+          else if (l1 != l2) codePointLess(l1, l2)
+          else codePointLess(r1, r2)
+        }.take(candidateCap(want))
+      val sel = selectCompatible(
+        top.iterator.map { case ((l, r), pc) => (l, r, pc) }, want)
+      if (sel.isEmpty) done = true
+      else sel.foreach { case (l, r, pc) =>
+        out += ((out.size + 1L, roundNo, l, r, pc))
+        val merged = l + r
+        vocab = vocab.map { case (syms, c) =>
+          val b = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+              b += merged; j += 2
+            } else { b += syms(j); j += 1 }
+          }
+          (b.result(), c)
+        }
       }
     }
     out.toSeq

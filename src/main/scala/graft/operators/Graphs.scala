@@ -204,4 +204,73 @@ object Graphs {
       .unionByName(auth.select(lit("auth").as("kind"),
         col("dst").as("node"), col("score")))
   }
+
+  /** Exact triangle census + local clustering coefficient over an
+    * undirected simple edge list (one row per edge, any endpoint
+    * order), via DEGREE-ORIENTED wedge enumeration: every edge is
+    * re-oriented from its lower-(degree, id) endpoint, and wedges are
+    * enumerated only from the oriented source. A naive id-oriented
+    * self-join does Σ_u deg(u)² work keyed by id order — on a
+    * power-law graph one 1M-degree hub explodes 5·10¹¹ wedges into a
+    * single key — whereas degree orientation bounds every node's
+    * out-degree by O(√E) amortized, so total wedge work is O(E^{3/2})
+    * REGARDLESS of skew (the classic node-iterator++ / forward
+    * algorithm bound). Each triangle {a<b<c} in (degree, id) order is
+    * produced exactly once: only `a` holds both out-edges, and the
+    * closing edge {b,c} is stored oriented as b→c, so the closure is
+    * one more equi-join. Degrees, per-node triangle counts, and
+    * lcc_ppm = (2T·1e6) div (d·(d−1)) (exact integer ppm) ride the
+    * same relations. Scale shape: the oriented edge relation is the
+    * loop invariant of this operator — lineage-cut once, consumed by
+    * both sides of the wedge join and by the closure join; every join
+    * is integer-keyed; nothing corpus-sized touches the driver.
+    */
+  def triangleCensus(und: DataFrame, uCol: String = "u",
+      vCol: String = "v"): DataFrame = {
+    val e = und.select(col(uCol).cast("long").as("u"),
+      col(vCol).cast("long").as("v"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .cutLineage
+    // Re-orient each edge from the lower-(degree, id) endpoint; carry
+    // the HIGH endpoint's degree so wedge endpoints can be ordered by
+    // the same total order without another degree join.
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("degree").as("du")),
+        Seq("u"))
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")),
+        Seq("v"))
+    val uFirst = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("__lo"),
+        when(uFirst, col("v")).otherwise(col("u")).as("__hi"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("__hideg"))
+      .cutLineage
+    // Wedges from the oriented source only, endpoints ordered by
+    // (degree, id) — C(outdeg, 2) per node with outdeg ≤ O(√E).
+    val wedges = oriented
+      .join(oriented.select(col("__lo"), col("__hi").as("__hi2"),
+        col("__hideg").as("__hideg2")), Seq("__lo"))
+      .filter(col("__hideg") < col("__hideg2") ||
+        (col("__hideg") === col("__hideg2") && col("__hi") < col("__hi2")))
+    // The closing edge {hi, hi2} is oriented hi→hi2 by construction
+    // (hi precedes hi2 in the wedge order above), so closure is an
+    // equi-join back against the same oriented invariant.
+    val tri = wedges.join(
+      oriented.select(col("__lo").as("__hi"), col("__hi").as("__hi2")),
+      Seq("__hi", "__hi2"))
+    val triPerNode = tri
+      .select(explode(array(col("__lo"), col("__hi"), col("__hi2")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("lcc_ppm", when(col("degree") >= 2,
+        expr("(2000000 * triangles) div (degree * (degree - 1))"))
+        .otherwise(lit(0L)))
+      .select("node", "degree", "triangles", "lcc_ppm")
+      .orderBy("node")
+  }
 }

@@ -64,6 +64,12 @@ object Preference {
     }
     w.foreach(wi => require(wi <= Long.MaxValue / (S * S),
       "bradleyTerry: win total out of fixed-point range"))
+    // n(i)(j) sums BOTH directed counts of a pair (plus any repeated
+    // cells), so the per-cell input check above does not bound it —
+    // re-validate the accumulated matrix or n(i)(j) * S * S in the MM
+    // denominator silently overflows into garbage strengths.
+    n.foreach(_.foreach(c => require(c <= Long.MaxValue / (S * S),
+      "bradleyTerry: accumulated pair total out of fixed-point range")))
     var s = Array.fill(p)(S)
     for (_ <- 0 until iters) {
       val raw = new Array[Long](p)

@@ -683,6 +683,17 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    // signBits folds one bit per dimension into ONE 64-bit word; past
+    // 64 dims earlier bits shift off silently and the Hamming
+    // shortlist degrades with no error. Loud-fail out-of-contract
+    // input (house convention: bradleyTerry, readTokenShards) via a
+    // one-row probe — never a corpus scan.
+    corpus.select(size(col(vecCol)).as("d")).head(1).foreach { r =>
+      require(r.getInt(0) <= 64,
+        s"signBitTopK: ${r.getInt(0)}-dim vectors exceed the one-word " +
+          "64-bit signature — use the RHP-LSH path (random hyperplanes " +
+          "pick the signature width independently of dimension) instead")
+    }
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       signBits(col(vecCol)).as("qsig")))
     val c = fanout(corpus.select(col(idCol).as("neighbor_id"),

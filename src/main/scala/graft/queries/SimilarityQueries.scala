@@ -240,7 +240,12 @@ object SimilarityQueries {
     // U assembles census-side with the doubled-U integer form
     // (U2 = Σ p·(2·n_below + n) — midranks without halves), so
     // auc_ppm is one exact floor divide. No corpus-sized window, no
-    // float comparison anywhere past the quantization.
+    // float comparison anywhere past the quantization. The final
+    // ratio widens to decimal(38,0) BEFORE multiplying: u2 tops out
+    // at 2·P·N, so the Long form `1000000 * u2` wraps silently once
+    // P·N passes ~4.6e12 (≈2M pos × 2M neg — reachable at corpus
+    // scale) while the DuckDB oracle computes in HUGEINT; decimal
+    // keeps engine and oracle exact at any census mass.
     "q303_distributed_auc" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.load(s, dir, "embeddings")
@@ -258,19 +263,27 @@ object SimilarityQueries {
         .agg(sum(expr("p * (2 * n_below + n)")).as("u2"),
           sum("p").as("pp"), sum("n").as("nn"))
         .select(col("pp").as("n_pos"), col("nn").as("n_neg"),
-          expr("(1000000 * u2) div (2 * pp * nn)").as("auc_ppm"))
+          expr("""cast((cast(u2 as decimal(38,0)) * 1000000) div
+                 |  (2 * cast(pp as decimal(38,0)) * cast(nn as decimal(38,0)))
+                 |  as bigint)""".stripMargin).as("auc_ppm"))
     }),
 
     // Calibration / reliability buckets over the same quantized score:
     // per decile of the score range, observed positive rate in exact
     // ppm — the companion readout to q303 (a well-ranked score can
-    // still be miscalibrated). Same bounded census; one rollup.
+    // still be miscalibrated). Same bounded census; one rollup. The
+    // score clamps to [-1000, 1000] before the bucket divide: FP
+    // rounding can push |v₁|/‖v‖ a ulp past 1, making s = ±1001, and
+    // on a negative operand Spark's `div` truncates toward zero while
+    // DuckDB's `//` floors — the clamp (applied identically in the
+    // oracle) keeps the operand non-negative so the two semantics
+    // never diverge.
     "q304_score_calibration" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val v = transform(col("embedding"), x => x.cast("double"))
       val ss = aggregate(v, lit(0.0), (a, x) => a + x * x)
-      val score = floor(element_at(v, 1) / sqrt(ss) * lit(1000))
-        .cast("long")
+      val score = greatest(lit(-1000L), least(lit(1000L),
+        floor(element_at(v, 1) / sqrt(ss) * lit(1000)).cast("long")))
       e.select(score.as("s"), (col("label") < 5).as("pos"))
         .withColumn("bucket", expr("(s + 1000) div 200"))
         .groupBy("bucket")
@@ -920,16 +933,16 @@ object SimilarityQueries {
         |  FROM c)
         |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
         |  CAST(SUM(n) AS BIGINT) AS n_neg,
-        |  CAST(CAST(1000000 * SUM(p * (2 * n_below + n)) AS BIGINT)
+        |  CAST((1000000 * SUM(p * (2 * n_below + n)))
         |    // (2 * SUM(p) * SUM(n)) AS BIGINT) AS auc_ppm
         |FROM k""".stripMargin,
     "q304_score_calibration" ->
       """WITH v AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
         |  FROM embeddings),
-        | sc AS (SELECT CAST(FLOOR(vv[1]
+        | sc AS (SELECT GREATEST(-1000, LEAST(1000, CAST(FLOOR(vv[1]
         |      / sqrt(list_sum(list_transform(vv, x -> x * x))) * 1000)
-        |      AS BIGINT) AS s,
+        |      AS BIGINT))) AS s,
         |    label < 5 AS pos FROM v)
         |SELECT CAST((s + 1000) // 200 AS BIGINT) AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n,

@@ -325,6 +325,35 @@ object TextQueries {
         .orderBy("merge_rank", "side")
     }),
 
+    // BATCHED BPE-merge learning gate — q194's scale-path sibling: the
+    // sequential learner pays one driver round-trip (one Spark job)
+    // per merge, which caps practical vocabularies (50k merges = 50k
+    // jobs); the batched learner selects up to `batch` mutually
+    // symbol-DISJOINT merges per pair census (disjointness keeps each
+    // selected pair's count valid under the others' application — the
+    // standard batched-BPE compatibility rule) and applies them in one
+    // fold, cutting driver round-trips ~batch×. The gate empty-diffs
+    // the distributed batched learner against the driver reference
+    // extended with the SAME batching rule (identical candidate-cap
+    // truncation, greedy scan, tie-breaks); the batched(k=1) ≡
+    // sequential law pins in BpeSpec.
+    "q308_bpe_batched_gate" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val d = docs(s, dir)
+      val learned = Bpe.learnMergesBatched(d, "text", numMerges = 12,
+        batch = 4)
+      val census = Bpe.wordCensus(d, "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val sp = s
+      import sp.implicits._
+      val ref = Bpe.learnMergesBatchedReference(census, numMerges = 12,
+          batch = 4)
+        .toDF("merge_rank", "round", "left", "right", "pair_count")
+      learned.exceptAll(ref).withColumn("side", lit("learned_only"))
+        .unionAll(ref.exceptAll(learned).withColumn("side", lit("ref_only")))
+        .orderBy("merge_rank", "side")
+    }),
+
     // Deterministic balanced OVERSAMPLING — the upsampling half of
     // mixture design (q70 downsamples to the min; temperature mixing
     // caps budgets; low-resource languages instead REPLICATE toward
@@ -3017,13 +3046,15 @@ object TextQueries {
     // Triangle census + local clustering coefficient — the third leg of
     // the web-graph stack (PageRank q126 ranks, components q43 cluster,
     // triangles measure local density: link farms and mirror clusters
-    // light up as high-LCC pockets). Exact, via the standard
-    // node-iterator MR shape on the ORIENTED simple graph (u < v):
-    // wedges join on the low endpoint, close against the edge set —
-    // two equi-joins, no cartesian, every relation integer-keyed.
-    // Degrees and LCC (2T·1e6 div d(d−1), exact ppm) ride the same
-    // edge relation; the link fan-out is q252's hash rule, so the
-    // graph is deterministic and SQL-restatable.
+    // light up as high-LCC pockets). Exact, via Graphs.triangleCensus's
+    // DEGREE-ORIENTED wedge enumeration: edges re-orient from the
+    // lower-(degree, id) endpoint before the wedge self-join, so the
+    // per-key wedge volume is bounded O(E^{3/2}) under ANY skew — an
+    // id-oriented join's Σdeg² blows one partition on a power-law hub.
+    // Two equi-joins, no cartesian, every relation integer-keyed; the
+    // link fan-out is q252's hash rule, so the graph is deterministic
+    // and SQL-restatable (the oracle restates semantics, not the
+    // orientation — identical output either way).
     "q290_triangle_census" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("text").isNotNull)
       val n = broadcast(d.agg(count(lit(1)).as("__n")))
@@ -3038,24 +3069,7 @@ object TextQueries {
           greatest(col("src"), col("dst")).as("v"))
         .distinct()
         .localCheckpoint(eager = true)
-      val deg = und.select(col("u").as("node"))
-        .unionAll(und.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("degree"))
-      val tri = und
-        .join(und.select(col("u"), col("v").as("w")), Seq("u"))
-        .filter(col("v") < col("w"))
-        .join(und.select(col("u").as("v"), col("v").as("w")),
-          Seq("v", "w"))
-      val triPerNode = tri
-        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("triangles"))
-      deg.join(triPerNode, Seq("node"), "left")
-        .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
-        .withColumn("lcc_ppm", when(col("degree") >= 2,
-          expr("(2000000 * triangles) div (degree * (degree - 1))"))
-          .otherwise(lit(0L)))
-        .select("node", "degree", "triangles", "lcc_ppm")
-        .orderBy("node")
+      graft.operators.Graphs.triangleCensus(und)
     }),
 
     // Incremental BM25 model maintenance — the q107/q176 index-
@@ -4846,6 +4860,13 @@ object TextQueries {
     // Referee gate (distributed learner ≡ driver reference): empty.
     "q194_bpe_merges_gate" ->
       """SELECT CAST(NULL AS BIGINT) AS merge_rank,
+        |  CAST(NULL AS VARCHAR) AS "left", CAST(NULL AS VARCHAR) AS "right",
+        |  CAST(NULL AS BIGINT) AS pair_count, CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
+    // Referee gate (batched learner ≡ batched driver reference): empty.
+    "q308_bpe_batched_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS merge_rank,
+        |  CAST(NULL AS BIGINT) AS round,
         |  CAST(NULL AS VARCHAR) AS "left", CAST(NULL AS VARCHAR) AS "right",
         |  CAST(NULL AS BIGINT) AS pair_count, CAST(NULL AS VARCHAR) AS side
         |WHERE FALSE""".stripMargin,

@@ -49,6 +49,71 @@ class BpeSpec extends SparkSpec {
     val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
     // every pair occurs once → nothing to learn
     assert(Bpe.learnMerges(docs, "text", numMerges = 5).count() === 0L)
+    assert(Bpe.learnMergesBatched(docs, "text", numMerges = 5, batch = 3)
+      .count() === 0L)
+  }
+
+  test("batched hand-walk on the aaa corpus: round 1 takes (a,a) alone " +
+      "(every other top candidate touches 'a' or 'aa')") {
+    // census: aaa x4 → syms [a,a,a,</w>]. Pairs: (a,a)=8, (a,</w>)=4.
+    // batch=2 wants two merges but (a,</w>) collides with the claimed
+    // 'a', so round 1 selects ONLY (a,a); round 2 recounts on
+    // [aa,a,</w>]: (aa,a)=4, (a,</w>)=4 → tie broken (a,</w>) first
+    // ("a" < "aa"), then (aa,a) collides on... nothing? it shares 'a'
+    // with (a,</w>) → rejected; so round 2 = [(a,</w>)] alone too.
+    val docs = Seq((1L, Seq.fill(4)("aaa").mkString(" "))).toDF("doc_id", "text")
+    val got = Bpe.learnMergesBatched(docs, "text", numMerges = 3, batch = 2)
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    assert(got(0) === ((1L, 1L, "a", "a", 8L)))
+    assert(got(1) === ((2L, 2L, "a", Bpe.Eow, 4L)))
+  }
+
+  test("batched(batch=1) ≡ sequential learnMerges — on the hand fixture " +
+      "and on real data") {
+    val docs = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val seq1 = Bpe.learnMerges(docs, "text", numMerges = 5)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val bat1 = Bpe.learnMergesBatched(docs, "text", numMerges = 5, batch = 1)
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    // with batch = 1 every round holds exactly one merge: round == rank
+    assert(bat1.forall(m => m._1 === m._2))
+    assert(bat1.map(m => (m._1, m._3, m._4, m._5)) === seq1)
+    val d = Tables.load(spark, sfDir, "documents")
+    val seqR = Bpe.learnMerges(d, "text", numMerges = 8)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val batR = Bpe.learnMergesBatched(d, "text", numMerges = 8, batch = 1)
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    assert(batR.map(m => (m._1, m._3, m._4, m._5)) === seqR)
+  }
+
+  test("batched selection is symbol-disjoint within each round and " +
+      "matches the batched driver reference") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val got = Bpe.learnMergesBatched(d, "text", numMerges = 12, batch = 4)
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    assert(got.size === 12)
+    assert(got.exists(_._2 > 1), "fixture never batched past round 1 — " +
+      "the disjointness law below would be vacuous")
+    // disjointness within each ACTUAL round (a round may select fewer
+    // than `batch` when the candidate prefix runs incompatible)
+    got.groupBy(_._2).foreach { case (rd, round) =>
+      val syms = round.flatMap(m => Seq(m._3, m._4, m._3 + m._4))
+      assert(syms.distinct.size === syms.size,
+        s"round $rd shares a symbol: $round")
+    }
+    val census = Bpe.wordCensus(d, "text")
+      .as[(String, Long)].collect().toSeq
+    val ref = Bpe.learnMergesBatchedReference(census, numMerges = 12,
+      batch = 4)
+    assert(got === ref)
+    // batching must still compress the corpus like the sequential table
+    def total(ms: Seq[(String, String)]): Long =
+      Bpe.subwordStats(d, "doc_id", "text", ms)
+        .agg(sum("n_subwords")).as[Long].head()
+    assert(total(got.map(m => (m._3, m._4))) < total(Seq.empty))
   }
 
   test("subwordStats: hand-checked counts, merges genuinely compress, " +

@@ -176,4 +176,42 @@ class GraphsSpec extends SparkSpec {
     assert(got.map(_._3).sum % 3 === 0) // each triangle counted thrice
     assert(got.exists(_._3 > 0), "fixture has no triangles — vacuous")
   }
+
+  test("triangleCensus survives a skewed hub (one node on 1/2 of all " +
+      "edges) and matches brute force — degree orientation keeps the " +
+      "hub out of the wedge-source role") {
+    // Hub 0 touches every spoke (degree n); spokes form a ring (degree
+    // 3 each). Under id orientation the hub would source C(n,2) wedges
+    // in ONE key; degree-oriented, the hub is the HIGH endpoint of
+    // every edge and sources zero. Every (hub, i, i+1) closes → n
+    // triangles, so the fixture is non-vacuous.
+    val n = 300
+    val edges = ((1 to n).map(i => (0L, i.toLong)) ++
+      (1 to n).map(i => (i.toLong, (i % n + 1).toLong)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = Graphs.triangleCensus(edges.toDF("u", "v"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val edgeSet = edges.toSet
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = adj.keys.toSeq.sorted.map { node =>
+      val nb = adj(node); val d = nb.size.toLong
+      val t = nb.toSeq.combinations(2).count(p => edgeSet.contains(
+        (math.min(p(0), p(1)), math.max(p(0), p(1))))).toLong
+      val lcc = if (d >= 2) 2000000L * t / (d * (d - 1)) else 0L
+      (node, d, t, lcc)
+    }
+    assert(got === expected)
+    assert(got.find(_._1 === 0L).get._3 === n.toLong,
+      "hub must close one triangle per ring edge")
+  }
+
+  test("triangleCensus accepts endpoint order both ways and is exact " +
+      "on K4 (every node: degree 3, 3 triangles, LCC 1e6)") {
+    val k4 = Seq((0L, 1L), (2L, 0L), (0L, 3L), (1L, 2L), (3L, 1L),
+      (2L, 3L)).toDF("u", "v")
+    val got = Graphs.triangleCensus(k4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === (0L to 3L).map(i => (i, 3L, 3L, 1000000L)))
+  }
 }

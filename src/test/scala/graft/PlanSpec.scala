@@ -815,6 +815,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Scan parquet"),
       "und must come from the checkpoint, not re-derived scans:\n" +
         p.take(2000))
+    // Degree-orientation pin: the wedge self-join must key on the
+    // oriented low-(degree, id) endpoint (__lo) — keying on a raw
+    // id-ordered endpoint reintroduces the Σdeg² hub explosion.
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(l => l.contains("__lo#")),
+      "wedge join lost its degree-oriented key:\n" +
+        joinLines.mkString("\n"))
+    // and the closure join keys on BOTH high endpoints at once.
+    assert(joinLines.exists(l =>
+        l.contains("__hi#") && l.contains("__hi2#")),
+      "closure join must be the (hi, hi2) equi-join:\n" +
+        joinLines.mkString("\n"))
   }
 
   test("q296 late-data: the corpus-sized window is BIN-partitioned — " +
