@@ -82,4 +82,103 @@ object QualityModel {
     }
     Model(w, b)
   }
+
+  /** Distributed full-corpus logistic training — the scale path that
+    * removes `sampleFeatures`' driver bound: each GD step is ONE
+    * map-side-combinable aggregate over the (lineage-cut) feature
+    * relation, so the training set is the whole corpus and the only
+    * driver state is the (dim+1)-double model between steps. Per-row
+    * gradient contributions quantize to the 1e-6 integer grid BEFORE
+    * the aggregate (`floor(err·x·1e6)` as BIGINT — the Unigram E-step
+    * discipline), so the sums are exact integers, order-independent
+    * across partitions, and bit-reproducible against the driver
+    * reference regardless of partitioning. Weight updates mirror
+    * `trainLogisticFullReference` operation-for-operation (same
+    * left-to-right dot order, same grid divide), so engine and referee
+    * weights are IDENTICAL doubles, not approximately equal. Cost
+    * shape at 100 TB: `iters` passes over a narrow cached projection —
+    * the price of unbounded training data; keep iters modest and
+    * features few (this is a filter, not the product).
+    */
+  def trainLogisticFull(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, iters: Int = 60, lr: Double = 100.0): Model = {
+    require(featureCols.nonEmpty, "trainLogisticFull: no features")
+    require(iters >= 1, s"trainLogisticFull: iters must be >= 1, got $iters")
+    val dim = featureCols.length
+    val named = Checkpoints.cut(df.select(
+      featureCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"f$i") } :+
+        col(labelCol).cast("double").as("y"): _*)
+      .na.drop())
+    val n = named.count()
+    require(n > 0, "trainLogisticFull: empty feature relation")
+    val w = new Array[Double](dim)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val z = (0 until dim).map(d => col(s"f$d") * lit(w(d)))
+        .reduceLeft(_ + _) + lit(b)
+      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
+      val aggs = (0 until dim).map(d =>
+        sum(floor(err * col(s"f$d") * lit(1e6))).as(s"g$d")) :+
+        sum(floor(err * lit(1e6))).as("gb")
+      val row = named.agg(aggs.head, aggs.tail: _*).head()
+      var d = 0
+      while (d < dim) {
+        w(d) -= lr * (row.getLong(d).toDouble / 1e6) / n
+        d += 1
+      }
+      b -= lr * (row.getLong(dim).toDouble / 1e6) / n
+      it += 1
+    }
+    Model(w, b)
+  }
+
+  /** Driver-side restatement of `trainLogisticFull` — the q309 referee.
+    * Every floating-point operation mirrors the engine exactly: the dot
+    * product accumulates left-to-right starting from the first product,
+    * the bias adds LAST, gradient cells quantize with
+    * `math.floor(err·x·1e6)` (Spark's `floor` on DOUBLE is the same
+    * `Math.floor` + long cast), and updates divide on the same grid —
+    * so reference weights bit-equal the distributed trainer's. Loud
+    * bound: a gate tool, not the scale path.
+    */
+  def trainLogisticFullReference(rows: Array[(Array[Double], Double)],
+      iters: Int = 60, lr: Double = 100.0): Model = {
+    require(rows.length <= 1000000,
+      "trainLogisticFullReference is the bounded referee - use " +
+        "trainLogisticFull at scale")
+    require(rows.nonEmpty, "trainLogisticFullReference: empty input")
+    val dim = rows.head._1.length
+    require(dim >= 1, "trainLogisticFullReference: no features")
+    val n = rows.length
+    val w = new Array[Double](dim)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val gw = new Array[Long](dim)
+      var gb = 0L
+      var i = 0
+      while (i < n) {
+        val (x, y) = rows(i)
+        var z = w(0) * x(0)
+        var d = 1
+        while (d < dim) { z += w(d) * x(d); d += 1 }
+        z += b
+        val err = 1.0 / (1.0 + math.exp(-z)) - y
+        d = 0
+        while (d < dim) {
+          gw(d) += math.floor(err * x(d) * 1e6).toLong
+          d += 1
+        }
+        gb += math.floor(err * 1e6).toLong
+        i += 1
+      }
+      var d = 0
+      while (d < dim) { w(d) -= lr * (gw(d).toDouble / 1e6) / n; d += 1 }
+      b -= lr * (gb.toDouble / 1e6) / n
+      it += 1
+    }
+    Model(w, b)
+  }
 }

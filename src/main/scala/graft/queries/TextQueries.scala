@@ -1047,6 +1047,59 @@ object TextQueries {
           lit(0.95).as("floor"))
     }),
 
+    // Distributed FULL-CORPUS quality-model training gate — q110's
+    // scale fix: `trainLogistic` fits on a driver-bounded sample (512
+    // rows, a real cap on what the filter can learn); `trainLogisticFull`
+    // runs each GD step as ONE map-side-combinable aggregate over the
+    // whole feature relation with per-row gradients quantized to the
+    // 1e-6 integer grid (exact, order-independent sums — the Unigram
+    // E-step discipline), so the trained weights are bit-reproducible.
+    // The gate fits the same planted fixture as q110 and emits a row
+    // for (a) any weight/bias that is not the IDENTICAL double the
+    // bounded driver reference produces (the collect here is the
+    // referee inside a gate, loudly bounded in the reference), or
+    // (b) full-corpus accuracy below the same 0.95 floor. Oracle: the
+    // empty relation.
+    "q309_quality_model_full" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      val boiler = Seq("lorem", "ipsum", "dolor", "sit", "amet")
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" lorem ipsum dolor sit amet lorem ipsum")))
+          .otherwise(col("text")))
+      val nTok = greatest(size(words(col("text"))), lit(1)).cast("double")
+      val feats = planted
+        .withColumn("mh", markerHitsAll(col("text"), Seq(boiler, markers.head._2)))
+        .select(col("doc_id"),
+          (element_at(col("mh"), 1) / nTok).as("f_boiler"),
+          (element_at(col("mh"), 2) / nTok).as("f_stop"),
+          (col("doc_id") % 3 === 0).cast("double").as("label"))
+      val fcols = Seq("f_boiler", "f_stop")
+      val model = QualityModel.trainLogisticFull(feats, fcols, "label",
+        iters = 60, lr = 100.0)
+      val rows = feats.select(col("f_boiler"), col("f_stop"), col("label"))
+        .na.drop().collect()
+        .map(r => (Array(r.getDouble(0), r.getDouble(1)), r.getDouble(2)))
+      val ref = QualityModel.trainLogisticFullReference(rows,
+        iters = 60, lr = 100.0)
+      val wDiff = ((model.weights :+ model.bias) zip (ref.weights :+ ref.bias))
+        .zipWithIndex.collect { case ((e, r), i) if e != r =>
+          (s"weight_$i", e, r) }.toSeq
+      val acc = feats
+        .withColumn("pred",
+          (model.score(fcols.map(col)) >= 0.5).cast("double"))
+        .agg(avg((col("pred") === col("label")).cast("double")))
+        .head().getDouble(0)
+      val accRows = if (acc >= 0.95) Seq.empty[(String, Double, Double)]
+        else Seq(("accuracy", acc, 0.95))
+      val sp = s
+      import sp.implicits._
+      (wDiff ++ accRows).toDF("kind", "engine_val", "ref_val")
+        .select(col("kind"), round(col("engine_val"), 6).as("engine_val"),
+          round(col("ref_val"), 6).as("ref_val"))
+        .orderBy("kind")
+    }),
+
     // Vocabulary OOV-rate profile (tokenizer-coverage diagnostic): the
     // top-100 corpus vocabulary stands in for a fixed tokenizer vocab;
     // per doc, the fraction of token OCCURRENCES falling outside it —
@@ -4166,6 +4219,12 @@ object TextQueries {
     "q191_stream_token_downsample" -> tokenDownsampleOracle,
     "q110_quality_classifier_gate" ->
       """SELECT CAST(NULL AS DOUBLE) AS accuracy, CAST(NULL AS DOUBLE) AS floor
+        |WHERE FALSE""".stripMargin,
+    // Referee gate (distributed full-corpus trainer ≡ driver reference,
+    // bit-identical weights; + the q110 accuracy floor): empty.
+    "q309_quality_model_full" ->
+      """SELECT CAST(NULL AS VARCHAR) AS kind,
+        |  CAST(NULL AS DOUBLE) AS engine_val, CAST(NULL AS DOUBLE) AS ref_val
         |WHERE FALSE""".stripMargin,
     "q117_percentile_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS v,

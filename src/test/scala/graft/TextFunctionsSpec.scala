@@ -30,6 +30,46 @@ class TextFunctionsSpec extends SparkSpec {
     assert(m.weights.toSeq === m2.weights.toSeq && m.bias === m2.bias)
   }
 
+  test("QualityModel.trainLogisticFull: bit-identical to the driver " +
+      "reference regardless of partitioning; separates the separable set") {
+    import graft.operators.QualityModel
+    val rows: Array[(Array[Double], Double)] = Array(
+      (Array(0.0, 0.1), 0.0), (Array(0.05, 0.2), 0.0), (Array(0.0, 0.3), 0.0),
+      (Array(0.5, 0.1), 1.0), (Array(0.6, 0.2), 1.0), (Array(0.45, 0.3), 1.0),
+      (Array(0.02, 0.15), 0.0), (Array(0.55, 0.25), 1.0))
+    val ref = QualityModel.trainLogisticFullReference(rows,
+      iters = 80, lr = 50.0)
+    // two different partitionings must both bit-equal the reference —
+    // the 1e-6 integer-grid gradients make the sums order-independent
+    for (parts <- Seq(1, 7)) {
+      val df = spark.createDataFrame(
+        rows.toSeq.map(r => (r._1(0), r._1(1), r._2)))
+        .toDF("f1", "f2", "y").repartition(parts)
+      val m = QualityModel.trainLogisticFull(df, Seq("f1", "f2"), "y",
+        iters = 80, lr = 50.0)
+      assert(m.weights.toSeq === ref.weights.toSeq && m.bias === ref.bias,
+        s"parts=$parts: ${m.weights.toSeq}/${m.bias} vs " +
+          s"${ref.weights.toSeq}/${ref.bias}")
+    }
+    // and the fit actually separates
+    def p(x: Array[Double]): Double = {
+      val z = x.zip(ref.weights).map { case (a, b) => a * b }.sum + ref.bias
+      1.0 / (1.0 + math.exp(-z))
+    }
+    rows.foreach { case (x, y) =>
+      assert((p(x) >= 0.5) === (y == 1.0), s"x=${x.toSeq} p=${p(x)}")
+    }
+    // null features drop on both sides (na.drop mirrors the referee's
+    // pre-filtered input)
+    val withNull = spark.createDataFrame(
+      rows.toSeq.map(r => (Option(r._1(0)), r._1(1), r._2)) :+
+        ((Option.empty[Double], 0.9, 1.0)))
+      .toDF("f1", "f2", "y")
+    val m3 = QualityModel.trainLogisticFull(withNull, Seq("f1", "f2"), "y",
+      iters = 80, lr = 50.0)
+    assert(m3.weights.toSeq === ref.weights.toSeq && m3.bias === ref.bias)
+  }
+
   test("q243 FIM: char conservation, marker overhead, brute-force render md5") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
