@@ -569,6 +569,49 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Hashed byte-n-gram histogram — the fastText-style feature map for
+  * the hashed-linear language classifier (q310): every length-n byte
+  * window of the UTF-8 text hashes with xxHash64(seed 42) into one of
+  * `buckets` slots; the output is the `buckets`-long count array. ONE
+  * tight pass per row (O(len + buckets)), no per-ngram allocation —
+  * the HOF restatement (transform over sequence + 32 filter scans)
+  * would re-walk the text once per bucket. Byte windows (not code
+  * points) are the standard langid trick: multi-byte UTF-8 scripts
+  * contribute their distinctive lead bytes as features for free.
+  * `LangId.hashedNgramHistReference` mirrors this byte-for-byte for
+  * the referee.
+  */
+case class HashedNgramHist(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+
+  require(n >= 1, s"hashed_ngram_hist: n must be >= 1, got $n")
+  require(buckets >= 1 && buckets <= 65536,
+    s"hashed_ngram_hist: buckets must be in [1, 65536], got $buckets")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_ngram_hist"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    val hist = new Array[Long](buckets)
+    var i = 0
+    while (i + n <= len) {
+      val h = XXH64.hashUnsafeBytes(base, off + i, n, 42L)
+      hist(java.lang.Math.floorMod(h, buckets.toLong).toInt) += 1L
+      i += 1
+    }
+    new GenericArrayData(hist)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextOps {
   private def wrap(e: Expression): Column = ColumnBridge.column(e)
 
@@ -601,4 +644,7 @@ object TextOps {
 
   def nfcNormalize(text: Column): Column =
     wrap(NfcNormalize(ColumnBridge.expression(text)))
+
+  def hashedNgramHist(text: Column, n: Int, buckets: Int): Column =
+    wrap(HashedNgramHist(ColumnBridge.expression(text), n, buckets))
 }

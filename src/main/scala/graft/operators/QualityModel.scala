@@ -85,52 +85,84 @@ object QualityModel {
 
   /** Distributed full-corpus logistic training — the scale path that
     * removes `sampleFeatures`' driver bound: each GD step is ONE
-    * map-side-combinable aggregate over the (lineage-cut) feature
-    * relation, so the training set is the whole corpus and the only
-    * driver state is the (dim+1)-double model between steps. Per-row
-    * gradient contributions quantize to the 1e-6 integer grid BEFORE
-    * the aggregate (`floor(err·x·1e6)` as BIGINT — the Unigram E-step
-    * discipline), so the sums are exact integers, order-independent
-    * across partitions, and bit-reproducible against the driver
-    * reference regardless of partitioning. Weight updates mirror
-    * `trainLogisticFullReference` operation-for-operation (same
-    * left-to-right dot order, same grid divide), so engine and referee
-    * weights are IDENTICAL doubles, not approximately equal. Cost
-    * shape at 100 TB: `iters` passes over a narrow cached projection —
-    * the price of unbounded training data; keep iters modest and
-    * features few (this is a filter, not the product).
+    * `treeAggregate` over the persisted feature RDD, so the training
+    * set is the whole corpus and the only driver state is the
+    * (dim+1)-double model between steps. Per-row gradient
+    * contributions quantize to the 1e-6 integer grid
+    * (`math.floor(err·x·1e6)` as Long — the Unigram E-step
+    * discipline), so the partials are exact integers,
+    * order-independent across partitions, and bit-reproducible
+    * against the driver reference regardless of partitioning. The
+    * per-row kernel mirrors `trainLogisticFullReference`
+    * operation-for-operation (left-to-right dot starting from the
+    * first product, bias added LAST, same grid divide), so engine and
+    * referee weights are IDENTICAL doubles, not approximately equal.
+    *
+    * Why an RDD loop and not a per-step DataFrame aggregate: the
+    * weights change every step, so a DataFrame formulation re-plans
+    * and re-codegens each step (~0.1-0.6 s of driver overhead per
+    * step measured) — iterative numeric optimization over a
+    * materialized narrow relation is the textbook
+    * per-partition-imperative case (spark.ml's GD runs this same
+    * treeAggregate shape). Cost at 100 TB: `iters` passes over a
+    * narrow persisted projection — the price of unbounded training
+    * data; keep iters modest and features few (a filter, not the
+    * product).
     */
   def trainLogisticFull(df: DataFrame, featureCols: Seq[String],
       labelCol: String, iters: Int = 60, lr: Double = 100.0): Model = {
     require(featureCols.nonEmpty, "trainLogisticFull: no features")
     require(iters >= 1, s"trainLogisticFull: iters must be >= 1, got $iters")
     val dim = featureCols.length
-    val named = Checkpoints.cut(df.select(
-      featureCols.zipWithIndex.map { case (c, i) =>
-        col(c).cast("double").as(s"f$i") } :+
-        col(labelCol).cast("double").as("y"): _*)
-      .na.drop())
-    val n = named.count()
+    val data = df.select(
+        featureCols.map(c => col(c).cast("double")) :+
+          col(labelCol).cast("double"): _*)
+      .na.drop()
+      .rdd.map { r =>
+        val x = new Array[Double](dim)
+        var d = 0
+        while (d < dim) { x(d) = r.getDouble(d); d += 1 }
+        (x, r.getDouble(dim))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = data.count()
     require(n > 0, "trainLogisticFull: empty feature relation")
     val w = new Array[Double](dim)
     var b = 0.0
     var it = 0
     while (it < iters) {
-      val z = (0 until dim).map(d => col(s"f$d") * lit(w(d)))
-        .reduceLeft(_ + _) + lit(b)
-      val err = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
-      val aggs = (0 until dim).map(d =>
-        sum(floor(err * col(s"f$d") * lit(1e6))).as(s"g$d")) :+
-        sum(floor(err * lit(1e6))).as("gb")
-      val row = named.agg(aggs.head, aggs.tail: _*).head()
+      val wNow = w.clone()
+      val bNow = b
+      val g = data.treeAggregate(new Array[Long](dim + 1))(
+        seqOp = (acc, row) => {
+          val (x, y) = row
+          var z = wNow(0) * x(0)
+          var d = 1
+          while (d < dim) { z += wNow(d) * x(d); d += 1 }
+          z += bNow
+          val err = 1.0 / (1.0 + math.exp(-z)) - y
+          d = 0
+          while (d < dim) {
+            acc(d) += math.floor(err * x(d) * 1e6).toLong
+            d += 1
+          }
+          acc(dim) += math.floor(err * 1e6).toLong
+          acc
+        },
+        combOp = (a1, a2) => {
+          var i = 0
+          while (i <= dim) { a1(i) += a2(i); i += 1 }
+          a1
+        })
       var d = 0
       while (d < dim) {
-        w(d) -= lr * (row.getLong(d).toDouble / 1e6) / n
+        w(d) -= lr * (g(d).toDouble / 1e6) / n
         d += 1
       }
-      b -= lr * (row.getLong(dim).toDouble / 1e6) / n
+      b -= lr * (g(dim).toDouble / 1e6) / n
       it += 1
     }
+    data.unpersist(blocking = false)
     Model(w, b)
   }
 

@@ -1100,6 +1100,56 @@ object TextQueries {
         .orderBy("kind")
     }),
 
+    // Hashed-linear language ID — the REAL langid operator behind
+    // q27's marker-count stand-in (fastText's shape: hashed byte
+    // 3-gram histogram → multinomial softmax → literal-weight argmax,
+    // prediction entirely map-side). Trained with the distributed
+    // full-corpus machinery (one exact-integer gradient aggregate per
+    // step — q309's discipline generalized to L classes). The corpus
+    // has no ground-truth languages beyond its single-source `lang`
+    // column, so the signal is PLANTED (the q104/q110 method): label
+    // = doc_id % 4, and each doc's text becomes that language's
+    // marker+function-word soup plus an 8-word tail of the original
+    // text (per-doc variation the classifier must see through). Gate:
+    // FULL hash of (doc_id, pred_lang) against the plant rule — the
+    // classifier must recover every planted label exactly. The
+    // beats-the-marker-heuristic law (pool words carry NO markers, so
+    // q27's vote defaults to "en" while the trigram model still
+    // separates) pins in LangIdSpec.
+    "q310_langid_hashed" -> ((s, dir) => {
+      import graft.operators.LangId
+      val pools = Seq(
+        "through should because people world never might while",
+        "también están mucho años señor ciudad cuando entonces",
+        "zwischen während müssen schön öffnen vielleicht immer heute",
+        "être déjà toujours français beaucoup même aussi jamais")
+      val soups = markers.map(_._1).zip(pools).map { case (lg, pool) =>
+        val mk = markers.find(_._1 == lg).get._2.mkString(" ")
+        ((mk + " " + pool + " ") * 3).trim
+      }
+      val soupExpr = when(col("label") === 0, soups(0))
+        .when(col("label") === 1, soups(1))
+        .when(col("label") === 2, soups(2))
+        .otherwise(soups(3))
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("label", col("doc_id") % 4)
+        .withColumn("text", concat(soupExpr, lit(" "),
+          array_join(slice(words(col("text")), 1, 8), " ")))
+        .select(col("doc_id"), col("label"), col("text"))
+      val (feat, fcols) = LangId.withNgramFeatures(planted, "text",
+        n = 3, buckets = 32)
+      val model = LangId.trainSoftmaxFull(feat, fcols, "label",
+        numClasses = 4, iters = 25, lr = 3.0)
+      val names = markers.map(_._1)
+      feat.select(col("doc_id"),
+          model.predict(fcols.map(col)).as("pred"))
+        .withColumn("pred_lang",
+          when(col("pred") === 0, names(0)).when(col("pred") === 1, names(1))
+            .when(col("pred") === 2, names(2)).otherwise(names(3)))
+        .select("doc_id", "pred_lang")
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary OOV-rate profile (tokenizer-coverage diagnostic): the
     // top-100 corpus vocabulary stands in for a fixed tokenizer vocab;
     // per doc, the fraction of token OCCURRENCES falling outside it —
@@ -4226,6 +4276,13 @@ object TextQueries {
       """SELECT CAST(NULL AS VARCHAR) AS kind,
         |  CAST(NULL AS DOUBLE) AS engine_val, CAST(NULL AS DOUBLE) AS ref_val
         |WHERE FALSE""".stripMargin,
+    // FULL hash: the trained classifier must recover every planted
+    // label; the oracle restates the plant rule, not the model.
+    "q310_langid_hashed" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'en'
+        |    WHEN 1 THEN 'es' WHEN 2 THEN 'de' ELSE 'fr' END AS pred_lang
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     "q117_percentile_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS v,
         |  CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS rank_lt,
