@@ -15,6 +15,33 @@ import org.apache.spark.sql.functions._
 object EventQueries {
   import RelationalQueries.Q
 
+  /** The q158 ingest-volume anomaly monitor, shared with its q311
+    * sensitivity gate: per-type daily counts (the only corpus-scale
+    * work, one map-side-combinable aggregate), then a trailing-7-day
+    * moving z-score over the calendar-bounded day grain. ROWS frame
+    * excluding the current day (an anomalous today must not inflate
+    * its own baseline); warm-up rows (< 7 trailing days) drop;
+    * zero-variance weeks yield z NULL / is_anomaly false.
+    */
+  private[graft] def volumeAnomaly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("dt")
+      .rowsBetween(-7, -1)
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .withColumn("n_hist", count(col("n")).over(w))
+      .filter(col("n_hist") >= 7)
+      .withColumn("z",
+        when(col("sd") > 0, round((col("n") - col("mu")) / col("sd"), 6)))
+      .select(col("event_type"), col("dt"), col("n"),
+        round(col("mu"), 6).as("mu"), round(col("sd"), 6).as("sd"),
+        col("z"), coalesce(abs(col("z")) > 3, lit(false)).as("is_anomaly"))
+      .orderBy("event_type", "dt")
+  }
+
   val queries: Map[String, Q] = Map(
     // Poisson-bootstrap confidence intervals in ONE pass (Chamandy et
     // al., "Estimating Uncertainty for Massive Data Streams" — the
@@ -239,23 +266,56 @@ object EventQueries {
     // their z would be noise — and a zero-variance week yields z NULL
     // with is_anomaly=false (a constant baseline cannot certify a
     // spike size; the threshold is |z| > 3).
-    "q158_volume_anomaly" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type").orderBy("dt")
-        .rowsBetween(-7, -1)
-      Tables.load(s, dir, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("mu", avg(col("n")).over(w))
-        .withColumn("sd", stddev_samp(col("n")).over(w))
-        .withColumn("n_hist", count(col("n")).over(w))
-        .filter(col("n_hist") >= 7)
-        .withColumn("z",
-          when(col("sd") > 0, round((col("n") - col("mu")) / col("sd"), 6)))
-        .select(col("event_type"), col("dt"), col("n"),
-          round(col("mu"), 6).as("mu"), round(col("sd"), 6).as("sd"),
-          col("z"), coalesce(abs(col("z")) > 3, lit(false)).as("is_anomaly"))
-        .orderBy("event_type", "dt")
+    "q158_volume_anomaly" -> ((s, dir) =>
+      volumeAnomaly(Tables.load(s, dir, "events"))),
+
+    // Sensitivity gate for the q158 monitor (the q305
+    // monitor-of-monitors discipline: a detector that never fires is
+    // indistinguishable from a working one on clean data, so PLANT the
+    // pathology and require exactly the planted alarm): the latest
+    // calendar day's events replicate ×10 — a double-delivered feed —
+    // and the monitor re-runs on base and planted. Violations emitted:
+    // `spike_missed` for any victim (type, day) the baseline could
+    // score (sd > 0 over a full 7-day trailing window) that the
+    // planted run does NOT flag, and `bystander_changed` for any
+    // non-victim row whose (z, is_anomaly) moved at all — the victim
+    // day is the LAST day precisely so the plant cannot leak into any
+    // later baseline window. Oracle: the empty relation.
+    "q311_volume_sensitivity" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val maxDt = broadcast(ev.agg(max(to_date(col("ts"))).as("victim_dt")))
+      val planted = ev.crossJoin(maxDt)
+        .withColumn("copies",
+          when(to_date(col("ts")) === col("victim_dt"), 10L).otherwise(1L))
+        .select(ev.columns.map(col) :+
+          explode(sequence(lit(1L), col("copies"))).as("__c"): _*)
+        .drop("__c")
+      val before = volumeAnomaly(ev)
+      val after = volumeAnomaly(planted)
+      val j = before.select(col("event_type"), col("dt"),
+          col("sd").as("sd_b"), col("z").as("z_b"),
+          col("is_anomaly").as("an_b"))
+        .join(after.select(col("event_type"), col("dt"),
+          col("z").as("z_a"), col("is_anomaly").as("an_a")),
+          Seq("event_type", "dt"))
+        .crossJoin(maxDt)
+      j.filter(col("dt") === col("victim_dt") && col("sd_b") > 0
+          && !col("an_a"))
+        .select(lit("spike_missed").as("violation"), col("event_type"),
+          col("dt"))
+        .unionByName(j.filter(col("dt") =!= col("victim_dt") &&
+            (!(col("z_a") <=> col("z_b")) || col("an_a") =!= col("an_b")))
+          .select(lit("bystander_changed").as("violation"),
+            col("event_type"), col("dt")))
+        // non-vacuity: if NO victim row was scoreable the gate proved
+        // nothing — fail loudly instead of passing silently
+        .unionByName(j
+          .filter(col("dt") === col("victim_dt") && col("sd_b") > 0)
+          .agg(count(lit(1)).as("nv")).filter(col("nv") === 0)
+          .select(lit("vacuous").as("violation"),
+            lit(null).cast("string").as("event_type"),
+            lit(null).cast("date").as("dt")))
+        .orderBy("violation", "event_type", "dt")
     }),
 
     // Gaps-and-islands sessionization (lag + running sum + two aggs).
@@ -857,6 +917,12 @@ object EventQueries {
         |ORDER BY user_id, ts, event_id""".stripMargin,
     "q158_volume_anomaly" -> volumeAnomalyOracle,
     "q167_stream_volume_anomaly" -> volumeAnomalyOracle,
+    // Sensitivity gate: a planted ×10 last-day spike must be flagged
+    // and nothing else may move — empty.
+    "q311_volume_sensitivity" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |  CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DATE) AS dt
+        |WHERE FALSE""".stripMargin,
     "q171_key_skew_profile" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events
         |  GROUP BY 1),

@@ -15,6 +15,24 @@ object SimilarityQueries {
 
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** The q168 embedding-drift monitor over (label, v) rows, shared with
+    * its q313 sensitivity gate: 1 − cos(centroid_slice, centroid_global)
+    * per label. Two map-side VecMeanAggregator passes; rows never
+    * shuffle; cosine arithmetic is label-count-sized against the
+    * broadcast global centroid.
+    */
+  private[graft] def driftProfile(e: DataFrame): DataFrame = {
+    val vmean = udaf(new graft.functions.VecMeanAggregator)
+    val cents = e.groupBy("label").agg(vmean(col("v")).as("cv"),
+      count(lit(1)).as("n_vecs"))
+    val global = broadcast(e.agg(vmean(col("v")).as("gv")))
+    cents.crossJoin(global)
+      .select(col("label"), col("n_vecs"),
+        round(lit(1.0) - Similarity.cosine(col("cv"), col("gv")), 6)
+          .as("drift"))
+      .orderBy("label")
+  }
+
   /** Near-dup fixture for the LSH queries: the corpus plus an exact copy
     * of every 20th vector under a shifted id — the regime LSH banding is
     * built for (targets at cos 1.0 over a ~0.3/max-0.51 background).
@@ -465,18 +483,44 @@ object SimilarityQueries {
     // never shuffle, the oracle's explode-to-(label, dim) formulation
     // is what the aggregator avoids) and label-count-sized cosine
     // arithmetic against the broadcast global centroid.
-    "q168_embedding_drift" -> ((s, dir) => {
+    "q168_embedding_drift" -> ((s, dir) =>
+      driftProfile(emb(s, dir).filter(col("embedding").isNotNull)
+        .select(col("label"), Similarity.asDouble(col("embedding")).as("v")))),
+
+    // Sensitivity gate for the q168 drift monitor (the q305
+    // discipline): plant a genuinely SHIFTED slice — every label-3
+    // vector NEGATES, the poisoned-source/encoder-swap pathology whose
+    // centroid points away from where it used to — and re-run the
+    // profile on base and planted. Violations: `shift_missed` if the
+    // planted label's drift stays under the 0.25 action line (a
+    // negated centroid should read near 2.0 against a global mean it
+    // no longer agrees with), and `bystander_flagged` if an unplanted
+    // label CROSSES the line it was under before (the global centroid
+    // legitimately moves a little when a slice flips — exact equality
+    // is the wrong bystander contract here, threshold admission is
+    // what downstream consumes; q313's threshold mirror of q305's
+    // admitted-flip semantics). Plus the loud `vacuous` row if label 3
+    // vanishes. Oracle: the empty relation.
+    "q313_drift_sensitivity" -> ((s, dir) => {
       val e = emb(s, dir).filter(col("embedding").isNotNull)
         .select(col("label"), Similarity.asDouble(col("embedding")).as("v"))
-      val vmean = udaf(new graft.functions.VecMeanAggregator)
-      val cents = e.groupBy("label").agg(vmean(col("v")).as("cv"),
-        count(lit(1)).as("n_vecs"))
-      val global = broadcast(e.agg(vmean(col("v")).as("gv")))
-      cents.crossJoin(global)
-        .select(col("label"), col("n_vecs"),
-          round(lit(1.0) - Similarity.cosine(col("cv"), col("gv")), 6)
-            .as("drift"))
-        .orderBy("label")
+      val planted = e.select(col("label"),
+        when(col("label") === 3,
+          transform(col("v"), x => -x)).otherwise(col("v")).as("v"))
+      val j = driftProfile(e)
+        .select(col("label"), col("drift").as("drift_b"))
+        .join(driftProfile(planted)
+          .select(col("label"), col("drift").as("drift_a")), Seq("label"))
+      j.filter(col("label") === 3 && col("drift_a") <= 0.25)
+        .select(lit("shift_missed").as("violation"), col("label"))
+        .unionByName(j.filter(col("label") =!= 3 &&
+            col("drift_b") <= 0.25 && col("drift_a") > 0.25)
+          .select(lit("bystander_flagged").as("violation"), col("label")))
+        .unionByName(j.filter(col("label") === 3)
+          .agg(count(lit(1)).as("nv")).filter(col("nv") === 0)
+          .select(lit("vacuous").as("violation"),
+            lit(null).cast("bigint").as("label")))
+        .orderBy("violation", "label")
     }),
 
     // Nearest-centroid classification: label centroids from the train
@@ -1175,6 +1219,12 @@ object SimilarityQueries {
         |  ROUND(1.0 - list_cosine_similarity(cent.cv, gc.gv), 6) AS drift
         |FROM cent CROSS JOIN gc JOIN n ON cent.label = n.label
         |ORDER BY cent.label""".stripMargin,
+    // Sensitivity gate: a negated label-3 slice must cross the 0.25
+    // action line and no bystander may flip across it — empty.
+    "q313_drift_sensitivity" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |  CAST(NULL AS BIGINT) AS label
+        |WHERE FALSE""".stripMargin,
     "q89_nearest_centroid" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE embedding IS NOT NULL),

@@ -64,6 +64,42 @@ object TextQueries {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
+  /** The q159 PSI drift monitor over (lang, bucket) rows, shared with
+    * its q312 sensitivity gate: PSI = Σ_buckets (q−p)·ln(q/p) of every
+    * non-'en' language against the 'en' baseline, fixed-width buckets,
+    * standard 1e-6 clamp for empty buckets. The only corpus-scale work
+    * is the map-side-combinable census; the lang × bucket grid and log
+    * arithmetic are model-sized.
+    */
+  private[graft] def psiProfile(d: DataFrame): DataFrame = {
+    val base = d.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("nb"))
+    val nBase = broadcast(d.filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n_base")))
+    val cand = d.filter(col("lang") =!= "en")
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("nc"))
+    val nCand = d.filter(col("lang") =!= "en")
+      .groupBy("lang").agg(count(lit(1)).as("n_cand"))
+    val grid = d.filter(col("lang") =!= "en").select("lang").distinct()
+      .crossJoin(d.select("bucket").distinct())
+    val sh = grid
+      .join(broadcast(base), Seq("bucket"), "left").crossJoin(nBase)
+      .join(broadcast(cand), Seq("lang", "bucket"), "left")
+      .join(broadcast(nCand), Seq("lang"))
+      .select(col("lang"), col("bucket"),
+        greatest(coalesce(col("nb"), lit(0L)) / col("n_base"), lit(1e-6))
+          .as("p"),
+        greatest(coalesce(col("nc"), lit(0L)) / col("n_cand"), lit(1e-6))
+          .as("q"))
+    sh.groupBy("lang")
+      .agg(round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6)
+        .as("psi"))
+      .withColumn("band",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") < 0.25, "moderate").otherwise("action"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     // n-gram/stopword language-ID heuristic with a deterministic argmax.
     // All four marker sets are counted by ONE MarkerHits kernel pass per
@@ -1745,35 +1781,41 @@ object TextQueries {
     // conventional read: PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25
     // action — emitted as a band column so the profile is actionable
     // without memorizing thresholds.
-    "q159_psi_drift" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("lang"),
-        floor(col("n_chars") / lit(100.0)).cast("long").as("bucket"))
-      val base = d.filter(col("lang") === "en")
-        .groupBy("bucket").agg(count(lit(1)).as("nb"))
-      val nBase = broadcast(d.filter(col("lang") === "en")
-        .agg(count(lit(1)).as("n_base")))
-      val cand = d.filter(col("lang") =!= "en")
-        .groupBy("lang", "bucket").agg(count(lit(1)).as("nc"))
-      val nCand = d.filter(col("lang") =!= "en")
-        .groupBy("lang").agg(count(lit(1)).as("n_cand"))
-      val grid = d.filter(col("lang") =!= "en").select("lang").distinct()
-        .crossJoin(d.select("bucket").distinct())
-      val sh = grid
-        .join(broadcast(base), Seq("bucket"), "left").crossJoin(nBase)
-        .join(broadcast(cand), Seq("lang", "bucket"), "left")
-        .join(broadcast(nCand), Seq("lang"))
-        .select(col("lang"), col("bucket"),
-          greatest(coalesce(col("nb"), lit(0L)) / col("n_base"), lit(1e-6))
-            .as("p"),
-          greatest(coalesce(col("nc"), lit(0L)) / col("n_cand"), lit(1e-6))
-            .as("q"))
-      sh.groupBy("lang")
-        .agg(round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 6)
-          .as("psi"))
-        .withColumn("band",
-          when(col("psi") < 0.1, "stable")
-            .when(col("psi") < 0.25, "moderate").otherwise("action"))
-        .orderBy("lang")
+    "q159_psi_drift" -> ((s, dir) =>
+      psiProfile(docs(s, dir).select(col("lang"),
+        floor(col("n_chars") / lit(100.0)).cast("long").as("bucket")))),
+
+    // Sensitivity gate for the q159 PSI monitor (the q305 discipline):
+    // plant a genuinely SHIFTED length distribution — every 'de' doc's
+    // n_chars quintuples, the distribution-shape pathology a swapped
+    // crawler or changed extractor produces — and re-run the profile
+    // on base and planted. Violations: `shift_missed` if the planted
+    // language does not land in the 'action' band (PSI > 0.25), and
+    // `bystander_changed` if any OTHER language's psi moves at all —
+    // the plant adds new buckets to the shared grid, but a bucket
+    // empty on both sides clamps p = q = 1e-6 and contributes exactly
+    // (q−p)·ln(q/p) = 0, so unplanted languages must be bit-stable.
+    // Plus the loud `vacuous` row if the planted language vanishes.
+    // Oracle: the empty relation.
+    "q312_psi_sensitivity" -> ((s, dir) => {
+      def bucketed(mult: Column) = docs(s, dir).select(col("lang"),
+        floor(col("n_chars") * mult / lit(100.0)).cast("long").as("bucket"))
+      val before = psiProfile(bucketed(lit(1L)))
+      val after = psiProfile(bucketed(
+        when(col("lang") === "de", 5L).otherwise(1L)))
+      val j = before.select(col("lang"), col("psi").as("psi_b"))
+        .join(after.select(col("lang"), col("psi").as("psi_a"),
+          col("band").as("band_a")), Seq("lang"))
+      j.filter(col("lang") === "de" && col("band_a") =!= "action")
+        .select(lit("shift_missed").as("violation"), col("lang"))
+        .unionByName(j.filter(col("lang") =!= "de" &&
+            !(col("psi_a") <=> col("psi_b")))
+          .select(lit("bystander_changed").as("violation"), col("lang")))
+        .unionByName(j.filter(col("lang") === "de")
+          .agg(count(lit(1)).as("nv")).filter(col("nv") === 0)
+          .select(lit("vacuous").as("violation"),
+            lit(null).cast("string").as("lang")))
+        .orderBy("violation", "lang")
     }),
 
     // Positional-inverted-index phrase search (the serving-side "find
@@ -4465,6 +4507,12 @@ object TextQueries {
         |  CASE WHEN psi < 0.1 THEN 'stable'
         |       WHEN psi < 0.25 THEN 'moderate' ELSE 'action' END AS band
         |FROM t ORDER BY lang""".stripMargin,
+    // Sensitivity gate: a planted ×5 'de' length shift must band
+    // 'action' and no other language's psi may move — empty.
+    "q312_psi_sensitivity" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |  CAST(NULL AS VARCHAR) AS lang
+        |WHERE FALSE""".stripMargin,
     "q160_phrase_search" -> phraseSearchOracle,
     "q174_mixed_lang" ->
       s"""WITH p AS (SELECT doc_id,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-fixture laws for the drift/anomaly monitors behind the
+  * q311/q312/q313 sensitivity gates: each monitor must FIRE on a
+  * hand-built pathology and stay SILENT on clean data — the gates
+  * themselves prove it on the real corpus, these pin the arithmetic on
+  * fixtures small enough to check by eye.
+  */
+class MonitorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("volumeAnomaly: constant 10/day baseline with a tripled last day " +
+      "flags exactly that day; a near-constant tail stays silent") {
+    // 14 days of alternating 10/12 (so sd > 0), then day 15 at 100.
+    val days = (1 to 14).map(d =>
+      (f"2024-01-$d%02d", if (d % 2 == 0) 12 else 10)) :+ ("2024-01-15", 100)
+    val ev = days.flatMap { case (dt, n) =>
+      (1 to n).map(i => ("click", java.sql.Timestamp.valueOf(s"$dt 12:00:00"), i.toLong))
+    }.toDF("event_type", "ts", "event_id")
+    val out = graft.queries.EventQueries.volumeAnomaly(ev)
+      .select(col("dt").cast("string"), col("is_anomaly"))
+      .as[(String, Boolean)].collect().toMap
+    assert(out("2024-01-15") === true, out.toString)
+    assert(out.filter(_._1 != "2024-01-15").values.forall(_ == false),
+      out.toString)
+    // warm-up rows (< 7 trailing days) are absent entirely
+    assert(!out.contains("2024-01-03"))
+  }
+
+  test("psiProfile: identical distribution reads psi 0 / stable; a " +
+      "disjoint shifted one reads > 0.25 / action") {
+    // en and 'same' share buckets 0..3 uniformly; 'shifted' lives
+    // entirely in buckets 10..13.
+    val rows = (0 until 4).flatMap(b => Seq.fill(25)(("en", b.toLong))) ++
+      (0 until 4).flatMap(b => Seq.fill(25)(("same", b.toLong))) ++
+      (10 until 14).flatMap(b => Seq.fill(25)(("shifted", b.toLong)))
+    val out = graft.queries.TextQueries.psiProfile(
+        rows.toDF("lang", "bucket"))
+      .as[(String, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("same")._1 === 0.0 && out("same")._2 === "stable", out)
+    assert(out("shifted")._1 > 0.25 && out("shifted")._2 === "action", out)
+  }
+
+  test("driftProfile: a slice centered opposite the rest reads drift " +
+      "near 2; aligned slices read near 0") {
+    // labels 0/1 at +e1 with tiny jitter on e2; label 2 at -e1.
+    val rows =
+      (0 until 20).map(i => (0L, Seq(1.0, 0.001 * i))) ++
+      (0 until 20).map(i => (1L, Seq(1.0, -0.001 * i))) ++
+      (0 until 20).map(i => (2L, Seq(-1.0, 0.0001 * i)))
+    val out = graft.queries.SimilarityQueries.driftProfile(
+        rows.toDF("label", "v"))
+      .select(col("label"), col("drift"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(0L) < 0.25 && out(1L) < 0.25, out.toString)
+    assert(out(2L) > 1.5, out.toString)
+  }
+}
