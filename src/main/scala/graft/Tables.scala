@@ -119,6 +119,38 @@ object Tables {
         e.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", nassign)
     }
 
+  /** Persisted k-NN-graph layout over the full embeddings table
+    * (rounds=0 bucket graph — the deterministic lifecycle base; the
+    * NN-descent refinement is gated separately in-flight). Build-once
+    * per sf like the other derived layouts.
+    */
+  def embeddingsKnnLayout(spark: SparkSession, sfDir: String, k: Int = 5,
+                          nlist: Int = 16, nassign: Int = 3): String =
+    derivedLayout(sfDir, "embeddings",
+        s"embeddings_knn_${k}_${nlist}_$nassign") { out =>
+      operators.KnnGraph.writeKnnGraphLayout(load(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", out, k, nlist, nassign, rounds = 0)
+    }
+
+  /** Incrementally-maintained k-NN-graph layout for the q315 append
+    * gate: built over the base slice (vec_id % 5 != 4), then the
+    * held-out slice is APPENDED — new lists from the frozen-centroid
+    * buckets, reverse edges merged into affected old lists, only
+    * touched graph partitions rewritten.
+    */
+  def embeddingsKnnAppendLayout(spark: SparkSession, sfDir: String,
+                                k: Int = 5, nlist: Int = 16,
+                                nassign: Int = 3): String =
+    derivedLayout(sfDir, "embeddings",
+        s"embeddings_knn_app_${k}_${nlist}_$nassign") { out =>
+      import org.apache.spark.sql.functions.col
+      val e = load(spark, sfDir, "embeddings")
+      operators.KnnGraph.writeKnnGraphLayout(e.filter(col("vec_id") % 5 =!= 4),
+        "vec_id", "embedding", out, k, nlist, nassign, rounds = 0)
+      operators.KnnGraph.appendKnnGraphLayout(out,
+        e.filter(col("vec_id") % 5 === 4), "vec_id", "embedding")
+    }
+
   /** Z-ordered (Morton-clustered) parquet copy of `orders` on
     * (o_custkey, o_orderdate) — the multi-column range-pruning layout
     * (q121). Build-once like the other derived layouts; at 100 TB this

@@ -242,6 +242,78 @@ object SimilarityQueries {
       viol.unionByName(floor).orderBy("query_id", "np_lo")
     }),
 
+    // k-NN-GRAPH recall gate (the q287 discipline pointed at the graph
+    // artifact): the bucket-blocked graph at rounds 0 and 1 is scored
+    // against exact all-vector k-NN. Gated on a THEOREM plus a floor:
+    // a round's final list is a top-k over a SUPERSET of the previous
+    // round's candidates, so per-vertex exact-hit counts are
+    // NON-DECREASING in rounds — integers, no tolerance — and the
+    // rounds=1 graph must clear a 0.8 mean-recall floor. Violations
+    // emit; oracle is the empty relation.
+    "q314_knn_graph_gate" -> ((s, dir) => {
+      import graft.operators.KnnGraph
+      val e = emb(s, dir)
+      val exact = Similarity.bruteForceTopKAgg(e, e, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+        nlist = 16, iters = 10)
+      val byRounds = Seq(0, 1).map { r =>
+        KnnGraph.rankGraph(KnnGraph.knnGraphPairs(e, "vec_id", "embedding",
+            k = 5, cents, rounds = r))
+          .select(col("vec_id").as("query_id"), col("neighbor_id"),
+            lit(r.toLong).as("rounds"), lit(1L).as("hit"))
+      }.reduce(_ unionByName _)
+      val counted = exact.join(byRounds, Seq("query_id", "neighbor_id"),
+          "left")
+        .filter(col("rounds").isNotNull)
+        .groupBy("query_id", "rounds").agg(sum("hit").as("hits"))
+      val hits = e.select(col("vec_id").as("query_id"),
+          explode(array(lit(0L), lit(1L))).as("rounds"))
+        .join(counted, Seq("query_id", "rounds"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      val viol = hits.filter(col("rounds") === 0)
+        .select(col("query_id"), col("hits").as("hits0"))
+        .join(hits.filter(col("rounds") === 1)
+          .select(col("query_id"), col("hits").as("hits1")), Seq("query_id"))
+        .filter(col("hits1") < col("hits0"))
+        .select(lit("rounds_regressed").as("violation"), col("query_id"),
+          col("hits0"), col("hits1"))
+      val floor = hits.filter(col("rounds") === 1)
+        .agg((sum("hits") / (count(lit(1)) * 5)).as("recall"))
+        .filter(col("recall") < 0.8)
+        .select(lit("recall_floor").as("violation"), lit(-1L).as("query_id"),
+          (col("recall") * 1000).cast("bigint").as("hits0"),
+          lit(800L).as("hits1"))
+      viol.unionByName(floor).orderBy("violation", "query_id")
+    }),
+
+    // k-NN-graph INCREMENTAL-APPEND gate (q107's lifecycle pointed at
+    // the graph layout): build over the base slice, append the held-out
+    // slice (frozen centroids, reverse-edge merge, victim-partition
+    // rewrite), and the appended layout must equal a FROM-SCRATCH
+    // rounds=0 build over the union under the same persisted centroids
+    // — EXACTLY, because top-k is a lattice merge and the bucket
+    // candidate sets coincide under the shared model. Symmetric diff;
+    // oracle is the empty relation.
+    "q315_knn_append_gate" -> ((s, dir) => {
+      import graft.operators.KnnGraph
+      val e = emb(s, dir)
+      val layoutDir = Tables.embeddingsKnnAppendLayout(s, dir, k = 5,
+        nlist = 16, nassign = 3)
+      val fromLayout = KnnGraph.knnNeighborsFromLayout(layoutDir,
+        e.select("vec_id"), "vec_id")
+      val cents = Similarity.readIvfCentroids(s"$layoutDir/vectors",
+        s.sparkContext.hadoopConfiguration)
+      val scratch = KnnGraph.rankGraph(KnnGraph.knnGraphPairs(e, "vec_id",
+        "embedding", k = 5, cents, rounds = 0))
+      fromLayout.exceptAll(scratch).withColumn("side", lit("layout_only"))
+        .unionAll(scratch.exceptAll(fromLayout)
+          .withColumn("side", lit("scratch_only")))
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("vec_id", "rnk", "side")
+    }),
+
     // Streaming semantic admission (SemDeDup at the door) — see
     // DocumentStreams.streamingSemanticAdmission. FULL-hash gate: the
     // oracle states the exact NOT-EXISTS cosine rule over the planted
@@ -1224,6 +1296,20 @@ object SimilarityQueries {
     "q313_drift_sensitivity" ->
       """SELECT CAST(NULL AS VARCHAR) AS violation,
         |  CAST(NULL AS BIGINT) AS label
+        |WHERE FALSE""".stripMargin,
+    // Theorem (hit counts non-decreasing in rounds) + recall floor:
+    // empty.
+    "q314_knn_graph_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |  CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits0,
+        |  CAST(NULL AS BIGINT) AS hits1
+        |WHERE FALSE""".stripMargin,
+    // Appended layout ≡ from-scratch union build (lattice-merge
+    // exactness): empty.
+    "q315_knn_append_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS rnk,
+        |  CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS sim,
+        |  CAST(NULL AS VARCHAR) AS side
         |WHERE FALSE""".stripMargin,
     "q89_nearest_centroid" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.{KnnGraph, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Laws for the persisted k-NN-graph artifact (q314/q315). The oracle
+  * can only certify the in-query gates; the structural contracts live
+  * here: single-bucket blocking degenerates to EXACT k-NN, NN-descent
+  * rounds strictly help on a blocking-starved build (not just
+  * non-decreasing — the q314 theorem must be non-vacuous), lookups
+  * runtime-prune the graph partitions, and incremental append is
+  * bit-equal to a from-scratch union build.
+  */
+class KnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("knnGraphPairs with one bucket IS exact brute-force k-NN (ties included)") {
+    // nlist=1 makes the bucket join all-pairs, so the graph must equal
+    // the TopKAggregator ground truth row for row — same tie rule
+    // (sim desc, id asc), same 6dp rounding at the presentation edge.
+    val e = emb.limit(60)
+    val dim = e.select(size(col("embedding"))).as[Int].head()
+    val oneBucket = Array(Array.fill(dim)(1.0))
+    val graph = KnnGraph.rankGraph(
+        KnnGraph.knnGraphPairs(e, "vec_id", "embedding", k = 4, oneBucket,
+          nassign = 1, rounds = 0))
+      .select(col("vec_id").as("query_id"), col("rank"), col("neighbor_id"),
+        col("sim"))
+    val exact = Similarity.bruteForceTopKAgg(e, e, "vec_id", "embedding",
+      k = 4)
+    assert(graph.exceptAll(exact).count() === 0L &&
+      exact.exceptAll(graph).count() === 0L,
+      "single-bucket graph diverged from exact k-NN")
+  }
+
+  test("NN-descent round strictly improves a blocking-starved graph, never regresses a vertex") {
+    // Small buckets with nassign=2 starve the candidate space but keep
+    // the graph connected ACROSS buckets (nassign=1 would trap
+    // NN-descent inside its bucket forever — disjoint candidate sets
+    // have no 2-hop bridges), so one neighbors-of-neighbors round must
+    // win back some true neighbors (strict, so the q314 monotonicity
+    // gate is proven non-vacuous) and may never lose one (per-vertex
+    // superset-top-k law, exact integers).
+    val e = emb
+    val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+      nlist = 24, iters = 10)
+    val exact = Similarity.bruteForceTopKAgg(e, e, "vec_id", "embedding",
+        k = 5)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"))
+    def hitsByVertex(rounds: Int) =
+      KnnGraph.rankGraph(KnnGraph.knnGraphPairs(e, "vec_id", "embedding",
+          k = 5, cents, nassign = 2, rounds = rounds))
+        .join(exact, Seq("vec_id", "neighbor_id"))
+        .groupBy("vec_id").agg(count(lit(1)).as("hits"))
+    val h0 = hitsByVertex(0)
+    val h1 = hitsByVertex(1)
+    val joined = h0.select(col("vec_id"), col("hits").as("h0"))
+      .join(h1.select(col("vec_id"), col("hits").as("h1")), Seq("vec_id"),
+        "full")
+      .select(coalesce(col("h0"), lit(0L)).as("h0"),
+        coalesce(col("h1"), lit(0L)).as("h1"))
+      .agg(sum("h0").as("t0"), sum("h1").as("t1"),
+        sum(when(col("h1") < col("h0"), 1L).otherwise(0L)).as("regressed"))
+      .as[(Long, Long, Long)].head()
+    assert(joined._3 === 0L, s"${joined._3} vertices lost exact hits in a round")
+    assert(joined._2 > joined._1,
+      s"round 1 did not improve recall (${joined._1} -> ${joined._2}) — " +
+        "the monotonicity gate would be vacuous")
+  }
+
+  test("layout round-trip: lookup equals in-flight build and runtime-prunes graph partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_rt").toString
+    val e = emb
+    KnnGraph.writeKnnGraphLayout(e, "vec_id", "embedding", dir, k = 3,
+      nlist = 8, nassign = 2, rounds = 0, nparts = 8)
+    val cents = Similarity.readIvfCentroids(s"$dir/vectors",
+      spark.sparkContext.hadoopConfiguration)
+    val ids = e.select("vec_id").filter(col("vec_id") % 8 === 1)
+    val got = KnnGraph.knnNeighborsFromLayout(dir, ids, "vec_id")
+    val want = KnnGraph.rankGraph(
+      KnnGraph.knnGraphPairs(e, "vec_id", "embedding", k = 3, cents,
+          nassign = 2, rounds = 0)
+        .join(ids.withColumnRenamed("vec_id", "id"), Seq("id")))
+    val gotRows = got.collect().map(_.toString).sorted.toSeq
+    assert(gotRows === want.collect().map(_.toString).sorted.toSeq,
+      "layout lookup diverged from the in-flight build")
+    // Scale shape: the ids hit ONE of 8 `part=` directories, and the
+    // executed scan must prove it read only that one (runtime partition
+    // pruning, not a full-graph scan followed by a filter).
+    def scansOf(plan: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+      }.flatten
+    val finalPlan = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val pruned = scansOf(finalPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("/graph")))
+    assert(pruned.nonEmpty, "no file scan over graph/ found")
+    val read = pruned.head.metrics("numPartitions").value
+    assert(read === 1L,
+      s"lookup read $read of 8 graph partitions — pruning regressed")
+  }
+
+  test("appendKnnGraphLayout equals a from-scratch union build under the frozen model") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_app").toString
+    val e = emb
+    val base = e.filter(col("vec_id") % 4 =!= 0)
+    val extra = e.filter(col("vec_id") % 4 === 0)
+    KnnGraph.writeKnnGraphLayout(base, "vec_id", "embedding", dir, k = 3,
+      nlist = 8, nassign = 2, rounds = 0, nparts = 4)
+    KnnGraph.appendKnnGraphLayout(dir, extra, "vec_id", "embedding")
+    val cents = Similarity.readIvfCentroids(s"$dir/vectors",
+      spark.sparkContext.hadoopConfiguration)
+    val appended = KnnGraph.knnNeighborsFromLayout(dir, e.select("vec_id"),
+      "vec_id")
+    val scratch = KnnGraph.rankGraph(KnnGraph.knnGraphPairs(e, "vec_id",
+      "embedding", k = 3, cents, nassign = 2, rounds = 0))
+    assert(appended.exceptAll(scratch).count() === 0L &&
+      scratch.exceptAll(appended).count() === 0L,
+      "appended layout diverged from the from-scratch union build")
+  }
+
+  test("readMeta fails loudly on a directory that is not a knn layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_bad").toString
+    val err = intercept[IllegalArgumentException] {
+      KnnGraph.knnNeighborsFromLayout(dir, emb.select("vec_id"), "vec_id")
+    }
+    assert(err.getMessage.contains("_graft_knn_meta.json"))
+  }
+}
