@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRANSACTIONAL MANIFEST layout — the atomic-publish protocol the
+  * dynamic-partition-overwrite lifecycles (q140 backfill, q177 purge,
+  * q107/q176 appends) lack. A dynamic overwrite replaces partition
+  * directories one rename at a time, so a concurrent reader listing the
+  * directory mid-rewrite can see HALF a multi-partition commit (day 3
+  * new, day 5 still old) and a crashed writer leaves half its output
+  * live. Here data files are IMMUTABLE and invisible until published:
+  *
+  *   - every write lands in a fresh `data/c{version}/` commit directory;
+  *   - a snapshot is a manifest file `_manifests/v{version}.json`
+  *     listing exactly the (partition, file) pairs that constitute it;
+  *   - commit is ONE atomic rename of the manifest into place (rename
+  *     fails loudly if a concurrent committer won the version — no
+  *     silent lost update);
+  *   - readers pin a manifest version up front and read exactly its
+  *     files, so a mid-rewrite read is the OLD snapshot or the NEW one,
+  *     never a mix, and a crashed writer's orphan files (data written,
+  *     manifest never renamed) are invisible forever;
+  *   - old versions stay readable (time travel / audit) until `vacuum`,
+  *     which drops every data file the LATEST manifest doesn't
+  *     reference plus the superseded manifests.
+  *
+  * Scale shape: one Spark write job per commit (hive-routed by a COPY
+  * of the partition column, so data files keep the real column and
+  * snapshot reads need no re-attachment join); the manifest is
+  * partition-domain × files-per-partition sized — the same
+  * driver-bounded census q140/q177 already ride on — and
+  * `readPartitions` prunes to the matching manifest entries so a
+  * point lookup reads |hit partitions| worth of bytes, not the table.
+  */
+object Manifest {
+
+  private val PartDir = "__p"
+
+  private[graft] case class Entry(p: String, file: String)
+
+  private def fs(dir: String, conf: Configuration) =
+    new Path(dir).getFileSystem(conf)
+
+  private def manifestPath(dir: String, version: Int) =
+    new Path(s"$dir/_manifests", f"v$version%06d.json")
+
+  /** Largest committed version, or 0 if none. */
+  def latestVersion(dir: String, conf: Configuration): Int = {
+    val mdir = new Path(s"$dir/_manifests")
+    val f = fs(dir, conf)
+    if (!f.exists(mdir)) return 0
+    f.listStatus(mdir).map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d{6}\\.json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** One-rename commit: the version is taken or it isn't — a lost race
+    * is a loud failure, never a silent overwrite of someone else's
+    * snapshot.
+    */
+  private[graft] def commitManifest(dir: String, version: Int,
+      entries: Seq[Entry], conf: Configuration): Unit = {
+    val f = fs(dir, conf)
+    val tmp = new Path(s"$dir/_manifests",
+      s".tmp-${ProcessHandle.current().pid()}-v$version")
+    val out = f.create(tmp, true)
+    try {
+      out.write(s"""{"version":$version}\n"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      entries.sortBy(e => (e.p, e.file)).foreach { e =>
+        out.write(s"""{"p":"${e.p}","file":"${e.file}"}\n"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } finally out.close()
+    val target = manifestPath(dir, version)
+    require(!f.exists(target) && f.rename(tmp, target),
+      s"manifest commit v$version lost the race (another writer " +
+        s"published it) - rebase on latestVersion and retry")
+  }
+
+  private def readManifest(dir: String, version: Int,
+      conf: Configuration): Seq[Entry] = {
+    val p = manifestPath(dir, version)
+    val f = fs(dir, conf)
+    require(f.exists(p),
+      s"$dir has no manifest v$version - not a Manifest layout, or the " +
+        "version was vacuumed")
+    val in = f.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toVector finally in.close()
+    val Line = """\{"p":"([^"]*)","file":"([^"]*)"\}""".r
+    lines.drop(1).map { case Line(pv, file) => Entry(pv, file) }
+  }
+
+  /** Write `df` as an UNCOMMITTED commit directory and return its
+    * manifest entries. Public only through the lifecycle ops below and
+    * the crash-simulation gates: files written here are invisible to
+    * every reader until a manifest referencing them is renamed in.
+    */
+  private[graft] def writeCommitFiles(df: DataFrame, dir: String,
+      partCol: String, version: Int): Seq[Entry] = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val commitRel = f"data/c$version%06d"
+    df.withColumn(PartDir, col(partCol).cast("string"))
+      .write.partitionBy(PartDir).parquet(s"$dir/$commitRel")
+    val f = fs(dir, conf)
+    val PartSeg = s"$PartDir=(.+)".r
+    f.listStatus(new Path(s"$dir/$commitRel")).toSeq
+      .filter(_.isDirectory).flatMap { d =>
+        val p = d.getPath.getName match {
+          case PartSeg(v) => v
+          case other => sys.error(s"unexpected commit subdir $other")
+        }
+        require(p.matches("[-A-Za-z0-9_.:]+"),
+          s"partition value '$p' is not hive-path-safe - the manifest " +
+            "protocol requires plain date/number/word partition values")
+        f.listStatus(d.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => Entry(p, s"$commitRel/$PartDir=$p/${s.getPath.getName}"))
+      }
+  }
+
+  /** Create a new manifested layout (v1). Loud if one already exists. */
+  def create(df: DataFrame, dir: String, partCol: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    require(latestVersion(dir, conf) == 0,
+      s"$dir already holds a manifested layout - use append/overwrite")
+    commitManifest(dir, 1, writeCommitFiles(df, dir, partCol, 1), conf)
+  }
+
+  /** Append-only commit: old entries survive untouched. */
+  def append(df: DataFrame, dir: String, partCol: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val entries = writeCommitFiles(df, dir, partCol, base + 1)
+    commitManifest(dir, base + 1,
+      readManifest(dir, base, conf) ++ entries, conf)
+  }
+
+  /** Multi-partition overwrite published as ONE commit: every partition
+    * present in `df` swaps to the new files in the same manifest rename
+    * — the atomic twin of `ChangeData.overwritePartitions`.
+    */
+  def overwritePartitions(df: DataFrame, dir: String,
+      partCol: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val entries = writeCommitFiles(df, dir, partCol, base + 1)
+    val touched = entries.map(_.p).toSet
+    commitManifest(dir, base + 1,
+      readManifest(dir, base, conf).filterNot(e => touched(e.p)) ++ entries,
+      conf)
+  }
+
+  /** Targeted purge (q177's semantics under the manifest protocol):
+    * survivors of affected partitions rewrite into a new commit;
+    * partitions a purge empties simply VANISH from the manifest — the
+    * dynamic-overwrite silent-retention trap cannot exist here, because
+    * nothing a manifest doesn't name is readable.
+    */
+  def purge(spark: SparkSession, dir: String, partCol: String,
+      victim: org.apache.spark.sql.Column, maxAffected: Int = 1 << 16): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val t = readVersion(spark, dir, base)
+    val isVictim = coalesce(victim, lit(false))
+    val parts = t.groupBy(col(partCol).cast("string").as("__pv"))
+      .agg(sum(when(isVictim, 1L).otherwise(0L)).as("n_victim"),
+        sum(when(!isVictim, 1L).otherwise(0L)).as("n_keep"))
+      .filter(col("n_victim") > 0)
+      .limit(maxAffected + 1)
+      .collect()
+    require(parts.length <= maxAffected,
+      s"purge: more than $maxAffected affected partitions - batch the purge")
+    if (parts.isEmpty) return
+    val affected = parts.map(_.getString(0)).toSet
+    val live = parts.filter(_.getLong(2) > 0L).map(_.getString(0)).toSet
+    val entries =
+      if (live.isEmpty) Seq.empty[Entry]
+      else writeCommitFiles(
+        t.filter(col(partCol).cast("string").isin(live.toSeq: _*) && !isVictim),
+        dir, partCol, base + 1)
+    commitManifest(dir, base + 1,
+      readManifest(dir, base, conf).filterNot(e => affected(e.p)) ++ entries,
+      conf)
+  }
+
+  /** Snapshot read of a pinned version — exactly that manifest's files,
+    * immutable under any concurrent commit (old-or-new, never a mix).
+    */
+  def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val entries = readManifest(dir, version,
+      spark.sparkContext.hadoopConfiguration)
+    require(entries.nonEmpty,
+      s"manifest v$version of $dir is empty - nothing to read")
+    spark.read.parquet(entries.map(e => s"$dir/${e.file}"): _*)
+  }
+
+  /** Latest-snapshot read (pins the version at CALL time; lazy execution
+    * later still sees this snapshot, because its files never mutate).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readVersion(spark, dir, latestVersion(spark, dir))
+
+  private def latestVersion(spark: SparkSession, dir: String): Int = {
+    val v = latestVersion(dir, spark.sparkContext.hadoopConfiguration)
+    require(v >= 1, s"$dir is not a manifested layout")
+    v
+  }
+
+  /** Manifest-pruned point read: only the files of matching partitions
+    * are listed at all — |hit partitions| of stored bytes, not a table
+    * scan with a post-filter.
+    */
+  def readPartitions(spark: SparkSession, dir: String,
+      values: Seq[String]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val want = values.toSet
+    val hit = readManifest(dir, latestVersion(spark, dir), conf)
+      .filter(e => want(e.p))
+    require(hit.nonEmpty,
+      s"readPartitions: no manifest entry for any of $values in $dir")
+    spark.read.parquet(hit.map(e => s"$dir/${e.file}"): _*)
+  }
+
+  /** Retention pass: delete every data file the LATEST manifest doesn't
+    * reference (crashed-writer orphans, superseded commit files) and
+    * every superseded manifest. The latest snapshot is untouched;
+    * time-travel reads older than latest die here by design — vacuum IS
+    * the retention boundary.
+    */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val latest = latestVersion(spark, dir)
+    val keep = readManifest(dir, latest, conf).map(_.file).toSet
+    val f = fs(dir, conf)
+    val dataRoot = new Path(s"$dir/data")
+    if (f.exists(dataRoot)) {
+      val it = f.listFiles(dataRoot, true)
+      val doomed = Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next())
+        .filter(s => s.isFile)
+        .map(_.getPath)
+        .filterNot { p =>
+          val rel = p.toString.stripPrefix(
+            f.makeQualified(new Path(dir)).toString).stripPrefix("/")
+          keep(rel) || !rel.endsWith(".parquet")
+        }.toVector
+      doomed.foreach(p => f.delete(p, false))
+      // drop commit dirs emptied of data files (routing dirs + markers)
+      f.listStatus(dataRoot).filter(_.isDirectory).foreach { c =>
+        val files = f.listFiles(c.getPath, true)
+        val hasData = Iterator.continually(files)
+          .takeWhile(_.hasNext).map(_.next())
+          .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (!hasData) f.delete(c.getPath, true)
+      }
+    }
+    (1 until latest).foreach { v =>
+      val p = manifestPath(dir, v)
+      if (f.exists(p)) f.delete(p, false)
+    }
+  }
+}

@@ -155,6 +155,93 @@ object ChangeDataQueries {
           sum(when(col("user_id").isin(3L, 7L), 1L).otherwise(0L))
             .as("n_victim_rows"))
         .orderBy("dt")
+    }),
+
+    // TRANSACTIONAL MANIFEST commit (the atomic-publish protocol the
+    // q140/q177 dynamic-overwrite lifecycles lack): a two-partition
+    // backfill publishes through ONE manifest rename. The gate drives
+    // the full hazard sequence in a fresh layout each run — pin v1,
+    // crash a writer (backfill files written, manifest never renamed),
+    // then commit the real backfill — and checks (a) the pinned reader
+    // still sees the ORIGINAL rows exactly (old-or-new, never a mix;
+    // exceptAll both ways, exact rows, no FP), (b) the crashed writer's
+    // orphan files moved the version nowhere, and (c) the fresh read is
+    // the backfilled content, hash-gated against the oracle's
+    // arithmetic restatement — which also proves orphan invisibility,
+    // because a directory-listing reader would double-count the orphan
+    // day and fail the hash. PIN:/CRASH: violation rows never appear in
+    // the oracle.
+    "q316_manifest_txn_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_manifest_txn").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      val pinned = Manifest.readVersion(s, tmp, 1)
+      Manifest.writeCommitFiles(
+        ev.filter(col("dt") === lit("2024-01-03").cast("date"))
+          .withColumn("value", col("value") * 3), tmp, "dt", 999999)
+      val crashMovedVersion = Manifest.latestVersion(tmp,
+        s.sparkContext.hadoopConfiguration) != 1
+      Manifest.overwritePartitions(
+        ev.filter(col("dt").isin(lit("2024-01-05").cast("date"),
+            lit("2024-01-09").cast("date")))
+          .withColumn("value", col("value") * 2), tmp, "dt")
+      val fresh = Manifest.read(s, tmp)
+      val freshAgg = fresh.groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      val pinViol = pinned.exceptAll(ev).unionAll(ev.exceptAll(pinned))
+        .select(concat(lit("PIN:"), col("dt").cast("string")).as("dt"))
+        .groupBy("dt").agg(count(lit(1)).as("n"))
+        .withColumn("sum_value", lit(0.0))
+      val crashViol = s.range(1)
+        .filter(lit(crashMovedVersion))
+        .select(lit("CRASH_VISIBLE").as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      freshAgg.unionByName(pinViol).unionByName(crashViol).orderBy("dt")
+    }),
+
+    // Manifest lifecycle tail — append, purge, TIME TRAVEL, vacuum: a
+    // synthetic day appends (v2), users 3/7 purge (v3; emptied
+    // partitions vanish from the manifest — the silent-retention trap
+    // is structurally impossible), a v2 time-travel read BEFORE vacuum
+    // must reproduce the pre-purge union exactly (the audit path:
+    // what did the model see at training time), and after vacuum the
+    // latest snapshot is bit-identical while superseded files and
+    // manifests are gone (ManifestSpec pins the FS side). Output is
+    // the post-vacuum per-day census, hash-gated; TT: rows never
+    // appear in the oracle.
+    "q317_manifest_lifecycle_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_manifest_life").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      val extra = ev.filter(col("dt") === lit("2024-01-01").cast("date"))
+        .withColumn("dt", lit("2024-02-01").cast("date"))
+        .withColumn("value", col("value") + 1000.0)
+      Manifest.create(ev, tmp, "dt")
+      Manifest.append(extra, tmp, "dt")
+      Manifest.purge(s, tmp, "dt", col("user_id").isin(3L, 7L))
+      val preVacuumTt = Manifest.readVersion(s, tmp, 2)
+      val expected2 = ev.unionAll(extra)
+      // eager: the v2 manifest dies at vacuum below, so the audit
+      // comparison must run now (bounded — it's a diff row count)
+      val ttViolations = preVacuumTt.exceptAll(expected2)
+        .unionAll(expected2.exceptAll(preVacuumTt)).count()
+      Manifest.vacuum(s, tmp)
+      val post = Manifest.read(s, tmp)
+      val postAgg = post.groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          sum(when(col("user_id").isin(3L, 7L), 1L).otherwise(0L))
+            .as("n_victim_rows"))
+      val ttViol = s.range(1).filter(lit(ttViolations > 0))
+        .select(lit("TT_DIVERGED").as("dt"), lit(ttViolations).as("n"),
+          lit(0.0).as("sum_value"), lit(-1L).as("n_victim_rows"))
+      postAgg.unionByName(ttViol).orderBy("dt")
     })
   )
 
@@ -169,6 +256,29 @@ object ChangeDataQueries {
         |  ROUND(SUM(value), 2) AS sum_value,
         |  CAST(0 AS BIGINT) AS n_victim_rows
         |FROM events WHERE user_id NOT IN (3, 7)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Backfilled content only — no PIN:/CRASH_VISIBLE violation rows.
+    // (OR-form, not IN: DuckDB 1.0.0 evaluates `CAST(ts AS DATE) IN
+    // (DATE ...)` to false on TIMESTAMP columns.)
+    "q316_manifest_txn_gate" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+        |      OR CAST(ts AS DATE) = DATE '2024-01-09'
+        |    THEN value * 2 ELSE value END), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Post-vacuum snapshot: purge survivors plus the appended synthetic
+    // day — no TT_DIVERGED row.
+    "q317_manifest_lifecycle_gate" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS dt, user_id, value FROM events
+        |  UNION ALL
+        |  SELECT DATE '2024-02-01' AS dt, user_id, value + 1000.0 AS value
+        |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01')
+        |SELECT CAST(dt AS VARCHAR) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(0 AS BIGINT) AS n_victim_rows
+        |FROM base WHERE user_id NOT IN (3, 7)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q83_snapshot_diff" -> (oracleSnaps +
       """

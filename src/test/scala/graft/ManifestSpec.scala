@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.Manifest
+import org.apache.spark.sql.functions._
+
+/** FS-level contracts of the transactional-manifest protocol (q316/q317
+  * gate the snapshot SEMANTICS; this suite pins what happens on disk):
+  * commits never touch existing bytes, version collisions fail loudly,
+  * vacuum removes exactly the unreferenced files, manifest-pruned reads
+  * list only the hit partitions' files, and purge-emptied partitions
+  * vanish from the manifest.
+  */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkdir() =
+    java.nio.file.Files.createTempDirectory("graft_manifest_spec").toString
+
+  private def fixture = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+    (4L, "b", 40.0), (5L, "c", 50.0), (6L, "c", 60.0)
+  ).toDF("id", "grp", "value")
+
+  private def crcs(dir: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(dir, "data")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map { p =>
+        val c = new java.util.zip.CRC32()
+        c.update(java.nio.file.Files.readAllBytes(p))
+        p.toString -> c.getValue
+      }.toMap
+  }
+
+  test("overwritePartitions never rewrites an existing byte (immutable data files)") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    val before = crcs(dir)
+    Manifest.overwritePartitions(
+      fixture.filter($"grp" === "b").withColumn("value", $"value" * 2),
+      dir, "grp")
+    val after = crcs(dir)
+    before.foreach { case (path, crc) =>
+      assert(after.get(path).contains(crc),
+        s"$path was mutated or deleted by a commit — data files must be " +
+          "immutable (that's what makes pinned readers consistent)")
+    }
+    // and the snapshot actually moved
+    assert(Manifest.read(spark, dir).filter($"grp" === "b")
+      .agg(sum("value")).as[Double].head() === 140.0)
+  }
+
+  test("version collision is a loud failure, never a silent overwrite") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // a racing writer prepared version 2 first
+    Manifest.commitManifest(dir, 2, Seq.empty, conf)
+    val err = intercept[IllegalArgumentException] {
+      Manifest.commitManifest(dir, 2, Seq.empty, conf)
+    }
+    assert(err.getMessage.contains("lost the race"))
+  }
+
+  test("vacuum deletes orphans and superseded files, keeps the latest snapshot bit-identical") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    // crashed writer: files land, manifest never renames in
+    Manifest.writeCommitFiles(fixture.filter($"grp" === "a"), dir, "grp", 999)
+    Manifest.overwritePartitions(
+      fixture.filter($"grp" === "a").withColumn("value", $"value" + 1.0),
+      dir, "grp")
+    val latestBefore = Manifest.read(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(crcs(dir).keys.exists(_.contains("c000999")),
+      "fixture bug: orphan files missing before vacuum")
+    Manifest.vacuum(spark, dir)
+    val files = crcs(dir).keys.toSeq
+    assert(!files.exists(_.contains("c000999")),
+      "vacuum left the crashed writer's orphan files")
+    // superseded v1 'grp=a' files are gone, still-referenced ones remain
+    assert(files.exists(_.contains("c000001")),
+      "vacuum deleted files the latest manifest still references")
+    assert(!files.exists(f => f.contains("c000001") && f.contains("__p=a")),
+      "vacuum kept superseded files no manifest references")
+    assert(Manifest.read(spark, dir).collect().map(_.toString).sorted.toSeq
+      === latestBefore, "vacuum changed the latest snapshot")
+    // superseded manifests are gone: time travel to v1 now fails loudly
+    val err = intercept[IllegalArgumentException] {
+      Manifest.readVersion(spark, dir, 1)
+    }
+    assert(err.getMessage.contains("vacuumed"))
+  }
+
+  test("readPartitions lists only the hit partitions' files") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    val hit = Manifest.readPartitions(spark, dir, Seq("b"))
+    assert(hit.inputFiles.forall(_.contains("__p=b")),
+      "point read listed files outside the hit partition")
+    assert(hit.select("id").as[Long].collect().sorted.toSeq === Seq(3L, 4L))
+    val err = intercept[IllegalArgumentException] {
+      Manifest.readPartitions(spark, dir, Seq("zzz"))
+    }
+    assert(err.getMessage.contains("no manifest entry"))
+  }
+
+  test("purge drops emptied partitions from the manifest (no silent retention)") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    // grp=b dies entirely; grp=c loses one row; grp=a untouched
+    Manifest.purge(spark, dir, "grp", $"id".isin(3L, 4L, 5L))
+    val t = Manifest.read(spark, dir)
+    assert(t.filter($"grp" === "b").count() === 0L)
+    assert(t.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 6L))
+    // the emptied partition is not just filtered — it has NO manifest
+    // entry, so a point read of it is loud, not silently empty
+    val err = intercept[IllegalArgumentException] {
+      Manifest.readPartitions(spark, dir, Seq("b"))
+    }
+    assert(err.getMessage.contains("no manifest entry"))
+    // NULL-predicate rows count as KEEP (the purgeRows over-deletion law)
+    val dir2 = mkdir()
+    Manifest.create(fixture.withColumn("id",
+      when($"id" === 6L, lit(null)).otherwise($"id")), dir2, "grp")
+    Manifest.purge(spark, dir2, "grp", $"id".isin(5L))
+    assert(Manifest.read(spark, dir2).filter($"grp" === "c").count() === 1L,
+      "a NULL-valued victim predicate over-deleted the null-id row")
+  }
+
+  test("pinned reader sees old-or-new, never a mix, across a multi-partition rewrite") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    val pinned = Manifest.readVersion(spark, dir, 1)
+    Manifest.overwritePartitions(
+      fixture.filter($"grp".isin("a", "c")).withColumn("value", lit(0.0)),
+      dir, "grp")
+    assert(pinned.agg(sum("value")).as[Double].head() === 210.0,
+      "pinned snapshot drifted under a concurrent commit")
+    assert(Manifest.read(spark, dir).agg(sum("value")).as[Double].head()
+      === 70.0, "fresh read missed the committed rewrite")
+  }
+}
