@@ -197,6 +197,78 @@ object KnnGraph {
         col("sim")))
   }
 
+  /** Graph-guided ANN search over a persisted layout (the HNSW-layer-0
+    * move, distributed): entry candidates come from an IVF probe of the
+    * layout's own `vectors/` substore, then `hops` rounds of best-first
+    * expansion walk the STORED neighbor lists — each round expands the
+    * current per-query top-`ef` frontier to its graph neighbors,
+    * re-scores exactly, and re-takes the top-ef, so the frontier is a
+    * top-ef over a SUPERSET of the previous candidates and per-query
+    * recall is non-decreasing in hops (q314's theorem, re-used by the
+    * q318 gate).
+    *
+    * Scale shape: per-query work is bounded by ef·k exact scores per
+    * hop (frontier × stored list width), never a corpus scan; the
+    * expansion join keys on the graph's `vec_id`, the scoring join on
+    * the store's id — both bounded-fanout keyed joins. With
+    * `nprobe = nlist` and `ef ≥ |corpus|` the search degenerates to
+    * exact brute force (the KnnGraphSpec law).
+    */
+  def searchFromLayout(dir: String, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, ef: Int = 16, hops: Int = 2,
+      nprobe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    require(ef >= k, s"searchFromLayout: ef ($ef) must be >= k ($k)")
+    require(hops >= 0, s"searchFromLayout: hops must be >= 0, got $hops")
+    val spark = queries.sparkSession
+    readMeta(dir, spark.sparkContext.hadoopConfiguration) // loud non-layout
+    val store = spark.read.parquet(s"$dir/vectors")
+      .select(col("neighbor_id").as("nid"), col("cv"))
+      .dropDuplicates("nid") // each id is stored in nassign buckets
+    val g = spark.read.parquet(s"$dir/graph")
+      .select(col("vec_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("qv")))
+    def scoreNodes(nodes: DataFrame): DataFrame = {
+      val scored = nodes.join(store, col("node") === col("nid"))
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          Similarity.cosine(col("qv"), col("cv")).as("sim"))
+      if (excludeSelf) scored.filter(col("query_id") =!= col("node"))
+      else scored
+    }
+    // entry frontier: IVF probe for candidate NODES, re-scored raw here
+    // so every hop merges on identical unrounded numbers
+    val entry = Similarity.ivfTopKFromLayout(s"$dir/vectors", queries,
+        idCol, vecCol, ef, nprobe, excludeSelf)
+      .select(col("query_id"), col("neighbor_id").as("node"))
+    var frontier = Checkpoints.cut(topEf(scoreNodes(entry), ef))
+    var h = 0
+    while (h < hops) {
+      val expand = frontier.select(col("query_id"), col("node"))
+        .join(g, col("node") === col("vec_id"))
+        .select(col("query_id"), col("neighbor_id").as("node"))
+        .distinct()
+      frontier = Checkpoints.cut(topEf(
+        frontier.unionAll(scoreNodes(expand)).distinct(), ef))
+      h += 1
+    }
+    rankGraph(frontier.select(col("query_id").as("id"),
+        col("node").as("neighbor"), col("sim")))
+      .select(col("vec_id").as("query_id"), col("rank"),
+        col("neighbor_id"), col("sim"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Bounded per-query top-ef over (query_id, node, sim). */
+  private def topEf(scored: DataFrame, ef: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(ef))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("node"), col("sim")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e._1").as("node"), col("e._2").as("sim"))
+  }
+
   /** Incremental maintenance: append new vectors under the FROZEN
     * centroids, compute their neighbor lists from their buckets'
     * candidates, and merge the reverse edges into affected old lists —

@@ -288,6 +288,54 @@ object SimilarityQueries {
       viol.unionByName(floor).orderBy("violation", "query_id")
     }),
 
+    // Graph-guided ANN SEARCH gate (HNSW-layer-0 over the persisted
+    // q314 artifact): IVF entry probe + `hops` best-first expansions
+    // over the STORED neighbor lists, each hop a top-ef over a SUPERSET
+    // of the previous frontier — so per-query exact-hit counts are
+    // non-decreasing in hops (integers, no tolerance) and the hops=2
+    // search must clear the 0.8 mean-recall floor (q314's bar) at a
+    // bounded candidate budget (ef=24, nprobe=3 of 16 buckets — a
+    // fraction of the corpus, never a scan; the stored lists are only
+    // k=5 wide, which caps how fast a walk can recover a crude probe).
+    // Violations emit; oracle is the empty relation.
+    "q318_graph_search_gate" -> ((s, dir) => {
+      import graft.operators.KnnGraph
+      val e = emb(s, dir)
+      val layoutDir = Tables.embeddingsKnnLayout(s, dir, k = 5,
+        nlist = 16, nassign = 3)
+      val exact = Similarity.bruteForceTopKAgg(e, e, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val byHops = Seq(0, 2).map { h =>
+        KnnGraph.searchFromLayout(layoutDir, e, "vec_id", "embedding",
+            k = 5, ef = 24, hops = h, nprobe = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            lit(h.toLong).as("hops"), lit(1L).as("hit"))
+      }.reduce(_ unionByName _)
+      val counted = exact.join(byHops, Seq("query_id", "neighbor_id"),
+          "left")
+        .filter(col("hops").isNotNull)
+        .groupBy("query_id", "hops").agg(sum("hit").as("hits"))
+      val hits = e.select(col("vec_id").as("query_id"),
+          explode(array(lit(0L), lit(2L))).as("hops"))
+        .join(counted, Seq("query_id", "hops"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      val viol = hits.filter(col("hops") === 0)
+        .select(col("query_id"), col("hits").as("hits0"))
+        .join(hits.filter(col("hops") === 2)
+          .select(col("query_id"), col("hits").as("hits1")), Seq("query_id"))
+        .filter(col("hits1") < col("hits0"))
+        .select(lit("hops_regressed").as("violation"), col("query_id"),
+          col("hits0"), col("hits1"))
+      val floor = hits.filter(col("hops") === 2)
+        .agg((sum("hits") / (count(lit(1)) * 5)).as("recall"))
+        .filter(col("recall") < 0.8)
+        .select(lit("recall_floor").as("violation"), lit(-1L).as("query_id"),
+          (col("recall") * 1000).cast("bigint").as("hits0"),
+          lit(800L).as("hits1"))
+      viol.unionByName(floor).orderBy("violation", "query_id")
+    }),
+
     // k-NN-graph INCREMENTAL-APPEND gate (q107's lifecycle pointed at
     // the graph layout): build over the base slice, append the held-out
     // slice (frozen centroids, reverse-edge merge, victim-partition
@@ -1300,6 +1348,12 @@ object SimilarityQueries {
     // Theorem (hit counts non-decreasing in rounds) + recall floor:
     // empty.
     "q314_knn_graph_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |  CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits0,
+        |  CAST(NULL AS BIGINT) AS hits1
+        |WHERE FALSE""".stripMargin,
+    // Graph-search hops monotone + recall floor: empty.
+    "q318_graph_search_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS violation,
         |  CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits0,
         |  CAST(NULL AS BIGINT) AS hits1

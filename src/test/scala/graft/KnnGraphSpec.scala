@@ -128,6 +128,54 @@ class KnnGraphSpec extends SparkSpec {
       "appended layout diverged from the from-scratch union build")
   }
 
+  test("searchFromLayout with full probe and ef >= N degenerates to exact brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_sr").toString
+    val e = emb
+    val n = e.count().toInt
+    KnnGraph.writeKnnGraphLayout(e, "vec_id", "embedding", dir, k = 3,
+      nlist = 8, nassign = 2, rounds = 0, nparts = 4)
+    val got = KnnGraph.searchFromLayout(dir, e, "vec_id", "embedding",
+      k = 3, ef = n, hops = 0, nprobe = 8)
+    val exact = Similarity.bruteForceTopKAgg(e, e, "vec_id", "embedding",
+      k = 3)
+    assert(got.exceptAll(exact).count() === 0L &&
+      exact.exceptAll(got).count() === 0L,
+      "full-coverage graph search diverged from exact k-NN")
+  }
+
+  test("graph search hops strictly improve a starved entry probe, never regress a query") {
+    // a 1-bucket entry probe with a tiny frontier misses cross-bucket
+    // neighbors; walking the stored lists must win some back and can
+    // never lose one (superset-top-ef law — the q318 gate's theorem,
+    // proven non-vacuous here)
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_sh").toString
+    val e = emb
+    KnnGraph.writeKnnGraphLayout(e, "vec_id", "embedding", dir, k = 5,
+      nlist = 16, nassign = 2, rounds = 0, nparts = 4)
+    val exact = Similarity.bruteForceTopKAgg(e, e, "vec_id", "embedding",
+        k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def hitsByQuery(hops: Int) =
+      KnnGraph.searchFromLayout(dir, e, "vec_id", "embedding", k = 5,
+          ef = 8, hops = hops, nprobe = 1)
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val h0 = hitsByQuery(0)
+    val h2 = hitsByQuery(2)
+    val agg = h0.select(col("query_id"), col("hits").as("h0"))
+      .join(h2.select(col("query_id"), col("hits").as("h2")),
+        Seq("query_id"), "full")
+      .select(coalesce(col("h0"), lit(0L)).as("h0"),
+        coalesce(col("h2"), lit(0L)).as("h2"))
+      .agg(sum("h0").as("t0"), sum("h2").as("t2"),
+        sum(when(col("h2") < col("h0"), 1L).otherwise(0L)).as("regressed"))
+      .as[(Long, Long, Long)].head()
+    assert(agg._3 === 0L, s"${agg._3} queries lost exact hits over hops")
+    assert(agg._2 > agg._1,
+      s"hops did not improve recall (${agg._1} -> ${agg._2}) — " +
+        "the q318 monotonicity gate would be vacuous")
+  }
+
   test("readMeta fails loudly on a directory that is not a knn layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_knn_bad").toString
     val err = intercept[IllegalArgumentException] {
