@@ -63,14 +63,16 @@ object Manifest {
     * snapshot.
     */
   private[graft] def commitManifest(dir: String, version: Int,
-      entries: Seq[Entry], conf: Configuration): Unit = {
+      entries: Seq[Entry], conf: Configuration, batch: Long = -1L): Unit = {
     val f = fs(dir, conf)
     val tmp = new Path(s"$dir/_manifests",
       s".tmp-${ProcessHandle.current().pid()}-v$version")
     val out = f.create(tmp, true)
     try {
-      out.write(s"""{"version":$version}\n"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val header = if (batch >= 0)
+        s"""{"version":$version,"batch":$batch}\n"""
+      else s"""{"version":$version}\n"""
+      out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       entries.sortBy(e => (e.p, e.file)).foreach { e =>
         out.write(s"""{"p":"${e.p}","file":"${e.file}"}\n"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -105,8 +107,14 @@ object Manifest {
       partCol: String, version: Int): Seq[Entry] = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val commitRel = f"data/c$version%06d"
+    // overwrite: version N's dir can only pre-exist as the debris of a
+    // CRASHED attempt at N (a committed N forces later writers to N+1),
+    // so a retry reclaims it cleanly. One writer per version — the
+    // manifest rename CAS serializes commits, not concurrent file
+    // writes into the same uncommitted dir.
     df.withColumn(PartDir, col(partCol).cast("string"))
-      .write.partitionBy(PartDir).parquet(s"$dir/$commitRel")
+      .write.mode("overwrite").partitionBy(PartDir)
+      .parquet(s"$dir/$commitRel")
     val f = fs(dir, conf)
     val PartSeg = s"$PartDir=(.+)".r
     f.listStatus(new Path(s"$dir/$commitRel")).toSeq
@@ -130,6 +138,53 @@ object Manifest {
     require(latestVersion(dir, conf) == 0,
       s"$dir already holds a manifested layout - use append/overwrite")
     commitManifest(dir, 1, writeCommitFiles(df, dir, partCol, 1), conf)
+  }
+
+  /** Batch ids already committed into this layout (bounded by the
+    * version count — one header line per manifest).
+    */
+  def committedBatches(dir: String, conf: Configuration): Set[Long] = {
+    val mdir = new Path(s"$dir/_manifests")
+    val f = fs(dir, conf)
+    if (!f.exists(mdir)) return Set.empty
+    val B = """"batch":(\d+)""".r
+    f.listStatus(mdir).toSeq
+      .filter(_.getPath.getName.matches("v\\d{6}\\.json"))
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        val head = try {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in,
+              java.nio.charset.StandardCharsets.UTF_8))
+          Option(r.readLine()).getOrElse("")
+        } finally in.close()
+        B.findFirstMatchIn(head).map(_.group(1).toLong)
+      }.toSet
+  }
+
+  /** EXACTLY-ONCE streaming sink commit (the foreachBatch contract):
+    * append `df` as one atomic commit STAMPED with the micro-batch id.
+    * A replayed batch — Structured Streaming re-delivers the same
+    * batchId after a crash or rebalance — is detected by the stamp and
+    * skipped BEFORE any file is written, so retries cannot duplicate
+    * rows or even shed orphans. Returns whether the batch committed
+    * (false = replay no-op). The at-least-once foreachBatch delivery
+    * plus this idempotent commit is exactly-once publication.
+    */
+  def commitBatch(df: DataFrame, dir: String, partCol: String,
+      batchId: Long): Boolean = {
+    require(batchId >= 0, s"commitBatch: batchId must be >= 0, got $batchId")
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    if (committedBatches(dir, conf).contains(batchId)) return false
+    // empty micro-batches (streaming engines deliver them) publish
+    // nothing; re-skipping an unstamped empty replay is harmless
+    if (df.isEmpty) return false
+    val base = latestVersion(dir, conf)
+    val entries = writeCommitFiles(df, dir, partCol, base + 1)
+    val prev = if (base >= 1) readManifest(dir, base, conf)
+               else Seq.empty[Entry]
+    commitManifest(dir, base + 1, prev ++ entries, conf, batch = batchId)
+    true
   }
 
   /** Append-only commit: old entries survive untouched. */

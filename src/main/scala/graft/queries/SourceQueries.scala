@@ -226,6 +226,18 @@ object SourceQueries {
     "q223_stream_tar_export" -> ((s, dir) =>
       graft.streaming.DocumentStreams.streamingTarShardExport(s, dir)),
 
+    // EXACTLY-ONCE streaming ingest into a transactional-manifest
+    // layout: every micro-batch publishes as ONE batch-stamped manifest
+    // commit, and the gate re-delivers every batch (foreachBatch called
+    // twice with the same batchId — the crash-replay case) to prove the
+    // stamp turns at-least-once delivery into exactly-once publication.
+    // The read-back per-source census must equal the batch census of
+    // the table (full hash); a replay that re-committed would either
+    // double the census or emit the REPLAYED row — the oracle has
+    // neither.
+    "q319_stream_manifest_ingest" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingManifestIngest(s, dir)),
+
     // URL canonicalization + canonical-URL dedup — the FIRST pass of
     // every crawl-derived corpus (C4/CCNet dedup by canonical URL
     // before reading a byte of content). The fixture plants one messy
@@ -1345,6 +1357,12 @@ object SourceQueries {
         |  md5(text) AS text_md5
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // Replay-proof manifest ingest: the per-source census of the table,
+    // exactly once — no REPLAYED row, no doubled counts.
+    "q319_stream_manifest_ingest" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q216_tar_shards_roundtrip" ->
       """SELECT doc_id,
         |  CAST((doc_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard,

@@ -564,6 +564,48 @@ object DocumentStreams {
       .orderBy("doc_id")
   }
 
+  /** Streaming EXACTLY-ONCE manifest ingest — the q316 commit protocol
+    * as a foreachBatch sink: each micro-batch publishes as ONE
+    * batch-stamped manifest commit (`Manifest.commitBatch`), and the
+    * gate REPLAYS every delivery (calls the batch function twice with
+    * the same batchId — what Structured Streaming does after a crash or
+    * rebalance) to prove the stamp makes at-least-once delivery
+    * exactly-once publication: the replay is skipped before a single
+    * file is written. Readers of the accreting layout get snapshot
+    * isolation for free — a batch is fully visible or not at all, never
+    * half its partitions. The read-back census per source must equal
+    * the batch census of the table (the q319 hash gate); any replay
+    * that re-committed emits a REPLAYED violation row the oracle
+    * doesn't have.
+    */
+  def streamingManifestIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_manifest").toString
+    val replayCommitted = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = readDocumentsStream(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Manifest.commitBatch(batch, out, "source", batchId)
+        // delivery retry: same batchId arrives again
+        if (graft.operators.Manifest.commitBatch(batch, out, "source",
+            batchId))
+          replayCommitted.incrementAndGet()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val census = graft.operators.Manifest.read(spark, out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    val viol = spark.range(1)
+      .filter(lit(replayCommitted.get() > 0))
+      .select(lit("REPLAYED").as("source"),
+        lit(replayCommitted.get()).as("n_docs"), lit(-1L).as("sum_chars"))
+    census.unionByName(viol).orderBy("source")
+  }
+
   /** Streaming frequent-token downsampling — q182's rewrite applied at
     * the ingestion door: the keep-ceilings come from the STANDING
     * corpus census (`Scrub.tokenCeilings`; at 100 TB that census is

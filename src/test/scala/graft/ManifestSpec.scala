@@ -129,6 +129,27 @@ class ManifestSpec extends SparkSpec {
       "a NULL-valued victim predicate over-deleted the null-id row")
   }
 
+  test("commitBatch: replays skip before writing a byte; empty batches publish nothing") {
+    val dir = mkdir()
+    assert(Manifest.commitBatch(fixture.filter($"grp" === "a"), dir, "grp", 0L))
+    // crash-replay of batch 0: skipped, and skipped BEFORE any file
+    // lands (no new commit dir, not even an orphan)
+    val before = crcs(dir).keySet
+    assert(!Manifest.commitBatch(
+      fixture.filter($"grp" === "a"), dir, "grp", 0L))
+    assert(crcs(dir).keySet === before,
+      "a replayed batch wrote files — replay must be a pure no-op")
+    assert(Manifest.commitBatch(fixture.filter($"grp" === "b"), dir, "grp", 1L))
+    // an empty micro-batch (streaming engines deliver them) is a no-op
+    // that doesn't burn a version or break readers
+    assert(!Manifest.commitBatch(fixture.filter($"grp" === "zzz"), dir,
+      "grp", 2L))
+    assert(Manifest.read(spark, dir).select("id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(Manifest.committedBatches(dir,
+      spark.sparkContext.hadoopConfiguration) === Set(0L, 1L))
+  }
+
   test("pinned reader sees old-or-new, never a mix, across a multi-partition rewrite") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
