@@ -39,7 +39,13 @@ object Manifest {
 
   private val PartDir = "__p"
 
-  private[graft] case class Entry(p: String, file: String)
+  /** One snapshot member: partition value, relative file path, and —
+    * when the layout tracks a stats column — the file's min/max of it
+    * (None when every row's stats value is NULL; such a file is
+    * conservatively INCLUDED by every range read).
+    */
+  private[graft] case class Entry(p: String, file: String,
+      lo: Option[Long] = None, hi: Option[Long] = None)
 
   private def fs(dir: String, conf: Configuration) =
     new Path(dir).getFileSystem(conf)
@@ -74,7 +80,11 @@ object Manifest {
       else s"""{"version":$version}\n"""
       out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       entries.sortBy(e => (e.p, e.file)).foreach { e =>
-        out.write(s"""{"p":"${e.p}","file":"${e.file}"}\n"""
+        val stats = (e.lo, e.hi) match {
+          case (Some(l), Some(h)) => s""","lo":$l,"hi":$h"""
+          case _ => ""
+        }
+        out.write(s"""{"p":"${e.p}","file":"${e.file}"$stats}\n"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
@@ -94,8 +104,11 @@ object Manifest {
     val in = f.open(p)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toVector finally in.close()
-    val Line = """\{"p":"([^"]*)","file":"([^"]*)"\}""".r
-    lines.drop(1).map { case Line(pv, file) => Entry(pv, file) }
+    val Line =
+      """\{"p":"([^"]*)","file":"([^"]*)"(?:,"lo":(-?\d+),"hi":(-?\d+))?\}""".r
+    lines.drop(1).map { case Line(pv, file, lo, hi) =>
+      Entry(pv, file, Option(lo).map(_.toLong), Option(hi).map(_.toLong))
+    }
   }
 
   /** Write `df` as an UNCOMMITTED commit directory and return its
@@ -104,8 +117,9 @@ object Manifest {
     * every reader until a manifest referencing them is renamed in.
     */
   private[graft] def writeCommitFiles(df: DataFrame, dir: String,
-      partCol: String, version: Int): Seq[Entry] = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      partCol: String, version: Int, statsCol: String = null): Seq[Entry] = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     val commitRel = f"data/c$version%06d"
     // overwrite: version N's dir can only pre-exist as the debris of a
     // CRASHED attempt at N (a committed N forces later writers to N+1),
@@ -115,6 +129,18 @@ object Manifest {
     df.withColumn(PartDir, col(partCol).cast("string"))
       .write.mode("overwrite").partitionBy(PartDir)
       .parquet(s"$dir/$commitRel")
+    // per-file min/max of the stats column for range skipping: one scan
+    // of ONLY the just-written bytes, keyed by physical file
+    val stats: Map[String, (Long, Long)] =
+      if (statsCol == null) Map.empty
+      else spark.read.parquet(s"$dir/$commitRel")
+        .groupBy(input_file_name().as("__f"))
+        .agg(min(col(statsCol).cast("long")).as("lo"),
+          max(col(statsCol).cast("long")).as("hi"))
+        .filter(col("lo").isNotNull)
+        .collect()
+        .map(r => tailKey(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+        .toMap
     val f = fs(dir, conf)
     val PartSeg = s"$PartDir=(.+)".r
     f.listStatus(new Path(s"$dir/$commitRel")).toSeq
@@ -128,16 +154,38 @@ object Manifest {
             "protocol requires plain date/number/word partition values")
         f.listStatus(d.getPath).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(s => Entry(p, s"$commitRel/$PartDir=$p/${s.getPath.getName}"))
+          .map { s =>
+            val name = s.getPath.getName
+            // a task writing several partitions reuses its part-file
+            // name in each __p= dir, so the stats key carries both
+            val st = stats.get(s"$PartDir=$p/$name")
+            Entry(p, s"$commitRel/$PartDir=$p/$name",
+              st.map(_._1), st.map(_._2))
+          }
       }
   }
 
-  /** Create a new manifested layout (v1). Loud if one already exists. */
-  def create(df: DataFrame, dir: String, partCol: String): Unit = {
+  /** Last two path segments — `__p=<v>/<file>` — the within-commit
+    * unique key for a data file.
+    */
+  private def tailKey(uri: String): String = {
+    val i = uri.lastIndexOf('/')
+    val j = uri.lastIndexOf('/', i - 1)
+    uri.substring(j + 1)
+  }
+
+  /** Create a new manifested layout (v1). Loud if one already exists.
+    * `statsCol` (optional, a long-castable column) turns on per-file
+    * min/max tracking for `readRange` data skipping — every later
+    * commit into the layout must pass the same column.
+    */
+  def create(df: DataFrame, dir: String, partCol: String,
+      statsCol: String = null): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     require(latestVersion(dir, conf) == 0,
       s"$dir already holds a manifested layout - use append/overwrite")
-    commitManifest(dir, 1, writeCommitFiles(df, dir, partCol, 1), conf)
+    commitManifest(dir, 1, writeCommitFiles(df, dir, partCol, 1, statsCol),
+      conf)
   }
 
   /** Batch ids already committed into this layout (bounded by the
@@ -172,7 +220,7 @@ object Manifest {
     * plus this idempotent commit is exactly-once publication.
     */
   def commitBatch(df: DataFrame, dir: String, partCol: String,
-      batchId: Long): Boolean = {
+      batchId: Long, statsCol: String = null): Boolean = {
     require(batchId >= 0, s"commitBatch: batchId must be >= 0, got $batchId")
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     if (committedBatches(dir, conf).contains(batchId)) return false
@@ -180,7 +228,7 @@ object Manifest {
     // nothing; re-skipping an unstamped empty replay is harmless
     if (df.isEmpty) return false
     val base = latestVersion(dir, conf)
-    val entries = writeCommitFiles(df, dir, partCol, base + 1)
+    val entries = writeCommitFiles(df, dir, partCol, base + 1, statsCol)
     val prev = if (base >= 1) readManifest(dir, base, conf)
                else Seq.empty[Entry]
     commitManifest(dir, base + 1, prev ++ entries, conf, batch = batchId)
@@ -188,11 +236,12 @@ object Manifest {
   }
 
   /** Append-only commit: old entries survive untouched. */
-  def append(df: DataFrame, dir: String, partCol: String): Unit = {
+  def append(df: DataFrame, dir: String, partCol: String,
+      statsCol: String = null): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
-    val entries = writeCommitFiles(df, dir, partCol, base + 1)
+    val entries = writeCommitFiles(df, dir, partCol, base + 1, statsCol)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf) ++ entries, conf)
   }
@@ -283,6 +332,70 @@ object Manifest {
     require(hit.nonEmpty,
       s"readPartitions: no manifest entry for any of $values in $dir")
     spark.read.parquet(hit.map(e => s"$dir/${e.file}"): _*)
+  }
+
+  /** DATA-SKIPPING range read over the tracked stats column: only
+    * files whose [min,max] intersects [lo,hi] — plus stats-less files,
+    * conservatively — are LISTED at all, so a selective range over a
+    * range-clustered layout reads a file fraction, not the table. The
+    * caller still applies the precise row predicate (file stats admit,
+    * they don't filter). Loud if the layout never tracked stats: a
+    * silent full scan behind a "skipping" API is the trap this require
+    * closes.
+    */
+  def readRange(spark: SparkSession, dir: String, lo: Long,
+      hi: Long): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = readManifest(dir, latestVersion(spark, dir), conf)
+    require(entries.exists(_.lo.isDefined),
+      s"readRange: $dir tracks no file stats (build it with statsCol) - " +
+        "a range read here would be a silent full scan")
+    val hit = entries.filter(e => (e.lo, e.hi) match {
+      case (Some(l), Some(h)) => l <= hi && h >= lo
+      case _ => true // all-null stats: range membership unknown, include
+    })
+    require(hit.nonEmpty,
+      s"readRange: no file intersects [$lo,$hi] in $dir")
+    spark.read.parquet(hit.map(e => s"$dir/${e.file}"): _*)
+  }
+
+  /** Small-file COMPACTION as one atomic commit: each partition's rows
+    * rewrite into `filesPerPartition` files (range-clustered on the
+    * stats column when tracked, so skipping stats stay tight), and the
+    * whole rewrite publishes in a single manifest rename — readers see
+    * the fragmented layout or the compacted one, never half of each,
+    * and the content is BIT-EQUAL by construction (same rows, new file
+    * boundaries). The streaming-ingest accretion path (q319: one file
+    * per partition per micro-batch) is exactly what this repairs; until
+    * `vacuum`, the pre-compaction snapshot stays readable.
+    */
+  def compact(spark: SparkSession, dir: String, partCol: String,
+      filesPerPartition: Int = 1, statsCol: String = null): Unit = {
+    require(filesPerPartition >= 1,
+      s"compact: filesPerPartition must be >= 1, got $filesPerPartition")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(spark, dir)
+    val t = readVersion(spark, dir, base)
+    // partition-domain census (the same bound every lifecycle op rides)
+    val nParts = t.select(col(partCol)).distinct().count().toInt
+    val clustered =
+      if (filesPerPartition == 1) {
+        // hash by the partition column: a partition's rows land WHOLE
+        // in one task — exactly one file each (a range split could put
+        // a task boundary inside a partition); sorting within the task
+        // keeps parquet row-group stats tight even though the one
+        // file's manifest range is necessarily the partition's full one
+        val r = t.repartition(nParts, col(partCol))
+        if (statsCol != null)
+          r.sortWithinPartitions(col(partCol), col(statsCol))
+        else r
+      } else if (statsCol != null)
+        t.repartitionByRange(nParts * filesPerPartition, col(partCol),
+          col(statsCol))
+      else t.repartition(nParts * filesPerPartition, col(partCol))
+    val entries = writeCommitFiles(clustered, dir, partCol, base + 1,
+      statsCol)
+    commitManifest(dir, base + 1, entries, conf)
   }
 
   /** Retention pass: delete every data file the LATEST manifest doesn't

@@ -203,6 +203,80 @@ object ChangeDataQueries {
       freshAgg.unionByName(pinViol).unionByName(crashViol).orderBy("dt")
     }),
 
+    // Manifest DATA SKIPPING (min/max file stats — the Delta/Iceberg
+    // move that makes a non-partition-column range read cheap): the
+    // layout is built range-clustered on o_custkey with per-file
+    // min/max recorded in the manifest, and `readRange` LISTS only the
+    // files whose interval intersects the probe — never a scan with a
+    // post-filter. The content gate applies the precise predicate on
+    // the admitted files and must hash-equal the oracle's restatement
+    // over the raw table (proving stats admit every matching row); the
+    // NOSKIP violation fires unless at least half the files were
+    // skipped (runtime file-list proof, not plan text).
+    "q320_manifest_skipping_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_manifest_skip").toString
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Manifest.create(o.repartitionByRange(8, col("o_custkey")), tmp,
+        "o_orderstatus", statsCol = "o_custkey")
+      val hit = Manifest.readRange(s, tmp, 10L, 40L)
+      val total = Manifest.read(s, tmp).inputFiles.length
+      val listed = hit.inputFiles.length
+      val census = hit.filter(col("o_custkey").between(10L, 40L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+      val viol = s.range(1).filter(lit(listed * 2 > total))
+        .select(lit("NOSKIP").as("o_orderstatus"),
+          lit(listed.toLong).as("n"), lit(total.toLong).as("sum_cust"),
+          lit(0.0).as("sum_price"))
+      census.unionByName(viol).orderBy("o_orderstatus")
+    }),
+
+    // Manifest COMPACTION (the q319 accretion repair): three appends
+    // fragment the layout (one file per partition per commit, plus the
+    // range-clustered create), then `compact` rewrites every partition
+    // into ONE range-clustered file per partition, published as a
+    // single atomic manifest rename. Content must be bit-stable
+    // (hash-gated census over the compacted snapshot — same oracle
+    // arithmetic as the raw table), the file count must actually drop
+    // to one per partition (FRAGMENTED violation otherwise), and
+    // skipping stats survive compaction (readRange still admits all
+    // matching rows — folded into the census by reading THROUGH
+    // readRange).
+    "q321_manifest_compaction_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_manifest_compact").toString
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Manifest.create(o.filter(col("o_orderkey") % 3 === 0), tmp,
+        "o_orderstatus", statsCol = "o_custkey")
+      Manifest.append(o.filter(col("o_orderkey") % 3 === 1), tmp,
+        "o_orderstatus", statsCol = "o_custkey")
+      Manifest.append(o.filter(col("o_orderkey") % 3 === 2), tmp,
+        "o_orderstatus", statsCol = "o_custkey")
+      val before = Manifest.read(s, tmp).inputFiles.length
+      Manifest.compact(s, tmp, "o_orderstatus", filesPerPartition = 1,
+        statsCol = "o_custkey")
+      val after = Manifest.read(s, tmp).inputFiles.length
+      val nParts = 3 // o_orderstatus domain: O / F / P
+      val census = Manifest.readRange(s, tmp, 0L, Long.MaxValue)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+      val viol = s.range(1)
+        .filter(lit(after > nParts || after >= before))
+        .select(lit("FRAGMENTED").as("o_orderstatus"),
+          lit(after.toLong).as("n"), lit(before.toLong).as("sum_cust"),
+          lit(0.0).as("sum_price"))
+      census.unionByName(viol).orderBy("o_orderstatus")
+    }),
+
     // Manifest lifecycle tail — append, purge, TIME TRAVEL, vacuum: a
     // synthetic day appends (v2), users 3/7 purge (v3; emptied
     // partitions vanish from the manifest — the silent-retention trap
@@ -267,6 +341,19 @@ object ChangeDataQueries {
         |      OR CAST(ts AS DATE) = DATE '2024-01-09'
         |    THEN value * 2 ELSE value END), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Range-read census over the skipping layout — no NOSKIP row.
+    "q320_manifest_skipping_gate" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_custkey BETWEEN 10 AND 40
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Compacted snapshot ≡ the raw table — no FRAGMENTED row.
+    "q321_manifest_compaction_gate" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        |  ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Post-vacuum snapshot: purge survivors plus the appended synthetic
     // day — no TT_DIVERGED row.
     "q317_manifest_lifecycle_gate" ->

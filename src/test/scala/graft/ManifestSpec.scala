@@ -150,6 +150,51 @@ class ManifestSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration) === Set(0L, 1L))
   }
 
+  test("readRange: loud without stats; all-null-stats files conservatively included") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    val err = intercept[IllegalArgumentException] {
+      Manifest.readRange(spark, dir, 0L, 100L)
+    }
+    assert(err.getMessage.contains("silent full scan"))
+    // a file whose stats column is entirely NULL has no interval — it
+    // must be admitted by EVERY range probe, not silently skipped
+    val dir2 = mkdir()
+    Manifest.create(fixture.withColumn("id",
+      when($"grp" === "c", lit(null)).otherwise($"id")), dir2, "grp",
+      statsCol = "id")
+    val got = Manifest.readRange(spark, dir2, 1L, 2L)
+    assert(got.inputFiles.exists(_.contains("__p=c")),
+      "all-null-stats file was skipped — unknown range must admit")
+    assert(got.filter($"id".between(1L, 2L)).count() === 2L)
+    // and a disjoint interval IS skipped: grp=b holds ids 3,4 only
+    assert(!Manifest.readRange(spark, dir2, 1L, 2L).inputFiles
+      .exists(_.contains("__p=b")),
+      "a file with a disjoint stats interval was listed")
+  }
+
+  test("compact(filesPerPartition=1) leaves one file per partition, content bit-stable") {
+    val dir = mkdir()
+    Manifest.create(fixture.filter($"id" % 2 === 0), dir, "grp",
+      statsCol = "id")
+    Manifest.append(fixture.filter($"id" % 2 === 1), dir, "grp",
+      statsCol = "id")
+    val before = Manifest.read(spark, dir)
+    val want = before.collect().map(_.toString).sorted.toSeq
+    assert(before.inputFiles.length > 3, "fixture bug: not fragmented")
+    Manifest.compact(spark, dir, "grp", filesPerPartition = 1,
+      statsCol = "id")
+    val after = Manifest.read(spark, dir)
+    assert(after.inputFiles.length === 3,
+      s"expected 1 file per partition, got ${after.inputFiles.length}")
+    assert(after.collect().map(_.toString).sorted.toSeq === want,
+      "compaction changed the content")
+    // skipping stats survive: the compacted manifest still carries
+    // per-file intervals readRange can prune on
+    assert(Manifest.readRange(spark, dir, 1L, 6L)
+      .count() === 6L)
+  }
+
   test("pinned reader sees old-or-new, never a mix, across a multi-partition rewrite") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
