@@ -362,6 +362,53 @@ object SimilarityQueries {
         .orderBy("vec_id", "rnk", "side")
     }),
 
+    // PCA WHITENING gate: exact grid covariance census (one
+    // treeAggregate, 1e-6-integer partials — partition-order-proof),
+    // driver Jacobi eigen over the model-sized matrix, literal-weight
+    // whitening columns — then the SAME exact census re-runs on the
+    // whitened output and must find covariance ≈ I (|off-diag| and
+    // |diag − 1| ≤ 0.01, a quantization-honest tolerance) with a ~zero
+    // mean, plus exact eigen sanity: trace preserved on the grid and
+    // eigenvalues non-increasing. All checks emit violation rows;
+    // oracle is the empty relation.
+    "q323_whitening_gate" -> ((s, dir) => {
+      import graft.operators.Whitening
+      val e = emb(s, dir)
+      val (mean, cov, _) = Whitening.meanAndCovGrid(e, "embedding")
+      val (vals, vecs) = Whitening.jacobiEigen(cov)
+      val d = mean.length
+      // PCA truncation guard: a near-null direction whitens to
+      // variance λ/(λ+eps) ≈ 0 by construction, not by defect
+      val topD = vals.count(_ > 1e-6)
+      val w = e.select(col("vec_id"),
+        Whitening.whitenColumn(col("embedding"), mean, vals, vecs,
+          topD).as("wv"))
+      val (wMean, wCov, _) = Whitening.meanAndCovGrid(w, "wv")
+      val viols = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
+      val trace = (0 until d).map(i => cov(i)(i)).sum
+      if (math.abs(vals.sum - trace) > 1e-9 * math.max(1.0, trace))
+        viols += (("trace_drift", -1L, -1L, vals.sum - trace))
+      vals.sliding(2).zipWithIndex.foreach {
+        case (Array(a, b), i) if b > a + 1e-12 =>
+          viols += (("eig_not_sorted", i.toLong, (i + 1).toLong, b - a))
+        case _ =>
+      }
+      for (i <- 0 until topD; j <- i until topD) {
+        val want = if (i == j) 1.0 else 0.0
+        val got = wCov(i)(j)
+        if (math.abs(got - want) > 0.01)
+          viols += (("cov_not_identity", i.toLong, j.toLong, got))
+      }
+      wMean.zipWithIndex.foreach { case (m, i) =>
+        if (math.abs(m) > 0.01)
+          viols += (("mean_not_zero", i.toLong, -1L, m))
+      }
+      import s.implicits._
+      viols.toSeq.toDF("violation", "i", "j", "value")
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("violation", "i", "j")
+    }),
+
     // Streaming semantic admission (SemDeDup at the door) — see
     // DocumentStreams.streamingSemanticAdmission. FULL-hash gate: the
     // oracle states the exact NOT-EXISTS cosine rule over the planted
@@ -1351,6 +1398,11 @@ object SimilarityQueries {
       """SELECT CAST(NULL AS VARCHAR) AS violation,
         |  CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits0,
         |  CAST(NULL AS BIGINT) AS hits1
+        |WHERE FALSE""".stripMargin,
+    // Whitened covariance ≈ I + eigen sanity: empty.
+    "q323_whitening_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation, CAST(NULL AS BIGINT) AS i,
+        |  CAST(NULL AS BIGINT) AS j, CAST(NULL AS DOUBLE) AS value
         |WHERE FALSE""".stripMargin,
     // Graph-search hops monotone + recall floor: empty.
     "q318_graph_search_gate" ->

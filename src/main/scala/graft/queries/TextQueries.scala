@@ -1186,6 +1186,49 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CONFIDENT-LEARNING label-noise audit (the cleanlab move, run at
+    // corpus scale): observed labels are q310's planted-language rule
+    // with a DETERMINISTIC corruption at doc_id % 17 == 3 (observed =
+    // true+1 mod 4 — ~6% noise). The softmax trains on the NOISY
+    // labels, still learns the dominant clean signal (the soups are
+    // strongly separable), and the audit flags every row whose
+    // prediction disagrees with its observed label — which must be
+    // EXACTLY the corrupted rows: one model slip on a clean row, or
+    // one corrupted row the model absorbed, fails the FULL hash. Same
+    // scale shape as q310 (treeAggregate GD, codegen argmax predict).
+    "q322_label_noise_audit" -> ((s, dir) => {
+      import graft.operators.LangId
+      val pools = Seq(
+        "through should because people world never might while",
+        "también están mucho años señor ciudad cuando entonces",
+        "zwischen während müssen schön öffnen vielleicht immer heute",
+        "être déjà toujours français beaucoup même aussi jamais")
+      val soups = markers.map(_._1).zip(pools).map { case (lg, pool) =>
+        val mk = markers.find(_._1 == lg).get._2.mkString(" ")
+        ((mk + " " + pool + " ") * 3).trim
+      }
+      val soupExpr = when(col("true_label") === 0, soups(0))
+        .when(col("true_label") === 1, soups(1))
+        .when(col("true_label") === 2, soups(2))
+        .otherwise(soups(3))
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("true_label", col("doc_id") % 4)
+        .withColumn("observed",
+          when(col("doc_id") % 17 === 3, (col("true_label") + 1) % 4)
+            .otherwise(col("true_label")))
+        .withColumn("text", concat(soupExpr, lit(" "),
+          array_join(slice(words(col("text")), 1, 8), " ")))
+        .select(col("doc_id"), col("observed"), col("text"))
+      val (feat, fcols) = LangId.withNgramFeatures(planted, "text",
+        n = 3, buckets = 32)
+      val model = LangId.trainSoftmaxFull(feat, fcols, "observed",
+        numClasses = 4, iters = 25, lr = 3.0)
+      feat.select(col("doc_id"), col("observed"),
+          model.predict(fcols.map(col)).cast("bigint").as("pred"))
+        .filter(col("pred") =!= col("observed"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary OOV-rate profile (tokenizer-coverage diagnostic): the
     // top-100 corpus vocabulary stands in for a fixed tokenizer vocab;
     // per doc, the fraction of token OCCURRENCES falling outside it —
@@ -4325,6 +4368,13 @@ object TextQueries {
         |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'en'
         |    WHEN 1 THEN 'es' WHEN 2 THEN 'de' ELSE 'fr' END AS pred_lang
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
+    // FULL hash: flagged rows are exactly the corruption plant — the
+    // oracle restates the flip rule, not the model.
+    "q322_label_noise_audit" ->
+      """SELECT doc_id, CAST((doc_id % 4 + 1) % 4 AS BIGINT) AS observed,
+        |  CAST(doc_id % 4 AS BIGINT) AS pred
+        |FROM documents WHERE text IS NOT NULL AND doc_id % 17 = 3
+        |ORDER BY doc_id""".stripMargin,
     "q117_percentile_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS v,
         |  CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS rank_lt,
