@@ -393,6 +393,47 @@ object Packing {
       .drop("__h")
   }
 
+  /** Deterministic EPOCH-RESUME slice — the data-loader bookkeeping a
+    * crashed training run needs: the epoch order is the `shardShuffle`
+    * multiplicative-hash permutation (reproducible from (corpus, seed)
+    * alone), docs pack greedily into `batchTokens`-sized global steps
+    * (a doc belongs to the step where it STARTS — `cum_before div
+    * batchTokens`), and resume-from-step-k is a FILTER on the step
+    * column, not a replay of the consumed prefix. Restarting at step k
+    * therefore reads exactly the unconsumed suffix, bit-identical to
+    * what an uninterrupted run would have fed from step k on (the q324
+    * full-hash gate; PackingSpec pins prefix+suffix = whole epoch).
+    *
+    * Scale shape: the global running total uses the same binned
+    * two-phase prefix sum as `tokenBudgetCap` — a broadcast offset
+    * table over ~2^8 hash-range bins, per-bin windows, never a
+    * single-reducer global window. Contract: non-negative ids below
+    * 2^32 (hash injectivity), non-null non-negative `tokenCol`.
+    *
+    * Output: input columns + (pos, cum_before, step), filtered to
+    * step ≥ fromStep.
+    */
+  def resumeSlice(docs: DataFrame, idCol: String, tokenCol: String,
+      batchTokens: Long, fromStep: Long, seed: Long = 0L): DataFrame = {
+    require(batchTokens >= 1,
+      s"resumeSlice: batchTokens must be >= 1, got $batchTokens")
+    require(fromStep >= 0, s"resumeSlice: fromStep must be >= 0, got $fromStep")
+    val h = pmod((col(idCol) + lit(seed)) * lit(2654435761L),
+      lit(4294967296L))
+    val ordered = docs.withColumn("__pos", h).withColumn("__grp", lit(0))
+    // 2^24-wide bins over the 2^32 hash range → ≤ 256 offset cells
+    val (withCum, _) = binnedRunningTotals(ordered, "__grp", "__pos",
+      tokenCol, binSize = 1L << 24, maxBinRows = 1L << 22, maxBins = 1 << 12)
+    withCum
+      .withColumn("cum_before", col("cum_tokens") - col(tokenCol))
+      // exact Long division (FP floor drifts past 2^53 — the 100 T-token
+      // cum is within reach of that)
+      .withColumn("step", expr(s"cum_before div ${batchTokens}L"))
+      .filter(col("step") >= fromStep)
+      .withColumnRenamed("__pos", "pos")
+      .drop("__grp", "cum_tokens")
+  }
+
   /** The skew predicate behind the oversized-cell warn, extracted so the
     * spec can pin exactly when the bound fires. Row shape is binStats:
     * (group, __bin, __bin_sum, __bin_rows).

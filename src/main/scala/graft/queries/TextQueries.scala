@@ -1721,6 +1721,24 @@ object TextQueries {
         .orderBy("shard", "pos")
     }),
 
+    // Deterministic EPOCH-RESUME slice (the crashed-training-run
+    // bookkeeping): the epoch order is the q106 multiplicative-hash
+    // permutation, docs pack greedily into 2k-token global steps, and
+    // resume-from-step-5 is a FILTER on the step column — the suffix an
+    // uninterrupted run would have fed from step 5 on, bit-identical
+    // (FULL hash: the oracle restates the hash order, the window
+    // cumsum, and the floor-divide step rule). Scale shape: the global
+    // running total is the q100 binned two-phase prefix sum — a ≤256-
+    // cell broadcast offset table, per-bin windows, never one reducer.
+    "q324_resume_slice" -> ((s, dir) => {
+      graft.operators.Packing.resumeSlice(
+          docs(s, dir).filter(col("n_chars").isNotNull)
+            .select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", batchTokens = 2000L, fromStep = 5L)
+        .select(col("doc_id"), col("step"), col("cum_before"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrub profile (q49's planted-fixture pattern): the corpus
     // text contains no PII by construction, so every 25th document is
     // planted with an email + IPv4 + card-number suffix — the oracle
@@ -4620,6 +4638,21 @@ object TextQueries {
         |   FROM h)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    // Hash order + window cumsum + floor-divide step, restated; `//` is
+    // DuckDB's integer floor division (operands non-negative, so it
+    // agrees with Spark's `div`).
+    "q324_resume_slice" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |    (doc_id * 2654435761) % 4294967296 AS pos
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        | c AS (SELECT doc_id, n_chars,
+        |    COALESCE(SUM(n_chars) OVER (ORDER BY pos, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM h)
+        |SELECT doc_id, CAST(cum_before // 2000 AS BIGINT) AS step,
+        |  CAST(cum_before AS BIGINT) AS cum_before
+        |FROM c WHERE cum_before // 2000 >= 5 ORDER BY doc_id""".stripMargin,
     // The oracle re-plants the same PII suffix and runs the same
     // Java∩RE2 patterns through RE2; md5 of the redacted text makes the
     // hash gate validate the exact redaction bytes, not just counts.

@@ -280,4 +280,35 @@ class PackingSpec extends SparkSpec {
         s"prefix $ord: group $g has ${counts(g)}, expected ~$expect")
     }
   }
+
+  test("resumeSlice: prefix + suffix partition the epoch; hand-checked step rule") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("n_chars").isNotNull)
+      .select("doc_id", "n_chars")
+    val full = Packing.resumeSlice(d, "doc_id", "n_chars",
+      batchTokens = 2000L, fromStep = 0L)
+    assert(full.count() === d.count(),
+      "resume from step 0 must be the whole epoch")
+    // a resume slice is EXACTLY the full run filtered to step >= k —
+    // same rows, same cum_before, same step (bit-identical suffix)
+    val k = 5L
+    val sliced = Packing.resumeSlice(d, "doc_id", "n_chars",
+      batchTokens = 2000L, fromStep = k)
+    val expect = full.filter(org.apache.spark.sql.functions.col("step") >= k)
+    assert(sliced.exceptAll(expect).count() === 0L &&
+      expect.exceptAll(sliced).count() === 0L,
+      "resume slice diverged from the uninterrupted run's suffix")
+    assert(sliced.count() > 0 && sliced.count() < full.count(),
+      "fixture bug: the resume point fell outside the epoch")
+    // hand rule: steps are cum_before div batchTokens (a straddling doc
+    // belongs to the step where it STARTS), monotone in the epoch order
+    val rows = full.select("pos", "cum_before", "step")
+      .orderBy("pos").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1) / 2000L, s"step rule broken at $r")
+    }
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a.getLong(2) <= b.getLong(2); case _ => true },
+      "steps must be non-decreasing in epoch order")
+  }
 }
