@@ -3087,6 +3087,51 @@ object TextQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // RM3 PSEUDO-RELEVANCE-FEEDBACK query expansion (the classic IR
+    // move layered on q273's BM25): the top-10 feedback docs per query
+    // vote expansion terms with weight Σ_d (tf·1e6 div dl) ·
+    // score_micro — EXACT integers end to end (the only FP is q273's
+    // already-gated 6dp score, frozen to micros before the sum), so
+    // the cross-engine sum-order hazard of a double Σ over feedback
+    // docs cannot exist. Original query terms are excluded; top-5 new
+    // terms per query by (weight desc, term asc). FULL hash. Scale
+    // shape: the feedback set is broadcast-sized (queries × 10), the
+    // term explosion runs over ONLY those docs, and the final window
+    // ranks ≤ |vocab of 10 docs| rows per query.
+    "q325_rm3_expansion" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w10 = Window.partitionBy("query_id")
+        .orderBy(col("score_r").desc, col("doc_id").asc)
+      val fb = bm25Scores(s, dir)
+        .withColumn("rnk", row_number().over(w10))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score_r") * 1000000).cast("bigint").as("score_micro"))
+      val fbDocs = fb.select("doc_id").distinct()
+      val tf2 = docs(s, dir).filter(col("text").isNotNull)
+        .join(broadcast(fbDocs), Seq("doc_id"))
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("bigint").as("dl"),
+          explode(words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+      val qt = broadcast(bm25QueryDefs
+        .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query_id", "w"))
+      val weights = tf2.join(broadcast(fb), Seq("doc_id"))
+        .withColumn("contrib",
+          expr("(tf * 1000000 div dl) * score_micro"))
+        .groupBy("query_id", "w").agg(sum("contrib").as("weight"))
+        .join(qt, Seq("query_id", "w"), "left_anti")
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("weight").desc, col("w").asc)
+      weights.withColumn("rnk", row_number().over(wr).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("w"), col("weight"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // Best-of-n scaling curve — the inference-compute question ("how
     // much does reward improve with more samples?") answered exactly:
     // for n ∈ {1,2,4,8}, the mean best reward when each prompt keeps
@@ -5560,6 +5605,34 @@ object TextQueries {
     // streaming twin q282 scores against the frozen model map-side and
     // drains to the identical relation.
     "q273_bm25_topk" -> bm25TopKOracle,
+    // q273's core + the integer RM3 vote: feedback scores freeze to
+    // micros BEFORE the sum, contributions are (tf·1e6 // dl) ·
+    // score_micro Longs, so engine and oracle add the same integers.
+    "q325_rm3_expansion" ->
+      s"""WITH $bm25CoreSql,
+         | r AS (SELECT query_id, doc_id, ROUND(score, 6) AS score,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id
+         |       ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+         |   FROM sc),
+         | fb AS (SELECT query_id, doc_id,
+         |     CAST(ROUND(score * 1000000) AS BIGINT) AS score_micro
+         |   FROM r WHERE rnk <= 10),
+         | tok2 AS (SELECT b.doc_id, b.dl, unnest(b.ws) AS w
+         |   FROM base b WHERE b.doc_id IN (SELECT doc_id FROM fb)),
+         | tf2 AS (SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+         |   FROM tok2 WHERE w <> '' GROUP BY 1, 2, 3),
+         | c AS (SELECT f.query_id, t.w,
+         |     SUM((t.tf * 1000000 // t.dl) * f.score_micro) AS weight
+         |   FROM fb f JOIN tf2 t USING (doc_id) GROUP BY 1, 2),
+         | x AS (SELECT c.query_id, c.w, c.weight FROM c
+         |   WHERE NOT EXISTS (SELECT 1 FROM qt
+         |     WHERE qt.query_id = c.query_id AND qt.w = c.w)),
+         | e AS (SELECT query_id, w, weight,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id
+         |       ORDER BY weight DESC, w ASC) AS rnk FROM x)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(rnk AS BIGINT) AS rnk, w, CAST(weight AS BIGINT) AS weight
+         |FROM e WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q282_stream_bm25" -> bm25TopKOracle,
     // The merged history+delta model carries the same integer counts as
     // the from-scratch model, so the search result is q273's.
