@@ -612,8 +612,103 @@ case class HashedNgramHist(child: Expression, n: Int, buckets: Int)
     copy(child = newChild)
 }
 
+/** Aho–Corasick multi-PATTERN occurrence counter: one byte pass over
+  * `lower(text)` counts every occurrence of every pattern — including
+  * occurrences that overlap each other or cross word boundaries (the
+  * capability `MarkerHits` deliberately lacks: that kernel is
+  * whole-word-exact). This is the blocklist/phrase-scrub kernel at
+  * 100 TB — K patterns cost O(len + matches) per row instead of K
+  * regex scans — and overlapping hits are counted, so a self-bordered
+  * pattern like "aba" scores twice in "ababa" (the spec pins it).
+  *
+  * Patterns must be non-empty lowercase-ASCII printable strings (byte
+  * automaton; case folding happens on the TEXT side via
+  * UTF8String.toLowerCase). The automaton (goto over the 256-byte
+  * alphabet, BFS failure links, per-node aggregated output lists)
+  * builds once per executor from the broadcast pattern list — model
+  * state, bounded by Σ|pattern|·256 ints.
+  */
+case class AhoCorasickCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback
+    with Serializable {
+
+  require(patterns.nonEmpty &&
+    patterns.forall(p => p.nonEmpty && p.forall(c => c >= ' ' && c < 127 &&
+      !(c >= 'A' && c <= 'Z'))),
+    s"patterns must be non-empty lowercase printable ASCII, got: " +
+      patterns.mkString("; "))
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "aho_corasick_counts"
+
+  // (goto, fail, outputs): goto is nodes×256, outputs(n) lists the
+  // pattern indices whose match ends at node n (own + failure closure)
+  @transient private lazy val automaton
+      : (Array[Array[Int]], Array[Int], Array[Array[Int]]) = {
+    val gotoT = scala.collection.mutable.ArrayBuffer(Array.fill(256)(-1))
+    val out = scala.collection.mutable.ArrayBuffer(Array.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      p.getBytes("UTF-8").foreach { b =>
+        val c = b & 0xff
+        if (gotoT(node)(c) < 0) {
+          gotoT(node)(c) = gotoT.length
+          gotoT += Array.fill(256)(-1)
+          out += Array.empty[Int]
+        }
+        node = gotoT(node)(c)
+      }
+      out(node) = out(node) :+ pi
+    }
+    val n = gotoT.length
+    val fail = new Array[Int](n)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    (0 until 256).foreach { c =>
+      val s = gotoT(0)(c)
+      if (s < 0) gotoT(0)(c) = 0
+      else { fail(s) = 0; queue.enqueue(s) }
+    }
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      (0 until 256).foreach { c =>
+        val s = gotoT(r)(c)
+        if (s >= 0) {
+          queue.enqueue(s)
+          fail(s) = gotoT(fail(r))(c)
+          if (out(fail(s)).nonEmpty) out(s) = out(s) ++ out(fail(s))
+        } else gotoT(r)(c) = gotoT(fail(r))(c)
+      }
+    }
+    (gotoT.toArray, fail, out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val (g, _, out) = automaton
+    val s = input.asInstanceOf[UTF8String].toLowerCase
+    val len = s.numBytes()
+    val counts = new Array[Long](patterns.length)
+    var node = 0
+    var i = 0
+    while (i < len) {
+      node = g(node)(s.getByte(i) & 0xff)
+      val hits = out(node)
+      var j = 0
+      while (j < hits.length) { counts(hits(j)) += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextOps {
   private def wrap(e: Expression): Column = ColumnBridge.column(e)
+
+  def ahoCorasickCounts(text: Column, patterns: Seq[String]): Column =
+    wrap(AhoCorasickCounts(ColumnBridge.expression(text), patterns))
 
   def shingleHashSet(text: Column, n: Int): Column =
     wrap(ShingleHashSet(ColumnBridge.expression(text), n))

@@ -1739,6 +1739,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Aho–Corasick BLOCKLIST census (the multi-phrase scrub kernel at
+    // 100 TB: K patterns in ONE byte pass per row instead of K regex
+    // scans; phrases may span word boundaries — the capability the
+    // word-exact MarkerHits kernel deliberately lacks). Planted
+    // fixture: spam phrases appended on exact doc_id rules, counted by
+    // the kernel per doc and FULL-hash-gated against the oracle's
+    // split-based occurrence counts (patterns are borderless, so
+    // non-overlapping split counts equal all occurrences; the
+    // overlapping-hit semantics pin in ExpressionsSpec).
+    "q326_blocklist_census" -> ((s, dir) => {
+      val pats = Seq("buy cheap", "cheap now", "casino jackpot", "free win")
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" Buy cheap now buy CHEAP now")))
+          .when(col("doc_id") % 11 === 5,
+            concat(col("text"), lit(" casino jackpot free win free win")))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+          graft.expressions.TextOps.ahoCorasickCounts(col("text"), pats)
+            .as("c"))
+        .select(col("doc_id"),
+          col("c")(0).as("n_buy_cheap"), col("c")(1).as("n_cheap_now"),
+          col("c")(2).as("n_casino"), col("c")(3).as("n_free_win"))
+        .filter(col("n_buy_cheap") + col("n_cheap_now")
+          + col("n_casino") + col("n_free_win") > 0)
+        .orderBy("doc_id")
+    }),
+
     // PII scrub profile (q49's planted-fixture pattern): the corpus
     // text contains no PII by construction, so every 25th document is
     // planted with an email + IPv4 + card-number suffix — the oracle
@@ -4683,6 +4712,30 @@ object TextQueries {
         |   FROM h)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    // Planted text restated; counts via split on lower(text) — the
+    // patterns are borderless, so split's non-overlapping count is the
+    // total occurrence count the kernel reports.
+    "q326_blocklist_census" ->
+      """WITH p AS (SELECT doc_id,
+        |    lower(CASE WHEN doc_id % 7 = 2
+        |        THEN text || ' Buy cheap now buy CHEAP now'
+        |      WHEN doc_id % 11 = 5
+        |        THEN text || ' casino jackpot free win free win'
+        |      ELSE text END) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        | c AS (SELECT doc_id,
+        |    CAST(len(string_split(t, 'buy cheap')) - 1 AS BIGINT)
+        |      AS n_buy_cheap,
+        |    CAST(len(string_split(t, 'cheap now')) - 1 AS BIGINT)
+        |      AS n_cheap_now,
+        |    CAST(len(string_split(t, 'casino jackpot')) - 1 AS BIGINT)
+        |      AS n_casino,
+        |    CAST(len(string_split(t, 'free win')) - 1 AS BIGINT)
+        |      AS n_free_win
+        |  FROM p)
+        |SELECT * FROM c
+        |WHERE n_buy_cheap + n_cheap_now + n_casino + n_free_win > 0
+        |ORDER BY doc_id""".stripMargin,
     // Hash order + window cumsum + floor-divide step, restated; `//` is
     // DuckDB's integer floor division (operands non-negative, so it
     // agrees with Spark's `div`).

@@ -361,4 +361,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(fpBase.intersect(fpShift).nonEmpty,
       "no shared chunk fingerprints after a prefix edit - chunking is not content-defined")
   }
+
+  test("AhoCorasickCounts: overlap, cross-pattern, case folding, and a brute-force referee") {
+    import graft.expressions.TextOps
+    def run(text: String, pats: Seq[String]): Seq[Long] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(TextOps.ahoCorasickCounts(org.apache.spark.sql.functions.col("t"), pats))
+        .as[Seq[Long]].head()
+    // overlapping self-bordered hits ALL count: "ababa" holds "aba" at
+    // offsets 0 and 2 (a split-based counter reports 1 — why the
+    // oracle-gated q326 restricts itself to borderless patterns)
+    assert(run("ababa", Seq("aba")) === Seq(2L))
+    // two patterns overlapping EACH OTHER both count; word boundaries
+    // are irrelevant (the MarkerHits contrast)
+    assert(run("xbuy cheap nowz", Seq("buy cheap", "cheap now")) === Seq(1L, 1L))
+    // case folds on the text side
+    assert(run("BUY CHEAP twice buy cheap", Seq("buy cheap")) === Seq(2L))
+    // brute-force referee on seeded random small-alphabet strings,
+    // patterns WITH borders (the hard overlap case)
+    val rnd = new scala.util.Random(42)
+    val pats = Seq("aa", "aba", "abab", "ba", "c")
+    (1 to 30).foreach { _ =>
+      val text = (1 to 200).map(_ => "abc".charAt(rnd.nextInt(3))).mkString
+      val want = pats.map { p =>
+        var c = 0L; var i = text.indexOf(p)
+        while (i >= 0) { c += 1; i = text.indexOf(p, i + 1) }
+        c
+      }
+      assert(run(text, pats) === want, s"referee mismatch on $text")
+    }
+  }
 }
