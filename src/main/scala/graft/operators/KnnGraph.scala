@@ -47,7 +47,19 @@ object KnnGraph {
   def knnGraphPairs(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, centroids: Array[Array[Double]], nassign: Int = 3,
       rounds: Int = 1, saltBuckets: Int = 8,
-      maxBucketRows: Int = 4096): DataFrame = {
+      maxBucketRows: Int = 4096): DataFrame =
+    knnGraphPairsTrajectory(corpus, idCol, vecCol, k, centroids, nassign,
+      rounds, saltBuckets, maxBucketRows).last._2
+
+  /** Every refinement stage of the build in one pass: Seq of
+    * (rounds, pairs) for rounds = 0..rounds, sharing the checkpointed
+    * intermediate frontiers — a gate comparing round r to round r+1
+    * (q314) pays ONE build, not one per round.
+    */
+  def knnGraphPairsTrajectory(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nassign: Int = 3, rounds: Int = 1, saltBuckets: Int = 8,
+      maxBucketRows: Int = 4096): Seq[(Int, DataFrame)] = {
     require(k >= 1, s"knnGraphPairs: k must be >= 1, got $k")
     require(rounds >= 0, s"knnGraphPairs: rounds must be >= 0, got $rounds")
     val vecs = Checkpoints.cut(corpus
@@ -70,10 +82,12 @@ object KnnGraph {
       .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
       .select(col("id_a").as("id"), col("id_b").as("neighbor"), col("sim"))
       .distinct()
-    var pairs = topKPairs(basePairs, k)
+    var pairs = Checkpoints.cut(topKPairs(basePairs, k))
+    val stages = Seq.newBuilder[(Int, DataFrame)]
+    stages += ((0, pairs))
     var r = 0
     while (r < rounds) {
-      val cur = Checkpoints.cut(pairs)
+      val cur = pairs
       val edges = cur.select("id", "neighbor")
       val und = edges
         .unionAll(edges.select(col("neighbor").as("id"),
@@ -89,10 +103,11 @@ object KnnGraph {
         .join(vecs.select(col("id").as("c"), col("v").as("vc")), Seq("c"))
         .select(col("a").as("id"), col("c").as("neighbor"),
           Similarity.cosine(col("va"), col("vc")).as("sim"))
-      pairs = topKPairs(cur.unionAll(scored).distinct(), k)
+      pairs = Checkpoints.cut(topKPairs(cur.unionAll(scored).distinct(), k))
+      stages += ((r + 1, pairs))
       r += 1
     }
-    pairs
+    stages.result()
   }
 
   /** Ranked presentation of a pair relation: (vec_id, rank,
@@ -216,7 +231,18 @@ object KnnGraph {
     */
   def searchFromLayout(dir: String, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, ef: Int = 16, hops: Int = 2,
-      nprobe: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+      nprobe: Int = 2, excludeSelf: Boolean = true): DataFrame =
+    searchFromLayoutTrajectory(dir, queries, idCol, vecCol, k, ef, hops,
+      nprobe, excludeSelf).last._2
+
+  /** Every hop of the search in one pass: Seq of (hop, ranked top-k),
+    * sharing the checkpointed frontiers — the q318 monotonicity gate
+    * pays ONE entry probe and one expansion chain for all hop counts.
+    */
+  def searchFromLayoutTrajectory(dir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, ef: Int = 16, hops: Int = 2,
+      nprobe: Int = 2, excludeSelf: Boolean = true)
+      : Seq[(Int, DataFrame)] = {
     require(ef >= k, s"searchFromLayout: ef ($ef) must be >= k ($k)")
     require(hops >= 0, s"searchFromLayout: hops must be >= 0, got $hops")
     val spark = queries.sparkSession
@@ -241,7 +267,16 @@ object KnnGraph {
     val entry = Similarity.ivfTopKFromLayout(s"$dir/vectors", queries,
         idCol, vecCol, ef, nprobe, excludeSelf)
       .select(col("query_id"), col("neighbor_id").as("node"))
+    def present(frontier: DataFrame): DataFrame =
+      rankGraph(frontier.select(col("query_id").as("id"),
+          col("node").as("neighbor"), col("sim")))
+        .select(col("vec_id").as("query_id"), col("rank"),
+          col("neighbor_id"), col("sim"))
+        .filter(col("rank") <= k)
+        .orderBy("query_id", "rank")
     var frontier = Checkpoints.cut(topEf(scoreNodes(entry), ef))
+    val stages = Seq.newBuilder[(Int, DataFrame)]
+    stages += ((0, present(frontier)))
     var h = 0
     while (h < hops) {
       val expand = frontier.select(col("query_id"), col("node"))
@@ -250,14 +285,10 @@ object KnnGraph {
         .distinct()
       frontier = Checkpoints.cut(topEf(
         frontier.unionAll(scoreNodes(expand)).distinct(), ef))
+      stages += ((h + 1, present(frontier)))
       h += 1
     }
-    rankGraph(frontier.select(col("query_id").as("id"),
-        col("node").as("neighbor"), col("sim")))
-      .select(col("vec_id").as("query_id"), col("rank"),
-        col("neighbor_id"), col("sim"))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    stages.result()
   }
 
   /** Bounded per-query top-ef over (query_id, node, sim). */

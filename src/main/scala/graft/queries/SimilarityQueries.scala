@@ -258,12 +258,14 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"))
       val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
         nlist = 16, iters = 10)
-      val byRounds = Seq(0, 1).map { r =>
-        KnnGraph.rankGraph(KnnGraph.knnGraphPairs(e, "vec_id", "embedding",
-            k = 5, cents, rounds = r))
-          .select(col("vec_id").as("query_id"), col("neighbor_id"),
-            lit(r.toLong).as("rounds"), lit(1L).as("hit"))
-      }.reduce(_ unionByName _)
+      // one build, both refinement stages (shared checkpointed frontier)
+      val byRounds = KnnGraph.knnGraphPairsTrajectory(e, "vec_id",
+          "embedding", k = 5, cents, rounds = 1)
+        .map { case (r, pairs) =>
+          KnnGraph.rankGraph(pairs)
+            .select(col("vec_id").as("query_id"), col("neighbor_id"),
+              lit(r.toLong).as("rounds"), lit(1L).as("hit"))
+        }.reduce(_ unionByName _)
       val counted = exact.join(byRounds, Seq("query_id", "neighbor_id"),
           "left")
         .filter(col("rounds").isNotNull)
@@ -306,12 +308,13 @@ object SimilarityQueries {
       val exact = Similarity.bruteForceTopKAgg(e, e, "vec_id", "embedding",
           k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val byHops = Seq(0, 2).map { h =>
-        KnnGraph.searchFromLayout(layoutDir, e, "vec_id", "embedding",
-            k = 5, ef = 24, hops = h, nprobe = 3)
-          .select(col("query_id"), col("neighbor_id"),
+      // one entry probe + expansion chain serves both hop counts
+      val byHops = KnnGraph.searchFromLayoutTrajectory(layoutDir, e,
+          "vec_id", "embedding", k = 5, ef = 24, hops = 2, nprobe = 3)
+        .collect { case (h, ranked) if h == 0 || h == 2 =>
+          ranked.select(col("query_id"), col("neighbor_id"),
             lit(h.toLong).as("hops"), lit(1L).as("hit"))
-      }.reduce(_ unionByName _)
+        }.reduce(_ unionByName _)
       val counted = exact.join(byHops, Seq("query_id", "neighbor_id"),
           "left")
         .filter(col("hops").isNotNull)
