@@ -365,6 +365,42 @@ object SimilarityQueries {
         .orderBy("vec_id", "rnk", "side")
     }),
 
+    // k-CENTER GREEDY coreset gate (farthest-point sampling — the
+    // "pick k maximally-diverse exemplars" pass): k driver rounds, one
+    // literal-center corpus pass each, corpus never shuffles. Gated on
+    // the THEOREM that the covering radius is non-increasing in k
+    // (checked on 6dp-rounded radii — adding a center cannot push any
+    // point farther from its nearest), plus a STRICT win over the
+    // naive first-k-ids baseline at the same k (non-vacuous: the
+    // greedy set must actually cover better, not just tie). Violations
+    // emit; oracle is the empty relation.
+    "q327_kcenter_coreset_gate" -> ((s, dir) => {
+      import graft.operators.Coreset
+      val e = emb(s, dir)
+      val k = 8
+      val greedy = Coreset.kCenterGreedy(e, "vec_id", "embedding", k)
+      val radii = Coreset.prefixRadii(e, "vec_id", "embedding", greedy)
+      val baseline = e.orderBy("vec_id").limit(k)
+        .select(col("vec_id").cast("long"),
+          graft.operators.Similarity.asDouble(col("embedding")))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val baseR = Coreset.prefixRadii(e, "vec_id", "embedding", baseline)
+        .last._2
+      val viols = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Double, Double)]
+      radii.sliding(2).foreach {
+        case Seq((j1, r1), (j2, r2)) if r2 > r1 =>
+          viols += (("radius_increased", j2.toLong, r1, r2))
+        case _ =>
+      }
+      if (radii.last._2 >= baseR)
+        viols += (("no_win_over_baseline", k.toLong, radii.last._2, baseR))
+      import s.implicits._
+      viols.toSeq.toDF("violation", "j", "r_prev", "r_next")
+        .orderBy("violation", "j")
+    }),
+
     // PCA WHITENING gate: exact grid covariance census (one
     // treeAggregate, 1e-6-integer partials — partition-order-proof),
     // driver Jacobi eigen over the model-sized matrix, literal-weight
@@ -1401,6 +1437,11 @@ object SimilarityQueries {
       """SELECT CAST(NULL AS VARCHAR) AS violation,
         |  CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits0,
         |  CAST(NULL AS BIGINT) AS hits1
+        |WHERE FALSE""".stripMargin,
+    // Radius monotone in k + strict win over first-k baseline: empty.
+    "q327_kcenter_coreset_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation, CAST(NULL AS BIGINT) AS j,
+        |  CAST(NULL AS DOUBLE) AS r_prev, CAST(NULL AS DOUBLE) AS r_next
         |WHERE FALSE""".stripMargin,
     // Whitened covariance ≈ I + eigen sanity: empty.
     "q323_whitening_gate" ->
