@@ -253,6 +253,58 @@ object Profile {
     * (group, p, q) with q = v_lo + frac·(v_hi − v_lo), the same
     * arithmetic `percentile()` publishes (pinned in ProfileSpec).
     */
+  /** Deterministic POISSON-BOOTSTRAP confidence interval for the
+    * per-group mean of `valueCol` — the uncertainty bars a data-quality
+    * monitor needs before it alarms on a mean shift. The classic
+    * bootstrap resamples with replacement, which is both random and a
+    * shuffle; the Poisson(1) approximation instead gives every row an
+    * independent weight w ~ Poisson(1) per replicate — and here the
+    * draw is DERANDOMIZED: u = ((id·B + b + 1)·2654435761) mod 2^32
+    * (the q106 multiplicative hash, oracle-restatable) thresholded
+    * against the EXACT integer Poisson(1) CDF cut points
+    * floor(P(≤k)·2^32), capped at 5. Replicate means are exact-integer
+    * milli values ((1000·Σw·v) div Σw), so engine and oracle agree bit
+    * for bit; the CI is the (lo+1)-th / (B−lo)-th order statistic of
+    * the B replicate means.
+    *
+    * Scale shape: ONE pass over docs × B weight terms — all map-side
+    * arithmetic — into a (group, b) census (groups × B rows), then a
+    * bounded window over the census. Contract: non-negative ids with
+    * id·B + B below 2^32, non-null values.
+    */
+  def bootstrapMeanCiMilli(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, b: Int = 64, loRank: Int = 2): DataFrame = {
+    require(b >= 4, s"bootstrapMeanCiMilli: need B >= 4 replicates, got $b")
+    require(loRank >= 1 && 2 * loRank <= b,
+      s"bootstrapMeanCiMilli: loRank $loRank out of range for B=$b")
+    // floor(P(X<=k) * 2^32) for X ~ Poisson(1), k = 0..4; w caps at 5
+    val cuts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L)
+    val u = pmod((col("__id") * b + col("b") + 1) * lit(2654435761L),
+      lit(4294967296L))
+    val w = cuts.map(c => when(u >= c, 1L).otherwise(0L)).reduce(_ + _)
+    val means = df
+      .select(col(groupCol).as("g"), col(idCol).cast("long").as("__id"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("w", w)
+      .groupBy("g", "b")
+      .agg(sum(col("w") * col("v")).as("sv"), sum("w").as("sw"))
+      .filter(col("sw") > 0)
+      .withColumn("mean_milli", expr("(1000 * sv) div sw"))
+    // the census is groups × B rows — both windows are bounded
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val win = grp.orderBy(col("mean_milli").asc, col("b").asc)
+    means
+      .withColumn("rnk", row_number().over(win))
+      .withColumn("n_b", count(lit(1)).over(grp))
+      .groupBy(col("g").as(groupCol))
+      .agg(max("n_b").cast("bigint").as("n_reps"),
+        max(when(col("rnk") === loRank, col("mean_milli"))).as("lo_milli"),
+        max(when(col("rnk") === col("n_b") - (loRank - 1),
+          col("mean_milli"))).as("hi_milli"))
+  }
+
   def censusQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),

@@ -1739,6 +1739,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic POISSON-BOOTSTRAP CI for the per-source mean doc
+    // length — the uncertainty bars a quality monitor needs before it
+    // alarms on a mean shift. The bootstrap is DERANDOMIZED (q106
+    // multiplicative hash thresholded on exact integer Poisson(1) CDF
+    // cut points) and every replicate mean is an exact integer milli
+    // value, so the whole resampling procedure — 64 replicates, order
+    // statistics and all — is FULL-hash-gated against the oracle's
+    // restatement. One map-side pass over docs × 64 weight terms into
+    // a (source, b) census; the windows run over census rows only.
+    "q328_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Profile.bootstrapMeanCiMilli(
+          docs(s, dir).filter(col("n_chars").isNotNull),
+          "doc_id", "source", "n_chars", b = 64, loRank = 2)
+        .orderBy("source")),
+
     // Aho–Corasick BLOCKLIST census (the multi-phrase scrub kernel at
     // 100 TB: K patterns in ONE byte pass per row instead of K regex
     // scans; phrases may span word boundaries — the capability the
@@ -4712,6 +4727,38 @@ object TextQueries {
         |   FROM h)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    // The whole derandomized bootstrap restated: same hash, same exact
+    // Poisson CDF cut points, same integer milli means, same order
+    // statistics.
+    "q328_bootstrap_ci" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents
+        |    WHERE n_chars IS NOT NULL),
+        | rep AS (SELECT d.source AS g, d.doc_id, d.n_chars, bb.b
+        |   FROM d CROSS JOIN
+        |     (SELECT unnest(generate_series(0, 63)) AS b) bb),
+        | ww AS (SELECT g, b, n_chars,
+        |    (CASE WHEN u >= 1580030168 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 3160060337 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 3950075421 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 4213413783 THEN 1 ELSE 0 END
+        |     + CASE WHEN u >= 4279248373 THEN 1 ELSE 0 END) AS w
+        |   FROM (SELECT g, b, n_chars,
+        |      ((doc_id * 64 + b + 1) * 2654435761) % 4294967296 AS u
+        |     FROM rep)),
+        | m AS (SELECT g, b, SUM(w * n_chars) AS sv, SUM(w) AS sw
+        |   FROM ww GROUP BY 1, 2),
+        | mm AS (SELECT g, b, (1000 * sv) // sw AS mean_milli
+        |   FROM m WHERE sw > 0),
+        | r AS (SELECT g, b, mean_milli,
+        |    ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY mean_milli, b) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY g) AS n_b FROM mm)
+        |SELECT g AS source, CAST(MAX(n_b) AS BIGINT) AS n_reps,
+        |  CAST(MAX(CASE WHEN rnk = 2 THEN mean_milli END) AS BIGINT)
+        |    AS lo_milli,
+        |  CAST(MAX(CASE WHEN rnk = n_b - 1 THEN mean_milli END) AS BIGINT)
+        |    AS hi_milli
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // Planted text restated; counts via split on lower(text) — the
     // patterns are borderless, so split's non-overlapping count is the
     // total occurrence count the kernel reports.

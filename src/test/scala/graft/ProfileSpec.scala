@@ -146,4 +146,35 @@ class ProfileSpec extends SparkSpec {
         Seq("event_type", "event_id"), "left_anti")
     assert(missed.count() === 0, "rows outside the fences were not flagged")
   }
+
+  test("bootstrapMeanCiMilli: brackets the point mean, deterministic, exact on a hand group") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .filter(col("n_chars").isNotNull)
+    val ci = Profile.bootstrapMeanCiMilli(d, "doc_id", "source", "n_chars")
+    val point = d.groupBy(col("source"))
+      .agg(expr("(1000 * sum(n_chars)) div count(1)").as("pm"))
+    val joined = ci.join(point, "source").collect()
+    assert(joined.length === 20)
+    // a 93.75% CI (rank 2 / 63 of 64) should bracket the point mean on
+    // every source at this corpus size — a few slips would mean the
+    // weights aren't Poisson-like at all
+    val inside = joined.count { r =>
+      val (lo, hi, pm) = (r.getAs[Long]("lo_milli"),
+        r.getAs[Long]("hi_milli"), r.getAs[Long]("pm"))
+      lo <= pm && pm <= hi && lo <= hi
+    }
+    assert(inside >= 18, s"only $inside/20 CIs bracket the point mean")
+    // derandomized: a second run is bit-identical
+    val again = Profile.bootstrapMeanCiMilli(d, "doc_id", "source",
+      "n_chars").collect().map(_.toString).sorted.toSeq
+    assert(again === ci.collect().map(_.toString).sorted.toSeq)
+    // hand law: a constant-valued group has every replicate mean equal
+    // to the constant (weights cancel), so lo = hi = 1000 * c
+    val const = Seq((1L, "g", 7L), (2L, "g", 7L), (3L, "g", 7L),
+      (4L, "g", 7L)).toDF("doc_id", "source", "n_chars")
+    val cc = Profile.bootstrapMeanCiMilli(const, "doc_id", "source",
+      "n_chars").collect().head
+    assert(cc.getAs[Long]("lo_milli") === 7000L &&
+      cc.getAs[Long]("hi_milli") === 7000L)
+  }
 }
