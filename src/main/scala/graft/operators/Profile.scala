@@ -305,6 +305,53 @@ object Profile {
           col("mean_milli"))).as("hi_milli"))
   }
 
+  /** Digest modulus: the Mersenne prime 2^61 − 1 (modular addition keeps
+    * the additive-union law exact while the pre-mod sum rides a
+    * decimal(38,0), good to ~2e20 rows).
+    */
+  val DigestModulus: Long = 2305843009213693951L
+
+  /** Content-addressed DATASET DIGEST — the "which bytes trained this
+    * model" identity card: per group, (row count, additive content
+    * digest). Each row hashes to a 60-bit integer (md5 of its canonical
+    * key string, first 15 hex digits — the cross-engine-safe cut) and
+    * the digest is the modular SUM, so it is ORDER- and
+    * PARTITIONING-INVARIANT by construction and INCREMENTAL: digest of
+    * a union is the pointwise modular sum of the parts' digests (no
+    * re-scan of history when a delta lands — the q166 census-merge
+    * move, applied to dataset identity). One map-side pass, one
+    * group-sized aggregate; at 100 TB the digest costs exactly one
+    * scan and merges across days/shards for free.
+    *
+    * Caveat (documented, not hidden): an additive digest is not
+    * collision-resistant against an ADVERSARY who can insert chosen
+    * rows; it is an integrity/identity check against drift, loss, and
+    * duplication, not a cryptographic commitment.
+    */
+  def datasetDigest(df: DataFrame, groupCol: String,
+      rowKey: Column): DataFrame = {
+    val h = conv(substring(md5(rowKey), 1, 15), 16, 10).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(h.cast("decimal(38,0)")),
+          lit(DigestModulus).cast("decimal(38,0)"))
+          .cast("long").as("digest"))
+  }
+
+  /** The incremental half: pointwise merge of two digest relations —
+    * counts add, digests add modulo `DigestModulus`. Groups absent on
+    * one side pass through.
+    */
+  def mergeDigests(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.select(col(groupCol), col("n_rows").as("na"), col("digest").as("da"))
+      .join(b.select(col(groupCol), col("n_rows").as("nb"),
+        col("digest").as("db")), Seq(groupCol), "full")
+      .select(col(groupCol),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)))
+          .as("n_rows"),
+        pmod(coalesce(col("da"), lit(0L)) + coalesce(col("db"), lit(0L)),
+          lit(DigestModulus)).as("digest"))
+
   def censusQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),

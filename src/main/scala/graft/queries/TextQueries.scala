@@ -1739,6 +1739,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Content-addressed DATASET DIGEST (the "which bytes trained this
+    // model" identity card): per source, row count + additive modular
+    // content digest (md5 of the canonical row key, 60-bit cut, summed
+    // mod 2^61−1) — order- and partitioning-invariant by construction
+    // and INCREMENTAL: the gate also merges an (80%, 20%) history+delta
+    // split pointwise and emits MERGE: violation rows unless the merge
+    // bit-equals the from-scratch digest (the oracle has none). FULL
+    // hash of the digests themselves against the oracle's restatement.
+    "q329_dataset_digest" -> ((s, dir) => {
+      import graft.operators.Profile
+      val key = concat_ws("|", col("doc_id"),
+        coalesce(col("lang"), lit("∅")),
+        coalesce(col("source"), lit("∅")),
+        coalesce(col("n_chars").cast("string"), lit("∅")),
+        md5(coalesce(col("text"), lit("∅"))))
+      val d = docs(s, dir)
+      val full = Profile.datasetDigest(d, "source", key)
+      val hist = Profile.datasetDigest(
+        d.filter(col("doc_id") % 5 =!= 4), "source", key)
+      val delta = Profile.datasetDigest(
+        d.filter(col("doc_id") % 5 === 4), "source", key)
+      val merged = Profile.mergeDigests(hist, delta, "source")
+      val viol = merged.exceptAll(full)
+        .unionAll(full.exceptAll(merged))
+        .select(concat(lit("MERGE:"), col("source")).as("source"),
+          col("n_rows"), col("digest"))
+      full.unionByName(viol).orderBy("source")
+    }),
+
     // Deterministic POISSON-BOOTSTRAP CI for the per-source mean doc
     // length — the uncertainty bars a quality monitor needs before it
     // alarms on a mean shift. The bootstrap is DERANDOMIZED (q106
@@ -4727,6 +4756,19 @@ object TextQueries {
         |   FROM h)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    // The digest restated (same canonical key, same 60-bit md5 cut,
+    // same Mersenne modulus); no MERGE: rows.
+    "q329_dataset_digest" ->
+      """WITH h AS (SELECT source,
+        |    CAST(('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || COALESCE(lang, '∅')
+        |      || '|' || COALESCE(source, '∅')
+        |      || '|' || COALESCE(CAST(n_chars AS VARCHAR), '∅')
+        |      || '|' || md5(COALESCE(text, '∅'))), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(hv) % 2305843009213693951 AS BIGINT) AS digest
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     // The whole derandomized bootstrap restated: same hash, same exact
     // Poisson CDF cut points, same integer milli means, same order
     // statistics.

@@ -177,4 +177,28 @@ class ProfileSpec extends SparkSpec {
     assert(cc.getAs[Long]("lo_milli") === 7000L &&
       cc.getAs[Long]("hi_milli") === 7000L)
   }
+
+  test("datasetDigest: partition-invariant, row-sensitive, additive merge law") {
+    val key = concat_ws("|", col("doc_id"), coalesce(col("text"), lit("?")))
+    val d = Tables.load(spark, sfDir, "documents")
+    val one = Profile.datasetDigest(d, "source", key)
+      .collect().map(_.toString).sorted.toSeq
+    assert(Profile.datasetDigest(d.repartition(13), "source", key)
+      .collect().map(_.toString).sorted.toSeq === one,
+      "digest must not depend on partitioning or row order")
+    // flipping ONE row's content must change its source's digest
+    val tweaked = Profile.datasetDigest(
+      d.withColumn("text",
+        when(col("doc_id") === 3L, lit("DRIFTED")).otherwise(col("text"))),
+      "source", key).collect().map(_.toString).sorted.toSeq
+    assert(tweaked !== one, "a single-row flip left every digest unchanged")
+    // additive law: disjoint halves merge to the whole, counts and all
+    val a = Profile.datasetDigest(d.filter(col("doc_id") % 2 === 0),
+      "source", key)
+    val b = Profile.datasetDigest(d.filter(col("doc_id") % 2 =!= 0),
+      "source", key)
+    assert(Profile.mergeDigests(a, b, "source")
+      .collect().map(_.toString).sorted.toSeq === one,
+      "merge of disjoint halves diverged from the from-scratch digest")
+  }
 }
