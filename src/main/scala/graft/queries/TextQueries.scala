@@ -1768,6 +1768,13 @@ object TextQueries {
       full.unionByName(viol).orderBy("source")
     }),
 
+    // Streaming twin of q329 — the live per-source dataset digest at
+    // the ingestion door (state: one (count, sum) pair per source; the
+    // additive digest is exactly the streamable shape). Bounded drain
+    // ≡ batch; shares q329's oracle.
+    "q330_stream_digest" -> ((s, dir) =>
+      graft.streaming.DocumentStreams.streamingDatasetDigest(s, dir)),
+
     // Deterministic POISSON-BOOTSTRAP CI for the per-source mean doc
     // length — the uncertainty bars a quality monitor needs before it
     // alarms on a mean shift. The bootstrap is DERANDOMIZED (q106
@@ -3943,6 +3950,21 @@ object TextQueries {
       |   FROM tf JOIN dfw USING (w) JOIN qt USING (w) CROSS JOIN g
       |   GROUP BY 1, 2)""".stripMargin
 
+  /** Shared by q329 (batch, with in-gate merge law) and q330 (streaming
+    * Complete-mode census twin): the content-digest restatement.
+    */
+  private lazy val datasetDigestOracle =
+    """WITH h AS (SELECT source,
+        |    CAST(('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || COALESCE(lang, '∅')
+        |      || '|' || COALESCE(source, '∅')
+        |      || '|' || COALESCE(CAST(n_chars AS VARCHAR), '∅')
+        |      || '|' || md5(COALESCE(text, '∅'))), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(hv) % 2305843009213693951 AS BIGINT) AS digest
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared by q273 (batch) and q282 (streaming frozen-model twin). */
   private lazy val bm25TopKOracle =
     s"""WITH $bm25CoreSql,
@@ -4757,18 +4779,10 @@ object TextQueries {
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
         |FROM s ORDER BY shard, pos""".stripMargin,
     // The digest restated (same canonical key, same 60-bit md5 cut,
-    // same Mersenne modulus); no MERGE: rows.
-    "q329_dataset_digest" ->
-      """WITH h AS (SELECT source,
-        |    CAST(('0x' || substr(md5(
-        |      CAST(doc_id AS VARCHAR) || '|' || COALESCE(lang, '∅')
-        |      || '|' || COALESCE(source, '∅')
-        |      || '|' || COALESCE(CAST(n_chars AS VARCHAR), '∅')
-        |      || '|' || md5(COALESCE(text, '∅'))), 1, 15)) AS BIGINT) AS hv
-        |  FROM documents)
-        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(hv) % 2305843009213693951 AS BIGINT) AS digest
-        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same Mersenne modulus); no MERGE: rows. The streaming twin q330
+    // drains the same census.
+    "q329_dataset_digest" -> datasetDigestOracle,
+    "q330_stream_digest" -> datasetDigestOracle,
     // The whole derandomized bootstrap restated: same hash, same exact
     // Poisson CDF cut points, same integer milli means, same order
     // statistics.

@@ -390,6 +390,37 @@ object DocumentStreams {
       EventStreams.runToMemory(census, OutputMode.Complete()))
   }
 
+  /** Streaming DATASET DIGEST — q329's content-addressed identity card
+    * maintained at the ingestion door: the additive modular digest is
+    * EXACTLY the streamable shape (a per-row 60-bit hash summed in
+    * Complete mode; state is one (sum, count) pair per source), so a
+    * 100 TB firehose keeps a live per-source digest without ever
+    * re-reading history. The stream side sums raw 60-bit hashes into a
+    * decimal census; the modular fold happens on the bounded drain.
+    * Bounded drain ≡ batch `Profile.datasetDigest` — shares q329's
+    * oracle (which carries no MERGE rows).
+    */
+  def streamingDatasetDigest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Profile
+    val key = concat_ws("|", col("doc_id"),
+      coalesce(col("lang"), lit("∅")),
+      coalesce(col("source"), lit("∅")),
+      coalesce(col("n_chars").cast("string"), lit("∅")),
+      md5(coalesce(col("text"), lit("∅"))))
+    val census = readDocumentsStream(spark, sfDir)
+      .select(col("source"),
+        conv(substring(md5(key), 1, 15), 16, 10).cast("long").as("hv"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("hv").cast("decimal(38,0)")).as("hsum"))
+    EventStreams.runToMemory(census, OutputMode.Complete())
+      .select(col("source"), col("n_rows"),
+        pmod(col("hsum"),
+          lit(Profile.DigestModulus).cast("decimal(38,0)"))
+          .cast("long").as("digest"))
+      .orderBy("source")
+  }
+
   /** Streaming license scrub — q245's SPDX classify+strip at the
     * ingestion door: the projection is per-row codegen regex
     * (`Scrub.licenseScrub`), so the streaming plan is fully stateless
