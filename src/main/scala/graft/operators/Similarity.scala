@@ -1035,6 +1035,90 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** SQ8 scalar-quantization ranges: exact per-dimension (min, max)
+    * from one posexploded census pass (map-side partial min/max, a
+    * d-row collect — model, not data). Loud on constant dimensions
+    * widened to a degenerate range: a zero step would make every code
+    * 0/0.
+    */
+  def trainSqRanges(corpus: DataFrame, idCol: String,
+      vecCol: String): Array[(Double, Double)] = {
+    val rows = corpus.select(asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+      .orderBy("d").collect()
+    require(rows.nonEmpty, "trainSqRanges: empty corpus")
+    rows.map { r =>
+      val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+      // a constant dim still quantizes (all codes 0) — give it a unit
+      // step so dequantize reproduces the constant exactly at code 0
+      if (hi > lo) (lo, hi) else (lo, lo + 1.0)
+    }
+  }
+
+  /** SQ8 codes: per-dim affine quantization to 0..255 stored as
+    * tinyint (shifted by −128) — 1 byte/dim, a 4× cut vs float and 8×
+    * vs double, with NO codebook training (the practical default rung
+    * between raw vectors and PQ on the compression ladder). Roundtrip
+    * error per dim is ≤ step/2 by construction (q331 gates it).
+    */
+  def sqQuantize(corpus: DataFrame, idCol: String, vecCol: String,
+      ranges: Array[(Double, Double)]): DataFrame = {
+    val los = typedLit(ranges.map(_._1).toSeq)
+    val steps = typedLit(ranges.map(r => (r._2 - r._1) / 255.0).toSeq)
+    corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("codes",
+        zip_with(zip_with(col("v"), los, (x, l) => x - l), steps,
+          (xl, st) => (round(xl / st) - 128).cast("tinyint")))
+      .select(col("neighbor_id"), col("codes"))
+  }
+
+  /** Dequantized vector from SQ8 codes (literal ranges). */
+  def sqDequantize(codes: Column, ranges: Array[(Double, Double)]): Column = {
+    val los = typedLit(ranges.map(_._1).toSeq)
+    val steps = typedLit(ranges.map(r => (r._2 - r._1) / 255.0).toSeq)
+    zip_with(zip_with(codes, steps,
+      (c, st) => (c.cast("double") + 128.0) * st), los, (t, l) => t + l)
+  }
+
+  /** SQ8 search with exact rerank (the q82 shape on the SQ rung):
+    * full-precision queries score DEQUANTIZED codes for a `candidates`
+    * shortlist — the scan carries 1 byte/dim — then only the shortlist
+    * joins back to true vectors for exact cosine ordering.
+    */
+  def sqRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, candidates: Int = 100,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates >= k, s"sqRerankTopK: candidates=$candidates < k=$k")
+    val ranges = trainSqRanges(corpus, idCol, vecCol)
+    val codes = fanout(sqQuantize(corpus, idCol, vecCol, ranges))
+      .withColumn("rv", sqDequantize(col("codes"), ranges))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val topc = udaf(new graft.functions.TopKAggregator(candidates))
+    val crossed = q.crossJoin(codes)
+    val cands = (if (excludeSelf)
+        crossed.filter(col("query_id") =!= col("neighbor_id"))
+      else crossed)
+      .withColumn("asim", cosine(col("qv"), col("rv")))
+      .groupBy("query_id").agg(topc(col("neighbor_id"), col("asim")).as("t"))
+      .select(col("query_id"), explode(col("t._1")).as("neighbor_id"))
+    val truth = fanout(corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.join(truth, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Johnson–Lindenstrauss random projection: map each vector to
     * `outDim` dimensions with a deterministic ±1/√outDim sign matrix —
     * the standard pre-ANN compression move (64→16 dims cuts every

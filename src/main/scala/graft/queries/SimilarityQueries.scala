@@ -365,6 +365,48 @@ object SimilarityQueries {
         .orderBy("vec_id", "rnk", "side")
     }),
 
+    // SQ8 scalar-quantization gate — the codebook-free rung of the
+    // compression ladder (raw → SQ8 1 byte/dim → PQ m bytes/vector →
+    // sign bits): per-dim affine codes from exact min/max ranges.
+    // Two laws: (a) roundtrip error per dimension is ≤ step/2 BY
+    // CONSTRUCTION — checked exactly, any dim over the bound emits;
+    // (b) SQ8-shortlist + exact-rerank search clears a 0.95 recall
+    // floor vs brute force (the shortlist scores 1-byte codes, rerank
+    // touches only `candidates` true vectors per query). Violations
+    // emit; oracle is the empty relation.
+    "q331_sq8_gate" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ranges = Similarity.trainSqRanges(e, "vec_id", "embedding")
+      val steps = ranges.map(r => (r._2 - r._1) / 255.0)
+      val lim = typedLit(steps.map(st => st / 2.0 + 1e-12).toSeq)
+      val rt = Similarity.sqQuantize(e, "vec_id", "embedding", ranges)
+        .withColumn("rv",
+          Similarity.sqDequantize(col("codes"), ranges))
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          Similarity.asDouble(col("embedding")).as("v")), Seq("neighbor_id"))
+        .withColumn("maxerr",
+          aggregate(zip_with(zip_with(col("v"), col("rv"),
+              (a, b) => abs(a - b)), lim, (d, l) => when(d > l, d - l)
+                .otherwise(lit(0.0))),
+            lit(0.0), (acc, x) => greatest(acc, x)))
+        .filter(col("maxerr") > 0)
+        .select(lit("roundtrip_bound").as("violation"),
+          col("neighbor_id").as("id"),
+          round(col("maxerr"), 9).as("a"), lit(0.0).as("b"))
+      val exact = Similarity.bruteForceTopKAgg(e, e, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = Similarity.sqRerankTopK(e, e, "vec_id", "embedding",
+          k = 5, candidates = 20)
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg((count(lit(1)) / (countDistinct(col("query_id")) * 5))
+          .as("recall"))
+      val floor = hits.filter(col("recall") < 0.95)
+        .select(lit("recall_floor").as("violation"), lit(-1L).as("id"),
+          round(col("recall"), 6).as("a"), lit(0.95).as("b"))
+      rt.unionByName(floor).orderBy("violation", "id")
+    }),
+
     // k-CENTER GREEDY coreset gate (farthest-point sampling — the
     // "pick k maximally-diverse exemplars" pass): k driver rounds, one
     // literal-center corpus pass each, corpus never shuffles. Gated on
@@ -1437,6 +1479,11 @@ object SimilarityQueries {
       """SELECT CAST(NULL AS VARCHAR) AS violation,
         |  CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits0,
         |  CAST(NULL AS BIGINT) AS hits1
+        |WHERE FALSE""".stripMargin,
+    // SQ8 roundtrip bound + rerank recall floor: empty.
+    "q331_sq8_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation, CAST(NULL AS BIGINT) AS id,
+        |  CAST(NULL AS DOUBLE) AS a, CAST(NULL AS DOUBLE) AS b
         |WHERE FALSE""".stripMargin,
     // Radius monotone in k + strict win over first-k baseline: empty.
     "q327_kcenter_coreset_gate" ->

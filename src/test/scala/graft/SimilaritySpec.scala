@@ -733,4 +733,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size === 1)
     assert(out.head._3 === 3L && out.head._4 === 1.0)
   }
+
+  test("SQ8: hand-exact codes and roundtrip; rerank ≡ brute force with full shortlist") {
+    import org.apache.spark.sql.functions.col
+    // ranges per dim: d0 [0,255] (step 1 — integers roundtrip EXACTLY),
+    // d1 [0,1] (step 1/255)
+    val d = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(255.0f, 1.0f)),
+      (3L, Array(7.0f, 0.5f)), (4L, Array(200.0f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val ranges = Similarity.trainSqRanges(d, "vec_id", "embedding")
+    assert(ranges.toSeq === Seq((0.0, 255.0), (0.0, 1.0)))
+    val codes = Similarity.sqQuantize(d, "vec_id", "embedding", ranges)
+      .orderBy("neighbor_id")
+      .as[(Long, Seq[Byte])].collect().toSeq
+    // code = round(x/step) - 128
+    assert(codes.map(_._2.head.toInt) === Seq(-128, 127, -121, 72))
+    val rv = Similarity.sqQuantize(d, "vec_id", "embedding", ranges)
+      .select(col("neighbor_id"),
+        Similarity.sqDequantize(col("codes"), ranges).as("rv"))
+      .orderBy("neighbor_id").as[(Long, Seq[Double])].collect()
+    // integer-step dim roundtrips exactly
+    assert(rv.map(_._2.head) === Array(0.0, 255.0, 7.0, 200.0))
+    // full shortlist degenerates to exact brute force
+    val got = Similarity.sqRerankTopK(d, d, "vec_id", "embedding", k = 2,
+      candidates = 4).collect().map(_.toString).sorted.toSeq
+    val want = Similarity.bruteForceTopKAgg(d, d, "vec_id", "embedding",
+      k = 2).collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+  }
 }
