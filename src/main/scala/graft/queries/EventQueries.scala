@@ -339,6 +339,47 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // CHAT-TRANSCRIPT assembly (multi-turn SFT data from an event log):
+    // q34's 30-minute sessions become conversations, each event a turn
+    // ("role: type#id", role from the event type), serialized in exact
+    // (ts, event_id) order and md5'd — the hash gate certifies the
+    // BYTES of every assembled transcript, not just counts — plus an
+    // alternation audit (adjacent same-role turns, the thing an SFT
+    // formatter must repair). Scale shape: two windows sharing one
+    // keyed (user) exchange, then collect_list bounded by session
+    // length; no global sort.
+    "q332_chat_assembly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables.load(s, dir, "events")
+        .withColumn("role",
+          when(col("event_type").isin("click", "view"), lit("user"))
+            .otherwise(lit("assistant")))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+              > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sess_no", sum("new_sess").over(wSum))
+        .withColumn("turn", concat(col("role"), lit(": "),
+          col("event_type"), lit("#"), col("event_id")))
+      val wSess = Window.partitionBy(col("user_id"), col("sess_no"))
+        .orderBy(col("ts"), col("event_id"))
+      e.withColumn("same_role",
+          when(lag(col("role"), 1).over(wSess) === col("role"), 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"), col("sess_no").as("session_n"))
+        .agg(count(lit(1)).as("n_turns"),
+          md5(concat_ws("\n",
+            transform(array_sort(collect_list(struct(col("ts"),
+              col("event_id"), col("turn")))), t => t("turn"))))
+            .as("transcript_md5"),
+          sum("same_role").as("n_breaks"))
+        .orderBy("user_id", "session_n")
+    }),
+
     // Multimodal: binary payload + codegen column-expression features
     // (octet_length / sha2 / fused ByteMean). The batched mapPartitions
     // decoder boundary (`extractFeatures`) computes the same features and
@@ -937,6 +978,29 @@ object EventQueries {
         |    AS vs_mean_ppm
         |FROM top CROSS JOIN t ORDER BY rank""".stripMargin,
     "q34_sessionize" -> sessionSql,
+    // q34's session rule + exact-order string_agg; md5 certifies the
+    // transcript bytes.
+    "q332_chat_assembly" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 'user'
+        |      ELSE 'assistant' END AS role
+        |  FROM events),
+        | g AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS sess FROM g),
+        | a AS (SELECT *, CASE WHEN LAG(role) OVER (PARTITION BY user_id,
+        |      sess ORDER BY ts, event_id) = role THEN 1 ELSE 0 END
+        |    AS samerole FROM s)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |  md5(string_agg(role || ': ' || event_type || '#'
+        |    || CAST(event_id AS VARCHAR), chr(10)
+        |    ORDER BY ts, event_id)) AS transcript_md5,
+        |  CAST(SUM(samerole) AS BIGINT) AS n_breaks
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q35_multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256_hex,
