@@ -380,6 +380,53 @@ object EventQueries {
         .orderBy("user_id", "session_n")
     }),
 
+    // LOSS-SPAN annotation over the q332 transcripts (the SFT masking
+    // pass: train on assistant turns only): each assistant turn's
+    // [start, end) char offsets inside its serialized transcript,
+    // derived from an exact cumulative sum of prior turn lengths plus
+    // separators. The per-session span list is md5'd in order — the
+    // hash gate certifies every offset byte — alongside the masked
+    // char budget (what the trainer's loss actually sees).
+    "q333_loss_spans" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables.load(s, dir, "events")
+        .withColumn("role",
+          when(col("event_type").isin("click", "view"), lit("user"))
+            .otherwise(lit("assistant")))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+              > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sess_no", sum("new_sess").over(wSum))
+        .withColumn("turn_len", length(concat(col("role"), lit(": "),
+          col("event_type"), lit("#"), col("event_id"))).cast("bigint"))
+      val wSess = Window.partitionBy(col("user_id"), col("sess_no"))
+        .orderBy(col("ts"), col("event_id"))
+      // start = prior turn lengths + one '\n' separator per prior turn
+      val withOff = e
+        .withColumn("turn_idx",
+          row_number().over(wSess).cast("bigint"))
+        .withColumn("start_c",
+          coalesce(sum("turn_len").over(wSess
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            + (col("turn_idx") - 1))
+        .withColumn("end_c", col("start_c") + col("turn_len"))
+      withOff.filter(col("role") === "assistant")
+        .groupBy(col("user_id"), col("sess_no").as("session_n"))
+        .agg(count(lit(1)).as("n_asst_turns"),
+          sum(col("turn_len")).as("asst_chars"),
+          md5(concat_ws(",",
+            transform(array_sort(collect_list(struct(col("turn_idx"),
+                col("start_c"), col("end_c")))),
+              t => concat(t("start_c"), lit("-"), t("end_c")))))
+            .as("spans_md5"))
+        .orderBy("user_id", "session_n")
+    }),
+
     // Multimodal: binary payload + codegen column-expression features
     // (octet_length / sha2 / fused ByteMean). The batched mapPartitions
     // decoder boundary (`extractFeatures`) computes the same features and
@@ -1001,6 +1048,38 @@ object EventQueries {
         |    ORDER BY ts, event_id)) AS transcript_md5,
         |  CAST(SUM(samerole) AS BIGINT) AS n_breaks
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The same session/turn arithmetic; spans as start-end strings,
+    // aggregated in turn order.
+    "q333_loss_spans" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 'user'
+        |      ELSE 'assistant' END AS role,
+        |    CAST(length((CASE WHEN event_type IN ('click', 'view')
+        |        THEN 'user' ELSE 'assistant' END) || ': ' || event_type
+        |      || '#' || CAST(event_id AS VARCHAR)) AS BIGINT) AS turn_len
+        |  FROM events),
+        | g AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS sess FROM g),
+        | o AS (SELECT *,
+        |    ROW_NUMBER() OVER ws AS turn_idx,
+        |    COALESCE(SUM(turn_len) OVER (PARTITION BY user_id, sess
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + ROW_NUMBER() OVER ws - 1 AS start_c
+        |  FROM s WINDOW ws AS (PARTITION BY user_id, sess
+        |    ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_asst_turns,
+        |  CAST(SUM(turn_len) AS BIGINT) AS asst_chars,
+        |  md5(string_agg(CAST(start_c AS VARCHAR) || '-'
+        |    || CAST(start_c + turn_len AS VARCHAR), ','
+        |    ORDER BY turn_idx)) AS spans_md5
+        |FROM o WHERE role = 'assistant'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q35_multimodal_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256_hex,

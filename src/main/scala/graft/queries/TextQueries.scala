@@ -1739,6 +1739,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // SLIDING RAG CHUNKS (window 32 tokens, stride 24 — 8-token
+    // overlap): the retrieval-side chunking every RAG corpus build
+    // runs, with provenance (doc_id, chunk_no, token offsets) and the
+    // chunk BYTES certified by md5 (the hash gate catches off-by-one
+    // slicing, separator drift, tail truncation). Pure map-side:
+    // explode a per-doc arithmetic start sequence, slice the token
+    // array — the text is read once and never shuffles whole.
+    "q334_sliding_chunks" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")).cast("bigint"))
+        .filter(col("n") >= 1)
+      d.withColumn("start",
+          explode(sequence(lit(0L), col("n") - 1, lit(24L))))
+        .withColumn("chunk", slice(col("ws"), col("start") + 1, lit(32)))
+        .select(col("doc_id"),
+          (col("start") / 24L).cast("bigint").as("chunk_no"),
+          col("start"), size(col("chunk")).cast("bigint").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_no")
+    }),
+
     // Content-addressed DATASET DIGEST (the "which bytes trained this
     // model" identity card): per source, row count + additive modular
     // content digest (md5 of the canonical row key, 60-bit cut, summed
@@ -4778,6 +4800,21 @@ object TextQueries {
         |   FROM h)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    // Same start arithmetic; DuckDB 1-based inclusive list slice.
+    "q334_sliding_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        | st AS (SELECT doc_id, ws, n,
+        |    unnest(generate_series(0, CAST(n - 1 AS BIGINT), 24)) AS start
+        |  FROM d)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_no,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(len(ws[start + 1 : LEAST(start + 32, n)]) AS BIGINT)
+        |    AS n_tokens,
+        |  md5(array_to_string(ws[start + 1 : LEAST(start + 32, n)], ' '))
+        |    AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_no""".stripMargin,
     // The digest restated (same canonical key, same 60-bit md5 cut,
     // same Mersenne modulus); no MERGE: rows. The streaming twin q330
     // drains the same census.
