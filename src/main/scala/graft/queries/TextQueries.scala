@@ -1746,18 +1746,48 @@ object TextQueries {
     // slicing, separator drift, tail truncation). Pure map-side:
     // explode a per-doc arithmetic start sequence, slice the token
     // array — the text is read once and never shuffles whole.
-    "q334_sliding_chunks" -> ((s, dir) => {
-      val d = docs(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .withColumn("n", size(col("ws")).cast("bigint"))
-        .filter(col("n") >= 1)
-      d.withColumn("start",
-          explode(sequence(lit(0L), col("n") - 1, lit(24L))))
-        .withColumn("chunk", slice(col("ws"), col("start") + 1, lit(32)))
-        .select(col("doc_id"),
-          (col("start") / 24L).cast("bigint").as("chunk_no"),
-          col("start"), size(col("chunk")).cast("bigint").as("n_tokens"),
+    "q334_sliding_chunks" -> ((s, dir) =>
+      slidingChunks(docs(s, dir))
+        .select(col("doc_id"), col("chunk_no"), col("start"),
+          size(col("chunk")).cast("bigint").as("n_tokens"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_no")),
+
+    // Chunking LOSSLESSNESS gate: rebuild every document from ONLY its
+    // q334 chunks (non-last chunks contribute their stride prefix, the
+    // last contributes whole) and md5 the reconstruction — the oracle
+    // is simply md5(text) of the original table, so the gate proves the
+    // sliding chunks carry the corpus byte-for-byte without the oracle
+    // restating the chunker at all. One keyed exchange (doc), chunk
+    // lists bounded by doc length.
+    "q335_chunk_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id"))
+      slidingChunks(docs(s, dir))
+        .withColumn("last_no", max(col("chunk_no")).over(w))
+        .withColumn("kept",
+          when(col("chunk_no") === col("last_no"), col("chunk"))
+            .otherwise(slice(col("chunk"), 1, 24)))
+        .groupBy(col("doc_id"))
+        .agg(md5(concat_ws(" ",
+          flatten(transform(array_sort(collect_list(struct(
+              col("chunk_no"), col("kept")))), t => t("kept")))))
+          .as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Streaming twin of q334 — chunking at the ingestion door: the
+    // explode+slice projection is per-row and stateless, so the plan
+    // drains in Append mode (the deployed form is exactly this plus a
+    // sink). Shares q334's oracle.
+    "q336_stream_chunks" -> ((s, dir) => {
+      val out = slidingChunks(
+          graft.streaming.DocumentStreams.readDocumentsStream(s, dir))
+        .select(col("doc_id"), col("chunk_no"), col("start"),
+          size(col("chunk")).cast("bigint").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      graft.streaming.EventStreams.runToMemory(out,
+          org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy("doc_id", "chunk_no")
     }),
 
@@ -3972,6 +4002,39 @@ object TextQueries {
       |   FROM tf JOIN dfw USING (w) JOIN qt USING (w) CROSS JOIN g
       |   GROUP BY 1, 2)""".stripMargin
 
+  /** Shared by q334 (batch) and q336 (streaming stateless twin). */
+  private lazy val slidingChunksOracle =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents WHERE text IS NOT NULL),
+      | st AS (SELECT doc_id, ws, n,
+      |    unnest(generate_series(0, CAST(n - 1 AS BIGINT), 24)) AS start
+      |  FROM d)
+      |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_no,
+      |  CAST(start AS BIGINT) AS start,
+      |  CAST(len(ws[start + 1 : LEAST(start + 32, n)]) AS BIGINT)
+      |    AS n_tokens,
+      |  md5(array_to_string(ws[start + 1 : LEAST(start + 32, n)], ' '))
+      |    AS chunk_md5
+      |FROM st ORDER BY doc_id, chunk_no""".stripMargin
+
+  /** Sliding 32/24 token windows (doc_id, chunk_no, start, chunk) —
+    * pure map-side explode+slice, shared by q334/q335/q336; per-row,
+    * so it is streaming-legal as-is.
+    */
+  private[graft] def slidingChunks(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("bigint"))
+      .filter(col("n") >= 1)
+      .withColumn("start",
+        explode(sequence(lit(0L), col("n") - 1, lit(24L))))
+      .withColumn("chunk", slice(col("ws"), col("start") + 1, lit(32)))
+      .select(col("doc_id"),
+        (col("start") / 24L).cast("bigint").as("chunk_no"),
+        col("start"), col("chunk"))
+
   /** Shared by q329 (batch, with in-gate merge law) and q330 (streaming
     * Complete-mode census twin): the content-digest restatement.
     */
@@ -4800,21 +4863,16 @@ object TextQueries {
         |   FROM h)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
         |FROM s ORDER BY shard, pos""".stripMargin,
-    // Same start arithmetic; DuckDB 1-based inclusive list slice.
-    "q334_sliding_chunks" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-        |  FROM documents WHERE text IS NOT NULL),
-        | st AS (SELECT doc_id, ws, n,
-        |    unnest(generate_series(0, CAST(n - 1 AS BIGINT), 24)) AS start
-        |  FROM d)
-        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_no,
-        |  CAST(start AS BIGINT) AS start,
-        |  CAST(len(ws[start + 1 : LEAST(start + 32, n)]) AS BIGINT)
-        |    AS n_tokens,
-        |  md5(array_to_string(ws[start + 1 : LEAST(start + 32, n)], ' '))
-        |    AS chunk_md5
-        |FROM st ORDER BY doc_id, chunk_no""".stripMargin,
+    // Same start arithmetic; DuckDB 1-based inclusive list slice. The
+    // streaming twin q336 drains the same projection.
+    "q334_sliding_chunks" -> slidingChunksOracle,
+    "q336_stream_chunks" -> slidingChunksOracle,
+    // Losslessness: the oracle does not restate the chunker at all —
+    // reconstruction must reproduce the original text bytes.
+    "q335_chunk_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // The digest restated (same canonical key, same 60-bit md5 cut,
     // same Mersenne modulus); no MERGE: rows. The streaming twin q330
     // drains the same census.
