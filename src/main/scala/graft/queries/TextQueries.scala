@@ -1739,6 +1739,53 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T5/UL2 SPAN-CORRUPTION plan (the denoising-objective data prep):
+    // ~15% of token positions mask via the deterministic q106-style
+    // hash, adjacent masked positions merge into spans, each span
+    // becomes a <extra_id_K> sentinel in the INPUT and contributes
+    // "<extra_id_K> tokens..." to the TARGET — the exact (input,
+    // target) pair a T5 trainer consumes. Both sequences md5 per doc
+    // (byte-certified against the oracle's window restatement) plus
+    // the span census. One posexplode + two windows per doc; text
+    // shuffles as (doc, pos, token) rows once.
+    "q337_span_corruption" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(words(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("flag",
+          when(pmod((col("doc_id") * 100003L + col("pos") + 1)
+            * lit(2654435761L), lit(4294967296L)) % 100 < 15, 1L)
+            .otherwise(0L))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spanned = toks
+        .withColumn("brk", when(col("flag") === 1 &&
+          coalesce(lag(col("flag"), 1).over(w), lit(0L)) === 0, 1L)
+          .otherwise(0L))
+        .withColumn("span_id", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val inputPiece = when(col("flag") === 0, col("tok"))
+        .when(col("brk") === 1,
+          concat(lit("<extra_id_"), col("span_id") - 1, lit(">")))
+      val targetPiece = when(col("flag") === 1,
+        when(col("brk") === 1, concat(lit("<extra_id_"),
+            col("span_id") - 1, lit("> "), col("tok")))
+          .otherwise(col("tok")))
+      spanned.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("flag").as("n_masked"),
+          sum("brk").as("n_spans"),
+          md5(concat_ws(" ", flatten(transform(array_sort(
+            collect_list(struct(col("pos"),
+              array(inputPiece).as("p")))), t => filter(t("p"),
+              x => x.isNotNull))))).as("input_md5"),
+          md5(concat_ws(" ", flatten(transform(array_sort(
+            collect_list(struct(col("pos"),
+              array(targetPiece).as("p")))), t => filter(t("p"),
+              x => x.isNotNull))))).as("target_md5"))
+        .orderBy("doc_id")
+    }),
+
     // SLIDING RAG CHUNKS (window 32 tokens, stride 24 — 8-token
     // overlap): the retrieval-side chunking every RAG corpus build
     // runs, with provenance (doc_id, chunk_no, token offsets) and the
@@ -4863,6 +4910,35 @@ object TextQueries {
         |   FROM h)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    // The same hash, span islands, and sentinel layout restated;
+    // string_agg skips the NULL continuation pieces exactly as the
+    // engine's filter does, and an unmasked doc's empty target
+    // coalesces to md5('').
+    "q337_span_corruption" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        | t AS (SELECT doc_id, i, ws[i] AS tok,
+        |    CASE WHEN ((doc_id * 100003 + i) * 2654435761)
+        |      % 4294967296 % 100 < 15 THEN 1 ELSE 0 END AS flag
+        |  FROM (SELECT doc_id, ws,
+        |      unnest(generate_series(1, CAST(n AS BIGINT))) AS i FROM d)),
+        | b AS (SELECT *, CASE WHEN flag = 1 AND COALESCE(LAG(flag)
+        |      OVER (PARTITION BY doc_id ORDER BY i), 0) = 0
+        |    THEN 1 ELSE 0 END AS brk FROM t),
+        | sp AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS span_id FROM b)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(flag) AS BIGINT) AS n_masked,
+        |  CAST(SUM(brk) AS BIGINT) AS n_spans,
+        |  md5(COALESCE(string_agg(CASE WHEN flag = 0 THEN tok
+        |    WHEN brk = 1 THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR)
+        |      || '>' END, ' ' ORDER BY i), '')) AS input_md5,
+        |  md5(COALESCE(string_agg(CASE WHEN flag = 1 THEN
+        |    CASE WHEN brk = 1 THEN '<extra_id_'
+        |      || CAST(span_id - 1 AS VARCHAR) || '> ' || tok
+        |    ELSE tok END END, ' ' ORDER BY i), '')) AS target_md5
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same start arithmetic; DuckDB 1-based inclusive list slice. The
     // streaming twin q336 drains the same projection.
     "q334_sliding_chunks" -> slidingChunksOracle,
