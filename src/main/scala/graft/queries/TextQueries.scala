@@ -3235,6 +3235,48 @@ object TextQueries {
     // score is a BIGINT sum with zero float hazard — the q163 lesson
     // applied to true two-system fusion. The fused candidate pool is
     // ≤ 40 rows per query, so the final window is bounded.
+    // PRECISION/RECALL@k SWEEP over the BM25 runs (the eval-curve
+    // harness a retrieval stack is tuned against): relevance = docs
+    // holding ALL the query's terms (the q286 rule), cutoffs k ∈
+    // {1, 3, 5, 10} — every number an EXACT integer (hits, rel counts,
+    // milli ratios via integer div), zero float hazard across engines.
+    // One ranked-run window (≤10 rows/query) and one relevance census,
+    // joined; the sweep explodes 4 cutoff rows per query.
+    "q338_pr_at_k" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w10 = Window.partitionBy("query_id")
+        .orderBy(col("score_r").desc, col("doc_id").asc)
+      val run = bm25Scores(s, dir)
+        .withColumn("rnk", row_number().over(w10).cast("bigint"))
+        .filter(col("rnk") <= 10)
+      val ws = words(col("text"))
+      val relArr = array(bm25QueryDefs.map { case (qid, ts) =>
+        struct(lit(qid).as("query_id"),
+          ts.map(t => array_contains(ws, t)).reduce(_ && _).as("rel"))
+      }: _*)
+      val rel = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(relArr).as("r"))
+        .filter(col("r.rel"))
+        .select(col("r.query_id").as("query_id"), col("doc_id"),
+          lit(1L).as("hit"))
+      val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+      run.join(rel, Seq("query_id", "doc_id"), "left")
+        .withColumn("hit", coalesce(col("hit"), lit(0L)))
+        .withColumn("k", explode(array(lit(1L), lit(3L), lit(5L),
+          lit(10L))))
+        .filter(col("rnk") <= col("k"))
+        .groupBy("query_id", "k")
+        .agg(sum("hit").as("hits"), count(lit(1)).as("returned"))
+        .join(broadcast(nRel), Seq("query_id"), "left")
+        .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+        .withColumn("p_milli", expr("(1000 * hits) div returned"))
+        .withColumn("r_milli", when(col("n_rel") > 0,
+          expr("(1000 * hits) div n_rel")).otherwise(lit(0L)))
+        .select("query_id", "k", "hits", "returned", "n_rel",
+          "p_milli", "r_milli")
+        .orderBy("query_id", "k")
+    }),
+
     "q283_hybrid_rrf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val topk = udaf(new graft.functions.TopKAggregator(20))
@@ -6075,6 +6117,39 @@ object TextQueries {
 
     // The run from the shared BM25 CTE block, qrels from list_has_all,
     // the same integer MRR/recall and ln-ratio DCG with ROUND(6).
+    // The q286 relevance rule + the integer sweep: P/R at each cutoff
+    // as exact milli ratios.
+    "q338_pr_at_k" ->
+      s"""WITH $bm25CoreSql,
+         | run AS (SELECT query_id, doc_id,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id
+         |       ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+         |   FROM sc QUALIFY rnk <= 10),
+         | qt2 AS (SELECT query_id, list(w) AS terms FROM qt GROUP BY 1),
+         | rel AS (SELECT qt2.query_id, b.doc_id
+         |   FROM base b CROSS JOIN qt2
+         |   WHERE list_has_all(b.ws, qt2.terms)),
+         | nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |   FROM rel GROUP BY 1),
+         | h AS (SELECT run.query_id, run.rnk,
+         |     CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |   FROM run LEFT JOIN rel
+         |     ON run.query_id = rel.query_id AND run.doc_id = rel.doc_id),
+         | sw AS (SELECT h.query_id, k.k, h.rnk, h.hit
+         |   FROM h CROSS JOIN (SELECT unnest([1, 3, 5, 10]) AS k) k
+         |   WHERE h.rnk <= k.k),
+         | m AS (SELECT query_id, CAST(k AS BIGINT) AS k,
+         |     CAST(SUM(hit) AS BIGINT) AS hits,
+         |     CAST(COUNT(*) AS BIGINT) AS returned
+         |   FROM sw GROUP BY 1, 2)
+         |SELECT CAST(m.query_id AS BIGINT) AS query_id, m.k, m.hits,
+         |  m.returned, COALESCE(nr.n_rel, 0) AS n_rel,
+         |  CAST((1000 * m.hits) // m.returned AS BIGINT) AS p_milli,
+         |  CAST(CASE WHEN COALESCE(nr.n_rel, 0) > 0
+         |    THEN (1000 * m.hits) // nr.n_rel ELSE 0 END AS BIGINT)
+         |    AS r_milli
+         |FROM m LEFT JOIN nr ON m.query_id = nr.query_id
+         |ORDER BY query_id, k""".stripMargin,
     "q286_retrieval_metrics" ->
       s"""WITH $bm25CoreSql,
          | run AS (SELECT query_id, doc_id,
