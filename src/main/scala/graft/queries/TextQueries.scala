@@ -3235,6 +3235,43 @@ object TextQueries {
     // score is a BIGINT sum with zero float hazard — the q163 lesson
     // applied to true two-system fusion. The fused candidate pool is
     // ≤ 40 rows per query, so the final window is bounded.
+    // TOKEN-BUDGET APPORTIONMENT (Hamilton / largest-remainder): split
+    // a 1,000,000-token budget across sources proportional to their
+    // token mass, in EXACT integers — base = (N·cnt) div total, the
+    // leftover goes to the largest remainders (ties to source asc).
+    // The method satisfies the quota rule BY CONSTRUCTION (every
+    // allocation is floor-or-ceil of its exact share) and sums to N
+    // exactly — the mixture-sampling budget a 100 TB pipeline hands
+    // each source, with none of the FP drift a rate-multiply would
+    // carry. Census-sized; FULL hash.
+    "q339_budget_apportionment" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 1000000L
+      val cnt = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("source"),
+          size(words(col("text"))).cast("bigint").as("nt"))
+        .groupBy("source").agg(sum("nt").as("cnt"))
+      val tot = cnt.agg(sum("cnt").as("total"))
+      val based = cnt.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"(${n}L * cnt) div total"))
+        .withColumn("rem", expr(s"(${n}L * cnt) % total"))
+      val wr = Window.orderBy(col("rem").desc, col("source").asc)
+      // the leftover census is source-domain-sized; the global window
+      // ranks ~20 rows, not the corpus
+      based
+        .withColumn("leftover",
+          (lit(n) - sum("base").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing))))
+        .withColumn("rnk", row_number().over(wr).cast("bigint"))
+        .withColumn("alloc",
+          col("base") + when(col("rnk") <= col("leftover"), 1L)
+            .otherwise(0L))
+        .select(col("source"), col("cnt"), col("base"), col("rem"),
+          col("alloc"))
+        .orderBy("source")
+    }),
+
     // PRECISION/RECALL@k SWEEP over the BM25 runs (the eval-curve
     // harness a retrieval stack is tuned against): relevance = docs
     // holding ALL the query's terms (the q286 rule), cutoffs k ∈
@@ -6117,6 +6154,25 @@ object TextQueries {
 
     // The run from the shared BM25 CTE block, qrels from list_has_all,
     // the same integer MRR/recall and ln-ratio DCG with ROUND(6).
+    // Same exact-integer Hamilton arithmetic: floor shares, largest
+    // remainders get the leftover, ties to source asc.
+    "q339_budget_apportionment" ->
+      """WITH c AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cnt
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        | b AS (SELECT c.source, c.cnt,
+        |    CAST((1000000 * c.cnt) // t.total AS BIGINT) AS base,
+        |    CAST((1000000 * c.cnt) % t.total AS BIGINT) AS rem
+        |  FROM c CROSS JOIN t),
+        | l AS (SELECT *,
+        |    1000000 - SUM(base) OVER () AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk
+        |  FROM b)
+        |SELECT source, cnt, base, rem,
+        |  CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM l ORDER BY source""".stripMargin,
     // The q286 relevance rule + the integer sweep: P/R at each cutoff
     // as exact milli ratios.
     "q338_pr_at_k" ->
