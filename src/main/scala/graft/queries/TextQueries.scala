@@ -3244,32 +3244,27 @@ object TextQueries {
     // exactly — the mixture-sampling budget a 100 TB pipeline hands
     // each source, with none of the FP drift a rate-multiply would
     // carry. Census-sized; FULL hash.
-    "q339_budget_apportionment" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val n = 1000000L
-      val cnt = docs(s, dir).filter(col("text").isNotNull)
+    "q339_budget_apportionment" -> ((s, dir) =>
+      hamiltonAllocate(
+        docs(s, dir).filter(col("text").isNotNull)
+          .select(col("source"),
+            size(words(col("text"))).cast("bigint").as("nt"))
+          .groupBy("source").agg(sum("nt").as("cnt")))),
+
+    // Streaming twin of q339 — the live mixture budget at the
+    // ingestion door: the (source → token count) census is Complete-
+    // mode state (one pair per source), and the Hamilton split runs on
+    // the bounded drained snapshot (q281's rollup-on-the-drain shape).
+    // Shares q339's oracle.
+    "q340_stream_apportionment" -> ((s, dir) => {
+      val census = graft.streaming.DocumentStreams
+        .readDocumentsStream(s, dir)
+        .filter(col("text").isNotNull)
         .select(col("source"),
           size(words(col("text"))).cast("bigint").as("nt"))
         .groupBy("source").agg(sum("nt").as("cnt"))
-      val tot = cnt.agg(sum("cnt").as("total"))
-      val based = cnt.crossJoin(broadcast(tot))
-        .withColumn("base", expr(s"(${n}L * cnt) div total"))
-        .withColumn("rem", expr(s"(${n}L * cnt) % total"))
-      val wr = Window.orderBy(col("rem").desc, col("source").asc)
-      // the leftover census is source-domain-sized; the global window
-      // ranks ~20 rows, not the corpus
-      based
-        .withColumn("leftover",
-          (lit(n) - sum("base").over(
-            Window.rowsBetween(Window.unboundedPreceding,
-              Window.unboundedFollowing))))
-        .withColumn("rnk", row_number().over(wr).cast("bigint"))
-        .withColumn("alloc",
-          col("base") + when(col("rnk") <= col("leftover"), 1L)
-            .otherwise(0L))
-        .select(col("source"), col("cnt"), col("base"), col("rem"),
-          col("alloc"))
-        .orderBy("source")
+      hamiltonAllocate(graft.streaming.EventStreams.runToMemory(census,
+        org.apache.spark.sql.streaming.OutputMode.Complete()))
     }),
 
     // PRECISION/RECALL@k SWEEP over the BM25 runs (the eval-curve
@@ -4127,6 +4122,54 @@ object TextQueries {
       |       AS score
       |   FROM tf JOIN dfw USING (w) JOIN qt USING (w) CROSS JOIN g
       |   GROUP BY 1, 2)""".stripMargin
+
+  /** Hamilton largest-remainder split of a 1M-token budget over a
+    * (source, cnt) census — exact integers, quota rule by construction;
+    * shared by q339 (batch census) and q340 (streaming drain). The one
+    * global window ranks the source domain (~20 rows), never data.
+    */
+  private[graft] def hamiltonAllocate(cnt: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 1000000L
+    val tot = cnt.agg(sum("cnt").as("total"))
+    val wr = Window.orderBy(col("rem").desc, col("source").asc)
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(${n}L * cnt) div total"))
+      .withColumn("rem", expr(s"(${n}L * cnt) % total"))
+      .withColumn("leftover",
+        (lit(n) - sum("base").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))))
+      .withColumn("rnk", row_number().over(wr).cast("bigint"))
+      .withColumn("alloc",
+        col("base") + when(col("rnk") <= col("leftover"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("cnt"), col("base"), col("rem"),
+        col("alloc"))
+      .orderBy("source")
+  }
+
+  /** Shared by q339 (batch) and q340 (streaming census twin): the
+    * exact-integer Hamilton apportionment restatement.
+    */
+  private lazy val apportionmentOracle =
+    """WITH c AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cnt
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        | b AS (SELECT c.source, c.cnt,
+        |    CAST((1000000 * c.cnt) // t.total AS BIGINT) AS base,
+        |    CAST((1000000 * c.cnt) % t.total AS BIGINT) AS rem
+        |  FROM c CROSS JOIN t),
+        | l AS (SELECT *,
+        |    1000000 - SUM(base) OVER () AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk
+        |  FROM b)
+        |SELECT source, cnt, base, rem,
+        |  CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM l ORDER BY source""".stripMargin
 
   /** Shared by q334 (batch) and q336 (streaming stateless twin). */
   private lazy val slidingChunksOracle =
@@ -6155,24 +6198,10 @@ object TextQueries {
     // The run from the shared BM25 CTE block, qrels from list_has_all,
     // the same integer MRR/recall and ln-ratio DCG with ROUND(6).
     // Same exact-integer Hamilton arithmetic: floor shares, largest
-    // remainders get the leftover, ties to source asc.
-    "q339_budget_apportionment" ->
-      """WITH c AS (SELECT source,
-        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cnt
-        |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
-        | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
-        | b AS (SELECT c.source, c.cnt,
-        |    CAST((1000000 * c.cnt) // t.total AS BIGINT) AS base,
-        |    CAST((1000000 * c.cnt) % t.total AS BIGINT) AS rem
-        |  FROM c CROSS JOIN t),
-        | l AS (SELECT *,
-        |    1000000 - SUM(base) OVER () AS leftover,
-        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk
-        |  FROM b)
-        |SELECT source, cnt, base, rem,
-        |  CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
-        |    AS BIGINT) AS alloc
-        |FROM l ORDER BY source""".stripMargin,
+    // remainders get the leftover, ties to source asc. The streaming
+    // twin q340 drains the same census.
+    "q339_budget_apportionment" -> apportionmentOracle,
+    "q340_stream_apportionment" -> apportionmentOracle,
     // The q286 relevance rule + the integer sweep: P/R at each cutoff
     // as exact milli ratios.
     "q338_pr_at_k" ->
