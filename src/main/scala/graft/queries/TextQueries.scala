@@ -1739,6 +1739,52 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CONTRASTIVE TRIPLET construction (the retrieval-training data
+    // build): anchor = a q334 chunk, positive = the NEXT overlapping
+    // chunk of the same doc (8 shared tokens — the standard
+    // in-document positive), negative = chunk 0 of a DIFFERENT doc
+    // picked deterministically: docs pair within 64 hash buckets by
+    // next-higher (hash, id) with wraparound (the sorted-neighborhood
+    // shape — per-bucket windows, never one global reducer; B scales
+    // with the corpus). All three chunk payloads md5-certified. Docs
+    // with a single chunk have no positive and drop — the oracle
+    // states the same rule.
+    "q341_contrastive_triplets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ch = slidingChunks(docs(s, dir))
+        .withColumn("chunk_md5", md5(concat_ws(" ", col("chunk"))))
+        .select(col("doc_id"), col("chunk_no"), col("chunk_md5"))
+      val wd = Window.partitionBy(col("doc_id"))
+      val anchors = ch
+        .withColumn("n_chunks", max(col("chunk_no")).over(wd) + 1)
+        .filter(col("chunk_no") < col("n_chunks") - 1)
+      val positives = ch.select(col("doc_id"),
+        (col("chunk_no") - 1).as("chunk_no"),
+        col("chunk_md5").as("pos_md5"))
+      val head = ch.filter(col("chunk_no") === 0)
+        .select(col("doc_id"), col("chunk_md5").as("head_md5"))
+        .withColumn("h", pmod(col("doc_id") * lit(2654435761L),
+          lit(4294967296L)))
+        .withColumn("bucket", pmod(col("h"), lit(64L)))
+      val wb = Window.partitionBy(col("bucket"))
+        .orderBy(col("h").asc, col("doc_id").asc)
+      val negatives = head
+        .withColumn("neg_doc_id", coalesce(lead(col("doc_id"), 1).over(wb),
+          first(col("doc_id")).over(wb.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))))
+        .withColumn("neg_md5", coalesce(lead(col("head_md5"), 1).over(wb),
+          first(col("head_md5")).over(wb.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))))
+        .select(col("doc_id"), col("neg_doc_id"), col("neg_md5"))
+      anchors.join(positives, Seq("doc_id", "chunk_no"))
+        .join(negatives, Seq("doc_id"))
+        .filter(col("neg_doc_id") =!= col("doc_id"))
+        .select(col("doc_id"), col("chunk_no"),
+          col("chunk_md5").as("anchor_md5"), col("pos_md5"),
+          col("neg_doc_id"), col("neg_md5"))
+        .orderBy("doc_id", "chunk_no")
+    }),
+
     // T5/UL2 SPAN-CORRUPTION plan (the denoising-objective data prep):
     // ~15% of token positions mask via the deterministic q106-style
     // hash, adjacent masked positions merge into spans, each span
@@ -5032,6 +5078,41 @@ object TextQueries {
         |   FROM h)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    // Chunk arithmetic + hash-bucket pairing restated; singleton-chunk
+    // docs drop, self-negatives (singleton buckets) drop.
+    "q341_contrastive_triplets" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        | ch AS (SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_no,
+        |    md5(array_to_string(ws[start + 1 : LEAST(start + 32, n)], ' '))
+        |      AS chunk_md5
+        |  FROM (SELECT doc_id, ws, n,
+        |      unnest(generate_series(0, CAST(n - 1 AS BIGINT), 24))
+        |        AS start FROM d)),
+        | nc AS (SELECT doc_id, MAX(chunk_no) + 1 AS n_chunks
+        |   FROM ch GROUP BY 1),
+        | hd AS (SELECT ch.doc_id, ch.chunk_md5 AS head_md5,
+        |    (ch.doc_id * 2654435761) % 4294967296 AS h,
+        |    (ch.doc_id * 2654435761) % 4294967296 % 64 AS bucket
+        |  FROM ch WHERE ch.chunk_no = 0),
+        | ng AS (SELECT doc_id,
+        |    COALESCE(LEAD(doc_id) OVER wb, FIRST_VALUE(doc_id) OVER wf)
+        |      AS neg_doc_id,
+        |    COALESCE(LEAD(head_md5) OVER wb,
+        |      FIRST_VALUE(head_md5) OVER wf) AS neg_md5
+        |  FROM hd WINDOW
+        |    wb AS (PARTITION BY bucket ORDER BY h, doc_id),
+        |    wf AS (PARTITION BY bucket ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT a.doc_id, a.chunk_no, a.chunk_md5 AS anchor_md5,
+        |  p.chunk_md5 AS pos_md5, ng.neg_doc_id, ng.neg_md5
+        |FROM ch a
+        |JOIN nc ON a.doc_id = nc.doc_id AND a.chunk_no < nc.n_chunks - 1
+        |JOIN ch p ON p.doc_id = a.doc_id AND p.chunk_no = a.chunk_no + 1
+        |JOIN ng ON ng.doc_id = a.doc_id
+        |WHERE ng.neg_doc_id <> a.doc_id
+        |ORDER BY a.doc_id, a.chunk_no""".stripMargin,
     // The same hash, span islands, and sentinel layout restated;
     // string_agg skips the NULL continuation pieces exactly as the
     // engine's filter does, and an unmasked doc's empty target
