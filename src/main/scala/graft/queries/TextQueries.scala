@@ -3281,6 +3281,53 @@ object TextQueries {
     // score is a BIGINT sum with zero float hazard — the q163 lesson
     // applied to true two-system fusion. The fused candidate pool is
     // ≤ 40 rows per query, so the final window is bounded.
+    // UNCERTAINTY-AWARE drift monitor (q328's bootstrap put to work,
+    // with the q305 plant-the-pathology audit built in): a source
+    // drifts when the HISTORY mean falls outside the bootstrap CI of
+    // the CURRENT slice — the CI makes the alarm sample-size-aware
+    // where a fixed threshold over- or under-fires. The gate runs the
+    // monitor twice: baseline, then with a +500-char shift planted
+    // into src3's current slice. src3 must flag under the plant, and
+    // every OTHER source's flag status must be IDENTICAL across runs
+    // (bystander stability — natural flags are fine, flips are not).
+    // Violations emit; oracle is the empty relation.
+    "q342_ci_drift_monitor" -> ((s, dir) => {
+      import graft.operators.Profile
+      val d = docs(s, dir).filter(col("n_chars").isNotNull)
+        // hash split, NOT doc_id%5: source is doc_id%20, so a modulus
+        // slice would starve 16 of the 20 sources entirely
+        .withColumn("cur_slice",
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 5 === 4)
+      val hist = d.filter(!col("cur_slice"))
+        .groupBy("source")
+        .agg(expr("(1000 * sum(n_chars)) div count(1)").as("hist_milli"))
+      def flags(cur: org.apache.spark.sql.DataFrame) =
+        Profile.bootstrapMeanCiMilli(cur, "doc_id", "source", "n_chars")
+          .join(hist, Seq("source"))
+          .select(col("source"),
+            (col("hist_milli") < col("lo_milli") ||
+              col("hist_milli") > col("hi_milli")).as("drifted"))
+      val cur = d.filter(col("cur_slice"))
+      val base = flags(cur)
+      val planted = flags(cur.withColumn("n_chars",
+        when(col("source") === "src3", col("n_chars") + 500L)
+          .otherwise(col("n_chars"))))
+      val silent = planted.filter(col("source") === "src3")
+        .filter(!col("drifted"))
+        .select(lit("planted_not_flagged").as("violation"), col("source"))
+      val flipped = base.select(col("source"), col("drifted").as("b"))
+        .join(planted.select(col("source"), col("drifted").as("p")),
+          Seq("source"))
+        .filter(col("source") =!= "src3" && col("b") =!= col("p"))
+        .select(lit("bystander_flipped").as("violation"), col("source"))
+      val vacuous = s.range(1)
+        .filter(lit(cur.filter(col("source") === "src3").isEmpty))
+        .select(lit("vacuous_fixture").as("violation"),
+          lit("src3").as("source"))
+      silent.unionByName(flipped).unionByName(vacuous)
+        .orderBy("violation", "source")
+    }),
+
     // TOKEN-BUDGET APPORTIONMENT (Hamilton / largest-remainder): split
     // a 1,000,000-token budget across sources proportional to their
     // token mass, in EXACT integers — base = (N·cnt) div total, the
@@ -6278,6 +6325,11 @@ object TextQueries {
 
     // The run from the shared BM25 CTE block, qrels from list_has_all,
     // the same integer MRR/recall and ln-ratio DCG with ROUND(6).
+    // Planted drift must flag, bystanders must not flip: empty.
+    "q342_ci_drift_monitor" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |  CAST(NULL AS VARCHAR) AS source
+        |WHERE FALSE""".stripMargin,
     // Same exact-integer Hamilton arithmetic: floor shares, largest
     // remainders get the leftover, ties to source asc. The streaming
     // twin q340 drains the same census.
