@@ -1739,6 +1739,56 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PREFIX-SHARING census (the KV-cache / prefix-caching economics
+    // question): docs grouped by their first-16-token prefix; every
+    // group of n > 1 shares one cached prefix, saving (n−1)·16 token
+    // computations. Emitted per shared prefix (md5-keyed) with the
+    // member census — the measurement that decides whether prefix
+    // caching pays on a corpus. One map-side prefix hash + one census
+    // aggregate; FULL hash.
+    "q343_prefix_sharing" -> ((s, dir) => {
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(words(col("text")), 1, 16)))
+            .as("prefix_md5"),
+          least(size(words(col("text"))).cast("bigint"), lit(16L))
+            .as("p_len"))
+        .groupBy("prefix_md5")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+          max("p_len").as("p_len"),
+          ((count(lit(1)) - 1) * max("p_len")).as("tokens_saved"))
+        .filter(col("n_docs") > 1)
+        .orderBy("prefix_md5")
+    }),
+
+    // TEMPLATE-NORMALIZATION dedup (instruction-data reality: prompts
+    // identical up to numbers and spacing flood a dataset): normalize
+    // digits→#, squeeze whitespace, lowercase — all codegen
+    // regexp_replace — then census the normalized templates. Groups
+    // with n > 1 are template families exact dedup misses; the oracle
+    // replays the identical normalization, so the FULL hash certifies
+    // the normalized bytes via md5.
+    "q344_template_dedup" -> ((s, dir) => {
+      val norm = lower(regexp_replace(regexp_replace(col("text"),
+        "[0-9]+", "#"), " +", " "))
+      // planted template family: every 23rd doc becomes the same
+      // prompt up to its numbers (the clean corpus has no natural
+      // families — q344 would be vacuous without the plant)
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 23 === 7,
+            concat(lit("Order ID "), col("doc_id"),
+              lit("  please process within "), col("doc_id") % 9,
+              lit(" days")))
+            .otherwise(col("text")))
+      planted
+        .select(col("doc_id"), md5(norm).as("tpl_md5"))
+        .groupBy("tpl_md5")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("tpl_md5")
+    }),
+
     // CONTRASTIVE TRIPLET construction (the retrieval-training data
     // build): anchor = a q334 chunk, positive = the NEXT overlapping
     // chunk of the same doc (8 shared tokens — the standard
@@ -5125,6 +5175,36 @@ object TextQueries {
         |   FROM h)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    // Prefix census restated over the same 16-token cut.
+    "q343_prefix_sharing" ->
+      """WITH p AS (SELECT doc_id,
+        |    md5(array_to_string(ws[1 : LEAST(16, n)], ' ')) AS prefix_md5,
+        |    LEAST(n, 16) AS p_len
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |    FROM documents WHERE text IS NOT NULL))
+        |SELECT prefix_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(p_len) AS BIGINT) AS p_len,
+        |  CAST((COUNT(*) - 1) * MAX(p_len) AS BIGINT) AS tokens_saved
+        |FROM p GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY prefix_md5""".stripMargin,
+    // Identical normalization replayed: digits to #, whitespace
+    // squeeze, lowercase.
+    "q344_template_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    md5(lower(regexp_replace(regexp_replace(
+        |      CASE WHEN doc_id % 23 = 7
+        |        THEN 'Order ID ' || CAST(doc_id AS VARCHAR)
+        |          || '  please process within '
+        |          || CAST(doc_id % 9 AS VARCHAR) || ' days'
+        |        ELSE text END,
+        |      '[0-9]+', '#', 'g'), ' +', ' ', 'g'))) AS tpl_md5
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT tpl_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        |FROM t GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY tpl_md5""".stripMargin,
     // Chunk arithmetic + hash-bucket pairing restated; singleton-chunk
     // docs drop, self-negatives (singleton buckets) drop.
     "q341_contrastive_triplets" ->
