@@ -365,6 +365,29 @@ object SimilarityQueries {
         .orderBy("vec_id", "rnk", "side")
     }),
 
+    // EMBEDDING-OUTLIER census (the junk detector of embedding-space
+    // curation): a vector's outlier score is its similarity to its
+    // 5th nearest neighbor — isolated points have LOW 5-NN similarity
+    // — and the 20 most isolated vectors emit, 6dp-rounded with id
+    // tiebreaks. Bounded TopKAggregator heaps for the 5-NN pass, one
+    // 20-row global cut over the per-vector census. FULL hash; the
+    // oracle recomputes exact 5-NN from the raw table.
+    "q345_embedding_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val sim5 = Similarity.bruteForceTopKAgg(e, e, "vec_id", "embedding",
+          k = 5)
+        .filter(col("rank") === 5)
+        .select(col("query_id").as("vec_id"), col("sim").as("sim5"))
+      val w = Window.orderBy(col("sim5").asc, col("vec_id").asc)
+      // the census is one row per vector; the global window ranks that
+      // census, not pairs
+      sim5.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 20)
+        .select(col("rnk"), col("vec_id"), col("sim5"))
+        .orderBy("rnk")
+    }),
+
     // SQ8 scalar-quantization gate — the codebook-free rung of the
     // compression ladder (raw → SQ8 1 byte/dim → PQ m bytes/vector →
     // sign bits): per-dim affine codes from exact min/max ranges.
@@ -1480,6 +1503,21 @@ object SimilarityQueries {
         |  CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS hits0,
         |  CAST(NULL AS BIGINT) AS hits1
         |WHERE FALSE""".stripMargin,
+    // Exact 5-NN similarity recomputed pairwise; lowest 20.
+    "q345_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        | p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+        |        b.vec_id ASC) AS rnk
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        | s5 AS (SELECT qid AS vec_id, sim AS sim5 FROM p WHERE rnk = 5),
+        | r AS (SELECT vec_id, sim5, ROW_NUMBER() OVER
+        |    (ORDER BY sim5 ASC, vec_id ASC) AS rnk FROM s5)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, sim5
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     // SQ8 roundtrip bound + rerank recall floor: empty.
     "q331_sq8_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS violation, CAST(NULL AS BIGINT) AS id,
