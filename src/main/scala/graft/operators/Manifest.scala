@@ -304,7 +304,11 @@ object Manifest {
       spark.sparkContext.hadoopConfiguration)
     require(entries.nonEmpty,
       s"manifest v$version of $dir is empty - nothing to read")
-    spark.read.parquet(entries.map(e => s"$dir/${e.file}"): _*)
+    // mergeSchema: a widened append (new column on later commits) must
+    // surface the union schema — the default footer-sampling read can
+    // silently drop the new column depending on file order
+    spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(e => s"$dir/${e.file}"): _*)
   }
 
   /** Latest-snapshot read (pins the version at CALL time; lazy execution
@@ -331,7 +335,8 @@ object Manifest {
       .filter(e => want(e.p))
     require(hit.nonEmpty,
       s"readPartitions: no manifest entry for any of $values in $dir")
-    spark.read.parquet(hit.map(e => s"$dir/${e.file}"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(e => s"$dir/${e.file}"): _*)
   }
 
   /** DATA-SKIPPING range read over the tracked stats column: only
@@ -356,7 +361,8 @@ object Manifest {
     })
     require(hit.nonEmpty,
       s"readRange: no file intersects [$lo,$hi] in $dir")
-    spark.read.parquet(hit.map(e => s"$dir/${e.file}"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(e => s"$dir/${e.file}"): _*)
   }
 
   /** Small-file COMPACTION as one atomic commit: each partition's rows

@@ -195,6 +195,26 @@ class ManifestSpec extends SparkSpec {
       .count() === 6L)
   }
 
+  test("schema-widening append surfaces the union schema (old rows NULL-fill)") {
+    // the lakehouse reality: early commits predate later columns; a
+    // snapshot read must widen with NULLs, not silently drop the new
+    // column depending on which file's footer the reader sampled first
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    Manifest.append(fixture.filter($"grp" === "a")
+      .withColumn("id", $"id" + 100L)
+      .withColumn("quality", $"value" * 2), dir, "grp")
+    val t = Manifest.read(spark, dir)
+    assert(t.columns.contains("quality"),
+      "the widened column vanished from the snapshot read")
+    assert(t.filter($"quality".isNotNull).count() === 2L)
+    assert(t.filter($"quality".isNull).count() === 6L,
+      "pre-widening rows must NULL-fill, not drop")
+    // and the pruned read paths widen the same way
+    assert(Manifest.readPartitions(spark, dir, Seq("a"))
+      .columns.contains("quality"))
+  }
+
   test("pinned reader sees old-or-new, never a mix, across a multi-partition rewrite") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
