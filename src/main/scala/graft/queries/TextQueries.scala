@@ -1835,39 +1835,6 @@ object TextQueries {
         .orderBy("doc_id", "chunk_no")
     }),
 
-    // FILL-IN-THE-MIDDLE transform (the code-model pretraining move:
-    // PSM reordering teaches infilling): two deterministic hash-drawn
-    // cut points split each doc's tokens into prefix/middle/suffix,
-    // re-serialized as "<PRE> p <SUF> s <MID> m" — the trained layout.
-    // Cut arithmetic is exact integers off the q106 hash; the
-    // reordered text is md5-certified (catches off-by-one cuts and
-    // sentinel drift), with the cut points and segment budgets
-    // alongside. Pure map-side.
-    "q346_fim_transform" -> ((s, dir) => {
-      val d = docs(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .withColumn("n", size(col("ws")).cast("bigint"))
-        .filter(col("n") >= 3)
-      val h1 = pmod((col("doc_id") * 2 + 1) * lit(2654435761L),
-        lit(4294967296L))
-      val h2 = pmod((col("doc_id") * 2 + 2) * lit(2654435761L),
-        lit(4294967296L))
-      d.withColumn("c1", pmod(h1, col("n") - 1) + 1)
-        .withColumn("c2", col("c1") + pmod(h2, col("n") - col("c1")))
-        .withColumn("fim", concat(
-          lit("<PRE> "),
-          concat_ws(" ", slice(col("ws"), lit(1), col("c1"))),
-          lit(" <SUF> "),
-          concat_ws(" ", slice(col("ws"), col("c2") + 1,
-            col("n") - col("c2"))),
-          lit(" <MID> "),
-          concat_ws(" ", slice(col("ws"), col("c1") + 1,
-            col("c2") - col("c1")))))
-        .select(col("doc_id"), col("n"), col("c1"), col("c2"),
-          md5(col("fim")).as("fim_md5"))
-        .orderBy("doc_id")
-    }),
-
     // T5/UL2 SPAN-CORRUPTION plan (the denoising-objective data prep):
     // ~15% of token positions mask via the deterministic q106-style
     // hash, adjacent masked positions merge into spans, each span
@@ -5273,28 +5240,6 @@ object TextQueries {
         |JOIN ng ON ng.doc_id = a.doc_id
         |WHERE ng.neg_doc_id <> a.doc_id
         |ORDER BY a.doc_id, a.chunk_no""".stripMargin,
-    // Same cut arithmetic and sentinel layout; empty middles keep
-    // their trailing space on both engines.
-    "q346_fim_transform" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-        |  FROM documents WHERE text IS NOT NULL),
-        | f AS (SELECT doc_id, ws, n,
-        |    ((doc_id * 2 + 1) * 2654435761) % 4294967296 % (n - 1) + 1
-        |      AS c1
-        |  FROM d WHERE n >= 3),
-        | g AS (SELECT doc_id, ws, n, c1,
-        |    c1 + ((doc_id * 2 + 2) * 2654435761) % 4294967296 % (n - c1)
-        |      AS c2
-        |  FROM f)
-        |SELECT doc_id, n, CAST(c1 AS BIGINT) AS c1,
-        |  CAST(c2 AS BIGINT) AS c2,
-        |  md5('<PRE> ' || COALESCE(array_to_string(ws[1 : c1], ' '), '')
-        |    || ' <SUF> ' || COALESCE(array_to_string(ws[c2 + 1 : n], ' '), '')
-        |    || ' <MID> '
-        |    || COALESCE(array_to_string(ws[c1 + 1 : c2], ' '), ''))
-        |    AS fim_md5
-        |FROM g ORDER BY doc_id""".stripMargin,
     // The same hash, span islands, and sentinel layout restated;
     // string_agg skips the NULL continuation pieces exactly as the
     // engine's filter does, and an unmasked doc's empty target
