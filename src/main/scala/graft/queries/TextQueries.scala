@@ -1739,28 +1739,6 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // PREFIX-SHARING census (the KV-cache / prefix-caching economics
-    // question): docs grouped by their first-16-token prefix; every
-    // group of n > 1 shares one cached prefix, saving (n−1)·16 token
-    // computations. Emitted per shared prefix (md5-keyed) with the
-    // member census — the measurement that decides whether prefix
-    // caching pays on a corpus. One map-side prefix hash + one census
-    // aggregate; FULL hash.
-    "q343_prefix_sharing" -> ((s, dir) => {
-      docs(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          md5(concat_ws(" ", slice(words(col("text")), 1, 16)))
-            .as("prefix_md5"),
-          least(size(words(col("text"))).cast("bigint"), lit(16L))
-            .as("p_len"))
-        .groupBy("prefix_md5")
-        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
-          max("p_len").as("p_len"),
-          ((count(lit(1)) - 1) * max("p_len")).as("tokens_saved"))
-        .filter(col("n_docs") > 1)
-        .orderBy("prefix_md5")
-    }),
-
     // TEMPLATE-NORMALIZATION dedup (instruction-data reality: prompts
     // identical up to numbers and spacing flood a dataset): normalize
     // digits→#, squeeze whitespace, lowercase — all codegen
@@ -1835,7 +1813,10 @@ object TextQueries {
         .orderBy("doc_id", "chunk_no")
     }),
 
-    // T5/UL2 SPAN-CORRUPTION plan (the denoising-objective data prep):
+    // T5/UL2 span-corruption MATERIALIZATION — q240 gates the masking
+    // PLAN (which positions mask, island census); this query emits the
+    // artifact a trainer actually consumes (different hash family, so
+    // the two gates cannot share a bug):
     // ~15% of token positions mask via the deterministic q106-style
     // hash, adjacent masked positions merge into spans, each span
     // becomes a <extra_id_K> sentinel in the INPUT and contributes
@@ -5175,20 +5156,6 @@ object TextQueries {
         |   FROM h)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos
         |FROM s ORDER BY shard, pos""".stripMargin,
-    // Prefix census restated over the same 16-token cut.
-    "q343_prefix_sharing" ->
-      """WITH p AS (SELECT doc_id,
-        |    md5(array_to_string(ws[1 : LEAST(16, n)], ' ')) AS prefix_md5,
-        |    LEAST(n, 16) AS p_len
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
-        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-        |    FROM documents WHERE text IS NOT NULL))
-        |SELECT prefix_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
-        |  CAST(MAX(p_len) AS BIGINT) AS p_len,
-        |  CAST((COUNT(*) - 1) * MAX(p_len) AS BIGINT) AS tokens_saved
-        |FROM p GROUP BY 1 HAVING COUNT(*) > 1
-        |ORDER BY prefix_md5""".stripMargin,
     // Identical normalization replayed: digits to #, whitespace
     // squeeze, lowercase.
     "q344_template_dedup" ->
