@@ -1863,20 +1863,6 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // SLIDING RAG CHUNKS (window 32 tokens, stride 24 — 8-token
-    // overlap): the retrieval-side chunking every RAG corpus build
-    // runs, with provenance (doc_id, chunk_no, token offsets) and the
-    // chunk BYTES certified by md5 (the hash gate catches off-by-one
-    // slicing, separator drift, tail truncation). Pure map-side:
-    // explode a per-doc arithmetic start sequence, slice the token
-    // array — the text is read once and never shuffles whole.
-    "q334_sliding_chunks" -> ((s, dir) =>
-      slidingChunks(docs(s, dir))
-        .select(col("doc_id"), col("chunk_no"), col("start"),
-          size(col("chunk")).cast("bigint").as("n_tokens"),
-          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_no")),
-
     // Chunking LOSSLESSNESS gate: rebuild every document from ONLY its
     // q334 chunks (non-last chunks contribute their stride prefix, the
     // last contributes whole) and md5 the reconstruction — the oracle
@@ -1900,16 +1886,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // Streaming twin of q334 — chunking at the ingestion door: the
+    // Streaming twin of q73 — chunking at the ingestion door: the
     // explode+slice projection is per-row and stateless, so the plan
     // drains in Append mode (the deployed form is exactly this plus a
-    // sink). Shares q334's oracle.
+    // sink). Emits q73's exact projection and shares its oracle.
     "q336_stream_chunks" -> ((s, dir) => {
-      val out = slidingChunks(
-          graft.streaming.DocumentStreams.readDocumentsStream(s, dir))
-        .select(col("doc_id"), col("chunk_no"), col("start"),
-          size(col("chunk")).cast("bigint").as("n_tokens"),
-          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      val d = graft.streaming.DocumentStreams.readDocumentsStream(s, dir)
+        .withColumn("w", words(col("text")))
+        .withColumn("nw", size(col("w")))
+      val out = d.select(col("doc_id"), col("w"), col("nw"),
+          posexplode(when(col("nw") > 0,
+            sequence(lit(0), col("nw") - 1, lit(24)))
+            .otherwise(array().cast("array<int>"))).as(Seq("pos", "st")))
+        .select(col("doc_id"),
+          (col("pos") + 1).cast("bigint").as("chunk_no"),
+          col("st").cast("bigint").as("start_tok"),
+          least(lit(32), col("nw") - col("st")).cast("bigint").as("n_tok"),
+          concat_ws(" ", slice(col("w"), col("st") + 1, lit(32)))
+            .as("chunk_text"))
       graft.streaming.EventStreams.runToMemory(out,
           org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy("doc_id", "chunk_no")
@@ -4295,25 +4289,22 @@ object TextQueries {
         |    AS BIGINT) AS alloc
         |FROM l ORDER BY source""".stripMargin
 
-  /** Shared by q334 (batch) and q336 (streaming stateless twin). */
-  private lazy val slidingChunksOracle =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-      |  FROM documents WHERE text IS NOT NULL),
-      | st AS (SELECT doc_id, ws, n,
-      |    unnest(generate_series(0, CAST(n - 1 AS BIGINT), 24)) AS start
-      |  FROM d)
-      |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_no,
-      |  CAST(start AS BIGINT) AS start,
-      |  CAST(len(ws[start + 1 : LEAST(start + 32, n)]) AS BIGINT)
-      |    AS n_tokens,
-      |  md5(array_to_string(ws[start + 1 : LEAST(start + 32, n)], ' '))
-      |    AS chunk_md5
-      |FROM st ORDER BY doc_id, chunk_no""".stripMargin
+  /** Shared by q73 (batch) and q336 (streaming stateless twin). */
+  private lazy val tokenChunksOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      | s AS (SELECT doc_id, w, len(w) AS nw,
+      |         unnest(range(0, len(w), 24)) AS st FROM t)
+      |SELECT doc_id, CAST(st // 24 + 1 AS BIGINT) AS chunk_no,
+      |  CAST(st AS BIGINT) AS start_tok,
+      |  CAST(least(32, nw - st) AS BIGINT) AS n_tok,
+      |  array_to_string(w[CAST(st + 1 AS BIGINT):CAST(least(st + 32, nw) AS BIGINT)], ' ')
+      |    AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_no""".stripMargin
 
-  /** Sliding 32/24 token windows (doc_id, chunk_no, start, chunk) —
-    * pure map-side explode+slice, shared by q334/q335/q336; per-row,
-    * so it is streaming-legal as-is.
+  /** Sliding 32/24 token windows (doc_id, chunk_no, start, chunk) as
+    * RAW ARRAYS — q73's chunking (same window/stride) kept as token
+    * lists for downstream composition (q335's losslessness rebuild,
+    * q341's triplet payloads); q73 itself emits the serialized text.
     */
   private[graft] def slidingChunks(d: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -5236,10 +5227,8 @@ object TextQueries {
         |      || CAST(span_id - 1 AS VARCHAR) || '> ' || tok
         |    ELSE tok END END, ' ' ORDER BY i), '')) AS target_md5
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // Same start arithmetic; DuckDB 1-based inclusive list slice. The
-    // streaming twin q336 drains the same projection.
-    "q334_sliding_chunks" -> slidingChunksOracle,
-    "q336_stream_chunks" -> slidingChunksOracle,
+    // q336 is q73's projection at the ingestion door.
+    "q336_stream_chunks" -> tokenChunksOracle,
     // Losslessness: the oracle does not restate the chunker at all —
     // reconstruction must reproduce the original text bytes.
     "q335_chunk_roundtrip" ->
@@ -5363,16 +5352,7 @@ object TextQueries {
     // `//` for integer division (DuckDB `/` promotes to double);
     // range() excludes the stop like Spark's sequence(0, nw-1, S);
     // list slices are 1-based inclusive like Spark's slice().
-    "q73_token_chunks" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        | s AS (SELECT doc_id, w, len(w) AS nw,
-        |         unnest(range(0, len(w), 24)) AS st FROM t)
-        |SELECT doc_id, CAST(st // 24 + 1 AS BIGINT) AS chunk_no,
-        |  CAST(st AS BIGINT) AS start_tok,
-        |  CAST(least(32, nw - st) AS BIGINT) AS n_tok,
-        |  array_to_string(w[CAST(st + 1 AS BIGINT):CAST(least(st + 32, nw) AS BIGINT)], ' ')
-        |    AS chunk_text
-        |FROM s ORDER BY doc_id, chunk_no""".stripMargin,
+    "q73_token_chunks" -> tokenChunksOracle,
     "q75_vocab_head" ->
       """WITH tf AS (
         |  SELECT term, COUNT(*) AS cnt
