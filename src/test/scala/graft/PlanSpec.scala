@@ -855,4 +855,34 @@ class PlanSpec extends SparkSpec {
       .groupBy("x").count()
     assert(GraftSession.fanout(joined) eq joined)
   }
+
+  test("q326 blocklist census is one scan of codegen kernels, no UDF, no regex scans") {
+    val p = planOf("q326_blocklist_census")
+    assert(p.split("Scan parquet", -1).length - 1 === 1,
+      "q326 must scan documents once:\n" + p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "the Aho-Corasick kernel must be an Expression, not a UDF:\n" +
+        p.take(2000))
+    assert(p.contains("aho_corasick_counts"),
+      "the kernel must appear once as a single expression:\n" + p.take(2000))
+  }
+
+  test("q341 triplet build joins on keys only — no cartesian, no nested-loop") {
+    val p = planOf("q341_contrastive_triplets")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "anchor/positive/negative joins must stay keyed:\n" + p.take(3000))
+  }
+
+  test("q339 apportionment's global window ranks the source census, not the corpus") {
+    // the window's input must be an aggregated relation: a HashAggregate
+    // appears strictly BELOW the Window in the plan tree
+    val p = planOf("q339_budget_apportionment")
+    val w = p.indexOf("Window")
+    assert(w >= 0, "no window in the apportionment plan:\n" + p.take(2000))
+    assert(p.indexOf("HashAggregate", w) >= 0 ||
+      p.substring(w).contains("Aggregate"),
+      "the global window must consume the per-source aggregate, not rows:\n" +
+        p.take(3000))
+  }
 }
