@@ -1831,8 +1831,12 @@ object TextQueries {
         .select(col("doc_id"),
           posexplode(words(col("text"))).as(Seq("pos", "tok")))
         .withColumn("flag",
-          when(pmod((col("doc_id") * 100003L + col("pos") + 1)
-            * lit(2654435761L), lit(4294967296L)) % 100 < 15, 1L)
+          // reduce BEFORE the Knuth multiply (the q202 discipline):
+          // 3e9 * 2654435761 stays inside Long where the raw
+          // (doc_id*100003 + pos) product overflows past doc_id ~43k
+          when(pmod(pmod(col("doc_id") * 100003L + col("pos") + 1,
+            lit(3000000000L)) * lit(2654435761L),
+            lit(4294967296L)) % 100 < 15, 1L)
             .otherwise(0L))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val spanned = toks
@@ -5207,8 +5211,9 @@ object TextQueries {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         |  FROM documents WHERE text IS NOT NULL),
         | t AS (SELECT doc_id, i, ws[i] AS tok,
-        |    CASE WHEN ((doc_id * 100003 + i) * 2654435761)
-        |      % 4294967296 % 100 < 15 THEN 1 ELSE 0 END AS flag
+        |    CASE WHEN (((doc_id * 100003 + i) % 3000000000)
+        |      * 2654435761) % 4294967296 % 100 < 15
+        |      THEN 1 ELSE 0 END AS flag
         |  FROM (SELECT doc_id, ws,
         |      unnest(generate_series(1, CAST(n AS BIGINT))) AS i FROM d)),
         | b AS (SELECT *, CASE WHEN flag = 1 AND COALESCE(LAG(flag)
