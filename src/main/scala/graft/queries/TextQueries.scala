@@ -3144,6 +3144,25 @@ object TextQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // MAXSCORE-PRUNED BM25 TOP-K (Turtle–Flood upper-bound pruning, the
+    // posting-skip move production search runs on every query): docs
+    // holding only non-essential terms — those whose ub-ascending
+    // cumulative sum stays under the champion-term θ₀ — are never
+    // scored, and the pruned ranking is PROVABLY the exhaustive one
+    // (see operators/MaxScore). The gate makes that theorem cross-
+    // engine: the engine ranks the PRUNED way, the oracle scores
+    // EXHAUSTIVELY, and contributions are frozen to integer micros so
+    // equality is exact. On this corpus the common terms ('customer',
+    // 'join', …) carry low idf·ub, so the pruning genuinely fires —
+    // MaxScoreSpec pins that non-vacuity plus the planted common-term
+    // law. Scale shape: ub/θ₀/essential are model-sized or bounded
+    // heaps; only candidate docs reach the scoring aggregate.
+    "q347_maxscore_bm25" -> ((s, dir) =>
+      graft.operators.MaxScore
+        .prunedTopK(bm25ContribsMicro(s, dir).localCheckpoint(eager = true),
+          k = 10)
+        .orderBy("query_id", "rnk")),
+
     // Bradley–Terry strength fitting over the best-of-n sampling arms —
     // the preference-learning step after q241/q247: which of the 8
     // candidate "arms" (doc_id mod 8 within each q247 prompt group)
@@ -4167,6 +4186,47 @@ object TextQueries {
       .agg(sum(col("idf") * col("num") / col("den")).as("score"))
       .withColumn("score_r", round(col("score"), 6))
       .select("query_id", "doc_id", "score_r")
+  }
+
+  /** Per-(query, term, doc) BM25 contribution frozen to integer micros
+    * (the q325 freeze discipline applied one level deeper): the same
+    * tf/df/idf algebra as [[bm25Scores]], but each term's contribution
+    * is rounded at 6 dp and scaled to a BIGINT before any sum — so the
+    * additive total is EXACT integers and the MaxScore pruning theorem
+    * (q347) carries zero float hazard across engines. Scale shape is
+    * bm25Scores': one checkpointed term-filtered scan, model-sized
+    * df/query broadcasts, a 1-row corpus-stats broadcast.
+    */
+  private[graft] def bm25ContribsMicro(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val termSet = bm25QueryDefs.flatMap(_._2).distinct
+    val qt = broadcast(bm25QueryDefs
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "w"))
+    val base = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("bigint").as("dl"),
+        filter(words(col("text")),
+          w => w.isInCollection(termSet)).as("qtoks"))
+      .localCheckpoint(eager = true)
+    val global = broadcast(base.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl")))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("w"))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfw), Seq("w")).join(qt, Seq("w"))
+      .crossJoin(global)
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("num", col("tf") * lit(2.2))
+      .withColumn("den", col("tf") + lit(1.2) * (lit(0.25)
+        + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl")))
+      .select(col("query_id"), col("w"), col("doc_id"),
+        round(round(col("idf") * col("num") / col("den"), 6) * 1000000)
+          .cast("bigint").as("c_micro"))
   }
 
   /** Group-relative advantage shared by batch q275 and streaming twin
@@ -6242,6 +6302,27 @@ object TextQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id,
          |  CAST(rnk AS BIGINT) AS rnk, w, CAST(weight AS BIGINT) AS weight
          |FROM e WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // The EXHAUSTIVE ranking over the same micro-frozen contributions —
+    // the engine side ranks through MaxScore pruning, so the hash
+    // equality IS the pruning theorem, checked across engines.
+    "q347_maxscore_bm25" ->
+      s"""WITH $bm25CoreSql,
+         | c AS (SELECT qt.query_id, tf.doc_id,
+         |     CAST(ROUND(ROUND(
+         |       ln(1.0 + (g.n_docs - dfw.df + 0.5) / (dfw.df + 0.5))
+         |         * (tf.tf * 2.2)
+         |         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl * g.n_docs
+         |             / g.sum_dl)), 6) * 1000000) AS BIGINT) AS c_micro
+         |   FROM tf JOIN dfw USING (w) JOIN qt USING (w) CROSS JOIN g),
+         | s2 AS (SELECT query_id, doc_id,
+         |     CAST(SUM(c_micro) AS BIGINT) AS score_micro
+         |   FROM c GROUP BY 1, 2),
+         | r AS (SELECT query_id, doc_id, score_micro,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id
+         |       ORDER BY score_micro DESC, doc_id) AS rnk FROM s2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(rnk AS BIGINT) AS rnk, doc_id, score_micro
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q282_stream_bm25" -> bm25TopKOracle,
     // The merged history+delta model carries the same integer counts as
     // the from-scratch model, so the search result is q273's.
