@@ -189,6 +189,54 @@ object SimilarityQueries {
         .select(col("mean_recall"), lit(0.8).as("recall_floor"))
     }),
 
+    // FILTERED ANN — metadata-predicate vector search (the vector-DB
+    // "filtered search" problem): the index is trained on the FULL
+    // corpus, the query-time predicate (label ∈ {0,1,2}, ~30%
+    // selectivity) restricts candidates INSIDE the probed buckets, and
+    // the exact filtered brute-force referees in-query. Selective
+    // filters thin every bucket, which is exactly why filtered recall
+    // degrades in production — the gate runs at nprobe=8 (double q33's)
+    // and holds the 0.8 floor there. Violations emitted: recall-floor
+    // breach, any returned neighbor that escapes the predicate, and a
+    // vacuous-fixture row if the filtered corpus ever starves below k.
+    // Oracle: empty. FilteredAnnSpec pins full-probe ≡ exact and the
+    // single-survivor law.
+    "q348_filtered_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val allowed = col("label").isin(0, 1, 2)
+      val filtered = e.filter(allowed)
+      val q = e.filter(col("vec_id") < 10)
+      val cents = Similarity.trainIvfCentroids(e, "vec_id", "embedding",
+        nlist = 16, iters = 10)
+      val exact = Similarity.bruteForceTopK(filtered, q, "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopKWithCentroids(filtered, q, "vec_id",
+        "embedding", k = 5, cents, nprobe = 8)
+      val floor = exact
+        .join(approx.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
+          .as("recall"))
+        .agg(round(avg(col("recall")), 6).as("metric"))
+        .filter(col("metric") < 0.8)
+        .select(lit("recall_floor").as("violation"), col("metric"))
+      val escaped = approx
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id"))
+        .filter(!col("label").isin(0, 1, 2))
+        .agg(count(lit(1)).cast("double").as("metric"))
+        .filter(col("metric") > 0)
+        .select(lit("predicate_escape").as("violation"), col("metric"))
+      val starved = s.range(1)
+        .filter(lit(filtered.limit(5).count() < 5))
+        .select(lit("vacuous_fixture").as("violation"),
+          lit(0.0).as("metric"))
+      floor.unionByName(escaped).unionByName(starved)
+        .orderBy("violation")
+    }),
+
     // IVF probe-sweep gate — the nprobe tuning curve (the q270 sweep
     // discipline applied to ANN), gated on a THEOREM instead of a
     // floor alone: under one fixed centroid model the probed candidate
@@ -1209,6 +1257,10 @@ object SimilarityQueries {
     "q277_signbit_ann" ->
       """SELECT CAST(NULL AS DOUBLE) AS mean_recall,
         |  CAST(NULL AS DOUBLE) AS recall_floor
+        |WHERE FALSE""".stripMargin,
+    "q348_filtered_ann" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |  CAST(NULL AS DOUBLE) AS metric
         |WHERE FALSE""".stripMargin,
     "q287_ivf_probe_sweep" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id,
