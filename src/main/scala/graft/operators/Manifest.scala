@@ -117,10 +117,11 @@ object Manifest {
     * every reader until a manifest referencing them is renamed in.
     */
   private[graft] def writeCommitFiles(df: DataFrame, dir: String,
-      partCol: String, version: Int, statsCol: String = null): Seq[Entry] = {
+      partCol: String, version: Int, statsCol: String = null,
+      suffix: String = ""): Seq[Entry] = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val commitRel = f"data/c$version%06d"
+    val commitRel = f"data/c$version%06d$suffix%s"
     // overwrite: version N's dir can only pre-exist as the debris of a
     // CRASHED attempt at N (a committed N forces later writers to N+1),
     // so a retry reclaims it cleanly. One writer per version — the
@@ -260,6 +261,87 @@ object Manifest {
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => touched(e.p)) ++ entries,
       conf)
+  }
+
+  /** A prepared-but-unpublished partition overwrite: data files are on
+    * disk (in a writer-unique commit dir, so concurrent preparers can
+    * never clobber each other) and invisible until `commitPrepared`
+    * publishes them. `base` is the snapshot version the writer read
+    * its inputs from — the conflict check anchors there.
+    */
+  case class PreparedCommit(base: Int, entries: Seq[Entry],
+      touched: Set[String])
+
+  /** Partitions whose file set differs between versions `from` and `to`
+    * — the write-set a snapshot-isolation conflict check compares
+    * against. File paths are unique per commit, so ANY rewrite/append/
+    * drop in the window surfaces as a set difference.
+    */
+  private[graft] def changedPartitions(dir: String, from: Int, to: Int,
+      conf: Configuration): Set[String] = {
+    if (to <= from) return Set.empty
+    def byPart(v: Int): Map[String, Set[String]] =
+      readManifest(dir, v, conf).groupBy(_.p)
+        .view.mapValues(_.map(_.file).toSet).toMap
+    val a = byPart(from)
+    val b = byPart(to)
+    (a.keySet ++ b.keySet)
+      .filter(p => a.getOrElse(p, Set.empty) != b.getOrElse(p, Set.empty))
+  }
+
+  /** Stage a partition overwrite from the CURRENT snapshot without
+    * publishing it — the optimistic-concurrency prepare phase. Files
+    * land in a commit dir salted with a writer-unique token, so two
+    * writers preparing from the same base cannot collide on disk.
+    */
+  def prepareOverwrite(df: DataFrame, dir: String,
+      partCol: String): PreparedCommit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val token =
+      s"-w${ProcessHandle.current().pid()}x${System.nanoTime().toHexString}"
+    val entries = writeCommitFiles(df, dir, partCol, base + 1,
+      suffix = token)
+    PreparedCommit(base, entries, entries.map(_.p).toSet)
+  }
+
+  /** Publish a prepared overwrite under SNAPSHOT-ISOLATION optimistic
+    * concurrency (the Delta/Iceberg commit protocol): commits that
+    * landed after `prep.base` are examined — if any touched one of the
+    * writer's partitions, the publish fails LOUDLY (first committer
+    * wins; the loser must re-read and re-prepare, because its inputs
+    * may be stale); if all are disjoint, the writer's delta REBASES
+    * onto the latest manifest and retries the one-rename CAS. Returns
+    * the committed version. A writer that loses the rename race itself
+    * (two publishes in the same instant) re-reads and retries up to
+    * `maxAttempts` times — its data files never move, only the
+    * manifest merge is redone, so a retry is census-cheap.
+    */
+  def commitPrepared(spark: SparkSession, dir: String,
+      prep: PreparedCommit, maxAttempts: Int = 5): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion(dir, conf)
+      val conflicts =
+        changedPartitions(dir, prep.base, latest, conf)
+          .intersect(prep.touched)
+      require(conflicts.isEmpty,
+        s"write-write conflict on partitions ${conflicts.toSeq.sorted
+          .mkString(", ")}: they changed after base v${prep.base} - " +
+          "re-read the table and re-prepare")
+      val merged = readManifest(dir, latest, conf)
+        .filterNot(e => prep.touched(e.p)) ++ prep.entries
+      try {
+        commitManifest(dir, latest + 1, merged, conf)
+        return latest + 1
+      } catch {
+        case e: IllegalArgumentException if attempt < maxAttempts =>
+          attempt += 1 // lost the rename race - re-read and rebase again
+      }
+    }
+    -1 // unreachable
   }
 
   /** Targeted purge (q177's semantics under the manifest protocol):

@@ -277,6 +277,59 @@ object ChangeDataQueries {
       census.unionByName(viol).orderBy("o_orderstatus")
     }),
 
+    // OPTIMISTIC CONCURRENCY on the manifest (the Delta/Iceberg commit
+    // protocol q316's single-writer gate doesn't exercise): two writers
+    // prepare partition overwrites from the SAME base snapshot — A
+    // doubles 2024-01-03, B triples 2024-01-05. A publishes first; B's
+    // publish finds the base moved, sees its write-set DISJOINT from
+    // the interleaved commit, rebases its delta onto the latest
+    // manifest, and lands (snapshot isolation: disjoint writers never
+    // block or lose updates). Writer C then prepares a CONFLICTING
+    // overwrite of 2024-01-03 from the stale base — its publish must
+    // fail LOUDLY (first committer wins) and leave the layout
+    // untouched: C's orphan files stay invisible, the version doesn't
+    // move. Violations (REBASE_LOST / CONFLICT_MISSED / LOSER_MUTATED)
+    // never appear in the oracle; the final census carries both A's
+    // and B's effects and none of C's, hash-gated.
+    "q349_manifest_occ_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_manifest_occ").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      def day(d: String) = col("dt") === lit(d).cast("date")
+      val prepA = Manifest.prepareOverwrite(
+        ev.filter(day("2024-01-03")).withColumn("value", col("value") * 2),
+        tmp, "dt")
+      val prepB = Manifest.prepareOverwrite(
+        ev.filter(day("2024-01-05")).withColumn("value", col("value") * 3),
+        tmp, "dt")
+      val vA = Manifest.commitPrepared(s, tmp, prepA)
+      val vB = try Manifest.commitPrepared(s, tmp, prepB)
+        catch { case _: IllegalArgumentException => -1 }
+      val prepC = Manifest.PreparedCommit(prepA.base, prepA.entries,
+        prepA.touched) // a stale writer re-targeting A's partition
+      val cFailed = try { Manifest.commitPrepared(s, tmp, prepC); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("write-write conflict") }
+      val vAfterC = Manifest.latestVersion(tmp,
+        s.sparkContext.hadoopConfiguration)
+      val census = Manifest.read(s, tmp)
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1)
+        .filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(vA != 2 || vB != 3, "REBASE_LOST"))
+        .unionByName(viol(!cFailed, "CONFLICT_MISSED"))
+        .unionByName(viol(vAfterC != 3, "LOSER_MUTATED"))
+        .orderBy("dt")
+    }),
+
     // Manifest lifecycle tail — append, purge, TIME TRAVEL, vacuum: a
     // synthetic day appends (v2), users 3/7 purge (v3; emptied
     // partitions vanish from the manifest — the silent-retention trap
@@ -340,6 +393,17 @@ object ChangeDataQueries {
         |  ROUND(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05'
         |      OR CAST(ts AS DATE) = DATE '2024-01-09'
         |    THEN value * 2 ELSE value END), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Both disjoint writers' effects, none of the conflicting loser's —
+    // no REBASE_LOST / CONFLICT_MISSED / LOSER_MUTATED rows. (OR-form
+    // for the date predicate; see the q316 DuckDB IN note.)
+    "q349_manifest_occ_gate" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03'
+        |      THEN value * 2
+        |    WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+        |      THEN value * 3 ELSE value END), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Range-read census over the skipping layout — no NOSKIP row.
     "q320_manifest_skipping_gate" ->

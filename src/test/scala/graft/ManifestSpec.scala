@@ -227,4 +227,64 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.read(spark, dir).agg(sum("value")).as[Double].head()
       === 70.0, "fresh read missed the committed rewrite")
   }
+
+  test("changedPartitions reports exactly the rewritten/appended partitions") {
+    val dir = mkdir()
+    val conf = spark.sparkContext.hadoopConfiguration
+    Manifest.create(fixture, dir, "grp")
+    Manifest.overwritePartitions(
+      fixture.filter($"grp" === "b").withColumn("value", lit(0.0)),
+      dir, "grp")
+    Manifest.append(fixture.filter($"grp" === "a")
+      .withColumn("grp", lit("d")), dir, "grp")
+    assert(Manifest.changedPartitions(dir, 1, 2, conf) === Set("b"))
+    assert(Manifest.changedPartitions(dir, 1, 3, conf) === Set("b", "d"))
+    assert(Manifest.changedPartitions(dir, 3, 3, conf) === Set.empty)
+  }
+
+  test("disjoint optimistic writers both land, in either commit order") {
+    def run(firstA: Boolean): Map[String, Double] = {
+      val dir = mkdir()
+      Manifest.create(fixture, dir, "grp")
+      val pa = Manifest.prepareOverwrite(
+        fixture.filter($"grp" === "a").withColumn("value", $"value" * 2),
+        dir, "grp")
+      val pb = Manifest.prepareOverwrite(
+        fixture.filter($"grp" === "b").withColumn("value", $"value" * 3),
+        dir, "grp")
+      val order = if (firstA) Seq(pa, pb) else Seq(pb, pa)
+      assert(order.map(Manifest.commitPrepared(spark, dir, _)) ===
+        Seq(2, 3), "the second writer must rebase, not fail")
+      Manifest.read(spark, dir).groupBy("grp").agg(sum("value").as("s"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val expected = Map("a" -> 60.0, "b" -> 210.0, "c" -> 110.0)
+    assert(run(firstA = true) === expected)
+    assert(run(firstA = false) === expected,
+      "disjoint commits must commute")
+  }
+
+  test("a stale conflicting writer fails loudly and mutates nothing") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    // both target partition 'a' from base v1; first wins
+    val p1 = Manifest.prepareOverwrite(
+      fixture.filter($"grp" === "a").withColumn("value", $"value" * 2),
+      dir, "grp")
+    val p2 = Manifest.prepareOverwrite(
+      fixture.filter($"grp" === "a").withColumn("value", lit(-1.0)),
+      dir, "grp")
+    assert(Manifest.commitPrepared(spark, dir, p1) === 2)
+    val e = intercept[IllegalArgumentException] {
+      Manifest.commitPrepared(spark, dir, p2)
+    }
+    assert(e.getMessage.contains("write-write conflict"))
+    assert(e.getMessage.contains("a"), "the message must name the partition")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.latestVersion(dir, conf) === 2,
+      "the losing writer must not move the version")
+    assert(Manifest.read(spark, dir).filter($"grp" === "a")
+      .agg(sum("value")).as[Double].head() === 60.0,
+      "the loser's files must stay invisible")
+  }
 }
