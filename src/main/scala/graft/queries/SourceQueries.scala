@@ -16,6 +16,47 @@ object SourceQueries {
   import RelationalQueries.Q
 
   val queries: Map[String, Q] = Map(
+    // DATA-CONTRACT EXPECTATIONS (the Great-Expectations / dbt-test
+    // capability): a declarative 6-check suite — not-null, range,
+    // regex, set-membership, unique-key, referential-integrity —
+    // compiled by `operators.Expectations` into ONE fused aggregate
+    // pass for the row-local checks plus one keyed census and one
+    // broadcast anti-join for the heavy ones (never one job per check,
+    // the reference's N+1 trap). The fixture plants one violation
+    // family per check with coprime moduli so every census row is
+    // non-zero and independently wrong if any rule drifts; the oracle
+    // restates each count arithmetically. FULL hash.
+    "q350_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations._
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("o_orderdate",
+          when(col("o_orderkey") % 89 === 0,
+            lit(null).cast("timestamp_ntz"))
+            .otherwise(col("o_orderdate")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 101 === 0, lit("9-BAD"))
+            .otherwise(col("o_orderpriority")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 103 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 107 === 0,
+            col("o_custkey") + 1000000000L).otherwise(col("o_custkey")))
+      val dupped = o.unionByName(o.filter(col("o_orderkey") % 113 === 0))
+      validate(dupped, Seq(
+        NotNull("o_orderdate"),
+        InRange("o_totalprice", 0.0, 1e9),
+        Matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+        InSet("o_orderstatus", Seq("O", "F", "P")),
+        UniqueKey(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", Tables.load(s, dir, "customer"),
+          "c_custkey")))
+        .orderBy("check", "target")
+    }),
+
     // Parquet schema evolution: the v1 files predate the `quality`
     // column the v2 files carry; `mergeSchema` widens the unified read
     // schema and fills v1 rows with NULLs — history is never rewritten
@@ -911,6 +952,55 @@ object SourceQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Each planted violation family restated arithmetically over the
+    // same dupped fixture; unique-key excess = rows − distinct keys.
+    "q350_expectations" ->
+      """WITH d AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN NULL
+        |      ELSE o_orderdate END AS o_orderdate,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN '9-BAD'
+        |      ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 103 = 0 THEN 'X'
+        |      ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 107 = 0 THEN o_custkey + 1000000000
+        |      ELSE o_custkey END AS o_custkey
+        |  FROM orders),
+        | u AS (SELECT * FROM d
+        |   UNION ALL SELECT * FROM d WHERE o_orderkey % 113 = 0),
+        | t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM u)
+        |SELECT c."check", c.target, c.n_violations, t.n_rows
+        |FROM (
+        |  SELECT 'in_range' AS "check", 'o_totalprice' AS target,
+        |    (SELECT CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+        |       AND (o_totalprice < 0 OR o_totalprice > 1000000000)
+        |       THEN 1 ELSE 0 END) AS BIGINT) FROM u) AS n_violations
+        |  UNION ALL
+        |  SELECT 'in_set', 'o_orderstatus',
+        |    (SELECT CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+        |       AND o_orderstatus NOT IN ('O', 'F', 'P')
+        |       THEN 1 ELSE 0 END) AS BIGINT) FROM u)
+        |  UNION ALL
+        |  SELECT 'matches', 'o_orderpriority',
+        |    (SELECT CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+        |       AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')
+        |       THEN 1 ELSE 0 END) AS BIGINT) FROM u)
+        |  UNION ALL
+        |  SELECT 'not_null', 'o_orderdate',
+        |    (SELECT CAST(SUM(CASE WHEN o_orderdate IS NULL
+        |       THEN 1 ELSE 0 END) AS BIGINT) FROM u)
+        |  UNION ALL
+        |  SELECT 'ref_integrity', 'o_custkey',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM u
+        |     WHERE o_custkey IS NOT NULL
+        |       AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'unique_key', 'o_orderkey',
+        |    (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |     FROM u)
+        |) c CROSS JOIN t
+        |ORDER BY c."check", c.target""".stripMargin,
     // Canonical form restated arithmetically from the j = doc_id % 24
     // rule (the planted mess is exactly what canonicalization removes).
     "q224_url_canonicalize" ->
