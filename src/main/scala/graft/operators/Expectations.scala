@@ -52,31 +52,43 @@ object Expectations {
       case _ => None
     }
 
+  /** The single fused aggregate row (__n plus one __v column per
+    * row-local check) — split out so the STREAMING twin can run it as
+    * its one legal aggregation (Complete mode) and explode the drained
+    * row through [[rowLocalCensus]].
+    */
+  def rowLocalAggRow(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val rowLocal = checks.flatMap(rowLocalViolation)
+    require(rowLocal.nonEmpty, "rowLocalAggRow: no row-local checks")
+    val aggs = count(lit(1)).as("__n") +:
+      rowLocal.zipWithIndex.map { case ((_, _, v), i) =>
+        sum(when(v, 1L).otherwise(0L)).as(s"__v$i")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Explode a (drained) fused aggregate row into census rows. */
+  def rowLocalCensus(aggRow: DataFrame, checks: Seq[Check]): DataFrame = {
+    val rowLocal = checks.flatMap(rowLocalViolation)
+    val pairs = rowLocal.zipWithIndex.map { case ((nm, tgt, _), i) =>
+      struct(lit(nm).as("check"), lit(tgt).as("target"),
+        col(s"__v$i").as("n_violations"))
+    }
+    aggRow.select(explode(array(pairs: _*)).as("e"), col("__n"))
+      .select(col("e.check"), col("e.target"),
+        col("e.n_violations"), col("__n").as("n_rows"))
+  }
+
   /** The violation census of `checks` over `df`: one row per check,
     * (check, target, n_violations, n_rows). Row-local checks share one
     * fused aggregate pass.
     */
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "validate: empty check suite")
-    val spark = df.sparkSession
-    import spark.implicits._
     val rowLocal = checks.flatMap(rowLocalViolation)
     val fused: Option[DataFrame] =
       if (rowLocal.isEmpty) None
-      else {
-        val aggs = count(lit(1)).as("__n") +:
-          rowLocal.zipWithIndex.map { case ((_, _, v), i) =>
-            sum(when(v, 1L).otherwise(0L)).as(s"__v$i")
-          }
-        val row = df.agg(aggs.head, aggs.tail: _*)
-        val pairs = rowLocal.zipWithIndex.map { case ((nm, tgt, _), i) =>
-          struct(lit(nm).as("check"), lit(tgt).as("target"),
-            col(s"__v$i").as("n_violations"))
-        }
-        Some(row.select(explode(array(pairs: _*)).as("e"), col("__n"))
-          .select(col("e.check"), col("e.target"),
-            col("e.n_violations"), col("__n").as("n_rows")))
-      }
+      else Some(rowLocalCensus(rowLocalAggRow(df, checks), checks))
     lazy val total = df.count()
     val heavies = checks.flatMap {
       case UniqueKey(cols0) =>

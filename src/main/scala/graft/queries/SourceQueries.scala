@@ -26,34 +26,49 @@ object SourceQueries {
     // family per check with coprime moduli so every census row is
     // non-zero and independently wrong if any rule drifts; the oracle
     // restates each count arithmetically. FULL hash.
-    "q350_expectations" -> ((s, dir) => {
-      import graft.operators.Expectations._
-      val o = Tables.load(s, dir, "orders")
-        .withColumn("o_orderdate",
-          when(col("o_orderkey") % 89 === 0,
-            lit(null).cast("timestamp_ntz"))
-            .otherwise(col("o_orderdate")))
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
-            .otherwise(col("o_totalprice")))
-        .withColumn("o_orderpriority",
-          when(col("o_orderkey") % 101 === 0, lit("9-BAD"))
-            .otherwise(col("o_orderpriority")))
-        .withColumn("o_orderstatus",
-          when(col("o_orderkey") % 103 === 0, lit("X"))
-            .otherwise(col("o_orderstatus")))
-        .withColumn("o_custkey",
-          when(col("o_orderkey") % 107 === 0,
-            col("o_custkey") + 1000000000L).otherwise(col("o_custkey")))
-      val dupped = o.unionByName(o.filter(col("o_orderkey") % 113 === 0))
-      validate(dupped, Seq(
-        NotNull("o_orderdate"),
-        InRange("o_totalprice", 0.0, 1e9),
-        Matches("o_orderpriority", "[1-5]-[A-Z ]+"),
-        InSet("o_orderstatus", Seq("O", "F", "P")),
-        UniqueKey(Seq("o_orderkey")),
-        RefIntegrity("o_custkey", Tables.load(s, dir, "customer"),
-          "c_custkey")))
+    "q350_expectations" -> ((s, dir) =>
+      graft.operators.Expectations
+        .validate(corruptedOrders(Tables.load(s, dir, "orders")),
+          expectationSuite(s, dir))
+        .orderBy("check", "target")),
+
+    // Streaming twin of q350 — the data contract enforced AT THE
+    // INGESTION DOOR, decomposed into streaming-legal pieces: the fused
+    // row-local block is ONE Complete-mode aggregation (state = one
+    // row), the unique-key census is one keyed Complete-mode count
+    // (state = one entry per key, the streaming-dedup bound), and
+    // ref-integrity is a STATELESS stream-static broadcast anti-join
+    // with a count. The three drained snapshots assemble the exact
+    // 6-row census of the batch run — shares q350's oracle.
+    "q351_stream_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations
+      import org.apache.spark.sql.streaming.OutputMode
+      val checks = expectationSuite(s, dir)
+      val o = corruptedOrders(Tables.readTableStream(s, dir, "orders"))
+      def drain(d: org.apache.spark.sql.DataFrame) =
+        graft.streaming.EventStreams.runToMemory(d, OutputMode.Complete())
+      val rowLocal = Expectations.rowLocalCensus(
+        drain(Expectations.rowLocalAggRow(o, checks)), checks)
+      val keyCensus = drain(o.groupBy("o_orderkey")
+        .agg(count(lit(1)).as("__c")))
+      val uniq = keyCensus.agg(
+          coalesce(sum(col("__c") - 1L), lit(0L)).as("n_violations"),
+          coalesce(sum(col("__c")), lit(0L)).as("n_rows"))
+        .select(lit("unique_key").as("check"),
+          lit("o_orderkey").as("target"), col("n_violations"),
+          col("n_rows"))
+      val dim = broadcast(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey")).distinct())
+      val refDrain = drain(o.filter(col("o_custkey").isNotNull)
+        .join(dim, Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations")))
+      val total = keyCensus.agg(coalesce(sum(col("__c")), lit(0L))
+        .as("n_rows"))
+      val ref = refDrain.crossJoin(broadcast(total))
+        .select(lit("ref_integrity").as("check"),
+          lit("o_custkey").as("target"), col("n_violations"),
+          col("n_rows"))
+      rowLocal.unionByName(uniq).unionByName(ref)
         .orderBy("check", "target")
     }),
 
@@ -951,11 +966,54 @@ object SourceQueries {
     concat(scheme, lit("://"), host, port, path, query, frag)
   }
 
-  val oracles: Map[String, String] = Map(
-    // Each planted violation family restated arithmetically over the
-    // same dupped fixture; unique-key excess = rows − distinct keys.
-    "q350_expectations" ->
-      """WITH d AS (SELECT o_orderkey,
+  /** The q350/q351 planted-corruption fixture: one violation family per
+    * check on coprime moduli (89 null date, 97 negative price, 101 bad
+    * priority, 103 bad status, 107 orphan custkey, 113 duplicated row)
+    * so every census row is non-zero and independently wrong if any
+    * check rule drifts. Streaming-legal (pure column ops + a self
+    * union).
+    */
+  private def corruptedOrders(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val o = orders
+      .withColumn("o_orderdate",
+        when(col("o_orderkey") % 89 === 0,
+          lit(null).cast("timestamp_ntz"))
+          .otherwise(col("o_orderdate")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 101 === 0, lit("9-BAD"))
+          .otherwise(col("o_orderpriority")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 103 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 107 === 0,
+          col("o_custkey") + 1000000000L).otherwise(col("o_custkey")))
+    o.unionByName(o.filter(col("o_orderkey") % 113 === 0))
+  }
+
+  /** The 6-check contract both q350 (batch) and q351 (streaming) run. */
+  private def expectationSuite(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[graft.operators.Expectations.Check] = {
+    import graft.operators.Expectations._
+    Seq(NotNull("o_orderdate"),
+      InRange("o_totalprice", 0.0, 1e9),
+      Matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+      InSet("o_orderstatus", Seq("O", "F", "P")),
+      UniqueKey(Seq("o_orderkey")),
+      RefIntegrity("o_custkey", Tables.load(s, dir, "customer"),
+        "c_custkey"))
+  }
+
+  /** Shared by q350 (batch) and q351 (streaming twin): each planted
+    * violation family restated arithmetically over the same dupped
+    * fixture; unique-key excess = rows − distinct keys.
+    */
+  private lazy val expectationsOracle =
+    """WITH d AS (SELECT o_orderkey,
         |    CASE WHEN o_orderkey % 89 = 0 THEN NULL
         |      ELSE o_orderdate END AS o_orderdate,
         |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
@@ -1000,7 +1058,15 @@ object SourceQueries {
         |    (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
         |     FROM u)
         |) c CROSS JOIN t
-        |ORDER BY c."check", c.target""".stripMargin,
+        |ORDER BY c."check", c.target""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // The streaming twin assembles the identical 6-row census from its
+    // three drained snapshots — one shared restatement.
+    "q351_stream_expectations" -> expectationsOracle,
+    // Each planted violation family restated arithmetically over the
+    // same dupped fixture; unique-key excess = rows − distinct keys.
+    "q350_expectations" -> expectationsOracle,
     // Canonical form restated arithmetically from the j = doc_id % 24
     // rule (the planted mess is exactly what canonicalization removes).
     "q224_url_canonicalize" ->
