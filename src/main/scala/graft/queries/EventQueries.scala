@@ -42,7 +42,53 @@ object EventQueries {
       .orderBy("event_type", "dt")
   }
 
+  /** CUSUM changepoint localization over the daily-volume census (Page
+    * 1954) — the sequential-detection complement to q158's rolling
+    * z-score: a z-score flags single anomalous DAYS, CUSUM accumulates
+    * small persistent drift and localizes WHEN a level shift began.
+    * The recursion S_t = max(0, S_{t−1} + y_t) is rewritten window-form
+    * as S_t = CS_t − min(0, min_{j≤t} CS_j) (both engines replay it
+    * with plain windows over the ~30-row/type census — no recursion,
+    * no UDF). y is exact milli integers: y_t = 1000·n_t − μ0 − μ0/10
+    * with μ0 the first-14-day baseline mean and μ0/10 the slack;
+    * threshold h = 2·μ0. A +50% level shift is PLANTED on 'click' from
+    * Jan 21 (census-side column op, restated by the oracle); the
+    * MonitorSpec law: click must fire by month end, no bystander type
+    * ever fires. Corpus-scale work = one map-side daily census.
+    */
+  private[graft] def cusumChangepoint(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+      .agg(count(lit(1)).as("n0"))
+      .withColumn("n",
+        when(col("event_type") === "click"
+            && col("dt") >= lit("2024-01-21").cast("date"),
+          col("n0") + expr("n0 div 2")).otherwise(col("n0")))
+    val base = census
+      .filter(col("dt") < lit("2024-01-15").cast("date"))
+      .groupBy("event_type")
+      .agg(expr("(1000 * sum(n)) div count(1)").as("mu0_milli"))
+    val wOrd = Window.partitionBy("event_type").orderBy("dt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census.join(broadcast(base), Seq("event_type"))
+      .withColumn("y_milli",
+        col("n") * 1000L - col("mu0_milli") - expr("mu0_milli div 10"))
+      .withColumn("cs", sum("y_milli").over(wOrd))
+      .withColumn("s_milli",
+        col("cs") - least(min("cs").over(wOrd), lit(0L)))
+      .withColumn("fired", col("s_milli") > col("mu0_milli") * 2)
+      .select(col("event_type"), col("dt"), col("n"), col("s_milli"),
+        col("fired"))
+      .orderBy("event_type", "dt")
+  }
+
   val queries: Map[String, Q] = Map(
+    // CUSUM drift localization — see `cusumChangepoint`. FULL hash: the
+    // whole S-path of every type, every day.
+    "q352_cusum_changepoint" -> ((s, dir) =>
+      cusumChangepoint(Tables.load(s, dir, "events"))),
+
     // Poisson-bootstrap confidence intervals in ONE pass (Chamandy et
     // al., "Estimating Uncertainty for Massive Data Streams" — the
     // standard trick when classical resampling would need B corpus
@@ -1004,6 +1050,28 @@ object EventQueries {
         |  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
     "q158_volume_anomaly" -> volumeAnomalyOracle,
+    // The window-form CUSUM restated over the same planted census —
+    // the max-recursion identity S = CS − min(0, prefix-min CS) holds
+    // in both engines with plain windows.
+    "q352_cusum_changepoint" ->
+      """WITH c0 AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+        |     CAST(COUNT(*) AS BIGINT) AS n0 FROM events GROUP BY 1, 2),
+        | c AS (SELECT event_type, dt,
+        |     CASE WHEN event_type = 'click' AND dt >= DATE '2024-01-21'
+        |       THEN n0 + n0 // 2 ELSE n0 END AS n FROM c0),
+        | b AS (SELECT event_type,
+        |     CAST((1000 * SUM(n)) // COUNT(*) AS BIGINT) AS mu0
+        |   FROM c WHERE dt < DATE '2024-01-15' GROUP BY 1),
+        | j AS (SELECT c.event_type, c.dt, c.n, b.mu0,
+        |     1000 * c.n - b.mu0 - b.mu0 // 10 AS y
+        |   FROM c JOIN b USING (event_type)),
+        | w AS (SELECT *, SUM(y) OVER (PARTITION BY event_type
+        |     ORDER BY dt) AS cs FROM j),
+        | s AS (SELECT *, cs - LEAST(MIN(cs) OVER (PARTITION BY event_type
+        |     ORDER BY dt), 0) AS s_milli FROM w)
+        |SELECT event_type, dt, n, CAST(s_milli AS BIGINT) AS s_milli,
+        |  s_milli > 2 * mu0 AS fired
+        |FROM s ORDER BY event_type, dt""".stripMargin,
     "q167_stream_volume_anomaly" -> volumeAnomalyOracle,
     // Sensitivity gate: a planted ×10 last-day spike must be flagged
     // and nothing else may move — empty.

@@ -58,4 +58,44 @@ class MonitorSpec extends SparkSpec {
     assert(out(0L) < 0.25 && out(1L) < 0.25, out.toString)
     assert(out(2L) > 1.5, out.toString)
   }
+
+  test("cusumChangepoint: window form equals the max(0, S+y) recursion " +
+      "on a hand path") {
+    // 14 baseline days at 10/day (μ0 = 10,000 milli, slack 1,000),
+    // then a +5/day shift — replay Page's recursion by hand and demand
+    // the window-form S path matches it day for day.
+    val days = (1 to 14).map(d => (f"2024-01-$d%02d", 10)) ++
+      (15 to 20).map(d => (f"2024-01-$d%02d", 15))
+    val ev = days.flatMap { case (dt, n) =>
+      (1 to n).map(i =>
+        ("view", java.sql.Timestamp.valueOf(s"$dt 12:00:00"), i.toLong))
+    }.toDF("event_type", "ts", "event_id")
+    val got = graft.queries.EventQueries.cusumChangepoint(ev)
+      .select(col("dt").cast("string"), col("s_milli"), col("fired"))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    var s = 0L
+    days.foreach { case (dt, n) =>
+      s = math.max(0L, s + (n * 1000L - 10000L - 1000L))
+      assert(got(dt) === ((s, s > 20000L)),
+        s"window form diverged from the recursion at $dt")
+    }
+    // the shift accumulates 4,000/day -> first crossing is day 20
+    assert(got("2024-01-20")._2 && !got("2024-01-19")._2)
+  }
+
+  test("cusumChangepoint localizes the planted click shift on real " +
+      "events; bystander types never fire") {
+    val out = graft.queries.EventQueries
+      .cusumChangepoint(Tables.load(spark, sfDir, "events"))
+      .select(col("event_type"), col("dt").cast("string"), col("fired"))
+      .as[(String, String, Boolean)].collect()
+    val clickFires = out.filter(r => r._1 == "click" && r._3).map(_._2)
+    assert(clickFires.nonEmpty, "the planted +50% shift never fired")
+    assert(clickFires.min >= "2024-01-21",
+      s"fired before the plant: ${clickFires.min}")
+    val bystanders = out.filter(r => r._1 != "click" && r._3)
+    assert(bystanders.isEmpty,
+      s"bystander fired: ${bystanders.take(3).mkString(", ")}")
+  }
 }
