@@ -344,6 +344,100 @@ object Manifest {
     -1 // unreachable
   }
 
+  // ---- Catalog: an atomic MULTI-TABLE snapshot vector ----------------
+  //
+  // A training-data release moves several tables together (documents +
+  // embeddings + censuses); per-table manifests alone let a reader see
+  // table A at the new release and table B at the old one. The catalog
+  // is one pointer file naming a consistent (table -> manifest version)
+  // vector, published with the same one-rename CAS — so a catalog
+  // reader sees ALL tables old or ALL tables new, and a writer that
+  // crashes after some per-table commits but before the catalog rename
+  // left only unreferenced (invisible) table versions behind.
+
+  private def catalogPath(dir: String, version: Int) =
+    new Path(s"$dir/_catalog", f"v$version%06d.json")
+
+  /** Largest committed catalog version, or 0 if none. */
+  def catalogLatest(dir: String, conf: Configuration): Int = {
+    val cdir = new Path(s"$dir/_catalog")
+    val f = fs(dir, conf)
+    if (!f.exists(cdir)) return 0
+    f.listStatus(cdir).map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d{6}\\.json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** The (table -> manifest version) vector of catalog `version`. */
+  def catalogVector(dir: String, version: Int,
+      conf: Configuration): Map[String, Int] = {
+    val p = catalogPath(dir, version)
+    val f = fs(dir, conf)
+    require(f.exists(p), s"$dir has no catalog v$version")
+    val in = f.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toVector finally in.close()
+    val Line = """\{"t":"([^"]*)","v":(\d+)\}""".r
+    lines.drop(1).map { case Line(t, v) => t -> v.toInt }.toMap
+  }
+
+  /** Publish `writes` — (table, snapshot df, partition column) — as ONE
+    * atomic catalog commit: each table's snapshot lands as a fresh
+    * per-table manifest (FULL-replace semantics — a release is a
+    * snapshot, not a delta), then the catalog pointer naming all the
+    * new versions renames in with the CAS. Tables absent from `writes`
+    * carry forward at their previous pinned version. Returns the new
+    * catalog version.
+    */
+  def catalogCommit(dir: String,
+      writes: Seq[(String, DataFrame, String)]): Int = {
+    require(writes.nonEmpty, "catalogCommit: nothing to publish")
+    val conf = writes.head._2.sparkSession.sparkContext.hadoopConfiguration
+    val cur = catalogLatest(dir, conf)
+    val prev = if (cur >= 1) catalogVector(dir, cur, conf)
+               else Map.empty[String, Int]
+    val newVec = prev ++ writes.map { case (t, df, partCol) =>
+      require(t.matches("[A-Za-z0-9_]+"), s"unsafe table name '$t'")
+      val tdir = s"$dir/tables/$t"
+      val base = latestVersion(tdir, conf)
+      val entries = writeCommitFiles(df, tdir, partCol, base + 1)
+      commitManifest(tdir, base + 1, entries, conf)
+      t -> (base + 1)
+    }
+    val f = fs(dir, conf)
+    val tmp = new Path(s"$dir/_catalog",
+      s".tmp-${ProcessHandle.current().pid()}-v${cur + 1}")
+    val out = f.create(tmp, true)
+    try {
+      out.write(s"""{"version":${cur + 1}}\n"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      newVec.toSeq.sortBy(_._1).foreach { case (t, v) =>
+        out.write(s"""{"t":"$t","v":$v}\n"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } finally out.close()
+    val target = catalogPath(dir, cur + 1)
+    require(!f.exists(target) && f.rename(tmp, target),
+      s"catalog commit v${cur + 1} lost the race - retry")
+    cur + 1
+  }
+
+  /** Read `table` AT the consistent vector of catalog `version`
+    * (default: latest) — the only read path that guarantees
+    * cross-table consistency.
+    */
+  def catalogRead(spark: SparkSession, dir: String, table: String,
+      version: Int = -1): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = if (version > 0) version else catalogLatest(dir, conf)
+    val vec = catalogVector(dir, v, conf)
+    require(vec.contains(table),
+      s"catalog v$v of $dir has no table '$table' " +
+        s"(has: ${vec.keys.toSeq.sorted.mkString(", ")})")
+    readVersion(spark, s"$dir/tables/$table", vec(table))
+  }
+
   /** Targeted purge (q177's semantics under the manifest protocol):
     * survivors of affected partitions rewrite into a new commit;
     * partitions a purge empties simply VANISH from the manifest — the

@@ -330,6 +330,62 @@ object ChangeDataQueries {
         .orderBy("dt")
     }),
 
+    // ATOMIC MULTI-TABLE CATALOG (the cross-table consistency the
+    // per-table manifests can't give): a training-data release moves
+    // docs AND their per-source census together; the catalog pointer
+    // names a consistent (table → version) vector, published with one
+    // rename. The gate publishes release 1 (doc_id%3≠0), pins catalog
+    // v1, publishes release 2 (doc_id%3≠1), then simulates a CRASHED
+    // writer (a per-table manifest commits but the catalog never
+    // renames). Checks: the pinned v1 reader's cross-table INVARIANT
+    // (census table ≡ census recomputed from the docs table AT THE
+    // SAME catalog vector) still holds after release 2; the latest
+    // vector's invariant holds; the crash moved the catalog nowhere
+    // and stays invisible to catalog readers (the final census read
+    // THROUGH the catalog is hash-gated — a reader following the
+    // latest per-table manifest instead would see the orphan and fail
+    // the hash). PIN_INVARIANT / LATEST_INVARIANT / CRASH_VISIBLE rows
+    // never appear in the oracle.
+    "q353_catalog_txn_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_catalog_txn").toString
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      def census(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy("source").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"))
+      val rel1 = docs.filter(col("doc_id") % 3 =!= 0)
+      Manifest.catalogCommit(tmp, Seq(("docs", rel1, "lang"),
+        ("census", census(rel1), "source")))
+      val rel2 = docs.filter(col("doc_id") % 3 =!= 1)
+      Manifest.catalogCommit(tmp, Seq(("docs", rel2, "lang"),
+        ("census", census(rel2), "source")))
+      def invariantBroken(v: Int): Boolean = {
+        val d = Manifest.catalogRead(s, tmp, "docs", v)
+        val c = Manifest.catalogRead(s, tmp, "census", v)
+        val r = census(d)
+        c.exceptAll(r).unionAll(r.exceptAll(c)).limit(1).count() > 0
+      }
+      val pinBroken = invariantBroken(1)
+      // crashed writer: docs manifest advances, catalog never renames
+      Manifest.append(
+        rel1.limit(5).withColumn("n_chars", lit(-1L)),
+        s"$tmp/tables/docs", "lang")
+      val latestBroken = invariantBroken(2)
+      val crashMoved = Manifest.catalogLatest(tmp,
+        s.sparkContext.hadoopConfiguration) != 2
+      val out = Manifest.catalogRead(s, tmp, "census")
+        .select(col("source"), col("n"), col("sum_chars"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("source"), lit(-1L).as("n"),
+          lit(0L).as("sum_chars"))
+      out.unionByName(viol(pinBroken, "PIN_INVARIANT"))
+        .unionByName(viol(latestBroken, "LATEST_INVARIANT"))
+        .unionByName(viol(crashMoved, "CRASH_VISIBLE"))
+        .orderBy("source")
+    }),
+
     // Manifest lifecycle tail — append, purge, TIME TRAVEL, vacuum: a
     // synthetic day appends (v2), users 3/7 purge (v3; emptied
     // partitions vanish from the manifest — the silent-retention trap
@@ -394,6 +450,13 @@ object ChangeDataQueries {
         |      OR CAST(ts AS DATE) = DATE '2024-01-09'
         |    THEN value * 2 ELSE value END), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Release-2 census only — no PIN_INVARIANT / LATEST_INVARIANT /
+    // CRASH_VISIBLE rows, and none of the crashed writer's -1 rows.
+    "q353_catalog_txn_gate" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 <> 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Both disjoint writers' effects, none of the conflicting loser's —
     // no REBASE_LOST / CONFLICT_MISSED / LOSER_MUTATED rows. (OR-form
     // for the date predicate; see the q316 DuckDB IN note.)

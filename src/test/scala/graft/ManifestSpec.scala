@@ -264,6 +264,38 @@ class ManifestSpec extends SparkSpec {
       "disjoint commits must commute")
   }
 
+  test("catalog: unwritten tables carry forward; readers pin the vector; " +
+      "a partial writer stays invisible") {
+    val dir = mkdir()
+    val a1 = fixture
+    val b1 = fixture.groupBy("grp").agg(sum("value").as("s"))
+    Manifest.catalogCommit(dir, Seq(("a", a1, "grp"), ("b", b1, "grp")))
+    // v2 rewrites only table a — b must carry forward at its v1 version
+    Manifest.catalogCommit(dir,
+      Seq(("a", a1.withColumn("value", $"value" * 2), "grp")))
+    assert(Manifest.catalogRead(spark, dir, "b")
+      .agg(sum("s")).as[Double].head() === 210.0,
+      "unwritten table lost its carry-forward pin")
+    assert(Manifest.catalogRead(spark, dir, "a")
+      .agg(sum("value")).as[Double].head() === 420.0)
+    // pinned v1 still reads the original a
+    assert(Manifest.catalogRead(spark, dir, "a", version = 1)
+      .agg(sum("value")).as[Double].head() === 210.0)
+    // a partial writer advances a's per-table manifest with no catalog
+    // rename: catalog readers must not see it
+    Manifest.append(a1.withColumn("value", lit(1e9)),
+      s"$dir/tables/a", "grp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.catalogLatest(dir, conf) === 2)
+    assert(Manifest.catalogRead(spark, dir, "a")
+      .agg(sum("value")).as[Double].head() === 420.0,
+      "a catalog reader saw a commit the catalog never published")
+    val e = intercept[IllegalArgumentException] {
+      Manifest.catalogRead(spark, dir, "zzz")
+    }
+    assert(e.getMessage.contains("no table 'zzz'"))
+  }
+
   test("a stale conflicting writer fails loudly and mutates nothing") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
