@@ -874,6 +874,33 @@ class PlanSpec extends SparkSpec {
       "anchor/positive/negative joins must stay keyed:\n" + p.take(3000))
   }
 
+  test("q347 MaxScore prunes through broadcast semi-joins; scoring heaps are partial") {
+    val p = planOf("q347_maxscore_bm25")
+    // the MODEL-SIZED essential-term set must broadcast into its semi
+    // join (the candidate semi may legitimately shuffle — it is
+    // candidate-set-sized, not model-sized); and nothing may fall back
+    // to a cartesian
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(p).nonEmpty,
+      "essential-term admission must be a broadcast semi-join:\n" +
+        p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian anywhere in the pruning pipeline:\n" + p.take(3000))
+    // bounded top-k heaps, map-side partials (the q273 discipline)
+    assert(p.contains("partial_topkaggregator"),
+      "final ranking must merge bounded partial heaps:\n" + p.take(3000))
+  }
+
+  test("q352 CUSUM windows run over the day census, below the aggregate") {
+    val p = planOf("q352_cusum_changepoint")
+    val w = p.indexOf("Window")
+    assert(w >= 0, "no window in the CUSUM plan:\n" + p.take(2000))
+    assert(p.indexOf("HashAggregate", w) >= 0,
+      "the CUSUM window must consume the daily census aggregate:\n" +
+        p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "baseline join must broadcast, not cross:\n" + p.take(2000))
+  }
+
   test("q339 apportionment's global window ranks the source census, not the corpus") {
     // the window's input must be an aggregated relation: a HashAggregate
     // appears strictly BELOW the Window in the plan tree
