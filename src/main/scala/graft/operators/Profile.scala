@@ -381,6 +381,40 @@ object Profile {
       .select(col(groupCol), col("p"), col("q"))
   }
 
+  /** WEIGHTED exact quantiles over a (group, value, weight) census —
+    * the curation statistic the unweighted form misreads: "half the
+    * TOKEN MASS sits in docs shorter than X" needs each value weighted
+    * by its token count, or a million tiny docs drag the median to
+    * nothing. Semantics are the weighted type-1 (lower) quantile —
+    * q(p) = min{ v : cumWeight(v) ≥ p·W } — because it is EXACT in
+    * integers: probabilities arrive as ppm longs and the threshold
+    * compare runs in decimal(38,0) (the q303 overflow discipline;
+    * cum·1e6 at corpus scale does not fit a Long). State is
+    * distinct-value-sized, the q46/q125 census discipline: one
+    * aggregate, windows over census rows only.
+    */
+  def weightedCensusQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, psPpm: Seq[Long]): DataFrame = {
+    require(psPpm.nonEmpty && psPpm.forall(p => p >= 0L && p <= 1000000L),
+      s"weightedCensusQuantiles: every p must be in [0, 1e6] ppm, got $psPpm")
+    import org.apache.spark.sql.expressions.Window
+    val census = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("bigint").as("__v"))
+      .agg(sum(col(weightCol).cast("bigint")).as("__w"))
+    val wCum = Window.partitionBy(groupCol).orderBy("__v")
+    val wAll = Window.partitionBy(groupCol)
+    census
+      .withColumn("__cum", sum("__w").over(wCum))
+      .withColumn("__total", sum("__w").over(wAll))
+      .withColumn("p_ppm", explode(array(psPpm.map(lit): _*)))
+      .filter(expr("CAST(__cum AS DECIMAL(38,0)) * 1000000" +
+        " >= CAST(p_ppm AS DECIMAL(38,0)) * __total"))
+      .groupBy(col(groupCol), col("p_ppm"))
+      .agg(min("__v").as("q"))
+      .select(col(groupCol), col("p_ppm"), col("q"))
+  }
+
   /** Tukey-fence outlier rows per group: every row whose value falls
     * outside [q1 − k·IQR, q3 + k·IQR] — the robust measurement filter a
     * training pipeline runs before trusting a numeric signal. Quartiles

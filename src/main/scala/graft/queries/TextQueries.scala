@@ -3144,6 +3144,21 @@ object TextQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // TOKEN-WEIGHTED length quantiles (weighted type-1, exact): "half
+    // the token MASS sits in docs shorter than X" — the curation
+    // statistic the unweighted q46 percentile misreads when a million
+    // tiny docs drag the median down. Integer-exact end to end: ppm
+    // probabilities, a decimal(38,0) threshold compare (the q303
+    // overflow discipline), min-value selection. Census-sized windows.
+    "q354_weighted_quantiles" -> ((s, dir) =>
+      graft.operators.Profile.weightedCensusQuantiles(
+        docs(s, dir).filter(col("text").isNotNull)
+          .select(col("lang"), col("n_chars"),
+            size(words(col("text"))).cast("bigint").as("n_tokens")),
+        "lang", "n_chars", "n_tokens",
+        Seq(250000L, 500000L, 750000L, 900000L))
+        .orderBy("lang", "p_ppm")),
+
     // MAXSCORE-PRUNED BM25 TOP-K (Turtle–Flood upper-bound pruning, the
     // posting-skip move production search runs on every query): docs
     // holding only non-essential terms — those whose ub-ascending
@@ -6302,6 +6317,24 @@ object TextQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id,
          |  CAST(rnk AS BIGINT) AS rnk, w, CAST(weight AS BIGINT) AS weight
          |FROM e WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // Weighted type-1 quantile restated: DuckDB promotes cum·1e6 to
+    // HUGEINT natively, matching the engine's decimal(38,0) compare.
+    "q354_weighted_quantiles" ->
+      """WITH c AS (SELECT lang, n_chars AS v,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS w
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        | s AS (SELECT lang, v, w,
+        |    SUM(w) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |    SUM(w) OVER (PARTITION BY lang) AS total FROM c),
+        | x AS (SELECT lang, v, p.p_ppm FROM s CROSS JOIN
+        |    (SELECT unnest([250000, 500000, 750000, 900000]) AS p_ppm) p
+        |  WHERE cum * 1000000 >= p_ppm * total)
+        |SELECT lang, CAST(p_ppm AS BIGINT) AS p_ppm,
+        |  CAST(MIN(v) AS BIGINT) AS q
+        |FROM x GROUP BY 1, 2 ORDER BY lang, p_ppm""".stripMargin,
+
     // The EXHAUSTIVE ranking over the same micro-frozen contributions —
     // the engine side ranks through MaxScore pruning, so the hash
     // equality IS the pruning theorem, checked across engines.

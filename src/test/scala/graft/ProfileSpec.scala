@@ -201,4 +201,25 @@ class ProfileSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === one,
       "merge of disjoint halves diverged from the from-scratch digest")
   }
+
+  test("weightedCensusQuantiles: hand fixture, unit-weight reduction, p=0 edge") {
+    import spark.implicits._
+    // one heavy value: W = 10, half the mass sits AT v=4
+    val d = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 7L))
+      .toDF("grp", "v", "w")
+    val q = graft.operators.Profile
+      .weightedCensusQuantiles(d, "grp", "v", "w",
+        Seq(0L, 100000L, 500000L, 1000000L))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(q(0L) === 1L, "p=0 must be the minimum value")
+    assert(q(100000L) === 1L, "cum(1)=1 >= 0.1*10")
+    assert(q(500000L) === 4L, "the weighted median must jump to the heavy value")
+    assert(q(1000000L) === 4L, "p=1 must be the maximum value")
+    // unit weights reduce to the classic lower (type-1) quantile
+    val u = (10L to 19L).map(v => ("g", v, 1L)).toDF("grp", "v", "w")
+    val med = graft.operators.Profile
+      .weightedCensusQuantiles(u, "grp", "v", "w", Seq(500000L))
+      .collect().head.getLong(2)
+    assert(med === 14L, "unit-weight p=.5 over 10..19 is the 5th value")
+  }
 }
