@@ -344,6 +344,48 @@ object Manifest {
     -1 // unreachable
   }
 
+  /** CONTENT-DEDUP REPAIR — the OPTIMIZE-style maintenance job that
+    * removes duplicate rows from a manifested layout in place: rows
+    * sharing a content key keep only the minimum-`idCol` row (the
+    * keep-first rule of `Dedup.dedupExact`), and ONLY partitions that
+    * actually lose a row are rewritten — in one atomic commit, with
+    * partitions the repair empties vanishing from the manifest (the
+    * purge discipline). NULL keys never dedup. Idempotent: a second
+    * run finds no victims and commits nothing.
+    *
+    * Scale shape: the duplicate census is keyed by the content key
+    * (map-side partials collapse the duplicate mass), the victim join
+    * is keyed, and the only driver state is the affected partition
+    * list (partition-domain-sized).
+    */
+  def dedupRepair(spark: SparkSession, dir: String, partCol: String,
+      keyCol: org.apache.spark.sql.Column, idCol: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val keyed = readVersion(spark, dir, base).withColumn("__k", keyCol)
+    val dupGroups = keyed.filter(col("__k").isNotNull)
+      .groupBy("__k")
+      .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select("__k", "__keep")
+    val victims = keyed.join(dupGroups, Seq("__k"))
+      .filter(col(idCol) =!= col("__keep"))
+    val affected = victims.select(col(partCol).cast("string").as("__p"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) return false
+    val survivors = keyed
+      .filter(col(partCol).cast("string").isInCollection(affected))
+      .join(dupGroups, Seq("__k"), "left")
+      .filter(col("__keep").isNull || col(idCol) === col("__keep"))
+      .drop("__k", "__keep")
+    val entries = writeCommitFiles(survivors, dir, partCol, base + 1)
+    commitManifest(dir, base + 1,
+      readManifest(dir, base, conf).filterNot(e => affected(e.p)) ++ entries,
+      conf)
+    true
+  }
+
   // ---- Catalog: an atomic MULTI-TABLE snapshot vector ----------------
   //
   // A training-data release moves several tables together (documents +

@@ -386,6 +386,55 @@ object ChangeDataQueries {
         .orderBy("source")
     }),
 
+    // DEDUP-REPAIR maintenance job (OPTIMIZE for duplicate rows): the
+    // layout is built with two planted duplicate families — every 7th
+    // doc cloned INTO ITS OWN lang partition (partial rewrite) and
+    // every 10th doc cloned into a synthetic 'clonex' partition (which
+    // the repair must EMPTY and drop from the manifest entirely). The
+    // repair dedups by md5(text) keep-min-doc_id, rewrites ONLY the
+    // affected partitions in one atomic commit, and is idempotent (a
+    // second run commits nothing). In-gate checks: exactly one version
+    // advance per effective run (NOT_ATOMIC), the second run a no-op
+    // (NOT_IDEMPOTENT); the 'clonex' vanish and the keep-first
+    // semantics are proven by the hash (any surviving clone or any
+    // over-deleted original breaks the per-lang census). Clone ids
+    // ride a derived max+1 stride (the q49 discipline), so the oracle
+    // restates the fixture arithmetically at any SF.
+    "q355_dedup_repair_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dedup_repair").toString
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+      val stride = docs.agg(max("doc_id")).head().getLong(0) + 1L
+      val clones1 = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(stride))
+      val clones2 = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(2L * stride))
+        .withColumn("lang", lit("clonex"))
+      Manifest.create(docs.unionByName(clones1).unionByName(clones2),
+        tmp, "lang")
+      val conf = s.sparkContext.hadoopConfiguration
+      val did1 = Manifest.dedupRepair(s, tmp, "lang", md5(col("text")),
+        "doc_id")
+      val v1 = Manifest.latestVersion(tmp, conf)
+      val did2 = Manifest.dedupRepair(s, tmp, "lang", md5(col("text")),
+        "doc_id")
+      val v2 = Manifest.latestVersion(tmp, conf)
+      val census = Manifest.read(s, tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_ids"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("lang"), lit(-1L).as("n"),
+          lit(0L).as("sum_chars"), lit(0L).as("sum_ids"))
+      census
+        .unionByName(viol(!did1 || v1 != 2, "NOT_ATOMIC"))
+        .unionByName(viol(did2 || v2 != v1, "NOT_IDEMPOTENT"))
+        .orderBy("lang")
+    }),
+
     // Manifest lifecycle tail — append, purge, TIME TRAVEL, vacuum: a
     // synthetic day appends (v2), users 3/7 purge (v3; emptied
     // partitions vanish from the manifest — the silent-retention trap
@@ -450,6 +499,28 @@ object ChangeDataQueries {
         |      OR CAST(ts AS DATE) = DATE '2024-01-09'
         |    THEN value * 2 ELSE value END), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The planted fixture deduped by md5(text) keep-min-doc_id,
+    // restated arithmetically — no NOT_ATOMIC / NOT_IDEMPOTENT rows,
+    // and no 'clonex' row (the repair empties and drops it).
+    "q355_dedup_repair_gate" ->
+      """WITH st AS (SELECT MAX(doc_id) + 1 AS stride FROM documents),
+        | u AS (
+        |   SELECT doc_id, lang, n_chars, text FROM documents
+        |   UNION ALL
+        |   SELECT doc_id + st.stride, lang, n_chars, text
+        |   FROM documents, st WHERE doc_id % 7 = 0
+        |   UNION ALL
+        |   SELECT doc_id + 2 * st.stride, 'clonex', n_chars, text
+        |   FROM documents, st WHERE doc_id % 10 = 0),
+        | k AS (SELECT *, md5(text) AS kk FROM u),
+        | dup AS (SELECT kk, MIN(doc_id) AS kmin FROM k
+        |   WHERE kk IS NOT NULL GROUP BY 1 HAVING COUNT(*) > 1),
+        | surv AS (SELECT k.* FROM k LEFT JOIN dup ON k.kk = dup.kk
+        |   WHERE dup.kk IS NULL OR k.doc_id = dup.kmin)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
     // Release-2 census only — no PIN_INVARIANT / LATEST_INVARIANT /
     // CRASH_VISIBLE rows, and none of the crashed writer's -1 rows.
     "q353_catalog_txn_gate" ->

@@ -296,6 +296,42 @@ class ManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("no table 'zzz'"))
   }
 
+  test("dedupRepair: untouched partitions keep their bytes, emptied " +
+      "partitions vanish, NULL keys never dedup") {
+    val dir = mkdir()
+    // grp a: one dup pair (ids 1,2 share key 'x') -> partial rewrite;
+    // grp b: all dups of grp-a keys -> emptied; grp c: clean ->
+    // untouched bytes; NULL keys (ids 7,8) must BOTH survive
+    val d = Seq(
+      (1L, "a", Option("x")), (2L, "a", Option("x")), (3L, "a", Option("y")),
+      (4L, "b", Option("x")), (5L, "b", Option("y")),
+      (6L, "c", Option("z")), (7L, "c", None), (8L, "c", None)
+    ).toDF("id", "grp", "key")
+    Manifest.create(d, dir, "grp")
+    val before = crcs(dir)
+    assert(Manifest.dedupRepair(spark, dir, "grp", col("key"), "id"))
+    val t = Manifest.read(spark, dir)
+    assert(t.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 6L, 7L, 8L),
+      "keep-min + NULL-key retention broke")
+    // the emptied partition is GONE from the manifest — the pruned
+    // reader's loud no-entry require is the proof
+    val gone = intercept[IllegalArgumentException] {
+      Manifest.readPartitions(spark, dir, Seq("b"))
+    }
+    assert(gone.getMessage.contains("no manifest entry"))
+    // grp c's data file must be the ORIGINAL bytes (no rewrite)
+    val after = crcs(dir)
+    val cFiles = before.keys.filter(_.contains("__p=c"))
+    assert(cFiles.nonEmpty && cFiles.forall(f => after.get(f) === before.get(f)),
+      "an untouched partition was rewritten")
+    // idempotent: second run commits nothing
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = Manifest.latestVersion(dir, conf)
+    assert(!Manifest.dedupRepair(spark, dir, "grp", col("key"), "id"))
+    assert(Manifest.latestVersion(dir, conf) === v)
+  }
+
   test("a stale conflicting writer fails loudly and mutates nothing") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
