@@ -56,11 +56,19 @@ object EventQueries {
     * MonitorSpec law: click must fire by month end, no bystander type
     * ever fires. Corpus-scale work = one map-side daily census.
     */
-  private[graft] def cusumChangepoint(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val census = events
+  private[graft] def cusumChangepoint(events: DataFrame): DataFrame =
+    cusumFromCensus(events
       .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
-      .agg(count(lit(1)).as("n0"))
+      .agg(count(lit(1)).as("n0")))
+
+  /** The CUSUM tail over a drained (event_type, dt, n0) census — shared
+    * by batch q352 and the streaming census twin q356. The census is
+    * the only corpus-scale stage; everything below runs over ~30
+    * rows/type (plant, baseline, prefix windows).
+    */
+  private[graft] def cusumFromCensus(census0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = census0
       .withColumn("n",
         when(col("event_type") === "click"
             && col("dt") >= lit("2024-01-21").cast("date"),
@@ -88,6 +96,23 @@ object EventQueries {
     // whole S-path of every type, every day.
     "q352_cusum_changepoint" -> ((s, dir) =>
       cusumChangepoint(Tables.load(s, dir, "events"))),
+
+    // Streaming twin of q352 — the drift monitor live at the door: the
+    // (type, day) census is Complete-mode state (types × days rows,
+    // calendar-bounded), the CUSUM tail runs on the drained snapshot
+    // (the q281/q330 rollup-on-the-drain shape). Shares q352's oracle.
+    "q356_stream_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val census = graft.streaming.EventStreams.readEventsStream(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("dt"))
+        .agg(count(lit(1)).as("n0"))
+      // the drained memory relation self-joins inside the CUSUM tail
+      // (census ⋈ baseline); cut its lineage so the two sides carry
+      // fresh attribute ids (the in-memory twin of the batch scan)
+      cusumFromCensus(graft.streaming.EventStreams
+        .runToMemory(census, OutputMode.Complete())
+        .localCheckpoint(true))
+    }),
 
     // Poisson-bootstrap confidence intervals in ONE pass (Chamandy et
     // al., "Estimating Uncertainty for Massive Data Streams" — the
@@ -872,6 +897,31 @@ object EventQueries {
       |FROM st WHERE n_hist >= 7
       |ORDER BY event_type, dt""".stripMargin
 
+  /** Shared by q352 (batch) and q356 (streaming census twin):
+    * the window-form CUSUM restated over the same planted census —
+    * the max-recursion identity S = CS − min(0, prefix-min CS)
+    * holds in both engines with plain windows.
+    */
+  private lazy val cusumOracle =
+    """WITH c0 AS (SELECT event_type, CAST(ts AS DATE) AS dt,
+        |     CAST(COUNT(*) AS BIGINT) AS n0 FROM events GROUP BY 1, 2),
+        | c AS (SELECT event_type, dt,
+        |     CASE WHEN event_type = 'click' AND dt >= DATE '2024-01-21'
+        |       THEN n0 + n0 // 2 ELSE n0 END AS n FROM c0),
+        | b AS (SELECT event_type,
+        |     CAST((1000 * SUM(n)) // COUNT(*) AS BIGINT) AS mu0
+        |   FROM c WHERE dt < DATE '2024-01-15' GROUP BY 1),
+        | j AS (SELECT c.event_type, c.dt, c.n, b.mu0,
+        |     1000 * c.n - b.mu0 - b.mu0 // 10 AS y
+        |   FROM c JOIN b USING (event_type)),
+        | w AS (SELECT *, SUM(y) OVER (PARTITION BY event_type
+        |     ORDER BY dt) AS cs FROM j),
+        | s AS (SELECT *, cs - LEAST(MIN(cs) OVER (PARTITION BY event_type
+        |     ORDER BY dt), 0) AS s_milli FROM w)
+        |SELECT event_type, dt, n, CAST(s_milli AS BIGINT) AS s_milli,
+        |  s_milli > 2 * mu0 AS fired
+        |FROM s ORDER BY event_type, dt""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Integer replica sums (pre-scaled inverse-CDF thresholds on the
     // 1e6 hash grid), exact in both engines; one sqrt at the end.
@@ -1053,25 +1103,8 @@ object EventQueries {
     // The window-form CUSUM restated over the same planted census —
     // the max-recursion identity S = CS − min(0, prefix-min CS) holds
     // in both engines with plain windows.
-    "q352_cusum_changepoint" ->
-      """WITH c0 AS (SELECT event_type, CAST(ts AS DATE) AS dt,
-        |     CAST(COUNT(*) AS BIGINT) AS n0 FROM events GROUP BY 1, 2),
-        | c AS (SELECT event_type, dt,
-        |     CASE WHEN event_type = 'click' AND dt >= DATE '2024-01-21'
-        |       THEN n0 + n0 // 2 ELSE n0 END AS n FROM c0),
-        | b AS (SELECT event_type,
-        |     CAST((1000 * SUM(n)) // COUNT(*) AS BIGINT) AS mu0
-        |   FROM c WHERE dt < DATE '2024-01-15' GROUP BY 1),
-        | j AS (SELECT c.event_type, c.dt, c.n, b.mu0,
-        |     1000 * c.n - b.mu0 - b.mu0 // 10 AS y
-        |   FROM c JOIN b USING (event_type)),
-        | w AS (SELECT *, SUM(y) OVER (PARTITION BY event_type
-        |     ORDER BY dt) AS cs FROM j),
-        | s AS (SELECT *, cs - LEAST(MIN(cs) OVER (PARTITION BY event_type
-        |     ORDER BY dt), 0) AS s_milli FROM w)
-        |SELECT event_type, dt, n, CAST(s_milli AS BIGINT) AS s_milli,
-        |  s_milli > 2 * mu0 AS fired
-        |FROM s ORDER BY event_type, dt""".stripMargin,
+    "q356_stream_cusum" -> cusumOracle,
+    "q352_cusum_changepoint" -> cusumOracle,
     "q167_stream_volume_anomaly" -> volumeAnomalyOracle,
     // Sensitivity gate: a planted ×10 last-day spike must be flagged
     // and nothing else may move — empty.
