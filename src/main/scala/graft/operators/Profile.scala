@@ -381,6 +381,62 @@ object Profile {
       .select(col(groupCol), col("p"), col("q"))
   }
 
+  /** The ppm CDF ladder of a TRUNCATED discrete Laplace (two-sided
+    * geometric) with scale ε = epsMilli/1000 and sensitivity 1 —
+    * P(k) ∝ α^|k| with α = e^(−ε), support clamped to [−kMax, kMax]
+    * (the tail mass folds into the renormalized cumulative, and the
+    * last threshold is pinned to exactly 1e6). The LADDER defines the
+    * mechanism: both the engine plan and the DuckDB oracle consume the
+    * same literal thresholds, so the release is bit-deterministic
+    * cross-engine. Model-sized (2·kMax+1 entries).
+    */
+  private[graft] def dpNoiseLadderPpm(epsMilli: Long,
+      kMax: Int = 15): Seq[(Long, Int)] = {
+    require(epsMilli >= 1L, s"dpNoiseLadderPpm: eps must be >= 1 milli")
+    val alpha = math.exp(-epsMilli / 1000.0)
+    val pmf = (-kMax to kMax).map(k => math.pow(alpha, math.abs(k)))
+    val total = pmf.sum
+    val cums = pmf.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    (-kMax to kMax).zip(cums).map { case (k, c) =>
+      (if (k == kMax) 1000000L else math.round(c * 1e6), k)
+    }
+  }
+
+  /** Differentially-private count release with SEEDED noise (the
+    * reproducible-release practice): per-group counts plus truncated
+    * discrete-Laplace noise drawn from the group key's q202-discipline
+    * integer hash — exact ppm uniforms, a literal CDF ladder, a
+    * GREATEST(0, ·) clamp. One map-side census aggregate; the noise is
+    * a codegen column over the census. `groupCol` must be numeric (the
+    * hash seed). Output: (groupCol, n_true is NOT emitted, released).
+    */
+  def dpCountRelease(df: DataFrame, groupCol: String,
+      epsMilli: Long): DataFrame = {
+    val ladder = dpNoiseLadderPpm(epsMilli)
+    val u = pmod(pmod(col(groupCol).cast("bigint") * lit(1000003L)
+      + lit(7L), lit(3000000000L)) * lit(2654435761L), lit(1000000L))
+    val noise = ladder.tail.foldLeft(
+      when(u < ladder.head._1, lit(ladder.head._2.toLong))) {
+      case (acc, (thr, k)) => acc.when(u < thr, lit(k.toLong))
+    }.otherwise(lit(ladder.last._2.toLong))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        greatest(lit(0L), col("__n") + noise).as("released"))
+  }
+
+  /** The ε accounting gate: given a ledger of prior releases
+    * (eps_milli rows), admit a new request iff spent + request ≤
+    * budget. One census-sized aggregate; returns (spent_milli,
+    * admitted).
+    */
+  def epsilonLedger(ledger: DataFrame, requestMilli: Long,
+      budgetMilli: Long): DataFrame =
+    ledger.agg(coalesce(sum("eps_milli"), lit(0L)).as("spent_milli"))
+      .select(col("spent_milli"),
+        (col("spent_milli") + lit(requestMilli) <= lit(budgetMilli))
+          .as("admitted"))
+
   /** WEIGHTED exact quantiles over a (group, value, weight) census —
     * the curation statistic the unweighted form misreads: "half the
     * TOKEN MASS sits in docs shorter than X" needs each value weighted

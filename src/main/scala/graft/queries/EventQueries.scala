@@ -114,6 +114,39 @@ object EventQueries {
         .localCheckpoint(true))
     }),
 
+    // DIFFERENTIALLY-PRIVATE count release + ε ledger (the governance
+    // tail of the k-anon/l-div family): per-cohort event counts plus
+    // SEEDED truncated-discrete-Laplace noise (ε = 0.5, sensitivity 1)
+    // — reproducible-release practice: the noise is the cohort key's
+    // q202-discipline integer hash pushed through a literal ppm CDF
+    // ladder both engines share, so the release is bit-deterministic.
+    // The ledger admits the release against a 2.0 budget (0.9 spent)
+    // and must REFUSE the same request against a 1.3 budget — a
+    // refused release emits ZERO rows (REFUSE_BROKEN if any leak,
+    // ADMIT_BROKEN if the legal release starved). FULL hash of the
+    // released histogram; true counts are never emitted.
+    "q357_dp_release" -> ((s, dir) => {
+      import graft.operators.Profile
+      import s.implicits._
+      val cohorts = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select(pmod(col("user_id"), lit(50L)).as("cohort"))
+      val priors = Seq(200L, 300L, 400L).toDF("eps_milli")
+      def gate(budget: Long) = broadcast(
+        Profile.epsilonLedger(priors, 500L, budget)
+          .filter(col("admitted")).select(lit(1L).as("__g")))
+      val released = Profile.dpCountRelease(cohorts, "cohort", 500L)
+      val admitted = released.crossJoin(gate(2000L)).drop("__g")
+      val refused = released.crossJoin(gate(1300L)).drop("__g")
+      val refuseViol = refused.limit(1)
+        .select(lit(-2L).as("cohort"), lit(-1L).as("released"))
+      val admitViol = s.range(1)
+        .filter(lit(admitted.limit(1).isEmpty))
+        .select(lit(-1L).as("cohort"), lit(-1L).as("released"))
+      admitted.unionByName(refuseViol).unionByName(admitViol)
+        .orderBy("cohort")
+    }),
+
     // Poisson-bootstrap confidence intervals in ONE pass (Chamandy et
     // al., "Estimating Uncertainty for Massive Data Streams" — the
     // standard trick when classical resampling would need B corpus
@@ -922,7 +955,26 @@ object EventQueries {
         |  s_milli > 2 * mu0 AS fired
         |FROM s ORDER BY event_type, dt""".stripMargin
 
+  /** The released histogram restated with the SAME literal noise
+    * ladder the engine baked into its plan — no ADMIT/REFUSE rows.
+    */
+  private lazy val dpReleaseOracle = {
+    val cases = graft.operators.Profile.dpNoiseLadderPpm(500L)
+      .map { case (thr, k) => s"WHEN u < $thr THEN ($k)" }
+      .mkString(" ")
+    s"""WITH c AS (SELECT user_id % 50 AS cohort,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       | h AS (SELECT cohort, n,
+       |    ((cohort * 1000003 + 7) % 3000000000) * 2654435761 % 1000000
+       |      AS u FROM c)
+       |SELECT CAST(cohort AS BIGINT) AS cohort,
+       |  CAST(GREATEST(0, n + CASE $cases END) AS BIGINT) AS released
+       |FROM h ORDER BY cohort""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q357_dp_release" -> dpReleaseOracle,
     // Integer replica sums (pre-scaled inverse-CDF thresholds on the
     // 1e6 hash grid), exact in both engines; one sqrt at the end.
     "q202_bootstrap_count_se" ->

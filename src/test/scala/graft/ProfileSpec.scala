@@ -222,4 +222,31 @@ class ProfileSpec extends SparkSpec {
       .collect().head.getLong(2)
     assert(med === 14L, "unit-weight p=.5 over 10..19 is the 5th value")
   }
+
+  test("dpCountRelease: ladder well-formed, release deterministic and " +
+      "clamped; epsilonLedger admits exactly to the budget line") {
+    import spark.implicits._
+    val ladder = graft.operators.Profile.dpNoiseLadderPpm(500L)
+    assert(ladder.map(_._1) === ladder.map(_._1).sorted,
+      "CDF thresholds must be non-decreasing")
+    assert(ladder.last._1 === 1000000L && ladder.last._2 === 15)
+    assert(ladder.map(_._2) === (-15 to 15))
+    // symmetric mechanism: P(k<=−1) ≈ P(k>=1) on the ppm grid
+    val pNeg = ladder(14)._1 // cum through k=-1
+    val p0 = ladder(15)._1 // cum through k=0
+    assert(math.abs(pNeg - (1000000L - p0)) <= 1,
+      s"asymmetric ladder: $pNeg vs ${1000000L - p0}")
+    val d = (1L to 100L).map(i => i % 7).toDF("cohort")
+    val r1 = graft.operators.Profile.dpCountRelease(d, "cohort", 500L)
+      .orderBy("cohort").collect().toSeq
+    val r2 = graft.operators.Profile.dpCountRelease(d, "cohort", 500L)
+      .orderBy("cohort").collect().toSeq
+    assert(r1 === r2, "seeded release must be deterministic")
+    assert(r1.forall(_.getLong(1) >= 0L), "released counts must clamp at 0")
+    val led = Seq(200L, 300L, 400L).toDF("eps_milli")
+    assert(graft.operators.Profile.epsilonLedger(led, 500L, 1400L)
+      .collect().head.getBoolean(1), "900+500 <= 1400 must admit")
+    assert(!graft.operators.Profile.epsilonLedger(led, 500L, 1399L)
+      .collect().head.getBoolean(1), "900+500 > 1399 must refuse")
+  }
 }
