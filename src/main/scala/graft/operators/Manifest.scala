@@ -344,6 +344,109 @@ object Manifest {
     -1 // unreachable
   }
 
+  // ---- Deletion vectors: MERGE-ON-READ row deletes -------------------
+  //
+  // `purge`/`dedupRepair` are copy-on-write: a delete rewrites whole
+  // partitions. Deletion vectors are the Delta/Iceberg merge-on-read
+  // alternative — a delete writes ONLY a (file, row position) list and
+  // a new manifest version; data files never move, readers anti-filter
+  // by position at scan time (the parquet `_metadata.row_index`
+  // column). Deletes accumulate per version (the new DV is old DV ∪
+  // new victims), time travel keeps each version's DV, and
+  // `applyDeletes` is the deferred copy-on-write compaction that folds
+  // the DV into rewritten partitions and drops it.
+
+  private def dvPath(dir: String, version: Int) = s"$dir/_dv/v$version"
+
+  private def dvExists(dir: String, version: Int,
+      conf: Configuration): Boolean =
+    fs(dir, conf).exists(new Path(dvPath(dir, version)))
+
+  /** The (file, row_index) deletion vector of `version` (empty frame if
+    * the version carries none).
+    */
+  def deletionVector(spark: SparkSession, dir: String,
+      version: Int): DataFrame = {
+    import spark.implicits._
+    if (dvExists(dir, version, spark.sparkContext.hadoopConfiguration))
+      spark.read.parquet(dvPath(dir, version))
+    else Seq.empty[(String, Long)].toDF("__file", "__pos")
+  }
+
+  /** Merge-on-read delete: victims become (file, position) rows in the
+    * next version's deletion vector — no data file is touched. Returns
+    * the number of newly-deleted rows (0 = no commit).
+    */
+  def deleteRows(spark: SparkSession, dir: String,
+      victim: org.apache.spark.sql.Column): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val live = readWithDeletes(spark, dir, base)
+    val newVictims = live.filter(coalesce(victim, lit(false)))
+      .select(col("__file"), col("__pos"))
+    val merged = deletionVector(spark, dir, base)
+      .unionByName(newVictims).distinct()
+      .localCheckpoint(true)
+    val nNew = newVictims.count()
+    if (nNew == 0) return 0L
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(dvPath(dir, base + 1))
+    // single-writer delete path: if the CAS loses anyway, remove the
+    // staged DV so the winner's version can't inherit foreign deletes
+    try commitManifest(dir, base + 1, readManifest(dir, base, conf), conf)
+    catch { case e: Throwable =>
+      fs(dir, conf).delete(new Path(dvPath(dir, base + 1)), true)
+      throw e
+    }
+    nNew
+  }
+
+  /** Snapshot read MINUS the version's deletion vector. Exposes the
+    * bookkeeping columns `__file`/`__pos` (callers drop them); the
+    * anti-join is keyed on (file tail, row position) — the DV side is
+    * deleted-row-sized, never table-sized.
+    */
+  def readWithDeletes(spark: SparkSession, dir: String,
+      version: Int = -1): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = if (version > 0) version else latestVersion(dir, conf)
+    val segs = split(col("_metadata.file_path"), "/")
+    val t = readVersion(spark, dir, v)
+      .withColumn("__file",
+        concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
+      .withColumn("__pos", col("_metadata.row_index"))
+    t.join(deletionVector(spark, dir, v), Seq("__file", "__pos"),
+      "left_anti")
+  }
+
+  /** COPY-ON-WRITE application of the deletion vector: partitions
+    * holding deleted rows rewrite without them in one atomic commit;
+    * the new version carries no DV. No-op without a DV.
+    */
+  def applyDeletes(spark: SparkSession, dir: String,
+      partCol: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    if (!dvExists(dir, base, conf)) return false
+    val live = readWithDeletes(spark, dir, base)
+    val dv = deletionVector(spark, dir, base)
+    val affectedFiles = dv.select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val entries = readManifest(dir, base, conf)
+    val affectedParts = entries
+      .filter(e => affectedFiles(tailKey(e.file))).map(_.p).toSet
+    val survivors = live
+      .filter(col(partCol).cast("string")
+        .isInCollection(affectedParts))
+      .drop("__file", "__pos")
+    val newEntries = writeCommitFiles(survivors, dir, partCol, base + 1)
+    commitManifest(dir, base + 1,
+      entries.filterNot(e => affectedParts(e.p)) ++ newEntries, conf)
+    true
+  }
+
   /** CONTENT-DEDUP REPAIR — the OPTIMIZE-style maintenance job that
     * removes duplicate rows from a manifested layout in place: rows
     * sharing a content key keep only the minimum-`idCol` row (the

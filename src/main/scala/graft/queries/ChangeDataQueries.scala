@@ -435,6 +435,58 @@ object ChangeDataQueries {
         .orderBy("lang")
     }),
 
+    // DELETION VECTORS — merge-on-read row deletes (the Delta/Iceberg
+    // DV mechanism; q177/q355 are the copy-on-write alternative): a
+    // delete writes ONLY a (file, row-position) list + a manifest
+    // bump; data files never move (MOR_REWROTE fires if the file set
+    // changed). Two deletes accumulate (users 3/7, then all 'error'
+    // events — NOT_CUMULATIVE checks stage-2 live ≡ stage-1 live minus
+    // the error rows, exact rows); time travel at v1 still reads the
+    // FULL table (TT_DIVERGED); `applyDeletes` then folds the DV into
+    // a copy-on-write rewrite and drops it (DV_NOT_DROPPED). Final
+    // per-day census of the post-apply snapshot is hash-gated — the
+    // oracle restates both victim predicates over raw events.
+    "q358_deletion_vectors" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dv").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("event_type"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      val files1 = Manifest.read(s, tmp).inputFiles.toSet
+      val n1 = Manifest.deleteRows(s, tmp, col("user_id").isin(3L, 7L))
+      val files2 = Manifest.read(s, tmp).inputFiles.toSet
+      val live1 = Manifest.readWithDeletes(s, tmp)
+        .drop("__file", "__pos").localCheckpoint(true)
+      val n2 = Manifest.deleteRows(s, tmp, col("event_type") === "error")
+      val live2 = Manifest.readWithDeletes(s, tmp)
+        .drop("__file", "__pos")
+      val expected2 = live1.filter(col("event_type") =!= "error")
+      val cumulativeBroken = live2.exceptAll(expected2)
+        .unionAll(expected2.exceptAll(live2)).limit(1).count() > 0
+      val tt = Manifest.readWithDeletes(s, tmp, version = 1)
+        .drop("__file", "__pos")
+      val ttBroken = tt.exceptAll(ev).unionAll(ev.exceptAll(tt))
+        .limit(1).count() > 0
+      val applied = Manifest.applyDeletes(s, tmp, "dt")
+      val conf = s.sparkContext.hadoopConfiguration
+      val dvGone = Manifest.deletionVector(s, tmp,
+        Manifest.latestVersion(tmp, conf)).isEmpty
+      val census = Manifest.read(s, tmp)
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(n1 == 0 || files2 != files1, "MOR_REWROTE"))
+        .unionByName(viol(n2 == 0 || cumulativeBroken, "NOT_CUMULATIVE"))
+        .unionByName(viol(ttBroken, "TT_DIVERGED"))
+        .unionByName(viol(!applied || !dvGone, "DV_NOT_DROPPED"))
+        .orderBy("dt")
+    }),
+
     // Manifest lifecycle tail — append, purge, TIME TRAVEL, vacuum: a
     // synthetic day appends (v2), users 3/7 purge (v3; emptied
     // partitions vanish from the manifest — the silent-retention trap
@@ -499,6 +551,15 @@ object ChangeDataQueries {
         |      OR CAST(ts AS DATE) = DATE '2024-01-09'
         |    THEN value * 2 ELSE value END), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Post-apply snapshot: both victim predicates removed — no
+    // MOR_REWROTE / NOT_CUMULATIVE / TT_DIVERGED / DV_NOT_DROPPED rows.
+    "q358_deletion_vectors" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM events
+        |WHERE user_id NOT IN (3, 7) AND event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The planted fixture deduped by md5(text) keep-min-doc_id,
     // restated arithmetically — no NOT_ATOMIC / NOT_IDEMPOTENT rows,
     // and no 'clonex' row (the repair empties and drops it).

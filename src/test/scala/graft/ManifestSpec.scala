@@ -332,6 +332,41 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.latestVersion(dir, conf) === v)
   }
 
+  test("deletion vectors: no byte moves on delete; apply rewrites only " +
+      "affected partitions; time travel keeps every version's DV") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    val before = crcs(dir)
+    assert(Manifest.deleteRows(spark, dir, $"id" === 1L) === 1L)
+    assert(crcs(dir) === before, "a MOR delete touched a data file")
+    assert(Manifest.readWithDeletes(spark, dir).select("id")
+      .as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L, 5L, 6L))
+    // deleting an already-deleted row is a no-op (no commit)
+    assert(Manifest.deleteRows(spark, dir, $"id" === 1L) === 0L)
+    // second delete accumulates in a NEW version; v2's DV is unchanged
+    assert(Manifest.deleteRows(spark, dir, $"id" === 5L) === 1L)
+    assert(Manifest.readWithDeletes(spark, dir, version = 2)
+      .select("id").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 3L, 4L, 5L, 6L), "v2's deletion vector drifted")
+    assert(Manifest.readWithDeletes(spark, dir, version = 1)
+      .count() === 6L, "v1 must still read the full table")
+    // apply: only grp a (id 1) and grp c (id 5) rewrite; grp b keeps bytes
+    assert(Manifest.applyDeletes(spark, dir, "grp"))
+    val after = crcs(dir)
+    val bFiles = before.keys.filter(_.contains("__p=b"))
+    assert(bFiles.nonEmpty &&
+      bFiles.forall(f => after.get(f) === before.get(f)),
+      "an unaffected partition was rewritten by applyDeletes")
+    assert(Manifest.read(spark, dir).select("id")
+      .as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L, 6L))
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.deletionVector(spark, dir,
+      Manifest.latestVersion(dir, conf)).isEmpty,
+      "the applied version must carry no deletion vector")
+    assert(!Manifest.applyDeletes(spark, dir, "grp"),
+      "apply without a DV must be a no-op")
+  }
+
   test("a stale conflicting writer fails loudly and mutates nothing") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
