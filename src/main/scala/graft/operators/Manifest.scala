@@ -45,7 +45,8 @@ object Manifest {
     * conservatively INCLUDED by every range read).
     */
   private[graft] case class Entry(p: String, file: String,
-      lo: Option[Long] = None, hi: Option[Long] = None)
+      lo: Option[Long] = None, hi: Option[Long] = None,
+      bloom: Option[String] = None)
 
   private def fs(dir: String, conf: Configuration) =
     new Path(dir).getFileSystem(conf)
@@ -84,7 +85,8 @@ object Manifest {
           case (Some(l), Some(h)) => s""","lo":$l,"hi":$h"""
           case _ => ""
         }
-        out.write(s"""{"p":"${e.p}","file":"${e.file}"$stats}\n"""
+        val bloom = e.bloom.map(b => s""","bloom":"$b"""").getOrElse("")
+        out.write(s"""{"p":"${e.p}","file":"${e.file}"$stats$bloom}\n"""
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
@@ -105,9 +107,11 @@ object Manifest {
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toVector finally in.close()
     val Line =
-      """\{"p":"([^"]*)","file":"([^"]*)"(?:,"lo":(-?\d+),"hi":(-?\d+))?\}""".r
-    lines.drop(1).map { case Line(pv, file, lo, hi) =>
-      Entry(pv, file, Option(lo).map(_.toLong), Option(hi).map(_.toLong))
+      ("""\{"p":"([^"]*)","file":"([^"]*)"(?:,"lo":(-?\d+),"hi":(-?\d+))?""" +
+        """(?:,"bloom":"([A-Za-z0-9+/=]*)")?\}""").r
+    lines.drop(1).map { case Line(pv, file, lo, hi, bloom) =>
+      Entry(pv, file, Option(lo).map(_.toLong), Option(hi).map(_.toLong),
+        Option(bloom))
     }
   }
 
@@ -342,6 +346,90 @@ object Manifest {
       }
     }
     -1 // unreachable
+  }
+
+  // ---- File-level Bloom index: point-lookup skipping -----------------
+  //
+  // `readRange` skips on min/max stats — useless for a point lookup of
+  // a high-cardinality UNCLUSTERED key (every file's range covers it).
+  // The Delta answer is a per-file Bloom filter: the manifest carries
+  // each file's k-hash bitset (bits/8 bytes/file — the same
+  // file-census class the manifest lines already are), and a point
+  // read lists only files whose Bloom might contain the key. Zero
+  // false negatives by construction (files without a Bloom admit
+  // conservatively); q359 proves the skip ratio at runtime.
+
+  private def bloomPositions(column: org.apache.spark.sql.Column,
+      bits: Int, k: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until k).map(i =>
+      pmod(xxhash64(lit(i), column), lit(bits.toLong)).cast("int"))
+
+  /** Index-build maintenance pass: compute a per-file Bloom of `column`
+    * over the CURRENT snapshot and commit a new version whose entries
+    * carry it. One scan; per-file state ≤ `bits` positions.
+    */
+  def addBloomIndex(spark: SparkSession, dir: String, column: String,
+      bits: Int = 8192, k: Int = 6): Unit = {
+    require(bits > 0 && bits % 8 == 0 && k >= 1,
+      s"addBloomIndex: bits must be a positive multiple of 8, k >= 1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val segs = split(col("_metadata.file_path"), "/")
+    val positions = readVersion(spark, dir, base)
+      .withColumn("__file",
+        concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
+      .filter(col(column).isNotNull)
+      .select(col("__file"),
+        explode(array(bloomPositions(col(column), bits, k): _*)).as("__b"))
+      .distinct()
+      .groupBy("__file").agg(collect_list("__b").as("bs"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Int](1))
+      .toMap
+    val entries = readManifest(dir, base, conf).map { e =>
+      val bySet = positions.get(tailKey(e.file)).map { ps =>
+        val bytes = new Array[Byte](bits / 8)
+        ps.foreach(p => bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte)
+        java.util.Base64.getEncoder.encodeToString(bytes)
+      }
+      e.copy(bloom = bySet)
+    }
+    commitManifest(dir, base + 1, entries, conf)
+  }
+
+  /** Point read through the Bloom index: lists only files whose Bloom
+    * might contain `value` (no-Bloom files admit conservatively — a
+    * file holding only NULLs, or written before the index build).
+    * Returns the admitted files' rows; callers apply the exact
+    * predicate. Also returns the (listed, total) file counts for
+    * skip-ratio gates.
+    */
+  def readPoint(spark: SparkSession, dir: String, column: String,
+      value: Long, bits: Int = 8192, k: Int = 6): (DataFrame, Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = readManifest(dir, latestVersion(dir, conf), conf)
+    // the value's k positions via a 1-row Spark plan, so the hash is
+    // BIT-IDENTICAL to the index build's xxhash64 kernel
+    val ps = spark.range(1)
+      .select(bloomPositions(lit(value), bits, k): _*)
+      .collect().head
+    val want = (0 until k).map(ps.getInt)
+    val hit = entries.filter { e =>
+      e.bloom match {
+        case None => true
+        case Some(b64) =>
+          val bytes = java.util.Base64.getDecoder.decode(b64)
+          want.forall(p => (bytes(p / 8) & (1 << (p % 8))) != 0)
+      }
+    }
+    val df =
+      if (hit.isEmpty)
+        readVersion(spark, dir, latestVersion(dir, conf)).limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(hit.map(e => s"$dir/${e.file}"): _*)
+    (df, hit.length, entries.length)
   }
 
   // ---- Deletion vectors: MERGE-ON-READ row deletes -------------------

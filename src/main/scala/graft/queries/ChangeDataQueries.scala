@@ -435,6 +435,46 @@ object ChangeDataQueries {
         .orderBy("lang")
     }),
 
+    // FILE-LEVEL BLOOM INDEX — point-lookup skipping for a
+    // high-cardinality UNCLUSTERED key (where q320's min/max stats
+    // admit everything): the manifest carries a 1 KiB Bloom per file,
+    // a point read lists only might-contain files. The layout is
+    // fragmented to ~96 files (32 round-robin tasks × 3 status
+    // partitions) so o_orderkey scatters across all of them; each of
+    // the five present-key lookups must read < half the files
+    // (NOSKIP), the absent key must return zero rows (GHOST — a
+    // false NEGATIVE would also break the hash by dropping a present
+    // key's rows). Census of the looked-up rows is hash-gated.
+    "q359_bloom_index_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bloom_idx").toString
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Manifest.create(o.repartition(32), tmp, "o_orderstatus")
+      Manifest.addBloomIndex(s, tmp, "o_orderkey")
+      val keys = Seq(1L, 2L, 3L, 5L, 8L)
+      val lookups = keys.map(kv =>
+        Manifest.readPoint(s, tmp, "o_orderkey", kv))
+      val rows = lookups.zip(keys).map { case ((df, _, _), kv) =>
+        df.filter(col("o_orderkey") === kv)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice")
+      }.reduce(_ unionByName _)
+      val noskip = lookups.exists { case (_, listed, total) =>
+        listed * 2 > total }
+      val (ghostDf, _, _) = Manifest.readPoint(s, tmp, "o_orderkey", -99L)
+      val ghost = ghostDf.filter(col("o_orderkey") === -99L)
+        .limit(1).count() > 0
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"),
+          lit(name).as("o_orderstatus"), lit(0.0).as("o_totalprice"))
+      rows.unionByName(viol(noskip, "NOSKIP"))
+        .unionByName(viol(ghost, "GHOST"))
+        .orderBy("o_orderkey")
+    }),
+
     // DELETION VECTORS — merge-on-read row deletes (the Delta/Iceberg
     // DV mechanism; q177/q355 are the copy-on-write alternative): a
     // delete writes ONLY a (file, row-position) list + a manifest
@@ -551,6 +591,11 @@ object ChangeDataQueries {
         |      OR CAST(ts AS DATE) = DATE '2024-01-09'
         |    THEN value * 2 ELSE value END), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The five looked-up keys' rows exactly — no NOSKIP / GHOST rows.
+    "q359_bloom_index_gate" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey IN (1, 2, 3, 5, 8)
+        |ORDER BY o_orderkey""".stripMargin,
     // Post-apply snapshot: both victim predicates removed — no
     // MOR_REWROTE / NOT_CUMULATIVE / TT_DIVERGED / DV_NOT_DROPPED rows.
     "q358_deletion_vectors" ->

@@ -367,6 +367,33 @@ class ManifestSpec extends SparkSpec {
       "apply without a DV must be a no-op")
   }
 
+  test("bloom index: no false negatives, coexists with range stats, " +
+      "unindexed commits admit conservatively") {
+    val dir = mkdir()
+    Manifest.create(fixture.repartition(4), dir, "grp",
+      statsCol = "id")
+    Manifest.addBloomIndex(spark, dir, "id", bits = 64, k = 3)
+    // every present key must come back exactly (zero false negatives)
+    (1L to 6L).foreach { kv =>
+      val (df, listed, total) = Manifest.readPoint(spark, dir, "id", kv,
+        bits = 64, k = 3)
+      assert(listed >= 1 && listed <= total)
+      assert(df.filter($"id" === kv).count() === 1L,
+        s"bloom dropped present key $kv")
+    }
+    // range stats survived the index commit
+    assert(Manifest.readRange(spark, dir, 2L, 3L)
+      .filter($"id".between(2L, 3L)).count() === 2L)
+    // a post-index append has no bloom -> its file must always admit
+    Manifest.append(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(100L)), dir, "grp", statsCol = "id")
+    val (df2, listed2, total2) = Manifest.readPoint(spark, dir, "id",
+      100L, bits = 64, k = 3)
+    assert(df2.filter($"id" === 100L).count() === 1L,
+      "an unindexed commit must admit conservatively")
+    assert(listed2 >= 1 && total2 > listed2 - 1)
+  }
+
   test("a stale conflicting writer fails loudly and mutates nothing") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
