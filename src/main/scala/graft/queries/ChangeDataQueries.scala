@@ -116,6 +116,43 @@ object ChangeDataQueries {
         .orderBy("o_custkey")
     }),
 
+    // STREAMING SCD2 ENRICHMENT — the temporal-join half of the SCD2
+    // contract live at the door: each purchase event picks up the
+    // user's tier version valid AT ITS EVENT TIME (valid_from ≤ ts <
+    // valid_to) from the signup-history dimension, as a STATELESS
+    // stream-static broadcast join (the dimension is SCD2-interval-
+    // sized; no state store, no watermark needed — this is why SCD2
+    // beats a mutable dim for streams: the join is pure). Tier is
+    // event_id%3 (integer-exact, no FP bucket hazard); purchases with
+    // no version yet read tier −1. Drained census per tier, oracle
+    // restates the q85 interval build + the interval join.
+    "q361_stream_scd2_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val dim = ChangeData.scd2(
+          Tables.load(s, dir, "events")
+            .filter(col("event_type") === "signup")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              (col("event_id") % 3).as("tier")),
+          keyCols = Seq("user_id"), timeCol = "ts",
+          tiebreakCol = "event_id", valueCols = Seq("tier"))
+        .select(col("user_id").as("d_user"), col("tier"),
+          col("valid_from"), col("valid_to"))
+      val purchases = graft.streaming.EventStreams.readEventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val enriched = purchases.join(broadcast(dim),
+          purchases("user_id") === dim("d_user") &&
+            dim("valid_from") <= purchases("ts") &&
+            (dim("valid_to").isNull || purchases("ts") < dim("valid_to")),
+          "left")
+        .select(coalesce(col("tier"), lit(-1L)).as("tier"), col("value"))
+      graft.streaming.EventStreams
+        .runToMemory(enriched, OutputMode.Append())
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("tier")
+    }),
+
     // Streaming upsert view over the event change feed — last-write-wins
     // per user_id, one struct per key in RocksDB state; on the bounded
     // drain it equals the batch per-key argmax, which the oracle states.
@@ -744,6 +781,28 @@ object ChangeDataQueries {
         |WHERE valid_from <= TIMESTAMP '1998-06-01'
         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-06-01')
         |ORDER BY o_custkey""".stripMargin,
+    // The q85 interval build over signup events + the event-time
+    // interval join, per-tier census.
+    "q361_stream_scd2_enrich" ->
+      """WITH sg AS (SELECT user_id, ts, event_id, event_id % 3 AS tier
+        |  FROM events WHERE event_type = 'signup'),
+        | s2 AS (SELECT *, lag(tier) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS prev FROM sg),
+        | st AS (SELECT user_id, tier, event_id, ts AS valid_from
+        |   FROM s2 WHERE prev IS NULL OR prev IS DISTINCT FROM tier),
+        | iv AS (SELECT user_id, tier, valid_from,
+        |     lead(valid_from) OVER (PARTITION BY user_id
+        |       ORDER BY valid_from, event_id) AS valid_to FROM st),
+        | p AS (SELECT user_id, ts, value FROM events
+        |   WHERE event_type = 'purchase'),
+        | e AS (SELECT COALESCE(iv.tier, -1) AS tier, p.value
+        |   FROM p LEFT JOIN iv ON p.user_id = iv.user_id
+        |     AND iv.valid_from <= p.ts
+        |     AND (iv.valid_to IS NULL OR p.ts < iv.valid_to))
+        |SELECT CAST(tier AS BIGINT) AS tier,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // Per-key last-write-wins argmax over the whole feed — what the
     // streaming view must equal on the bounded drain. (ts, event_id)
     // ordering matches the struct-max tiebreak; event_id is unique.

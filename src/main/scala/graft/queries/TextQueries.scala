@@ -3144,6 +3144,45 @@ object TextQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // UNBIASED pass@k (Chen et al. 2021 — THE code-eval metric, and the
+    // complement of q284's mean-best-of-n curve): per problem with n
+    // samples and c passes, pass@k = 1 − C(n−c,k)/C(n,k), computed in
+    // the cancellation-free product form Π(n−c−i)/Π(n−i) so everything
+    // is EXACT integers (factors clamped at 0: c > n−k means no
+    // all-fail draw exists and pass@k = 1). Problems = q284's arm
+    // groups, pass = reward divisible by 3; problems with n < k drop
+    // from that k's row in both engines. One census aggregate; the k
+    // fan-out is 3 rows per problem.
+    "q360_pass_at_k" -> ((s, dir) => {
+      val reward = (lit(1000L) *
+        markerHits(col("text"), markers.head._2).cast("bigint")) +
+        size(words(col("text"))).cast("bigint")
+      val per = docs(s, dir).filter(col("text").isNotNull)
+        .select(expr("doc_id div 8").as("pid"), reward.as("r"))
+        .groupBy("pid")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("r") % 3 === 0, 1L).otherwise(0L)).as("c"))
+      def f(i: Int) = greatest(lit(0L), col("n") - col("c") - lit(i.toLong))
+      def g(i: Int) = col("n") - lit(i.toLong)
+      per.withColumn("k", explode(array(lit(1L), lit(2L), lit(4L))))
+        .filter(col("n") >= col("k"))
+        .withColumn("__num",
+          when(col("k") === 1, f(0))
+            .when(col("k") === 2, f(0) * f(1))
+            .otherwise(f(0) * f(1) * f(2) * f(3)))
+        .withColumn("__den",
+          when(col("k") === 1, g(0))
+            .when(col("k") === 2, g(0) * g(1))
+            .otherwise(g(0) * g(1) * g(2) * g(3)))
+        .withColumn("ppm",
+          lit(1000000L) - expr("(1000000 * __num) div __den"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_problems"), sum("ppm").as("sum_ppm"))
+        .withColumn("mean_ppm", expr("sum_ppm div n_problems"))
+        .select("k", "n_problems", "sum_ppm", "mean_ppm")
+        .orderBy("k")
+    }),
+
     // TOKEN-WEIGHTED length quantiles (weighted type-1, exact): "half
     // the token MASS sits in docs shorter than X" — the curation
     // statistic the unweighted q46 percentile misreads when a million
@@ -6317,6 +6356,33 @@ object TextQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id,
          |  CAST(rnk AS BIGINT) AS rnk, w, CAST(weight AS BIGINT) AS weight
          |FROM e WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // The product-form pass@k restated with the same clamped integer
+    // factors — C(n,k) never materializes, so nothing overflows.
+    "q360_pass_at_k" ->
+      s"""WITH d AS (SELECT doc_id // 8 AS pid,
+         |    1000 * ${markerSql("en")}
+         |      + len(string_split(text, ' ')) AS r
+         |  FROM documents WHERE text IS NOT NULL),
+         | p AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN r % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c
+         |  FROM d GROUP BY 1),
+         | x AS (SELECT p.*, k.k FROM p
+         |   CROSS JOIN (SELECT unnest([1, 2, 4]) AS k) k WHERE n >= k),
+         | y AS (SELECT k, 1000000 - (1000000 *
+         |    CASE k WHEN 1 THEN GREATEST(0, n - c)
+         |      WHEN 2 THEN GREATEST(0, n - c) * GREATEST(0, n - c - 1)
+         |      ELSE GREATEST(0, n - c) * GREATEST(0, n - c - 1)
+         |        * GREATEST(0, n - c - 2) * GREATEST(0, n - c - 3) END)
+         |    // (CASE k WHEN 1 THEN n WHEN 2 THEN n * (n - 1)
+         |      ELSE n * (n - 1) * (n - 2) * (n - 3) END) AS ppm
+         |  FROM x)
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  CAST(COUNT(*) AS BIGINT) AS n_problems,
+         |  CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+         |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_ppm
+         |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Weighted type-1 quantile restated: DuckDB promotes cum·1e6 to
     // HUGEINT natively, matching the engine's decimal(38,0) compare.
     "q354_weighted_quantiles" ->
