@@ -114,6 +114,46 @@ object EventQueries {
         .localCheckpoint(true))
     }),
 
+    // KAPLAN–MEIER survival with right-censoring (the duration
+    // statistic a naive mean gets WRONG when the observation window
+    // cuts sessions off): spans = per-(user, day) first-to-last-event
+    // millis; spans on the final calendar day are right-CENSORED (the
+    // window ended, not the session). KM at each span census row:
+    // n_risk = spans with t' ≥ t, S(t) = Π_{observed t' ≤ t}
+    // (1 − d/n) — computed as exp of an ORDERED cumulative ln-sum over
+    // the census (the q79 ln discipline; ROUND(6) absorbs the last
+    // ulp), with a −1e18 sentinel when d = n_risk so S hits exactly
+    // 0.0 in both engines instead of ln(0). Corpus-scale work = one
+    // map-side span aggregate; everything after is census-sized.
+    "q362_kaplan_meier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("dt"))
+        .agg((unix_millis(max("ts")) - unix_millis(min("ts")))
+          .as("t_ms"))
+      val md = sess.agg(max("dt").as("mdt"))
+      val census = sess.crossJoin(broadcast(md))
+        .withColumn("obs", when(col("dt") < col("mdt"), 1L)
+          .otherwise(0L))
+        .groupBy("t_ms")
+        .agg(sum("obs").as("d"), sum(lit(1L) - col("obs")).as("c"))
+      val total = census.agg(sum(col("d") + col("c")).as("total"))
+      val wCum = Window.orderBy("t_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      census.crossJoin(broadcast(total))
+        .withColumn("n_risk",
+          col("total") - sum(col("d") + col("c")).over(wCum)
+            + col("d") + col("c"))
+        .withColumn("__ln",
+          when(col("d") > 0 && col("d") < col("n_risk"),
+            log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+            .when(col("d") > 0, lit(-1e18))
+            .otherwise(lit(0.0)))
+        .withColumn("surv", round(exp(sum("__ln").over(wCum)), 6))
+        .select("t_ms", "d", "c", "n_risk", "surv")
+        .orderBy("t_ms")
+    }),
+
     // DIFFERENTIALLY-PRIVATE count release + ε ledger (the governance
     // tail of the k-anon/l-div family): per-cohort event counts plus
     // SEEDED truncated-discrete-Laplace noise (ε = 0.5, sensitivity 1)
@@ -975,6 +1015,29 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q357_dp_release" -> dpReleaseOracle,
+    // The same census KM: ordered cumulative ln-sum, −1e18 sentinel at
+    // d = n_risk (exp underflows to exactly 0.0 in both engines).
+    "q362_kaplan_meier" ->
+      """WITH sess AS (SELECT user_id, CAST(ts AS DATE) AS dt,
+        |    epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS t_ms
+        |  FROM events GROUP BY 1, 2),
+        | m AS (SELECT MAX(dt) AS mdt FROM sess),
+        | mk AS (SELECT t_ms,
+        |    CASE WHEN dt < m.mdt THEN 1 ELSE 0 END AS obs FROM sess, m),
+        | c AS (SELECT t_ms, CAST(SUM(obs) AS BIGINT) AS d,
+        |    CAST(SUM(1 - obs) AS BIGINT) AS c FROM mk GROUP BY 1),
+        | t AS (SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM c),
+        | w AS (SELECT c.*, t.total,
+        |    SUM(d + c) OVER (ORDER BY t_ms) AS cum FROM c, t),
+        | r AS (SELECT *, total - cum + d + c AS n_risk FROM w),
+        | s AS (SELECT *, ROUND(EXP(SUM(
+        |    CASE WHEN d > 0 AND d < n_risk
+        |      THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+        |    WHEN d > 0 THEN -1e18 ELSE 0 END)
+        |    OVER (ORDER BY t_ms)), 6) AS surv FROM r)
+        |SELECT CAST(t_ms AS BIGINT) AS t_ms, d, c,
+        |  CAST(n_risk AS BIGINT) AS n_risk, surv
+        |FROM s ORDER BY t_ms""".stripMargin,
     // Integer replica sums (pre-scaled inverse-CDF thresholds on the
     // 1e6 hash grid), exact in both engines; one sqrt at the end.
     "q202_bootstrap_count_se" ->
