@@ -125,6 +125,54 @@ object ChangeData {
         col("valid_to"), col("version_n"), col("is_current")): _*)
   }
 
+  /** INCREMENTAL SCD2 merge — fold a batch of new change rows into an
+    * existing dimension WITHOUT rebuilding history: only affected keys'
+    * current intervals reopen (closed history and untouched keys pass
+    * through verbatim), so a day's delta costs the delta, not the
+    * dimension. Append-regime contract: every change must land at or
+    * after its key's current `valid_from` (earlier rows would rewrite
+    * closed history — loud require). A change whose value equals the
+    * key's current value EXTENDS the interval (the pseudo-row trick:
+    * the rebuild seeds each affected key with its current row at its
+    * original valid_from, tiebreak −∞ so boundary ties keep the
+    * incumbent first), which is exactly the from-scratch collapse —
+    * q364 gates merged ≡ from-scratch cross-engine. Scale shape: keyed
+    * semi/anti joins split the dimension; the rebuild window sees only
+    * (affected current rows ∪ changes).
+    */
+  def scd2Merge(dim: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      timeCol: String, tiebreakCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val keyColumns = keyCols.map(col)
+    val affected = changes.select(keyColumns: _*).distinct()
+    val dimA = dim.join(affected, keyCols, "left_semi")
+    val dimU = dim.join(affected, keyCols, "left_anti")
+    val cur = dimA.filter(col("is_current"))
+    val late = changes
+      .join(cur.select(keyColumns :+ col("valid_from").as("__cf"): _*),
+        keyCols)
+      .filter(col(timeCol) < col("__cf")).limit(1).count()
+    require(late == 0,
+      "scd2Merge: a change precedes its key's current interval - " +
+        "closed history would need rewriting; rebuild instead")
+    val tbType = changes.select(col(tiebreakCol)).schema.head.dataType
+    val pseudo = cur.select(keyColumns ++ Seq(
+      col("valid_from").as(timeCol),
+      lit(Long.MinValue).cast(tbType).as(tiebreakCol)) ++
+      valueCols.map(col): _*)
+    val tailIn = pseudo.unionByName(changes.select(keyColumns ++
+      Seq(col(timeCol), col(tiebreakCol)) ++ valueCols.map(col): _*))
+    val rebuilt = scd2(tailIn, keyCols, timeCol, tiebreakCol, valueCols)
+    val offs = cur.select(keyColumns :+
+      (col("version_n") - 1).as("__off"): _*)
+    val rebuiltAdj = rebuilt.join(offs, keyCols, "left")
+      .withColumn("version_n",
+        (col("version_n") + coalesce(col("__off"), lit(0))).cast("int"))
+      .drop("__off")
+    dimU.unionByName(dimA.filter(!col("is_current")))
+      .unionByName(rebuiltAdj.select(dim.columns.map(col): _*))
+  }
+
   /** Targeted deletion from a partitioned layout (the GDPR /
     * right-to-be-forgotten path, and the delete twin of the q140
     * backfill): rewrite ONLY the partitions that contain victim rows —

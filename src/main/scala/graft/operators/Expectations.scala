@@ -79,6 +79,47 @@ object Expectations {
         col("e.n_violations"), col("__n").as("n_rows"))
   }
 
+  /** ROW-LEVEL quarantine (the dbt store_failures face of the same
+    * check suite): every violating row, tagged with the SORTED list of
+    * check names it failed — the frame a pipeline routes to a
+    * quarantine sink while the clean rows continue. Group checks flag
+    * every member of a violating group (you want to SEE all copies of
+    * a duplicated key, not the statistically-excess ones). Row-local
+    * reasons are one codegen pass; UniqueKey is one keyed window;
+    * RefIntegrity one broadcast join.
+    */
+  def quarantine(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "quarantine: empty check suite")
+    import org.apache.spark.sql.expressions.Window
+    var out = df
+    var reasonCols = Seq.empty[Column]
+    checks.foreach {
+      case c if rowLocalViolation(c).isDefined =>
+        val (nm, tgt, v) = rowLocalViolation(c).get
+        reasonCols :+= when(v, lit(s"$nm:$tgt"))
+      case UniqueKey(cols0) =>
+        val w = Window.partitionBy(cols0.map(col): _*)
+        val flag = s"__uq_${cols0.mkString("_")}"
+        out = out.withColumn(flag, count(lit(1)).over(w) > 1)
+        reasonCols :+= when(col(flag),
+          lit(s"unique_key:${cols0.mkString(",")}"))
+      case RefIntegrity(cl, dim, dimCol) =>
+        val flag = s"__ref_$cl"
+        out = out.join(
+          broadcast(dim.select(col(dimCol).as(cl)).distinct()
+            .withColumn(flag, lit(true))), Seq(cl), "left")
+        reasonCols :+= when(col(cl).isNotNull && col(flag).isNull,
+          lit(s"ref_integrity:$cl"))
+      case _ => ()
+    }
+    out
+      .withColumn("reasons",
+        concat_ws(",", array_sort(filter(array(reasonCols: _*),
+          r => r.isNotNull))))
+      .filter(col("reasons") =!= "")
+      .select(df.columns.map(col) :+ col("reasons"): _*)
+  }
+
   /** The violation census of `checks` over `df`: one row per check,
     * (check, target, n_violations, n_rows). Row-local checks share one
     * fused aggregate pass.

@@ -490,6 +490,26 @@ object Manifest {
     nNew
   }
 
+  /** TTL retention sweep — policy-driven expiry as a MERGE-ON-READ
+    * delete: rows whose class has outlived its max age (relative to
+    * `asOfDate`) land in the next deletion vector; no data file moves
+    * until a later `applyDeletes`. The policy is model-sized and
+    * compiles to a literal predicate (no join); returns the number of
+    * newly-expired rows.
+    */
+  def ttlSweep(spark: SparkSession, dir: String, classCol: String,
+      timeCol: String, policyDays: Map[String, Int],
+      asOfDate: String): Long = {
+    require(policyDays.nonEmpty, "ttlSweep: empty policy")
+    val victim = policyDays.foldLeft(lit(false)) {
+      case (acc, (cls, days)) =>
+        acc || (col(classCol) === cls &&
+          col(timeCol) <
+            date_sub(lit(asOfDate).cast("date"), days).cast("timestamp"))
+    }
+    deleteRows(spark, dir, victim)
+  }
+
   /** Snapshot read MINUS the version's deletion vector. Exposes the
     * bookkeeping columns `__file`/`__pos` (callers drop them); the
     * anti-join is keyed on (file tail, row position) — the DV side is

@@ -96,6 +96,29 @@ object ChangeDataQueries {
           tiebreakCol = "o_orderkey", valueCols = Seq("o_orderpriority"))
         .orderBy("o_custkey", "version_n")),
 
+    // INCREMENTAL SCD2 merge (q93's incremental discipline pointed at
+    // the q85 dimension): history = orders before 1997 built into a
+    // dimension, delta = 1997+ orders folded in by `scd2Merge` — only
+    // affected keys' current intervals reopen; closed history and
+    // untouched keys pass through verbatim. The oracle builds
+    // FROM-SCRATCH over all orders, so the hash equality IS the
+    // incremental law, including the boundary collapse (a delta that
+    // repeats the current value must EXTEND the interval, not open a
+    // new version).
+    "q364_scd2_merge_gate" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderpriority"))
+      val cut = lit("1997-01-01").cast("timestamp")
+      val dim = ChangeData.scd2(o.filter(col("o_orderdate") < cut),
+        keyCols = Seq("o_custkey"), timeCol = "o_orderdate",
+        tiebreakCol = "o_orderkey", valueCols = Seq("o_orderpriority"))
+      ChangeData.scd2Merge(dim, o.filter(col("o_orderdate") >= cut),
+          keyCols = Seq("o_custkey"), timeCol = "o_orderdate",
+          tiebreakCol = "o_orderkey", valueCols = Seq("o_orderpriority"))
+        .orderBy("o_custkey", "version_n")
+    }),
+
     // Point-in-time (time travel) read over the q85 SCD2 dimension:
     // every customer's priority AS OF 1998-06-01 — the read half of
     // the SCD2 contract (reproduce an old report, join facts to the
@@ -512,6 +535,48 @@ object ChangeDataQueries {
         .orderBy("o_orderkey")
     }),
 
+    // TTL RETENTION SWEEP — policy-driven expiry over deletion vectors
+    // (the scheduled governance job: clicks keep 5 days, views 10, the
+    // rest forever, relative to the dataset's own max date): the sweep
+    // is merge-on-read (files byte-stable — MOR_REWROTE), the live
+    // read drops exactly the expired classes' old rows (hash-gated
+    // census), a second sweep at the same as-of finds nothing
+    // (NOT_IDEMPOTENT), and the deferred applyDeletes folds the DV in
+    // without changing the census (APPLY_DIVERGED). The as-of anchor
+    // derives from max(ts), so the fixture scales with any SF.
+    "q363_ttl_sweep_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ttl").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      val asOf = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+        .toString
+      val policy = Map("click" -> 5, "view" -> 10)
+      val files1 = Manifest.read(s, tmp).inputFiles.toSet
+      val n1 = Manifest.ttlSweep(s, tmp, "event_type", "ts", policy, asOf)
+      val files2 = Manifest.read(s, tmp).inputFiles.toSet
+      val n2 = Manifest.ttlSweep(s, tmp, "event_type", "ts", policy, asOf)
+      val live = Manifest.readWithDeletes(s, tmp)
+        .drop("__file", "__pos").localCheckpoint(true)
+      Manifest.applyDeletes(s, tmp, "dt")
+      val applied = Manifest.read(s, tmp)
+      val applyDiverged = live.exceptAll(applied)
+        .unionAll(applied.exceptAll(live)).limit(1).count() > 0
+      val census = applied.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("event_type"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(n1 == 0 || files2 != files1, "MOR_REWROTE"))
+        .unionByName(viol(n2 != 0, "NOT_IDEMPOTENT"))
+        .unionByName(viol(applyDiverged, "APPLY_DIVERGED"))
+        .orderBy("event_type")
+    }),
+
     // DELETION VECTORS — merge-on-read row deletes (the Delta/Iceberg
     // DV mechanism; q177/q355 are the copy-on-write alternative): a
     // delete writes ONLY a (file, row-position) list + a manifest
@@ -633,6 +698,18 @@ object ChangeDataQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey IN (1, 2, 3, 5, 8)
         |ORDER BY o_orderkey""".stripMargin,
+    // Survivors of the literal TTL policy, anchored at max(ts)'s date —
+    // no MOR_REWROTE / NOT_IDEMPOTENT / APPLY_DIVERGED rows.
+    "q363_ttl_sweep_gate" ->
+      """WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS mdt FROM events),
+        | k AS (SELECT e.event_type, e.value FROM events e, m
+        |   WHERE NOT (e.event_type = 'click'
+        |       AND e.ts < CAST(m.mdt - INTERVAL 5 DAY AS TIMESTAMP))
+        |     AND NOT (e.event_type = 'view'
+        |       AND e.ts < CAST(m.mdt - INTERVAL 10 DAY AS TIMESTAMP)))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // Post-apply snapshot: both victim predicates removed — no
     // MOR_REWROTE / NOT_CUMULATIVE / TT_DIVERGED / DV_NOT_DROPPED rows.
     "q358_deletion_vectors" ->
@@ -741,6 +818,26 @@ object ChangeDataQueries {
         |SELECT c_mktsegment, CAST(SUM(bal_cents) AS DOUBLE) AS sum_val,
         |  COUNT(*) AS n, COUNT(bal_cents) AS n_nonnull
         |FROM newsnap GROUP BY 1 ORDER BY 1""".stripMargin,
+    // From-scratch over ALL orders — the merge must reproduce it
+    // exactly (same restatement as q85's).
+    "q364_scd2_merge_gate" ->
+      """WITH s AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |starts AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderkey,
+        |    o_orderdate AS valid_from
+        |  FROM s WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, o_orderkey) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, o_orderkey) AS INTEGER) AS version_n,
+        |  (lead(valid_from) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, o_orderkey) IS NULL) AS is_current
+        |FROM starts ORDER BY o_custkey, version_n""".stripMargin,
     "q85_scd2_intervals" ->
       """WITH s AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,

@@ -72,6 +72,20 @@ object SourceQueries {
         .orderBy("check", "target")
     }),
 
+    // ROW-LEVEL QUARANTINE (the dbt store_failures face of q350's
+    // suite): the violating ROWS, each tagged with the sorted list of
+    // checks it failed — multi-violation rows (moduli coincide) carry
+    // compound reason strings, and BOTH copies of a duplicated key
+    // flag unique_key (quarantine shows all members, not the
+    // statistical excess). FULL hash of (row identity, reasons).
+    "q365_quarantine" -> ((s, dir) =>
+      graft.operators.Expectations
+        .quarantine(corruptedOrders(Tables.load(s, dir, "orders")),
+          expectationSuite(s, dir))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("reasons"))
+        .orderBy("o_orderkey", "reasons")),
+
     // Parquet schema evolution: the v1 files predate the `quality`
     // column the v2 files carry; `mergeSchema` widens the unified read
     // schema and fills v1 rows with NULLs — history is never rewritten
@@ -1064,6 +1078,47 @@ object SourceQueries {
     // The streaming twin assembles the identical 6-row census from its
     // three drained snapshots — one shared restatement.
     "q351_stream_expectations" -> expectationsOracle,
+    // Per-row reasons restated over the same dupped fixture; both
+    // copies of a duplicated key flag, sorted compound reasons match
+    // the engine's concat_ws of a sorted array.
+    "q365_quarantine" ->
+      """WITH d AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN NULL
+        |      ELSE o_orderdate END AS o_orderdate,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN '9-BAD'
+        |      ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 103 = 0 THEN 'X'
+        |      ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 107 = 0 THEN o_custkey + 1000000000
+        |      ELSE o_custkey END AS o_custkey
+        |  FROM orders),
+        | u AS (SELECT * FROM d
+        |   UNION ALL SELECT * FROM d WHERE o_orderkey % 113 = 0),
+        | dupk AS (SELECT o_orderkey FROM u GROUP BY 1 HAVING COUNT(*) > 1),
+        | r AS (SELECT u.*, list_sort(list_filter([
+        |    CASE WHEN o_orderdate IS NULL
+        |      THEN 'not_null:o_orderdate' END,
+        |    CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 1000000000)
+        |      THEN 'in_range:o_totalprice' END,
+        |    CASE WHEN o_orderpriority IS NOT NULL
+        |      AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')
+        |      THEN 'matches:o_orderpriority' END,
+        |    CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 'in_set:o_orderstatus' END,
+        |    CASE WHEN o_orderkey IN (SELECT o_orderkey FROM dupk)
+        |      THEN 'unique_key:o_orderkey' END,
+        |    CASE WHEN o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |      THEN 'ref_integrity:o_custkey' END
+        |  ], x -> x IS NOT NULL)) AS rl FROM u)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  array_to_string(rl, ',') AS reasons
+        |FROM r WHERE len(rl) > 0
+        |ORDER BY o_orderkey, reasons""".stripMargin,
     // Each planted violation family restated arithmetically over the
     // same dupped fixture; unique-key excess = rows − distinct keys.
     "q350_expectations" -> expectationsOracle,

@@ -240,4 +240,34 @@ class ChangeDataSpec extends SparkSpec {
     } finally graft.pipeline.Ingest.deleteRecursively(
       java.nio.file.Paths.get(dir))
   }
+
+  test("scd2Merge: boundary collapse extends, untouched keys pass, " +
+      "merged == from-scratch, late changes are loud") {
+    def mk(rows: Seq[(String, Long, Long, String)]) =
+      rows.toDF("k", "sec", "id", "val")
+        .select(col("k"), timestamp_seconds(col("sec")).as("t"),
+          col("id"), col("val"))
+    val hist = mk(Seq(("a", 10L, 1L, "x"), ("a", 20L, 2L, "y"),
+      ("b", 15L, 3L, "z")))
+    // a: delta repeats 'y' (must EXTEND v2) then flips to 'x';
+    // b untouched; c is a brand-new key
+    val delta = mk(Seq(("a", 30L, 4L, "y"), ("a", 40L, 5L, "x"),
+      ("c", 25L, 6L, "q")))
+    val dim = ChangeData.scd2(hist, Seq("k"), "t", "id", Seq("val"))
+    val merged = ChangeData.scd2Merge(dim, delta, Seq("k"), "t", "id",
+      Seq("val"))
+    val scratch = ChangeData.scd2(hist.unionByName(delta), Seq("k"),
+      "t", "id", Seq("val"))
+    assert(merged.exceptAll(scratch).unionAll(scratch.exceptAll(merged))
+      .isEmpty, "merged dimension diverged from the from-scratch build")
+    val aRows = merged.filter(col("k") === "a")
+      .orderBy("version_n").collect()
+    assert(aRows.length === 3, "the repeated value must extend, not fork")
+    // a late change (before a's current valid_from at 20) must be loud
+    val late = mk(Seq(("a", 12L, 9L, "w")))
+    val e = intercept[IllegalArgumentException] {
+      ChangeData.scd2Merge(dim, late, Seq("k"), "t", "id", Seq("val"))
+    }
+    assert(e.getMessage.contains("precedes"))
+  }
 }
