@@ -86,6 +86,27 @@ object SourceQueries {
           col("o_orderstatus"), col("reasons"))
         .orderBy("o_orderkey", "reasons")),
 
+    // Streaming twin of q365 — quarantine routing AT THE DOOR: the
+    // row-local checks are pure codegen columns and ref-integrity is a
+    // stateless stream-static broadcast join, so the bad-row stream is
+    // Append-mode with ZERO state. UniqueKey is deliberately absent —
+    // duplicate detection needs cross-row state (that contract lives
+    // with the streaming dedup family, q99/q118) and a door-side
+    // quarantine should not buffer the world. Oracle restates the
+    // stateless reason subset.
+    "q366_stream_quarantine" -> ((s, dir) => {
+      import graft.operators.Expectations._
+      import org.apache.spark.sql.streaming.OutputMode
+      val checks = expectationSuite(s, dir)
+        .filterNot(_.isInstanceOf[UniqueKey])
+      val o = corruptedOrders(Tables.readTableStream(s, dir, "orders"))
+      val bad = graft.operators.Expectations.quarantine(o, checks)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("reasons"))
+      graft.streaming.EventStreams.runToMemory(bad, OutputMode.Append())
+        .orderBy("o_orderkey", "reasons")
+    }),
+
     // Parquet schema evolution: the v1 files predate the `quality`
     // column the v2 files carry; `mergeSchema` widens the unified read
     // schema and fills v1 rows with NULLs — history is never rewritten
@@ -1078,6 +1099,44 @@ object SourceQueries {
     // The streaming twin assembles the identical 6-row census from its
     // three drained snapshots — one shared restatement.
     "q351_stream_expectations" -> expectationsOracle,
+    // The stateless reason subset (no unique_key) over the same dupped
+    // fixture — duplicated keys still appear TWICE as rows (the union
+    // replays), they just can't carry the cross-row reason.
+    "q366_stream_quarantine" ->
+      """WITH d AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN NULL
+        |      ELSE o_orderdate END AS o_orderdate,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN '9-BAD'
+        |      ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 103 = 0 THEN 'X'
+        |      ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 107 = 0 THEN o_custkey + 1000000000
+        |      ELSE o_custkey END AS o_custkey
+        |  FROM orders),
+        | u AS (SELECT * FROM d
+        |   UNION ALL SELECT * FROM d WHERE o_orderkey % 113 = 0),
+        | r AS (SELECT u.*, list_sort(list_filter([
+        |    CASE WHEN o_orderdate IS NULL
+        |      THEN 'not_null:o_orderdate' END,
+        |    CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 1000000000)
+        |      THEN 'in_range:o_totalprice' END,
+        |    CASE WHEN o_orderpriority IS NOT NULL
+        |      AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')
+        |      THEN 'matches:o_orderpriority' END,
+        |    CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 'in_set:o_orderstatus' END,
+        |    CASE WHEN o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |      THEN 'ref_integrity:o_custkey' END
+        |  ], x -> x IS NOT NULL)) AS rl FROM u)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  array_to_string(rl, ',') AS reasons
+        |FROM r WHERE len(rl) > 0
+        |ORDER BY o_orderkey, reasons""".stripMargin,
     // Per-row reasons restated over the same dupped fixture; both
     // copies of a duplicated key flag, sorted compound reasons match
     // the engine's concat_ws of a sorted array.
