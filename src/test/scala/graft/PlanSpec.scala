@@ -901,6 +901,24 @@ class PlanSpec extends SparkSpec {
       "baseline join must broadcast, not cross:\n" + p.take(2000))
   }
 
+  test("q354 weighted quantiles window the census aggregate; threshold compare is decimal") {
+    val p = planOf("q354_weighted_quantiles")
+    val w = p.indexOf("Window")
+    assert(w >= 0, "no window in the weighted-quantile plan:\n" + p.take(2000))
+    assert(p.indexOf("HashAggregate", w) >= 0,
+      "the quantile windows must consume the (group, value) census:\n" +
+        p.take(3000))
+    assert(p.contains("decimal(38,0)") || p.contains("as decimal"),
+      "the threshold compare must run in decimal(38,0):\n" + p.take(3000))
+  }
+
+  test("q360 pass@k stays keyed end to end (no cartesian, no UDF)") {
+    val p = planOf("q360_pass_at_k")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+  }
+
   test("q339 apportionment's global window ranks the source census, not the corpus") {
     // the window's input must be an aggregated relation: a HashAggregate
     // appears strictly BELOW the Window in the plan tree
