@@ -173,6 +173,34 @@ object ChangeData {
       .unionByName(rebuiltAdj.select(dim.columns.map(col): _*))
   }
 
+  /** INCREMENTAL JOIN-VIEW maintenance — the delta rule for the
+    * warehouse's standard materialized view V = dim ⋈ fact, under the
+    * standard change regime (dimension rows update/insert/delete; fact
+    * rows APPEND): the old view drops the changed dimension keys' rows
+    * (one anti-join against a model-sized key set), the changed keys
+    * re-join the full fact (keyed, fact-side filtered by the join
+    * itself), and unchanged keys join only the APPENDED fact rows —
+    * the old fact is NEVER rescanned, which is the entire point of IVM
+    * at 100 TB. `dimNew` must be key-unique (loud require); q367 gates
+    * maintained ≡ from-scratch cross-engine.
+    */
+  def incrementalJoinView(vOld: DataFrame, dimNew: DataFrame,
+      changedKeys: DataFrame, factNew: DataFrame, factIns: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val dupKeys = dimNew.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).count()
+    require(dupKeys == 0,
+      "incrementalJoinView: dimNew must be unique per key")
+    val kept = vOld.join(broadcast(changedKeys), keyCols, "left_anti")
+    val rejoined = dimNew.join(broadcast(changedKeys), keyCols, "left_semi")
+      .join(factNew, keyCols)
+    val appended = dimNew.join(broadcast(changedKeys), keyCols, "left_anti")
+      .join(factIns, keyCols)
+    kept.unionByName(rejoined.select(vOld.columns.map(col): _*))
+      .unionByName(appended.select(vOld.columns.map(col): _*))
+  }
+
   /** Targeted deletion from a partitioned layout (the GDPR /
     * right-to-be-forgotten path, and the delete twin of the q140
     * backfill): rewrite ONLY the partitions that contain victim rows —

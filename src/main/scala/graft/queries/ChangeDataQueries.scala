@@ -96,6 +96,39 @@ object ChangeDataQueries {
           tiebreakCol = "o_orderkey", valueCols = Seq("o_orderpriority"))
         .orderBy("o_custkey", "version_n")),
 
+    // INCREMENTAL JOIN-VIEW maintenance (q93 maintains aggregates;
+    // this maintains the JOIN view itself — the other half of IVM):
+    // V = customer ⋈ orders under the standard regime, dimension
+    // updates/inserts/deletes (the q83 snapshot rules) + fact APPENDS
+    // (orders from 1997 arrive later). The maintained view drops the
+    // changed keys' old rows, re-joins only those keys against the
+    // fact, and joins unchanged keys against only the APPENDED fact —
+    // the pre-1997 fact is never rescanned for unchanged keys. Oracle
+    // = the from-scratch join over (new snapshot ⋈ all orders), so
+    // the hash equality IS the delta rule.
+    "q367_incremental_join_view" -> ((s, dir) => {
+      val cols = Seq("c_custkey", "c_mktsegment", "c_acctbal",
+        "o_orderkey", "o_totalprice").map(col)
+      def viewOf(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame) =
+        a.join(b, Seq("c_custkey")).select(cols: _*)
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1997-01-01").cast("timestamp")
+      val factOld = o.filter(col("o_orderdate") < cut)
+      val factIns = o.filter(col("o_orderdate") >= cut)
+      val aOld = oldSnap(s, dir)
+      val aNew = newSnap(s, dir)
+      val vOld = viewOf(aOld, factOld)
+      val changed = ChangeData.snapshotDiff(aOld, aNew,
+          keyCols = Seq("c_custkey"))
+        .select("c_custkey").distinct()
+      ChangeData.incrementalJoinView(vOld, aNew, changed, o, factIns,
+          keyCols = Seq("c_custkey"))
+        .orderBy("c_custkey", "o_orderkey")
+    }),
+
     // INCREMENTAL SCD2 merge (q93's incremental discipline pointed at
     // the q85 dimension): history = orders before 1997 built into a
     // dimension, delta = 1997+ orders folded in by `scd2Merge` — only
@@ -818,6 +851,14 @@ object ChangeDataQueries {
         |SELECT c_mktsegment, CAST(SUM(bal_cents) AS DOUBLE) AS sum_val,
         |  COUNT(*) AS n, COUNT(bal_cents) AS n_nonnull
         |FROM newsnap GROUP BY 1 ORDER BY 1""".stripMargin,
+    // From-scratch join of the new snapshot against ALL orders — the
+    // maintained view must reproduce it exactly.
+    "q367_incremental_join_view" -> (oracleSnaps +
+      """
+        |SELECT n.c_custkey, n.c_mktsegment, n.c_acctbal,
+        |  o.o_orderkey, o.o_totalprice
+        |FROM newsnap n JOIN orders o ON n.c_custkey = o.o_custkey
+        |ORDER BY n.c_custkey, o.o_orderkey""".stripMargin),
     // From-scratch over ALL orders — the merge must reproduce it
     // exactly (same restatement as q85's).
     "q364_scd2_merge_gate" ->
