@@ -129,6 +129,58 @@ object ChangeDataQueries {
         .orderBy("c_custkey", "o_orderkey")
     }),
 
+    // STREAMING MATERIALIZED VIEW (q367's IVM ∘ q319's exactly-once
+    // sink): the base view (dim ⋈ pre-1997 fact) publishes as the
+    // manifest's v1; the 1997+ fact arrives as micro-batches and each
+    // batch's delta view (dim ⋈ batch — the append case of the q367
+    // delta rule) lands through `Manifest.commitBatch`, so a replayed
+    // delivery publishes NOTHING (REPLAY_COMMITTED otherwise). The
+    // final snapshot census must equal the from-scratch join of the
+    // dim against ALL orders — exactly-once + IVM, one hash.
+    "q368_stream_view_maintenance" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_mv").toString
+      val dim = newSnap(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      def viewOf(b: org.apache.spark.sql.DataFrame) =
+        dim.join(b, Seq("c_custkey"))
+          .select(col("c_mktsegment"), col("c_custkey"),
+            col("o_orderkey"), col("o_totalprice"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1997-01-01").cast("timestamp")
+      Manifest.create(viewOf(o.filter(col("o_orderdate") < cut)), tmp,
+        "c_mktsegment")
+      val inserts = Tables.readTableStream(s, dir, "orders")
+        .filter(col("o_orderdate") >= cut)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+      var firstBatch: org.apache.spark.sql.DataFrame = null
+      val q = inserts.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (id == 0L) firstBatch = b.localCheckpoint(true)
+          Manifest.commitBatch(viewOf(b), tmp, "c_mktsegment", id)
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/_ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      val replayed = firstBatch != null &&
+        Manifest.commitBatch(viewOf(firstBatch), tmp, "c_mktsegment", 0L)
+      val census = Manifest.read(s, tmp)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_okey"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("c_mktsegment"), lit(-1L).as("n"),
+          lit(0L).as("sum_okey"), lit(0.0).as("sum_price"))
+      census
+        .unionByName(viol(replayed, "REPLAY_COMMITTED"))
+        .unionByName(viol(firstBatch == null, "NO_BATCHES"))
+        .orderBy("c_mktsegment")
+    }),
+
     // INCREMENTAL SCD2 merge (q93's incremental discipline pointed at
     // the q85 dimension): history = orders before 1997 built into a
     // dimension, delta = 1997+ orders folded in by `scd2Merge` — only
@@ -851,6 +903,15 @@ object ChangeDataQueries {
         |SELECT c_mktsegment, CAST(SUM(bal_cents) AS DOUBLE) AS sum_val,
         |  COUNT(*) AS n, COUNT(bal_cents) AS n_nonnull
         |FROM newsnap GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Per-segment census of the from-scratch join — no
+    // REPLAY_COMMITTED / NO_BATCHES rows.
+    "q368_stream_view_maintenance" -> (oracleSnaps +
+      """
+        |SELECT n.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_okey,
+        |  ROUND(SUM(o.o_totalprice), 2) AS sum_price
+        |FROM newsnap n JOIN orders o ON n.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // From-scratch join of the new snapshot against ALL orders — the
     // maintained view must reproduce it exactly.
     "q367_incremental_join_view" -> (oracleSnaps +
