@@ -48,6 +48,13 @@ object Manifest {
       lo: Option[Long] = None, hi: Option[Long] = None,
       bloom: Option[String] = None)
 
+  /** Resolve an entry's data-file path: branch manifests reference
+    * foreign (source-layout) files by ABSOLUTE path — the zero-copy
+    * mechanism; everything else stays dir-relative.
+    */
+  private def filePath(dir: String, e: Entry): String =
+    if (e.file.startsWith("/")) e.file else s"$dir/${e.file}"
+
   private def fs(dir: String, conf: Configuration) =
     new Path(dir).getFileSystem(conf)
 
@@ -348,6 +355,91 @@ object Manifest {
     -1 // unreachable
   }
 
+  // ---- Zero-copy branches: git-for-data ------------------------------
+  //
+  // A branch is its own manifest lineage under `$dir/_branches/<name>`
+  // whose v1 references the source's data files by ABSOLUTE path — no
+  // byte is copied at create time. Branch commits (append / overwrite /
+  // purge / delete — every existing op, pointed at the branch dir)
+  // write their files under the branch's own data/ root and never touch
+  // main; main's commits never touch the branch. Merge-back is the
+  // q349 snapshot-isolation rule at partition grain: partitions the
+  // branch changed must be untouched on main since the branch's base,
+  // or the merge fails loudly. Retention caveat (documented, as in
+  // every ref-based lake): vacuuming MAIN drops files branches still
+  // reference — vacuum only after merging or deleting branches.
+
+  private def branchRoot(dir: String, name: String) = {
+    require(name.matches("[A-Za-z0-9_\\-]+"), s"unsafe branch name '$name'")
+    s"$dir/_branches/$name"
+  }
+
+  /** Create branch `name` from the source's latest snapshot (zero data
+    * copied); records the source base version for the merge conflict
+    * check. Returns that base version.
+    */
+  def branchCreate(spark: SparkSession, dir: String, name: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val bdir = branchRoot(dir, name)
+    require(latestVersion(bdir, conf) == 0, s"branch '$name' already exists")
+    val absEntries = readManifest(dir, base, conf)
+      .map(e => e.copy(file = filePath(dir, e)))
+    commitManifest(bdir, 1, absEntries, conf)
+    val f = fs(dir, conf)
+    val out = f.create(new Path(bdir, "_branch_base"), true)
+    try out.write(base.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    base
+  }
+
+  /** The branch's layout dir — every Manifest op works on it. */
+  def branchDir(dir: String, name: String): String = branchRoot(dir, name)
+
+  private def branchBase(dir: String, name: String,
+      conf: Configuration): Int = {
+    val p = new Path(branchRoot(dir, name), "_branch_base")
+    val f = fs(dir, conf)
+    require(f.exists(p), s"branch '$name' has no base marker")
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Merge branch `name` back into main under snapshot isolation:
+    * partitions the branch changed must be UNTOUCHED on main since the
+    * branch's base (first committer wins — a conflicting merge fails
+    * loudly and mutates nothing); disjoint changes land as ONE main
+    * commit whose entries reference the branch's files absolutely
+    * (still zero-copy). Partitions the branch dropped drop on main.
+    * Returns the new main version.
+    */
+  def branchMergeInto(spark: SparkSession, dir: String,
+      name: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bdir = branchRoot(dir, name)
+    val bLatest = latestVersion(bdir, conf)
+    require(bLatest >= 1, s"no branch '$name' in $dir")
+    val base = branchBase(dir, name, conf)
+    val mainLatest = latestVersion(dir, conf)
+    val branchChanged = changedPartitions(bdir, 1, bLatest, conf)
+    val mainChanged = changedPartitions(dir, base, mainLatest, conf)
+    val conflicts = branchChanged.intersect(mainChanged)
+    require(conflicts.isEmpty,
+      s"branch merge conflict on partitions ${conflicts.toSeq.sorted
+        .mkString(", ")}: main changed them after the branch's base " +
+        s"v$base - rebase the branch")
+    val bEntries = readManifest(bdir, bLatest, conf)
+      .filter(e => branchChanged(e.p))
+      .map(e => e.copy(file = filePath(bdir, e)))
+    commitManifest(dir, mainLatest + 1,
+      readManifest(dir, mainLatest, conf)
+        .filterNot(e => branchChanged(e.p)) ++ bEntries, conf)
+    mainLatest + 1
+  }
+
   // ---- File-level Bloom index: point-lookup skipping -----------------
   //
   // `readRange` skips on min/max stats — useless for a point lookup of
@@ -428,7 +520,7 @@ object Manifest {
       if (hit.isEmpty)
         readVersion(spark, dir, latestVersion(dir, conf)).limit(0)
       else spark.read.option("mergeSchema", "true")
-        .parquet(hit.map(e => s"$dir/${e.file}"): _*)
+        .parquet(hit.map(e => filePath(dir, e)): _*)
     (df, hit.length, entries.length)
   }
 
@@ -737,7 +829,7 @@ object Manifest {
     // surface the union schema — the default footer-sampling read can
     // silently drop the new column depending on file order
     spark.read.option("mergeSchema", "true")
-      .parquet(entries.map(e => s"$dir/${e.file}"): _*)
+      .parquet(entries.map(e => filePath(dir, e)): _*)
   }
 
   /** Latest-snapshot read (pins the version at CALL time; lazy execution
@@ -765,7 +857,7 @@ object Manifest {
     require(hit.nonEmpty,
       s"readPartitions: no manifest entry for any of $values in $dir")
     spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(e => s"$dir/${e.file}"): _*)
+      .parquet(hit.map(e => filePath(dir, e)): _*)
   }
 
   /** DATA-SKIPPING range read over the tracked stats column: only
@@ -791,7 +883,7 @@ object Manifest {
     require(hit.nonEmpty,
       s"readRange: no file intersects [$lo,$hi] in $dir")
     spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(e => s"$dir/${e.file}"): _*)
+      .parquet(hit.map(e => filePath(dir, e)): _*)
   }
 
   /** Small-file COMPACTION as one atomic commit: each partition's rows

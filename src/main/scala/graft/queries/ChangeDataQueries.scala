@@ -620,6 +620,62 @@ object ChangeDataQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ZERO-COPY BRANCHES (git-for-data over the manifest layer): two
+    // dev branches fork from main v1 without copying a byte
+    // (BRANCH_COPIED fires if branch-create materialized any data
+    // file). Branch dev doubles 2024-01-03; main — concurrently —
+    // triples 2024-01-05; dev2 (also forked at v1) touches 01-05 too.
+    // Main must stay byte-stable under branch work (MAIN_LEAKED), the
+    // dev merge lands because its changes are disjoint from main's
+    // movement since the fork, and the dev2 merge must FAIL loudly
+    // (NO_CONFLICT) and mutate nothing (LOSER_MUTATED). Final main
+    // census = 01-03 doubled + 01-05 tripled, hash-gated.
+    "q369_branch_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_branch").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      def day(d: String) = col("dt") === lit(d).cast("date")
+      Manifest.branchCreate(s, tmp, "dev")
+      Manifest.branchCreate(s, tmp, "dev2")
+      val copied = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(Manifest.branchDir(tmp, "dev"), "data"))
+      Manifest.overwritePartitions(
+        ev.filter(day("2024-01-03")).withColumn("value", col("value") * 2),
+        Manifest.branchDir(tmp, "dev"), "dt")
+      val mainLeaked = Manifest.read(s, tmp).exceptAll(ev)
+        .unionAll(ev.exceptAll(Manifest.read(s, tmp)))
+        .limit(1).count() > 0
+      Manifest.overwritePartitions(
+        ev.filter(day("2024-01-05")).withColumn("value", col("value") * 3),
+        tmp, "dt")
+      val vMerge = Manifest.branchMergeInto(s, tmp, "dev")
+      Manifest.overwritePartitions(
+        ev.filter(day("2024-01-05")).withColumn("value", lit(-1.0)),
+        Manifest.branchDir(tmp, "dev2"), "dt")
+      val conf = s.sparkContext.hadoopConfiguration
+      val conflicted = try {
+        Manifest.branchMergeInto(s, tmp, "dev2"); false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("merge conflict") }
+      val vAfter = Manifest.latestVersion(tmp, conf)
+      val census = Manifest.read(s, tmp)
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(copied, "BRANCH_COPIED"))
+        .unionByName(viol(mainLeaked, "MAIN_LEAKED"))
+        .unionByName(viol(!conflicted, "NO_CONFLICT"))
+        .unionByName(viol(vAfter != vMerge, "LOSER_MUTATED"))
+        .orderBy("dt")
+    }),
+
     // TTL RETENTION SWEEP — policy-driven expiry over deletion vectors
     // (the scheduled governance job: clicks keep 5 days, views 10, the
     // rest forever, relative to the dataset's own max date): the sweep
@@ -783,6 +839,17 @@ object ChangeDataQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey IN (1, 2, 3, 5, 8)
         |ORDER BY o_orderkey""".stripMargin,
+    // Post-merge main: the branch's doubled day + main's tripled day —
+    // no BRANCH_COPIED / MAIN_LEAKED / NO_CONFLICT / LOSER_MUTATED
+    // rows, and none of dev2's -1 values.
+    "q369_branch_gate" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03'
+        |      THEN value * 2
+        |    WHEN CAST(ts AS DATE) = DATE '2024-01-05'
+        |      THEN value * 3 ELSE value END), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Survivors of the literal TTL policy, anchored at max(ts)'s date —
     // no MOR_REWROTE / NOT_IDEMPOTENT / APPLY_DIVERGED rows.
     "q363_ttl_sweep_gate" ->

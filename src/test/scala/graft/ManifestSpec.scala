@@ -394,6 +394,39 @@ class ManifestSpec extends SparkSpec {
     assert(listed2 >= 1 && total2 > listed2 - 1)
   }
 
+  test("branches: isolated both ways, purge-on-branch merges as a drop, " +
+      "duplicate branch names are loud") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    Manifest.branchCreate(spark, dir, "dev")
+    val bdir = Manifest.branchDir(dir, "dev")
+    // the branch reads the source's snapshot without owning any bytes
+    assert(Manifest.read(spark, bdir).count() === 6L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(bdir, "data")), "branch create copied data")
+    // branch work: drop grp b entirely (purge) + double grp a
+    Manifest.purge(spark, bdir, "grp", $"grp" === "b")
+    Manifest.overwritePartitions(
+      fixture.filter($"grp" === "a").withColumn("value", $"value" * 2),
+      bdir, "grp")
+    // main untouched by branch work
+    assert(Manifest.read(spark, dir).agg(sum("value")).as[Double].head()
+      === 210.0, "branch work leaked into main")
+    // branch sees its own world
+    assert(Manifest.read(spark, bdir).agg(sum("value")).as[Double].head()
+      === 170.0) // a doubled (60) + c (110); b gone
+    val v = Manifest.branchMergeInto(spark, dir, "dev")
+    assert(v === 2)
+    assert(Manifest.read(spark, dir).agg(sum("value")).as[Double].head()
+      === 170.0, "merge missed the branch's drop or rewrite")
+    assert(Manifest.read(spark, dir).filter($"grp" === "b").isEmpty,
+      "the branch-purged partition survived the merge")
+    val e = intercept[IllegalArgumentException] {
+      Manifest.branchCreate(spark, dir, "dev")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("a stale conflicting writer fails loudly and mutates nothing") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
