@@ -355,6 +355,35 @@ object Manifest {
     -1 // unreachable
   }
 
+  /** CHANGE DATA FEED between two committed versions: because data
+    * files are IMMUTABLE, the row-level delta IS the file-level delta —
+    * inserted rows live in files only the newer manifest references,
+    * deleted rows in files only the older one does, and NOTHING ELSE is
+    * read (an in-place update surfaces as delete+insert, the standard
+    * CDF shape without row ids). Cost scales with the changed files,
+    * never the table.
+    */
+  def changesBetween(spark: SparkSession, dir: String, from: Int,
+      to: Int): DataFrame = {
+    require(from <= to, s"changesBetween: from $from > to $to")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val eF = readManifest(dir, from, conf)
+    val eT = readManifest(dir, to, conf)
+    val fSet = eF.map(_.file).toSet
+    val tSet = eT.map(_.file).toSet
+    def readSide(entries: Seq[Entry], kind: String): Option[DataFrame] =
+      if (entries.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(entries.map(e => filePath(dir, e)): _*)
+        .withColumn("_change", lit(kind)))
+    val sides = Seq(
+      readSide(eT.filterNot(e => fSet(e.file)), "insert"),
+      readSide(eF.filterNot(e => tSet(e.file)), "delete")).flatten
+    if (sides.isEmpty)
+      readVersion(spark, dir, to).withColumn("_change", lit("")).limit(0)
+    else sides.reduce(_ unionByName (_, allowMissingColumns = true))
+  }
+
   // ---- Zero-copy branches: git-for-data ------------------------------
   //
   // A branch is its own manifest lineage under `$dir/_branches/<name>`

@@ -620,6 +620,42 @@ object ChangeDataQueries {
         .orderBy("o_orderkey")
     }),
 
+    // CHANGE DATA FEED between manifest versions (Delta's
+    // table_changes): immutable files make the row delta equal the
+    // FILE delta — v1→v3 reads only the files the lifecycle touched
+    // (the appended synthetic day and both generations of the
+    // overwritten 2024-01-05), never the table. An overwrite surfaces
+    // as delete+insert; the self-feed v1→v1 must be EMPTY
+    // (SELF_NONEMPTY). Census per (_change, dt), hash-gated against
+    // the oracle's lifecycle restatement.
+    "q370_change_feed" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cdf").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      val extra = ev.filter(col("dt") === lit("2024-01-01").cast("date"))
+        .withColumn("dt", lit("2024-02-01").cast("date"))
+        .withColumn("value", col("value") + 1000.0)
+      Manifest.append(extra, tmp, "dt")
+      Manifest.overwritePartitions(
+        ev.filter(col("dt") === lit("2024-01-05").cast("date"))
+          .withColumn("value", col("value") * 2), tmp, "dt")
+      val feed = Manifest.changesBetween(s, tmp, 1, 3)
+      val selfNonEmpty = Manifest.changesBetween(s, tmp, 1, 1)
+        .limit(1).count() > 0
+      val census = feed.groupBy(col("_change"),
+          col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("_change"), lit("").as("dt"),
+          lit(-1L).as("n"), lit(0.0).as("sum_value"))
+      census.unionByName(viol(selfNonEmpty, "SELF_NONEMPTY"))
+        .orderBy("_change", "dt")
+    }),
+
     // ZERO-COPY BRANCHES (git-for-data over the manifest layer): two
     // dev branches fork from main v1 without copying a byte
     // (BRANCH_COPIED fires if branch-create materialized any data
@@ -839,6 +875,22 @@ object ChangeDataQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey IN (1, 2, 3, 5, 8)
         |ORDER BY o_orderkey""".stripMargin,
+    // The lifecycle's delta: inserts = the synthetic day + the doubled
+    // 01-05 generation; deletes = the original 01-05 — no SELF_NONEMPTY.
+    "q370_change_feed" ->
+      """WITH f AS (
+        |  SELECT 'insert' AS _change, '2024-02-01' AS dt,
+        |    value + 1000.0 AS value
+        |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'
+        |  UNION ALL
+        |  SELECT 'insert', '2024-01-05', value * 2
+        |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |  UNION ALL
+        |  SELECT 'delete', '2024-01-05', value
+        |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05')
+        |SELECT _change, dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM f GROUP BY 1, 2 ORDER BY _change, dt""".stripMargin,
     // Post-merge main: the branch's doubled day + main's tripled day —
     // no BRANCH_COPIED / MAIN_LEAKED / NO_CONFLICT / LOSER_MUTATED
     // rows, and none of dev2's -1 values.
