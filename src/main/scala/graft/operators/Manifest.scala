@@ -486,18 +486,26 @@ object Manifest {
       pmod(xxhash64(lit(i), column), lit(bits.toLong)).cast("int"))
 
   /** Index-build maintenance pass: compute a per-file Bloom of `column`
-    * over the CURRENT snapshot and commit a new version whose entries
-    * carry it. One scan; per-file state ≤ `bits` positions.
+    * and commit a new version whose entries carry it. INCREMENTAL by
+    * construction: files that already carry a Bloom (immutable bytes ⇒
+    * immutable index) are never re-read — an index refresh after an
+    * append costs the appended files, not the table. No-op (no commit)
+    * when every file is already indexed. Per-file state ≤ `bits`
+    * positions.
     */
   def addBloomIndex(spark: SparkSession, dir: String, column: String,
-      bits: Int = 8192, k: Int = 6): Unit = {
+      bits: Int = 8192, k: Int = 6): Boolean = {
     require(bits > 0 && bits % 8 == 0 && k >= 1,
       s"addBloomIndex: bits must be a positive multiple of 8, k >= 1")
     val conf = spark.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
+    val all = readManifest(dir, base, conf)
+    val todo = all.filter(_.bloom.isEmpty)
+    if (todo.isEmpty) return false
     val segs = split(col("_metadata.file_path"), "/")
-    val positions = readVersion(spark, dir, base)
+    val positions = spark.read.option("mergeSchema", "true")
+      .parquet(todo.map(e => filePath(dir, e)): _*)
       .withColumn("__file",
         concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
       .filter(col(column).isNotNull)
@@ -506,18 +514,18 @@ object Manifest {
       .distinct()
       .groupBy("__file").agg(collect_list("__b").as("bs"))
       .collect()
-      .map(r => r.getString(0) ->
-        r.getSeq[Int](1))
+      .map(r => r.getString(0) -> r.getSeq[Int](1))
       .toMap
-    val entries = readManifest(dir, base, conf).map { e =>
-      val bySet = positions.get(tailKey(e.file)).map { ps =>
+    val entries = all.map { e =>
+      if (e.bloom.isDefined) e
+      else e.copy(bloom = positions.get(tailKey(e.file)).map { ps =>
         val bytes = new Array[Byte](bits / 8)
         ps.foreach(p => bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte)
         java.util.Base64.getEncoder.encodeToString(bytes)
-      }
-      e.copy(bloom = bySet)
+      })
     }
     commitManifest(dir, base + 1, entries, conf)
+    true
   }
 
   /** Point read through the Bloom index: lists only files whose Bloom

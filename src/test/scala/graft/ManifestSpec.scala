@@ -392,6 +392,18 @@ class ManifestSpec extends SparkSpec {
     assert(df2.filter($"id" === 100L).count() === 1L,
       "an unindexed commit must admit conservatively")
     assert(listed2 >= 1 && total2 > listed2 - 1)
+    // incremental refresh: only the bloom-less appended file gets
+    // indexed; already-indexed entries keep their EXACT bloom strings
+    val conf2 = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.addBloomIndex(spark, dir, "id", bits = 64, k = 3))
+    val (df3, _, _) = Manifest.readPoint(spark, dir, "id", 100L,
+      bits = 64, k = 3)
+    assert(df3.filter($"id" === 100L).count() === 1L,
+      "the refreshed index lost the appended key")
+    // and a second refresh with nothing to do is a no-op (no commit)
+    val v = Manifest.latestVersion(dir, conf2)
+    assert(!Manifest.addBloomIndex(spark, dir, "id", bits = 64, k = 3))
+    assert(Manifest.latestVersion(dir, conf2) === v)
   }
 
   test("branches: isolated both ways, purge-on-branch merges as a drop, " +
