@@ -3144,6 +3144,44 @@ object TextQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // RANKING-DRIFT MONITOR via rank-biased overlap (Webber et al.) —
+    // the index-ops question the relevance metrics (q286/q338) can't
+    // answer: how much did adding documents PERTURB the rankings? Two
+    // index states (full corpus vs pre-append doc_id%5≠0 slice) score
+    // the same queries; RBO@10 with p=0.9 weighs prefix agreement,
+    // top-heavy. EXACT integers: the (1−p)p^(d−1) weights ride as ppm
+    // literals shared by plan and oracle (the q357 ladder discipline),
+    // each depth's term is an integer div, no float sum exists.
+    // Corpus-scale work = the two q273-shaped scorings; the RBO itself
+    // runs over ≤10-row-per-query prefixes.
+    "q371_rbo_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def top10(d: DataFrame, rc: String) = {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score_r").desc, col("doc_id").asc)
+        d.withColumn(rc, row_number().over(w).cast("bigint"))
+          .filter(col(rc) <= 10)
+          .select("query_id", "doc_id", rc)
+      }
+      val a = top10(bm25Scores(s, dir), "ra")
+      val b = top10(bm25ScoresOver(s,
+        docs(s, dir).filter(col("doc_id") % 5 =!= 0)), "rb")
+      val both = a.join(b, Seq("query_id", "doc_id"))
+      val terms = both
+        .withColumn("d", explode(sequence(
+          greatest(col("ra"), col("rb")), lit(10L))))
+        .groupBy("query_id", "d").agg(count(lit(1)).as("overlap"))
+      val wts = rboWeightsMicro.zipWithIndex.map { case (wt, i) =>
+        (i + 1L, wt)
+      }
+      import s.implicits._
+      val wdf = broadcast(wts.toDF("d", "w_micro"))
+      terms.join(wdf, Seq("d"))
+        .withColumn("term", expr("(w_micro * overlap) div d"))
+        .groupBy("query_id").agg(sum("term").as("rbo_micro"))
+        .orderBy("query_id")
+    }),
+
     // UNBIASED pass@k (Chen et al. 2021 — THE code-eval metric, and the
     // complement of q284's mean-best-of-n curve): per problem with n
     // samples and c passes, pass@k = 1 − C(n−c,k)/C(n,k), computed in
@@ -4210,13 +4248,20 @@ object TextQueries {
     * checkpointed term-filtered scan, model-sized broadcasts, scores
     * rounded BEFORE any ranking).
     */
-  private[graft] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bm25Scores(s: SparkSession, dir: String): DataFrame =
+    bm25ScoresOver(s, docs(s, dir))
+
+  /** [[bm25Scores]] over an arbitrary corpus slice — the q371 ranking-
+    * drift monitor scores the same queries against two index states.
+    */
+  private[graft] def bm25ScoresOver(s: SparkSession,
+      d0: DataFrame): DataFrame = {
     import s.implicits._
     val termSet = bm25QueryDefs.flatMap(_._2).distinct
     val qt = broadcast(bm25QueryDefs
       .flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "w"))
-    val base = docs(s, dir).filter(col("text").isNotNull)
+    val base = d0.filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(words(col("text"))).cast("bigint").as("dl"),
         filter(words(col("text")),
@@ -4336,6 +4381,40 @@ object TextQueries {
   /** The BM25 scoring CTE block (query terms → scored candidates `sc`),
     * shared by the q273/q282 oracle and q283's lexical leg.
     */
+  /** (1−p)·p^(d−1) RBO weights at p = 0.9, d = 1..10, as ppm literals —
+    * shared by the q371 plan and oracle so the metric is exact-integer
+    * in both engines.
+    */
+  private[graft] lazy val rboWeightsMicro: Seq[Long] =
+    (1 to 10).map(d => math.round(0.1 * math.pow(0.9, d - 1) * 1e6))
+
+  /** One BM25 CTE stack over a corpus slice, CTE names suffixed — the
+    * q371 oracle runs two index states side by side.
+    */
+  private def bm25SliceSql(sfx: String, extraWhere: String): String =
+    s"""base$sfx AS (SELECT doc_id,
+       |     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |     string_split(text, ' ') AS ws
+       |   FROM documents WHERE text IS NOT NULL$extraWhere),
+       | g$sfx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base$sfx),
+       | tok$sfx AS (SELECT doc_id, dl, unnest(ws) AS w FROM base$sfx),
+       | tf$sfx AS (SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+       |   FROM tok$sfx WHERE w IN (SELECT w FROM qt) GROUP BY 1, 2, 3),
+       | dfw$sfx AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+       |   FROM tf$sfx GROUP BY 1),
+       | sc$sfx AS (SELECT qt.query_id, tf$sfx.doc_id,
+       |     SUM(ln(1.0 + (g$sfx.n_docs - dfw$sfx.df + 0.5)
+       |         / (dfw$sfx.df + 0.5)) * (tf$sfx.tf * 2.2)
+       |       / (tf$sfx.tf + 1.2 * (0.25 + 0.75 * tf$sfx.dl
+       |           * g$sfx.n_docs / g$sfx.sum_dl))) AS score
+       |   FROM tf$sfx JOIN dfw$sfx USING (w) JOIN qt USING (w)
+       |   CROSS JOIN g$sfx GROUP BY 1, 2),
+       | r$sfx AS (SELECT query_id, doc_id,
+       |     ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY ROUND(score, 6) DESC, doc_id) AS rnk
+       |   FROM sc$sfx)""".stripMargin
+
   private lazy val bm25CoreSql =
     """qt(query_id, w) AS (VALUES
       |    (1, 'customer'), (1, 'query'), (2, 'vector'), (2, 'merge'),
@@ -6356,6 +6435,30 @@ object TextQueries {
          |SELECT CAST(query_id AS BIGINT) AS query_id,
          |  CAST(rnk AS BIGINT) AS rnk, w, CAST(weight AS BIGINT) AS weight
          |FROM e WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // Two BM25 index states side by side, the shared ppm weights, the
+    // same integer-div depth terms.
+    "q371_rbo_drift" -> {
+      val wvals = rboWeightsMicro.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      s"""WITH qt(query_id, w) AS (VALUES
+         |    (1, 'customer'), (1, 'query'), (2, 'vector'), (2, 'merge'),
+         |    (3, 'stream'), (3, 'window'), (3, 'sort'),
+         |    (4, 'hash'), (4, 'join')),
+         | ${bm25SliceSql("a", "")},
+         | ${bm25SliceSql("b", " AND doc_id % 5 <> 0")},
+         | j AS (SELECT ra.query_id, GREATEST(ra.rnk, rb.rnk) AS mx
+         |   FROM ra JOIN rb ON ra.query_id = rb.query_id
+         |     AND ra.doc_id = rb.doc_id
+         |   WHERE ra.rnk <= 10 AND rb.rnk <= 10),
+         | t AS (SELECT query_id, d.d, CAST(COUNT(*) AS BIGINT) AS overlap
+         |   FROM j CROSS JOIN (SELECT unnest(range(1, 11)) AS d) d
+         |   WHERE j.mx <= d.d GROUP BY 1, 2),
+         | wt(d, w_micro) AS (VALUES $wvals)
+         |SELECT CAST(t.query_id AS BIGINT) AS query_id,
+         |  CAST(SUM((wt.w_micro * t.overlap) // t.d) AS BIGINT)
+         |    AS rbo_micro
+         |FROM t JOIN wt USING (d) GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // The product-form pass@k restated with the same clamped integer
     // factors — C(n,k) never materializes, so nothing overflows.
     "q360_pass_at_k" ->
