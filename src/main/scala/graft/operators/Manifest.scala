@@ -384,6 +384,30 @@ object Manifest {
     else sides.reduce(_ unionByName (_, allowMissingColumns = true))
   }
 
+  /** CDC REPLICATION consumer: reconstruct the latest snapshot by
+    * FOLDING the per-version change feeds onto the v1 snapshot —
+    * replica_{v} = replica_{v−1} ∖ deletes_v ∪ inserts_v (multiset
+    * semantics; exceptAll). Proves the feed is COMPLETE and COMPOSABLE
+    * step by step, which a single from→to diff can't: any version
+    * whose feed under- or over-reports rows diverges the replica.
+    * Lineage is cut per step, so the fold is #versions shallow plans.
+    */
+  def replicateFromFeed(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val latest = latestVersion(dir, conf)
+    require(latest >= 1, s"$dir is not a manifested layout")
+    var replica = readVersion(spark, dir, 1).localCheckpoint(true)
+    (2 to latest).foreach { v =>
+      val feed = changesBetween(spark, dir, v - 1, v)
+        .localCheckpoint(true)
+      val dels = feed.filter(col("_change") === "delete").drop("_change")
+      val ins = feed.filter(col("_change") === "insert").drop("_change")
+      replica = replica.exceptAll(dels).unionAll(ins)
+        .localCheckpoint(true)
+    }
+    replica
+  }
+
   // ---- Zero-copy branches: git-for-data ------------------------------
   //
   // A branch is its own manifest lineage under `$dir/_branches/<name>`

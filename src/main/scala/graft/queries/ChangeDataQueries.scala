@@ -656,6 +656,45 @@ object ChangeDataQueries {
         .orderBy("_change", "dt")
     }),
 
+    // CDC REPLICATION (the consumer of q370's feed): a downstream
+    // replica reconstructs the latest snapshot by folding each
+    // consecutive version's change feed onto the v1 snapshot —
+    // replica ∖ deletes ∪ inserts, multiset semantics, one step per
+    // version. Proves the feed COMPOSES (every intermediate version's
+    // feed is complete), which the single v1→v3 diff of q370 cannot.
+    // The lifecycle adds a purge step on top of q370's (append +
+    // overwrite), so delete-heavy feeds replicate too. In-gate:
+    // replica ≡ the direct snapshot read, exact rows both ways
+    // (REPLICA_DIVERGED); census hash-gated against the lifecycle
+    // restatement.
+    "q372_cdf_replica" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cdf_replica").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      val extra = ev.filter(col("dt") === lit("2024-01-01").cast("date"))
+        .withColumn("dt", lit("2024-02-01").cast("date"))
+        .withColumn("value", col("value") + 1000.0)
+      Manifest.append(extra, tmp, "dt")
+      Manifest.overwritePartitions(
+        ev.filter(col("dt") === lit("2024-01-05").cast("date"))
+          .withColumn("value", col("value") * 2), tmp, "dt")
+      Manifest.purge(s, tmp, "dt", col("user_id").isin(3L, 7L))
+      val replica = Manifest.replicateFromFeed(s, tmp)
+      val direct = Manifest.read(s, tmp)
+      val diverged = replica.exceptAll(direct)
+        .unionAll(direct.exceptAll(replica)).limit(1).count() > 0
+      val census = replica.groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      val viol = s.range(1).filter(lit(diverged))
+        .select(lit("REPLICA_DIVERGED").as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census.unionByName(viol).orderBy("dt")
+    }),
+
     // ZERO-COPY BRANCHES (git-for-data over the manifest layer): two
     // dev branches fork from main v1 without copying a byte
     // (BRANCH_COPIED fires if branch-create materialized any data
@@ -875,6 +914,22 @@ object ChangeDataQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey IN (1, 2, 3, 5, 8)
         |ORDER BY o_orderkey""".stripMargin,
+    // The replicated snapshot after append + overwrite + purge — no
+    // REPLICA_DIVERGED row.
+    "q372_cdf_replica" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS dt, user_id, value FROM events
+        |  UNION ALL
+        |  SELECT DATE '2024-02-01' AS dt, user_id, value + 1000.0
+        |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01'),
+        | lc AS (SELECT dt, user_id,
+        |    CASE WHEN dt = DATE '2024-01-05' THEN value * 2
+        |      ELSE value END AS value
+        |  FROM base)
+        |SELECT CAST(dt AS VARCHAR) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM lc WHERE user_id NOT IN (3, 7)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The lifecycle's delta: inserts = the synthetic day + the doubled
     // 01-05 generation; deletes = the original 01-05 — no SELF_NONEMPTY.
     "q370_change_feed" ->
