@@ -231,9 +231,10 @@ object KnnGraph {
     */
   def searchFromLayout(dir: String, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, ef: Int = 16, hops: Int = 2,
-      nprobe: Int = 2, excludeSelf: Boolean = true): DataFrame =
+      nprobe: Int = 2, excludeSelf: Boolean = true,
+      maxBroadcastQueries: Int = 1 << 16): DataFrame =
     searchFromLayoutTrajectory(dir, queries, idCol, vecCol, k, ef, hops,
-      nprobe, excludeSelf).last._2
+      nprobe, excludeSelf, maxBroadcastQueries).last._2
 
   /** Every hop of the search in one pass: Seq of (hop, ranked top-k),
     * sharing the checkpointed frontiers — the q318 monotonicity gate
@@ -241,7 +242,8 @@ object KnnGraph {
     */
   def searchFromLayoutTrajectory(dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, ef: Int = 16, hops: Int = 2,
-      nprobe: Int = 2, excludeSelf: Boolean = true)
+      nprobe: Int = 2, excludeSelf: Boolean = true,
+      maxBroadcastQueries: Int = 1 << 16)
       : Seq[(Int, DataFrame)] = {
     require(ef >= k, s"searchFromLayout: ef ($ef) must be >= k ($k)")
     require(hops >= 0, s"searchFromLayout: hops must be >= 0, got $hops")
@@ -252,8 +254,12 @@ object KnnGraph {
       .dropDuplicates("nid") // each id is stored in nassign buckets
     val g = spark.read.parquet(s"$dir/graph")
       .select(col("vec_id"), col("neighbor_id"))
-    val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
-      Similarity.asDouble(col(vecCol)).as("qv")))
+    // size-guarded: a bulk search (10M-query batch job) must not ship
+    // every query vector to every task / OOM the driver — past the
+    // bound the per-hop joins shuffle on query_id instead
+    val q = Similarity.broadcastIfSmall(
+      queries.select(col(idCol).cast("long").as("query_id"),
+        Similarity.asDouble(col(vecCol)).as("qv")), maxBroadcastQueries)
     def scoreNodes(nodes: DataFrame): DataFrame = {
       val scored = nodes.join(store, col("node") === col("nid"))
         .join(q, Seq("query_id"))
@@ -265,7 +271,7 @@ object KnnGraph {
     // entry frontier: IVF probe for candidate NODES, re-scored raw here
     // so every hop merges on identical unrounded numbers
     val entry = Similarity.ivfTopKFromLayout(s"$dir/vectors", queries,
-        idCol, vecCol, ef, nprobe, excludeSelf)
+        idCol, vecCol, ef, nprobe, excludeSelf, maxBroadcastQueries)
       .select(col("query_id"), col("neighbor_id").as("node"))
     def present(frontier: DataFrame): DataFrame =
       rankGraph(frontier.select(col("query_id").as("id"),
@@ -310,7 +316,8 @@ object KnnGraph {
     * by bucket under the shared model.
     */
   def appendKnnGraphLayout(dir: String, newVecs: DataFrame, idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String, saltBuckets: Int = 8,
+      maxBucketRows: Int = 4096): Unit = {
     val spark = newVecs.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val m = readMeta(dir, conf)
@@ -324,7 +331,21 @@ object KnnGraph {
         col("cv").as("vn"))
     val other = store.select(col("bucket"), col("neighbor_id").as("id_o"),
       col("cv").as("vo"))
-    val touched = Checkpoints.cut(nw.join(other, Seq("bucket"))
+    // the same adaptive hot-bucket salting the from-scratch build uses
+    // (a skewed corpus makes one centroid own a fat bucket — without
+    // the salt that bucket's candidate join pins the append on one
+    // task): old-side rows shard by hashed id, new-side rows replicate
+    // across the bucket's salt slices, so every (new, old) pair still
+    // meets exactly once and the q315 union-rebuild equality holds
+    val (salts, _) =
+      Dedup.saltCensus(other, Seq("bucket"), saltBuckets, maxBucketRows)
+    val nwS = nw.join(broadcast(salts), Seq("bucket"))
+      .select(col("bucket"), col("id_n"), col("vn"),
+        explode(sequence(lit(0L), col("__salt_n") - 1)).as("salt"))
+    val otherS = other.join(broadcast(salts), Seq("bucket"))
+      .select(col("bucket"), col("id_o"), col("vo"),
+        pmod(xxhash64(col("id_o")), col("__salt_n")).as("salt"))
+    val touched = Checkpoints.cut(nwS.join(otherS, Seq("bucket", "salt"))
       .filter(col("id_n") =!= col("id_o"))
       .withColumn("sim", Similarity.cosine(col("vn"), col("vo")))
       .select(col("id_n"), col("id_o"), col("sim"))

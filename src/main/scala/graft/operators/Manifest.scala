@@ -72,20 +72,39 @@ object Manifest {
       .foldLeft(0)(math.max)
   }
 
+  /** Version-level metadata carried in the manifest header line:
+    * `batch` (exactly-once streaming stamp), `dv` (the ordered list of
+    * immutable deletion-vector delta dirs constituting this version's
+    * DV — merge-on-read state), `bloomK` (the hash count every
+    * per-entry Bloom bitset was built with; bits derive from each
+    * bitset's own byte length). Every commit built from a base version
+    * must CARRY the base's `dv`/`bloomK` forward (or consciously drop
+    * them — `applyDeletes`/`compact` fold the DV in), otherwise a
+    * routine append would silently resurrect merge-on-read-deleted
+    * rows.
+    */
+  private[graft] case class Header(batch: Long = -1L, bloomK: Int = -1,
+      dv: Seq[String] = Nil)
+
   /** One-rename commit: the version is taken or it isn't — a lost race
     * is a loud failure, never a silent overwrite of someone else's
     * snapshot.
     */
   private[graft] def commitManifest(dir: String, version: Int,
-      entries: Seq[Entry], conf: Configuration, batch: Long = -1L): Unit = {
+      entries: Seq[Entry], conf: Configuration, batch: Long = -1L,
+      dv: Seq[String] = Nil, bloomK: Int = -1): Unit = {
     val f = fs(dir, conf)
     val tmp = new Path(s"$dir/_manifests",
       s".tmp-${ProcessHandle.current().pid()}-v$version")
     val out = f.create(tmp, true)
     try {
-      val header = if (batch >= 0)
-        s"""{"version":$version,"batch":$batch}\n"""
-      else s"""{"version":$version}\n"""
+      val fields = Seq(s""""version":$version""") ++
+        (if (batch >= 0) Seq(s""""batch":$batch""") else Nil) ++
+        (if (bloomK >= 1) Seq(s""""bloomk":$bloomK""") else Nil) ++
+        (if (dv.nonEmpty)
+          Seq(s""""dv":[${dv.map(p => s""""$p"""").mkString(",")}]""")
+        else Nil)
+      val header = fields.mkString("{", ",", "}") + "\n"
       out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       entries.sortBy(e => (e.p, e.file)).foreach { e =>
         val stats = (e.lo, e.hi) match {
@@ -103,16 +122,35 @@ object Manifest {
         s"published it) - rebase on latestVersion and retry")
   }
 
-  private def readManifest(dir: String, version: Int,
-      conf: Configuration): Seq[Entry] = {
+  private def manifestLines(dir: String, version: Int,
+      conf: Configuration): Vector[String] = {
     val p = manifestPath(dir, version)
     val f = fs(dir, conf)
     require(f.exists(p),
       s"$dir has no manifest v$version - not a Manifest layout, or the " +
         "version was vacuumed")
     val in = f.open(p)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+    try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toVector finally in.close()
+  }
+
+  private[graft] def readHeader(dir: String, version: Int,
+      conf: Configuration): Header = {
+    val head = manifestLines(dir, version, conf).headOption.getOrElse("")
+    val B = """"batch":(\d+)""".r
+    val K = """"bloomk":(\d+)""".r
+    val D = """"dv":\[([^\]]*)\]""".r
+    val S = """"([^"]+)"""".r
+    Header(
+      batch = B.findFirstMatchIn(head).map(_.group(1).toLong).getOrElse(-1L),
+      bloomK = K.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(-1),
+      dv = D.findFirstMatchIn(head).map(_.group(1)).toSeq
+        .flatMap(a => S.findAllMatchIn(a).map(_.group(1)).toSeq))
+  }
+
+  private def readManifest(dir: String, version: Int,
+      conf: Configuration): Seq[Entry] = {
+    val lines = manifestLines(dir, version, conf)
     val Line =
       ("""\{"p":"([^"]*)","file":"([^"]*)"(?:,"lo":(-?\d+),"hi":(-?\d+))?""" +
         """(?:,"bloom":"([A-Za-z0-9+/=]*)")?\}""").r
@@ -243,19 +281,26 @@ object Manifest {
     val entries = writeCommitFiles(df, dir, partCol, base + 1, statsCol)
     val prev = if (base >= 1) readManifest(dir, base, conf)
                else Seq.empty[Entry]
-    commitManifest(dir, base + 1, prev ++ entries, conf, batch = batchId)
+    val h = if (base >= 1) readHeader(dir, base, conf) else Header()
+    commitManifest(dir, base + 1, prev ++ entries, conf, batch = batchId,
+      dv = h.dv, bloomK = h.bloomK)
     true
   }
 
-  /** Append-only commit: old entries survive untouched. */
+  /** Append-only commit: old entries survive untouched, and so do the
+    * base version's deletion vector and Bloom parameters — an append
+    * must never resurrect merge-on-read-deleted rows.
+    */
   def append(df: DataFrame, dir: String, partCol: String,
       statsCol: String = null): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
     val entries = writeCommitFiles(df, dir, partCol, base + 1, statsCol)
+    val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
-      readManifest(dir, base, conf) ++ entries, conf)
+      readManifest(dir, base, conf) ++ entries, conf,
+      dv = h.dv, bloomK = h.bloomK)
   }
 
   /** Multi-partition overwrite published as ONE commit: every partition
@@ -269,9 +314,13 @@ object Manifest {
     require(base >= 1, s"$dir is not a manifested layout")
     val entries = writeCommitFiles(df, dir, partCol, base + 1)
     val touched = entries.map(_.p).toSet
+    // DV carries forward verbatim: its rows key on (file tail, pos), so
+    // entries for the dropped generation simply never match again —
+    // stale-but-harmless, folded away by the next applyDeletes
+    val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => touched(e.p)) ++ entries,
-      conf)
+      conf, dv = h.dv, bloomK = h.bloomK)
   }
 
   /** A prepared-but-unpublished partition overwrite: data files are on
@@ -332,6 +381,16 @@ object Manifest {
   def commitPrepared(spark: SparkSession, dir: String,
       prep: PreparedCommit, maxAttempts: Int = 5): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // staged files are manifest-invisible, so a vacuum run during the
+    // prepare window legally reaped them as orphans — verify before
+    // publishing, or the new snapshot would reference deleted bytes
+    val f = fs(dir, conf)
+    val reaped = prep.entries.filterNot(e =>
+      f.exists(new Path(filePath(dir, e))))
+    require(reaped.isEmpty,
+      s"commitPrepared: ${reaped.length} staged file(s) no longer exist " +
+        s"(first: ${reaped.head.file}) - a vacuum ran during the prepare " +
+        "window; re-prepare the overwrite")
     var attempt = 0
     while (true) {
       val latest = latestVersion(dir, conf)
@@ -344,8 +403,10 @@ object Manifest {
           "re-read the table and re-prepare")
       val merged = readManifest(dir, latest, conf)
         .filterNot(e => prep.touched(e.p)) ++ prep.entries
+      val h = readHeader(dir, latest, conf)
       try {
-        commitManifest(dir, latest + 1, merged, conf)
+        commitManifest(dir, latest + 1, merged, conf,
+          dv = h.dv, bloomK = h.bloomK)
         return latest + 1
       } catch {
         case e: IllegalArgumentException if attempt < maxAttempts =>
@@ -363,49 +424,283 @@ object Manifest {
     * CDF shape without row ids). Cost scales with the changed files,
     * never the table.
     */
-  def changesBetween(spark: SparkSession, dir: String, from: Int,
-      to: Int): DataFrame = {
+  /** The feed's raw legs between two versions, without the `_change`
+    * tag: (kind, rows). Three sources of change, all LAZY scans over
+    * only the touched bytes:
+    *
+    *   - files only `to` references — inserted rows, read raw;
+    *   - files only `from` references — deleted rows, anti-filtered by
+    *     (dv(from) ∪ the window's new DV deltas): rows already
+    *     merge-on-read-deleted at `from` (or reported below) were not
+    *     live, so their physical removal is not a logical delete;
+    *   - DV deltas `to` references that `from` doesn't — merge-on-read
+    *     deletes in the window, materialized by semi-joining the
+    *     victims' (file, pos) back onto their immutable data files.
+    *
+    * Together the legs compose: folding consecutive feeds over live(1)
+    * reproduces live(latest) whether deletes were copy-on-write
+    * rewrites, DV commits, or a DV commit later folded by
+    * `applyDeletes` (the apply surfaces as a self-cancelling
+    * delete+insert of the surviving rows — rewrite churn, net zero).
+    */
+  private def changeSides(spark: SparkSession, dir: String, from: Int,
+      to: Int): Seq[(String, DataFrame)] = {
     require(from <= to, s"changesBetween: from $from > to $to")
     val conf = spark.sparkContext.hadoopConfiguration
     val eF = readManifest(dir, from, conf)
     val eT = readManifest(dir, to, conf)
     val fSet = eF.map(_.file).toSet
     val tSet = eT.map(_.file).toSet
-    def readSide(entries: Seq[Entry], kind: String): Option[DataFrame] =
-      if (entries.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
+    val hF = readHeader(dir, from, conf)
+    val hT = readHeader(dir, to, conf)
+    val dvNew = hT.dv.filterNot(hF.dv.toSet)
+    val segs = split(col("_metadata.file_path"), "/")
+    def withPos(df: DataFrame): DataFrame = df
+      .withColumn("__file",
+        concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
+      .withColumn("__pos", col("_metadata.row_index"))
+    def readEntries(entries: Seq[Entry]): DataFrame =
+      spark.read.option("mergeSchema", "true")
         .parquet(entries.map(e => filePath(dir, e)): _*)
-        .withColumn("_change", lit(kind)))
-    val sides = Seq(
-      readSide(eT.filterNot(e => fSet(e.file)), "insert"),
-      readSide(eF.filterNot(e => tSet(e.file)), "delete")).flatten
+    def readDv(rels: Seq[String]): DataFrame =
+      spark.read.parquet(rels.map(p => dvFilePath(dir, p)): _*)
+        .select(col("__file"), col("__pos"))
+    val inserted = eT.filterNot(e => fSet(e.file))
+    val removed = eF.filterNot(e => tSet(e.file))
+    val insSide =
+      if (inserted.isEmpty) None
+      else Some(readEntries(inserted))
+    val removedSide =
+      if (removed.isEmpty) None
+      else if (hF.dv.isEmpty && dvNew.isEmpty) Some(readEntries(removed))
+      else {
+        val cols = readEntries(removed).columns
+        Some(withPos(readEntries(removed))
+          .join(readDv(hF.dv ++ dvNew), Seq("__file", "__pos"), "left_anti")
+          .select(cols.map(col): _*))
+      }
+    val dvSide =
+      if (dvNew.isEmpty) None
+      else {
+        val victims = readDv(dvNew)
+        // victim-file census (bounded by the snapshot's file count),
+        // resolved against every still-present manifest in the window —
+        // a victim's file may have been dropped later (overwritten)
+        // while its delta survives, so neither endpoint alone resolves
+        val vFiles = victims.select("__file").distinct()
+          .collect().map(_.getString(0))
+        val resolve: Map[String, String] = (for {
+          v <- from to to
+          if fs(dir, conf).exists(manifestPath(dir, v))
+          e <- readManifest(dir, v, conf)
+        } yield tailKey(e.file) -> e.file).toMap
+        val paths = vFiles.map(t => resolve.getOrElse(t, sys.error(
+          s"changesBetween: DV delta references file $t that no manifest " +
+            s"in v$from..v$to resolves - window crosses vacuumed history")))
+        val cols = spark.read.option("mergeSchema", "true")
+          .parquet(paths.map(p => filePath(dir, Entry("", p))): _*).columns
+        Some(withPos(spark.read.option("mergeSchema", "true")
+            .parquet(paths.map(p => filePath(dir, Entry("", p))): _*))
+          .join(victims, Seq("__file", "__pos"), "left_semi")
+          .select(cols.map(col): _*))
+      }
+    Seq(insSide.map("insert" -> _), removedSide.map("delete" -> _),
+      dvSide.map("delete" -> _)).flatten
+  }
+
+  def changesBetween(spark: SparkSession, dir: String, from: Int,
+      to: Int): DataFrame = {
+    val sides = changeSides(spark, dir, from, to)
+      .map { case (kind, df) => df.withColumn("_change", lit(kind)) }
     if (sides.isEmpty)
       readVersion(spark, dir, to).withColumn("_change", lit("")).limit(0)
     else sides.reduce(_ unionByName (_, allowMissingColumns = true))
   }
 
-  /** CDC REPLICATION consumer: reconstruct the latest snapshot by
-    * FOLDING the per-version change feeds onto the v1 snapshot —
-    * replica_{v} = replica_{v−1} ∖ deletes_v ∪ inserts_v (multiset
-    * semantics; exceptAll). Proves the feed is COMPLETE and COMPOSABLE
-    * step by step, which a single from→to diff can't: any version
-    * whose feed under- or over-reports rows diverges the replica.
-    * Lineage is cut per step, so the fold is #versions shallow plans.
+  /** Null-fill and reorder `df` to `schema` (by column NAME — schema
+    * evolution makes positional set algebra mis-bind columns).
+    */
+  private def alignTo(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    val filled = schema.fields.foldLeft(df)((d, f) =>
+      if (have(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType)))
+    filled.select(schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** CDC REPLICATION consumer — ONE-PASS net-change fold: every
+    * version step's feed legs (insert +1 / delete −1) union with the
+    * v1 live snapshot (+1) into a single plan, one keyed aggregation
+    * sums the weights per row identity (full-row, multiset semantics),
+    * and rows with positive net multiplicity re-expand. Each changed
+    * file is scanned ONCE and the replica materializes ONCE — the
+    * per-version exceptAll fold (kept below as the referee) pays a
+    * full-replica shuffle and materialization per version, O(versions)
+    * table passes that a 100-version table cannot afford. Any version
+    * whose feed under- or over-reports rows still diverges the result,
+    * so the completeness guarantee is identical.
     */
   def replicateFromFeed(spark: SparkSession, dir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val latest = latestVersion(dir, conf)
     require(latest >= 1, s"$dir is not a manifested layout")
-    var replica = readVersion(spark, dir, 1).localCheckpoint(true)
+    val v1 = readWithDeletes(spark, dir, 1).drop("__file", "__pos")
+    val legs: Seq[(DataFrame, Int)] = (v1, 1) +: (2 to latest).flatMap { v =>
+      changeSides(spark, dir, v - 1, v).map { case (kind, df) =>
+        (df, if (kind == "insert") 1 else -1) }
+    }
+    val weighted = legs.map { case (df, w) => df.withColumn("__w", lit(w)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val dataCols = weighted.columns.filterNot(_ == "__w").toSeq
+    val netted = weighted.groupBy(dataCols.map(col): _*)
+      .agg(sum("__w").as("__m"))
+      .filter(col("__m") > 0)
+      .withColumn("__x", explode(sequence(lit(1L), col("__m"))))
+      .drop("__m", "__x")
+    // surface the latest snapshot's column order when the sets agree
+    // (they can differ only under exotic column renames)
+    val target = readVersion(spark, dir, latest).columns.toSeq
+    if (target.toSet == dataCols.toSet) netted.select(target.map(col): _*)
+    else netted
+  }
+
+  /** The per-version referee fold: replica_{v} = replica_{v−1} ∖
+    * deletes_v ∪ inserts_v, one exceptAll/union/materialization per
+    * step. O(versions) full-replica passes — NOT the production path
+    * (use `replicateFromFeed`); kept because it proves feed
+    * composability step by step and pins the one-pass fold in
+    * ManifestSpec. Set algebra aligns columns BY NAME first, so a
+    * schema-widening append mid-history can't mis-bind positions.
+    */
+  def replicateFromFeedStepwise(spark: SparkSession,
+      dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val latest = latestVersion(dir, conf)
+    require(latest >= 1, s"$dir is not a manifested layout")
+    var replica = readWithDeletes(spark, dir, 1).drop("__file", "__pos")
+      .localCheckpoint(true)
     (2 to latest).foreach { v =>
       val feed = changesBetween(spark, dir, v - 1, v)
         .localCheckpoint(true)
+      val merged = replica
+        .unionByName(feed.drop("_change").limit(0),
+          allowMissingColumns = true).schema
       val dels = feed.filter(col("_change") === "delete").drop("_change")
       val ins = feed.filter(col("_change") === "insert").drop("_change")
-      replica = replica.exceptAll(dels).unionAll(ins)
+      replica = alignTo(replica, merged)
+        .exceptAll(alignTo(dels, merged))
+        .unionAll(alignTo(ins, merged))
         .localCheckpoint(true)
     }
     replica
+  }
+
+  /** Batch-stamped partition replacement — the streaming CDC-apply
+    * commit: partitions present in `df` swap to its files, partitions
+    * in `dropEmpty` vanish (a feed step that empties a partition must
+    * not leave its stale rows), everything else carries forward
+    * (including the DV and Bloom parameters), and the whole step
+    * publishes as ONE manifest rename stamped with `batchId` — a
+    * replayed stamp is detected BEFORE any file is written, so
+    * at-least-once feed delivery + this commit is exactly-once
+    * replication. Returns whether the batch committed.
+    */
+  def replacePartitionsBatch(df: DataFrame, dropEmpty: Set[String],
+      dir: String, partCol: String, batchId: Long): Boolean = {
+    require(batchId >= 0,
+      s"replacePartitionsBatch: batchId must be >= 0, got $batchId")
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    if (committedBatches(dir, conf).contains(batchId)) return false
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val entries = writeCommitFiles(df, dir, partCol, base + 1)
+    val touched = entries.map(_.p).toSet ++ dropEmpty
+    val h = readHeader(dir, base, conf)
+    commitManifest(dir, base + 1,
+      readManifest(dir, base, conf).filterNot(e => touched(e.p)) ++ entries,
+      conf, batch = batchId, dv = h.dv, bloomK = h.bloomK)
+    true
+  }
+
+  /** STRUCTURED-STREAMING change-feed consumer: a file-source stream on
+    * the source layout's `_manifests/` directory (each committed
+    * manifest IS a new immutable file — the commit protocol doubles as
+    * the stream's arrival signal) drives a foreachBatch that applies
+    * each newly-seen version's `changesBetween` feed to a replica
+    * layout. Per version the work is FEED-SIZED: affected partitions
+    * come from the feed rows, the replica reads only those partitions,
+    * and the apply publishes through `replacePartitionsBatch` stamped
+    * with the SOURCE VERSION — so a crashed/restarted stream (the file
+    * source re-delivers its last batch) re-applies nothing, and a
+    * fresh checkpoint against an already-replicated target is a chain
+    * of no-ops. MOR deletes stream too: the feed materializes DV
+    * deltas as delete rows. Returns the started query; callers pick
+    * the trigger via `trigger` (AvailableNow = bounded drain).
+    */
+  def changeFeedStream(spark: SparkSession, srcDir: String,
+      dstDir: String, partCol: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val V = """v(\d{6})\.json""".r
+    spark.readStream.format("text")
+      .option("pathGlobFilter", "v*.json")
+      .load(s"$srcDir/_manifests")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val versions = df.select(input_file_name().as("f")).distinct()
+          .collect()
+          .flatMap(r => V.findFirstMatchIn(r.getString(0))
+            .map(_.group(1).toInt))
+          .sorted
+        val done = committedBatches(dstDir, conf)
+        versions.filterNot(v => done.contains(v.toLong)).foreach { v =>
+          if (v == 1) {
+            // initial snapshot: the whole v1 is the first insert batch
+            commitBatch(readWithDeletes(spark, srcDir, 1)
+              .drop("__file", "__pos"), dstDir, partCol, batchId = 1L)
+          } else {
+            val feed = changesBetween(spark, srcDir, v - 1, v)
+              .localCheckpoint(true)
+            val affected = feed
+              .select(col(partCol).cast("string").as("__pv")).distinct()
+              .collect().map(_.getString(0)).toSet
+            if (affected.nonEmpty) {
+              val existing = readManifest(dstDir,
+                latestVersion(dstDir, conf), conf).map(_.p).toSet
+              val present = affected.intersect(existing).toSeq
+              val cur =
+                if (present.isEmpty) None
+                else Some(readPartitions(spark, dstDir, present))
+              val dels = feed.filter(col("_change") === "delete")
+                .drop("_change")
+              val ins = feed.filter(col("_change") === "insert")
+                .drop("_change")
+              val merged = ins.limit(0).unionByName(
+                cur.map(_.limit(0)).getOrElse(ins.limit(0)),
+                allowMissingColumns = true).schema
+              val next = cur.map(c => alignTo(c, merged))
+                .getOrElse(alignTo(ins.limit(0), merged))
+                .exceptAll(alignTo(dels, merged))
+                .unionAll(alignTo(ins, merged))
+                .localCheckpoint(true)
+              val stillThere = next
+                .select(col(partCol).cast("string").as("__pv")).distinct()
+                .collect().map(_.getString(0)).toSet
+              val emptied = affected.diff(stillThere)
+              replacePartitionsBatch(
+                next.filter(col(partCol).cast("string")
+                  .isInCollection(affected)),
+                emptied, dstDir, partCol, batchId = v.toLong)
+            }
+          }
+        }
+      }
+      .trigger(trigger)
+      .start()
   }
 
   // ---- Zero-copy branches: git-for-data ------------------------------
@@ -439,7 +734,9 @@ object Manifest {
     require(latestVersion(bdir, conf) == 0, s"branch '$name' already exists")
     val absEntries = readManifest(dir, base, conf)
       .map(e => e.copy(file = filePath(dir, e)))
-    commitManifest(bdir, 1, absEntries, conf)
+    val h = readHeader(dir, base, conf)
+    commitManifest(bdir, 1, absEntries, conf,
+      dv = h.dv.map(p => dvFilePath(dir, p)), bloomK = h.bloomK)
     val f = fs(dir, conf)
     val out = f.create(new Path(bdir, "_branch_base"), true)
     try out.write(base.toString
@@ -487,9 +784,18 @@ object Manifest {
     val bEntries = readManifest(bdir, bLatest, conf)
       .filter(e => branchChanged(e.p))
       .map(e => e.copy(file = filePath(bdir, e)))
+    // DV merge: main's own deltas plus whatever the branch added beyond
+    // its fork point (branch v1's dv IS main-base's, absolutized) —
+    // branch deltas reference files under the branch root absolutely,
+    // so they stay resolvable from main
+    val mainH = readHeader(dir, mainLatest, conf)
+    val forkDv = readHeader(bdir, 1, conf).dv.toSet
+    val branchNewDv = readHeader(bdir, bLatest, conf).dv
+      .filterNot(forkDv).map(p => dvFilePath(bdir, p))
     commitManifest(dir, mainLatest + 1,
       readManifest(dir, mainLatest, conf)
-        .filterNot(e => branchChanged(e.p)) ++ bEntries, conf)
+        .filterNot(e => branchChanged(e.p)) ++ bEntries, conf,
+      dv = mainH.dv ++ branchNewDv, bloomK = mainH.bloomK)
     mainLatest + 1
   }
 
@@ -524,6 +830,13 @@ object Manifest {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
+    val h = readHeader(dir, base, conf)
+    // k is PERSISTED with the index (bits derive from each bitset's own
+    // byte length at read time) — a refresh must not silently mix hash
+    // families with already-built bitsets
+    require(h.bloomK < 1 || h.bloomK == k,
+      s"addBloomIndex: layout was indexed with k=${h.bloomK}, got k=$k - " +
+        "rebuild the index (compact + reindex) to change hash counts")
     val all = readManifest(dir, base, conf)
     val todo = all.filter(_.bloom.isEmpty)
     if (todo.isEmpty) return false
@@ -542,46 +855,81 @@ object Manifest {
       .toMap
     val entries = all.map { e =>
       if (e.bloom.isDefined) e
-      else e.copy(bloom = positions.get(tailKey(e.file)).map { ps =>
+      else e.copy(bloom = Some {
+        // a scanned file with no positions (all-NULL column, or empty)
+        // gets the all-zero bitset: SAFE (a point lookup of a non-null
+        // value can never match it) and it makes the refresh CONVERGE —
+        // leaving it bloomless would re-scan it on every refresh and
+        // commit a fresh near-identical version each time
+        val ps = positions.getOrElse(tailKey(e.file), Seq.empty)
         val bytes = new Array[Byte](bits / 8)
         ps.foreach(p => bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte)
         java.util.Base64.getEncoder.encodeToString(bytes)
       })
     }
-    commitManifest(dir, base + 1, entries, conf)
+    commitManifest(dir, base + 1, entries, conf, dv = h.dv, bloomK = k)
     true
   }
 
   /** Point read through the Bloom index: lists only files whose Bloom
-    * might contain `value` (no-Bloom files admit conservatively — a
-    * file holding only NULLs, or written before the index build).
-    * Returns the admitted files' rows; callers apply the exact
-    * predicate. Also returns the (listed, total) file counts for
-    * skip-ratio gates.
+    * might contain `value` (no-Bloom files — written before the index
+    * build — admit conservatively). The hash parameters are NEVER
+    * trusted from the caller: `k` comes from the manifest header the
+    * build persisted, and `bits` derives from each bitset's own decoded
+    * byte length — so a reader can't silently probe the wrong positions
+    * (false negatives) or walk off the bitset. Returns the admitted
+    * files' rows; callers apply the exact predicate. Also returns the
+    * (listed, total) file counts for skip-ratio gates.
     */
   def readPoint(spark: SparkSession, dir: String, column: String,
-      value: Long, bits: Int = 8192, k: Int = 6): (DataFrame, Int, Int) = {
+      value: Long): (DataFrame, Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val entries = readManifest(dir, latestVersion(dir, conf), conf)
-    // the value's k positions via a 1-row Spark plan, so the hash is
-    // BIT-IDENTICAL to the index build's xxhash64 kernel
-    val ps = spark.range(1)
-      .select(bloomPositions(lit(value), bits, k): _*)
-      .collect().head
-    val want = (0 until k).map(ps.getInt)
+    val v = latestVersion(dir, conf)
+    val entries = readManifest(dir, v, conf)
+    val k = readHeader(dir, v, conf).bloomK
+    require(k >= 1 || entries.forall(_.bloom.isEmpty),
+      s"$dir carries Bloom bitsets but no persisted k - manifest corrupt")
+    // the value's k positions per DISTINCT bitset width, via a 1-row
+    // Spark plan so the hash is BIT-IDENTICAL to the index build's
+    // xxhash64 kernel (widths differ only across historic rebuilds)
+    val widths = entries.flatMap(_.bloom)
+      .map(b64 => java.util.Base64.getDecoder.decode(b64).length * 8)
+      .distinct
+    val wantByBits: Map[Int, Seq[Int]] = widths.map { bits =>
+      val ps = spark.range(1)
+        .select(bloomPositions(lit(value), bits, k): _*)
+        .collect().head
+      bits -> (0 until k).map(ps.getInt)
+    }.toMap
     val hit = entries.filter { e =>
       e.bloom match {
         case None => true
         case Some(b64) =>
           val bytes = java.util.Base64.getDecoder.decode(b64)
-          want.forall(p => (bytes(p / 8) & (1 << (p % 8))) != 0)
+          wantByBits(bytes.length * 8)
+            .forall(p => (bytes(p / 8) & (1 << (p % 8))) != 0)
       }
     }
-    val df =
-      if (hit.isEmpty)
-        readVersion(spark, dir, latestVersion(dir, conf)).limit(0)
+    val raw =
+      if (hit.isEmpty) readVersion(spark, dir, v).limit(0)
       else spark.read.option("mergeSchema", "true")
         .parquet(hit.map(e => filePath(dir, e)): _*)
+    // merge-on-read discipline: a point read must not resurrect
+    // DV-deleted rows (free when the version carries no DV)
+    val dvList = readHeader(dir, v, conf).dv
+    val df =
+      if (dvList.isEmpty) raw
+      else {
+        val segs = split(col("_metadata.file_path"), "/")
+        val cols = raw.columns
+        raw
+          .withColumn("__file",
+            concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(deletionVector(spark, dir, v), Seq("__file", "__pos"),
+            "left_anti")
+          .select(cols.map(col): _*)
+      }
     (df, hit.length, entries.length)
   }
 
@@ -592,56 +940,127 @@ object Manifest {
   // alternative — a delete writes ONLY a (file, row position) list and
   // a new manifest version; data files never move, readers anti-filter
   // by position at scan time (the parquet `_metadata.row_index`
-  // column). Deletes accumulate per version (the new DV is old DV ∪
-  // new victims), time travel keeps each version's DV, and
+  // column). A version's DV is the manifest-header-referenced list of
+  // IMMUTABLE delta dirs: each delete commit writes just its own new
+  // victims (victim-sized, fully parallel — never a rewrite of the
+  // accumulated deletion history through one task) and the new header
+  // references old-deltas + the new one. Deletes accumulate per
+  // version, time travel keeps each version's DV (headers pin delta
+  // lists), every non-DV commit carries the list forward, and
   // `applyDeletes` is the deferred copy-on-write compaction that folds
-  // the DV into rewritten partitions and drops it.
+  // the DV into rewritten partitions and drops it. Delete commits go
+  // through the same prepare/publish OCC as partition overwrites: a
+  // delete racing a disjoint append REBASES and lands; only a writer
+  // that rewrote one of the victims' files (compact/overwrite/apply —
+  // the positions would be stale) aborts it.
 
-  private def dvPath(dir: String, version: Int) = s"$dir/_dv/v$version"
-
-  private def dvExists(dir: String, version: Int,
-      conf: Configuration): Boolean =
-    fs(dir, conf).exists(new Path(dvPath(dir, version)))
+  private def dvFilePath(dir: String, rel: String): String =
+    if (rel.startsWith("/")) rel else s"$dir/$rel"
 
   /** The (file, row_index) deletion vector of `version` (empty frame if
-    * the version carries none).
+    * the version carries none). Duplicate (file, pos) pairs — two
+    * racing deletes that both targeted a row live in their shared base
+    * — are harmless to the anti-join read path and are folded away by
+    * `applyDeletes`.
     */
   def deletionVector(spark: SparkSession, dir: String,
       version: Int): DataFrame = {
     import spark.implicits._
-    if (dvExists(dir, version, spark.sparkContext.hadoopConfiguration))
-      spark.read.parquet(dvPath(dir, version))
-    else Seq.empty[(String, Long)].toDF("__file", "__pos")
+    val h = readHeader(dir, version,
+      spark.sparkContext.hadoopConfiguration)
+    if (h.dv.isEmpty) Seq.empty[(String, Long)].toDF("__file", "__pos")
+    else spark.read.parquet(h.dv.map(p => dvFilePath(dir, p)): _*)
+      .select(col("__file"), col("__pos"))
   }
 
-  /** Merge-on-read delete: victims become (file, position) rows in the
-    * next version's deletion vector — no data file is touched. Returns
-    * the number of newly-deleted rows (0 = no commit).
+  /** A staged-but-unpublished merge-on-read delete: the victim delta is
+    * on disk (invisible — no header references it), `victimFiles` is
+    * the file census the publish-time conflict check validates against.
     */
-  def deleteRows(spark: SparkSession, dir: String,
-      victim: org.apache.spark.sql.Column): Long = {
+  case class PreparedDelete(base: Int, delta: String,
+      victimFiles: Set[String], nNew: Long)
+
+  /** Stage a merge-on-read delete from the CURRENT snapshot: victims
+    * (rows of the base snapshot matching `victim`, minus rows already
+    * deleted) land as ONE immutable (file, pos) delta dir under `_dv/`.
+    * Nothing is visible until `commitDelete` publishes a header
+    * referencing the delta.
+    */
+  def prepareDelete(spark: SparkSession, dir: String,
+      victim: org.apache.spark.sql.Column): PreparedDelete = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
     val live = readWithDeletes(spark, dir, base)
-    val newVictims = live.filter(coalesce(victim, lit(false)))
+    val token =
+      s"w${ProcessHandle.current().pid()}x${System.nanoTime().toHexString}"
+    val rel = f"_dv/d${base + 1}%06d-$token"
+    live.filter(coalesce(victim, lit(false)))
       .select(col("__file"), col("__pos"))
-    val merged = deletionVector(spark, dir, base)
-      .unionByName(newVictims).distinct()
-      .localCheckpoint(true)
-    val nNew = newVictims.count()
-    if (nNew == 0) return 0L
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(dvPath(dir, base + 1))
-    // single-writer delete path: if the CAS loses anyway, remove the
-    // staged DV so the winner's version can't inherit foreign deletes
-    try commitManifest(dir, base + 1, readManifest(dir, base, conf), conf)
-    catch { case e: Throwable =>
-      fs(dir, conf).delete(new Path(dvPath(dir, base + 1)), true)
-      throw e
+      .write.mode("overwrite").parquet(s"$dir/$rel")
+    val written = spark.read.parquet(s"$dir/$rel")
+    val nNew = written.count()
+    if (nNew == 0L) {
+      fs(dir, conf).delete(new Path(s"$dir/$rel"), true)
+      return PreparedDelete(base, null, Set.empty, 0L)
     }
-    nNew
+    // file census (bounded by the snapshot's file count) for the
+    // publish-time staleness check
+    val victimFiles = written.select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    PreparedDelete(base, rel, victimFiles, nNew)
   }
+
+  /** Publish a prepared delete under the same snapshot-isolation OCC as
+    * `commitPrepared`: the delta's positions stay valid as long as the
+    * victims' data files are still referenced by the latest manifest
+    * (files are immutable — only a rewrite that DROPPED one makes the
+    * positions stale, and that aborts loudly with the delta cleaned
+    * up). Disjoint concurrent appends/overwrites rebase under the
+    * delete; a lost rename race re-reads and retries. Returns the
+    * number of deleted rows.
+    */
+  def commitDelete(spark: SparkSession, dir: String, prep: PreparedDelete,
+      maxAttempts: Int = 5): Long = {
+    if (prep.nNew == 0L) return 0L
+    val conf = spark.sparkContext.hadoopConfiguration
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion(dir, conf)
+      val entries = readManifest(dir, latest, conf)
+      val latestFiles = entries.map(e => tailKey(e.file)).toSet
+      val stale = prep.victimFiles.filterNot(latestFiles)
+      if (stale.nonEmpty) {
+        fs(dir, conf).delete(new Path(s"$dir/${prep.delta}"), true)
+        sys.error(
+          s"commitDelete: ${stale.size} victim file(s) were rewritten " +
+            s"after base v${prep.base} (first: ${stale.head}) - the " +
+            "staged positions are stale; re-read and re-prepare the delete")
+      }
+      val h = readHeader(dir, latest, conf)
+      try {
+        commitManifest(dir, latest + 1, entries, conf,
+          dv = h.dv :+ prep.delta, bloomK = h.bloomK)
+        return prep.nNew
+      } catch {
+        case e: IllegalArgumentException if attempt < maxAttempts =>
+          attempt += 1 // lost the rename race - rebase and retry
+        case e: Throwable =>
+          fs(dir, conf).delete(new Path(s"$dir/${prep.delta}"), true)
+          throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Merge-on-read delete: victims become (file, position) rows in a
+    * new immutable DV delta referenced by the next version's header —
+    * no data file is touched, no prior delta is rewritten. Returns the
+    * number of newly-deleted rows (0 = no commit).
+    */
+  def deleteRows(spark: SparkSession, dir: String,
+      victim: org.apache.spark.sql.Column): Long =
+    commitDelete(spark, dir, prepareDelete(spark, dir, victim))
 
   /** TTL retention sweep — policy-driven expiry as a MERGE-ON-READ
     * delete: rows whose class has outlived its max age (relative to
@@ -690,7 +1109,7 @@ object Manifest {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
-    if (!dvExists(dir, base, conf)) return false
+    if (readHeader(dir, base, conf).dv.isEmpty) return false
     val live = readWithDeletes(spark, dir, base)
     val dv = deletionVector(spark, dir, base)
     val affectedFiles = dv.select("__file").distinct()
@@ -698,13 +1117,17 @@ object Manifest {
     val entries = readManifest(dir, base, conf)
     val affectedParts = entries
       .filter(e => affectedFiles(tailKey(e.file))).map(_.p).toSet
+    // stale DV rows (files already dropped by overwrites) match no
+    // current entry — they contribute no affected partition and simply
+    // die with the DV list here
     val survivors = live
       .filter(col(partCol).cast("string")
         .isInCollection(affectedParts))
       .drop("__file", "__pos")
     val newEntries = writeCommitFiles(survivors, dir, partCol, base + 1)
     commitManifest(dir, base + 1,
-      entries.filterNot(e => affectedParts(e.p)) ++ newEntries, conf)
+      entries.filterNot(e => affectedParts(e.p)) ++ newEntries, conf,
+      bloomK = readHeader(dir, base, conf).bloomK)
     true
   }
 
@@ -727,7 +1150,10 @@ object Manifest {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
-    val keyed = readVersion(spark, dir, base).withColumn("__k", keyCol)
+    // read THROUGH the deletion vector: a repair that rewrote from the
+    // raw files would physically resurrect merge-on-read-deleted rows
+    val keyed = readWithDeletes(spark, dir, base)
+      .drop("__file", "__pos").withColumn("__k", keyCol)
     val dupGroups = keyed.filter(col("__k").isNotNull)
       .groupBy("__k")
       .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("__c"))
@@ -744,9 +1170,10 @@ object Manifest {
       .filter(col("__keep").isNull || col(idCol) === col("__keep"))
       .drop("__k", "__keep")
     val entries = writeCommitFiles(survivors, dir, partCol, base + 1)
+    val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => affected(e.p)) ++ entries,
-      conf)
+      conf, dv = h.dv, bloomK = h.bloomK)
     true
   }
 
@@ -855,7 +1282,9 @@ object Manifest {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
-    val t = readVersion(spark, dir, base)
+    // read through the DV so a purge rewrite can't resurrect
+    // merge-on-read-deleted rows in the partitions it rebuilds
+    val t = readWithDeletes(spark, dir, base).drop("__file", "__pos")
     val isVictim = coalesce(victim, lit(false))
     val parts = t.groupBy(col(partCol).cast("string").as("__pv"))
       .agg(sum(when(isVictim, 1L).otherwise(0L)).as("n_victim"),
@@ -873,9 +1302,10 @@ object Manifest {
       else writeCommitFiles(
         t.filter(col(partCol).cast("string").isin(live.toSeq: _*) && !isVictim),
         dir, partCol, base + 1)
+    val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => affected(e.p)) ++ entries,
-      conf)
+      conf, dv = h.dv, bloomK = h.bloomK)
   }
 
   /** Snapshot read of a pinned version — exactly that manifest's files,
@@ -963,7 +1393,9 @@ object Manifest {
       s"compact: filesPerPartition must be >= 1, got $filesPerPartition")
     val conf = spark.sparkContext.hadoopConfiguration
     val base = latestVersion(spark, dir)
-    val t = readVersion(spark, dir, base)
+    // read through the DV: compaction rewrites every file, so it FOLDS
+    // the deletion vector in — the compacted version carries none
+    val t = readWithDeletes(spark, dir, base).drop("__file", "__pos")
     // partition-domain census (the same bound every lifecycle op rides)
     val nParts = t.select(col(partCol)).distinct().count().toInt
     val clustered =
@@ -983,20 +1415,55 @@ object Manifest {
       else t.repartition(nParts * filesPerPartition, col(partCol))
     val entries = writeCommitFiles(clustered, dir, partCol, base + 1,
       statsCol)
-    commitManifest(dir, base + 1, entries, conf)
+    commitManifest(dir, base + 1, entries, conf,
+      bloomK = readHeader(dir, base, conf).bloomK)
+  }
+
+  /** Every manifest version number currently committed in `dir`. */
+  private def allVersions(dir: String, conf: Configuration): Seq[Int] = {
+    val mdir = new Path(s"$dir/_manifests")
+    val f = fs(dir, conf)
+    if (!f.exists(mdir)) return Nil
+    f.listStatus(mdir).map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d{6}\\.json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }.toSeq.sorted
+  }
+
+  /** Names of live branches under `dir`. */
+  private def branchNames(dir: String, conf: Configuration): Seq[String] = {
+    val broot = new Path(s"$dir/_branches")
+    val f = fs(dir, conf)
+    if (!f.exists(broot)) return Nil
+    f.listStatus(broot).filter(_.isDirectory).map(_.getPath.getName).toSeq
   }
 
   /** Retention pass: delete every data file the LATEST manifest doesn't
-    * reference (crashed-writer orphans, superseded commit files) and
-    * every superseded manifest. The latest snapshot is untouched;
-    * time-travel reads older than latest die here by design — vacuum IS
-    * the retention boundary.
+    * reference (crashed-writer orphans, superseded commit files), every
+    * superseded manifest, and every deletion-vector delta the latest
+    * header doesn't reference. BRANCH-AWARE: files and DV deltas any
+    * live branch still references (branch manifests point into main's
+    * data by absolute path — the zero-copy mechanism) are SPARED, at
+    * every branch version, so vacuuming main can never corrupt a
+    * branch; delete or merge branches first to reclaim their bytes.
+    * The latest snapshot is untouched; main time-travel reads older
+    * than latest die here by design — vacuum IS the retention boundary.
     */
   def vacuum(spark: SparkSession, dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val latest = latestVersion(spark, dir)
-    val keep = readManifest(dir, latest, conf).map(_.file).toSet
     val f = fs(dir, conf)
+    // relative form of every absolute path a branch holds into this dir
+    def relativize(abs: String): Option[String] =
+      if (abs.startsWith(s"$dir/")) Some(abs.stripPrefix(s"$dir/"))
+      else None
+    val branchKeep = for {
+      name <- branchNames(dir, conf)
+      bdir = branchRoot(dir, name)
+      v <- allVersions(bdir, conf)
+      e <- readManifest(bdir, v, conf)
+      rel <- relativize(e.file)
+    } yield rel
+    val keep = readManifest(dir, latest, conf).map(_.file).toSet ++ branchKeep
     val dataRoot = new Path(s"$dir/data")
     if (f.exists(dataRoot)) {
       val it = f.listFiles(dataRoot, true)
@@ -1022,6 +1489,23 @@ object Manifest {
     (1 until latest).foreach { v =>
       val p = manifestPath(dir, v)
       if (f.exists(p)) f.delete(p, false)
+    }
+    // DV deltas: keep those the latest header (or any branch version's
+    // header) references; the rest are aborted-delete orphans or
+    // superseded (applied/compacted-away) history
+    val dvKeep = readHeader(dir, latest, conf).dv
+      .map(p => dvFilePath(dir, p)).toSet ++ (for {
+        name <- branchNames(dir, conf)
+        bdir = branchRoot(dir, name)
+        v <- allVersions(bdir, conf)
+        p <- readHeader(bdir, v, conf).dv
+      } yield dvFilePath(bdir, p))
+    val dvRoot = new Path(s"$dir/_dv")
+    if (f.exists(dvRoot)) {
+      f.listStatus(dvRoot).filter(_.isDirectory).foreach { d =>
+        if (!dvKeep(s"$dir/_dv/${d.getPath.getName}"))
+          f.delete(d.getPath, true)
+      }
     }
   }
 }

@@ -859,10 +859,22 @@ object Similarity {
     * pointed at an ANN index), so a search touches nprobe/nlist of the
     * stored bytes, with no corpus access and no retrain at query time.
     */
+  /** Broadcast `df` only when a bounded row-count probe proves it small
+    * enough; past the threshold fall back to a plain (shuffle) join
+    * side. An UNCONDITIONAL broadcast of a caller-supplied query set is
+    * a driver OOM waiting for the first 10M-query batch job — the
+    * probe costs one bounded job (`limit(max+1)`, never a full count)
+    * and keeps the common small-batch path on the broadcast + dynamic
+    * partition pruning fast path.
+    */
+  private[graft] def broadcastIfSmall(df: DataFrame, maxRows: Int): DataFrame =
+    if (df.limit(maxRows + 1).count() <= maxRows) broadcast(df) else df
+
   def ivfTopKFromLayout(layoutDir: String, queries: DataFrame,
                         idCol: String, vecCol: String,
                         k: Int, nprobe: Int = 4,
-                        excludeSelf: Boolean = true): DataFrame = {
+                        excludeSelf: Boolean = true,
+                        maxBroadcastQueries: Int = 1 << 16): DataFrame = {
     val spark = queries.sparkSession
     val centroids =
       readIvfCentroids(layoutDir, spark.sparkContext.hadoopConfiguration)
@@ -871,7 +883,11 @@ object Similarity {
       .withColumn("bucket",
         explode(ArrayOps.argTopKCosine(col("qv"), centroids, nprobe)))
       .withColumn("bucket", col("bucket").cast("int"))
-    rankBucketCandidates(broadcast(q).join(c, Seq("bucket")), k, excludeSelf)
+    // past the broadcast bound the probe-side partition prune is moot
+    // anyway: a huge query batch touches most buckets
+    rankBucketCandidates(
+      broadcastIfSmall(q, maxBroadcastQueries).join(c, Seq("bucket")),
+      k, excludeSelf)
   }
 
   /** Product-quantization codebooks: plain (non-spherical) L2 k-means

@@ -845,6 +845,176 @@ object ChangeDataQueries {
         .orderBy("dt")
     }),
 
+    // OCC FOR MERGE-ON-READ DELETES (the round-14 capability the
+    // single-writer delete path lacked): a delete prepared against v1
+    // races an append — the append lands first, the delete REBASES and
+    // both effects survive (BOTH_LOST if either vanished), matching the
+    // serial delete-then-append order: victims are v1 rows only, so
+    // the appended day keeps its users 3/7 rows. A second delete races
+    // a rewrite of its victims' files and must abort LOUDLY
+    // (NO_CONFLICT) with its staged delta cleaned up (DELTA_LEAKED)
+    // and the version unmoved (LOSER_MUTATED). Census over the final
+    // live read, hash-gated.
+    "q373_dv_occ_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_dv_occ").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("event_type"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      // writer A stages the delete; writer B's append lands first
+      val prepA = Manifest.prepareDelete(s, tmp,
+        col("user_id").isin(3L, 7L))
+      val extra = ev.filter(col("dt") === lit("2024-01-01").cast("date"))
+        .withColumn("dt", lit("2024-02-01").cast("date"))
+        .withColumn("value", col("value") + 1000.0)
+      Manifest.append(extra, tmp, "dt")
+      val n1 = Manifest.commitDelete(s, tmp, prepA)
+      val live1 = Manifest.readWithDeletes(s, tmp).drop("__file", "__pos")
+      val appendSurvived = live1
+        .filter(col("dt") === lit("2024-02-01").cast("date") &&
+          col("user_id").isin(3L, 7L)).limit(1).count() > 0
+      val deleteLanded = live1
+        .filter(col("dt") =!= lit("2024-02-01").cast("date") &&
+          col("user_id").isin(3L, 7L)).limit(1).count() == 0
+      // writer C stages a delete, then its victims' files get rewritten
+      val prepC = Manifest.prepareDelete(s, tmp,
+        col("event_type") === "view")
+      Manifest.overwritePartitions(
+        ev.filter(col("dt") === lit("2024-01-05").cast("date"))
+          .withColumn("value", col("value") * 2), tmp, "dt")
+      val conf = s.sparkContext.hadoopConfiguration
+      val vBefore = Manifest.latestVersion(tmp, conf)
+      val conflicted = try {
+        Manifest.commitDelete(s, tmp, prepC); false
+      } catch { case e: RuntimeException =>
+        e.getMessage.contains("re-prepare") }
+      val deltaLeaked = prepC.delta != null && java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tmp, prepC.delta))
+      val vAfter = Manifest.latestVersion(tmp, conf)
+      val census = Manifest.readWithDeletes(s, tmp)
+        .drop("__file", "__pos")
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(n1 == 0 || !appendSurvived || !deleteLanded,
+          "BOTH_LOST"))
+        .unionByName(viol(!conflicted, "NO_CONFLICT"))
+        .unionByName(viol(deltaLeaked, "DELTA_LEAKED"))
+        .unionByName(viol(vAfter != vBefore, "LOSER_MUTATED"))
+        .orderBy("dt")
+    }),
+
+    // BRANCH-AWARE VACUUM (round-14: the documented vacuum-vs-branch
+    // foot-gun made impossible): an audit branch forks AFTER a MOR
+    // delete (so it references main's data files AND its DV delta
+    // absolutely), main then rewrites a day twice (the first rewrite's
+    // files end up referenced by NOBODY) and vacuums. The branch must
+    // read back bit-identically (BRANCH_CORRUPTED), while the
+    // nobody's-files generation is actually reclaimed (VACUUM_NOOP
+    // fires if the orphan commit survived). Output = the branch's
+    // per-day live census, hash-gated against events minus users 3/7.
+    "q374_branch_vacuum_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_branch_vac").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      Manifest.deleteRows(s, tmp, col("user_id").isin(3L, 7L))
+      Manifest.branchCreate(s, tmp, "audit")
+      val bdir = Manifest.branchDir(tmp, "audit")
+      val before = Manifest.readWithDeletes(s, bdir)
+        .drop("__file", "__pos").localCheckpoint(true)
+      def day(d: String) = col("dt") === lit(d).cast("date")
+      Manifest.overwritePartitions(
+        ev.filter(day("2024-01-03")).withColumn("value", col("value") * 5),
+        tmp, "dt") // generation referenced by nobody after the next one
+      Manifest.overwritePartitions(
+        ev.filter(day("2024-01-03")).withColumn("value", col("value") * 9),
+        tmp, "dt")
+      Manifest.vacuum(s, tmp)
+      val after = Manifest.readWithDeletes(s, bdir).drop("__file", "__pos")
+      val corrupted = after.exceptAll(before)
+        .unionAll(before.exceptAll(after)).limit(1).count() > 0
+      val orphanGen = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(tmp, "data")).iterator()
+      val vacNoop = {
+        import scala.jdk.CollectionConverters._
+        orphanGen.asScala.exists(_.toString.contains("c000003"))
+      }
+      val census = after.groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(corrupted, "BRANCH_CORRUPTED"))
+        .unionByName(viol(vacNoop, "VACUUM_NOOP"))
+        .orderBy("dt")
+    }),
+
+    // CHANGE FEED AS A STREAMING SOURCE (round-14: the lakehouse
+    // streaming story beyond the ingest sink q319): a Structured
+    // Streaming file-source leg on the source's `_manifests/` dir
+    // drives per-version feed application onto a replica layout — the
+    // lifecycle includes an append, a partition overwrite, a
+    // MERGE-ON-READ delete (the feed materializes the DV delta), and a
+    // purge. After a bounded AvailableNow drain the replica must equal
+    // the source's live read exactly (DIVERGED); a RESTART from the
+    // same checkpoint with no new versions must apply nothing
+    // (REPLAYED — replay safety, the exactly-once half). Census
+    // per day, hash-gated against the lifecycle restatement.
+    "q375_change_feed_stream" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cdf_stream").toString
+      val dst = java.nio.file.Files
+        .createTempDirectory("graft_cdf_stream_dst").toString + "/replica"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cdf_stream_ck").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("event_type"), col("value"))
+      Manifest.create(ev, tmp, "dt")                                // v1
+      val extra = ev.filter(col("dt") === lit("2024-01-01").cast("date"))
+        .withColumn("dt", lit("2024-02-01").cast("date"))
+        .withColumn("value", col("value") + 1000.0)
+      Manifest.append(extra, tmp, "dt")                             // v2
+      Manifest.overwritePartitions(
+        ev.filter(col("dt") === lit("2024-01-05").cast("date"))
+          .withColumn("value", col("value") * 2), tmp, "dt")        // v3
+      Manifest.deleteRows(s, tmp, col("event_type") === "error")    // v4
+      Manifest.purge(s, tmp, "dt", col("user_id").isin(3L, 7L))     // v5
+      Manifest.changeFeedStream(s, tmp, dst, "dt", ckpt)
+        .awaitTermination()
+      val replica = Manifest.read(s, dst).localCheckpoint(true)
+      val srcLive = Manifest.readWithDeletes(s, tmp)
+        .drop("__file", "__pos")
+      val diverged = replica.exceptAll(srcLive)
+        .unionAll(srcLive.exceptAll(replica)).limit(1).count() > 0
+      val conf = s.sparkContext.hadoopConfiguration
+      val vDrained = Manifest.latestVersion(dst, conf)
+      // restart from the same checkpoint: nothing new -> no commit
+      Manifest.changeFeedStream(s, tmp, dst, "dt", ckpt)
+        .awaitTermination()
+      val replayed = Manifest.latestVersion(dst, conf) != vDrained
+      val census = replica.groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(diverged, "DIVERGED"))
+        .unionByName(viol(replayed, "REPLAYED"))
+        .orderBy("dt")
+    }),
+
     // Manifest lifecycle tail — append, purge, TIME TRAVEL, vacuum: a
     // synthetic day appends (v2), users 3/7 purge (v3; emptied
     // partitions vanish from the manifest — the silent-retention trap
@@ -969,6 +1139,50 @@ object ChangeDataQueries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Rebased-delete serial order: v1 rows of users 3/7 gone, the
+    // racing append's day keeps ALL users, the conflicted view-delete
+    // never applied, and the overwritten day re-introduces raw rows
+    // doubled — no BOTH_LOST / NO_CONFLICT / DELTA_LEAKED /
+    // LOSER_MUTATED rows.
+    "q373_dv_occ_gate" ->
+      """WITH f AS (
+        |  SELECT CAST(ts AS DATE) AS dt, value FROM events
+        |  WHERE user_id NOT IN (3, 7)
+        |    AND CAST(ts AS DATE) <> DATE '2024-01-05'
+        |  UNION ALL
+        |  SELECT DATE '2024-01-05', value * 2 FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |  UNION ALL
+        |  SELECT DATE '2024-02-01', value + 1000.0 FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-01')
+        |SELECT CAST(dt AS VARCHAR) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The audit branch pinned at fork time: events minus the
+    // MOR-deleted users, untouched by main's later rewrites and the
+    // vacuum — no BRANCH_CORRUPTED / VACUUM_NOOP rows.
+    "q374_branch_vacuum_gate" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM events WHERE user_id NOT IN (3, 7)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The drained replica: append + overwrite + MOR delete + purge all
+    // streamed through the feed — no DIVERGED / REPLAYED rows.
+    "q375_change_feed_stream" ->
+      """WITH f AS (
+        |  SELECT CAST(ts AS DATE) AS dt, user_id, event_type, value
+        |  FROM events WHERE CAST(ts AS DATE) <> DATE '2024-01-05'
+        |  UNION ALL
+        |  SELECT DATE '2024-01-05', user_id, event_type, value * 2
+        |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |  UNION ALL
+        |  SELECT DATE '2024-02-01', user_id, event_type, value + 1000.0
+        |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-01')
+        |SELECT CAST(dt AS VARCHAR) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM f WHERE event_type <> 'error' AND user_id NOT IN (3, 7)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Post-apply snapshot: both victim predicates removed — no
     // MOR_REWROTE / NOT_CUMULATIVE / TT_DIVERGED / DV_NOT_DROPPED rows.
     "q358_deletion_vectors" ->

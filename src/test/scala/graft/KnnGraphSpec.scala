@@ -128,6 +128,58 @@ class KnnGraphSpec extends SparkSpec {
       "appended layout diverged from the from-scratch union build")
   }
 
+  test("append under a HOT bucket: the salt census is non-trivial and " +
+      "the salted join still equals the from-scratch union build") {
+    // one centroid owns ~all vectors: near-identical embeddings force a
+    // fat bucket, so the append join MUST salt (maxBucketRows tiny) —
+    // and salting is pure re-partitioning, so the result is bit-equal
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_hot").toString
+    val e = Tables.load(spark, sfDir, "embeddings").limit(60)
+      .select(col("vec_id"),
+        // collapse toward one direction: a dominant shared first
+        // component makes (nearly) every vector cosine-closest to the
+        // same centroid
+        expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN 10.0D " +
+          "ELSE CAST(x AS DOUBLE) * 0.1D END)").as("embedding"))
+    val base = e.filter(col("vec_id") % 4 =!= 0)
+    val extra = e.filter(col("vec_id") % 4 === 0)
+    KnnGraph.writeKnnGraphLayout(base, "vec_id", "embedding", dir, k = 3,
+      nlist = 4, nassign = 1, rounds = 0, nparts = 4)
+    // census sanity: with maxBucketRows=8 the dominant bucket needs >1
+    // salt slice, so this exercises the salted path, not the trivial one
+    val store = spark.read.parquet(s"$dir/vectors")
+    val hot = store.groupBy("bucket").count()
+      .agg(max("count")).as[Long].head()
+    assert(hot > 8, s"fixture bug: hottest bucket only $hot rows")
+    KnnGraph.appendKnnGraphLayout(dir, extra, "vec_id", "embedding",
+      saltBuckets = 4, maxBucketRows = 8)
+    val cents = Similarity.readIvfCentroids(s"$dir/vectors",
+      spark.sparkContext.hadoopConfiguration)
+    val appended = KnnGraph.knnNeighborsFromLayout(dir, e.select("vec_id"),
+      "vec_id")
+    val scratch = KnnGraph.rankGraph(KnnGraph.knnGraphPairs(e, "vec_id",
+      "embedding", k = 3, cents, nassign = 1, rounds = 0))
+    assert(appended.exceptAll(scratch).count() === 0L &&
+      scratch.exceptAll(appended).count() === 0L,
+      "salted append diverged from the from-scratch union build")
+  }
+
+  test("searchFromLayout broadcast and shuffle query paths return " +
+      "identical rankings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_bc").toString
+    val e = emb
+    KnnGraph.writeKnnGraphLayout(e, "vec_id", "embedding", dir, k = 3,
+      nlist = 8, nassign = 2, rounds = 0, nparts = 4)
+    val small = KnnGraph.searchFromLayout(dir, e, "vec_id", "embedding",
+      k = 3, ef = 8, hops = 1, nprobe = 2)
+    // force the size guard onto the shuffle path
+    val big = KnnGraph.searchFromLayout(dir, e, "vec_id", "embedding",
+      k = 3, ef = 8, hops = 1, nprobe = 2, maxBroadcastQueries = 0)
+    assert(small.exceptAll(big).count() === 0L &&
+      big.exceptAll(small).count() === 0L,
+      "the shuffle-join query path diverged from the broadcast path")
+  }
+
   test("searchFromLayout with full probe and ef >= N degenerates to exact brute force") {
     val dir = java.nio.file.Files.createTempDirectory("graft_knn_sr").toString
     val e = emb

@@ -375,8 +375,8 @@ class ManifestSpec extends SparkSpec {
     Manifest.addBloomIndex(spark, dir, "id", bits = 64, k = 3)
     // every present key must come back exactly (zero false negatives)
     (1L to 6L).foreach { kv =>
-      val (df, listed, total) = Manifest.readPoint(spark, dir, "id", kv,
-        bits = 64, k = 3)
+      // no bits/k hints: the reader derives them from the persisted index
+      val (df, listed, total) = Manifest.readPoint(spark, dir, "id", kv)
       assert(listed >= 1 && listed <= total)
       assert(df.filter($"id" === kv).count() === 1L,
         s"bloom dropped present key $kv")
@@ -387,8 +387,7 @@ class ManifestSpec extends SparkSpec {
     // a post-index append has no bloom -> its file must always admit
     Manifest.append(fixture.filter($"id" === 1L)
       .withColumn("id", lit(100L)), dir, "grp", statsCol = "id")
-    val (df2, listed2, total2) = Manifest.readPoint(spark, dir, "id",
-      100L, bits = 64, k = 3)
+    val (df2, listed2, total2) = Manifest.readPoint(spark, dir, "id", 100L)
     assert(df2.filter($"id" === 100L).count() === 1L,
       "an unindexed commit must admit conservatively")
     assert(listed2 >= 1 && total2 > listed2 - 1)
@@ -396,8 +395,7 @@ class ManifestSpec extends SparkSpec {
     // indexed; already-indexed entries keep their EXACT bloom strings
     val conf2 = spark.sparkContext.hadoopConfiguration
     assert(Manifest.addBloomIndex(spark, dir, "id", bits = 64, k = 3))
-    val (df3, _, _) = Manifest.readPoint(spark, dir, "id", 100L,
-      bits = 64, k = 3)
+    val (df3, _, _) = Manifest.readPoint(spark, dir, "id", 100L)
     assert(df3.filter($"id" === 100L).count() === 1L,
       "the refreshed index lost the appended key")
     // and a second refresh with nothing to do is a no-op (no commit)
@@ -437,6 +435,209 @@ class ManifestSpec extends SparkSpec {
       Manifest.branchCreate(spark, dir, "dev")
     }
     assert(e.getMessage.contains("already exists"))
+  }
+
+  test("deletion vector carries forward across append/overwrite/repair " +
+      "commits — no resurrection; rewrites read THROUGH the DV") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    assert(Manifest.deleteRows(spark, dir, $"id" === 1L) === 1L)
+    // append: the new version must keep excluding id 1
+    Manifest.append(fixture.filter($"id" === 6L)
+      .withColumn("id", lit(7L)), dir, "grp")
+    assert(Manifest.readWithDeletes(spark, dir).select("id")
+      .as[Long].collect().sorted.toSeq === Seq(2L, 3L, 4L, 5L, 6L, 7L),
+      "an append resurrected a merge-on-read-deleted row")
+    // overwrite of an UNRELATED partition: still excluded
+    Manifest.overwritePartitions(
+      fixture.filter($"grp" === "b").withColumn("value", $"value" + 1.0),
+      dir, "grp")
+    assert(Manifest.readWithDeletes(spark, dir).filter($"id" === 1L).isEmpty,
+      "a partition overwrite dropped the carried deletion vector")
+    // dedupRepair physically rewrites partition c (ids 5,6 duplicate on
+    // grp) — it must not re-materialize DV-deleted rows; delete id 5's
+    // twin first so the repair touches a DV-carrying layout
+    assert(Manifest.deleteRows(spark, dir, $"id" === 6L) === 1L)
+    Manifest.dedupRepair(spark, dir, "grp", $"grp", "id")
+    assert(Manifest.read(spark, dir).filter($"id" === 6L).isEmpty,
+      "dedupRepair physically re-materialized a DV-deleted row")
+    // compact folds the whole DV in: raw read == live read afterwards
+    Manifest.compact(spark, dir, "grp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.readHeader(dir,
+      Manifest.latestVersion(dir, conf), conf).dv.isEmpty,
+      "compact must fold the deletion vector away")
+    assert(Manifest.read(spark, dir).filter($"id".isin(1L, 6L)).isEmpty,
+      "compact re-materialized DV-deleted rows")
+  }
+
+  test("a delete commit writes ONLY its own victim delta; prior deltas " +
+      "stay bit-identical (no accumulated-history rewrite)") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    def dvCrcs: Map[String, Long] = {
+      val root = java.nio.file.Paths.get(dir, "_dv")
+      if (!java.nio.file.Files.exists(root)) return Map.empty
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map { p =>
+          val c = new java.util.zip.CRC32()
+          c.update(java.nio.file.Files.readAllBytes(p))
+          p.toString -> c.getValue
+        }.toMap
+    }
+    assert(Manifest.deleteRows(spark, dir, $"id" === 1L) === 1L)
+    val afterFirst = dvCrcs
+    assert(afterFirst.nonEmpty, "first delete wrote no delta")
+    assert(Manifest.deleteRows(spark, dir, $"id" === 5L) === 1L)
+    val afterSecond = dvCrcs
+    afterFirst.foreach { case (p, crc) =>
+      assert(afterSecond.get(p).contains(crc),
+        s"delta $p was rewritten by a later delete — deltas must be " +
+          "immutable (the second delete writes only its own victims)")
+    }
+    assert(afterSecond.size > afterFirst.size,
+      "the second delete added no delta of its own")
+  }
+
+  test("OCC deletes: a delete racing a disjoint append rebases and both " +
+      "land; a rewrite of a victim's file aborts the delete loudly") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    // stage the delete, then an append lands first
+    val prep = Manifest.prepareDelete(spark, dir, $"id" === 3L)
+    assert(prep.nNew === 1L)
+    Manifest.append(fixture.filter($"id" === 6L)
+      .withColumn("id", lit(7L)), dir, "grp")
+    assert(Manifest.commitDelete(spark, dir, prep) === 1L)
+    assert(Manifest.readWithDeletes(spark, dir).select("id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L, 5L, 6L, 7L),
+      "append + rebased delete must BOTH land")
+    // stage another, then overwrite the victim's partition: stale
+    val prep2 = Manifest.prepareDelete(spark, dir, $"id" === 4L)
+    Manifest.overwritePartitions(
+      fixture.filter($"grp" === "b").withColumn("value", $"value" * 10),
+      dir, "grp")
+    val e = intercept[RuntimeException] {
+      Manifest.commitDelete(spark, dir, prep2)
+    }
+    assert(e.getMessage.contains("re-prepare"),
+      s"stale delete must abort with guidance, got: ${e.getMessage}")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, prep2.delta)),
+      "the aborted delete left its delta behind")
+  }
+
+  test("bloom: all-NULL files converge to a no-op refresh; k persists " +
+      "and a mismatched refresh is loud") {
+    val dir = mkdir()
+    val withNulls = fixture.withColumn("key",
+      when($"grp" === "c", lit(null).cast("long")).otherwise($"id"))
+    Manifest.create(withNulls.repartition(3), dir, "grp")
+    assert(Manifest.addBloomIndex(spark, dir, "key", bits = 64, k = 3))
+    // grp c's files hold only NULL keys — they must STILL get a (zero)
+    // bitset, so the refresh has nothing left to do
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = Manifest.latestVersion(dir, conf)
+    assert(!Manifest.addBloomIndex(spark, dir, "key", bits = 64, k = 3),
+      "refresh over all-NULL files must converge to a no-op")
+    assert(Manifest.latestVersion(dir, conf) === v)
+    // a NULL-file never admits a point lookup (all-zero is safe)
+    val (df, _, _) = Manifest.readPoint(spark, dir, "key", 2L)
+    assert(df.filter($"key" === 2L).count() === 1L)
+    // k is persisted: a refresh under a different k must not silently
+    // mix hash families
+    Manifest.append(fixture.filter($"id" === 1L)
+      .withColumn("key", lit(50L)), dir, "grp")
+    val e = intercept[IllegalArgumentException] {
+      Manifest.addBloomIndex(spark, dir, "key", bits = 64, k = 5)
+    }
+    assert(e.getMessage.contains("k=3"))
+  }
+
+  test("vacuum spares files and DV deltas live branches still reference") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    Manifest.deleteRows(spark, dir, $"id" === 1L)
+    Manifest.branchCreate(spark, dir, "audit")
+    val bdir = Manifest.branchDir(dir, "audit")
+    val branchBefore = Manifest.readWithDeletes(spark, dir)
+      .drop("__file", "__pos")
+      .collect().map(_.toString).sorted.toSeq
+    // main moves on: overwrite every partition (supersedes v1 files for
+    // MAIN, but the branch still references them), then apply deletes
+    Manifest.overwritePartitions(fixture.withColumn("value", $"value" + 7.0),
+      dir, "grp")
+    Manifest.applyDeletes(spark, dir, "grp") // no-op path: DV rows stale
+    Manifest.vacuum(spark, dir)
+    val got = Manifest.readWithDeletes(spark, bdir).drop("__file", "__pos")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === branchBefore,
+      "vacuuming main corrupted a live branch's snapshot")
+  }
+
+  test("commitPrepared refuses to publish staged files a vacuum reaped") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    val prep = Manifest.prepareOverwrite(
+      fixture.filter($"grp" === "a").withColumn("value", $"value" * 2),
+      dir, "grp")
+    // a retention pass runs in the prepare window: staged files are
+    // manifest-invisible orphans and legally die
+    Manifest.vacuum(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      Manifest.commitPrepared(spark, dir, prep)
+    }
+    assert(e.getMessage.contains("re-prepare"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.latestVersion(dir, conf) === 1,
+      "the reaped prepare must not move the version")
+  }
+
+  test("one-pass replica == stepwise referee == direct read across " +
+      "appends, overwrites, MOR deletes and a schema-widening append; " +
+      "plan size independent of version count") {
+    def build(dir: String, versions: Int): Unit = {
+      Manifest.create(fixture, dir, "grp")
+      Manifest.append(fixture.filter($"id" === 6L)
+        .withColumn("id", lit(7L)), dir, "grp")                      // v2
+      Manifest.deleteRows(spark, dir, $"id" === 2L)                  // v3
+      Manifest.overwritePartitions(
+        fixture.filter($"grp" === "b").withColumn("value", $"value" * 2),
+        dir, "grp")                                                  // v4
+      // schema widening mid-history
+      Manifest.append(fixture.filter($"id" === 5L)
+        .withColumn("id", lit(8L)).withColumn("tag", lit("x")),
+        dir, "grp")                                                  // v5
+      var v = 5
+      while (v < versions) {
+        Manifest.append(fixture.filter($"id" === 1L)
+          .withColumn("id", lit(100L + v)), dir, "grp")
+        v += 1
+      }
+    }
+    val dirA = mkdir(); build(dirA, 6)
+    val onePass = Manifest.replicateFromFeed(spark, dirA)
+    val stepwise = Manifest.replicateFromFeedStepwise(spark, dirA)
+    val direct = Manifest.readWithDeletes(spark, dirA)
+      .drop("__file", "__pos")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.sorted.map(col).toIndexedSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(onePass) === canon(direct),
+      "one-pass replica diverged from the direct snapshot")
+    assert(canon(stepwise) === canon(direct),
+      "stepwise referee diverged from the direct snapshot")
+    // the one-pass fold materializes O(1) times: ONE aggregation nets
+    // all versions, so the shuffle count must not grow with history
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val dirB = mkdir(); build(dirB, 12)
+    assert(exchanges(Manifest.replicateFromFeed(spark, dirB)) ===
+      exchanges(Manifest.replicateFromFeed(spark, dirA)),
+      "replica shuffle count grew with the version count — the fold is " +
+        "no longer one-pass")
   }
 
   test("a stale conflicting writer fails loudly and mutates nothing") {
