@@ -596,6 +596,162 @@ object Manifest {
     replica
   }
 
+  /** MERGE INTO — the keyed upsert (Delta's flagship write): source
+    * rows REPLACE matched target rows (by `keyCols`), unmatched source
+    * rows INSERT, and source rows flagged by `deleteCol` (optional
+    * boolean column) DELETE their match instead. Only partitions that
+    * actually change rewrite — partitions holding a matched key, plus
+    * partitions receiving a row (an update that moves a row across
+    * partitions rewrites both sides) — everything else keeps its bytes
+    * and its manifest entries; a partition the merge empties vanishes
+    * (the purge discipline). Publishes under the same
+    * snapshot-isolation OCC as `commitPrepared`: files stage first, a
+    * concurrent commit touching a merge partition aborts loudly, a
+    * disjoint one rebases. Reads THROUGH the deletion vector (a merge
+    * rewrite must not resurrect MOR-deleted rows) and carries the DV
+    * forward for untouched partitions. Duplicate keys in the source
+    * are a loud error — "last writer wins among my own rows" is a
+    * silent-corruption generator, not a semantics. Returns the
+    * committed version (base version if the merge had nothing to do).
+    *
+    * Scale shape: the match census is one keyed join; affected
+    * partitions are a driver census (partition-domain-sized); the
+    * rewrite reads |affected partitions| of stored bytes, never the
+    * table.
+    */
+  def merge(spark: SparkSession, dir: String, partCol: String,
+      source: DataFrame, keyCols: Seq[String],
+      deleteCol: String = null): Int = {
+    require(keyCols.nonEmpty, "merge: keyCols must be non-empty")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val isDel =
+      if (deleteCol == null) lit(false)
+      else coalesce(col(deleteCol).cast("boolean"), lit(false))
+    val src = source.withColumn("__del", isDel)
+      .withColumn("__sp", col(partCol).cast("string"))
+      .localCheckpoint(true)
+    val dupKeys = src.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).count()
+    require(dupKeys == 0L,
+      s"merge: source holds duplicate keys on (${keyCols.mkString(", ")}) " +
+        "- deduplicate the source first (ambiguous upserts corrupt silently)")
+    val target = readWithDeletes(spark, dir, base).drop("__file", "__pos")
+      .withColumn("__tp", col(partCol).cast("string"))
+    val srcKeyed = src.select(
+      keyCols.map(col) :+ col("__sp") :+ col("__del"): _*)
+    // affected partitions: where a matched key lives + where a
+    // non-delete source row lands (driver census, partition-domain)
+    val matchedParts = target
+      .join(srcKeyed.select(keyCols.map(col): _*).distinct(), keyCols)
+      .select(col("__tp")).distinct().collect().map(_.getString(0)).toSet
+    val landingParts = src.filter(!col("__del"))
+      .select(col("__sp")).distinct().collect().map(_.getString(0)).toSet
+    val affected = matchedParts ++ landingParts
+    if (affected.isEmpty) return base
+    // new content for the affected partitions: their target rows minus
+    // EVERY matched key (replaced, moved, or deleted), plus the
+    // source's surviving rows
+    val srcCols = source.columns.filterNot(c =>
+      deleteCol != null && c == deleteCol).toSeq
+    val keep = target.filter(col("__tp").isInCollection(affected))
+      .join(srcKeyed.select(keyCols.map(col): _*).distinct(), keyCols,
+        "left_anti")
+      .drop("__tp")
+    val incoming = src.filter(!col("__del"))
+      .select(srcCols.map(col): _*)
+    val next = keep.select(srcCols.map(col): _*).unionByName(incoming)
+      .localCheckpoint(true)
+    val stillThere = next.select(col(partCol).cast("string").as("__pv"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val emptied = affected.diff(stillThere)
+    // stage + OCC publish (the commitPrepared protocol, plus the
+    // emptied-partition drop a plain overwrite cannot express)
+    val token =
+      s"-w${ProcessHandle.current().pid()}x${System.nanoTime().toHexString}"
+    val entries = writeCommitFiles(
+      next.filter(col(partCol).cast("string").isInCollection(affected)),
+      dir, partCol, base + 1, suffix = token)
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion(dir, conf)
+      val conflicts = changedPartitions(dir, base, latest, conf)
+        .intersect(affected)
+      require(conflicts.isEmpty,
+        s"merge: write-write conflict on partitions ${conflicts.toSeq
+          .sorted.mkString(", ")}: they changed after base v$base - " +
+          "re-read and re-merge")
+      val h = readHeader(dir, latest, conf)
+      try {
+        commitManifest(dir, latest + 1,
+          readManifest(dir, latest, conf)
+            .filterNot(e => affected(e.p)) ++ entries, conf,
+          dv = h.dv, bloomK = h.bloomK)
+        return latest + 1
+      } catch {
+        case e: IllegalArgumentException if attempt < 5 =>
+          attempt += 1 // lost the rename race - rebase and retry
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Targeted small-file compaction — the auto-OPTIMIZE maintenance
+    * policy: partitions whose manifest lists more than
+    * `maxFilesPerPartition` files (streaming ingest accretes one per
+    * micro-batch — q319's shape) rewrite into one file each, in ONE
+    * atomic commit; every other partition keeps its bytes and entries.
+    * The census is the manifest itself (driver-side, free — no data
+    * read to decide), rewritten partitions read through the deletion
+    * vector, and the DV carries forward for the rest. Returns the
+    * number of partitions compacted (0 = no commit).
+    */
+  def autoCompact(spark: SparkSession, dir: String, partCol: String,
+      maxFilesPerPartition: Int = 8): Int = {
+    require(maxFilesPerPartition >= 1,
+      s"autoCompact: maxFilesPerPartition must be >= 1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val entries = readManifest(dir, base, conf)
+    val hot = entries.groupBy(_.p).collect {
+      case (p, es) if es.length > maxFilesPerPartition => p
+    }.toSet
+    if (hot.isEmpty) return 0
+    val live = readWithDeletes(spark, dir, base).drop("__file", "__pos")
+    val packed = live
+      .filter(col(partCol).cast("string").isInCollection(hot))
+      .repartition(hot.size, col(partCol))
+    val newEntries = writeCommitFiles(packed, dir, partCol, base + 1)
+    val h = readHeader(dir, base, conf)
+    commitManifest(dir, base + 1,
+      entries.filterNot(e => hot(e.p)) ++ newEntries, conf,
+      dv = h.dv, bloomK = h.bloomK)
+    hot.size
+  }
+
+  /** RESTORE — rollback as a forward commit (Delta RESTORE): publishes
+    * a NEW version whose entries and deletion vector are exactly
+    * `toVersion`'s. Nothing rewrites and nothing is lost: the bad
+    * versions stay readable for forensics until vacuum, every file the
+    * restored snapshot needs is re-referenced by the LATEST manifest
+    * (so vacuum keeps it), and readers switch atomically with the one
+    * manifest rename. Returns the new version.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    require(toVersion >= 1 && toVersion <= base,
+      s"restore: version $toVersion out of range 1..$base")
+    val h = readHeader(dir, toVersion, conf)
+    commitManifest(dir, base + 1, readManifest(dir, toVersion, conf), conf,
+      dv = h.dv, bloomK = h.bloomK)
+    base + 1
+  }
+
   /** Batch-stamped partition replacement — the streaming CDC-apply
     * commit: partitions present in `df` swap to its files, partitions
     * in `dropEmpty` vanish (a feed step that empties a partition must

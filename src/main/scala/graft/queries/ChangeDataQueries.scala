@@ -845,6 +845,158 @@ object ChangeDataQueries {
         .orderBy("dt")
     }),
 
+    // MERGE INTO — the keyed upsert against a manifested layout
+    // (update + insert + delete clauses in one commit): day 01-02
+    // bumps user 1's values (update), a synthetic 02-01 day inserts
+    // with shifted keys, and 01-04's error rows delete by key. Only
+    // the three touched days may rewrite — every other day must keep
+    // its exact bytes (UNTOUCHED_REWRITTEN), and a second identical
+    // merge must be a near-no-op semantically (NOT_IDEMPOTENT: the
+    // live read is unchanged — inserts re-match as same-value updates,
+    // deletes find nothing). Census per day hash-gated against the
+    // arithmetic restatement.
+    "q376_manifest_merge_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_merge").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("event_type"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      def day(d: String) = col("dt") === lit(d).cast("date")
+      val offset = ev.agg(max("event_id")).head().getLong(0) + 1L
+      val updates = ev.filter(day("2024-01-02") && col("user_id") === 1L)
+        .withColumn("value", col("value") + 5000.0)
+        .withColumn("_d", lit(false))
+      val inserts = ev.filter(day("2024-01-01"))
+        .withColumn("dt", lit("2024-02-01").cast("date"))
+        .withColumn("event_id", col("event_id") + offset)
+        .withColumn("value", col("value") + 1000.0)
+        .withColumn("_d", lit(false))
+      val deletes = ev.filter(day("2024-01-04") &&
+          col("event_type") === "error")
+        .withColumn("_d", lit(true))
+      val source = updates.unionByName(inserts).unionByName(deletes)
+      val before = Manifest.read(s, tmp).inputFiles.toSet
+      Manifest.merge(s, tmp, "dt", source, Seq("event_id"),
+        deleteCol = "_d")
+      val after = Manifest.read(s, tmp).inputFiles.toSet
+      // only the matched/landing days may move — 01-01 is a SOURCE of
+      // inserts but NOT an affected partition, so its bytes must stay
+      val touchedDays = Set("2024-01-02", "2024-01-04", "2024-02-01")
+      val untouchedRewritten = before.exists(f =>
+        !after.contains(f) &&
+          !touchedDays.exists(d => f.contains(s"__p=$d")))
+      val live1 = Manifest.read(s, tmp).localCheckpoint(true)
+      Manifest.merge(s, tmp, "dt", source, Seq("event_id"),
+        deleteCol = "_d")
+      val live2 = Manifest.read(s, tmp)
+      val notIdem = live2.exceptAll(live1)
+        .unionAll(live1.exceptAll(live2)).limit(1).count() > 0
+      val census = live2.groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(untouchedRewritten, "UNTOUCHED_REWRITTEN"))
+        .unionByName(viol(notIdem, "NOT_IDEMPOTENT"))
+        .orderBy("dt")
+    }),
+
+    // AUTO-COMPACTION POLICY (the OPTIMIZE trigger the streaming-
+    // ingest sink needs): six micro-batch appends accrete six extra
+    // files onto day 01-01; `autoCompact(maxFiles=4)` must rewrite
+    // ONLY that day — every other day keeps its exact bytes
+    // (UNTOUCHED_REWRITTEN) — down to one file (NOT_COMPACTED), decide
+    // from the MANIFEST census alone, leave the content bit-stable
+    // (hash gate), and converge (a second pass compacts nothing —
+    // NOT_CONVERGED). Oracle restates the appended mass
+    // arithmetically.
+    "q377_auto_compact_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_autocompact").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev.repartition(2), tmp, "dt")
+      val d1 = ev.filter(col("dt") === lit("2024-01-01").cast("date"))
+      (1 to 6).foreach { b =>
+        Manifest.commitBatch(d1.withColumn("value", col("value") + b * 10.0)
+          .repartition(1), tmp, "dt", batchId = b.toLong)
+      }
+      val before = Manifest.read(s, tmp).inputFiles.toSet
+      val nHot = Manifest.autoCompact(s, tmp, "dt",
+        maxFilesPerPartition = 4)
+      val after = Manifest.read(s, tmp).inputFiles.toSet
+      val untouchedRewritten = before.exists(f =>
+        !after.contains(f) && !f.contains("__p=2024-01-01"))
+      val hotFiles = after.count(_.contains("__p=2024-01-01"))
+      val nAgain = Manifest.autoCompact(s, tmp, "dt",
+        maxFilesPerPartition = 4)
+      val census = Manifest.read(s, tmp)
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(nHot != 1 || untouchedRewritten,
+          "UNTOUCHED_REWRITTEN"))
+        .unionByName(viol(hotFiles != 1, "NOT_COMPACTED"))
+        .unionByName(viol(nAgain != 0, "NOT_CONVERGED"))
+        .orderBy("dt")
+    }),
+
+    // RESTORE — rollback as a forward commit: after an append, an
+    // overwrite, and a MOR delete, `restore(1)` publishes a new
+    // version that IS v1 again. The bad history stays readable for
+    // forensics until vacuum (FORENSICS_LOST pins the pre-restore
+    // version still showing the delete), and vacuuming AFTER the
+    // restore must keep every restored file because the latest
+    // manifest re-references them (VACUUM_BROKE). Census = plain
+    // events, hash-gated.
+    "q378_restore_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_restore").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("event_type"), col("value"))
+      Manifest.create(ev, tmp, "dt")                                // v1
+      val extra = ev.filter(col("dt") === lit("2024-01-01").cast("date"))
+        .withColumn("dt", lit("2024-02-01").cast("date"))
+      Manifest.append(extra, tmp, "dt")                             // v2
+      Manifest.overwritePartitions(
+        ev.filter(col("dt") === lit("2024-01-05").cast("date"))
+          .withColumn("value", col("value") * 2), tmp, "dt")        // v3
+      Manifest.deleteRows(s, tmp, col("event_type") === "error")    // v4
+      val vRestored = Manifest.restore(s, tmp, 1)                   // v5
+      val forensics = Manifest.readWithDeletes(s, tmp, version = 4)
+        .drop("__file", "__pos")
+      val forensicsLost = forensics
+        .filter(col("event_type") === "error").limit(1).count() > 0 ||
+        forensics.filter(col("dt") === lit("2024-02-01").cast("date"))
+          .limit(1).count() == 0
+      val preVac = Manifest.readWithDeletes(s, tmp, vRestored)
+        .drop("__file", "__pos").localCheckpoint(true)
+      Manifest.vacuum(s, tmp)
+      val postVac = Manifest.readWithDeletes(s, tmp)
+        .drop("__file", "__pos")
+      val vacBroke = postVac.exceptAll(preVac)
+        .unionAll(preVac.exceptAll(postVac)).limit(1).count() > 0
+      val census = postVac.groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(forensicsLost, "FORENSICS_LOST"))
+        .unionByName(viol(vacBroke, "VACUUM_BROKE"))
+        .orderBy("dt")
+    }),
+
     // OCC FOR MERGE-ON-READ DELETES (the round-14 capability the
     // single-writer delete path lacked): a delete prepared against v1
     // races an append — the append lands first, the delete REBASES and
@@ -872,9 +1024,13 @@ object ChangeDataQueries {
       Manifest.append(extra, tmp, "dt")
       val n1 = Manifest.commitDelete(s, tmp, prepA)
       val live1 = Manifest.readWithDeletes(s, tmp).drop("__file", "__pos")
-      val appendSurvived = live1
-        .filter(col("dt") === lit("2024-02-01").cast("date") &&
-          col("user_id").isin(3L, 7L)).limit(1).count() > 0
+      // serial delete-then-append order: the appended day must survive
+      // the rebased delete EXACTLY (victims are base-snapshot rows
+      // only), and no base row of users 3/7 may remain
+      val appended = live1
+        .filter(col("dt") === lit("2024-02-01").cast("date"))
+      val appendSurvived = appended.exceptAll(extra)
+        .unionAll(extra.exceptAll(appended)).limit(1).count() == 0
       val deleteLanded = live1
         .filter(col("dt") =!= lit("2024-02-01").cast("date") &&
           col("user_id").isin(3L, 7L)).limit(1).count() == 0
@@ -1139,6 +1295,44 @@ object ChangeDataQueries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MERGE result: 01-02's user-1 rows bumped, 01-04's errors gone,
+    // the shifted-key insert day added — no UNTOUCHED_REWRITTEN /
+    // NOT_IDEMPOTENT rows.
+    "q376_manifest_merge_gate" ->
+      """WITH f AS (
+        |  SELECT CAST(ts AS DATE) AS dt,
+        |    CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02'
+        |        AND user_id = 1 THEN value + 5000.0
+        |      ELSE value END AS value
+        |  FROM events
+        |  WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-04'
+        |    AND event_type = 'error')
+        |  UNION ALL
+        |  SELECT DATE '2024-02-01', value + 1000.0 FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-01')
+        |SELECT CAST(dt AS VARCHAR) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Base content plus the six micro-batch appends, bit-stable
+    // through the compaction — no UNTOUCHED_REWRITTEN / NOT_COMPACTED /
+    // NOT_CONVERGED rows.
+    "q377_auto_compact_gate" ->
+      """WITH f AS (
+        |  SELECT CAST(ts AS DATE) AS dt, value FROM events
+        |  UNION ALL
+        |  SELECT CAST(e.ts AS DATE), e.value + t.b * 10.0
+        |  FROM events e, (SELECT unnest(generate_series(1, 6)) AS b) t
+        |  WHERE CAST(e.ts AS DATE) = DATE '2024-01-01')
+        |SELECT CAST(dt AS VARCHAR) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The restored snapshot IS v1 = plain events — no FORENSICS_LOST /
+    // VACUUM_BROKE rows.
+    "q378_restore_gate" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Rebased-delete serial order: v1 rows of users 3/7 gone, the
     // racing append's day keeps ALL users, the conflicted view-delete
     // never applied, and the overwritten day re-introduces raw rows
