@@ -40,13 +40,17 @@ object Manifest {
   private val PartDir = "__p"
 
   /** One snapshot member: partition value, relative file path, and —
-    * when the layout tracks a stats column — the file's min/max of it
-    * (None when every row's stats value is NULL; such a file is
-    * conservatively INCLUDED by every range read).
+    * when the layout tracks stats columns — the file's min/max of the
+    * primary (`lo`/`hi`) and optional secondary (`lo2`/`hi2`) stats
+    * column (None when every row's stats value is NULL; such a file is
+    * conservatively INCLUDED by every range read). Two dimensions
+    * because a Z-ORDER-clustered layout skips on either — one sorted
+    * dimension can only ever serve itself.
     */
   private[graft] case class Entry(p: String, file: String,
       lo: Option[Long] = None, hi: Option[Long] = None,
-      bloom: Option[String] = None)
+      bloom: Option[String] = None,
+      lo2: Option[Long] = None, hi2: Option[Long] = None)
 
   /** Resolve an entry's data-file path: branch manifests reference
     * foreign (source-layout) files by ABSOLUTE path — the zero-copy
@@ -111,9 +115,14 @@ object Manifest {
           case (Some(l), Some(h)) => s""","lo":$l,"hi":$h"""
           case _ => ""
         }
+        val stats2 = (e.lo2, e.hi2) match {
+          case (Some(l), Some(h)) => s""","lo2":$l,"hi2":$h"""
+          case _ => ""
+        }
         val bloom = e.bloom.map(b => s""","bloom":"$b"""").getOrElse("")
-        out.write(s"""{"p":"${e.p}","file":"${e.file}"$stats$bloom}\n"""
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write(
+          s"""{"p":"${e.p}","file":"${e.file}"$stats$stats2$bloom}\n"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
     val target = manifestPath(dir, version)
@@ -153,10 +162,11 @@ object Manifest {
     val lines = manifestLines(dir, version, conf)
     val Line =
       ("""\{"p":"([^"]*)","file":"([^"]*)"(?:,"lo":(-?\d+),"hi":(-?\d+))?""" +
+        """(?:,"lo2":(-?\d+),"hi2":(-?\d+))?""" +
         """(?:,"bloom":"([A-Za-z0-9+/=]*)")?\}""").r
-    lines.drop(1).map { case Line(pv, file, lo, hi, bloom) =>
+    lines.drop(1).map { case Line(pv, file, lo, hi, lo2, hi2, bloom) =>
       Entry(pv, file, Option(lo).map(_.toLong), Option(hi).map(_.toLong),
-        Option(bloom))
+        Option(bloom), Option(lo2).map(_.toLong), Option(hi2).map(_.toLong))
     }
   }
 
@@ -167,7 +177,9 @@ object Manifest {
     */
   private[graft] def writeCommitFiles(df: DataFrame, dir: String,
       partCol: String, version: Int, statsCol: String = null,
-      suffix: String = ""): Seq[Entry] = {
+      suffix: String = "", statsCol2: String = null): Seq[Entry] = {
+    require(statsCol2 == null || statsCol != null,
+      "writeCommitFiles: statsCol2 requires statsCol")
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val commitRel = f"data/c$version%06d$suffix%s"
@@ -179,18 +191,31 @@ object Manifest {
     df.withColumn(PartDir, col(partCol).cast("string"))
       .write.mode("overwrite").partitionBy(PartDir)
       .parquet(s"$dir/$commitRel")
-    // per-file min/max of the stats column for range skipping: one scan
-    // of ONLY the just-written bytes, keyed by physical file
-    val stats: Map[String, (Long, Long)] =
+    // per-file min/max of the stats column(s) for range skipping: ONE
+    // scan of ONLY the just-written bytes, keyed by physical file (both
+    // dimensions in the same aggregation — never a second pass)
+    val stats: Map[String, ((Long, Long), Option[(Long, Long)])] =
       if (statsCol == null) Map.empty
-      else spark.read.parquet(s"$dir/$commitRel")
-        .groupBy(input_file_name().as("__f"))
-        .agg(min(col(statsCol).cast("long")).as("lo"),
-          max(col(statsCol).cast("long")).as("hi"))
-        .filter(col("lo").isNotNull)
-        .collect()
-        .map(r => tailKey(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
-        .toMap
+      else {
+        val aggs = Seq(min(col(statsCol).cast("long")).as("lo"),
+          max(col(statsCol).cast("long")).as("hi")) ++
+          (if (statsCol2 == null) Nil
+           else Seq(min(col(statsCol2).cast("long")).as("lo2"),
+             max(col(statsCol2).cast("long")).as("hi2")))
+        spark.read.parquet(s"$dir/$commitRel")
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .filter(col("lo").isNotNull)
+          .collect()
+          .map { r =>
+            val second =
+              if (statsCol2 != null && !r.isNullAt(3))
+                Some((r.getLong(3), r.getLong(4)))
+              else None
+            tailKey(r.getString(0)) -> ((r.getLong(1), r.getLong(2)), second)
+          }
+          .toMap
+      }
     val f = fs(dir, conf)
     val PartSeg = s"$PartDir=(.+)".r
     f.listStatus(new Path(s"$dir/$commitRel")).toSeq
@@ -210,7 +235,9 @@ object Manifest {
             // name in each __p= dir, so the stats key carries both
             val st = stats.get(s"$PartDir=$p/$name")
             Entry(p, s"$commitRel/$PartDir=$p/$name",
-              st.map(_._1), st.map(_._2))
+              st.map(_._1._1), st.map(_._1._2),
+              lo2 = st.flatMap(_._2).map(_._1),
+              hi2 = st.flatMap(_._2).map(_._2))
           }
       }
   }
@@ -621,11 +648,15 @@ object Manifest {
     */
   def merge(spark: SparkSession, dir: String, partCol: String,
       source: DataFrame, keyCols: Seq[String],
-      deleteCol: String = null): Int = {
+      deleteCol: String = null, batchId: Long = -1L): Int = {
     require(keyCols.nonEmpty, "merge: keyCols must be non-empty")
     val conf = spark.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
+    // exactly-once streaming apply: a replayed micro-batch is detected
+    // by its stamp before any file is written
+    if (batchId >= 0 && committedBatches(dir, conf).contains(batchId))
+      return base
     val isDel =
       if (deleteCol == null) lit(false)
       else coalesce(col(deleteCol).cast("boolean"), lit(false))
@@ -688,7 +719,7 @@ object Manifest {
         commitManifest(dir, latest + 1,
           readManifest(dir, latest, conf)
             .filterNot(e => affected(e.p)) ++ entries, conf,
-          dv = h.dv, bloomK = h.bloomK)
+          batch = batchId, dv = h.dv, bloomK = h.bloomK)
         return latest + 1
       } catch {
         case e: IllegalArgumentException if attempt < 5 =>
@@ -696,6 +727,23 @@ object Manifest {
       }
     }
     -1 // unreachable
+  }
+
+  /** Streaming MERGE (the apply-changes sink): `merge` stamped with the
+    * micro-batch id — a replayed batch applies nothing. Returns whether
+    * this delivery committed (false = replay no-op). Note merge is
+    * additionally IDEMPOTENT on content (re-applying the same source
+    * yields the same rows), so even a lost stamp degrades to a
+    * harmless same-content commit, never to duplicated rows.
+    */
+  def mergeBatch(spark: SparkSession, dir: String, partCol: String,
+      source: DataFrame, keyCols: Seq[String], batchId: Long,
+      deleteCol: String = null): Boolean = {
+    require(batchId >= 0, s"mergeBatch: batchId must be >= 0, got $batchId")
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (committedBatches(dir, conf).contains(batchId)) return false
+    merge(spark, dir, partCol, source, keyCols, deleteCol, batchId)
+    true
   }
 
   /** Targeted small-file compaction — the auto-OPTIMIZE maintenance
@@ -1531,6 +1579,75 @@ object Manifest {
       s"readRange: no file intersects [$lo,$hi] in $dir")
     spark.read.option("mergeSchema", "true")
       .parquet(hit.map(e => filePath(dir, e)): _*)
+  }
+
+  /** Z-ORDER CLUSTERED rewrite — liquid-clustering for the manifest
+    * layout: every partition's rows rewrite ordered along the Morton
+    * curve over (`colA`, `colB`), with BOTH columns' per-file min/max
+    * tracked in the manifest, in one atomic commit. Because the
+    * z-curve keeps each file's footprint compact in BOTH dimensions, a
+    * selective `readRange2` box — or a range on EITHER single column —
+    * lists a file fraction; a plain sort on one column can only ever
+    * serve that column. Reads through the deletion vector (full
+    * rewrite ⇒ the DV folds away). Bloom entries die with the old
+    * files (rebuild with `addBloomIndex` if needed).
+    */
+  def clusterZOrder(spark: SparkSession, dir: String, partCol: String,
+      colA: String, colB: String, filesPerPartition: Int = 4): Unit = {
+    require(filesPerPartition >= 1,
+      s"clusterZOrder: filesPerPartition must be >= 1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val t = readWithDeletes(spark, dir, base).drop("__file", "__pos")
+    val la = col(colA).cast("long")
+    val lb = col(colB).cast("long")
+    val s = t.agg(min(la).as("mna"), max(la).as("mxa"),
+      min(lb).as("mnb"), max(lb).as("mxb")).head()
+    require(!s.isNullAt(0) && !s.isNullAt(2),
+      s"clusterZOrder: $colA/$colB hold no non-null values")
+    val z = ZOrder.zValue(
+      ZOrder.bucket16(la, lit(s.getLong(0)), lit(s.getLong(1))),
+      ZOrder.bucket16(lb, lit(s.getLong(2)), lit(s.getLong(3))))
+    val nParts = t.select(col(partCol)).distinct().count().toInt
+    val clustered = t.withColumn("__z", z)
+      .repartitionByRange(nParts * filesPerPartition,
+        col(partCol), col("__z"))
+      .sortWithinPartitions(col(partCol), col("__z"))
+      .drop("__z")
+    val entries = writeCommitFiles(clustered, dir, partCol, base + 1,
+      statsCol = colA, statsCol2 = colB)
+    commitManifest(dir, base + 1, entries, conf,
+      bloomK = readHeader(dir, base, conf).bloomK)
+  }
+
+  /** Two-dimensional DATA-SKIPPING box read: only files whose tracked
+    * [min,max] intersects BOTH ranges (stats-less files conservatively
+    * included) are listed. Loud if the layout never tracked a second
+    * dimension — a "box read" silently scanning everything is the trap.
+    * Returns (rows, listed, total) so gates can pin the skip ratio;
+    * callers still apply the exact row predicate.
+    */
+  def readRange2(spark: SparkSession, dir: String, loA: Long, hiA: Long,
+      loB: Long, hiB: Long): (DataFrame, Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = latestVersion(spark, dir)
+    val entries = readManifest(dir, v, conf)
+    require(entries.exists(_.lo2.isDefined),
+      s"readRange2: $dir tracks no second-dimension stats - cluster it " +
+        "with clusterZOrder first (a box read here would be a full scan)")
+    def hits(lo: Option[Long], hi: Option[Long], l: Long, h: Long) =
+      (lo, hi) match {
+        case (Some(a), Some(b)) => a <= h && b >= l
+        case _ => true
+      }
+    val hit = entries.filter(e =>
+      hits(e.lo, e.hi, loA, hiA) && hits(e.lo2, e.hi2, loB, hiB))
+    val df =
+      if (hit.isEmpty) readVersion(spark, dir, v).limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(hit.map(e => filePath(dir, e)): _*)
+    (df, hit.length, entries.length)
   }
 
   /** Small-file COMPACTION as one atomic commit: each partition's rows

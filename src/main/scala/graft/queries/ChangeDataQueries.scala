@@ -845,6 +845,102 @@ object ChangeDataQueries {
         .orderBy("dt")
     }),
 
+    // STREAMING UPSERT (apply-changes): a document stream drives
+    // per-micro-batch MERGE commits into a manifested layout — each
+    // batch's rows compile to keyed deletes (doc_id≡1 mod 7), updates
+    // (≡0 mod 3, +1000 chars) and shifted-key inserts (≡2 mod 5, into
+    // a 'synthetic' source partition), stamped with the batch id so a
+    // redelivered batch applies nothing (REPLAYED). The drained table
+    // must equal the batch restatement (hash gate) — the streaming
+    // half of q376.
+    "q379_stream_upsert_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_upsert").toString
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Manifest.create(docs, tmp, "source")
+      val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+      val replayed = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = graft.streaming.DocumentStreams.readDocumentsStream(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          val dels = batch.filter(col("doc_id") % 7 === 1)
+            .withColumn("_d", lit(true))
+          val ups = batch.filter(col("doc_id") % 3 === 0 &&
+              col("doc_id") % 7 =!= 1)
+            .withColumn("n_chars", col("n_chars") + 1000L)
+            .withColumn("_d", lit(false))
+          val ins = batch.filter(col("doc_id") % 5 === 2)
+            .withColumn("doc_id", col("doc_id") + off)
+            .withColumn("source", lit("synthetic"))
+            .withColumn("n_chars", col("n_chars") + 500L)
+            .withColumn("_d", lit(false))
+          val feed = dels.unionByName(ups).unionByName(ins)
+          Manifest.mergeBatch(s, tmp, "source", feed, Seq("doc_id"),
+            batchId, deleteCol = "_d")
+          // delivery retry: the SAME batch id arrives again
+          if (Manifest.mergeBatch(s, tmp, "source", feed, Seq("doc_id"),
+              batchId, deleteCol = "_d"))
+            replayed.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val census = Manifest.read(s, tmp).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+      val viol = s.range(1).filter(lit(replayed.get() > 0))
+        .select(lit("REPLAYED").as("source"), lit(-1L).as("n_docs"),
+          lit(-1L).as("sum_chars"))
+      census.unionByName(viol).orderBy("source")
+    }),
+
+    // Z-ORDER CLUSTERED MANIFEST (liquid clustering): each day's rows
+    // rewrite along the Morton curve over (user_id, event_id) with
+    // BOTH dimensions' per-file min/max in the manifest. A selective
+    // 2-D box then lists a file fraction (NOSKIP if it reads most of
+    // the table), and crucially a range on the SECOND dimension alone
+    // also prunes (DIM2_NOSKIP) — the property a single-column sort
+    // cannot give. Box rows are exact (hash-gated).
+    "q380_zorder_manifest_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_zorder_manifest").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      Manifest.clusterZOrder(s, tmp, "dt", "user_id", "event_id",
+        filesPerPartition = 4)
+      val b = ev.agg(min("user_id"), max("user_id"), min("event_id"),
+        max("event_id")).head()
+      val (umn, umx, emn, emx) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val (uHi, eHi) = (umn + (umx - umn) / 6, emn + (emx - emn) / 6)
+      val (box, listed, total) = Manifest.readRange2(s, tmp, umn, uHi,
+        emn, eHi)
+      val rows = box
+        .filter(col("user_id").between(umn, uHi) &&
+          col("event_id").between(emn, eHi))
+        .select(col("event_id"), col("user_id"),
+          col("dt").cast("string").as("dt"), col("value"))
+      val noskip = listed * 3 > total
+      val (_, listed2, total2) = Manifest.readRange2(s, tmp, umn, umx,
+        emn, eHi)
+      val dim2Noskip = listed2 >= total2
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit(name).as("dt"), lit(0.0).as("value"))
+      rows
+        .unionByName(viol(noskip, "NOSKIP"))
+        .unionByName(viol(dim2Noskip, "DIM2_NOSKIP"))
+        .orderBy("event_id")
+    }),
+
     // MERGE INTO — the keyed upsert against a manifested layout
     // (update + insert + delete clauses in one commit): day 01-02
     // bumps user 1's values (update), a synthetic 02-01 day inserts
@@ -1295,6 +1391,30 @@ object ChangeDataQueries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Survivors + updates + synthetic inserts of the streamed feed —
+    // no REPLAYED row.
+    "q379_stream_upsert_gate" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+        |      ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 1
+        |  UNION ALL
+        |  SELECT 'synthetic', n_chars + 500 FROM documents
+        |  WHERE doc_id % 5 = 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The exact 2-D box — no NOSKIP / DIM2_NOSKIP rows.
+    "q380_zorder_manifest_gate" ->
+      """WITH b AS (SELECT MIN(user_id) AS umn, MAX(user_id) AS umx,
+        |    MIN(event_id) AS emn, MAX(event_id) AS emx FROM events)
+        |SELECT e.event_id, e.user_id,
+        |  CAST(CAST(e.ts AS DATE) AS VARCHAR) AS dt, e.value
+        |FROM events e, b
+        |WHERE e.user_id BETWEEN b.umn AND b.umn + (b.umx - b.umn) // 6
+        |  AND e.event_id BETWEEN b.emn AND b.emn + (b.emx - b.emn) // 6
+        |ORDER BY e.event_id""".stripMargin,
     // MERGE result: 01-02's user-1 rows bumped, 01-04's errors gone,
     // the shifted-key insert day added — no UNTOUCHED_REWRITTEN /
     // NOT_IDEMPOTENT rows.

@@ -758,6 +758,63 @@ class ManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("clusterZOrder: both dimensions' stats land in the manifest, " +
+      "either single dimension prunes, content and DV semantics hold") {
+    val dir = mkdir()
+    val wide = spark.range(256).selectExpr("id",
+      "CAST(id % 2 AS STRING) AS grp",
+      "CAST((id * 37) % 256 AS LONG) AS a",
+      "CAST((id * 91) % 256 AS LONG) AS b")
+    Manifest.create(wide, dir, "grp")
+    Manifest.deleteRows(spark, dir, $"id" === 0L)
+    Manifest.clusterZOrder(spark, dir, "grp", "a", "b",
+      filesPerPartition = 4)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.readHeader(dir,
+      Manifest.latestVersion(dir, conf), conf).dv.isEmpty,
+      "a full clustered rewrite must fold the DV away")
+    assert(Manifest.read(spark, dir).filter($"id" === 0L).isEmpty,
+      "clusterZOrder resurrected a DV-deleted row")
+    // box read: exact content, and a fraction of the files listed
+    val (box, listed, total) = Manifest.readRange2(spark, dir,
+      0L, 63L, 0L, 63L)
+    val got = box.filter($"a".between(0L, 63L) && $"b".between(0L, 63L))
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = (1L until 256L)
+      .filter(i => (i * 37) % 256 <= 63 && (i * 91) % 256 <= 63).toSeq
+    assert(got === want, "2-D box content drifted")
+    assert(listed < total, s"box read listed all $total files")
+    // EITHER single dimension prunes — the z-order property
+    val (_, l1, t1) = Manifest.readRange2(spark, dir, 0L, 63L, 0L, 255L)
+    val (_, l2, t2) = Manifest.readRange2(spark, dir, 0L, 255L, 0L, 63L)
+    assert(l1 < t1, "dim-1-only range did not prune")
+    assert(l2 < t2, "dim-2-only range did not prune")
+    // loud on an unclustered layout
+    val dir2 = mkdir()
+    Manifest.create(fixture, dir2, "grp")
+    val e = intercept[IllegalArgumentException] {
+      Manifest.readRange2(spark, dir2, 0L, 1L, 0L, 1L)
+    }
+    assert(e.getMessage.contains("clusterZOrder"))
+  }
+
+  test("mergeBatch: a replayed batch id applies nothing") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    val source = Seq((1L, "a", 111.0, false), (9L, "c", 99.0, false))
+      .toDF("id", "grp", "value", "_d")
+    assert(Manifest.mergeBatch(spark, dir, "grp", source, Seq("id"),
+      batchId = 0L, deleteCol = "_d"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = Manifest.latestVersion(dir, conf)
+    assert(!Manifest.mergeBatch(spark, dir, "grp", source, Seq("id"),
+      batchId = 0L, deleteCol = "_d"), "replayed batch committed")
+    assert(Manifest.latestVersion(dir, conf) === v,
+      "replayed batch moved the version")
+    assert(Manifest.read(spark, dir).filter($"id" === 1L)
+      .select("value").as[Double].head() === 111.0)
+  }
+
   test("a stale conflicting writer fails loudly and mutates nothing") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
