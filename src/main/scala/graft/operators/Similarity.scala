@@ -809,6 +809,31 @@ object Similarity {
     finally out.close()
   }
 
+  /** REBALANCE a persisted IVF layout — the maintenance op for
+    * DISTRIBUTION DRIFT: `appendIvfLayout` deliberately freezes the
+    * trained centroids (retraining under an append would shift every
+    * stored vector's bucket), so as the corpus drifts the centroids
+    * stop describing it and probe recall decays (the q352-family
+    * monitors exist to catch exactly this). Rebalancing retrains the
+    * centroids on the CURRENT stored corpus (same bounded
+    * deterministic sample as any build) and rewrites the layout under
+    * the new model into `destDir` — blue/green: the old layout serves
+    * reads until the caller swaps, nothing is ever rebuilt in place
+    * under a reader. Cost: one scan of the stored index bytes + a
+    * model-sized retrain — never a touch of the original corpus.
+    */
+  def rebalanceIvfLayout(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      destDir: String, nlist: Int, nassign: Int = 3): Unit = {
+    require(srcDir != destDir,
+      "rebalanceIvfLayout: rebuild blue/green into a DIFFERENT dir - an " +
+        "in-place rewrite would yank the layout out from under readers")
+    val store = spark.read.parquet(srcDir)
+      .select(col("neighbor_id"), col("cv"))
+      .dropDuplicates("neighbor_id") // stored once per nassign bucket
+    writeIvfLayout(store, "neighbor_id", "cv", destDir, nlist, nassign)
+  }
+
   /** Incremental index maintenance: assign NEW vectors with the
     * layout's PERSISTED centroids (no retrain, no rewrite of existing
     * rows) and append them into the bucket partitions. This is the

@@ -246,6 +246,58 @@ object SimilarityQueries {
     // NON-DECREASING in nprobe, as integers, no tolerance needed. The
     // gate emits every (query, probe-step) violating that, plus a
     // floor row if even nprobe=8 recalls < 0.8. Oracle: empty.
+    // IVF REBALANCE UNDER DRIFT — the maintenance story between
+    // append (frozen centroids, q107) and the drift monitors: half the
+    // corpus "drifts" (mirrored + shifted embeddings appended under
+    // the OLD centroids, which describe them badly), so a low-probe
+    // search over drifted queries loses recall; retraining on the
+    // stored index (`rebalanceIvfLayout`, blue/green into a fresh dir)
+    // must win it back. Violations: REGRESSED if rebalanced recall
+    // drops below stale recall, NOT_IMPROVED if the fixture's drift
+    // is too weak to matter (vacuous gate), FLOOR if the rebalanced
+    // index still recalls < 0.8. Oracle: empty.
+    "q381_ivf_rebalance_gate" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val off = e.agg(max("vec_id")).head().getLong(0) + 1L
+      val drifted = e
+        .withColumn("vec_id", col("vec_id") + off)
+        .withColumn("embedding", expr(
+          "transform(embedding, x -> CAST(-x AS DOUBLE) + 0.5D)"))
+      val union = e.select(col("vec_id"), col("embedding"))
+        .unionByName(drifted.select(col("vec_id"), col("embedding")))
+      val queries = drifted.filter(col("vec_id") < lit(off) + 10)
+      val stale = java.nio.file.Files
+        .createTempDirectory("graft_ivf_stale").toString
+      Similarity.writeIvfLayout(e, "vec_id", "embedding", stale,
+        nlist = 8, nassign = 1)
+      Similarity.appendIvfLayout(stale, drifted, "vec_id", "embedding",
+        nassign = 1)
+      val fresh = java.nio.file.Files
+        .createTempDirectory("graft_ivf_fresh").toString
+      Similarity.rebalanceIvfLayout(s, stale, fresh, nlist = 8,
+        nassign = 1)
+      val exact = Similarity.bruteForceTopK(union, queries, "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def recallOf(layout: String) = {
+        val approx = Similarity.ivfTopKFromLayout(layout, queries,
+            "vec_id", "embedding", k = 5, nprobe = 1)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
+            .as("r")).head().getDouble(0)
+      }
+      val rStale = recallOf(stale)
+      val rFresh = recallOf(fresh)
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("violation"),
+          round(lit(rFresh - rStale), 6).as("metric"))
+      viol(rFresh < rStale, "REGRESSED")
+        .unionByName(viol(rFresh <= rStale, "NOT_IMPROVED"))
+        .unionByName(viol(rFresh < 0.8, "FLOOR"))
+        .orderBy("violation")
+    }),
+
     "q287_ivf_probe_sweep" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
@@ -1259,6 +1311,10 @@ object SimilarityQueries {
         |  CAST(NULL AS DOUBLE) AS recall_floor
         |WHERE FALSE""".stripMargin,
     "q348_filtered_ann" ->
+      """SELECT CAST(NULL AS VARCHAR) AS violation,
+        |  CAST(NULL AS DOUBLE) AS metric
+        |WHERE FALSE""".stripMargin,
+    "q381_ivf_rebalance_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS violation,
         |  CAST(NULL AS DOUBLE) AS metric
         |WHERE FALSE""".stripMargin,

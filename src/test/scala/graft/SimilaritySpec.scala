@@ -299,6 +299,35 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("nb") =!= 3).count() === 0L)
   }
 
+  test("rebalanceIvfLayout: blue/green rebuild preserves the id set and " +
+      "equals an in-flight search trained on the same corpus") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val src = java.nio.file.Files.createTempDirectory("reb_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("reb_dst").toString
+    Similarity.writeIvfLayout(e, "vec_id", "embedding", src,
+      nlist = 8, nassign = 2)
+    Similarity.rebalanceIvfLayout(spark, src, dst, nlist = 8, nassign = 2)
+    // the stored id set survives the rebuild exactly once (dedup law)
+    val ids = spark.read.parquet(dst).select("neighbor_id")
+      .distinct().count()
+    assert(ids === e.count(), "rebalance lost or duplicated stored ids")
+    // same corpus + same deterministic training seed => the rebalanced
+    // layout's search is BIT-EQUAL to an in-flight ivfTopK
+    val q = e.filter($"vec_id" < 10)
+    val fromLayout = Similarity.ivfTopKFromLayout(dst, q, "vec_id",
+      "embedding", k = 5, nprobe = 2)
+    val inFlight = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+      nlist = 8, nprobe = 2, nassign = 2)
+    assert(fromLayout.exceptAll(inFlight).count() === 0L &&
+      inFlight.exceptAll(fromLayout).count() === 0L,
+      "rebalanced layout search diverged from the in-flight build")
+    // in-place rebuild is refused
+    val err = intercept[IllegalArgumentException] {
+      Similarity.rebalanceIvfLayout(spark, src, src, nlist = 8)
+    }
+    assert(err.getMessage.contains("blue/green"))
+  }
+
   test("hardNegatives excludes same-label vectors even when they are nearest") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f), "a"),   // the query itself
