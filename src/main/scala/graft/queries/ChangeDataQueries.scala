@@ -928,7 +928,13 @@ object ChangeDataQueries {
           col("event_id").between(emn, eHi))
         .select(col("event_id"), col("user_id"),
           col("dt").cast("string").as("dt"), col("value"))
-      val noskip = listed * 3 > total
+      // threshold honest for a genuinely 2-D distribution (the sf1
+      // stress: event ids spread band-wise inside every day): 4-6
+      // z-files per day, a 1/36 box admits ~1-2 per day at file
+      // granularity -> well under half the files; a broken layout
+      // (no second-dimension stats, or a linear sort serving only
+      // dim 1) lists essentially all of them
+      val noskip = listed * 2 > total
       val (_, listed2, total2) = Manifest.readRange2(s, tmp, umn, umx,
         emn, eHi)
       val dim2Noskip = listed2 >= total2
