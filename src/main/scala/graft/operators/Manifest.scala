@@ -50,7 +50,8 @@ object Manifest {
   private[graft] case class Entry(p: String, file: String,
       lo: Option[Long] = None, hi: Option[Long] = None,
       bloom: Option[String] = None,
-      lo2: Option[Long] = None, hi2: Option[Long] = None)
+      lo2: Option[Long] = None, hi2: Option[Long] = None,
+      kmv: Option[String] = None)
 
   /** Resolve an entry's data-file path: branch manifests reference
     * foreign (source-layout) files by ABSOLUTE path — the zero-copy
@@ -88,7 +89,7 @@ object Manifest {
     * rows.
     */
   private[graft] case class Header(batch: Long = -1L, bloomK: Int = -1,
-      dv: Seq[String] = Nil)
+      dv: Seq[String] = Nil, kmvK: Int = -1)
 
   /** One-rename commit: the version is taken or it isn't — a lost race
     * is a loud failure, never a silent overwrite of someone else's
@@ -96,7 +97,7 @@ object Manifest {
     */
   private[graft] def commitManifest(dir: String, version: Int,
       entries: Seq[Entry], conf: Configuration, batch: Long = -1L,
-      dv: Seq[String] = Nil, bloomK: Int = -1): Unit = {
+      dv: Seq[String] = Nil, bloomK: Int = -1, kmvK: Int = -1): Unit = {
     val f = fs(dir, conf)
     val tmp = new Path(s"$dir/_manifests",
       s".tmp-${ProcessHandle.current().pid()}-v$version")
@@ -105,6 +106,7 @@ object Manifest {
       val fields = Seq(s""""version":$version""") ++
         (if (batch >= 0) Seq(s""""batch":$batch""") else Nil) ++
         (if (bloomK >= 1) Seq(s""""bloomk":$bloomK""") else Nil) ++
+        (if (kmvK >= 1) Seq(s""""kmvk":$kmvK""") else Nil) ++
         (if (dv.nonEmpty)
           Seq(s""""dv":[${dv.map(p => s""""$p"""").mkString(",")}]""")
         else Nil)
@@ -120,8 +122,9 @@ object Manifest {
           case _ => ""
         }
         val bloom = e.bloom.map(b => s""","bloom":"$b"""").getOrElse("")
+        val kmv = e.kmv.map(b => s""","kmv":"$b"""").getOrElse("")
         out.write(
-          s"""{"p":"${e.p}","file":"${e.file}"$stats$stats2$bloom}\n"""
+          s"""{"p":"${e.p}","file":"${e.file}"$stats$stats2$bloom$kmv}\n"""
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     } finally out.close()
@@ -148,11 +151,13 @@ object Manifest {
     val head = manifestLines(dir, version, conf).headOption.getOrElse("")
     val B = """"batch":(\d+)""".r
     val K = """"bloomk":(\d+)""".r
+    val KM = """"kmvk":(\d+)""".r
     val D = """"dv":\[([^\]]*)\]""".r
     val S = """"([^"]+)"""".r
     Header(
       batch = B.findFirstMatchIn(head).map(_.group(1).toLong).getOrElse(-1L),
       bloomK = K.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(-1),
+      kmvK = KM.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(-1),
       dv = D.findFirstMatchIn(head).map(_.group(1)).toSeq
         .flatMap(a => S.findAllMatchIn(a).map(_.group(1)).toSeq))
   }
@@ -163,10 +168,12 @@ object Manifest {
     val Line =
       ("""\{"p":"([^"]*)","file":"([^"]*)"(?:,"lo":(-?\d+),"hi":(-?\d+))?""" +
         """(?:,"lo2":(-?\d+),"hi2":(-?\d+))?""" +
-        """(?:,"bloom":"([A-Za-z0-9+/=]*)")?\}""").r
-    lines.drop(1).map { case Line(pv, file, lo, hi, lo2, hi2, bloom) =>
+        """(?:,"bloom":"([A-Za-z0-9+/=]*)")?""" +
+        """(?:,"kmv":"([A-Za-z0-9+/=]*)")?\}""").r
+    lines.drop(1).map { case Line(pv, file, lo, hi, lo2, hi2, bloom, kmv) =>
       Entry(pv, file, Option(lo).map(_.toLong), Option(hi).map(_.toLong),
-        Option(bloom), Option(lo2).map(_.toLong), Option(hi2).map(_.toLong))
+        Option(bloom), Option(lo2).map(_.toLong), Option(hi2).map(_.toLong),
+        Option(kmv))
     }
   }
 
@@ -310,7 +317,7 @@ object Manifest {
                else Seq.empty[Entry]
     val h = if (base >= 1) readHeader(dir, base, conf) else Header()
     commitManifest(dir, base + 1, prev ++ entries, conf, batch = batchId,
-      dv = h.dv, bloomK = h.bloomK)
+      dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
     true
   }
 
@@ -327,7 +334,7 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf) ++ entries, conf,
-      dv = h.dv, bloomK = h.bloomK)
+      dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
   }
 
   /** Multi-partition overwrite published as ONE commit: every partition
@@ -347,7 +354,7 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => touched(e.p)) ++ entries,
-      conf, dv = h.dv, bloomK = h.bloomK)
+      conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
   }
 
   /** A prepared-but-unpublished partition overwrite: data files are on
@@ -433,7 +440,7 @@ object Manifest {
       val h = readHeader(dir, latest, conf)
       try {
         commitManifest(dir, latest + 1, merged, conf,
-          dv = h.dv, bloomK = h.bloomK)
+          dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
         return latest + 1
       } catch {
         case e: IllegalArgumentException if attempt < maxAttempts =>
@@ -719,7 +726,7 @@ object Manifest {
         commitManifest(dir, latest + 1,
           readManifest(dir, latest, conf)
             .filterNot(e => affected(e.p)) ++ entries, conf,
-          batch = batchId, dv = h.dv, bloomK = h.bloomK)
+          batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
         return latest + 1
       } catch {
         case e: IllegalArgumentException if attempt < 5 =>
@@ -776,7 +783,7 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       entries.filterNot(e => hot(e.p)) ++ newEntries, conf,
-      dv = h.dv, bloomK = h.bloomK)
+      dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
     hot.size
   }
 
@@ -796,7 +803,7 @@ object Manifest {
       s"restore: version $toVersion out of range 1..$base")
     val h = readHeader(dir, toVersion, conf)
     commitManifest(dir, base + 1, readManifest(dir, toVersion, conf), conf,
-      dv = h.dv, bloomK = h.bloomK)
+      dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
     base + 1
   }
 
@@ -823,7 +830,7 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => touched(e.p)) ++ entries,
-      conf, batch = batchId, dv = h.dv, bloomK = h.bloomK)
+      conf, batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
     true
   }
 
@@ -940,7 +947,8 @@ object Manifest {
       .map(e => e.copy(file = filePath(dir, e)))
     val h = readHeader(dir, base, conf)
     commitManifest(bdir, 1, absEntries, conf,
-      dv = h.dv.map(p => dvFilePath(dir, p)), bloomK = h.bloomK)
+      dv = h.dv.map(p => dvFilePath(dir, p)), bloomK = h.bloomK,
+      kmvK = h.kmvK)
     val f = fs(dir, conf)
     val out = f.create(new Path(bdir, "_branch_base"), true)
     try out.write(base.toString
@@ -999,7 +1007,8 @@ object Manifest {
     commitManifest(dir, mainLatest + 1,
       readManifest(dir, mainLatest, conf)
         .filterNot(e => branchChanged(e.p)) ++ bEntries, conf,
-      dv = mainH.dv ++ branchNewDv, bloomK = mainH.bloomK)
+      dv = mainH.dv ++ branchNewDv, bloomK = mainH.bloomK,
+      kmvK = mainH.kmvK)
     mainLatest + 1
   }
 
@@ -1071,7 +1080,7 @@ object Manifest {
         java.util.Base64.getEncoder.encodeToString(bytes)
       })
     }
-    commitManifest(dir, base + 1, entries, conf, dv = h.dv, bloomK = k)
+    commitManifest(dir, base + 1, entries, conf, dv = h.dv, bloomK = k, kmvK = h.kmvK)
     true
   }
 
@@ -1135,6 +1144,104 @@ object Manifest {
           .select(cols.map(col): _*)
       }
     (df, hit.length, entries.length)
+  }
+
+  // ---- Per-file KMV sketches: distinct counts WITHOUT scans ----------
+  //
+  // Table statistics for planning and census questions ("how many
+  // distinct users per partition?") normally cost a full scan +
+  // shuffle. The manifest can answer them the way it answers range and
+  // point questions: carry a per-file sketch. KMV (bottom-k hashes) is
+  // the right sketch here because its merge is EXACT set algebra —
+  // union-then-truncate — so merging the file sketches of any
+  // partition selection IS the sketch of that selection, computed
+  // driver-side from the manifest alone (file-census work, zero data
+  // read at question time). Same incremental discipline as the Bloom
+  // index: immutable bytes ⇒ immutable sketch; a refresh costs only
+  // unsketched files and converges to a no-op.
+
+  private def decodeKmv(b64: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(buf.getLong)
+  }
+
+  /** Sketch-build maintenance pass: per-file bottom-k of
+    * `xxhash64(column)` for every not-yet-sketched file, committed as
+    * a new version (k persisted in the header; files whose column is
+    * all-NULL or empty get the EMPTY sketch so the refresh converges).
+    * No-op (no commit) when every file is sketched. Returns whether a
+    * commit happened.
+    */
+  def addDistinctSketch(spark: SparkSession, dir: String, column: String,
+      k: Int = 1024): Boolean = {
+    require(k >= 16, s"addDistinctSketch: k must be >= 16, got $k")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = latestVersion(dir, conf)
+    require(base >= 1, s"$dir is not a manifested layout")
+    val h = readHeader(dir, base, conf)
+    require(h.kmvK < 1 || h.kmvK == k,
+      s"addDistinctSketch: layout was sketched with k=${h.kmvK}, got " +
+        s"k=$k - mixed-k sketches do not merge")
+    val all = readManifest(dir, base, conf)
+    val todo = all.filter(_.kmv.isEmpty)
+    if (todo.isEmpty) return false
+    val segs = split(col("_metadata.file_path"), "/")
+    val perFile: Map[String, Array[Long]] = Sketches.kmvSketch(
+        spark.read.option("mergeSchema", "true")
+          .parquet(todo.map(e => filePath(dir, e)): _*)
+          .withColumn("__file",
+            concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
+          .filter(col(column).isNotNull),
+        Seq("__file"), column, k)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    val entries = all.map { e =>
+      if (e.kmv.isDefined) e
+      else e.copy(kmv = Some {
+        val hs = perFile.getOrElse(tailKey(e.file), Array.empty[Long])
+        val buf = java.nio.ByteBuffer.allocate(hs.length * 8)
+        hs.foreach(buf.putLong)
+        java.util.Base64.getEncoder.encodeToString(buf.array())
+      })
+    }
+    commitManifest(dir, base + 1, entries, conf,
+      dv = h.dv, bloomK = h.bloomK, kmvK = k)
+    true
+  }
+
+  /** Distinct-count estimate of `column` over a partition selection
+    * (default: the whole table), answered from the MANIFEST ALONE —
+    * merge the selected files' KMV sketches (exact union-truncate
+    * algebra) and estimate; zero data bytes read. Exact when the true
+    * distinct count is below k. Loud if any selected file lacks a
+    * sketch (files from commits after the last build — refresh with
+    * `addDistinctSketch`): silently under-counting them is the trap.
+    * Returns (estimate, selected file count).
+    */
+  def approxDistinct(spark: SparkSession, dir: String,
+      partitions: Seq[String] = null): (Double, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = latestVersion(dir, conf)
+    val k = readHeader(dir, v, conf).kmvK
+    require(k >= 1,
+      s"$dir carries no distinct sketch - build one with addDistinctSketch")
+    val want = Option(partitions).map(_.toSet)
+    val sel = readManifest(dir, v, conf)
+      .filter(e => want.forall(_.contains(e.p)))
+    require(sel.nonEmpty, s"approxDistinct: no manifest entry matches " +
+      s"partitions $partitions in $dir")
+    val missing = sel.count(_.kmv.isEmpty)
+    require(missing == 0,
+      s"approxDistinct: $missing selected file(s) carry no sketch - run " +
+        "addDistinctSketch to cover commits newer than the last build")
+    val merged = sel.flatMap(e => decodeKmv(e.kmv.get))
+      .distinct.sorted.take(k)
+    val est =
+      if (merged.length < k) merged.length.toDouble
+      else (k - 1).toDouble / (merged(k - 1) * math.pow(2.0, -64) + 0.5)
+    (est, sel.length)
   }
 
   // ---- Deletion vectors: MERGE-ON-READ row deletes -------------------
@@ -1244,7 +1351,7 @@ object Manifest {
       val h = readHeader(dir, latest, conf)
       try {
         commitManifest(dir, latest + 1, entries, conf,
-          dv = h.dv :+ prep.delta, bloomK = h.bloomK)
+          dv = h.dv :+ prep.delta, bloomK = h.bloomK, kmvK = h.kmvK)
         return prep.nNew
       } catch {
         case e: IllegalArgumentException if attempt < maxAttempts =>
@@ -1331,7 +1438,8 @@ object Manifest {
     val newEntries = writeCommitFiles(survivors, dir, partCol, base + 1)
     commitManifest(dir, base + 1,
       entries.filterNot(e => affectedParts(e.p)) ++ newEntries, conf,
-      bloomK = readHeader(dir, base, conf).bloomK)
+      bloomK = readHeader(dir, base, conf).bloomK,
+      kmvK = readHeader(dir, base, conf).kmvK)
     true
   }
 
@@ -1377,7 +1485,7 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => affected(e.p)) ++ entries,
-      conf, dv = h.dv, bloomK = h.bloomK)
+      conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
     true
   }
 
@@ -1509,7 +1617,7 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => affected(e.p)) ++ entries,
-      conf, dv = h.dv, bloomK = h.bloomK)
+      conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
   }
 
   /** Snapshot read of a pinned version — exactly that manifest's files,
@@ -1618,7 +1726,8 @@ object Manifest {
     val entries = writeCommitFiles(clustered, dir, partCol, base + 1,
       statsCol = colA, statsCol2 = colB)
     commitManifest(dir, base + 1, entries, conf,
-      bloomK = readHeader(dir, base, conf).bloomK)
+      bloomK = readHeader(dir, base, conf).bloomK,
+      kmvK = readHeader(dir, base, conf).kmvK)
   }
 
   /** Two-dimensional DATA-SKIPPING box read: only files whose tracked
@@ -1689,7 +1798,8 @@ object Manifest {
     val entries = writeCommitFiles(clustered, dir, partCol, base + 1,
       statsCol)
     commitManifest(dir, base + 1, entries, conf,
-      bloomK = readHeader(dir, base, conf).bloomK)
+      bloomK = readHeader(dir, base, conf).bloomK,
+      kmvK = readHeader(dir, base, conf).kmvK)
   }
 
   /** Every manifest version number currently committed in `dir`. */

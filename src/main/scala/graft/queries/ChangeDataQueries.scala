@@ -845,6 +845,61 @@ object ChangeDataQueries {
         .orderBy("dt")
     }),
 
+    // MANIFEST-ONLY DISTINCT COUNTS — per-file KMV sketches (exact
+    // union-truncate merge algebra) ride the manifest like the Bloom
+    // index, so "how many distinct customers in these partitions?" is
+    // answered from the manifest alone: zero data bytes at question
+    // time. Gate: per-status exact distinct census (hash-gated) +
+    // estimator error bound per status AND overall (ERR_BOUND), an
+    // all-sketched refresh is a no-op (NOT_CONVERGED), and after an
+    // append the un-refreshed question fails LOUDLY instead of
+    // silently under-counting (SILENT_STALE) while a refresh sketches
+    // only the new files and restores service (REFRESH_BROKEN).
+    "q382_manifest_ndv_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ndv").toString
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      Manifest.create(o.repartition(16), tmp, "o_orderstatus")
+      Manifest.addDistinctSketch(s, tmp, "o_custkey", k = 1024)
+      val exact = o.groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("n_distinct"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val errs = exact.keys.toSeq.map { st =>
+        val (est, _) = Manifest.approxDistinct(s, tmp, Seq(st))
+        math.abs(est - exact(st)) / math.max(exact(st), 1L)
+      }
+      val exactAll = o.agg(countDistinct("o_custkey")).head().getLong(0)
+      val (estAll, _) = Manifest.approxDistinct(s, tmp)
+      val errAll = math.abs(estAll - exactAll) / exactAll
+      val errBound = (errs :+ errAll).exists(_ > 0.08)
+      val notConverged = Manifest.addDistinctSketch(s, tmp, "o_custkey",
+        k = 1024)
+      // new commit -> stale sketch must be LOUD, refresh must restore
+      Manifest.append(o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L),
+        tmp, "o_orderstatus")
+      val silentStale = try { Manifest.approxDistinct(s, tmp); true }
+        catch { case e: IllegalArgumentException =>
+          !e.getMessage.contains("addDistinctSketch") }
+      val refreshBroken = {
+        val did = Manifest.addDistinctSketch(s, tmp, "o_custkey", k = 1024)
+        val (est2, _) = Manifest.approxDistinct(s, tmp)
+        !did || math.abs(est2 - exactAll) / exactAll > 0.08
+      }
+      val census = o.groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("n_distinct"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("o_orderstatus"), lit(-1L).as("n_distinct"))
+      census
+        .unionByName(viol(errBound, "ERR_BOUND"))
+        .unionByName(viol(notConverged, "NOT_CONVERGED"))
+        .unionByName(viol(silentStale, "SILENT_STALE"))
+        .unionByName(viol(refreshBroken, "REFRESH_BROKEN"))
+        .orderBy("o_orderstatus")
+    }),
+
     // STREAMING UPSERT (apply-changes): a document stream drives
     // per-micro-batch MERGE commits into a manifested layout — each
     // batch's rows compile to keyed deletes (doc_id≡1 mod 7), updates
@@ -1397,6 +1452,12 @@ object ChangeDataQueries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Per-status exact distinct-customer census — no ERR_BOUND /
+    // NOT_CONVERGED / SILENT_STALE / REFRESH_BROKEN rows.
+    "q382_manifest_ndv_gate" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // Survivors + updates + synthetic inserts of the streamed feed —
     // no REPLAYED row.
     "q379_stream_upsert_gate" ->

@@ -815,6 +815,38 @@ class ManifestSpec extends SparkSpec {
       .select("value").as[Double].head() === 111.0)
   }
 
+  test("distinct sketch: exact below k, answered from the manifest " +
+      "alone, loud when stale, convergent refresh, k persisted") {
+    val dir = mkdir()
+    // 40 rows, 10 distinct keys, 2 partitions -> well below k: EXACT
+    val df = spark.range(40).selectExpr("id",
+      "CAST(id % 2 AS STRING) AS grp", "CAST(id % 10 AS LONG) AS key")
+    Manifest.create(df.repartition(4), dir, "grp")
+    assert(Manifest.addDistinctSketch(spark, dir, "key", k = 16))
+    val (est, nFiles) = Manifest.approxDistinct(spark, dir)
+    assert(est === 10.0, s"below-k estimate must be exact, got $est")
+    assert(nFiles > 0)
+    // partition selection merges only that partition's sketches
+    val (estA, _) = Manifest.approxDistinct(spark, dir, Seq("0"))
+    assert(estA === 5.0, s"partition-selected estimate drifted: $estA")
+    // convergence: nothing left to sketch
+    assert(!Manifest.addDistinctSketch(spark, dir, "key", k = 16))
+    // k persists: a mismatched refresh is loud
+    Manifest.append(df.filter($"id" < 2L)
+      .withColumn("id", $"id" + 100L), dir, "grp")
+    val e = intercept[IllegalArgumentException] {
+      Manifest.addDistinctSketch(spark, dir, "key", k = 32)
+    }
+    assert(e.getMessage.contains("k=16"))
+    // stale question is loud, refresh restores
+    val e2 = intercept[IllegalArgumentException] {
+      Manifest.approxDistinct(spark, dir)
+    }
+    assert(e2.getMessage.contains("addDistinctSketch"))
+    assert(Manifest.addDistinctSketch(spark, dir, "key", k = 16))
+    assert(Manifest.approxDistinct(spark, dir)._1 === 10.0)
+  }
+
   test("a stale conflicting writer fails loudly and mutates nothing") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
