@@ -223,6 +223,47 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // PERSISTED LSH INDEX — the standing admission gate q111 re-derives
+    // per call: the history's MinHash band keys and shingle sets are
+    // stored ONCE (bucket-partitioned `keys/`, part-partitioned
+    // `sets/`, model in the meta file), a batch probes only its own
+    // band buckets, and survivors APPEND under the persisted model.
+    // In-gate: layout path ≡ the in-flight lshNewAgainstHistory
+    // (DIVERGED), and after appending the survivors a re-probe of the
+    // same docs finds every one a stored dup of itself
+    // (APPEND_BROKEN — the incremental half, end to end). Shares
+    // q111's true-Jaccard DuckDB oracle.
+    "q383_lsh_layout_gate" -> ((s, dir) => {
+      import graft.operators.LshLayout
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lsh_layout").toString
+      val history = d.filter(col("doc_id") % 3 =!= 0)
+      val batch = d.filter(col("doc_id") % 2 === 0)
+      LshLayout.writeLshLayout(history, "doc_id", "text", tmp)
+      val sel = Seq("doc_id", "lang", "source", "n_chars")
+      val kept = LshLayout.dedupAgainstLayout(tmp, batch, "doc_id",
+        "text", threshold = 0.8).select(sel.map(col): _*)
+        .localCheckpoint(true)
+      val ref = Dedup.lshNewAgainstHistory(history, batch, "doc_id",
+        "text", threshold = 0.8).select(sel.map(col): _*)
+      val diverged = kept.exceptAll(ref).unionAll(ref.exceptAll(kept))
+        .limit(1).count() > 0
+      LshLayout.appendLshLayout(tmp,
+        d.join(kept.select("doc_id"), Seq("doc_id")), "doc_id", "text")
+      val appendBroken = LshLayout.dedupAgainstLayout(tmp,
+          d.join(kept.select("doc_id"), Seq("doc_id")), "doc_id", "text",
+          threshold = 0.8)
+        .limit(1).count() > 0
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(-1L).as("doc_id"), lit(name).as("lang"),
+          lit("").as("source"), lit(-1L).as("n_chars"))
+      kept
+        .unionByName(viol(diverged, "DIVERGED"))
+        .unionByName(viol(appendBroken, "APPEND_BROKEN"))
+        .orderBy("doc_id")
+    }),
+
     // Duplicate-span profile (ExactSubstr): per doc, the merged [start,
     // end) word intervals covered by cross-document duplicated 8-grams —
     // the spans a span-level dedup pass excises. Text never shuffles
@@ -902,6 +943,11 @@ object DedupQueries {
     // definition; a banding miss surfaces as a row the oracle drops
     // and the operator keeps).
     "q111_lsh_incremental" -> lshIncrementalOracle,
+    // The persisted-layout path must land on the same true-Jaccard kept
+    // set — one oracle states the semantics for the in-flight, the
+    // streaming, and the stored-index execution modes. No DIVERGED /
+    // APPEND_BROKEN rows.
+    "q383_lsh_layout_gate" -> lshIncrementalOracle,
     // The streaming twin drains to the same kept set on bounded input —
     // one oracle states the semantics for both execution modes.
     "q118_stream_lsh_incremental" -> lshIncrementalOracle,

@@ -43,6 +43,36 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs.head._3 - 7.0 / 9.0) < 1e-6)
   }
 
+  test("LshLayout: probe reads the persisted model (not caller params), " +
+      "catches the planted near-dup, admits the novel doc, and a " +
+      "non-layout dir is loud") {
+    import graft.operators.LshLayout
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_layout_spec").toString
+    val history = docsDf.toDF("doc_id", "lang", "text")
+    LshLayout.writeLshLayout(history, "doc_id", "text", dir,
+      nlist = 8, nparts = 4)
+    val batch = Seq(
+      (10L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "en", "completely unrelated novel content with fresh words")
+    ).toDF("doc_id", "lang", "text")
+    val kept = LshLayout.dedupAgainstLayout(dir, batch, "doc_id", "text",
+      threshold = 0.8).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L),
+      s"expected only the novel doc to survive, got $kept")
+    // append the survivor; re-probing it finds its own stored copy
+    LshLayout.appendLshLayout(dir,
+      batch.filter($"doc_id" === 11L), "doc_id", "text")
+    assert(LshLayout.dedupAgainstLayout(dir, batch.filter($"doc_id" === 11L),
+      "doc_id", "text", threshold = 0.8).isEmpty,
+      "appended survivor not found by the incremental probe")
+    val e = intercept[IllegalArgumentException] {
+      LshLayout.dedupAgainstLayout(dir + "/nope", batch, "doc_id", "text",
+        0.8)
+    }
+    assert(e.getMessage.contains("not an LSH layout"))
+  }
+
   test("blockedJaccardPairs never crosses blocks") {
     val exact = Dedup.blockedJaccardPairs(docsDf, "doc_id", "text",
         Seq("lang"), threshold = 0.5)
