@@ -91,6 +91,21 @@ object Manifest {
   private[graft] case class Header(batch: Long = -1L, bloomK: Int = -1,
       dv: Seq[String] = Nil, kmvK: Int = -1)
 
+  /** Per-layout commit lock: the exists-then-rename CAS below is atomic
+    * on HDFS/object stores (rename onto an existing destination fails)
+    * but NOT on a raw local FS (POSIX rename silently replaces), and a
+    * multi-threaded driver — a streaming ingest leg plus a maintenance
+    * job in one Spark app — genuinely races it. The JVM-wide lock
+    * closes the window for every writer in this process; cross-process
+    * local-FS racers should use a real cluster FS (where the rename
+    * precondition holds server-side).
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def commitLock(dir: String): Object =
+    commitLocks.computeIfAbsent(dir, _ => new Object)
+
   /** One-rename commit: the version is taken or it isn't — a lost race
     * is a loud failure, never a silent overwrite of someone else's
     * snapshot.
@@ -99,8 +114,13 @@ object Manifest {
       entries: Seq[Entry], conf: Configuration, batch: Long = -1L,
       dv: Seq[String] = Nil, bloomK: Int = -1, kmvK: Int = -1): Unit = {
     val f = fs(dir, conf)
+    // tmp names must be unique per ATTEMPT, not per process: two
+    // threads of one driver racing the same version otherwise write
+    // (and rename away) each other's staged manifest
     val tmp = new Path(s"$dir/_manifests",
-      s".tmp-${ProcessHandle.current().pid()}-v$version")
+      s".tmp-${ProcessHandle.current().pid()}" +
+        s"-t${Thread.currentThread().getId}" +
+        s"x${System.nanoTime().toHexString}-v$version")
     val out = f.create(tmp, true)
     try {
       val fields = Seq(s""""version":$version""") ++
@@ -129,7 +149,11 @@ object Manifest {
       }
     } finally out.close()
     val target = manifestPath(dir, version)
-    require(!f.exists(target) && f.rename(tmp, target),
+    val won = commitLock(dir).synchronized {
+      !f.exists(target) && f.rename(tmp, target)
+    }
+    if (!won) f.delete(tmp, false) // loser's staged manifest is debris
+    require(won,
       s"manifest commit v$version lost the race (another writer " +
         s"published it) - rebase on latestVersion and retry")
   }
@@ -1552,7 +1576,9 @@ object Manifest {
     }
     val f = fs(dir, conf)
     val tmp = new Path(s"$dir/_catalog",
-      s".tmp-${ProcessHandle.current().pid()}-v${cur + 1}")
+      s".tmp-${ProcessHandle.current().pid()}" +
+        s"-t${Thread.currentThread().getId}" +
+        s"x${System.nanoTime().toHexString}-v${cur + 1}")
     val out = f.create(tmp, true)
     try {
       out.write(s"""{"version":${cur + 1}}\n"""
@@ -1563,8 +1589,11 @@ object Manifest {
       }
     } finally out.close()
     val target = catalogPath(dir, cur + 1)
-    require(!f.exists(target) && f.rename(tmp, target),
-      s"catalog commit v${cur + 1} lost the race - retry")
+    val won = commitLock(s"$dir/_catalog").synchronized {
+      !f.exists(target) && f.rename(tmp, target)
+    }
+    if (!won) f.delete(tmp, false)
+    require(won, s"catalog commit v${cur + 1} lost the race - retry")
     cur + 1
   }
 
