@@ -336,29 +336,67 @@ object Manifest {
     // nothing; re-skipping an unstamped empty replay is harmless
     if (df.isEmpty) return false
     val base = latestVersion(dir, conf)
-    val entries = writeCommitFiles(df, dir, partCol, base + 1, statsCol)
-    val prev = if (base >= 1) readManifest(dir, base, conf)
-               else Seq.empty[Entry]
-    val h = if (base >= 1) readHeader(dir, base, conf) else Header()
-    commitManifest(dir, base + 1, prev ++ entries, conf, batch = batchId,
-      dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+    val entries = writeCommitFiles(df, dir, partCol, base + 1, statsCol,
+      suffix = writerToken())
+    appendEntries(df.sparkSession, dir, entries, conf, batchId = batchId)
     true
   }
 
+  /** Writer-unique staging suffix: concurrent committers must never
+    * share a commit directory — a same-base rival's mode("overwrite")
+    * write would clobber staged files before their manifest lands.
+    */
+  private def writerToken(): String =
+    s"-w${ProcessHandle.current().pid()}" +
+      s"t${Thread.currentThread().getId}" +
+      s"x${System.nanoTime().toHexString}"
+
+  /** Publish pure-addition entries with a bounded rebase loop: an
+    * append can NEVER conflict semantically (it touches nothing that
+    * exists), so a lost CAS — a concurrent writer published first —
+    * rebases onto the new latest and retries instead of aborting. The
+    * replay stamp is re-checked each attempt (a racing duplicate
+    * delivery of the same batch must still land exactly once).
+    */
+  private def appendEntries(spark: SparkSession, dir: String,
+      entries: Seq[Entry], conf: Configuration, batchId: Long = -1L,
+      maxAttempts: Int = 20): Unit = {
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion(dir, conf)
+      // stamp re-check AFTER the latest read: a rival publishing our
+      // batch id between check and CAS makes the CAS lose (the version
+      // is taken), and the retry's fresh read then sees the stamp — no
+      // interleaving lands a duplicate
+      if (batchId >= 0 && committedBatches(dir, conf).contains(batchId))
+        return
+      val prev = if (latest >= 1) readManifest(dir, latest, conf)
+                 else Seq.empty[Entry]
+      val h = if (latest >= 1) readHeader(dir, latest, conf) else Header()
+      try {
+        commitManifest(dir, latest + 1, prev ++ entries, conf,
+          batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+        return
+      } catch {
+        case e: IllegalArgumentException if attempt < maxAttempts =>
+          attempt += 1 // lost the rename race - rebase and retry
+      }
+    }
+  }
+
   /** Append-only commit: old entries survive untouched, and so do the
-    * base version's deletion vector and Bloom parameters — an append
-    * must never resurrect merge-on-read-deleted rows.
+    * base version's deletion vector and Bloom/KMV parameters — an
+    * append must never resurrect merge-on-read-deleted rows. Race-
+    * tolerant: a lost CAS rebases (pure addition cannot conflict).
     */
   def append(df: DataFrame, dir: String, partCol: String,
       statsCol: String = null): Unit = {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
-    val entries = writeCommitFiles(df, dir, partCol, base + 1, statsCol)
-    val h = readHeader(dir, base, conf)
-    commitManifest(dir, base + 1,
-      readManifest(dir, base, conf) ++ entries, conf,
-      dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+    val entries = writeCommitFiles(df, dir, partCol, base + 1, statsCol,
+      suffix = writerToken())
+    appendEntries(df.sparkSession, dir, entries, conf)
   }
 
   /** Multi-partition overwrite published as ONE commit: every partition
@@ -417,10 +455,8 @@ object Manifest {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
-    val token =
-      s"-w${ProcessHandle.current().pid()}x${System.nanoTime().toHexString}"
     val entries = writeCommitFiles(df, dir, partCol, base + 1,
-      suffix = token)
+      suffix = writerToken())
     PreparedCommit(base, entries, entries.map(_.p).toSet)
   }
 
@@ -731,11 +767,9 @@ object Manifest {
     val emptied = affected.diff(stillThere)
     // stage + OCC publish (the commitPrepared protocol, plus the
     // emptied-partition drop a plain overwrite cannot express)
-    val token =
-      s"-w${ProcessHandle.current().pid()}x${System.nanoTime().toHexString}"
     val entries = writeCommitFiles(
       next.filter(col(partCol).cast("string").isInCollection(affected)),
-      dir, partCol, base + 1, suffix = token)
+      dir, partCol, base + 1, suffix = writerToken())
     var attempt = 0
     while (true) {
       val latest = latestVersion(dir, conf)

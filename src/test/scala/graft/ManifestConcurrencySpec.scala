@@ -86,6 +86,50 @@ class ManifestConcurrencySpec extends SparkSpec {
         s"\n  extra ${ids -- want}")
   }
 
+  test("racing PLAIN appends: all land via the pure-addition rebase, " +
+      "no staged-file clobber, no lost rows") {
+    val dir = mkdir()
+    Manifest.create(Seq((0L, "base", 0.0)).toDF("id", "grp", "value"),
+      dir, "grp")
+    val writers = 4
+    val perWriter = 3
+    race((1 to writers).map { w => () =>
+      (1 to perWriter).foreach { r =>
+        Manifest.append(
+          Seq((w * 100L + r, s"g$w", r.toDouble)).toDF("id", "grp", "value"),
+          dir, "grp")
+      }
+    })
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.latestVersion(dir, conf) === 1 + writers * perWriter)
+    val ids = Manifest.read(spark, dir).select("id").as[Long]
+      .collect().toSet
+    val want = Set(0L) ++ (for (w <- 1 to writers; r <- 1 to perWriter)
+      yield w * 100L + r)
+    assert(ids === want, s"append race lost rows: missing ${want -- ids}")
+  }
+
+  test("racing commitBatch with DISTINCT batch ids: all land exactly " +
+      "once; duplicate ids land once total") {
+    val dir = mkdir()
+    Manifest.create(Seq((0L, "base", 0.0)).toDF("id", "grp", "value"),
+      dir, "grp")
+    // three writers, two share a batch id (a rebalanced streaming task
+    // re-delivering) — the duplicate must land once
+    race(Seq(
+      () => { Manifest.commitBatch(Seq((1L, "a", 1.0))
+        .toDF("id", "grp", "value"), dir, "grp", batchId = 100L); () },
+      () => { Manifest.commitBatch(Seq((1L, "a", 1.0))
+        .toDF("id", "grp", "value"), dir, "grp", batchId = 100L); () },
+      () => { Manifest.commitBatch(Seq((2L, "b", 2.0))
+        .toDF("id", "grp", "value"), dir, "grp", batchId = 101L); () }
+    ))
+    val rows = Manifest.read(spark, dir).filter($"id" > 0L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(rows === Seq(1L, 2L),
+      s"duplicate-stamp race double-applied or lost a batch: $rows")
+  }
+
   test("racing batch-stamped merges with the SAME batch id: exactly one " +
       "applies (the exactly-once stamp holds under a true race)") {
     val dir = mkdir()
