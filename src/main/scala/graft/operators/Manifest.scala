@@ -89,7 +89,7 @@ object Manifest {
     * rows.
     */
   private[graft] case class Header(batch: Long = -1L, bloomK: Int = -1,
-      dv: Seq[String] = Nil, kmvK: Int = -1)
+      dv: Seq[String] = Nil, kmvK: Int = -1, op: String = "")
 
   /** Per-layout commit lock: the exists-then-rename CAS below is atomic
     * on HDFS/object stores (rename onto an existing destination fails)
@@ -112,7 +112,8 @@ object Manifest {
     */
   private[graft] def commitManifest(dir: String, version: Int,
       entries: Seq[Entry], conf: Configuration, batch: Long = -1L,
-      dv: Seq[String] = Nil, bloomK: Int = -1, kmvK: Int = -1): Unit = {
+      dv: Seq[String] = Nil, bloomK: Int = -1, kmvK: Int = -1,
+      op: String = ""): Unit = {
     val f = fs(dir, conf)
     // tmp names must be unique per ATTEMPT, not per process: two
     // threads of one driver racing the same version otherwise write
@@ -127,6 +128,7 @@ object Manifest {
         (if (batch >= 0) Seq(s""""batch":$batch""") else Nil) ++
         (if (bloomK >= 1) Seq(s""""bloomk":$bloomK""") else Nil) ++
         (if (kmvK >= 1) Seq(s""""kmvk":$kmvK""") else Nil) ++
+        (if (op.nonEmpty) Seq(s""""op":"$op"""") else Nil) ++
         (if (dv.nonEmpty)
           Seq(s""""dv":[${dv.map(p => s""""$p"""").mkString(",")}]""")
         else Nil)
@@ -176,12 +178,14 @@ object Manifest {
     val B = """"batch":(\d+)""".r
     val K = """"bloomk":(\d+)""".r
     val KM = """"kmvk":(\d+)""".r
+    val OP = """"op":"([a-z\-]+)"""".r
     val D = """"dv":\[([^\]]*)\]""".r
     val S = """"([^"]+)"""".r
     Header(
       batch = B.findFirstMatchIn(head).map(_.group(1).toLong).getOrElse(-1L),
       bloomK = K.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(-1),
       kmvK = KM.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(-1),
+      op = OP.findFirstMatchIn(head).map(_.group(1)).getOrElse(""),
       dv = D.findFirstMatchIn(head).map(_.group(1)).toSeq
         .flatMap(a => S.findAllMatchIn(a).map(_.group(1)).toSeq))
   }
@@ -293,7 +297,7 @@ object Manifest {
     require(latestVersion(dir, conf) == 0,
       s"$dir already holds a manifested layout - use append/overwrite")
     commitManifest(dir, 1, writeCommitFiles(df, dir, partCol, 1, statsCol),
-      conf)
+      conf, op = "create")
   }
 
   /** Batch ids already committed into this layout (bounded by the
@@ -375,7 +379,8 @@ object Manifest {
       val h = if (latest >= 1) readHeader(dir, latest, conf) else Header()
       try {
         commitManifest(dir, latest + 1, prev ++ entries, conf,
-          batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+          batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK,
+          op = if (batchId >= 0) "append-batch" else "append")
         return
       } catch {
         case e: IllegalArgumentException if attempt < maxAttempts =>
@@ -416,7 +421,7 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => touched(e.p)) ++ entries,
-      conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+      conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "overwrite")
   }
 
   /** A prepared-but-unpublished partition overwrite: data files are on
@@ -500,7 +505,7 @@ object Manifest {
       val h = readHeader(dir, latest, conf)
       try {
         commitManifest(dir, latest + 1, merged, conf,
-          dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+          dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "overwrite")
         return latest + 1
       } catch {
         case e: IllegalArgumentException if attempt < maxAttempts =>
@@ -784,7 +789,8 @@ object Manifest {
         commitManifest(dir, latest + 1,
           readManifest(dir, latest, conf)
             .filterNot(e => affected(e.p)) ++ entries, conf,
-          batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+          batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK,
+          op = "merge")
         return latest + 1
       } catch {
         case e: IllegalArgumentException if attempt < 5 =>
@@ -841,7 +847,7 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       entries.filterNot(e => hot(e.p)) ++ newEntries, conf,
-      dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+      dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "auto-compact")
     hot.size
   }
 
@@ -861,7 +867,7 @@ object Manifest {
       s"restore: version $toVersion out of range 1..$base")
     val h = readHeader(dir, toVersion, conf)
     commitManifest(dir, base + 1, readManifest(dir, toVersion, conf), conf,
-      dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+      dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "restore")
     base + 1
   }
 
@@ -888,7 +894,8 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => touched(e.p)) ++ entries,
-      conf, batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+      conf, batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK,
+      op = "replace-batch")
     true
   }
 
@@ -1006,7 +1013,7 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(bdir, 1, absEntries, conf,
       dv = h.dv.map(p => dvFilePath(dir, p)), bloomK = h.bloomK,
-      kmvK = h.kmvK)
+      kmvK = h.kmvK, op = "branch-create")
     val f = fs(dir, conf)
     val out = f.create(new Path(bdir, "_branch_base"), true)
     try out.write(base.toString
@@ -1066,7 +1073,7 @@ object Manifest {
       readManifest(dir, mainLatest, conf)
         .filterNot(e => branchChanged(e.p)) ++ bEntries, conf,
       dv = mainH.dv ++ branchNewDv, bloomK = mainH.bloomK,
-      kmvK = mainH.kmvK)
+      kmvK = mainH.kmvK, op = "branch-merge")
     mainLatest + 1
   }
 
@@ -1138,7 +1145,8 @@ object Manifest {
         java.util.Base64.getEncoder.encodeToString(bytes)
       })
     }
-    commitManifest(dir, base + 1, entries, conf, dv = h.dv, bloomK = k, kmvK = h.kmvK)
+    commitManifest(dir, base + 1, entries, conf, dv = h.dv, bloomK = k,
+      kmvK = h.kmvK, op = "bloom-index")
     true
   }
 
@@ -1204,6 +1212,24 @@ object Manifest {
     (df, hit.length, entries.length)
   }
 
+  /** DESCRIBE HISTORY — the audit trail every commit already wrote:
+    * each manifest header carries its operation tag (and batch stamp),
+    * so the table's full lifecycle reads back from the headers alone —
+    * version, operation, batch id, file count, DV-delta count — one
+    * header line per version, zero data bytes. Versions a vacuum
+    * reclaimed are gone (vacuum IS the retention boundary).
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = allVersions(dir, conf).map { v =>
+      val h = readHeader(dir, v, conf)
+      (v.toLong, if (h.op.isEmpty) "unknown" else h.op, h.batch,
+        readManifest(dir, v, conf).length.toLong, h.dv.length.toLong)
+    }
+    rows.toDF("version", "op", "batch_id", "n_files", "n_dv_deltas")
+  }
+
   // ---- Per-file KMV sketches: distinct counts WITHOUT scans ----------
   //
   // Table statistics for planning and census questions ("how many
@@ -1265,7 +1291,7 @@ object Manifest {
       })
     }
     commitManifest(dir, base + 1, entries, conf,
-      dv = h.dv, bloomK = h.bloomK, kmvK = k)
+      dv = h.dv, bloomK = h.bloomK, kmvK = k, op = "distinct-sketch")
     true
   }
 
@@ -1409,7 +1435,8 @@ object Manifest {
       val h = readHeader(dir, latest, conf)
       try {
         commitManifest(dir, latest + 1, entries, conf,
-          dv = h.dv :+ prep.delta, bloomK = h.bloomK, kmvK = h.kmvK)
+          dv = h.dv :+ prep.delta, bloomK = h.bloomK, kmvK = h.kmvK,
+          op = "delete")
         return prep.nNew
       } catch {
         case e: IllegalArgumentException if attempt < maxAttempts =>
@@ -1497,7 +1524,7 @@ object Manifest {
     commitManifest(dir, base + 1,
       entries.filterNot(e => affectedParts(e.p)) ++ newEntries, conf,
       bloomK = readHeader(dir, base, conf).bloomK,
-      kmvK = readHeader(dir, base, conf).kmvK)
+      kmvK = readHeader(dir, base, conf).kmvK, op = "apply-deletes")
     true
   }
 
@@ -1543,7 +1570,8 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => affected(e.p)) ++ entries,
-      conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+      conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK,
+      op = "dedup-repair")
     true
   }
 
@@ -1680,7 +1708,7 @@ object Manifest {
     val h = readHeader(dir, base, conf)
     commitManifest(dir, base + 1,
       readManifest(dir, base, conf).filterNot(e => affected(e.p)) ++ entries,
-      conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK)
+      conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "purge")
   }
 
   /** Snapshot read of a pinned version — exactly that manifest's files,
@@ -1790,7 +1818,7 @@ object Manifest {
       statsCol = colA, statsCol2 = colB)
     commitManifest(dir, base + 1, entries, conf,
       bloomK = readHeader(dir, base, conf).bloomK,
-      kmvK = readHeader(dir, base, conf).kmvK)
+      kmvK = readHeader(dir, base, conf).kmvK, op = "cluster")
   }
 
   /** Two-dimensional DATA-SKIPPING box read: only files whose tracked
@@ -1862,7 +1890,7 @@ object Manifest {
       statsCol)
     commitManifest(dir, base + 1, entries, conf,
       bloomK = readHeader(dir, base, conf).bloomK,
-      kmvK = readHeader(dir, base, conf).kmvK)
+      kmvK = readHeader(dir, base, conf).kmvK, op = "compact")
   }
 
   /** Every manifest version number currently committed in `dir`. */

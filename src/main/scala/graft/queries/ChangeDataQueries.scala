@@ -845,6 +845,37 @@ object ChangeDataQueries {
         .orderBy("dt")
     }),
 
+    // DESCRIBE HISTORY — the audit trail read back from manifest
+    // headers alone (zero data bytes): a fixed eight-step lifecycle
+    // (create, append, batch-stamped append, overwrite, MOR delete,
+    // apply, compact, restore) must read back as exactly those eight
+    // (version, op, batch, dv-delta-count) rows — the oracle is the
+    // literal expected trail.
+    "q384_history_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_history").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")                                 // 1
+      val extra = ev.filter(col("dt") === lit("2024-01-01").cast("date"))
+        .withColumn("dt", lit("2024-02-01").cast("date"))
+      Manifest.append(extra, tmp, "dt")                              // 2
+      Manifest.commitBatch(extra.withColumn("dt",
+        lit("2024-02-02").cast("date")), tmp, "dt", batchId = 42L)   // 3
+      Manifest.overwritePartitions(
+        ev.filter(col("dt") === lit("2024-01-05").cast("date"))
+          .withColumn("value", col("value") * 2), tmp, "dt")         // 4
+      Manifest.deleteRows(s, tmp, col("user_id").isin(3L, 7L))       // 5
+      Manifest.applyDeletes(s, tmp, "dt")                            // 6
+      Manifest.compact(s, tmp, "dt")                                 // 7
+      Manifest.restore(s, tmp, 2)                                    // 8
+      Manifest.history(s, tmp)
+        .select("version", "op", "batch_id", "n_dv_deltas")
+        .orderBy("version")
+    }),
+
     // MANIFEST-ONLY DISTINCT COUNTS — per-file KMV sketches (exact
     // union-truncate merge algebra) ride the manifest like the Bloom
     // index, so "how many distinct customers in these partitions?" is
@@ -1452,6 +1483,22 @@ object ChangeDataQueries {
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The literal expected audit trail of the eight-step lifecycle.
+    "q384_history_gate" ->
+      """SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(batch_id AS BIGINT) AS batch_id,
+        |  CAST(n_dv_deltas AS BIGINT) AS n_dv_deltas
+        |FROM (VALUES
+        |  (1, 'create', -1, 0),
+        |  (2, 'append', -1, 0),
+        |  (3, 'append-batch', 42, 0),
+        |  (4, 'overwrite', -1, 0),
+        |  (5, 'delete', -1, 1),
+        |  (6, 'apply-deletes', -1, 0),
+        |  (7, 'compact', -1, 0),
+        |  (8, 'restore', -1, 0)
+        |) AS t(version, op, batch_id, n_dv_deltas)
+        |ORDER BY version""".stripMargin,
     // Per-status exact distinct-customer census — no ERR_BOUND /
     // NOT_CONVERGED / SILENT_STALE / REFRESH_BROKEN rows.
     "q382_manifest_ndv_gate" ->
