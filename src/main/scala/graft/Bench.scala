@@ -11,19 +11,41 @@ import org.apache.spark.sql.SparkSession
   * query away and under-measure).
   *
   * The battery runs one UNTIMED warm-up pass (SPARK_GRAFT_BENCH_WARMUP,
-  * default on) and then SPARK_GRAFT_BENCH_RUNS (default 3) timed passes
-  * back-to-back, reporting PER-QUERY MEDIANS (`value` = sum of
-  * medians; per-run battery totals in `run_totals`). A single pass is
-  * exposed to whatever else the box is doing for ~1 s per query —
-  * BENCH_r02 recorded 2-7× one-off inflations on unchanged queries
-  * (q32 11.1 s vs 1.6 s re-measured) purely from ambient load. The
-  * median of three is noise-robust while keeping the worst case in
-  * `run_totals` for honesty.
+  * default on) and then up to SPARK_GRAFT_BENCH_RUNS (default 3) timed
+  * passes, reporting PER-QUERY MEDIANS (`value` = sum of medians;
+  * per-run battery totals in `run_totals`). A single pass is exposed
+  * to whatever else the box is doing for ~1 s per query — BENCH_r02
+  * recorded 2-7× one-off inflations on unchanged queries (q32 11.1 s
+  * vs 1.6 s re-measured) purely from ambient load. The median of three
+  * is noise-robust while keeping the worst case in `run_totals`.
+  *
+  * ADAPTIVE SCHEDULE (round 15 — BENCH_r14 timed out at rc=124 once
+  * the battery reached 381 queries): re-running every referee-heavy
+  * lifecycle gate three times is what broke the budget, and those
+  * gates are the ones that least need noise-filtering (each runs tens
+  * of seconds of deterministic build+referee work, so ambient ±1 s is
+  * relative noise, not signal). So:
+  *
+  *   - queries whose WARM-UP time exceeds SPARK_GRAFT_BENCH_HEAVY_SEC
+  *     (default 3 s) are timed ONCE, in the first (full) timed pass;
+  *   - the remaining light queries get up to `runs` passes as before;
+  *   - a wall-clock guard (SPARK_GRAFT_BENCH_BUDGET seconds, default
+  *     2100, measured from main() entry) degrades gracefully: before
+  *     each extra light pass, if elapsed + the measured light-pass
+  *     cost would cross the budget, the run stops with the samples it
+  *     has instead of being killed mid-battery. A query measured in
+  *     fewer passes still reports the median of its own samples.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0Wall = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t0Wall) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val heavySec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "3.0").toDouble
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2100").toDouble
     val spark: SparkSession = GraftSession.get("graft-bench")
 
     def run(name: String,
@@ -92,24 +114,46 @@ object Bench {
     // pass, so cross-round per-query comparisons stop carrying a
     // ±20-45% first-pass noise band.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
-    if (warmup) {
-      graft.queries.PipelineQueries.reset(spark)
-      selected.foreach { case (name, fn) => run(name, fn) }
-    }
+    val warmTimes: Map[String, Double] =
+      if (!warmup) Map.empty
+      else {
+        graft.queries.PipelineQueries.reset(spark)
+        selected.map { case (name, fn) => name -> run(name, fn)._1 }.toMap
+      }
+    // Pass 1 is always a FULL battery (every query needs >= 1 timed
+    // sample); q44 re-pays the whole ETL every pass it appears in (it
+    // is the baseline-comparable number), q54-q56 share one pipeline
+    // run WITHIN a pass — the documented materialize-once design.
+    graft.queries.PipelineQueries.reset(spark)
+    val pass1: Seq[(String, (Double, Boolean))] =
+      selected.map { case (name, fn) => (name, run(name, fn)) }
+    // Heavy split: classified on the warm-up pass (cold-but-comparable
+    // across queries); without a warm-up, on pass 1 itself.
+    val classTimes =
+      if (warmup) warmTimes else pass1.map { case (n, (t, _)) => n -> t }.toMap
+    val heavy: Set[String] =
+      classTimes.filter(_._2 > heavySec).keySet
+    val lightSel = selected.filterNot { case (n, _) => heavy(n) }
+    val lightEst = pass1.collect {
+      case (n, (t, _)) if !heavy(n) => t
+    }.sum
+    // Extra passes: light queries only, each admitted by the budget.
     // runs × battery, not battery × runs: consecutive same-query runs
     // would hit hot caches/JIT in a way the driver's single pass never
-    // does; back-to-back full batteries keep each run representative.
-    val passes: Seq[Seq[(String, (Double, Boolean))]] =
-      (1 to runs).map { _ =>
-        // q44 must re-pay the whole ETL every pass (it is the
-        // baseline-comparable number); q54-q56 still share one pipeline
-        // run WITHIN a pass, the documented materialize-once design.
-        graft.queries.PipelineQueries.reset(spark)
-        selected.map { case (name, fn) => (name, run(name, fn)) }
-      }
+    // does; back-to-back battery passes keep each run representative.
+    val extra = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, (Double, Boolean))]]
+    var p = 2
+    while (p <= runs && lightSel.nonEmpty &&
+        elapsedSec + lightEst <= budgetSec) {
+      graft.queries.PipelineQueries.reset(spark)
+      extra += lightSel.map { case (name, fn) => (name, run(name, fn)) }
+      p += 1
+    }
+    val passes: Seq[Seq[(String, (Double, Boolean))]] = pass1 +: extra.toSeq
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val byQuery = selected.map { case (name, _) =>
-      val samples = passes.map(_.find(_._1 == name).get._2)
+      val samples = passes.flatMap(_.find(_._1 == name)).map(_._2)
       (name, median(samples.map(_._1)), samples.forall(_._2))
     }
     val qs = byQuery
@@ -122,7 +166,7 @@ object Bench {
     val total = byQuery.map(_._2).sum
     val runTotals = passes.map(p => f"${p.map(_._2._1).sum}%.3f").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"runs":$runs,"warmup":$warmup,"run_totals":$runTotals,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"runs":$runs,"passes_run":${passes.size},"n_heavy_once":${heavy.size},"heavy_sec":$heavySec%.1f,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"warmup":$warmup,"run_totals":$runTotals,"sf":"$sfDir"}"""
     println(line)
     // Self-archive: the driver captures a tail of stdout, which truncates
     // the battery prefix once the query map outgrows it — the full

@@ -194,19 +194,24 @@ object KnnGraph {
     writeMeta(dir, Meta(k, nparts, nassign), conf)
   }
 
-  /** Pruned neighbor lookup: ids broadcast, the join on (part, vec_id)
-    * reaches the `graph/` scan as a partition prune — a lookup reads
-    * ~|ids|/nparts of the stored bytes, not the whole graph.
+  /** Pruned neighbor lookup: the id set broadcasts only when a bounded
+    * probe proves it small (a 10^8-id bulk lookup must shuffle, not
+    * ship every id to every task); on the broadcast path the join on
+    * (part, vec_id) reaches the `graph/` scan as a partition prune — a
+    * lookup reads ~|ids|/nparts of the stored bytes, not the whole
+    * graph.
     */
   def knnNeighborsFromLayout(dir: String, ids: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String, maxBroadcastIds: Int = 1 << 16): DataFrame = {
     val spark = ids.sparkSession
     val m = readMeta(dir, spark.sparkContext.hadoopConfiguration)
     val g = spark.read.parquet(s"$dir/graph")
-    val q = broadcast(ids.select(col(idCol).cast("long").as("vec_id"))
-      .distinct()
-      .withColumn("part",
-        pmod(col("vec_id"), lit(m.nparts.toLong)).cast("int")))
+    val q = Similarity.broadcastIfSmall(
+      ids.select(col(idCol).cast("long").as("vec_id"))
+        .distinct()
+        .withColumn("part",
+          pmod(col("vec_id"), lit(m.nparts.toLong)).cast("int")),
+      maxBroadcastIds)
     rankGraph(g.join(q, Seq("part", "vec_id"))
       .select(col("vec_id").as("id"), col("neighbor_id").as("neighbor"),
         col("sim")))
@@ -373,5 +378,27 @@ object KnnGraph {
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part").parquet(s"$dir/graph")
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN purge: drop `ids` from BOTH substores — the
+    * stored vectors (`vectors/`, every `nassign` bucket copy) and the
+    * graph (`graph/`): a victim's own adjacency list AND every edge
+    * pointing at a victim (a purged id surviving as someone's neighbor
+    * is still derived data about it). Victim-partition rewrite in both
+    * substores. Surviving lists may drop below k where a victim was a
+    * neighbor — search stays correct over the remaining corpus (hop
+    * expansion just has fewer stored edges to follow); a later
+    * maintenance rebuild restores list width.
+    */
+  def purgeKnnGraphLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: Seq[Long]): Unit = {
+    readMeta(dir, spark.sparkContext.hadoopConfiguration) // loud non-layout
+    require(ids.nonEmpty, "purgeKnnGraphLayout: empty id set")
+    require(ids.length <= (1 << 20),
+      "purgeKnnGraphLayout: more than 2^20 ids - batch the purge")
+    Similarity.purgeIvfLayout(spark, s"$dir/vectors", ids)
+    ChangeData.purgeRows(spark, s"$dir/graph", "part",
+      col("vec_id").isInCollection(ids) ||
+        col("neighbor_id").isInCollection(ids))
   }
 }

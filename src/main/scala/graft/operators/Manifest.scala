@@ -89,7 +89,8 @@ object Manifest {
     * rows.
     */
   private[graft] case class Header(batch: Long = -1L, bloomK: Int = -1,
-      dv: Seq[String] = Nil, kmvK: Int = -1, op: String = "")
+      dv: Seq[String] = Nil, kmvK: Int = -1, op: String = "",
+      n: Long = -1L)
 
   /** Per-layout commit lock: the exists-then-rename CAS below is atomic
     * on HDFS/object stores (rename onto an existing destination fails)
@@ -124,7 +125,11 @@ object Manifest {
         s"x${System.nanoTime().toHexString}-v$version")
     val out = f.create(tmp, true)
     try {
-      val fields = Seq(s""""version":$version""") ++
+      // the entry COUNT rides the header so census consumers (DESCRIBE
+      // HISTORY) never parse entry lines — one header line per version
+      // is the driver's whole working set however many files there are
+      val fields = Seq(s""""version":$version""",
+        s""""n":${entries.length}""") ++
         (if (batch >= 0) Seq(s""""batch":$batch""") else Nil) ++
         (if (bloomK >= 1) Seq(s""""bloomk":$bloomK""") else Nil) ++
         (if (kmvK >= 1) Seq(s""""kmvk":$kmvK""") else Nil) ++
@@ -176,6 +181,7 @@ object Manifest {
       conf: Configuration): Header = {
     val head = manifestLines(dir, version, conf).headOption.getOrElse("")
     val B = """"batch":(\d+)""".r
+    val N = """"n":(\d+)""".r
     val K = """"bloomk":(\d+)""".r
     val KM = """"kmvk":(\d+)""".r
     val OP = """"op":"([a-z\-]+)"""".r
@@ -183,6 +189,7 @@ object Manifest {
     val S = """"([^"]+)"""".r
     Header(
       batch = B.findFirstMatchIn(head).map(_.group(1).toLong).getOrElse(-1L),
+      n = N.findFirstMatchIn(head).map(_.group(1).toLong).getOrElse(-1L),
       bloomK = K.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(-1),
       kmvK = KM.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(-1),
       op = OP.findFirstMatchIn(head).map(_.group(1)).getOrElse(""),
@@ -490,6 +497,7 @@ object Manifest {
       s"commitPrepared: ${reaped.length} staged file(s) no longer exist " +
         s"(first: ${reaped.head.file}) - a vacuum ran during the prepare " +
         "window; re-prepare the overwrite")
+    val baseDv = readHeader(dir, prep.base, conf).dv.toSet
     var attempt = 0
     while (true) {
       val latest = latestVersion(dir, conf)
@@ -500,9 +508,20 @@ object Manifest {
         s"write-write conflict on partitions ${conflicts.toSeq.sorted
           .mkString(", ")}: they changed after base v${prep.base} - " +
           "re-read the table and re-prepare")
-      val merged = readManifest(dir, latest, conf)
-        .filterNot(e => prep.touched(e.p)) ++ prep.entries
+      val latestEntries = readManifest(dir, latest, conf)
       val h = readHeader(dir, latest, conf)
+      // a concurrent MOR delete is a DV-only commit, invisible to
+      // changedPartitions — if it hit one of the prepared partitions,
+      // the staged files (computed through BASE's deletion vector)
+      // would silently resurrect its victims; abort like a rewrite
+      val dvConf = dvDeltaPartitions(spark, dir, baseDv, h, latestEntries)
+        .intersect(prep.touched)
+      require(dvConf.isEmpty,
+        s"commitPrepared: concurrent merge-on-read delete on partitions " +
+          s"${dvConf.toSeq.sorted.mkString(", ")} landed after base " +
+          s"v${prep.base} - re-read the table and re-prepare")
+      val merged = latestEntries
+        .filterNot(e => prep.touched(e.p)) ++ prep.entries
       try {
         commitManifest(dir, latest + 1, merged, conf,
           dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "overwrite")
@@ -767,14 +786,15 @@ object Manifest {
       .select(srcCols.map(col): _*)
     val next = keep.select(srcCols.map(col): _*).unionByName(incoming)
       .localCheckpoint(true)
-    val stillThere = next.select(col(partCol).cast("string").as("__pv"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val emptied = affected.diff(stillThere)
+    // (a partition the merge empties needs no explicit drop: the
+    // commit below replaces ALL affected partitions' entries, and an
+    // emptied one simply contributes no new files)
     // stage + OCC publish (the commitPrepared protocol, plus the
     // emptied-partition drop a plain overwrite cannot express)
     val entries = writeCommitFiles(
       next.filter(col(partCol).cast("string").isInCollection(affected)),
       dir, partCol, base + 1, suffix = writerToken())
+    val baseDv = readHeader(dir, base, conf).dv.toSet
     var attempt = 0
     while (true) {
       val latest = latestVersion(dir, conf)
@@ -785,10 +805,24 @@ object Manifest {
           .sorted.mkString(", ")}: they changed after base v$base - " +
           "re-read and re-merge")
       val h = readHeader(dir, latest, conf)
+      val latestEntries = readManifest(dir, latest, conf)
+      // rewrite-vs-DV-delete conflict: a concurrent MERGE-ON-READ
+      // delete is a DV-only commit (entries unchanged — invisible to
+      // changedPartitions). The merge's rewrite of `affected` was
+      // computed through BASE's deletion vector, so publishing it
+      // would re-materialize the concurrently-deleted victims while
+      // their carried-forward (file,pos) rows go stale against the
+      // dropped files — a silent resurrect. Abort like any other
+      // write-write conflict on the affected partitions.
+      val dvConf = dvDeltaPartitions(spark, dir, baseDv, h, latestEntries)
+        .intersect(affected)
+      require(dvConf.isEmpty,
+        s"merge: concurrent merge-on-read delete on partitions " +
+          s"${dvConf.toSeq.sorted.mkString(", ")} landed after base " +
+          s"v$base - re-read and re-merge")
       try {
         commitManifest(dir, latest + 1,
-          readManifest(dir, latest, conf)
-            .filterNot(e => affected(e.p)) ++ entries, conf,
+          latestEntries.filterNot(e => affected(e.p)) ++ entries, conf,
           batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK,
           op = "merge")
         return latest + 1
@@ -798,6 +832,26 @@ object Manifest {
       }
     }
     -1 // unreachable
+  }
+
+  /** Partitions holding victims of DV deltas committed AFTER a
+    * rewriter's base (deltas in the latest header but not the base's).
+    * A staged rewrite of those partitions was computed through the
+    * BASE deletion vector, so publishing it would silently resurrect
+    * the concurrent delete — the caller must treat an intersection
+    * with its write-set as a conflict. Victim census is delete-sized;
+    * the partition mapping rides the latest manifest (driver census).
+    */
+  private def dvDeltaPartitions(spark: SparkSession, dir: String,
+      baseDv: Set[String], latestH: Header,
+      latestEntries: Seq[Entry]): Set[String] = {
+    val newDv = latestH.dv.filterNot(baseDv)
+    if (newDv.isEmpty) return Set.empty
+    val victimFiles = spark.read
+      .parquet(newDv.map(p => dvFilePath(dir, p)): _*)
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    latestEntries.filter(e => victimFiles(tailKey(e.file))).map(_.p).toSet
   }
 
   /** Streaming MERGE (the apply-changes sink): `merge` stamped with the
@@ -1224,10 +1278,109 @@ object Manifest {
     val conf = spark.sparkContext.hadoopConfiguration
     val rows = allVersions(dir, conf).map { v =>
       val h = readHeader(dir, v, conf)
+      // the file count rides the header (round 15) — O(versions) header
+      // lines instead of O(versions × files) entry parses; manifests
+      // from before the `n` field fall back to counting entry lines
+      val nFiles =
+        if (h.n >= 0) h.n else readManifest(dir, v, conf).length.toLong
       (v.toLong, if (h.op.isEmpty) "unknown" else h.op, h.batch,
-        readManifest(dir, v, conf).length.toLong, h.dv.length.toLong)
+        nFiles, h.dv.length.toLong)
     }
     rows.toDF("version", "op", "batch_id", "n_files", "n_dv_deltas")
+  }
+
+  // ---- Manifest checkpoint: the distributed entry census -------------
+  //
+  // Every lifecycle op above parses manifest entry lines on the DRIVER
+  // (a regex per line) — the right cost at partition-census scale, and
+  // the 100-TB ceiling of the layer: at 10^6-10^7 files the driver
+  // becomes a single-threaded JSON parser. The Delta/Iceberg answer is
+  // a periodic PARQUET CHECKPOINT of the full entry relation, read and
+  // processed as a DataFrame — executors parse, the driver holds only
+  // headers. `checkpoint` materializes it (maintenance, like
+  // addBloomIndex); `entriesRelation` is the census read path: the
+  // checkpoint when it covers the asked version, else a DISTRIBUTED
+  // text-parse of the manifest (spark.read.text + regexp_extract —
+  // same line grammar, executor-side). Both return the same relation:
+  //   (p, file, lo, hi, lo2, hi2, bloom, kmv)
+
+  private def checkpointPath(dir: String, version: Int): String =
+    f"$dir/_manifests/checkpoint-v$version%06d.parquet"
+
+  private def lastCheckpointPath(dir: String) =
+    new Path(s"$dir/_manifests", "_last_checkpoint")
+
+  /** The version the newest checkpoint covers, or 0 if none. */
+  def lastCheckpoint(dir: String, conf: Configuration): Int = {
+    val p = lastCheckpointPath(dir)
+    val f = fs(dir, conf)
+    if (!f.exists(p)) return 0
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Distributed parse of manifest `version`'s entry lines — executors
+    * run the line grammar, the driver never materializes the entries.
+    */
+  private def parseManifestDF(spark: SparkSession, dir: String,
+      version: Int): DataFrame = {
+    val lines = spark.read.text(
+        manifestPath(dir, version).toString)
+      .filter(col("value").startsWith("""{"p":"""))
+    def str(key: String) = when(
+      col("value").contains(s""""$key":""""),
+      regexp_extract(col("value"), s""""$key":"([^"]*)"""", 1))
+    def num(key: String) = when(
+      regexp_extract(col("value"), s""""$key":(-?\\d+)""", 1) =!= "",
+      regexp_extract(col("value"), s""""$key":(-?\\d+)""", 1).cast("long"))
+    lines.select(
+      regexp_extract(col("value"), """"p":"([^"]*)"""", 1).as("p"),
+      regexp_extract(col("value"), """"file":"([^"]*)"""", 1).as("file"),
+      num("lo").as("lo"), num("hi").as("hi"),
+      num("lo2").as("lo2"), num("hi2").as("hi2"),
+      str("bloom").as("bloom"), str("kmv").as("kmv"))
+  }
+
+  /** Materialize the LATEST version's full entry relation as a parquet
+    * checkpoint (idempotent — re-checkpointing a covered version is a
+    * no-op) and retire older checkpoints. Returns the covered version.
+    * Periodic-maintenance discipline: call it every N commits, exactly
+    * like `addBloomIndex` after appends.
+    */
+  def checkpoint(spark: SparkSession, dir: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = latestVersion(dir, conf)
+    require(v >= 1, s"$dir is not a manifested layout")
+    val prev = lastCheckpoint(dir, conf)
+    if (prev == v) return v
+    parseManifestDF(spark, dir, v)
+      .write.mode("overwrite").parquet(checkpointPath(dir, v))
+    val f = fs(dir, conf)
+    val out = f.create(lastCheckpointPath(dir), true)
+    try out.write(v.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // one live checkpoint: the superseded one is debris (readers of
+    // old versions fall back to the distributed manifest parse)
+    if (prev >= 1 && prev != v)
+      f.delete(new Path(checkpointPath(dir, prev)), true)
+    v
+  }
+
+  /** The entry relation of `version` (default latest) as a DataFrame —
+    * the census read path for file-count-scale consumers: served from
+    * the parquet checkpoint when one covers the version (zero manifest
+    * parsing anywhere), else by the distributed manifest parse.
+    */
+  def entriesRelation(spark: SparkSession, dir: String,
+      version: Int = -1): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = if (version > 0) version else latestVersion(dir, conf)
+    require(v >= 1, s"$dir is not a manifested layout")
+    if (lastCheckpoint(dir, conf) == v)
+      spark.read.parquet(checkpointPath(dir, v))
+    else parseManifestDF(spark, dir, v)
   }
 
   // ---- Per-file KMV sketches: distinct counts WITHOUT scans ----------
@@ -1419,8 +1572,19 @@ object Manifest {
       maxAttempts: Int = 5): Long = {
     if (prep.nNew == 0L) return 0L
     val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(dir, conf)
     var attempt = 0
     while (true) {
+      // the staged delta is header-invisible, so a vacuum run during
+      // the prepare window legally reaped it as an orphan — verify
+      // (EVERY attempt: a vacuum can also land between rebase retries)
+      // before publishing, or the new header would reference deleted
+      // bytes and every later read of the layout would fail. The
+      // commitPrepared guard for staged data files, mirrored here.
+      require(f.exists(new Path(s"$dir/${prep.delta}")),
+        s"commitDelete: the staged DV delta ${prep.delta} no longer " +
+          "exists - a vacuum ran during the prepare window; re-prepare " +
+          "the delete")
       val latest = latestVersion(dir, conf)
       val entries = readManifest(dir, latest, conf)
       val latestFiles = entries.map(e => tailKey(e.file)).toSet

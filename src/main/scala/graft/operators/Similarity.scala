@@ -856,6 +856,28 @@ object Similarity {
       .write.mode("append").partitionBy("bucket").parquet(layoutDir)
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN purge: drop `ids`' stored vectors from every
+    * bucket partition of a persisted IVF layout (a vector is stored
+    * once per `nassign` bucket — all copies go). Victim-partition
+    * rewrite: only buckets holding a victim are rewritten. The trained
+    * centroids stay — a k-means centroid is a bounded-sample aggregate
+    * over thousands of vectors, model parameters rather than anyone's
+    * recoverable data (same standing as the Bloom/KMV sketch params) —
+    * but after purging a large fraction, `rebalanceIvfLayout` retrains
+    * them anyway. Searches can never return a purged id again: scoring
+    * only reads stored rows.
+    */
+  def purgeIvfLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, ids: Seq[Long]): Unit = {
+    readIvfCentroids(layoutDir,
+      spark.sparkContext.hadoopConfiguration) // loud on a non-layout dir
+    require(ids.nonEmpty, "purgeIvfLayout: empty id set")
+    require(ids.length <= (1 << 20),
+      "purgeIvfLayout: more than 2^20 ids - batch the purge")
+    ChangeData.purgeRows(spark, layoutDir, "bucket",
+      col("neighbor_id").isInCollection(ids))
+  }
+
   private def centroidsPath(layoutDir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(layoutDir, "_graft_ivf_centroids.json")
 
@@ -891,6 +913,15 @@ object Similarity {
     * probe costs one bounded job (`limit(max+1)`, never a full count)
     * and keeps the common small-batch path on the broadcast + dynamic
     * partition pruning fast path.
+    *
+    * Deliberately NOT cached/checkpointed before probing: DPP only
+    * fires when the build side still carries a selective predicate in
+    * its LIVE plan — materializing to an RDD scan here measurably
+    * killed the layout partition prune (KnnGraphSpec's prune counter
+    * went 1/8 → 8/8 partitions read). The probe therefore re-evaluates
+    * the input once; callers pass deterministic projections of stored
+    * data, for which the double evaluation is a cheap scan and the
+    * probe/join can never disagree.
     */
   private[graft] def broadcastIfSmall(df: DataFrame, maxRows: Int): DataFrame =
     if (df.limit(maxRows + 1).count() <= maxRows) broadcast(df) else df

@@ -130,6 +130,55 @@ class ManifestConcurrencySpec extends SparkSpec {
       s"duplicate-stamp race double-applied or lost a batch: $rows")
   }
 
+  test("merge racing a MOR delete of a merge-partition row NEVER " +
+      "resurrects the victim: either the merge aborts loudly or both " +
+      "effects land") {
+    // the silent-corruption interleave: a DV-only delete commit lands
+    // inside merge's base→publish window. Entries don't change, so the
+    // partition conflict check alone cannot see it — merge's rewrite
+    // (computed through BASE's deletion vector) would re-materialize
+    // the victim. The round-15 DV-diff check must abort that merge.
+    // Run the genuine race several times; whatever the interleaving,
+    // the victim must be gone at the end, and a merge that reported
+    // success must also show its update.
+    (1 to 3).foreach { round =>
+      val dir = mkdir()
+      val base = (0L until 12L).map(i => (i, s"g${i % 2}", i.toDouble))
+        .toDF("id", "grp", "value")
+      Manifest.create(base, dir, "grp")
+      val mergeOk = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val merger = () => {
+        val src = Seq((2L, "g0", 200.0)).toDF("id", "grp", "value")
+        try {
+          Manifest.merge(spark, dir, "grp", src, Seq("id"))
+          mergeOk.set(true)
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("re-merge") => () // loud abort: fine
+        }
+      }
+      val deleter = () => {
+        // victim id 4 lives in g0 — the merge's affected partition
+        try { Manifest.deleteRows(spark, dir, $"id" === 4L); () }
+        catch { case e: RuntimeException
+            if e.getMessage.contains("re-prepare") =>
+          // merge rewrote the victim's file first: stale positions
+          // abort loudly; re-run against the new snapshot
+          Manifest.deleteRows(spark, dir, $"id" === 4L); ()
+        }
+      }
+      race(Seq(merger, deleter))
+      val rows = Manifest.readWithDeletes(spark, dir)
+        .select("id", "value").as[(Long, Double)].collect().toMap
+      assert(!rows.contains(4L),
+        s"round $round: the committed MOR delete was resurrected " +
+          "(merge published a rewrite computed through the stale DV)")
+      if (mergeOk.get())
+        assert(rows.get(2L).contains(200.0),
+          s"round $round: merge reported success but its update is missing")
+    }
+  }
+
   test("racing batch-stamped merges with the SAME batch id: exactly one " +
       "applies (the exactly-once stamp holds under a true race)") {
     val dir = mkdir()

@@ -847,6 +847,112 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.approxDistinct(spark, dir)._1 === 10.0)
   }
 
+  test("commitDelete refuses to publish a DV delta a vacuum reaped") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    val prep = Manifest.prepareDelete(spark, dir, $"id" === 3L)
+    assert(prep.nNew === 1L)
+    // a retention pass runs in the prepare window: the staged delta is
+    // header-invisible and legally dies as an orphan
+    Manifest.vacuum(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      Manifest.commitDelete(spark, dir, prep)
+    }
+    assert(e.getMessage.contains("re-prepare"),
+      s"reaped-delta publish must abort with guidance, got: ${e.getMessage}")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.latestVersion(dir, conf) === 1,
+      "the aborted delete must not move the version")
+    // the table stays fully readable — the broken header never landed
+    assert(Manifest.readWithDeletes(spark, dir).count() === 6L)
+  }
+
+  test("a concurrent MOR delete on a prepared partition aborts the " +
+      "publish (DV-only commits are write-write conflicts); a disjoint " +
+      "one rebases under it") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    // disjoint: overwrite 'a' prepared, delete lands in 'b' -> rebase
+    val pA = Manifest.prepareOverwrite(
+      fixture.filter($"grp" === "a").withColumn("value", $"value" * 2),
+      dir, "grp")
+    assert(Manifest.deleteRows(spark, dir, $"id" === 3L) === 1L)
+    assert(Manifest.commitPrepared(spark, dir, pA) === 3)
+    assert(Manifest.readWithDeletes(spark, dir).select("id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L, 5L, 6L),
+      "the disjoint delete must survive the rebased overwrite")
+    // conflicting: overwrite 'b' prepared THROUGH the current DV, then
+    // a new MOR delete hits 'b' — publishing would resurrect id 4
+    val pB = Manifest.prepareOverwrite(
+      Manifest.readWithDeletes(spark, dir).drop("__file", "__pos")
+        .filter($"grp" === "b").withColumn("value", $"value" * 10),
+      dir, "grp")
+    assert(Manifest.deleteRows(spark, dir, $"id" === 4L) === 1L)
+    val e = intercept[IllegalArgumentException] {
+      Manifest.commitPrepared(spark, dir, pB)
+    }
+    assert(e.getMessage.contains("merge-on-read delete"),
+      s"DV conflict must abort loudly, got: ${e.getMessage}")
+    assert(Manifest.readWithDeletes(spark, dir)
+      .filter($"id" === 4L).count() === 0L,
+      "the concurrent delete must hold — nothing may resurrect id 4")
+  }
+
+  test("history is header-only: correct file counts even when entry " +
+      "lines of old manifests are unreadable") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")                    // v1: files
+    Manifest.append(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(7L)), dir, "grp")               // v2: +files
+    Manifest.deleteRows(spark, dir, $"id" === 2L)           // v3: +1 DV
+    val conf = spark.sparkContext.hadoopConfiguration
+    val expected = Manifest.history(spark, dir)
+      .orderBy("version").collect().map(_.toString).toSeq
+    // truncate every NON-latest manifest to its header line: a consumer
+    // that parses entry lines would now miscount or crash
+    (1 to 2).foreach { v =>
+      val p = java.nio.file.Paths.get(dir, "_manifests", f"v$v%06d.json")
+      val header = java.nio.file.Files.readAllLines(p).get(0)
+      java.nio.file.Files.writeString(p, header + "\n")
+      // drop the local-FS checksum sidecar the out-of-band edit broke
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "_manifests", f".v$v%06d.json.crc"))
+    }
+    val got = Manifest.history(spark, dir)
+      .orderBy("version").collect().map(_.toString).toSeq
+    assert(got === expected,
+      "history must read headers only (O(versions), never O(versions × files))")
+  }
+
+  test("checkpoint: the entry relation equals the manifest parse, is " +
+      "served FROM the checkpoint, and re-checkpointing is a no-op") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp", statsCol = "id")
+    Manifest.append(fixture.filter($"id" <= 2L)
+      .withColumn("id", $"id" + 10L), dir, "grp", statsCol = "id")
+    assert(Manifest.addBloomIndex(spark, dir, "id", bits = 64, k = 3))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = Manifest.latestVersion(dir, conf)
+    val parsed = Manifest.entriesRelation(spark, dir, v)
+      .orderBy("p", "file").collect().map(_.toString).toSeq
+    assert(parsed.nonEmpty)
+    assert(Manifest.checkpoint(spark, dir) === v)
+    assert(Manifest.lastCheckpoint(dir, conf) === v)
+    assert(Manifest.checkpoint(spark, dir) === v, "idempotent re-checkpoint")
+    // truncate the manifest to its header: a census read that still
+    // parses manifest lines would now return nothing — the checkpoint
+    // must serve the full relation by itself
+    val mp = java.nio.file.Paths.get(dir, "_manifests", f"v$v%06d.json")
+    val header = java.nio.file.Files.readAllLines(mp).get(0)
+    java.nio.file.Files.writeString(mp, header + "\n")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_manifests", f".v$v%06d.json.crc"))
+    val viaCkpt = Manifest.entriesRelation(spark, dir, v)
+      .orderBy("p", "file").collect().map(_.toString).toSeq
+    assert(viaCkpt === parsed,
+      "the checkpointed relation must be bit-equal to the manifest parse")
+  }
+
   test("a stale conflicting writer fails loudly and mutates nothing") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
