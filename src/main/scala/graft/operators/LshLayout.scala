@@ -158,4 +158,26 @@ object LshLayout {
       textCol: String, threshold: Double): DataFrame =
     batch.join(dupIdsFromLayout(dir, batch, idCol, textCol, threshold),
       Seq(idCol), "left_anti")
+
+  /** RIGHT-TO-BE-FORGOTTEN purge: drop every trace of `ids` from the
+    * persisted index — their band keys from `keys/` and their
+    * shingle-hash sets from `sets/`. A purged document's raw text
+    * leaving the corpus while its FINGERPRINTS live on in the index is
+    * not a deletion (shingle-hash sets are content-derived); this is
+    * the index half of the `purgeRows`/`Manifest.purge` story, and it
+    * uses the same victim-partition rewrite — only `sets/` parts that
+    * hold a victim and `keys/` buckets a victim's keys hash to are
+    * rewritten, everything else keeps its bytes. A later probe cannot
+    * match a purged id (its keys are gone), so admission decisions
+    * stop being influenced by forgotten content immediately.
+    */
+  def purge(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    readMeta(dir, spark.sparkContext.hadoopConfiguration) // loud non-layout
+    require(ids.nonEmpty, "LshLayout.purge: empty id set")
+    require(ids.length <= (1 << 20),
+      "LshLayout.purge: more than 2^20 ids - batch the purge")
+    val victim = col("id").isInCollection(ids)
+    ChangeData.purgeRows(spark, s"$dir/keys", "bucket", victim)
+    ChangeData.purgeRows(spark, s"$dir/sets", "part", victim)
+  }
 }

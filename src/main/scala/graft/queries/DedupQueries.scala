@@ -264,6 +264,47 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // RIGHT-TO-BE-FORGOTTEN over the persisted LSH index — the index
+    // half of the q177 purge story: deleting a document's raw text
+    // while its shingle-hash sets and band keys live on in the
+    // admission index is not a deletion (fingerprints are
+    // content-derived data). The gate builds the layout over the FULL
+    // corpus, purges the victim ids (victim-partition rewrite in both
+    // substores), and then (a) censuses both substores for victim
+    // traces (CENSUS_* sentinels — must be zero rows) and (b) probes
+    // with the full corpus: survivors still self-match (the purge must
+    // not damage untouched entries), while a victim can only match
+    // through a SURVIVING near-dup — its own fingerprints are gone. So
+    // the admitted set is exactly "docs with no >= 0.8 neighbor among
+    // survivors", which the oracle restates in exact string-shingle
+    // Jaccard (the q111 recall argument: self-matches share every
+    // band, planted near-dups sit far above the band S-curve midpoint).
+    "q385_lsh_purge_gate" -> ((s, dir) => {
+      import graft.operators.LshLayout
+      val d = docs(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lsh_purge").toString
+      LshLayout.writeLshLayout(d, "doc_id", "text", tmp)
+      val victimIds = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").cast("long"))
+        .collect().map(_.getLong(0)).toSeq
+      LshLayout.purge(s, tmp, victimIds)
+      val leftKeys = s.read.parquet(s"$tmp/keys")
+        .filter(col("id").isInCollection(victimIds)).limit(1).count() > 0
+      val leftSets = s.read.parquet(s"$tmp/sets")
+        .filter(col("id").isInCollection(victimIds)).limit(1).count() > 0
+      val admitted = LshLayout.dedupAgainstLayout(tmp, d, "doc_id",
+          "text", threshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(-1L).as("doc_id"), lit(name).as("lang"),
+          lit("").as("source"), lit(-1L).as("n_chars"))
+      admitted
+        .unionByName(viol(leftKeys, "CENSUS_KEYS"))
+        .unionByName(viol(leftSets, "CENSUS_SETS"))
+        .orderBy("doc_id")
+    }),
+
     // Duplicate-span profile (ExactSubstr): per doc, the merged [start,
     // end) word intervals covered by cross-document duplicated 8-grams —
     // the spans a span-level dedup pass excises. Text never shuffles
@@ -951,6 +992,23 @@ object DedupQueries {
     // The streaming twin drains to the same kept set on bounded input —
     // one oracle states the semantics for both execution modes.
     "q118_stream_lsh_incremental" -> lshIncrementalOracle,
+    // Post-purge admission in exact string-shingle Jaccard: history =
+    // the SURVIVORS only (the purged ids' fingerprints must be gone),
+    // probe = the full corpus (survivors self-match and drop out). No
+    // CENSUS_* sentinel rows — both substores hold zero victim traces.
+    "q385_lsh_purge_gate" -> (shingleCte +
+      """
+        |, h AS (SELECT doc_id AS hid, sh AS hsh FROM t WHERE doc_id % 7 <> 0)
+        |, b AS (SELECT doc_id, sh FROM t)
+        |, dup AS (
+        |  SELECT DISTINCT b.doc_id FROM b JOIN h ON
+        |    CAST(len(list_intersect(b.sh, h.hsh)) AS DOUBLE)
+        |      / (len(b.sh) + len(h.hsh) - len(list_intersect(b.sh, h.hsh)))
+        |      >= 0.8)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin),
     // q96's string-level NOT EXISTS verbatim: the Bloom path must be
     // output-indistinguishable from the plain anti-join.
     "q116_bloom_incremental" ->

@@ -1154,6 +1154,67 @@ object SimilarityQueries {
         .orderBy("query_id", "rnk")
     }),
 
+    // RIGHT-TO-BE-FORGOTTEN over the persisted ANN layouts (the q385
+    // move pointed at vectors): purging a user's rows from the raw
+    // table while their EMBEDDINGS live on in the IVF store and the
+    // k-NN graph is not a deletion — a search could still surface the
+    // forgotten vectors. The gate builds BOTH layouts over the full
+    // corpus, purges the victim ids (victim-partition rewrite:
+    // vectors from every nassign bucket copy, graph rows on either
+    // edge end), then asserts in-query: (a) censuses of all three
+    // substores are victim-free (CENSUS_* sentinel rows); (b) a
+    // degenerate-exact search over each purged layout (full probe;
+    // for the graph, ef >= |survivors| — the KnnGraphSpec law) equals
+    // brute force over the SURVIVORS, probed with the victims' own
+    // vectors — so nothing forgotten can resurface and nothing
+    // surviving was damaged. Symmetric diffs; oracle = EMPTY relation.
+    "q386_ann_purge_gate" -> ((s, dir) => {
+      import graft.operators.KnnGraph
+      val e = emb(s, dir)
+      val victims = e.filter(col("vec_id") % 7 === 0)
+      val survivors = e.filter(col("vec_id") % 7 =!= 0)
+      val victimIds = victims.select(col("vec_id").cast("long"))
+        .collect().map(_.getLong(0)).toSeq
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ann_purge").toString
+      val nlist = 8
+      Similarity.writeIvfLayout(e, "vec_id", "embedding", s"$tmp/ivf",
+        nlist, nassign = 3)
+      KnnGraph.writeKnnGraphLayout(e, "vec_id", "embedding", s"$tmp/knn",
+        k = 4, nlist = nlist, nassign = 2)
+      Similarity.purgeIvfLayout(s, s"$tmp/ivf", victimIds)
+      KnnGraph.purgeKnnGraphLayout(s, s"$tmp/knn", victimIds)
+      def hasVictims(df: org.apache.spark.sql.DataFrame,
+          pred: org.apache.spark.sql.Column) =
+        df.filter(pred).limit(1).count() > 0
+      val leftIvf = hasVictims(s.read.parquet(s"$tmp/ivf"),
+        col("neighbor_id").isInCollection(victimIds))
+      val leftVec = hasVictims(s.read.parquet(s"$tmp/knn/vectors"),
+        col("neighbor_id").isInCollection(victimIds))
+      val leftGraph = hasVictims(s.read.parquet(s"$tmp/knn/graph"),
+        col("vec_id").isInCollection(victimIds) ||
+          col("neighbor_id").isInCollection(victimIds))
+      val exact = Similarity.bruteForceTopK(survivors, victims,
+        "vec_id", "embedding", k = 5).localCheckpoint(true)
+      val viaIvf = Similarity.ivfTopKFromLayout(s"$tmp/ivf", victims,
+        "vec_id", "embedding", k = 5, nprobe = nlist)
+      val nSurv = survivors.count().toInt
+      val viaGraph = KnnGraph.searchFromLayout(s"$tmp/knn", victims,
+        "vec_id", "embedding", k = 5, ef = nSurv, hops = 1,
+        nprobe = nlist)
+      def viol(cond: Boolean, tag: Long) = s.range(1).filter(lit(cond))
+        .select(lit(-1L).as("query_id"), lit(tag).as("rank"),
+          lit(-1L).as("neighbor_id"), lit(-1.0).as("sim"))
+      viaIvf.exceptAll(exact).unionAll(exact.exceptAll(viaIvf))
+        .unionAll(viaGraph.exceptAll(exact))
+        .unionAll(exact.exceptAll(viaGraph))
+        .unionAll(viol(leftIvf, 1L))
+        .unionAll(viol(leftVec, 2L))
+        .unionAll(viol(leftGraph, 3L))
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk", "neighbor_id")
+    }),
+
     // Margin-based cross-corpus pair mining (Artetxe & Schwenk ratio
     // margin — the bitext/semantic-pair mining score): label parity
     // splits the embeddings into the two "corpora"; each source vector's
@@ -1703,6 +1764,13 @@ object SimilarityQueries {
         |  CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS sim
         |WHERE FALSE""".stripMargin,
     "q107_ivf_append_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rnk,
+        |  CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS sim
+        |WHERE FALSE""".stripMargin,
+    // Purged layouts must search as if the victims never existed: both
+    // degenerate-exact searches equal brute force over survivors and
+    // every census is victim-free — the diff (and the oracle) is empty.
+    "q386_ann_purge_gate" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rnk,
         |  CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS sim
         |WHERE FALSE""".stripMargin,
