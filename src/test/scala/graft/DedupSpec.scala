@@ -73,6 +73,57 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("not an LSH layout"))
   }
 
+  test("LshLayout.purge: every victim trace gone, survivors still " +
+      "indexed, untouched partitions bit-identical") {
+    import graft.operators.LshLayout
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_purge_spec").toString
+    val nparts = 4
+    LshLayout.writeLshLayout(docsDf, "doc_id", "text", dir,
+      nlist = 8, nparts = nparts)
+    def crcs: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map { p =>
+          val c = new java.util.zip.CRC32()
+          c.update(java.nio.file.Files.readAllBytes(p))
+          p.toString -> c.getValue
+        }.toMap
+    }
+    val victims = Seq(1L, 2L) // the near-dup pair — both forgotten
+    val victimBuckets = spark.read.parquet(s"$dir/keys")
+      .filter($"id".isin(victims: _*))
+      .select("bucket").distinct().as[Int].collect().toSet
+    val victimParts = victims.map(_ % nparts).toSet
+    val before = crcs
+    LshLayout.purge(spark, dir, victims)
+    assert(spark.read.parquet(s"$dir/keys")
+      .filter($"id".isin(victims: _*)).count() === 0L,
+      "band keys of a purged doc survive in keys/")
+    assert(spark.read.parquet(s"$dir/sets")
+      .filter($"id".isin(victims: _*)).count() === 0L,
+      "shingle-hash set of a purged doc survives in sets/")
+    val after = crcs
+    before.foreach { case (p, c) =>
+      val touched =
+        victimBuckets.exists(b => p.contains(s"/keys/bucket=$b/")) ||
+          victimParts.exists(x => p.contains(s"/sets/part=$x/"))
+      if (!touched)
+        assert(after.get(p).contains(c),
+          s"untouched partition file $p was rewritten by the purge")
+    }
+    // the forgotten pair probes as NEW (their only near-dups — each
+    // other — are gone too); the survivors still self-match
+    val admitted = LshLayout.dedupAgainstLayout(dir, docsDf, "doc_id",
+        "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(1L, 2L),
+      s"post-purge admission drifted: $admitted (expected the purged " +
+        "pair admitted as new, the survivors still caught)")
+  }
+
   test("blockedJaccardPairs never crosses blocks") {
     val exact = Dedup.blockedJaccardPairs(docsDf, "doc_id", "text",
         Seq("lang"), threshold = 0.5)

@@ -109,6 +109,67 @@ class KnnGraphSpec extends SparkSpec {
       s"lookup read $read of 8 graph partitions — pruning regressed")
   }
 
+  test("purgeKnnGraphLayout: victims vanish from vectors and BOTH edge " +
+      "ends; surviving lookups equal the victim-filtered graph; " +
+      "untouched partitions bit-identical") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knn_purge").toString
+    val e = emb
+    val nparts = 8
+    KnnGraph.writeKnnGraphLayout(e, "vec_id", "embedding", dir, k = 3,
+      nlist = 8, nassign = 2, rounds = 0, nparts = nparts)
+    val victimIds = e.filter(col("vec_id") % 5 === 0)
+      .select("vec_id").as[Long].collect().toSeq
+    def crcs: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map { p =>
+          val c = new java.util.zip.CRC32()
+          c.update(java.nio.file.Files.readAllBytes(p))
+          p.toString -> c.getValue
+        }.toMap
+    }
+    val g0 = spark.read.parquet(s"$dir/graph").localCheckpoint(true)
+    val isVictimEdge = col("vec_id").isInCollection(victimIds) ||
+      col("neighbor_id").isInCollection(victimIds)
+    val touchedParts = g0.filter(isVictimEdge)
+      .select("part").distinct().as[Int].collect().toSet
+    val touchedBuckets = spark.read.parquet(s"$dir/vectors")
+      .filter(col("neighbor_id").isInCollection(victimIds))
+      .select("bucket").distinct().as[Int].collect().toSet
+    val before = crcs
+    KnnGraph.purgeKnnGraphLayout(spark, dir, victimIds)
+    assert(spark.read.parquet(s"$dir/vectors")
+      .filter(col("neighbor_id").isInCollection(victimIds)).count() === 0L,
+      "a purged vector survives in the vectors substore")
+    assert(spark.read.parquet(s"$dir/graph")
+      .filter(isVictimEdge).count() === 0L,
+      "a purged id survives on a graph edge end")
+    val after = crcs
+    before.foreach { case (p, c) =>
+      val touched =
+        touchedParts.exists(x => p.contains(s"/graph/part=$x/")) ||
+          touchedBuckets.exists(b => p.contains(s"/vectors/bucket=$b/"))
+      if (!touched)
+        assert(after.get(p).contains(c),
+          s"untouched partition file $p was rewritten by the purge")
+    }
+    // surviving lookups = the pre-purge graph minus every victim edge,
+    // re-ranked (rank is recomputed at read, so survivors whose lists
+    // shrank keep dense ranks)
+    val survivors = e.filter(col("vec_id") % 5 =!= 0).select("vec_id")
+    val got = KnnGraph.knnNeighborsFromLayout(dir, survivors, "vec_id")
+      .collect().map(_.toString).sorted.toSeq
+    val want = KnnGraph.rankGraph(g0.filter(!isVictimEdge)
+        .select(col("vec_id").as("id"), col("neighbor_id").as("neighbor"),
+          col("sim")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want,
+      "post-purge lookup diverged from the victim-filtered graph")
+  }
+
   test("appendKnnGraphLayout equals a from-scratch union build under the frozen model") {
     val dir = java.nio.file.Files.createTempDirectory("graft_knn_app").toString
     val e = emb
