@@ -17,10 +17,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session (used by GraftSession so every engine session has them).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftExtensions.tableDefinitions.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -176,6 +180,48 @@ object GraftExtensions {
         MarkerHits(a.head, spec.split(';').toSeq.map(_.split(',').toSeq.map(_.trim)))
       } _))
 
+  /** SQL TABLE functions — the `spark.sql`-reachable surface of the
+    * lakehouse verbs (the kernels above cover scalar SQL; these cover
+    * the manifest layer): `graft_history('dir')` is DESCRIBE HISTORY,
+    * `graft_snapshot('dir', v)` is a DV-aware time-travel read
+    * (v = -1 → latest). Both resolve eagerly at analysis time — the
+    * layout dir must be a literal, exactly like a table name — and
+    * return the SAME plans the Scala APIs build, so q384/q378's
+    * semantics carry over verbatim.
+    */
+  private def stringLiteral(fn: String, param: String, e: Expression): String = {
+    require(e.foldable && e.dataType == StringType,
+      s"$fn: argument '$param' must be a string literal")
+    e.eval().toString
+  }
+
+  val tableDefinitions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("graft_history",
+      info("graft_history",
+        "graft_history(dir) - DESCRIBE HISTORY of a graft manifest layout"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_history expects 1 argument, got ${args.length}")
+        val dir = stringLiteral("graft_history", "dir", args.head)
+        graft.operators.Manifest
+          .history(org.apache.spark.sql.SparkSession.active, dir)
+          .queryExecution.analyzed
+      }),
+    ("graft_snapshot",
+      info("graft_snapshot",
+        "graft_snapshot(dir, version) - DV-aware time-travel read of a graft manifest layout (version -1 = latest)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_snapshot expects 2 arguments, got ${args.length}")
+        val dir = stringLiteral("graft_snapshot", "dir", args.head)
+        val v = intLiteral("graft_snapshot", "version", args(1))
+        graft.operators.Manifest
+          .readWithDeletes(org.apache.spark.sql.SparkSession.active, dir, v)
+          .drop("__file", "__pos")
+          .queryExecution.analyzed
+      }))
+
   /** Register on an already-built session. Truly idempotent: a name
     * that is already present is left alone (re-registering would emit a
     * "function replaced" WARN per call site — `GraftSession.tune` runs
@@ -195,5 +241,12 @@ object GraftExtensions {
     if (!registry.functionExists(FunctionIdentifier("vec_mean")))
       spark.udf.register("vec_mean",
         org.apache.spark.sql.functions.udaf(new graft.functions.VecMeanAggregator))
+    // table functions land in their OWN registry
+    val tables = spark.sessionState.tableFunctionRegistry
+    tableDefinitions.foreach { case (name, inf, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!tables.functionExists(id))
+        tables.registerFunction(id, inf, builder)
+    }
   }
 }

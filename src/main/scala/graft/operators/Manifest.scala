@@ -1535,7 +1535,26 @@ object Manifest {
     * referencing the delta.
     */
   def prepareDelete(spark: SparkSession, dir: String,
-      victim: org.apache.spark.sql.Column): PreparedDelete = {
+      victim: org.apache.spark.sql.Column): PreparedDelete =
+    stageDelete(spark, dir,
+      live => live.filter(coalesce(victim, lit(false))))
+
+  /** Stage a merge-on-read delete of the rows matching a KEY LIST —
+    * the CDC-delete shape (a feed delivers the keys to forget, not a
+    * predicate): victims come from a keyed semi-join against the live
+    * snapshot, so a million-key delete batch stays a shuffle join,
+    * never a million-term predicate.
+    */
+  def prepareDeleteKeys(spark: SparkSession, dir: String,
+      keys: DataFrame, keyCols: Seq[String]): PreparedDelete = {
+    require(keyCols.nonEmpty, "prepareDeleteKeys: keyCols must be non-empty")
+    stageDelete(spark, dir,
+      live => live.join(keys.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi"))
+  }
+
+  private def stageDelete(spark: SparkSession, dir: String,
+      victims: DataFrame => DataFrame): PreparedDelete = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
@@ -1543,7 +1562,7 @@ object Manifest {
     val token =
       s"w${ProcessHandle.current().pid()}x${System.nanoTime().toHexString}"
     val rel = f"_dv/d${base + 1}%06d-$token"
-    live.filter(coalesce(victim, lit(false)))
+    victims(live)
       .select(col("__file"), col("__pos"))
       .write.mode("overwrite").parquet(s"$dir/$rel")
     val written = spark.read.parquet(s"$dir/$rel")
@@ -1569,12 +1588,19 @@ object Manifest {
     * number of deleted rows.
     */
   def commitDelete(spark: SparkSession, dir: String, prep: PreparedDelete,
-      maxAttempts: Int = 5): Long = {
+      maxAttempts: Int = 5, batchId: Long = -1L): Long = {
     if (prep.nNew == 0L) return 0L
     val conf = spark.sparkContext.hadoopConfiguration
     val f = fs(dir, conf)
     var attempt = 0
     while (true) {
+      // streaming replay stamp, re-checked per attempt (the
+      // appendEntries discipline): a racing duplicate delivery of the
+      // same batch must land exactly once
+      if (batchId >= 0 && committedBatches(dir, conf).contains(batchId)) {
+        f.delete(new Path(s"$dir/${prep.delta}"), true)
+        return 0L
+      }
       // the staged delta is header-invisible, so a vacuum run during
       // the prepare window legally reaped it as an orphan — verify
       // (EVERY attempt: a vacuum can also land between rebase retries)
@@ -1598,7 +1624,7 @@ object Manifest {
       }
       val h = readHeader(dir, latest, conf)
       try {
-        commitManifest(dir, latest + 1, entries, conf,
+        commitManifest(dir, latest + 1, entries, conf, batch = batchId,
           dv = h.dv :+ prep.delta, bloomK = h.bloomK, kmvK = h.kmvK,
           op = "delete")
         return prep.nNew
@@ -1621,6 +1647,25 @@ object Manifest {
   def deleteRows(spark: SparkSession, dir: String,
       victim: org.apache.spark.sql.Column): Long =
     commitDelete(spark, dir, prepareDelete(spark, dir, victim))
+
+  /** EXACTLY-ONCE streaming MOR delete (the ingestion-door twin of
+    * `commitBatch`/`mergeBatch`, completing the DV lifecycle's
+    * streaming leg): apply one micro-batch's delete-key list as a
+    * batch-stamped DV commit. A replayed batch id is detected BEFORE
+    * any delta is staged (and re-checked per publish attempt), so
+    * at-least-once feed delivery + this commit deletes each key's rows
+    * exactly once; a batch whose keys match nothing publishes no
+    * version. Returns whether this delivery committed a delete.
+    */
+  def deleteKeysBatch(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCols: Seq[String], batchId: Long): Boolean = {
+    require(batchId >= 0,
+      s"deleteKeysBatch: batchId must be >= 0, got $batchId")
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (committedBatches(dir, conf).contains(batchId)) return false
+    val prep = prepareDeleteKeys(spark, dir, keys, keyCols)
+    commitDelete(spark, dir, prep, batchId = batchId) > 0L
+  }
 
   /** TTL retention sweep — policy-driven expiry as a MERGE-ON-READ
     * delete: rows whose class has outlived its max age (relative to

@@ -876,6 +876,109 @@ object ChangeDataQueries {
         .orderBy("version")
     }),
 
+    // MANIFEST PARQUET CHECKPOINT — the distributed entry census (the
+    // Delta/Iceberg move): every other manifest consumer parses entry
+    // lines on the driver, which is the layer's 100 TB ceiling (at
+    // 10^6-10^7 files the driver becomes a single-threaded JSON
+    // parser). `checkpoint` materializes the latest entry relation as
+    // parquet; `entriesRelation` serves censuses from it as a
+    // DataFrame — executors parse, the driver holds headers only. The
+    // gate builds a two-commit layout, diffs the DISTRIBUTED manifest
+    // parse against the checkpoint read (PARSE_DIVERGED — they must be
+    // the same relation), reconstructs the TABLE CONTENT from the
+    // checkpoint's file list alone (the census read path — the oracle
+    // restates it over events), and pins the maintenance contract:
+    // re-checkpointing is a no-op (CKPT_STALE) and a post-checkpoint
+    // commit is never served from the stale checkpoint (STALE_SERVED).
+    "q387_manifest_checkpoint_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ckpt").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      val extra = ev.filter(col("dt") === lit("2024-01-01").cast("date"))
+        .withColumn("dt", lit("2024-02-01").cast("date"))
+      Manifest.append(extra, tmp, "dt")
+      val conf = s.sparkContext.hadoopConfiguration
+      // the distributed manifest parse, pinned BEFORE any checkpoint
+      val parsed = Manifest.entriesRelation(s, tmp).localCheckpoint(true)
+      val v = Manifest.checkpoint(s, tmp)
+      val ckptStale = v != Manifest.latestVersion(tmp, conf) ||
+        Manifest.lastCheckpoint(tmp, conf) != v ||
+        Manifest.checkpoint(s, tmp) != v // idempotent re-checkpoint
+      val viaCkpt = Manifest.entriesRelation(s, tmp)
+      val parseDiverged = viaCkpt.exceptAll(parsed)
+        .unionAll(parsed.exceptAll(viaCkpt)).limit(1).count() > 0
+      val nAtCkpt = parsed.count()
+      // table content reconstructed from the checkpoint relation's
+      // file list ALONE (immutable data files make the list a snapshot)
+      val files = viaCkpt.select("file").collect()
+        .map(r => s"$tmp/${r.getString(0)}")
+      val census = s.read.option("mergeSchema", "true").parquet(files: _*)
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      // a commit after the checkpoint must be served by the live parse,
+      // never the stale checkpoint
+      Manifest.append(extra.withColumn("dt",
+        lit("2024-02-02").cast("date")), tmp, "dt")
+      val staleServed = Manifest.entriesRelation(s, tmp).count() <= nAtCkpt
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(ckptStale, "CKPT_STALE"))
+        .unionByName(viol(parseDiverged, "PARSE_DIVERGED"))
+        .unionByName(viol(staleServed, "STALE_SERVED"))
+        .orderBy("dt")
+    }),
+
+    // SQL FRONT-END for the lakehouse verbs (the q53 move pointed at
+    // the manifest layer): `graft_history('dir')` and
+    // `graft_snapshot('dir', v)` are session-registered TABLE functions
+    // resolving to the exact plans the Scala APIs build, so DESCRIBE
+    // HISTORY and DV-aware time travel are reachable from `spark.sql`
+    // text — the gap between "a lakehouse library" and "a lakehouse".
+    // In-gate referees: SQL history ≡ the API relation
+    // (SQL_HISTORY_DIVERGED), SQL snapshot at v1 ≡ the created base
+    // (TT_DIVERGED). The emitted census reads the LATEST snapshot
+    // through SQL text — post-append, post-MOR-delete — and the oracle
+    // restates it over events.
+    "q388_sql_lakehouse_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sqllake").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      val extra = ev.filter(col("dt") === lit("2024-01-01").cast("date"))
+        .withColumn("dt", lit("2024-02-01").cast("date"))
+      Manifest.append(extra, tmp, "dt")
+      Manifest.deleteRows(s, tmp, col("user_id").isin(3L, 7L))
+      graft.GraftSession.tune(s) // table functions registered
+      val sqlHist = s.sql(s"SELECT * FROM graft_history('$tmp')")
+      val apiHist = Manifest.history(s, tmp)
+      val histDiverged = sqlHist.exceptAll(apiHist)
+        .unionAll(apiHist.exceptAll(sqlHist)).limit(1).count() > 0
+      val sqlV1 = s.sql(s"SELECT * FROM graft_snapshot('$tmp', 1)")
+      val ttDiverged = sqlV1.exceptAll(ev).unionAll(ev.exceptAll(sqlV1))
+        .limit(1).count() > 0
+      val census = s.sql(
+        s"""SELECT CAST(dt AS STRING) AS dt, COUNT(*) AS n,
+           |  ROUND(SUM(value), 2) AS sum_value
+           |FROM graft_snapshot('$tmp', -1)
+           |GROUP BY dt""".stripMargin)
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(histDiverged, "SQL_HISTORY_DIVERGED"))
+        .unionByName(viol(ttDiverged, "TT_DIVERGED"))
+        .orderBy("dt")
+    }),
+
     // MANIFEST-ONLY DISTINCT COUNTS — per-file KMV sketches (exact
     // union-truncate merge algebra) ride the manifest like the Bloom
     // index, so "how many distinct customers in these partitions?" is
@@ -983,6 +1086,59 @@ object ChangeDataQueries {
         .select(lit("REPLAYED").as("source"), lit(-1L).as("n_docs"),
           lit(-1L).as("sum_chars"))
       census.unionByName(viol).orderBy("source")
+    }),
+
+    // STREAMING MERGE-ON-READ DELETE — the ingestion-door twin of the
+    // q358 DV lifecycle (and the delete sibling of q379's streaming
+    // upsert): a CDC-shaped feed delivers delete KEYS per micro-batch,
+    // and `deleteKeysBatch` applies each batch as one batch-stamped DV
+    // commit — keyed semi-join victims (a million-key batch is a
+    // shuffle join, never a million-term predicate), no data file ever
+    // moves (MOR_REWROTE), and a re-delivered batch id applies nothing
+    // (REPLAYED — pinned by a same-id double apply inside the drain).
+    // On the bounded drain the live table equals events minus the
+    // victim predicates, which is q358's oracle restated pre-apply.
+    "q389_stream_mor_delete" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_dv").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("event_type"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      val files1 = Manifest.read(s, tmp).inputFiles.toSet
+      val replayed = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = graft.streaming.EventStreams.readEventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          val keys = batch
+            .filter(col("event_type") === "error" ||
+              col("user_id").isin(3L, 7L))
+            .select("event_id")
+          Manifest.deleteKeysBatch(s, tmp, keys, Seq("event_id"), batchId)
+          // delivery retry: the SAME batch id arrives again
+          if (Manifest.deleteKeysBatch(s, tmp, keys, Seq("event_id"),
+              batchId))
+            replayed.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val files2 = Manifest.read(s, tmp).inputFiles.toSet
+      val census = Manifest.readWithDeletes(s, tmp)
+        .drop("__file", "__pos")
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(files2 != files1, "MOR_REWROTE"))
+        .unionByName(viol(replayed.get() > 0, "REPLAYED"))
+        .orderBy("dt")
     }),
 
     // Z-ORDER CLUSTERED MANIFEST (liquid clustering): each day's rows
@@ -1499,6 +1655,40 @@ object ChangeDataQueries {
         |  (8, 'restore', -1, 0)
         |) AS t(version, op, batch_id, n_dv_deltas)
         |ORDER BY version""".stripMargin,
+    // q358's victim predicates restated pre-apply: the streamed
+    // key-list deletes leave exactly the non-error, non-(3,7) rows
+    // live — no MOR_REWROTE / REPLAYED rows.
+    "q389_stream_mor_delete" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM events
+        |WHERE NOT (event_type = 'error' OR user_id IN (3, 7))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The table content by day, reconstructed from the checkpoint's
+    // file list alone — no CKPT_STALE / PARSE_DIVERGED / STALE_SERVED
+    // rows.
+    "q387_manifest_checkpoint_gate" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS dt, value FROM events
+        |  UNION ALL
+        |  SELECT DATE '2024-02-01', value FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-01')
+        |SELECT CAST(dt AS VARCHAR) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The latest snapshot (post-append, post-MOR-delete) read through
+    // SQL text — no SQL_HISTORY_DIVERGED / TT_DIVERGED rows.
+    "q388_sql_lakehouse_gate" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS dt, user_id, value FROM events
+        |  UNION ALL
+        |  SELECT DATE '2024-02-01', user_id, value FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-01')
+        |SELECT CAST(dt AS VARCHAR) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM base WHERE user_id NOT IN (3, 7)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Per-status exact distinct-customer census — no ERR_BOUND /
     // NOT_CONVERGED / SILENT_STALE / REFRESH_BROKEN rows.
     "q382_manifest_ndv_gate" ->
