@@ -109,6 +109,25 @@ class KnnGraphSpec extends SparkSpec {
       s"lookup read $read of 8 graph partitions — pruning regressed")
   }
 
+  test("knnNeighborsFromLayout: broadcast and shuffle id paths return " +
+      "identical neighbor sets") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knn_paths").toString
+    val e = emb
+    KnnGraph.writeKnnGraphLayout(e, "vec_id", "embedding", dir, k = 3,
+      nlist = 8, nassign = 2, rounds = 0, nparts = 8)
+    val ids = e.select("vec_id").filter(col("vec_id") % 3 === 1)
+    val viaBroadcast = KnnGraph.knnNeighborsFromLayout(dir, ids, "vec_id")
+      .collect().map(_.toString).sorted.toSeq
+    // maxBroadcastIds = 0 forces the size guard onto the shuffle path —
+    // the 10^8-id bulk-lookup shape
+    val viaShuffle = KnnGraph.knnNeighborsFromLayout(dir, ids, "vec_id",
+        maxBroadcastIds = 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaBroadcast.nonEmpty && viaBroadcast === viaShuffle,
+      "the guarded lookup paths diverged")
+  }
+
   test("purgeKnnGraphLayout: victims vanish from vectors and BOTH edge " +
       "ends; surviving lookups equal the victim-filtered graph; " +
       "untouched partitions bit-identical") {

@@ -953,6 +953,29 @@ class ManifestSpec extends SparkSpec {
       "the checkpointed relation must be bit-equal to the manifest parse")
   }
 
+  test("SQL table functions: history and DV-aware time travel resolve " +
+      "from spark.sql text; bad arity is loud") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    Manifest.deleteRows(spark, dir, $"id" === 3L)
+    graft.GraftSession.tune(spark)
+    // latest snapshot reads THROUGH the deletion vector
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft_snapshot('$dir', -1)")
+      .head().getLong(0) === 5L)
+    // explicit version 1 = pre-delete
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft_snapshot('$dir', 1)")
+      .head().getLong(0) === 6L)
+    val trail = spark.sql(
+        s"SELECT op FROM graft_history('$dir') ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(trail === Seq("create", "delete"))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_history('$dir', 2)").collect()
+    }
+    assert(e.getMessage.contains("expects 1"),
+      s"bad arity must be loud, got: ${e.getMessage}")
+  }
+
   test("a stale conflicting writer fails loudly and mutates nothing") {
     val dir = mkdir()
     Manifest.create(fixture, dir, "grp")
