@@ -1,7 +1,8 @@
 package graft
 
 import java.nio.file.Paths
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, lit, not}
 
 /** Bucketed-table maintenance: drop + recreate a managed table persisted
   * bucketed-and-sorted on its join key — the pay-the-shuffle-once layout
@@ -52,5 +53,37 @@ object Bucketing {
       spark.sql(
         s"ALTER TABLE $table SET TBLPROPERTIES ('graft.layout.token'='$esc')")
     }
+  }
+
+  /** PHYSICAL PURGE of a bucketed index table — the maintenance job
+    * behind read-time tombstones (the q186 discipline: tombstones make
+    * deletions visible immediately; this reclaims the bytes in a
+    * maintenance window). The table rewrites WITHOUT the victim rows
+    * under its OWN catalog bucket spec, so bucket-pruned lookups keep
+    * working unchanged. A full rewrite is honest here, not lazy: a
+    * purged document's terms hash into essentially every bucket of a
+    * word-bucketed postings index, so every bucket genuinely holds
+    * victims — there is no untouched-partition shortcut. NULL-valued
+    * predicates count as KEEP (the purgeRows discipline). Returns the
+    * number of purged rows (0 = table untouched). Purge the SOURCE
+    * table first: a later index rebuild from an unpurged source would
+    * resurrect the rows — true of any derived index.
+    */
+  def purgeBucketedTable(spark: SparkSession, table: String,
+      victim: Column): Long = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      sys.error(s"purgeBucketedTable: $table carries no bucket spec"))
+    val isVictim = coalesce(victim, lit(false))
+    val t = spark.table(table)
+    val n = t.filter(isVictim).count()
+    if (n == 0L) return 0L
+    // materialize survivors BEFORE the drop — the lazy plan reads the
+    // very files recreateBucketedTable deletes
+    val survivors = t.filter(not(isVictim)).localCheckpoint(true)
+    recreateBucketedTable(survivors, table, spec.numBuckets,
+      spec.bucketColumnNames.head)
+    n
   }
 }

@@ -2234,6 +2234,55 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PHYSICAL POSTINGS PURGE — the maintenance job behind q186's
+    // read-time tombstones (the fourth leg of the index lifecycle:
+    // build q172, append q176, tombstone q186, reclaim here): the
+    // bucketed index rewrites WITHOUT the tombstoned docs' rows under
+    // its own catalog bucket spec (every bucket genuinely holds
+    // victims in a word-bucketed index — a full rewrite IS the
+    // victim-partition rewrite), after which the search needs NO
+    // tombstone anti-join and still bucket-prunes. In-gate referees:
+    // zero victim postings remain (CENSUS), a second purge removes
+    // nothing (NOT_IDEMPOTENT), the rewritten table still carries its
+    // bucket spec (NOT_BUCKETED), and the purge actually bit
+    // (NO_VICTIMS). Same result relation as q186 — shares its oracle.
+    "q390_postings_purge" -> ((s, dir) => {
+      val phrase = Seq("table", "part")
+      val postings = docs(s, dir)
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .toDF("doc_id", "pos", "w")
+        .select(col("w"), col("doc_id"), col("pos"))
+      // fresh every invocation: purge MUTATES the table (the q176
+      // recreate pattern, not the q172 ensure-once pattern)
+      graft.Bucketing.recreateBucketedTable(postings, "bq_postings_purge",
+        buckets = 16, key = "w")
+      val victim = col("doc_id") % 5 === 0
+      val n = graft.Bucketing.purgeBucketedTable(s, "bq_postings_purge",
+        victim)
+      val n2 = graft.Bucketing.purgeBucketedTable(s, "bq_postings_purge",
+        victim)
+      val tb = s.table("bq_postings_purge")
+      val leftover = tb.filter(victim).limit(1).count() > 0
+      val stillBucketed = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("bq_postings_purge"))
+        .bucketSpec.exists(_.numBuckets == 16)
+      val hits = phrase.zipWithIndex
+        .map { case (word, i) =>
+          tb.filter(col("w") === word)
+            .select(col("doc_id"), (col("pos") - i).as("pos"))
+        }
+        .reduce(_.join(_, Seq("doc_id", "pos")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+      def viol(cond: Boolean, tag: Long) = s.range(1).filter(lit(cond))
+        .select(lit(-1L).as("doc_id"), lit(tag).as("n_occ"))
+      hits
+        .unionByName(viol(leftover, 1L))
+        .unionByName(viol(n2 != 0L, 2L))
+        .unionByName(viol(!stillBucketed, 3L))
+        .unionByName(viol(n == 0L, 4L))
+        .orderBy("doc_id")
+    }),
+
     "q176_postings_append" -> ((s, dir) => {
       val phrase = Seq("table", "part")
       def postings(d: DataFrame) = d
@@ -4912,6 +4961,18 @@ object TextQueries {
     // The phrase search minus the tombstoned split: read-time deletes
     // must be indistinguishable from an index built without those docs.
     "q186_postings_delete" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        | m AS (SELECT doc_id,
+        |    CAST(len(list_filter(range(1, len(w)),
+        |      i -> w[i] = 'table' AND w[i + 1] = 'part')) AS BIGINT) AS n_occ
+        |  FROM t)
+        |SELECT doc_id, n_occ FROM m WHERE n_occ > 0
+        |ORDER BY doc_id""".stripMargin,
+    // The physically-purged index searches exactly like the tombstoned
+    // view — q186's oracle verbatim; no CENSUS / NOT_IDEMPOTENT /
+    // NOT_BUCKETED / NO_VICTIMS sentinel rows.
+    "q390_postings_purge" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents WHERE doc_id % 5 <> 0),
         | m AS (SELECT doc_id,
