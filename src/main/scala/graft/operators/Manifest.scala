@@ -307,16 +307,31 @@ object Manifest {
       conf, op = "create")
   }
 
-  /** Batch ids already committed into this layout (bounded by the
-    * version count — one header line per manifest).
+  /** Batch ids already committed into this layout. Served from the
+    * checkpoint's persisted stamp set plus the header lines of only
+    * the versions AFTER it — so a streaming sink's per-micro-batch
+    * replay check opens O(commits since last checkpoint) files, not
+    * O(all versions), and (crucially) stamps SURVIVE vacuum: vacuum
+    * deletes superseded manifests, which without the checkpoint would
+    * silently forget old stamps and let a months-later replay of an
+    * already-applied batch re-apply. Without a checkpoint this is the
+    * full header scan (one line per manifest).
     */
   def committedBatches(dir: String, conf: Configuration): Set[Long] = {
     val mdir = new Path(s"$dir/_manifests")
     val f = fs(dir, conf)
     if (!f.exists(mdir)) return Set.empty
+    val ckptV = lastCheckpoint(dir, conf)
+    val fromCkpt = checkpointBatches(dir, conf)
     val B = """"batch":(\d+)""".r
-    f.listStatus(mdir).toSeq
-      .filter(_.getPath.getName.matches("v\\d{6}\\.json"))
+    val V = """v(\d{6})\.json""".r
+    fromCkpt ++ f.listStatus(mdir).toSeq
+      .filter { st =>
+        st.getPath.getName match {
+          case V(v) => v.toInt > ckptV
+          case _ => false
+        }
+      }
       .flatMap { st =>
         val in = f.open(st.getPath)
         val head = try {
@@ -1310,15 +1325,34 @@ object Manifest {
   private def lastCheckpointPath(dir: String) =
     new Path(s"$dir/_manifests", "_last_checkpoint")
 
-  /** The version the newest checkpoint covers, or 0 if none. */
-  def lastCheckpoint(dir: String, conf: Configuration): Int = {
+  private def lastCheckpointRaw(dir: String,
+      conf: Configuration): Option[String] = {
     val p = lastCheckpointPath(dir)
     val f = fs(dir, conf)
-    if (!f.exists(p)) return 0
+    if (!f.exists(p)) return None
     val in = f.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
     finally in.close()
   }
+
+  /** The version the newest checkpoint covers, or 0 if none. */
+  def lastCheckpoint(dir: String, conf: Configuration): Int =
+    lastCheckpointRaw(dir, conf).map { s =>
+      val V = """"v":(\d+)""".r
+      V.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(s.toInt)
+    }.getOrElse(0)
+
+  /** Batch stamps the newest checkpoint preserves (committed in
+    * versions <= its `v`) — what keeps exactly-once replay protection
+    * alive across vacuum.
+    */
+  private def checkpointBatches(dir: String,
+      conf: Configuration): Set[Long] =
+    lastCheckpointRaw(dir, conf).toSeq.flatMap { s =>
+      val A = """"batches":\[([^\]]*)\]""".r
+      A.findFirstMatchIn(s).toSeq.flatMap(_.group(1).split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong))
+    }.toSet
 
   /** Distributed parse of manifest `version`'s entry lines — executors
     * run the line grammar, the driver never materializes the entries.
@@ -1356,10 +1390,17 @@ object Manifest {
     if (prev == v) return v
     parseManifestDF(spark, dir, v)
       .write.mode("overwrite").parquet(checkpointPath(dir, v))
+    // the pointer also persists every batch stamp committed so far —
+    // vacuum deletes superseded manifests (where stamps live), so
+    // without this a long-running stream would lose replay protection
+    // at its first post-vacuum duplicate delivery. Checkpoint BEFORE
+    // vacuum to keep the stamp history unbroken.
+    val stamps = committedBatches(dir, conf).toSeq.sorted
     val f = fs(dir, conf)
     val out = f.create(lastCheckpointPath(dir), true)
-    try out.write(v.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(
+      s"""{"v":$v,"batches":[${stamps.mkString(",")}]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // one live checkpoint: the superseded one is debris (readers of
     // old versions fall back to the distributed manifest parse)

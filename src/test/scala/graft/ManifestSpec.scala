@@ -953,6 +953,32 @@ class ManifestSpec extends SparkSpec {
       "the checkpointed relation must be bit-equal to the manifest parse")
   }
 
+  test("batch stamps survive vacuum through the checkpoint: a replayed " +
+      "batch from a vacuumed era still applies nothing") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    assert(Manifest.commitBatch(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(7L)), dir, "grp", batchId = 42L))
+    // several more commits supersede the stamped manifest, then a
+    // checkpoint persists the stamp history and vacuum deletes the
+    // superseded manifests (where the stamp lived)
+    Manifest.append(fixture.filter($"id" === 2L)
+      .withColumn("id", lit(8L)), dir, "grp")
+    Manifest.checkpoint(spark, dir)
+    Manifest.vacuum(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_manifests", "v000002.json")),
+      "vacuum should have deleted the superseded stamped manifest")
+    assert(Manifest.committedBatches(dir, conf).contains(42L),
+      "the stamp must survive vacuum via the checkpoint")
+    assert(!Manifest.commitBatch(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(7L)), dir, "grp", batchId = 42L),
+      "a post-vacuum replay of batch 42 must be a no-op")
+    assert(Manifest.read(spark, dir).filter($"id" === 7L).count() === 1L,
+      "the replay duplicated rows — exactly-once broke across vacuum")
+  }
+
   test("SQL table functions: history and DV-aware time travel resolve " +
       "from spark.sql text; bad arity is loud") {
     val dir = mkdir()
