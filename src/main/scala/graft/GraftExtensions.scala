@@ -220,6 +220,20 @@ object GraftExtensions {
           .readWithDeletes(org.apache.spark.sql.SparkSession.active, dir, v)
           .drop("__file", "__pos")
           .queryExecution.analyzed
+      }),
+    ("graft_changes",
+      info("graft_changes",
+        "graft_changes(dir, from, to) - change data feed of a graft manifest layout between two versions (rows tagged insert/delete in _change)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_changes expects 3 arguments, got ${args.length}")
+        val dir = stringLiteral("graft_changes", "dir", args.head)
+        val from = intLiteral("graft_changes", "from", args(1))
+        val to = intLiteral("graft_changes", "to", args(2))
+        graft.operators.Manifest
+          .changesBetween(org.apache.spark.sql.SparkSession.active, dir,
+            from, to)
+          .queryExecution.analyzed
       }))
 
   /** Register on an already-built session. Truly idempotent: a name

@@ -1000,6 +1000,12 @@ class ManifestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("expects 1"),
       s"bad arity must be loud, got: ${e.getMessage}")
+    // change feed via SQL text: v1 -> v2 is exactly the MOR delete
+    val feed = spark.sql(
+        s"""SELECT _change, id FROM graft_changes('$dir', 1, 2)""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(feed === Seq(("delete", 3L)),
+      s"SQL change feed diverged: $feed")
   }
 
   test("a stale conflicting writer fails loudly and mutates nothing") {
