@@ -214,16 +214,46 @@ object ChangeData {
     * overwrite never touches a partition absent from the frame — the
     * silent-retention trap this operator exists to close.
     */
+  /** `purgeRows` with the victims given as a KEY RELATION instead of a
+    * predicate — the forget-list shape (a domain-level GDPR purge
+    * delivers millions of ids; an IN-list predicate caps out, a keyed
+    * join does not). The key frame left-joins in with a marker column,
+    * so NULL keys in the layout never match (the purgeRows
+    * NULL-counts-as-KEEP discipline, for free from join semantics) and
+    * the census/rewrite machinery is shared verbatim.
+    */
+  def purgeRowsKeys(spark: SparkSession, layoutDir: String,
+      partitionCol: String, keys: DataFrame, keyCols: Seq[String],
+      maxAffected: Int = 1 << 16): Unit = {
+    require(keyCols.nonEmpty, "purgeRowsKeys: keyCols must be non-empty")
+    val t = spark.read.parquet(layoutDir)
+    val cols = t.columns
+    val marked = t.join(
+      keys.select(keyCols.map(col): _*).distinct()
+        .withColumn("__victim", lit(1)),
+      keyCols, "left")
+    purgeMarked(spark, layoutDir, partitionCol,
+      marked, col("__victim").isNotNull, cols, maxAffected)
+  }
+
   def purgeRows(spark: SparkSession, layoutDir: String, partitionCol: String,
                 victim: Column, maxAffected: Int = 1 << 16): Unit = {
     val t = spark.read.parquet(layoutDir)
+    purgeMarked(spark, layoutDir, partitionCol, t, victim, t.columns,
+      maxAffected)
+  }
+
+  /** Shared census + victim-partition rewrite of the purge family. */
+  private def purgeMarked(spark: SparkSession, layoutDir: String,
+      partitionCol: String, frame: DataFrame, victim: Column,
+      outCols: Seq[String], maxAffected: Int): Unit = {
     // A NULL-valued predicate (e.g. `user_id === x` on a null user_id)
     // must count as KEEP: under the raw column it would satisfy neither
     // `victim` nor `!victim`, dropping the row from the census AND the
     // rewrite — silent over-deletion on the one path whose contract is
     // "delete exactly the victim rows".
     val isVictim = coalesce(victim, lit(false))
-    val parts = t.groupBy(col(partitionCol))
+    val parts = frame.groupBy(col(partitionCol))
       .agg(sum(when(isVictim, 1L).otherwise(0L)).as("n_victim"),
         sum(when(!isVictim, 1L).otherwise(0L)).as("n_keep"))
       .filter(col("n_victim") > 0)
@@ -235,9 +265,10 @@ object ChangeData {
     if (parts.isEmpty) return
     val (live, dead) = parts.partition(_.getLong(2) > 0L)
     if (live.nonEmpty) {
-      val rewrite = t
+      val rewrite = frame
         .filter(col(partitionCol).isin(live.map(_.get(0)).toSeq: _*)
           && !isVictim)
+        .select(outCols.map(col): _*)
       overwritePartitions(rewrite, layoutDir, partitionCol)
     }
     dead.foreach { r =>

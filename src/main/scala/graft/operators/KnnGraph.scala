@@ -401,4 +401,22 @@ object KnnGraph {
       col("vec_id").isInCollection(ids) ||
         col("neighbor_id").isInCollection(ids))
   }
+
+  /** `purgeKnnGraphLayout` with the forget-list as a KEY RELATION
+    * (first column = vector id) — the domain-level purge shape. The
+    * graph purges in two keyed passes (own-list rows, then reverse
+    * edges); each pass rewrites only its victim partitions and the
+    * composition is idempotent.
+    */
+  def purgeKnnGraphLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame): Unit = {
+    readMeta(dir, spark.sparkContext.hadoopConfiguration) // loud non-layout
+    val keys = ids.select(col(ids.columns.head).cast("long").as("__kid"))
+      .localCheckpoint(true) // two substores + two passes share one eval
+    Similarity.purgeIvfLayout(spark, s"$dir/vectors", keys)
+    ChangeData.purgeRowsKeys(spark, s"$dir/graph", "part",
+      keys.select(col("__kid").as("vec_id")), Seq("vec_id"))
+    ChangeData.purgeRowsKeys(spark, s"$dir/graph", "part",
+      keys.select(col("__kid").as("neighbor_id")), Seq("neighbor_id"))
+  }
 }

@@ -180,4 +180,15 @@ object LshLayout {
     ChangeData.purgeRows(spark, s"$dir/keys", "bucket", victim)
     ChangeData.purgeRows(spark, s"$dir/sets", "part", victim)
   }
+
+  /** `purge` with the forget-list as a KEY RELATION (first column =
+    * doc id) — the domain-level purge shape, where millions of victim
+    * ids arrive as a frame and must join, not compile into an IN-list.
+    */
+  def purge(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    readMeta(dir, spark.sparkContext.hadoopConfiguration) // loud non-layout
+    val keys = ids.select(col(ids.columns.head).cast("long").as("id"))
+    ChangeData.purgeRowsKeys(spark, s"$dir/keys", "bucket", keys, Seq("id"))
+    ChangeData.purgeRowsKeys(spark, s"$dir/sets", "part", keys, Seq("id"))
+  }
 }

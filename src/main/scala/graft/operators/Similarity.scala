@@ -878,6 +878,20 @@ object Similarity {
       col("neighbor_id").isInCollection(ids))
   }
 
+  /** `purgeIvfLayout` with the forget-list as a KEY RELATION (first
+    * column = vector id) — the domain-level purge shape: millions of
+    * victim ids join against the store instead of compiling into an
+    * IN-list.
+    */
+  def purgeIvfLayout(spark: org.apache.spark.sql.SparkSession,
+      layoutDir: String, ids: DataFrame): Unit = {
+    readIvfCentroids(layoutDir,
+      spark.sparkContext.hadoopConfiguration) // loud on a non-layout dir
+    ChangeData.purgeRowsKeys(spark, layoutDir, "bucket",
+      ids.select(col(ids.columns.head).cast("long").as("neighbor_id")),
+      Seq("neighbor_id"))
+  }
+
   private def centroidsPath(layoutDir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(layoutDir, "_graft_ivf_centroids.json")
 

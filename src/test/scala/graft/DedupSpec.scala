@@ -124,6 +124,25 @@ class DedupSpec extends SparkSpec {
         "pair admitted as new, the survivors still caught)")
   }
 
+  test("LshLayout.purge: the key-relation overload equals the id-list path") {
+    import graft.operators.LshLayout
+    def build() = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_lsh_purge_eq").toString
+      LshLayout.writeLshLayout(docsDf, "doc_id", "text", d,
+        nlist = 8, nparts = 4)
+      d
+    }
+    def stores(d: String) = Seq("keys", "sets").map { sub =>
+      spark.read.parquet(s"$d/$sub").collect().map(_.toString).sorted.toSeq
+    }
+    val (a, b) = (build(), build())
+    LshLayout.purge(spark, a, Seq(1L, 2L))
+    LshLayout.purge(spark, b, Seq((1L), (2L)).toDF("forget_id"))
+    assert(stores(a) === stores(b),
+      "key-relation purge diverged from the id-list purge")
+  }
+
   test("blockedJaccardPairs never crosses blocks") {
     val exact = Dedup.blockedJaccardPairs(docsDf, "doc_id", "text",
         Seq("lang"), threshold = 0.5)

@@ -189,6 +189,28 @@ class KnnGraphSpec extends SparkSpec {
       "post-purge lookup diverged from the victim-filtered graph")
   }
 
+  test("purgeKnnGraphLayout: the key-relation overload equals the " +
+      "id-list path on both substores") {
+    val e = emb
+    def build() = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_knn_purge_eq").toString
+      KnnGraph.writeKnnGraphLayout(e, "vec_id", "embedding", d, k = 3,
+        nlist = 8, nassign = 2, rounds = 0, nparts = 4)
+      d
+    }
+    def stores(d: String) = Seq("vectors", "graph").map { sub =>
+      spark.read.parquet(s"$d/$sub").collect().map(_.toString).sorted.toSeq
+    }
+    val victims = e.filter(col("vec_id") % 5 === 0)
+    val victimIds = victims.select("vec_id").as[Long].collect().toSeq
+    val (a, b) = (build(), build())
+    KnnGraph.purgeKnnGraphLayout(spark, a, victimIds)
+    KnnGraph.purgeKnnGraphLayout(spark, b, victims.select("vec_id"))
+    assert(stores(a) === stores(b),
+      "key-relation purge diverged from the id-list purge")
+  }
+
   test("appendKnnGraphLayout equals a from-scratch union build under the frozen model") {
     val dir = java.nio.file.Files.createTempDirectory("graft_knn_app").toString
     val e = emb
