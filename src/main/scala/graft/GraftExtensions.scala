@@ -221,6 +221,17 @@ object GraftExtensions {
           .drop("__file", "__pos")
           .queryExecution.analyzed
       }),
+    ("graft_detail",
+      info("graft_detail",
+        "graft_detail(dir) - DESCRIBE DETAIL of a graft manifest layout (one row: version, op, n_files, n_partitions, n_dv_deltas, checkpoint_version)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_detail expects 1 argument, got ${args.length}")
+        val dir = stringLiteral("graft_detail", "dir", args.head)
+        graft.operators.Manifest
+          .detail(org.apache.spark.sql.SparkSession.active, dir)
+          .queryExecution.analyzed
+      }),
     ("graft_changes",
       info("graft_changes",
         "graft_changes(dir, from, to) - change data feed of a graft manifest layout between two versions (rows tagged insert/delete in _change)"),

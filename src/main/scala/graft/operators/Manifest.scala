@@ -1304,6 +1304,31 @@ object Manifest {
     rows.toDF("version", "op", "batch_id", "n_files", "n_dv_deltas")
   }
 
+  /** DESCRIBE DETAIL — one row of table-level facts about the LATEST
+    * snapshot: version, operation, file count (header-carried — zero
+    * entry parsing), partition count (distinct `p` over the
+    * DISTRIBUTED entry relation — executors parse, q387's read path),
+    * DV-delta count, and the version the newest checkpoint covers.
+    * Deliberately no byte totals: sizes aren't manifest-carried, and
+    * an O(files) driver-side getFileStatus sweep is exactly the
+    * anti-pattern the checkpoint exists to retire.
+    */
+  def detail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val v = latestVersion(dir, conf)
+    require(v >= 1, s"$dir is not a manifested layout")
+    val h = readHeader(dir, v, conf)
+    val nFiles =
+      if (h.n >= 0) h.n else readManifest(dir, v, conf).length.toLong
+    val nParts = entriesRelation(spark, dir, v)
+      .select("p").distinct().count()
+    Seq((v.toLong, if (h.op.isEmpty) "unknown" else h.op, nFiles, nParts,
+        h.dv.length.toLong, lastCheckpoint(dir, conf).toLong))
+      .toDF("version", "op", "n_files", "n_partitions", "n_dv_deltas",
+        "checkpoint_version")
+  }
+
   // ---- Manifest checkpoint: the distributed entry census -------------
   //
   // Every lifecycle op above parses manifest entry lines on the DRIVER

@@ -979,6 +979,43 @@ object ChangeDataQueries {
         .orderBy("dt")
     }),
 
+    // DESCRIBE DETAIL — the table-level inspection verb (history shows
+    // the trail, detail shows the current shape): version + op from
+    // the header, file count header-carried (zero entry parsing),
+    // partition count from the DISTRIBUTED entry relation (q387's
+    // read path), DV-delta and checkpoint-coverage counts. Reached
+    // through SQL text (graft_detail). The deterministic columns are
+    // oracle-pinned; the parallelism-dependent file count is refereed
+    // in-gate against the entry relation (N_FILES_DIVERGED).
+    "q391_manifest_detail_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_detail").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      Manifest.append(
+        ev.filter(col("dt") === lit("2024-01-01").cast("date"))
+          .withColumn("dt", lit("2024-02-01").cast("date")), tmp, "dt")
+      Manifest.deleteRows(s, tmp, col("user_id").isin(3L, 7L))
+      Manifest.checkpoint(s, tmp)
+      graft.GraftSession.tune(s)
+      val d = s.sql(s"SELECT * FROM graft_detail('$tmp')")
+        .localCheckpoint(true)
+      val row = d.head()
+      val nFilesDiverged =
+        row.getLong(2) != Manifest.entriesRelation(s, tmp).count()
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(-1L).as("version"), lit(name).as("op"),
+          lit(-1L).as("n_partitions"), lit(-1L).as("n_dv_deltas"),
+          lit(-1L).as("checkpoint_version"))
+      d.select(col("version"), col("op"), col("n_partitions"),
+          col("n_dv_deltas"), col("checkpoint_version"))
+        .unionByName(viol(nFilesDiverged, "N_FILES_DIVERGED"))
+        .orderBy("version")
+    }),
+
     // MANIFEST-ONLY DISTINCT COUNTS — per-file KMV sketches (exact
     // union-truncate merge algebra) ride the manifest like the Bloom
     // index, so "how many distinct customers in these partitions?" is
@@ -1689,6 +1726,15 @@ object ChangeDataQueries {
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM base WHERE user_id NOT IN (3, 7)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The literal table shape after create + append + MOR delete +
+    // checkpoint: v3, op delete, the base days plus the synthetic one,
+    // one DV delta, checkpoint covering v3 — no N_FILES_DIVERGED row.
+    "q391_manifest_detail_gate" ->
+      """SELECT CAST(3 AS BIGINT) AS version, 'delete' AS op,
+        |  (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) + 1 AS BIGINT)
+        |   FROM events) AS n_partitions,
+        |  CAST(1 AS BIGINT) AS n_dv_deltas,
+        |  CAST(3 AS BIGINT) AS checkpoint_version""".stripMargin,
     // Per-status exact distinct-customer census — no ERR_BOUND /
     // NOT_CONVERGED / SILENT_STALE / REFRESH_BROKEN rows.
     "q382_manifest_ndv_gate" ->
