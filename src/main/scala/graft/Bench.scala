@@ -120,41 +120,73 @@ object Bench {
         graft.queries.PipelineQueries.reset(spark)
         selected.map { case (name, fn) => name -> run(name, fn)._1 }.toMap
       }
-    // Pass 1 is always a FULL battery (every query needs >= 1 timed
-    // sample); q44 re-pays the whole ETL every pass it appears in (it
-    // is the baseline-comparable number), q54-q56 share one pipeline
-    // run WITHIN a pass — the documented materialize-once design.
+    // HEAVY-LAST SCHEDULE (round 16 — BENCH_r15's driver run landed 76
+    // single-sample heavies in a pass inflated ~2.3x by ambient load,
+    // and a one-sample gate cannot tell a real regression from that):
+    //   - with a warm-up (the default, what the driver runs): the
+    //     light battery runs its up-to-`runs` passes FIRST — their
+    //     run_totals expose the box's ambient load — and the heavies
+    //     are timed at the END, once always, twice when the budget
+    //     allows, reporting the MIN of their samples (deterministic
+    //     referee work: the minimum is the ambient-free estimate);
+    //   - without a warm-up there is no classification before pass 1,
+    //     so pass 1 stays a full battery and heavies keep that single
+    //     sample (the legacy shape).
+    // q44 re-pays the whole ETL every pass it appears in (it is the
+    // baseline-comparable number); q54-q56 share one pipeline run
+    // WITHIN a pass — the documented materialize-once design.
+    val heavy: Set[String] =
+      if (warmup) warmTimes.filter(_._2 > heavySec).keySet else Set.empty
+    val heavySel = selected.filter { case (n, _) => heavy(n) }
+    val lightSel = selected.filterNot { case (n, _) => heavy(n) }
+    val heavyEst = heavySel.map { case (n, _) => warmTimes(n) }.sum
     graft.queries.PipelineQueries.reset(spark)
     val pass1: Seq[(String, (Double, Boolean))] =
-      selected.map { case (name, fn) => (name, run(name, fn)) }
-    // Heavy split: classified on the warm-up pass (cold-but-comparable
-    // across queries); without a warm-up, on pass 1 itself.
-    val classTimes =
-      if (warmup) warmTimes else pass1.map { case (n, (t, _)) => n -> t }.toMap
-    val heavy: Set[String] =
-      classTimes.filter(_._2 > heavySec).keySet
-    val lightSel = selected.filterNot { case (n, _) => heavy(n) }
+      lightSel.map { case (name, fn) => (name, run(name, fn)) }
+    val postWarmHeavy: Set[String] =
+      if (warmup) heavy
+      else pass1.map { case (n, (t, _)) => n -> t }.toMap
+        .filter(_._2 > heavySec).keySet
     val lightEst = pass1.collect {
-      case (n, (t, _)) if !heavy(n) => t
+      case (n, (t, _)) if !postWarmHeavy(n) => t
     }.sum
-    // Extra passes: light queries only, each admitted by the budget.
-    // runs × battery, not battery × runs: consecutive same-query runs
-    // would hit hot caches/JIT in a way the driver's single pass never
-    // does; back-to-back battery passes keep each run representative.
+    // Extra light passes, each admitted by the budget WITH the heavy
+    // tail reserved (1.1x margin). runs × battery, not battery × runs:
+    // consecutive same-query runs would hit hot caches/JIT in a way the
+    // driver's single pass never does.
+    val extraSel = selected.filterNot { case (n, _) => postWarmHeavy(n) }
     val extra = scala.collection.mutable.ArrayBuffer
       .empty[Seq[(String, (Double, Boolean))]]
     var p = 2
-    while (p <= runs && lightSel.nonEmpty &&
-        elapsedSec + lightEst <= budgetSec) {
+    while (p <= runs && extraSel.nonEmpty &&
+        elapsedSec + lightEst + heavyEst * 1.1 <= budgetSec) {
       graft.queries.PipelineQueries.reset(spark)
-      extra += lightSel.map { case (name, fn) => (name, run(name, fn)) }
+      extra += extraSel.map { case (name, fn) => (name, run(name, fn)) }
       p += 1
     }
-    val passes: Seq[Seq[(String, (Double, Boolean))]] = pass1 +: extra.toSeq
+    // Heavy passes LAST: one always; a second when the budget admits it
+    // (min-taken below — two samples make a single ambient spike
+    // harmless).
+    val heavyPasses = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, (Double, Boolean))]]
+    if (heavySel.nonEmpty) {
+      graft.queries.PipelineQueries.reset(spark)
+      heavyPasses += heavySel.map { case (name, fn) => (name, run(name, fn)) }
+      val measured = heavyPasses.head.map(_._2._1).sum
+      if (elapsedSec + measured <= budgetSec) {
+        graft.queries.PipelineQueries.reset(spark)
+        heavyPasses +=
+          heavySel.map { case (name, fn) => (name, run(name, fn)) }
+      }
+    }
+    val passes: Seq[Seq[(String, (Double, Boolean))]] =
+      (pass1 +: extra.toSeq) ++ heavyPasses.toSeq
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val byQuery = selected.map { case (name, _) =>
       val samples = passes.flatMap(_.find(_._1 == name)).map(_._2)
-      (name, median(samples.map(_._1)), samples.forall(_._2))
+      val t = if (postWarmHeavy(name)) samples.map(_._1).min
+              else median(samples.map(_._1))
+      (name, t, samples.forall(_._2))
     }
     val qs = byQuery
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
@@ -166,15 +198,28 @@ object Bench {
     val total = byQuery.map(_._2).sum
     val runTotals = passes.map(p => f"${p.map(_._2._1).sum}%.3f").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"runs":$runs,"passes_run":${passes.size},"n_heavy_once":${heavy.size},"heavy_sec":$heavySec%.1f,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"warmup":$warmup,"run_totals":$runTotals,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"runs":$runs,"passes_run":${passes.size},"n_heavy_once":${postWarmHeavy.size},"heavy_passes":${heavyPasses.size},"heavy_sec":$heavySec%.1f,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"warmup":$warmup,"run_totals":$runTotals,"sf":"$sfDir"}"""
     println(line)
     // Self-archive: the driver captures a tail of stdout, which truncates
     // the battery prefix once the query map outgrows it — the full
-    // per-query record must survive on disk regardless.
+    // per-query record must survive on disk regardless. Two copies:
+    // target/ (scratch, latest only) and bench/ (IN-REPO — committed
+    // per round, so cross-round per-query history is auditable; the
+    // history file appends one stamped line per run).
     try {
       val archive = java.nio.file.Paths.get("target", "bench_latest.json")
       java.nio.file.Files.createDirectories(archive.getParent)
       java.nio.file.Files.writeString(archive, line + "\n")
+      val benchDir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(benchDir)
+      java.nio.file.Files.writeString(benchDir.resolve("bench_latest.json"),
+        line + "\n")
+      val stamped =
+        s"""{"ts":"${java.time.Instant.now()}",""" + line.stripPrefix("{")
+      java.nio.file.Files.writeString(
+        benchDir.resolve("bench_history.jsonl"), stamped + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] archive write failed: ${e.getMessage}")
     }

@@ -58,16 +58,28 @@ object Bucketing {
   /** PHYSICAL PURGE of a bucketed index table — the maintenance job
     * behind read-time tombstones (the q186 discipline: tombstones make
     * deletions visible immediately; this reclaims the bytes in a
-    * maintenance window). The table rewrites WITHOUT the victim rows
-    * under its OWN catalog bucket spec, so bucket-pruned lookups keep
-    * working unchanged. A full rewrite is honest here, not lazy: a
+    * maintenance window). A full rewrite is honest here, not lazy: a
     * purged document's terms hash into essentially every bucket of a
     * word-bucketed postings index, so every bucket genuinely holds
-    * victims — there is no untouched-partition shortcut. NULL-valued
-    * predicates count as KEEP (the purgeRows discipline). Returns the
-    * number of purged rows (0 = table untouched). Purge the SOURCE
-    * table first: a later index rebuild from an unpurged source would
-    * resurrect the rows — true of any derived index.
+    * victims — there is no untouched-partition shortcut. But the
+    * rewrite must not round-trip the survivors through executor
+    * storage (a `localCheckpoint` of a 100 TB postings table melts the
+    * cluster): survivors stream from the OLD table's files straight
+    * into a NEW bucketed table — one distributed write, no caching —
+    * and the swap is two catalog operations (drop old, rename new into
+    * place; the in-memory/Hive catalogs move the managed directory with
+    * the rename). Readers in the swap window see a missing table, not
+    * wrong data — the documented maintenance-window contract, same as
+    * the previous drop+recreate.
+    *
+    * The FULL catalog spec is reproduced — every bucket column and
+    * every sort column — so a multi-column layout is never silently
+    * re-laid-out under a narrower spec (which would break downstream
+    * zero-exchange join assumptions while reporting success).
+    * NULL-valued predicates count as KEEP (the purgeRows discipline).
+    * Returns the number of purged rows (0 = table untouched). Purge
+    * the SOURCE table first: a later index rebuild from an unpurged
+    * source would resurrect the rows — true of any derived index.
     */
   def purgeBucketedTable(spark: SparkSession, table: String,
       victim: Column): Long = {
@@ -79,11 +91,23 @@ object Bucketing {
     val t = spark.table(table)
     val n = t.filter(isVictim).count()
     if (n == 0L) return 0L
-    // materialize survivors BEFORE the drop — the lazy plan reads the
-    // very files recreateBucketedTable deletes
-    val survivors = t.filter(not(isVictim)).localCheckpoint(true)
-    recreateBucketedTable(survivors, table, spec.numBuckets,
-      spec.bucketColumnNames.head)
+    // survivors write to a SIDE table while the old files still exist —
+    // the lazy plan reads them during the write, nothing is cached
+    val tmp = s"${table}__purge_rewrite"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    pipeline.Ingest.deleteRecursively(Paths.get(s"spark-warehouse/$tmp"))
+    val writer = t.filter(not(isVictim)).write.mode("overwrite")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       writer.sortBy(spec.sortColumnNames.head,
+         spec.sortColumnNames.tail: _*)
+     else writer).saveAsTable(tmp)
+    // swap: the new table (same bucket spec, survivor rows) takes the
+    // old name; RENAME moves the managed directory with the metadata
+    spark.sql(s"DROP TABLE $table")
+    pipeline.Ingest.deleteRecursively(Paths.get(s"spark-warehouse/$table"))
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     n
   }
 }

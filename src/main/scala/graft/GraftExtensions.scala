@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.tableDefinitions.foreach { case (name, info, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name), info, builder))
     }
+    // the GRAFT write verbs (plans.GraftSql) as first-class SQL text:
+    // non-GRAFT statements delegate to the session parser untouched.
+    // Parser injection only happens at session BUILD time, so sessions
+    // handed to us pre-built reach the same verbs via GraftSql.run.
+    ext.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
   }
 }
 

@@ -35,6 +35,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // full extension surface at build time: SQL functions + table
+      // functions (also registered by tune() for foreign sessions) AND
+      // the GRAFT write-verb parser (injectable only here)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
 

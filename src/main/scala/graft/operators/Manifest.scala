@@ -114,7 +114,20 @@ object Manifest {
   private[graft] def commitManifest(dir: String, version: Int,
       entries: Seq[Entry], conf: Configuration, batch: Long = -1L,
       dv: Seq[String] = Nil, bloomK: Int = -1, kmvK: Int = -1,
-      op: String = ""): Unit = {
+      op: String = ""): Unit =
+    commitManifestStreamed(dir, version, entries.length,
+      entries.sortBy(e => (e.p, e.file)).iterator, conf, batch, dv,
+      bloomK, kmvK, op)
+
+  /** The streaming form of the commit writer: entries arrive as an
+    * ITERATOR (the distributed carry paths feed it one executor
+    * partition at a time via `toLocalIterator`), so the driver's
+    * working set is one line, never the table's file census. `n` rides
+    * the header up front because the header is the first line.
+    */
+  private def commitManifestStreamed(dir: String, version: Int, n: Long,
+      entries: Iterator[Entry], conf: Configuration, batch: Long,
+      dv: Seq[String], bloomK: Int, kmvK: Int, op: String): Unit = {
     val f = fs(dir, conf)
     // tmp names must be unique per ATTEMPT, not per process: two
     // threads of one driver racing the same version otherwise write
@@ -129,7 +142,7 @@ object Manifest {
       // HISTORY) never parse entry lines — one header line per version
       // is the driver's whole working set however many files there are
       val fields = Seq(s""""version":$version""",
-        s""""n":${entries.length}""") ++
+        s""""n":$n""") ++
         (if (batch >= 0) Seq(s""""batch":$batch""") else Nil) ++
         (if (bloomK >= 1) Seq(s""""bloomk":$bloomK""") else Nil) ++
         (if (kmvK >= 1) Seq(s""""kmvk":$kmvK""") else Nil) ++
@@ -139,7 +152,7 @@ object Manifest {
         else Nil)
       val header = fields.mkString("{", ",", "}") + "\n"
       out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      entries.sortBy(e => (e.p, e.file)).foreach { e =>
+      entries.foreach { e =>
         val stats = (e.lo, e.hi) match {
           case (Some(l), Some(h)) => s""","lo":$l,"hi":$h"""
           case _ => ""
@@ -165,6 +178,148 @@ object Manifest {
         s"published it) - rebase on latestVersion and retry")
   }
 
+  // ---- Adaptive entry census: driver below the threshold, ------------
+  // ---- distributed (checkpoint / executor parse) above it ------------
+  //
+  // Every lifecycle op needs some census over the entry relation —
+  // "which partitions changed", "which files intersect this range",
+  // "carry every entry except these partitions forward". Below
+  // `graft.manifest.driverCensusMaxFiles` (default 100k) the driver-side
+  // regex parse wins outright: zero Spark jobs, microseconds at gate
+  // scale. Above it the driver becomes a single-threaded JSON parser
+  // holding the whole file census — the layer's 100 TB ceiling — so the
+  // same censuses are served from `entriesRelation` (the parquet
+  // checkpoint when fresh, else the distributed text parse): executors
+  // parse, the driver sees only the question's answer (hit files,
+  // affected partitions) and, for carry-forward commits, a one-line-at-
+  // a-time stream. The header's `n` field decides for free (headers from
+  // before the field count as large — conservative, never wrong).
+
+  private def censusThreshold(spark: SparkSession): Long =
+    spark.conf.get("graft.manifest.driverCensusMaxFiles", "100000").toLong
+
+  private def driverCensus(spark: SparkSession, dir: String, version: Int,
+      conf: Configuration): Boolean = {
+    val n = readHeader(dir, version, conf).n
+    n >= 0 && n <= censusThreshold(spark)
+  }
+
+  /** `__p=<v>/<file>` of an entry's file column — the within-commit
+    * unique key, as a Column (the distributed twin of `tailKey`).
+    */
+  private def tailCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val segs = split(c, "/")
+    concat_ws("/", element_at(segs, -2), element_at(segs, -1))
+  }
+
+  private val entryCols = Seq("p", "file", "lo", "hi", "lo2", "hi2",
+    "bloom", "kmv")
+
+  private def rowToEntry(r: org.apache.spark.sql.Row): Entry =
+    Entry(r.getString(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      bloom = if (r.isNullAt(6)) None else Some(r.getString(6)),
+      lo2 = if (r.isNullAt(4)) None else Some(r.getLong(4)),
+      hi2 = if (r.isNullAt(5)) None else Some(r.getLong(5)),
+      kmv = if (r.isNullAt(7)) None else Some(r.getString(7)))
+
+  /** One carried slice of an existing manifest: `keep`/`drop` filter by
+    * partition value, `absolutize` rewrites dir-relative files to
+    * absolute paths rooted at the leg's dir (the zero-copy branch move).
+    */
+  private[graft] case class CarryLeg(dir: String, version: Int,
+      keep: Option[Set[String]] = None, drop: Set[String] = Set.empty,
+      absolutize: Boolean = false)
+
+  /** Publish `newVersion` of `dstDir` as (the legs' filtered entries)
+    * ++ `extra` — the carry-forward shape of every non-create commit.
+    * Small legs (every header `n` under the census threshold) carry on
+    * the driver with zero Spark jobs; any large leg routes the WHOLE
+    * carry through `entriesRelation` + the streaming writer, so the
+    * driver never materializes a table-census entry list.
+    */
+  private def commitCarry(spark: SparkSession, dstDir: String,
+      newVersion: Int, legs: Seq[CarryLeg], extra: Seq[Entry],
+      conf: Configuration, batch: Long = -1L, dv: Seq[String] = Nil,
+      bloomK: Int = -1, kmvK: Int = -1, op: String = ""): Unit = {
+    val small =
+      legs.forall(l => driverCensus(spark, l.dir, l.version, conf))
+    if (small) {
+      val carried = legs.flatMap { l =>
+        readManifest(l.dir, l.version, conf)
+          .filter(e => l.keep.forall(_.contains(e.p)) && !l.drop(e.p))
+          .map(e => if (l.absolutize) e.copy(file = filePath(l.dir, e))
+                    else e)
+      }
+      commitManifest(dstDir, newVersion, carried ++ extra, conf, batch,
+        dv, bloomK, kmvK, op)
+    } else {
+      val dfs = legs.map { l =>
+        var d = entriesRelation(spark, l.dir, l.version)
+          .select(entryCols.map(col): _*)
+        l.keep.foreach(ks =>
+          d = d.filter(col("p").isInCollection(ks)))
+        if (l.drop.nonEmpty)
+          d = d.filter(!col("p").isInCollection(l.drop))
+        if (l.absolutize)
+          d = d.withColumn("file",
+            when(col("file").startsWith("/"), col("file"))
+              .otherwise(concat_ws("", lit(s"${l.dir}/"), col("file"))))
+        d
+      }
+      val carry = dfs.reduce(_ unionAll _).orderBy("p", "file").persist()
+      try {
+        val n = carry.count() + extra.length
+        val it = toScalaIterator(carry.toLocalIterator()).map(rowToEntry) ++
+          extra.sortBy(e => (e.p, e.file)).iterator
+        commitManifestStreamed(dstDir, newVersion, n, it, conf, batch,
+          dv, bloomK, kmvK, op)
+      } finally carry.unpersist()
+    }
+  }
+
+  private def toScalaIterator[T](it: java.util.Iterator[T]): Iterator[T] = {
+    import scala.jdk.CollectionConverters._
+    it.asScala
+  }
+
+  /** The single-source carry: `fromVersion`'s entries minus `dropParts`,
+    * plus `extra`, into `dir`'s `newVersion`.
+    */
+  private def commitCarryExcept(spark: SparkSession, dir: String,
+      fromVersion: Int, newVersion: Int, dropParts: Set[String],
+      extra: Seq[Entry], conf: Configuration, batch: Long = -1L,
+      dv: Seq[String] = Nil, bloomK: Int = -1, kmvK: Int = -1,
+      op: String = ""): Unit =
+    commitCarry(spark, dir, newVersion,
+      Seq(CarryLeg(dir, fromVersion, drop = dropParts)), extra, conf,
+      batch, dv, bloomK, kmvK, op)
+
+  /** Partition values whose entries satisfy the census predicate —
+    * driver form below the threshold, distributed above. The result is
+    * partition-domain-sized either way (the bound every lifecycle op
+    * already rides).
+    */
+  private def censusPartitions(spark: SparkSession, dir: String,
+      version: Int, conf: Configuration)(pred: Entry => Boolean,
+      predCol: DataFrame => DataFrame): Set[String] =
+    if (driverCensus(spark, dir, version, conf))
+      readManifest(dir, version, conf).filter(pred).map(_.p).toSet
+    else predCol(entriesRelation(spark, dir, version))
+      .select("p").distinct().collect().map(_.getString(0)).toSet
+
+  /** File paths of entries satisfying the census predicate — hit-sized
+    * driver state in both forms.
+    */
+  private def censusFiles(spark: SparkSession, dir: String, version: Int,
+      conf: Configuration)(pred: Entry => Boolean,
+      predCol: DataFrame => DataFrame): Seq[String] =
+    if (driverCensus(spark, dir, version, conf))
+      readManifest(dir, version, conf).filter(pred).map(_.file)
+    else predCol(entriesRelation(spark, dir, version))
+      .select("file").collect().map(_.getString(0)).toSeq
+
   private def manifestLines(dir: String, version: Int,
       conf: Configuration): Vector[String] = {
     val p = manifestPath(dir, version)
@@ -179,7 +334,19 @@ object Manifest {
 
   private[graft] def readHeader(dir: String, version: Int,
       conf: Configuration): Header = {
-    val head = manifestLines(dir, version, conf).headOption.getOrElse("")
+    // first line ONLY — a header question must never load the entry
+    // census (at 10^7 files that is gigabytes of driver heap)
+    val p = manifestPath(dir, version)
+    val f = fs(dir, conf)
+    require(f.exists(p),
+      s"$dir has no manifest v$version - not a Manifest layout, or the " +
+        "version was vacuumed")
+    val in = f.open(p)
+    val head = try {
+      val r = new java.io.BufferedReader(new java.io.InputStreamReader(in,
+        java.nio.charset.StandardCharsets.UTF_8))
+      Option(r.readLine()).getOrElse("")
+    } finally in.close()
     val B = """"batch":(\d+)""".r
     val N = """"n":(\d+)""".r
     val K = """"bloomk":(\d+)""".r
@@ -386,7 +553,7 @@ object Manifest {
     */
   private def appendEntries(spark: SparkSession, dir: String,
       entries: Seq[Entry], conf: Configuration, batchId: Long = -1L,
-      maxAttempts: Int = 20): Unit = {
+      maxAttempts: Int = 20, op: String = null): Unit = {
     var attempt = 0
     while (true) {
       val latest = latestVersion(dir, conf)
@@ -396,13 +563,17 @@ object Manifest {
       // interleaving lands a duplicate
       if (batchId >= 0 && committedBatches(dir, conf).contains(batchId))
         return
-      val prev = if (latest >= 1) readManifest(dir, latest, conf)
-                 else Seq.empty[Entry]
       val h = if (latest >= 1) readHeader(dir, latest, conf) else Header()
+      val opTag = if (op != null) op
+                  else if (batchId >= 0) "append-batch" else "append"
       try {
-        commitManifest(dir, latest + 1, prev ++ entries, conf,
-          batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK,
-          op = if (batchId >= 0) "append-batch" else "append")
+        if (latest >= 1)
+          commitCarryExcept(spark, dir, latest, latest + 1, Set.empty,
+            entries, conf, batch = batchId, dv = h.dv, bloomK = h.bloomK,
+            kmvK = h.kmvK, op = opTag)
+        else
+          commitManifest(dir, 1, entries, conf, batch = batchId,
+            op = opTag)
         return
       } catch {
         case e: IllegalArgumentException if attempt < maxAttempts =>
@@ -441,9 +612,9 @@ object Manifest {
     // entries for the dropped generation simply never match again —
     // stale-but-harmless, folded away by the next applyDeletes
     val h = readHeader(dir, base, conf)
-    commitManifest(dir, base + 1,
-      readManifest(dir, base, conf).filterNot(e => touched(e.p)) ++ entries,
-      conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "overwrite")
+    commitCarryExcept(df.sparkSession, dir, base, base + 1, touched,
+      entries, conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK,
+      op = "overwrite")
   }
 
   /** A prepared-but-unpublished partition overwrite: data files are on
@@ -460,16 +631,28 @@ object Manifest {
     * against. File paths are unique per commit, so ANY rewrite/append/
     * drop in the window surfaces as a set difference.
     */
-  private[graft] def changedPartitions(dir: String, from: Int, to: Int,
-      conf: Configuration): Set[String] = {
+  private[graft] def changedPartitions(spark: SparkSession, dir: String,
+      from: Int, to: Int, conf: Configuration): Set[String] = {
     if (to <= from) return Set.empty
-    def byPart(v: Int): Map[String, Set[String]] =
-      readManifest(dir, v, conf).groupBy(_.p)
-        .view.mapValues(_.map(_.file).toSet).toMap
-    val a = byPart(from)
-    val b = byPart(to)
-    (a.keySet ++ b.keySet)
-      .filter(p => a.getOrElse(p, Set.empty) != b.getOrElse(p, Set.empty))
+    if (driverCensus(spark, dir, from, conf) &&
+        driverCensus(spark, dir, to, conf)) {
+      def byPart(v: Int): Map[String, Set[String]] =
+        readManifest(dir, v, conf).groupBy(_.p)
+          .view.mapValues(_.map(_.file).toSet).toMap
+      val a = byPart(from)
+      val b = byPart(to)
+      (a.keySet ++ b.keySet)
+        .filter(p => a.getOrElse(p, Set.empty) != b.getOrElse(p, Set.empty))
+    } else {
+      // file paths are commit-unique, so the partitions whose file SET
+      // changed are exactly the partitions owning a (p, file) pair on
+      // one side only — a symmetric difference the executors compute;
+      // the driver sees the partition-domain-bounded answer
+      val a = entriesRelation(spark, dir, from).select("p", "file")
+      val b = entriesRelation(spark, dir, to).select("p", "file")
+      a.exceptAll(b).unionAll(b.exceptAll(a))
+        .select("p").distinct().collect().map(_.getString(0)).toSet
+    }
   }
 
   /** Stage a partition overwrite from the CURRENT snapshot without
@@ -517,29 +700,27 @@ object Manifest {
     while (true) {
       val latest = latestVersion(dir, conf)
       val conflicts =
-        changedPartitions(dir, prep.base, latest, conf)
+        changedPartitions(spark, dir, prep.base, latest, conf)
           .intersect(prep.touched)
       require(conflicts.isEmpty,
         s"write-write conflict on partitions ${conflicts.toSeq.sorted
           .mkString(", ")}: they changed after base v${prep.base} - " +
           "re-read the table and re-prepare")
-      val latestEntries = readManifest(dir, latest, conf)
       val h = readHeader(dir, latest, conf)
       // a concurrent MOR delete is a DV-only commit, invisible to
       // changedPartitions — if it hit one of the prepared partitions,
       // the staged files (computed through BASE's deletion vector)
       // would silently resurrect its victims; abort like a rewrite
-      val dvConf = dvDeltaPartitions(spark, dir, baseDv, h, latestEntries)
+      val dvConf = dvDeltaPartitions(spark, dir, baseDv, h, latest, conf)
         .intersect(prep.touched)
       require(dvConf.isEmpty,
         s"commitPrepared: concurrent merge-on-read delete on partitions " +
           s"${dvConf.toSeq.sorted.mkString(", ")} landed after base " +
           s"v${prep.base} - re-read the table and re-prepare")
-      val merged = latestEntries
-        .filterNot(e => prep.touched(e.p)) ++ prep.entries
       try {
-        commitManifest(dir, latest + 1, merged, conf,
-          dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "overwrite")
+        commitCarryExcept(spark, dir, latest, latest + 1, prep.touched,
+          prep.entries, conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK,
+          op = "overwrite")
         return latest + 1
       } catch {
         case e: IllegalArgumentException if attempt < maxAttempts =>
@@ -813,14 +994,13 @@ object Manifest {
     var attempt = 0
     while (true) {
       val latest = latestVersion(dir, conf)
-      val conflicts = changedPartitions(dir, base, latest, conf)
+      val conflicts = changedPartitions(spark, dir, base, latest, conf)
         .intersect(affected)
       require(conflicts.isEmpty,
         s"merge: write-write conflict on partitions ${conflicts.toSeq
           .sorted.mkString(", ")}: they changed after base v$base - " +
           "re-read and re-merge")
       val h = readHeader(dir, latest, conf)
-      val latestEntries = readManifest(dir, latest, conf)
       // rewrite-vs-DV-delete conflict: a concurrent MERGE-ON-READ
       // delete is a DV-only commit (entries unchanged — invisible to
       // changedPartitions). The merge's rewrite of `affected` was
@@ -829,17 +1009,16 @@ object Manifest {
       // their carried-forward (file,pos) rows go stale against the
       // dropped files — a silent resurrect. Abort like any other
       // write-write conflict on the affected partitions.
-      val dvConf = dvDeltaPartitions(spark, dir, baseDv, h, latestEntries)
+      val dvConf = dvDeltaPartitions(spark, dir, baseDv, h, latest, conf)
         .intersect(affected)
       require(dvConf.isEmpty,
         s"merge: concurrent merge-on-read delete on partitions " +
           s"${dvConf.toSeq.sorted.mkString(", ")} landed after base " +
           s"v$base - re-read and re-merge")
       try {
-        commitManifest(dir, latest + 1,
-          latestEntries.filterNot(e => affected(e.p)) ++ entries, conf,
-          batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK,
-          op = "merge")
+        commitCarryExcept(spark, dir, latest, latest + 1, affected,
+          entries, conf, batch = batchId, dv = h.dv, bloomK = h.bloomK,
+          kmvK = h.kmvK, op = "merge")
         return latest + 1
       } catch {
         case e: IllegalArgumentException if attempt < 5 =>
@@ -858,15 +1037,25 @@ object Manifest {
     * the partition mapping rides the latest manifest (driver census).
     */
   private def dvDeltaPartitions(spark: SparkSession, dir: String,
-      baseDv: Set[String], latestH: Header,
-      latestEntries: Seq[Entry]): Set[String] = {
+      baseDv: Set[String], latestH: Header, latest: Int,
+      conf: Configuration): Set[String] = {
     val newDv = latestH.dv.filterNot(baseDv)
     if (newDv.isEmpty) return Set.empty
-    val victimFiles = spark.read
+    val victims = spark.read
       .parquet(newDv.map(p => dvFilePath(dir, p)): _*)
       .select("__file").distinct()
-      .collect().map(_.getString(0)).toSet
-    latestEntries.filter(e => victimFiles(tailKey(e.file))).map(_.p).toSet
+    if (driverCensus(spark, dir, latest, conf)) {
+      val victimFiles = victims.collect().map(_.getString(0)).toSet
+      readManifest(dir, latest, conf)
+        .filter(e => victimFiles(tailKey(e.file))).map(_.p).toSet
+    } else
+      // victim census joins the DISTRIBUTED entry relation — neither
+      // the victims nor the entries land on the driver, only the
+      // partition-domain-bounded answer does
+      entriesRelation(spark, dir, latest)
+        .withColumn("__tail", tailCol(col("file")))
+        .join(victims, col("__tail") === col("__file"), "left_semi")
+        .select("p").distinct().collect().map(_.getString(0)).toSet
   }
 
   /** Streaming MERGE (the apply-changes sink): `merge` stamped with the
@@ -903,10 +1092,18 @@ object Manifest {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = latestVersion(dir, conf)
     require(base >= 1, s"$dir is not a manifested layout")
-    val entries = readManifest(dir, base, conf)
-    val hot = entries.groupBy(_.p).collect {
-      case (p, es) if es.length > maxFilesPerPartition => p
-    }.toSet
+    // hot-partition census: driver below the threshold, a distributed
+    // groupBy over the entry relation above it (the manifest is the
+    // whole cost of DECIDING — no data is read either way)
+    val hot: Set[String] =
+      if (driverCensus(spark, dir, base, conf))
+        readManifest(dir, base, conf).groupBy(_.p).collect {
+          case (p, es) if es.length > maxFilesPerPartition => p
+        }.toSet
+      else entriesRelation(spark, dir, base)
+        .groupBy("p").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > maxFilesPerPartition)
+        .select("p").collect().map(_.getString(0)).toSet
     if (hot.isEmpty) return 0
     val live = readWithDeletes(spark, dir, base).drop("__file", "__pos")
     val packed = live
@@ -914,8 +1111,7 @@ object Manifest {
       .repartition(hot.size, col(partCol))
     val newEntries = writeCommitFiles(packed, dir, partCol, base + 1)
     val h = readHeader(dir, base, conf)
-    commitManifest(dir, base + 1,
-      entries.filterNot(e => hot(e.p)) ++ newEntries, conf,
+    commitCarryExcept(spark, dir, base, base + 1, hot, newEntries, conf,
       dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "auto-compact")
     hot.size
   }
@@ -935,8 +1131,8 @@ object Manifest {
     require(toVersion >= 1 && toVersion <= base,
       s"restore: version $toVersion out of range 1..$base")
     val h = readHeader(dir, toVersion, conf)
-    commitManifest(dir, base + 1, readManifest(dir, toVersion, conf), conf,
-      dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "restore")
+    commitCarryExcept(spark, dir, toVersion, base + 1, Set.empty, Nil,
+      conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "restore")
     base + 1
   }
 
@@ -961,10 +1157,9 @@ object Manifest {
     val entries = writeCommitFiles(df, dir, partCol, base + 1)
     val touched = entries.map(_.p).toSet ++ dropEmpty
     val h = readHeader(dir, base, conf)
-    commitManifest(dir, base + 1,
-      readManifest(dir, base, conf).filterNot(e => touched(e.p)) ++ entries,
-      conf, batch = batchId, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK,
-      op = "replace-batch")
+    commitCarryExcept(df.sparkSession, dir, base, base + 1, touched,
+      entries, conf, batch = batchId, dv = h.dv, bloomK = h.bloomK,
+      kmvK = h.kmvK, op = "replace-batch")
     true
   }
 
@@ -1014,8 +1209,8 @@ object Manifest {
               .select(col(partCol).cast("string").as("__pv")).distinct()
               .collect().map(_.getString(0)).toSet
             if (affected.nonEmpty) {
-              val existing = readManifest(dstDir,
-                latestVersion(dstDir, conf), conf).map(_.p).toSet
+              val existing = censusPartitions(spark, dstDir,
+                latestVersion(dstDir, conf), conf)(_ => true, identity)
               val present = affected.intersect(existing).toSeq
               val cur =
                 if (present.isEmpty) None
@@ -1077,10 +1272,9 @@ object Manifest {
     require(base >= 1, s"$dir is not a manifested layout")
     val bdir = branchRoot(dir, name)
     require(latestVersion(bdir, conf) == 0, s"branch '$name' already exists")
-    val absEntries = readManifest(dir, base, conf)
-      .map(e => e.copy(file = filePath(dir, e)))
     val h = readHeader(dir, base, conf)
-    commitManifest(bdir, 1, absEntries, conf,
+    commitCarry(spark, bdir, 1,
+      Seq(CarryLeg(dir, base, absolutize = true)), Nil, conf,
       dv = h.dv.map(p => dvFilePath(dir, p)), bloomK = h.bloomK,
       kmvK = h.kmvK, op = "branch-create")
     val f = fs(dir, conf)
@@ -1120,16 +1314,13 @@ object Manifest {
     require(bLatest >= 1, s"no branch '$name' in $dir")
     val base = branchBase(dir, name, conf)
     val mainLatest = latestVersion(dir, conf)
-    val branchChanged = changedPartitions(bdir, 1, bLatest, conf)
-    val mainChanged = changedPartitions(dir, base, mainLatest, conf)
+    val branchChanged = changedPartitions(spark, bdir, 1, bLatest, conf)
+    val mainChanged = changedPartitions(spark, dir, base, mainLatest, conf)
     val conflicts = branchChanged.intersect(mainChanged)
     require(conflicts.isEmpty,
       s"branch merge conflict on partitions ${conflicts.toSeq.sorted
         .mkString(", ")}: main changed them after the branch's base " +
         s"v$base - rebase the branch")
-    val bEntries = readManifest(bdir, bLatest, conf)
-      .filter(e => branchChanged(e.p))
-      .map(e => e.copy(file = filePath(bdir, e)))
     // DV merge: main's own deltas plus whatever the branch added beyond
     // its fork point (branch v1's dv IS main-base's, absolutized) —
     // branch deltas reference files under the branch root absolutely,
@@ -1138,9 +1329,10 @@ object Manifest {
     val forkDv = readHeader(bdir, 1, conf).dv.toSet
     val branchNewDv = readHeader(bdir, bLatest, conf).dv
       .filterNot(forkDv).map(p => dvFilePath(bdir, p))
-    commitManifest(dir, mainLatest + 1,
-      readManifest(dir, mainLatest, conf)
-        .filterNot(e => branchChanged(e.p)) ++ bEntries, conf,
+    commitCarry(spark, dir, mainLatest + 1,
+      Seq(CarryLeg(dir, mainLatest, drop = branchChanged),
+        CarryLeg(bdir, bLatest, keep = Some(branchChanged),
+          absolutize = true)), Nil, conf,
       dv = mainH.dv ++ branchNewDv, bloomK = mainH.bloomK,
       kmvK = mainH.kmvK, op = "branch-merge")
     mainLatest + 1
@@ -1355,29 +1547,71 @@ object Manifest {
     val p = lastCheckpointPath(dir)
     val f = fs(dir, conf)
     if (!f.exists(p)) return None
-    val in = f.open(p)
-    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-    finally in.close()
+    // a reader racing the pointer swap can catch the path missing or a
+    // zero-length create in flight — both degrade to "no checkpoint"
+    // (full header scan / distributed manifest parse), never a crash
+    try {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        .filter(_.nonEmpty)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
   }
 
-  /** The version the newest checkpoint covers, or 0 if none. */
+  /** The version the newest checkpoint covers, or 0 if none. Unparsable
+    * pointer content (torn write, foreign debris) reads as 0 — the
+    * consumers' no-checkpoint fallbacks are always CORRECT (full header
+    * scan, distributed manifest parse), just slower, so a damaged cache
+    * pointer must never take the layout down.
+    */
   def lastCheckpoint(dir: String, conf: Configuration): Int =
     lastCheckpointRaw(dir, conf).map { s =>
       val V = """"v":(\d+)""".r
-      V.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(s.toInt)
+      V.findFirstMatchIn(s).map(_.group(1).toInt)
+        .orElse(scala.util.Try(s.toInt).toOption)
+        .getOrElse(0)
     }.getOrElse(0)
 
   /** Batch stamps the newest checkpoint preserves (committed in
     * versions <= its `v`) — what keeps exactly-once replay protection
-    * alive across vacuum.
+    * alive across vacuum. Unparsable content reads as empty (with
+    * `lastCheckpoint` also falling back to 0, `committedBatches` then
+    * re-scans EVERY header — the conservative full fallback).
     */
   private def checkpointBatches(dir: String,
       conf: Configuration): Set[Long] =
     lastCheckpointRaw(dir, conf).toSeq.flatMap { s =>
       val A = """"batches":\[([^\]]*)\]""".r
       A.findFirstMatchIn(s).toSeq.flatMap(_.group(1).split(',').toSeq
-        .map(_.trim).filter(_.nonEmpty).map(_.toLong))
+        .map(_.trim).filter(_.nonEmpty)
+        .flatMap(x => scala.util.Try(x.toLong).toOption))
     }.toSet
+
+  /** Publish pointer content with the tmp+rename discipline every other
+    * commit path uses: a concurrent reader sees the OLD pointer or the
+    * NEW one, never a torn write. (POSIX rename replaces atomically;
+    * on stores where rename-onto-existing fails, the brief
+    * delete+rename gap reads as "no checkpoint" — the safe fallback.)
+    */
+  private def writeLastCheckpoint(dir: String, content: String,
+      conf: Configuration): Unit = {
+    val f = fs(dir, conf)
+    val tmp = new Path(s"$dir/_manifests",
+      s".tmp-ckpt-${ProcessHandle.current().pid()}" +
+        s"-t${Thread.currentThread().getId}" +
+        s"x${System.nanoTime().toHexString}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = lastCheckpointPath(dir)
+    commitLock(dir).synchronized {
+      if (!f.rename(tmp, target)) { // dest exists (HDFS semantics)
+        f.delete(target, false)
+        require(f.rename(tmp, target),
+          s"could not publish $target - filesystem refused the rename")
+      }
+    }
+  }
 
   /** Distributed parse of manifest `version`'s entry lines — executors
     * run the line grammar, the driver never materializes the entries.
@@ -1418,19 +1652,23 @@ object Manifest {
     // the pointer also persists every batch stamp committed so far —
     // vacuum deletes superseded manifests (where stamps live), so
     // without this a long-running stream would lose replay protection
-    // at its first post-vacuum duplicate delivery. Checkpoint BEFORE
-    // vacuum to keep the stamp history unbroken.
+    // at its first post-vacuum duplicate delivery (vacuum itself also
+    // folds header stamps into the pointer as a safety net).
     val stamps = committedBatches(dir, conf).toSeq.sorted
+    writeLastCheckpoint(dir,
+      s"""{"v":$v,"batches":[${stamps.mkString(",")}]}""", conf)
+    // retire checkpoints, keeping the superseded one for ONE generation:
+    // a concurrent reader that resolved the old pointer may still be
+    // mid-scan on the old parquet — deleting N-1 immediately would fail
+    // it on vanished files; N-2 and older are debris no live pointer
+    // (old or new) can still name
     val f = fs(dir, conf)
-    val out = f.create(lastCheckpointPath(dir), true)
-    try out.write(
-      s"""{"v":$v,"batches":[${stamps.mkString(",")}]}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // one live checkpoint: the superseded one is debris (readers of
-    // old versions fall back to the distributed manifest parse)
-    if (prev >= 1 && prev != v)
-      f.delete(new Path(checkpointPath(dir, prev)), true)
+    val Ckpt = """checkpoint-v(\d{6})\.parquet""".r
+    f.listStatus(new Path(s"$dir/_manifests")).toSeq
+      .map(_.getPath.getName)
+      .collect { case Ckpt(n) => n.toInt }
+      .filter(c => c != v && c != prev)
+      .foreach(c => f.delete(new Path(checkpointPath(dir, c)), true))
     v
   }
 
@@ -1444,7 +1682,11 @@ object Manifest {
     val conf = spark.sparkContext.hadoopConfiguration
     val v = if (version > 0) version else latestVersion(dir, conf)
     require(v >= 1, s"$dir is not a manifested layout")
-    if (lastCheckpoint(dir, conf) == v)
+    // a pointer naming a checkpoint whose parquet vanished (maintenance
+    // race, manual cleanup) falls back to the distributed manifest
+    // parse — the checkpoint is a cache, never the source of truth
+    if (lastCheckpoint(dir, conf) == v &&
+        fs(dir, conf).exists(new Path(checkpointPath(dir, v))))
       spark.read.parquet(checkpointPath(dir, v))
     else parseManifestDF(spark, dir, v)
   }
@@ -1678,9 +1920,23 @@ object Manifest {
           "exists - a vacuum ran during the prepare window; re-prepare " +
           "the delete")
       val latest = latestVersion(dir, conf)
-      val entries = readManifest(dir, latest, conf)
-      val latestFiles = entries.map(e => tailKey(e.file)).toSet
-      val stale = prep.victimFiles.filterNot(latestFiles)
+      // staleness census: the victims' files must all still be latest-
+      // referenced. victimFiles is delete-sized (a driver set already);
+      // above the census threshold the membership probe runs as an
+      // anti-join against the distributed entry relation.
+      val stale: Iterable[String] =
+        if (driverCensus(spark, dir, latest, conf)) {
+          val latestFiles =
+            readManifest(dir, latest, conf).map(e => tailKey(e.file)).toSet
+          prep.victimFiles.filterNot(latestFiles)
+        } else {
+          import spark.implicits._
+          prep.victimFiles.toSeq.toDF("__vf")
+            .join(entriesRelation(spark, dir, latest)
+                .select(tailCol(col("file")).as("__vf")),
+              Seq("__vf"), "left_anti")
+            .collect().map(_.getString(0)).toSeq
+        }
       if (stale.nonEmpty) {
         fs(dir, conf).delete(new Path(s"$dir/${prep.delta}"), true)
         sys.error(
@@ -1690,9 +1946,9 @@ object Manifest {
       }
       val h = readHeader(dir, latest, conf)
       try {
-        commitManifest(dir, latest + 1, entries, conf, batch = batchId,
-          dv = h.dv :+ prep.delta, bloomK = h.bloomK, kmvK = h.kmvK,
-          op = "delete")
+        commitCarryExcept(spark, dir, latest, latest + 1, Set.empty, Nil,
+          conf, batch = batchId, dv = h.dv :+ prep.delta,
+          bloomK = h.bloomK, kmvK = h.kmvK, op = "delete")
         return prep.nNew
       } catch {
         case e: IllegalArgumentException if attempt < maxAttempts =>
@@ -1720,8 +1976,13 @@ object Manifest {
     * batch-stamped DV commit. A replayed batch id is detected BEFORE
     * any delta is staged (and re-checked per publish attempt), so
     * at-least-once feed delivery + this commit deletes each key's rows
-    * exactly once; a batch whose keys match nothing publishes no
-    * version. Returns whether this delivery committed a delete.
+    * exactly once. A batch whose keys match NO live rows still commits
+    * a stamped no-op version ("delete-noop"): under at-least-once
+    * delivery, a redelivery of that batch can arrive AFTER later
+    * appends land rows with those keys — without the stamp it would
+    * delete rows the original delivery never touched, silently
+    * breaking the exactly-once contract. Returns whether this delivery
+    * committed a delete (a stamped no-op returns false).
     */
   def deleteKeysBatch(spark: SparkSession, dir: String, keys: DataFrame,
       keyCols: Seq[String], batchId: Long): Boolean = {
@@ -1730,6 +1991,11 @@ object Manifest {
     val conf = spark.sparkContext.hadoopConfiguration
     if (committedBatches(dir, conf).contains(batchId)) return false
     val prep = prepareDeleteKeys(spark, dir, keys, keyCols)
+    if (prep.nNew == 0L) {
+      appendEntries(spark, dir, Seq.empty, conf, batchId = batchId,
+        op = "delete-noop")
+      return false
+    }
     commitDelete(spark, dir, prep, batchId = batchId) > 0L
   }
 
@@ -1783,23 +2049,29 @@ object Manifest {
     if (readHeader(dir, base, conf).dv.isEmpty) return false
     val live = readWithDeletes(spark, dir, base)
     val dv = deletionVector(spark, dir, base)
-    val affectedFiles = dv.select("__file").distinct()
-      .collect().map(_.getString(0)).toSet
-    val entries = readManifest(dir, base, conf)
-    val affectedParts = entries
-      .filter(e => affectedFiles(tailKey(e.file))).map(_.p).toSet
+    val victims = dv.select("__file").distinct()
     // stale DV rows (files already dropped by overwrites) match no
     // current entry — they contribute no affected partition and simply
-    // die with the DV list here
+    // die with the DV list here. Driver census below the threshold;
+    // victim-files × entry-relation join above it.
+    val affectedParts: Set[String] =
+      if (driverCensus(spark, dir, base, conf)) {
+        val affectedFiles = victims.collect().map(_.getString(0)).toSet
+        readManifest(dir, base, conf)
+          .filter(e => affectedFiles(tailKey(e.file))).map(_.p).toSet
+      } else entriesRelation(spark, dir, base)
+        .withColumn("__tail", tailCol(col("file")))
+        .join(victims, col("__tail") === col("__file"), "left_semi")
+        .select("p").distinct().collect().map(_.getString(0)).toSet
     val survivors = live
       .filter(col(partCol).cast("string")
         .isInCollection(affectedParts))
       .drop("__file", "__pos")
     val newEntries = writeCommitFiles(survivors, dir, partCol, base + 1)
-    commitManifest(dir, base + 1,
-      entries.filterNot(e => affectedParts(e.p)) ++ newEntries, conf,
-      bloomK = readHeader(dir, base, conf).bloomK,
-      kmvK = readHeader(dir, base, conf).kmvK, op = "apply-deletes")
+    val h = readHeader(dir, base, conf)
+    commitCarryExcept(spark, dir, base, base + 1, affectedParts,
+      newEntries, conf, bloomK = h.bloomK, kmvK = h.kmvK,
+      op = "apply-deletes")
     true
   }
 
@@ -1843,8 +2115,7 @@ object Manifest {
       .drop("__k", "__keep")
     val entries = writeCommitFiles(survivors, dir, partCol, base + 1)
     val h = readHeader(dir, base, conf)
-    commitManifest(dir, base + 1,
-      readManifest(dir, base, conf).filterNot(e => affected(e.p)) ++ entries,
+    commitCarryExcept(spark, dir, base, base + 1, affected, entries,
       conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK,
       op = "dedup-repair")
     true
@@ -1981,8 +2252,7 @@ object Manifest {
         t.filter(col(partCol).cast("string").isin(live.toSeq: _*) && !isVictim),
         dir, partCol, base + 1)
     val h = readHeader(dir, base, conf)
-    commitManifest(dir, base + 1,
-      readManifest(dir, base, conf).filterNot(e => affected(e.p)) ++ entries,
+    commitCarryExcept(spark, dir, base, base + 1, affected, entries,
       conf, dv = h.dv, bloomK = h.bloomK, kmvK = h.kmvK, op = "purge")
   }
 
@@ -2021,12 +2291,12 @@ object Manifest {
       values: Seq[String]): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val want = values.toSet
-    val hit = readManifest(dir, latestVersion(spark, dir), conf)
-      .filter(e => want(e.p))
+    val hit = censusFiles(spark, dir, latestVersion(spark, dir), conf)(
+      e => want(e.p), _.filter(col("p").isInCollection(want)))
     require(hit.nonEmpty,
       s"readPartitions: no manifest entry for any of $values in $dir")
     spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(e => filePath(dir, e)): _*)
+      .parquet(hit.map(f => filePath(dir, Entry("", f))): _*)
   }
 
   /** DATA-SKIPPING range read over the tracked stats column: only
@@ -2041,18 +2311,34 @@ object Manifest {
   def readRange(spark: SparkSession, dir: String, lo: Long,
       hi: Long): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val entries = readManifest(dir, latestVersion(spark, dir), conf)
-    require(entries.exists(_.lo.isDefined),
-      s"readRange: $dir tracks no file stats (build it with statsCol) - " +
-        "a range read here would be a silent full scan")
-    val hit = entries.filter(e => (e.lo, e.hi) match {
-      case (Some(l), Some(h)) => l <= hi && h >= lo
-      case _ => true // all-null stats: range membership unknown, include
-    })
+    val v = latestVersion(spark, dir)
+    val hit: Seq[String] =
+      if (driverCensus(spark, dir, v, conf)) {
+        val entries = readManifest(dir, v, conf)
+        require(entries.exists(_.lo.isDefined),
+          s"readRange: $dir tracks no file stats (build it with statsCol) " +
+            "- a range read here would be a silent full scan")
+        entries.filter(e => (e.lo, e.hi) match {
+          case (Some(l), Some(h)) => l <= hi && h >= lo
+          case _ => true // all-null stats: membership unknown, include
+        }).map(_.file)
+      } else {
+        // executors run the stats filter over the entry relation (the
+        // checkpoint when fresh); the driver sees only the hit list
+        val er = entriesRelation(spark, dir, v).persist()
+        try {
+          require(er.filter(col("lo").isNotNull).limit(1).count() > 0,
+            s"readRange: $dir tracks no file stats (build it with " +
+              "statsCol) - a range read here would be a silent full scan")
+          er.filter(col("lo").isNull ||
+              (col("lo") <= hi && col("hi") >= lo))
+            .select("file").collect().map(_.getString(0)).toSeq
+        } finally er.unpersist()
+      }
     require(hit.nonEmpty,
       s"readRange: no file intersects [$lo,$hi] in $dir")
     spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(e => filePath(dir, e)): _*)
+      .parquet(hit.map(f => filePath(dir, Entry("", f))): _*)
   }
 
   /** Z-ORDER CLUSTERED rewrite — liquid-clustering for the manifest
@@ -2107,22 +2393,41 @@ object Manifest {
       loB: Long, hiB: Long): (DataFrame, Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val v = latestVersion(spark, dir)
-    val entries = readManifest(dir, v, conf)
-    require(entries.exists(_.lo2.isDefined),
-      s"readRange2: $dir tracks no second-dimension stats - cluster it " +
-        "with clusterZOrder first (a box read here would be a full scan)")
-    def hits(lo: Option[Long], hi: Option[Long], l: Long, h: Long) =
-      (lo, hi) match {
-        case (Some(a), Some(b)) => a <= h && b >= l
-        case _ => true
+    val (hit: Seq[String], total: Int) =
+      if (driverCensus(spark, dir, v, conf)) {
+        val entries = readManifest(dir, v, conf)
+        require(entries.exists(_.lo2.isDefined),
+          s"readRange2: $dir tracks no second-dimension stats - cluster " +
+            "it with clusterZOrder first (a box read would be a full scan)")
+        def hits(lo: Option[Long], hi: Option[Long], l: Long, h: Long) =
+          (lo, hi) match {
+            case (Some(a), Some(b)) => a <= h && b >= l
+            case _ => true
+          }
+        (entries.filter(e =>
+            hits(e.lo, e.hi, loA, hiA) && hits(e.lo2, e.hi2, loB, hiB))
+          .map(_.file), entries.length)
+      } else {
+        val er = entriesRelation(spark, dir, v).persist()
+        try {
+          require(er.filter(col("lo2").isNotNull).limit(1).count() > 0,
+            s"readRange2: $dir tracks no second-dimension stats - " +
+              "cluster it with clusterZOrder first (a box read would be " +
+              "a full scan)")
+          val n = er.count().toInt
+          val files = er.filter(
+              (col("lo").isNull || (col("lo") <= hiA && col("hi") >= loA))
+                && (col("lo2").isNull ||
+                  (col("lo2") <= hiB && col("hi2") >= loB)))
+            .select("file").collect().map(_.getString(0)).toSeq
+          (files, n)
+        } finally er.unpersist()
       }
-    val hit = entries.filter(e =>
-      hits(e.lo, e.hi, loA, hiA) && hits(e.lo2, e.hi2, loB, hiB))
     val df =
       if (hit.isEmpty) readVersion(spark, dir, v).limit(0)
       else spark.read.option("mergeSchema", "true")
-        .parquet(hit.map(e => filePath(dir, e)): _*)
-    (df, hit.length, entries.length)
+        .parquet(hit.map(f => filePath(dir, Entry("", f))): _*)
+    (df, hit.length, total)
   }
 
   /** Small-file COMPACTION as one atomic commit: each partition's rows
@@ -2196,36 +2501,69 @@ object Manifest {
     * branch; delete or merge branches first to reclaim their bytes.
     * The latest snapshot is untouched; main time-travel reads older
     * than latest die here by design — vacuum IS the retention boundary.
+    * Returns (data files deleted, manifests deleted, DV deltas deleted).
+    *
+    * Scale shape: the keep census (latest entries + every branch
+    * version's entries — the table-file-count-sized piece) runs on the
+    * driver below the census threshold and as a distributed anti-join
+    * over `entriesRelation` above it; the FS listing and the delete
+    * calls themselves are driver-side (the FS API is where they live —
+    * an object-store deployment would fan the delete batch out to
+    * executors, the census shape is unchanged).
     */
-  def vacuum(spark: SparkSession, dir: String): Unit = {
+  def vacuum(spark: SparkSession, dir: String): (Long, Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val latest = latestVersion(spark, dir)
     val f = fs(dir, conf)
-    // relative form of every absolute path a branch holds into this dir
-    def relativize(abs: String): Option[String] =
-      if (abs.startsWith(s"$dir/")) Some(abs.stripPrefix(s"$dir/"))
-      else None
-    val branchKeep = for {
+    val branchVs: Seq[(String, Int)] = for {
       name <- branchNames(dir, conf)
       bdir = branchRoot(dir, name)
       v <- allVersions(bdir, conf)
-      e <- readManifest(bdir, v, conf)
-      rel <- relativize(e.file)
-    } yield rel
-    val keep = readManifest(dir, latest, conf).map(_.file).toSet ++ branchKeep
+    } yield (bdir, v)
+    var dataDeleted = 0L
     val dataRoot = new Path(s"$dir/data")
     if (f.exists(dataRoot)) {
       val it = f.listFiles(dataRoot, true)
-      val doomed = Iterator.continually(it)
+      val qualifiedDir = f.makeQualified(new Path(dir)).toString
+      // dir-relative paths of every data file currently on disk (the
+      // delete loop needs the list driver-side regardless)
+      val listed = Iterator.continually(it)
         .takeWhile(_.hasNext).map(_.next())
         .filter(s => s.isFile)
-        .map(_.getPath)
-        .filterNot { p =>
-          val rel = p.toString.stripPrefix(
-            f.makeQualified(new Path(dir)).toString).stripPrefix("/")
-          keep(rel) || !rel.endsWith(".parquet")
-        }.toVector
-      doomed.foreach(p => f.delete(p, false))
+        .map(_.getPath.toString.stripPrefix(qualifiedDir).stripPrefix("/"))
+        .filter(_.endsWith(".parquet"))
+        .toVector
+      val small = driverCensus(spark, dir, latest, conf) &&
+        branchVs.forall { case (bdir, v) =>
+          driverCensus(spark, bdir, v, conf) }
+      val doomed: Seq[String] =
+        if (small) {
+          // relative form of every absolute path a branch holds here
+          val branchKeep = for {
+            (bdir, v) <- branchVs
+            e <- readManifest(bdir, v, conf)
+            if e.file.startsWith(s"$dir/")
+          } yield e.file.stripPrefix(s"$dir/")
+          val keep = readManifest(dir, latest, conf).map(_.file).toSet ++
+            branchKeep
+          listed.filterNot(keep)
+        } else {
+          import spark.implicits._
+          val keepDF = (entriesRelation(spark, dir, latest)
+              .select("file") +:
+            branchVs.map { case (bdir, v) =>
+              entriesRelation(spark, bdir, v)
+                .select(col("file"))
+                .filter(col("file").startsWith(s"$dir/"))
+                .select(col("file")
+                  .substr(lit(dir.length + 2), length(col("file")))
+                  .as("file"))
+            }).reduce(_ unionAll _)
+          listed.toDF("file").join(keepDF, Seq("file"), "left_anti")
+            .collect().map(_.getString(0)).toSeq
+        }
+      doomed.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
+      dataDeleted = doomed.length.toLong
       // drop commit dirs emptied of data files (routing dirs + markers)
       f.listStatus(dataRoot).filter(_.isDirectory).foreach { c =>
         val files = f.listFiles(c.getPath, true)
@@ -2235,26 +2573,40 @@ object Manifest {
         if (!hasData) f.delete(c.getPath, true)
       }
     }
+    // fold every still-readable batch stamp into the pointer BEFORE
+    // deleting the superseded manifest headers the stamps live in —
+    // otherwise stamps committed after the newest checkpoint silently
+    // vanish with their headers and a months-later replay of an
+    // already-applied batch re-applies (the exactly-once hole the
+    // checkpoint exists to close). The pointer's `v` is unchanged: this
+    // folds stamps only, it does not claim entry coverage.
+    val stamps = committedBatches(dir, conf)
+    if (stamps.nonEmpty && stamps != checkpointBatches(dir, conf))
+      writeLastCheckpoint(dir,
+        s"""{"v":${lastCheckpoint(dir, conf)},"batches":[${
+          stamps.toSeq.sorted.mkString(",")}]}""", conf)
+    var manifestsDeleted = 0L
     (1 until latest).foreach { v =>
       val p = manifestPath(dir, v)
-      if (f.exists(p)) f.delete(p, false)
+      if (f.exists(p) && f.delete(p, false)) manifestsDeleted += 1
     }
     // DV deltas: keep those the latest header (or any branch version's
     // header) references; the rest are aborted-delete orphans or
     // superseded (applied/compacted-away) history
     val dvKeep = readHeader(dir, latest, conf).dv
       .map(p => dvFilePath(dir, p)).toSet ++ (for {
-        name <- branchNames(dir, conf)
-        bdir = branchRoot(dir, name)
-        v <- allVersions(bdir, conf)
+        (bdir, v) <- branchVs
         p <- readHeader(bdir, v, conf).dv
       } yield dvFilePath(bdir, p))
+    var dvDeleted = 0L
     val dvRoot = new Path(s"$dir/_dv")
     if (f.exists(dvRoot)) {
       f.listStatus(dvRoot).filter(_.isDirectory).foreach { d =>
-        if (!dvKeep(s"$dir/_dv/${d.getPath.getName}"))
-          f.delete(d.getPath, true)
+        if (!dvKeep(s"$dir/_dv/${d.getPath.getName}")) {
+          if (f.delete(d.getPath, true)) dvDeleted += 1
+        }
       }
     }
+    (dataDeleted, manifestsDeleted, dvDeleted)
   }
 }

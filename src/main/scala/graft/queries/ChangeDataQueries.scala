@@ -1016,6 +1016,129 @@ object ChangeDataQueries {
         .orderBy("version")
     }),
 
+    // SQL WRITE VERBS × DISTRIBUTED ENTRY CENSUS — the round-16 pair:
+    // (a) the GRAFT write grammar (MERGE INTO / DELETE FROM / OPTIMIZE /
+    // CHECKPOINT / VACUUM) drives the whole lifecycle from SQL text,
+    // and (b) the gate runs with graft.manifest.driverCensusMaxFiles=0,
+    // so EVERY entry census and carry-forward commit is served from the
+    // distributed entry relation (checkpoint parquet / executor text
+    // parse) instead of the driver regex parse — the 100 TB read path,
+    // content-gated against the oracle. In-gate referees: the injected
+    // parser door (spark.sql) and the GraftSql.run door agree
+    // (DOOR_DIVERGED), OPTIMIZE folds the DV (DV_NOT_FOLDED), vacuum
+    // reclaims superseded manifests without moving the snapshot
+    // (VACUUM_BROKE).
+    "q392_sql_census_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      import graft.plans.GraftSql
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sqlverbs").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") <= 20)
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      s.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+      try {
+        Manifest.create(ev, tmp, "dt")
+        // MERGE source: user 3's rows update (value x10), user 5's
+        // re-land as Feb inserts (shifted ids), user 7's rows delete
+        ev.filter(col("user_id") === 3)
+          .withColumn("value", col("value") * 10)
+          .withColumn("__del", lit(false))
+          .unionByName(ev.filter(col("user_id") === 5)
+            .withColumn("event_id", col("event_id") + 10000000L)
+            .withColumn("dt", lit("2024-02-01").cast("date"))
+            .withColumn("__del", lit(false)))
+          .unionByName(ev.filter(col("user_id") === 7)
+            .withColumn("__del", lit(true)))
+          .createOrReplaceTempView("q392_src")
+        GraftSql.run(s, s"GRAFT MERGE INTO '$tmp' PARTITION BY dt " +
+          "USING q392_src ON event_id DELETE WHEN __del")
+        GraftSql.run(s, s"GRAFT DELETE FROM '$tmp' WHERE user_id = 9")
+        GraftSql.run(s, s"GRAFT OPTIMIZE '$tmp' PARTITION BY dt")
+        val conf = s.sparkContext.hadoopConfiguration
+        val dvNotFolded = Manifest.readHeader(tmp,
+          Manifest.latestVersion(tmp, conf), conf).dv.nonEmpty
+        // both SQL doors must answer identically (the injected parser
+        // is present on GraftSession-built sessions; a foreign session
+        // without it legitimately skips the cross-check)
+        val viaRun = GraftSql.run(s, s"GRAFT CHECKPOINT '$tmp'")
+          .head().getLong(0)
+        val doorDiverged = (try
+            Some(s.sql(s"GRAFT CHECKPOINT '$tmp'").head().getLong(0))
+          catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+            None }).exists(_ != viaRun)
+        val nBefore = Manifest.readWithDeletes(s, tmp).count()
+        val vac = GraftSql.run(s, s"GRAFT VACUUM '$tmp'").head()
+        val vacuumBroke = vac.getLong(1) <= 0L ||
+          Manifest.readWithDeletes(s, tmp).count() != nBefore
+        val census = Manifest.readWithDeletes(s, tmp)
+          .drop("__file", "__pos")
+          .groupBy(col("dt").cast("string").as("dt"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        def viol(cond: Boolean, name: String) = s.range(1)
+          .filter(lit(cond)).select(lit(name).as("dt"), lit(-1L).as("n"),
+            lit(0.0).as("sum_value"))
+        census
+          .unionByName(viol(dvNotFolded, "DV_NOT_FOLDED"))
+          .unionByName(viol(doorDiverged, "DOOR_DIVERGED"))
+          .unionByName(viol(vacuumBroke, "VACUUM_BROKE"))
+          .orderBy("dt")
+      } finally s.conf.unset("graft.manifest.driverCensusMaxFiles")
+    }),
+
+    // NO-MATCH DELETE-BATCH REPLAY PROTECTION — the round-15 advisory
+    // hole: a streamed delete batch whose keys match NO live rows used
+    // to vanish without a stamp, so an at-least-once redelivery landing
+    // AFTER later appends brought rows with those keys would delete
+    // rows the original delivery never touched. Now the no-match batch
+    // commits a stamped "delete-noop" version; the redelivery is a
+    // pinned no-op. Referees: the stamp exists post-delivery
+    // (NOT_STAMPED), the noop version is in the trail (NO_NOOP_OP), and
+    // the redelivered batch deletes nothing (REPLAY_DELETED). The
+    // emitted census (per-user counts incl. the late-landing rows) is
+    // oracle-restated.
+    "q393_delete_noop_replay" -> ((s, dir) => {
+      import graft.operators.Manifest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_noopdel").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") <= 10)
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      val conf = s.sparkContext.hadoopConfiguration
+      // delivery 1: delete keys that do NOT exist yet (future ids)
+      val keys = ev.filter(col("user_id") === 4)
+        .select((col("event_id") + 20000000L).as("event_id"))
+      val committed = Manifest.deleteKeysBatch(s, tmp, keys,
+        Seq("event_id"), batchId = 11L)
+      val notStamped = committed ||
+        !Manifest.committedBatches(tmp, conf).contains(11L)
+      val noNoopOp = Manifest.history(s, tmp)
+        .filter(col("op") === "delete-noop").count() != 1L
+      // later: rows with exactly those keys land
+      Manifest.append(ev.filter(col("user_id") === 4)
+        .withColumn("event_id", col("event_id") + 20000000L), tmp, "dt")
+      // at-least-once redelivery of batch 11 must delete NOTHING
+      val n1 = Manifest.readWithDeletes(s, tmp).count()
+      Manifest.deleteKeysBatch(s, tmp, keys, Seq("event_id"),
+        batchId = 11L)
+      val replayDeleted = Manifest.readWithDeletes(s, tmp).count() != n1
+      val census = Manifest.readWithDeletes(s, tmp)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .withColumn("user_id", col("user_id").cast("string"))
+      def viol(cond: Boolean, name: String) = s.range(1)
+        .filter(lit(cond)).select(lit(name).as("user_id"),
+          lit(-1L).as("n"), lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(notStamped, "NOT_STAMPED"))
+        .unionByName(viol(noNoopOp, "NO_NOOP_OP"))
+        .unionByName(viol(replayDeleted, "REPLAY_DELETED"))
+        .orderBy("user_id")
+    }),
+
     // MANIFEST-ONLY DISTINCT COUNTS — per-file KMV sketches (exact
     // union-truncate merge algebra) ride the manifest like the Bloom
     // index, so "how many distinct customers in these partitions?" is
@@ -1735,6 +1858,34 @@ object ChangeDataQueries {
         |   FROM events) AS n_partitions,
         |  CAST(1 AS BIGINT) AS n_dv_deltas,
         |  CAST(3 AS BIGINT) AS checkpoint_version""".stripMargin,
+    // Final content after the SQL-verb lifecycle under the distributed
+    // entry census: user 3 updated (x10), user 5 re-inserted on the
+    // synthetic Feb day, users 7 and 9 gone — no DV_NOT_FOLDED /
+    // DOOR_DIVERGED / VACUUM_BROKE rows.
+    "q392_sql_census_gate" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS dt, user_id,
+        |    CASE WHEN user_id = 3 THEN value * 10 ELSE value END AS value
+        |  FROM events
+        |  WHERE user_id <= 20 AND user_id NOT IN (7, 9)
+        |  UNION ALL
+        |  SELECT DATE '2024-02-01', user_id, value FROM events
+        |  WHERE user_id = 5)
+        |SELECT CAST(dt AS VARCHAR) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Everything survives: the no-match delete batch never kills the
+    // late-landing user-4 twins — no NOT_STAMPED / NO_NOOP_OP /
+    // REPLAY_DELETED rows.
+    "q393_delete_noop_replay" ->
+      """WITH base AS (
+        |  SELECT user_id, value FROM events WHERE user_id <= 10
+        |  UNION ALL
+        |  SELECT user_id, value FROM events WHERE user_id = 4)
+        |SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     // Per-status exact distinct-customer census — no ERR_BOUND /
     // NOT_CONVERGED / SILENT_STALE / REFRESH_BROKEN rows.
     "q382_manifest_ndv_gate" ->

@@ -41,6 +41,63 @@ class BucketingSpec extends SparkSpec {
     assert(n === expected && n > 0)
   }
 
+  test("purgeBucketedTable: swap-rewrite preserves the FULL multi-column " +
+      "bucket+sort spec, content, and the zero-exchange join; idempotent") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, "a"), (1L, 11L, "b"), (2L, 20L, "c"),
+      (3L, 30L, "d"), (3L, 31L, "e")).toDF("k1", "k2", "v")
+    // multi-column bucket spec + two sort columns — the shape the old
+    // head-only rewrite silently narrowed
+    spark.sql("DROP TABLE IF EXISTS b_purge_multi")
+    pipeline.Ingest.deleteRecursively(
+      java.nio.file.Paths.get("spark-warehouse/b_purge_multi"))
+    df.write.mode("overwrite").bucketBy(4, "k1", "k2").sortBy("k1", "k2")
+      .saveAsTable("b_purge_multi")
+    val specBefore = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("b_purge_multi"))
+      .bucketSpec.get
+    assert(Bucketing.purgeBucketedTable(spark, "b_purge_multi",
+      col("v") === "c") === 1L)
+    val specAfter = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("b_purge_multi"))
+      .bucketSpec.get
+    assert(specAfter === specBefore,
+      s"purge re-laid the table out under a different spec: " +
+        s"$specBefore -> $specAfter")
+    assert(spark.table("b_purge_multi").select("v").as[String]
+      .collect().sorted.toSeq === Seq("a", "b", "d", "e"))
+    // idempotent: nothing left to purge, table untouched
+    val files = spark.table("b_purge_multi").inputFiles.toSet
+    assert(Bucketing.purgeBucketedTable(spark, "b_purge_multi",
+      col("v") === "c") === 0L)
+    assert(spark.table("b_purge_multi").inputFiles.toSet === files)
+    // NULL predicate counts as KEEP
+    assert(Bucketing.purgeBucketedTable(spark, "b_purge_multi",
+      when(col("v") === "a", lit(null).cast("boolean"))
+        .otherwise(col("v") === "b")) === 1L)
+    assert(spark.table("b_purge_multi").select("v").as[String]
+      .collect().sorted.toSeq === Seq("a", "d", "e"))
+    // the purged single-key twin still joins bucket-to-bucket with no
+    // Exchange on its side (the zero-exchange contract survives purge)
+    Bucketing.recreateBucketedTable(
+      df.select(col("k1").as("k"), col("v")), "b_purge_zx", 4, "k")
+    Bucketing.purgeBucketedTable(spark, "b_purge_zx", col("v") === "c")
+    Bucketing.recreateBucketedTable(
+      Seq((1L, 100.0), (2L, 200.0), (3L, 300.0)).toDF("k", "w"),
+      "b_purge_zx2", 4, "k")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_purge_zx")
+        .join(spark.table("b_purge_zx2"), "k")
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "post-purge bucketed join shuffles again:\n" +
+          j.queryExecution.executedPlan.toString.take(2000))
+      assert(j.count() === 4L)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("ensureBucketedTable reuses a current layout and rebuilds on a token change") {
     import spark.implicits._
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.Manifest
+import graft.plans.GraftSql
+import org.apache.spark.sql.functions._
+
+/** The GRAFT SQL write verbs: every lakehouse lifecycle op reachable
+  * from SQL text, through BOTH front doors — `spark.sql` on a session
+  * built with `spark.sql.extensions=graft.GraftExtensions` (the
+  * injected parser) and `GraftSql.run` on any session (the fallback
+  * the oracle gates use). The two must produce identical effects.
+  */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkdir() =
+    java.nio.file.Files.createTempDirectory("graft_sql_spec").toString
+
+  private def fixture = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+    (4L, "b", 40.0), (5L, "c", 50.0), (6L, "c", 60.0)
+  ).toDF("id", "grp", "value")
+
+  test("the full write lifecycle runs from spark.sql text (injected " +
+      "parser) and lands the same state as the Scala APIs") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    // MERGE INTO: upsert id=1 (update), id=7 (insert), delete id=3
+    Seq((1L, "a", 99.0, false), (7L, "c", 70.0, false),
+        (3L, "b", 0.0, true)).toDF("id", "grp", "value", "del")
+      .createOrReplaceTempView("graft_sql_src")
+    val mv = spark.sql(s"GRAFT MERGE INTO '$dir' PARTITION BY grp " +
+      "USING graft_sql_src ON id DELETE WHEN del").head().getLong(0)
+    assert(mv === 2L)
+    assert(Manifest.read(spark, dir).filter($"id" === 1L)
+      .select("value").as[Double].head() === 99.0)
+    assert(Manifest.read(spark, dir).filter($"id" === 3L).count() === 0L)
+    // DELETE FROM ... WHERE (merge-on-read) with a real SQL predicate
+    val nDel = spark.sql(
+      s"GRAFT DELETE FROM '$dir' WHERE id IN (5, 6) AND value > 55")
+      .head().getLong(0)
+    assert(nDel === 1L) // only id=6 passes both arms
+    assert(Manifest.readWithDeletes(spark, dir).count() === 5L)
+    // OPTIMIZE folds the DV and compacts
+    val ov = spark.sql(s"GRAFT OPTIMIZE '$dir' PARTITION BY grp")
+      .head().getLong(0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(ov === Manifest.latestVersion(dir, conf).toLong)
+    assert(Manifest.readHeader(dir, ov.toInt, conf).dv.isEmpty,
+      "OPTIMIZE must fold the deletion vector in")
+    // CHECKPOINT then RESTORE to the post-merge version
+    val cv = spark.sql(s"GRAFT CHECKPOINT '$dir'").head().getLong(0)
+    assert(cv === ov)
+    val rv = spark.sql(s"GRAFT RESTORE '$dir' TO VERSION 2")
+      .head().getLong(0)
+    assert(rv === ov + 1)
+    assert(Manifest.readWithDeletes(spark, dir).count() === 6L,
+      "restore to the pre-delete version must bring id=6 back")
+    // the trail so far, read back through SQL (vacuum will truncate it)
+    val opsBefore = spark.sql(s"SELECT op FROM graft_history('$dir')")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("create", "merge", "delete", "compact", "restore")
+      .subsetOf(opsBefore), opsBefore.toString)
+    // VACUUM returns the reclamation counts
+    val vrow = spark.sql(s"GRAFT VACUUM '$dir'").head()
+    assert(vrow.getLong(1) > 0L, "vacuum should delete superseded manifests")
+    assert(Manifest.readWithDeletes(spark, dir).count() === 6L,
+      "vacuum changed the live snapshot")
+    // PURGE drops victims copy-on-write, emptied partitions vanish
+    val pv = spark.sql(
+      s"GRAFT PURGE '$dir' PARTITION BY grp WHERE grp = 'b'")
+      .head().getLong(0)
+    assert(pv === Manifest.latestVersion(dir, conf).toLong)
+    assert(Manifest.read(spark, dir).filter($"grp" === "b").count() === 0L)
+    intercept[IllegalArgumentException] {
+      Manifest.readPartitions(spark, dir, Seq("b"))
+    }
+    // post-vacuum trail: the retention boundary keeps latest + newer
+    val ops = spark.sql(s"SELECT op FROM graft_history('$dir')")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("restore", "purge").subsetOf(ops), ops.toString)
+  }
+
+  test("GraftSql.run executes the same verbs WITHOUT the injected " +
+      "parser and falls through to spark.sql for normal text") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    assert(GraftSql.run(spark, s"GRAFT DELETE FROM '$dir' WHERE id = 1")
+      .head().getLong(0) === 1L)
+    assert(GraftSql.run(spark, s"GRAFT CHECKPOINT '$dir'")
+      .head().getLong(0) === 2L)
+    // non-GRAFT text routes to spark.sql untouched
+    assert(GraftSql.run(spark, "SELECT 41 + 1 AS x").head().getInt(0) === 42)
+  }
+
+  test("an unknown GRAFT verb is a loud parse error naming the " +
+      "supported grammar; normal SQL still parses") {
+    val e = intercept[Exception] {
+      spark.sql("GRAFT FROBNICATE '/tmp/x'")
+    }
+    assert(e.getMessage.contains("unrecognized GRAFT statement"),
+      e.getMessage)
+    assert(e.getMessage.contains("MERGE INTO"), e.getMessage)
+    // the wrapped parser still handles everything else
+    assert(spark.sql("SELECT 'graft vacuum' AS s").head().getString(0)
+      === "graft vacuum")
+    assert(spark.range(3).count() === 3L)
+  }
+}

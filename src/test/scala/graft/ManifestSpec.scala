@@ -237,9 +237,9 @@ class ManifestSpec extends SparkSpec {
       dir, "grp")
     Manifest.append(fixture.filter($"grp" === "a")
       .withColumn("grp", lit("d")), dir, "grp")
-    assert(Manifest.changedPartitions(dir, 1, 2, conf) === Set("b"))
-    assert(Manifest.changedPartitions(dir, 1, 3, conf) === Set("b", "d"))
-    assert(Manifest.changedPartitions(dir, 3, 3, conf) === Set.empty)
+    assert(Manifest.changedPartitions(spark, dir, 1, 2, conf) === Set("b"))
+    assert(Manifest.changedPartitions(spark, dir, 1, 3, conf) === Set("b", "d"))
+    assert(Manifest.changedPartitions(spark, dir, 3, 3, conf) === Set.empty)
   }
 
   test("disjoint optimistic writers both land, in either commit order") {
@@ -977,6 +977,149 @@ class ManifestSpec extends SparkSpec {
       "a post-vacuum replay of batch 42 must be a no-op")
     assert(Manifest.read(spark, dir).filter($"id" === 7L).count() === 1L,
       "the replay duplicated rows — exactly-once broke across vacuum")
+  }
+
+  test("a no-match delete batch is STAMPED: redelivery after later " +
+      "appends land rows with those keys deletes nothing") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    val keys = Seq(100L).toDF("id")
+    // delivery 1: key 100 matches no live row — must stamp, not vanish
+    assert(!Manifest.deleteKeysBatch(spark, dir, keys, Seq("id"),
+      batchId = 7L))
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.committedBatches(dir, conf).contains(7L),
+      "a no-match delete batch must still record its stamp")
+    assert(Manifest.history(spark, dir).filter($"op" === "delete-noop")
+      .count() === 1L)
+    // later: a row with that key lands
+    Manifest.append(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(100L)), dir, "grp")
+    // redelivery of batch 7 (at-least-once) must NOT delete the new row
+    assert(!Manifest.deleteKeysBatch(spark, dir, keys, Seq("id"),
+      batchId = 7L))
+    assert(Manifest.read(spark, dir).filter($"id" === 100L).count() === 1L,
+      "a replayed no-match delete batch killed a row the original " +
+        "delivery never touched — exactly-once broke")
+  }
+
+  test("vacuum folds header stamps into the pointer: stamps survive " +
+      "vacuum even WITHOUT an explicit pre-vacuum checkpoint") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    assert(Manifest.commitBatch(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(7L)), dir, "grp", batchId = 42L))
+    Manifest.append(fixture.filter($"id" === 2L)
+      .withColumn("id", lit(8L)), dir, "grp")
+    // NO checkpoint call — vacuum itself must preserve the stamps
+    Manifest.vacuum(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.committedBatches(dir, conf).contains(42L),
+      "vacuum deleted the stamped header without folding the stamp " +
+        "into the pointer")
+    assert(!Manifest.commitBatch(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(7L)), dir, "grp", batchId = 42L),
+      "a post-vacuum replay of batch 42 must be a no-op")
+  }
+
+  test("an unparsable _last_checkpoint pointer degrades to the full " +
+      "fallbacks, never a crash") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    assert(Manifest.commitBatch(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(7L)), dir, "grp", batchId = 5L))
+    Manifest.checkpoint(spark, dir)
+    val p = java.nio.file.Paths.get(dir, "_manifests", "_last_checkpoint")
+    java.nio.file.Files.writeString(p, "") // torn write
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_manifests", "._last_checkpoint.crc"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.lastCheckpoint(dir, conf) === 0)
+    assert(Manifest.committedBatches(dir, conf).contains(5L),
+      "with a dead pointer, stamps must come from the full header scan")
+    assert(Manifest.entriesRelation(spark, dir).count() > 0,
+      "with a dead pointer, the entry relation must come from the " +
+        "distributed manifest parse")
+    java.nio.file.Files.writeString(p, "{\"v\":notanumber}")
+    assert(Manifest.lastCheckpoint(dir, conf) === 0)
+    // and a fresh checkpoint repairs service
+    val v = Manifest.checkpoint(spark, dir)
+    assert(Manifest.lastCheckpoint(dir, conf) === v)
+  }
+
+  test("distributed entry census (threshold 0): the full lifecycle " +
+      "matches the driver-census path op for op") {
+    // the same flow twice: dirD under the default driver census, dirX
+    // with graft.manifest.driverCensusMaxFiles=0 so EVERY census and
+    // carry-forward commit routes through entriesRelation + the
+    // streaming writer — content, history, and skipping must agree
+    def flow(dir: String): Unit = {
+      Manifest.create(fixture, dir, "grp", statsCol = "id")
+      Manifest.append(fixture.filter($"id" === 1L)
+        .withColumn("id", lit(11L)), dir, "grp", statsCol = "id")
+      Manifest.overwritePartitions(
+        fixture.filter($"grp" === "b").withColumn("value", $"value" * 2),
+        dir, "grp")
+      val prep = Manifest.prepareOverwrite(
+        fixture.filter($"grp" === "a").withColumn("value", lit(1.0)),
+        dir, "grp")
+      Manifest.commitPrepared(spark, dir, prep)
+      Manifest.merge(spark, dir, "grp",
+        Seq((11L, "a", 99.0, false), (7L, "c", 70.0, false),
+          (3L, "b", 0.0, true)).toDF("id", "grp", "value", "del"),
+        Seq("id"), deleteCol = "del")
+      Manifest.deleteRows(spark, dir, $"id" === 6L)
+      assert(Manifest.applyDeletes(spark, dir, "grp"))
+      assert(Manifest.autoCompact(spark, dir, "grp",
+        maxFilesPerPartition = 1) >= 0)
+      // no-match streamed delete still stamps; a matching one deletes
+      assert(!Manifest.deleteKeysBatch(spark, dir,
+        Seq(12345L).toDF("id"), Seq("id"), batchId = 3L))
+      assert(Manifest.deleteKeysBatch(spark, dir,
+        Seq(5L).toDF("id"), Seq("id"), batchId = 4L))
+      // zero-copy branch: append on the branch, merge back
+      Manifest.branchCreate(spark, dir, "dev")
+      val bdir = Manifest.branchDir(dir, "dev")
+      Manifest.append(fixture.filter($"id" === 2L)
+        .withColumn("grp", lit("z")), bdir, "grp")
+      Manifest.branchMergeInto(spark, dir, "dev")
+      Manifest.vacuum(spark, dir)
+    }
+    val dirD = mkdir()
+    flow(dirD)
+    val dirX = mkdir()
+    spark.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+    try flow(dirX)
+    finally spark.conf.unset("graft.manifest.driverCensusMaxFiles")
+    def content(dir: String) = Manifest.readWithDeletes(spark, dir)
+      .drop("__file", "__pos").collect().map(_.toString).sorted.toSeq
+    assert(content(dirX) === content(dirD),
+      "the distributed census flow diverged from the driver-census flow")
+    def hist(dir: String) = Manifest.history(spark, dir)
+      .select("version", "op", "batch_id", "n_dv_deltas")
+      .collect().map(_.toString).sorted.toSeq
+    assert(hist(dirX) === hist(dirD),
+      "the version trail diverged between census paths")
+    // skipping reads agree under the distributed census (a fresh
+    // stats-tracked layout — the lifecycle flow's rewrites legitimately
+    // drop file stats, so range reads there are loud by design)
+    val dirR = mkdir()
+    Manifest.create(fixture, dirR, "grp", statsCol = "id")
+    Manifest.append(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(11L)), dirR, "grp", statsCol = "id")
+    val viaDriver = Manifest.readRange(spark, dirR, 1L, 2L)
+      .filter($"id".between(1L, 2L)).count()
+    spark.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+    try {
+      assert(Manifest.readRange(spark, dirR, 1L, 2L)
+        .filter($"id".between(1L, 2L)).count() === viaDriver,
+        "distributed-census readRange diverged from the driver path")
+      intercept[IllegalArgumentException] {
+        Manifest.readRange(spark, dirX, 1L, 2L) // stats-less: still loud
+      }
+      assert(Manifest.readPartitions(spark, dirX, Seq("z"))
+        .select("id").as[Long].collect().toSeq === Seq(2L))
+    } finally spark.conf.unset("graft.manifest.driverCensusMaxFiles")
   }
 
   test("SQL table functions: history and DV-aware time travel resolve " +
