@@ -173,7 +173,7 @@ object Bench {
       graft.queries.PipelineQueries.reset(spark)
       heavyPasses += heavySel.map { case (name, fn) => (name, run(name, fn)) }
       val measured = heavyPasses.head.map(_._2._1).sum
-      if (elapsedSec + measured <= budgetSec) {
+      if (elapsedSec + measured * 1.15 <= budgetSec) {
         graft.queries.PipelineQueries.reset(spark)
         heavyPasses +=
           heavySel.map { case (name, fn) => (name, run(name, fn)) }

@@ -268,15 +268,29 @@ object Manifest {
               .otherwise(concat_ws("", lit(s"${l.dir}/"), col("file"))))
         d
       }
-      val carry = dfs.reduce(_ unionAll _).orderBy("p", "file").persist()
-      try {
-        val n = carry.count() + extra.length
-        val it = toScalaIterator(carry.toLocalIterator()).map(rowToEntry) ++
-          extra.sortBy(e => (e.p, e.file)).iterator
-        commitManifestStreamed(dstDir, newVersion, n, it, conf, batch,
-          dv, bloomK, kmvK, op)
-      } finally carry.unpersist()
+      commitRelationStreamed(dstDir, newVersion, dfs.reduce(_ unionAll _),
+        extra, conf, batch, dv, bloomK, kmvK, op)
     }
+  }
+
+  /** Publish an entry RELATION (any DataFrame with the entry columns)
+    * as `newVersion`, streaming it through the driver one executor
+    * partition at a time — the carrier for every distributed-census
+    * commit, including maintenance passes that TRANSFORM entries
+    * (bloom/sketch builds) and so can't ride the CarryLeg filter shape.
+    */
+  private def commitRelationStreamed(dstDir: String, newVersion: Int,
+      rel: DataFrame, extra: Seq[Entry], conf: Configuration, batch: Long,
+      dv: Seq[String], bloomK: Int, kmvK: Int, op: String): Unit = {
+    val carry = rel.select(entryCols.map(col): _*)
+      .orderBy("p", "file").persist()
+    try {
+      val n = carry.count() + extra.length
+      val it = toScalaIterator(carry.toLocalIterator()).map(rowToEntry) ++
+        extra.sortBy(e => (e.p, e.file)).iterator
+      commitManifestStreamed(dstDir, newVersion, n, it, conf, batch,
+        dv, bloomK, kmvK, op)
+    } finally carry.unpersist()
   }
 
   private def toScalaIterator[T](it: java.util.Iterator[T]): Iterator[T] = {
@@ -761,10 +775,26 @@ object Manifest {
       to: Int): Seq[(String, DataFrame)] = {
     require(from <= to, s"changesBetween: from $from > to $to")
     val conf = spark.sparkContext.hadoopConfiguration
-    val eF = readManifest(dir, from, conf)
-    val eT = readManifest(dir, to, conf)
-    val fSet = eF.map(_.file).toSet
-    val tSet = eT.map(_.file).toSet
+    // the feed needs only the FILE DIFF between the endpoint manifests
+    // (immutable files ⇒ row delta == file delta): diff-sized either
+    // way, computed on the driver below the census threshold and as
+    // two anti-joins over the distributed entry relation above it
+    val (inserted: Seq[String], removed: Seq[String]) =
+      if (driverCensus(spark, dir, from, conf) &&
+          driverCensus(spark, dir, to, conf)) {
+        val eF = readManifest(dir, from, conf).map(_.file)
+        val eT = readManifest(dir, to, conf).map(_.file)
+        val fSet = eF.toSet
+        val tSet = eT.toSet
+        (eT.filterNot(fSet), eF.filterNot(tSet))
+      } else {
+        val a = entriesRelation(spark, dir, from).select("file")
+        val b = entriesRelation(spark, dir, to).select("file")
+        (b.join(a, Seq("file"), "left_anti")
+           .collect().map(_.getString(0)).toSeq,
+         a.join(b, Seq("file"), "left_anti")
+           .collect().map(_.getString(0)).toSeq)
+      }
     val hF = readHeader(dir, from, conf)
     val hT = readHeader(dir, to, conf)
     val dvNew = hT.dv.filterNot(hF.dv.toSet)
@@ -773,14 +803,12 @@ object Manifest {
       .withColumn("__file",
         concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
       .withColumn("__pos", col("_metadata.row_index"))
-    def readEntries(entries: Seq[Entry]): DataFrame =
+    def readEntries(files: Seq[String]): DataFrame =
       spark.read.option("mergeSchema", "true")
-        .parquet(entries.map(e => filePath(dir, e)): _*)
+        .parquet(files.map(f => filePath(dir, Entry("", f))): _*)
     def readDv(rels: Seq[String]): DataFrame =
       spark.read.parquet(rels.map(p => dvFilePath(dir, p)): _*)
         .select(col("__file"), col("__pos"))
-    val inserted = eT.filterNot(e => fSet(e.file))
-    val removed = eF.filterNot(e => tSet(e.file))
     val insSide =
       if (inserted.isEmpty) None
       else Some(readEntries(inserted))
@@ -803,11 +831,31 @@ object Manifest {
         // while its delta survives, so neither endpoint alone resolves
         val vFiles = victims.select("__file").distinct()
           .collect().map(_.getString(0))
-        val resolve: Map[String, String] = (for {
-          v <- from to to
-          if fs(dir, conf).exists(manifestPath(dir, v))
-          e <- readManifest(dir, v, conf)
-        } yield tailKey(e.file) -> e.file).toMap
+        val present = (from to to)
+          .filter(v => fs(dir, conf).exists(manifestPath(dir, v)))
+        val allSmall = present.forall(v =>
+          driverCensus(spark, dir, v, conf))
+        val resolve: Map[String, String] =
+          if (allSmall)
+            (for {
+              v <- present
+              e <- readManifest(dir, v, conf)
+            } yield tailKey(e.file) -> e.file).toMap
+          else {
+            // window versions × entries is a table-census product — the
+            // executors resolve; the driver keeps only the victim-sized
+            // (tail -> path) answer
+            import spark.implicits._
+            present.map(v => entriesRelation(spark, dir, v)
+                .select(col("file")))
+              .reduce(_ unionAll _)
+              .withColumn("__tail", tailCol(col("file")))
+              .join(vFiles.toSeq.toDF("__tail"), Seq("__tail"),
+                "left_semi")
+              .select(col("__tail"), col("file"))
+              .distinct()
+              .collect().map(r => (r.getString(0), r.getString(1))).toMap
+          }
         val paths = vFiles.map(t => resolve.getOrElse(t, sys.error(
           s"changesBetween: DV delta references file $t that no manifest " +
             s"in v$from..v$to resolves - window crosses vacuumed history")))
@@ -1376,40 +1424,86 @@ object Manifest {
     require(h.bloomK < 1 || h.bloomK == k,
       s"addBloomIndex: layout was indexed with k=${h.bloomK}, got k=$k - " +
         "rebuild the index (compact + reindex) to change hash counts")
-    val all = readManifest(dir, base, conf)
-    val todo = all.filter(_.bloom.isEmpty)
-    if (todo.isEmpty) return false
     val segs = split(col("_metadata.file_path"), "/")
-    val positions = spark.read.option("mergeSchema", "true")
-      .parquet(todo.map(e => filePath(dir, e)): _*)
-      .withColumn("__file",
-        concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
-      .filter(col(column).isNotNull)
-      .select(col("__file"),
-        explode(array(bloomPositions(col(column), bits, k): _*)).as("__b"))
-      .distinct()
-      .groupBy("__file").agg(collect_list("__b").as("bs"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Int](1))
-      .toMap
-    val entries = all.map { e =>
-      if (e.bloom.isDefined) e
-      else e.copy(bloom = Some {
-        // a scanned file with no positions (all-NULL column, or empty)
-        // gets the all-zero bitset: SAFE (a point lookup of a non-null
-        // value can never match it) and it makes the refresh CONVERGE —
-        // leaving it bloomless would re-scan it on every refresh and
-        // commit a fresh near-identical version each time
-        val ps = positions.getOrElse(tailKey(e.file), Seq.empty)
-        val bytes = new Array[Byte](bits / 8)
-        ps.foreach(p => bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte)
-        java.util.Base64.getEncoder.encodeToString(bytes)
-      })
+    def positionsDF(todoPaths: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", "true").parquet(todoPaths: _*)
+        .withColumn("__file",
+          concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
+        .filter(col(column).isNotNull)
+        .select(col("__file"),
+          explode(array(bloomPositions(col(column), bits, k): _*)).as("__b"))
+        .distinct()
+        .groupBy("__file").agg(collect_list("__b").as("__bs"))
+    if (driverCensus(spark, dir, base, conf)) {
+      val all = readManifest(dir, base, conf)
+      val todo = all.filter(_.bloom.isEmpty)
+      if (todo.isEmpty) return false
+      val positions = positionsDF(todo.map(e => filePath(dir, e)))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Int](1))
+        .toMap
+      val entries = all.map { e =>
+        if (e.bloom.isDefined) e
+        else e.copy(bloom = Some {
+          // a scanned file with no positions (all-NULL column, or empty)
+          // gets the all-zero bitset: SAFE (a point lookup of a non-null
+          // value can never match it) and it makes the refresh CONVERGE —
+          // leaving it bloomless would re-scan it on every refresh and
+          // commit a fresh near-identical version each time
+          val ps = positions.getOrElse(tailKey(e.file), Seq.empty)
+          val bytes = new Array[Byte](bits / 8)
+          ps.foreach(p => bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte)
+          java.util.Base64.getEncoder.encodeToString(bytes)
+        })
+      }
+      commitManifest(dir, base + 1, entries, conf, dv = h.dv, bloomK = k,
+        kmvK = h.kmvK, op = "bloom-index")
+    } else {
+      // distributed build: per-file positions stay a DataFrame, the
+      // bitset packs in the executors (a UDF is honest here — no
+      // builtin packs bit positions into bytes — and this is a
+      // maintenance pass, not a query hot path), and the updated entry
+      // relation streams to the new manifest without ever
+      // materializing the file census on the driver
+      val todoFiles = censusFiles(spark, dir, base, conf)(
+        _.bloom.isEmpty, _.filter(col("bloom").isNull))
+      if (todoFiles.isEmpty) return false
+      val pos = positionsDF(
+        todoFiles.map(f => filePath(dir, Entry("", f))))
+      val rel = entriesRelation(spark, dir, base)
+        .withColumn("__tail", tailCol(col("file")))
+        .join(pos, col("__tail") === col("__file"), "left")
+        .withColumn("bloom",
+          coalesce(col("bloom"), bloomPackB64(col("__bs"), lit(bits))))
+      commitRelationStreamed(dir, base + 1, rel, Nil, conf, -1L,
+        h.dv, k, h.kmvK, "bloom-index")
     }
-    commitManifest(dir, base + 1, entries, conf, dv = h.dv, bloomK = k,
-      kmvK = h.kmvK, op = "bloom-index")
     true
   }
+
+  /** Executor-side bitset packer for the distributed index build: the
+    * k positions of a file's values fold into a bits/8-byte Base64
+    * bitset; a NULL position list (scanned file, all-NULL column) packs
+    * the all-zero bitset so refreshes converge.
+    */
+  private lazy val bloomPackB64 =
+    udf((ps: Seq[Int], bits: Int) => {
+      val bytes = new Array[Byte](bits / 8)
+      if (ps != null)
+        ps.foreach(p => bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte)
+      java.util.Base64.getEncoder.encodeToString(bytes)
+    })
+
+  /** Executor-side KMV encoder: bottom-k longs to Base64 (NULL = the
+    * empty sketch, so all-NULL/empty files converge).
+    */
+  private lazy val kmvPackB64 =
+    udf((hs: Seq[Long]) => {
+      val arr = if (hs == null) Array.empty[Long] else hs.toArray
+      val buf = java.nio.ByteBuffer.allocate(arr.length * 8)
+      arr.foreach(buf.putLong)
+      java.util.Base64.getEncoder.encodeToString(buf.array())
+    })
 
   /** Point read through the Bloom index: lists only files whose Bloom
     * might contain `value` (no-Bloom files — written before the index
@@ -1425,35 +1519,67 @@ object Manifest {
       value: Long): (DataFrame, Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val v = latestVersion(dir, conf)
-    val entries = readManifest(dir, v, conf)
     val k = readHeader(dir, v, conf).bloomK
-    require(k >= 1 || entries.forall(_.bloom.isEmpty),
-      s"$dir carries Bloom bitsets but no persisted k - manifest corrupt")
     // the value's k positions per DISTINCT bitset width, via a 1-row
     // Spark plan so the hash is BIT-IDENTICAL to the index build's
     // xxhash64 kernel (widths differ only across historic rebuilds)
-    val widths = entries.flatMap(_.bloom)
-      .map(b64 => java.util.Base64.getDecoder.decode(b64).length * 8)
-      .distinct
-    val wantByBits: Map[Int, Seq[Int]] = widths.map { bits =>
-      val ps = spark.range(1)
-        .select(bloomPositions(lit(value), bits, k): _*)
-        .collect().head
-      bits -> (0 until k).map(ps.getInt)
-    }.toMap
-    val hit = entries.filter { e =>
-      e.bloom match {
-        case None => true
-        case Some(b64) =>
-          val bytes = java.util.Base64.getDecoder.decode(b64)
-          wantByBits(bytes.length * 8)
-            .forall(p => (bytes(p / 8) & (1 << (p % 8))) != 0)
+    def wantByBits(widths: Seq[Int]): Map[Int, Seq[Int]] =
+      widths.map { bits =>
+        val ps = spark.range(1)
+          .select(bloomPositions(lit(value), bits, k): _*)
+          .collect().head
+        bits -> (0 until k).map(ps.getInt)
+      }.toMap
+    val (hit: Seq[String], total: Int) =
+      if (driverCensus(spark, dir, v, conf)) {
+        val entries = readManifest(dir, v, conf)
+        require(k >= 1 || entries.forall(_.bloom.isEmpty),
+          s"$dir carries Bloom bitsets but no persisted k - manifest corrupt")
+        val want = wantByBits(entries.flatMap(_.bloom)
+          .map(b64 => java.util.Base64.getDecoder.decode(b64).length * 8)
+          .distinct)
+        (entries.filter { e =>
+          e.bloom match {
+            case None => true
+            case Some(b64) =>
+              val bytes = java.util.Base64.getDecoder.decode(b64)
+              want(bytes.length * 8)
+                .forall(p => (bytes(p / 8) & (1 << (p % 8))) != 0)
+          }
+        }.map(_.file), entries.length)
+      } else {
+        // distributed probe: executors decode each bitset and test the
+        // k positions with builtin byte ops (substring on binary + hex
+        // + conv + bitwiseAND — no UDF on this read path); the driver
+        // sees only the distinct widths and the admitted file list
+        val er = entriesRelation(spark, dir, v).persist()
+        try {
+          require(k >= 1 ||
+              er.filter(col("bloom").isNotNull).limit(1).count() == 0,
+            s"$dir carries Bloom bitsets but no persisted k - manifest " +
+              "corrupt")
+          val bin = unbase64(col("bloom"))
+          val widths = er.filter(col("bloom").isNotNull)
+            .select((length(bin) * 8).as("w")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val want = wantByBits(widths)
+          def byteAt(i: Int) =
+            conv(hex(substring(bin, i + 1, 1)), 16, 10).cast("int")
+          val admit = widths.foldLeft(col("bloom").isNull) { (acc, bits) =>
+            acc || ((length(bin) * 8 === bits) &&
+              want(bits).map(p => byteAt(p / 8)
+                  .bitwiseAND(lit(1 << (p % 8))) =!= 0)
+                .reduce(_ && _))
+          }
+          (er.filter(admit).select("file")
+             .collect().map(_.getString(0)).toSeq,
+           er.count().toInt)
+        } finally er.unpersist()
       }
-    }
     val raw =
       if (hit.isEmpty) readVersion(spark, dir, v).limit(0)
       else spark.read.option("mergeSchema", "true")
-        .parquet(hit.map(e => filePath(dir, e)): _*)
+        .parquet(hit.map(f => filePath(dir, Entry("", f))): _*)
     // merge-on-read discipline: a point read must not resurrect
     // DV-deleted rows (free when the version carries no DV)
     val dvList = readHeader(dir, v, conf).dv
@@ -1470,7 +1596,7 @@ object Manifest {
             "left_anti")
           .select(cols.map(col): _*)
       }
-    (df, hit.length, entries.length)
+    (df, hit.length, total)
   }
 
   /** DESCRIBE HISTORY — the audit trail every commit already wrote:
@@ -1728,31 +1854,48 @@ object Manifest {
     require(h.kmvK < 1 || h.kmvK == k,
       s"addDistinctSketch: layout was sketched with k=${h.kmvK}, got " +
         s"k=$k - mixed-k sketches do not merge")
-    val all = readManifest(dir, base, conf)
-    val todo = all.filter(_.kmv.isEmpty)
-    if (todo.isEmpty) return false
     val segs = split(col("_metadata.file_path"), "/")
-    val perFile: Map[String, Array[Long]] = Sketches.kmvSketch(
-        spark.read.option("mergeSchema", "true")
-          .parquet(todo.map(e => filePath(dir, e)): _*)
-          .withColumn("__file",
-            concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
-          .filter(col(column).isNotNull),
-        Seq("__file"), column, k)
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
-      .toMap
-    val entries = all.map { e =>
-      if (e.kmv.isDefined) e
-      else e.copy(kmv = Some {
-        val hs = perFile.getOrElse(tailKey(e.file), Array.empty[Long])
-        val buf = java.nio.ByteBuffer.allocate(hs.length * 8)
-        hs.foreach(buf.putLong)
-        java.util.Base64.getEncoder.encodeToString(buf.array())
-      })
+    def sketchDF(todoPaths: Seq[String]): DataFrame = Sketches.kmvSketch(
+      spark.read.option("mergeSchema", "true").parquet(todoPaths: _*)
+        .withColumn("__file",
+          concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
+        .filter(col(column).isNotNull),
+      Seq("__file"), column, k)
+    if (driverCensus(spark, dir, base, conf)) {
+      val all = readManifest(dir, base, conf)
+      val todo = all.filter(_.kmv.isEmpty)
+      if (todo.isEmpty) return false
+      val perFile: Map[String, Array[Long]] =
+        sketchDF(todo.map(e => filePath(dir, e)))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+          .toMap
+      val entries = all.map { e =>
+        if (e.kmv.isDefined) e
+        else e.copy(kmv = Some {
+          val hs = perFile.getOrElse(tailKey(e.file), Array.empty[Long])
+          val buf = java.nio.ByteBuffer.allocate(hs.length * 8)
+          hs.foreach(buf.putLong)
+          java.util.Base64.getEncoder.encodeToString(buf.array())
+        })
+      }
+      commitManifest(dir, base + 1, entries, conf,
+        dv = h.dv, bloomK = h.bloomK, kmvK = k, op = "distinct-sketch")
+    } else {
+      // distributed refresh: sketches stay a DataFrame, Base64 packs in
+      // the executors, the updated relation streams to the manifest —
+      // the addBloomIndex shape (see its large branch for rationale)
+      val todoFiles = censusFiles(spark, dir, base, conf)(
+        _.kmv.isEmpty, _.filter(col("kmv").isNull))
+      if (todoFiles.isEmpty) return false
+      val sk = sketchDF(todoFiles.map(f => filePath(dir, Entry("", f))))
+      val rel = entriesRelation(spark, dir, base)
+        .withColumn("__tail", tailCol(col("file")))
+        .join(sk, col("__tail") === col("__file"), "left")
+        .withColumn("kmv", coalesce(col("kmv"), kmvPackB64(col("sk"))))
+      commitRelationStreamed(dir, base + 1, rel, Nil, conf, -1L,
+        h.dv, h.bloomK, k, "distinct-sketch")
     }
-    commitManifest(dir, base + 1, entries, conf,
-      dv = h.dv, bloomK = h.bloomK, kmvK = k, op = "distinct-sketch")
     true
   }
 

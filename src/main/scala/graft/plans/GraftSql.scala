@@ -22,9 +22,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   *   GRAFT RESTORE '<dir>' TO VERSION <n>
   *   GRAFT OPTIMIZE '<dir>' PARTITION BY <col> [FILES <n>]
   *   GRAFT DELETE FROM '<dir>' WHERE <predicate>        -- merge-on-read
+  *   GRAFT APPLY DELETES '<dir>' PARTITION BY <col>     -- fold the DV
   *   GRAFT PURGE '<dir>' PARTITION BY <col> WHERE <predicate>
   *   GRAFT MERGE INTO '<dir>' PARTITION BY <col> USING <view>
   *         ON <k1>[, k2 ...] [DELETE WHEN <boolCol>]
+  *   GRAFT BRANCH CREATE '<dir>' <name>   /  GRAFT BRANCH MERGE '<dir>' <name>
   *
   * Two front doors, same verbs:
   *   - sessions built with `spark.sql.extensions=graft.GraftExtensions`
@@ -37,6 +39,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   * compiles via `functions.expr`, MERGE sources are named temp views or
   * tables — so "operable from SQL" means the real expression language,
   * not a toy subset.
+  *
+  * Lineage: the reference's whole SQL surface is read-only notebook
+  * queries over its SQLite sink (reference `testing/sql_queries.ipynb`
+  * cells 5-8 — the S7 operator in SURVEY.md §2); graft's `spark.sql`
+  * covers those verbatim (q53), and these verbs extend the surface to
+  * the write/maintenance lifecycle the reference has no analogue for.
   */
 sealed trait GraftVerb {
   def schema: StructType
@@ -105,6 +113,27 @@ object GraftVerb {
       Seq(Row(Manifest.merge(spark, dir, partCol, spark.table(source),
         keyCols, deleteWhen.orNull).toLong))
   }
+
+  case class ApplyDeletes(dir: String, partCol: String) extends GraftVerb {
+    val schema = longs("applied", "version")
+    def run(spark: SparkSession): Seq[Row] = {
+      val applied = Manifest.applyDeletes(spark, dir, partCol)
+      Seq(Row(if (applied) 1L else 0L, Manifest.latestVersion(dir,
+        spark.sparkContext.hadoopConfiguration).toLong))
+    }
+  }
+
+  case class BranchCreate(dir: String, name: String) extends GraftVerb {
+    val schema = longs("base_version")
+    def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(Manifest.branchCreate(spark, dir, name).toLong))
+  }
+
+  case class BranchMerge(dir: String, name: String) extends GraftVerb {
+    val schema = longs("version")
+    def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(Manifest.branchMergeInto(spark, dir, name).toLong))
+  }
 }
 
 object GraftSql {
@@ -126,6 +155,13 @@ object GraftSql {
   private val PurgeV =
     ("""(?is)\s*GRAFT\s+PURGE\s+'([^']+)'\s+PARTITION\s+BY\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+(.+?)\s*;?\s*""").r
+  private val ApplyDeletesV =
+    ("""(?is)\s*GRAFT\s+APPLY\s+DELETES\s+'([^']+)'\s+PARTITION\s+BY\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+  private val BranchCreateV =
+    """(?is)\s*GRAFT\s+BRANCH\s+CREATE\s+'([^']+)'\s+([A-Za-z0-9_\-]+)\s*;?\s*""".r
+  private val BranchMergeV =
+    """(?is)\s*GRAFT\s+BRANCH\s+MERGE\s+'([^']+)'\s+([A-Za-z0-9_\-]+)\s*;?\s*""".r
   private val MergeV =
     ("""(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+PARTITION\s+BY\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+([A-Za-z_][A-Za-z0-9_.]*)\s+""" +
@@ -148,6 +184,10 @@ object GraftSql {
           Option(files).map(_.toInt).getOrElse(1))
       case DeleteV(dir, pred) => GraftVerb.Delete(dir, pred)
       case PurgeV(dir, partCol, pred) => GraftVerb.Purge(dir, partCol, pred)
+      case ApplyDeletesV(dir, partCol) =>
+        GraftVerb.ApplyDeletes(dir, partCol)
+      case BranchCreateV(dir, name) => GraftVerb.BranchCreate(dir, name)
+      case BranchMergeV(dir, name) => GraftVerb.BranchMerge(dir, name)
       case MergeV(dir, partCol, source, keys, delWhen) =>
         GraftVerb.Merge(dir, partCol, source,
           keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
@@ -156,8 +196,9 @@ object GraftSql {
         s"unrecognized GRAFT statement: ${other.trim.take(120)} - " +
           "supported verbs: CHECKPOINT, VACUUM, RESTORE ... TO VERSION n, " +
           "OPTIMIZE ... PARTITION BY c [FILES n], DELETE FROM ... WHERE p, " +
-          "PURGE ... PARTITION BY c WHERE p, MERGE INTO ... PARTITION BY " +
-          "c USING v ON k1[,k2] [DELETE WHEN b]")
+          "PURGE ... PARTITION BY c WHERE p, APPLY DELETES ... PARTITION " +
+          "BY c, BRANCH CREATE/MERGE ... name, MERGE INTO ... PARTITION " +
+          "BY c USING v ON k1[,k2] [DELETE WHEN b]")
     })
   }
 

@@ -93,6 +93,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(GraftSql.run(spark, "SELECT 41 + 1 AS x").head().getInt(0) === 42)
   }
 
+  test("APPLY DELETES folds the DV from SQL text; BRANCH CREATE/MERGE " +
+      "round-trip the zero-copy branch lifecycle") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    spark.sql(s"GRAFT DELETE FROM '$dir' WHERE id = 3")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val r = spark.sql(s"GRAFT APPLY DELETES '$dir' PARTITION BY grp").head()
+    assert(r.getLong(0) === 1L)
+    assert(Manifest.readHeader(dir,
+      Manifest.latestVersion(dir, conf), conf).dv.isEmpty)
+    // nothing left to fold: applied=0, version unmoved
+    val r2 = spark.sql(s"GRAFT APPLY DELETES '$dir' PARTITION BY grp").head()
+    assert(r2.getLong(0) === 0L && r2.getLong(1) === r.getLong(1))
+    // branch: fork, commit on the branch via the API, merge back via SQL
+    val base = spark.sql(s"GRAFT BRANCH CREATE '$dir' dev").head().getLong(0)
+    assert(base === Manifest.latestVersion(dir, conf).toLong)
+    Manifest.append(fixture.filter($"id" === 1L)
+      .withColumn("grp", lit("z")), Manifest.branchDir(dir, "dev"), "grp")
+    val mv = spark.sql(s"GRAFT BRANCH MERGE '$dir' dev").head().getLong(0)
+    assert(mv === base + 1)
+    assert(Manifest.read(spark, dir).filter($"grp" === "z").count() === 1L)
+  }
+
   test("an unknown GRAFT verb is a loud parse error naming the " +
       "supported grammar; normal SQL still parses") {
     val e = intercept[Exception] {

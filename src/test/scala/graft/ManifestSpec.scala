@@ -1122,6 +1122,56 @@ class ManifestSpec extends SparkSpec {
     } finally spark.conf.unset("graft.manifest.driverCensusMaxFiles")
   }
 
+  test("changesBetween resolves DV victims' files distributed " +
+      "(threshold 0) — same feed as the driver path") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    Manifest.append(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(11L)), dir, "grp")
+    Manifest.deleteRows(spark, dir, $"id".isin(2L, 3L))
+    def feed(): Seq[String] = Manifest.changesBetween(spark, dir, 2, 3)
+      .select("_change", "id").collect().map(_.toString).sorted.toSeq
+    val viaDriver = feed()
+    assert(viaDriver === Seq("[delete,2]", "[delete,3]"))
+    spark.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+    try assert(feed() === viaDriver,
+      "distributed DV-victim resolution diverged from the driver path")
+    finally spark.conf.unset("graft.manifest.driverCensusMaxFiles")
+  }
+
+  test("distributed bloom/sketch builds (threshold 0): correct lookups, " +
+      "exact small-set distinct counts, convergent refresh") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    Manifest.append(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(11L)), dir, "grp")
+    spark.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+    try {
+      assert(Manifest.addBloomIndex(spark, dir, "id", bits = 64, k = 3))
+      assert(!Manifest.addBloomIndex(spark, dir, "id", bits = 64, k = 3),
+        "an all-indexed refresh must converge to a no-op")
+      // zero false negatives on every present key, through the
+      // distributed probe path
+      (Seq(1L, 2L, 3L, 4L, 5L, 6L, 11L)).foreach { id =>
+        val (df, _, _) = Manifest.readPoint(spark, dir, "id", id)
+        assert(df.filter($"id" === id).count() === 1L,
+          s"bloom point read lost id=$id")
+      }
+      assert(Manifest.addDistinctSketch(spark, dir, "id", k = 64))
+      assert(!Manifest.addDistinctSketch(spark, dir, "id", k = 64))
+      val (est, _) = Manifest.approxDistinct(spark, dir)
+      assert(est === 7.0, s"distinct estimate $est != exact 7 (below k)")
+      // incremental: an append leaves old bitsets untouched and the
+      // refresh sketches only the new files
+      Manifest.append(fixture.filter($"id" === 2L)
+        .withColumn("id", lit(12L)), dir, "grp")
+      assert(Manifest.addBloomIndex(spark, dir, "id", bits = 64, k = 3))
+      assert(Manifest.addDistinctSketch(spark, dir, "id", k = 64))
+      val (est2, _) = Manifest.approxDistinct(spark, dir)
+      assert(est2 === 8.0)
+    } finally spark.conf.unset("graft.manifest.driverCensusMaxFiles")
+  }
+
   test("SQL table functions: history and DV-aware time travel resolve " +
       "from spark.sql text; bad arity is loud") {
     val dir = mkdir()
