@@ -1040,7 +1040,18 @@ object Manifest {
       dir, partCol, base + 1, suffix = writerToken())
     val baseDv = readHeader(dir, base, conf).dv.toSet
     var attempt = 0
+    val fsys = fs(dir, conf)
     while (true) {
+      // staged files are manifest-invisible, so a vacuum run during
+      // the merge window legally reaped them as orphans — verify per
+      // attempt (the commitPrepared/commitDelete guard, mirrored), or
+      // the published snapshot would reference deleted bytes
+      val reaped = entries.filterNot(e =>
+        fsys.exists(new Path(filePath(dir, e))))
+      require(reaped.isEmpty,
+        s"merge: ${reaped.length} staged file(s) no longer exist " +
+          s"(first: ${reaped.headOption.map(_.file).getOrElse("")}) - a " +
+          "vacuum ran during the merge window; re-read and re-merge")
       val latest = latestVersion(dir, conf)
       val conflicts = changedPartitions(spark, dir, base, latest, conf)
         .intersect(affected)
@@ -1916,21 +1927,52 @@ object Manifest {
     require(k >= 1,
       s"$dir carries no distinct sketch - build one with addDistinctSketch")
     val want = Option(partitions).map(_.toSet)
-    val sel = readManifest(dir, v, conf)
-      .filter(e => want.forall(_.contains(e.p)))
-    require(sel.nonEmpty, s"approxDistinct: no manifest entry matches " +
-      s"partitions $partitions in $dir")
-    val missing = sel.count(_.kmv.isEmpty)
-    require(missing == 0,
-      s"approxDistinct: $missing selected file(s) carry no sketch - run " +
-        "addDistinctSketch to cover commits newer than the last build")
-    val merged = sel.flatMap(e => decodeKmv(e.kmv.get))
-      .distinct.sorted.take(k)
+    val (merged: Seq[Long], nSel: Int) =
+      if (driverCensus(spark, dir, v, conf)) {
+        val sel = readManifest(dir, v, conf)
+          .filter(e => want.forall(_.contains(e.p)))
+        require(sel.nonEmpty, s"approxDistinct: no manifest entry " +
+          s"matches partitions $partitions in $dir")
+        val missing = sel.count(_.kmv.isEmpty)
+        require(missing == 0,
+          s"approxDistinct: $missing selected file(s) carry no sketch - " +
+            "run addDistinctSketch to cover commits newer than the last " +
+            "build")
+        (sel.flatMap(e => decodeKmv(e.kmv.get))
+          .distinct.sorted.take(k).toSeq, sel.length)
+      } else {
+        // the sketches stay in the executors: decode, flatten, and
+        // bottom-k over the DISTRIBUTED entry relation (union-truncate
+        // is exact set algebra, so any execution order merges right);
+        // the driver sees k longs and two counts
+        val er = entriesRelation(spark, dir, v)
+        val sel = want.map(w => er.filter(col("p").isInCollection(w)))
+          .getOrElse(er).persist()
+        try {
+          val counts = sel.agg(count(lit(1)).as("n"),
+            count(when(col("kmv").isNull, 1)).as("missing")).head()
+          require(counts.getLong(0) > 0, s"approxDistinct: no manifest " +
+            s"entry matches partitions $partitions in $dir")
+          require(counts.getLong(1) == 0L,
+            s"approxDistinct: ${counts.getLong(1)} selected file(s) " +
+              "carry no sketch - run addDistinctSketch to cover commits " +
+              "newer than the last build")
+          (sel.select(explode(kmvUnpackB64(col("kmv"))).as("__h"))
+             .distinct().orderBy("__h").limit(k)
+             .collect().map(_.getLong(0)).toSeq,
+           counts.getLong(0).toInt)
+        } finally sel.unpersist()
+      }
     val est =
       if (merged.length < k) merged.length.toDouble
       else (k - 1).toDouble / (merged(k - 1) * math.pow(2.0, -64) + 0.5)
-    (est, sel.length)
+    (est, nSel)
   }
+
+  /** Executor-side KMV decoder (the read twin of `kmvPackB64`). */
+  private lazy val kmvUnpackB64 =
+    udf((b64: String) =>
+      if (b64 == null) Array.empty[Long] else decodeKmv(b64))
 
   // ---- Deletion vectors: MERGE-ON-READ row deletes -------------------
   //

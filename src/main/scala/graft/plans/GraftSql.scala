@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   *   GRAFT APPLY DELETES '<dir>' PARTITION BY <col>     -- fold the DV
   *   GRAFT PURGE '<dir>' PARTITION BY <col> WHERE <predicate>
   *   GRAFT MERGE INTO '<dir>' PARTITION BY <col> USING <view>
-  *         ON <k1>[, k2 ...] [DELETE WHEN <boolCol>]
+  *         ON <k1>[, k2 ...] [DELETE WHEN <boolCol>] [BATCH <id>]
   *   GRAFT BRANCH CREATE '<dir>' <name>   /  GRAFT BRANCH MERGE '<dir>' <name>
   *
   * Two front doors, same verbs:
@@ -107,11 +107,12 @@ object GraftVerb {
   }
 
   case class Merge(dir: String, partCol: String, source: String,
-      keyCols: Seq[String], deleteWhen: Option[String]) extends GraftVerb {
+      keyCols: Seq[String], deleteWhen: Option[String],
+      batchId: Long) extends GraftVerb {
     val schema = longs("version")
     def run(spark: SparkSession): Seq[Row] =
       Seq(Row(Manifest.merge(spark, dir, partCol, spark.table(source),
-        keyCols, deleteWhen.orNull).toLong))
+        keyCols, deleteWhen.orNull, batchId = batchId).toLong))
   }
 
   case class ApplyDeletes(dir: String, partCol: String) extends GraftVerb {
@@ -166,7 +167,7 @@ object GraftSql {
     ("""(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+PARTITION\s+BY\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+([A-Za-z_][A-Za-z0-9_.]*)\s+""" +
       """ON\s+([A-Za-z0-9_,\s]+?)(?:\s+DELETE\s+WHEN\s+""" +
-      """([A-Za-z_][A-Za-z0-9_]*))?\s*;?\s*""").r
+      """([A-Za-z_][A-Za-z0-9_]*))?(?:\s+BATCH\s+(\d+))?\s*;?\s*""").r
 
   /** Some(verb) for GRAFT statements, None for everything else; a
     * GRAFT-prefixed statement matching no verb is a LOUD parse error
@@ -188,10 +189,10 @@ object GraftSql {
         GraftVerb.ApplyDeletes(dir, partCol)
       case BranchCreateV(dir, name) => GraftVerb.BranchCreate(dir, name)
       case BranchMergeV(dir, name) => GraftVerb.BranchMerge(dir, name)
-      case MergeV(dir, partCol, source, keys, delWhen) =>
+      case MergeV(dir, partCol, source, keys, delWhen, batch) =>
         GraftVerb.Merge(dir, partCol, source,
           keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-          Option(delWhen))
+          Option(delWhen), Option(batch).map(_.toLong).getOrElse(-1L))
       case other => throw new IllegalArgumentException(
         s"unrecognized GRAFT statement: ${other.trim.take(120)} - " +
           "supported verbs: CHECKPOINT, VACUUM, RESTORE ... TO VERSION n, " +

@@ -116,6 +116,25 @@ class GraftSqlSpec extends SparkSpec {
     assert(Manifest.read(spark, dir).filter($"grp" === "z").count() === 1L)
   }
 
+  test("GRAFT MERGE ... BATCH n is exactly-once: a replayed batch id " +
+      "moves nothing") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    Seq((1L, "a", 99.0)).toDF("id", "grp", "value")
+      .createOrReplaceTempView("graft_sql_batch_src")
+    val v1 = spark.sql(s"GRAFT MERGE INTO '$dir' PARTITION BY grp " +
+      "USING graft_sql_batch_src ON id BATCH 5").head().getLong(0)
+    assert(v1 === 2L)
+    // replay of batch 5 (at-least-once delivery) publishes nothing
+    val v2 = spark.sql(s"GRAFT MERGE INTO '$dir' PARTITION BY grp " +
+      "USING graft_sql_batch_src ON id BATCH 5").head().getLong(0)
+    assert(v2 === 2L, "a replayed stamped merge moved the version")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.latestVersion(dir, conf) === 2)
+    assert(Manifest.read(spark, dir).filter($"id" === 1L)
+      .select("value").as[Double].head() === 99.0)
+  }
+
   test("an unknown GRAFT verb is a loud parse error naming the " +
       "supported grammar; normal SQL still parses") {
     val e = intercept[Exception] {
