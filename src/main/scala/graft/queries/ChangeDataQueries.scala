@@ -612,11 +612,25 @@ object ChangeDataQueries {
       val (ghostDf, _, _) = Manifest.readPoint(s, tmp, "o_orderkey", -99L)
       val ghost = ghostDf.filter(col("o_orderkey") === -99L)
         .limit(1).count() > 0
+      // the distributed bitset probe (census threshold 0) must admit
+      // exactly the same files and rows as the driver probe
+      val pathDiverged = {
+        val (dDf, dListed, dTotal) = lookups.head
+        s.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+        try {
+          val (xDf, xListed, xTotal) =
+            Manifest.readPoint(s, tmp, "o_orderkey", keys.head)
+          xListed != dListed || xTotal != dTotal ||
+            xDf.exceptAll(dDf).unionAll(dDf.exceptAll(xDf))
+              .limit(1).count() > 0
+        } finally s.conf.unset("graft.manifest.driverCensusMaxFiles")
+      }
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
         .select(lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"),
           lit(name).as("o_orderstatus"), lit(0.0).as("o_totalprice"))
       rows.unionByName(viol(noskip, "NOSKIP"))
         .unionByName(viol(ghost, "GHOST"))
+        .unionByName(viol(pathDiverged, "PATH_DIVERGED"))
         .orderBy("o_orderkey")
     }),
 
@@ -1182,6 +1196,14 @@ object ChangeDataQueries {
         val (est2, _) = Manifest.approxDistinct(s, tmp)
         !did || math.abs(est2 - exactAll) / exactAll > 0.08
       }
+      // union-truncate is exact set algebra, so the distributed merge
+      // (census threshold 0) must land the BIT-IDENTICAL estimate
+      val ndvPathDiverged = {
+        val (d, _) = Manifest.approxDistinct(s, tmp)
+        s.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+        try { val (x, _) = Manifest.approxDistinct(s, tmp); x != d }
+        finally s.conf.unset("graft.manifest.driverCensusMaxFiles")
+      }
       val census = o.groupBy("o_orderstatus")
         .agg(countDistinct("o_custkey").as("n_distinct"))
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
@@ -1191,6 +1213,7 @@ object ChangeDataQueries {
         .unionByName(viol(notConverged, "NOT_CONVERGED"))
         .unionByName(viol(silentStale, "SILENT_STALE"))
         .unionByName(viol(refreshBroken, "REFRESH_BROKEN"))
+        .unionByName(viol(ndvPathDiverged, "NDV_PATH_DIVERGED"))
         .orderBy("o_orderstatus")
     }),
 
