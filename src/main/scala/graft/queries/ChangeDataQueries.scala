@@ -1153,6 +1153,53 @@ object ChangeDataQueries {
         .orderBy("user_id")
     }),
 
+    // SQL BRANCH + APPLY DELETES — the remaining write verbs under
+    // oracle gating (q392 covers MERGE/DELETE/OPTIMIZE/CHECKPOINT/
+    // VACUUM): a MOR delete folds copy-on-write through
+    // `GRAFT APPLY DELETES` (NOT_APPLIED if the DV survives or the
+    // fold reports otherwise), a zero-copy branch forks via
+    // `GRAFT BRANCH CREATE`, commits stay invisible to main until
+    // `GRAFT BRANCH MERGE` lands them as ONE main commit
+    // (MAIN_LEAKED pins the isolation). Final per-day census
+    // oracle-restated.
+    "q394_sql_branch_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      import graft.plans.GraftSql
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sqlbranch").toString
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") <= 15)
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      GraftSql.run(s, s"GRAFT DELETE FROM '$tmp' WHERE user_id = 2")
+      val applyRow = GraftSql.run(s,
+        s"GRAFT APPLY DELETES '$tmp' PARTITION BY dt").head()
+      val conf = s.sparkContext.hadoopConfiguration
+      val notApplied = applyRow.getLong(0) != 1L ||
+        Manifest.readHeader(tmp,
+          Manifest.latestVersion(tmp, conf), conf).dv.nonEmpty
+      GraftSql.run(s, s"GRAFT BRANCH CREATE '$tmp' exp")
+      Manifest.append(ev.filter(col("user_id") === 1)
+          .withColumn("dt", lit("2024-02-01").cast("date")),
+        Manifest.branchDir(tmp, "exp"), "dt")
+      // branch commits must be invisible on main until the merge
+      val mainLeaked = Manifest.read(s, tmp)
+        .filter(col("dt") === lit("2024-02-01").cast("date"))
+        .limit(1).count() > 0
+      GraftSql.run(s, s"GRAFT BRANCH MERGE '$tmp' exp")
+      val census = Manifest.readWithDeletes(s, tmp)
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(notApplied, "NOT_APPLIED"))
+        .unionByName(viol(mainLeaked, "MAIN_LEAKED"))
+        .orderBy("dt")
+    }),
+
     // MANIFEST-ONLY DISTINCT COUNTS — per-file KMV sketches (exact
     // union-truncate merge algebra) ride the manifest like the Bloom
     // index, so "how many distinct customers in these partitions?" is
@@ -1907,6 +1954,19 @@ object ChangeDataQueries {
         |  SELECT user_id, value FROM events WHERE user_id = 4)
         |SELECT CAST(user_id AS VARCHAR) AS user_id,
         |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The post-lifecycle per-day census: user 2 gone (MOR delete
+    // folded from SQL), user 1's Feb copies merged in from the branch
+    // — no NOT_APPLIED / MAIN_LEAKED rows.
+    "q394_sql_branch_gate" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS dt, value FROM events
+        |  WHERE user_id <= 15 AND user_id <> 2
+        |  UNION ALL
+        |  SELECT DATE '2024-02-01', value FROM events
+        |  WHERE user_id = 1)
+        |SELECT CAST(dt AS VARCHAR) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     // Per-status exact distinct-customer census — no ERR_BOUND /
