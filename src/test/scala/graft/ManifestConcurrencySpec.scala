@@ -56,6 +56,32 @@ class ManifestConcurrencySpec extends SparkSpec {
       s"final content is not the per-partition last-writer state: $got")
   }
 
+  test("four racing writers under the DISTRIBUTED census (threshold 0): " +
+      "the rebase loop holds when every carry-forward is a Spark job") {
+    val dir = mkdir()
+    val grps = Seq("a", "b", "c", "d")
+    val base = grps.zipWithIndex.flatMap { case (g, i) =>
+      Seq((i * 10L, g, 0.0), (i * 10L + 1L, g, 0.0))
+    }.toDF("id", "grp", "value")
+    Manifest.create(base, dir, "grp")
+    spark.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+    try {
+      race(grps.map { g => () =>
+        val df = Seq((g.head.toLong, g, 100.0)).toDF("id", "grp", "value")
+        val prep = Manifest.prepareOverwrite(df, dir, "grp")
+        Manifest.commitPrepared(spark, dir, prep, maxAttempts = 50)
+      })
+    } finally spark.conf.unset("graft.manifest.driverCensusMaxFiles")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.latestVersion(dir, conf) === 1 + grps.size,
+      "a racing writer's commit was lost or double-counted under the " +
+        "distributed census")
+    val got = Manifest.read(spark, dir)
+      .select("grp", "value").as[(String, Double)].collect().toSet
+    assert(got === grps.map(g => g -> 100.0).toSet,
+      s"final content diverged under the distributed census: $got")
+  }
+
   test("a racing MOR delete and disjoint partition writers all land; " +
       "the delete excludes exactly the base victims") {
     val dir = mkdir()
