@@ -1,7 +1,8 @@
 package graft
 
-import java.nio.file.Paths
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions.{coalesce, lit, not}
 
 /** Bucketed-table maintenance: drop + recreate a managed table persisted
@@ -14,11 +15,35 @@ import org.apache.spark.sql.functions.{coalesce, lit, not}
   */
 object Bucketing {
 
+  private def ident(spark: SparkSession, table: String): TableIdentifier =
+    spark.sessionState.sqlParser.parseTableIdentifier(table)
+
+  /** The table's REAL directory from catalog metadata, falling back to
+    * the catalog's default path for the name when the table doesn't
+    * exist (yet) — never a hardcoded `spark-warehouse/<name>` guess,
+    * which deletes the wrong path under a non-default
+    * `spark.sql.warehouse.dir` or a db-qualified name.
+    */
+  private def tableDir(spark: SparkSession, table: String): Path = {
+    val id = ident(spark, table)
+    val uri =
+      try spark.sessionState.catalog.getTableMetadata(id).location
+      catch { case _: Exception =>
+        spark.sessionState.catalog.defaultTablePath(id) }
+    new Path(uri)
+  }
+
+  private def clearDir(spark: SparkSession, p: Path): Unit = {
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
   def recreateBucketedTable(df: DataFrame, table: String,
                             buckets: Int, key: String): Unit = {
     val spark = df.sparkSession
+    val dir = tableDir(spark, table) // resolve BEFORE the drop forgets it
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    pipeline.Ingest.deleteRecursively(Paths.get(s"spark-warehouse/$table"))
+    clearDir(spark, dir)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
@@ -44,7 +69,7 @@ object Bucketing {
       s"$token|buckets=$buckets|key=$key|cols=${df.columns.mkString(",")}"
     val current =
       try spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .getTableMetadata(ident(spark, table))
         .properties.get("graft.layout.token")
       catch { case _: Exception => None }
     if (!current.contains(fullToken)) {
@@ -84,7 +109,7 @@ object Bucketing {
   def purgeBucketedTable(spark: SparkSession, table: String,
       victim: Column): Long = {
     val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      ident(spark, table))
     val spec = meta.bucketSpec.getOrElse(
       sys.error(s"purgeBucketedTable: $table carries no bucket spec"))
     val isVictim = coalesce(victim, lit(false))
@@ -94,8 +119,9 @@ object Bucketing {
     // survivors write to a SIDE table while the old files still exist —
     // the lazy plan reads them during the write, nothing is cached
     val tmp = s"${table}__purge_rewrite"
+    val tmpDir = tableDir(spark, tmp)
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    pipeline.Ingest.deleteRecursively(Paths.get(s"spark-warehouse/$tmp"))
+    clearDir(spark, tmpDir)
     val writer = t.filter(not(isVictim)).write.mode("overwrite")
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
         spec.bucketColumnNames.tail: _*)
@@ -104,9 +130,19 @@ object Bucketing {
          spec.sortColumnNames.tail: _*)
      else writer).saveAsTable(tmp)
     // swap: the new table (same bucket spec, survivor rows) takes the
-    // old name; RENAME moves the managed directory with the metadata
+    // old name; RENAME moves the managed directory with the metadata.
+    // The rename destination is the CATALOG'S default path for the old
+    // name — which may differ from the live table's actual location —
+    // so clear destination debris BEFORE the drop: discovering a
+    // blocked rename after the old table is gone would strand the
+    // rewrite under the tmp name with the index offline.
+    val oldDir = new Path(meta.location)
+    val renameTarget =
+      new Path(spark.sessionState.catalog.defaultTablePath(
+        ident(spark, table)))
+    if (renameTarget != oldDir) clearDir(spark, renameTarget)
     spark.sql(s"DROP TABLE $table")
-    pipeline.Ingest.deleteRecursively(Paths.get(s"spark-warehouse/$table"))
+    clearDir(spark, oldDir) // killed-write leftovers the drop skipped
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     n
   }

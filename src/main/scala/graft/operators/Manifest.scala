@@ -278,19 +278,49 @@ object Manifest {
     * partition at a time — the carrier for every distributed-census
     * commit, including maintenance passes that TRANSFORM entries
     * (bloom/sketch builds) and so can't ride the CarryLeg filter shape.
+    * The carried stream and `extra` MERGE by (p, file) — both are
+    * already sorted — so the manifest is globally sorted and the bytes
+    * this path emits for given logical content are identical to the
+    * driver path's (`commitManifest` sorts carried++extra together);
+    * byte-level regime divergence would defeat manifest diffing and
+    * any content-addressed replication of the manifest log.
     */
-  private def commitRelationStreamed(dstDir: String, newVersion: Int,
+  private[graft] def commitRelationStreamed(dstDir: String, newVersion: Int,
       rel: DataFrame, extra: Seq[Entry], conf: Configuration, batch: Long,
       dv: Seq[String], bloomK: Int, kmvK: Int, op: String): Unit = {
     val carry = rel.select(entryCols.map(col): _*)
       .orderBy("p", "file").persist()
     try {
       val n = carry.count() + extra.length
-      val it = toScalaIterator(carry.toLocalIterator()).map(rowToEntry) ++
-        extra.sortBy(e => (e.p, e.file)).iterator
+      val it = mergeByKey(
+        toScalaIterator(carry.toLocalIterator()).map(rowToEntry),
+        extra.sortBy(e => (e.p, e.file)).iterator)
       commitManifestStreamed(dstDir, newVersion, n, it, conf, batch,
         dv, bloomK, kmvK, op)
     } finally carry.unpersist()
+  }
+
+  /** Merge two (p, file)-sorted entry streams into one sorted stream —
+    * O(1) driver state, ties drain the left side first (carried before
+    * extra; (p, file) never collides across commits in practice, files
+    * are commit-dir-unique).
+    */
+  private def mergeByKey(a: Iterator[Entry],
+      b: Iterator[Entry]): Iterator[Entry] = {
+    val ab = a.buffered
+    val bb = b.buffered
+    new Iterator[Entry] {
+      def hasNext: Boolean = ab.hasNext || bb.hasNext
+      def next(): Entry =
+        if (!bb.hasNext) ab.next()
+        else if (!ab.hasNext) bb.next()
+        else {
+          val ka = (ab.head.p, ab.head.file)
+          val kb = (bb.head.p, bb.head.file)
+          if (Ordering[(String, String)].lteq(ka, kb)) ab.next()
+          else bb.next()
+        }
+    }
   }
 
   private def toScalaIterator[T](it: java.util.Iterator[T]): Iterator[T] = {
@@ -1681,18 +1711,51 @@ object Manifest {
 
   private def lastCheckpointRaw(dir: String,
       conf: Configuration): Option[String] = {
-    val p = lastCheckpointPath(dir)
     val f = fs(dir, conf)
-    if (!f.exists(p)) return None
-    // a reader racing the pointer swap can catch the path missing or a
-    // zero-length create in flight — both degrade to "no checkpoint"
-    // (full header scan / distributed manifest parse), never a crash
-    try {
-      val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        .filter(_.nonEmpty)
-      finally in.close()
-    } catch { case _: java.io.IOException => None }
+    def readOnce(): Option[String] = {
+      val p = lastCheckpointPath(dir)
+      if (!f.exists(p)) return None
+      // a reader racing the pointer swap can catch the path missing or
+      // a zero-length create in flight — both degrade to "no
+      // checkpoint" (full header scan / distributed manifest parse),
+      // never a crash
+      try {
+        val in = f.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+          .filter(_.nonEmpty)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    }
+    readOnce().orElse {
+      // An ABSENT pointer while checkpoint parquets exist is almost
+      // certainly a writer mid-swap on a store whose rename-onto-
+      // existing forced the delete+rename fallback (POSIX renames
+      // atomically and never enters this branch). Concluding "no
+      // stamps" in that window is the one UNSAFE degradation this file
+      // has: after a vacuum, the pointer is the only holder of folded
+      // batch stamps, so a replay check reading the gap would re-apply
+      // an already-applied batch. Re-read briefly before giving up —
+      // the swap window is a single create+rename, milliseconds even
+      // on an object store; if the pointer is still gone after the
+      // grace period it was genuinely removed (manual cleanup) and the
+      // conservative fallbacks take over. commitLock serializes
+      // writers only within this JVM, so the retry, not the lock, is
+      // what covers a cross-process writer.
+      val anyCkpt =
+        try f.listStatus(new Path(s"$dir/_manifests")).toSeq
+          .exists(_.getPath.getName.matches("checkpoint-v\\d{6}\\.parquet"))
+        catch { case _: java.io.IOException => false }
+      if (!anyCkpt) None
+      else {
+        var r: Option[String] = None
+        var waited = 0L
+        while (r.isEmpty && waited < 500L) {
+          Thread.sleep(25L); waited += 25L
+          r = readOnce()
+        }
+        r
+      }
+    }
   }
 
   /** The version the newest checkpoint covers, or 0 if none. Unparsable

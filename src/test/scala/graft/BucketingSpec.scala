@@ -98,6 +98,28 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("purgeBucketedTable works on a DB-QUALIFIED name (locations come " +
+      "from catalog metadata, not a hardcoded warehouse guess)") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bspec")
+    spark.sql("DROP TABLE IF EXISTS graft_bspec.b_q")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    df.write.mode("overwrite").bucketBy(2, "k").sortBy("k")
+      .saveAsTable("graft_bspec.b_q")
+    assert(Bucketing.purgeBucketedTable(spark, "graft_bspec.b_q",
+      col("v") === "b") === 1L)
+    assert(spark.table("graft_bspec.b_q").select("v").as[String]
+      .collect().sorted.toSeq === Seq("a", "c"))
+    // the swap landed under the SAME qualified name with the spec intact
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_bspec.b_q"))
+    assert(meta.bucketSpec.exists(_.numBuckets === 2))
+    // and the rewrite's tmp name is gone
+    assert(!spark.catalog.tableExists("graft_bspec.b_q__purge_rewrite"))
+    spark.sql("DROP TABLE graft_bspec.b_q")
+    spark.sql("DROP DATABASE graft_bspec")
+  }
+
   test("ensureBucketedTable reuses a current layout and rebuilds on a token change") {
     import spark.implicits._
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")

@@ -1224,4 +1224,69 @@ class ManifestSpec extends SparkSpec {
       .agg(sum("value")).as[Double].head() === 60.0,
       "the loser's files must stay invisible")
   }
+
+  test("a reader catching the pointer swap's delete+rename gap re-reads " +
+      "instead of concluding 'no stamps' (replay protection survives " +
+      "a cross-process pointer swap)") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    assert(Manifest.commitBatch(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(7L)), dir, "grp", batchId = 77L))
+    Manifest.checkpoint(spark, dir)
+    Manifest.vacuum(spark, dir) // superseded headers gone: the pointer
+                                // is now the ONLY holder of stamp 77
+    val p = java.nio.file.Paths.get(dir, "_manifests", "_last_checkpoint")
+    val content = java.nio.file.Files.readString(p)
+    // simulate a foreign-process writer mid delete+rename: the pointer
+    // vanishes, then reappears ~100 ms later
+    java.nio.file.Files.delete(p)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_manifests", "._last_checkpoint.crc"))
+    val restorer = new Thread(() => {
+      Thread.sleep(100L)
+      java.nio.file.Files.writeString(p, content)
+    })
+    restorer.start()
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Manifest.committedBatches(dir, conf).contains(77L),
+      "a reader in the pointer-swap window lost the folded stamps - " +
+        "the exactly-once hole the grace-period re-read exists to close")
+    restorer.join()
+    assert(!Manifest.commitBatch(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(7L)), dir, "grp", batchId = 77L),
+      "batch 77 must still read as committed")
+  }
+
+  test("both census regimes emit byte-identical manifests for the same " +
+      "logical content (carried + extra merge-sorted, not concatenated)") {
+    import graft.operators.Manifest.Entry
+    val conf = spark.sparkContext.hadoopConfiguration
+    // entries deliberately interleave: extra keys sort BETWEEN carried
+    // keys, so a concatenating writer would emit them out of order
+    val carried = Seq(
+      Entry("a", "data/c000001/__p=a/f1.parquet", Some(1L), Some(3L)),
+      Entry("a", "data/c000001/__p=a/f9.parquet"),
+      Entry("c", "data/c000001/__p=c/f2.parquet", bloom = Some("AAAA")),
+      Entry("d", "data/c000001/__p=d/f3.parquet", kmv = Some("BBBB")))
+    val extra = Seq(
+      Entry("a", "data/c000002/__p=a/f4.parquet", Some(4L), Some(9L)),
+      Entry("b", "data/c000002/__p=b/f5.parquet"),
+      Entry("z", "data/c000002/__p=z/f6.parquet"))
+    val dirD = mkdir()
+    Manifest.commitManifest(dirD, 1, scala.util.Random.shuffle(
+      carried ++ extra), conf, batch = 9L, op = "test")
+    val dirX = mkdir()
+    import spark.implicits._
+    val rel = scala.util.Random.shuffle(carried)
+      .map(e => (e.p, e.file, e.lo, e.hi, e.lo2, e.hi2, e.bloom, e.kmv))
+      .toDF("p", "file", "lo", "hi", "lo2", "hi2", "bloom", "kmv")
+      .repartition(4)
+    Manifest.commitRelationStreamed(dirX, 1, rel, extra, conf,
+      9L, Nil, -1, -1, "test")
+    def bytes(dir: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifests", "v000001.json")).toSeq
+    assert(bytes(dirX) === bytes(dirD),
+      "the distributed-census commit writer produced different manifest " +
+        "bytes than the driver writer for identical logical content")
+  }
 }
