@@ -2754,10 +2754,15 @@ object Manifest {
     * Scale shape: the keep census (latest entries + every branch
     * version's entries — the table-file-count-sized piece) runs on the
     * driver below the census threshold and as a distributed anti-join
-    * over `entriesRelation` above it; the FS listing and the delete
-    * calls themselves are driver-side (the FS API is where they live —
-    * an object-store deployment would fan the delete batch out to
-    * executors, the census shape is unchanged).
+    * over `entriesRelation` above it — and above the threshold the
+    * DISK side distributes too: the driver lists only the first-level
+    * commit directories (version-count-sized), a Spark job lists each
+    * commit's files in the executors, the doomed anti-join stays a
+    * relation end to end, and the deletes fan out via
+    * `foreachPartition` (the Delta-vacuum shape: at 10^7 files a
+    * single-threaded driver list-then-delete loop IS the bottleneck).
+    * Emptied commit directories are found from per-directory
+    * listed-vs-doomed counts — no second recursive walk.
     */
   def vacuum(spark: SparkSession, dir: String): (Long, Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -2771,54 +2776,109 @@ object Manifest {
     var dataDeleted = 0L
     val dataRoot = new Path(s"$dir/data")
     if (f.exists(dataRoot)) {
-      val it = f.listFiles(dataRoot, true)
-      val qualifiedDir = f.makeQualified(new Path(dir)).toString
-      // dir-relative paths of every data file currently on disk (the
-      // delete loop needs the list driver-side regardless)
-      val listed = Iterator.continually(it)
-        .takeWhile(_.hasNext).map(_.next())
-        .filter(s => s.isFile)
-        .map(_.getPath.toString.stripPrefix(qualifiedDir).stripPrefix("/"))
-        .filter(_.endsWith(".parquet"))
-        .toVector
       val small = driverCensus(spark, dir, latest, conf) &&
         branchVs.forall { case (bdir, v) =>
           driverCensus(spark, bdir, v, conf) }
-      val doomed: Seq[String] =
-        if (small) {
-          // relative form of every absolute path a branch holds here
-          val branchKeep = for {
-            (bdir, v) <- branchVs
-            e <- readManifest(bdir, v, conf)
-            if e.file.startsWith(s"$dir/")
-          } yield e.file.stripPrefix(s"$dir/")
-          val keep = readManifest(dir, latest, conf).map(_.file).toSet ++
-            branchKeep
-          listed.filterNot(keep)
-        } else {
-          import spark.implicits._
-          val keepDF = (entriesRelation(spark, dir, latest)
-              .select("file") +:
-            branchVs.map { case (bdir, v) =>
-              entriesRelation(spark, bdir, v)
-                .select(col("file"))
-                .filter(col("file").startsWith(s"$dir/"))
-                .select(col("file")
-                  .substr(lit(dir.length + 2), length(col("file")))
-                  .as("file"))
-            }).reduce(_ unionAll _)
-          listed.toDF("file").join(keepDF, Seq("file"), "left_anti")
-            .collect().map(_.getString(0)).toSeq
-        }
-      doomed.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
-      dataDeleted = doomed.length.toLong
-      // drop commit dirs emptied of data files (routing dirs + markers)
-      f.listStatus(dataRoot).filter(_.isDirectory).foreach { c =>
-        val files = f.listFiles(c.getPath, true)
-        val hasData = Iterator.continually(files)
+      if (small) {
+        // gate-scale path: one driver walk, zero Spark jobs
+        val it = f.listFiles(dataRoot, true)
+        val qualifiedDir = f.makeQualified(new Path(dir)).toString
+        val listed = Iterator.continually(it)
           .takeWhile(_.hasNext).map(_.next())
-          .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        if (!hasData) f.delete(c.getPath, true)
+          .filter(s => s.isFile)
+          .map(_.getPath.toString.stripPrefix(qualifiedDir).stripPrefix("/"))
+          .filter(_.endsWith(".parquet"))
+          .toVector
+        // relative form of every absolute path a branch holds here
+        val branchKeep = for {
+          (bdir, v) <- branchVs
+          e <- readManifest(bdir, v, conf)
+          if e.file.startsWith(s"$dir/")
+        } yield e.file.stripPrefix(s"$dir/")
+        val keep = readManifest(dir, latest, conf).map(_.file).toSet ++
+          branchKeep
+        val doomed = listed.filterNot(keep)
+        doomed.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
+        dataDeleted = doomed.length.toLong
+        // drop commit dirs emptied of data files (routing dirs + markers)
+        f.listStatus(dataRoot).filter(_.isDirectory).foreach { c =>
+          val files = f.listFiles(c.getPath, true)
+          val hasData = Iterator.continually(files)
+            .takeWhile(_.hasNext).map(_.next())
+            .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          if (!hasData) f.delete(c.getPath, true)
+        }
+      } else {
+        import spark.implicits._
+        // the driver touches only the FIRST level of data/: commit
+        // directories (one per version — the fan-out seed) and stray
+        // top-level files; everything below is listed in the executors
+        val children = f.listStatus(dataRoot).toSeq
+        val qualifiedDir = f.makeQualified(new Path(dir)).toString
+        def rel(p: Path) =
+          p.toString.stripPrefix(qualifiedDir).stripPrefix("/")
+        val topFiles = children.filter(_.isFile).map(s => rel(s.getPath))
+          .filter(_.endsWith(".parquet"))
+        val commitDirs = children.filter(_.isDirectory)
+          .map(_.getPath.toString)
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(conf))
+        val rootDir = dir
+        val slices = math.max(1, math.min(commitDirs.length,
+          spark.sparkContext.defaultParallelism * 2))
+        val listedDF =
+          (if (commitDirs.isEmpty) spark.emptyDataset[String].toDF("file")
+           else spark.sparkContext.parallelize(commitDirs, slices)
+            .flatMap { d =>
+              val lfs = new Path(d).getFileSystem(confBc.value.value)
+              val qual = lfs.makeQualified(new Path(rootDir)).toString
+              val it = lfs.listFiles(new Path(d), true)
+              Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+                .filter(_.isFile)
+                .map(_.getPath.toString.stripPrefix(qual)
+                  .stripPrefix("/"))
+                .filter(_.endsWith(".parquet"))
+            }.toDF("file"))
+          .unionAll(topFiles.toDF("file"))
+        val keepDF = (entriesRelation(spark, dir, latest)
+            .select("file") +:
+          branchVs.map { case (bdir, v) =>
+            entriesRelation(spark, bdir, v)
+              .select(col("file"))
+              .filter(col("file").startsWith(s"$dir/"))
+              .select(col("file")
+                .substr(lit(dir.length + 2), length(col("file")))
+                .as("file"))
+          }).reduce(_ unionAll _)
+        // per-commit-dir census rides the same listing: a commit dir
+        // whose listed files are ALL doomed (or that holds none) is
+        // dropped after the file deletes — no second recursive walk
+        val cdir = substring_index(col("file"), "/", 2)
+        val doomedDF = listedDF
+          .join(keepDF, Seq("file"), "left_anti").persist()
+        try {
+          val listedPer = listedDF.groupBy(cdir.as("d")).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val doomedPer = doomedDF.groupBy(cdir.as("d")).count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val delAcc =
+            spark.sparkContext.longAccumulator("graft.vacuum.dataDeleted")
+          doomedDF.select("file").as[String].foreachPartition {
+            (rows: Iterator[String]) =>
+              val efs = new Path(rootDir).getFileSystem(confBc.value.value)
+              rows.foreach { r =>
+                if (efs.delete(new Path(s"$rootDir/$r"), false))
+                  delAcc.add(1L)
+              }
+          }
+          dataDeleted = delAcc.value
+          commitDirs.foreach { d =>
+            val r = rel(new Path(d))
+            val remaining =
+              listedPer.getOrElse(r, 0L) - doomedPer.getOrElse(r, 0L)
+            if (remaining <= 0L) f.delete(new Path(d), true)
+          }
+        } finally doomedDF.unpersist()
       }
     }
     // fold every still-readable batch stamp into the pointer BEFORE
