@@ -198,6 +198,16 @@ object Manifest {
   private def censusThreshold(spark: SparkSession): Long =
     spark.conf.get("graft.manifest.driverCensusMaxFiles", "100000").toLong
 
+  /** Per-pass cap on the index builds' todo list (the paths must reach
+    * the driver as `spark.read.parquet` arguments): a maintenance pass
+    * indexes at most this many unscanned files and commits; repeated
+    * passes converge (`addBloomIndex`/`addDistinctSketch` return false
+    * when nothing is left), so a freshly unindexed 10^7-file table
+    * never materializes its file census on the driver in one gulp.
+    */
+  private def indexBatchMax(spark: SparkSession): Int =
+    spark.conf.get("graft.manifest.indexBatchMaxFiles", "100000").toInt
+
   private def driverCensus(spark: SparkSession, dir: String, version: Int,
       conf: Configuration): Boolean = {
     val n = readHeader(dir, version, conf).n
@@ -1449,7 +1459,11 @@ object Manifest {
     * immutable index) are never re-read — an index refresh after an
     * append costs the appended files, not the table. No-op (no commit)
     * when every file is already indexed. Per-file state ≤ `bits`
-    * positions.
+    * positions. Above the census threshold each pass indexes at most
+    * `graft.manifest.indexBatchMaxFiles` unindexed files (their paths
+    * are driver-held `spark.read.parquet` arguments — the bound keeps
+    * that list off the O(files) ceiling); returns true while work
+    * remains possible, so refresh loops call until false.
     */
   def addBloomIndex(spark: SparkSession, dir: String, column: String,
       bits: Int = 8192, k: Int = 6): Boolean = {
@@ -1504,18 +1518,35 @@ object Manifest {
       // bitset packs in the executors (a UDF is honest here — no
       // builtin packs bit positions into bytes — and this is a
       // maintenance pass, not a query hot path), and the updated entry
-      // relation streams to the new manifest without ever
-      // materializing the file census on the driver
-      val todoFiles = censusFiles(spark, dir, base, conf)(
-        _.bloom.isEmpty, _.filter(col("bloom").isNull))
+      // relation streams to the new manifest. The driver DOES hold the
+      // todo list (the paths are `spark.read.parquet` arguments), so
+      // it is BOUNDED per pass: at most `graft.manifest.
+      // indexBatchMaxFiles` unindexed files index per call — a freshly
+      // unindexed 10^7-file table converges over repeated calls (each
+      // a commit), never through an O(files) driver list. Callers
+      // refresh until the call returns false.
+      val batchMax = indexBatchMax(spark)
+      val todoFiles = entriesRelation(spark, dir, base)
+        .filter(col("bloom").isNull).select("file")
+        .limit(batchMax).collect().map(_.getString(0)).toSeq
       if (todoFiles.isEmpty) return false
       val pos = positionsDF(
         todoFiles.map(f => filePath(dir, Entry("", f))))
+      // the all-zero bitset is only SAFE for files this batch actually
+      // scanned (no positions ⇒ all-NULL column); files beyond the
+      // batch cap must stay bloom-NULL or a later point read would
+      // silently skip files that hold the key
+      import spark.implicits._
+      val batchTails = broadcast(
+        todoFiles.map(tailKey).toDF("__batchTail"))
       val rel = entriesRelation(spark, dir, base)
         .withColumn("__tail", tailCol(col("file")))
         .join(pos, col("__tail") === col("__file"), "left")
+        .join(batchTails, col("__tail") === col("__batchTail"), "left")
         .withColumn("bloom",
-          coalesce(col("bloom"), bloomPackB64(col("__bs"), lit(bits))))
+          when(col("bloom").isNotNull, col("bloom"))
+            .when(col("__batchTail").isNotNull,
+              bloomPackB64(col("__bs"), lit(bits))))
       commitRelationStreamed(dir, base + 1, rel, Nil, conf, -1L,
         h.dv, k, h.kmvK, "bloom-index")
     }
@@ -1554,7 +1585,11 @@ object Manifest {
     * byte length — so a reader can't silently probe the wrong positions
     * (false negatives) or walk off the bitset. Returns the admitted
     * files' rows; callers apply the exact predicate. Also returns the
-    * (listed, total) file counts for skip-ratio gates.
+    * (listed, total) file counts for skip-ratio gates. The admitted
+    * list is driver-held (the paths ARE the read arguments) — hit-
+    * sized on an indexed layout, but worst-case O(files) where most
+    * files lack a Bloom (they admit conservatively): keep the index
+    * refreshed, or this degrades to readVersion's census bound.
     */
   def readPoint(spark: SparkSession, dir: String, column: String,
       value: Long): (DataFrame, Int, Int) = {
@@ -1650,13 +1685,28 @@ object Manifest {
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val rows = allVersions(dir, conf).map { v =>
-      val h = readHeader(dir, v, conf)
-      // the file count rides the header (round 15) — O(versions) header
-      // lines instead of O(versions × files) entry parses; manifests
-      // from before the `n` field fall back to counting entry lines
+    val vs = allVersions(dir, conf)
+    val headers = vs.map(v => v -> readHeader(dir, v, conf))
+    // the file count rides the header (round 15) — O(versions) header
+    // lines instead of O(versions × files) entry parses; manifests
+    // from before the `n` field get their counts from ONE distributed
+    // group-count over all legacy manifests together (executors parse
+    // entry lines, the driver holds only the per-version totals — a
+    // mixed-era layout must not reopen the driver-parser ceiling the
+    // header field was added to close)
+    val legacy = headers.collect { case (v, h) if h.n < 0 => v }
+    val legacyCounts: Map[Int, Long] =
+      if (legacy.isEmpty) Map.empty
+      else spark.read.text(
+          legacy.map(v => manifestPath(dir, v).toString): _*)
+        .filter(col("value").startsWith("""{"p":"""))
+        .groupBy(regexp_extract(input_file_name(),
+          """v(\d{6})\.json""", 1).cast("int").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = headers.map { case (v, h) =>
       val nFiles =
-        if (h.n >= 0) h.n else readManifest(dir, v, conf).length.toLong
+        if (h.n >= 0) h.n else legacyCounts.getOrElse(v, 0L)
       (v.toLong, if (h.op.isEmpty) "unknown" else h.op, h.batch,
         nFiles, h.dv.length.toLong)
     }
@@ -1678,8 +1728,10 @@ object Manifest {
     val v = latestVersion(dir, conf)
     require(v >= 1, s"$dir is not a manifested layout")
     val h = readHeader(dir, v, conf)
+    // pre-`n` header: count from the distributed entry relation, the
+    // same read path the partition census below already rides
     val nFiles =
-      if (h.n >= 0) h.n else readManifest(dir, v, conf).length.toLong
+      if (h.n >= 0) h.n else entriesRelation(spark, dir, v).count()
     val nParts = entriesRelation(spark, dir, v)
       .select("p").distinct().count()
     Seq((v.toLong, if (h.op.isEmpty) "unknown" else h.op, nFiles, nParts,
@@ -1958,15 +2010,26 @@ object Manifest {
     } else {
       // distributed refresh: sketches stay a DataFrame, Base64 packs in
       // the executors, the updated relation streams to the manifest —
-      // the addBloomIndex shape (see its large branch for rationale)
-      val todoFiles = censusFiles(spark, dir, base, conf)(
-        _.kmv.isEmpty, _.filter(col("kmv").isNull))
+      // the addBloomIndex shape (see its large branch for rationale,
+      // including the per-pass todo cap and why unscanned files must
+      // stay kmv-NULL: an empty sketch silently under-counts, a
+      // missing one is loud)
+      val batchMax = indexBatchMax(spark)
+      val todoFiles = entriesRelation(spark, dir, base)
+        .filter(col("kmv").isNull).select("file")
+        .limit(batchMax).collect().map(_.getString(0)).toSeq
       if (todoFiles.isEmpty) return false
       val sk = sketchDF(todoFiles.map(f => filePath(dir, Entry("", f))))
+      import spark.implicits._
+      val batchTails = broadcast(
+        todoFiles.map(tailKey).toDF("__batchTail"))
       val rel = entriesRelation(spark, dir, base)
         .withColumn("__tail", tailCol(col("file")))
         .join(sk, col("__tail") === col("__file"), "left")
-        .withColumn("kmv", coalesce(col("kmv"), kmvPackB64(col("sk"))))
+        .join(batchTails, col("__tail") === col("__batchTail"), "left")
+        .withColumn("kmv",
+          when(col("kmv").isNotNull, col("kmv"))
+            .when(col("__batchTail").isNotNull, kmvPackB64(col("sk"))))
       commitRelationStreamed(dir, base + 1, rel, Nil, conf, -1L,
         h.dv, h.bloomK, k, "distinct-sketch")
     }

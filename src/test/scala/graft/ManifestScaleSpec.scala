@@ -65,6 +65,94 @@ class ManifestScaleSpec extends SparkSpec {
     } finally spark.conf.unset("graft.manifest.driverCensusMaxFiles")
   }
 
+  test("history on a mixed-era layout: pre-`n` manifests are counted " +
+      "by executors in ONE job — the driver reads one header line per " +
+      "version, never entry lines") {
+    val (dir, local) = cfsDir()
+    Manifest.create(fixture, dir, "grp")                       // v1
+    Manifest.append(fixture.filter($"id" === 1L)
+      .withColumn("id", lit(7L)), dir, "grp")                  // v2
+    Manifest.append(fixture.filter($"id" === 2L)
+      .withColumn("id", lit(8L)), dir, "grp")                  // v3
+    val expected = Manifest.history(spark, dir)
+      .orderBy("version").collect().map(_.toString).toSeq
+    // strip the `n` field from EVERY header: the layout now reads as
+    // written before file counts rode the headers
+    (1 to 3).foreach { v =>
+      val p = local.resolve(f"_manifests/v$v%06d.json")
+      val txt = java.nio.file.Files.readString(p)
+      java.nio.file.Files.writeString(p,
+        txt.replaceFirst(""""n":\d+,""", ""))
+    }
+    CountingFileSystem.reset()
+    val got = Manifest.history(spark, dir)
+      .orderBy("version").collect().map(_.toString).toSeq
+    assert(got === expected,
+      "legacy-era file counts diverged from the header-carried counts")
+    assert(CountingFileSystem.driverOpensOf("""v\d{6}\.json""") === 3L,
+      "the driver opened a manifest beyond the one header read per " +
+        "version - the pre-`n` fallback is parsing entries driver-side")
+    assert(CountingFileSystem.executorOpensOf("""v\d{6}\.json""") >= 3L,
+      "the legacy entry counts did not come from executor tasks")
+    // DESCRIBE DETAIL rides the same distributed fallback
+    val d = Manifest.detail(spark, dir).head()
+    assert(d.getLong(2) === Manifest.entriesRelation(spark, dir).count(),
+      "detail's pre-`n` file count diverged from the entry relation")
+  }
+
+  test("index builds above the census threshold batch their todo list " +
+      "per pass; partial states stay safe; repeated passes converge") {
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_scale_idx").toString
+    // 3 partitions × up to 3 tasks each: enough files that a batch cap
+    // of 2 forces several passes
+    Manifest.create(fixture.repartition(3), dir, "grp")
+    spark.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+    spark.conf.set("graft.manifest.indexBatchMaxFiles", "2")
+    try {
+      val total = Manifest.entriesRelation(spark, dir).count()
+      assert(total >= 4L, s"fixture produced too few files ($total)")
+      // ONE pass: at most 2 files indexed, the rest must stay
+      // bloom-NULL (an all-zero bitset on an UNSCANNED file would be a
+      // silent false negative at read time)
+      assert(Manifest.addBloomIndex(spark, dir, "id", bits = 256, k = 3))
+      val indexed1 = Manifest.entriesRelation(spark, dir)
+        .filter(col("bloom").isNotNull).count()
+      assert(indexed1 === 2L,
+        s"first pass indexed $indexed1 files, expected the batch cap 2")
+      // the partially-indexed layout still answers point reads with
+      // zero false negatives (bloom-less files admit conservatively)
+      val (hit1, _, _) = Manifest.readPoint(spark, dir, "id", 5L)
+      assert(hit1.filter($"id" === 5L).count() === 1L)
+      // convergence: loop until the build reports nothing left
+      var passes = 1
+      while (Manifest.addBloomIndex(spark, dir, "id", bits = 256, k = 3)) {
+        passes += 1
+        assert(passes < 32, "bounded index build failed to converge")
+      }
+      assert(passes >= 2, "the cap never forced a second pass")
+      assert(Manifest.entriesRelation(spark, dir)
+        .filter(col("bloom").isNull).count() === 0L)
+      val (hitAll, listed, totalFiles) =
+        Manifest.readPoint(spark, dir, "id", 5L)
+      assert(hitAll.filter($"id" === 5L).count() === 1L)
+      assert(listed < totalFiles, "a fully-indexed layout must skip")
+      // the sketch build batches and converges the same way, and the
+      // converged estimate is exact below k
+      var sp = 0
+      while (Manifest.addDistinctSketch(spark, dir, "id", k = 64)) {
+        sp += 1
+        assert(sp < 32, "bounded sketch build failed to converge")
+      }
+      assert(sp >= 2, "the cap never forced a second sketch pass")
+      val (est, _) = Manifest.approxDistinct(spark, dir)
+      assert(est === 6.0)
+    } finally {
+      spark.conf.unset("graft.manifest.driverCensusMaxFiles")
+      spark.conf.unset("graft.manifest.indexBatchMaxFiles")
+    }
+  }
+
   test("vacuum below the threshold still reclaims identically (the " +
       "driver fast path did not fork semantics)") {
     val (dir, local) = cfsDir()
