@@ -27,6 +27,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   *   GRAFT MERGE INTO '<dir>' PARTITION BY <col> USING <view>
   *         ON <k1>[, k2 ...] [DELETE WHEN <boolCol>] [BATCH <id>]
   *   GRAFT BRANCH CREATE '<dir>' <name>   /  GRAFT BRANCH MERGE '<dir>' <name>
+  *   GRAFT PURGE KEYS '<dir>' PARTITION BY <col> USING <view>
+  *         ON <k1>[, k2 ...]                       -- RTBF forget-list
+  *   GRAFT ADD BLOOM INDEX '<dir>' ON <col> [BITS <n>] [K <n>]
+  *   GRAFT ADD DISTINCT SKETCH '<dir>' ON <col> [K <n>]
+  *   GRAFT TTL SWEEP '<dir>' CLASS <col> TIME <col>
+  *         POLICY '<class>'=<days>[, ...] AS OF '<date>'
   *
   * Two front doors, same verbs:
   *   - sessions built with `spark.sql.extensions=graft.GraftExtensions`
@@ -135,6 +141,65 @@ object GraftVerb {
     def run(spark: SparkSession): Seq[Row] =
       Seq(Row(Manifest.branchMergeInto(spark, dir, name).toLong))
   }
+
+  /** The RTBF forget-list purge over a PLAIN partitioned layout (the
+    * q177 shape — dynamic-overwrite lifecycles, not the manifest
+    * protocol): victims arrive as a key RELATION, so a domain-scale
+    * forget list rides a join, never an IN-list. Reports the victim
+    * row count (a one-pass semi-join census BEFORE the rewrite — the
+    * verb's receipt; 0 = nothing matched, layout untouched).
+    */
+  case class PurgeKeys(dir: String, partCol: String, source: String,
+      keyCols: Seq[String]) extends GraftVerb {
+    val schema = longs("rows_purged")
+    def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.col
+      val keys = spark.table(source)
+      val n = spark.read.parquet(dir)
+        .join(keys.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_semi").count()
+      graft.operators.ChangeData.purgeRowsKeys(spark, dir, partCol,
+        keys, keyCols)
+      Seq(Row(n))
+    }
+  }
+
+  /** Index builds loop their bounded maintenance passes to convergence
+    * (the per-pass file cap is `graft.manifest.indexBatchMaxFiles`):
+    * `passes` = work done (0 = already fully indexed — the no-op
+    * receipt an idempotence referee keys on).
+    */
+  case class AddBloomIndex(dir: String, column: String, bits: Int,
+      k: Int) extends GraftVerb {
+    val schema = longs("passes", "version")
+    def run(spark: SparkSession): Seq[Row] = {
+      var passes = 0L
+      while (Manifest.addBloomIndex(spark, dir, column, bits, k))
+        passes += 1L
+      Seq(Row(passes, Manifest.latestVersion(dir,
+        spark.sparkContext.hadoopConfiguration).toLong))
+    }
+  }
+
+  case class AddDistinctSketch(dir: String, column: String,
+      k: Int) extends GraftVerb {
+    val schema = longs("passes", "version")
+    def run(spark: SparkSession): Seq[Row] = {
+      var passes = 0L
+      while (Manifest.addDistinctSketch(spark, dir, column, k))
+        passes += 1L
+      Seq(Row(passes, Manifest.latestVersion(dir,
+        spark.sparkContext.hadoopConfiguration).toLong))
+    }
+  }
+
+  case class TtlSweep(dir: String, classCol: String, timeCol: String,
+      policyDays: Seq[(String, Int)], asOf: String) extends GraftVerb {
+    val schema = longs("rows_deleted")
+    def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(Manifest.ttlSweep(spark, dir, classCol, timeCol,
+        policyDays.toMap, asOf)))
+  }
 }
 
 object GraftSql {
@@ -168,6 +233,23 @@ object GraftSql {
       """([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+([A-Za-z_][A-Za-z0-9_.]*)\s+""" +
       """ON\s+([A-Za-z0-9_,\s]+?)(?:\s+DELETE\s+WHEN\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*))?(?:\s+BATCH\s+(\d+))?\s*;?\s*""").r
+  private val PurgeKeysV =
+    ("""(?is)\s*GRAFT\s+PURGE\s+KEYS\s+'([^']+)'\s+PARTITION\s+BY\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+([A-Za-z_][A-Za-z0-9_.]*)\s+""" +
+      """ON\s+([A-Za-z0-9_,\s]+?)\s*;?\s*""").r
+  private val AddBloomV =
+    ("""(?is)\s*GRAFT\s+ADD\s+BLOOM\s+INDEX\s+'([^']+)'\s+ON\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)(?:\s+BITS\s+(\d+))?""" +
+      """(?:\s+K\s+(\d+))?\s*;?\s*""").r
+  private val AddSketchV =
+    ("""(?is)\s*GRAFT\s+ADD\s+DISTINCT\s+SKETCH\s+'([^']+)'\s+ON\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)(?:\s+K\s+(\d+))?\s*;?\s*""").r
+  private val TtlSweepV =
+    ("""(?is)\s*GRAFT\s+TTL\s+SWEEP\s+'([^']+)'\s+CLASS\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+TIME\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """\s+POLICY\s+((?:'[^']+'\s*=\s*\d+\s*,?\s*)+)""" +
+      """AS\s+OF\s+'([^']+)'\s*;?\s*""").r
+  private val PolicyEntry = """'([^']+)'\s*=\s*(\d+)""".r
 
   /** Some(verb) for GRAFT statements, None for everything else; a
     * GRAFT-prefixed statement matching no verb is a LOUD parse error
@@ -184,7 +266,21 @@ object GraftSql {
         GraftVerb.Optimize(dir, partCol,
           Option(files).map(_.toInt).getOrElse(1))
       case DeleteV(dir, pred) => GraftVerb.Delete(dir, pred)
+      case PurgeKeysV(dir, partCol, source, keys) =>
+        GraftVerb.PurgeKeys(dir, partCol, source,
+          keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       case PurgeV(dir, partCol, pred) => GraftVerb.Purge(dir, partCol, pred)
+      case AddBloomV(dir, column, bits, k) =>
+        GraftVerb.AddBloomIndex(dir, column,
+          Option(bits).map(_.toInt).getOrElse(8192),
+          Option(k).map(_.toInt).getOrElse(6))
+      case AddSketchV(dir, column, k) =>
+        GraftVerb.AddDistinctSketch(dir, column,
+          Option(k).map(_.toInt).getOrElse(1024))
+      case TtlSweepV(dir, classCol, timeCol, policy, asOf) =>
+        GraftVerb.TtlSweep(dir, classCol, timeCol,
+          PolicyEntry.findAllMatchIn(policy)
+            .map(m => m.group(1) -> m.group(2).toInt).toSeq, asOf)
       case ApplyDeletesV(dir, partCol) =>
         GraftVerb.ApplyDeletes(dir, partCol)
       case BranchCreateV(dir, name) => GraftVerb.BranchCreate(dir, name)
@@ -197,9 +293,12 @@ object GraftSql {
         s"unrecognized GRAFT statement: ${other.trim.take(120)} - " +
           "supported verbs: CHECKPOINT, VACUUM, RESTORE ... TO VERSION n, " +
           "OPTIMIZE ... PARTITION BY c [FILES n], DELETE FROM ... WHERE p, " +
-          "PURGE ... PARTITION BY c WHERE p, APPLY DELETES ... PARTITION " +
-          "BY c, BRANCH CREATE/MERGE ... name, MERGE INTO ... PARTITION " +
-          "BY c USING v ON k1[,k2] [DELETE WHEN b]")
+          "PURGE ... PARTITION BY c WHERE p, PURGE KEYS ... PARTITION BY " +
+          "c USING v ON k1[,k2], APPLY DELETES ... PARTITION BY c, " +
+          "BRANCH CREATE/MERGE ... name, MERGE INTO ... PARTITION BY c " +
+          "USING v ON k1[,k2] [DELETE WHEN b], ADD BLOOM INDEX ... ON c " +
+          "[BITS n] [K n], ADD DISTINCT SKETCH ... ON c [K n], TTL " +
+          "SWEEP ... CLASS c TIME t POLICY 'cls'=days[,...] AS OF 'date'")
     })
   }
 

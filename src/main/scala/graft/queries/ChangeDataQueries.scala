@@ -1200,6 +1200,145 @@ object ChangeDataQueries {
         .orderBy("dt")
     }),
 
+    // SQL FORGET-LIST PURGE (round 17 — the RTBF verb): a key RELATION
+    // of victim users drives `GRAFT PURGE KEYS` over a plain
+    // partitioned layout (the q177 shape, purge re-expressed as SQL
+    // text): the verb's receipt must equal the true victim count
+    // (WRONG_COUNT), a redelivered purge with the same forget list
+    // removes nothing (NOT_IDEMPOTENT — exercised through the
+    // injected-parser door where present, the run door otherwise), and
+    // the surviving census is the q177 oracle restated.
+    "q395_sql_purge_keys_gate" -> ((s, dir) => {
+      import graft.plans.GraftSql
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sqlpk").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("event_id"),
+          col("user_id"), col("value"))
+      ev.write.mode("overwrite").partitionBy("dt").parquet(tmp)
+      ev.filter(col("user_id").isin(3L, 7L)).select("user_id").distinct()
+        .createOrReplaceTempView("q395_keys")
+      val stmt = s"GRAFT PURGE KEYS '$tmp' PARTITION BY dt " +
+        "USING q395_keys ON user_id"
+      val purged = GraftSql.run(s, stmt).head().getLong(0)
+      val wrongCount =
+        purged != ev.filter(col("user_id").isin(3L, 7L)).count()
+      val rerun = (try s.sql(stmt)
+        catch {
+          case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+            GraftSql.run(s, stmt)
+        }).head().getLong(0)
+      val notIdempotent = rerun != 0L
+      val census = s.read.parquet(tmp)
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          sum(when(col("user_id").isin(3L, 7L), 1L).otherwise(0L))
+            .as("n_victim_rows"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"), lit(-1L).as("n_victim_rows"))
+      census
+        .unionByName(viol(wrongCount, "WRONG_COUNT"))
+        .unionByName(viol(notIdempotent, "NOT_IDEMPOTENT"))
+        .orderBy("dt")
+    }),
+
+    // SQL INDEX BUILDS (round 17): `GRAFT ADD BLOOM INDEX` / `GRAFT
+    // ADD DISTINCT SKETCH` drive the convergence-looped maintenance
+    // passes from SQL text. Referees: the point lookups behind the
+    // q359 oracle rows skip (NOSKIP), a re-add of either index reports
+    // ZERO passes (NOT_CONVERGED — the idempotence receipt), and the
+    // sketch answers the table-wide NDV within the estimator bound
+    // (ERR_BOUND).
+    "q396_sql_index_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      import graft.plans.GraftSql
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sqlidx").toString
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Manifest.create(o.repartition(32), tmp, "o_orderstatus")
+      val bloomStmt = s"GRAFT ADD BLOOM INDEX '$tmp' ON o_orderkey"
+      val sketchStmt = s"GRAFT ADD DISTINCT SKETCH '$tmp' ON o_custkey"
+      def sql(stmt: String) = (try s.sql(stmt)
+        catch {
+          case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+            GraftSql.run(s, stmt)
+        }).head()
+      val built = GraftSql.run(s, bloomStmt).head().getLong(0) >= 1L &&
+        sql(sketchStmt).getLong(0) >= 1L
+      val notConverged = !built || sql(bloomStmt).getLong(0) != 0L ||
+        GraftSql.run(s, sketchStmt).head().getLong(0) != 0L
+      val keys = Seq(1L, 2L, 3L, 5L, 8L)
+      val lookups = keys.map(kv =>
+        Manifest.readPoint(s, tmp, "o_orderkey", kv))
+      val rows = lookups.zip(keys).map { case ((df, _, _), kv) =>
+        df.filter(col("o_orderkey") === kv)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice")
+      }.reduce(_ unionByName _)
+      val noskip = lookups.exists { case (_, listed, total) =>
+        listed * 2 > total }
+      val exact = o.agg(countDistinct("o_custkey")).head().getLong(0)
+      val (est, _) = Manifest.approxDistinct(s, tmp)
+      val errBound = math.abs(est - exact) / exact > 0.08
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"),
+          lit(name).as("o_orderstatus"), lit(0.0).as("o_totalprice"))
+      rows.unionByName(viol(noskip, "NOSKIP"))
+        .unionByName(viol(notConverged, "NOT_CONVERGED"))
+        .unionByName(viol(errBound, "ERR_BOUND"))
+        .orderBy("o_orderkey")
+    }),
+
+    // SQL TTL RETENTION (round 17): `GRAFT TTL SWEEP` runs the
+    // per-class retention policy from its literal SQL grammar
+    // (POLICY 'click'=5, 'view'=10 AS OF the table's max date — the
+    // q363 policy verbatim). Referees mirror q363: the sweep is
+    // merge-on-read (MOR_REWROTE if any data file moved or nothing
+    // swept), a re-sweep deletes nothing (NOT_IDEMPOTENT), and
+    // `GRAFT APPLY DELETES` folds the DV to exactly the pre-apply live
+    // rows (APPLY_DIVERGED). Census shares q363's oracle.
+    "q397_sql_ttl_gate" -> ((s, dir) => {
+      import graft.operators.Manifest
+      import graft.plans.GraftSql
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sqlttl").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("dt"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      Manifest.create(ev, tmp, "dt")
+      val asOf = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+        .toString
+      val stmt = s"GRAFT TTL SWEEP '$tmp' CLASS event_type TIME ts " +
+        s"POLICY 'click'=5, 'view'=10 AS OF '$asOf'"
+      val files1 = Manifest.read(s, tmp).inputFiles.toSet
+      val n1 = GraftSql.run(s, stmt).head().getLong(0)
+      val files2 = Manifest.read(s, tmp).inputFiles.toSet
+      val n2 = (try s.sql(stmt)
+        catch {
+          case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+            GraftSql.run(s, stmt)
+        }).head().getLong(0)
+      val live = Manifest.readWithDeletes(s, tmp)
+        .drop("__file", "__pos").localCheckpoint(true)
+      GraftSql.run(s, s"GRAFT APPLY DELETES '$tmp' PARTITION BY dt")
+      val applied = Manifest.read(s, tmp)
+      val applyDiverged = live.exceptAll(applied)
+        .unionAll(applied.exceptAll(live)).limit(1).count() > 0
+      val census = applied.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
+        .select(lit(name).as("event_type"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
+      census
+        .unionByName(viol(n1 == 0 || files2 != files1, "MOR_REWROTE"))
+        .unionByName(viol(n2 != 0, "NOT_IDEMPOTENT"))
+        .unionByName(viol(applyDiverged, "APPLY_DIVERGED"))
+        .orderBy("event_type")
+    }),
+
     // MANIFEST-ONLY DISTINCT COUNTS — per-file KMV sketches (exact
     // union-truncate merge algebra) ride the manifest like the Bloom
     // index, so "how many distinct customers in these partitions?" is
@@ -1969,6 +2108,33 @@ object ChangeDataQueries {
         |SELECT CAST(dt AS VARCHAR) AS dt, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q177's survivor census restated (dt as text so referee rows can
+    // ride the column) — no WRONG_COUNT / NOT_IDEMPOTENT rows.
+    "q395_sql_purge_keys_gate" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(0 AS BIGINT) AS n_victim_rows
+        |FROM events WHERE user_id NOT IN (3, 7)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q359's five looked-up keys, indexes built from SQL text — no
+    // NOSKIP / NOT_CONVERGED / ERR_BOUND rows.
+    "q396_sql_index_gate" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey IN (1, 2, 3, 5, 8)
+        |ORDER BY o_orderkey""".stripMargin,
+    // q363's TTL-survivor census, the sweep driven from SQL text — no
+    // MOR_REWROTE / NOT_IDEMPOTENT / APPLY_DIVERGED rows.
+    "q397_sql_ttl_gate" ->
+      """WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS mdt FROM events),
+        | k AS (SELECT e.event_type, e.value FROM events e, m
+        |   WHERE NOT (e.event_type = 'click'
+        |       AND e.ts < CAST(m.mdt - INTERVAL 5 DAY AS TIMESTAMP))
+        |     AND NOT (e.event_type = 'view'
+        |       AND e.ts < CAST(m.mdt - INTERVAL 10 DAY AS TIMESTAMP)))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // Per-status exact distinct-customer census — no ERR_BOUND /
     // NOT_CONVERGED / SILENT_STALE / REFRESH_BROKEN rows.
     "q382_manifest_ndv_gate" ->

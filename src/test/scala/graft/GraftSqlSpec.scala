@@ -135,6 +135,56 @@ class GraftSqlSpec extends SparkSpec {
       .select("value").as[Double].head() === 99.0)
   }
 
+  test("maintenance verbs run from SQL text through both doors: PURGE " +
+      "KEYS (forget-list), ADD BLOOM INDEX / ADD DISTINCT SKETCH " +
+      "(loop to convergence), TTL SWEEP (policy grammar)") {
+    // forget-list purge over a PLAIN partitioned layout (the q177 shape)
+    val plain = mkdir() + "/plain"
+    fixture.write.partitionBy("grp").parquet(plain)
+    Seq(1L, 5L).toDF("id").createOrReplaceTempView("gsql_purge_keys")
+    val purged = spark.sql(s"GRAFT PURGE KEYS '$plain' PARTITION BY grp " +
+      "USING gsql_purge_keys ON id").head().getLong(0)
+    assert(purged === 2L)
+    assert(spark.read.parquet(plain).select("id").as[Long]
+      .collect().sorted.toSeq === Seq(2L, 3L, 4L, 6L))
+    // idempotent re-run through the OTHER door
+    assert(GraftSql.run(spark, s"GRAFT PURGE KEYS '$plain' PARTITION " +
+      "BY grp USING gsql_purge_keys ON id").head().getLong(0) === 0L)
+
+    // index builds on a manifest layout: passes >= 1, re-run reports 0
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    assert(GraftSql.run(spark,
+      s"GRAFT ADD BLOOM INDEX '$dir' ON id BITS 256 K 3")
+      .head().getLong(0) >= 1L)
+    assert(spark.sql(s"GRAFT ADD BLOOM INDEX '$dir' ON id BITS 256 K 3")
+      .head().getLong(0) === 0L, "a converged index re-add must no-op")
+    val (hit, _, _) = Manifest.readPoint(spark, dir, "id", 5L)
+    assert(hit.filter($"id" === 5L).count() === 1L)
+    assert(spark.sql(s"GRAFT ADD DISTINCT SKETCH '$dir' ON id K 64")
+      .head().getLong(0) >= 1L)
+    assert(Manifest.approxDistinct(spark, dir)._1 === 6.0)
+
+    // TTL sweep: per-class retention from the literal policy grammar
+    val dir2 = mkdir()
+    val tsDf = Seq(
+      ("click", "2024-01-01", 1L), ("click", "2024-02-01", 2L),
+      ("view", "2024-01-01", 3L), ("view", "2024-02-01", 4L),
+      ("error", "2023-01-01", 5L)
+    ).toDF("cls", "d", "id")
+      .withColumn("ts", col("d").cast("timestamp")).drop("d")
+    Manifest.create(tsDf, dir2, "cls")
+    val swept = spark.sql(s"GRAFT TTL SWEEP '$dir2' CLASS cls TIME ts " +
+      "POLICY 'click'=10, 'view'=10 AS OF '2024-02-05'").head().getLong(0)
+    assert(swept === 2L, "the two January click/view rows must sweep")
+    assert(Manifest.readWithDeletes(spark, dir2).select("id").as[Long]
+      .collect().sorted.toSeq === Seq(2L, 4L, 5L),
+      "unlisted classes must be untouched (no policy = no TTL)")
+    assert(GraftSql.run(spark, s"GRAFT TTL SWEEP '$dir2' CLASS cls " +
+      "TIME ts POLICY 'click'=10, 'view'=10 AS OF '2024-02-05'")
+      .head().getLong(0) === 0L, "a re-sweep must be idempotent")
+  }
+
   test("an unknown GRAFT verb is a loud parse error naming the " +
       "supported grammar; normal SQL still parses") {
     val e = intercept[Exception] {
