@@ -153,6 +153,53 @@ class ManifestScaleSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint at census scale: a 1500-file layout serves " +
+      "entriesRelation from parquet — zero manifest text reads in " +
+      "executors, header-only driver opens — and readRange/vacuum " +
+      "latencies stay flat vs the distributed text parse") {
+    val (dir, _) = cfsDir()
+    // 1500 one-row files in one commit: the census is file-count-
+    // bound, not data-bound — exactly the regime the checkpoint serves
+    val big = spark.range(1500).toDF("id")
+      .withColumn("grp", lit("a")).repartition(1500)
+    Manifest.create(big, dir, "grp", statsCol = "id")
+    Manifest.append(spark.range(1500, 1510).toDF("id")
+      .withColumn("grp", lit("b")), dir, "grp", statsCol = "id")
+    spark.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+    try {
+      def timedRange(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = Manifest.readRange(spark, dir, 100L, 120L)
+          .filter(col("id").between(100L, 120L)).count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (n1, tParse) = timedRange() // distributed TEXT parse
+      Manifest.checkpoint(spark, dir)
+      CountingFileSystem.reset()
+      val (n2, tCkpt) = timedRange()  // checkpoint-served
+      assert(n1 === 21L && n2 === n1,
+        "the two census regimes listed different file sets")
+      assert(CountingFileSystem.executorOpensOf("""v\d{6}\.json""") === 0L,
+        "a checkpoint-covered census still parsed manifest TEXT in " +
+          "executors - the checkpoint is not serving")
+      assert(CountingFileSystem.driverOpensOf("""v\d{6}\.json""") <= 4L,
+        "the driver opened manifests beyond one-line header reads")
+      val t0 = System.nanoTime()
+      val (_, m, _) = Manifest.vacuum(spark, dir)
+      val tVac = (System.nanoTime() - t0) / 1e9
+      assert(m >= 1L)
+      assert(Manifest.read(spark, dir).count() === 1510L,
+        "vacuum on the checkpointed census lost live files")
+      info(f"1500-file census: readRange text-parse $tParse%.2fs, " +
+        f"checkpoint-served $tCkpt%.2fs, vacuum $tVac%.2fs")
+      // flat = the checkpoint path never pays MORE than the parse it
+      // replaces (generous slack absorbs test-box jitter)
+      assert(tCkpt <= tParse * 3 + 2.0,
+        f"checkpoint-served range read ($tCkpt%.2fs) is slower than " +
+          f"the text parse it replaces ($tParse%.2fs)")
+    } finally spark.conf.unset("graft.manifest.driverCensusMaxFiles")
+  }
+
   test("vacuum below the threshold still reclaims identically (the " +
       "driver fast path did not fork semantics)") {
     val (dir, local) = cfsDir()

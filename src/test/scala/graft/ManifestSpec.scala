@@ -1225,6 +1225,45 @@ class ManifestSpec extends SparkSpec {
       "the loser's files must stay invisible")
   }
 
+  test("purge leaves NO stale sketch residue: rewritten files carry no " +
+      "bloom/kmv strings, untouched partitions keep theirs, and index " +
+      "refreshes converge to the post-purge truth") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    Manifest.addBloomIndex(spark, dir, "id", bits = 256, k = 3)
+    Manifest.addDistinctSketch(spark, dir, "id", k = 64)
+    // purge id=3: partition b rewrites, partitions a/c are untouched
+    Manifest.purge(spark, dir, "grp", $"id" === 3L)
+    val entries = Manifest.entriesRelation(spark, dir)
+    assert(entries.filter(col("p") === "b" &&
+        (col("bloom").isNotNull || col("kmv").isNotNull)).count() === 0L,
+      "a rewritten file carries a sketch computed from PRE-purge bytes " +
+        "- stale residue that would resurrect the victim in index-only " +
+        "answers")
+    assert(entries.filter(col("p") =!= "b" &&
+        (col("bloom").isNull || col("kmv").isNull)).count() === 0L,
+      "purge dropped the index of partitions it never touched")
+    // the un-refreshed NDV question must be LOUD, not silently stale
+    intercept[IllegalArgumentException] {
+      Manifest.approxDistinct(spark, dir)
+    }
+    // refreshes cost only the rewritten files and CONVERGE to no-ops
+    assert(Manifest.addBloomIndex(spark, dir, "id", bits = 256, k = 3))
+    assert(!Manifest.addBloomIndex(spark, dir, "id", bits = 256, k = 3),
+      "the bloom refresh did not converge after one pass over the " +
+        "rewritten files")
+    assert(Manifest.addDistinctSketch(spark, dir, "id", k = 64))
+    assert(!Manifest.addDistinctSketch(spark, dir, "id", k = 64),
+      "the sketch refresh did not converge")
+    // the refreshed indexes answer the POST-purge truth
+    assert(Manifest.approxDistinct(spark, dir)._1 === 5.0)
+    val (hit, _, _) = Manifest.readPoint(spark, dir, "id", 3L)
+    assert(hit.filter($"id" === 3L).count() === 0L,
+      "the purged key is still reachable through the point index")
+    val (kept, _, _) = Manifest.readPoint(spark, dir, "id", 4L)
+    assert(kept.filter($"id" === 4L).count() === 1L)
+  }
+
   test("a reader catching the pointer swap's delete+rename gap re-reads " +
       "instead of concluding 'no stamps' (replay protection survives " +
       "a cross-process pointer swap)") {
