@@ -58,7 +58,16 @@ object Manifest {
     * mechanism; everything else stays dir-relative.
     */
   private def filePath(dir: String, e: Entry): String =
-    if (e.file.startsWith("/")) e.file else s"$dir/${e.file}"
+    if (isAbsolute(e.file)) e.file else s"$dir/${e.file}"
+
+  /** Absolute = rooted ("/...") OR scheme-qualified ("s3://...",
+    * "hdfs://...") — a bare leading-slash test silently re-prefixes
+    * branch entries on any non-default filesystem, doubling the path.
+    */
+  private def isAbsolute(p: String): Boolean =
+    p.startsWith("/") || p.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+
+  private val absolutePathRe = "^(/|[A-Za-z][A-Za-z0-9+.\\-]*:/).*"
 
   private def fs(dir: String, conf: Configuration) =
     new Path(dir).getFileSystem(conf)
@@ -274,7 +283,7 @@ object Manifest {
           d = d.filter(!col("p").isInCollection(l.drop))
         if (l.absolutize)
           d = d.withColumn("file",
-            when(col("file").startsWith("/"), col("file"))
+            when(col("file").rlike(absolutePathRe), col("file"))
               .otherwise(concat_ws("", lit(s"${l.dir}/"), col("file"))))
         d
       }
@@ -2122,7 +2131,7 @@ object Manifest {
   // the positions would be stale) aborts it.
 
   private def dvFilePath(dir: String, rel: String): String =
-    if (rel.startsWith("/")) rel else s"$dir/$rel"
+    if (isAbsolute(rel)) rel else s"$dir/$rel"
 
   /** The (file, row_index) deletion vector of `version` (empty frame if
     * the version carries none). Duplicate (file, pos) pairs — two

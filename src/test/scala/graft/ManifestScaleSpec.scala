@@ -200,6 +200,42 @@ class ManifestScaleSpec extends SparkSpec {
     } finally spark.conf.unset("graft.manifest.driverCensusMaxFiles")
   }
 
+  test("branch verbs at census scale: the zero-copy carry is served " +
+      "from the checkpoint (no manifest text read anywhere), and the " +
+      "create->append->merge cycle lands the right content under " +
+      "threshold 0") {
+    val (dir, _) = cfsDir()
+    val big = spark.range(400).toDF("id")
+      .withColumn("grp", lit("a")).repartition(400)
+    Manifest.create(big, dir, "grp")
+    Manifest.checkpoint(spark, dir)
+    spark.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+    try {
+      CountingFileSystem.reset()
+      Manifest.branchCreate(spark, dir, "exp")
+      // the 400-entry carry into the branch's v1 must ride the source's
+      // parquet checkpoint: zero manifest text opens in executors, and
+      // the driver opened manifests only for one-line header reads
+      assert(CountingFileSystem.executorOpensOf("""v\d{6}\.json""") === 0L,
+        "branchCreate parsed manifest TEXT despite a covering checkpoint")
+      assert(CountingFileSystem.driverOpensOf("""v\d{6}\.json""") <= 4L,
+        "branchCreate read manifest entries driver-side")
+      val bdir = Manifest.branchDir(dir, "exp")
+      Manifest.append(spark.range(400L, 410L).toDF("id")
+        .withColumn("grp", lit("b")), bdir, "grp")
+      // merge-back: branch-side censuses text-parse DISTRIBUTED (the
+      // branch has no checkpoint — executors open its manifests), the
+      // main-side carry stays checkpoint-served
+      CountingFileSystem.reset()
+      Manifest.branchMergeInto(spark, dir, "exp")
+      assert(CountingFileSystem.executorOpensOf("""v\d{6}\.json""") > 0L,
+        "the branch-side census did not run in executors")
+      assert(Manifest.read(spark, dir).count() === 410L)
+      assert(Manifest.read(spark, dir).filter($"grp" === "b")
+        .count() === 10L, "the branch's appended partition did not merge")
+    } finally spark.conf.unset("graft.manifest.driverCensusMaxFiles")
+  }
+
   test("vacuum below the threshold still reclaims identically (the " +
       "driver fast path did not fork semantics)") {
     val (dir, local) = cfsDir()
