@@ -2580,15 +2580,20 @@ object Manifest {
     * immutable under any concurrent commit (old-or-new, never a mix).
     */
   def readVersion(spark: SparkSession, dir: String, version: Int): DataFrame = {
-    val entries = readManifest(dir, version,
-      spark.sparkContext.hadoopConfiguration)
-    require(entries.nonEmpty,
+    // dual-regime census: the path list is driver-held either way (the
+    // paths ARE the read arguments — the same bound Delta's scan
+    // planning carries), but above the threshold the PARSE runs in
+    // executors / serves from the checkpoint parquet instead of a
+    // driver regex over every entry line
+    val files = censusFiles(spark, dir, version,
+      spark.sparkContext.hadoopConfiguration)(_ => true, identity)
+    require(files.nonEmpty,
       s"manifest v$version of $dir is empty - nothing to read")
     // mergeSchema: a widened append (new column on later commits) must
     // surface the union schema — the default footer-sampling read can
     // silently drop the new column depending on file order
     spark.read.option("mergeSchema", "true")
-      .parquet(entries.map(e => filePath(dir, e)): _*)
+      .parquet(files.map(f => filePath(dir, Entry("", f))): _*)
   }
 
   /** Latest-snapshot read (pins the version at CALL time; lazy execution
@@ -2925,11 +2930,14 @@ object Manifest {
         // per-commit-dir census rides the same listing: a commit dir
         // whose listed files are ALL doomed (or that holds none) is
         // dropped after the file deletes — no second recursive walk
+        // (the listing relation persists so the per-dir counts and the
+        // anti-join share ONE walk of the tree)
         val cdir = substring_index(col("file"), "/", 2)
-        val doomedDF = listedDF
+        val listedP = listedDF.persist()
+        val doomedDF = listedP
           .join(keepDF, Seq("file"), "left_anti").persist()
         try {
-          val listedPer = listedDF.groupBy(cdir.as("d")).count()
+          val listedPer = listedP.groupBy(cdir.as("d")).count()
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
           val doomedPer = doomedDF.groupBy(cdir.as("d")).count()
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -2950,7 +2958,7 @@ object Manifest {
               listedPer.getOrElse(r, 0L) - doomedPer.getOrElse(r, 0L)
             if (remaining <= 0L) f.delete(new Path(d), true)
           }
-        } finally doomedDF.unpersist()
+        } finally { doomedDF.unpersist(); listedP.unpersist() }
       }
     }
     // fold every still-readable batch stamp into the pointer BEFORE
