@@ -119,19 +119,32 @@ object Bench {
     // whose timing policy (min of up to two END-scheduled samples)
     // never needed the warm sample — and on a loaded box, full warm-up
     // + one light + one heavy pass alone overran the 2100 s budget
-    // (BENCH_r16 survived only because the box recovered). The prior
-    // round's committed per-query record (bench/bench_latest.json)
-    // pre-classifies them; queries it misses (new this round, or newly
-    // heavy) still warm and classify by warm time as before.
+    // (BENCH_r16 survived only because the box recovered). The
+    // committed per-query record pre-classifies them — as each query's
+    // MINIMUM across bench/bench_history.jsonl, not the latest run: a
+    // single ambient-inflated run would otherwise promote genuinely
+    // light queries into the heavy tail, where they'd sample unwarmed
+    // (and the q54-q56 trio would lose its shared materialization —
+    // observed: q56 0.16 s clean → 7.5 s as a stray "heavy"). The min
+    // over history IS the ambient-free estimate. Queries the record
+    // misses (new this round) still warm and classify by warm time.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     val priorTimes: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get("bench", "bench_latest.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val Q = """"(q[A-Za-z0-9_]+)":([0-9.]+)""".r
-        Q.findAllMatchIn(java.nio.file.Files.readString(p))
+      val Q = """"(q[A-Za-z0-9_]+)":([0-9.]+)""".r
+      def parse(txt: String): Map[String, Double] =
+        Q.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+      val hist = java.nio.file.Paths.get("bench", "bench_history.jsonl")
+      val runs: Seq[Map[String, Double]] =
+        if (java.nio.file.Files.exists(hist)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(hist).asScala.toSeq.map(parse)
+        } else {
+          val p = java.nio.file.Paths.get("bench", "bench_latest.json")
+          if (!java.nio.file.Files.exists(p)) Nil
+          else Seq(parse(java.nio.file.Files.readString(p)))
+        }
+      runs.flatten.groupMapReduce(_._1)(_._2)(math.min)
     } catch { case _: Throwable => Map.empty }
     val preHeavy: Set[String] =
       if (warmup) priorTimes.filter(_._2 > heavySec).keySet

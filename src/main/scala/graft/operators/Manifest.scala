@@ -179,12 +179,43 @@ object Manifest {
     } finally out.close()
     val target = manifestPath(dir, version)
     val won = commitLock(dir).synchronized {
-      !f.exists(target) && f.rename(tmp, target)
+      publishCas(f, tmp, target)
     }
     if (!won) f.delete(tmp, false) // loser's staged manifest is debris
     require(won,
       s"manifest commit v$version lost the race (another writer " +
         s"published it) - rebase on latestVersion and retry")
+  }
+
+  /** The publish CAS: target taken ⇒ false, else tmp becomes target
+    * atomically. On a LOCAL filesystem the exists+rename pair is a
+    * TOCTOU hole for CROSS-PROCESS writers (POSIX rename silently
+    * REPLACES an existing target; the JVM commit lock can't see a
+    * second process), so there the publish is a hard LINK — link(2)
+    * fails with EEXIST atomically, the true compare-and-swap. HDFS
+    * rename already refuses an existing destination and object-store
+    * committers layer their own CAS, so the Hadoop route stays for
+    * every other scheme.
+    */
+  private def publishCas(f: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, target: Path): Boolean = {
+    val scheme = target.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val s = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val t = java.nio.file.Paths.get(target.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(t, s)
+        f.delete(tmp, false) // drops the staging name (+ crc sidecar)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // a local fs without link(2) (exotic mounts) keeps the legacy
+        // exists+rename — same guarantees as before this hardening
+        case _: UnsupportedOperationException |
+            _: java.nio.file.FileSystemException =>
+          !f.exists(target) && f.rename(tmp, target)
+      }
+    } else !f.exists(target) && f.rename(tmp, target)
   }
 
   // ---- Adaptive entry census: driver below the threshold, ------------
@@ -2518,7 +2549,7 @@ object Manifest {
     } finally out.close()
     val target = catalogPath(dir, cur + 1)
     val won = commitLock(s"$dir/_catalog").synchronized {
-      !f.exists(target) && f.rename(tmp, target)
+      publishCas(f, tmp, target)
     }
     if (!won) f.delete(tmp, false)
     require(won, s"catalog commit v${cur + 1} lost the race - retry")

@@ -1264,6 +1264,26 @@ class ManifestSpec extends SparkSpec {
     assert(kept.filter($"id" === 4L).count() === 1L)
   }
 
+  test("a losing commit attempt never mutates the published manifest's " +
+      "bytes and leaves no staging debris (link-CAS publish)") {
+    val dir = mkdir()
+    Manifest.create(fixture, dir, "grp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = java.nio.file.Paths.get(dir, "_manifests", "v000001.json")
+    val before = java.nio.file.Files.readAllBytes(p).toSeq
+    intercept[IllegalArgumentException] {
+      Manifest.commitManifest(dir, 1, Seq.empty, conf)
+    }
+    assert(java.nio.file.Files.readAllBytes(p).toSeq === before,
+      "a losing commit REPLACED the published manifest - the CAS is " +
+        "not a CAS (POSIX rename semantics leaking through)")
+    import scala.jdk.CollectionConverters._
+    val debris = java.nio.file.Files
+      .list(java.nio.file.Paths.get(dir, "_manifests")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(".tmp-")).toSeq
+    assert(debris.isEmpty, s"staging debris survived the loss: $debris")
+  }
+
   test("a reader catching the pointer swap's delete+rename gap re-reads " +
       "instead of concluding 'no stamps' (replay protection survives " +
       "a cross-process pointer swap)") {
