@@ -89,6 +89,18 @@ object Bench {
     // And q107's incrementally-appended layout, same reasoning.
     try Tables.embeddingsIvfAppendLayout(spark, sfDir)
     catch { case _: Throwable => () }
+    // And the q315/q318 k-NN-graph layouts (round 17): they are the
+    // same build-once persisted-index artifacts as the IVF layouts
+    // above — a 100 TB graph index ships pre-built, and the gates time
+    // the search + referee, not the one-time storage write. They were
+    // the only derived index layouts still built inside the timed
+    // region (whichever of q315/q318 ran first on a cold /tmp paid the
+    // build); prepping them here makes the timed numbers mean the same
+    // thing on a cold and a warm box.
+    try Tables.embeddingsKnnLayout(spark, sfDir)
+    catch { case _: Throwable => () }
+    try Tables.embeddingsKnnAppendLayout(spark, sfDir)
+    catch { case _: Throwable => () }
     // And q121's z-ordered orders copy: clustering is the compaction
     // job's one-time output, not per-query work.
     try Tables.ordersZOrderLayout(spark, sfDir)

@@ -103,7 +103,15 @@ object Graphs {
           base.select(col("node"),
             (lit(residual) + lit(damping) * coalesce(col("mass"), lit(0.0)))
               .as("pr"))
-      pr = next.cutLineage
+      // Dangling graphs consume `pr` TWICE per round (contrib +
+      // danglingMass) — an uncut chain would double the subtree every
+      // round, so they cut each round. Without dangling nodes the chain
+      // is linear (pr feeds only the next round's contrib join), so the
+      // cut batches: one materialization every few rounds bounds plan
+      // depth while dropping the per-round driver round-trip +
+      // checkpoint job (AQE still stages each round's exchanges inside
+      // the one job).
+      pr = if (hasDangling || (i + 1) % 3 == 0) next.cutLineage else next
       i += 1
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
@@ -157,7 +165,9 @@ object Graphs {
           base.select(col("node"),
             (lit(1.0 - damping) * col("restart") +
               lit(damping) * coalesce(col("mass"), lit(0.0))).as("ppr"))
-      pr = next.cutLineage
+      // same batched-cut rule as pageRank: linear chain without
+      // dangling nodes -> cut every few rounds, not every round
+      pr = if (hasDangling || (i + 1) % 3 == 0) next.cutLineage else next
       i += 1
     }
     pr.select(col("node"), round(col("ppr"), 6).as("ppr"))

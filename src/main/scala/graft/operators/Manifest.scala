@@ -2384,7 +2384,11 @@ object Manifest {
       .withColumn("__file",
         concat_ws("/", element_at(segs, -2), element_at(segs, -1)))
       .withColumn("__pos", col("_metadata.row_index"))
-    t.join(deletionVector(spark, dir, v), Seq("__file", "__pos"),
+    // a version with no DV (the common case on this hot path — every
+    // fresh create/append/overwrite) skips the anti-join outright: one
+    // header line decides, and schema/rows are identical either way
+    if (readHeader(dir, v, conf).dv.isEmpty) t
+    else t.join(deletionVector(spark, dir, v), Seq("__file", "__pos"),
       "left_anti")
   }
 

@@ -506,18 +506,22 @@ object ChangeDataQueries {
       val rel2 = docs.filter(col("doc_id") % 3 =!= 1)
       Manifest.catalogCommit(tmp, Seq(("docs", rel2, "lang"),
         ("census", census(rel2), "source")))
-      def invariantBroken(v: Int): Boolean = {
+      // catalog reads pin their (table -> version) vector at
+      // construction and nothing vacuums, so both invariant diffs ride
+      // the final job as lazy sentinels (they were driver-blocking
+      // counts of a full census recompute each)
+      def invariantProbe(v: Int): org.apache.spark.sql.DataFrame = {
         val d = Manifest.catalogRead(s, tmp, "docs", v)
         val c = Manifest.catalogRead(s, tmp, "census", v)
         val r = census(d)
-        c.exceptAll(r).unionAll(r.exceptAll(c)).limit(1).count() > 0
+        c.exceptAll(r).unionAll(r.exceptAll(c))
       }
-      val pinBroken = invariantBroken(1)
+      val pinProbe = invariantProbe(1)
       // crashed writer: docs manifest advances, catalog never renames
       Manifest.append(
         rel1.limit(5).withColumn("n_chars", lit(-1L)),
         s"$tmp/tables/docs", "lang")
-      val latestBroken = invariantBroken(2)
+      val latestProbe = invariantProbe(2)
       val crashMoved = Manifest.catalogLatest(tmp,
         s.sparkContext.hadoopConfiguration) != 2
       val out = Manifest.catalogRead(s, tmp, "census")
@@ -525,8 +529,11 @@ object ChangeDataQueries {
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
         .select(lit(name).as("source"), lit(-1L).as("n"),
           lit(0L).as("sum_chars"))
-      out.unionByName(viol(pinBroken, "PIN_INVARIANT"))
-        .unionByName(viol(latestBroken, "LATEST_INVARIANT"))
+      def sent(probe: org.apache.spark.sql.DataFrame, name: String) =
+        GateOps.sentinel(probe, lit(name).as("source"), lit(-1L).as("n"),
+          lit(0L).as("sum_chars"))
+      out.unionByName(sent(pinProbe, "PIN_INVARIANT"))
+        .unionByName(sent(latestProbe, "LATEST_INVARIANT"))
         .unionByName(viol(crashMoved, "CRASH_VISIBLE"))
         .orderBy("source")
     }),
@@ -600,8 +607,11 @@ object ChangeDataQueries {
       Manifest.create(o.repartition(32), tmp, "o_orderstatus")
       Manifest.addBloomIndex(s, tmp, "o_orderkey")
       val keys = Seq(1L, 2L, 3L, 5L, 8L)
-      val lookups = keys.map(kv =>
-        Manifest.readPoint(s, tmp, "o_orderkey", kv))
+      // the six point lookups are independent read-only probes of the
+      // final layout — overlap their per-call bloom-position jobs
+      val allLookups = GateOps.par((keys :+ -99L).map(kv =>
+        () => Manifest.readPoint(s, tmp, "o_orderkey", kv)): _*)
+      val lookups = allLookups.init
       val rows = lookups.zip(keys).map { case ((df, _, _), kv) =>
         df.filter(col("o_orderkey") === kv)
           .select("o_orderkey", "o_custkey", "o_orderstatus",
@@ -609,28 +619,33 @@ object ChangeDataQueries {
       }.reduce(_ unionByName _)
       val noskip = lookups.exists { case (_, listed, total) =>
         listed * 2 > total }
-      val (ghostDf, _, _) = Manifest.readPoint(s, tmp, "o_orderkey", -99L)
+      val (ghostDf, _, _) = allLookups.last
+      // final layout state — the absent-key probe rides the final job
       val ghost = ghostDf.filter(col("o_orderkey") === -99L)
-        .limit(1).count() > 0
       // the distributed bitset probe (census threshold 0) must admit
-      // exactly the same files and rows as the driver probe
-      val pathDiverged = {
-        val (dDf, dListed, dTotal) = lookups.head
-        s.conf.set("graft.manifest.driverCensusMaxFiles", "0")
-        try {
-          val (xDf, xListed, xTotal) =
-            Manifest.readPoint(s, tmp, "o_orderkey", keys.head)
-          xListed != dListed || xTotal != dTotal ||
-            xDf.exceptAll(dDf).unionAll(dDf.exceptAll(xDf))
-              .limit(1).count() > 0
-        } finally s.conf.unset("graft.manifest.driverCensusMaxFiles")
-      }
+      // exactly the same files and rows as the driver probe; the file
+      // censuses are eager driver work inside readPoint, the row diff
+      // defers to the final job (both reads pin their file lists here)
+      val (dDf, dListed, dTotal) = lookups.head
+      s.conf.set("graft.manifest.driverCensusMaxFiles", "0")
+      val (xDf, xListed, xTotal) =
+        try Manifest.readPoint(s, tmp, "o_orderkey", keys.head)
+        finally s.conf.unset("graft.manifest.driverCensusMaxFiles")
+      val pathProbe = s.range(1)
+        .filter(lit(xListed != dListed || xTotal != dTotal))
+        .select(lit(1).as("one"))
+        .unionAll(xDf.exceptAll(dDf).unionAll(dDf.exceptAll(xDf))
+          .select(lit(1).as("one")))
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
         .select(lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"),
           lit(name).as("o_orderstatus"), lit(0.0).as("o_totalprice"))
+      def sent(probe: org.apache.spark.sql.DataFrame, name: String) =
+        GateOps.sentinel(probe, lit(-1L).as("o_orderkey"),
+          lit(-1L).as("o_custkey"), lit(name).as("o_orderstatus"),
+          lit(0.0).as("o_totalprice"))
       rows.unionByName(viol(noskip, "NOSKIP"))
-        .unionByName(viol(ghost, "GHOST"))
-        .unionByName(viol(pathDiverged, "PATH_DIVERGED"))
+        .unionByName(sent(ghost, "GHOST"))
+        .unionByName(sent(pathProbe, "PATH_DIVERGED"))
         .orderBy("o_orderkey")
     }),
 
@@ -658,15 +673,14 @@ object ChangeDataQueries {
         ev.filter(col("dt") === lit("2024-01-05").cast("date"))
           .withColumn("value", col("value") * 2), tmp, "dt")
       val feed = Manifest.changesBetween(s, tmp, 1, 3)
+      // fixed-version feeds over an unvacuumed layout — lazy probe
       val selfNonEmpty = Manifest.changesBetween(s, tmp, 1, 1)
-        .limit(1).count() > 0
       val census = feed.groupBy(col("_change"),
           col("dt").cast("string").as("dt"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
-        .select(lit(name).as("_change"), lit("").as("dt"),
-          lit(-1L).as("n"), lit(0.0).as("sum_value"))
-      census.unionByName(viol(selfNonEmpty, "SELF_NONEMPTY"))
+      census.unionByName(GateOps.sentinel(selfNonEmpty,
+          lit("SELF_NONEMPTY").as("_change"), lit("").as("dt"),
+          lit(-1L).as("n"), lit(0.0).as("sum_value")))
         .orderBy("_change", "dt")
     }),
 
@@ -697,15 +711,19 @@ object ChangeDataQueries {
         ev.filter(col("dt") === lit("2024-01-05").cast("date"))
           .withColumn("value", col("value") * 2), tmp, "dt")
       Manifest.purge(s, tmp, "dt", col("user_id").isin(3L, 7L))
-      val replica = Manifest.replicateFromFeed(s, tmp)
+      // the replica feeds the census AND both diff directions — one
+      // materialization; the diff reads only it and the final layout
+      // state, so it rides the final job as a lazy sentinel instead of
+      // a driver-blocking count
+      val replica = Manifest.replicateFromFeed(s, tmp).localCheckpoint(true)
       val direct = Manifest.read(s, tmp)
       val diverged = replica.exceptAll(direct)
-        .unionAll(direct.exceptAll(replica)).limit(1).count() > 0
+        .unionAll(direct.exceptAll(replica))
       val census = replica.groupBy(col("dt").cast("string").as("dt"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-      val viol = s.range(1).filter(lit(diverged))
-        .select(lit("REPLICA_DIVERGED").as("dt"), lit(-1L).as("n"),
-          lit(0.0).as("sum_value"))
+      val viol = GateOps.sentinel(diverged,
+        lit("REPLICA_DIVERGED").as("dt"), lit(-1L).as("n"),
+        lit(0.0).as("sum_value"))
       census.unionByName(viol).orderBy("dt")
     }),
 
@@ -735,9 +753,10 @@ object ChangeDataQueries {
       Manifest.overwritePartitions(
         ev.filter(day("2024-01-03")).withColumn("value", col("value") * 2),
         Manifest.branchDir(tmp, "dev"), "dt")
+      // Manifest.read pins its version at construction and this gate
+      // never vacuums — the isolation probe rides the final job lazily
       val mainLeaked = Manifest.read(s, tmp).exceptAll(ev)
         .unionAll(ev.exceptAll(Manifest.read(s, tmp)))
-        .limit(1).count() > 0
       Manifest.overwritePartitions(
         ev.filter(day("2024-01-05")).withColumn("value", col("value") * 3),
         tmp, "dt")
@@ -759,7 +778,9 @@ object ChangeDataQueries {
           lit(0.0).as("sum_value"))
       census
         .unionByName(viol(copied, "BRANCH_COPIED"))
-        .unionByName(viol(mainLeaked, "MAIN_LEAKED"))
+        .unionByName(GateOps.sentinel(mainLeaked,
+          lit("MAIN_LEAKED").as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value")))
         .unionByName(viol(!conflicted, "NO_CONFLICT"))
         .unionByName(viol(vAfter != vMerge, "LOSER_MUTATED"))
         .orderBy("dt")
@@ -793,8 +814,10 @@ object ChangeDataQueries {
         .drop("__file", "__pos").localCheckpoint(true)
       Manifest.applyDeletes(s, tmp, "dt")
       val applied = Manifest.read(s, tmp)
+      // `live` is pinned pre-apply and `applied` reads the final layout
+      // state — the divergence diff rides the final job lazily
       val applyDiverged = live.exceptAll(applied)
-        .unionAll(applied.exceptAll(live)).limit(1).count() > 0
+        .unionAll(applied.exceptAll(live))
       val census = applied.groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
@@ -803,7 +826,9 @@ object ChangeDataQueries {
       census
         .unionByName(viol(n1 == 0 || files2 != files1, "MOR_REWROTE"))
         .unionByName(viol(n2 != 0, "NOT_IDEMPOTENT"))
-        .unionByName(viol(applyDiverged, "APPLY_DIVERGED"))
+        .unionByName(GateOps.sentinel(applyDiverged,
+          lit("APPLY_DIVERGED").as("event_type"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value")))
         .orderBy("event_type")
     }),
 
@@ -832,30 +857,41 @@ object ChangeDataQueries {
       val live1 = Manifest.readWithDeletes(s, tmp)
         .drop("__file", "__pos").localCheckpoint(true)
       val n2 = Manifest.deleteRows(s, tmp, col("event_type") === "error")
+      // readWithDeletes pins its version at construction and this
+      // gate never vacuums, so the stage-2/TT snapshots stay readable
+      // after applyDeletes — all three diffs ride the final job as
+      // lazy sentinels (they were three driver-blocking counts)
       val live2 = Manifest.readWithDeletes(s, tmp)
         .drop("__file", "__pos")
       val expected2 = live1.filter(col("event_type") =!= "error")
-      val cumulativeBroken = live2.exceptAll(expected2)
-        .unionAll(expected2.exceptAll(live2)).limit(1).count() > 0
+      val cumulativeProbe = live2.exceptAll(expected2)
+        .unionAll(expected2.exceptAll(live2)).select(lit(1).as("one"))
       val tt = Manifest.readWithDeletes(s, tmp, version = 1)
         .drop("__file", "__pos")
-      val ttBroken = tt.exceptAll(ev).unionAll(ev.exceptAll(tt))
-        .limit(1).count() > 0
+      val ttProbe = tt.exceptAll(ev).unionAll(ev.exceptAll(tt))
+        .select(lit(1).as("one"))
       val applied = Manifest.applyDeletes(s, tmp, "dt")
       val conf = s.sparkContext.hadoopConfiguration
-      val dvGone = Manifest.deletionVector(s, tmp,
-        Manifest.latestVersion(tmp, conf)).isEmpty
+      val dvProbe = Manifest.deletionVector(s, tmp,
+        Manifest.latestVersion(tmp, conf)).select(lit(1).as("one"))
       val census = Manifest.read(s, tmp)
         .groupBy(col("dt").cast("string").as("dt"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
         .select(lit(name).as("dt"), lit(-1L).as("n"),
           lit(0.0).as("sum_value"))
+      def boolProbe(cond: Boolean) =
+        s.range(1).filter(lit(cond)).select(lit(1).as("one"))
+      def sent(probe: org.apache.spark.sql.DataFrame, name: String) =
+        GateOps.sentinel(probe, lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
       census
         .unionByName(viol(n1 == 0 || files2 != files1, "MOR_REWROTE"))
-        .unionByName(viol(n2 == 0 || cumulativeBroken, "NOT_CUMULATIVE"))
-        .unionByName(viol(ttBroken, "TT_DIVERGED"))
-        .unionByName(viol(!applied || !dvGone, "DV_NOT_DROPPED"))
+        .unionByName(sent(boolProbe(n2 == 0).unionAll(cumulativeProbe),
+          "NOT_CUMULATIVE"))
+        .unionByName(sent(ttProbe, "TT_DIVERGED"))
+        .unionByName(sent(boolProbe(!applied).unionAll(dvProbe),
+          "DV_NOT_DROPPED"))
         .orderBy("dt")
     }),
 
@@ -923,9 +959,10 @@ object ChangeDataQueries {
         Manifest.lastCheckpoint(tmp, conf) != v ||
         Manifest.checkpoint(s, tmp) != v // idempotent re-checkpoint
       val viaCkpt = Manifest.entriesRelation(s, tmp)
+      // the checkpoint parquet is immutable and `parsed` is pinned —
+      // the parse diff rides the final job lazily
       val parseDiverged = viaCkpt.exceptAll(parsed)
-        .unionAll(parsed.exceptAll(viaCkpt)).limit(1).count() > 0
-      val nAtCkpt = parsed.count()
+        .unionAll(parsed.exceptAll(viaCkpt))
       // table content reconstructed from the checkpoint relation's
       // file list ALONE (immutable data files make the list a snapshot)
       val files = viaCkpt.select("file").collect()
@@ -934,17 +971,24 @@ object ChangeDataQueries {
         .groupBy(col("dt").cast("string").as("dt"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       // a commit after the checkpoint must be served by the live parse,
-      // never the stale checkpoint
+      // never the stale checkpoint — both counts fold into one lazy
+      // probe (post-append entry census vs the pinned checkpoint census)
       Manifest.append(extra.withColumn("dt",
         lit("2024-02-02").cast("date")), tmp, "dt")
-      val staleServed = Manifest.entriesRelation(s, tmp).count() <= nAtCkpt
+      val staleProbe = Manifest.entriesRelation(s, tmp)
+        .agg(count(lit(1)).as("c2"))
+        .crossJoin(parsed.agg(count(lit(1)).as("c1")))
+        .filter(col("c2") <= col("c1")).select(lit(1).as("one"))
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
         .select(lit(name).as("dt"), lit(-1L).as("n"),
           lit(0.0).as("sum_value"))
+      def sent(probe: org.apache.spark.sql.DataFrame, name: String) =
+        GateOps.sentinel(probe, lit(name).as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value"))
       census
         .unionByName(viol(ckptStale, "CKPT_STALE"))
-        .unionByName(viol(parseDiverged, "PARSE_DIVERGED"))
-        .unionByName(viol(staleServed, "STALE_SERVED"))
+        .unionByName(sent(parseDiverged, "PARSE_DIVERGED"))
+        .unionByName(sent(staleProbe, "STALE_SERVED"))
         .orderBy("dt")
     }),
 
@@ -972,24 +1016,25 @@ object ChangeDataQueries {
       Manifest.append(extra, tmp, "dt")
       Manifest.deleteRows(s, tmp, col("user_id").isin(3L, 7L))
       graft.GraftSession.tune(s) // table functions registered
+      // all lifecycle verbs precede the referees and nothing vacuums —
+      // both divergence diffs ride the final job as lazy sentinels
       val sqlHist = s.sql(s"SELECT * FROM graft_history('$tmp')")
       val apiHist = Manifest.history(s, tmp)
       val histDiverged = sqlHist.exceptAll(apiHist)
-        .unionAll(apiHist.exceptAll(sqlHist)).limit(1).count() > 0
+        .unionAll(apiHist.exceptAll(sqlHist))
       val sqlV1 = s.sql(s"SELECT * FROM graft_snapshot('$tmp', 1)")
       val ttDiverged = sqlV1.exceptAll(ev).unionAll(ev.exceptAll(sqlV1))
-        .limit(1).count() > 0
       val census = s.sql(
         s"""SELECT CAST(dt AS STRING) AS dt, COUNT(*) AS n,
            |  ROUND(SUM(value), 2) AS sum_value
            |FROM graft_snapshot('$tmp', -1)
            |GROUP BY dt""".stripMargin)
-      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
-        .select(lit(name).as("dt"), lit(-1L).as("n"),
+      def sent(probe: org.apache.spark.sql.DataFrame, name: String) =
+        GateOps.sentinel(probe, lit(name).as("dt"), lit(-1L).as("n"),
           lit(0.0).as("sum_value"))
       census
-        .unionByName(viol(histDiverged, "SQL_HISTORY_DIVERGED"))
-        .unionByName(viol(ttDiverged, "TT_DIVERGED"))
+        .unionByName(sent(histDiverged, "SQL_HISTORY_DIVERGED"))
+        .unionByName(sent(ttDiverged, "TT_DIVERGED"))
         .orderBy("dt")
     }),
 
@@ -1018,15 +1063,17 @@ object ChangeDataQueries {
       val d = s.sql(s"SELECT * FROM graft_detail('$tmp')")
         .localCheckpoint(true)
       val row = d.head()
-      val nFilesDiverged =
-        row.getLong(2) != Manifest.entriesRelation(s, tmp).count()
-      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
-        .select(lit(-1L).as("version"), lit(name).as("op"),
-          lit(-1L).as("n_partitions"), lit(-1L).as("n_dv_deltas"),
-          lit(-1L).as("checkpoint_version"))
+      // final layout state — the entry-census cross-check rides the
+      // final job as a lazy probe instead of a driver-blocking count
+      val nFilesProbe = Manifest.entriesRelation(s, tmp)
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= lit(row.getLong(2)))
       d.select(col("version"), col("op"), col("n_partitions"),
           col("n_dv_deltas"), col("checkpoint_version"))
-        .unionByName(viol(nFilesDiverged, "N_FILES_DIVERGED"))
+        .unionByName(GateOps.sentinel(nFilesProbe,
+          lit(-1L).as("version"), lit("N_FILES_DIVERGED").as("op"),
+          lit(-1L).as("n_partitions"), lit(-1L).as("n_dv_deltas"),
+          lit(-1L).as("checkpoint_version")))
         .orderBy("version")
     }),
 
@@ -1084,8 +1131,14 @@ object ChangeDataQueries {
             None }).exists(_ != viaRun)
         val nBefore = Manifest.readWithDeletes(s, tmp).count()
         val vac = GraftSql.run(s, s"GRAFT VACUUM '$tmp'").head()
-        val vacuumBroke = vac.getLong(1) <= 0L ||
-          Manifest.readWithDeletes(s, tmp).count() != nBefore
+        // the post-vacuum row-count check reads final state — it rides
+        // the final job as a lazy probe, OR-ed (via union) with the
+        // driver-side receipt check so the sentinel fires once either way
+        val vacuumProbe = s.range(1).filter(lit(vac.getLong(1) <= 0L))
+          .select(lit(1).as("one"))
+          .unionAll(Manifest.readWithDeletes(s, tmp)
+            .agg(count(lit(1)).as("c")).filter(col("c") =!= nBefore)
+            .select(lit(1).as("one")))
         val census = Manifest.readWithDeletes(s, tmp)
           .drop("__file", "__pos")
           .groupBy(col("dt").cast("string").as("dt"))
@@ -1096,7 +1149,9 @@ object ChangeDataQueries {
         census
           .unionByName(viol(dvNotFolded, "DV_NOT_FOLDED"))
           .unionByName(viol(doorDiverged, "DOOR_DIVERGED"))
-          .unionByName(viol(vacuumBroke, "VACUUM_BROKE"))
+          .unionByName(GateOps.sentinel(vacuumProbe,
+            lit("VACUUM_BROKE").as("dt"), lit(-1L).as("n"),
+            lit(0.0).as("sum_value")))
           .orderBy("dt")
       } finally s.conf.unset("graft.manifest.driverCensusMaxFiles")
     }),
@@ -1129,8 +1184,12 @@ object ChangeDataQueries {
         Seq("event_id"), batchId = 11L)
       val notStamped = committed ||
         !Manifest.committedBatches(tmp, conf).contains(11L)
+      // the noop-version trail probe reads header state later verbs
+      // only ever append to (exactly one delete-noop either way in the
+      // green path) — lazy probe in the final job
       val noNoopOp = Manifest.history(s, tmp)
-        .filter(col("op") === "delete-noop").count() != 1L
+        .filter(col("op") === "delete-noop")
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 1L)
       // later: rows with exactly those keys land
       Manifest.append(ev.filter(col("user_id") === 4)
         .withColumn("event_id", col("event_id") + 20000000L), tmp, "dt")
@@ -1138,7 +1197,10 @@ object ChangeDataQueries {
       val n1 = Manifest.readWithDeletes(s, tmp).count()
       Manifest.deleteKeysBatch(s, tmp, keys, Seq("event_id"),
         batchId = 11L)
-      val replayDeleted = Manifest.readWithDeletes(s, tmp).count() != n1
+      // post-redelivery state is final — lazy probe against the pinned
+      // pre-redelivery count
+      val replayDeleted = Manifest.readWithDeletes(s, tmp)
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= lit(n1))
       val census = Manifest.readWithDeletes(s, tmp)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
@@ -1146,10 +1208,13 @@ object ChangeDataQueries {
       def viol(cond: Boolean, name: String) = s.range(1)
         .filter(lit(cond)).select(lit(name).as("user_id"),
           lit(-1L).as("n"), lit(0.0).as("sum_value"))
+      def sent(probe: org.apache.spark.sql.DataFrame, name: String) =
+        GateOps.sentinel(probe, lit(name).as("user_id"),
+          lit(-1L).as("n"), lit(0.0).as("sum_value"))
       census
         .unionByName(viol(notStamped, "NOT_STAMPED"))
-        .unionByName(viol(noNoopOp, "NO_NOOP_OP"))
-        .unionByName(viol(replayDeleted, "REPLAY_DELETED"))
+        .unionByName(sent(noNoopOp, "NO_NOOP_OP"))
+        .unionByName(sent(replayDeleted, "REPLAY_DELETED"))
         .orderBy("user_id")
     }),
 
@@ -1183,10 +1248,11 @@ object ChangeDataQueries {
       Manifest.append(ev.filter(col("user_id") === 1)
           .withColumn("dt", lit("2024-02-01").cast("date")),
         Manifest.branchDir(tmp, "exp"), "dt")
-      // branch commits must be invisible on main until the merge
+      // branch commits must be invisible on main until the merge —
+      // Manifest.read pins its pre-merge version at construction and
+      // nothing vacuums, so the probe rides the final job lazily
       val mainLeaked = Manifest.read(s, tmp)
         .filter(col("dt") === lit("2024-02-01").cast("date"))
-        .limit(1).count() > 0
       GraftSql.run(s, s"GRAFT BRANCH MERGE '$tmp' exp")
       val census = Manifest.readWithDeletes(s, tmp)
         .groupBy(col("dt").cast("string").as("dt"))
@@ -1196,7 +1262,9 @@ object ChangeDataQueries {
           lit(0.0).as("sum_value"))
       census
         .unionByName(viol(notApplied, "NOT_APPLIED"))
-        .unionByName(viol(mainLeaked, "MAIN_LEAKED"))
+        .unionByName(GateOps.sentinel(mainLeaked,
+          lit("MAIN_LEAKED").as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value")))
         .orderBy("dt")
     }),
 
@@ -1221,8 +1289,10 @@ object ChangeDataQueries {
       val stmt = s"GRAFT PURGE KEYS '$tmp' PARTITION BY dt " +
         "USING q395_keys ON user_id"
       val purged = GraftSql.run(s, stmt).head().getLong(0)
-      val wrongCount =
-        purged != ev.filter(col("user_id").isin(3L, 7L)).count()
+      // the true victim count reads source state nothing mutates —
+      // the receipt cross-check rides the final job as a lazy probe
+      val wrongCount = ev.filter(col("user_id").isin(3L, 7L))
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= lit(purged))
       val rerun = (try s.sql(stmt)
         catch {
           case _: org.apache.spark.sql.catalyst.parser.ParseException =>
@@ -1238,7 +1308,9 @@ object ChangeDataQueries {
         .select(lit(name).as("dt"), lit(-1L).as("n"),
           lit(0.0).as("sum_value"), lit(-1L).as("n_victim_rows"))
       census
-        .unionByName(viol(wrongCount, "WRONG_COUNT"))
+        .unionByName(GateOps.sentinel(wrongCount, lit("WRONG_COUNT").as("dt"),
+          lit(-1L).as("n"), lit(0.0).as("sum_value"),
+          lit(-1L).as("n_victim_rows")))
         .unionByName(viol(notIdempotent, "NOT_IDEMPOTENT"))
         .orderBy("dt")
     }),
@@ -1271,8 +1343,11 @@ object ChangeDataQueries {
       val notConverged = !built || sql(bloomStmt).getLong(0) != 0L ||
         GraftSql.run(s, sketchStmt).head().getLong(0) != 0L
       val keys = Seq(1L, 2L, 3L, 5L, 8L)
-      val lookups = keys.map(kv =>
-        Manifest.readPoint(s, tmp, "o_orderkey", kv))
+      // the five point lookups are independent read-only probes of the
+      // final layout — overlap their per-call bloom-position jobs and
+      // manifest reads
+      val lookups = GateOps.par(keys.map(kv =>
+        () => Manifest.readPoint(s, tmp, "o_orderkey", kv)): _*)
       val rows = lookups.zip(keys).map { case ((df, _, _), kv) =>
         df.filter(col("o_orderkey") === kv)
           .select("o_orderkey", "o_custkey", "o_orderstatus",
@@ -1280,15 +1355,20 @@ object ChangeDataQueries {
       }.reduce(_ unionByName _)
       val noskip = lookups.exists { case (_, listed, total) =>
         listed * 2 > total }
-      val exact = o.agg(countDistinct("o_custkey")).head().getLong(0)
       val (est, _) = Manifest.approxDistinct(s, tmp)
-      val errBound = math.abs(est - exact) / exact > 0.08
+      // the exact NDV reads source state nothing mutates — lazy probe
+      // against the sketch's driver-side estimate
+      val errProbe = o.agg(countDistinct("o_custkey").as("c"))
+        .filter(abs(lit(est) - col("c")) / col("c") > 0.08)
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
         .select(lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"),
           lit(name).as("o_orderstatus"), lit(0.0).as("o_totalprice"))
       rows.unionByName(viol(noskip, "NOSKIP"))
         .unionByName(viol(notConverged, "NOT_CONVERGED"))
-        .unionByName(viol(errBound, "ERR_BOUND"))
+        .unionByName(GateOps.sentinel(errProbe,
+          lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"),
+          lit("ERR_BOUND").as("o_orderstatus"),
+          lit(0.0).as("o_totalprice")))
         .orderBy("o_orderkey")
     }),
 
@@ -1325,8 +1405,9 @@ object ChangeDataQueries {
         .drop("__file", "__pos").localCheckpoint(true)
       GraftSql.run(s, s"GRAFT APPLY DELETES '$tmp' PARTITION BY dt")
       val applied = Manifest.read(s, tmp)
+      // pinned pre-apply `live` vs the final layout state — lazy probe
       val applyDiverged = live.exceptAll(applied)
-        .unionAll(applied.exceptAll(live)).limit(1).count() > 0
+        .unionAll(applied.exceptAll(live))
       val census = applied.groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
@@ -1335,7 +1416,9 @@ object ChangeDataQueries {
       census
         .unionByName(viol(n1 == 0 || files2 != files1, "MOR_REWROTE"))
         .unionByName(viol(n2 != 0, "NOT_IDEMPOTENT"))
-        .unionByName(viol(applyDiverged, "APPLY_DIVERGED"))
+        .unionByName(GateOps.sentinel(applyDiverged,
+          lit("APPLY_DIVERGED").as("event_type"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value")))
         .orderBy("event_type")
     }),
 
@@ -1604,8 +1687,10 @@ object ChangeDataQueries {
       Manifest.merge(s, tmp, "dt", source, Seq("event_id"),
         deleteCol = "_d")
       val live2 = Manifest.read(s, tmp)
+      // live1 is pinned pre-remerge, live2 reads the final state — the
+      // idempotence diff rides the final job as a lazy sentinel
       val notIdem = live2.exceptAll(live1)
-        .unionAll(live1.exceptAll(live2)).limit(1).count() > 0
+        .unionAll(live1.exceptAll(live2))
       val census = live2.groupBy(col("dt").cast("string").as("dt"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
@@ -1613,7 +1698,9 @@ object ChangeDataQueries {
           lit(0.0).as("sum_value"))
       census
         .unionByName(viol(untouchedRewritten, "UNTOUCHED_REWRITTEN"))
-        .unionByName(viol(notIdem, "NOT_IDEMPOTENT"))
+        .unionByName(GateOps.sentinel(notIdem,
+          lit("NOT_IDEMPOTENT").as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value")))
         .orderBy("dt")
     }),
 
@@ -1688,17 +1775,22 @@ object ChangeDataQueries {
       val vRestored = Manifest.restore(s, tmp, 1)                   // v5
       val forensics = Manifest.readWithDeletes(s, tmp, version = 4)
         .drop("__file", "__pos")
-      val forensicsLost = forensics
-        .filter(col("event_type") === "error").limit(1).count() > 0 ||
-        forensics.filter(col("dt") === lit("2024-02-01").cast("date"))
-          .limit(1).count() == 0
+      // must run BEFORE vacuum (v4's files die there) — but both
+      // forensics probes fold into ONE aggregation job, not two
+      val fRow = forensics.agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"),
+        sum(when(col("dt") === lit("2024-02-01").cast("date"), 1L)
+          .otherwise(0L)).as("n_feb")).head()
+      val forensicsLost = fRow.getLong(0) > 0 || fRow.getLong(1) == 0
       val preVac = Manifest.readWithDeletes(s, tmp, vRestored)
         .drop("__file", "__pos").localCheckpoint(true)
       Manifest.vacuum(s, tmp)
       val postVac = Manifest.readWithDeletes(s, tmp)
         .drop("__file", "__pos")
-      val vacBroke = postVac.exceptAll(preVac)
-        .unionAll(preVac.exceptAll(postVac)).limit(1).count() > 0
+      // preVac is pinned, postVac reads the final state — lazy sentinel
+      val vacProbe = postVac.exceptAll(preVac)
+        .unionAll(preVac.exceptAll(postVac))
       val census = postVac.groupBy(col("dt").cast("string").as("dt"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
@@ -1706,7 +1798,9 @@ object ChangeDataQueries {
           lit(0.0).as("sum_value"))
       census
         .unionByName(viol(forensicsLost, "FORENSICS_LOST"))
-        .unionByName(viol(vacBroke, "VACUUM_BROKE"))
+        .unionByName(GateOps.sentinel(vacProbe,
+          lit("VACUUM_BROKE").as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value")))
         .orderBy("dt")
     }),
 
@@ -1736,17 +1830,20 @@ object ChangeDataQueries {
         .withColumn("value", col("value") + 1000.0)
       Manifest.append(extra, tmp, "dt")
       val n1 = Manifest.commitDelete(s, tmp, prepA)
+      // readWithDeletes pins its version at construction and nothing
+      // vacuums here, so both serial-order probes stay valid after the
+      // later overwrite — they ride the final job as lazy sentinels
       val live1 = Manifest.readWithDeletes(s, tmp).drop("__file", "__pos")
       // serial delete-then-append order: the appended day must survive
       // the rebased delete EXACTLY (victims are base-snapshot rows
       // only), and no base row of users 3/7 may remain
       val appended = live1
         .filter(col("dt") === lit("2024-02-01").cast("date"))
-      val appendSurvived = appended.exceptAll(extra)
-        .unionAll(extra.exceptAll(appended)).limit(1).count() == 0
-      val deleteLanded = live1
+      val appendDiff = appended.exceptAll(extra)
+        .unionAll(extra.exceptAll(appended)).select(lit(1).as("one"))
+      val deleteMissed = live1
         .filter(col("dt") =!= lit("2024-02-01").cast("date") &&
-          col("user_id").isin(3L, 7L)).limit(1).count() == 0
+          col("user_id").isin(3L, 7L)).select(lit(1).as("one"))
       // writer C stages a delete, then its victims' files get rewritten
       val prepC = Manifest.prepareDelete(s, tmp,
         col("event_type") === "view")
@@ -1770,8 +1867,11 @@ object ChangeDataQueries {
         .select(lit(name).as("dt"), lit(-1L).as("n"),
           lit(0.0).as("sum_value"))
       census
-        .unionByName(viol(n1 == 0 || !appendSurvived || !deleteLanded,
-          "BOTH_LOST"))
+        .unionByName(GateOps.sentinel(
+          s.range(1).filter(lit(n1 == 0)).select(lit(1).as("one"))
+            .unionAll(appendDiff).unionAll(deleteMissed),
+          lit("BOTH_LOST").as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value")))
         .unionByName(viol(!conflicted, "NO_CONFLICT"))
         .unionByName(viol(deltaLeaked, "DELTA_LEAKED"))
         .unionByName(viol(vAfter != vBefore, "LOSER_MUTATED"))
@@ -1809,8 +1909,10 @@ object ChangeDataQueries {
         tmp, "dt")
       Manifest.vacuum(s, tmp)
       val after = Manifest.readWithDeletes(s, bdir).drop("__file", "__pos")
+      // `before` is pinned pre-vacuum, `after` reads the final branch
+      // state — the corruption diff rides the final job lazily
       val corrupted = after.exceptAll(before)
-        .unionAll(before.exceptAll(after)).limit(1).count() > 0
+        .unionAll(before.exceptAll(after))
       val orphanGen = java.nio.file.Files.walk(
           java.nio.file.Paths.get(tmp, "data")).iterator()
       val vacNoop = {
@@ -1823,7 +1925,9 @@ object ChangeDataQueries {
         .select(lit(name).as("dt"), lit(-1L).as("n"),
           lit(0.0).as("sum_value"))
       census
-        .unionByName(viol(corrupted, "BRANCH_CORRUPTED"))
+        .unionByName(GateOps.sentinel(corrupted,
+          lit("BRANCH_CORRUPTED").as("dt"), lit(-1L).as("n"),
+          lit(0.0).as("sum_value")))
         .unionByName(viol(vacNoop, "VACUUM_NOOP"))
         .orderBy("dt")
     }),
@@ -1865,8 +1969,10 @@ object ChangeDataQueries {
       val replica = Manifest.read(s, dst).localCheckpoint(true)
       val srcLive = Manifest.readWithDeletes(s, tmp)
         .drop("__file", "__pos")
+      // replica is pinned and the source layout never mutates again —
+      // the divergence diff rides the final job as a lazy sentinel
       val diverged = replica.exceptAll(srcLive)
-        .unionAll(srcLive.exceptAll(replica)).limit(1).count() > 0
+        .unionAll(srcLive.exceptAll(replica))
       val conf = s.sparkContext.hadoopConfiguration
       val vDrained = Manifest.latestVersion(dst, conf)
       // restart from the same checkpoint: nothing new -> no commit
@@ -1879,7 +1985,8 @@ object ChangeDataQueries {
         .select(lit(name).as("dt"), lit(-1L).as("n"),
           lit(0.0).as("sum_value"))
       census
-        .unionByName(viol(diverged, "DIVERGED"))
+        .unionByName(GateOps.sentinel(diverged, lit("DIVERGED").as("dt"),
+          lit(-1L).as("n"), lit(0.0).as("sum_value")))
         .unionByName(viol(replayed, "REPLAYED"))
         .orderBy("dt")
     }),

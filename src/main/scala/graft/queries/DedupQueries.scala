@@ -240,24 +240,33 @@ object DedupQueries {
         .createTempDirectory("graft_lsh_layout").toString
       val history = d.filter(col("doc_id") % 3 =!= 0)
       val batch = d.filter(col("doc_id") % 2 === 0)
-      LshLayout.writeLshLayout(history, "doc_id", "text", tmp)
       val sel = Seq("doc_id", "lang", "source", "n_chars")
-      val kept = LshLayout.dedupAgainstLayout(tmp, batch, "doc_id",
-        "text", threshold = 0.8).select(sel.map(col): _*)
-        .localCheckpoint(true)
-      val ref = Dedup.lshNewAgainstHistory(history, batch, "doc_id",
-        "text", threshold = 0.8).select(sel.map(col): _*)
-      val diverged = kept.exceptAll(ref).unionAll(ref.exceptAll(kept))
-        .limit(1).count() > 0
+      // the layout chain (build -> probe) and the in-flight reference
+      // read disjoint state — overlap them; both results materialize
+      // once because each feeds two consumers below
+      val (kept, ref) = GateOps.par2(
+        () => {
+          LshLayout.writeLshLayout(history, "doc_id", "text", tmp)
+          LshLayout.dedupAgainstLayout(tmp, batch, "doc_id",
+            "text", threshold = 0.8).select(sel.map(col): _*)
+            .localCheckpoint(true)
+        },
+        () => Dedup.lshNewAgainstHistory(history, batch, "doc_id",
+          "text", threshold = 0.8).select(sel.map(col): _*)
+          .localCheckpoint(true))
       LshLayout.appendLshLayout(tmp,
         d.join(kept.select("doc_id"), Seq("doc_id")), "doc_id", "text")
+      // both referees read only pinned relations (kept/ref) or the
+      // post-append layout, which nothing mutates after this point —
+      // lazy sentinels in the one final job
+      val diverged = kept.exceptAll(ref).unionAll(ref.exceptAll(kept))
       val appendBroken = LshLayout.dedupAgainstLayout(tmp,
-          d.join(kept.select("doc_id"), Seq("doc_id")), "doc_id", "text",
-          threshold = 0.8)
-        .limit(1).count() > 0
-      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
-        .select(lit(-1L).as("doc_id"), lit(name).as("lang"),
-          lit("").as("source"), lit(-1L).as("n_chars"))
+        d.join(kept.select("doc_id"), Seq("doc_id")), "doc_id", "text",
+        threshold = 0.8)
+      def viol(probe: org.apache.spark.sql.DataFrame, name: String) =
+        GateOps.sentinel(probe, lit(-1L).as("doc_id"),
+          lit(name).as("lang"), lit("").as("source"),
+          lit(-1L).as("n_chars"))
       kept
         .unionByName(viol(diverged, "DIVERGED"))
         .unionByName(viol(appendBroken, "APPEND_BROKEN"))
@@ -284,21 +293,28 @@ object DedupQueries {
       val d = docs(s, dir)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_lsh_purge").toString
-      LshLayout.writeLshLayout(d, "doc_id", "text", tmp)
-      val victimIds = d.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id").cast("long"))
-        .collect().map(_.getLong(0)).toSeq
+      // the layout build and the victim-id census are independent —
+      // overlap them; the purge needs both
+      val (_, victimIds) = GateOps.par2(
+        () => LshLayout.writeLshLayout(d, "doc_id", "text", tmp),
+        () => d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").cast("long"))
+          .collect().map(_.getLong(0)).toSeq)
       LshLayout.purge(s, tmp, victimIds)
+      // nothing mutates the layout after the purge — the two substore
+      // censuses ride the final job as lazy sentinels instead of two
+      // driver-blocking count() actions
       val leftKeys = s.read.parquet(s"$tmp/keys")
-        .filter(col("id").isInCollection(victimIds)).limit(1).count() > 0
+        .filter(col("id").isInCollection(victimIds))
       val leftSets = s.read.parquet(s"$tmp/sets")
-        .filter(col("id").isInCollection(victimIds)).limit(1).count() > 0
+        .filter(col("id").isInCollection(victimIds))
       val admitted = LshLayout.dedupAgainstLayout(tmp, d, "doc_id",
           "text", threshold = 0.8)
         .select("doc_id", "lang", "source", "n_chars")
-      def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
-        .select(lit(-1L).as("doc_id"), lit(name).as("lang"),
-          lit("").as("source"), lit(-1L).as("n_chars"))
+      def viol(probe: org.apache.spark.sql.DataFrame, name: String) =
+        GateOps.sentinel(probe, lit(-1L).as("doc_id"),
+          lit(name).as("lang"), lit("").as("source"),
+          lit(-1L).as("n_chars"))
       admitted
         .unionByName(viol(leftKeys, "CENSUS_KEYS"))
         .unionByName(viol(leftSets, "CENSUS_SETS"))

@@ -268,17 +268,24 @@ object SimilarityQueries {
       val queries = drifted.filter(col("vec_id") < lit(off) + 10)
       val stale = java.nio.file.Files
         .createTempDirectory("graft_ivf_stale").toString
-      Similarity.writeIvfLayout(e, "vec_id", "embedding", stale,
-        nlist = 8, nassign = 1)
-      Similarity.appendIvfLayout(stale, drifted, "vec_id", "embedding",
-        nassign = 1)
+      // the stale-layout chain and the brute-force referee are
+      // independent — overlap them (guide §2.6); exact materializes
+      // once because both recall measurements join against it
+      val (_, exact) = GateOps.par2(
+        () => {
+          Similarity.writeIvfLayout(e, "vec_id", "embedding", stale,
+            nlist = 8, nassign = 1)
+          Similarity.appendIvfLayout(stale, drifted, "vec_id", "embedding",
+            nassign = 1)
+        },
+        () => Similarity.bruteForceTopK(union, queries, "vec_id",
+            "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true))
       val fresh = java.nio.file.Files
         .createTempDirectory("graft_ivf_fresh").toString
       Similarity.rebalanceIvfLayout(s, stale, fresh, nlist = 8,
         nassign = 1)
-      val exact = Similarity.bruteForceTopK(union, queries, "vec_id",
-          "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
       def recallOf(layout: String) = {
         val approx = Similarity.ivfTopKFromLayout(layout, queries,
             "vec_id", "embedding", k = 5, nprobe = 1)
@@ -287,8 +294,9 @@ object SimilarityQueries {
           .agg((sum(coalesce(col("hit"), lit(0L))) / count(lit(1)))
             .as("r")).head().getDouble(0)
       }
-      val rStale = recallOf(stale)
-      val rFresh = recallOf(fresh)
+      // the two recall probes read disjoint, finished layouts
+      val (rStale, rFresh) = GateOps.par2(
+        () => recallOf(stale), () => recallOf(fresh))
       def viol(cond: Boolean, name: String) = s.range(1).filter(lit(cond))
         .select(lit(name).as("violation"),
           round(lit(rFresh - rStale), 6).as("metric"))
@@ -319,10 +327,13 @@ object SimilarityQueries {
         .agg(sum("hit").as("hits"))
       // densify: a zero-hit (query, nprobe) cell must exist, or the
       // monotonicity join silently skips the very drop it should catch
+      // (three consumers below — materialize the tiny census once so
+      // the 4-probe sweep + brute-force join above runs a single time)
       val hits = q.select(col("vec_id").as("query_id"),
           explode(array(lit(1L), lit(2L), lit(4L), lit(8L))).as("nprobe"))
         .join(counted, Seq("query_id", "nprobe"), "left")
         .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .localCheckpoint(true)
       val a = hits.select(col("query_id"), col("nprobe").as("np_lo"),
         col("hits").as("hits_lo"))
       val b = hits.select(col("query_id"), col("nprobe").as("np_hi"),
@@ -370,10 +381,14 @@ object SimilarityQueries {
           "left")
         .filter(col("rounds").isNotNull)
         .groupBy("query_id", "rounds").agg(sum("hit").as("hits"))
+      // three consumers below (two violation filters + the floor) —
+      // materialize the per-(query, rounds) census once so the exact
+      // brute-force join above it runs a single time
       val hits = e.select(col("vec_id").as("query_id"),
           explode(array(lit(0L), lit(1L))).as("rounds"))
         .join(counted, Seq("query_id", "rounds"), "left")
         .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .localCheckpoint(true)
       val viol = hits.filter(col("rounds") === 0)
         .select(col("query_id"), col("hits").as("hits0"))
         .join(hits.filter(col("rounds") === 1)
@@ -403,26 +418,34 @@ object SimilarityQueries {
     "q318_graph_search_gate" -> ((s, dir) => {
       import graft.operators.KnnGraph
       val e = emb(s, dir)
-      val layoutDir = Tables.embeddingsKnnLayout(s, dir, k = 5,
-        nlist = 16, nassign = 3)
-      val exact = Similarity.bruteForceTopKAgg(e, e, "vec_id", "embedding",
-          k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      // one entry probe + expansion chain serves both hop counts
-      val byHops = KnnGraph.searchFromLayoutTrajectory(layoutDir, e,
-          "vec_id", "embedding", k = 5, ef = 24, hops = 2, nprobe = 3)
-        .collect { case (h, ranked) if h == 0 || h == 2 =>
-          ranked.select(col("query_id"), col("neighbor_id"),
-            lit(h.toLong).as("hops"), lit(1L).as("hit"))
-        }.reduce(_ unionByName _)
+      // the exact brute-force referee touches no layout state — it
+      // overlaps the layout build + trajectory chain (guide §2.6)
+      val (exact, byHops) = GateOps.par2(
+        () => Similarity.bruteForceTopKAgg(e, e, "vec_id", "embedding",
+            k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true),
+        () => {
+          val layoutDir = Tables.embeddingsKnnLayout(s, dir, k = 5,
+            nlist = 16, nassign = 3)
+          // one entry probe + expansion chain serves both hop counts
+          KnnGraph.searchFromLayoutTrajectory(layoutDir, e,
+              "vec_id", "embedding", k = 5, ef = 24, hops = 2, nprobe = 3)
+            .collect { case (h, ranked) if h == 0 || h == 2 =>
+              ranked.select(col("query_id"), col("neighbor_id"),
+                lit(h.toLong).as("hops"), lit(1L).as("hit"))
+            }.reduce(_ unionByName _)
+        })
       val counted = exact.join(byHops, Seq("query_id", "neighbor_id"),
           "left")
         .filter(col("hops").isNotNull)
         .groupBy("query_id", "hops").agg(sum("hit").as("hits"))
+      // three consumers below — materialize the tiny census once
       val hits = e.select(col("vec_id").as("query_id"),
           explode(array(lit(0L), lit(2L))).as("hops"))
         .join(counted, Seq("query_id", "hops"), "left")
         .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .localCheckpoint(true)
       val viol = hits.filter(col("hops") === 0)
         .select(col("query_id"), col("hits").as("hits0"))
         .join(hits.filter(col("hops") === 2)
@@ -452,12 +475,16 @@ object SimilarityQueries {
       val e = emb(s, dir)
       val layoutDir = Tables.embeddingsKnnAppendLayout(s, dir, k = 5,
         nlist = 16, nassign = 3)
-      val fromLayout = KnnGraph.knnNeighborsFromLayout(layoutDir,
-        e.select("vec_id"), "vec_id")
       val cents = Similarity.readIvfCentroids(s"$layoutDir/vectors",
         s.sparkContext.hadoopConfiguration)
-      val scratch = KnnGraph.rankGraph(KnnGraph.knnGraphPairs(e, "vec_id",
-        "embedding", k = 5, cents, rounds = 0))
+      // both sides feed both directions of the symmetric diff —
+      // materialize each once; the layout read and the from-scratch
+      // rebuild are independent chains, so they overlap (guide §2.6)
+      val (fromLayout, scratch) = GateOps.par2(
+        () => KnnGraph.knnNeighborsFromLayout(layoutDir,
+          e.select("vec_id"), "vec_id").localCheckpoint(true),
+        () => KnnGraph.rankGraph(KnnGraph.knnGraphPairs(e, "vec_id",
+          "embedding", k = 5, cents, rounds = 0)).localCheckpoint(true))
       fromLayout.exceptAll(scratch).withColumn("side", lit("layout_only"))
         .unionAll(scratch.exceptAll(fromLayout)
           .withColumn("side", lit("scratch_only")))
@@ -1178,33 +1205,50 @@ object SimilarityQueries {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ann_purge").toString
       val nlist = 8
-      Similarity.writeIvfLayout(e, "vec_id", "embedding", s"$tmp/ivf",
-        nlist, nassign = 3)
-      KnnGraph.writeKnnGraphLayout(e, "vec_id", "embedding", s"$tmp/knn",
-        k = 4, nlist = nlist, nassign = 2)
-      Similarity.purgeIvfLayout(s, s"$tmp/ivf", victimIds)
-      KnnGraph.purgeKnnGraphLayout(s, s"$tmp/knn", victimIds)
-      def hasVictims(df: org.apache.spark.sql.DataFrame,
-          pred: org.apache.spark.sql.Column) =
-        df.filter(pred).limit(1).count() > 0
-      val leftIvf = hasVictims(s.read.parquet(s"$tmp/ivf"),
-        col("neighbor_id").isInCollection(victimIds))
-      val leftVec = hasVictims(s.read.parquet(s"$tmp/knn/vectors"),
-        col("neighbor_id").isInCollection(victimIds))
-      val leftGraph = hasVictims(s.read.parquet(s"$tmp/knn/graph"),
-        col("vec_id").isInCollection(victimIds) ||
+      // the two layout build+purge chains touch disjoint directories and
+      // the brute-force referee touches neither — three independent
+      // chains, overlapped (88 serialized sub-second jobs otherwise)
+      val (_, _, exactAndN) = GateOps.par3(
+        () => {
+          Similarity.writeIvfLayout(e, "vec_id", "embedding", s"$tmp/ivf",
+            nlist, nassign = 3)
+          Similarity.purgeIvfLayout(s, s"$tmp/ivf", victimIds)
+        },
+        () => {
+          KnnGraph.writeKnnGraphLayout(e, "vec_id", "embedding", s"$tmp/knn",
+            k = 4, nlist = nlist, nassign = 2)
+          KnnGraph.purgeKnnGraphLayout(s, s"$tmp/knn", victimIds)
+        },
+        () => {
+          val exact = Similarity.bruteForceTopK(survivors, victims,
+            "vec_id", "embedding", k = 5).localCheckpoint(true)
+          (exact, survivors.count().toInt)
+        })
+      val (exact, nSurv) = exactAndN
+      // census probes read post-purge state nothing mutates after this
+      // point — lazy sentinels, evaluated inside the one final job
+      val leftIvf = s.read.parquet(s"$tmp/ivf")
+        .filter(col("neighbor_id").isInCollection(victimIds))
+      val leftVec = s.read.parquet(s"$tmp/knn/vectors")
+        .filter(col("neighbor_id").isInCollection(victimIds))
+      val leftGraph = s.read.parquet(s"$tmp/knn/graph")
+        .filter(col("vec_id").isInCollection(victimIds) ||
           col("neighbor_id").isInCollection(victimIds))
-      val exact = Similarity.bruteForceTopK(survivors, victims,
-        "vec_id", "embedding", k = 5).localCheckpoint(true)
-      val viaIvf = Similarity.ivfTopKFromLayout(s"$tmp/ivf", victims,
-        "vec_id", "embedding", k = 5, nprobe = nlist)
-      val nSurv = survivors.count().toInt
-      val viaGraph = KnnGraph.searchFromLayout(s"$tmp/knn", victims,
-        "vec_id", "embedding", k = 5, ef = nSurv, hops = 1,
-        nprobe = nlist)
-      def viol(cond: Boolean, tag: Long) = s.range(1).filter(lit(cond))
-        .select(lit(-1L).as("query_id"), lit(tag).as("rank"),
-          lit(-1L).as("neighbor_id"), lit(-1.0).as("sim"))
+      // each search result feeds both directions of its symmetric diff —
+      // materialize once each, and the two purged-layout searches are
+      // independent of each other, so they overlap too
+      val (viaIvf, viaGraph) = GateOps.par2(
+        () => Similarity.ivfTopKFromLayout(s"$tmp/ivf", victims,
+          "vec_id", "embedding", k = 5, nprobe = nlist)
+          .localCheckpoint(true),
+        () => KnnGraph.searchFromLayout(s"$tmp/knn", victims,
+          "vec_id", "embedding", k = 5, ef = nSurv, hops = 1,
+          nprobe = nlist)
+          .localCheckpoint(true))
+      def viol(probe: org.apache.spark.sql.DataFrame, tag: Long) =
+        GateOps.sentinel(probe, lit(-1L).as("query_id"),
+          lit(tag).as("rank"), lit(-1L).as("neighbor_id"),
+          lit(-1.0).as("sim"))
       viaIvf.exceptAll(exact).unionAll(exact.exceptAll(viaIvf))
         .unionAll(viaGraph.exceptAll(exact))
         .unionAll(exact.exceptAll(viaGraph))

@@ -2262,7 +2262,8 @@ object TextQueries {
       val n2 = graft.Bucketing.purgeBucketedTable(s, "bq_postings_purge",
         victim)
       val tb = s.table("bq_postings_purge")
-      val leftover = tb.filter(victim).limit(1).count() > 0
+      // post-purge final state — the victim census rides the final job
+      val leftover = tb.filter(victim)
       val stillBucketed = s.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier("bq_postings_purge"))
         .bucketSpec.exists(_.numBuckets == 16)
@@ -2276,7 +2277,8 @@ object TextQueries {
       def viol(cond: Boolean, tag: Long) = s.range(1).filter(lit(cond))
         .select(lit(-1L).as("doc_id"), lit(tag).as("n_occ"))
       hits
-        .unionByName(viol(leftover, 1L))
+        .unionByName(GateOps.sentinel(leftover, lit(-1L).as("doc_id"),
+          lit(1L).as("n_occ")))
         .unionByName(viol(n2 != 0L, 2L))
         .unionByName(viol(!stillBucketed, 3L))
         .unionByName(viol(n == 0L, 4L))
