@@ -396,10 +396,12 @@ object KnnGraph {
     require(ids.nonEmpty, "purgeKnnGraphLayout: empty id set")
     require(ids.length <= (1 << 20),
       "purgeKnnGraphLayout: more than 2^20 ids - batch the purge")
-    Similarity.purgeIvfLayout(spark, s"$dir/vectors", ids)
-    ChangeData.purgeRows(spark, s"$dir/graph", "part",
-      col("vec_id").isInCollection(ids) ||
-        col("neighbor_id").isInCollection(ids))
+    // disjoint substores — the two victim-partition rewrites overlap
+    Par.run2(
+      () => Similarity.purgeIvfLayout(spark, s"$dir/vectors", ids),
+      () => ChangeData.purgeRows(spark, s"$dir/graph", "part",
+        col("vec_id").isInCollection(ids) ||
+          col("neighbor_id").isInCollection(ids)))
   }
 
   /** `purgeKnnGraphLayout` with the forget-list as a KEY RELATION
@@ -413,10 +415,15 @@ object KnnGraph {
     readMeta(dir, spark.sparkContext.hadoopConfiguration) // loud non-layout
     val keys = ids.select(col(ids.columns.head).cast("long").as("__kid"))
       .localCheckpoint(true) // two substores + two passes share one eval
-    Similarity.purgeIvfLayout(spark, s"$dir/vectors", keys)
-    ChangeData.purgeRowsKeys(spark, s"$dir/graph", "part",
-      keys.select(col("__kid").as("vec_id")), Seq("vec_id"))
-    ChangeData.purgeRowsKeys(spark, s"$dir/graph", "part",
-      keys.select(col("__kid").as("neighbor_id")), Seq("neighbor_id"))
+    // vectors/ is disjoint from graph/ — it overlaps the graph's two
+    // SEQUENTIAL passes (those rewrite the same files; order matters)
+    Par.run2(
+      () => Similarity.purgeIvfLayout(spark, s"$dir/vectors", keys),
+      () => {
+        ChangeData.purgeRowsKeys(spark, s"$dir/graph", "part",
+          keys.select(col("__kid").as("vec_id")), Seq("vec_id"))
+        ChangeData.purgeRowsKeys(spark, s"$dir/graph", "part",
+          keys.select(col("__kid").as("neighbor_id")), Seq("neighbor_id"))
+      })
   }
 }

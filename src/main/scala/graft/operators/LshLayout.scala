@@ -67,22 +67,50 @@ object LshLayout {
     }
   }
 
+  /** The (id, hs) shingle-hash-set relation of `docs` — the expensive
+    * text pass (shingling + hashing) both substores derive from.
+    */
+  private def sketchBase(docs: DataFrame, idCol: String, textCol: String,
+      m: Meta): DataFrame =
+    graft.GraftSession.fanout(docs)
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.shingleHashSet(col(textCol), m.n).as("hs"))
+
+  private def keysOf(base: DataFrame, m: Meta): DataFrame =
+    base.select(col("id"), explode(graft.functions.TextFunctions
+        .bandKeys(TextOps.minhashSignature(col("hs"), m.numPerm),
+          m.bands, m.numPerm / m.bands)).as("key"))
+      .withColumn("bucket", pmod(xxhash64(col("key")), lit(m.nlist.toLong))
+        .cast("int"))
+
+  private def setsOf(base: DataFrame, m: Meta): DataFrame =
+    base.withColumn("part",
+      pmod(col("id"), lit(m.nparts.toLong)).cast("int"))
+
   /** The (bucket, key, id) and (part, id, hs) relations of `docs`
     * under `m` — the shared sketch kernel of build, append and probe.
     */
   private def sketch(docs: DataFrame, idCol: String, textCol: String,
       m: Meta): (DataFrame, DataFrame) = {
-    val base = graft.GraftSession.fanout(docs)
-      .select(col(idCol).cast("long").as("id"),
-        Dedup.shingleHashSet(col(textCol), m.n).as("hs"))
-    val keys = base.select(col("id"), explode(graft.functions.TextFunctions
-        .bandKeys(TextOps.minhashSignature(col("hs"), m.numPerm),
-          m.bands, m.numPerm / m.bands)).as("key"))
-      .withColumn("bucket", pmod(xxhash64(col("key")), lit(m.nlist.toLong))
-        .cast("int"))
-    val sets = base.withColumn("part",
-      pmod(col("id"), lit(m.nparts.toLong)).cast("int"))
-    (keys, sets)
+    val base = sketchBase(docs, idCol, textCol, m)
+    (keysOf(base, m), setsOf(base, m))
+  }
+
+  /** Write both substores from ONE materialized sketch pass: without
+    * the persist, the `keys/` and `sets/` writes each re-scan and
+    * re-shingle the corpus text — the sketch base (ids + hash sets, far
+    * smaller than the text it derives from) is exactly what a 100 TB
+    * build wants cached between the two writes.
+    */
+  private def writeSubstores(base: DataFrame, m: Meta, dir: String,
+      mode: String): Unit = {
+    base.persist()
+    try {
+      keysOf(base, m).select(col("bucket"), col("key"), col("id"))
+        .write.mode(mode).partitionBy("bucket").parquet(s"$dir/keys")
+      setsOf(base, m).select(col("part"), col("id"), col("hs"))
+        .write.mode(mode).partitionBy("part").parquet(s"$dir/sets")
+    } finally base.unpersist()
   }
 
   /** Build the layout from the history corpus (one sketch pass). */
@@ -93,11 +121,8 @@ object LshLayout {
       s"writeLshLayout: numPerm ($numPerm) must divide by bands ($bands)")
     val conf = history.sparkSession.sparkContext.hadoopConfiguration
     val m = Meta(n, numPerm, bands, nlist, nparts)
-    val (keys, sets) = sketch(history, idCol, textCol, m)
-    keys.select(col("bucket"), col("key"), col("id"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/keys")
-    sets.select(col("part"), col("id"), col("hs"))
-      .write.mode("overwrite").partitionBy("part").parquet(s"$dir/sets")
+    writeSubstores(sketchBase(history, idCol, textCol, m), m, dir,
+      "overwrite")
     writeMeta(dir, m, conf)
   }
 
@@ -110,11 +135,7 @@ object LshLayout {
       textCol: String): Unit = {
     val conf = batch.sparkSession.sparkContext.hadoopConfiguration
     val m = readMeta(dir, conf)
-    val (keys, sets) = sketch(batch, idCol, textCol, m)
-    keys.select(col("bucket"), col("key"), col("id"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/keys")
-    sets.select(col("part"), col("id"), col("hs"))
-      .write.mode("append").partitionBy("part").parquet(s"$dir/sets")
+    writeSubstores(sketchBase(batch, idCol, textCol, m), m, dir, "append")
   }
 
   /** Batch ids with a stored near-dup at or above `threshold` —
@@ -177,8 +198,10 @@ object LshLayout {
     require(ids.length <= (1 << 20),
       "LshLayout.purge: more than 2^20 ids - batch the purge")
     val victim = col("id").isInCollection(ids)
-    ChangeData.purgeRows(spark, s"$dir/keys", "bucket", victim)
-    ChangeData.purgeRows(spark, s"$dir/sets", "part", victim)
+    // disjoint substores — the two victim-partition rewrites overlap
+    Par.run2(
+      () => ChangeData.purgeRows(spark, s"$dir/keys", "bucket", victim),
+      () => ChangeData.purgeRows(spark, s"$dir/sets", "part", victim))
   }
 
   /** `purge` with the forget-list as a KEY RELATION (first column =
@@ -188,7 +211,12 @@ object LshLayout {
   def purge(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
     readMeta(dir, spark.sparkContext.hadoopConfiguration) // loud non-layout
     val keys = ids.select(col(ids.columns.head).cast("long").as("id"))
-    ChangeData.purgeRowsKeys(spark, s"$dir/keys", "bucket", keys, Seq("id"))
-    ChangeData.purgeRowsKeys(spark, s"$dir/sets", "part", keys, Seq("id"))
+      .localCheckpoint(true) // both substore purges share one eval
+    // disjoint substores — the two victim-partition rewrites overlap
+    Par.run2(
+      () => ChangeData.purgeRowsKeys(spark, s"$dir/keys", "bucket", keys,
+        Seq("id")),
+      () => ChangeData.purgeRowsKeys(spark, s"$dir/sets", "part", keys,
+        Seq("id")))
   }
 }

@@ -252,8 +252,7 @@ object DedupQueries {
             .localCheckpoint(true)
         },
         () => Dedup.lshNewAgainstHistory(history, batch, "doc_id",
-          "text", threshold = 0.8).select(sel.map(col): _*)
-          .localCheckpoint(true))
+          "text", threshold = 0.8).select(sel.map(col): _*))
       LshLayout.appendLshLayout(tmp,
         d.join(kept.select("doc_id"), Seq("doc_id")), "doc_id", "text")
       // both referees read only pinned relations (kept/ref) or the

@@ -477,14 +477,16 @@ object SimilarityQueries {
         nlist = 16, nassign = 3)
       val cents = Similarity.readIvfCentroids(s"$layoutDir/vectors",
         s.sparkContext.hadoopConfiguration)
-      // both sides feed both directions of the symmetric diff —
-      // materialize each once; the layout read and the from-scratch
-      // rebuild are independent chains, so they overlap (guide §2.6)
+      // the layout read and the from-scratch rebuild are independent
+      // chains whose CONSTRUCTION is itself eager (broadcast probe,
+      // salt census, lineage cuts) — overlap that (guide §2.6); the
+      // symmetric diff's duplicate subtrees dedupe via ReuseExchange
+      // inside the one final job, so neither side checkpoints
       val (fromLayout, scratch) = GateOps.par2(
         () => KnnGraph.knnNeighborsFromLayout(layoutDir,
-          e.select("vec_id"), "vec_id").localCheckpoint(true),
+          e.select("vec_id"), "vec_id"),
         () => KnnGraph.rankGraph(KnnGraph.knnGraphPairs(e, "vec_id",
-          "embedding", k = 5, cents, rounds = 0)).localCheckpoint(true))
+          "embedding", k = 5, cents, rounds = 0)))
       fromLayout.exceptAll(scratch).withColumn("side", lit("layout_only"))
         .unionAll(scratch.exceptAll(fromLayout)
           .withColumn("side", lit("scratch_only")))
@@ -1234,17 +1236,15 @@ object SimilarityQueries {
       val leftGraph = s.read.parquet(s"$tmp/knn/graph")
         .filter(col("vec_id").isInCollection(victimIds) ||
           col("neighbor_id").isInCollection(victimIds))
-      // each search result feeds both directions of its symmetric diff —
-      // materialize once each, and the two purged-layout searches are
-      // independent of each other, so they overlap too
-      val (viaIvf, viaGraph) = GateOps.par2(
-        () => Similarity.ivfTopKFromLayout(s"$tmp/ivf", victims,
-          "vec_id", "embedding", k = 5, nprobe = nlist)
-          .localCheckpoint(true),
-        () => KnnGraph.searchFromLayout(s"$tmp/knn", victims,
-          "vec_id", "embedding", k = 5, ef = nSurv, hops = 1,
-          nprobe = nlist)
-          .localCheckpoint(true))
+      // both diff directions contain identical search subtrees —
+      // ReuseExchange dedupes them inside the one final job, so no
+      // extra materialization is needed (measured: an eager checkpoint
+      // here costs more than the reuse saves)
+      val viaIvf = Similarity.ivfTopKFromLayout(s"$tmp/ivf", victims,
+        "vec_id", "embedding", k = 5, nprobe = nlist)
+      val viaGraph = KnnGraph.searchFromLayout(s"$tmp/knn", victims,
+        "vec_id", "embedding", k = 5, ef = nSurv, hops = 1,
+        nprobe = nlist)
       def viol(probe: org.apache.spark.sql.DataFrame, tag: Long) =
         GateOps.sentinel(probe, lit(-1L).as("query_id"),
           lit(tag).as("rank"), lit(-1L).as("neighbor_id"),

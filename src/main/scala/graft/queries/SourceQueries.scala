@@ -47,21 +47,25 @@ object SourceQueries {
       val o = corruptedOrders(Tables.readTableStream(s, dir, "orders"))
       def drain(d: org.apache.spark.sql.DataFrame) =
         graft.streaming.EventStreams.runToMemory(d, OutputMode.Complete())
-      val rowLocal = Expectations.rowLocalCensus(
-        drain(Expectations.rowLocalAggRow(o, checks)), checks)
-      val keyCensus = drain(o.groupBy("o_orderkey")
-        .agg(count(lit(1)).as("__c")))
+      val dimB = broadcast(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey")).distinct())
+      // the three expectation legs drain three INDEPENDENT streams over
+      // the same bounded source — overlap the drains (guide §2.6; the
+      // runToMemory conf juggling is depth-counted for exactly this)
+      val (rowLocalDrained, keyCensus, refDrain) = GateOps.par3(
+        () => drain(Expectations.rowLocalAggRow(o, checks)),
+        () => drain(o.groupBy("o_orderkey")
+          .agg(count(lit(1)).as("__c"))),
+        () => drain(o.filter(col("o_custkey").isNotNull)
+          .join(dimB, Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))))
+      val rowLocal = Expectations.rowLocalCensus(rowLocalDrained, checks)
       val uniq = keyCensus.agg(
           coalesce(sum(col("__c") - 1L), lit(0L)).as("n_violations"),
           coalesce(sum(col("__c")), lit(0L)).as("n_rows"))
         .select(lit("unique_key").as("check"),
           lit("o_orderkey").as("target"), col("n_violations"),
           col("n_rows"))
-      val dim = broadcast(Tables.load(s, dir, "customer")
-        .select(col("c_custkey").as("o_custkey")).distinct())
-      val refDrain = drain(o.filter(col("o_custkey").isNotNull)
-        .join(dim, Seq("o_custkey"), "left_anti")
-        .agg(count(lit(1)).as("n_violations")))
       val total = keyCensus.agg(coalesce(sum(col("__c")), lit(0L))
         .as("n_rows"))
       val ref = refDrain.crossJoin(broadcast(total))

@@ -25,21 +25,39 @@ object EventStreams {
     // the ts normalization applied inside Tables.readTableStream
     graft.Tables.readTableStream(spark, sfDir, "events")
 
+  // Concurrent drains (a gate overlapping independent streams) must not
+  // race the shuffle-partition set/restore below: a naive prev/restore
+  // pair can capture the OTHER drain's temporary value and leak it into
+  // the session. Depth-counted: the first drain in saves the value, the
+  // last one out restores it; the conf stays at the drain setting while
+  // any drain is active.
+  private val drainDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  private var drainPrev: String = _
+  private val drainLock = new Object
+
   private[graft] def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     // Stateful streaming ops allocate one state store per shuffle
     // partition at query start; for this drain-a-bounded-input pattern 8
     // is plenty and start-up cost scales with the store count. (A real
     // deployment sizes this to key cardinality / cluster width instead.)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    drainLock.synchronized {
+      if (drainDepth.getAndIncrement() == 0) {
+        drainPrev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+      }
+    }
     try {
-      val name = s"graft_stream_${System.nanoTime()}"
+      val name = s"graft_stream_${System.nanoTime()}" +
+        s"_t${Thread.currentThread().getId}"
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
       try q.processAllAvailable()
       finally q.stop()
       spark.table(name)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally drainLock.synchronized {
+      if (drainDepth.decrementAndGet() == 0)
+        spark.conf.set("spark.sql.shuffle.partitions", drainPrev)
+    }
   }
 
   /** Tumbling 1-hour event-time window aggregation (complete mode —
