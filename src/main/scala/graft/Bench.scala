@@ -183,10 +183,24 @@ object Bench {
     //     sample (the legacy shape).
     // q44 re-pays the whole ETL every pass it appears in (it is the
     // baseline-comparable number); q54-q56 share one pipeline run
-    // WITHIN a pass — the documented materialize-once design.
-    val heavy: Set[String] =
+    // WITHIN a pass — the documented materialize-once design. That
+    // sharing makes their heavy/light classification collective: with
+    // q54 classified heavy and its siblings light, the shared pipeline
+    // build lands on whichever SIBLING runs first in every light pass
+    // (observed: q55 4.6 s in light passes vs its 0.49 s clean record),
+    // which reads as a phantom per-query regression. If any of the trio
+    // classifies heavy, all three go heavy-LAST together — the heavy
+    // pass runs them adjacently in name order, q54 absorbs the build
+    // (its documented role) and q55/q56 report their true cost.
+    val pipelineTrio = Set("q54_sales_curated", "q55_agg_store_dept",
+      "q56_holidays")
+    val heavyRaw: Set[String] =
       if (warmup) preHeavy ++ warmTimes.filter(_._2 > heavySec).keySet
       else Set.empty
+    val heavy: Set[String] =
+      if (heavyRaw.intersect(pipelineTrio).nonEmpty)
+        heavyRaw ++ pipelineTrio.intersect(selected.map(_._1).toSet)
+      else heavyRaw
     val heavySel = selected.filter { case (n, _) => heavy(n) }
     val lightSel = selected.filterNot { case (n, _) => heavy(n) }
     val heavyEst = heavySel.map { case (n, _) =>
